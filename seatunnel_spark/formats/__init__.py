@@ -1,0 +1,198 @@
+"""Serialization format decoders (seatunnel-formats rebuild).
+
+Reference: seatunnel-format-json (JsonDeserializationSchema.java),
+.../canal/CanalJsonDeserializationSchema.java,
+.../debezium/DebeziumJsonDeserializationSchema.java, maxwell/, ogg/
+(SURVEY.md §2.6).
+
+Each decoder is a pure DataFrame function over a `value: string/binary`
+column (Kafka wire shape) producing typed columns + `__row_kind` for
+the CDC envelopes. Everything is from_json/explode — JVM-side,
+streaming-safe (no aggregation), and identical in batch and streaming.
+
+CDC envelope -> RowKind mapping (reference semantics):
+  debezium op: c/r -> +I, u -> -U then +U (before+after), d -> -D
+  canal  type: INSERT -> +I, UPDATE -> -U/+U, DELETE -> -D
+  maxwell type: insert -> +I, update -> -U/+U, delete -> -D
+  ogg  op_type: I -> +I, U -> -U/+U, D -> -D
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from seatunnel_spark.types import ROW_KIND_COL, parse_schema
+
+
+def _schema_of(schema_opt) -> T.StructType:
+    if schema_opt is None:
+        raise ValueError("this format requires an explicit schema {fields {...}}")
+    if isinstance(schema_opt, T.StructType):
+        return schema_opt
+    return parse_schema(schema_opt.get("fields", schema_opt))
+
+
+def _value_str(df: DataFrame) -> Column:
+    col = F.col("value")
+    if dict(df.dtypes).get("value") == "binary":
+        col = col.cast("string")
+    return col
+
+
+def decode_json(df: DataFrame, schema_opt) -> DataFrame:
+    schema = _schema_of(schema_opt)
+    return (
+        df.select(F.from_json(_value_str(df), schema).alias("r"))
+        .select("r.*")
+        .withColumn(ROW_KIND_COL, F.lit("+I"))
+    )
+
+
+def decode_text(df: DataFrame, schema_opt, delimiter: str = ",") -> DataFrame:
+    schema = _schema_of(schema_opt)
+    parts = F.split(_value_str(df), delimiter)
+    cols = [
+        parts.getItem(i).cast(f.dataType).alias(f.name)
+        for i, f in enumerate(schema.fields)
+    ]
+    return df.select(*cols).withColumn(ROW_KIND_COL, F.lit("+I"))
+
+
+def _two_phase(df: DataFrame, schema: T.StructType, before: Column, after: Column,
+               op: Column, ins: str, upd: str, dele: str) -> DataFrame:
+    """Shared CDC expansion: updates emit -U (before) then +U (after)."""
+    rows = F.filter(
+        F.array(
+            F.struct(
+                F.when(op == dele, before).otherwise(
+                    F.when(op == upd, before).otherwise(after)
+                ).alias("payload"),
+                F.when(op == ins, F.lit("+I"))
+                .when(op == upd, F.lit("-U"))
+                .when(op == dele, F.lit("-D"))
+                .alias("kind"),
+            ),
+            F.struct(
+                after.alias("payload"),
+                F.when(op == upd, F.lit("+U")).alias("kind"),
+            ),
+        ),
+        lambda s: s["kind"].isNotNull(),
+    )
+    exploded = df.select(F.explode(rows).alias("e"))
+    payload = F.from_json(F.to_json(F.col("e.payload")), schema)
+    return exploded.select(
+        *[payload[f.name].alias(f.name) for f in schema.fields],
+        F.col("e.kind").alias(ROW_KIND_COL),
+    )
+
+
+def decode_debezium(df: DataFrame, schema_opt) -> DataFrame:
+    """Debezium envelope {before, after, op} (DebeziumRowConverter.java)."""
+    schema = _schema_of(schema_opt)
+    env = T.StructType(
+        [
+            T.StructField("before", schema),
+            T.StructField("after", schema),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    p = df.select(F.from_json(_value_str(df), env).alias("v"))
+    op = F.when(F.col("v.op").isin("c", "r"), F.lit("I")).when(
+        F.col("v.op") == "u", F.lit("U")
+    ).otherwise(F.lit("D"))
+    return _two_phase(p, schema, F.col("v.before"), F.col("v.after"), op, "I", "U", "D")
+
+
+def _decode_array_env(df: DataFrame, schema: T.StructType, data_field: str,
+                      old_field: str, type_field: str,
+                      ins: str, upd: str, dele: str) -> DataFrame:
+    """Canal/Maxwell-style envelope where `data` is an array of rows."""
+    env = T.StructType(
+        [
+            T.StructField(data_field, T.ArrayType(schema)),
+            T.StructField(old_field, T.ArrayType(schema)),
+            T.StructField(type_field, T.StringType()),
+        ]
+    )
+    p = df.select(F.from_json(_value_str(df), env).alias("v"))
+    n = F.coalesce(F.size(f"v.{data_field}"), F.lit(0))
+    idx = p.select(F.col("v"), F.explode(F.sequence(F.lit(0), n - 1)).alias("i"))
+    op = F.upper(F.col(f"v.{type_field}"))
+    row = F.col(f"v.{data_field}")[F.col("i")]
+    old = F.coalesce(F.col(f"v.{old_field}")[F.col("i")], row)
+    return _two_phase(idx, schema, old, row, op, ins, upd, dele)
+
+
+def decode_canal(df: DataFrame, schema_opt) -> DataFrame:
+    """Canal envelope {data:[...], old:[...], type} (CanalJsonDeserializationSchema.java)."""
+    schema = _schema_of(schema_opt)
+    return _decode_array_env(df, schema, "data", "old", "type",
+                             "INSERT", "UPDATE", "DELETE")
+
+
+def decode_maxwell(df: DataFrame, schema_opt) -> DataFrame:
+    """Maxwell envelope {data:{...}, old:{...}, type} — single-row data."""
+    schema = _schema_of(schema_opt)
+    env = T.StructType(
+        [
+            T.StructField("data", schema),
+            T.StructField("old", schema),
+            T.StructField("type", T.StringType()),
+        ]
+    )
+    p = df.select(F.from_json(_value_str(df), env).alias("v"))
+    op = F.upper(F.col("v.type"))
+    # Maxwell's `old` holds only changed fields; coalesce onto data for -U.
+    return _two_phase(p, schema, F.coalesce(F.col("v.old"), F.col("v.data")),
+                      F.col("v.data"), op, "INSERT", "UPDATE", "DELETE")
+
+
+def decode_ogg(df: DataFrame, schema_opt) -> DataFrame:
+    """Oracle GoldenGate envelope {before, after, op_type: I|U|D}."""
+    schema = _schema_of(schema_opt)
+    env = T.StructType(
+        [
+            T.StructField("before", schema),
+            T.StructField("after", schema),
+            T.StructField("op_type", T.StringType()),
+        ]
+    )
+    p = df.select(F.from_json(_value_str(df), env).alias("v"))
+    op = F.upper(F.col("v.op_type"))
+    return _two_phase(p, schema, F.col("v.before"), F.col("v.after"), op, "I", "U", "D")
+
+
+def decode_avro(df: DataFrame, schema_opt, avro_schema_json: str | None = None) -> DataFrame:
+    from pyspark.sql.avro.functions import from_avro
+
+    if avro_schema_json is None:
+        raise ValueError("avro format requires avro_schema (JSON schema string)")
+    return (
+        df.select(from_avro(F.col("value"), avro_schema_json).alias("r"))
+        .select("r.*")
+        .withColumn(ROW_KIND_COL, F.lit("+I"))
+    )
+
+
+_DECODERS = {
+    "JSON": decode_json,
+    "TEXT": decode_text,
+    "DEBEZIUM_JSON": decode_debezium,
+    "COMPATIBLE_DEBEZIUM_JSON": decode_debezium,
+    "CANAL_JSON": decode_canal,
+    "MAXWELL_JSON": decode_maxwell,
+    "OGG_JSON": decode_ogg,
+    "COMPATIBLE_KAFKA_CONNECT_JSON": decode_json,
+}
+
+
+def decode_payload(df: DataFrame, fmt: str, schema_opt, delimiter: str = ",") -> DataFrame:
+    fmt = fmt.upper()
+    if fmt == "TEXT":
+        return decode_text(df, schema_opt, delimiter)
+    if fmt == "AVRO":
+        return decode_avro(df, schema_opt, None)
+    if fmt not in _DECODERS:
+        raise ValueError(f"unknown message format {fmt!r}; known: {sorted(_DECODERS)}")
+    return _DECODERS[fmt](df, schema_opt)

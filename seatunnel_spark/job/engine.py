@@ -1,0 +1,112 @@
+"""Job engine: spec -> named-DataFrame DAG -> sinks.
+
+This is the whole "LogicalDag / ExecutionPlan / PhysicalPlan" stack of
+the reference (SURVEY.md §3.1: LogicalDagGenerator.java,
+ExecutionPlanGenerator.java, PhysicalPlanGenerator.java) collapsed to
+~100 lines, because DataFrames ARE a lazy logical DAG and Catalyst +
+the Spark scheduler are the execution/physical layers:
+
+  * operator chaining        -> whole-stage codegen (free)
+  * shuffle-edge insertion   -> Catalyst exchange planning (free)
+  * per-vertex parallelism   -> spark.sql.shuffle.partitions / AQE (free)
+  * checkpoint coordination  -> Structured Streaming checkpointLocation
+
+Multi-table jobs: a source may return a dict {table_id: DataFrame};
+the engine tags each with __table_id and unions by superset schema —
+the reference's MultiTableManager.mergeSchema
+(seatunnel-translation-spark-common/.../MultiTableManager.java:47-131).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from seatunnel_spark.job.spec import Block, JobSpec
+from seatunnel_spark.sources import get_source
+from seatunnel_spark.transforms import get_transform
+from seatunnel_spark.sinks import get_sink
+from seatunnel_spark.types import TABLE_ID_COL
+
+
+def merge_multi_table(tables: dict[str, DataFrame]) -> DataFrame:
+    """Union a dict of tables into one routed DataFrame (superset schema)."""
+    tagged = [
+        df.withColumn(TABLE_ID_COL, F.lit(tid)) for tid, df in tables.items()
+    ]
+    out = tagged[0]
+    for df in tagged[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
+class JobEngine:
+    def __init__(self, spark: SparkSession | None = None):
+        from seatunnel_spark.session import get_spark
+
+        self.spark = spark or get_spark()
+
+    # -- planning ---------------------------------------------------------
+    def build_tables(self, spec: JobSpec, streaming: bool) -> dict[str, DataFrame]:
+        """Resolve the named-table DAG: sources then transforms in declared
+        order (the reference topo-sorts LogicalVertices; declaration order
+        plus name resolution gives the same result for valid configs)."""
+        tables: dict[str, DataFrame] = {}
+        for blk in spec.sources:
+            src = get_source(blk.plugin, blk.options)
+            df = src.read_stream(self.spark) if streaming else src.read(self.spark)
+            if isinstance(df, dict):
+                df = merge_multi_table(df)
+            tables[blk.output] = df
+        pending = list(spec.transforms)
+        progress = True
+        while pending and progress:
+            progress = False
+            for blk in list(pending):
+                if all(i in tables for i in blk.inputs):
+                    tables[blk.output] = self._apply_transform(blk, tables)
+                    pending.remove(blk)
+                    progress = True
+        if pending:
+            missing = {i for b in pending for i in b.inputs if i not in tables}
+            raise ValueError(f"unresolvable transform inputs: {sorted(missing)}")
+        return tables
+
+    def _apply_transform(self, blk: Block, tables: dict[str, DataFrame]) -> DataFrame:
+        opts = dict(blk.options)
+        opts.setdefault("plugin_input", blk.inputs[0] if blk.inputs else None)
+        t = get_transform(blk.plugin, opts)
+        if len(blk.inputs) > 1:
+            # N-ary input (TableMerge across separate DAG branches): union first.
+            df = merge_multi_table({name: tables[name] for name in blk.inputs})
+        else:
+            df = tables[blk.inputs[0]]
+        # Register every upstream table as a view so Sql transforms can join.
+        for name, tdf in tables.items():
+            if not name.startswith("__"):
+                tdf.createOrReplaceTempView(name)
+        return t.apply(df)
+
+    # -- execution --------------------------------------------------------
+    def run(self, spec: JobSpec) -> dict[str, DataFrame]:
+        streaming = spec.mode == "STREAMING"
+        tables = self.build_tables(spec, streaming)
+        handles = []
+        for blk in spec.sinks:
+            sink = get_sink(blk.plugin, blk.options)
+            for name in blk.inputs or [next(reversed(tables))]:
+                df = tables[name]
+                if streaming and df.isStreaming:
+                    ckpt = spec.env.get("checkpoint.dir")
+                    handles.append(sink.write_stream(df, checkpoint=ckpt))
+                else:
+                    sink.write(df)
+        if streaming:
+            timeout = spec.env.get("streaming.await.timeout")
+            for h in handles:
+                h.awaitTermination(int(timeout) if timeout else None)
+        return tables
+
+
+def run_job(cfg: dict | JobSpec, spark: SparkSession | None = None) -> dict[str, DataFrame]:
+    spec = cfg if isinstance(cfg, JobSpec) else JobSpec.from_dict(cfg)
+    return JobEngine(spark).run(spec)

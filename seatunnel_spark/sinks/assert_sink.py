@@ -1,0 +1,105 @@
+"""Assert sink — in-job golden-rule verification.
+
+Reference: connector-assert (rule/AssertFieldRule.java:44-60,
+AssertCatalogTableRule.java; example conf sql_transform.conf):
+  row_rules:   MIN_ROW / MAX_ROW
+  field rules: NOT_NULL, NULL, MIN, MAX, MIN_LENGTH, MAX_LENGTH, =value
+  catalog rules: expected column names/types
+
+Spark-native: ALL field rules fold into ONE aggregation pass (a single
+job, map-side combined — no collect of data rows), so asserting a
+100 TB result costs one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from seatunnel_spark.sinks.base import Sink
+
+
+class AssertError(AssertionError):
+    pass
+
+
+class AssertSink(Sink):
+    NAME = "Assert"
+
+    def write(self, df: DataFrame) -> None:
+        rules = self.require("rules")
+        aggs = [F.count(F.lit(1)).alias("__row_count")]
+        checks: list[tuple[str, object]] = []  # (agg alias, validator)
+
+        for i, fr in enumerate(rules.get("field_rules", []) or []):
+            fname = fr["field_name"]
+            ftype = fr.get("field_type")
+            if ftype:
+                actual = dict(df.dtypes).get(fname)
+                from seatunnel_spark.types import parse_type
+
+                expected = parse_type(ftype).simpleString()
+                if actual is None:
+                    raise AssertError(f"Assert: column {fname!r} missing")
+                if actual != expected:
+                    raise AssertError(
+                        f"Assert: column {fname!r} type {actual} != expected {expected}"
+                    )
+            for j, rule in enumerate(fr.get("field_value", []) or []):
+                rt = str(rule["rule_type"]).upper() if "rule_type" in rule else "EQUALS"
+                rv = rule.get("rule_value")
+                alias = f"__f{i}_{j}"
+                col = F.col(fname)
+                if rt == "NOT_NULL":
+                    aggs.append(F.sum(col.isNull().cast("long")).alias(alias))
+                    checks.append((alias, ("==", 0, f"{fname} NOT_NULL")))
+                elif rt == "NULL":
+                    aggs.append(F.sum(col.isNotNull().cast("long")).alias(alias))
+                    checks.append((alias, ("==", 0, f"{fname} NULL")))
+                elif rt == "MIN":
+                    aggs.append(F.min(col).alias(alias))
+                    checks.append((alias, (">=", rv, f"{fname} MIN {rv}")))
+                elif rt == "MAX":
+                    aggs.append(F.max(col).alias(alias))
+                    checks.append((alias, ("<=", rv, f"{fname} MAX {rv}")))
+                elif rt == "MIN_LENGTH":
+                    aggs.append(F.min(F.length(col)).alias(alias))
+                    checks.append((alias, (">=", rv, f"{fname} MIN_LENGTH {rv}")))
+                elif rt == "MAX_LENGTH":
+                    aggs.append(F.max(F.length(col)).alias(alias))
+                    checks.append((alias, ("<=", rv, f"{fname} MAX_LENGTH {rv}")))
+                elif rt == "EQUALS":
+                    aggs.append(
+                        F.sum((col != F.lit(rv)).cast("long")).alias(alias)
+                    )
+                    checks.append((alias, ("==", 0, f"{fname} == {rv!r}")))
+                else:
+                    raise ValueError(f"Assert: unknown field rule {rt!r}")
+
+        row = df.agg(*aggs).collect()[0]  # one scalar row — not a data collect
+        n = row["__row_count"]
+        for rr in rules.get("row_rules", []) or []:
+            rt = str(rr["rule_type"]).upper()
+            rv = int(rr["rule_value"])
+            if rt == "MIN_ROW" and n < rv:
+                raise AssertError(f"Assert: rows {n} < MIN_ROW {rv}")
+            if rt == "MAX_ROW" and n > rv:
+                raise AssertError(f"Assert: rows {n} > MAX_ROW {rv}")
+
+        for alias, (op, rv, desc) in checks:
+            actual = row[alias]
+            ok = (
+                actual is not None
+                and ((op == "==" and actual == rv)
+                     or (op == ">=" and actual >= rv)
+                     or (op == "<=" and actual <= rv))
+            )
+            if not ok:
+                raise AssertError(f"Assert failed: {desc} (observed {actual})")
+
+        catalog = rules.get("catalog_table_rule")
+        if catalog:
+            expected_cols = [c["name"] for c in catalog.get("column_rule", [])]
+            if expected_cols and expected_cols != df.columns:
+                raise AssertError(
+                    f"Assert: columns {df.columns} != expected {expected_cols}"
+                )

@@ -1,0 +1,120 @@
+"""FakeSource — deterministic schema-driven row generator.
+
+Reference: connector-fake (FakeDataGenerator.java:62-120,
+config/FakeOption.java:30-213): row.num, split.num, per-type min/max
+ranges, templates, explicit `rows`.
+
+Spark-native design: `spark.range(row.num)` gives a distributed,
+splittable id space (the analog of the reference's SourceSplit
+enumerator — split.num maps to range partitions); every column is a
+deterministic Catalyst expression of `id`, so output is identical for
+any parallelism — exactly the property the reference's seeded
+generator has, but fully JVM-side and scalable to any row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from seatunnel_spark.sources.base import Source
+from seatunnel_spark.types import parse_schema
+
+
+def _gen_column(field: T.StructField, opts: dict, seed: int):
+    """Deterministic generator expression for one field, driven by `id`."""
+    dt = field.dataType
+    # xxhash64 gives a stable 64-bit stream per (id, column, seed).
+    h = F.abs(F.xxhash64(F.col("id"), F.lit(field.name), F.lit(seed)))
+
+    def ranged(lo_key, hi_key, lo_def, hi_def):
+        lo = int(opts.get(lo_key, lo_def))
+        hi = int(opts.get(hi_key, hi_def))
+        span = max(hi - lo, 1)
+        return (h % F.lit(span)) + F.lit(lo)
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+        return ranged("int.min", "int.max", 0, 100).cast(dt)
+    if isinstance(dt, T.LongType):
+        return ranged("bigint.min", "bigint.max", 0, 10_000_000).cast(dt)
+    if isinstance(dt, T.FloatType) or isinstance(dt, T.DoubleType):
+        lo = float(opts.get("double.min", 0.0))
+        hi = float(opts.get("double.max", 100.0))
+        frac = (h % F.lit(1_000_000)) / F.lit(1_000_000.0)
+        return (F.lit(lo) + frac * F.lit(hi - lo)).cast(dt)
+    if isinstance(dt, T.DecimalType):
+        frac = (h % F.lit(10 ** min(dt.precision, 15))) / F.lit(float(10**dt.scale))
+        return frac.cast(dt)
+    if isinstance(dt, T.BooleanType):
+        return (h % 2 == 0)
+    if isinstance(dt, T.StringType):
+        length = int(opts.get("string.length", 8))
+        template = opts.get("string.template")
+        if template:
+            arr = F.array(*[F.lit(str(x)) for x in template])
+            return F.element_at(arr, (h % F.lit(len(template)) + 1).cast("int"))
+        return F.substring(F.sha2(F.concat(F.lit(field.name), F.col("id").cast("string"),
+                                           F.lit(seed)), 256), 1, length)
+    if isinstance(dt, T.BinaryType):
+        return F.unhex(F.substring(F.sha2(F.col("id").cast("string"), 256), 1, 16))
+    if isinstance(dt, T.DateType):
+        return F.date_add(F.to_date(F.lit("2024-01-01")), (h % 365).cast("int"))
+    if isinstance(dt, T.TimestampType):
+        return F.timestamp_seconds(F.lit(1704067200) + (h % F.lit(86400 * 365)))
+    if isinstance(dt, T.ArrayType):
+        inner = _gen_column(T.StructField(field.name + "_e", dt.elementType), opts, seed)
+        return F.array(*[inner for _ in range(int(opts.get("array.size", 3)))])
+    if isinstance(dt, T.MapType):
+        k = _gen_column(T.StructField(field.name + "_k", dt.keyType), opts, seed)
+        v = _gen_column(T.StructField(field.name + "_v", dt.valueType), opts, seed + 1)
+        return F.create_map(k, v)
+    if isinstance(dt, T.StructType):
+        return F.struct(
+            *[
+                _gen_column(f, opts, seed + i).alias(f.name)
+                for i, f in enumerate(dt.fields)
+            ]
+        )
+    if isinstance(dt, T.NullType):
+        return F.lit(None)
+    raise ValueError(f"FakeSource: no generator for type {dt}")
+
+
+class FakeSource(Source):
+    NAME = "FakeSource"
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        schema_opt = self.opt("schema") or {}
+        fields = schema_opt.get("fields") or self.opt("fields")
+        if not fields:
+            raise ValueError("FakeSource: schema.fields required")
+        schema = parse_schema(fields)
+        explicit_rows = self.opt("rows")
+        if explicit_rows:
+            data = [tuple(r["fields"]) for r in explicit_rows]
+            return spark.createDataFrame(data, schema=schema)
+        num = int(self.opt("row.num", 100))
+        splits = int(self.opt("split.num", 0)) or None
+        seed = int(self.opt("seed", 42))
+        base = spark.range(0, num, numPartitions=splits)
+        cols = [
+            _gen_column(f, self.options, seed + i).alias(f.name)
+            for i, f in enumerate(schema.fields)
+        ]
+        return base.select(*cols)
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        # Bounded-as-stream: the rate source drives ids, same generators apply.
+        num = int(self.opt("row.num", 100))
+        rate = spark.readStream.format("rate").option(
+            "rowsPerSecond", int(self.opt("rows.per.second", 100))
+        ).load()
+        schema_opt = self.opt("schema") or {}
+        fields = schema_opt.get("fields") or self.require("schema")["fields"]
+        schema = parse_schema(fields)
+        seed = int(self.opt("seed", 42))
+        base = rate.withColumnRenamed("value", "id").filter(F.col("id") < num)
+        cols = [
+            _gen_column(f, self.options, seed + i).alias(f.name)
+            for i, f in enumerate(schema.fields)
+        ]
+        return base.select(*cols)

@@ -1,0 +1,210 @@
+"""Structural transforms: Copy, FieldMapper, Filter, FieldRename,
+TableRename, TableMerge, Metadata.
+
+All are pure column projections/renames — Catalyst column pruning makes
+them free at any scale (they push straight into the parquet scan).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+from seatunnel_spark.transforms.base import Transform
+from seatunnel_spark.types import ROW_KIND_COL, TABLE_ID_COL
+
+
+class CopyTransform(Transform):
+    """Duplicate field(s) under new names.
+
+    Reference: transform/copy/CopyFieldTransform.java:41-84,
+    docs/en/transform-v2/copy.md — option ``fields {new = old}``.
+    """
+
+    NAME = "Copy"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        fields: dict = self.require("fields")
+        return df.withColumns({new: F.col(old) for new, old in fields.items()})
+
+
+class FieldMapperTransform(Transform):
+    """Select + reorder + rename in one mapping.
+
+    Reference: transform/fieldmapper/FieldMapperTransform.java:45-79,
+    docs/en/transform-v2/field-mapper.md — option ``field_mapper {old = new}``
+    (insertion order defines output order).
+    """
+
+    NAME = "FieldMapper"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        mapper: dict = self.require("field_mapper")
+        return df.select([F.col(old).alias(new) for old, new in mapper.items()])
+
+
+class FilterFieldTransform(Transform):
+    """Column projection via include/exclude lists.
+
+    Reference: transform/filter/FilterFieldTransform.java:47-104,
+    docs/en/transform-v2/filter.md — exactly one of ``include_fields`` /
+    ``exclude_fields``.
+    """
+
+    NAME = "Filter"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        include = self.opt("include_fields")
+        exclude = self.opt("exclude_fields")
+        if bool(include) == bool(exclude):
+            raise ValueError("Filter: set exactly one of include_fields/exclude_fields")
+        if include:
+            return df.select(*include)
+        return df.drop(*exclude)
+
+
+def rename_with_rules(
+    name: str,
+    convert_case: str | None,
+    prefix: str | None,
+    suffix: str | None,
+    replacements: list[dict] | None,
+) -> str:
+    """Shared rename rule engine for FieldRename/TableRename.
+
+    Reference semantics: transform/rename/FieldRenameTransform.java:55-117 —
+    regex replacements first, then case conversion, then prefix/suffix.
+    """
+    out = name
+    for rule in replacements or []:
+        out = re.sub(rule["replace_from"], rule["replace_to"], out)
+    if convert_case:
+        cc = convert_case.upper()
+        if cc == "UPPER":
+            out = out.upper()
+        elif cc == "LOWER":
+            out = out.lower()
+        else:
+            raise ValueError(f"convert_case must be UPPER|LOWER, got {convert_case!r}")
+    if prefix:
+        out = prefix + out
+    if suffix:
+        out = out + suffix
+    return out
+
+
+class FieldRenameTransform(Transform):
+    """Bulk-rename columns: case conversion, prefix/suffix, regex rules.
+
+    Reference: transform/rename/FieldRenameTransform.java:55-117,
+    docs/en/transform-v2/field-rename.md.
+    """
+
+    NAME = "FieldRename"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        mapping = {}
+        for c in df.columns:
+            if c in (ROW_KIND_COL, TABLE_ID_COL):  # reserved metadata survives
+                continue
+            new = rename_with_rules(
+                c,
+                self.opt("convert_case"),
+                self.opt("prefix"),
+                self.opt("suffix"),
+                self.opt("replacements_with_regex"),
+            )
+            if new != c:
+                mapping[c] = new
+        return df.withColumnsRenamed(mapping) if mapping else df
+
+
+class TableRenameTransform(Transform):
+    """Rename the table id (multi-table routing key).
+
+    Reference: transform/rename/TableRenameTransform.java:38,
+    docs/en/transform-v2/table-rename.md. Operates on the __table_id
+    metadata column; same rule engine as FieldRename.
+    """
+
+    NAME = "TableRename"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        if TABLE_ID_COL not in df.columns:
+            return df
+        convert_case = self.opt("convert_case")
+        prefix = self.opt("prefix") or ""
+        suffix = self.opt("suffix") or ""
+        col = F.col(TABLE_ID_COL)
+        for rule in self.opt("replacements_with_regex") or []:
+            col = F.regexp_replace(col, rule["replace_from"], rule["replace_to"])
+        if convert_case:
+            cc = convert_case.upper()
+            col = F.upper(col) if cc == "UPPER" else F.lower(col)
+        col = F.concat(F.lit(prefix), col, F.lit(suffix))
+        return df.withColumn(TABLE_ID_COL, col)
+
+
+class TableMergeTransform(Transform):
+    """Re-tag N sharded tables as one target table (union semantics).
+
+    Reference: transform/table/TableMergeTransform.java:27-57,
+    docs/en/transform-v2/table-merge.md — options ``table_match_regex``,
+    ``database``/``schema``/``table``. Rows whose __table_id matches the
+    regex get the new id; the engine's multi-table router then treats
+    them as one table (Spark union is implicit — same DataFrame).
+    """
+
+    NAME = "TableMerge"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        target = ".".join(
+            p for p in [self.opt("database"), self.opt("schema"), self.require("table")] if p
+        )
+        if TABLE_ID_COL not in df.columns:
+            return df.withColumn(TABLE_ID_COL, F.lit(target))
+        pattern = self.opt("table_match_regex", ".*")
+        return df.withColumn(
+            TABLE_ID_COL,
+            F.when(F.col(TABLE_ID_COL).rlike(pattern), F.lit(target)).otherwise(
+                F.col(TABLE_ID_COL)
+            ),
+        )
+
+
+class MetadataTransform(Transform):
+    """Surface pipeline metadata as ordinary columns.
+
+    Reference: transform/metadata/MetadataTransform.java:42,
+    docs/en/transform-v2/metadata.md — ``metadata_fields {Key = out_col}``
+    with keys Database/Table/RowKind/EventTime/Delay/Partition.
+    """
+
+    NAME = "Metadata"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        fields: dict = self.require("metadata_fields")
+        out = df
+        table_id = F.col(TABLE_ID_COL) if TABLE_ID_COL in df.columns else F.lit(None)
+        for key, dest in fields.items():
+            k = key.lower()
+            if k == "database":
+                expr = F.split(table_id, r"\.").getItem(0)
+            elif k == "table":
+                expr = F.element_at(F.split(table_id, r"\."), -1)
+            elif k == "rowkind":
+                expr = (
+                    F.col(ROW_KIND_COL)
+                    if ROW_KIND_COL in df.columns
+                    else F.lit("+I")
+                )
+            elif k == "eventtime":
+                expr = (F.unix_timestamp(F.current_timestamp()) * 1000).cast("long")
+            elif k in ("delay", "partition"):
+                # Only meaningful for CDC connectors (metadata.md note); null otherwise.
+                expr = F.lit(None).cast("long" if k == "delay" else "string")
+            else:
+                raise ValueError(f"Metadata: unknown metadata key {key!r}")
+            out = out.withColumn(dest, expr)
+        return out
