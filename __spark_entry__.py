@@ -1,38 +1,768 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() exercises the engine's operator inventory (SURVEY.md §2):
+relational SQL (the Sql transform's superset), the 17 reference
+transforms, and the training-data pipeline operators (dedup,
+similarity, text analysis). oracle_sql() gives the DuckDB-equivalent
+for each; column names and types are aligned on both sides, floats are
+rounded identically before any rank/filter that could flip on
+last-bit arithmetic differences.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark 4 rejects it unless
+        # read as long (legacy conf), then converted back to timestamp.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ===========================================================================
+# Relational suite (the Sql-transform superset; reference rejects ALL of
+# these — ZetaSQLEngine.java:144-157 — Spark SQL gives them natively)
+# ===========================================================================
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1996-03-15").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1996-03-15").cast("date")
+    )
+    # customer side is small relative to lineitem -> broadcast the dim join
+    grouped = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+    return (
+        grouped.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+            "rnk",
+        )
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+    )
+
+
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops + distinct + conditional agg in one (all absent from the
+    reference)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_cust"),
+        F.round(F.sum(F.when(F.col("o_orderpriority") == "1-URGENT",
+                             F.col("o_totalprice")).otherwise(0.0)), 2).alias("urgent_total"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+# ===========================================================================
+# Transform parity suite (SURVEY.md §2.2 — one query per transform class)
+# ===========================================================================
+
+def t_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seatunnel_spark.transforms import get_transform
+
+    df = _t(spark, sf_dir, "customer")
+    return get_transform(
+        "Copy", {"fields": {"c_name_copy": "c_name", "bal2": "c_acctbal"}}
+    ).apply(df)
+
+
+def t_field_mapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seatunnel_spark.transforms import get_transform
+
+    df = _t(spark, sf_dir, "part")
+    return get_transform(
+        "FieldMapper",
+        {"field_mapper": {"p_partkey": "p_partkey", "p_name": "part_name",
+                          "p_retailprice": "price"}},
+    ).apply(df)
+
+
+def t_filter_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seatunnel_spark.transforms import get_transform
+
+    df = _t(spark, sf_dir, "supplier")
+    return get_transform("Filter", {"include_fields": ["s_suppkey", "s_name"]}).apply(df)
+
+
+def t_field_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seatunnel_spark.transforms import get_transform
+
+    df = _t(spark, sf_dir, "region")
+    return get_transform("FieldRename", {"convert_case": "UPPER"}).apply(df)
+
+
+def t_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seatunnel_spark.transforms import get_transform
+
+    df = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return get_transform(
+        "Replace",
+        {"replace_field": "p_name", "pattern": " ", "replacement": "_"},
+    ).apply(df)
+
+
+def t_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seatunnel_spark.transforms import get_transform
+
+    df = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return get_transform(
+        "Split",
+        {"separator": "#", "split_field": "c_name",
+         "output_fields": ["name_prefix", "name_num"]},
+    ).apply(df)
+
+
+def t_jsonpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seatunnel_spark.transforms import get_transform
+
+    df = _t(spark, sf_dir, "events").select("event_id", "props")
+    out = get_transform(
+        "JsonPath",
+        {"columns": [{"src_field": "props", "path": "$.k",
+                      "dest_field": "k_val", "dest_type": "int"}]},
+    ).apply(df)
+    return out.select("event_id", "k_val")
+
+
+_KIND_BY_EVENT = {"click": "+I", "view": "+I", "signup": "+U",
+                  "purchase": "-U", "error": "-D"}
+
+
+def _events_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a deterministic changelog from the events table."""
+    e = _t(spark, sf_dir, "events")
+    mapping = F.create_map(*[F.lit(x) for kv in _KIND_BY_EVENT.items() for x in kv])
+    return e.withColumn("__row_kind", mapping[F.col("event_type")])
+
+
+def t_rowkind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seatunnel_spark.transforms import get_transform
+
+    df = _events_changelog(spark, sf_dir)
+    df = get_transform("FilterRowKind", {"exclude_kinds": ["-D"]}).apply(df)
+    df = get_transform(
+        "RowKindExtractor", {"custom_field_name": "rk", "transform_type": "FULL"}
+    ).apply(df)
+    return df.select("event_id", "rk")
+
+
+def t_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seatunnel_spark.job.engine import merge_multi_table
+    from seatunnel_spark.transforms import get_transform
+
+    n = _t(spark, sf_dir, "nation")
+    merged = merge_multi_table(
+        {
+            "db.nation_a": n.filter(F.col("n_regionkey") < 2),
+            "db.nation_b": n.filter(F.col("n_regionkey") >= 2),
+        }
+    )
+    return get_transform(
+        "TableMerge",
+        {"table_match_regex": r"db\.nation_.*", "database": "db", "table": "nation_all"},
+    ).apply(merged)
+
+
+def t_sql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zeta-dialect scalar functions through the Sql transform
+    (UCASE/LCASE spellings are rewritten, the rest are Spark natives)."""
+    from seatunnel_spark.transforms import get_transform
+
+    df = _t(spark, sf_dir, "part")
+    return get_transform(
+        "Sql",
+        {
+            "plugin_input": "part_in",
+            "query": """
+              SELECT p_partkey,
+                     UCASE(p_name)                        AS up_name,
+                     LCASE(p_brand)                       AS low_brand,
+                     SUBSTRING(p_type, 1, 5)              AS type5,
+                     CONCAT_WS('-', p_brand, p_type)      AS brand_type,
+                     LENGTH(p_name)                       AS name_len,
+                     LPAD(p_brand, 12, '*')               AS brand_pad,
+                     REPLACE(p_type, ' ', '_')            AS type_u,
+                     ABS(0 - p_size)                      AS abs_size,
+                     MOD(p_size, 5)                       AS size_mod,
+                     CAST(CEIL(p_retailprice) AS BIGINT)  AS price_ceil,
+                     CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+                     COALESCE(NULL, p_brand)              AS co_brand,
+                     CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS size_class
+              FROM part_in
+            """,
+        },
+    ).apply(df)
+
+
+def t_zeta_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seatunnel_spark.transforms import get_transform
+
+    df = _t(spark, sf_dir, "orders")
+    return get_transform(
+        "Sql",
+        {
+            "plugin_input": "orders_in",
+            "query": """
+              SELECT o_orderkey,
+                     CAST(YEAR(o_orderdate) AS INT)         AS y,
+                     CAST(QUARTER(o_orderdate) AS INT)      AS q,
+                     CAST(MONTH(o_orderdate) AS INT)        AS m,
+                     CAST(DAY_OF_MONTH(o_orderdate) AS INT) AS dom,
+                     CAST(DAY_OF_YEAR(o_orderdate) AS INT)  AS doy,
+                     FORMATDATETIME(o_orderdate, 'yyyy-MM-dd') AS ds,
+                     CAST(EXTRACT(HOUR FROM o_orderdate) AS INT) AS hr
+              FROM orders_in
+            """,
+        },
+    ).apply(df)
+
+
+# ===========================================================================
+# Training-data pipeline suite (dedup / text / similarity)
+# ===========================================================================
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seatunnel_spark.dataops import exact_dup_groups
+
+    return exact_dup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seatunnel_spark.dataops.text import fingerprint
+
+    fp = fingerprint(_t(spark, sf_dir, "documents"))
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count")
+    )
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seatunnel_spark.dataops import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=8, bands=4
+    )
+
+
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seatunnel_spark.dataops import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=3, threshold=0.2, block_cols=["lang"],
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seatunnel_spark.dataops.text import quality_signals
+
+    q = quality_signals(_t(spark, sf_dir, "documents"))
+    return q.select(
+        "doc_id",
+        F.col("q_n_words").alias("n_words"),
+        F.col("q_n_chars").alias("n_chars_calc"),
+        F.round("q_mean_word_len", 4).alias("mean_word_len"),
+        F.round("q_punct_ratio", 4).alias("punct_ratio"),
+        F.round("q_digit_ratio", 4).alias("digit_ratio"),
+        F.col("q_stopword_hits").alias("stop_hits"),
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seatunnel_spark.dataops.text import _LANG_MARKERS, lang_id
+
+    df = lang_id(_t(spark, sf_dir, "documents"))
+    words = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    hits = {
+        f"{code}_hits": F.size(
+            F.array_intersect(words, F.array(*[F.lit(m) for m in markers]))
+        )
+        for code, markers in _LANG_MARKERS.items()
+    }
+    return df.withColumns(hits).select("doc_id", "lang_pred", *hits.keys())
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seatunnel_spark.dataops.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        F.md5(F.col("text")).alias("content_md5"),
+    )
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return e.withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+
+
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seatunnel_spark.dataops import brute_force_topk
+
+    e = _emb_double(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(q, e, "vec_id", "vec_id", k=10, round_to=4)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+def sim_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seatunnel_spark.dataops.similarity import _dot, _norm
+
+    e = _emb_double(spark, sf_dir).filter(F.col("vec_id") < 60)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 4
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
+# ===========================================================================
+# contract functions
+# ===========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "q_window_top_orders": q_window_top_orders,
+        "q_events_hourly": q_events_hourly,
+        "q_agg_stats": q_agg_stats,
+        "t_copy": t_copy,
+        "t_field_mapper": t_field_mapper,
+        "t_filter_fields": t_filter_fields,
+        "t_field_rename": t_field_rename,
+        "t_replace": t_replace,
+        "t_split": t_split,
+        "t_jsonpath": t_jsonpath,
+        "t_rowkind": t_rowkind,
+        "t_table_merge": t_table_merge,
+        "t_sql_functions": t_sql_functions,
+        "t_zeta_datetime": t_zeta_datetime,
+        "dedup_exact": dedup_exact,
+        "dedup_fingerprint": dedup_fingerprint,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "text_quality": text_quality,
+        "text_langid": text_langid,
+        "text_tokens": text_tokens,
+        "sim_topk": sim_topk,
+        "sim_pairs_exact": sim_pairs_exact,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    shingle_cte = """
+      words AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS ws
+        FROM documents
+      ),
+      shingles AS (
+        SELECT DISTINCT doc_id, lang,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+        FROM words, LATERAL (
+          SELECT unnest(generate_series(1, len(ws) - 2)) AS i
+        ) t
+        WHERE len(ws) >= 3
+        UNION
+        SELECT DISTINCT doc_id, lang, array_to_string(ws, ' ') AS sh
+        FROM words WHERE len(ws) < 3
+      )
     """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)                                   AS sum_qty,
+                   round(sum(l_extendedprice), 2)                              AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 2)                                   AS avg_qty,
+                   round(avg(l_extendedprice), 2)                              AS avg_price,
+                   round(avg(l_discount), 4)                                   AS avg_disc,
+                   count(*)                                                    AS count_order
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            WITH g AS (
+              SELECT l_orderkey, o_orderdate, o_orderpriority,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM customer
+              JOIN orders   ON o_custkey = c_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND CAST(o_orderdate AS DATE) < DATE '1996-03-15'
+                AND CAST(l_shipdate AS DATE) > DATE '1996-03-15'
+              GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ), r AS (
+              SELECT l_orderkey,
+                     strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                     o_orderpriority, revenue,
+                     CAST(row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS INTEGER) AS rnk
+              FROM g
+            )
+            SELECT * FROM r WHERE rnk <= 10
+        """,
+        "q5_region_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "q_window_top_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     CAST(row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rnk
+              FROM orders
+            ) WHERE rnk <= 3
+        """,
+        "q_events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type,
+                   count(*) AS n,
+                   round(sum(value), 2) AS sum_value,
+                   round(min(value), 2) AS min_value,
+                   round(max(value), 2) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q_agg_stats": """
+            SELECT o_orderstatus,
+                   count(DISTINCT o_custkey) AS n_cust,
+                   round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                                  THEN o_totalprice ELSE 0.0 END), 2) AS urgent_total,
+                   round(min(o_totalprice), 2) AS min_price,
+                   round(max(o_totalprice), 2) AS max_price
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "t_copy": """
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+                   c_name AS c_name_copy, c_acctbal AS bal2
+            FROM customer
+        """,
+        "t_field_mapper": """
+            SELECT p_partkey, p_name AS part_name, p_retailprice AS price FROM part
+        """,
+        "t_filter_fields": "SELECT s_suppkey, s_name FROM supplier",
+        "t_field_rename": """
+            SELECT r_regionkey AS "R_REGIONKEY", r_name AS "R_NAME" FROM region
+        """,
+        "t_replace": """
+            SELECT p_partkey, replace(p_name, ' ', '_') AS p_name FROM part
+        """,
+        "t_split": """
+            SELECT c_custkey, c_name,
+                   split_part(c_name, '#', 1) AS name_prefix,
+                   split_part(c_name, '#', 2) AS name_num
+            FROM customer
+        """,
+        "t_jsonpath": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+            FROM events
+        """,
+        "t_rowkind": """
+            SELECT event_id,
+                   CASE WHEN event_type IN ('click', 'view') THEN 'INSERT'
+                        WHEN event_type = 'signup'   THEN 'UPDATE_AFTER'
+                        WHEN event_type = 'purchase' THEN 'UPDATE_BEFORE'
+                   END AS rk
+            FROM events WHERE event_type <> 'error'
+        """,
+        "t_table_merge": """
+            SELECT n_nationkey, n_name, n_regionkey,
+                   'db.nation_all' AS __table_id
+            FROM nation
+        """,
+        "t_sql_functions": """
+            SELECT p_partkey,
+                   upper(p_name)                        AS up_name,
+                   lower(p_brand)                       AS low_brand,
+                   substring(p_type, 1, 5)              AS type5,
+                   concat_ws('-', p_brand, p_type)      AS brand_type,
+                   CAST(length(p_name) AS INTEGER)      AS name_len,
+                   lpad(p_brand, 12, '*')               AS brand_pad,
+                   replace(p_type, ' ', '_')            AS type_u,
+                   abs(0 - p_size)                      AS abs_size,
+                   mod(p_size, 5)                       AS size_mod,
+                   CAST(ceil(p_retailprice) AS BIGINT)  AS price_ceil,
+                   CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+                   coalesce(NULL, p_brand)              AS co_brand,
+                   CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS size_class
+            FROM part
+        """,
+        "t_zeta_datetime": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INTEGER)      AS y,
+                   CAST(quarter(o_orderdate) AS INTEGER)   AS q,
+                   CAST(month(o_orderdate) AS INTEGER)     AS m,
+                   CAST(day(o_orderdate) AS INTEGER)       AS dom,
+                   CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+                   strftime(o_orderdate, '%Y-%m-%d')       AS ds,
+                   CAST(hour(o_orderdate) AS INTEGER)      AS hr
+            FROM orders
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_fingerprint": """
+            SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint,
+                   min(doc_id) AS keep_id, count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "dedup_minhash_pairs": f"""
+            WITH {shingle_cte},
+            sig AS (
+              SELECT doc_id,
+                     min(md5(sh || '#0')) AS mh_0, min(md5(sh || '#1')) AS mh_1,
+                     min(md5(sh || '#2')) AS mh_2, min(md5(sh || '#3')) AS mh_3,
+                     min(md5(sh || '#4')) AS mh_4, min(md5(sh || '#5')) AS mh_5,
+                     min(md5(sh || '#6')) AS mh_6, min(md5(sh || '#7')) AS mh_7
+              FROM shingles GROUP BY doc_id
+            ),
+            buckets AS (
+              SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS key FROM sig
+              UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
+              UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
+              UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        """,
+        "dedup_jaccard_pairs": f"""
+            WITH {shingle_cte},
+            shl AS (
+              SELECT doc_id, lang, list(DISTINCT sh) AS sh
+              FROM shingles GROUP BY doc_id, lang
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh))
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+            FROM shl a JOIN shl b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+        """,
+        "text_quality": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(text), '\\s+') AS ws,
+                     length(text) AS nc
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(ws) AS INTEGER) AS n_words,
+                   CAST(nc AS INTEGER) AS n_chars_calc,
+                   round(list_sum(list_transform(ws, w -> length(w))) * 1.0
+                         / len(ws), 4) AS mean_word_len,
+                   round((nc - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                         * 1.0 / nc, 4) AS punct_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         * 1.0 / nc, 4) AS digit_ratio,
+                   CAST(len(list_intersect(
+                     list_distinct(list_transform(ws, w -> lower(w))),
+                     ['the','of','and','to','in','a','is','that','for','it',
+                      'as','was','with','be','by','on','not','he','this','are']
+                   )) AS INTEGER) AS stop_hits
+            FROM w
+        """,
+        "text_langid": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS ws
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                CAST(len(list_intersect(ws, ['the','and','of','to','is','that','with','for'])) AS INTEGER) AS en_hits,
+                CAST(len(list_intersect(ws, ['der','die','und','das','ist','nicht','ein','mit'])) AS INTEGER) AS de_hits,
+                CAST(len(list_intersect(ws, ['le','la','les','et','est','une','dans','pour'])) AS INTEGER) AS fr_hits,
+                CAST(len(list_intersect(ws, ['el','los','las','es','una','para','con','por'])) AS INTEGER) AS es_hits,
+                CAST(len(list_intersect(ws, ['il','che','di','non','una','per','sono','con'])) AS INTEGER) AS it_hits
+              FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits, it_hits) = 0 THEN 'und'
+                        WHEN it_hits = greatest(en_hits, de_hits, fr_hits, es_hits, it_hits) THEN 'it'
+                        WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits, it_hits) THEN 'fr'
+                        WHEN es_hits = greatest(en_hits, de_hits, fr_hits, es_hits, it_hits) THEN 'es'
+                        WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits, it_hits) THEN 'en'
+                        ELSE 'de'
+                   END AS lang_pred,
+                   en_hits, de_hits, fr_hits, es_hits, it_hits
+            FROM h
+        """,
+        "text_tokens": """
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+                   md5(text) AS content_md5
+            FROM documents
+        """,
+        "sim_topk": """
+            WITH q AS (
+              SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 5
+            ), c AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+            ), s AS (
+              SELECT qid, cid,
+                     round(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(cv, cv))), 4) AS cosine
+              FROM q, c
+            ), r AS (
+              SELECT qid AS query_id, cid AS match_id, cosine,
+                     CAST(row_number() OVER (
+                       PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS INTEGER) AS rank
+              FROM s
+            )
+            SELECT query_id, match_id, cosine, rank FROM r WHERE rank <= 10
+        """,
+        "sim_pairs_exact": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e
+              FROM embeddings WHERE vec_id < 60
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.e, b.e)
+                         / (sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.e, b.e)
+                        / (sqrt(list_dot_product(a.e, a.e))
+                           * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.3
+        """,
+    }

@@ -1,0 +1,37 @@
+"""Large-scale training-data pipeline operators.
+
+These go beyond the reference's surface (which has no joins/aggregates
+at all — SURVEY.md §2.7): deduplication, similarity search, text
+analysis, multimodal columns. Every operator here is shuffle-aware and
+designed for the 100 TB regime: blocking keys before pairwise work,
+band-bucket joins instead of cross joins, no driver-side collects.
+"""
+
+from seatunnel_spark.dataops.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    simhash64,
+    simhash_near_dups,
+    ngram_jaccard_pairs,
+    embedding_near_dups,
+)
+from seatunnel_spark.dataops.similarity import (
+    with_cosine,
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from seatunnel_spark.dataops.text import (
+    token_count,
+    quality_signals,
+    lang_id,
+    fingerprint,
+)
+
+__all__ = [
+    "exact_dedup", "exact_dup_groups", "minhash_signatures", "minhash_lsh_pairs",
+    "simhash64", "simhash_near_dups", "ngram_jaccard_pairs", "embedding_near_dups",
+    "with_cosine", "brute_force_topk", "lsh_bucketed_topk",
+    "token_count", "quality_signals", "lang_id", "fingerprint",
+]

@@ -1,0 +1,313 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine.
+
+Scale design notes (the part that matters at 100 TB):
+  * Exact dedup: hash-groupBy — one shuffle on a 16-byte digest, never
+    on the full text. Map-side partial aggregation halves the shuffle.
+  * MinHash-LSH: signatures are per-doc aggregations (one shuffle on
+    doc_id — or zero if docs are already one-row-per-doc); candidate
+    pairs come from a self-join on (band_id, band_hash) buckets, so
+    cost is Σ bucket² instead of N². Bands with huge buckets (boiler-
+    plate text) are the skew risk — cap via `max_bucket` salt-out.
+  * SimHash: vectorized pandas_udf (one pass, no row explosion), then
+    near-dup candidates by Hamming distance via 4-segment blocking
+    (pigeonhole: any pair within distance 3 shares one of 4 16-bit
+    segments) — again a bucket join, not a cross join.
+  * Embedding near-dup: random-hyperplane LSH buckets then exact
+    cosine inside buckets.
+
+All hash choices are deterministic and engine-portable (md5 on UTF-8),
+so DuckDB can replay them for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, cols: list[str], order_col: str) -> DataFrame:
+    """Keep one row per distinct (cols) value — the lowest order_col wins.
+
+    Implemented as min_by aggregation: ONE shuffle keyed on the dedup
+    columns, no window, no sort of the full data.
+    """
+    others = [c for c in df.columns if c not in cols]
+    agg = [F.min_by(F.struct(*others), F.col(order_col)).alias("__rest")]
+    out = df.groupBy(*cols).agg(*agg)
+    return out.select(*cols, *[F.col("__rest")[c].alias(c) for c in others])
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group stats per exact-duplicate cluster (digest-keyed).
+
+    Shuffles 16-byte md5 digests, not documents.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def _word_shingles(text_col: Column, k: int) -> Column:
+    """k-word shingles as an array<string> (Catalyst-only, no UDF)."""
+    words = F.split(F.trim(text_col), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+                  ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_k: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature columns mh_0..mh_{H-1}.
+
+    Each hash family h is min(md5(shingle || '#h')) over the doc's
+    shingle set — engine-portable (md5 hex min is a string min) and
+    computed in ONE explode + ONE groupBy(doc) aggregation; all H
+    minimums fold in the same map-side combine.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(_word_shingles(F.col(text_col), shingle_k))).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{h}")))).alias(f"mh_{h}")
+        for h in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) via banded LSH.
+
+    rows/band = num_hashes/bands; docs agreeing on ALL rows of any band
+    collide. The pair join is per-(band, band_key) bucket — the only
+    N²-ish work is inside buckets, which is the LSH point.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.key") == F.col(f"b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document (vectorized pandas_udf, one pass).
+
+    Bit i of the output is the sign of Σ_words (±1 per word-hash bit i).
+    Word hash = first 8 bytes of md5 — deterministic across engines.
+    """
+    import hashlib
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts):
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            words = str(t).split()
+            if not words:
+                out.append(0)
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for w in set(words):
+                hb = hashlib.md5(w.encode()).digest()[:8]
+                bits = np.unpackbits(np.frombuffer(hb, dtype=np.uint8)).astype(np.int64)
+                acc += bits * 2 - 1
+            sig = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    sig |= 1 << i
+            # fold to signed 64-bit
+            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        return pd.Series(out, dtype="object")
+
+    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole blocking: split 64 bits into 4 segments of 16; any pair
+    within distance 3 agrees on >= 1 segment, so candidates come from 4
+    bucket self-joins instead of a cross join.
+    """
+    sig = simhash64(df, id_col, text_col)
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seg"),
+                F.shiftrightunsigned(F.col("simhash"), s * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            )
+            for s in range(4)
+        ]
+    )
+    buckets = sig.select(id_col, "simhash", F.explode(segs).alias("b")).select(
+        id_col, "simhash", F.col("b.seg").alias("seg"), F.col("b.key").alias("key")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(xor).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact, blocked)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard similarity for candidate pairs.
+
+    Without block_cols this is O(N²) per partition-key — intended for
+    use AFTER a blocking stage (LSH buckets or metadata keys). The
+    shingle sets are computed once per doc (not per pair).
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in (block_cols or [])],
+        F.array_distinct(_word_shingles(F.col(text_col), k)).alias("sh"),
+    )
+    a, b = shingled.alias("a"), shingled.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols or []:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    Random-hyperplane LSH: `planes` signed projections give a bucket
+    key; exact cosine runs only inside buckets. Deterministic plane
+    vectors derive from (seed, plane, dim) hashes, broadcast as
+    literals — no driver data movement.
+    """
+    import hashlib
+    import numpy as np
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(first["d"])
+    rng = np.random.default_rng(seed)
+    plane_mat = rng.standard_normal((planes, dim))
+
+    v = F.col(vec_col)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    bits = []
+    for p in range(planes):
+        plane = F.array(*[F.lit(float(x)) for x in plane_mat[p]])
+        dot = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0),
+                          lambda acc, x: acc + x)
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    bucketed = df.select(
+        F.col(id_col).alias("id"), v.alias("v"), norm.alias("n"),
+        F.concat(*bits).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    dot_ab = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                         F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (dot_ab / (F.col("a.n") * F.col("b.n"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,117 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Pattern: `binaryFile` source (or any binary column) + a metadata struct
+column; decode/feature steps are Arrow-batched `mapInPandas` stages so
+each Python worker amortizes codec setup over a batch and the data
+never leaves executor memory.
+
+The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so
+`_decode_image`/`_decode_audio` are deterministic fakes behind the
+same signatures — the Spark-side plumbing (schema, batching,
+partitioning) is real and tested. Swap the fake for the real decoder
+at deploy time.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+IMAGE_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+AUDIO_META = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+
+def read_binary_dir(spark, path: str, glob: str | None = None) -> DataFrame:
+    """Load files as (path, modificationTime, length, content) via the
+    native binaryFile source (reference Binary read strategy analog)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def _decode_image(content: bytes) -> tuple[int, int, str, list[float]]:
+    """STUB decoder. Real impl: PIL.Image.open(BytesIO(content)).
+    Deterministic fake keeps shape: (width, height, format, 8-d feature)."""
+    h = hashlib.sha256(content or b"").digest()
+    w = 64 + h[0] % 192
+    ht = 64 + h[1] % 192
+    feat = [b / 255.0 for b in h[:8]]
+    return w, ht, "fake/raw", feat
+
+
+def image_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Decode + feature-extract images in Arrow batches.
+
+    Output adds: image_meta struct + image_feat array<float>. The
+    mapInPandas stage is the scale-correct shape: batch-level python,
+    no per-row serialization, executor-local.
+    """
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("image_meta", IMAGE_META),
+            T.StructField("image_feat", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            metas, feats = [], []
+            for content in pdf[content_col]:
+                w, h, fmt, feat = _decode_image(bytes(content) if content is not None else b"")
+                metas.append({"width": w, "height": h, "format": fmt})
+                feats.append(feat)
+            pdf["image_meta"] = metas
+            pdf["image_feat"] = feats
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def _decode_audio(content: bytes) -> tuple[int, int, str]:
+    """STUB decoder. Real impl: soundfile/librosa. Deterministic fake."""
+    h = hashlib.sha256(content or b"").digest()
+    return 16000, 16000 * (1 + h[2] % 30), "fake/pcm"
+
+
+def audio_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    out_schema = T.StructType(df.schema.fields + [T.StructField("audio_meta", AUDIO_META)])
+
+    def run(batches):
+        for pdf in batches:
+            pdf["audio_meta"] = [
+                dict(zip(("sample_rate", "n_samples", "codec"),
+                         _decode_audio(bytes(c) if c is not None else b"")))
+                for c in pdf[content_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample_plan(df: DataFrame, meta_col: str = "audio_meta",
+                      every_n: int = 16000) -> DataFrame:
+    """Expand each media row into frame/chunk offsets WITHOUT decoding —
+    a pure Catalyst sequence+explode, so planning 10^9 frame tasks is a
+    metadata operation. Downstream decode stages then mapInPandas only
+    the sampled offsets."""
+    n = F.col(meta_col)["n_samples"]
+    return df.withColumn(
+        "frame_offset",
+        F.explode(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n))),
+    )

@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast join of the (small)
+query set against the (huge) corpus, so the corpus is scanned once
+with NO shuffle of the vectors; per-partition top-k folds via
+aggregation before the final k-merge.
+
+Scale path: random-hyperplane LSH bucketing (IVF-style coarse
+quantization) — probe only matching buckets, trading recall for a
+~buckets× scan reduction. At 100 TB the bucketed variant also
+partition-prunes if the corpus is written partitioned by bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_cosine(df: DataFrame, a_col: str, b_col: str, out: str = "cosine") -> DataFrame:
+    """Append cosine(a_col, b_col) — pure Catalyst HOFs, JVM-side."""
+    a, b = F.col(a_col), F.col(b_col)
+    return df.withColumn(out, _dot(a, b) / (_norm(a) * _norm(b)))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    queries is assumed small (it's broadcast); corpus is scanned once.
+    Result columns are FIXED names (query_id, match_id, cosine, rank) so
+    self-joins over the same table never collide; rank 1..k, ties broken
+    by match id for determinism. `round_to` rounds the score BEFORE
+    ranking — use it when results must be reproducible bit-for-bit
+    across engines/arithmetic orders (e.g. oracle checks).
+    """
+    q = F.broadcast(
+        queries.select(F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv"))
+    )
+    c = corpus.select(F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv"))
+    cos = _dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = q.join(c).select(F.col("__qid"), F.col("__cid"), cos.alias("cosine"))
+    return _rank_topk(scored, k)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__cid").alias("match_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def _bucket_expr(vec: Column, plane_mat) -> Column:
+    bits = []
+    for row in plane_mat:
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        bits.append(F.when(_dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets, exact cosine within
+    the query's bucket only (single-probe IVF analog).
+
+    Recall rises with fewer planes (bigger buckets) or multi-probe; the
+    deterministic plane matrix derives from `seed` so results are
+    reproducible run-to-run.
+    """
+    import numpy as np
+
+    dim = int(corpus.select(F.size(corpus_vec).alias("d")).first()["d"])
+    plane_mat = np.random.default_rng(seed).standard_normal((planes, dim))
+
+    qb = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("__qid"),
+            F.col(query_vec).alias("__qv"),
+            _bucket_expr(F.col(query_vec), plane_mat).alias("__bucket"),
+        )
+    )
+    cb = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(corpus_vec).alias("__cv"),
+        _bucket_expr(F.col(corpus_vec), plane_mat).alias("__bucket"),
+    )
+    scored = qb.join(cb, "__bucket").select(
+        "__qid",
+        "__cid",
+        (_dot(F.col("__qv"), F.col("__cv"))
+         / (_norm(F.col("__qv")) * _norm(F.col("__cv")))).alias("cosine"),
+    )
+    return _rank_topk(scored, k)

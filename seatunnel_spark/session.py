@@ -29,6 +29,9 @@ _DEFAULTS = {
     # Read-side partition sizing: 128 MB splits keep executor memory bounded.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
+    # Parquet TIMESTAMP(NANOS) (e.g. pandas-written ts[ns]) is otherwise
+    # unreadable (PARQUET_TYPE_ILLEGAL); read as long, convert at source.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }

@@ -1,0 +1,137 @@
+import pytest
+from pyspark.sql import functions as F
+
+from seatunnel_spark.dataops import (
+    brute_force_topk,
+    embedding_near_dups,
+    exact_dedup,
+    exact_dup_groups,
+    lang_id,
+    lsh_bucketed_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from seatunnel_spark.dataops.text import add_token_counts, fingerprint, quality_score
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "bbb")], ["doc_id", "text"]
+    )
+    out = exact_dedup(df, ["text"], "doc_id")
+    assert out.count() == 2
+    kept = {r["text"]: r["doc_id"] for r in out.collect()}
+    assert kept == {"aaa": 1, "bbb": 3}
+    groups = exact_dup_groups(df, "text", "doc_id")
+    assert {(r["keep_id"], r["dup_count"]) for r in groups.collect()} == {(1, 2), (3, 1)}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words describing unrelated topics entirely here now"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(df, "doc_id", "text").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_dups(spark):
+    base = " ".join(f"word{i}" for i in range(40))
+    near = base.replace("word7 ", "word7x ")
+    far = " ".join(f"other{i}" for i in range(40))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_near_dups(df, "doc_id", "text", max_hamming=6).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_ngram_jaccard(spark):
+    a = "one two three four five six seven"
+    b = "one two three four five six eight"
+    c = "nine ten eleven twelve thirteen fourteen"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    out = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.3)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert (1, 2) in rows and rows[(1, 2)] > 0.3
+    assert (1, 3) not in rows
+
+
+def test_embedding_near_dups_and_topk(embs):
+    dups = embedding_near_dups(embs, "vec_id", "embedding", threshold=0.999, planes=8)
+    for r in dups.limit(5).collect():
+        assert r["cosine"] >= 0.999
+
+    queries = embs.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(queries, embs, "vec_id", "vec_id", k=5)
+    per_q = exact.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in per_q)
+    # self-match is rank 1 with cosine ~1
+    self_rows = exact.filter("rank = 1").collect()
+    assert all(abs(r["cosine"] - 1.0) < 1e-6 for r in self_rows)
+
+    approx = lsh_bucketed_topk(queries, embs, "vec_id", "vec_id", k=5, planes=4)
+    assert approx.filter("rank = 1").count() == 3  # finds self in own bucket
+
+
+def test_text_ops(docs):
+    out = add_token_counts(docs)
+    row = out.first()
+    assert row["ws_tokens"] > 0 and row["bpe_tokens"] >= row["ws_tokens"] * 0
+    q = quality_score(docs)
+    vals = [r["quality_score"] for r in q.limit(20).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    fp = fingerprint(docs)
+    assert fp.select("fingerprint").first()["fingerprint"] is not None
+    # normalization: case/punct-insensitive
+    li = lang_id(docs)
+    preds = {r["lang_pred"] for r in li.limit(50).collect()}
+    assert preds <= {"en", "de", "fr", "es", "it", "und"}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world")], ["id", "text"]
+    )
+    out = fingerprint(df).select("fingerprint").collect()
+    assert out[0]["fingerprint"] == out[1]["fingerprint"]
+
+
+def test_multimodal_plumbing(spark):
+    from seatunnel_spark.dataops.multimodal import (
+        audio_metadata,
+        frame_sample_plan,
+        image_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"imagebytes-1")), (2, bytearray(b"imagebytes-2"))],
+        ["id", "content"],
+    )
+    img = image_features(df)
+    rows = img.collect()
+    assert all(r["image_meta"]["width"] >= 64 for r in rows)
+    assert all(len(r["image_feat"]) == 8 for r in rows)
+    # determinism
+    again = image_features(df).collect()
+    assert [r["image_feat"] for r in rows] == [r["image_feat"] for r in again]
+
+    au = audio_metadata(df)
+    plan = frame_sample_plan(au, every_n=16000)
+    n = plan.groupBy("id").count().first()["count"]
+    assert n >= 1
