@@ -1,0 +1,122 @@
+"""Streaming execution layer.
+
+Reference capabilities being re-expressed (SURVEY.md §2.1, §3):
+  * STREAMING job mode with checkpoint/restore
+    (EnvCommonOptions.java: checkpoint.interval; CheckpointCoordinator)
+    -> Structured Streaming `checkpointLocation` — exactly-once state
+    comes from Spark's WAL instead of hand-rolled barriers.
+  * read_limit.rows_per_second (docs/en/concept/speed-limit.md)
+    -> maxFilesPerTrigger / maxOffsetsPerTrigger per source.
+  * cdc sink (apply changelog by primary key)
+    -> foreachBatch + per-batch changelog compaction + idempotent write.
+  * event-time windows/watermarks (absent in the reference — free here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from seatunnel_spark.types import ROW_KIND_COL
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    watermark: str,
+    group_cols: list[str],
+    aggs: dict[str, str],
+) -> DataFrame:
+    """Event-time windowed aggregation with late-data handling.
+
+    aggs: {out_name: "fn(col)"} using Spark SQL expressions.
+    Works identically on batch and streaming frames (the engine's
+    batch/stream-unified promise).
+    """
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    exprs = [F.expr(e).alias(name) for name, e in aggs.items()]
+    return src.groupBy(F.window(ts_col, window).alias("w"), *group_cols).agg(*exprs).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *group_cols,
+        *[F.col(n) for n in aggs],
+    )
+
+
+def stream_dedup(df: DataFrame, key_cols: list[str], ts_col: str, watermark: str) -> DataFrame:
+    """Streaming exact dedup within the watermark horizon.
+
+    `dropDuplicatesWithinWatermark` keeps state bounded (keys expire with
+    the watermark) — the scale-safe shape for infinite streams.
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+    return df.dropDuplicates(key_cols)
+
+
+def changelog_apply_writer(target_writer, primary_keys: list[str]):
+    """foreachBatch function applying +I/-U/+U/-D semantics per batch.
+
+    The reference's 'cdc sink' feature (connector-v2-features.md:57-75):
+    compact the batch's changelog to final per-key state, then hand the
+    upsert set + delete set to `target_writer(upserts_df, deletes_df,
+    batch_id)`. batch_id enables idempotent retries (the analog of the
+    reference's 2PC commit messages keyed by checkpoint id).
+    """
+    from seatunnel_spark.sinks.jdbc import compact_changelog
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if ROW_KIND_COL not in batch.columns:
+            target_writer(batch, None, batch_id)
+            return
+        upserts = compact_changelog(batch, primary_keys)
+        last = batch.withColumn("__seq", F.monotonically_increasing_id())
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*primary_keys).orderBy(F.col("__seq").desc())
+        deletes = (
+            last.filter(F.col(ROW_KIND_COL) != "-U")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (F.col(ROW_KIND_COL) == "-D"))
+            .select(*primary_keys)
+        )
+        target_writer(upserts, deletes, batch_id)
+
+    return apply_batch
+
+
+def run_stream_to_batch_sink(df: DataFrame, sink_write, checkpoint: str,
+                             mode: str = "append"):
+    """Drive a streaming frame through a batch sink with availableNow
+    semantics (bounded catch-up, the reference's BATCH-over-stream mode)."""
+    return (
+        df.writeStream.foreachBatch(lambda b, i: sink_write(b))
+        .option("checkpointLocation", checkpoint)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+class TokenBucketRateLimiter:
+    """Batch-mode rate limiter (read_limit.rows_per_second analog,
+    EnvCommonOptions.java:67-75). Spark streaming gets rate limits from
+    maxFilesPerTrigger/maxOffsetsPerTrigger; pure-batch jobs that need
+    throttled extraction (e.g. polite JDBC scans) use this inside
+    mapPartitions."""
+
+    def __init__(self, rows_per_second: float):
+        self.rate = float(rows_per_second)
+
+    def throttle(self, iterator):
+        import time
+
+        start = time.monotonic()
+        emitted = 0
+        for row in iterator:
+            emitted += 1
+            expected = emitted / self.rate
+            elapsed = time.monotonic() - start
+            if expected > elapsed:
+                time.sleep(expected - elapsed)
+            yield row

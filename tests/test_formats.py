@@ -1,0 +1,99 @@
+"""CDC/message format decoder tests (reference: seatunnel-formats,
+SURVEY.md §2.6) — static DataFrames standing in for the Kafka value
+column, exactly how the streaming path consumes them."""
+
+import json
+
+import pytest
+
+from seatunnel_spark.formats import decode_payload
+from seatunnel_spark.types import ROW_KIND_COL
+
+SCHEMA = {"fields": {"id": "int", "name": "string"}}
+
+
+def _values(spark, *payloads):
+    return spark.createDataFrame([(p,) for p in payloads], ["value"])
+
+
+def test_json_decode(spark):
+    df = _values(spark, json.dumps({"id": 1, "name": "a"}))
+    out = decode_payload(df, "JSON", SCHEMA).collect()
+    assert out[0]["id"] == 1 and out[0]["name"] == "a"
+    assert out[0][ROW_KIND_COL] == "+I"
+
+
+def test_text_decode(spark):
+    df = _values(spark, "7,hello")
+    out = decode_payload(df, "TEXT", SCHEMA, delimiter=",").collect()
+    assert out[0]["id"] == 7 and out[0]["name"] == "hello"
+
+
+def test_debezium_decode(spark):
+    df = _values(
+        spark,
+        json.dumps({"before": None, "after": {"id": 1, "name": "a"}, "op": "c"}),
+        json.dumps({"before": {"id": 1, "name": "a"},
+                    "after": {"id": 1, "name": "a2"}, "op": "u"}),
+        json.dumps({"before": {"id": 2, "name": "b"}, "after": None, "op": "d"}),
+    )
+    out = decode_payload(df, "DEBEZIUM_JSON", SCHEMA).collect()
+    kinds = sorted((r[ROW_KIND_COL], r["id"], r["name"]) for r in out)
+    assert kinds == [
+        ("+I", 1, "a"),          # create
+        ("+U", 1, "a2"),         # update-after
+        ("-D", 2, "b"),          # delete carries before-image
+        ("-U", 1, "a"),          # update-before
+    ]
+
+
+def test_canal_decode(spark):
+    df = _values(
+        spark,
+        json.dumps({"data": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}],
+                    "old": None, "type": "INSERT"}),
+        json.dumps({"data": [{"id": 1, "name": "a2"}],
+                    "old": [{"id": 1, "name": "a"}], "type": "UPDATE"}),
+        json.dumps({"data": [{"id": 2, "name": "b"}], "old": None, "type": "DELETE"}),
+    )
+    out = decode_payload(df, "CANAL_JSON", SCHEMA).collect()
+    kinds = sorted((r[ROW_KIND_COL], r["id"], r["name"]) for r in out)
+    assert kinds == [
+        ("+I", 1, "a"), ("+I", 2, "b"),
+        ("+U", 1, "a2"),
+        ("-D", 2, "b"),
+        ("-U", 1, "a"),
+    ]
+
+
+def test_maxwell_decode(spark):
+    df = _values(
+        spark,
+        json.dumps({"data": {"id": 1, "name": "a"}, "old": None, "type": "insert"}),
+        json.dumps({"data": {"id": 1, "name": "a2"}, "old": {"id": 1, "name": "a"},
+                    "type": "update"}),
+    )
+    out = decode_payload(df, "MAXWELL_JSON", SCHEMA).collect()
+    kinds = sorted((r[ROW_KIND_COL], r["id"], r["name"]) for r in out)
+    assert kinds == [("+I", 1, "a"), ("+U", 1, "a2"), ("-U", 1, "a")]
+
+
+def test_ogg_decode(spark):
+    df = _values(
+        spark,
+        json.dumps({"before": None, "after": {"id": 5, "name": "x"}, "op_type": "I"}),
+        json.dumps({"before": {"id": 5, "name": "x"}, "after": None, "op_type": "D"}),
+    )
+    out = decode_payload(df, "OGG_JSON", SCHEMA).collect()
+    kinds = sorted((r[ROW_KIND_COL], r["id"]) for r in out)
+    assert kinds == [("+I", 5), ("-D", 5)]
+
+
+def test_binary_value_and_unknown_format(spark):
+    df = spark.createDataFrame(
+        [(bytearray(json.dumps({"id": 3, "name": "z"}).encode()),)], ["value"]
+    )
+    out = decode_payload(df, "JSON", SCHEMA).collect()
+    assert out[0]["id"] == 3
+    with pytest.raises(ValueError, match="unknown message format"):
+        decode_payload(df, "BOGUS", SCHEMA)

@@ -1,0 +1,139 @@
+"""Streaming tests: file-stream source -> windowed agg / dedup /
+changelog apply -> foreachBatch sink, with availableNow (bounded)
+triggers so tests terminate."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from seatunnel_spark.streaming import (
+    changelog_apply_writer,
+    run_stream_to_batch_sink,
+    stream_dedup,
+    windowed_agg,
+)
+from seatunnel_spark.types import ROW_KIND_COL
+
+
+@pytest.fixture()
+def events_stream(spark, sf_dir, tmp_path):
+    static = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+    )
+    src_dir = str(tmp_path / "stream_src")
+    static.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(static.schema).parquet(src_dir)
+    return static, stream
+
+
+def _run_batches(spark, df, tmp_path, mode="append"):
+    out = []
+    q = run_stream_to_batch_sink(
+        df, lambda b: out.append(b.collect()), str(tmp_path / "ckpt"), mode=mode
+    )
+    q.awaitTermination(120)
+    return out
+
+
+def _run_collect(spark, df, tmp_path, mode="append"):
+    return [r for batch in _run_batches(spark, df, tmp_path, mode) for r in batch]
+
+
+def test_windowed_agg_stream_matches_batch(spark, events_stream, tmp_path):
+    static, stream = events_stream
+    spec = dict(ts_col="ts", window="1 hour", watermark="2 hours",
+                group_cols=["event_type"],
+                aggs={"n": "count(1)", "sv": "round(sum(value), 2)"})
+    # complete mode: append-mode windows inside the watermark horizon don't
+    # flush at end-of-stream; the final complete emission is the full result.
+    batches = _run_batches(spark, windowed_agg(stream, **spec), tmp_path,
+                           mode="complete")
+    got = batches[-1]
+    expected = windowed_agg(static, **spec).collect()
+    assert len(got) == len(expected)
+    assert {tuple(r) for r in got} == {tuple(r) for r in expected}
+
+
+def test_stream_dedup(spark, tmp_path):
+    rows = [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:10"),
+            (2, "2024-01-01 00:01:00")]
+    static = spark.createDataFrame(rows, ["k", "ts_s"]).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    src = str(tmp_path / "dedup_src")
+    static.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    got = _run_collect(spark, stream_dedup(stream, ["k"], "ts", "1 hour"), tmp_path)
+    assert sorted(r["k"] for r in got) == [1, 2]
+
+
+def test_changelog_apply(spark, tmp_path):
+    rows = [
+        ("+I", 1, "a"), ("+I", 2, "b"),
+        ("-U", 1, "a"), ("+U", 1, "a2"),
+        ("+I", 3, "c"), ("-D", 2, "b"),
+    ]
+    static = spark.createDataFrame(rows, [ROW_KIND_COL, "pk", "val"])
+    src = str(tmp_path / "cl_src")
+    # single file: within-batch arrival order must follow changelog order
+    static.coalesce(1).write.mode("overwrite").parquet(src)
+    # batch arrival order must follow the changelog sequence: single file
+    stream = spark.readStream.schema(static.schema).parquet(src)
+
+    state: dict = {}
+
+    def writer(upserts, deletes, batch_id):
+        for r in upserts.collect():
+            state[r["pk"]] = r["val"]
+        if deletes is not None:
+            for r in deletes.collect():
+                state.pop(r["pk"], None)
+
+    q = (
+        stream.writeStream.foreachBatch(changelog_apply_writer(writer, ["pk"]))
+        .option("checkpointLocation", str(tmp_path / "cl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # NOTE: within one parquet batch monotonically_increasing_id follows file
+    # order, so the +U supersedes +I for pk=1 and -D removes pk=2.
+    assert state == {1: "a2", 3: "c"}
+
+
+def test_engine_streaming_job(spark, sf_dir, tmp_path):
+    """Full engine path in STREAMING mode with availableNow trigger."""
+    from seatunnel_spark.job.engine import run_job
+    from seatunnel_spark.sinks.memory import InMemorySink
+
+    static = spark.read.parquet(f"{sf_dir}/region.parquet")
+    src = str(tmp_path / "job_src")
+    static.write.mode("overwrite").parquet(src)
+    cfg = {
+        "env": {"job.mode": "STREAMING", "checkpoint.dir": str(tmp_path / "job_ckpt"),
+                "streaming.await.timeout": 120},
+        "source": [{"plugin_name": "LocalFile", "plugin_output": "r", "path": src,
+                    "file_format_type": "parquet"}],
+        "transform": [{"plugin_name": "Sql", "plugin_input": "r", "plugin_output": "r2",
+                       "query": "SELECT r_regionkey, UPPER(r_name) AS rn FROM r"}],
+        "sink": [{"plugin_name": "InMemory", "plugin_input": "r2", "name": "stream_out",
+                  "trigger": "availableNow"}],
+    }
+    run_job(cfg, spark)
+    out = InMemorySink.get("stream_out")
+    assert out.count() == 5
+
+
+def test_rate_limiter():
+    import time
+
+    from seatunnel_spark.streaming import TokenBucketRateLimiter
+
+    rl = TokenBucketRateLimiter(rows_per_second=200)
+    t0 = time.monotonic()
+    got = list(rl.throttle(iter(range(100))))
+    elapsed = time.monotonic() - t0
+    assert len(got) == 100
+    assert elapsed >= 0.45  # 100 rows at 200 r/s ≈ 0.5s
