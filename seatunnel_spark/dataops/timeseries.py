@@ -1,0 +1,145 @@
+"""Time-series operators: as-of join, sessionization, range join.
+
+None of these exist in the reference (no joins at all — SURVEY.md §2.7)
+and Spark has no native as-of join either; they're implemented as
+compositions of DataFrame ops chosen for shuffle behavior at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by: list[str],
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the LATEST right row with
+    right.ts <= left.ts within the same `by` key (backward as-of).
+
+    Scale design: the naive formulation is a range join (O(n·m) pair
+    blowup). This implementation is the union-and-carry-forward trick:
+    tag both sides, union, sort within key by (ts, side), and carry the
+    last-seen right values forward with last_value(ignorenulls) — ONE
+    shuffle on the key, linear work, no range explosion. Ties
+    (equal ts) resolve to the right row (side orders right before left).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by and c != ts_col]
+
+    lhs = left.withColumn("__side", F.lit(1)).withColumns(
+        {f"__r_{c}": F.lit(None).cast(dict(right.dtypes)[c]) for c in right_cols}
+    )
+    rhs = right.select(
+        *by,
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    # align schemas for the union
+    lhs_cols = set(lhs.columns)
+    rhs = rhs.withColumns(
+        {c: F.lit(None).cast(dict(lhs.dtypes)[c])
+         for c in lhs_cols - set(rhs.columns)}
+    ).select(*lhs.columns)
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lhs.unionByName(rhs).withColumns(
+        {
+            f"__c_{c}": F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
+            for c in right_cols
+        }
+    )
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"__c_{c}").alias(f"{c}{suffix}" if c in left.columns else c)
+              for c in right_cols],
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Assign gap-based session ids per key (batch sessionization).
+
+    session boundary = time since previous event > gap; session_id =
+    running count of boundaries (0-based) per key. One shuffle on the
+    key; window functions do the rest. Streaming equivalent:
+    F.session_window — this is the batch analog producing stable ids.
+    """
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col(ts_col) > prev + gap_expr), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn("__new_session", is_new).withColumn(
+        "session_id",
+        (F.sum("__new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) - 1).cast("long"),
+    ).drop("__new_session")
+
+
+def session_stats(
+    df: DataFrame, ts_col: str, key_cols: list[str], gap: str = "30 minutes"
+) -> DataFrame:
+    """Per-session aggregates: event count, start/end, duration seconds."""
+    s = sessionize(df, ts_col, key_cols, gap)
+    return s.groupBy(*key_cols, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col)))
+        .cast("long")
+        .alias("duration_sec"),
+    )
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Join points to [lo, hi] intervals without a cross product.
+
+    Buckets both sides by floor(value/width); an interval registers in
+    every bucket it overlaps (sequence+explode). The equi-join on
+    bucket id turns the range join into a hash join; the residual
+    between-filter runs post-join. Pick bucket_width ~ typical interval
+    length so each interval lands in O(1) buckets.
+    """
+    p = points.withColumn(
+        "__bucket", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
+    )
+    r = ranges.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(r, "__bucket")
+        .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col)))
+        .drop("__bucket")
+    )

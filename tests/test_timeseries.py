@@ -1,0 +1,59 @@
+from pyspark.sql import functions as F
+
+from seatunnel_spark.dataops.timeseries import (
+    asof_join,
+    range_join_bucketed,
+    session_stats,
+    sessionize,
+)
+
+
+def _ts(spark, rows, cols):
+    df = spark.createDataFrame(rows, cols)
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_asof_join_backward(spark):
+    trades = _ts(spark, [
+        (1, "A", "2024-01-01 10:00:05"),
+        (2, "A", "2024-01-01 10:00:20"),
+        (3, "B", "2024-01-01 10:00:10"),
+        (4, "A", "2024-01-01 09:00:00"),  # before any quote
+    ], ["trade_id", "sym", "ts"])
+    quotes = _ts(spark, [
+        ("A", "2024-01-01 10:00:00", 100.0),
+        ("A", "2024-01-01 10:00:10", 101.0),
+        ("B", "2024-01-01 10:00:10", 200.0),  # tie: inclusive match
+    ], ["sym", "ts", "px"])
+    out = asof_join(trades, quotes, "ts", ["sym"])
+    got = {r["trade_id"]: r["px"] for r in out.collect()}
+    assert got == {1: 100.0, 2: 101.0, 3: 200.0, 4: None}
+
+
+def test_sessionize_and_stats(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),
+        (1, "2024-01-01 11:30:00"),  # > 30 min gap -> new session
+        (2, "2024-01-01 09:00:00"),
+    ]
+    df = _ts(spark, rows, ["uid", "ts"])
+    s = sessionize(df, "ts", ["uid"], gap="30 minutes")
+    sid = {(r["uid"], str(r["ts"])): r["session_id"] for r in s.collect()}
+    assert sid[(1, "2024-01-01 10:00:00")] == 0
+    assert sid[(1, "2024-01-01 10:10:00")] == 0
+    assert sid[(1, "2024-01-01 11:30:00")] == 1
+    assert sid[(2, "2024-01-01 09:00:00")] == 0
+
+    stats = session_stats(df, "ts", ["uid"], gap="30 minutes")
+    r = stats.filter("uid = 1 AND session_id = 0").first()
+    assert r["n_events"] == 2 and r["duration_sec"] == 600
+
+
+def test_range_join_bucketed(spark):
+    points = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 50.0)], ["pid", "x"])
+    ranges = spark.createDataFrame(
+        [(10, 0.0, 10.0), (20, 12.0, 30.0)], ["rid", "lo", "hi"]
+    )
+    out = range_join_bucketed(points, ranges, "x", "lo", "hi", bucket_width=10.0)
+    got = {(r["pid"], r["rid"]) for r in out.collect()}
+    assert got == {(1, 10), (2, 20)}
