@@ -42,6 +42,10 @@ _NAME_REWRITES = {
     "WEEK": "weekofyear",
     # Zeta DATEDIFF(d1, d2) = whole days d1-d2 (sql-functions.md) —
     # Spark datediff(end, start) matches the arg order.
+    # Zeta DAYNAME/MONTHNAME return FULL names ('Thursday'); Spark 4's
+    # natives abbreviate ('Thu') -> shim.
+    "DAYNAME": "ZETA_DAYNAME",
+    "MONTHNAME": "ZETA_MONTHNAME",
 }
 
 
@@ -49,6 +53,9 @@ def rewrite_zeta_sql(sql: str) -> str:
     out = sql
     for zeta, spark_name in _NAME_REWRITES.items():
         out = re.sub(rf"\b{zeta}\s*\(", f"{spark_name}(", out, flags=re.I)
+    # Zeta allows parameterless VARCHAR in CAST (ZetaSQLType.java:68-83);
+    # Spark requires a length — map to STRING.
+    out = re.sub(r"\bAS\s+VARCHAR\b(?!\s*\()", "AS STRING", out, flags=re.I)
     return out
 
 
@@ -110,6 +117,14 @@ def register_zeta_udfs(spark: SparkSession) -> None:
 
     spark.udf.register("ZETA_TO_CHAR", _to_char, StringType())
     spark.udf.register("INSERT_STR", _insert, StringType())
+    spark.udf.register(
+        "ZETA_DAYNAME", lambda d: d.strftime("%A") if d is not None else None,
+        StringType(),
+    )
+    spark.udf.register(
+        "ZETA_MONTHNAME", lambda d: d.strftime("%B") if d is not None else None,
+        StringType(),
+    )
     spark.udf.register("IS_DATE", _is_date, BooleanType())
     spark.udf.register("TRUNCATE", _truncate, DoubleType())
     _REGISTERED_SESSIONS.add(key)

@@ -82,6 +82,29 @@ class JobSpec:
         return spec
 
     @classmethod
+    def from_hocon(cls, text_or_path: str, variables: dict | None = None) -> "JobSpec":
+        """Parse a SeaTunnel-style HOCON job config (docs/en/concept/
+        config.md). `variables` implements the `-i key=value` CLI
+        substitution feature."""
+        import os
+
+        from seatunnel_spark.job.hocon import load_hocon, parse_hocon
+
+        if "\n" not in text_or_path and os.path.exists(text_or_path):
+            return cls.from_dict(load_hocon(text_or_path, variables))
+        return cls.from_dict(parse_hocon(text_or_path, variables))
+
+    @classmethod
+    def from_file(cls, path: str, variables: dict | None = None) -> "JobSpec":
+        """Dispatch on extension: .conf/.hocon, .json, .sql (sql-config)."""
+        if path.endswith(".json"):
+            return cls.from_json(path)
+        if path.endswith(".sql"):
+            with open(path) as f:
+                return cls.from_sql(f.read())
+        return cls.from_hocon(path, variables)
+
+    @classmethod
     def from_json(cls, text_or_path: str) -> "JobSpec":
         if "\n" not in text_or_path and text_or_path.endswith(".json"):
             with open(text_or_path) as f:

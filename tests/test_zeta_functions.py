@@ -1,0 +1,149 @@
+"""Golden tests for the Zeta SQL function surface through the Sql
+transform (reference registry: ZetaSQLFunction.java:79-192; examples:
+docs/en/transform-v2/sql-functions.md). Each case: Zeta spelling in,
+documented result out — proving reference job SQL runs unchanged."""
+
+import pytest
+
+from seatunnel_spark.transforms import get_transform
+
+
+def _sql1(spark, expr: str):
+    """Evaluate one scalar expression through the Sql transform."""
+    df = spark.createDataFrame([(1,)], ["id"])
+    out = get_transform(
+        "Sql", {"plugin_input": "t_in", "query": f"SELECT {expr} AS v FROM t_in"}
+    ).apply(df)
+    return out.first()["v"]
+
+
+# (zeta expression, expected) — from sql-functions.md documented examples
+STRING_CASES = [
+    ("ASCII('A')", 65),
+    ("BIT_LENGTH('ab')", 16),
+    ("CHAR_LENGTH('Hello')", 5),
+    ("OCTET_LENGTH('ab')", 2),
+    ("CHAR(65)", "A"),
+    ("CONCAT('Hello', ' ', 'World')", "Hello World"),
+    ("CONCAT_WS(',', 'a', 'b')", "a,b"),
+    ("RAWTOHEX('A')", "41"),
+    ("LCASE('HELLO')", "hello"),
+    ("UCASE('hello')", "HELLO"),
+    ("LEFT('Hello', 3)", "Hel"),
+    ("RIGHT('Hello', 3)", "llo"),
+    ("LOCATE('ll', 'Hello')", 3),
+    ("INSTR('Hello', 'll')", 3),
+    ("LPAD('5', 3, '0')", "005"),
+    ("RPAD('5', 3, '0')", "500"),
+    ("LTRIM('  x')", "x"),
+    ("RTRIM('x  ')", "x"),
+    ("TRIM(' x ')", "x"),
+    ("REGEXP_REPLACE('Hello World', '\\\\s+', '_')", "Hello_World"),
+    ("REGEXP_LIKE('Hello', 'H.*')", True),
+    ("REGEXP_SUBSTR('2023-01-02', '\\\\d{4}')", "2023"),
+    ("REPEAT('ab', 3)", "ababab"),
+    ("REPLACE('Hello', 'l', 'L')", "HeLLo"),
+    ("SOUNDEX('Robert')", "R163"),
+    ("SPACE(3)", "   "),
+    ("SUBSTRING('Hello', 2, 3)", "ell"),
+    ("TRANSLATE('Hello', 'el', 'ip')", "Hippo"),
+]
+
+NUMERIC_CASES = [
+    ("ABS(-5)", 5),
+    ("MOD(10, 3)", 1),
+    ("CAST(CEIL(1.2) AS INT)", 2),
+    ("CAST(FLOOR(1.8) AS INT)", 1),
+    ("SIGN(-3)", -1.0),
+    ("CAST(SQRT(16.0) AS INT)", 4),
+    ("CAST(POWER(2, 10) AS INT)", 1024),
+    ("CAST(EXP(0) AS INT)", 1),
+    ("CAST(LN(1.0) AS INT)", 0),
+    ("CAST(LOG10(100.0) AS INT)", 2),
+    ("ROUND(3.7)", 4.0),
+    ("TRUNCATE(3.79, 1)", 3.7),
+    ("CAST(COS(0) AS INT)", 1),
+    ("CAST(PI() * 0 AS INT)", 0),
+]
+
+DATETIME_CASES = [
+    ("YEAR(TIMESTAMP '2023-06-15 10:30:00')", 2023),
+    ("QUARTER(TIMESTAMP '2023-06-15 10:30:00')", 2),
+    ("MONTH(TIMESTAMP '2023-06-15 10:30:00')", 6),
+    ("DAY_OF_MONTH(TIMESTAMP '2023-06-15 10:30:00')", 15),
+    ("DAY_OF_WEEK(TIMESTAMP '2023-06-15 10:30:00')", 5),   # Thursday
+    ("DAY_OF_YEAR(TIMESTAMP '2023-06-15 10:30:00')", 166),
+    ("HOUR(TIMESTAMP '2023-06-15 10:30:00')", 10),
+    ("MINUTE(TIMESTAMP '2023-06-15 10:30:00')", 30),
+    ("SECOND(TIMESTAMP '2023-06-15 10:30:45')", 45),
+    ("WEEK(TIMESTAMP '2023-06-15 10:30:00')", 24),
+    ("EXTRACT(DAY FROM TIMESTAMP '2023-06-15 10:30:00')", 15),
+    ("FORMATDATETIME(TIMESTAMP '2023-06-15 10:30:00', 'yyyy-MM-dd')", "2023-06-15"),
+    ("CAST(PARSEDATETIME('2023-06-15', 'yyyy-MM-dd') AS STRING)", "2023-06-15 00:00:00"),
+    ("DATEDIFF(DATE '2023-06-15', DATE '2023-06-10')", 5),
+    ("CAST(DATE_TRUNC('month', TIMESTAMP '2023-06-15 10:30:00') AS STRING)",
+     "2023-06-01 00:00:00"),
+    ("DAYNAME(DATE '2023-06-15')", "Thursday"),
+    ("MONTHNAME(DATE '2023-06-15')", "June"),
+    ("IS_DATE('2023-06-15', 'yyyy-MM-dd')", True),
+    ("IS_DATE('not-a-date', 'yyyy-MM-dd')", False),
+]
+
+CONDITIONAL_CASES = [
+    ("COALESCE(NULL, 'b')", "b"),
+    ("IFNULL(NULL, 'x')", "x"),
+    ("NULLIF('a', 'a')", None),
+    ("CASE WHEN 1 > 0 THEN 'yes' ELSE 'no' END", "yes"),
+    ("CAST('42' AS INT)", 42),
+    ("CAST(123 AS VARCHAR)", "123"),
+]
+
+
+@pytest.mark.parametrize("expr,expected", STRING_CASES,
+                         ids=[c[0][:30] for c in STRING_CASES])
+def test_string_functions(spark, expr, expected):
+    assert _sql1(spark, expr) == expected
+
+
+@pytest.mark.parametrize("expr,expected", NUMERIC_CASES,
+                         ids=[c[0][:30] for c in NUMERIC_CASES])
+def test_numeric_functions(spark, expr, expected):
+    got = _sql1(spark, expr)
+    if isinstance(expected, float):
+        assert got == pytest.approx(expected)
+    else:
+        assert got == expected
+
+
+@pytest.mark.parametrize("expr,expected", DATETIME_CASES,
+                         ids=[c[0][:40] for c in DATETIME_CASES])
+def test_datetime_functions(spark, expr, expected):
+    assert _sql1(spark, expr) == expected
+
+
+@pytest.mark.parametrize("expr,expected", CONDITIONAL_CASES,
+                         ids=[c[0][:30] for c in CONDITIONAL_CASES])
+def test_conditional_functions(spark, expr, expected):
+    assert _sql1(spark, expr) == expected
+
+
+def test_hextoraw_roundtrip(spark):
+    assert _sql1(spark, "CAST(HEXTORAW('41') AS STRING)") == "A"
+
+
+def test_uuid_shape(spark):
+    v = _sql1(spark, "UUID()")
+    assert len(v) == 36 and v.count("-") == 4
+
+
+def test_lateral_view_explode(spark):
+    """The one flatMap construct Zeta supports (LATERAL VIEW EXPLODE,
+    ZetaSQLEngine.java:218-258)."""
+    df = spark.createDataFrame([(1, "a;b;c")], ["id", "s"])
+    out = get_transform(
+        "Sql",
+        {"plugin_input": "lv_in",
+         "query": "SELECT id, item FROM lv_in "
+                  "LATERAL VIEW EXPLODE(SPLIT(s, ';')) t AS item"},
+    ).apply(df)
+    assert [r["item"] for r in out.collect()] == ["a", "b", "c"]
