@@ -507,6 +507,88 @@ def sim_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Rows-only suite: genuinely non-SQL-expressible ops (python-side hashing,
+# model inference, codecs) — no oracle entry; the driver records the
+# weaker rows-only check for these.
+# ===========================================================================
+
+def t_llm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM transform with the deterministic FAKE provider (real providers
+    are stubbed — no network in this environment)."""
+    from seatunnel_spark.transforms import get_transform
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    out = get_transform(
+        "LLM",
+        {"model_provider": "FAKE", "prompt": "Classify the document topic",
+         "inference_columns": ["text"], "output_column_name": "topic"},
+    ).apply(docs)
+    return out.select("doc_id", "topic")
+
+
+def t_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seatunnel_spark.transforms import get_transform
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    out = get_transform(
+        "Embedding",
+        {"model_provider": "FAKE", "vectorization_fields": {"text_vec": "text"},
+         "dimension": 16},
+    ).apply(docs)
+    return out.select("doc_id", F.size("text_vec").alias("dim"),
+                      F.round(F.aggregate("text_vec", F.lit(0.0),
+                                          lambda a, x: a + x * x), 3).alias("sq_norm"))
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seatunnel_spark.dataops import simhash_near_dups
+
+    return simhash_near_dups(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8
+    )
+
+
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: random-hyperplane bucketed top-k (scale path)."""
+    from seatunnel_spark.dataops import lsh_bucketed_topk
+
+    e = _emb_double(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    return lsh_bucketed_topk(q, e, "vec_id", "vec_id", k=10, planes=4)
+
+
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary column -> mapInPandas decode (stub
+    codec, deterministic) -> typed metadata + feature vector."""
+    from seatunnel_spark.dataops.multimodal import image_features
+
+    docs = _t(spark, sf_dir, "documents").limit(100).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    out = image_features(docs, "content")
+    return out.select(
+        "doc_id",
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.size("image_feat").alias("feat_dim"),
+    )
+
+
+def stream_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed aggregation via the streaming module (runs on
+    the batch frame here; identical code path handles readStream)."""
+    from seatunnel_spark.streaming import windowed_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = windowed_agg(e, "ts", "1 hour", "2 hours", ["event_type"],
+                       {"n": "count(1)", "sv": "round(sum(value), 2)"})
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        "event_type", "n", "sv",
+    )
+
+
+# ===========================================================================
 # contract functions
 # ===========================================================================
 
@@ -548,6 +630,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": text_tokens,
         "sim_topk": sim_topk,
         "sim_pairs_exact": sim_pairs_exact,
+        "stream_windowed_events": stream_windowed_events,
+        # rows-only (no SQL oracle): python hashing / inference / codecs
+        "t_llm": t_llm,
+        "t_embedding": t_embedding,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "sim_lsh_topk": sim_lsh_topk,
+        "mm_image_features": mm_image_features,
     }
 
 
@@ -887,6 +976,11 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, match_id, cosine, rank FROM r WHERE rank <= 10
+        """,
+        "stream_windowed_events": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+                   event_type, count(*) AS n, round(sum(value), 2) AS sv
+            FROM events GROUP BY 1, 2
         """,
         "sim_pairs_exact": """
             WITH v AS (
