@@ -98,6 +98,63 @@ def run_stream_to_batch_sink(df: DataFrame, sink_write, checkpoint: str,
     )
 
 
+def stateful_running_counts(
+    df: DataFrame,
+    key_cols: list[str],
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-key running event count +
+    running value sum across microbatches (applyInPandasWithState).
+
+    This is the engine's extension point for operators Structured
+    Streaming lacks natively — the analog of the reference's stateful
+    SourceReader/SinkWriter snapshot state (SourceReader.java:63). The
+    state (count, sum) is snapshotted by Spark's state store under the
+    stream's checkpointLocation, giving restart-exactly-once for free.
+
+    Output per input batch & key: (keys..., events_total, value_total).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    key_fields = [f for f in df.schema.fields if f.name in key_cols]
+    out_schema = StructType(
+        key_fields
+        + [StructField("events_total", LongType()),
+           StructField("value_total", DoubleType())]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", DoubleType())]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if "value" in pdf.columns:
+                s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            [dict(zip([f.name for f in key_fields], key))
+             | {"events_total": n, "value_total": round(s, 6)}]
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
+
+
 class TokenBucketRateLimiter:
     """Batch-mode rate limiter (read_limit.rows_per_second analog,
     EnvCommonOptions.java:67-75). Spark streaming gets rate limits from

@@ -137,3 +137,38 @@ def test_rate_limiter():
     elapsed = time.monotonic() - t0
     assert len(got) == 100
     assert elapsed >= 0.45  # 100 rows at 200 r/s ≈ 0.5s
+
+
+def test_stateful_running_counts_across_batches(spark, tmp_path):
+    """State must carry across microbatches (one file = one batch via
+    maxFilesPerTrigger=1)."""
+    from seatunnel_spark.streaming import stateful_running_counts
+
+    src = str(tmp_path / "state_src")
+    b1 = spark.createDataFrame([("u1", 1.0), ("u2", 2.0)], ["uid", "value"])
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    b2 = spark.createDataFrame([("u1", 3.0)], ["uid", "value"])
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_running_counts(stream, ["uid"])
+    batches = []
+    q = (
+        out.writeStream.foreachBatch(lambda b, i: batches.append(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "state_ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {}
+    for batch in batches:
+        for r in batch:
+            final[r["uid"]] = (r["events_total"], r["value_total"])
+    # u1 appears in two batches -> accumulated state
+    assert final["u1"] == (2, 4.0)
+    assert final["u2"] == (1, 2.0)
