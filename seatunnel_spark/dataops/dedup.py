@@ -24,6 +24,18 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread CPU-heavy per-row work across cores when the scan produced
+    too few partitions (small files read as 1 split). At real scale the
+    file splits already give parallelism and this is a no-op — the
+    repartition only fires when partitions < half the cluster's cores,
+    so it never adds a shuffle to a properly-split 100 TB scan."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------------------
 # exact
 # --------------------------------------------------------------------------
@@ -82,7 +94,7 @@ def minhash_signatures(
     higher-order functions are interpreted per element, while explode +
     min(md5()) stays inside whole-stage codegen. Keep the explode.]
     """
-    sh = df.select(
+    sh = _ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(_word_shingles(F.col(text_col), shingle_k))).alias("sh"),
     )
@@ -180,7 +192,9 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
         return pd.Series(out, dtype="object")
 
-    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+    return _ensure_parallelism(df).select(
+        F.col(id_col), _simhash(F.col(text_col)).alias("simhash")
+    )
 
 
 def simhash_near_dups(
@@ -243,7 +257,7 @@ def ngram_jaccard_pairs(
     use AFTER a blocking stage (LSH buckets or metadata keys). The
     shingle sets are computed once per doc (not per pair).
     """
-    shingled = df.select(
+    shingled = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in (block_cols or [])],
         F.array_distinct(_word_shingles(F.col(text_col), k)).alias("sh"),
