@@ -17,6 +17,7 @@ Reference architecture being re-expressed (not ported):
 from seatunnel_spark.session import get_spark, stop_spark
 from seatunnel_spark.job.spec import JobSpec
 from seatunnel_spark.job.engine import JobEngine, run_job
+import seatunnel_spark.registry  # noqa: F401  (extends source/sink registries)
 
 __version__ = "0.1.0"
 

@@ -52,7 +52,15 @@ class JobEngine:
         plus name resolution gives the same result for valid configs)."""
         tables: dict[str, DataFrame] = {}
         for blk in spec.sources:
-            src = get_source(blk.plugin, blk.options)
+            opts = dict(blk.options)
+            if streaming:
+                # env-level speed limit (docs/en/concept/speed-limit.md)
+                # propagates to each source's per-trigger cap.
+                for env_key in ("read_limit.rows_per_second",
+                                "read_limit.bytes_per_second"):
+                    if env_key in spec.env:
+                        opts.setdefault(env_key, spec.env[env_key])
+            src = get_source(blk.plugin, opts)
             df = src.read_stream(self.spark) if streaming else src.read(self.spark)
             if isinstance(df, dict):
                 df = merge_multi_table(df)

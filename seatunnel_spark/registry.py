@@ -1,0 +1,122 @@
+"""Full connector inventory — reference plugin-mapping.properties parity.
+
+Every source/sink identifier the reference ships is registered here with
+its Spark implementation strategy. Backends whose client libraries or
+services don't exist in this environment are registered as GATED: the
+option surface resolves, and connect-time raises a clear error naming
+the Spark-native path to wire (usually a spark-packages connector jar
+or the JDBC/HTTP fallback already implemented).
+
+This keeps the engine honest: `get_source("MongoDB", ...)` never fails
+with an unknown-plugin error; it fails (when it must) at the I/O
+boundary with the exact deployment instruction.
+"""
+
+from __future__ import annotations
+
+from seatunnel_spark.sources import SOURCES, get_source as _get_source
+from seatunnel_spark.sources.base import Source
+from seatunnel_spark.sinks import SINKS, get_sink as _get_sink
+from seatunnel_spark.sinks.base import Sink
+from seatunnel_spark.sinks.kafka import KafkaSink, WebhookSink
+
+# backend name -> (kind, spark strategy note)
+_GATED_SOURCES = {
+    "MongoDB": "mongo-spark-connector (format 'mongodb')",
+    "Redis": "spark-redis or mapInPandas client fetch",
+    "Hbase": "hbase-spark connector",
+    "Cassandra": "spark-cassandra-connector (format 'org.apache.spark.sql.cassandra')",
+    "Elasticsearch": "elasticsearch-spark (format 'es') or HTTP scroll via HttpSource",
+    "Easysearch": "elasticsearch-spark compatible endpoint",
+    "Kudu": "kudu-spark (format 'kudu')",
+    "Iceberg": "iceberg-spark-runtime catalog (format 'iceberg')",
+    "Paimon": "paimon-spark (format 'paimon')",
+    "Hudi": "hudi-spark-bundle (format 'hudi')",
+    "Maxcompute": "odps-spark-datasource",
+    "InfluxDB": "HTTP query API via HttpSource",
+    "IoTDB": "iotdb-spark-connector",
+    "TDengine": "JDBC dialect (taos-jdbcdriver)",
+    "OpenMldb": "openmldb JDBC",
+    "Neo4j": "neo4j-spark-connector",
+    "AmazonDynamodb": "emr-dynamodb-connector or audienceproject/spark-dynamodb",
+    "Tablestore": "emr tablestore connector",
+    "Milvus": "REST/SDK reader -> ArrayType(FloatType) vector column",
+    "Qdrant": "REST scroll API via HttpSource",
+    "Typesense": "REST export API via HttpSource",
+    "Pulsar": "pulsar-spark-connector (format 'pulsar')",
+    "RabbitMQ": "no native connector; bridge to Kafka or mapInPandas consumer",
+    "Rocketmq": "rocketmq-spark (format 'org.apache.rocketmq.spark')",
+    "AmazonSqs": "mapInPandas boto3 consumer or SQS->Kafka bridge",
+    "Sls": "aliyun emr-logservice connector",
+    "MyHours": "HttpSource wrapper (paginated REST)",
+    "Clickhouse": "JDBC (clickhouse-jdbc) — alias of Jdbc source",
+    "Doris": "doris-spark-connector or JDBC (mysql protocol)",
+    "StarRocks": "starrocks-spark-connector or JDBC",
+    "MySQL-CDC": "see seatunnel_spark.sources.cdc (snapshot+changelog stitch)",
+    "Postgres-CDC": "see seatunnel_spark.sources.cdc",
+    "Oracle-CDC": "see seatunnel_spark.sources.cdc",
+    "SqlServer-CDC": "see seatunnel_spark.sources.cdc",
+    "MongoDB-CDC": "see seatunnel_spark.sources.cdc",
+    "TiDB-CDC": "see seatunnel_spark.sources.cdc",
+    "Opengauss-CDC": "see seatunnel_spark.sources.cdc",
+}
+
+_GATED_SINKS = {
+    "Clickhouse": "JDBC batch insert (clickhouse-jdbc)",
+    "ClickhouseFile": "write parquet/orc then clickhouse-client import",
+    "Kudu": "kudu-spark", "Iceberg": "iceberg-spark-runtime MERGE INTO",
+    "Paimon": "paimon-spark", "hudi": "hudi-spark-bundle upsert",
+    "MongoDB": "mongo-spark-connector", "Redis": "foreachPartition pipeline SET",
+    "Elasticsearch": "elasticsearch-spark bulk", "Easysearch": "es-compatible bulk",
+    "Cassandra": "spark-cassandra-connector", "Hbase": "hbase-spark bulk put",
+    "IoTDB": "iotdb session in foreachPartition", "InfluxDB": "line-protocol HTTP",
+    "Neo4j": "neo4j-spark-connector", "AmazonDynamodb": "dynamodb batch writer",
+    "Tablestore": "tablestore SDK", "GoogleFirestore": "firestore SDK",
+    "Doris": "stream-load HTTP", "StarRocks": "stream-load HTTP",
+    "SelectDBCloud": "copy-into via object store", "S3Redshift": "UNLOAD/COPY via S3",
+    "Maxcompute": "odps tunnel", "TDengine": "taos JDBC", "Druid": "kafka ingestion spec",
+    "DataHub": "datahub SDK", "Sentry": "sentry SDK event post",
+    "Milvus": "milvus SDK insert", "Qdrant": "REST upsert", "Typesense": "REST import",
+    "Pulsar": "pulsar-spark", "RabbitMQ": "foreachPartition pika publish",
+    "Rocketmq": "rocketmq producer", "AmazonSqs": "boto3 send_message_batch",
+    "Sls": "aliyun log producer", "ActiveMQ": "stomp/jms producer",
+    "Prometheus": "remote-write protobuf", "Hive": "saveAsTable/insertInto",
+    "Kafka": None,  # implemented natively below
+}
+
+
+class GatedSource(Source):
+    """Registered backend whose client/runtime isn't present here."""
+
+    def read(self, spark):
+        raise NotImplementedError(
+            f"source {self.plugin_name}: backend not available in this "
+            f"environment; Spark path: {_GATED_SOURCES[self.plugin_name]}"
+        )
+
+    read_stream = read
+
+
+class GatedSink(Sink):
+    def write(self, df):
+        raise NotImplementedError(
+            f"sink {self.plugin_name}: backend not available in this "
+            f"environment; Spark path: {_GATED_SINKS[self.plugin_name]}"
+        )
+
+
+def register_all() -> None:
+    """Idempotently extend the live registries to full inventory."""
+    for name in _GATED_SOURCES:
+        SOURCES.setdefault(name, GatedSource)
+    SINKS["Kafka"] = KafkaSink
+    for name in ("Http", "Slack", "DingTalk", "Feishu", "EmailSink", "Sentry"):
+        SINKS.setdefault(name, WebhookSink)
+    for name, note in _GATED_SINKS.items():
+        if note is not None:
+            SINKS.setdefault(name, GatedSink)
+
+
+register_all()
+
+__all__ = ["register_all", "GatedSource", "GatedSink"]

@@ -1,0 +1,100 @@
+"""Kafka sink + webhook-family sinks (Slack/DingTalk/Feishu/Email/Http).
+
+Reference: connector-kafka sink, connector-slack, connector-dingtalk,
+connector-email, connector-http sink (SURVEY.md §2.5).
+
+KafkaSink: rows are serialized to a `value` string (JSON by default,
+matching seatunnel-format-json) and written with the native Spark
+Kafka writer — batch and streaming share the path. Exactly-once for
+streaming comes from checkpoint + Kafka idempotent producer config.
+
+WebhookSink: driver-side POST of (small) result payloads — the shape
+the reference uses for notification sinks. The poster is injectable
+for tests; real network is gated.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, functions as F
+
+from seatunnel_spark.sinks.base import Sink
+
+
+class KafkaSink(Sink):
+    NAME = "Kafka"
+
+    def _serialize(self, df: DataFrame) -> DataFrame:
+        fmt = str(self.opt("format", "json")).lower()
+        key_field = self.opt("partition_key_fields")
+        cols = {}
+        if fmt == "json":
+            cols["value"] = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+        elif fmt == "text":
+            sep = self.opt("field_delimiter", ",")
+            cols["value"] = F.concat_ws(sep, *[F.col(c).cast("string")
+                                               for c in df.columns])
+        else:
+            raise ValueError(f"Kafka sink format {fmt!r} not supported")
+        if key_field:
+            cols["key"] = F.concat_ws("|", *[F.col(c).cast("string")
+                                             for c in key_field])
+        return df.select([cols["value"].alias("value")]
+                         + ([cols["key"].alias("key")] if "key" in cols else []))
+
+    def _options(self) -> dict:
+        opts = {
+            "kafka.bootstrap.servers": self.require("bootstrap.servers"),
+            "topic": self.require("topic"),
+        }
+        for k, v in (self.opt("kafka.config") or {}).items():
+            opts[f"kafka.{k}"] = v
+        return opts
+
+    def write(self, df: DataFrame) -> None:
+        writer = self._serialize(df).write.format("kafka")
+        for k, v in self._options().items():
+            writer = writer.option(k, v)
+        writer.save()
+
+    def write_stream(self, df: DataFrame, checkpoint: str | None = None):
+        writer = self._serialize(df).writeStream.format("kafka")
+        for k, v in self._options().items():
+            writer = writer.option(k, v)
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        return writer.start()
+
+
+def _default_poster(url: str, headers: dict, body: bytes) -> int:
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body, headers=headers, method="POST")
+    with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
+        return resp.status
+
+
+class WebhookSink(Sink):
+    """Http/Slack/DingTalk/Feishu/EmailSink family: POST each (small)
+    result batch to an endpoint. Collects at most `max_rows` rows —
+    notification sinks are for summaries, not data movement."""
+
+    NAME = "Http"
+
+    def write(self, df: DataFrame) -> None:
+        url = self.require("url")
+        max_rows = int(self.opt("max_rows", 1000))
+        poster = self.opt("_poster", _default_poster)
+        rows = [r.asDict(recursive=True) for r in df.limit(max_rows).collect()]
+        style = self.plugin_name.lower()
+        if style == "slack":
+            body = {"text": self.opt("slack_template", json.dumps(rows, default=str))}
+        elif style in ("dingtalk", "feishu"):
+            body = {"msgtype": "text", "text": {"content": json.dumps(rows, default=str)}}
+        else:
+            body = {"data": rows}
+        headers = {"Content-Type": "application/json", **(self.opt("headers") or {})}
+        status = poster(url, headers, json.dumps(body, default=str).encode())
+        if status >= 300:
+            raise RuntimeError(f"{self.plugin_name} sink: HTTP {status}")

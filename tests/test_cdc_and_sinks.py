@@ -1,0 +1,117 @@
+"""CDC snapshot+changelog stitching, Kafka sink serialization, webhook
+sinks (injected poster), gated-backend registry errors."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from seatunnel_spark.sources.cdc import (
+    CdcSource,
+    final_state,
+    stitch_snapshot_and_changelog,
+)
+from seatunnel_spark.types import ROW_KIND_COL
+
+
+def test_stitch_drops_pre_watermark_changes(spark):
+    snapshot = spark.createDataFrame([(1, "a"), (2, "b")], ["pk", "v"])
+    changelog = spark.createDataFrame(
+        [
+            ("+I", 1, "a", 50),     # before watermark: already in snapshot -> drop
+            ("-U", 1, "a", 120), ("+U", 1, "a2", 120),
+            ("+I", 3, "c", 130),
+            ("-D", 2, "b", 140),
+        ],
+        [ROW_KIND_COL, "pk", "v", "off"],
+    )
+    stitched = stitch_snapshot_and_changelog(snapshot, changelog, "off", 100)
+    kinds = [(r[ROW_KIND_COL], r["pk"], r["off"]) for r in stitched.collect()]
+    assert ("+I", 1, 50) not in kinds          # pre-watermark dropped
+    assert ("+I", 1, 100) in kinds             # snapshot row at watermark
+    assert len([k for k in kinds if k[2] > 100]) == 4
+
+    state = final_state(stitched, ["pk"], "off")
+    got = {r["pk"]: r["v"] for r in state.collect()}
+    assert got == {1: "a2", 3: "c"}            # 2 deleted, 1 updated, 3 inserted
+
+
+def test_cdc_source_file_simulation(spark, tmp_path):
+    """Full CdcSource path: parquet snapshot + debezium-json file feed."""
+    snap_dir = str(tmp_path / "snap")
+    spark.createDataFrame([(1, "a", 100), (2, "b", 100)], ["pk", "v", "off"]) \
+        .drop("off").write.parquet(snap_dir)
+
+    lines = [
+        {"before": None, "after": {"pk": 3, "v": "c", "off": 150}, "op": "c"},
+        {"before": {"pk": 1, "v": "a", "off": 160},
+         "after": {"pk": 1, "v": "a9", "off": 160}, "op": "u"},
+        {"before": {"pk": 2, "v": "b", "off": 90}, "after": None, "op": "d"},  # pre-watermark
+    ]
+    feed = tmp_path / "feed.jsonl"
+    feed.write_text("\n".join(json.dumps(x) for x in lines))
+
+    src = CdcSource({
+        "snapshot.path": snap_dir,
+        "changelog.path": str(feed),
+        "changelog.format": "DEBEZIUM_JSON",
+        "offset.column": "off",
+        "snapshot.watermark": 100,
+        "schema": {"fields": {"pk": "bigint", "v": "string", "off": "bigint"}},
+    })
+    stitched = src.read(spark)
+    state = final_state(stitched, ["pk"], "off")
+    got = {r["pk"]: r["v"] for r in state.collect()}
+    # pk=2's delete happened BEFORE the snapshot watermark -> ignored
+    assert got == {1: "a9", 2: "b", 3: "c"}
+
+
+def test_kafka_sink_serialization(spark):
+    from seatunnel_spark.sinks.kafka import KafkaSink
+
+    df = spark.createDataFrame([(1, "a")], ["id", "name"])
+    sink = KafkaSink({"bootstrap.servers": "x:9092", "topic": "t",
+                      "partition_key_fields": ["id"]})
+    out = sink._serialize(df).first()
+    assert json.loads(out["value"]) == {"id": 1, "name": "a"}
+    assert out["key"] == "1"
+    text_sink = KafkaSink({"bootstrap.servers": "x", "topic": "t", "format": "text",
+                           "field_delimiter": "|"})
+    assert text_sink._serialize(df).first()["value"] == "1|a"
+
+
+def test_webhook_sink_with_injected_poster(spark):
+    from seatunnel_spark.sinks import get_sink
+
+    calls = []
+
+    def poster(url, headers, body):
+        calls.append((url, json.loads(body)))
+        return 200
+
+    sink = get_sink("Slack", {"url": "http://hooks.test/abc", "_poster": poster})
+    sink.write(spark.createDataFrame([(1,)], ["n"]))
+    assert calls and calls[0][0] == "http://hooks.test/abc"
+    assert "text" in calls[0][1]
+
+    bad = get_sink("Http", {"url": "http://x", "_poster": lambda *a: 500})
+    with pytest.raises(RuntimeError, match="HTTP 500"):
+        bad.write(spark.createDataFrame([(1,)], ["n"]))
+
+
+def test_gated_backends_resolve_and_explain(spark):
+    import seatunnel_spark  # noqa: F401 — triggers registry.register_all
+    from seatunnel_spark.sinks import get_sink
+    from seatunnel_spark.sources import get_source
+
+    src = get_source("MongoDB", {})
+    with pytest.raises(NotImplementedError, match="mongo-spark-connector"):
+        src.read(spark)
+    sink = get_sink("Elasticsearch", {})
+    with pytest.raises(NotImplementedError, match="bulk"):
+        sink.write(spark.createDataFrame([(1,)], ["n"]))
+    # full inventory resolves by name
+    for name in ["Iceberg", "Paimon", "Redis", "Milvus", "MySQL-CDC", "Qdrant"]:
+        assert get_source(name, {}) is not None
+    for name in ["Doris", "StarRocks", "Slack", "Kafka", "Prometheus"]:
+        assert get_sink(name, {}) is not None
