@@ -557,6 +557,36 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(q, e, "vec_id", "vec_id", k=10, planes=4)
 
 
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact mode (planes=0) — the oracle-
+    checkable correctness baseline for the LSH-blocked scale path."""
+    from seatunnel_spark.dataops import embedding_near_dups
+
+    e = _emb_double(spark, sf_dir)
+    return embedding_near_dups(e, "vec_id", "embedding",
+                               threshold=0.4, planes=0, round_to=4)
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with hyperplane blocking (the 100 TB path —
+    approximate recall, so rows-only)."""
+    from seatunnel_spark.dataops import embedding_near_dups
+
+    e = _emb_double(spark, sf_dir)
+    return embedding_near_dups(e, "vec_id", "embedding",
+                               threshold=0.4, planes=2, round_to=4)
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (distributed Lloyd's), multi-
+    probe search — approximate, so rows-only."""
+    from seatunnel_spark.dataops import ivf_topk
+
+    e = _emb_double(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    return ivf_topk(q, e, "vec_id", "vec_id", k=10, nlist=8, nprobe=2)
+
+
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary column -> mapInPandas decode (stub
     codec, deterministic) -> typed metadata + feature vector."""
@@ -630,12 +660,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": text_tokens,
         "sim_topk": sim_topk,
         "sim_pairs_exact": sim_pairs_exact,
+        "dedup_embedding_pairs": dedup_embedding_pairs,
         "stream_windowed_events": stream_windowed_events,
         # rows-only (no SQL oracle): python hashing / inference / codecs
         "t_llm": t_llm,
         "t_embedding": t_embedding,
         "dedup_simhash_pairs": dedup_simhash_pairs,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
         "sim_lsh_topk": sim_lsh_topk,
+        "sim_ivf_topk": sim_ivf_topk,
         "mm_image_features": mm_image_features,
     }
 
@@ -995,5 +1028,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_dot_product(a.e, b.e)
                         / (sqrt(list_dot_product(a.e, a.e))
                            * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.3
+        """,
+        "dedup_embedding_pairs": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.e, b.e)
+                         / (sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.e, b.e)
+                        / (sqrt(list_dot_product(a.e, a.e))
+                           * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.4
         """,
     }

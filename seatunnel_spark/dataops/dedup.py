@@ -290,43 +290,60 @@ def embedding_near_dups(
     threshold: float = 0.95,
     planes: int = 12,
     seed: int = 42,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
     Random-hyperplane LSH: `planes` signed projections give a bucket
     key; exact cosine runs only inside buckets. Deterministic plane
     vectors derive from (seed, plane, dim) hashes, broadcast as
-    literals — no driver data movement.
+    literals — no driver data movement. `planes=0` disables blocking
+    (single bucket = exact all-pairs) — the correctness baseline for
+    validating recall; use blocking at scale.
     """
-    import hashlib
     import numpy as np
-
-    first = df.select(F.size(vec_col).alias("d")).first()
-    dim = int(first["d"])
-    rng = np.random.default_rng(seed)
-    plane_mat = rng.standard_normal((planes, dim))
 
     v = F.col(vec_col)
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    bits = []
-    for p in range(planes):
-        plane = F.array(*[F.lit(float(x)) for x in plane_mat[p]])
-        dot = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0),
-                          lambda acc, x: acc + x)
-        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    if planes > 0:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+        rng = np.random.default_rng(seed)
+        plane_mat = rng.standard_normal((planes, dim))
+        bits = []
+        for p in range(planes):
+            plane = F.array(*[F.lit(float(x)) for x in plane_mat[p]])
+            dot = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0),
+                              lambda acc, x: acc + x)
+            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+        bucket = F.concat(*bits)
+    else:
+        bucket = None
     bucketed = df.select(
         F.col(id_col).alias("id"), v.alias("v"), norm.alias("n"),
-        F.concat(*bits).alias("bucket"),
+        *( [bucket.alias("bucket")] if bucket is not None else [] ),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     dot_ab = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
                          F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot_ab / (F.col("a.n") * F.col("b.n"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    if bucket is not None:
+        joined = a.join(
+            b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+        )
+    else:
+        # Exact all-pairs validation mode: broadcast nested-loop keeps
+        # the left side's parallelism (a constant equi-key would funnel
+        # every row through one shuffle partition).
+        a = _ensure_parallelism(bucketed).alias("a")
+        joined = a.join(F.broadcast(b), F.col("a.id") < F.col("b.id"))
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .select(
+        joined.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            (dot_ab / (F.col("a.n") * F.col("b.n"))).alias("cosine"),
+            cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -75,6 +75,117 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    iters: int = 2,
+):
+    """Distributed Lloyd's k-means for IVF coarse quantization.
+
+    Init is deterministic (the `nlist` lowest-id vectors); each
+    iteration assigns every vector to its nearest centroid with a
+    Catalyst argmax over broadcast centroid literals, then recomputes
+    per-cluster means via posexplode + groupBy — one shuffle of
+    (cluster, dim, value) triples per iteration, never the vectors to
+    the driver. Only the nlist×dim centroid matrix is collected
+    (tiny, by construction). Returns a list[list[float]].
+    """
+    init = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy("__id")
+        .limit(nlist)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["__v"]] for r in init]
+    v = F.col(vec_col)
+    for _ in range(iters):
+        assigned = corpus.select(
+            v.alias("__v"), _nearest_centroid(v, centroids).alias("__c")
+        )
+        rows = (
+            assigned.select("__c", F.posexplode("__v").alias("__d", "__x"))
+            .groupBy("__c", "__d")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in rows:
+            new[r["__c"]][r["__d"]] = float(r["__m"])
+        centroids = new
+    return centroids
+
+
+def _centroid_scores(vec: Column, centroids) -> Column:
+    """array<struct<s:double,i:int>> of cosine(vec, centroid_i)."""
+    n = _norm(vec)
+    scores = []
+    for i, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        cn = sum(x * x for x in c) ** 0.5 or 1.0
+        scores.append(
+            F.struct((_dot(vec, lit) / (n * F.lit(cn))).alias("s"),
+                     F.lit(i).alias("i"))
+        )
+    return F.array(*scores)
+
+
+def _nearest_centroid(vec: Column, centroids) -> Column:
+    # array_max on struct<s,i> compares s first -> argmax by score.
+    return F.array_max(_centroid_scores(vec, centroids))["i"]
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer + multi-probe.
+
+    Corpus vectors are assigned to their nearest of `nlist` centroids
+    (one pass, no shuffle of the corpus); each query probes its
+    `nprobe` nearest cells and runs exact cosine only there — an
+    nlist/nprobe scan reduction. At 100 TB, persist the corpus
+    partitioned/bucketed by `__cell` so probing partition-prunes and
+    the per-cell join is shuffle-free; centroids stay a broadcast
+    literal (nlist×dim floats).
+    """
+    centroids = train_ivf_centroids(corpus, corpus_vec, corpus_id, nlist, iters)
+
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(corpus_vec).alias("__cv"),
+        _nearest_centroid(F.col(corpus_vec), centroids).alias("__cell"),
+    )
+    probe = F.transform(
+        F.slice(F.reverse(F.array_sort(_centroid_scores(F.col(query_vec), centroids))),
+                1, nprobe),
+        lambda s: s["i"],
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("__qid"),
+            F.col(query_vec).alias("__qv"),
+            F.explode(probe).alias("__cell"),
+        )
+    )
+    scored = q.join(c, "__cell").select(
+        "__qid",
+        "__cid",
+        (_dot(F.col("__qv"), F.col("__cv"))
+         / (_norm(F.col("__qv")) * _norm(F.col("__cv")))).alias("cosine"),
+    )
+    return _rank_topk(scored, k)
+
+
 def _bucket_expr(vec: Column, plane_mat) -> Column:
     bits = []
     for row in plane_mat:

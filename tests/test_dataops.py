@@ -135,3 +135,59 @@ def test_multimodal_plumbing(spark):
     plan = frame_sample_plan(au, every_n=16000)
     n = plan.groupBy("id").count().first()["count"]
     assert n >= 1
+
+
+def _toy_embeddings(spark, n=80, dim=8, clusters=4):
+    """Deterministic clustered vectors: cluster centers on axes, small
+    per-id jitter — same-cluster vectors have high cosine."""
+    import math
+
+    rows = []
+    for i in range(n):
+        c = i % clusters
+        v = [0.05 * math.sin(i * (d + 1)) for d in range(dim)]
+        v[c] += 1.0
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_ivf_topk_matches_brute_force_top1(spark):
+    from seatunnel_spark.dataops import brute_force_topk, ivf_topk
+
+    e = _toy_embeddings(spark)
+    q = e.filter(F.col("vec_id") < 4)
+    exact = brute_force_topk(q, e, "vec_id", "vec_id", k=3)
+    approx = ivf_topk(q, e, "vec_id", "vec_id", k=3, nlist=4, nprobe=2, iters=2)
+    ex1 = {r["query_id"]: r["match_id"] for r in exact.filter("rank = 1").collect()}
+    ap1 = {r["query_id"]: r["match_id"] for r in approx.filter("rank = 1").collect()}
+    # top-1 is the query itself (cosine 1.0) and must survive quantization
+    assert ex1 == ap1
+    assert all(ex1[k] == k for k in ex1)
+    # k rows per query
+    assert approx.groupBy("query_id").count().filter("count != 3").count() == 0
+
+
+def test_ivf_nprobe_full_equals_exact(spark):
+    from seatunnel_spark.dataops import brute_force_topk, ivf_topk
+
+    e = _toy_embeddings(spark, n=40)
+    q = e.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(q, e, "vec_id", "vec_id", k=5)
+    # probing every cell == brute force
+    full = ivf_topk(q, e, "vec_id", "vec_id", k=5, nlist=4, nprobe=4, iters=1)
+    ex = {(r["query_id"], r["rank"]): r["match_id"] for r in exact.collect()}
+    fu = {(r["query_id"], r["rank"]): r["match_id"] for r in full.collect()}
+    assert ex == fu
+
+
+def test_embedding_near_dups_exact_vs_lsh_recall(spark):
+    from seatunnel_spark.dataops import embedding_near_dups
+
+    e = _toy_embeddings(spark)
+    exact = embedding_near_dups(e, "vec_id", "embedding", threshold=0.9, planes=0)
+    lsh = embedding_near_dups(e, "vec_id", "embedding", threshold=0.9, planes=2)
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    assert lsh_pairs <= exact_pairs          # no false positives
+    assert exact_pairs                        # clustered data has near-dups
+    assert len(lsh_pairs) >= len(exact_pairs) * 0.5   # blocking keeps recall
