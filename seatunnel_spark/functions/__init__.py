@@ -40,19 +40,135 @@ _NAME_REWRITES = {
     "DAY_OF_WEEK": "dayofweek",
     "DAY_OF_YEAR": "dayofyear",
     "WEEK": "weekofyear",
-    # Zeta DATEDIFF(d1, d2) = whole days d1-d2 (sql-functions.md) —
-    # Spark datediff(end, start) matches the arg order.
     # Zeta DAYNAME/MONTHNAME return FULL names ('Thursday'); Spark 4's
     # natives abbreviate ('Thu') -> shim.
     "DAYNAME": "ZETA_DAYNAME",
     "MONTHNAME": "ZETA_MONTHNAME",
 }
 
+_QUOTED = re.compile(r"'[^']*'")
+
+
+def _split_call_args(sql: str, lparen: int) -> tuple[list[str], int]:
+    """Split the argument list of a call whose '(' is at `lparen` into
+    top-level args; returns (args, index-after-')')."""
+    depth, args, cur, in_str = 0, [], [], None
+    i = lparen
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            cur.append(ch)
+            if ch == in_str:
+                if i + 1 < len(sql) and sql[i + 1] == in_str:  # '' escape
+                    cur.append(sql[i + 1])
+                    i += 1
+                else:
+                    in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            if depth > 1:
+                cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                tail = "".join(cur).strip()
+                if tail or args:
+                    args.append(tail)
+                return args, i + 1
+            cur.append(ch)
+        elif ch == "," and depth == 1:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    raise ValueError(f"unbalanced parentheses in SQL near offset {lparen}")
+
+
+def _rewrite_calls(sql: str, name_pattern: str, builder) -> str:
+    """Replace every call site matching name_pattern via
+    builder(args)->str. Matches are collected upfront and processed
+    right-to-left, so builder output is never re-scanned (no loops when
+    the output spells the same name) and nested same-name calls are
+    rewritten innermost-first."""
+    pat = re.compile(rf"\b(?:{name_pattern})\s*\(", re.I)
+    for m in reversed(list(pat.finditer(sql))):
+        args, end = _split_call_args(sql, sql.index("(", m.start()))
+        sql = sql[: m.start()] + builder(args) + sql[end:]
+    return sql
+
+
+_UNITS = {"YEAR", "QUARTER", "MONTH", "WEEK", "DAY", "DAYTIME", "HOUR",
+          "MINUTE", "SECOND", "MILLISECOND", "MICROSECOND", "NANOSECOND"}
+
+
+def _unit_args(args: list[str], default_unit: str = "DAY"):
+    """Zeta puts the unit LAST as a quoted string (dateadd(ts, n, 'DAY'),
+    func_datetime.conf:53); H2/Spark dialects put it FIRST (quoted or a
+    bare keyword). Accept all three; 2-arg calls default to DAY
+    (DateTimeFunction.java:152). Returns (unit, rest, unit_was_first)."""
+    if args and _QUOTED.fullmatch(args[0]):
+        return args[0][1:-1].upper(), args[1:], True
+    if len(args) >= 3 and args[0].upper() in _UNITS:
+        return args[0].upper(), args[1:], True
+    if len(args) >= 3 and _QUOTED.fullmatch(args[-1]):
+        return args[-1][1:-1].upper(), args[:-1], False
+    return default_unit, args, False
+
+
+def _build_dateadd(args: list[str]) -> str:
+    unit, rest, unit_first = _unit_args(args)
+    n, x = (rest[0], rest[1]) if unit_first else (rest[1], rest[0])
+    return f"timestampadd({unit}, {n}, {x})"
+
+
+def _build_datediff(args: list[str]) -> str:
+    # Zeta DATEDIFF(a, b[, unit]) = b - a (Duration.between(a, b),
+    # DateTimeFunction.java:143-215); H2's DATEDIFF(unit, a, b) is also
+    # b - a, so both forms share one mapping. YEAR/MONTH use java.time
+    # Period COMPONENTS (months excludes whole years); DAY compares
+    # calendar dates ignoring time-of-day; DAYTIME is the raw 24h count.
+    unit, (a, b), _ = _unit_args(args)
+    if unit == "DAY":
+        return f"CAST(datediff(CAST(({b}) AS DATE), CAST(({a}) AS DATE)) AS BIGINT)"
+    if unit == "MONTH":
+        return (f"(timestampdiff(MONTH, {a}, {b})"
+                f" - 12 * timestampdiff(YEAR, {a}, {b}))")
+    if unit == "DAYTIME":
+        return f"timestampdiff(DAY, {a}, {b})"
+    return f"timestampdiff({unit}, {a}, {b})"
+
+
+def _build_date_trunc(args: list[str]) -> str:
+    # Zeta DATE_TRUNC(ts, 'UNIT') (sql-functions.md:692) vs Spark
+    # date_trunc('UNIT', ts): swap only when the unit is in Zeta position.
+    if len(args) == 2 and _QUOTED.fullmatch(args[1]) and not _QUOTED.fullmatch(args[0]):
+        return f"date_trunc({args[1]}, {args[0]})"
+    return f"date_trunc({', '.join(args)})"
+
+
+def _build_trunc(args: list[str]) -> str:
+    # Zeta TRUNC|TRUNCATE is numeric-only (sql-functions.md:626-634);
+    # leave Spark's date form TRUNC(date, 'fmt') untouched.
+    if len(args) == 2 and _QUOTED.fullmatch(args[1]):
+        return f"trunc({', '.join(args)})"
+    return f"TRUNCATE({', '.join(args)})"
+
 
 def rewrite_zeta_sql(sql: str) -> str:
     out = sql
     for zeta, spark_name in _NAME_REWRITES.items():
         out = re.sub(rf"\b{zeta}\s*\(", f"{spark_name}(", out, flags=re.I)
+    for name_pattern, builder in (
+        ("DATEADD|TIMESTAMPADD", _build_dateadd),
+        ("DATEDIFF", _build_datediff),
+        ("DATE_TRUNC", _build_date_trunc),
+        ("TRUNC", _build_trunc),
+    ):
+        out = _rewrite_calls(out, name_pattern, builder)
     # Zeta allows parameterless VARCHAR in CAST (ZetaSQLType.java:68-83);
     # Spark requires a length — map to STRING.
     out = re.sub(r"\bAS\s+VARCHAR\b(?!\s*\()", "AS STRING", out, flags=re.I)

@@ -80,8 +80,39 @@ DATETIME_CASES = [
     ("EXTRACT(DAY FROM TIMESTAMP '2023-06-15 10:30:00')", 15),
     ("FORMATDATETIME(TIMESTAMP '2023-06-15 10:30:00', 'yyyy-MM-dd')", "2023-06-15"),
     ("CAST(PARSEDATETIME('2023-06-15', 'yyyy-MM-dd') AS STRING)", "2023-06-15 00:00:00"),
-    ("DATEDIFF(DATE '2023-06-15', DATE '2023-06-10')", 5),
+    # Zeta DATEDIFF(a, b[, unit]) = b - a (Duration.between,
+    # DateTimeFunction.java:143-215) — note the sign.
+    ("DATEDIFF(DATE '2023-06-15', DATE '2023-06-10')", -5),
+    ("DATEDIFF(DATE '2023-06-10', DATE '2023-06-15')", 5),
+    ("DATEDIFF(TIMESTAMP '2023-06-10 23:00:00', TIMESTAMP '2023-06-11 01:00:00')", 1),
+    ("DATEDIFF(TIMESTAMP '2023-06-10 23:00:00', TIMESTAMP '2023-06-11 01:00:00', 'DAYTIME')", 0),
+    ("DATEDIFF(DATE '2021-01-15', DATE '2023-06-20', 'YEAR')", 2),
+    # MONTH returns the Period *component* (months beyond whole years)
+    ("DATEDIFF(DATE '2021-01-15', DATE '2023-06-20', 'MONTH')", 5),
+    ("DATEDIFF(TIMESTAMP '2023-06-15 08:00:00', TIMESTAMP '2023-06-15 11:30:00', 'HOUR')", 3),
+    # unit-first H2/Spark spelling also accepted
+    ("DATEDIFF('DAY', DATE '2023-06-10', DATE '2023-06-15')", 5),
+    # Zeta DATEADD(ts, n, 'unit'): datetime first, unit last; 2-arg
+    # defaults to DAY (func_datetime.conf:53 `dateadd(c1, 1)`)
+    ("CAST(CAST(DATEADD(DATE '2023-06-15', 1) AS DATE) AS STRING)", "2023-06-16"),
+    ("CAST(DATEADD(TIMESTAMP '2023-06-15 10:00:00', 40, 'DAY') AS STRING)",
+     "2023-07-25 10:00:00"),
+    ("CAST(DATEADD(TIMESTAMP '2023-06-15 10:00:00', 2, 'YEAR') AS STRING)",
+     "2025-06-15 10:00:00"),
+    ("CAST(DATEADD(TIMESTAMP '2023-06-15 10:00:00', 13, 'HOUR') AS STRING)",
+     "2023-06-15 23:00:00"),
+    ("CAST(TIMESTAMPADD(TIMESTAMP '2023-06-15 10:00:00', 30, 'SECOND') AS STRING)",
+     "2023-06-15 10:00:30"),
+    # unit-first Spark spelling passes through
+    ("CAST(TIMESTAMPADD(HOUR, 2, TIMESTAMP '2023-06-15 10:00:00') AS STRING)",
+     "2023-06-15 12:00:00"),
+    ("CAST(TRUNC(3.79, 1) AS DOUBLE)", 3.7),
+    # Spark's date-form TRUNC stays native
+    ("CAST(TRUNC(DATE '2023-06-15', 'MM') AS STRING)", "2023-06-01"),
     ("CAST(DATE_TRUNC('month', TIMESTAMP '2023-06-15 10:30:00') AS STRING)",
+     "2023-06-01 00:00:00"),
+    # Zeta DATE_TRUNC(ts, 'UNIT') — reversed args (func_datetime.conf:53)
+    ("CAST(DATE_TRUNC(TIMESTAMP '2023-06-15 10:30:00', 'MONTH') AS STRING)",
      "2023-06-01 00:00:00"),
     ("DAYNAME(DATE '2023-06-15')", "Thursday"),
     ("MONTHNAME(DATE '2023-06-15')", "June"),
