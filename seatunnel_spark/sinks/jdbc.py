@@ -67,31 +67,21 @@ class JdbcSink(Sink):
 
     def _upsert(self, df: DataFrame, url: str, table: str, props: dict,
                 keys: list[str]) -> None:
-        """Partition-parallel batched upsert (INSERT ... ON CONFLICT/
-        DUPLICATE KEY per dialect). Executors each hold one connection —
+        """Partition-parallel batched upsert using the dialect's native
+        statement (INSERT..ON DUPLICATE KEY / ON CONFLICT / MERGE INTO,
+        seatunnel_spark.jdbc_dialects), falling back to the reference's
+        update-then-insert pair when the dialect has none
+        (JdbcDialect.java:166-207). Executors each hold one connection —
         the reference's sink resource-sharing pattern
         (seatunnel-api/.../sink/multitablesink/)."""
+        from seatunnel_spark.jdbc_dialects import dialect_for
+
         cols = df.columns
-        dialect = "mysql" if url.startswith("jdbc:mysql") else (
-            "postgresql" if url.startswith("jdbc:postgresql") else "generic")
-        if dialect == "mysql":
-            sql = (
-                f"INSERT INTO {table} ({', '.join(cols)}) VALUES "
-                f"({', '.join(['?'] * len(cols))}) ON DUPLICATE KEY UPDATE "
-                + ", ".join(f"{c}=VALUES({c})" for c in cols if c not in keys)
-            )
-        elif dialect == "postgresql":
-            sql = (
-                f"INSERT INTO {table} ({', '.join(cols)}) VALUES "
-                f"({', '.join(['?'] * len(cols))}) ON CONFLICT ({', '.join(keys)}) "
-                "DO UPDATE SET "
-                + ", ".join(f"{c}=EXCLUDED.{c}" for c in cols if c not in keys)
-            )
-        else:
-            raise NotImplementedError(
-                f"upsert dialect for {url.split(':')[1]} not wired; "
-                "use generate_sink_sql=false + staging table"
-            )
+        dialect = dialect_for(url, self.opt("compatible_mode"))
+        sql = dialect.upsert_sql(table, cols, keys)
+        if sql is None:
+            sql = (dialect.update_sql(table, cols, keys)
+                   + " /* then-if-0-rows */ " + dialect.insert_sql(table, cols))
 
         def run_partition(rows):
             # Would open one JDBC connection per partition via jaydebeapi/JVM

@@ -25,20 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from seatunnel_spark.sources.base import Source
 
+from seatunnel_spark.jdbc_dialects import dialect_for
+
 JDBC_ALIAS_NAMES = ["Jdbc", "Mysql", "Postgres", "Oracle", "SqlServer", "Clickhouse",
                     "Doris", "StarRocks", "Greenplum", "Redshift", "Snowflake",
                     "Sqlite", "Teradata", "Vertica", "OceanBase", "Db2", "SapHana"]
-
-_DIALECT_DRIVERS = {
-    "jdbc:mysql": "com.mysql.cj.jdbc.Driver",
-    "jdbc:postgresql": "org.postgresql.Driver",
-    "jdbc:oracle": "oracle.jdbc.OracleDriver",
-    "jdbc:sqlserver": "com.microsoft.sqlserver.jdbc.SQLServerDriver",
-    "jdbc:clickhouse": "com.clickhouse.jdbc.ClickHouseDriver",
-    "jdbc:sqlite": "org.sqlite.JDBC",
-    "jdbc:db2": "com.ibm.db2.jcc.DB2Driver",
-    "jdbc:sap": "com.sap.db.jdbc.Driver",
-}
 
 
 class JdbcSource(Source):
@@ -50,9 +41,8 @@ class JdbcSource(Source):
             "user": str(self.opt("user", "")),
             "password": str(self.opt("password", "")),
         }
-        driver = self.opt("driver") or next(
-            (d for p, d in _DIALECT_DRIVERS.items() if url.startswith(p)), None
-        )
+        dialect = dialect_for(url, self.opt("compatible_mode"))
+        driver = self.opt("driver") or dialect.driver or None
         if driver:
             props["driver"] = driver
 
