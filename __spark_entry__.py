@@ -557,6 +557,40 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(q, e, "vec_id", "vec_id", k=10, planes=4)
 
 
+def pipe_job_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path, oracle-checked: job spec -> DAG resolution ->
+    FieldMapper -> Filter -> Sql aggregate, through run_job (the same
+    code a HOCON/SQL config exercises)."""
+    from seatunnel_spark import run_job
+
+    tables = run_job(
+        {
+            "env": {"job.mode": "BATCH"},
+            "source": [
+                {"plugin_name": "LocalFile", "plugin_output": "ordr",
+                 "path": f"{sf_dir}/orders.parquet",
+                 "file_format_type": "parquet"}
+            ],
+            "transform": [
+                {"plugin_name": "FieldMapper", "plugin_input": "ordr",
+                 "plugin_output": "mapped",
+                 "field_mapper": {"o_orderkey": "okey", "o_orderstatus": "status",
+                                  "o_totalprice": "price", "o_orderpriority": "prio"}},
+                {"plugin_name": "Filter", "plugin_input": "mapped",
+                 "plugin_output": "slim", "exclude_fields": ["prio"]},
+                {"plugin_name": "Sql", "plugin_input": "slim",
+                 "plugin_output": "agg",
+                 "query": ("SELECT status, COUNT(*) AS n, "
+                           "ROUND(SUM(price), 2) AS total "
+                           "FROM slim GROUP BY status")},
+            ],
+            "sink": [],
+        },
+        spark,
+    )
+    return tables["agg"]
+
+
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, exact mode (planes=0) — the oracle-
     checkable correctness baseline for the LSH-blocked scale path."""
@@ -661,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": sim_topk,
         "sim_pairs_exact": sim_pairs_exact,
         "dedup_embedding_pairs": dedup_embedding_pairs,
+        "pipe_job_dag": pipe_job_dag,
         "stream_windowed_events": stream_windowed_events,
         # rows-only (no SQL oracle): python hashing / inference / codecs
         "t_llm": t_llm,
@@ -1028,6 +1063,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_dot_product(a.e, b.e)
                         / (sqrt(list_dot_product(a.e, a.e))
                            * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.3
+        """,
+        "pipe_job_dag": """
+            SELECT o_orderstatus AS status, COUNT(*) AS n,
+                   ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders GROUP BY o_orderstatus
         """,
         "dedup_embedding_pairs": """
             WITH v AS (
