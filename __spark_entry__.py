@@ -233,6 +233,44 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join without a cross product: bucketed equi-join +
+    residual between-filter (dataops.timeseries.range_join_bucketed).
+    Customers matched to suppliers within ±100 account balance."""
+    from seatunnel_spark.dataops.timeseries import range_join_bucketed
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("bal")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal").cast("double") - 100).alias("lo"),
+        (F.col("s_acctbal").cast("double") + 100).alias("hi"),
+    )
+    out = range_join_bucketed(cust, supp, "bal", "lo", "hi", bucket_width=200.0)
+    return out.select("c_custkey", "s_suppkey")
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (dataops.skew.salted_join): lineitem salted
+    over 8 buckets, orders replicated — result identical to the plain
+    join, hot orderkeys spread across reducers."""
+    from seatunnel_spark.dataops import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    out = salted_join(li, orders, "l_orderkey", salt=8)
+    return out.groupBy("o_orderpriority").agg(
+        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
 # ===========================================================================
 # Transform parity suite (SURVEY.md §2.2 — one query per transform class)
 # ===========================================================================
@@ -674,6 +712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_set_ops": q_set_ops,
         "q_asof_join": q_asof_join,
         "q_sessionize": q_sessionize,
+        "q_range_join": q_range_join,
+        "q_salted_join": q_salted_join,
         "t_copy": t_copy,
         "t_field_mapper": t_field_mapper,
         "t_filter_fields": t_filter_fields,
@@ -858,6 +898,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(max(ts))) AS BIGINT)
                      - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
             FROM s GROUP BY user_id, session_id
+        """,
+        "q_range_join": """
+            SELECT c.c_custkey, s.s_suppkey
+            FROM customer c JOIN supplier s
+              ON CAST(c.c_acctbal AS DOUBLE)
+                 BETWEEN CAST(s.s_acctbal AS DOUBLE) - 100
+                     AND CAST(s.s_acctbal AS DOUBLE) + 100
+        """,
+        "q_salted_join": """
+            SELECT o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "t_copy": """
             SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,

@@ -24,6 +24,7 @@ from seatunnel_spark.dataops.similarity import (
     ivf_topk,
     train_ivf_centroids,
 )
+from seatunnel_spark.dataops.skew import salted_join
 from seatunnel_spark.dataops.text import (
     token_count,
     quality_signals,
@@ -35,6 +36,6 @@ __all__ = [
     "exact_dedup", "exact_dup_groups", "minhash_signatures", "minhash_lsh_pairs",
     "simhash64", "simhash_near_dups", "ngram_jaccard_pairs", "embedding_near_dups",
     "with_cosine", "brute_force_topk", "lsh_bucketed_topk",
-    "ivf_topk", "train_ivf_centroids",
+    "ivf_topk", "train_ivf_centroids", "salted_join",
     "token_count", "quality_signals", "lang_id", "fingerprint",
 ]

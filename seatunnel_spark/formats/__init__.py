@@ -163,6 +163,42 @@ def decode_ogg(df: DataFrame, schema_opt) -> DataFrame:
     return _two_phase(p, schema, F.col("v.before"), F.col("v.after"), op, "I", "U", "D")
 
 
+def decode_kafka_connect(df: DataFrame, schema_opt) -> DataFrame:
+    """Kafka Connect JSON envelope {schema: {...}, payload: {...}}
+    (seatunnel-format-compatible-connect-json): the declared row schema
+    applies to `payload`; the inline `schema` member is ignored (the
+    job config is the source of truth, as in the reference)."""
+    schema = _schema_of(schema_opt)
+    env = T.StructType([T.StructField("payload", schema)])
+    return (
+        df.select(F.from_json(_value_str(df), env).alias("v"))
+        .select("v.payload.*")
+        .withColumn(ROW_KIND_COL, F.lit("+I"))
+    )
+
+
+def decode_protobuf(df: DataFrame, schema_opt, descriptor_file: str | None = None,
+                    message_name: str | None = None) -> DataFrame:
+    """Protobuf payload via spark-protobuf (seatunnel-format-protobuf
+    analog). Needs the compiled descriptor set + message name
+    (`protobuf_schema_file` / `protobuf_message_name` options)."""
+    from pyspark.sql.protobuf.functions import from_protobuf
+
+    if not descriptor_file or not message_name:
+        raise ValueError(
+            "protobuf format requires protobuf_schema_file (compiled "
+            "FileDescriptorSet) and protobuf_message_name"
+        )
+    return (
+        df.select(
+            from_protobuf(F.col("value"), message_name,
+                          descFilePath=descriptor_file).alias("r")
+        )
+        .select("r.*")
+        .withColumn(ROW_KIND_COL, F.lit("+I"))
+    )
+
+
 def decode_avro(df: DataFrame, schema_opt, avro_schema_json: str | None = None) -> DataFrame:
     from pyspark.sql.avro.functions import from_avro
 
@@ -183,16 +219,20 @@ _DECODERS = {
     "CANAL_JSON": decode_canal,
     "MAXWELL_JSON": decode_maxwell,
     "OGG_JSON": decode_ogg,
-    "COMPATIBLE_KAFKA_CONNECT_JSON": decode_json,
+    "COMPATIBLE_KAFKA_CONNECT_JSON": decode_kafka_connect,
 }
 
 
-def decode_payload(df: DataFrame, fmt: str, schema_opt, delimiter: str = ",") -> DataFrame:
+def decode_payload(df: DataFrame, fmt: str, schema_opt, delimiter: str = ",",
+                   **opts) -> DataFrame:
     fmt = fmt.upper()
     if fmt == "TEXT":
         return decode_text(df, schema_opt, delimiter)
     if fmt == "AVRO":
-        return decode_avro(df, schema_opt, None)
+        return decode_avro(df, schema_opt, opts.get("avro_schema"))
+    if fmt == "PROTOBUF":
+        return decode_protobuf(df, schema_opt, opts.get("protobuf_schema_file"),
+                               opts.get("protobuf_message_name"))
     if fmt not in _DECODERS:
         raise ValueError(f"unknown message format {fmt!r}; known: {sorted(_DECODERS)}")
     return _DECODERS[fmt](df, schema_opt)

@@ -191,3 +191,20 @@ def test_embedding_near_dups_exact_vs_lsh_recall(spark):
     assert lsh_pairs <= exact_pairs          # no false positives
     assert exact_pairs                        # clustered data has near-dups
     assert len(lsh_pairs) >= len(exact_pairs) * 0.5   # blocking keeps recall
+
+
+def test_salted_join_equals_plain_join(spark):
+    from seatunnel_spark.dataops import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for i in range(50) for k in ([1] * 5 + [i % 7])], ["k", "v"]
+    )
+    right = spark.createDataFrame([(k, f"r{k}") for k in range(7)], ["k", "name"])
+    plain = left.join(right, "k").groupBy("k", "name").count()
+    salted = salted_join(left, right, "k", salt=4).groupBy("k", "name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left join preserves unmatched skewed rows
+    l2 = left.withColumn("k", F.col("k") + 100)
+    lp = l2.join(right, "k", "left").count()
+    ls = salted_join(l2, right, "k", salt=4, how="left").count()
+    assert lp == ls

@@ -97,3 +97,25 @@ def test_binary_value_and_unknown_format(spark):
     assert out[0]["id"] == 3
     with pytest.raises(ValueError, match="unknown message format"):
         decode_payload(df, "BOGUS", SCHEMA)
+
+
+def test_kafka_connect_envelope(spark):
+    from seatunnel_spark.formats import decode_payload
+
+    df = spark.createDataFrame(
+        [('{"schema":{"type":"struct"},"payload":{"id":7,"name":"x"}}',)],
+        ["value"],
+    )
+    out = decode_payload(df, "COMPATIBLE_KAFKA_CONNECT_JSON",
+                         {"fields": {"id": "int", "name": "string"}})
+    row = out.first()
+    assert row["id"] == 7 and row["name"] == "x" and row["__row_kind"] == "+I"
+
+
+def test_protobuf_requires_descriptor(spark):
+    import pytest
+    from seatunnel_spark.formats import decode_payload
+
+    df = spark.createDataFrame([(bytearray(b"\x00"),)], ["value"])
+    with pytest.raises(ValueError, match="protobuf_schema_file"):
+        decode_payload(df, "PROTOBUF", None)
