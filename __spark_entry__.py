@@ -84,10 +84,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+    # Distributed top-k: sort+limit compiles to TakeOrderedAndProject
+    # (per-partition heaps + k-merge) — a global row_number() window
+    # would single-partition the whole grouped set instead.
+    top = grouped.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
     return (
-        grouped.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= 10)
+        top.withColumn("rnk", F.row_number().over(w).cast("int"))
         .select(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),

@@ -1,0 +1,68 @@
+"""Physical-plan regression tests: the properties that make the
+headline queries survive a 100×-1000× scale-up. A correctness-neutral
+edit that, say, drops a broadcast hint or breaks column pruning fails
+HERE rather than in a cluster."""
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = entry.queries()
+
+    def plan_of(name):
+        df = qs[name](spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_q3_joins_are_broadcast(plans):
+    p = plans("q3_shipping_priority")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q3_topk_is_distributed(plans):
+    # global row_number() would show a partition-less Window over the
+    # full grouped set; sort+limit compiles to TakeOrderedAndProject.
+    p = plans("q3_shipping_priority")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q5_all_dim_joins_broadcast(plans):
+    p = plans("q5_region_revenue")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p
+
+
+def test_q1_scan_prunes_columns(plans):
+    # 7-column aggregate over a 16-column table: ReadSchema must not
+    # contain unused columns, and the date filter must be pushed.
+    p = plans("q1_pricing_summary")
+    scan = next(line for line in p.splitlines() if "FileScan parquet" in line)
+    assert "l_comment" not in scan and "l_partkey" not in scan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p or "PushedFilters: [" in p
+
+
+def test_q1_partial_aggregation(plans):
+    # map-side combine: partial_sum before the exchange.
+    p = plans("q1_pricing_summary")
+    assert "partial_sum" in p
+
+
+def test_sim_topk_broadcasts_queries_not_corpus(plans):
+    p = plans("sim_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # corpus side must stay a streamed scan (no exchange of the corpus
+    # before the join)
+    assert "CartesianProduct" not in p
+
+
+def test_minhash_shuffle_carries_signatures_not_shingles(plans):
+    # ONE hash-aggregate pair (partial_min then min) around one
+    # exchange: the shuffle payload is the fixed-width digests.
+    p = plans("dedup_minhash_pairs")
+    assert "partial_min" in p
