@@ -150,6 +150,24 @@ def _build_date_trunc(args: list[str]) -> str:
     return f"date_trunc({', '.join(args)})"
 
 
+def _build_extract(args: list[str]) -> str:
+    # Zeta EXTRACT (func_datetime.conf:53 uses MILLISECOND, DAYOFWEEK,
+    # DAYOFYEAR; all return ints). Spark lacks MILLISECOND/DAYOFYEAR and
+    # returns SECOND as decimal-with-fraction — shim those three, pass
+    # everything else through.
+    m = re.match(r"(\w+)\s+FROM\s+(.*)", args[0].strip(), re.S | re.I) if args else None
+    if not m:
+        return f"extract({', '.join(args)})"
+    field, x = m.group(1).upper(), m.group(2)
+    if field == "MILLISECOND":
+        return f"(CAST(extract(SECOND FROM {x}) * 1000 AS BIGINT) % 1000)"
+    if field == "DAYOFYEAR":
+        return f"extract(DOY FROM {x})"
+    if field == "SECOND":
+        return f"CAST(FLOOR(extract(SECOND FROM {x})) AS BIGINT)"
+    return f"extract({field} FROM {x})"
+
+
 def _build_trunc(args: list[str]) -> str:
     # Zeta TRUNC|TRUNCATE is numeric-only (sql-functions.md:626-634);
     # leave Spark's date form TRUNC(date, 'fmt') untouched.
@@ -167,6 +185,7 @@ def rewrite_zeta_sql(sql: str) -> str:
         ("DATEDIFF", _build_datediff),
         ("DATE_TRUNC", _build_date_trunc),
         ("TRUNC", _build_trunc),
+        ("EXTRACT", _build_extract),
     ):
         out = _rewrite_calls(out, name_pattern, builder)
     # Zeta allows parameterless VARCHAR in CAST (ZetaSQLType.java:68-83);

@@ -118,6 +118,12 @@ DATETIME_CASES = [
     ("MONTHNAME(DATE '2023-06-15')", "June"),
     ("IS_DATE('2023-06-15', 'yyyy-MM-dd')", True),
     ("IS_DATE('not-a-date', 'yyyy-MM-dd')", False),
+    # Zeta EXTRACT fields Spark lacks (func_datetime.conf:53)
+    ("EXTRACT(MILLISECOND FROM TIMESTAMP '2023-06-15 10:30:45.123')", 123),
+    ("EXTRACT(DAYOFYEAR FROM TIMESTAMP '2023-06-15 10:30:00')", 166),
+    ("EXTRACT(DAYOFWEEK FROM TIMESTAMP '2023-06-15 10:30:00')", 5),
+    # Zeta SECOND extract is an integer, not Spark's decimal seconds
+    ("EXTRACT(SECOND FROM TIMESTAMP '2023-06-15 10:30:45.999')", 45),
 ]
 
 CONDITIONAL_CASES = [
