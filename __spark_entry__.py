@@ -679,6 +679,22 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing: binary -> mapInPandas re-encode (stub
+    codec) -> binary + typed metadata."""
+    from seatunnel_spark.dataops.multimodal import image_resize
+
+    docs = _t(spark, sf_dir, "documents").limit(100).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    out = image_resize(docs, 32, 32)
+    return out.select(
+        "doc_id",
+        F.col("resized_meta.width").alias("w"),
+        F.length("content").alias("nbytes"),
+    )
+
+
 def stream_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed aggregation via the streaming module (runs on
     the batch frame here; identical code path handles readStream)."""
@@ -748,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": sim_lsh_topk,
         "sim_ivf_topk": sim_ivf_topk,
         "mm_image_features": mm_image_features,
+        "mm_image_resize": mm_image_resize,
     }
 
 

@@ -83,6 +83,35 @@ def image_features(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.mapInPandas(run, schema=out_schema)
 
 
+def image_resize(df: DataFrame, width: int, height: int,
+                 content_col: str = "content") -> DataFrame:
+    """Resize images in Arrow batches: replaces `content` with the
+    re-encoded bytes and appends a resized_meta struct.
+
+    STUB codec (real impl: PIL Image.resize + save to BytesIO) — the
+    fake emits deterministic bytes sized ~w*h/16 so byte-volume
+    behavior under repartition/spill is realistic. The Spark shape is
+    the real one: binary in, binary out, batch-at-a-time, no driver
+    involvement, safe to chain before a partitioned write."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("resized_meta", IMAGE_META)]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out_bytes, metas = [], []
+            for content in pdf[content_col]:
+                src = bytes(content) if content is not None else b""
+                h = hashlib.sha256(src + f"{width}x{height}".encode()).digest()
+                out_bytes.append(h * max((width * height) // (16 * len(h)), 1))
+                metas.append({"width": width, "height": height, "format": "fake/raw"})
+            pdf[content_col] = out_bytes
+            pdf["resized_meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def _decode_audio(content: bytes) -> tuple[int, int, str]:
     """STUB decoder. Real impl: soundfile/librosa. Deterministic fake."""
     h = hashlib.sha256(content or b"").digest()

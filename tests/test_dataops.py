@@ -208,3 +208,21 @@ def test_salted_join_equals_plain_join(spark):
     lp = l2.join(right, "k", "left").count()
     ls = salted_join(l2, right, "k", salt=4, how="left").count()
     assert lp == ls
+
+
+def test_image_resize_plumbing(spark):
+    from seatunnel_spark.dataops.multimodal import image_resize
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"img-a")), (2, bytearray(b"img-b")), (3, None)],
+        ["id", "content"],
+    )
+    out = image_resize(df, 32, 32).collect()
+    assert all(r["resized_meta"]["width"] == 32 for r in out)
+    assert all(r["content"] is not None and len(r["content"]) >= 32 for r in out)
+    # deterministic re-encode
+    again = image_resize(df, 32, 32).collect()
+    assert [bytes(r["content"]) for r in out] == [bytes(r["content"]) for r in again]
+    # different target size -> different bytes
+    other = image_resize(df, 64, 64).collect()
+    assert bytes(other[0]["content"]) != bytes(out[0]["content"])
