@@ -236,6 +236,35 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-semi-join orders→lineitem + aggregate
+    (left-semi keeps one shuffle; lineitem side pre-filtered)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def t_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata transform: surface Database/Table/RowKind from the
+    multi-table routing columns (MetadataTransform.java:42)."""
+    from seatunnel_spark.transforms import get_transform
+    from seatunnel_spark.types import TABLE_ID_COL
+
+    n = _t(spark, sf_dir, "nation").withColumn(TABLE_ID_COL, F.lit("tpch.nation"))
+    out = get_transform(
+        "Metadata",
+        {"metadata_fields": {"Database": "db", "Table": "tbl", "RowKind": "kind"}},
+    ).apply(n)
+    return out.select("n_nationkey", "n_name", "db", "tbl", "kind")
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join without a cross product: bucketed equi-join +
     residual between-filter (dataops.timeseries.range_join_bucketed).
@@ -733,6 +762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_range_join": q_range_join,
         "q_salted_join": q_salted_join,
+        "q4_semi_join": q4_semi_join,
+        "t_metadata": t_metadata,
         "t_copy": t_copy,
         "t_field_mapper": t_field_mapper,
         "t_filter_fields": t_filter_fields,
@@ -932,6 +963,20 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "q4_semi_join": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(o_orderdate AS DATE) <  DATE '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "t_metadata": """
+            SELECT n_nationkey, n_name,
+                   'tpch' AS db, 'nation' AS tbl, '+I' AS kind
+            FROM nation
         """,
         "t_copy": """
             SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
