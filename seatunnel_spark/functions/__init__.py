@@ -240,6 +240,37 @@ def _truncate(x, d: int = 0):
     return math.trunc(float(x) * scale) / scale
 
 
+# ---------------------------------------------------------------------------
+# User-defined function SPI — the ZetaUDF analog
+# (sql/zeta/ZetaUDF.java:24: functionName/resultType/evaluate, discovered
+# via ServiceLoader; docs/en/transform-v2/sql-udf.md). Here a UDF is a
+# plain Python callable registered by name; entry-point discovery maps to
+# the `seatunnel_spark.udfs` setuptools group when packaged.
+# ---------------------------------------------------------------------------
+
+_USER_UDFS: dict[str, tuple] = {}
+
+
+def register_zeta_udf(name: str, fn, return_type) -> None:
+    """Register a user scalar function usable from any Sql transform
+    (the ZetaUDF SPI analog). `return_type` is a Spark DataType or DDL
+    string ('string', 'bigint', ...). Takes effect on sessions that
+    call register_zeta_udfs afterwards, and immediately on the active
+    session if one exists."""
+    _USER_UDFS[name.upper()] = (fn, return_type)
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.udf.register(name.upper(), fn, return_type)
+
+
+def _example_udf(arg):
+    # sql-udf.md's ExampleUDF: prefixes the input (docs example returns
+    # "UDF: <value>").
+    return None if arg is None else f"UDF: {arg}"
+
+
 _REGISTERED_SESSIONS: set[int] = set()
 
 
@@ -262,4 +293,7 @@ def register_zeta_udfs(spark: SparkSession) -> None:
     )
     spark.udf.register("IS_DATE", _is_date, BooleanType())
     spark.udf.register("TRUNCATE", _truncate, DoubleType())
+    spark.udf.register("EXAMPLE", _example_udf, StringType())
+    for name, (fn, rt) in _USER_UDFS.items():
+        spark.udf.register(name, fn, rt)
     _REGISTERED_SESSIONS.add(key)

@@ -184,3 +184,14 @@ def test_lateral_view_explode(spark):
                   "LATERAL VIEW EXPLODE(SPLIT(s, ';')) t AS item"},
     ).apply(df)
     assert [r["item"] for r in out.collect()] == ["a", "b", "c"]
+
+
+def test_udf_spi(spark):
+    """ZetaUDF SPI analog (sql-udf.md): register a scalar by name, call
+    it from a Sql transform."""
+    from seatunnel_spark.functions import register_zeta_udf
+
+    register_zeta_udf("MY_SUFFIX", lambda s: None if s is None else s + "_x", "string")
+    assert _sql1(spark, "MY_SUFFIX('abc')") == "abc_x"
+    # the shipped example UDF (docs example output shape)
+    assert _sql1(spark, "EXAMPLE('x')") == "UDF: x"
