@@ -614,7 +614,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seatunnel_spark.dataops import simhash_near_dups
 
     return simhash_near_dups(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
     )
 
 
@@ -678,7 +678,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb_double(spark, sf_dir)
     return embedding_near_dups(e, "vec_id", "embedding",
-                               threshold=0.4, planes=2, round_to=4)
+                               threshold=0.4, planes=4, round_to=4)
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -251,29 +251,45 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     block_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Exact word-k-gram Jaccard similarity for candidate pairs.
+    """Exact word-k-gram Jaccard similarity via an inverted-index join.
 
-    Without block_cols this is O(N²) per partition-key — intended for
-    use AFTER a blocking stage (LSH buckets or metadata keys). The
-    shingle sets are computed once per doc (not per pair).
+    EXACT for any threshold > 0: pairs sharing zero shingles have
+    Jaccard 0, so candidate generation = equi-join on the shingle
+    itself. Work is Σ_tok df(tok)² — near-linear on real text where
+    most k-grams are rare — instead of the blocked all-pairs N² of the
+    naive form, and the per-pair set intersection becomes a count.
+    |A∪B| folds from the carried set sizes: |A|+|B|−|A∩B|.
+    block_cols add extra equi-conditions (e.g. language) to the token
+    join. Skew note: a pathologically hot shingle (df ≈ N) degrades to
+    that token's df² — AQE skew-split handles the shuffle side; cap df
+    upstream if a corpus has degenerate repeated boilerplate.
     """
     shingled = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in (block_cols or [])],
         F.array_distinct(_word_shingles(F.col(text_col), k)).alias("sh"),
     )
-    a, b = shingled.alias("a"), shingled.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
+    inv = shingled.select(
+        "id", *(block_cols or []), F.size("sh").alias("n"),
+        F.explode("sh").alias("tok"),
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    cond = (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id"))
     for c in block_cols or []:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    return (
+    inter = (
         a.join(b, cond)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            (inter / union).alias("jaccard"),
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.select(
+            "id_a", "id_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+            .alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
