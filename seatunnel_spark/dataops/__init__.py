@@ -23,6 +23,8 @@ from seatunnel_spark.dataops.similarity import (
     lsh_bucketed_topk,
     ivf_topk,
     train_ivf_centroids,
+    write_ivf_index,
+    search_ivf_index,
 )
 from seatunnel_spark.dataops.skew import salted_join
 from seatunnel_spark.dataops.text import (
@@ -37,5 +39,6 @@ __all__ = [
     "simhash64", "simhash_near_dups", "ngram_jaccard_pairs", "embedding_near_dups",
     "with_cosine", "brute_force_topk", "lsh_bucketed_topk",
     "ivf_topk", "train_ivf_centroids", "salted_join",
+    "write_ivf_index", "search_ivf_index",
     "token_count", "quality_signals", "lang_id", "fingerprint",
 ]

@@ -186,6 +186,77 @@ def ivf_topk(
     return _rank_topk(scored, k)
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    iters: int = 2,
+) -> None:
+    """Persist an IVF index: corpus parquet partitioned by `__cell` +
+    centroids under `<path>/_centroids` (underscore-prefixed so data
+    scans ignore it). At 100 TB this is the point of IVF — a search
+    touches only the probed cells' files via partition pruning, so I/O
+    scales with nprobe/nlist of the corpus, not its size."""
+    centroids = train_ivf_centroids(corpus, vec_col, corpus_id, nlist, iters)
+    spark = corpus.sparkSession
+    assigned = corpus.withColumn(
+        "__cell", _nearest_centroid(F.col(vec_col), centroids)
+    )
+    assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "i INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k against a persisted IVF index. The probed cell set (small:
+    |queries| × nprobe distinct values) is collected so the cell filter
+    is STATIC — the parquet scan partition-prunes to just those
+    directories (visible as PartitionFilters in the plan)."""
+    centroids = [
+        [float(x) for x in r["centroid"]]
+        for r in spark.read.parquet(f"{path}/_centroids").orderBy("i").collect()
+    ]
+    nprobe = min(nprobe, len(centroids))
+    probe = F.transform(
+        F.slice(F.reverse(F.array_sort(_centroid_scores(F.col(query_vec), centroids))),
+                1, nprobe),
+        lambda s: s["i"],
+    )
+    q_probed = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).alias("__qv"),
+        F.explode(probe).alias("__cell"),
+    )
+    cells = sorted({r["__cell"] for r in q_probed.select("__cell").distinct().collect()})
+    c = (
+        spark.read.parquet(path)
+        .filter(F.col("__cell").isin(cells))
+        .select(F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv"),
+                "__cell")
+    )
+    scored = F.broadcast(q_probed).join(c, "__cell").select(
+        "__qid",
+        "__cid",
+        (_dot(F.col("__qv"), F.col("__cv"))
+         / (_norm(F.col("__qv")) * _norm(F.col("__cv")))).alias("cosine"),
+    )
+    return _rank_topk(scored, k)
+
+
 def _bucket_expr(vec: Column, plane_mat) -> Column:
     bits = []
     for row in plane_mat:

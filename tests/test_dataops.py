@@ -226,3 +226,31 @@ def test_image_resize_plumbing(spark):
     # different target size -> different bytes
     other = image_resize(df, 64, 64).collect()
     assert bytes(other[0]["content"]) != bytes(out[0]["content"])
+
+
+def test_ivf_index_persist_and_partition_pruned_search(spark, tmp_path):
+    from seatunnel_spark.dataops import brute_force_topk
+    from seatunnel_spark.dataops.similarity import search_ivf_index, write_ivf_index
+
+    e = _toy_embeddings(spark, n=80, dim=8, clusters=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(e, path, nlist=4, iters=2)
+
+    q = e.filter(F.col("vec_id") < 4)
+    out = search_ivf_index(spark, path, q, k=3, nprobe=2)
+    # top-1 self-match survives quantization
+    top1 = {r["query_id"]: r["match_id"] for r in out.filter("rank = 1").collect()}
+    assert top1 == {i: i for i in range(4)}
+
+    # probing every cell reproduces brute force exactly
+    full = search_ivf_index(spark, path, q, k=3, nprobe=4)
+    exact = brute_force_topk(q, e, "vec_id", "vec_id", k=3)
+    assert ({(r["query_id"], r["rank"], r["match_id"]) for r in full.collect()}
+            == {(r["query_id"], r["rank"], r["match_id"]) for r in exact.collect()})
+
+    # the scan must partition-prune on __cell (the IVF point at scale)
+    plan = search_ivf_index(spark, path, q, k=3, nprobe=1) \
+        ._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines()
+                if "FileScan parquet" in l and "__cell" in l)
+    assert "PartitionFilters: [" in scan and "__cell" in scan.split("PartitionFilters:")[1]
