@@ -29,6 +29,24 @@ SOURCES["Kafka"] = KafkaSource
 SOURCES["Socket"] = SocketSource
 
 
+def _rest_paged():
+    # Deferred: pyspark.sql.datasource import is non-trivial; only load
+    # when the plugin is actually used.
+    from seatunnel_spark.sources.python_ds import RestPagedSource
+
+    return RestPagedSource
+
+
+class _RestPagedProxy(Source):
+    NAME = "RestPaged"
+
+    def __new__(cls, options):
+        return _rest_paged()(options)
+
+
+SOURCES["RestPaged"] = _RestPagedProxy
+
+
 def get_source(name: str, options: dict) -> Source:
     key = name if name in SOURCES else {k.lower(): k for k in SOURCES}.get(name.lower())
     if key is None:

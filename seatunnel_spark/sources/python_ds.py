@@ -1,0 +1,116 @@
+"""Custom connector via Spark 4's Python DataSource API.
+
+This is the direct analog of the reference's source SPI —
+SeaTunnelSource.createEnumerator/createReader (seatunnel-api/.../source/
+SeaTunnelSource.java:38-79): `partitions()` IS the SplitEnumerator
+(plans splits on the driver), each `read(partition)` IS a parallel
+SourceReader (runs on an executor, streams rows). Where the reference
+needs ~400 lines of split/reader/checkpoint plumbing per connector,
+the Spark API needs the two methods below — and the result composes
+with Catalyst (column pruning via the declared schema, AQE, etc.).
+
+`PagedRestDataSource` reads a paginated JSON endpoint in parallel —
+one partition per page. Pages are independent HTTP GETs so the fetch
+fans out across executors; at scale this is how you ingest a REST/SaaS
+API (the reference's Http/Jira/Github/Notion/... family) without
+funneling through the driver. Tested with file:// URLs (urllib treats
+them uniformly; no network in this container).
+
+Usage:
+    from seatunnel_spark.sources.python_ds import register
+    register(spark)
+    df = (spark.read.format("seatunnel_rest")
+          .schema("id BIGINT, name STRING")
+          .option("url_template", "https://api.example.com/items?page={page}")
+          .option("pages", 32)
+          .load())
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, page: int):
+        self.page = page
+
+
+class PagedRestReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self.schema = schema
+        self.url_template = options.get("url_template")
+        if not self.url_template:
+            raise ValueError("seatunnel_rest requires option url_template "
+                             "containing a {page} placeholder")
+        self.pages = int(options.get("pages", 1))
+        self.start_page = int(options.get("start_page", 0))
+        self.data_path = options.get("data_path")  # e.g. "items"
+
+    def partitions(self):
+        # The SplitEnumerator: one split per page, planned driver-side.
+        return [_PagePartition(p)
+                for p in range(self.start_page, self.start_page + self.pages)]
+
+    def read(self, partition):
+        # The SourceReader: executes on an executor, one HTTP GET per split.
+        from urllib.request import urlopen
+
+        url = self.url_template.format(page=partition.page)
+        with urlopen(url) as resp:
+            payload = json.loads(resp.read().decode("utf-8"))
+        if self.data_path:
+            for part in self.data_path.split("."):
+                payload = payload[part]
+        if isinstance(payload, dict):
+            payload = [payload]
+        names = [f.name for f in self.schema.fields]
+        for rec in payload:
+            yield tuple(rec.get(n) for n in names)
+
+
+class PagedRestDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "seatunnel_rest"
+
+    def schema(self):
+        raise ValueError(
+            "seatunnel_rest needs an explicit .schema(...) — REST payloads "
+            "carry no schema (declare it like the reference's schema.fields)"
+        )
+
+    def reader(self, schema):
+        return PagedRestReader(schema, self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the custom format on a session."""
+    spark.dataSource.register(PagedRestDataSource)
+
+
+from seatunnel_spark.sources.base import Source as _Source  # noqa: E402
+from seatunnel_spark.types import parse_schema as _parse_schema  # noqa: E402
+
+
+class RestPagedSource(_Source):
+    """Engine plugin wrapping the custom format, so job specs can say
+    ``plugin_name = RestPaged`` like any other source."""
+
+    NAME = "RestPaged"
+
+    def read(self, spark):
+        register(spark)
+        schema_opt = self.require("schema")
+        reader = (
+            spark.read.format("seatunnel_rest")
+            .schema(_parse_schema(schema_opt.get("fields", schema_opt)))
+            .option("url_template", self.require("url_template"))
+            .option("pages", int(self.opt("pages", 1)))
+            .option("start_page", int(self.opt("start_page", 0)))
+        )
+        if self.opt("data_path"):
+            reader = reader.option("data_path", self.opt("data_path"))
+        return reader.load()
