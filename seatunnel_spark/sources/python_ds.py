@@ -30,7 +30,12 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _PagePartition(InputPartition):
@@ -71,6 +76,62 @@ class PagedRestReader(DataSourceReader):
             yield tuple(rec.get(n) for n in names)
 
 
+class PagedRestStreamReader(SimpleDataSourceStreamReader):
+    """Streaming side of the same endpoint: the offset IS the next page
+    number, checkpointed by Structured Streaming — the analog of the
+    reference's SourceReader.snapshotState offset state
+    (seatunnel-api/.../source/SourceReader.java:63). Each microbatch
+    consumes up to `pages_per_trigger` new pages and stops early when a
+    page 404s (bounded endpoints); `readBetweenOffsets` replays a
+    committed range deterministically for recovery."""
+
+    def __init__(self, schema, options):
+        self.schema = schema
+        self.url_template = options.get("url_template")
+        if not self.url_template:
+            raise ValueError("seatunnel_rest stream requires url_template")
+        self.start_page = int(options.get("start_page", 0))
+        self.per_trigger = int(options.get("pages_per_trigger", 1))
+        self.data_path = options.get("data_path")
+
+    def initialOffset(self) -> dict:
+        return {"page": self.start_page}
+
+    def _fetch(self, page: int):
+        from urllib.error import HTTPError, URLError
+        from urllib.request import urlopen
+
+        try:
+            with urlopen(self.url_template.format(page=page)) as resp:
+                payload = json.loads(resp.read().decode("utf-8"))
+        except (HTTPError, URLError, FileNotFoundError, OSError):
+            return None
+        if self.data_path:
+            for part in self.data_path.split("."):
+                payload = payload[part]
+        return payload if isinstance(payload, list) else [payload]
+
+    def read(self, start: dict):
+        names = [f.name for f in self.schema.fields]
+        rows, page = [], int(start["page"])
+        for _ in range(self.per_trigger):
+            payload = self._fetch(page)
+            if payload is None:
+                break
+            rows.extend(tuple(rec.get(n) for n in names) for rec in payload)
+            page += 1
+        return iter(rows), {"page": page}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        names = [f.name for f in self.schema.fields]
+        for page in range(int(start["page"]), int(end["page"])):
+            for rec in self._fetch(page) or []:
+                yield tuple(rec.get(n) for n in names)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up; pages are immutable
+
+
 class PagedRestDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -84,6 +145,9 @@ class PagedRestDataSource(DataSource):
 
     def reader(self, schema):
         return PagedRestReader(schema, self.options)
+
+    def simpleStreamReader(self, schema):
+        return PagedRestStreamReader(schema, self.options)
 
 
 def register(spark) -> None:

@@ -63,3 +63,32 @@ def test_rest_paged_engine_plugin(spark, paged_endpoint):
     }, spark)
     row = tables["agg"].first()
     assert (row["n"], row["lo"], row["hi"]) == (40, 0, 39)
+
+
+def test_rest_paged_streaming_offsets(spark, paged_endpoint, tmp_path):
+    """Streaming read of the same endpoint: the page number is the
+    checkpointed offset; availableNow drains all existing pages."""
+    from seatunnel_spark.sources.python_ds import register
+
+    register(spark)
+    stream = (spark.readStream.format("seatunnel_rest")
+              .schema("id BIGINT, name STRING")
+              .option("url_template", paged_endpoint)
+              .option("data_path", "items")
+              .option("pages_per_trigger", 2)
+              .load())
+    import time
+
+    seen = []
+    q = (stream.writeStream
+         .foreachBatch(lambda b, _id: seen.extend(r["id"] for r in b.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="500 milliseconds")
+         .start())
+    deadline = time.time() + 90
+    while len(seen) < 40 and time.time() < deadline:
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+    # 4 pages × 10 rows drained across microbatches of 2 pages each
+    assert sorted(seen) == list(range(40))
