@@ -36,8 +36,13 @@ class KafkaSource(Source):
     def _decode(self, raw: DataFrame) -> DataFrame:
         fmt = str(self.opt("format", "json")).upper()
         schema_opt = self.opt("schema")
-        return decode_payload(raw, fmt, schema_opt,
-                              delimiter=self.opt("field_delimiter", ","))
+        return decode_payload(
+            raw, fmt, schema_opt,
+            delimiter=self.opt("field_delimiter", ","),
+            avro_schema=self.opt("avro.schema"),
+            protobuf_schema_file=self.opt("protobuf_schema_file"),
+            protobuf_message_name=self.opt("protobuf_message_name"),
+        )
 
     def read(self, spark: SparkSession) -> DataFrame:
         return self._decode(self._base(spark.read).load())
