@@ -11,15 +11,17 @@ worker holds ONE http session and sends batched requests — at 100 TB
 this is the only shape that works (per-row UDF would make 10^11 http
 calls from the JVM boundary row by row).
 
-No model providers are reachable in this environment, so the HTTP call
-is isolated in ``_call_provider`` and a deterministic ``FAKE`` provider
-exists for tests/pipelines. Real providers raise NotImplementedError
-with the exact request shape documented.
+OPENAI/CUSTOM (any OpenAI-compatible endpoint) are implemented with a
+plain urllib POST in ``_call_provider`` — request construction is
+unit-tested offline; a deterministic ``FAKE`` provider exists for
+tests/pipelines; the remaining named providers raise with their
+request shape documented.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
@@ -29,13 +31,62 @@ from seatunnel_spark.types import parse_type
 _REAL_PROVIDERS = ("OPENAI", "KIMIAI", "MICROSOFT", "QIANFAN", "DOUBAO", "CUSTOM")
 
 
-def _call_provider(provider: str, api_path: str, api_key: str, payloads: list[dict]) -> list:
-    """One batched provider call. STUB: network providers are not
-    available in this container; the Spark-side plumbing (batching,
-    schema, retries hook) is real and tested via the FAKE provider."""
+_DEFAULT_PATHS = {
+    "OPENAI": "https://api.openai.com/v1/chat/completions",
+    "OPENAI_EMBED": "https://api.openai.com/v1/embeddings",
+}
+
+
+def _post_json(url: str, api_key: str, body: dict) -> dict:
+    from urllib.request import Request, urlopen
+
+    req = Request(
+        url,
+        data=json.dumps(body).encode("utf-8"),
+        headers={"Content-Type": "application/json",
+                 "Authorization": f"Bearer {api_key}"},
+        method="POST",
+    )
+    with urlopen(req, timeout=60) as resp:
+        return json.loads(resp.read().decode("utf-8"))
+
+
+def _call_provider(provider: str, api_path: str, api_key: str,
+                   payloads: list[dict], model: str = "",
+                   mode: str = "chat") -> list:
+    """One batched provider call per Arrow batch. OPENAI and CUSTOM
+    (OpenAI-compatible endpoint) are implemented with a plain urllib
+    POST — request construction is unit-tested offline; in an
+    airgapped environment this fails at connect time with the real
+    URLError, not a stub error. Other providers raise with their
+    request shape named. Swap the sequential loop for an async pool if
+    per-call latency dominates (the mapInPandas batching already
+    amortizes session setup)."""
+    if provider in ("OPENAI", "CUSTOM"):
+        if mode == "embed":
+            url = api_path or _DEFAULT_PATHS["OPENAI_EMBED"]
+            body = {"model": model or "text-embedding-3-small",
+                    "input": [p["input"] for p in payloads]}
+            out = _post_json(url, api_key, body)
+            return [d["embedding"] for d in out["data"]]
+        url = api_path or _DEFAULT_PATHS["OPENAI"]
+        answers = []
+        for p in payloads:
+            body = {
+                "model": model or "gpt-4o-mini",
+                "messages": [
+                    {"role": "system", "content": p["prompt"]},
+                    {"role": "user", "content": json.dumps(p["input"],
+                                                           default=str)},
+                ],
+            }
+            out = _post_json(url, api_key, body)
+            answers.append(out["choices"][0]["message"]["content"])
+        return answers
     raise NotImplementedError(
-        f"provider {provider}: would POST {len(payloads)} requests to {api_path} "
-        "with bearer auth; plug a session here"
+        f"provider {provider}: shape = POST {api_path or '<provider url>'} with "
+        "bearer auth, body per provider docs (KIMIAI/MICROSOFT/QIANFAN/DOUBAO); "
+        "use CUSTOM with api_path for any OpenAI-compatible endpoint"
     )
 
 
@@ -54,6 +105,7 @@ class LLMTransform(Transform):
         infer_cols = self.opt("inference_columns") or df.columns
         api_path = self.opt("api_path", "")
         api_key = self.opt("api_key", "")
+        model = str(self.opt("model", ""))
 
         out_schema = T.StructType(
             df.schema.fields + [T.StructField(out_col, out_type, True)]
@@ -72,7 +124,8 @@ class LLMTransform(Transform):
                         for p in payloads
                     ]
                 else:
-                    answers = _call_provider(provider, api_path, api_key, payloads)
+                    answers = _call_provider(provider, api_path, api_key, payloads,
+                                             model=model, mode="chat")
                 pdf[out_col] = answers
                 yield pdf
 
@@ -92,6 +145,7 @@ class EmbeddingTransform(Transform):
         dim = int(self.opt("dimension", 8))
         api_path = self.opt("api_path", "")
         api_key = self.opt("api_key", "")
+        model = str(self.opt("model", ""))
 
         out_schema = T.StructType(
             df.schema.fields
@@ -119,7 +173,9 @@ class EmbeddingTransform(Transform):
                             vecs.append(v.astype(np.float32).tolist())
                     else:
                         vecs = _call_provider(
-                            provider, api_path, api_key, [{"input": t} for t in texts]
+                            provider, api_path, api_key,
+                            [{"input": t} for t in texts],
+                            model=model, mode="embed",
                         )
                     pdf[out] = vecs
                 yield pdf

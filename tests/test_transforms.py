@@ -182,3 +182,50 @@ def test_llm_and_embedding_fake(people):
     v = emb.first()["vec"]
     assert len(v) == 8
     assert abs(sum(x * x for x in v) - 1.0) < 1e-3  # unit norm
+
+
+def test_llm_provider_request_shape(monkeypatch):
+    """OPENAI/CUSTOM request construction, offline (urlopen patched)."""
+    import io
+    import json as _json
+
+    from seatunnel_spark.transforms import nlp
+
+    captured = []
+
+    class _Resp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req, timeout=None):
+        body = _json.loads(req.data.decode())
+        captured.append((req.full_url, req.headers, body))
+        if "embeddings" in req.full_url:
+            data = [{"embedding": [0.1, 0.2]} for _ in body["input"]]
+            return _Resp(_json.dumps({"data": data}).encode())
+        return _Resp(_json.dumps(
+            {"choices": [{"message": {"content": "ok"}}]}).encode())
+
+    import urllib.request
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+
+    out = nlp._call_provider(
+        "OPENAI", "", "sk-test",
+        [{"prompt": "classify", "input": {"text": "hi"}}], model="gpt-4o-mini")
+    assert out == ["ok"]
+    url, headers, body = captured[0]
+    assert url.endswith("/chat/completions")
+    assert headers["Authorization"] == "Bearer sk-test"
+    assert body["messages"][0] == {"role": "system", "content": "classify"}
+
+    vecs = nlp._call_provider(
+        "CUSTOM", "https://my.host/v1/embeddings", "k",
+        [{"input": "a"}, {"input": "b"}], mode="embed")
+    assert vecs == [[0.1, 0.2], [0.1, 0.2]]
+    assert captured[-1][2]["input"] == ["a", "b"]
+
+    with pytest.raises(NotImplementedError, match="QIANFAN"):
+        nlp._call_provider("QIANFAN", "", "", [])
