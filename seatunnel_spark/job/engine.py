@@ -99,6 +99,8 @@ class JobEngine:
         streaming = spec.mode == "STREAMING"
         tables = self.build_tables(spec, streaming)
         handles = []
+        observations: list[tuple[str, str, object]] = []
+        self.metrics: dict[str, int] = {}
         for blk in spec.sinks:
             sink = get_sink(blk.plugin, blk.options)
             for name in blk.inputs or [next(reversed(tables))]:
@@ -107,7 +109,21 @@ class JobEngine:
                     ckpt = spec.env.get("checkpoint.dir")
                     handles.append(sink.write_stream(df, checkpoint=ckpt))
                 else:
+                    # Sink row metrics ride the job itself via the
+                    # Observation API — no second scan, no listener
+                    # callback server (the reference's metrics surface,
+                    # seatunnel-api/.../common/metrics/, in Spark idiom).
+                    from pyspark.sql import Observation
+
+                    obs = Observation()
+                    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
                     sink.write(df)
+                    observations.append((blk.plugin, name, obs))
+        for plugin, name, obs in observations:
+            try:
+                self.metrics[f"{plugin}.{name}.rows_written"] = obs.get["rows"]
+            except Exception:
+                pass  # sink did not trigger an action (e.g. pure-plan sink)
         if streaming:
             timeout = spec.env.get("streaming.await.timeout")
             for h in handles:

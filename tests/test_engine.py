@@ -146,3 +146,20 @@ INSERT INTO dst SELECT r_regionkey, UPPER(r_name) AS r_name FROM src;
     JobEngine(spark).run(spec)
     out = InMemorySink.get("sqlcfg")
     assert out.count() == 5
+
+
+def test_sink_metrics_via_observation(spark):
+    """Per-sink rows_written metrics ride the write job itself (the
+    Observation API) — no second scan of the data."""
+    from seatunnel_spark.job.engine import JobEngine
+    from seatunnel_spark.job.spec import JobSpec
+
+    eng = JobEngine(spark)
+    eng.run(JobSpec.from_dict({
+        "source": [{"plugin_name": "FakeSource", "plugin_output": "f",
+                    "row.num": 123,
+                    "schema": {"fields": {"id": "bigint", "name": "string"}}}],
+        "sink": [{"plugin_name": "InMemory", "plugin_input": "f",
+                  "table": "obs_out"}],
+    }))
+    assert eng.metrics.get("InMemory.f.rows_written") == 123
