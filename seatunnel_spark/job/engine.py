@@ -126,8 +126,13 @@ class JobEngine:
                 pass  # sink did not trigger an action (e.g. pure-plan sink)
         if streaming:
             timeout = spec.env.get("streaming.await.timeout")
-            for h in handles:
+            for i, h in enumerate(handles):
                 h.awaitTermination(int(timeout) if timeout else None)
+                prog = h.lastProgress
+                if prog:
+                    self.metrics[f"stream{i}.numInputRows"] = sum(
+                        s.get("numInputRows", 0) for s in prog.get("sources", [])
+                    ) or prog.get("numInputRows", 0)
         return tables
 
 
