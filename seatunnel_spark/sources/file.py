@@ -85,7 +85,12 @@ class FileSource(Source):
         return reader.format(spark_fmt)
 
     def read(self, spark: SparkSession) -> DataFrame:
-        df = self._reader(spark.read).load(self._path())
+        # Hive reads metastore tables (docs/en/connector-v2/source/Hive.md
+        # `table_name = db.tbl`); file backends read paths.
+        if self.plugin_name == "Hive" and self.opt("table_name"):
+            df = spark.table(self.opt("table_name"))
+        else:
+            df = self._reader(spark.read).load(self._path())
         if self.opt("read_columns"):
             df = df.select(*self.opt("read_columns"))
         return df

@@ -163,3 +163,15 @@ def test_sink_metrics_via_observation(spark):
                   "table": "obs_out"}],
     }))
     assert eng.metrics.get("InMemory.f.rows_written") == 123
+
+
+def test_hive_source_reads_metastore_table(spark, sf_dir):
+    """Hive source resolves table_name through the session catalog
+    (the reference's metastore read), not a file path."""
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "hive_nation_view"
+    )
+    from seatunnel_spark.sources import get_source
+
+    df = get_source("Hive", {"table_name": "hive_nation_view"}).read(spark)
+    assert df.count() == 25
