@@ -80,7 +80,8 @@ _GATED_SINKS = {
     "Pulsar": "pulsar-spark", "RabbitMQ": "foreachPartition pika publish",
     "Rocketmq": "rocketmq producer", "AmazonSqs": "boto3 send_message_batch",
     "Sls": "aliyun log producer", "ActiveMQ": "stomp/jms producer",
-    "Prometheus": "remote-write protobuf", "Hive": "saveAsTable/insertInto",
+    "Prometheus": "remote-write protobuf",
+    "Hive": None,  # implemented natively below
     "Kafka": None,  # implemented natively below
 }
 
@@ -109,7 +110,10 @@ def register_all() -> None:
     """Idempotently extend the live registries to full inventory."""
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
+    from seatunnel_spark.sinks.hive import HiveSink
+
     SINKS["Kafka"] = KafkaSink
+    SINKS["Hive"] = HiveSink
     for name in ("Http", "Slack", "DingTalk", "Feishu", "EmailSink", "Sentry"):
         SINKS.setdefault(name, WebhookSink)
     for name, note in _GATED_SINKS.items():

@@ -115,3 +115,27 @@ def test_gated_backends_resolve_and_explain(spark):
         assert get_source(name, {}) is not None
     for name in ["Doris", "StarRocks", "Slack", "Kafka", "Prometheus"]:
         assert get_sink(name, {}) is not None
+
+
+def test_hive_sink_savemode_roundtrip(spark, tmp_path):
+    """Hive sink against the local warehouse: create-if-absent, append,
+    overwrite-data, error-on-exists."""
+    import pytest as _pytest
+
+    from seatunnel_spark.sinks import get_sink
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+    tbl = "hive_sink_t1"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    get_sink("Hive", {"table_name": tbl}).write(df)           # create
+    assert spark.table(tbl).count() == 2
+    get_sink("Hive", {"table_name": tbl}).write(df)           # append
+    assert spark.table(tbl).count() == 4
+    get_sink("Hive", {"table_name": tbl,
+                      "data_save_mode": "DROP_DATA"}).write(df)
+    assert spark.table(tbl).count() == 2                      # overwritten
+    with _pytest.raises(ValueError, match="ERROR_WHEN_DATA_EXISTS"):
+        get_sink("Hive", {"table_name": tbl,
+                          "data_save_mode": "ERROR_WHEN_DATA_EXISTS"}).write(df)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
