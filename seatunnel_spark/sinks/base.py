@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
@@ -10,6 +12,15 @@ class Sink:
     which defaults to foreachBatch(write) — the same unification the
     reference gets from its batch/stream-dual SinkWriter
     (seatunnel-api/.../sink/SinkWriter.java:47-92).
+
+    Exactly-once to non-transactional sinks: foreachBatch is
+    at-least-once (a batch whose write finished but whose offset commit
+    didn't is replayed on restart). The reference closes this with 2PC
+    (SinkCommitter.java:33-51); here a batch-id LEDGER next to the
+    checkpoint marks each batch after its write, so a replay becomes a
+    no-op — the same effect as the reference's commit phase, keyed by
+    the engine's own batchId. Marker creation is a directory create
+    (atomic on local/HDFS-like filesystems).
     """
 
     NAME = "?"
@@ -29,8 +40,23 @@ class Sink:
     def write(self, df: DataFrame) -> None:  # pragma: no cover
         raise NotImplementedError
 
+    def _process_batch(self, batch: DataFrame, epoch: int,
+                       ledger: str | None) -> None:
+        marker = os.path.join(ledger, f"batch-{epoch}") if ledger else None
+        if marker and os.path.isdir(marker):
+            return  # replayed batch already committed — exactly-once
+        self.write(batch)
+        if marker:
+            os.makedirs(marker, exist_ok=True)
+
     def write_stream(self, df: DataFrame, checkpoint: str | None = None):
-        writer = df.writeStream.foreachBatch(lambda batch, epoch: self.write(batch))
+        ledger = None
+        if checkpoint and self.opt("exactly_once", True):
+            ledger = os.path.join(checkpoint, "__st_commits")
+            os.makedirs(ledger, exist_ok=True)
+        writer = df.writeStream.foreachBatch(
+            lambda batch, epoch: self._process_batch(batch, epoch, ledger)
+        )
         if checkpoint:
             writer = writer.option("checkpointLocation", checkpoint)
         trigger = self.opt("trigger")

@@ -222,3 +222,29 @@ def test_checkpoint_restore_exactly_once(spark, tmp_path):
     q2.awaitTermination(120)
 
     assert sorted(seen) == list(range(40)), "exactly-once across restart"
+
+
+def test_sink_ledger_makes_replay_noop(spark, tmp_path):
+    """The batch-id ledger (the 2PC-commit analog for non-transactional
+    sinks) turns a replayed microbatch into a no-op."""
+    from seatunnel_spark.sinks.base import Sink
+
+    writes = []
+
+    class CountingSink(Sink):
+        NAME = "Counting"
+
+        def write(self, batch):
+            writes.append(batch.count())
+
+    ledger = str(tmp_path / "ckpt" / "__st_commits")
+    import os
+    os.makedirs(ledger, exist_ok=True)
+    s = CountingSink({})
+    df = spark.createDataFrame([(1,), (2,)], ["v"])
+
+    s._process_batch(df, 7, ledger)      # first delivery: writes
+    s._process_batch(df, 7, ledger)      # replay of same batch: no-op
+    s._process_batch(df, 8, ledger)      # next batch: writes
+    assert writes == [2, 2]
+    assert sorted(os.listdir(ledger)) == ["batch-7", "batch-8"]
