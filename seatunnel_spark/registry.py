@@ -111,9 +111,11 @@ def register_all() -> None:
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
     from seatunnel_spark.sinks.hive import HiveSink
+    from seatunnel_spark.sinks.socket import SocketSink
 
     SINKS["Kafka"] = KafkaSink
     SINKS["Hive"] = HiveSink
+    SINKS["Socket"] = SocketSink
     for name in ("Http", "Slack", "DingTalk", "Feishu", "EmailSink", "Sentry"):
         SINKS.setdefault(name, WebhookSink)
     for name, note in _GATED_SINKS.items():

@@ -139,3 +139,41 @@ def test_hive_sink_savemode_roundtrip(spark, tmp_path):
         get_sink("Hive", {"table_name": tbl,
                           "data_save_mode": "ERROR_WHEN_DATA_EXISTS"}).write(df)
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_socket_sink_sends_ndjson(spark):
+    """Socket sink streams newline-delimited JSON, one connection per
+    partition, against a local TCP server."""
+    import json as _json
+    import socketserver
+    import threading
+
+    received = []
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            for line in self.rfile:
+                line = line.strip()
+                if line:
+                    received.append(_json.loads(line))
+
+    server = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    server.daemon_threads = True
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        from seatunnel_spark.sinks import get_sink
+
+        df = spark.createDataFrame(
+            [(i, f"n{i}") for i in range(20)], ["id", "name"]
+        ).repartition(4)
+        get_sink("Socket", {"host": "127.0.0.1", "port": port}).write(df)
+        import time
+        deadline = time.time() + 20
+        while len(received) < 20 and time.time() < deadline:
+            time.sleep(0.1)
+    finally:
+        server.shutdown()
+        server.server_close()
+    assert sorted(r["id"] for r in received) == list(range(20))
