@@ -619,12 +619,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN: random-hyperplane bucketed top-k (scale path)."""
+    """Approximate ANN: random-hyperplane bucketed top-k (scale path).
+    The plane matrix is deterministic (seed 42), so the DuckDB oracle
+    replays the same buckets from literal plane values."""
     from seatunnel_spark.dataops import lsh_bucketed_topk
 
     e = _emb_double(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 5)
-    return lsh_bucketed_topk(q, e, "vec_id", "vec_id", k=10, planes=4)
+    out = lsh_bucketed_topk(q, e, "vec_id", "vec_id", k=10, planes=4, round_to=4)
+    return out.withColumn("rank", F.col("rank").cast("int"))
 
 
 def pipe_job_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -785,21 +788,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": sim_topk,
         "sim_pairs_exact": sim_pairs_exact,
         "dedup_embedding_pairs": dedup_embedding_pairs,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
+        "sim_lsh_topk": sim_lsh_topk,
         "pipe_job_dag": pipe_job_dag,
         "stream_windowed_events": stream_windowed_events,
-        # rows-only (no SQL oracle): python hashing / inference / codecs
+        # rows-only (no SQL oracle): python hashing / inference / codecs /
+        # data-dependent approximation (IVF centroids)
         "t_llm": t_llm,
         "t_embedding": t_embedding,
         "dedup_simhash_pairs": dedup_simhash_pairs,
-        "dedup_embedding_lsh": dedup_embedding_lsh,
-        "sim_lsh_topk": sim_lsh_topk,
         "sim_ivf_topk": sim_ivf_topk,
         "mm_image_features": mm_image_features,
         "mm_image_resize": mm_image_resize,
     }
 
 
+def _lsh_plane_sql() -> tuple[str, str]:
+    """Literal-plane bucket expression + CTE for the LSH oracles: the
+    same deterministic matrix the Spark side derives from seed 42
+    (numpy default_rng), embedded as full-precision literals so DuckDB
+    replays identical buckets."""
+    import numpy as np
+
+    mat = np.random.default_rng(42).standard_normal((4, 64))
+    bits = []
+    for row in mat:
+        lit = "[" + ", ".join(repr(float(x)) for x in row) + "]"
+        bits.append(f"(CASE WHEN list_dot_product(emb, {lit}) >= 0 "
+                    f"THEN '1' ELSE '0' END)")
+    bucket = " || ".join(bits)
+    cte = f"""
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      b AS (SELECT vec_id, emb, {bucket} AS bucket FROM e)
+    """
+    return bucket, cte
+
+
 def oracle_sql() -> dict[str, str]:
+    _, lsh_cte = _lsh_plane_sql()
     shingle_cte = """
       words AS (
         SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS ws
@@ -1200,5 +1226,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_dot_product(a.e, b.e)
                         / (sqrt(list_dot_product(a.e, a.e))
                            * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.4
+        """,
+        "sim_lsh_topk": f"""
+            WITH {lsh_cte},
+            q AS (SELECT * FROM b WHERE vec_id < 5),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                     round(list_dot_product(q.emb, c.emb)
+                           / (sqrt(list_dot_product(q.emb, q.emb))
+                              * sqrt(list_dot_product(c.emb, c.emb))), 4) AS cosine
+              FROM q JOIN b c ON q.bucket = c.bucket
+            )
+            SELECT query_id, match_id, cosine, CAST(rnk AS INTEGER) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, match_id ASC) AS rnk FROM scored)
+            WHERE rnk <= 10
+        """,
+        "dedup_embedding_lsh": f"""
+            WITH {lsh_cte}
+            SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                   round(list_dot_product(a.emb, b2.emb)
+                         / (sqrt(list_dot_product(a.emb, a.emb))
+                            * sqrt(list_dot_product(b2.emb, b2.emb))), 4) AS cosine
+            FROM b a JOIN b b2
+              ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+            WHERE round(list_dot_product(a.emb, b2.emb)
+                        / (sqrt(list_dot_product(a.emb, a.emb))
+                           * sqrt(list_dot_product(b2.emb, b2.emb))), 4) >= 0.4
         """,
     }

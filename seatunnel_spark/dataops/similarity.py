@@ -275,13 +275,15 @@ def lsh_bucketed_topk(
     k: int = 10,
     planes: int = 6,
     seed: int = 42,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane buckets, exact cosine within
     the query's bucket only (single-probe IVF analog).
 
     Recall rises with fewer planes (bigger buckets) or multi-probe; the
     deterministic plane matrix derives from `seed` so results are
-    reproducible run-to-run.
+    reproducible run-to-run (and replayable by another engine —
+    `round_to` makes scores engine-portable for oracle checks).
     """
     import numpy as np
 
@@ -300,10 +302,9 @@ def lsh_bucketed_topk(
         F.col(corpus_vec).alias("__cv"),
         _bucket_expr(F.col(corpus_vec), plane_mat).alias("__bucket"),
     )
-    scored = qb.join(cb, "__bucket").select(
-        "__qid",
-        "__cid",
-        (_dot(F.col("__qv"), F.col("__cv"))
-         / (_norm(F.col("__qv")) * _norm(F.col("__cv")))).alias("cosine"),
-    )
+    cos = (_dot(F.col("__qv"), F.col("__cv"))
+           / (_norm(F.col("__qv")) * _norm(F.col("__cv"))))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = qb.join(cb, "__bucket").select("__qid", "__cid", cos.alias("cosine"))
     return _rank_topk(scored, k)
