@@ -236,6 +236,17 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (absent from the
+    reference; sort-based agg in Spark)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS-semi-join orders→lineitem + aggregate
     (left-semi keeps one shuffle; lineitem side pre-filtered)."""
@@ -766,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_salted_join": q_salted_join,
         "q4_semi_join": q4_semi_join,
+        "q_percentiles": q_percentiles,
         "t_metadata": t_metadata,
         "t_copy": t_copy,
         "t_field_mapper": t_field_mapper,
@@ -1003,6 +1015,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nationkey, n_name,
                    'tpch' AS db, 'nation' AS tbl, '+I' AS kind
             FROM nation
+        """,
+        "q_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 2)  AS p50,
+                   round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
         """,
         "t_copy": """
             SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
