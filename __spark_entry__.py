@@ -707,10 +707,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary column -> mapInPandas decode (stub
-    codec, deterministic) -> typed metadata + feature vector."""
+    codec, deterministic sha256 — so DuckDB can replay the metadata as
+    an oracle) -> typed metadata + feature vector."""
     from seatunnel_spark.dataops.multimodal import image_features
 
-    docs = _t(spark, sf_dir, "documents").limit(100).select(
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
     )
     out = image_features(docs, "content")
@@ -804,13 +805,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": sim_lsh_topk,
         "pipe_job_dag": pipe_job_dag,
         "stream_windowed_events": stream_windowed_events,
+        "mm_image_features": mm_image_features,
         # rows-only (no SQL oracle): python hashing / inference / codecs /
         # data-dependent approximation (IVF centroids)
         "t_llm": t_llm,
         "t_embedding": t_embedding,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "sim_ivf_topk": sim_ivf_topk,
-        "mm_image_features": mm_image_features,
         "mm_image_resize": mm_image_resize,
     }
 
@@ -1022,6 +1023,13 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "mm_image_features": """
+            SELECT doc_id,
+                   CAST(64 + (CAST('0x' || substring(sha256(text), 1, 2) AS INTEGER) % 192) AS INTEGER) AS width,
+                   CAST(64 + (CAST('0x' || substring(sha256(text), 3, 2) AS INTEGER) % 192) AS INTEGER) AS height,
+                   CAST(8 AS INTEGER) AS feat_dim
+            FROM documents WHERE doc_id < 100
         """,
         "t_copy": """
             SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
