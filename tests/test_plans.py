@@ -66,3 +66,27 @@ def test_minhash_shuffle_carries_signatures_not_shingles(plans):
     # exchange: the shuffle payload is the fixed-width digests.
     p = plans("dedup_minhash_pairs")
     assert "partial_min" in p
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Tables bucketed on the join key join WITHOUT a shuffle — the
+    write-once/reuse-partitioning scale pattern."""
+    from seatunnel_spark.plans.bucketing import colocated_join, write_bucketed
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    try:
+        write_bucketed(o, "bk_orders", ["o_orderkey"], num_buckets=8)
+        write_bucketed(li, "bk_lineitem", ["o_orderkey"], num_buckets=8)
+        # disable broadcast so the join would otherwise shuffle both sides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = colocated_join(spark, "bk_orders", "bk_lineitem", ["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bk_orders")
+        spark.sql("DROP TABLE IF EXISTS bk_lineitem")
