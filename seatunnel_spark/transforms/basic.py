@@ -19,13 +19,17 @@ class CopyTransform(Transform):
     """Duplicate field(s) under new names.
 
     Reference: transform/copy/CopyFieldTransform.java:41-84,
-    docs/en/transform-v2/copy.md — option ``fields {new = old}``.
+    docs/en/transform-v2/copy.md — option ``fields {new = old}``, or the
+    legacy single-field form ``src_field``/``dest_field``
+    (copy_transform.conf:47-49).
     """
 
     NAME = "Copy"
 
     def apply(self, df: DataFrame) -> DataFrame:
-        fields: dict = self.require("fields")
+        fields: dict = self.opt("fields")
+        if not fields:
+            fields = {self.require("dest_field"): self.require("src_field")}
         return df.withColumns({new: F.col(old) for new, old in fields.items()})
 
 
@@ -55,7 +59,8 @@ class FilterFieldTransform(Transform):
     NAME = "Filter"
 
     def apply(self, df: DataFrame) -> DataFrame:
-        include = self.opt("include_fields")
+        # `fields` is the legacy include-list spelling (filter_transform.conf:48)
+        include = self.opt("include_fields") or self.opt("fields")
         exclude = self.opt("exclude_fields")
         if bool(include) == bool(exclude):
             raise ValueError("Filter: set exactly one of include_fields/exclude_fields")

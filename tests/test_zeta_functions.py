@@ -26,7 +26,8 @@ STRING_CASES = [
     ("CHAR(65)", "A"),
     ("CONCAT('Hello', ' ', 'World')", "Hello World"),
     ("CONCAT_WS(',', 'a', 'b')", "a,b"),
-    ("RAWTOHEX('A')", "41"),
+    # H2-legacy: 4 hex digits per UTF-16 char (StringFunction.java:168-176)
+    ("RAWTOHEX('A')", "0041"),
     ("LCASE('HELLO')", "hello"),
     ("UCASE('hello')", "HELLO"),
     ("LEFT('Hello', 3)", "Hel"),
@@ -38,9 +39,9 @@ STRING_CASES = [
     ("LTRIM('  x')", "x"),
     ("RTRIM('x  ')", "x"),
     ("TRIM(' x ')", "x"),
-    ("REGEXP_REPLACE('Hello World', '\\\\s+', '_')", "Hello_World"),
+    ("REGEXP_REPLACE('Hello World', '\\s+', '_')", "Hello_World"),   # raw Zeta string
     ("REGEXP_LIKE('Hello', 'H.*')", True),
-    ("REGEXP_SUBSTR('2023-01-02', '\\\\d{4}')", "2023"),
+    ("REGEXP_SUBSTR('2023-01-02', '\\d{4}')", "2023"),   # raw Zeta string
     ("REPEAT('ab', 3)", "ababab"),
     ("REPLACE('Hello', 'l', 'L')", "HeLLo"),
     ("SOUNDEX('Robert')", "R163"),
@@ -165,7 +166,9 @@ def test_conditional_functions(spark, expr, expected):
 
 
 def test_hextoraw_roundtrip(spark):
-    assert _sql1(spark, "CAST(HEXTORAW('41') AS STRING)") == "A"
+    # H2-legacy: 4 hex digits -> one char (StringFunction.java:132-148)
+    assert _sql1(spark, "HEXTORAW('0041')") == "A"
+    assert _sql1(spark, "HEXTORAW(RAWTOHEX('Hello'))") == "Hello"
 
 
 def test_uuid_shape(spark):
