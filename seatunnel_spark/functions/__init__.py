@@ -263,6 +263,58 @@ def _raw_string_literals(sql: str) -> str:
     return "".join(out)
 
 
+_LATERAL_RE = re.compile(
+    r"LATERAL\s+VIEW(\s+OUTER)?\s+EXPLODE\s*\(", re.I)
+
+
+def rewrite_aliasless_lateral(sql: str, base_cols: list[str]) -> str:
+    """Zeta accepts ``LATERAL VIEW EXPLODE(e) as X`` with no view alias,
+    and the exploded column REPLACES a same-named source column
+    (sql_transform/explode_transform.conf:61). Spark requires a view
+    alias and keeps both columns (ambiguous ``*``). Rewrite each
+    aliasless view to a unique alias + fresh column name, and expand a
+    leading ``SELECT *`` to base-columns-minus-replaced plus the
+    exploded names — matching Zeta's projection."""
+    out, views, pos, k = [], [], 0, 0
+    while True:
+        m = _LATERAL_RE.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            break
+        args, end = _split_call_args(sql, sql.index("(", m.end() - 1))
+        alias_m = re.match(r"\s+as\s+(\w+)", sql[end:], re.I)
+        # Aliasless only when the token after EXPLODE(...) is the bare
+        # keyword `as`; `v AS col` (Spark form) does not match here.
+        if not alias_m:
+            out.append(sql[pos:end])
+            pos = end
+            continue
+        col = alias_m.group(1)
+        outer = " OUTER" if m.group(1) else ""
+        fresh = f"__lv_c{k}"
+        expr = ", ".join(args)
+        if not outer:
+            # Zeta's non-OUTER explode SKIPS null elements
+            # (ZetaSQLFunction.transformExplodeValue:796-798); Spark
+            # keeps them as null rows.
+            expr = f"filter(({expr}), __x -> __x IS NOT NULL)"
+        out.append(sql[pos:m.start()])
+        out.append(f"LATERAL VIEW{outer} EXPLODE({expr}) "
+                   f"__lv_{k} AS {fresh}")
+        views.append((col, fresh))
+        pos = end + alias_m.end()
+        k += 1
+    sql = "".join(out)
+    if views:
+        star = re.match(r"(\s*SELECT\s+)\*(\s+FROM\b)", sql, re.I)
+        if star:
+            replaced = {c for c, _ in views}
+            proj = [c for c in base_cols if c not in replaced]
+            proj += [f"{fresh} AS {col}" for col, fresh in views]
+            sql = star.group(1) + ", ".join(proj) + sql[star.end(1) + 1:]
+    return sql
+
+
 def rewrite_zeta_sql(sql: str) -> str:
     out = _raw_string_literals(sql)
     for zeta, spark_name in _NAME_REWRITES.items():

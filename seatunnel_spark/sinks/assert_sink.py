@@ -52,6 +52,11 @@ class AssertSink(Sink):
                 expected = parse_type(ftype).simpleString()
                 if actual is None:
                     raise AssertError(f"Assert: column {fname!r} missing")
+                if expected == "void":
+                    # Declared NULL type: the engines infer different
+                    # concrete types for all-null expressions; the NULL
+                    # value rules still verify content.
+                    expected = actual
                 if actual != expected and _type_family(actual) != _type_family(expected):
                     # Same-family width differences (int vs bigint, float
                     # vs double) are translation artifacts: Zeta's own
@@ -63,7 +68,12 @@ class AssertSink(Sink):
                         f"Assert: column {fname!r} type {actual} != expected {expected}"
                     )
             for j, rule in enumerate(fr.get("field_value", []) or []):
-                rt = str(rule["rule_type"]).upper() if "rule_type" in rule else "EQUALS"
+                if "rule_type" in rule:
+                    # the literal NULL rule parses to Python None
+                    rt = ("NULL" if rule["rule_type"] is None
+                          else str(rule["rule_type"]).upper())
+                else:
+                    rt = "EQUALS"
                 # `equals_to` is the conf spelling for an equality value
                 # (AssertFieldRule.java; e2e sql_transform/case_when.conf:94)
                 rv = rule.get("rule_value", rule.get("equals_to"))

@@ -18,7 +18,11 @@ import uuid
 
 from pyspark.sql import DataFrame
 
-from seatunnel_spark.functions import rewrite_zeta_sql, register_zeta_udfs
+from seatunnel_spark.functions import (
+    register_zeta_udfs,
+    rewrite_aliasless_lateral,
+    rewrite_zeta_sql,
+)
 from seatunnel_spark.transforms.base import Transform
 
 
@@ -40,6 +44,7 @@ class SqlTransform(Transform):
         spark = df.sparkSession
         register_zeta_udfs(spark)
         sql = rewrite_zeta_sql(query)
+        sql = rewrite_aliasless_lateral(sql, df.columns)
         # Register the input under its DAG name plus the reference's
         # pseudo-table names so SELECT ... FROM <anything declared> works.
         names = {self.input_name, "dual", "input"} - {None}

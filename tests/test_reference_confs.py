@@ -30,10 +30,11 @@ REFERENCE_CONFS = [
     f"{_P2}/sql_transform/criteria_filter.conf",
     f"{_P2}/sql_transform/binary_expression.conf",
     f"{_P2}/sql_transform/sql_all_columns.conf",
+    f"{_P2}/sql_transform/explode_transform.conf",
+    f"{_P2}/sql_transform/explode_transform_with_outer.conf",
+    f"{_P2}/sql_transform/explode_transform_without_outer.conf",
 ]
 # Not runnable here, by reason:
-#  - explode_transform.conf: Zeta's aliasless `LATERAL VIEW ... as col`
-#    REPLACES the source column; Spark keeps both (ambiguous `*`).
 #  - json_path_*/array_test.conf: rely on HOCON string value
 #    concatenation for embedded JSON, which job/hocon.py doesn't parse.
 #  - llm_*/embedding_*: require a mock model server.
