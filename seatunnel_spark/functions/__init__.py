@@ -33,16 +33,13 @@ _NAME_REWRITES = {
     "LCASE": "lower",
     "UCASE": "upper",
     "FORMATDATETIME": "date_format",
-    "PARSEDATETIME": "to_timestamp",
     # Zeta TO_CHAR takes date/timestamp + Java pattern; Spark's native
     # to_char is numeric-format-only, so route the Zeta spelling to the
     # shim WITHOUT shadowing the native function.
     "TO_CHAR": "ZETA_TO_CHAR",
     "INSERT": "INSERT_STR",
     "DAY_OF_MONTH": "dayofmonth",
-    "DAY_OF_WEEK": "dayofweek",
     "DAY_OF_YEAR": "dayofyear",
-    "WEEK": "weekofyear",
     # Zeta DAYNAME/MONTHNAME return FULL names ('Thursday'); Spark 4's
     # natives abbreviate ('Thu') -> shim.
     "DAYNAME": "ZETA_DAYNAME",
@@ -166,6 +163,10 @@ def _build_extract(args: list[str]) -> str:
         return f"(CAST(extract(SECOND FROM {x}) * 1000 AS BIGINT) % 1000)"
     if field == "DAYOFYEAR":
         return f"extract(DOY FROM {x})"
+    if field == "DAYOFWEEK":
+        # Zeta is ISO Monday=1 (DayOfWeek.getValue, DateTimeFunction.java:329;
+        # func_datetime.conf:291 expects Thursday=4); Spark's is Sunday=1.
+        return f"(weekday({x}) + 1)"
     if field == "SECOND":
         return f"CAST(FLOOR(extract(SECOND FROM {x})) AS BIGINT)"
     return f"extract({field} FROM {x})"
@@ -226,6 +227,38 @@ def _build_regexp_like(args: list[str]) -> str:
                    else f"concat('(?{flags})', {pat})")
         return f"regexp_like({args[0]}, {pat})"
     return f"regexp_like({', '.join(args)})"
+
+
+def _build_week(args: list[str]) -> str:
+    # Zeta WEEK = WeekFields.ISO.weekOfYear + 1 (DateTimeFunction.java:537-545)
+    # — DAY-OF-YEAR-based ISO week (week 0 = days before the year's first
+    # ISO week), then an off-by-one bump; NOT Spark's weekofyear
+    # (week-based-year). func_datetime.conf:week(2021-04-08) expects 15,
+    # weekofyear gives 14. d0 = weekday of Jan 1 (Mon=0); week 1 includes
+    # Jan 1 only if d0 <= 3 (first partial week has >= 4 days).
+    x = args[0]
+    d0 = f"weekday(trunc(CAST(({x}) AS DATE), 'YEAR'))"
+    return (f"CAST(floor((dayofyear({x}) + {d0} - 1) / 7)"
+            f" + IF({d0} <= 3, 1, 0) + 1 AS INT)")
+
+
+def _build_parsedatetime(default_fn: str):
+    # Zeta PARSEDATETIME/TO_DATE return type sniffs the FORMAT literal
+    # (ZetaSQLType.java:459-471): contains "yy" and "mm" -> DATETIME,
+    # "yy" only -> DATE, "mm" only -> TIME (mm = minutes, so any format
+    # with a time-of-day component yields a timestamp).
+    def build(args: list[str]) -> str:
+        if len(args) == 2 and _QUOTED.fullmatch(args[1]):
+            fmt = args[1][1:-1]
+            if "yy" in fmt and "mm" in fmt:
+                return f"to_timestamp({args[0]}, {args[1]})"
+            if "yy" in fmt:
+                return f"to_date({args[0]}, {args[1]})"
+            if "mm" in fmt:
+                return f"to_time({args[0]}, {args[1]})"
+        return f"{default_fn}({', '.join(args)})"
+
+    return build
 
 
 def _build_from_unixtime(args: list[str]) -> str:
@@ -315,6 +348,94 @@ def rewrite_aliasless_lateral(sql: str, base_cols: list[str]) -> str:
     return sql
 
 
+# Zeta ARRAY() numeric promotion lattice (ArrayFunction.getNumericCommonType:
+# Double > Float > Long > Integer > Short); anything non-numeric mixed in
+# (or left standing alone as a non-primitive) stringifies.
+_NUM_RANK = {"smallint": 0, "int": 1, "bigint": 2, "float": 3, "double": 4}
+_ARRAY_ELEM_TYPES = {"string", "boolean", "smallint", "int", "bigint",
+                     "float", "double"}
+_DEC_LIT = re.compile(r"[+-]?\d+\.\d+([eE][+-]?\d+)?")
+_CAST_AS = re.compile(
+    r"\s+AS\s+(TIMESTAMP|DATETIME|DATE|TIME)\s*$", re.I | re.S)
+
+
+def rewrite_typed_zeta(sql: str, df) -> str:
+    """Rewrites that need the input schema (resolved by probing a
+    zero-row plan against ``df``, driver-side analysis only):
+
+    * ``ARRAY(a, b, ...)`` — Zeta picks ONE element type by promoting
+      the argument types (ArrayFunction.java:83-141: numeric widening,
+      otherwise String); Spark/ANSI least-common-type differs (e.g.
+      string+int -> bigint). Rewrite to array(CAST(x AS T)...).
+    * ``CAST(x AS DATE|TIME|TIMESTAMP)`` on NUMERIC x — Zeta decodes
+      yyyymmdd ints -> DATE, hhmmss ints -> TIME, epoch-millis longs ->
+      TIMESTAMP (SystemFunction.castAs:130-180); Spark rejects or (for
+      timestamps) reads SECONDS.
+    """
+    def probe(exprs: list[str]) -> list[str] | None:
+        try:
+            plan = df.limit(0).selectExpr(
+                *[f"({e}) AS __p{i}" for i, e in enumerate(exprs)])
+            return [dt for _, dt in plan.dtypes]
+        except Exception:
+            return None
+
+    def elem_kind(dtype: str, raw: str) -> str:
+        base = dtype.split("(")[0]
+        if base == "decimal":
+            # JSqlParser sees a numeric literal as DoubleValue; a
+            # decimal-typed COLUMN is BigDecimal -> String in Zeta.
+            return "double" if _DEC_LIT.fullmatch(raw.strip()) else "string"
+        return {"tinyint": "smallint"}.get(base, base)
+
+    def build_array(args: list[str]) -> str:
+        if not args:
+            return "array()"
+        dtypes = probe(args)
+        if dtypes is None:
+            return f"array({', '.join(args)})"
+        tgt = None
+        for dt, raw in zip(dtypes, args):
+            k = elem_kind(dt, raw)
+            if k == "void":  # NULL literals don't vote (getClassType)
+                continue
+            if tgt is None or tgt == k:
+                tgt = k
+            elif tgt in _NUM_RANK and k in _NUM_RANK:
+                tgt = k if _NUM_RANK[k] > _NUM_RANK[tgt] else tgt
+            else:
+                tgt = "string"
+        tgt = tgt if tgt in _ARRAY_ELEM_TYPES else "string"
+        return ("array(" +
+                ", ".join(f"CAST(({a}) AS {tgt})" for a in args) + ")")
+
+    def build_cast(args: list[str]) -> str:
+        passthru = f"CAST({', '.join(args)})"
+        m = _CAST_AS.search(args[0]) if len(args) == 1 else None
+        if not m:
+            return passthru
+        expr, target = args[0][: m.start()], m.group(1).upper()
+        dtypes = probe([expr])
+        if dtypes is None:
+            return passthru
+        base = dtypes[0].split("(")[0]
+        numeric = base in ("tinyint", "smallint", "int", "bigint", "decimal")
+        if target in ("TIMESTAMP", "DATETIME"):
+            if numeric:  # epoch millis (castAs:150-155)
+                return f"timestamp_millis(CAST(({expr}) AS BIGINT))"
+            return f"CAST(({expr}) AS TIMESTAMP)"
+        if target == "DATE" and numeric:  # yyyymmdd (castAs:158-166)
+            return f"to_date(CAST(({expr}) AS STRING), 'yyyyMMdd')"
+        if target == "TIME" and numeric:  # hhmmss (castAs:175-183)
+            return ("to_time(lpad(CAST((" + expr + ") AS STRING), 6, '0'), "
+                    "'HHmmss')")
+        return passthru
+
+    sql = _rewrite_calls(sql, "ARRAY", build_array)
+    sql = _rewrite_calls(sql, "CAST", build_cast)
+    return sql
+
+
 def rewrite_zeta_sql(sql: str) -> str:
     out = _raw_string_literals(sql)
     for zeta, spark_name in _NAME_REWRITES.items():
@@ -332,8 +453,14 @@ def rewrite_zeta_sql(sql: str) -> str:
         ("REGEXP_SUBSTR", _build_regexp_substr),
         ("REGEXP_LIKE", _build_regexp_like),
         ("FROM_UNIXTIME", _build_from_unixtime),
+        ("PARSEDATETIME", _build_parsedatetime("to_timestamp")),
+        ("TO_DATE", _build_parsedatetime("to_date")),
         # Zeta SIGN returns int (H2), Spark's returns double.
         ("SIGN", lambda args: f"CAST(sign({', '.join(args)}) AS INT)"),
+        # Zeta DAY_OF_WEEK is ISO Monday=1 (DateTimeFunction.java:323-330);
+        # Spark's dayofweek is Sunday=1, weekday is Monday=0.
+        ("DAY_OF_WEEK", lambda args: f"(weekday({args[0]}) + 1)"),
+        ("WEEK", _build_week),
     ):
         out = _rewrite_calls(out, name_pattern, builder)
     # Zeta allows parameterless VARCHAR in CAST (ZetaSQLType.java:68-83);
@@ -369,9 +496,11 @@ def _insert(s, start, length, addition):
 def _is_date(s, fmt: str) -> bool:
     if s is None:
         return False
+    # Fraction (S) must be mapped before ss -> %S introduces an 'S'.
     py = (
         fmt.replace("yyyy", "%Y").replace("MM", "%m").replace("dd", "%d")
-        .replace("HH", "%H").replace("mm", "%M").replace("ss", "%S")
+        .replace("HH", "%H").replace("mm", "%M")
+        .replace("SSS", "%f").replace("S", "%f").replace("ss", "%S")
     )
     try:
         datetime.strptime(s, py)

@@ -29,6 +29,9 @@ _DEFAULTS = {
     # Read-side partition sizing: 128 MB splits keep executor memory bounded.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
+    # Zeta's TIME type (SqlType.TIME) maps to Spark 4.1's TIME, which
+    # is still behind a flag; CAST(x AS TIME) / to_time need it.
+    "spark.sql.timeType.enabled": "true",
     # Parquet TIMESTAMP(NANOS) (e.g. pandas-written ts[ns]) is otherwise
     # unreadable (PARQUET_TYPE_ILLEGAL); read as long, convert at source.
     "spark.sql.legacy.parquet.nanosAsLong": "true",

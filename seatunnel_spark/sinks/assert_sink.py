@@ -34,6 +34,20 @@ def _type_family(simple: str) -> str:
     return simple
 
 
+def _eq_expr(col, dtype: str, rv):
+    """Null-safe `col == rv` for conf-literal rule values. Maps can't be
+    compared with `=` in Spark (no ordering), so compare size + every
+    entry; TIME columns coerce the string literal side."""
+    if isinstance(rv, dict):
+        cond = F.size(F.map_keys(col)) == F.lit(len(rv))
+        for k, v in rv.items():
+            cond = cond & F.try_element_at(col, F.lit(k)).eqNullSafe(F.lit(v))
+        return cond
+    if dtype and dtype.startswith("time") and isinstance(rv, str):
+        return col.eqNullSafe(F.lit(rv).cast(dtype))
+    return col.eqNullSafe(F.lit(rv))
+
+
 class AssertSink(Sink):
     NAME = "Assert"
 
@@ -98,9 +112,8 @@ class AssertSink(Sink):
                     aggs.append(F.max(F.length(col)).alias(alias))
                     checks.append((alias, ("<=", rv, f"{fname} MAX_LENGTH {rv}")))
                 elif rt == "EQUALS":
-                    aggs.append(
-                        F.sum((col != F.lit(rv)).cast("long")).alias(alias)
-                    )
+                    eq = _eq_expr(col, dict(df.dtypes).get(fname), rv)
+                    aggs.append(F.sum((~eq).cast("long")).alias(alias))
                     checks.append((alias, ("==", 0, f"{fname} == {rv!r}")))
                 else:
                     raise ValueError(f"Assert: unknown field rule {rt!r}")

@@ -100,6 +100,11 @@ def _coerce(value, dt: T.DataType):
 
         return (value if not isinstance(value, str)
                 else datetime.date.fromisoformat(value))
+    if hasattr(T, "TimeType") and isinstance(dt, T.TimeType):
+        import datetime
+
+        return (value if not isinstance(value, str)
+                else datetime.time.fromisoformat(value))
     if isinstance(dt, T.TimestampType):
         import datetime
 

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from seatunnel_spark.functions import (
     register_zeta_udfs,
     rewrite_aliasless_lateral,
+    rewrite_typed_zeta,
     rewrite_zeta_sql,
 )
 from seatunnel_spark.transforms.base import Transform
@@ -44,6 +45,7 @@ class SqlTransform(Transform):
         spark = df.sparkSession
         register_zeta_udfs(spark)
         sql = rewrite_zeta_sql(query)
+        sql = rewrite_typed_zeta(sql, df)
         sql = rewrite_aliasless_lateral(sql, df.columns)
         # Register the input under its DAG name plus the reference's
         # pseudo-table names so SELECT ... FROM <anything declared> works.

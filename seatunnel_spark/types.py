@@ -40,9 +40,10 @@ _SIMPLE = {
     "bytes": T.BinaryType(),
     "binary": T.BinaryType(),
     "date": T.DateType(),
-    # Spark has no TimeType; the reference's own Spark runner uses
-    # LongType nanos-of-day (TypeConverterUtils.java:96).
-    "time": T.LongType(),
+    # Spark 4.1 has a native TIME type (behind spark.sql.timeType.enabled,
+    # on in session.py); older Sparks would need the reference's
+    # LongType nanos-of-day fallback (TypeConverterUtils.java:96).
+    "time": T.TimeType() if hasattr(T, "TimeType") else T.LongType(),
     "timestamp": T.TimestampType(),
     "datetime": T.TimestampType(),
     "timestamp_tz": T.TimestampType(),

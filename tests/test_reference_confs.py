@@ -33,6 +33,12 @@ REFERENCE_CONFS = [
     f"{_P2}/sql_transform/explode_transform.conf",
     f"{_P2}/sql_transform/explode_transform_with_outer.conf",
     f"{_P2}/sql_transform/explode_transform_without_outer.conf",
+    f"{_P2}/sql_transform/func_array.conf",
+    f"{_P2}/sql_transform/func_datetime.conf",
+    f"{_P2}/sql_transform/func_split.conf",
+    f"{_P2}/sql_transform/func_system.conf",
+    f"{_P2}/sql_transform/inner_query.conf",
+    f"{_P2}/spark_date_time_transform.conf",
 ]
 # Not runnable here, by reason:
 #  - json_path_*/array_test.conf: rely on HOCON string value

@@ -7,7 +7,9 @@ def test_simple_types():
     assert parse_type("string") == T.StringType()
     assert parse_type("tinyint") == T.ByteType()
     assert parse_type("bigint") == T.LongType()
-    assert parse_type("time") == T.LongType()  # nanos-of-day per reference
+    # Spark 4.1 native TIME (older Sparks: LongType nanos-of-day)
+    assert parse_type("time") == (
+        T.TimeType() if hasattr(T, "TimeType") else T.LongType())
     assert parse_type("timestamp_tz") == T.TimestampType()
 
 

@@ -72,15 +72,23 @@ DATETIME_CASES = [
     ("QUARTER(TIMESTAMP '2023-06-15 10:30:00')", 2),
     ("MONTH(TIMESTAMP '2023-06-15 10:30:00')", 6),
     ("DAY_OF_MONTH(TIMESTAMP '2023-06-15 10:30:00')", 15),
-    ("DAY_OF_WEEK(TIMESTAMP '2023-06-15 10:30:00')", 5),   # Thursday
+    # ISO Monday=1 (DateTimeFunction.java:323-330; func_datetime.conf:228)
+    ("DAY_OF_WEEK(TIMESTAMP '2023-06-15 10:30:00')", 4),   # Thursday
     ("DAY_OF_YEAR(TIMESTAMP '2023-06-15 10:30:00')", 166),
     ("HOUR(TIMESTAMP '2023-06-15 10:30:00')", 10),
     ("MINUTE(TIMESTAMP '2023-06-15 10:30:00')", 30),
     ("SECOND(TIMESTAMP '2023-06-15 10:30:45')", 45),
-    ("WEEK(TIMESTAMP '2023-06-15 10:30:00')", 24),
+    # WeekFields.ISO.weekOfYear + 1 (DateTimeFunction.java:537-545)
+    ("WEEK(TIMESTAMP '2023-06-15 10:30:00')", 25),
+    ("WEEK(DATE '2021-04-08')", 15),       # func_datetime.conf:c4_10
+    ("WEEK(DATE '2021-01-01')", 1),        # week-0 day -> Zeta 1
     ("EXTRACT(DAY FROM TIMESTAMP '2023-06-15 10:30:00')", 15),
     ("FORMATDATETIME(TIMESTAMP '2023-06-15 10:30:00', 'yyyy-MM-dd')", "2023-06-15"),
-    ("CAST(PARSEDATETIME('2023-06-15', 'yyyy-MM-dd') AS STRING)", "2023-06-15 00:00:00"),
+    # Format sniffing (ZetaSQLType.java:459-471): "yy" without "mm"
+    # (minutes) -> DATE, with "mm" -> DATETIME.
+    ("CAST(PARSEDATETIME('2023-06-15', 'yyyy-MM-dd') AS STRING)", "2023-06-15"),
+    ("CAST(PARSEDATETIME('2023-06-15 10:30:00', 'yyyy-MM-dd HH:mm:ss') AS STRING)",
+     "2023-06-15 10:30:00"),
     # Zeta DATEDIFF(a, b[, unit]) = b - a (Duration.between,
     # DateTimeFunction.java:143-215) — note the sign.
     ("DATEDIFF(DATE '2023-06-15', DATE '2023-06-10')", -5),
@@ -122,7 +130,7 @@ DATETIME_CASES = [
     # Zeta EXTRACT fields Spark lacks (func_datetime.conf:53)
     ("EXTRACT(MILLISECOND FROM TIMESTAMP '2023-06-15 10:30:45.123')", 123),
     ("EXTRACT(DAYOFYEAR FROM TIMESTAMP '2023-06-15 10:30:00')", 166),
-    ("EXTRACT(DAYOFWEEK FROM TIMESTAMP '2023-06-15 10:30:00')", 5),
+    ("EXTRACT(DAYOFWEEK FROM TIMESTAMP '2023-06-15 10:30:00')", 4),  # ISO
     # Zeta SECOND extract is an integer, not Spark's decimal seconds
     ("EXTRACT(SECOND FROM TIMESTAMP '2023-06-15 10:30:45.999')", 45),
 ]
