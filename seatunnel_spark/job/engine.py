@@ -51,6 +51,7 @@ class JobEngine:
         order (the reference topo-sorts LogicalVertices; declaration order
         plus name resolution gives the same result for valid configs)."""
         tables: dict[str, DataFrame] = {}
+        self._groups: dict[str, dict[str, DataFrame]] = {}
         for blk in spec.sources:
             opts = dict(blk.options)
             if streaming:
@@ -63,6 +64,10 @@ class JobEngine:
             src = get_source(blk.plugin, opts)
             df = src.read_stream(self.spark) if streaming else src.read(self.spark)
             if isinstance(df, dict):
+                # Multi-table source: remember the per-table group so
+                # transforms can run per table (the reference's
+                # AbstractMultiCatalogTransform routing).
+                self._groups[blk.output] = df
                 df = merge_multi_table(df)
             tables[blk.output] = df
         pending = list(spec.transforms)
@@ -79,9 +84,59 @@ class JobEngine:
             raise ValueError(f"unresolvable transform inputs: {sorted(missing)}")
         return tables
 
+    # Transforms that operate ON the table-routing itself: in grouped
+    # (multi-table) mode they rewrite the table->DataFrame dict keys.
+    _TABLE_LEVEL = {"TableMerge", "TableRename"}
+
+    @staticmethod
+    def _table_opts(opts: dict, tid: str) -> dict | None:
+        """Per-table effective config (AbstractMultiCatalogTransform.java:
+        47-78): a `table_transform` entry keyed by table_path REPLACES the
+        base config; otherwise the base config applies when the table id
+        matches `table_match_regex` (default .*); otherwise identity."""
+        import re
+
+        for e in opts.get("table_transform", []) or []:
+            if e.get("table_path") == tid:
+                return {k: v for k, v in e.items() if k != "table_path"}
+        if re.fullmatch(opts.get("table_match_regex", ".*"), tid):
+            return {k: v for k, v in opts.items()
+                    if k not in ("table_match_regex", "table_transform")}
+        return None
+
     def _apply_transform(self, blk: Block, tables: dict[str, DataFrame]) -> DataFrame:
         opts = dict(blk.options)
         opts.setdefault("plugin_input", blk.inputs[0] if blk.inputs else None)
+        input_name = blk.inputs[0] if blk.inputs else None
+        if len(blk.inputs) == 1 and input_name in self._groups:
+            group_out: dict[str, DataFrame] = {}
+            for tid, tdf in self._groups[input_name].items():
+                eff = self._table_opts(opts, tid)
+                if blk.plugin == "TableRename":
+                    from seatunnel_spark.transforms.basic import convert_table_id
+
+                    new_tid = convert_table_id(tid, eff) if eff else tid
+                    group_out[new_tid] = tdf
+                elif blk.plugin == "TableMerge":
+                    import re
+
+                    target = ".".join(
+                        p for p in [opts.get("database"), opts.get("schema"),
+                                    opts.get("table")] if p) or tid
+                    new_tid = (target if re.search(
+                        opts.get("table_match_regex", ".*"), tid) else tid)
+                    if new_tid in group_out:  # shards union into one table
+                        group_out[new_tid] = group_out[new_tid].unionByName(
+                            tdf, allowMissingColumns=True)
+                    else:
+                        group_out[new_tid] = tdf
+                elif eff is None:
+                    group_out[tid] = tdf  # IdentityTransform
+                else:
+                    eff.setdefault("plugin_input", opts.get("plugin_input"))
+                    group_out[tid] = get_transform(blk.plugin, eff).apply(tdf)
+            self._groups[blk.output] = group_out
+            return merge_multi_table(group_out)
         t = get_transform(blk.plugin, opts)
         if len(blk.inputs) > 1:
             # N-ary input (TableMerge across separate DAG branches): union first.
@@ -105,9 +160,15 @@ class JobEngine:
             sink = get_sink(blk.plugin, blk.options)
             for name in blk.inputs or [next(reversed(tables))]:
                 df = tables[name]
+                # Multi-table jobs: expose the per-table group so sinks
+                # (Assert tables_configs, per-table writers) see each
+                # table's own clean schema, not the merged superset.
+                sink.table_groups = self._groups.get(name)
                 if streaming and df.isStreaming:
                     ckpt = spec.env.get("checkpoint.dir")
                     handles.append(sink.write_stream(df, checkpoint=ckpt))
+                elif not sink.wants_observation():
+                    sink.write(df)
                 else:
                     # Sink row metrics ride the job itself via the
                     # Observation API — no second scan, no listener

@@ -51,8 +51,34 @@ def _eq_expr(col, dtype: str, rv):
 class AssertSink(Sink):
     NAME = "Assert"
 
+    def wants_observation(self) -> bool:
+        # In tables_configs mode the checks run on the per-table group
+        # frames, never on the merged frame the engine would observe.
+        return not (self.opt("rules") or {}).get("tables_configs")
+
     def write(self, df: DataFrame) -> None:
         rules = self.require("rules")
+        tables_configs = rules.get("tables_configs")
+        if tables_configs:
+            # Multi-table rules (copy_transform_multi_table.conf:110):
+            # each entry checks only its own table's slice — preferably
+            # the per-table DataFrame (clean schema), else a filter on
+            # the merged routed frame.
+            from seatunnel_spark.types import TABLE_ID_COL
+
+            groups = getattr(self, "table_groups", None) or {}
+            for tc in tables_configs:
+                sub = groups.get(tc["table_path"])
+                if sub is None:
+                    sub = df
+                    if TABLE_ID_COL in df.columns:
+                        sub = df.filter(
+                            F.col(TABLE_ID_COL) == tc["table_path"])
+                self._check(sub, tc)
+            return
+        self._check(df, rules)
+
+    def _check(self, df: DataFrame, rules: dict) -> None:
         aggs = [F.count(F.lit(1)).alias("__row_count")]
         checks: list[tuple[str, object]] = []  # (agg alias, validator)
 
@@ -141,8 +167,12 @@ class AssertSink(Sink):
 
         catalog = rules.get("catalog_table_rule")
         if catalog:
+            from seatunnel_spark.types import ROW_KIND_COL, TABLE_ID_COL
+
+            cols = [c for c in df.columns
+                    if c not in (ROW_KIND_COL, TABLE_ID_COL)]
             expected_cols = [c["name"] for c in catalog.get("column_rule", [])]
-            if expected_cols and expected_cols != df.columns:
+            if expected_cols and expected_cols != cols:
                 raise AssertError(
-                    f"Assert: columns {df.columns} != expected {expected_cols}"
+                    f"Assert: columns {cols} != expected {expected_cols}"
                 )

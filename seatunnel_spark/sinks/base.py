@@ -25,6 +25,14 @@ class Sink:
 
     NAME = "?"
 
+    def wants_observation(self) -> bool:
+        """Whether the engine may wrap write() with an Observation for
+        rows_written metrics. A sink whose write() acts on OTHER frames
+        than the one handed in (e.g. Assert on per-table groups) must
+        return False — the observed plan would never execute and
+        Observation.get would block forever."""
+        return True
+
     def __init__(self, options: dict | None = None):
         self.options = dict(options or {})
         self.plugin_name = self.NAME

@@ -58,6 +58,9 @@ def _gen_column(field: T.StructField, opts: dict, seed: int):
         return F.unhex(F.substring(F.sha2(F.col("id").cast("string"), 256), 1, 16))
     if isinstance(dt, T.DateType):
         return F.date_add(F.to_date(F.lit("2024-01-01")), (h % 365).cast("int"))
+    if hasattr(T, "TimeType") and isinstance(dt, T.TimeType):
+        return F.date_format(
+            F.timestamp_seconds(h % F.lit(86400)), "HH:mm:ss").cast(dt)
     if isinstance(dt, T.TimestampType):
         return F.timestamp_seconds(F.lit(1704067200) + (h % F.lit(86400 * 365)))
     if isinstance(dt, T.ArrayType):
@@ -133,8 +136,23 @@ class FakeSource(Source):
     NAME = "FakeSource"
 
     def read(self, spark: SparkSession) -> DataFrame:
+        tables_configs = self.opt("tables_configs")
+        if tables_configs:
+            # Multi-table FakeSource (copy_transform_multi_table.conf:26):
+            # one source declares N tables; the engine routes by table id.
+            out: dict[str, DataFrame] = {}
+            for tc in tables_configs:
+                sub = {k: v for k, v in self.options.items()
+                       if k != "tables_configs"}
+                sub.update(tc)
+                tid = (tc.get("schema") or {}).get("table") or f"table{len(out)}"
+                out[tid] = FakeSource(sub).read(spark)
+            return out
         schema_opt = self.opt("schema") or {}
         fields = schema_opt.get("fields") or self.opt("fields")
+        if not fields and schema_opt.get("columns"):
+            # List-of-columns schema form (schema-feature.md:118-139).
+            fields = {c["name"]: c["type"] for c in schema_opt["columns"]}
         if not fields:
             raise ValueError("FakeSource: schema.fields required")
         schema = parse_schema(fields)

@@ -125,6 +125,41 @@ class FieldRenameTransform(Transform):
         return df.withColumnsRenamed(mapping) if mapping else df
 
 
+def convert_table_id(tid: str, opts: dict) -> str:
+    """Reference TableRename naming (TableRenameTransform.java:148-213):
+    database/schema parts get convert_case only; the TABLE part gets
+    regex matches located in the ORIGINAL name, then case conversion,
+    then splicing replace_to over the matched spans, then prefix/suffix.
+    Only the LAST replacement rule with any match applies."""
+    import re as _re
+
+    def case(s: str) -> str:
+        cc = (opts.get("convert_case") or "").upper()
+        return s.upper() if cc == "UPPER" else s.lower() if cc == "LOWER" else s
+
+    parts = tid.split(".")
+    head, table = parts[:-1], parts[-1]
+    replace_to, spans = None, []
+    for rule in opts.get("replacements_with_regex") or []:
+        frm = rule.get("replace_from") or ""
+        if not frm:
+            continue
+        if rule.get("is_regex") is False:
+            matched = [(0, len(table))] if frm == table else []
+        else:
+            matched = [m.span() for m in _re.finditer(frm, table)]
+        if matched:
+            replace_to, spans = str(rule.get("replace_to", "")).strip(), matched
+    table = case(table)
+    offset = 0
+    for start, end in spans:
+        table = table[: start + offset] + replace_to + table[end + offset:]
+        offset += len(replace_to) - (end - start)
+    prefix = (opts.get("prefix") or "").strip()
+    suffix = (opts.get("suffix") or "").strip()
+    return ".".join([case(p) for p in head] + [prefix + table + suffix])
+
+
 class TableRenameTransform(Transform):
     """Rename the table id (multi-table routing key).
 

@@ -39,11 +39,28 @@ REFERENCE_CONFS = [
     f"{_P2}/sql_transform/func_system.conf",
     f"{_P2}/sql_transform/inner_query.conf",
     f"{_P2}/spark_date_time_transform.conf",
+    # Multi-table jobs (FakeSource tables_configs -> per-table transform
+    # routing -> Assert tables_configs):
+    f"{_P1}/copy_transform_multi_table.conf",
+    f"{_P1}/filter_row_kind_exclude_insert_multi_table.conf",
+    f"{_P1}/filter_transform_multi_table.conf",
+    f"{_P1}/rowkind_extractor_transform_case1_multi_table.conf",
+    f"{_P2}/field_mapper_transform_multi_table.conf",
+    f"{_P2}/replace_transform_multi_table.conf",
+    f"{_P2}/metadata_multi_table.conf",
+    f"{_P2}/table_field_rename_multi_table.conf",
+    f"{_P2}/table_merge_multi_table.conf",
+    f"{_P2}/sql_transform_multi_table.conf",
+    # JSON config format (docs/en/concept/config.md: JSON jobs)
+    f"{_P1}/filter_row_to_next_transform.json",
 ]
 # Not runnable here, by reason:
 #  - json_path_*/array_test.conf: rely on HOCON string value
 #    concatenation for embedded JSON, which job/hocon.py doesn't parse.
 #  - llm_*/embedding_*: require a mock model server.
+#  - split_transform_multi_table.conf: inherently probabilistic — its
+#    f2 NOT_NULL rule only holds if every random int contains the digit
+#    "1" (separator), which no generator guarantees.
 
 
 @pytest.mark.parametrize(
@@ -51,6 +68,6 @@ REFERENCE_CONFS = [
     ids=lambda c: os.path.basename(c),
 )
 def test_reference_conf_runs_unmodified(spark, conf):
-    spec = JobSpec.from_hocon(conf)
+    spec = JobSpec.from_file(conf)
     # Assert sinks raise on any violated rule; success == reference parity.
     JobEngine(spark).run(spec)
