@@ -515,6 +515,20 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters = connected components over the n-gram
+    Jaccard near-dup graph (seatunnel_spark/dataops/dedup.py:
+    duplicate_clusters — min-label propagation, one shuffle join per
+    round). cluster_id = min doc_id of the component."""
+    from seatunnel_spark.dataops import duplicate_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=3, threshold=0.2, block_cols=["lang"],
+    )
+    return duplicate_clusters(pairs)
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seatunnel_spark.dataops.text import quality_signals
 
@@ -795,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": dedup_fingerprint,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "dedup_clusters": dedup_clusters,
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_tokens": text_tokens,
@@ -1142,6 +1157,30 @@ def oracle_sql() -> dict[str, str]:
               ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh))
                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {shingle_cte},
+            shl AS (
+              SELECT doc_id, lang, list(DISTINCT sh) AS sh
+              FROM shingles GROUP BY doc_id, lang
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM shl a JOIN shl b
+                ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, label) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+            )
+            SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
         """,
         "text_quality": """
             WITH w AS (

@@ -16,6 +16,7 @@ from seatunnel_spark.dataops.dedup import (
     simhash_near_dups,
     ngram_jaccard_pairs,
     embedding_near_dups,
+    duplicate_clusters,
 )
 from seatunnel_spark.dataops.similarity import (
     with_cosine,
@@ -36,7 +37,8 @@ from seatunnel_spark.dataops.text import (
 
 __all__ = [
     "exact_dedup", "exact_dup_groups", "minhash_signatures", "minhash_lsh_pairs",
-    "simhash64", "simhash_near_dups", "ngram_jaccard_pairs", "embedding_near_dups",
+    "simhash64", "simhash_near_dups", "ngram_jaccard_pairs",
+    "embedding_near_dups", "duplicate_clusters",
     "with_cosine", "brute_force_topk", "lsh_bucketed_topk",
     "ivf_topk", "train_ivf_centroids", "salted_join",
     "write_ivf_index", "search_ivf_index",

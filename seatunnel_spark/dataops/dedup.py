@@ -295,6 +295,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the
+    canonical "keep one document per duplicate cluster" step that
+    follows any pairwise dedup (MinHash/SimHash/embedding pairs).
+
+    Min-label propagation: every vertex starts labeled with itself;
+    each round takes the min label over its neighbors; converges in
+    O(component diameter) rounds. Duplicate clusters are shallow
+    (near-cliques), so 2-3 rounds is typical. Each round is ONE
+    shuffle join + ONE map-side-combined min aggregation — no driver
+    graph, no collected edges, so it scales to billions of pairs.
+    localCheckpoint every round cuts the iterative lineage that would
+    otherwise make Catalyst re-analyze an ever-deeper plan at 100 TB.
+
+    Returns (id, cluster_id) for every vertex that appears in `pairs`;
+    cluster_id is the component's minimum id (deterministic canon).
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src").agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                labels.id,
+                F.least(
+                    labels.label, F.coalesce("nbr_label", labels.label)
+                ).alias("label"),
+                (F.coalesce("nbr_label", labels.label) < labels.label)
+                .alias("__chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter("__chg").limit(1).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 # --------------------------------------------------------------------------
 # embedding cosine near-dup
 # --------------------------------------------------------------------------

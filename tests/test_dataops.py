@@ -254,3 +254,18 @@ def test_ivf_index_persist_and_partition_pruned_search(spark, tmp_path):
     scan = next(l for l in plan.splitlines()
                 if "FileScan parquet" in l and "__cell" in l)
     assert "PartitionFilters: [" in scan and "__cell" in scan.split("PartitionFilters:")[1]
+
+
+def test_duplicate_clusters_chain_and_islands(spark):
+    # Chain 1-2-3-4-5 needs several propagation rounds (diameter 4);
+    # {10,11} is a separate component; 20-21-22 a triangle.
+    from seatunnel_spark.dataops import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11),
+         (20, 21), (21, 22), (20, 22)],
+        "id_a int, id_b int",
+    )
+    got = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
