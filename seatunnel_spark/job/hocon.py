@@ -23,20 +23,24 @@ class HoconError(ValueError):
 
 _TOKEN_RE = re.compile(
     r"""
-    (?P<ws>[ \t\r,]+)
+    (?P<ws>[ \t\r]+)
   | (?P<comment>(\#|//)[^\n]*)
   | (?P<nl>\n)
   | (?P<triple>\"\"\"(?:.|\n)*?\"\"\")
   | (?P<string>"(?:[^"\\]|\\.)*")
-  | (?P<punct>[{}\[\]=:])
-  | (?P<bare>[^\s{}\[\]=:,#\n]+)
+  | (?P<punct>[{}\[\]=:,])
+  | (?P<bare>[^\s{}\[\]=:,#\n"]+)
     """,
     re.X,
 )
 
 
-def _tokenize(text: str) -> list[str]:
+def _tokenize(text: str) -> tuple[list[str], list[tuple[int, int]]]:
+    """Returns (tokens, spans). Commas are real tokens (they terminate
+    HOCON value concatenation); spans give source offsets so adjacent
+    values concatenate with their original whitespace preserved."""
     tokens: list[str] = []
+    spans: list[tuple[int, int]] = []
     pos = 0
     while pos < len(text):
         m = _TOKEN_RE.match(text, pos)
@@ -46,11 +50,9 @@ def _tokenize(text: str) -> list[str]:
         kind = m.lastgroup
         if kind in ("ws", "comment"):
             continue
-        if kind == "nl":
-            tokens.append("\n")
-        else:
-            tokens.append(m.group())
-    return tokens
+        tokens.append("\n" if kind == "nl" else m.group())
+        spans.append(m.span())
+    return tokens, spans
 
 
 def _unquote(tok: str):
@@ -86,19 +88,27 @@ class _Parser:
     # Sections whose children are plugin instances: duplicates allowed.
     PLUGIN_SECTIONS = ("source", "transform", "sink")
 
-    def __init__(self, tokens: list[str], variables: dict | None = None):
+    # Separators skipped by default lookahead: newlines and commas both
+    # end an entry/element; commas additionally terminate value
+    # concatenation (handled by raw lookahead in _parse_value).
+    _SEPS = ("\n", ",")
+
+    def __init__(self, tokens: list[str], variables: dict | None = None,
+                 spans: list[tuple[int, int]] | None = None, src: str = ""):
         self.toks = tokens
+        self.spans = spans or [(0, 0)] * len(tokens)
+        self.src = src
         self.i = 0
         self.vars = variables or {}
 
     def _peek(self, skip_nl: bool = True):
         j = self.i
-        while j < len(self.toks) and skip_nl and self.toks[j] == "\n":
+        while j < len(self.toks) and skip_nl and self.toks[j] in self._SEPS:
             j += 1
         return self.toks[j] if j < len(self.toks) else None
 
     def _next(self, skip_nl: bool = True):
-        while self.i < len(self.toks) and skip_nl and self.toks[self.i] == "\n":
+        while self.i < len(self.toks) and skip_nl and self.toks[self.i] in self._SEPS:
             self.i += 1
         if self.i >= len(self.toks):
             raise HoconError("unexpected end of input")
@@ -153,7 +163,25 @@ class _Parser:
         if tok == "[":
             self._next()
             return self._parse_array()
-        return self._substitute(_scalar(self._next()))
+        first = self._next()
+        # HOCON value concatenation: scalar tokens adjacent on the same
+        # line (no comma/newline between) join into ONE string, keeping
+        # the original inter-token whitespace. This is how the
+        # reference's e2e confs embed JSON in templates
+        # (json_path_basic_type_test.conf:30: the JSON's own quotes
+        # alternate HOCON string boundaries).
+        parts = [first]
+        while (self.i < len(self.toks)
+               and self.toks[self.i] not in ("\n", ",", "{", "[", "]", "}",
+                                             "=", ":")):
+            gap = self.src[self.spans[self.i - 1][1]: self.spans[self.i][0]]
+            parts.append(gap.replace("\r", ""))
+            parts.append(self.toks[self.i])
+            self.i += 1
+        if len(parts) == 1:
+            return self._substitute(_scalar(first))
+        return self._substitute("".join(
+            _unquote(p) if k % 2 == 0 else p for k, p in enumerate(parts)))
 
     def _parse_object(self, as_plugin_section: bool = False):
         """Parse until matching '}'. In plugin sections, children become a
@@ -197,7 +225,8 @@ class _Parser:
 
 def parse_hocon(text: str, variables: dict | None = None) -> dict:
     """Parse a HOCON job config into the dict shape JobSpec.from_dict takes."""
-    return _Parser(_tokenize(text), variables).parse_root()
+    tokens, spans = _tokenize(text)
+    return _Parser(tokens, variables, spans=spans, src=text).parse_root()
 
 
 def load_hocon(path: str, variables: dict | None = None) -> dict:

@@ -53,10 +53,15 @@ REFERENCE_CONFS = [
     f"{_P2}/sql_transform_multi_table.conf",
     # JSON config format (docs/en/concept/config.md: JSON jobs)
     f"{_P1}/filter_row_to_next_transform.json",
+    # JsonPath transform suite (incl. HOCON value-concatenation
+    # templates and the lenient-JSON extraction they require)
+    f"{_P2}/json_path_transform/json_path_basic_type_test.conf",
+    f"{_P2}/json_path_transform/json_path_basic_type_test_multi_table.conf",
+    f"{_P2}/json_path_transform/array_test.conf",
+    f"{_P2}/json_path_transform/json_path_with_error_handle_way.conf",
+    f"{_P2}/json_path_transform/nested_row_test.conf",
 ]
 # Not runnable here, by reason:
-#  - json_path_*/array_test.conf: rely on HOCON string value
-#    concatenation for embedded JSON, which job/hocon.py doesn't parse.
 #  - llm_*/embedding_*: require a mock model server.
 #  - split_transform_multi_table.conf: inherently probabilistic — its
 #    f2 NOT_NULL rule only holds if every random int contains the digit
