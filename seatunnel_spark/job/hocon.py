@@ -122,7 +122,12 @@ class _Parser:
                 name = m.group(1)
                 if name in self.vars:
                     return str(self.vars[name])
-                raise HoconError(f"undefined variable ${{{name}}}")
+                # Unknown placeholders stay literal: typesafe-config
+                # does not substitute inside quoted strings, and
+                # downstream consumers resolve their own (e.g.
+                # MicrosoftModel's ${model} in api_path,
+                # llm_microsoft_transform.conf:52).
+                return m.group(0)
             return re.sub(r"\$\{([^}]+)\}", repl, value)
         return value
 

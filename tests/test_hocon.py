@@ -52,8 +52,11 @@ def test_variable_substitution():
         {"data_dir": "/tmp/data"},
     )
     assert cfg["source"][0]["path"] == "/tmp/data/x.parquet"
-    with pytest.raises(HoconError, match="undefined variable"):
-        parse_hocon('env { p = "${missing}" }')
+    # Unknown placeholders stay literal (typesafe-config doesn't
+    # substitute inside quoted strings; consumers resolve their own,
+    # e.g. MicrosoftModel's ${model} in llm_microsoft_transform.conf:52).
+    cfg = parse_hocon('env { p = "${missing}" }')
+    assert cfg["env"]["p"] == "${missing}"
 
 
 def test_reference_template_parses_and_runs(spark):

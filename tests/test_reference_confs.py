@@ -61,8 +61,14 @@ REFERENCE_CONFS = [
     f"{_P2}/json_path_transform/json_path_with_error_handle_way.conf",
     f"{_P2}/json_path_transform/nested_row_test.conf",
 ]
+# Runnable elsewhere:
+#  - llm_openai_*/embedding_transform*: tests/test_llm_mock.py runs them
+#    against a local replay of the reference's own MockServer
+#    expectations (host alias mockserver->127.0.0.1).
 # Not runnable here, by reason:
-#  - llm_*/embedding_*: require a mock model server.
+#  - llm_kimiai/llm_microsoft/llm_transform_custom/
+#    embedding_transform_custom: providers with custom request-shape
+#    configs not implemented (KIMIAI/MICROSOFT/custom_config parse).
 #  - split_transform_multi_table.conf: inherently probabilistic — its
 #    f2 NOT_NULL rule only holds if every random int contains the digit
 #    "1" (separator), which no generator guarantees.

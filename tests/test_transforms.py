@@ -219,13 +219,21 @@ def test_llm_provider_request_shape(monkeypatch):
     url, headers, body = captured[0]
     assert url.endswith("/chat/completions")
     assert headers["Authorization"] == "Bearer sk-test"
-    assert body["messages"][0] == {"role": "system", "content": "classify"}
+    # Reference array protocol (AbstractModel.java:77-98): system prompt
+    # carries the array-reply rules; user content is a JSON array of rows.
+    assert body["messages"][0]["role"] == "system"
+    assert body["messages"][0]["content"].startswith("classify")
+    assert "result is returned in the form of an array" in body["messages"][0]["content"]
+    assert _json.loads(body["messages"][1]["content"]) == [{"text": "hi"}]
 
     vecs = nlp._call_provider(
         "CUSTOM", "https://my.host/v1/embeddings", "k",
-        [{"input": "a"}, {"input": "b"}], mode="embed")
+        [{"input": "a"}, {"input": "b"}], mode="embed",
+        extra={"batch": 2})
     assert vecs == [[0.1, 0.2], [0.1, 0.2]]
     assert captured[-1][2]["input"] == ["a", "b"]
 
-    with pytest.raises(NotImplementedError, match="QIANFAN"):
-        nlp._call_provider("QIANFAN", "", "", [])
+    # QIANFAN embed is implemented (oauth + token query param);
+    # KIMIAI chat shares the OpenAI shape; an unknown provider raises.
+    with pytest.raises(NotImplementedError, match="NOPE"):
+        nlp._call_provider("NOPE", "", "", [])
