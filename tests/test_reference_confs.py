@@ -22,6 +22,8 @@ REFERENCE_CONFS = [
     f"{_P1}/filter_transform.conf",
     f"{_P1}/split_transform.conf",
     f"{_P2}/field_mapper_transform.conf",
+    f"{_P2}/field_mapper_transform_without_result_table.conf",
+    f"{_P2}/sql_transform.conf",
     f"{_P2}/replace_transform.conf",
     f"{_P2}/sql_transform/func_string.conf",
     f"{_P2}/sql_transform/func_numeric.conf",
