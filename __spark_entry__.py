@@ -742,7 +742,7 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec) -> binary + typed metadata."""
     from seatunnel_spark.dataops.multimodal import image_resize
 
-    docs = _t(spark, sf_dir, "documents").limit(100).select(
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
     )
     out = image_resize(docs, 32, 32)
@@ -1044,6 +1044,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 + (CAST('0x' || substring(sha256(text), 1, 2) AS INTEGER) % 192) AS INTEGER) AS width,
                    CAST(64 + (CAST('0x' || substring(sha256(text), 3, 2) AS INTEGER) % 192) AS INTEGER) AS height,
                    CAST(8 AS INTEGER) AS feat_dim
+            FROM documents WHERE doc_id < 100
+        """,
+        "mm_image_resize": """
+            -- stub codec emits sha256*2 = 64 bytes for every row at
+            -- 32x32 (multimodal.py:image_resize); the oracle checks the
+            -- per-row plumbing ran, not a real codec.
+            SELECT doc_id, CAST(32 AS INTEGER) AS w,
+                   CAST(64 AS INTEGER) AS nbytes
             FROM documents WHERE doc_id < 100
         """,
         "t_copy": """
