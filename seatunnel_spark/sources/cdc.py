@@ -54,12 +54,88 @@ def stitch_snapshot_and_changelog(
     return snap.unionByName(late, allowMissingColumns=True)
 
 
+def stitch_chunked_snapshot(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    chunks: list[tuple],
+    primary_key: str,
+    offset_col: str,
+) -> DataFrame:
+    """DBLog-style stitch for a snapshot read in PK CHUNKS under
+    concurrent writes — the reference's incremental-snapshot algorithm
+    (connector-cdc-base AbstractJdbcSourceChunkSplitter + low/high
+    WatermarkEvent stitching), as a declarative DataFrame op.
+
+    `chunks` = [(pk_lo, pk_hi, low_wm, high_wm), ...]: the chunk
+    covering keys [pk_lo, pk_hi) was read between log offsets low_wm
+    and high_wm, so each of its rows reflects SOME state inside that
+    window. Normalization per chunk:
+
+      * events with low_wm < offset <= high_wm for keys in the chunk
+        range are applied ON TOP of the chunk rows (last-per-key wins,
+        deletes drop) and the result re-emits as +I at high_wm — this
+        removes the torn-read ambiguity;
+      * events with offset > high_wm stream through unchanged;
+      * events at or before low_wm are discarded (already reflected);
+      * events for keys outside every chunk pass through (inserts past
+        the snapshot key range).
+
+    One broadcast range-join against the (tiny) chunk table + one
+    per-key shuffle for the window merge — no driver loops, so a
+    million-chunk snapshot behaves.
+    """
+    spark = snapshot.sparkSession
+    chunk_df = spark.createDataFrame(
+        [(lo, hi, low, high) for lo, hi, low, high in chunks],
+        ["__pk_lo", "__pk_hi", "__low_wm", "__high_wm"],
+    )
+    key = F.col(primary_key)
+    in_range = (key >= F.col("__pk_lo")) & (key < F.col("__pk_hi"))
+
+    snap = snapshot.join(F.broadcast(chunk_df), in_range, "left")
+    ev = changelog.join(F.broadcast(chunk_df), in_range, "left")
+
+    window_ev = ev.filter(
+        F.col("__high_wm").isNotNull()
+        & (F.col(offset_col) > F.col("__low_wm"))
+        & (F.col(offset_col) <= F.col("__high_wm"))
+    )
+    tail_ev = ev.filter(
+        F.col("__high_wm").isNull() | (F.col(offset_col) > F.col("__high_wm"))
+    )
+
+    snap_tagged = snap.withColumn(ROW_KIND_COL, F.lit("+I")).withColumn(
+        offset_col, F.col("__low_wm").cast(dict(changelog.dtypes)[offset_col])
+    )
+    from pyspark.sql import Window
+
+    merged = final_state(
+        snap_tagged.unionByName(window_ev, allowMissingColumns=True)
+        .withColumn("__hi", F.max("__high_wm").over(
+            Window.partitionBy(primary_key)))
+        .drop("__pk_lo", "__pk_hi", "__low_wm", "__high_wm"),
+        [primary_key],
+        offset_col,
+    )
+    corrected = (
+        merged.withColumn(ROW_KIND_COL, F.lit("+I"))
+        .withColumn(offset_col,
+                    F.col("__hi").cast(dict(changelog.dtypes)[offset_col]))
+        .drop("__hi")
+    )
+    return corrected.unionByName(
+        tail_ev.drop("__pk_lo", "__pk_hi", "__low_wm", "__high_wm"),
+        allowMissingColumns=True,
+    )
+
+
 def final_state(
     stitched: DataFrame, primary_keys: list[str], offset_col: str
 ) -> DataFrame:
     """Batch materialization: reduce the stitched changelog to the
     current table state (last event per key by offset; deletes drop).
-    One shuffle on the key — the 100 TB-safe shape."""
+    One shuffle on the key — the 100 TB-safe shape. Columns beyond the
+    event payload pass through (last row's values win)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(*primary_keys).orderBy(

@@ -177,3 +177,51 @@ def test_socket_sink_sends_ndjson(spark):
         server.shutdown()
         server.server_close()
     assert sorted(r["id"] for r in received) == list(range(20))
+
+
+def test_chunked_snapshot_stitch_dblog(spark):
+    """DBLog per-chunk watermark stitch (AbstractJdbcSourceChunkSplitter
+    + WatermarkEvent semantics): each chunk is read at an ARBITRARY
+    offset inside its (low, high] window — i.e. under concurrent
+    writes — yet stitch + final_state must equal the sequential apply
+    of the full event log."""
+    import random
+
+    from seatunnel_spark.sources.cdc import (
+        final_state,
+        stitch_chunked_snapshot,
+    )
+
+    rnd = random.Random(7)
+    events, state, off = [], {}, 0
+    for _ in range(120):
+        off += 1
+        pk = rnd.randrange(0, 20)
+        if pk in state and rnd.random() < 0.2:
+            events.append((off, "-D", pk, None))
+            state.pop(pk)
+        else:
+            v = rnd.randrange(1000)
+            events.append((off, "+U" if pk in state else "+I", pk, v))
+            state[pk] = v
+
+    chunks = [(0, 7, 30, 60), (7, 14, 50, 90), (14, 20, 80, 110)]
+    snap_rows = []
+    for lo, hi, low, high in chunks:
+        read_at = rnd.randrange(low, high + 1)  # torn read point
+        st = {}
+        for o, k, pk, v in events:
+            if o <= read_at and lo <= pk < hi:
+                st.pop(pk, None) if k == "-D" else st.update({pk: v})
+        snap_rows += [(pk, v) for pk, v in st.items()]
+
+    snapshot = spark.createDataFrame(snap_rows, "pk int, val int")
+    changelog = spark.createDataFrame(
+        [(pk, v, k, o) for o, k, pk, v in events],
+        "pk int, val int, __row_kind string, __offset long",
+    )
+    stitched = stitch_chunked_snapshot(
+        snapshot, changelog, chunks, "pk", "__offset")
+    got = {(r.pk, r.val)
+           for r in final_state(stitched, ["pk"], "__offset").collect()}
+    assert got == set(state.items())
