@@ -125,10 +125,25 @@ class JobSpec:
                 if kv:
                     env[kv.group(1)] = kv.group(2).strip("\"'")
         tables: dict[str, dict] = {}
+        def _maybe_hocon(v: str):
+            # Structured option values ('schema'/'rules' in
+            # fake_to_assert.sql) are HOCON blocks inside SQL quotes
+            # (SqlConfigBuilder passes them through as strings and the
+            # connector re-parses; we parse eagerly).
+            if v.strip().startswith("{"):
+                try:
+                    from seatunnel_spark.job.hocon import parse_hocon
+
+                    return parse_hocon("x = " + v)["x"]
+                except Exception:
+                    return v
+            return v
+
         for name, opts_raw in re.findall(
             r"CREATE\s+TABLE\s+(\w+)\s+WITH\s*\((.*?)\)\s*;", sql_text, re.S | re.I
         ):
-            opts = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", opts_raw))
+            opts = {k: _maybe_hocon(v) for k, v in
+                    re.findall(r"'([^']+)'\s*=\s*'([^']*)'", opts_raw, re.S)}
             tables[name] = opts
         cfg: dict = {"env": env, "source": [], "transform": [], "sink": []}
         for name, opts in tables.items():

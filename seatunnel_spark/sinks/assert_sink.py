@@ -34,17 +34,29 @@ def _type_family(simple: str) -> str:
     return simple
 
 
-def _eq_expr(col, dtype: str, rv):
-    """Null-safe `col == rv` for conf-literal rule values. Maps can't be
-    compared with `=` in Spark (no ordering), so compare size + every
-    entry; TIME columns coerce the string literal side."""
-    if isinstance(rv, dict):
+def _eq_expr(col, dt, rv):
+    """Null-safe `col == rv` for conf-literal rule values (`dt` is the
+    column's DataType). Maps can't be compared with `=` in Spark (no
+    ordering), so compare size + every entry; ROW literals arrive as
+    positional lists (fake_row_to_assert.conf) and build a typed
+    struct; TIME/TIMESTAMP columns coerce the string literal side."""
+    from pyspark.sql import types as T
+
+    if isinstance(rv, dict) and isinstance(dt, T.MapType):
         cond = F.size(F.map_keys(col)) == F.lit(len(rv))
         for k, v in rv.items():
             cond = cond & F.try_element_at(col, F.lit(k)).eqNullSafe(F.lit(v))
         return cond
-    if dtype and dtype.startswith("time") and isinstance(rv, str):
-        return col.eqNullSafe(F.lit(rv).cast(dtype))
+    if isinstance(dt, T.StructType) and isinstance(rv, (list, tuple)):
+        parts = [
+            (F.lit(None) if v is None else F.lit(v)).cast(f.dataType)
+            .alias(f.name)
+            for v, f in zip(rv, dt.fields)
+        ]
+        return col.eqNullSafe(F.struct(*parts))
+    simple = dt.simpleString() if dt is not None else ""
+    if simple.startswith("time") and isinstance(rv, str):
+        return col.eqNullSafe(F.lit(rv).cast(dt))
     return col.eqNullSafe(F.lit(rv))
 
 
@@ -138,7 +150,9 @@ class AssertSink(Sink):
                     aggs.append(F.max(F.length(col)).alias(alias))
                     checks.append((alias, ("<=", rv, f"{fname} MAX_LENGTH {rv}")))
                 elif rt == "EQUALS":
-                    eq = _eq_expr(col, dict(df.dtypes).get(fname), rv)
+                    fdt = (df.schema[fname].dataType
+                           if fname in df.columns else None)
+                    eq = _eq_expr(col, fdt, rv)
                     aggs.append(F.sum((~eq).cast("long")).alias(alias))
                     checks.append((alias, ("==", 0, f"{fname} == {rv!r}")))
                 else:

@@ -21,26 +21,50 @@ from seatunnel_spark.types import parse_schema
 
 
 def _gen_column(field: T.StructField, opts: dict, seed: int):
-    """Deterministic generator expression for one field, driven by `id`."""
+    """Deterministic generator expression for one field, driven by `id`.
+    Per-type range/template options and defaults mirror FakeOption.java
+    (tinyint/smallint/int/bigint/float/double .min/.max/.template)."""
     dt = field.dataType
     # xxhash64 gives a stable 64-bit stream per (id, column, seed).
     h = F.abs(F.xxhash64(F.col("id"), F.lit(field.name), F.lit(seed)))
 
-    def ranged(lo_key, hi_key, lo_def, hi_def):
-        lo = int(opts.get(lo_key, lo_def))
-        hi = int(opts.get(hi_key, hi_def))
+    def template(prefix):
+        tpl = opts.get(f"{prefix}.template")
+        if tpl:
+            arr = F.array(*[F.lit(x) for x in tpl])
+            return F.element_at(arr, (h % F.lit(len(tpl)) + 1).cast("int"))
+        return None
+
+    def ranged(prefix, lo_def, hi_def):
+        t = template(prefix)
+        if t is not None:
+            return t
+        lo = int(opts.get(f"{prefix}.min", lo_def))
+        hi = int(opts.get(f"{prefix}.max", hi_def))
         span = max(hi - lo, 1)
         return (h % F.lit(span)) + F.lit(lo)
 
-    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
-        return ranged("int.min", "int.max", 0, 100).cast(dt)
-    if isinstance(dt, T.LongType):
-        return ranged("bigint.min", "bigint.max", 0, 10_000_000).cast(dt)
-    if isinstance(dt, T.FloatType) or isinstance(dt, T.DoubleType):
-        lo = float(opts.get("double.min", 0.0))
-        hi = float(opts.get("double.max", 100.0))
+    def franged(prefix, hi_def):
+        t = template(prefix)
+        if t is not None:
+            return t
+        lo = float(opts.get(f"{prefix}.min", 0.0))
+        hi = float(opts.get(f"{prefix}.max", hi_def))
         frac = (h % F.lit(1_000_000)) / F.lit(1_000_000.0)
-        return (F.lit(lo) + frac * F.lit(hi - lo)).cast(dt)
+        return F.lit(lo) + frac * F.lit(hi - lo)
+
+    if isinstance(dt, T.ByteType):
+        return ranged("tinyint", 0, 127).cast(dt)
+    if isinstance(dt, T.ShortType):
+        return ranged("smallint", 0, 32767).cast(dt)
+    if isinstance(dt, T.IntegerType):
+        return ranged("int", 0, 2**31 - 1).cast(dt)
+    if isinstance(dt, T.LongType):
+        return ranged("bigint", 0, 2**63 - 1).cast(dt)
+    if isinstance(dt, T.FloatType):
+        return franged("float", 3.4e38).cast(dt)
+    if isinstance(dt, T.DoubleType):
+        return franged("double", 1.7e308).cast(dt)
     if isinstance(dt, T.DecimalType):
         frac = (h % F.lit(10 ** min(dt.precision, 15))) / F.lit(float(10**dt.scale))
         return frac.cast(dt)
@@ -120,7 +144,8 @@ def _coerce(value, dt: T.DataType):
     if isinstance(dt, T.ArrayType):
         return [_coerce(v, dt.elementType) for v in value]
     if isinstance(dt, T.MapType):
-        return {k: _coerce(v, dt.valueType) for k, v in dict(value).items()}
+        return {_coerce(k, dt.keyType): _coerce(v, dt.valueType)
+                for k, v in dict(value).items()}
     if isinstance(dt, T.StructType):
         vals = list(value.values()) if isinstance(value, dict) else list(value)
         return tuple(_coerce(v, f.dataType) for v, f in zip(vals, dt.fields))
@@ -171,7 +196,8 @@ class FakeSource(Source):
                 data = [d + (_ROW_KINDS.get(k, "+I"),)
                         for d, k in zip(data, kinds)]
             return spark.createDataFrame(data, schema=schema)
-        num = int(self.opt("row.num", 100))
+        # Reference default is 5 rows (FakeOption.java:36-40)
+        num = int(self.opt("row.num", 5))
         splits = int(self.opt("split.num", 0)) or None
         seed = int(self.opt("seed", 42))
         base = spark.range(0, num, numPartitions=splits)
@@ -183,7 +209,7 @@ class FakeSource(Source):
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
         # Bounded-as-stream: the rate source drives ids, same generators apply.
-        num = int(self.opt("row.num", 100))
+        num = int(self.opt("row.num", 5))
         rate = spark.readStream.format("rate").option(
             "rowsPerSecond", int(self.opt("rows.per.second", 100))
         ).load()

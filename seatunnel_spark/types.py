@@ -81,9 +81,49 @@ def parse_type(decl) -> T.DataType:
     if m:
         key_s, val_s = _split_top_level(m.group(1))
         return T.MapType(parse_type(key_s), parse_type(val_s), True)
+    if s.startswith("{") and s.endswith("}"):
+        # Row declared as a braces STRING — `c_row = "{c_int = int,
+        # c_string = string}"` (connector-fake-e2e
+        # fake_full_types_to_assert.conf) — entries split on top-level
+        # commas/newlines, k = v or k: v.
+        fields: dict = {}
+        for part in _split_entries(s[1:-1]):
+            m = re.match(r'\s*"?([\w.]+)"?\s*[=:]\s*(.+)$', part, re.S)
+            if not m:
+                raise ValueError(f"bad row field declaration: {part!r}")
+            fields[m.group(1)] = m.group(2).strip()
+        return parse_type(fields)
     if low.startswith("row") or low.startswith("struct"):
         raise ValueError(f"nested row types must be declared as dicts, got: {decl!r}")
     raise ValueError(f"unknown type declaration: {decl!r}")
+
+
+def _split_entries(s: str) -> list[str]:
+    """Split row-declaration entries on top-level ',' or newline
+    (respecting <>, (), {} nesting and quoted strings)."""
+    out, cur, depth, in_q = [], [], 0, False
+    for ch in s:
+        if in_q:
+            cur.append(ch)
+            in_q = ch != '"'
+        elif ch == '"':
+            cur.append(ch)
+            in_q = True
+        elif ch in "<({":
+            depth += 1
+            cur.append(ch)
+        elif ch in ">)}":
+            depth -= 1
+            cur.append(ch)
+        elif ch in ",\n" and depth == 0:
+            if "".join(cur).strip():
+                out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return out
 
 
 def _split_top_level(s: str) -> tuple[str, str]:

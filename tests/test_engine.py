@@ -18,6 +18,8 @@ def test_fake_to_sql_to_assert(spark):
                 "plugin_name": "FakeSource",
                 "plugin_output": "fake",
                 "row.num": 100,
+                "int.min": 0,
+                "int.max": 100,
                 "schema": {"fields": {"id": "bigint", "name": "string", "age": "int"}},
             }
         ],
