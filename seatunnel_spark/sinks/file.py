@@ -39,12 +39,38 @@ _DATA_SAVE_MODE = {
 class FileSink(Sink):
     NAME = "LocalFile"
 
+    def wants_observation(self) -> bool:
+        # binary write goes through RDD foreachPartition, which doesn't
+        # fire dataframe observation metrics — Observation.get would
+        # block forever.
+        return str(self.opt("file_format_type", "parquet")).lower() != "binary"
+
     def write(self, df: DataFrame) -> None:
+        from seatunnel_spark.sources.file import resolve_path_aliases
+
         fmt = str(self.opt("file_format_type", "parquet")).lower()
-        path = self.require("path")
+        path = resolve_path_aliases(self.require("path"))
         mode = _DATA_SAVE_MODE.get(
             str(self.opt("data_save_mode", "APPEND_DATA")).upper(), "append"
         )
+        if fmt == "binary":
+            # Reference BinaryWriteStrategy: reassemble (data,
+            # relativePath) rows into real files — the file-copy
+            # pipeline. Partition-parallel; needs a shared filesystem
+            # at cluster scale (as the reference's local/hdfs sinks do).
+            base = path
+
+            def write_rows(rows):
+                import os
+
+                for r in rows:
+                    p = os.path.join(base, r["relativePath"])
+                    os.makedirs(os.path.dirname(p) or base, exist_ok=True)
+                    with open(p, "wb") as fh:
+                        fh.write(bytes(r["data"]))
+
+            df.foreachPartition(write_rows)
+            return
         writer = df.write.mode(mode)
         if self.opt("partition_by"):
             writer = writer.partitionBy(*self.opt("partition_by"))
