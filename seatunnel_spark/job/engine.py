@@ -164,6 +164,7 @@ class JobEngine:
                 # (Assert tables_configs, per-table writers) see each
                 # table's own clean schema, not the merged superset.
                 sink.table_groups = self._groups.get(name)
+                sink.input_name = name  # ${table_name} placeholder source
                 if streaming and df.isStreaming:
                     ckpt = spec.env.get("checkpoint.dir")
                     handles.append(sink.write_stream(df, checkpoint=ckpt))

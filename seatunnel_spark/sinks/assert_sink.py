@@ -70,6 +70,24 @@ class AssertSink(Sink):
 
     def write(self, df: DataFrame) -> None:
         rules = self.require("rules")
+        table_names = rules.get("table-names") or rules.get("table_names")
+        if table_names is not None:
+            # AssertTableRule (AssertSinkWriter.java:167-171): the set of
+            # observed table ids must equal the declared set.
+            from seatunnel_spark.types import TABLE_ID_COL
+
+            groups = getattr(self, "table_groups", None)
+            if groups is not None:
+                seen = set(groups)
+            elif TABLE_ID_COL in df.columns:
+                seen = {r[0] for r in
+                        df.select(TABLE_ID_COL).distinct().collect()}
+            else:
+                seen = set()
+            if seen != set(table_names):
+                raise AssertError(
+                    f"Assert: table names {sorted(seen)} != "
+                    f"expected {sorted(table_names)}")
         tables_configs = rules.get("tables_configs")
         if tables_configs:
             # Multi-table rules (copy_transform_multi_table.conf:110):

@@ -35,21 +35,150 @@ _DATA_SAVE_MODE = {
     "IGNORE": "ignore",
 }
 
+# sink compress_codec (BaseSinkConfig) -> Spark writer compression.
+# lzo needs the GPL hadoop-lzo jar (an optional extra in the reference
+# too) — written uncompressed when the codec isn't on the classpath.
+_COMPRESSION = {"gzip": "gzip", "gz": "gzip", "bzip2": "bzip2",
+                "lzo": None, "snappy": "snappy", "zstd": "zstd",
+                "none": None}
+
+
+def _text_encode(col, dt, level: int, fmts: dict | None = None):
+    """Inverse of sources.file._text_decode — the reference's
+    TextSerializationSchema / CsvSerializationSchema.convert
+    (seatunnel-format-csv/.../CsvSerializationSchema.java:158-225):
+    nested types join by the Hive separator ladder, dates/timestamps
+    format with the configured patterns, bytes are UTF-8 strings,
+    null -> "". Pure Column expressions — stays in codegen."""
+    from pyspark.sql import functions as F, types as T
+
+    from seatunnel_spark.sources.file import _TEXT_SEPARATORS as seps
+
+    fmts = fmts or {}
+
+    def enc_or_empty(c, d, lv):
+        return F.coalesce(_text_encode(c, d, lv, fmts), F.lit(""))
+
+    if isinstance(dt, T.ArrayType):
+        joined = F.concat_ws(
+            seps[level + 1],
+            F.transform(col, lambda e: enc_or_empty(e, dt.elementType,
+                                                    level + 1)))
+        return F.when(col.isNull(), F.lit(None)).otherwise(joined)
+    if isinstance(dt, T.MapType):
+        joined = F.concat_ws(
+            seps[level + 1],
+            F.transform(
+                F.map_entries(col),
+                lambda e: F.concat_ws(
+                    seps[level + 2],
+                    enc_or_empty(e["key"], dt.keyType, level + 1),
+                    enc_or_empty(e["value"], dt.valueType, level + 1))))
+        return F.when(col.isNull(), F.lit(None)).otherwise(joined)
+    if isinstance(dt, T.StructType):
+        joined = F.concat_ws(seps[level + 1], *[
+            enc_or_empty(col[f.name], f.dataType, level + 1)
+            for f in dt.fields])
+        return F.when(col.isNull(), F.lit(None)).otherwise(joined)
+    if isinstance(dt, T.DateType):
+        return F.date_format(col, fmts.get("date") or "yyyy-MM-dd")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.date_format(col,
+                             fmts.get("datetime") or "yyyy-MM-dd HH:mm:ss")
+    if isinstance(dt, T.BinaryType):
+        # cast, not decode(): invalid UTF-8 becomes U+FFFD like the
+        # reference's new String(bytes, UTF_8); decode() throws under
+        # ANSI mode.
+        return col.cast("string")
+    return col.cast("string")
+
+
+def _csv_quote(col):
+    """commons-csv MINIMAL quoting as the reference applies it to
+    top-level strings (CsvSerializationSchema.addQuotesUsingCSVFormat:
+    CSVFormat.DEFAULT — quote when the value contains a comma, quote,
+    or newline; inner quotes double)."""
+    from pyspark.sql import functions as F
+
+    needs = col.rlike('[",\n\r]')
+    return F.when(
+        needs,
+        F.concat(F.lit('"'), F.regexp_replace(col, '"', '""'), F.lit('"')),
+    ).otherwise(col)
+
+
+def _sub_placeholders(path: str, table_id: str) -> str:
+    """Sink-path placeholders (docs/en/concept/sink-options-placeholders
+    .md): ${database_name}/${schema_name}/${table_name} resolve from the
+    upstream table id."""
+    parts = table_id.split(".")
+    table = parts[-1]
+    database = parts[0] if len(parts) > 1 else table_id
+    schema = parts[1] if len(parts) == 3 else ""
+    return (path.replace("${table_name}", table)
+            .replace("${database_name}", database)
+            .replace("${schema_name}", schema))
+
 
 class FileSink(Sink):
     NAME = "LocalFile"
 
     def wants_observation(self) -> bool:
         # binary write goes through RDD foreachPartition, which doesn't
-        # fire dataframe observation metrics — Observation.get would
-        # block forever.
+        # fire dataframe observation metrics, and multi-table mode
+        # writes the per-table group frames instead of the handed-in
+        # merged frame — in both cases Observation.get would block.
+        if getattr(self, "table_groups", None):
+            return False
+        from seatunnel_spark.sources.file import _JVM_CHARSETS
+
+        if (str(self.opt("encoding", "utf-8")).replace("-", "").lower()
+                not in _JVM_CHARSETS):
+            return False  # foreachPartition charset path
         return str(self.opt("file_format_type", "parquet")).lower() != "binary"
 
     def write(self, df: DataFrame) -> None:
         from seatunnel_spark.sources.file import resolve_path_aliases
+        from seatunnel_spark.types import TABLE_ID_COL
+
+        raw_path = self.require("path")
+        groups = getattr(self, "table_groups", None)
+        if groups:
+            # Multi-table write: each table to its placeholder-resolved
+            # path with its own clean schema (the reference's
+            # MultiTableSink fan-out + sink-options-placeholders).
+            for tid, tdf in groups.items():
+                self._write_one(
+                    tdf.drop(TABLE_ID_COL),
+                    resolve_path_aliases(_sub_placeholders(raw_path, tid)))
+            return
+        tid = getattr(self, "input_name", None) or "default"
+        self._write_one(df, resolve_path_aliases(
+            _sub_placeholders(raw_path, tid)))
+
+    def _delimited_line(self, df: DataFrame, fmt: str):
+        """One string Column per row: the reference's Text/Csv write
+        strategies — nested types via the separator ladder, CSV with
+        MINIMAL-quoted strings. Pure Column expressions (codegen)."""
+        from pyspark.sql import functions as F, types as T
+
+        delim = str(self.opt("field_delimiter",
+                             "," if fmt == "csv" else "\x01"))
+        fmts = {"date": self.opt("date_format"),
+                "datetime": self.opt("datetime_format"),
+                "time": self.opt("time_format")}
+        cols = []
+        for f in df.schema.fields:
+            c = _text_encode(F.col(f.name), f.dataType, 0, fmts)
+            if fmt == "csv" and isinstance(f.dataType, T.StringType):
+                c = _csv_quote(c)
+            cols.append(F.coalesce(c, F.lit("")))
+        return F.concat_ws(delim, *cols)
+
+    def _write_one(self, df: DataFrame, path: str) -> None:
+        from pyspark.sql import functions as F
 
         fmt = str(self.opt("file_format_type", "parquet")).lower()
-        path = resolve_path_aliases(self.require("path"))
         mode = _DATA_SAVE_MODE.get(
             str(self.opt("data_save_mode", "APPEND_DATA")).upper(), "append"
         )
@@ -71,15 +200,63 @@ class FileSink(Sink):
 
             df.foreachPartition(write_rows)
             return
+        enc = str(self.opt("encoding", "utf-8"))
+        from seatunnel_spark.sources.file import _JVM_CHARSETS
+
+        if (fmt in ("text", "csv", "json")
+                and enc.replace("-", "").lower() not in _JVM_CHARSETS):
+            # Charsets Spark's writers reject (gbk): encode each row to
+            # one line JVM-side, then write the raw bytes per partition
+            # (the reference's own writer model — one file per writer,
+            # no committer; fine for the small exotic-charset case).
+            if fmt == "json":
+                line = F.to_json(F.struct(*df.columns))
+            else:
+                line = self._delimited_line(df, fmt)
+            out = df.select(line.alias("value"))
+            if mode == "overwrite":
+                import shutil as _sh
+
+                _sh.rmtree(path, ignore_errors=True)
+
+            def write_part(rows):
+                import os
+                import uuid
+
+                data = "".join(r["value"] + "\n" for r in rows)
+                if not data:
+                    return
+                os.makedirs(path, exist_ok=True)
+                p = os.path.join(path, f"part-{uuid.uuid4().hex}.{fmt}")
+                with open(p, "wb") as fh:
+                    fh.write(data.encode(enc))
+
+            out.foreachPartition(write_part)
+            return
+        if fmt in ("text", "csv"):
+            if fmt == "csv" and self.opt("enable_header_write"):
+                raise NotImplementedError(
+                    "enable_header_write: header rows need per-file "
+                    "ordering; use the native csv writer via options")
+            out = df.select(self._delimited_line(df, fmt).alias("value"))
+            writer = out.write.mode(mode)
+            codec = _COMPRESSION.get(
+                str(self.opt("compress_codec", "none")).lower())
+            if codec:
+                writer = writer.option("compression", codec)
+            if self.opt("row_delimiter") not in (None, "\n"):
+                writer = writer.option("lineSep", self.opt("row_delimiter"))
+            writer.text(path)
+            return
         writer = df.write.mode(mode)
         if self.opt("partition_by"):
             writer = writer.partitionBy(*self.opt("partition_by"))
-        if fmt == "csv":
-            writer = writer.option("header", "true").option(
-                "sep", self.opt("field_delimiter", ",")
-            )
-        if fmt == "text":
-            fmt = "text"
+        codec = _COMPRESSION.get(
+            str(self.opt("compress_codec", "none")).lower())
+        if codec:
+            writer = writer.option("compression", codec)
+        if self.opt("encoding"):
+            writer = writer.option("encoding", self.opt("encoding"))
         for k, v in (self.opt("options") or {}).items():
             writer = writer.option(k, v)
         if fmt == "excel":

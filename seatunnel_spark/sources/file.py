@@ -66,16 +66,28 @@ def resolve_path_aliases(path: str) -> str:
     return path
 
 
-# Hive-style nested separators (TextFormatConstant.SEPARATOR):
+# Hive-style nested separators (TextFormatConstant.SEPARATOR; the CSV
+# format uses the same ladder, CsvFormatConstant.SEPARATOR):
 # level 0 = fields, 1 = array elements / map entries, 2 = map k/v, ...
 _TEXT_SEPARATORS = ["\x01", "\x02", "\x03", "\x04", "\x05", "\x06", "\x07"]
 
+# zip/tar containers Hadoop has no codec for; gz/bzip2 the native
+# readers decompress by extension.
+_ARCHIVES = {"zip", "tar", "tar_gz"}
 
-def _text_decode(col, dt, level: int, null_format: str | None):
+# charsets the JVM json/csv readers+writers accept (JSONOptions);
+# anything else (gbk, ...) goes through the Python decode path.
+_JVM_CHARSETS = {"utf8", "ascii", "usascii", "iso88591",
+                 "utf16", "utf16be", "utf16le", "utf32"}
+
+
+def _text_decode(col, dt, level: int, null_format: str | None,
+                 fmts: dict | None = None):
     """Declarative analog of TextDeserializationSchema.convert
     (seatunnel-format-text/.../TextDeserializationSchema.java:225-352):
     nested splits by level separators (REGEX, like Java String.split),
-    blank -> null, bytes = UTF-8."""
+    blank -> null, bytes = UTF-8; date/datetime honor the reference's
+    date_format/datetime_format reader options."""
     from pyspark.sql import functions as F, types as T
 
     if isinstance(dt, T.ArrayType):
@@ -83,7 +95,7 @@ def _text_decode(col, dt, level: int, null_format: str | None):
         return F.when(col.isNull() | (F.trim(col) == ""), F.lit(None)).otherwise(
             F.transform(
                 parts, lambda e: _text_decode(e, dt.elementType, level + 1,
-                                              null_format))
+                                              null_format, fmts))
         )
     if isinstance(dt, T.MapType):
         entries = F.split(col, _TEXT_SEPARATORS[level + 1], -1)
@@ -92,9 +104,9 @@ def _text_decode(col, dt, level: int, null_format: str | None):
             kv = F.split(e, _TEXT_SEPARATORS[level + 2], -1)
             return F.struct(
                 _text_decode(F.get(kv, 0), dt.keyType, level + 1,
-                             null_format).alias("key"),
+                             null_format, fmts).alias("key"),
                 _text_decode(F.get(kv, 1), dt.valueType, level + 1,
-                             null_format).alias("value"),
+                             null_format, fmts).alias("value"),
             )
 
         return F.when(col.isNull() | (F.trim(col) == ""), F.lit(None)).otherwise(
@@ -105,18 +117,79 @@ def _text_decode(col, dt, level: int, null_format: str | None):
         return F.when(col.isNull() | (F.trim(col) == ""), F.lit(None)).otherwise(
             F.struct(*[
                 _text_decode(F.get(parts, i), f.dataType, level + 1,
-                             null_format).alias(f.name)
+                             null_format, fmts).alias(f.name)
                 for i, f in enumerate(dt.fields)
             ])
         )
     is_null = col.isNull() | (F.trim(col) == "")
     if null_format is not None:
         is_null = is_null | (col == F.lit(null_format))
+    fmts = fmts or {}
+    if isinstance(dt, T.NullType):
+        return F.lit(None)  # declared "null" type: always null
     if isinstance(dt, T.BinaryType):
         conv = F.encode(col, "UTF-8")  # :308 field.getBytes(UTF_8)
+    elif isinstance(dt, T.TimestampType) and fmts.get("datetime"):
+        conv = F.to_timestamp(col, fmts["datetime"])
+    elif isinstance(dt, T.DateType) and fmts.get("date"):
+        conv = F.to_date(col, fmts["date"])
     else:
         conv = col.cast(dt)
     return F.when(is_null, F.lit(None)).otherwise(conv)
+
+
+def _read_archive_lines(spark, path: str, codec: str, encoding: str):
+    """zip/tar/tar.gz reading (BaseSourceConfigOptions
+    ARCHIVE_COMPRESS_CODEC; LocalFileIT packs e2e fixtures this way).
+    These containers are non-splittable, so the parallelism unit is one
+    archive — binaryFile scan + mapInPandas unpack keeps decompression
+    on the executors (a directory of many archives fans out across the
+    cluster; no driver bottleneck)."""
+    import pandas as pd
+
+    def unpack(batches):
+        import io
+        import tarfile
+        import zipfile
+
+        for pdf in batches:
+            for data in pdf["content"]:
+                bio = io.BytesIO(bytes(data))
+                if codec == "zip":
+                    with zipfile.ZipFile(bio) as zf:
+                        blobs = [zf.read(n) for n in zf.namelist()
+                                 if not n.endswith("/")]
+                else:
+                    mode = "r:gz" if codec == "tar_gz" else "r:"
+                    with tarfile.open(fileobj=bio, mode=mode) as tf:
+                        blobs = [tf.extractfile(m).read()
+                                 for m in tf.getmembers() if m.isfile()]
+                lines: list[str] = []
+                for blob in blobs:
+                    lines.extend(blob.decode(encoding).splitlines())
+                yield pd.DataFrame({"value": lines})
+
+    return (spark.read.format("binaryFile").load(path)
+            .select("content").mapInPandas(unpack, "value string"))
+
+
+# schema {} keys that are catalog metadata, not field declarations
+# (schema-feature.md: table/comment/primaryKey/constraintKeys/columns)
+_SCHEMA_META_KEYS = {"table", "comment", "primaryKey", "primary_key",
+                     "constraintKeys", "constraint_keys", "columns"}
+
+
+def _schema_fields(schema_opt) -> dict | None:
+    """The declared field dict, or None when schema{} only carries
+    catalog metadata (multipletable confs declare `schema { table =
+    "fake01" }` with no fields — self-describing formats)."""
+    if not isinstance(schema_opt, dict):
+        return None
+    if "fields" in schema_opt:
+        return schema_opt["fields"]
+    fields = {k: v for k, v in schema_opt.items()
+              if k not in _SCHEMA_META_KEYS}
+    return fields or None
 
 
 class FileSource(Source):
@@ -139,9 +212,9 @@ class FileSource(Source):
                 "excel read requires an excel datasource (not in this container); "
                 "convert to csv/parquet or plug spark-excel"
             )
-        schema_opt = self.opt("schema")
-        if schema_opt:
-            reader = reader.schema(parse_schema(schema_opt.get("fields", schema_opt)))
+        fields_opt = _schema_fields(self.opt("schema"))
+        if fields_opt:
+            reader = reader.schema(parse_schema(fields_opt))
         if fmt == "csv":
             reader = reader.option("header", self.opt("skip_header_row_number", 0) != 0 or
                                    str(self.opt("header", "true")))
@@ -154,18 +227,77 @@ class FileSource(Source):
             pass
         if fmt == "xml":
             reader = reader.option("rowTag", self.opt("xml_row_tag", "row"))
+        if self.opt("encoding") and fmt in ("json", "csv"):
+            reader = reader.option("encoding", str(self.opt("encoding")))
         for k, v in (self.opt("options") or {}).items():
             reader = reader.option(k, v)
         return reader.format(spark_fmt)
 
+    def _time_fmts(self) -> dict:
+        # BaseSourceConfigOptions date/time read formats
+        # (local_file_time_format_assert.conf: datetime_format =
+        # "yyyy-MM-dd'T'HH:mm:ss"); Spark shares the Java patterns.
+        return {"datetime": self.opt("datetime_format"),
+                "date": self.opt("date_format"),
+                "time": self.opt("time_format")}
+
+    def _skip_headers(self, raw: DataFrame, skip: int) -> DataFrame:
+        """Per-FILE header skip (CsvReadStrategy.java:102 .skip(N)):
+        rank rows within each file by read order. The window shuffle is
+        acceptable — headered files are small by nature (the scale path
+        is headerless data or CSV header=true, which skips in the scan)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        raw = (raw.withColumn("_f", F.input_file_name())
+               .withColumn("_i", F.monotonically_increasing_id()))
+        w = Window.partitionBy("_f").orderBy("_i")
+        return (raw.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") > skip).drop("_f", "_i", "_rn"))
+
     def read(self, spark: SparkSession) -> DataFrame:
+        tables_configs = self.opt("tables_configs")
+        if tables_configs:
+            # Multi-table file read (local_file_json_to_assert_with_
+            # multipletable.conf): one source block declares N tables;
+            # the engine routes by table id.
+            out: dict[str, DataFrame] = {}
+            for tc in tables_configs:
+                sub = {k: v for k, v in self.options.items()
+                       if k != "tables_configs"}
+                sub.update(tc)
+                child = type(self)(sub)
+                child.plugin_name = self.plugin_name
+                tid = (tc.get("schema") or {}).get("table") or f"table{len(out)}"
+                out[tid] = child.read(spark)
+            return out
         # Hive reads metastore tables (docs/en/connector-v2/source/Hive.md
         # `table_name = db.tbl`); file backends read paths.
         fmt = str(self.opt("file_format_type", "parquet")).lower()
         schema_opt = self.opt("schema")
+        fields_opt = _schema_fields(schema_opt)
+        if self.plugin_name != "Hive":
+            # Empty/missing directory reads produce an empty result
+            # (LocalFileIT.java:350-353 "test read empty directory"),
+            # not a scan error.
+            import glob as _glob
+            import os
+
+            p = self._path()
+            if "://" not in p and not _glob.glob(p):
+                from pyspark.sql import types as T
+
+                from seatunnel_spark.types import parse_schema as _ps
+
+                schema = (_ps(fields_opt) if fields_opt
+                          else T.StructType([]))
+                return spark.createDataFrame([], schema)
+        codec = str(self.opt("archive_compress_codec", "none")).lower()
+        encoding = str(self.opt("encoding", "utf-8"))
+        skip = int(self.opt("skip_header_row_number", 0) or 0)
         if self.plugin_name == "Hive" and self.opt("table_name"):
             df = spark.table(self.opt("table_name"))
-        elif fmt == "text" and schema_opt:
+        elif fmt == "text" and fields_opt:
             # The reference's TEXT format: one line per row, fields
             # joined by field_delimiter (default \x01), nested types by
             # the deeper Hive separators (TextReadStrategy).
@@ -173,11 +305,32 @@ class FileSource(Source):
 
             from seatunnel_spark.types import parse_schema as _ps
 
-            schema = _ps(schema_opt.get("fields", schema_opt))
+            schema = _ps(fields_opt)
             delim = str(self.opt("field_delimiter",
                                  self.opt("delimiter", _TEXT_SEPARATORS[0])))
             null_format = self.opt("null_format")
-            raw = spark.read.text(self._path())
+            if codec in _ARCHIVES:
+                raw = _read_archive_lines(spark, self._path(), codec, encoding)
+            elif encoding.replace("-", "").lower() not in ("utf8", "ascii"):
+                # Spark's text scan is UTF-8-only; non-UTF8 charsets
+                # (e2e_gbk.txt) decode per whole file on the executors.
+                import pandas as pd
+
+                def decode_lines(batches):
+                    for pdf in batches:
+                        for data in pdf["content"]:
+                            yield pd.DataFrame(
+                                {"value": bytes(data).decode(encoding)
+                                 .splitlines()})
+
+                raw = (spark.read.format("binaryFile").load(self._path())
+                       .select("content")
+                       .mapInPandas(decode_lines, "value string"))
+            else:
+                # gz/bzip2 decompress by extension in the native reader.
+                raw = spark.read.text(self._path())
+            if skip:
+                raw = self._skip_headers(raw, skip)
             # field_delimiter is a Java regex (the reference does
             # String.split(delimiter) — delimiter "\\|" means a
             # literal pipe, local_file_delimiter_assert.conf:70).
@@ -187,10 +340,104 @@ class FileSource(Source):
             partition_cols = [c for c in raw.columns if c != "value"]
             df = raw.select(*[
                 _text_decode(F.get(cols, i), f.dataType, 0,
-                             null_format).alias(f.name)
+                             null_format, self._time_fmts()).alias(f.name)
                 for i, f in enumerate(schema.fields)
             ], *partition_cols)
-        elif fmt == "xml" and schema_opt:
+        elif fmt == "csv" and fields_opt:
+            # Reference CSV = the TEXT nested codec with commons-csv
+            # quoting at the top level (CsvSerializationSchema.java:
+            # 158-175 convert, :228-243 MINIMAL quoting). Top-level
+            # parse goes to Spark's native CSV scan (quote handling,
+            # header skip, pushdown); nested fields decode by the same
+            # separator ladder.
+            from pyspark.sql import functions as F, types as T
+
+            from seatunnel_spark.types import parse_schema as _ps
+
+            schema = _ps(fields_opt)
+            str_schema = T.StructType(
+                [T.StructField(f.name, T.StringType()) for f in schema.fields])
+            reader = (spark.read.schema(str_schema)
+                      .option("sep", str(self.opt("field_delimiter", ",")))
+                      .option("quote", '"').option("escape", '"')
+                      .option("encoding", encoding)
+                      # header=true + explicit schema drops the first
+                      # line of EACH file — the reference's per-file
+                      # .skip(N) for the common N=1.
+                      .option("header", "true" if skip else "false"))
+            for k, v in (self.opt("options") or {}).items():
+                reader = reader.option(k, v)
+            raw = reader.csv(self._path())
+            if skip > 1:
+                raw = self._skip_headers(raw, skip - 1)
+            df = raw.select(*[
+                _text_decode(F.col(f.name), f.dataType, 0,
+                             self.opt("null_format"),
+                             self._time_fmts()).alias(f.name)
+                for f in schema.fields
+            ])
+        elif fmt in ("parquet", "orc") and fields_opt:
+            # Self-describing formats: the declared schema is a CAST
+            # over the physical one, not a parse contract — the
+            # reference re-types values on read (local_file_orc_to_
+            # assert_with_time_and_cast.conf: smallint->bigint,
+            # float->string, timestamp->time). Column pruning still
+            # reaches the scan; casts run in codegen.
+            from pyspark.sql import functions as F
+
+            from seatunnel_spark.types import parse_schema as _ps
+
+            from pyspark.sql import types as T
+
+            schema = _ps(fields_opt)
+            df = spark.read.format(fmt).load(self._path())
+            phys = {f.name: f.dataType for f in df.schema.fields}
+
+            def cast_to(name, dst):
+                src = phys.get(name)
+                if (hasattr(T, "TimeType") and isinstance(dst, T.TimeType)
+                        and isinstance(src, (T.TimestampType,
+                                             T.TimestampNTZType))):
+                    # No direct timestamp->time cast; go through the
+                    # clock string (the reference's toLocalTime()).
+                    return F.date_format(F.col(name),
+                                         "HH:mm:ss.SSSSSS").cast(dst)
+                return F.col(name).cast(dst)
+
+            declared = {f.name for f in schema.fields}
+            extra = [c for c in df.columns if c not in declared]
+            df = df.select(*[
+                cast_to(f.name, f.dataType).alias(f.name)
+                for f in schema.fields
+            ], *extra)
+        elif fmt == "json" and fields_opt and (
+                codec in _ARCHIVES
+                or encoding.replace("-", "").lower() not in _JVM_CHARSETS):
+            # JSON-lines inside zip/tar archives, or in a charset the
+            # JVM JSON reader rejects (gbk): distributed unpack/decode,
+            # then the same JVM-side from_json the plain path uses.
+            from pyspark.sql import functions as F
+
+            from seatunnel_spark.types import parse_schema as _ps
+
+            schema = _ps(fields_opt)
+            if codec in _ARCHIVES:
+                raw = _read_archive_lines(spark, self._path(), codec, encoding)
+            else:
+                import pandas as pd
+
+                def decode_lines(batches):
+                    for pdf in batches:
+                        for data in pdf["content"]:
+                            yield pd.DataFrame(
+                                {"value": bytes(data).decode(encoding)
+                                 .splitlines()})
+
+                raw = (spark.read.format("binaryFile").load(self._path())
+                       .select("content")
+                       .mapInPandas(decode_lines, "value string"))
+            df = raw.select(F.from_json("value", schema).alias("r")).select("r.*")
+        elif fmt == "xml" and fields_opt:
             # Reference XML rows carry values as attributes
             # (xml_use_attr_format) with maps/arrays JSON-encoded
             # (XmlReadStrategy): read every declared field as STRING,
@@ -200,7 +447,7 @@ class FileSource(Source):
 
             from seatunnel_spark.types import parse_schema as _ps
 
-            schema = _ps(schema_opt.get("fields", schema_opt))
+            schema = _ps(fields_opt)
             str_schema = T.StructType(
                 [T.StructField(f.name, T.StringType()) for f in schema.fields])
             reader = spark.read.schema(str_schema) \
@@ -236,7 +483,7 @@ class FileSource(Source):
             # Projection applies to FILE columns; partition-path fields
             # (name=x/hobby=y dirs) stay appended, as the reference's
             # parse_partition_from_path does.
-            declared = set((schema_opt or {}).get("fields", schema_opt or {}))
+            declared = set(fields_opt or {})
             keep = [c for c in df.columns
                     if c not in declared and c not in self.opt("read_columns")]
             df = df.select(*self.opt("read_columns"), *keep)
