@@ -1,0 +1,28 @@
+"""Networking helpers shared by HTTP-facing sources/sinks/transforms."""
+
+from __future__ import annotations
+
+import os
+from urllib.parse import urlsplit, urlunsplit
+
+
+def apply_host_aliases(url: str, aliases: str | None = None) -> str:
+    """$SEATUNNEL_SPARK_HOST_ALIASES="mockserver=127.0.0.1,db=10.0.0.5"
+    rewrites URL hostnames — the Docker extra_hosts analog, so job
+    configs written for a container network (the reference's e2e confs
+    target http://mockserver:1080) run unmodified. The value is read on
+    the DRIVER and shipped in the task closure — executor Python
+    workers are long-lived and don't see late env changes."""
+    if aliases is None:
+        aliases = os.environ.get("SEATUNNEL_SPARK_HOST_ALIASES", "")
+    if not aliases:
+        return url
+    mapping = dict(kv.split("=", 1) for kv in aliases.split(",") if "=" in kv)
+    parts = urlsplit(url)
+    if parts.hostname in mapping:
+        netloc = mapping[parts.hostname]
+        if parts.port:
+            netloc += f":{parts.port}"
+        return urlunsplit((parts.scheme, netloc, parts.path,
+                           parts.query, parts.fragment))
+    return url

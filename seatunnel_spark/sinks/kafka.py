@@ -83,18 +83,25 @@ class WebhookSink(Sink):
     NAME = "Http"
 
     def write(self, df: DataFrame) -> None:
-        url = self.require("url")
+        from seatunnel_spark.net import apply_host_aliases
+
+        url = apply_host_aliases(self.require("url"))
         max_rows = int(self.opt("max_rows", 1000))
         poster = self.opt("_poster", _default_poster)
         rows = [r.asDict(recursive=True) for r in df.limit(max_rows).collect()]
+        headers = {"Content-Type": "application/json", **(self.opt("headers") or {})}
         style = self.plugin_name.lower()
         if style == "slack":
-            body = {"text": self.opt("slack_template", json.dumps(rows, default=str))}
-        elif style in ("dingtalk", "feishu"):
-            body = {"msgtype": "text", "text": {"content": json.dumps(rows, default=str)}}
+            bodies = [{"text": self.opt("slack_template",
+                                        json.dumps(rows, default=str))}]
+        elif style == "dingtalk":
+            bodies = [{"msgtype": "text",
+                       "text": {"content": json.dumps(rows, default=str)}}]
         else:
-            body = {"data": rows}
-        headers = {"Content-Type": "application/json", **(self.opt("headers") or {})}
-        status = poster(url, headers, json.dumps(body, default=str).encode())
-        if status >= 300:
-            raise RuntimeError(f"{self.plugin_name} sink: HTTP {status}")
+            # Http/Feishu/EmailSink post one JSON row per request
+            # (HttpSinkWriter.java:58-64, JsonSerializationSchema)
+            bodies = rows
+        for body in bodies:
+            status = poster(url, headers, json.dumps(body, default=str).encode())
+            if status >= 300:
+                raise RuntimeError(f"{self.plugin_name} sink: HTTP {status}")

@@ -44,6 +44,11 @@ REFERENCE_CONFS = [
     f"{_P2}/sql_transform/func_system.conf",
     f"{_P2}/sql_transform/inner_query.conf",
     f"{_P2}/spark_date_time_transform.conf",
+    f"{_P1}/filter_row_kind_exclude_delete.conf",
+    f"{_P1}/filter_row_kind_exclude_insert.conf",
+    f"{_P1}/filter_row_kind_include_insert.conf",
+    f"{_P1}/rowkind_extractor_transform_case1.conf",
+    f"{_P1}/rowkind_extractor_transform_case2.conf",
     # Multi-table jobs (FakeSource tables_configs -> per-table transform
     # routing -> Assert tables_configs):
     f"{_P1}/copy_transform_multi_table.conf",
