@@ -135,7 +135,8 @@ class FileSink(Sink):
         if (str(self.opt("encoding", "utf-8")).replace("-", "").lower()
                 not in _JVM_CHARSETS):
             return False  # foreachPartition charset path
-        return str(self.opt("file_format_type", "parquet")).lower() != "binary"
+        fmt = str(self.opt("file_format_type", "parquet")).lower()
+        return fmt not in ("binary", "excel")
 
     def write(self, df: DataFrame) -> None:
         from seatunnel_spark.sources.file import resolve_path_aliases
@@ -200,6 +201,40 @@ class FileSink(Sink):
 
             df.foreachPartition(write_rows)
             return
+        if fmt == "excel":
+            # ExcelWriteStrategy: one workbook per writer (the format is
+            # not appendable/splittable) — foreachPartition emits one
+            # xlsx per non-empty partition, header row included
+            # (ExcelGenerator writes field names at row 0).
+            schema = df.schema
+            sheet = str(self.opt("sheet_name", "Sheet1"))
+            delim = str(self.opt("field_delimiter", ","))
+            fmts = {"date": self.opt("date_format"),
+                    "datetime": self.opt("datetime_format"),
+                    "time": self.opt("time_format")}
+            if mode == "overwrite":
+                import shutil as _sh
+
+                _sh.rmtree(path, ignore_errors=True)
+
+            def write_xlsx_part(rows):
+                import os
+                import uuid
+
+                from seatunnel_spark.formats.excel import write_xlsx
+
+                rows = list(rows)
+                if not rows:
+                    return
+                blob = write_xlsx(rows, schema, sheet_name=sheet,
+                                  delimiter=delim, fmts=fmts)
+                os.makedirs(path, exist_ok=True)
+                p = os.path.join(path, f"part-{uuid.uuid4().hex}.xlsx")
+                with open(p, "wb") as fh:
+                    fh.write(blob)
+
+            df.foreachPartition(write_xlsx_part)
+            return
         enc = str(self.opt("encoding", "utf-8"))
         from seatunnel_spark.sources.file import _JVM_CHARSETS
 
@@ -259,6 +294,4 @@ class FileSink(Sink):
             writer = writer.option("encoding", self.opt("encoding"))
         for k, v in (self.opt("options") or {}).items():
             writer = writer.option(k, v)
-        if fmt == "excel":
-            raise NotImplementedError("excel write not available in this container")
         writer.format({"binary": "parquet"}.get(fmt, fmt)).save(path)

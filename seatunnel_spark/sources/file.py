@@ -41,7 +41,7 @@ _FORMATS = {
     "text": "text",
     "binary": "binaryFile",
     "xml": "xml",       # native in Spark 4
-    "excel": None,      # no reader in this container — explicit error below
+    "excel": None,      # decoded by formats/excel.py (stdlib codecs)
 }
 
 
@@ -209,8 +209,7 @@ class FileSource(Source):
         spark_fmt = _FORMATS[fmt]
         if spark_fmt is None:
             raise NotImplementedError(
-                "excel read requires an excel datasource (not in this container); "
-                "convert to csv/parquet or plug spark-excel"
+                "excel streaming read is not supported; use batch mode"
             )
         fields_opt = _schema_fields(self.opt("schema"))
         if fields_opt:
@@ -464,6 +463,96 @@ class FileSource(Source):
                  else F.col(f.name).cast(f.dataType)).alias(f.name)
                 for f in schema.fields
             ])
+        elif fmt == "excel":
+            # Excel is non-splittable — one file per task is the
+            # parallelism unit (same as the reference's file-per-reader
+            # model, ExcelReadStrategy.java). binaryFile scan fans a
+            # directory of workbooks across the cluster; decode runs
+            # executor-side via the stdlib codecs in formats/excel.py.
+            import pandas as pd
+            from pyspark.sql import functions as F, types as T
+
+            from seatunnel_spark.formats.excel import (convert_cell,
+                                                       read_excel)
+            from seatunnel_spark.types import parse_schema as _ps
+
+            if not fields_opt:
+                raise ValueError(
+                    "excel read requires schema.fields "
+                    "(ExcelReadStrategy.getSeaTunnelRowTypeInfo)")
+            schema = _ps(fields_opt)
+            sheet = self.opt("sheet_name")
+            delim = str(self.opt("field_delimiter", ","))
+            fmts = self._time_fmts()
+            pattern = self.opt("file_filter_pattern")
+            read_cols = self.opt("read_columns")
+            # column projection = index select on the declared row type
+            # (ExcelReadStrategy.setCatalogTable)
+            fields = ([next(f for f in schema.fields if f.name == c)
+                       for c in read_cols] if read_cols else schema.fields)
+            out_schema = T.StructType(list(fields))
+            raw = spark.read.format("binaryFile").load(self._path())
+            part_cols = [c for c in raw.columns
+                         if c not in ("path", "modificationTime",
+                                      "length", "content")]
+            for pc in part_cols:
+                out_schema = out_schema.add(pc, T.StringType())
+            raw = raw.select("path", "content", *part_cols)
+            if pattern:
+                # Pattern.matcher(fileName).matches() — full match on
+                # the basename (AbstractReadStrategy.filterFileByPattern)
+                raw = raw.filter(F.regexp_extract(
+                    F.element_at(F.split("path", "/"), -1),
+                    f"^(?:{pattern})$", 0) != "")
+
+            names = [f.name for f in fields]
+            dtypes = [f.dataType for f in fields]
+
+            def decode(batches):
+                import gzip as _gz
+                import io as _io
+                import tarfile as _tar
+                import zipfile as _zip
+
+                for pdf in batches:
+                    for i in range(len(pdf)):
+                        data = bytes(pdf["content"].iloc[i])
+                        fname = str(pdf["path"].iloc[i])
+                        if codec == "zip":
+                            with _zip.ZipFile(_io.BytesIO(data)) as zf:
+                                blobs = [zf.read(n) for n in zf.namelist()
+                                         if not n.endswith("/")]
+                        elif codec in ("tar", "tar_gz"):
+                            mode = "r:gz" if codec == "tar_gz" else "r:"
+                            with _tar.open(fileobj=_io.BytesIO(data),
+                                           mode=mode) as tf:
+                                blobs = [tf.extractfile(m).read()
+                                         for m in tf.getmembers()
+                                         if m.isfile()]
+                        elif fname.endswith(".gz"):
+                            blobs = [_gz.decompress(data)]
+                        else:
+                            blobs = [data]
+                        out: dict[str, list] = {n: [] for n in names}
+                        for pc in part_cols:
+                            out[pc] = []
+                        for blob in blobs:
+                            for row in read_excel(blob, sheet)[skip:]:
+                                for n, dt in zip(names, dtypes):
+                                    src = schema.names.index(n)
+                                    cell = (row[src] if src < len(row)
+                                            else None)
+                                    out[n].append(convert_cell(
+                                        cell, dt, delimiter=delim,
+                                        date_fmt=fmts.get("date"),
+                                        datetime_fmt=fmts.get("datetime"),
+                                        time_fmt=fmts.get("time")))
+                                for pc in part_cols:
+                                    out[pc].append(
+                                        str(pdf[pc].iloc[i]))
+                        yield pd.DataFrame(out, columns=list(out))
+
+            df = raw.mapInPandas(decode, out_schema)
         elif fmt == "binary":
             # Reference binary rows: data/relativePath/partIndex
             # (BinaryReadStrategy.java:40) — whole-file fragments for

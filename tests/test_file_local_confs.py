@@ -42,6 +42,10 @@ _LAYOUT = {
     "read/encoding/json/e2e_gbk.json": "json/e2e_gbk.json",
     "read/binary/cat.png": "binary/cat.png",
     "read/xml/e2e.xml": "xml/e2e.xml",
+    "read/excel/name=tyrantlucifer/hobby=coding/e2e.xlsx": "excel/e2e.xlsx",
+    "read/excel/name=tyrantlucifer/hobby=coding/e2e.xls": "excel/e2e.xls",
+    "read/excel_filter/name=tyrantlucifer/hobby=coding/e2e_filter.xlsx":
+        "excel/e2e.xlsx",
 }
 
 # archives LocalFileIT packs at setup: target -> (codec, source, count)
@@ -58,6 +62,10 @@ _ARCHIVES = {
     "read/zip/json/single/e2e-json.zip": ("zip", "json/e2e.json", 1),
     "read/zip/json/multifile/multiJson.zip": ("zip", "json/e2e.json", 2),
     "read/gz/xml/single/e2e-xml-gz.gz": ("gz", "xml/e2e.xml", 1),
+    "read/zip/excel/single/e2e-xlsx.zip": ("zip", "excel/e2e.xlsx", 1),
+    "read/zip/excel/multifile/multiZip.zip": ("zip", "excel/e2e.xlsx", 2),
+    "read/gz/excel/single/e2e-gz.xls.gz": ("gz", "excel/e2e.xls", 1),
+    "read/gz/excel/single/e2e-gz.xlsx.gz": ("gz", "excel/e2e.xlsx", 1),
 }
 
 # Ordered like LocalFileIT.testLocalFileReadAndWrite: write jobs run
@@ -108,9 +116,18 @@ FILE_CONFS = [
     "binary/local_file_binary_to_local_file_binary.conf",
     "binary/local_file_binary_to_assert.conf",
     "binary/local_file_binary_to_local_file_binary_with_multipletable.conf",
+    "excel/local_excel_to_assert.conf",
+    "excel/local_excel_projection_to_assert.conf",
+    "excel/local_filter_excel_to_assert.conf",
+    "excel/local_excel_to_assert_with_multipletable.conf",
+    "excel/local_excel_zip_to_assert.conf",
+    "excel/local_excel_multi_zip_to_assert.conf",
+    "excel/local_excel_xls_gz_to_assert.conf",
+    "excel/local_excel_xlsx_gz_to_assert.conf",
+    "excel/fake_to_local_excel.conf",
 ]
-# Not covered: excel (no xlsx codec in this container), lzo (GPL codec
-# jar not bundled — same extra dependency the reference needs), zip xml.
+# Not covered: lzo (GPL codec jar not bundled — same extra dependency
+# the reference needs).
 
 
 def _pack(codec: str, src: str, count: int, dst: str) -> None:

@@ -119,3 +119,64 @@ def test_protobuf_requires_descriptor(spark):
     df = spark.createDataFrame([(bytearray(b"\x00"),)], ["value"])
     with pytest.raises(ValueError, match="protobuf_schema_file"):
         decode_payload(df, "PROTOBUF", None)
+
+
+def test_excel_roundtrip(spark, tmp_path):
+    """write_xlsx -> FileSource excel read: values survive the trip
+    through ExcelGenerator/ExcelCellUtils semantics (JSON map/array
+    cells, delimiter-joined row cells, date-styled serials)."""
+    import datetime
+    from decimal import Decimal
+
+    from seatunnel_spark.sinks.file import FileSink
+    from seatunnel_spark.sources.file import FileSource
+
+    fields = {
+        "c_map": "map<string, string>",
+        "c_array": "array<int>",
+        "c_string": "string",
+        "c_boolean": "boolean",
+        "c_int": "int",
+        "c_bigint": "bigint",
+        "c_double": "double",
+        "c_date": "date",
+        "c_decimal": "decimal(10, 2)",
+        "c_timestamp": "timestamp",
+        "c_row": {"r_int": "int", "r_string": "string"},
+    }
+    from seatunnel_spark.types import parse_schema
+
+    schema = parse_schema(fields)
+    rows = [
+        (
+            {"k": "v"}, [1, 2, 3], "hello, world", True, 42, 1 << 40,
+            3.5, datetime.date(2024, 2, 29), Decimal("12.34"),
+            datetime.datetime(2024, 2, 29, 12, 34, 56),
+            (7, "inner"),
+        ),
+        ({}, [], "", False, None, None, None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "xlsx_out")
+    sink = FileSink({"path": out, "file_format_type": "excel",
+                     "field_delimiter": ";"})
+    sink.write(df.coalesce(1))
+
+    src = FileSource({"path": out, "file_format_type": "excel",
+                      "field_delimiter": ";", "skip_header_row_number": 1,
+                      "schema": {"fields": fields}})
+    got = {r["c_string"]: r for r in src.read(spark).collect()}
+    r1 = got["hello, world"]
+    assert r1["c_map"] == {"k": "v"}
+    assert r1["c_array"] == [1, 2, 3]
+    assert r1["c_boolean"] is True
+    assert r1["c_int"] == 42
+    assert r1["c_bigint"] == 1 << 40
+    assert r1["c_double"] == 3.5
+    assert r1["c_date"] == datetime.date(2024, 2, 29)
+    assert r1["c_decimal"] == Decimal("12.34")
+    assert r1["c_timestamp"] == datetime.datetime(2024, 2, 29, 12, 34, 56)
+    assert r1["c_row"]["r_int"] == 7
+    assert r1["c_row"]["r_string"] == "inner"
+    r2 = got[""]
+    assert r2["c_int"] is None and r2["c_map"] == {} and r2["c_array"] == []
