@@ -28,6 +28,7 @@ _TOKEN_RE = re.compile(
   | (?P<nl>\n)
   | (?P<triple>\"\"\"(?:.|\n)*?\"\"\")
   | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<subst>\$\{[^}\n]*\})
   | (?P<punct>[{}\[\]=:,])
   | (?P<bare>[^\s{}\[\]=:,#\n"]+)
     """,
@@ -228,8 +229,35 @@ class _Parser:
             items.append(self._parse_value())
 
 
+# `-i key=value` placeholders: ${name} and ${name:default}
+# (docs/en/concept/config.md:236-320). The reference substitutes
+# TEXTUALLY before parsing — `-i strTemplate=[abc,def]` turns
+# `string.template = ${strTemplate}` into an array literal — so the
+# replacement happens on the source text, not on parsed values.
+# Unset variables without a default stay literal (config.md:230 "the
+# value of the variable will be retained"), which also preserves
+# downstream-resolved placeholders like ES dynamic indexes or the
+# MicrosoftModel ${model} api_path.
+_VAR_RE = re.compile(r"\$\{([A-Za-z_][\w.-]*)(?::([^}\n]*))?\}")
+
+
+def substitute_variables(text: str, variables: dict | None) -> str:
+    variables = variables or {}
+
+    def repl(m):
+        name, default = m.group(1), m.group(2)
+        if name in variables:
+            return str(variables[name])
+        if default is not None:
+            return default
+        return m.group(0)
+
+    return _VAR_RE.sub(repl, text)
+
+
 def parse_hocon(text: str, variables: dict | None = None) -> dict:
     """Parse a HOCON job config into the dict shape JobSpec.from_dict takes."""
+    text = substitute_variables(text, variables)
     tokens, spans = _tokenize(text)
     return _Parser(tokens, variables, spans=spans, src=text).parse_root()
 

@@ -135,6 +135,8 @@ class FileSink(Sink):
         if (str(self.opt("encoding", "utf-8")).replace("-", "").lower()
                 not in _JVM_CHARSETS):
             return False  # foreachPartition charset path
+        if str(self.opt("enable_header_write", "false")).lower() == "true":
+            return False  # foreachPartition header path
         fmt = str(self.opt("file_format_type", "parquet")).lower()
         return fmt not in ("binary", "excel")
 
@@ -269,10 +271,36 @@ class FileSink(Sink):
             out.foreachPartition(write_part)
             return
         if fmt in ("text", "csv"):
-            if fmt == "csv" and self.opt("enable_header_write"):
-                raise NotImplementedError(
-                    "enable_header_write: header rows need per-file "
-                    "ordering; use the native csv writer via options")
+            if str(self.opt("enable_header_write", "false")).lower() == "true":
+                # BaseSinkConfig.ENABLE_HEADER_WRITE: every output file
+                # starts with the field names joined by the delimiter
+                # (TextWriteStrategy; TextHeaderIT asserts the first
+                # line). Spark's text writer has no header hook, so this
+                # mirrors the reference's one-file-per-writer model:
+                # foreachPartition, header first.
+                delim = str(self.opt("field_delimiter",
+                                     "," if fmt == "csv" else "\x01"))
+                header = delim.join(df.columns)
+                out = df.select(self._delimited_line(df, fmt).alias("value"))
+                if mode == "overwrite":
+                    import shutil as _sh
+
+                    _sh.rmtree(path, ignore_errors=True)
+
+                def write_headered(rows):
+                    import os
+                    import uuid
+
+                    data = "".join(r["value"] + "\n" for r in rows)
+                    if not data:
+                        return
+                    os.makedirs(path, exist_ok=True)
+                    p = os.path.join(path, f"part-{uuid.uuid4().hex}.{fmt}")
+                    with open(p, "w", encoding=enc) as fh:
+                        fh.write(header + "\n" + data)
+
+                out.foreachPartition(write_headered)
+                return
             out = df.select(self._delimited_line(df, fmt).alias("value"))
             writer = out.write.mode(mode)
             codec = _COMPRESSION.get(
