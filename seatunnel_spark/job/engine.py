@@ -151,6 +151,31 @@ class JobEngine:
 
     # -- execution --------------------------------------------------------
     def run(self, spec: JobSpec) -> dict[str, DataFrame]:
+        """Execute with `job.retry.times` / `job.retry.interval.seconds`
+        (EnvCommonOptions.java:48-58). Deviation from the reference's
+        default: Zeta retries 3× unless told otherwise; a library call
+        fails fast unless the job opts in — set job.retry.times for the
+        Zeta behavior."""
+        import time as _time
+
+        retries = int(spec.env.get("job.retry.times", 0) or 0)
+        interval = float(spec.env.get("job.retry.interval.seconds", 3) or 0)
+        attempt = 0
+        while True:
+            try:
+                return self._run_once(spec)
+            except Exception:
+                attempt += 1
+                if attempt > retries:
+                    raise
+                # a failed streaming attempt may leave sibling queries
+                # running; stop them before the re-run
+                for q in self.spark.streams.active:
+                    q.stop()
+                if interval:
+                    _time.sleep(interval)
+
+    def _run_once(self, spec: JobSpec) -> dict[str, DataFrame]:
         streaming = spec.mode == "STREAMING"
         tables = self.build_tables(spec, streaming)
         handles = []

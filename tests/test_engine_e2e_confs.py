@@ -173,3 +173,52 @@ def test_variable_substitution_semantics():
     assert out["c"] == "fake_test_table"
     assert out["d"] == "${unset_no_default}"
     assert out["e"] == "select * from fake_test_table where name = 'abc'"
+
+
+def test_error_conf_fails_as_designed(spark):
+    """batch_fakesource_to_console_error.conf: `cast(name as int)` on
+    random hex strings must fail the job (the IT asserts non-zero
+    exit) — ANSI mode surfaces it as a cast error."""
+    conf = f"{_BASE}/batch_fakesource_to_console_error.conf"
+    if not os.path.exists(conf):
+        pytest.skip("reference conf missing")
+    with pytest.raises(Exception):
+        JobEngine(spark).run(JobSpec.from_file(conf))
+
+
+def test_job_retry_times(spark):
+    """job.retry.times (EnvCommonOptions.java:48-52): a failing job is
+    re-attempted N times before the error propagates."""
+    from seatunnel_spark.sinks import memory
+
+    memory._ATTEMPTS.pop("retry_probe", None)
+    spec = JobSpec.from_dict({
+        "env": {"job.mode": "BATCH", "job.retry.times": 2,
+                "job.retry.interval.seconds": 0},
+        "source": [{"plugin_name": "FakeSource", "plugin_output": "fake",
+                    "row.num": 3,
+                    "schema": {"fields": {"id": "int"}}}],
+        "sink": [{"plugin_name": "InMemory", "plugin_input": "fake",
+                  "name": "retry_probe", "throw_exception": "true"}],
+    })
+    with pytest.raises(RuntimeError, match="throw_exception"):
+        JobEngine(spark).run(spec)
+    assert memory.InMemorySink.attempts("retry_probe") == 3  # 1 + 2 retries
+
+
+def test_retry_conf_streaming_error(spark):
+    """retry-times/stream_fake_to_inmemory_with_error_retry_1.conf:
+    STREAMING job whose InMemory sink throws; job.retry.times=1 means
+    exactly one re-attempt before failure."""
+    conf = (f"{_BASE}/retry-times/"
+            "stream_fake_to_inmemory_with_error_retry_1.conf")
+    if not os.path.exists(conf):
+        pytest.skip("reference conf missing")
+    from seatunnel_spark.sinks import memory
+
+    memory._ATTEMPTS.clear()
+    with pytest.raises(Exception):
+        JobEngine(spark).run(JobSpec.from_file(conf))
+    for q in spark.streams.active:
+        q.stop()
+    assert sum(memory._ATTEMPTS.values()) >= 2
