@@ -19,9 +19,15 @@ from seatunnel_spark.types import ROW_KIND_COL
 
 @pytest.fixture()
 def events_stream(spark, sf_dir, tmp_path):
-    static = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
-    )
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS): depending on the session's
+    # legacy conf it arrives as bigint (convert) or timestamp_ntz (cast).
+    if dict(static.dtypes)["ts"] == "bigint":
+        static = static.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    else:
+        static = static.withColumn("ts", F.col("ts").cast("timestamp"))
     src_dir = str(tmp_path / "stream_src")
     static.write.mode("overwrite").parquet(src_dir)
     stream = spark.readStream.schema(static.schema).parquet(src_dir)
