@@ -74,10 +74,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").cast("date") > F.lit("1996-03-15").cast("date")
     )
-    # customer side is small relative to lineitem -> broadcast the dim join
+    # customer grows with SF — no forced broadcast hint (a hint bypasses
+    # AQE's size check and would OOM at sf10+); AQE still picks broadcast
+    # at small SF where the filtered segment fits under the threshold.
     grouped = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
@@ -109,8 +111,10 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
+        # supplier grows with SF — rely on AQE rather than a forced hint;
+        # nation/region stay hinted (fixed-size 25/5-row dims).
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -709,14 +713,28 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                threshold=0.4, planes=4, round_to=4)
 
 
+def _ivf_codebook() -> list[list[float]]:
+    """Deterministic seeded IVF codebook (seed 7, 8×64) — fixed so the
+    DuckDB oracle replays identical cell assignment / probing from
+    literal centroid values (same pattern as the LSH plane oracle)."""
+    import numpy as np
+
+    mat = np.random.default_rng(7).standard_normal((8, 64))
+    return [[float(x) for x in row] for row in mat]
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer (distributed Lloyd's), multi-
-    probe search — approximate, so rows-only."""
+    """IVF ANN multi-probe search over a fixed seeded codebook — fully
+    deterministic, so oracle-checked. (The distributed-Lloyd's trained
+    quantizer is exercised in tests/test_dataops.py; training is data-
+    dependent floating-point iteration, so its centroids aren't
+    engine-replayable bit-for-bit.)"""
     from seatunnel_spark.dataops import ivf_topk
 
     e = _emb_double(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 5)
-    return ivf_topk(q, e, "vec_id", "vec_id", k=10, nlist=8, nprobe=2)
+    return ivf_topk(q, e, "vec_id", "vec_id", k=10, nlist=8, nprobe=2,
+                    centroids=_ivf_codebook(), round_to=4)
 
 
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -818,16 +836,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "sim_lsh_topk": sim_lsh_topk,
+        "sim_ivf_topk": sim_ivf_topk,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
         "pipe_job_dag": pipe_job_dag,
         "stream_windowed_events": stream_windowed_events,
         "mm_image_features": mm_image_features,
-        # rows-only (no SQL oracle): python hashing / inference / codecs /
-        # data-dependent approximation (IVF centroids)
+        "mm_image_resize": mm_image_resize,
+        # rows-only (no SQL oracle): model inference is inherently not
+        # SQL-expressible — these two stay rows-only by nature.
         "t_llm": t_llm,
         "t_embedding": t_embedding,
-        "dedup_simhash_pairs": dedup_simhash_pairs,
-        "sim_ivf_topk": sim_ivf_topk,
-        "mm_image_resize": mm_image_resize,
     }
 
 
@@ -852,8 +870,26 @@ def _lsh_plane_sql() -> tuple[str, str]:
     return bucket, cte
 
 
+def _ivf_scores_sql() -> str:
+    """Literal-centroid score-list expression for the IVF oracle: the
+    same fixed codebook sim_ivf_topk uses, with centroid norms computed
+    by the SAME Python expression as _centroid_scores (similarity.py),
+    embedded at full precision so DuckDB replays identical cell
+    assignment, probe order, and tie-breaks (struct max = max s then
+    max i, exactly Spark's array_max on struct<s,i>)."""
+    structs = []
+    for i, c in enumerate(_ivf_codebook()):
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        cn = repr(sum(x * x for x in c) ** 0.5 or 1.0)
+        structs.append(
+            f"{{'s': list_dot_product(emb, {lit}) / (nrm * {cn}), 'i': {i}}}"
+        )
+    return "[" + ", ".join(structs) + "]"
+
+
 def oracle_sql() -> dict[str, str]:
     _, lsh_cte = _lsh_plane_sql()
+    ivf_scores = _ivf_scores_sql()
     shingle_cte = """
       words AS (
         SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS ws
@@ -993,8 +1029,11 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ), s AS (
               SELECT user_id, ts,
-                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts
-                                   ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                     -- DuckDB types the windowed sum as HUGEINT (int128),
+                     -- which the driver's hasher renders differently from
+                     -- Spark's BIGINT; cast so value-hashes line up.
+                     CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
               FROM x
             )
             SELECT user_id, session_id, count(*) AS n_events,
@@ -1327,5 +1366,80 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_dot_product(a.emb, b2.emb)
                         / (sqrt(list_dot_product(a.emb, a.emb))
                            * sqrt(list_dot_product(b2.emb, b2.emb))), 4) >= 0.4
+        """,
+        # IVF multi-probe over the fixed seed-7 codebook: assign each
+        # corpus vector to its argmax-cosine cell, probe each query's
+        # top-2 cells, exact cosine + top-k inside. Centroids (and
+        # their Python-computed norms) are full-precision literals.
+        "sim_ivf_topk": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS emb,
+                     sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])) AS nrm
+              FROM embeddings
+            ), sc AS (
+              SELECT vec_id, emb, nrm, {ivf_scores} AS scores FROM e
+            ), cells AS (
+              SELECT vec_id, emb, nrm,
+                     (list_aggregate(scores, 'max')).i AS cell
+              FROM sc
+            ), qp AS (
+              SELECT vec_id, emb, nrm,
+                     unnest(list_transform(
+                       list_slice(list_reverse_sort(scores), 1, 2),
+                       s -> s.i)) AS cell
+              FROM sc WHERE vec_id < 5
+            ), scored AS (
+              SELECT qp.vec_id AS query_id, c.vec_id AS match_id,
+                     round(list_dot_product(qp.emb, c.emb)
+                           / (qp.nrm * c.nrm), 4) AS cosine
+              FROM qp JOIN cells c ON qp.cell = c.cell
+            )
+            SELECT query_id, match_id, cosine, CAST(rnk AS INTEGER) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, match_id ASC) AS rnk FROM scored)
+            WHERE rnk <= 10
+        """,
+        # SimHash replay: DuckDB recomputes the 64-bit signature from
+        # md5 first-8-bytes sign sums over distinct whitespace tokens
+        # (hex-parse = Python big-endian bytes; bit i = MSB-first, i.e.
+        # (H >> (63-i)) & 1 — matches np.unpackbits in simhash64), then
+        # brute-force hamming<=3 pairs. Spark's multi-index blocking is
+        # lossless at this distance (pigeonhole), so blocked == exact.
+        "dedup_simhash_pairs": """
+            WITH d0 AS (
+              SELECT doc_id, trim(text) AS tt FROM documents
+              WHERE text IS NOT NULL
+            ), ws AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(tt, '\\s+')) AS ws
+              FROM d0 WHERE tt <> ''
+            ), w AS (
+              SELECT doc_id, unnest(ws) AS w FROM ws
+            ), h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hv
+              FROM w
+            ), bits AS (
+              SELECT doc_id, i,
+                     CASE WHEN (hv >> (63 - i)) & 1 = 1 THEN 1 ELSE -1 END AS dlt
+              FROM h, (SELECT unnest(range(64)) AS i) ii
+            ), acc AS (
+              SELECT doc_id, i, sum(dlt) AS a FROM bits GROUP BY doc_id, i
+            ), sig AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN a <= 0 THEN 0
+                                   WHEN i = 63 THEN -9223372036854775808
+                                   ELSE (1::BIGINT << CAST(i AS INTEGER)) END)
+                          AS BIGINT) AS simhash
+              FROM acc GROUP BY doc_id
+              UNION ALL
+              SELECT doc_id, 0::BIGINT AS simhash FROM d0 WHERE tt = ''
+            )
+            SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b2.simhash)) AS INTEGER)
+                     AS hamming
+            FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id
+            WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3
         """,
     }

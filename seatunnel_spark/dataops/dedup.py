@@ -8,11 +8,11 @@ Scale design notes (the part that matters at 100 TB):
     doc_id — or zero if docs are already one-row-per-doc); candidate
     pairs come from a self-join on (band_id, band_hash) buckets, so
     cost is Σ bucket² instead of N². Bands with huge buckets (boiler-
-    plate text) are the skew risk — cap via `max_bucket` salt-out.
+    plate text) are the skew risk — bounded by the `max_bucket` cap.
   * SimHash: vectorized pandas_udf (one pass, no row explosion), then
-    near-dup candidates by Hamming distance via 4-segment blocking
-    (pigeonhole: any pair within distance 3 shares one of 4 16-bit
-    segments) — again a bucket join, not a cross join.
+    near-dup candidates by Hamming distance via multi-index pigeonhole
+    blocking (any pair within distance d agrees on some combination of
+    blocks-d segments) — again a bucket join, not a cross join.
   * Embedding near-dup: random-hyperplane LSH buckets then exact
     cosine inside buckets.
 
@@ -112,12 +112,22 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_k: int = 3,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) via banded LSH.
 
     rows/band = num_hashes/bands; docs agreeing on ALL rows of any band
     collide. The pair join is per-(band, band_key) bucket — the only
     N²-ish work is inside buckets, which is the LSH point.
+
+    Hot-bucket cap: a degenerate corpus (millions of docs sharing
+    boilerplate text → identical band keys) turns one bucket's
+    self-join quadratic. Buckets holding more than `max_bucket` docs
+    are DROPPED from pair generation (a windowed count over the same
+    (band, key) shuffle partitioning — no extra shuffle). Members of
+    a dropped bucket are exact-or-near-exact duplicates by
+    construction; run `exact_dup_groups` first to collapse them, which
+    is both cheaper and lossless. `max_bucket=None` disables the cap.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
@@ -135,6 +145,18 @@ def minhash_lsh_pairs(
     buckets = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    if max_bucket is not None:
+        # count() OVER the bucket key reuses the hash-partitioning the
+        # self-join needs anyway; the filter then bounds every bucket,
+        # so the join below is provably <= max_bucket² per bucket.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key")
+        buckets = (
+            buckets.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= F.lit(max_bucket))
+            .drop("__bn")
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -198,22 +220,51 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    blocks: int = 8,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Pigeonhole blocking: split 64 bits into 4 segments of 16; any pair
-    within distance 3 agrees on >= 1 segment, so candidates come from 4
-    bucket self-joins instead of a cross join.
+    Multi-index pigeonhole blocking (exact recall): split the 64 bits
+    into `blocks` equal segments; a pair within distance `max_hamming`
+    differs in at most `max_hamming` segments, so it AGREES on some
+    combination of (blocks - max_hamming) segments — index every doc
+    under all C(blocks, blocks-max_hamming) such combinations and join
+    per (combo, key) bucket. Every true pair is guaranteed to collide
+    (then verified by exact XOR popcount), never a cross join.
+
+    Bucket-granularity trade: blocks=4, max_hamming=3 is the classic
+    4×16-bit scheme — only 4 keys/doc but 2^16 buckets per index, so
+    at N ≳ 10⁸ buckets go quadratic. The default blocks=8 keys on
+    5-of-8 segment combos: 56 keys/doc but 40-bit keys (~10¹² bucket
+    space), which keeps buckets near-singleton at billions of docs —
+    index rows scale 14× but the join stays linear. Pick blocks so
+    that (blocks - max_hamming) * (64/blocks) ≫ log2(N).
     """
+    import itertools
+
+    if 64 % blocks:
+        raise ValueError(f"blocks={blocks} must divide 64")
+    width = 64 // blocks
+    key_size = blocks - max_hamming
+    if key_size < 1:
+        raise ValueError(f"need blocks > max_hamming (got {blocks} <= {max_hamming})")
+    mask = (1 << width) - 1
+
+    def _seg(j: int) -> Column:
+        return F.shiftrightunsigned(F.col("simhash"), j * width).bitwiseAND(F.lit(mask))
+
+    def _combo_key(combo: tuple[int, ...]) -> Column:
+        key = F.lit(0).cast("long")
+        for pos, j in enumerate(combo):
+            key = key.bitwiseOR(F.shiftleft(_seg(j), pos * width))
+        return key
+
     sig = simhash64(df, id_col, text_col)
     segs = F.array(
         *[
-            F.struct(
-                F.lit(s).alias("seg"),
-                F.shiftrightunsigned(F.col("simhash"), s * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-            )
-            for s in range(4)
+            F.struct(F.lit(ci).alias("seg"), _combo_key(combo).alias("key"))
+            for ci, combo in enumerate(itertools.combinations(range(blocks), key_size))
         ]
     )
     buckets = sig.select(id_col, "simhash", F.explode(segs).alias("b")).select(

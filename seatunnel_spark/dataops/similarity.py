@@ -147,6 +147,8 @@ def ivf_topk(
     nlist: int = 16,
     nprobe: int = 4,
     iters: int = 2,
+    centroids: list[list[float]] | None = None,
+    round_to: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer + multi-probe.
 
@@ -157,8 +159,14 @@ def ivf_topk(
     partitioned/bucketed by `__cell` so probing partition-prunes and
     the per-cell join is shuffle-free; centroids stay a broadcast
     literal (nlist×dim floats).
+
+    Pass `centroids` to skip training and use a fixed codebook (e.g. a
+    seeded random quantizer) — makes the whole search deterministic
+    and engine-replayable for correctness oracles. `round_to` rounds
+    the cosine BEFORE ranking for bit-stable cross-engine results.
     """
-    centroids = train_ivf_centroids(corpus, corpus_vec, corpus_id, nlist, iters)
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, corpus_vec, corpus_id, nlist, iters)
 
     c = corpus.select(
         F.col(corpus_id).alias("__cid"),
@@ -177,12 +185,11 @@ def ivf_topk(
             F.explode(probe).alias("__cell"),
         )
     )
-    scored = q.join(c, "__cell").select(
-        "__qid",
-        "__cid",
-        (_dot(F.col("__qv"), F.col("__cv"))
-         / (_norm(F.col("__qv")) * _norm(F.col("__cv")))).alias("cosine"),
-    )
+    cos = (_dot(F.col("__qv"), F.col("__cv"))
+           / (_norm(F.col("__qv")) * _norm(F.col("__cv"))))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = q.join(c, "__cell").select("__qid", "__cid", cos.alias("cosine"))
     return _rank_topk(scored, k)
 
 

@@ -269,3 +269,52 @@ def test_duplicate_clusters_chain_and_islands(spark):
     got = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_minhash_hot_bucket_cap(spark):
+    # Degenerate boilerplate corpus: 200 identical docs share every band
+    # key, so an uncapped LSH self-join goes quadratic (19900 pairs in
+    # one bucket). The cap drops those buckets — bounded output — while
+    # genuinely near-dup (non-boilerplate) pairs still surface.
+    boiler = "terms of service apply to all content on this site always"
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    rows = [(i, boiler) for i in range(200)] + [(900, base), (901, near)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = {(r["id_a"], r["id_b"]) for r in
+              minhash_lsh_pairs(df, "doc_id", "text", max_bucket=50).collect()}
+    assert (900, 901) in capped
+    assert not any(a < 200 and b < 200 for a, b in capped)  # hot bucket dropped
+    assert len(capped) <= 4  # bounded, not quadratic
+
+    uncapped = minhash_lsh_pairs(df, "doc_id", "text", max_bucket=None)
+    assert uncapped.count() == 200 * 199 // 2 + 1
+
+
+def test_simhash_multiindex_blocking_is_exact(spark):
+    # Multi-index pigeonhole blocking must find EXACTLY the brute-force
+    # hamming<=d pair set (recall 1 by construction, precision via the
+    # XOR verify). Corpus of base-text variants yields real near pairs.
+    from seatunnel_spark.dataops.dedup import simhash64
+
+    words = [f"tok{i}" for i in range(60)]
+    rows = []
+    for d in range(50):
+        w = list(words)
+        for j in range(d % 7):  # substitute a few words per doc
+            w[(d * 5 + j * 11) % 60] = f"sub{d}_{j}"
+        rows.append((d, " ".join(w)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sig = {r["doc_id"]: r["simhash"] for r in simhash64(df, "doc_id", "text").collect()}
+    def ham(a, b):  # two's-complement 64-bit popcount of the xor
+        return bin((sig[a] ^ sig[b]) & (2**64 - 1)).count("1")
+
+    brute = {(a, b, ham(a, b)) for a in sig for b in sig
+             if a < b and ham(a, b) <= 3}
+    for blocks in (4, 8):
+        got = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+               simhash_near_dups(df, "doc_id", "text", max_hamming=3,
+                                 blocks=blocks).collect()}
+        assert got == brute, f"blocks={blocks}"
