@@ -52,6 +52,7 @@ class JobEngine:
         plus name resolution gives the same result for valid configs)."""
         tables: dict[str, DataFrame] = {}
         self._groups: dict[str, dict[str, DataFrame]] = {}
+        self._table_ids: dict[str, str] = {}
         for blk in spec.sources:
             opts = dict(blk.options)
             if streaming:
@@ -62,6 +63,12 @@ class JobEngine:
                     if env_key in spec.env:
                         opts.setdefault(env_key, spec.env[env_key])
             src = get_source(blk.plugin, opts)
+            try:
+                tid = src.table_id()
+            except Exception:  # noqa: BLE001 — placeholder nicety only
+                tid = None
+            if tid:
+                self._table_ids[blk.output] = tid.split(".")[-1]
             df = src.read_stream(self.spark) if streaming else src.read(self.spark)
             if isinstance(df, dict):
                 # Multi-table source: remember the per-table group so
@@ -189,7 +196,10 @@ class JobEngine:
                 # (Assert tables_configs, per-table writers) see each
                 # table's own clean schema, not the merged superset.
                 sink.table_groups = self._groups.get(name)
-                sink.input_name = name  # ${table_name} placeholder source
+                # ${table_name} resolves from the source's declared
+                # catalog table when it has one, else the DAG name
+                # (sink-options-placeholders.md TablePath semantics).
+                sink.input_name = self._table_ids.get(name) or name
                 if streaming and df.isStreaming:
                     ckpt = spec.env.get("checkpoint.dir")
                     handles.append(sink.write_stream(df, checkpoint=ckpt))

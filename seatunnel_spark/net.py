@@ -20,7 +20,16 @@ def apply_host_aliases(url: str, aliases: str | None = None) -> str:
     mapping = dict(kv.split("=", 1) for kv in aliases.split(",") if "=" in kv)
     parts = urlsplit(url)
     if parts.hostname in mapping:
-        netloc = mapping[parts.hostname]
+        target = mapping[parts.hostname]
+        if "://" in target:
+            # Full-endpoint alias ("es=http://127.0.0.1:9200"): scheme,
+            # host AND port come from the alias — lets a conf written
+            # for a TLS container endpoint replay against a local plain
+            # HTTP fixture.
+            t = urlsplit(target)
+            return urlunsplit((t.scheme, t.netloc, parts.path,
+                               parts.query, parts.fragment))
+        netloc = target
         if parts.port:
             netloc += f":{parts.port}"
         return urlunsplit((parts.scheme, netloc, parts.path,

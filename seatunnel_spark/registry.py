@@ -26,8 +26,6 @@ _GATED_SOURCES = {
     "Redis": "spark-redis or mapInPandas client fetch",
     "Hbase": "hbase-spark connector",
     "Cassandra": "spark-cassandra-connector (format 'org.apache.spark.sql.cassandra')",
-    "Elasticsearch": "elasticsearch-spark (format 'es') or HTTP scroll via HttpSource",
-    "Easysearch": "elasticsearch-spark compatible endpoint",
     "Kudu": "kudu-spark (format 'kudu')",
     "Iceberg": "iceberg-spark-runtime catalog (format 'iceberg')",
     "Paimon": "paimon-spark (format 'paimon')",
@@ -52,13 +50,6 @@ _GATED_SOURCES = {
     "Clickhouse": "JDBC (clickhouse-jdbc) — alias of Jdbc source",
     "Doris": "doris-spark-connector or JDBC (mysql protocol)",
     "StarRocks": "starrocks-spark-connector or JDBC",
-    "MySQL-CDC": "see seatunnel_spark.sources.cdc (snapshot+changelog stitch)",
-    "Postgres-CDC": "see seatunnel_spark.sources.cdc",
-    "Oracle-CDC": "see seatunnel_spark.sources.cdc",
-    "SqlServer-CDC": "see seatunnel_spark.sources.cdc",
-    "MongoDB-CDC": "see seatunnel_spark.sources.cdc",
-    "TiDB-CDC": "see seatunnel_spark.sources.cdc",
-    "Opengauss-CDC": "see seatunnel_spark.sources.cdc",
 }
 
 _GATED_SINKS = {
@@ -67,7 +58,6 @@ _GATED_SINKS = {
     "Kudu": "kudu-spark", "Iceberg": "iceberg-spark-runtime MERGE INTO",
     "Paimon": "paimon-spark", "hudi": "hudi-spark-bundle upsert",
     "MongoDB": "mongo-spark-connector", "Redis": "foreachPartition pipeline SET",
-    "Elasticsearch": "elasticsearch-spark bulk", "Easysearch": "es-compatible bulk",
     "Cassandra": "spark-cassandra-connector", "Hbase": "hbase-spark bulk put",
     "IoTDB": "iotdb session in foreachPartition", "InfluxDB": "line-protocol HTTP",
     "Neo4j": "neo4j-spark-connector", "AmazonDynamodb": "dynamodb batch writer",
@@ -108,6 +98,21 @@ class GatedSink(Sink):
 
 def register_all() -> None:
     """Idempotently extend the live registries to full inventory."""
+    from seatunnel_spark.sinks.elasticsearch import EsSink
+    from seatunnel_spark.sources.elasticsearch import EsSource
+
+    # Native REST connectors (Easysearch speaks the ES wire protocol —
+    # the reference's connector-easysearch is the same client surface).
+    for name in ("Elasticsearch", "Easysearch"):
+        SOURCES[name] = EsSource
+        SINKS[name] = EsSink
+    # CDC family: debezium feed decode + watermark stitch; live binlog
+    # clients aren't in this environment, but the replay path (and a
+    # Kafka feed in production) exercises the full pipeline.
+    from seatunnel_spark.sources.cdc_replay import CDC_SOURCE_NAMES, CdcReplaySource
+
+    for name in CDC_SOURCE_NAMES:
+        SOURCES[name] = CdcReplaySource
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
     from seatunnel_spark.sinks.hive import HiveSink

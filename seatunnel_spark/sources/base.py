@@ -25,6 +25,16 @@ class Source:
             raise ValueError(f"source {self.plugin_name}: missing option {key!r}")
         return self.options[key]
 
+    def table_id(self) -> str | None:
+        """Catalog table id this source declares (schema.table), used
+        for sink ${table_name} resolution — the reference resolves
+        placeholders from the CatalogTable's TablePath, not the
+        plugin_output name (sink-options-placeholders.md)."""
+        schema_opt = self.opt("schema")
+        if isinstance(schema_opt, dict):
+            return schema_opt.get("table")
+        return None
+
     def read(self, spark: SparkSession) -> DataFrame:  # pragma: no cover
         raise NotImplementedError
 

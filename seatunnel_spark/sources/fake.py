@@ -214,7 +214,11 @@ class FakeSource(Source):
             "rowsPerSecond", int(self.opt("rows.per.second", 100))
         ).load()
         schema_opt = self.opt("schema") or {}
-        fields = schema_opt.get("fields") or self.require("schema")["fields"]
+        fields = schema_opt.get("fields") or self.opt("fields")
+        if not fields and schema_opt.get("columns"):
+            fields = {c["name"]: c["type"] for c in schema_opt["columns"]}
+        if not fields:
+            raise ValueError("FakeSource: schema.fields required")
         schema = parse_schema(fields)
         seed = int(self.opt("seed", 42))
         base = rate.withColumnRenamed("value", "id").filter(F.col("id") < num)

@@ -240,10 +240,28 @@ class MetadataTransform(Transform):
                     else F.lit("+I")
                 )
             elif k == "eventtime":
-                expr = (F.unix_timestamp(F.current_timestamp()) * 1000).cast("long")
-            elif k in ("delay", "partition"):
+                # CDC frames carry the change event's ts_ms; otherwise
+                # processing time (metadata.md: EventTime semantics).
+                from seatunnel_spark.types import EVENT_TS_COL
+
+                expr = (
+                    F.col(EVENT_TS_COL).cast("long")
+                    if EVENT_TS_COL in df.columns
+                    else (F.unix_timestamp(F.current_timestamp()) * 1000)
+                    .cast("long")
+                )
+            elif k == "delay":
+                from seatunnel_spark.types import EVENT_TS_COL
+
+                expr = (
+                    ((F.unix_timestamp(F.current_timestamp()) * 1000)
+                     - F.col(EVENT_TS_COL)).cast("long")
+                    if EVENT_TS_COL in df.columns
+                    else F.lit(None).cast("long")
+                )
+            elif k == "partition":
                 # Only meaningful for CDC connectors (metadata.md note); null otherwise.
-                expr = F.lit(None).cast("long" if k == "delay" else "string")
+                expr = F.lit(None).cast("string")
             else:
                 raise ValueError(f"Metadata: unknown metadata key {key!r}")
             out = out.withColumn(dest, expr)

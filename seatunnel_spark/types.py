@@ -180,6 +180,9 @@ def spark_type_to_dsl(dt: T.DataType) -> str:
 # routing ride along as ordinary columns, like Flink/Debezium-on-Spark.
 ROW_KIND_COL = "__row_kind"
 TABLE_ID_COL = "__table_id"
+# CDC event time (epoch millis) — populated by CDC sources from the
+# change event's ts_ms; feeds Metadata EventTime/Delay.
+EVENT_TS_COL = "__event_ts"
 
 # RowKind enum values (reference: seatunnel-api/.../type/RowKind.java:21-47)
 ROW_KINDS = ("+I", "-U", "+U", "-D")
