@@ -737,6 +737,82 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     centroids=_ivf_codebook(), round_to=4)
 
 
+def cdc_stitched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC pipeline, oracle-checked end-to-end: a deterministic
+    debezium-json feed + parquet snapshot derived from `orders` is
+    written to a replay dir, read back through MySQL-CDC
+    (sources/cdc_replay.py — envelope decode, -U/+U expansion,
+    watermark stitch) and compacted to final state (sources/cdc.py
+    final_state). The oracle computes the same end state semantically
+    in DuckDB (updates/inserts/deletes by key-class), so it checks the
+    pipeline, not a reimplementation of it.
+
+    Event plan over keys k <= 3000 (watermark 1000; snapshot holds
+    k%3!=0): u@1000+k for k%4==1 (+10 price), dropped-u@k%1000 for
+    k%4==2 (pre-watermark), c@1500+k for k%3==0, d@2000+k for k%10==7.
+    """
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    from seatunnel_spark.sources.cdc import final_state
+    from seatunnel_spark.sources.cdc_replay import CdcReplaySource
+    from seatunnel_spark.types import EVENT_TS_COL, TABLE_ID_COL
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_orderstatus",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"))
+    )
+    rows = sorted((int(r[0]), r[1], float(r[2])) for r in o.collect())
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"st_cdc_replay_{tag}")
+    tdir = os.path.join(base, "db.orders")
+    os.makedirs(tdir, exist_ok=True)
+    o.filter(F.col("o_orderkey") % 3 != 0).write.mode("overwrite").parquet(
+        os.path.join(tdir, "snapshot.parquet"))
+    with open(os.path.join(tdir, "watermark"), "w") as f:
+        f.write("1000")
+    with open(os.path.join(tdir, "schema.json"), "w") as f:
+        _json.dump({"o_orderkey": "bigint", "o_orderstatus": "string",
+                    "o_totalprice": "double"}, f)
+
+    def ev(op, pos, before=None, after=None):
+        return _json.dumps({"before": before, "after": after, "op": op,
+                            "ts_ms": pos,
+                            "source": {"db": "db", "table": "orders",
+                                       "pos": pos}})
+
+    lines = []
+    for k, st, price in rows:
+        doc = {"o_orderkey": k, "o_orderstatus": st, "o_totalprice": price}
+        if k % 4 == 1:
+            lines.append(ev("u", 1000 + k, before=doc,
+                            after={**doc, "o_totalprice": price + 10}))
+        if k % 4 == 2:  # pre-watermark: the stitch must drop it
+            lines.append(ev("u", k % 1000, before=doc,
+                            after={**doc, "o_totalprice": price + 999}))
+        if k % 3 == 0:  # not in the snapshot: post-snapshot insert
+            lines.append(ev("c", 1500 + k, after=doc))
+        if k % 10 == 7:
+            lines.append(ev("d", 2000 + k, before=doc))
+    with open(os.path.join(tdir, "changelog.jsonl"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    src = CdcReplaySource({"replay.dir": base, "table-names": ["db.orders"],
+                           "table-names-config": [
+                               {"table": "db.orders",
+                                "primaryKeys": ["o_orderkey"]}]})
+    stitched = src.read(spark).drop(EVENT_TS_COL, TABLE_ID_COL)
+    state = final_state(stitched, ["o_orderkey"], "__offset")
+    return state.select(
+        "o_orderkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+
+
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary column -> mapInPandas decode (stub
     codec, deterministic sha256 — so DuckDB can replay the metadata as
@@ -839,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": sim_ivf_topk,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "pipe_job_dag": pipe_job_dag,
+        "cdc_stitched": cdc_stitched,
         "stream_windowed_events": stream_windowed_events,
         "mm_image_features": mm_image_features,
         "mm_image_resize": mm_image_resize,
@@ -1326,6 +1403,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus AS status, COUNT(*) AS n,
                    ROUND(SUM(o_totalprice), 2) AS total
             FROM orders GROUP BY o_orderstatus
+        """,
+        # Semantic ground truth for the CDC replay (see cdc_stitched
+        # docstring): deletes (k%10=7) vanish; post-snapshot inserts
+        # (k%3=0) carry the plain price (their c@1500+k outranks any
+        # u@1000+k); snapshot keys with an applied update (k%4=1) get
+        # +10; pre-watermark updates (k%4=2) never land.
+        "cdc_stitched": """
+            SELECT o_orderkey, o_orderstatus,
+                   ROUND(CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 4 = 1
+                              THEN CAST(o_totalprice AS DOUBLE) + 10
+                              ELSE CAST(o_totalprice AS DOUBLE) END, 2) AS price
+            FROM orders
+            WHERE o_orderkey <= 3000 AND o_orderkey % 10 <> 7
         """,
         "dedup_embedding_pairs": """
             WITH v AS (
