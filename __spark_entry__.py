@@ -813,6 +813,49 @@ def cdc_stitched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lake_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE-apply pipeline, oracle-checked end-to-end: the
+    events table becomes a per-user changelog (click->+I, error->-D,
+    rest->+U, ordered by a ts/event_id offset), applied in TWO
+    time-split batches through the Iceberg-analog sink
+    (sinks/lakehouse.py merge_apply = MERGE INTO ... WHEN MATCHED), and
+    the committed table is read back. Oracle: last event per user by
+    (ts, event_id) wins, deletes drop — a plain window in DuckDB."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from seatunnel_spark.sinks.lakehouse import LakehouseSink, LakehouseTable
+    from seatunnel_spark.types import ROW_KIND_COL
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts",
+                                           "value", "event_type")
+    kind = (F.when(F.col("event_type") == "error", "-D")
+            .when(F.col("event_type") == "click", "+I").otherwise(F.lit("+U")))
+    ch = (e.withColumn(ROW_KIND_COL, kind)
+          .withColumn("__offset",
+                      (F.unix_timestamp("ts") * F.lit(100000000)
+                       + F.col("event_id")).cast("long"))
+          .drop("event_type"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = os.path.join(tempfile.gettempdir(), f"st_lake_{tag}")
+    shutil.rmtree(wh, ignore_errors=True)
+    cutoff = F.lit("2024-06-01").cast("timestamp")
+    opts = {"warehouse": wh, "database": "db", "table": "events_state",
+            "primary_keys": ["user_id"]}
+    first = LakehouseSink(opts)
+    first.write(ch.filter(F.col("ts") < cutoff))
+    second = LakehouseSink(opts)
+    second.write(ch.filter(F.col("ts") >= cutoff))
+    out = LakehouseTable(os.path.join(wh, "db", "events_state")).read(spark)
+    return out.select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round("value", 2).alias("val"),
+    )
+
+
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary column -> mapInPandas decode (stub
     codec, deterministic sha256 — so DuckDB can replay the metadata as
@@ -916,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "pipe_job_dag": pipe_job_dag,
         "cdc_stitched": cdc_stitched,
+        "lake_changelog": lake_changelog,
         "stream_windowed_events": stream_windowed_events,
         "mm_image_features": mm_image_features,
         "mm_image_resize": mm_image_resize,
@@ -1416,6 +1460,21 @@ def oracle_sql() -> dict[str, str]:
                               ELSE CAST(o_totalprice AS DOUBLE) END, 2) AS price
             FROM orders
             WHERE o_orderkey <= 3000 AND o_orderkey % 10 <> 7
+        """,
+        # Ground truth for the lakehouse MERGE pipeline: last event per
+        # user by (ts, event_id); a trailing 'error' (-D) removes the
+        # user entirely.
+        "lake_changelog": """
+            WITH r AS (
+              SELECT user_id, event_id, ts, value, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            )
+            SELECT user_id, event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   round(value, 2) AS val
+            FROM r WHERE rn = 1 AND event_type <> 'error'
         """,
         "dedup_embedding_pairs": """
             WITH v AS (

@@ -27,9 +27,6 @@ _GATED_SOURCES = {
     "Hbase": "hbase-spark connector",
     "Cassandra": "spark-cassandra-connector (format 'org.apache.spark.sql.cassandra')",
     "Kudu": "kudu-spark (format 'kudu')",
-    "Iceberg": "iceberg-spark-runtime catalog (format 'iceberg')",
-    "Paimon": "paimon-spark (format 'paimon')",
-    "Hudi": "hudi-spark-bundle (format 'hudi')",
     "Maxcompute": "odps-spark-datasource",
     "InfluxDB": "HTTP query API via HttpSource",
     "IoTDB": "iotdb-spark-connector",
@@ -55,8 +52,7 @@ _GATED_SOURCES = {
 _GATED_SINKS = {
     "Clickhouse": "JDBC batch insert (clickhouse-jdbc)",
     "ClickhouseFile": "write parquet/orc then clickhouse-client import",
-    "Kudu": "kudu-spark", "Iceberg": "iceberg-spark-runtime MERGE INTO",
-    "Paimon": "paimon-spark", "hudi": "hudi-spark-bundle upsert",
+    "Kudu": "kudu-spark",
     "MongoDB": "mongo-spark-connector", "Redis": "foreachPartition pipeline SET",
     "Cassandra": "spark-cassandra-connector", "Hbase": "hbase-spark bulk put",
     "IoTDB": "iotdb session in foreachPartition", "InfluxDB": "line-protocol HTTP",
@@ -113,6 +109,17 @@ def register_all() -> None:
 
     for name in CDC_SOURCE_NAMES:
         SOURCES[name] = CdcReplaySource
+    # Lakehouse formats: versioned-parquet backend with MERGE-apply
+    # commit semantics (swap for the real runtime jars in production).
+    from seatunnel_spark.sinks.lakehouse import (
+        LAKEHOUSE_NAMES,
+        LakehouseSink,
+        LakehouseSource,
+    )
+
+    for name in LAKEHOUSE_NAMES:
+        SOURCES[name] = LakehouseSource
+        SINKS[name] = LakehouseSink
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
     from seatunnel_spark.sinks.hive import HiveSink

@@ -1,0 +1,277 @@
+"""Lakehouse sinks (Iceberg / Paimon / Hudi) — changelog MERGE apply
+into a versioned table.
+
+Reference semantics (the "cdc sink" feature, connector-v2-features.md:
+57-75): apply +I/-U/+U/-D by primary key into a table that supports
+row-level updates — connector-iceberg/.../sink/IcebergSink.java
+(iceberg.table.primary-keys, upsert-mode-enabled, schema_save_mode ×
+data_save_mode), connector-paimon (primary-key table), connector-hudi
+(record_key_fields upsert).
+
+Backend: none of the lakehouse runtimes ship in this sandbox, so the
+table format is a self-contained VERSIONED PARQUET layout with the
+same commit semantics the real formats give you:
+
+    <warehouse>/<db>/<table>/
+        v0/ v1/ ... vN/     immutable snapshot directories
+        _HEAD               pointer file, atomically os.replace'd
+
+A MERGE commit computes the new snapshot DISTRIBUTED (one PK-keyed
+shuffle join per batch: last-event-per-key tombstones applied over the
+current snapshot — exactly MERGE INTO ... WHEN MATCHED UPDATE/DELETE
+WHEN NOT MATCHED INSERT) and the pointer flip makes readers see old or
+new atomically. On a real deployment swap the commit for
+`iceberg-spark-runtime` MERGE INTO / paimon-spark / hudi-spark-bundle;
+the changelog-apply DataFrame logic is the part that carries over.
+
+Scale note: this rewrites the full snapshot per commit (fine for the
+sandbox; real Iceberg does file-level pruning). The apply join itself
+is the 100 TB-correct shape — one shuffle keyed on the PK, no driver
+materialization, partitioned output preserved via partition_keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from seatunnel_spark.sinks.base import Sink
+from seatunnel_spark.sources.base import Source
+from seatunnel_spark.types import ROW_KIND_COL, TABLE_ID_COL
+
+
+class LakehouseTable:
+    """Versioned parquet table with an atomic HEAD pointer."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _head_file(self) -> str:
+        return os.path.join(self.path, "_HEAD")
+
+    def head(self) -> int | None:
+        try:
+            with open(self._head_file()) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def exists(self) -> bool:
+        return self.head() is not None
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        h = self.head()
+        if h is None:
+            return None
+        df = spark.read.parquet(os.path.join(self.path, f"v{h}"))
+        part_cols = [c for c in df.columns if c.startswith("__p_")]
+        return df.drop(*part_cols) if part_cols else df
+
+    def drop(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.path, ignore_errors=True)
+        os.makedirs(self.path, exist_ok=True)
+
+    def commit(self, df: DataFrame, partition_keys: list[str] | None = None
+               ) -> int:
+        """Write the next snapshot dir, then atomically flip _HEAD.
+
+        Partitioning writes DERIVED string columns (__p_<key>) so the
+        directory layout prunes while the real column keeps its exact
+        type (parquet partition-column type inference would otherwise
+        degrade timestamps/decimals on read-back)."""
+        h = self.head()
+        nxt = 0 if h is None else h + 1
+        out = os.path.join(self.path, f"v{nxt}")
+        if partition_keys:
+            for k in partition_keys:
+                df = df.withColumn(f"__p_{k}", F.col(k).cast("string"))
+            w = df.write.mode("overwrite").partitionBy(
+                *[f"__p_{k}" for k in partition_keys])
+        else:
+            w = df.write.mode("overwrite")
+        w.parquet(out)
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_head_")
+        with os.fdopen(fd, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, self._head_file())  # atomic on POSIX
+        return nxt
+
+    # -- MERGE INTO analog ------------------------------------------------
+    def merge_apply(self, spark: SparkSession, batch: DataFrame,
+                    keys: list[str], order_col: str | None = None,
+                    partition_keys: list[str] | None = None) -> int:
+        """Apply a +I/-U/+U/-D changelog batch by primary key.
+
+        Last event per key wins within the batch (`order_col`, falling
+        back to arrival order); -U rows are transient update-before
+        markers and are ignored; a final -D removes the key. Equivalent
+        SQL: MERGE INTO t USING compacted ON t.pk = c.pk WHEN MATCHED
+        AND c.kind = '-D' THEN DELETE WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED AND c.kind != '-D' THEN INSERT *.
+        """
+        data_cols = [c for c in batch.columns
+                     if c not in (ROW_KIND_COL, TABLE_ID_COL, order_col)]
+        seq = F.col(order_col) if order_col else F.monotonically_increasing_id()
+        w = Window.partitionBy(*keys).orderBy(F.col("__seq").desc())
+        tomb = (
+            batch.withColumn("__seq", seq)
+            .filter(F.col(ROW_KIND_COL) != "-U")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*data_cols, F.col(ROW_KIND_COL).alias("__kind"))
+        )
+        upserts = tomb.filter(F.col("__kind") != "-D").drop("__kind")
+        cur = self.read(spark)
+        if cur is None:
+            new = upserts
+        else:
+            untouched = cur.join(tomb.select(*keys), keys, "left_anti")
+            new = untouched.unionByName(upserts, allowMissingColumns=True)
+        return self.commit(new, partition_keys)
+
+
+def _opt_list(v) -> list[str] | None:
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return [s.strip() for s in v.split(",") if s.strip()]
+    return list(v)
+
+
+def _resolve_layout(plugin: str, opts: dict) -> tuple[str, list[str] | None,
+                                                      list[str] | None]:
+    """Map each connector's option names to (table path, primary keys,
+    partition keys)."""
+    get = opts.get
+    if plugin == "Hudi":
+        base = get("table_dfs_path") or get("warehouse")
+        db = get("database", "default")
+        table = get("table_name") or get("table")
+        keys = _opt_list(get("record_key_fields"))
+        parts = _opt_list(get("partition_fields"))
+    elif plugin == "Paimon":
+        base = get("warehouse")
+        db = get("database", "default")
+        table = get("table")
+        keys = _opt_list(get("paimon.table.primary-keys")
+                         or get("primary_keys") or get("primary-keys"))
+        parts = _opt_list(get("paimon.table.partition-keys"))
+    else:  # Iceberg
+        cat = get("iceberg.catalog.config") or {}
+        base = get("warehouse") or cat.get("warehouse")
+        db = get("namespace") or get("database") or "default"
+        table = get("table")
+        keys = _opt_list(get("iceberg.table.primary-keys")
+                         or get("primary_keys") or get("primary-keys"))
+        parts = _opt_list(get("iceberg.table.partition-keys"))
+    if not base or not table:
+        raise ValueError(
+            f"sink {plugin}: need warehouse/path and table "
+            f"(got base={base!r}, table={table!r})")
+    base = base.replace("file://", "")
+    return os.path.join(base, str(db), str(table)), keys, parts
+
+
+class LakehouseSink(Sink):
+    """Iceberg/Paimon/Hudi sink over the versioned-parquet backend."""
+
+    NAME = "Iceberg"
+    table_groups = None
+    input_name = "sink"
+
+    def wants_observation(self) -> bool:
+        return False  # merge path acts on its own frames
+
+    def write(self, df: DataFrame) -> None:
+        if self.table_groups:
+            for tid, tdf in self.table_groups.items():
+                sub = LakehouseSink(self.options)
+                sub.plugin_name = self.plugin_name
+                sub.input_name = tid
+                sub.write(tdf)
+            return
+        opts = dict(self.options)
+        if opts.get("table") and "${table_name}" in str(opts["table"]):
+            opts["table"] = opts["table"].replace(
+                "${table_name}", self.input_name.split(".")[-1])
+        path, keys, parts = _resolve_layout(self.plugin_name, opts)
+        tbl = LakehouseTable(path)
+
+        schema_mode = str(self.opt("schema_save_mode",
+                                   "CREATE_SCHEMA_WHEN_NOT_EXIST")).upper()
+        data_mode = str(self.opt("data_save_mode", "APPEND_DATA")).upper()
+        if schema_mode == "ERROR_WHEN_SCHEMA_NOT_EXIST" and not tbl.exists():
+            raise ValueError(f"{self.plugin_name}: table {path!r} missing "
+                             "(ERROR_WHEN_SCHEMA_NOT_EXIST)")
+        if schema_mode == "RECREATE_SCHEMA":
+            tbl.drop()
+        elif tbl.exists():
+            if data_mode == "DROP_DATA":
+                tbl.drop()
+            elif data_mode == "ERROR_WHEN_DATA_EXISTS":
+                cur = tbl.read(df.sparkSession)
+                if cur is not None and cur.limit(1).count():
+                    raise ValueError(f"{self.plugin_name}: table {path!r} "
+                                     "has data (ERROR_WHEN_DATA_EXISTS)")
+
+        upsert = bool(self.opt("iceberg.table.upsert-mode-enabled")
+                      or self.opt("upsert-mode-enabled"))
+        from seatunnel_spark.types import EVENT_TS_COL
+
+        order_col = self.opt("order_column") or (
+            "__offset" if "__offset" in df.columns else None)
+        drop = [c for c in (TABLE_ID_COL, EVENT_TS_COL) if c in df.columns]
+        if order_col is None and "__offset" in df.columns:
+            drop.append("__offset")
+        body = df.drop(*drop) if drop else df
+        if keys and (ROW_KIND_COL in body.columns or upsert):
+            if ROW_KIND_COL not in body.columns:
+                body = body.withColumn(ROW_KIND_COL, F.lit("+I"))
+            tbl.merge_apply(df.sparkSession, body, keys,
+                            order_col=order_col, partition_keys=parts)
+        else:
+            body = body.drop(ROW_KIND_COL) if ROW_KIND_COL in body.columns else body
+            cur = tbl.read(df.sparkSession)
+            new = body if cur is None else cur.unionByName(
+                body, allowMissingColumns=True)
+            tbl.commit(new, parts)
+
+
+class LakehouseSource(Source):
+    """Read back the table HEAD (reference: connector-iceberg source
+    batch scan of the current snapshot)."""
+
+    NAME = "Iceberg"
+
+    def read(self, spark: SparkSession):
+        opts = dict(self.options)
+        table_list = opts.pop("table_list", None)
+        if table_list:
+            out = {}
+            for sub in table_list:
+                merged = {**opts, **sub}
+                out[sub["table"]] = self._read_one(spark, merged)
+            if len(out) == 1:
+                return next(iter(out.values()))
+            return out
+        return self._read_one(spark, opts)
+
+    def _read_one(self, spark: SparkSession, opts: dict) -> DataFrame:
+        path, _, _ = _resolve_layout(self.plugin_name, opts)
+        df = LakehouseTable(path).read(spark)
+        if df is None:
+            raise FileNotFoundError(
+                f"source {self.plugin_name}: no committed snapshot at {path!r}")
+        return df
+
+
+LAKEHOUSE_NAMES = ["Iceberg", "Paimon", "Hudi", "hudi"]
+
+__all__ = ["LakehouseTable", "LakehouseSink", "LakehouseSource",
+           "LAKEHOUSE_NAMES"]
