@@ -23,7 +23,6 @@ from seatunnel_spark.sinks.kafka import KafkaSink, WebhookSink
 # backend name -> (kind, spark strategy note)
 _GATED_SOURCES = {
     "MongoDB": "mongo-spark-connector (format 'mongodb')",
-    "Redis": "spark-redis or mapInPandas client fetch",
     "Hbase": "hbase-spark connector",
     "Cassandra": "spark-cassandra-connector (format 'org.apache.spark.sql.cassandra')",
     "Kudu": "kudu-spark (format 'kudu')",
@@ -53,7 +52,7 @@ _GATED_SINKS = {
     "Clickhouse": "JDBC batch insert (clickhouse-jdbc)",
     "ClickhouseFile": "write parquet/orc then clickhouse-client import",
     "Kudu": "kudu-spark",
-    "MongoDB": "mongo-spark-connector", "Redis": "foreachPartition pipeline SET",
+    "MongoDB": "mongo-spark-connector",
     "Cassandra": "spark-cassandra-connector", "Hbase": "hbase-spark bulk put",
     "IoTDB": "iotdb session in foreachPartition", "InfluxDB": "line-protocol HTTP",
     "Neo4j": "neo4j-spark-connector", "AmazonDynamodb": "dynamodb batch writer",
@@ -120,6 +119,12 @@ def register_all() -> None:
     for name in LAKEHOUSE_NAMES:
         SOURCES[name] = LakehouseSource
         SINKS[name] = LakehouseSink
+    # Redis: RESP wire protocol over stdlib sockets.
+    from seatunnel_spark.sinks.redis import RedisSink
+    from seatunnel_spark.sources.redis import RedisSource
+
+    SOURCES["Redis"] = RedisSource
+    SINKS["Redis"] = RedisSink
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
     from seatunnel_spark.sinks.hive import HiveSink

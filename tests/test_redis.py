@@ -1,0 +1,152 @@
+"""Redis connector e2e over RESP: the reference's own
+connector-redis-e2e confs run unmodified against an in-process
+mini-Redis (RedisTestCaseTemplateIT's Testcontainers analog); seed
+data replicates its initSourceData (100 row-JSON strings in db 0 and
+db 1)."""
+
+import json
+import os
+
+import pytest
+
+from seatunnel_spark.job.engine import JobEngine
+from seatunnel_spark.job.spec import JobSpec
+from seatunnel_spark.sources.redis import RespClient
+from seatunnel_spark.testing.redis_server import start_mini_redis
+
+_RES = ("/root/reference/seatunnel-e2e/seatunnel-connector-v2-e2e/"
+        "connector-redis-e2e/src/test/resources")
+
+
+def _row_json(i):
+    return json.dumps({"id": i, "c_string": f"s{i}", "c_int": i % 7})
+
+
+@pytest.fixture(scope="module")
+def redis():
+    store, port, stop = start_mini_redis()
+    os.environ["SEATUNNEL_SPARK_HOST_ALIASES"] = \
+        f"redis-e2e=tcp://127.0.0.1:{port}"
+    for db in (0, 1):
+        for i in range(100):
+            store.execute(db, ["SET", f"key_test{i}", _row_json(i)])
+    yield store, port
+    stop()
+    os.environ.pop("SEATUNNEL_SPARK_HOST_ALIASES", None)
+
+
+def _run(spark, conf):
+    JobEngine(spark).run(JobSpec.from_file(conf))
+
+
+def _fresh_list(store, key):
+    store.execute(0, ["DEL", key])
+
+
+def test_resp_client_roundtrip(redis):
+    _, port = redis
+    cl = RespClient("127.0.0.1", port, auth="anything")
+    assert cl.command("PING") == "PONG"
+    cl.command("SET", "x", "1")
+    assert cl.command("GET", "x") == "1"
+    assert cl.pipeline([("SET", "p1", "a"), ("GET", "p1"),
+                        ("DEL", "p1")]) == ["OK", "a", 1]
+    keys = cl.scan_keys("key_test*")
+    assert len(keys) == 100
+    cl.close()
+
+
+def test_redis_to_redis_conf(spark, redis):
+    """redis-to-redis.conf: scan 100 strings -> LPUSH key_list
+    (IT testRedisToRedis asserts llen==100)."""
+    store, _ = redis
+    _fresh_list(store, "key_list")
+    _run(spark, f"{_RES}/redis-to-redis.conf")
+    assert store.execute(0, ["LLEN", "key_list"]) == 100
+
+
+def test_redis_by_db_num_conf(spark, redis):
+    """redis-to-redis-by-db-num.conf: read db 1, LPUSH into db 2
+    (IT testWithDbNum asserts llen db_test==100)."""
+    store, _ = redis
+    store.execute(2, ["DEL", "db_test"])
+    _run(spark, f"{_RES}/redis-to-redis-by-db-num.conf")
+    assert store.execute(2, ["LLEN", "db_test"]) == 100
+
+
+def test_redis_expire_conf(spark, redis):
+    """redis-to-redis-expire.conf: EXPIRE rides each write
+    (IT testRedisWithExpire: llen==100, gone after 60 s)."""
+    store, _ = redis
+    _fresh_list(store, "key_list")
+    _run(spark, f"{_RES}/redis-to-redis-expire.conf")
+    assert store.execute(0, ["LLEN", "key_list"]) == 100
+    assert store.ttls[(0, "key_list")] == 30
+
+
+def test_custom_key_conf(spark, redis):
+    """redis-to-redis-custom-key.conf: schema'd json decode + custom
+    {id} key template (IT asserts 100 custom-key-check:* keys)."""
+    store, _ = redis
+    _run(spark, f"{_RES}/redis-to-redis-custom-key.conf")
+    keys = store.execute(0, ["KEYS", "custom-key-check:*"])
+    assert len(keys) == 100
+
+
+def test_fake_delete_key_conf(spark, redis):
+    """fake-to-redis-test-delete-key.conf: +I/-U/+U/-D changelog ->
+    SET/DEL per kind; survivors are ids 1 and 3 (IT DeleteKey case)."""
+    store, _ = redis
+    _run(spark, f"{_RES}/fake-to-redis-test-delete-key.conf")
+    keys = store.execute(0, ["KEYS", "key_check:*"])
+    assert sorted(keys) == ["key_check:1", "key_check:3"]
+
+
+def test_scan_string_conf(spark, redis):
+    """scan-string-to-redis.conf (IT testScanStringTypeWriteRedis)."""
+    store, _ = redis
+    conf = f"{_RES}/scan-string-to-redis.conf"
+    with open(conf) as f:
+        body = f.read()
+    # seed whatever key pattern the conf scans
+    import re
+
+    pat = re.search(r'keys\s*=\s*"([^"]+)"', body).group(1)
+    prefix = pat.rstrip("*")
+    for i in range(10):
+        store.execute(0, ["SET", f"{prefix}{i}", _row_json(i)])
+    _run(spark, conf)
+
+
+def test_hash_read_write(spark, redis):
+    from seatunnel_spark.sinks.redis import RedisSink
+    from seatunnel_spark.sources.redis import RedisSource
+
+    store, port = redis
+    base = {"host": "127.0.0.1", "port": port}
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    RedisSink({**base, "key": "h_test", "data_type": "hash",
+               "hash_key_field": "id", "hash_value_field": "v"}).write(df)
+    assert store.execute(0, ["HGETALL", "h_test"]) == ["1", "a", "2", "b"]
+    out = RedisSource({**base, "keys": "h_test", "data_type": "hash"}) \
+        .read(spark).collect()
+    assert json.loads(out[0]["content"]) == {"1": "a", "2": "b"}
+
+
+def test_zset_set_rowkinds(spark, redis):
+    from pyspark.sql import types as T
+
+    from seatunnel_spark.sinks.redis import RedisSink
+    from seatunnel_spark.types import ROW_KIND_COL
+
+    store, port = redis
+    schema = T.StructType([T.StructField("v", T.StringType()),
+                           T.StructField(ROW_KIND_COL, T.StringType())])
+    df = spark.createDataFrame(
+        [("a", "+I"), ("b", "+I"), ("a", "-D")], schema).coalesce(1)
+    RedisSink({"host": "127.0.0.1", "port": port, "key": "z1",
+               "data_type": "zset", "value_field": "v"}).write(df)
+    assert store.execute(0, ["ZRANGE", "z1", 0, -1]) == ["b"]
+    RedisSink({"host": "127.0.0.1", "port": port, "key": "s1",
+               "data_type": "set", "value_field": "v"}).write(df)
+    assert store.execute(0, ["SMEMBERS", "s1"]) == ["b"]
