@@ -22,7 +22,6 @@ from seatunnel_spark.sinks.kafka import KafkaSink, WebhookSink
 
 # backend name -> (kind, spark strategy note)
 _GATED_SOURCES = {
-    "MongoDB": "mongo-spark-connector (format 'mongodb')",
     "Hbase": "hbase-spark connector",
     "Cassandra": "spark-cassandra-connector (format 'org.apache.spark.sql.cassandra')",
     "Kudu": "kudu-spark (format 'kudu')",
@@ -52,7 +51,6 @@ _GATED_SINKS = {
     "Clickhouse": "JDBC batch insert (clickhouse-jdbc)",
     "ClickhouseFile": "write parquet/orc then clickhouse-client import",
     "Kudu": "kudu-spark",
-    "MongoDB": "mongo-spark-connector",
     "Cassandra": "spark-cassandra-connector", "Hbase": "hbase-spark bulk put",
     "IoTDB": "iotdb session in foreachPartition", "InfluxDB": "line-protocol HTTP",
     "Neo4j": "neo4j-spark-connector", "AmazonDynamodb": "dynamodb batch writer",
@@ -125,6 +123,12 @@ def register_all() -> None:
 
     SOURCES["Redis"] = RedisSource
     SINKS["Redis"] = RedisSink
+    # MongoDB: OP_MSG wire protocol + stdlib BSON codec.
+    from seatunnel_spark.sinks.mongodb import MongoSink
+    from seatunnel_spark.sources.mongodb import MongoSource
+
+    SOURCES["MongoDB"] = MongoSource
+    SINKS["MongoDB"] = MongoSink
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
     from seatunnel_spark.sinks.hive import HiveSink
