@@ -27,7 +27,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); Spark 4 rejects it unless
         # read as long (legacy conf), then converted back to timestamp.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Set once — conf.set invalidates cached plans, so a per-call set
+        # would churn the session state on every query build.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong",
+                          "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
@@ -865,7 +869,7 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
     )
-    out = image_features(docs, "content")
+    out = image_features(docs, "content", codec="stub")
     return out.select(
         "doc_id",
         F.col("image_meta.width").alias("width"),
@@ -882,7 +886,7 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
     )
-    out = image_resize(docs, 32, 32)
+    out = image_resize(docs, 32, 32, codec="stub")
     return out.select(
         "doc_id",
         F.col("resized_meta.width").alias("w"),

@@ -44,9 +44,19 @@ def read_binary_dir(spark, path: str, glob: str | None = None) -> DataFrame:
     return reader.load(path)
 
 
-def _decode_image(content: bytes) -> tuple[int, int, str, list[float]]:
-    """STUB decoder. Real impl: PIL.Image.open(BytesIO(content)).
-    Deterministic fake keeps shape: (width, height, format, 8-d feature)."""
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _decode_image_stub(content: bytes) -> tuple[int, int, str, list[float]]:
+    """STUB decoder — deterministic sha256 fake keeping the real shape:
+    (width, height, format, 8-d feature). Engine-replayable, so the
+    mm_* oracle rows stay stable regardless of installed libs."""
     h = hashlib.sha256(content or b"").digest()
     w = 64 + h[0] % 192
     ht = 64 + h[1] % 192
@@ -54,7 +64,34 @@ def _decode_image(content: bytes) -> tuple[int, int, str, list[float]]:
     return w, ht, "fake/raw", feat
 
 
-def image_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+def _decode_image_pil(content: bytes) -> tuple[int, int, str, list[float]]:
+    """Real codec path (used when PIL is importable on the executor):
+    decode, and derive an 8-bin grayscale-histogram feature."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(content))
+    gray = img.convert("L").resize((32, 32))
+    hist = gray.histogram()
+    buckets = [sum(hist[i * 32:(i + 1) * 32]) for i in range(8)]
+    total = float(sum(buckets)) or 1.0
+    return (img.width, img.height, (img.format or "raw").lower(),
+            [b / total for b in buckets])
+
+
+def _pick_decoder(codec: str):
+    """codec='stub' pins determinism (oracle queries), 'pil' forces the
+    real codec, 'auto' (library default) uses PIL when importable."""
+    if codec == "stub":
+        return _decode_image_stub
+    if codec == "pil":
+        return _decode_image_pil
+    return _decode_image_pil if _pil_available() else _decode_image_stub
+
+
+def image_features(df: DataFrame, content_col: str = "content",
+                   codec: str = "auto") -> DataFrame:
     """Decode + feature-extract images in Arrow batches.
 
     Output adds: image_meta struct + image_feat array<float>. The
@@ -70,10 +107,11 @@ def image_features(df: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
     def run(batches):
+        decode = _pick_decoder(codec)  # resolved on the EXECUTOR
         for pdf in batches:
             metas, feats = [], []
             for content in pdf[content_col]:
-                w, h, fmt, feat = _decode_image(bytes(content) if content is not None else b"")
+                w, h, fmt, feat = decode(bytes(content) if content is not None else b"")
                 metas.append({"width": w, "height": h, "format": fmt})
                 feats.append(feat)
             pdf["image_meta"] = metas
@@ -84,27 +122,46 @@ def image_features(df: DataFrame, content_col: str = "content") -> DataFrame:
 
 
 def image_resize(df: DataFrame, width: int, height: int,
-                 content_col: str = "content") -> DataFrame:
+                 content_col: str = "content",
+                 codec: str = "auto") -> DataFrame:
     """Resize images in Arrow batches: replaces `content` with the
     re-encoded bytes and appends a resized_meta struct.
 
-    STUB codec (real impl: PIL Image.resize + save to BytesIO) — the
-    fake emits deterministic bytes sized ~w*h/16 so byte-volume
-    behavior under repartition/spill is realistic. The Spark shape is
-    the real one: binary in, binary out, batch-at-a-time, no driver
-    involvement, safe to chain before a partitioned write."""
+    codec='pil' (or 'auto' with PIL importable) really resizes and
+    re-encodes PNG; the stub emits deterministic bytes sized ~w*h/16 so
+    byte-volume behavior under repartition/spill is realistic. The
+    Spark shape is the real one either way: binary in, binary out,
+    batch-at-a-time, no driver involvement, safe to chain before a
+    partitioned write."""
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("resized_meta", IMAGE_META)]
     )
 
     def run(batches):
+        use_pil = (codec == "pil"
+                   or (codec == "auto" and _pil_available()))
         for pdf in batches:
             out_bytes, metas = [], []
             for content in pdf[content_col]:
                 src = bytes(content) if content is not None else b""
-                h = hashlib.sha256(src + f"{width}x{height}".encode()).digest()
-                out_bytes.append(h * max((width * height) // (16 * len(h)), 1))
-                metas.append({"width": width, "height": height, "format": "fake/raw"})
+                if use_pil:
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(src)).resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    out_bytes.append(buf.getvalue())
+                    metas.append({"width": width, "height": height,
+                                  "format": "png"})
+                else:
+                    h = hashlib.sha256(
+                        src + f"{width}x{height}".encode()).digest()
+                    out_bytes.append(
+                        h * max((width * height) // (16 * len(h)), 1))
+                    metas.append({"width": width, "height": height,
+                                  "format": "fake/raw"})
             pdf[content_col] = out_bytes
             pdf["resized_meta"] = metas
             yield pdf

@@ -1,0 +1,354 @@
+"""Kafka wire protocol (stdlib-only): record-batch v2 codec + a
+minimal client speaking ApiVersions/Metadata/Produce/Fetch/ListOffsets.
+
+Written from the public Kafka protocol guide
+(kafka.apache.org/protocol) — the same wire format any broker >= 0.11
+speaks, so this client works against a real cluster; in the sandbox it
+talks to testing/kafka_server.py. The Spark-native production path for
+STREAMING stays `format("kafka")` (spark-sql-kafka connector jar);
+this module is the fallback when that jar isn't on the classpath, and
+the only path the sandbox can exercise end-to-end.
+
+Implemented API versions (fixed, conservative):
+  ApiVersions v0, Metadata v1, Produce v3, Fetch v4, ListOffsets v1.
+Record batches are magic-2 with CRC-32C (Castagnoli) integrity.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+import time
+
+# --------------------------------------------------------------------------
+# CRC-32C (Castagnoli, reflected 0x82F63B78) — table-driven
+# --------------------------------------------------------------------------
+
+_CRC_TABLE = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _CRC_TABLE.append(_c)
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+# --------------------------------------------------------------------------
+# primitive codecs
+# --------------------------------------------------------------------------
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def enc_varint(n: int) -> bytes:
+    u = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def dec_varint(data: bytes, i: int) -> tuple[int, int]:
+    shift = u = 0
+    while True:
+        b = data[i]
+        i += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(u), i
+        shift += 7
+
+
+def enc_str(s: str | None) -> bytes:
+    if s is None:
+        return struct.pack(">h", -1)
+    b = s.encode()
+    return struct.pack(">h", len(b)) + b
+
+
+def dec_str(data: bytes, i: int) -> tuple[str | None, int]:
+    (n,) = struct.unpack_from(">h", data, i)
+    i += 2
+    if n == -1:
+        return None, i
+    return data[i:i + n].decode(), i + n
+
+
+def enc_bytes(b: bytes | None) -> bytes:
+    if b is None:
+        return struct.pack(">i", -1)
+    return struct.pack(">i", len(b)) + b
+
+
+def dec_bytes(data: bytes, i: int) -> tuple[bytes | None, int]:
+    (n,) = struct.unpack_from(">i", data, i)
+    i += 4
+    if n == -1:
+        return None, i
+    return data[i:i + n], i + n
+
+
+# --------------------------------------------------------------------------
+# record batch v2
+# --------------------------------------------------------------------------
+
+def encode_record_batch(base_offset: int,
+                        records: list[tuple[bytes | None, bytes | None]],
+                        base_ts: int | None = None) -> bytes:
+    """records = [(key, value), ...] -> one magic-2 batch."""
+    base_ts = base_ts if base_ts is not None else int(time.time() * 1000)
+    recs = bytearray()
+    for delta, (key, value) in enumerate(records):
+        body = bytearray()
+        body += b"\x00"                       # attributes
+        body += enc_varint(0)                 # timestampDelta
+        body += enc_varint(delta)             # offsetDelta
+        for field in (key, value):
+            if field is None:
+                body += enc_varint(-1)
+            else:
+                body += enc_varint(len(field)) + field
+        body += enc_varint(0)                 # headers count
+        recs += enc_varint(len(body)) + body
+    after_crc = (
+        struct.pack(">hiqqqhii", 0, len(records) - 1, base_ts, base_ts,
+                    -1, -1, -1, len(records)) + bytes(recs)
+    )
+    crc = crc32c(after_crc)
+    body = (struct.pack(">iBI", 0, 2, crc) + after_crc)  # epoch, magic, crc
+    return struct.pack(">qi", base_offset, len(body)) + body
+
+
+def decode_record_batches(data: bytes):
+    """Yield (offset, key, value) from a concatenation of batches."""
+    i = 0
+    while i + 12 <= len(data):
+        base_offset, length = struct.unpack_from(">qi", data, i)
+        i += 12
+        if i + length > len(data):
+            return  # partial batch at end of fetch response
+        batch = data[i:i + length]
+        i += length
+        # batch: epoch(4) magic(1) crc(4) attrs(2) lastOffsetDelta(4)
+        # baseTs(8) maxTs(8) producerId(8) producerEpoch(2) baseSeq(4)
+        # recordCount(4) records...
+        magic = batch[4]
+        if magic != 2:
+            continue
+        (count,) = struct.unpack_from(">i", batch, 45)
+        j = 49
+        for _ in range(count):
+            rec_len, j = dec_varint(batch, j)
+            end = j + rec_len
+            k = j + 1  # attributes
+            _, k = dec_varint(batch, k)  # tsDelta
+            off_delta, k = dec_varint(batch, k)
+            klen, k = dec_varint(batch, k)
+            key = None
+            if klen >= 0:
+                key = batch[k:k + klen]
+                k += klen
+            vlen, k = dec_varint(batch, k)
+            value = None
+            if vlen >= 0:
+                value = batch[k:k + vlen]
+                k += vlen
+            yield base_offset + off_delta, key, value
+            j = end
+
+
+# --------------------------------------------------------------------------
+# client
+# --------------------------------------------------------------------------
+
+_API_PRODUCE, _API_FETCH, _API_LIST_OFFSETS, _API_METADATA = 0, 1, 2, 3
+_API_VERSIONS = 18
+
+
+def resolve_bootstrap(bootstrap: str) -> str:
+    """Apply host aliases on the DRIVER so closures ship final
+    endpoints (executor workers don't see late env changes)."""
+    from seatunnel_spark.net import apply_host_aliases
+
+    out = []
+    for hp in bootstrap.split(","):
+        resolved = apply_host_aliases(f"tcp://{hp.strip()}")
+        out.append(resolved.split("://", 1)[1])
+    return ",".join(out)
+
+
+class KafkaWireClient:
+    def __init__(self, bootstrap: str, client_id: str = "seatunnel-spark",
+                 timeout: float = 30.0):
+        from seatunnel_spark.net import apply_host_aliases
+
+        first = bootstrap.split(",")[0].strip()
+        resolved = apply_host_aliases(f"tcp://{first}")
+        hostpart = resolved.split("://", 1)[1]
+        host, _, port = hostpart.rpartition(":")
+        self.sock = socket.create_connection((host, int(port)),
+                                             timeout=timeout)
+        self.client_id = client_id
+        self._corr = 0
+        self._buf = b""
+        self._lock = threading.Lock()
+
+    def close(self):
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+    def _read_exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("kafka connection closed")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def _call(self, api: int, version: int, payload: bytes) -> bytes:
+        with self._lock:
+            self._corr += 1
+            header = (struct.pack(">hhi", api, version, self._corr)
+                      + enc_str(self.client_id))
+            msg = header + payload
+            self.sock.sendall(struct.pack(">i", len(msg)) + msg)
+            (length,) = struct.unpack(">i", self._read_exact(4))
+            resp = self._read_exact(length)
+            (corr,) = struct.unpack_from(">i", resp, 0)
+            if corr != self._corr:
+                raise RuntimeError("kafka: correlation id mismatch")
+            return resp[4:]
+
+    # -- Metadata v1 ------------------------------------------------------
+    def metadata(self, topics: list[str] | None = None) -> dict:
+        if topics is None:
+            payload = struct.pack(">i", -1)
+        else:
+            payload = struct.pack(">i", len(topics)) + b"".join(
+                enc_str(t) for t in topics)
+        r = self._call(_API_METADATA, 1, payload)
+        i = 0
+        (n_brokers,) = struct.unpack_from(">i", r, i)
+        i += 4
+        for _ in range(n_brokers):
+            i += 4  # node id
+            _, i = dec_str(r, i)
+            i += 4  # port
+            _, i = dec_str(r, i)  # rack
+        i += 4  # controller id
+        (n_topics,) = struct.unpack_from(">i", r, i)
+        i += 4
+        out: dict[str, list[int]] = {}
+        for _ in range(n_topics):
+            i += 2  # error code
+            name, i = dec_str(r, i)
+            i += 1  # is_internal
+            (n_parts,) = struct.unpack_from(">i", r, i)
+            i += 4
+            parts = []
+            for _ in range(n_parts):
+                _err, pid = struct.unpack_from(">hi", r, i)
+                i += 2 + 4 + 4  # err, pid, leader
+                (n_rep,) = struct.unpack_from(">i", r, i)
+                i += 4 + 4 * n_rep
+                (n_isr,) = struct.unpack_from(">i", r, i)
+                i += 4 + 4 * n_isr
+                parts.append(pid)
+            out[name] = sorted(parts)
+        return out
+
+    # -- Produce v3 -------------------------------------------------------
+    def produce(self, topic: str, partition: int,
+                records: list[tuple[bytes | None, bytes | None]],
+                base_offset_hint: int = 0) -> int:
+        batch = encode_record_batch(base_offset_hint, records)
+        payload = (
+            enc_str(None) + struct.pack(">hi", -1, 30000)   # txn, acks=-1
+            + struct.pack(">i", 1) + enc_str(topic)
+            + struct.pack(">i", 1) + struct.pack(">i", partition)
+            + enc_bytes(batch)
+        )
+        r = self._call(_API_PRODUCE, 3, payload)
+        i = 4  # topic array count
+        _, i = dec_str(r, i)
+        i += 4  # partition array count
+        _pid, err, base = struct.unpack_from(">ihq", r, i)
+        if err:
+            raise RuntimeError(f"kafka produce error code {err}")
+        return base
+
+    # -- ListOffsets v1 ---------------------------------------------------
+    def list_offset(self, topic: str, partition: int,
+                    timestamp: int = -1) -> int:
+        """timestamp -1 = latest (log end), -2 = earliest."""
+        payload = (
+            struct.pack(">i", -1) + struct.pack(">i", 1) + enc_str(topic)
+            + struct.pack(">i", 1) + struct.pack(">iq", partition, timestamp)
+        )
+        r = self._call(_API_LIST_OFFSETS, 1, payload)
+        i = 4
+        _, i = dec_str(r, i)
+        i += 4
+        _pid, err, _ts, off = struct.unpack_from(">ihqq", r, i)
+        if err:
+            raise RuntimeError(f"kafka list_offsets error code {err}")
+        return off
+
+    # -- Fetch v4 ---------------------------------------------------------
+    def fetch(self, topic: str, partition: int, offset: int,
+              max_bytes: int = 4 * 1024 * 1024):
+        """Yield (offset, key, value) from `offset` to current log end."""
+        while True:
+            payload = (
+                struct.pack(">iiiiB", -1, 500, 1, max_bytes, 0)
+                + struct.pack(">i", 1) + enc_str(topic)
+                + struct.pack(">i", 1)
+                + struct.pack(">iqi", partition, offset, max_bytes)
+            )
+            r = self._call(_API_FETCH, 4, payload)
+            i = 4  # throttle
+            i += 4  # topic count
+            _, i = dec_str(r, i)
+            i += 4  # partition count
+            _pid, err, hw = struct.unpack_from(">ihq", r, i)
+            i += 4 + 2 + 8
+            i += 8  # last_stable_offset
+            (n_aborted,) = struct.unpack_from(">i", r, i)
+            i += 4
+            if n_aborted > 0:
+                i += n_aborted * 16
+            recs, i = dec_bytes(r, i)
+            if err:
+                raise RuntimeError(f"kafka fetch error code {err}")
+            got = False
+            for off, k, v in decode_record_batches(recs or b""):
+                if off >= offset:
+                    got = True
+                    offset = off + 1
+                    yield off, k, v
+            if not got or offset >= hw:
+                return
+
+
+__all__ = ["KafkaWireClient", "encode_record_batch",
+           "decode_record_batches", "crc32c", "enc_varint", "dec_varint"]

@@ -17,7 +17,10 @@ def apply_host_aliases(url: str, aliases: str | None = None) -> str:
         aliases = os.environ.get("SEATUNNEL_SPARK_HOST_ALIASES", "")
     if not aliases:
         return url
-    mapping = dict(kv.split("=", 1) for kv in aliases.split(",") if "=" in kv)
+    # urlsplit lowercases hostnames, so match aliases case-insensitively
+    # (DNS names are case-insensitive anyway).
+    mapping = {k.lower(): v for k, v in
+               (kv.split("=", 1) for kv in aliases.split(",") if "=" in kv)}
     parts = urlsplit(url)
     if parts.hostname in mapping:
         target = mapping[parts.hostname]

@@ -52,13 +52,78 @@ class KafkaSink(Sink):
             opts[f"kafka.{k}"] = v
         return opts
 
+    def wants_observation(self) -> bool:
+        # wire fallback writes via foreachPartition (RDD action)
+        from seatunnel_spark.sources.stream import _kafka_jar_available
+
+        try:
+            from seatunnel_spark.session import get_spark
+
+            return _kafka_jar_available(get_spark())
+        except Exception:  # noqa: BLE001
+            return False
+
+    def _wire_write(self, df: DataFrame) -> None:
+        """Stdlib wire-protocol produce: one connection per partition,
+        keyed rows route by hash(key) % partitions (the default Kafka
+        partitioner's contract), else rows stay on their Spark
+        partition modulo the topic's partition count."""
+        from seatunnel_spark.kafka_wire import KafkaWireClient, resolve_bootstrap
+
+        bootstrap = resolve_bootstrap(self.require("bootstrap.servers"))
+        topic = self.require("topic")
+
+        cl = KafkaWireClient(bootstrap)
+        try:
+            parts = cl.metadata([topic]).get(topic, [0]) or [0]
+        finally:
+            cl.close()
+        n_parts = len(parts)
+
+        def produce_partition(idx, rows):
+            from seatunnel_spark.kafka_wire import KafkaWireClient as _C
+
+            cl = _C(bootstrap)
+            try:
+                buckets: dict[int, list] = {}
+                for row in rows:
+                    key = row["key"].encode() if "key" in row and \
+                        row["key"] is not None else None
+                    value = row["value"].encode() if row["value"] is not None \
+                        else None
+                    if key is not None:
+                        p = parts[hash(key) % n_parts]
+                    else:
+                        p = parts[idx % n_parts]
+                    buckets.setdefault(p, []).append((key, value))
+                for p, recs in buckets.items():
+                    for i in range(0, len(recs), 500):
+                        cl.produce(topic, p, recs[i:i + 500])
+            finally:
+                cl.close()
+            return iter(())
+
+        self._serialize(df).rdd.mapPartitionsWithIndex(
+            produce_partition).count()
+
     def write(self, df: DataFrame) -> None:
+        from seatunnel_spark.sources.stream import _kafka_jar_available
+
+        if not _kafka_jar_available(df.sparkSession):
+            self._wire_write(df)
+            return
         writer = self._serialize(df).write.format("kafka")
         for k, v in self._options().items():
             writer = writer.option(k, v)
         writer.save()
 
     def write_stream(self, df: DataFrame, checkpoint: str | None = None):
+        from seatunnel_spark.sources.stream import _kafka_jar_available
+
+        if not _kafka_jar_available(df.sparkSession):
+            # foreachBatch + the batch-id ledger (Sink base) gives the
+            # same at-least-once-with-replay-no-op guarantee.
+            return super().write_stream(df, checkpoint)
         writer = self._serialize(df).writeStream.format("kafka")
         for k, v in self._options().items():
             writer = writer.option(k, v)
@@ -87,6 +152,13 @@ class WebhookSink(Sink):
 
         url = apply_host_aliases(self.require("url"))
         max_rows = int(self.opt("max_rows", 1000))
+        if max_rows > 100_000:
+            # Notification sinks collect to the driver; refusing absurd
+            # caps keeps a miswired config from OOMing the job. Real data
+            # movement belongs in the HTTP/Kafka/file sinks.
+            raise ValueError(
+                f"{self.plugin_name} sink: max_rows={max_rows} exceeds the "
+                "100000 notification ceiling — use a data sink instead")
         poster = self.opt("_poster", _default_poster)
         rows = [r.asDict(recursive=True) for r in df.limit(max_rows).collect()]
         headers = {"Content-Type": "application/json", **(self.opt("headers") or {})}
