@@ -26,7 +26,6 @@ _GATED_SOURCES = {
     "Cassandra": "spark-cassandra-connector (format 'org.apache.spark.sql.cassandra')",
     "Kudu": "kudu-spark (format 'kudu')",
     "Maxcompute": "odps-spark-datasource",
-    "InfluxDB": "HTTP query API via HttpSource",
     "IoTDB": "iotdb-spark-connector",
     "TDengine": "JDBC dialect (taos-jdbcdriver)",
     "OpenMldb": "openmldb JDBC",
@@ -34,12 +33,9 @@ _GATED_SOURCES = {
     "AmazonDynamodb": "emr-dynamodb-connector or audienceproject/spark-dynamodb",
     "Tablestore": "emr tablestore connector",
     "Milvus": "REST/SDK reader -> ArrayType(FloatType) vector column",
-    "Qdrant": "REST scroll API via HttpSource",
-    "Typesense": "REST export API via HttpSource",
     "Pulsar": "pulsar-spark-connector (format 'pulsar')",
     "RabbitMQ": "no native connector; bridge to Kafka or mapInPandas consumer",
     "Rocketmq": "rocketmq-spark (format 'org.apache.rocketmq.spark')",
-    "AmazonSqs": "mapInPandas boto3 consumer or SQS->Kafka bridge",
     "Sls": "aliyun emr-logservice connector",
     "MyHours": "HttpSource wrapper (paginated REST)",
     "Clickhouse": "JDBC (clickhouse-jdbc) — alias of Jdbc source",
@@ -52,16 +48,16 @@ _GATED_SINKS = {
     "ClickhouseFile": "write parquet/orc then clickhouse-client import",
     "Kudu": "kudu-spark",
     "Cassandra": "spark-cassandra-connector", "Hbase": "hbase-spark bulk put",
-    "IoTDB": "iotdb session in foreachPartition", "InfluxDB": "line-protocol HTTP",
+    "IoTDB": "iotdb session in foreachPartition",
     "Neo4j": "neo4j-spark-connector", "AmazonDynamodb": "dynamodb batch writer",
     "Tablestore": "tablestore SDK", "GoogleFirestore": "firestore SDK",
     "Doris": "stream-load HTTP", "StarRocks": "stream-load HTTP",
     "SelectDBCloud": "copy-into via object store", "S3Redshift": "UNLOAD/COPY via S3",
     "Maxcompute": "odps tunnel", "TDengine": "taos JDBC", "Druid": "kafka ingestion spec",
     "DataHub": "datahub SDK", "Sentry": "sentry SDK event post",
-    "Milvus": "milvus SDK insert", "Qdrant": "REST upsert", "Typesense": "REST import",
+    "Milvus": "milvus SDK insert", 
     "Pulsar": "pulsar-spark", "RabbitMQ": "foreachPartition pika publish",
-    "Rocketmq": "rocketmq producer", "AmazonSqs": "boto3 send_message_batch",
+    "Rocketmq": "rocketmq producer", 
     "Sls": "aliyun log producer", "ActiveMQ": "stomp/jms producer",
     "Prometheus": "remote-write protobuf",
     "Hive": None,  # implemented natively below
@@ -129,6 +125,24 @@ def register_all() -> None:
 
     SOURCES["MongoDB"] = MongoSource
     SINKS["MongoDB"] = MongoSink
+    # REST-protocol backends (stdlib HTTP clients).
+    from seatunnel_spark.sources.influxdb import InfluxDbSink, InfluxDbSource
+    from seatunnel_spark.sources.sqs import SqsSink, SqsSource
+    from seatunnel_spark.sources.vector_stores import (
+        QdrantSink,
+        QdrantSource,
+        TypesenseSink,
+        TypesenseSource,
+    )
+
+    SOURCES["InfluxDB"] = InfluxDbSource
+    SINKS["InfluxDB"] = InfluxDbSink
+    SOURCES["AmazonSqs"] = SqsSource
+    SINKS["AmazonSqs"] = SqsSink
+    SOURCES["Qdrant"] = QdrantSource
+    SINKS["Qdrant"] = QdrantSink
+    SOURCES["Typesense"] = TypesenseSource
+    SINKS["Typesense"] = TypesenseSink
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
     from seatunnel_spark.sinks.hive import HiveSink

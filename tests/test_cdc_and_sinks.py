@@ -104,16 +104,21 @@ def test_gated_backends_resolve_and_explain(spark):
     from seatunnel_spark.sinks import get_sink
     from seatunnel_spark.sources import get_source
 
-    src = get_source("MongoDB", {})
-    with pytest.raises(NotImplementedError, match="mongo-spark-connector"):
+    src = get_source("Hbase", {})
+    with pytest.raises(NotImplementedError, match="hbase-spark"):
         src.read(spark)
-    sink = get_sink("Elasticsearch", {})
-    with pytest.raises(NotImplementedError, match="bulk"):
+    sink = get_sink("Cassandra", {})
+    with pytest.raises(NotImplementedError, match="cassandra"):
         sink.write(spark.createDataFrame([(1,)], ["n"]))
-    # full inventory resolves by name
-    for name in ["Iceberg", "Paimon", "Redis", "Milvus", "MySQL-CDC", "Qdrant"]:
+    # CDC family without a replay feed names the production wiring
+    with pytest.raises(NotImplementedError, match="debezium"):
+        get_source("MySQL-CDC", {"table-names": ["db.t"]}).read(spark)
+    # full inventory resolves by name (these are now REAL classes)
+    for name in ["Iceberg", "Paimon", "Redis", "Milvus", "MySQL-CDC",
+                 "Qdrant", "MongoDB", "Elasticsearch"]:
         assert get_source(name, {}) is not None
-    for name in ["Doris", "StarRocks", "Slack", "Kafka", "Prometheus"]:
+    for name in ["Doris", "StarRocks", "Slack", "Kafka", "Prometheus",
+                 "MongoDB", "Elasticsearch", "Redis", "Hudi"]:
         assert get_sink(name, {}) is not None
 
 
