@@ -30,7 +30,6 @@ _GATED_SOURCES = {
     "TDengine": "JDBC dialect (taos-jdbcdriver)",
     "OpenMldb": "openmldb JDBC",
     "Neo4j": "neo4j-spark-connector",
-    "AmazonDynamodb": "emr-dynamodb-connector or audienceproject/spark-dynamodb",
     "Tablestore": "emr tablestore connector",
     "Milvus": "REST/SDK reader -> ArrayType(FloatType) vector column",
     "Pulsar": "pulsar-spark-connector (format 'pulsar')",
@@ -38,20 +37,17 @@ _GATED_SOURCES = {
     "Rocketmq": "rocketmq-spark (format 'org.apache.rocketmq.spark')",
     "Sls": "aliyun emr-logservice connector",
     "MyHours": "HttpSource wrapper (paginated REST)",
-    "Clickhouse": "JDBC (clickhouse-jdbc) — alias of Jdbc source",
-    "Doris": "doris-spark-connector or JDBC (mysql protocol)",
-    "StarRocks": "starrocks-spark-connector or JDBC",
+    "Doris": "FE REST plan + BE thrift/arrow reads (doris-spark-connector); JDBC (mysql protocol) as fallback",
+    "StarRocks": "starrocks-spark-connector or JDBC (mysql protocol)",
 }
 
 _GATED_SINKS = {
-    "Clickhouse": "JDBC batch insert (clickhouse-jdbc)",
     "ClickhouseFile": "write parquet/orc then clickhouse-client import",
     "Kudu": "kudu-spark",
     "Cassandra": "spark-cassandra-connector", "Hbase": "hbase-spark bulk put",
     "IoTDB": "iotdb session in foreachPartition",
-    "Neo4j": "neo4j-spark-connector", "AmazonDynamodb": "dynamodb batch writer",
+    "Neo4j": "neo4j-spark-connector",
     "Tablestore": "tablestore SDK", "GoogleFirestore": "firestore SDK",
-    "Doris": "stream-load HTTP", "StarRocks": "stream-load HTTP",
     "SelectDBCloud": "copy-into via object store", "S3Redshift": "UNLOAD/COPY via S3",
     "Maxcompute": "odps tunnel", "TDengine": "taos JDBC", "Druid": "kafka ingestion spec",
     "DataHub": "datahub SDK", "Sentry": "sentry SDK event post",
@@ -143,6 +139,19 @@ def register_all() -> None:
     SINKS["Qdrant"] = QdrantSink
     SOURCES["Typesense"] = TypesenseSource
     SINKS["Typesense"] = TypesenseSink
+    from seatunnel_spark.sinks.streamload import DorisSink, StarRocksSink
+    from seatunnel_spark.sources.clickhouse import (
+        ClickhouseSink,
+        ClickhouseSource,
+    )
+    from seatunnel_spark.sources.dynamodb import DynamoDbSink, DynamoDbSource
+
+    SINKS["Doris"] = DorisSink
+    SINKS["StarRocks"] = StarRocksSink
+    SOURCES["Clickhouse"] = ClickhouseSource
+    SINKS["Clickhouse"] = ClickhouseSink
+    SOURCES["AmazonDynamodb"] = DynamoDbSource
+    SINKS["AmazonDynamodb"] = DynamoDbSink
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
     from seatunnel_spark.sinks.hive import HiveSink

@@ -87,13 +87,16 @@ class QdrantSource(Source):
         # scroll is cursor-sequential (like SCAN); page fetch runs in one
         # task, decode parallelizes downstream — mirror of the reference's
         # single source reader.
-        one = spark.createDataFrame([(0,)], "i int")
+        one = spark.createDataFrame([(0,)], "i int").coalesce(1)
 
-        def run(_batches):
+        def run(batches):
             import pandas as pd
 
             sch = T.StructType.fromJson(fields_json)
             names = [f.name for f in sch.fields]
+            # only the partition holding the marker row fetches
+            if not any(len(pdf) for pdf in batches):
+                return
             offset = None
             while True:
                 body = {"limit": batch, "with_payload": True,
@@ -194,13 +197,15 @@ class TypesenseSource(Source):
         if query:
             url += f"?filter_by={urllib.request.quote(str(query))}"
 
-        one = spark.createDataFrame([(0,)], "i int")
+        one = spark.createDataFrame([(0,)], "i int").coalesce(1)
 
-        def run(_batches):
+        def run(batches):
             import pandas as pd
 
             sch = T.StructType.fromJson(fields_json)
             names = [f.name for f in sch.fields]
+            if not any(len(pdf) for pdf in batches):
+                return
             req = urllib.request.Request(url, headers=headers)
             with urllib.request.urlopen(req, timeout=120) as resp:
                 lines = resp.read().decode().splitlines()

@@ -363,5 +363,190 @@ def start_mini_sqs(port: int = 0):
     return queues, port, stop
 
 
+# ==========================================================================
+# Stream Load (Doris / StarRocks)
+# ==========================================================================
+
+def start_mini_streamload(port: int = 0):
+    """PUT /api/{db}/{table}/_stream_load with a JSON array body —
+    rows land in state[(db, table)]."""
+    state: dict[tuple, list] = {}
+    lock = threading.RLock()
+
+    class H(_Handler):
+        def do_PUT(self):
+            m = re.match(r"^/api/([^/]+)/([^/]+)/_stream_load$", self.path)
+            if not m:
+                self._reply(404, {"Status": "Fail", "Message": "bad path"})
+                return
+            if "Authorization" not in self.headers:
+                self._reply(401, {"Status": "Fail", "Message": "no auth"})
+                return
+            body = self._body().decode()
+            rows = json.loads(body) if body.strip().startswith("[") else [
+                json.loads(l) for l in body.splitlines() if l.strip()]
+            with lock:
+                state.setdefault((m.group(1), m.group(2)), []).extend(rows)
+            self._reply(200, {"Status": "Success", "TxnId": 1,
+                              "NumberLoadedRows": len(rows),
+                              "Label": self.headers.get("label", "")})
+
+    port, stop = _serve(H, port)
+    return state, port, stop
+
+
+# ==========================================================================
+# DynamoDB (AWS JSON 1.0)
+# ==========================================================================
+
+def start_mini_dynamo(port: int = 0):
+    tables: dict[str, list] = {}  # name -> list of AttributeValue items
+    lock = threading.RLock()
+
+    class H(_Handler):
+        def do_POST(self):
+            target = (self.headers.get("X-Amz-Target") or "").split(".")[-1]
+            body = json.loads(self._body() or b"{}")
+            with lock:
+                if target == "PutItem":
+                    tables.setdefault(body["TableName"], []).append(
+                        body["Item"])
+                    self._reply(200, {})
+                elif target == "BatchWriteItem":
+                    unmatched = {}
+                    for tname, reqs in body.get("RequestItems", {}).items():
+                        for r in reqs:
+                            if "PutRequest" in r:
+                                tables.setdefault(tname, []).append(
+                                    r["PutRequest"]["Item"])
+                    self._reply(200, {"UnprocessedItems": unmatched})
+                elif target == "Scan":
+                    items = tables.get(body["TableName"], [])
+                    seg = body.get("Segment")
+                    total = body.get("TotalSegments")
+                    if total:
+                        items = [it for i, it in enumerate(items)
+                                 if i % total == seg]
+                    start = 0
+                    esk = body.get("ExclusiveStartKey")
+                    if esk:
+                        start = int(esk["__idx"]["N"])
+                    limit = int(body.get("Limit") or len(items) or 1)
+                    page = items[start:start + limit]
+                    out = {"Items": page, "Count": len(page)}
+                    if start + limit < len(items):
+                        out["LastEvaluatedKey"] = {
+                            "__idx": {"N": str(start + limit)}}
+                    self._reply(200, out)
+                else:
+                    self._reply(400, {"__type": "UnknownOperationException"})
+
+    port, stop = _serve(H, port)
+    return tables, port, stop
+
+
+# ==========================================================================
+# ClickHouse HTTP interface
+# ==========================================================================
+
+def start_mini_clickhouse(port: int = 0):
+    tables: dict[tuple, list] = {}  # (db, table) -> list[dict]
+    lock = threading.RLock()
+
+    def norm(name: str, default_db: str) -> tuple:
+        name = name.replace("`", "")
+        if "." in name:
+            db, _, t = name.partition(".")
+            return db, t
+        return default_db, name
+
+    def run_query(q: str, body: bytes, default_db: str):
+        q = q.strip().rstrip(";")
+        fmt = None
+        m = re.search(r"\s+FORMAT\s+(\w+)\s*$", q, re.I)
+        if m:
+            fmt, q = m.group(1), q[:m.start()]
+        ins = re.match(r"INSERT\s+INTO\s+(\S+)", q, re.I)
+        if ins:
+            key = norm(ins.group(1), default_db)
+            rows = [json.loads(l) for l in body.decode().splitlines()
+                    if l.strip()]
+            tables.setdefault(key, []).extend(rows)
+            return b""
+        if re.match(r"CREATE\s+TABLE", q, re.I):
+            name = re.search(r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)",
+                             q, re.I).group(1)
+            tables.setdefault(norm(name, default_db), [])
+            return b""
+        if re.match(r"DROP\s+TABLE", q, re.I):
+            name = q.split()[-1]
+            tables.pop(norm(name, default_db), None)
+            return b""
+        if re.match(r"TRUNCATE\s+TABLE", q, re.I):
+            name = q.split()[-1]
+            tables[norm(name, default_db)] = []
+            return b""
+        if re.match(r"EXISTS\s+TABLE", q, re.I):
+            name = q.split()[-1]
+            return b"1\n" if norm(name, default_db) in tables else b"0\n"
+        if re.match(r"DELETE\s+FROM", q, re.I):
+            dm = re.match(r"DELETE\s+FROM\s+(\S+)\s+WHERE\s+(\S+)\s*=\s*(.+)$",
+                          q, re.I)
+            key = norm(dm.group(1), default_db)
+            col = dm.group(2).replace("`", "")
+            val = dm.group(3).strip().strip("'")
+            rows = tables.get(key, [])
+            tables[key] = [r for r in rows if str(r.get(col)) != val]
+            return b""
+        if re.match(r"SELECT\s+count\(\)\s+FROM", q, re.I):
+            name = q.split()[-1]
+            return f"{len(tables.get(norm(name, default_db), []))}\n".encode()
+        sel = re.match(r"SELECT\s+(.+?)\s+FROM\s+\(?\s*(?:SELECT\s+.+?\s+"
+                       r"FROM\s+)?(\S+?)\)?(\s+LIMIT\s+(\d+))?$", q, re.I)
+        if sel:
+            key = norm(sel.group(2), default_db)
+            rows = list(tables.get(key, []))
+            if sel.group(4) is not None:
+                rows = rows[:int(sel.group(4))]
+            cols = sorted({k for r in rows for k in r}) or ["x"]
+
+            def ch_type(v):
+                if isinstance(v, bool):
+                    return "Bool"
+                if isinstance(v, int):
+                    return "Int64"
+                if isinstance(v, float):
+                    return "Float64"
+                return "String"
+
+            meta = [{"name": c, "type": ch_type(
+                next((r[c] for r in rows if r.get(c) is not None), ""))}
+                for c in cols]
+            return json.dumps({"meta": meta, "data": rows,
+                               "rows": len(rows)}).encode()
+        raise ValueError(f"mini-clickhouse: unsupported query {q!r}")
+
+    class H(_Handler):
+        def _do(self):
+            parts = urllib.parse.urlsplit(self.path)
+            qs = urllib.parse.parse_qs(parts.query)
+            q = qs.get("query", [""])[0]
+            db = qs.get("database", ["default"])[0]
+            with lock:
+                try:
+                    out = run_query(q, self._body(), db)
+                except ValueError as e:
+                    self._reply(400, None, raw=str(e).encode())
+                    return
+            self._reply(200, None, raw=out)
+
+        do_GET = do_POST = _do
+
+    port, stop = _serve(H, port)
+    return tables, port, stop
+
+
 __all__ = ["start_mini_influx", "start_mini_qdrant",
-           "start_mini_typesense", "start_mini_sqs", "MiniInflux"]
+           "start_mini_typesense", "start_mini_sqs", "MiniInflux",
+           "start_mini_streamload", "start_mini_dynamo",
+           "start_mini_clickhouse"]

@@ -129,9 +129,10 @@ def test_qdrant_roundtrip(spark):
             "batch_size": 6,
             "schema": {"fields": {"id": "int", "vector": "array<float>",
                                   "doc": "string"}}})
-        out = src.read(spark)
+        collected = src.read(spark).collect()
+        assert len(collected) == 25  # no per-partition duplication
         rows = {r["id"]: (r["doc"], [round(x) for x in r["vector"]])
-                for r in out.collect()}
+                for r in collected}
         assert len(rows) == 25 and rows[3] == ("d3", [3, 4])
     finally:
         stop()
