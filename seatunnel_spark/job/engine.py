@@ -70,6 +70,17 @@ class JobEngine:
             if tid:
                 self._table_ids[blk.output] = tid.split(".")[-1]
             df = src.read_stream(self.spark) if streaming else src.read(self.spark)
+            # env.parallelism (the reference's job-wide setting): bound
+            # source partitioning. parallelism=1 additionally preserves
+            # changelog ROW ORDER end-to-end — the reference's
+            # single-writer semantics that keyed sinks (Redis DEL-after-
+            # SET, ES delete-after-upsert) depend on.
+            par = spec.env.get("parallelism")
+            if par and not streaming:
+                if isinstance(df, dict):
+                    df = {k: v.coalesce(int(par)) for k, v in df.items()}
+                elif not df.isStreaming:
+                    df = df.coalesce(int(par))
             if isinstance(df, dict):
                 # Multi-table source: remember the per-table group so
                 # transforms can run per table (the reference's

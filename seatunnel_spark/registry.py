@@ -29,9 +29,7 @@ _GATED_SOURCES = {
     "IoTDB": "iotdb-spark-connector",
     "TDengine": "JDBC dialect (taos-jdbcdriver)",
     "OpenMldb": "openmldb JDBC",
-    "Neo4j": "neo4j-spark-connector",
     "Tablestore": "emr tablestore connector",
-    "Milvus": "REST/SDK reader -> ArrayType(FloatType) vector column",
     "Pulsar": "pulsar-spark-connector (format 'pulsar')",
     "RabbitMQ": "no native connector; bridge to Kafka or mapInPandas consumer",
     "Rocketmq": "rocketmq-spark (format 'org.apache.rocketmq.spark')",
@@ -46,12 +44,10 @@ _GATED_SINKS = {
     "Kudu": "kudu-spark",
     "Cassandra": "spark-cassandra-connector", "Hbase": "hbase-spark bulk put",
     "IoTDB": "iotdb session in foreachPartition",
-    "Neo4j": "neo4j-spark-connector",
     "Tablestore": "tablestore SDK", "GoogleFirestore": "firestore SDK",
     "SelectDBCloud": "copy-into via object store", "S3Redshift": "UNLOAD/COPY via S3",
     "Maxcompute": "odps tunnel", "TDengine": "taos JDBC", "Druid": "kafka ingestion spec",
     "DataHub": "datahub SDK", "Sentry": "sentry SDK event post",
-    "Milvus": "milvus SDK insert", 
     "Pulsar": "pulsar-spark", "RabbitMQ": "foreachPartition pika publish",
     "Rocketmq": "rocketmq producer", 
     "Sls": "aliyun log producer", "ActiveMQ": "stomp/jms producer",
@@ -152,6 +148,17 @@ def register_all() -> None:
     SINKS["Clickhouse"] = ClickhouseSink
     SOURCES["AmazonDynamodb"] = DynamoDbSource
     SINKS["AmazonDynamodb"] = DynamoDbSink
+    from seatunnel_spark.sources.graph_vector import (
+        MilvusSink,
+        MilvusSource,
+        Neo4jSink,
+        Neo4jSource,
+    )
+
+    SOURCES["Milvus"] = MilvusSource
+    SINKS["Milvus"] = MilvusSink
+    SOURCES["Neo4j"] = Neo4jSource
+    SINKS["Neo4j"] = Neo4jSink
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
     from seatunnel_spark.sinks.hive import HiveSink

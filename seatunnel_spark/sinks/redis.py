@@ -63,8 +63,15 @@ class RedisSink(Sink):
                 sub.input_name = tid
                 sub.write(tdf)
             return
+        from seatunnel_spark.net import apply_host_aliases
+
+        # resolve aliases on the DRIVER; the closure ships the endpoint
+        resolved = apply_host_aliases(
+            f"tcp://{self.require('host')}:{int(self.require('port'))}")
+        hostpart = resolved.split("://", 1)[1]
+        host, _, port = hostpart.rpartition(":")
         conn = {
-            "host": self.require("host"), "port": int(self.require("port")),
+            "host": host, "port": int(port),
             "auth": self.opt("auth"), "user": self.opt("user"),
             "db_num": int(self.opt("db_num", 0)),
         }

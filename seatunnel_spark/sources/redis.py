@@ -128,8 +128,14 @@ class RedisSource(Source):
     NAME = "Redis"
 
     def _conn_opts(self) -> dict:
+        # aliases resolve on the DRIVER — executor workers are long-lived
+        # and don't see late env changes (see net.py)
+        resolved = apply_host_aliases(
+            f"tcp://{self.require('host')}:{int(self.require('port'))}")
+        hostpart = resolved.split("://", 1)[1]
+        host, _, port = hostpart.rpartition(":")
         return {
-            "host": self.require("host"), "port": int(self.require("port")),
+            "host": host, "port": int(port),
             "auth": self.opt("auth"), "user": self.opt("user"),
             "db_num": int(self.opt("db_num", 0)),
         }

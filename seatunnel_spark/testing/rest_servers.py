@@ -546,7 +546,107 @@ def start_mini_clickhouse(port: int = 0):
     return tables, port, stop
 
 
+# ==========================================================================
+# Milvus (REST v2)
+# ==========================================================================
+
+def start_mini_milvus(port: int = 0):
+    state: dict[tuple, dict] = {}  # (db, coll) -> {id: entity}
+    counter = itertools.count()
+    lock = threading.RLock()
+
+    class H(_Handler):
+        def do_POST(self):
+            body = json.loads(self._body() or b"{}")
+            db = body.get("dbName", "default")
+            coll = body.get("collectionName")
+            with lock:
+                if self.path.endswith("/entities/insert") or \
+                        self.path.endswith("/entities/upsert"):
+                    c = state.setdefault((db, coll), {})
+                    for e in body.get("data", []):
+                        eid = e.get("id", next(counter))
+                        c[eid] = e
+                    self._reply(200, {"code": 0,
+                                      "data": {"insertCount":
+                                               len(body.get("data", []))}})
+                elif self.path.endswith("/entities/query"):
+                    c = state.get((db, coll), {})
+                    ids = sorted(c, key=lambda x: (str(type(x)), str(x)))
+                    off = int(body.get("offset", 0))
+                    lim = int(body.get("limit", 100))
+                    page = [c[i] for i in ids[off:off + lim]]
+                    self._reply(200, {"code": 0, "data": page})
+                else:
+                    self._reply(404, {"code": 404})
+
+    port, stop = _serve(H, port)
+    return state, port, stop
+
+
+# ==========================================================================
+# Neo4j (HTTP transactional Cypher — canned subset)
+# ==========================================================================
+
+def start_mini_neo4j(port: int = 0):
+    """Executes two Cypher shapes the connector tests use:
+    'UNWIND $batch AS row CREATE/MERGE (n:Label) SET n = row' writes and
+    'MATCH (n:Label) RETURN n.a AS a, ...' reads. Enough to drive the
+    wire path; not a graph engine."""
+    state: dict[str, list[dict]] = {}  # label -> node properties
+    lock = threading.RLock()
+
+    def run_statement(stmt: str, params: dict) -> dict:
+        m = re.search(r"(?:CREATE|MERGE)\s*\(\s*\w*:(\w+)", stmt, re.I)
+        if m and "$batch" in stmt:
+            with lock:
+                state.setdefault(m.group(1), []).extend(
+                    params.get("batch", []))
+            return {"columns": [], "data": []}
+        if m:  # one-by-one: properties from $params
+            with lock:
+                state.setdefault(m.group(1), []).append(dict(params))
+            return {"columns": [], "data": []}
+        m = re.search(r"MATCH\s*\(\s*(\w+):(\w+)\s*\)\s*RETURN\s+(.+)$",
+                      stmt, re.I | re.S)
+        if m:
+            var, label, ret = m.groups()
+            outs = []
+            for item in ret.split(","):
+                item = item.strip()
+                am = re.match(rf"{var}\.(\w+)(?:\s+AS\s+(\w+))?$", item,
+                              re.I)
+                if am:
+                    outs.append((am.group(1), am.group(2) or am.group(1)))
+            with lock:
+                nodes = list(state.get(label, []))
+            return {"columns": [alias for _, alias in outs],
+                    "data": [{"row": [n.get(prop) for prop, _ in outs]}
+                             for n in nodes]}
+        raise ValueError(f"mini-neo4j: unsupported cypher {stmt!r}")
+
+    class H(_Handler):
+        def do_POST(self):
+            if not re.match(r"^/db/[^/]+/tx/commit$", self.path):
+                self._reply(404, {"errors": [{"message": "bad path"}]})
+                return
+            body = json.loads(self._body() or b"{}")
+            results, errors = [], []
+            for s in body.get("statements", []):
+                try:
+                    results.append(run_statement(
+                        s.get("statement", ""), s.get("parameters") or {}))
+                except ValueError as e:
+                    errors.append({"code": "Neo.ClientError",
+                                   "message": str(e)})
+            self._reply(200, {"results": results, "errors": errors})
+
+    port, stop = _serve(H, port)
+    return state, port, stop
+
+
 __all__ = ["start_mini_influx", "start_mini_qdrant",
            "start_mini_typesense", "start_mini_sqs", "MiniInflux",
            "start_mini_streamload", "start_mini_dynamo",
-           "start_mini_clickhouse"]
+           "start_mini_clickhouse", "start_mini_milvus",
+           "start_mini_neo4j"]

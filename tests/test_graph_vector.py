@@ -1,0 +1,92 @@
+"""Milvus (REST v2) and Neo4j (HTTP Cypher) connectors against mini
+servers."""
+
+from pyspark.sql import types as T
+
+from seatunnel_spark.testing.rest_servers import (
+    start_mini_milvus,
+    start_mini_neo4j,
+)
+
+
+def test_milvus_roundtrip(spark):
+    from seatunnel_spark.sources.graph_vector import MilvusSink, MilvusSource
+
+    state, port, stop = start_mini_milvus()
+    try:
+        url = f"http://127.0.0.1:{port}"
+        df = spark.createDataFrame(
+            [(i, [float(i), float(i) + 0.5], f"d{i}") for i in range(30)],
+            "id int, vector array<float>, title string")
+        MilvusSink({"url": url, "collection": "c1", "token": "root:Milvus",
+                    "batch_size": 8}).write(df)
+        assert len(state[("default", "c1")]) == 30
+        src = MilvusSource({
+            "url": url, "collection": "c1", "batch_size": 7,
+            "schema": {"fields": {"id": "int", "vector": "array<float>",
+                                  "title": "string"}}})
+        rows = src.read(spark).collect()
+        assert len(rows) == 30
+        got = {r["id"]: r["title"] for r in rows}
+        assert got[4] == "d4"
+    finally:
+        stop()
+
+
+def test_milvus_upsert_mode(spark):
+    from seatunnel_spark.sources.graph_vector import MilvusSink
+
+    state, port, stop = start_mini_milvus()
+    try:
+        url = f"http://127.0.0.1:{port}"
+        df = spark.createDataFrame([(1, "a"), (1, "b")], "id int, v string") \
+            .coalesce(1)
+        MilvusSink({"url": url, "collection": "up",
+                    "enable_upsert": True}).write(df)
+        assert len(state[("default", "up")]) == 1  # keyed upsert
+    finally:
+        stop()
+
+
+def test_neo4j_write_and_read(spark):
+    from seatunnel_spark.sources.graph_vector import Neo4jSink, Neo4jSource
+
+    state, port, stop = start_mini_neo4j()
+    try:
+        uri = f"http://127.0.0.1:{port}"
+        df = spark.createDataFrame(
+            [(i, f"p{i}", 20 + i) for i in range(40)],
+            "id int, name string, age int")
+        Neo4jSink({"uri": uri, "username": "neo4j", "password": "x",
+                   "query": ("UNWIND $batch AS row CREATE (n:Person) "
+                             "SET n = row"),
+                   "max_batch_size": 16}).write(df)
+        assert len(state["Person"]) == 40
+        src = Neo4jSource({
+            "uri": uri, "username": "neo4j", "password": "x",
+            "query": "MATCH (n:Person) RETURN n.id AS id, n.name AS name",
+            "schema": {"fields": {"id": "int", "name": "string"}}})
+        rows = src.read(spark).collect()
+        assert sorted(r["id"] for r in rows) == list(range(40))
+    finally:
+        stop()
+
+
+def test_neo4j_bolt_uri_maps_to_http(spark):
+    from seatunnel_spark.sources.graph_vector import _neo4j_base
+
+    assert _neo4j_base("bolt://neo4j-host:7687") == "http://neo4j-host:7474"
+    assert _neo4j_base("http://x:7474/") == "http://x:7474"
+
+
+def test_neo4j_one_by_one_mode(spark):
+    from seatunnel_spark.sources.graph_vector import Neo4jSink
+
+    state, port, stop = start_mini_neo4j()
+    try:
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+        Neo4jSink({"uri": f"http://127.0.0.1:{port}",
+                   "query": "CREATE (n:Item {id: $id, v: $v})"}).write(df)
+        assert sorted(n["id"] for n in state["Item"]) == [1, 2]
+    finally:
+        stop()
