@@ -860,6 +860,18 @@ def lake_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profiling over orders (dataops/profile.py): one
+    aggregation pass computes every column's null rate / distinct /
+    min/max / mean / stddev, then a Catalyst unpivot — the data-quality
+    gate a training pipeline runs between stages."""
+    from seatunnel_spark.dataops.profile import profile_table
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    return profile_table(o, round_to=2)
+
+
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary column -> mapInPandas decode (stub
     codec, deterministic sha256 — so DuckDB can replay the metadata as
@@ -946,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_table_merge": t_table_merge,
         "t_sql_functions": t_sql_functions,
         "t_zeta_datetime": t_zeta_datetime,
+        "data_profile": data_profile,
         "dedup_exact": dedup_exact,
         "dedup_fingerprint": dedup_fingerprint,
         "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -1033,6 +1046,54 @@ def oracle_sql() -> dict[str, str]:
       )
     """
     return {
+        # one SELECT per profiled column; strings profile their lengths
+        "data_profile": """
+            SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+                   count(*) - count(o_orderkey) AS n_null,
+                   round((count(*) - count(o_orderkey)) * 1.0 / count(*), 2)
+                     AS null_rate,
+                   count(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+                   CAST(max(o_orderkey) AS VARCHAR) AS max_s,
+                   round(avg(CAST(o_orderkey AS DOUBLE)), 2) AS mean,
+                   round(stddev_samp(CAST(o_orderkey AS DOUBLE)), 2) AS stddev
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*),
+                   count(*) - count(o_orderstatus),
+                   round((count(*) - count(o_orderstatus)) * 1.0
+                         / count(*), 2),
+                   count(DISTINCT o_orderstatus),
+                   CAST(min(o_orderstatus) AS VARCHAR),
+                   CAST(max(o_orderstatus) AS VARCHAR),
+                   round(avg(CAST(length(o_orderstatus) AS DOUBLE)), 2),
+                   round(stddev_samp(CAST(length(o_orderstatus) AS DOUBLE)),
+                         2)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*),
+                   count(*) - count(o_totalprice),
+                   round((count(*) - count(o_totalprice)) * 1.0
+                         / count(*), 2),
+                   count(DISTINCT o_totalprice),
+                   CAST(min(o_totalprice) AS VARCHAR),
+                   CAST(max(o_totalprice) AS VARCHAR),
+                   round(avg(CAST(o_totalprice AS DOUBLE)), 2),
+                   round(stddev_samp(CAST(o_totalprice AS DOUBLE)), 2)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*),
+                   count(*) - count(o_orderpriority),
+                   round((count(*) - count(o_orderpriority)) * 1.0
+                         / count(*), 2),
+                   count(DISTINCT o_orderpriority),
+                   CAST(min(o_orderpriority) AS VARCHAR),
+                   CAST(max(o_orderpriority) AS VARCHAR),
+                   round(avg(CAST(length(o_orderpriority) AS DOUBLE)), 2),
+                   round(stddev_samp(CAST(length(o_orderpriority)
+                                          AS DOUBLE)), 2)
+            FROM orders
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                                   AS sum_qty,

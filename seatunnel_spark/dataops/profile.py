@@ -1,0 +1,72 @@
+"""Table profiling — the data-quality pass a training pipeline runs
+before/after every transformation: per-column null rate, distinct
+count, min/max, mean/stddev for numerics, length stats for strings.
+
+Scale design: ONE aggregation pass over the table computes every
+column's stats together (a single job, map-side combined — no
+per-column scans); the narrow unpivot to one-row-per-column happens on
+the already-tiny aggregate. Exact distinct counts shuffle per column —
+pass approx=True at 100 TB to switch to HLL approx_count_distinct
+(1 pass, no shuffle explosion), which is what you want when profiling
+petabyte corpora; exact mode is the correctness baseline the DuckDB
+oracle replays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None,
+                  approx: bool = False, round_to: int = 4) -> DataFrame:
+    """One row per column: (column, n_rows, n_null, null_rate,
+    n_distinct, min_s, max_s, mean, stddev) — numerics profile their
+    values; strings profile their lengths; min/max stringified for a
+    uniform schema."""
+    cols = columns or [f.name for f in df.schema.fields]
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        dt = by_name[c]
+        col = F.col(c)
+        aggs.append(F.count(F.when(col.isNull(), 1)).alias(f"nn_{c}"))
+        if approx:
+            aggs.append(F.approx_count_distinct(col).alias(f"nd_{c}"))
+        else:
+            aggs.append(F.count_distinct(col).alias(f"nd_{c}"))
+        aggs.append(F.min(col).cast("string").alias(f"mn_{c}"))
+        aggs.append(F.max(col).cast("string").alias(f"mx_{c}"))
+        if isinstance(dt, _NUMERIC):
+            num = col.cast("double")
+        elif isinstance(dt, T.StringType):
+            num = F.length(col).cast("double")
+        else:
+            num = F.lit(None).cast("double")
+        aggs.append(F.avg(num).alias(f"avg_{c}"))
+        aggs.append(F.stddev_samp(num).alias(f"sd_{c}"))
+    row = df.agg(*aggs)
+    # unpivot the single aggregate row into (column, stats) rows —
+    # pure Catalyst (stack), no driver collect
+    parts = []
+    for c in cols:
+        parts.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"nn_{c}").alias("n_null"),
+                F.round(F.col(f"nn_{c}") / F.col("__n"), round_to)
+                .alias("null_rate"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_s"),
+                F.col(f"mx_{c}").alias("max_s"),
+                F.round(F.col(f"avg_{c}"), round_to).alias("mean"),
+                F.round(F.col(f"sd_{c}"), round_to).alias("stddev"),
+            )
+        )
+    return row.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
+
+
+__all__ = ["profile_table"]

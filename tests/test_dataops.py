@@ -318,3 +318,19 @@ def test_simhash_multiindex_blocking_is_exact(spark):
                simhash_near_dups(df, "doc_id", "text", max_hamming=3,
                                  blocks=blocks).collect()}
         assert got == brute, f"blocks={blocks}"
+
+
+def test_profile_table(spark):
+    from seatunnel_spark.dataops.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "aa", 1.0), (2, None, 3.0), (3, "bbb", None), (3, "aa", 4.0)],
+        "id int, s string, x double")
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["id"]["n_rows"] == 4 and prof["id"]["n_distinct"] == 3
+    assert prof["s"]["n_null"] == 1 and prof["s"]["null_rate"] == 0.25
+    assert prof["s"]["min_s"] == "aa" and prof["s"]["max_s"] == "bbb"
+    assert prof["x"]["mean"] == round((1 + 3 + 4) / 3, 4)
+    # approx mode still one pass, HLL distinct within tolerance
+    ap = {r["column"]: r for r in profile_table(df, approx=True).collect()}
+    assert abs(ap["id"]["n_distinct"] - 3) <= 1
