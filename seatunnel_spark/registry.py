@@ -26,7 +26,6 @@ _GATED_SOURCES = {
     "Cassandra": "spark-cassandra-connector (format 'org.apache.spark.sql.cassandra')",
     "Kudu": "kudu-spark (format 'kudu')",
     "Maxcompute": "odps-spark-datasource",
-    "IoTDB": "iotdb-spark-connector",
     "TDengine": "JDBC dialect (taos-jdbcdriver)",
     "OpenMldb": "openmldb JDBC",
     "Tablestore": "emr tablestore connector",
@@ -43,7 +42,6 @@ _GATED_SINKS = {
     "ClickhouseFile": "write parquet/orc then clickhouse-client import",
     "Kudu": "kudu-spark",
     "Cassandra": "spark-cassandra-connector", "Hbase": "hbase-spark bulk put",
-    "IoTDB": "iotdb session in foreachPartition",
     "Tablestore": "tablestore SDK", "GoogleFirestore": "firestore SDK",
     "SelectDBCloud": "copy-into via object store", "S3Redshift": "UNLOAD/COPY via S3",
     "Maxcompute": "odps tunnel", "TDengine": "taos JDBC", "Druid": "kafka ingestion spec",
@@ -159,6 +157,10 @@ def register_all() -> None:
     SINKS["Milvus"] = MilvusSink
     SOURCES["Neo4j"] = Neo4jSource
     SINKS["Neo4j"] = Neo4jSink
+    from seatunnel_spark.sources.iotdb import IoTDbSink, IoTDbSource
+
+    SOURCES["IoTDB"] = IoTDbSource
+    SINKS["IoTDB"] = IoTDbSink
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
     from seatunnel_spark.sinks.hive import HiveSink

@@ -645,8 +645,69 @@ def start_mini_neo4j(port: int = 0):
     return state, port, stop
 
 
+# ==========================================================================
+# IoTDB (REST API v2)
+# ==========================================================================
+
+def start_mini_iotdb(port: int = 0):
+    """insertTablet writes + a SELECT <measurements|*> FROM <device>
+    query subset over stored (device, time, measurement) points."""
+    devices: dict[str, dict] = {}  # device -> {time: {measurement: value}}
+    lock = threading.RLock()
+
+    class H(_Handler):
+        def do_POST(self):
+            body = json.loads(self._body() or b"{}")
+            if self.path == "/rest/v2/insertTablet":
+                with lock:
+                    dev = devices.setdefault(body["device"], {})
+                    ms = body["measurements"]
+                    for i, ts in enumerate(body["timestamps"]):
+                        row = dev.setdefault(int(ts), {})
+                        for j, m in enumerate(ms):
+                            row[m] = body["values"][j][i]
+                self._reply(200, {"code": 200, "message": "ok"})
+                return
+            if self.path == "/rest/v2/query":
+                sql = body.get("sql", "")
+                m = re.match(
+                    r"SELECT\s+(.+?)\s+FROM\s+(\S+?)"
+                    r"(?:\s+WHERE\s+(.*?))?$", sql.strip(), re.I)
+                if not m:
+                    self._reply(400, {"code": 400, "message": "bad sql"})
+                    return
+                cols_s, device, where = m.groups()
+                with lock:
+                    dev = dict(devices.get(device, {}))
+                lo = hi = None
+                for cond in re.split(r"\s+AND\s+", where or "", flags=re.I):
+                    cm = re.match(r"time\s*(>=|<)\s*(\d+)", cond.strip())
+                    if cm and cm.group(1) == ">=":
+                        lo = int(cm.group(2))
+                    elif cm:
+                        hi = int(cm.group(2))
+                times = sorted(t for t in dev
+                               if (lo is None or t >= lo)
+                               and (hi is None or t < hi))
+                if cols_s.strip() == "*":
+                    cols = sorted({m for t in times for m in dev[t]})
+                else:
+                    cols = [c.strip() for c in cols_s.split(",")]
+                self._reply(200, {
+                    "expressions": [f"{device}.{c}" for c in cols],
+                    "column_names": None,
+                    "timestamps": times,
+                    "values": [[dev[t].get(c) for t in times]
+                               for c in cols]})
+                return
+            self._reply(404, {"code": 404})
+
+    port, stop = _serve(H, port)
+    return devices, port, stop
+
+
 __all__ = ["start_mini_influx", "start_mini_qdrant",
            "start_mini_typesense", "start_mini_sqs", "MiniInflux",
            "start_mini_streamload", "start_mini_dynamo",
            "start_mini_clickhouse", "start_mini_milvus",
-           "start_mini_neo4j"]
+           "start_mini_neo4j", "start_mini_iotdb"]
