@@ -26,7 +26,6 @@ _GATED_SOURCES = {
     "Cassandra": "spark-cassandra-connector (format 'org.apache.spark.sql.cassandra')",
     "Kudu": "kudu-spark (format 'kudu')",
     "Maxcompute": "odps-spark-datasource",
-    "TDengine": "JDBC dialect (taos-jdbcdriver)",
     "OpenMldb": "openmldb JDBC",
     "Tablestore": "emr tablestore connector",
     "Pulsar": "pulsar-spark-connector (format 'pulsar')",
@@ -44,12 +43,11 @@ _GATED_SINKS = {
     "Cassandra": "spark-cassandra-connector", "Hbase": "hbase-spark bulk put",
     "Tablestore": "tablestore SDK", "GoogleFirestore": "firestore SDK",
     "SelectDBCloud": "copy-into via object store", "S3Redshift": "UNLOAD/COPY via S3",
-    "Maxcompute": "odps tunnel", "TDengine": "taos JDBC", "Druid": "kafka ingestion spec",
+    "Maxcompute": "odps tunnel", "Druid": "kafka ingestion spec",
     "DataHub": "datahub SDK", "Sentry": "sentry SDK event post",
     "Pulsar": "pulsar-spark", "RabbitMQ": "foreachPartition pika publish",
     "Rocketmq": "rocketmq producer", 
-    "Sls": "aliyun log producer", "ActiveMQ": "stomp/jms producer",
-    "Prometheus": "remote-write protobuf",
+    "Sls": "aliyun log producer",
     "Hive": None,  # implemented natively below
     "Kafka": None,  # implemented natively below
 }
@@ -161,6 +159,14 @@ def register_all() -> None:
 
     SOURCES["IoTDB"] = IoTDbSource
     SINKS["IoTDB"] = IoTDbSink
+    from seatunnel_spark.sinks.prometheus import PrometheusSink
+    from seatunnel_spark.sinks.stomp import ActiveMqSink
+    from seatunnel_spark.sources.tdengine import TDengineSink, TDengineSource
+
+    SOURCES["TDengine"] = TDengineSource
+    SINKS["TDengine"] = TDengineSink
+    SINKS["ActiveMQ"] = ActiveMqSink
+    SINKS["Prometheus"] = PrometheusSink
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
     from seatunnel_spark.sinks.hive import HiveSink
