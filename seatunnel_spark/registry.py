@@ -29,7 +29,6 @@ _GATED_SOURCES = {
     "OpenMldb": "openmldb JDBC",
     "Tablestore": "emr tablestore connector",
     "Pulsar": "pulsar-spark-connector (format 'pulsar')",
-    "RabbitMQ": "no native connector; bridge to Kafka or mapInPandas consumer",
     "Rocketmq": "rocketmq-spark (format 'org.apache.rocketmq.spark')",
     "Sls": "aliyun emr-logservice connector",
     "MyHours": "HttpSource wrapper (paginated REST)",
@@ -45,7 +44,7 @@ _GATED_SINKS = {
     "SelectDBCloud": "copy-into via object store", "S3Redshift": "UNLOAD/COPY via S3",
     "Maxcompute": "odps tunnel", "Druid": "kafka ingestion spec",
     "DataHub": "datahub SDK", "Sentry": "sentry SDK event post",
-    "Pulsar": "pulsar-spark", "RabbitMQ": "foreachPartition pika publish",
+    "Pulsar": "pulsar-spark",
     "Rocketmq": "rocketmq producer", 
     "Sls": "aliyun log producer",
     "Hive": None,  # implemented natively below
@@ -167,6 +166,10 @@ def register_all() -> None:
     SINKS["TDengine"] = TDengineSink
     SINKS["ActiveMQ"] = ActiveMqSink
     SINKS["Prometheus"] = PrometheusSink
+    from seatunnel_spark.sources.rabbitmq import RabbitMqSink, RabbitMqSource
+
+    SOURCES["RabbitMQ"] = RabbitMqSource
+    SINKS["RabbitMQ"] = RabbitMqSink
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
     from seatunnel_spark.sinks.hive import HiveSink
