@@ -23,7 +23,6 @@ from seatunnel_spark.sinks.kafka import KafkaSink, WebhookSink
 # backend name -> (kind, spark strategy note)
 _GATED_SOURCES = {
     "Hbase": "hbase-spark connector",
-    "Cassandra": "spark-cassandra-connector (format 'org.apache.spark.sql.cassandra')",
     "Kudu": "kudu-spark (format 'kudu')",
     "Maxcompute": "odps-spark-datasource",
     "OpenMldb": "openmldb JDBC",
@@ -39,7 +38,7 @@ _GATED_SOURCES = {
 _GATED_SINKS = {
     "ClickhouseFile": "write parquet/orc then clickhouse-client import",
     "Kudu": "kudu-spark",
-    "Cassandra": "spark-cassandra-connector", "Hbase": "hbase-spark bulk put",
+    "Hbase": "hbase-spark bulk put",
     "Tablestore": "tablestore SDK", "GoogleFirestore": "firestore SDK",
     "SelectDBCloud": "copy-into via object store", "S3Redshift": "UNLOAD/COPY via S3",
     "Maxcompute": "odps tunnel", "Druid": "kafka ingestion spec",
@@ -170,6 +169,10 @@ def register_all() -> None:
 
     SOURCES["RabbitMQ"] = RabbitMqSource
     SINKS["RabbitMQ"] = RabbitMqSink
+    from seatunnel_spark.sources.cassandra import CassandraSink, CassandraSource
+
+    SOURCES["Cassandra"] = CassandraSource
+    SINKS["Cassandra"] = CassandraSink
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
     from seatunnel_spark.sinks.hive import HiveSink
