@@ -38,11 +38,10 @@ _GATED_SOURCES = {
 _GATED_SINKS = {
     "ClickhouseFile": "write parquet/orc then clickhouse-client import",
     "Kudu": "kudu-spark",
-    "Hbase": "hbase-spark bulk put",
     "Tablestore": "tablestore SDK", "GoogleFirestore": "firestore SDK",
     "SelectDBCloud": "copy-into via object store", "S3Redshift": "UNLOAD/COPY via S3",
-    "Maxcompute": "odps tunnel", "Druid": "kafka ingestion spec",
-    "DataHub": "datahub SDK", "Sentry": "sentry SDK event post",
+    "Maxcompute": "odps tunnel",
+    "Sentry": "sentry SDK event post",
     "Pulsar": "pulsar-spark",
     "Rocketmq": "rocketmq producer", 
     "Sls": "aliyun log producer",
@@ -173,6 +172,15 @@ def register_all() -> None:
 
     SOURCES["Cassandra"] = CassandraSource
     SINKS["Cassandra"] = CassandraSink
+    from seatunnel_spark.sinks.misc_sinks import (
+        DataHubSink,
+        DruidSink,
+        HbaseRestSink,
+    )
+
+    SINKS["Druid"] = DruidSink
+    SINKS["DataHub"] = DataHubSink
+    SINKS["Hbase"] = HbaseRestSink
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
     from seatunnel_spark.sinks.hive import HiveSink
