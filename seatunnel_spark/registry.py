@@ -22,10 +22,8 @@ from seatunnel_spark.sinks.kafka import KafkaSink, WebhookSink
 
 # backend name -> (kind, spark strategy note)
 _GATED_SOURCES = {
-    "Hbase": "hbase-spark connector",
     "Kudu": "kudu-spark (format 'kudu')",
     "Maxcompute": "odps-spark-datasource",
-    "OpenMldb": "openmldb JDBC",
     "Tablestore": "emr tablestore connector",
     "Pulsar": "pulsar-spark-connector (format 'pulsar')",
     "Rocketmq": "rocketmq-spark (format 'org.apache.rocketmq.spark')",
@@ -181,6 +179,13 @@ def register_all() -> None:
     SINKS["Druid"] = DruidSink
     SINKS["DataHub"] = DataHubSink
     SINKS["Hbase"] = HbaseRestSink
+    from seatunnel_spark.sources.hbase_openmldb import (
+        HbaseRestSource,
+        OpenMldbSource,
+    )
+
+    SOURCES["Hbase"] = HbaseRestSource
+    SOURCES["OpenMldb"] = OpenMldbSource
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
     from seatunnel_spark.sinks.hive import HiveSink
