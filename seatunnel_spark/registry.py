@@ -26,7 +26,6 @@ _GATED_SOURCES = {
     "Maxcompute": "odps-spark-datasource",
     "Tablestore": "emr tablestore connector",
     "Pulsar": "pulsar-spark-connector (format 'pulsar')",
-    "Rocketmq": "rocketmq-spark (format 'org.apache.rocketmq.spark')",
     "Sls": "aliyun emr-logservice connector",
     "MyHours": "HttpSource wrapper (paginated REST)",
     "Doris": "FE REST plan + BE thrift/arrow reads (doris-spark-connector); JDBC (mysql protocol) as fallback",
@@ -41,7 +40,6 @@ _GATED_SINKS = {
     "Maxcompute": "odps tunnel",
     "Sentry": "sentry SDK event post",
     "Pulsar": "pulsar-spark",
-    "Rocketmq": "rocketmq producer", 
     "Sls": "aliyun log producer",
     "Hive": None,  # implemented natively below
     "Kafka": None,  # implemented natively below
@@ -186,6 +184,10 @@ def register_all() -> None:
 
     SOURCES["Hbase"] = HbaseRestSource
     SOURCES["OpenMldb"] = OpenMldbSource
+    from seatunnel_spark.sources.rocketmq import RocketMqSink, RocketMqSource
+
+    SOURCES["Rocketmq"] = RocketMqSource
+    SINKS["Rocketmq"] = RocketMqSink
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
     from seatunnel_spark.sinks.hive import HiveSink
