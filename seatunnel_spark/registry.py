@@ -25,9 +25,7 @@ _GATED_SOURCES = {
     "Kudu": "kudu-spark (format 'kudu')",
     "Maxcompute": "odps-spark-datasource",
     "Tablestore": "emr tablestore connector",
-    "Pulsar": "pulsar-spark-connector (format 'pulsar')",
     "Sls": "aliyun emr-logservice connector",
-    "MyHours": "HttpSource wrapper (paginated REST)",
     "Doris": "FE REST plan + BE thrift/arrow reads (doris-spark-connector); JDBC (mysql protocol) as fallback",
     "StarRocks": "starrocks-spark-connector or JDBC (mysql protocol)",
 }
@@ -39,7 +37,6 @@ _GATED_SINKS = {
     "SelectDBCloud": "copy-into via object store", "S3Redshift": "UNLOAD/COPY via S3",
     "Maxcompute": "odps tunnel",
     "Sentry": "sentry SDK event post",
-    "Pulsar": "pulsar-spark",
     "Sls": "aliyun log producer",
     "Hive": None,  # implemented natively below
     "Kafka": None,  # implemented natively below
@@ -188,6 +185,12 @@ def register_all() -> None:
 
     SOURCES["Rocketmq"] = RocketMqSource
     SINKS["Rocketmq"] = RocketMqSink
+    # Pulsar: binary wire protocol (pulsar_wire.py) — partition splits
+    # fan out across executors; streaming via the Python DataSource.
+    from seatunnel_spark.sources.pulsar import PulsarSink, PulsarSource
+
+    SOURCES["Pulsar"] = PulsarSource
+    SINKS["Pulsar"] = PulsarSink
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
     from seatunnel_spark.sinks.hive import HiveSink

@@ -128,7 +128,25 @@ class HttpSource(Source):
         def basic(user, pwd):
             return "Basic " + base64.b64encode(f"{user}:{pwd}".encode()).decode()
 
-        if name == "github" and self.opt("access_token"):
+        if name == "myhours":
+            # MyHoursSource.getAccessToken (connector-http-myhours/
+            # MyHoursSource.java:85-111): POST the login endpoint with
+            # {grantType: password, email, password, clientId: api},
+            # read `accessToken`, send it as a Bearer header.
+            login_url = apply_host_aliases(self.opt(
+                "_login_url", "https://api2.myhours.com/api/tokens/login"))
+            reply = json.loads(_fetch_one(
+                login_url, "POST", {"Content-Type": "application/json"},
+                None, {"grantType": "password",
+                       "email": self.require("email"),
+                       "password": self.require("password"),
+                       "clientId": "api"}))
+            token = reply.get("accessToken")
+            if not token:
+                raise RuntimeError(f"MyHours login returned no accessToken: "
+                                   f"{reply}")
+            h["Authorization"] = f"Bearer {token}"
+        elif name == "github" and self.opt("access_token"):
             # GithubSourceParameter.java:34-52 (Bearer)
             h["Authorization"] = f"Bearer {self.opt('access_token')}"
         elif name == "gitlab" and self.opt("access_token"):

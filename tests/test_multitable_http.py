@@ -89,3 +89,42 @@ def test_multi_table_job_through_engine(spark, sf_dir, tmp_path):
     assert out.count() == 50  # both branches merged
     assert {r[TABLE_ID_COL] for r in out.select(TABLE_ID_COL).distinct().collect()} \
         == {"db.all_nations"}
+
+
+def test_myhours_login_then_fetch(spark):
+    """MyHours wrapper: POST login -> accessToken -> Bearer on data GET
+    (MyHoursSource.java:85-111)."""
+    import json as _json
+
+    from seatunnel_spark.sources import get_source
+    from seatunnel_spark.testing.rest_servers import _Handler, _serve
+
+    seen = {}
+
+    class H(_Handler):
+        def do_POST(self):
+            body = _json.loads(self._body())
+            assert self.path == "/api/tokens/login"
+            assert body["grantType"] == "password" and body["clientId"] == "api"
+            seen["login"] = body["email"]
+            self._reply(200, {"accessToken": "tok-123"})
+
+        def do_GET(self):
+            seen["auth"] = self.headers.get("Authorization")
+            self._reply(200, [{"id": 1, "name": "proj"},
+                              {"id": 2, "name": "other"}])
+
+    port, stop = _serve(H)
+    try:
+        src = get_source("MyHours", {
+            "url": f"http://127.0.0.1:{port}/api/Projects",
+            "_login_url": f"http://127.0.0.1:{port}/api/tokens/login",
+            "email": "u@example.test", "password": "pw",
+            "schema": {"fields": {"id": "int", "name": "string"}},
+        })
+        rows = src.read(spark).collect()
+        assert sorted(r["id"] for r in rows) == [1, 2]
+        assert seen["auth"] == "Bearer tok-123"
+        assert seen["login"] == "u@example.test"
+    finally:
+        stop()
