@@ -25,7 +25,6 @@ _GATED_SOURCES = {
     "Kudu": "kudu-spark (format 'kudu')",
     "Maxcompute": "odps-spark-datasource",
     "Tablestore": "emr tablestore connector",
-    "Sls": "aliyun emr-logservice connector",
     "Doris": "FE REST plan + BE thrift/arrow reads (doris-spark-connector); JDBC (mysql protocol) as fallback",
     "StarRocks": "starrocks-spark-connector or JDBC (mysql protocol)",
 }
@@ -37,7 +36,6 @@ _GATED_SINKS = {
     "SelectDBCloud": "copy-into via object store", "S3Redshift": "UNLOAD/COPY via S3",
     "Maxcompute": "odps tunnel",
     "Sentry": "sentry SDK event post",
-    "Sls": "aliyun log producer",
     "Hive": None,  # implemented natively below
     "Kafka": None,  # implemented natively below
 }
@@ -191,6 +189,11 @@ def register_all() -> None:
 
     SOURCES["Pulsar"] = PulsarSource
     SINKS["Pulsar"] = PulsarSink
+    # Aliyun SLS: signed REST + protobuf LogGroup (pb.py), shard splits.
+    from seatunnel_spark.sources.sls import SlsSink, SlsSource
+
+    SOURCES["Sls"] = SlsSource
+    SINKS["Sls"] = SlsSink
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
     from seatunnel_spark.sinks.hive import HiveSink
