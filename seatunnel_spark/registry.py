@@ -30,10 +30,8 @@ _GATED_SOURCES = {
 }
 
 _GATED_SINKS = {
-    "ClickhouseFile": "write parquet/orc then clickhouse-client import",
     "Kudu": "kudu-spark",
-    "Tablestore": "tablestore SDK", "GoogleFirestore": "firestore SDK",
-    "SelectDBCloud": "copy-into via object store", "S3Redshift": "UNLOAD/COPY via S3",
+    "Tablestore": "tablestore SDK",
     "Maxcompute": "odps tunnel",
     "Sentry": "sentry SDK event post",
     "Hive": None,  # implemented natively below
@@ -194,6 +192,18 @@ def register_all() -> None:
 
     SOURCES["Sls"] = SlsSource
     SINKS["Sls"] = SlsSink
+    # Staged-load warehouses: stage files, then bulk import.
+    from seatunnel_spark.sinks.firestore import FirestoreSink
+    from seatunnel_spark.sinks.staged_load import (
+        ClickhouseFileSink,
+        S3RedshiftSink,
+        SelectDBSink,
+    )
+
+    SINKS["S3Redshift"] = S3RedshiftSink
+    SINKS["SelectDBCloud"] = SelectDBSink
+    SINKS["ClickhouseFile"] = ClickhouseFileSink
+    SINKS["GoogleFirestore"] = FirestoreSink
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
     from seatunnel_spark.sinks.hive import HiveSink

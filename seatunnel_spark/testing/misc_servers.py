@@ -303,3 +303,74 @@ def start_mini_stomp(port: int = 0, host: str = "127.0.0.1"):
 
 __all__ = ["start_mini_taos", "start_mini_prometheus", "start_mini_stomp",
            "snappy_decode", "decode_write_request"]
+
+
+# ==========================================================================
+# SelectDB Cloud (copy/upload 307 redirect + copy/query) and Google
+# Firestore (REST v1 createDocument) minis for the staged-load sinks.
+# ==========================================================================
+
+def start_mini_selectdb(port: int = 0):
+    import json as _json
+    import urllib.parse as _up
+
+    from seatunnel_spark.testing.rest_servers import _Handler, _serve
+
+    state = {"files": {}, "queries": [], "port": None}
+
+    class H(_Handler):
+        def do_PUT(self):
+            parsed = _up.urlsplit(self.path)
+            if parsed.path == "/copy/upload":
+                name = self.headers.get("fileName", "f")
+                assert self.headers.get("Authorization", "").startswith(
+                    "Basic ")
+                self.send_response(307)
+                self.send_header(
+                    "Location",
+                    f"http://127.0.0.1:{state['port']}/stage/{name}")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            if parsed.path.startswith("/stage/"):
+                state["files"][parsed.path[len("/stage/"):]] = self._body()
+                return self._reply(200, {})
+            return self._reply(404, {})
+
+        def do_POST(self):
+            parsed = _up.urlsplit(self.path)
+            if parsed.path == "/copy/query":
+                doc = _json.loads(self._body())
+                state["queries"].append(doc)
+                return self._reply(200, {"code": 0, "msg": "success",
+                                         "data": {"code": "0"}})
+            return self._reply(404, {})
+
+    port, stop = _serve(H, port)
+    state["port"] = port
+    return state, port, stop
+
+
+def start_mini_firestore(port: int = 0):
+    import json as _json
+    import urllib.parse as _up
+
+    from seatunnel_spark.testing.rest_servers import _Handler, _serve
+
+    state = {"docs": {}, "auth": []}
+
+    class H(_Handler):
+        def do_POST(self):
+            parsed = _up.urlsplit(self.path)
+            parts = parsed.path.strip("/").split("/")
+            # v1/projects/{p}/databases/(default)/documents/{collection}
+            collection = parts[-1]
+            state["auth"].append(self.headers.get("Authorization"))
+            doc = _json.loads(self._body())
+            docs = state["docs"].setdefault(collection, [])
+            name = f"doc-{len(docs)}"
+            docs.append({"name": name, "fields": doc.get("fields", {})})
+            return self._reply(200, {"name": name})
+
+    port, stop = _serve(H, port)
+    return state, port, stop

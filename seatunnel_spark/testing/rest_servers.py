@@ -466,11 +466,20 @@ def start_mini_clickhouse(port: int = 0):
         m = re.search(r"\s+FORMAT\s+(\w+)\s*$", q, re.I)
         if m:
             fmt, q = m.group(1), q[:m.start()]
-        ins = re.match(r"INSERT\s+INTO\s+(\S+)", q, re.I)
+        ins = re.match(r"INSERT\s+INTO\s+(\S+)\s*(?:\(([^)]*)\))?", q, re.I)
         if ins:
             key = norm(ins.group(1), default_db)
-            rows = [json.loads(l) for l in body.decode().splitlines()
-                    if l.strip()]
+            if fmt and fmt.upper() == "CSV":
+                import csv as _csv
+                import io as _io
+
+                cols = [c.strip().replace("`", "")
+                        for c in (ins.group(2) or "").split(",") if c.strip()]
+                rows = [dict(zip(cols, r)) for r in
+                        _csv.reader(_io.StringIO(body.decode())) if r]
+            else:
+                rows = [json.loads(l) for l in body.decode().splitlines()
+                        if l.strip()]
             tables.setdefault(key, []).extend(rows)
             return b""
         if re.match(r"CREATE\s+TABLE", q, re.I):
