@@ -25,8 +25,6 @@ _GATED_SOURCES = {
     "Kudu": "kudu-spark (format 'kudu')",
     "Maxcompute": "odps-spark-datasource",
     "Tablestore": "emr tablestore connector",
-    "Doris": "FE REST plan + BE thrift/arrow reads (doris-spark-connector); JDBC (mysql protocol) as fallback",
-    "StarRocks": "starrocks-spark-connector or JDBC (mysql protocol)",
 }
 
 _GATED_SINKS = {
@@ -204,6 +202,14 @@ def register_all() -> None:
     SINKS["SelectDBCloud"] = SelectDBSink
     SINKS["ClickhouseFile"] = ClickhouseFileSink
     SINKS["GoogleFirestore"] = FirestoreSink
+    # Doris/StarRocks FE reads over the MySQL wire protocol.
+    from seatunnel_spark.sources.olap_mysql import (
+        DorisSource,
+        StarRocksSource,
+    )
+
+    SOURCES["Doris"] = DorisSource
+    SOURCES["StarRocks"] = StarRocksSource
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
     from seatunnel_spark.sinks.hive import HiveSink

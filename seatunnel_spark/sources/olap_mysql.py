@@ -1,0 +1,152 @@
+"""Doris and StarRocks sources over the MySQL wire protocol.
+
+Reference surfaces: connector-doris DorisSourceOptions.java (fenodes,
+query-port 9030, table.identifier, doris.read.field,
+doris.filter.query) and connector-starrocks SourceConfig/CommonConfig
+(nodeUrls, database, table, scan_filter, username, password).
+
+The reference readers stream Arrow batches from BE tablet scans
+(DorisSource via FE REST query plan + thrift; StarRocksBeReadClient).
+Both FEs are MySQL-protocol compatible on the query port, so the
+rebuild pushes the projected + filtered SELECT through mysql_wire —
+the FE then distributes the scan across BEs itself. For Spark-side
+parallelism, `partition_column`/`partition_num` fan the read out as
+MOD(column, n) = i predicates, one executor task per slice (the
+tablet-split analog; the single-slice path still runs inside one
+executor task, never on the driver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from seatunnel_spark.sources.base import Source
+
+_MYSQL_TO_SPARK = {
+    "TINYINT": "tinyint", "SMALLINT": "smallint", "INT": "int",
+    "BIGINT": "bigint", "FLOAT": "float", "DOUBLE": "double",
+    "DECIMAL": "decimal(38,10)", "DATE": "date", "TIME": "string",
+    "DATETIME": "timestamp", "TIMESTAMP": "timestamp",
+    "VARCHAR": "string", "CHAR": "string", "TEXT": "string",
+}
+
+
+def _fetch_slice(host: str, port: int, user: str, password: str,
+                 database: str, sql: str) -> list[tuple]:
+    from seatunnel_spark.mysql_wire import MySqlClient
+
+    cl = MySqlClient(host, port, user, password, database)
+    try:
+        _, types, rows = cl.query(sql)
+        # normalize Decimals/dates to strings for the exchange; the
+        # typed cast happens in the DataFrame schema
+        out = []
+        for r in rows:
+            out.append(tuple(None if v is None else str(v) for v in r))
+        return out
+    finally:
+        cl.close()
+
+
+class _MySqlProtocolSource(Source):
+    """Shared SELECT-pushdown source; subclasses map option names."""
+
+    def _endpoint(self) -> tuple[str, int]:
+        raise NotImplementedError
+
+    def _table(self) -> str:
+        raise NotImplementedError
+
+    def _projection(self) -> str:
+        raise NotImplementedError
+
+    def _filter(self) -> str | None:
+        raise NotImplementedError
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from seatunnel_spark.mysql_wire import (
+            TYPE_NAMES,
+            MySqlClient,
+        )
+        from seatunnel_spark.net import apply_host_aliases
+
+        host, port = self._endpoint()
+        resolved = apply_host_aliases(f"tcp://{host}:{port}")
+        hostpart = resolved.split("://", 1)[-1]
+        host, _, p = hostpart.rpartition(":")
+        port = int(p)
+        user = self.opt("username", "root")
+        password = self.opt("password", "")
+        table = self._table()
+        database = table.split(".")[0] if "." in table else ""
+        base_sql = f"SELECT {self._projection()} FROM {table}"
+        filt = self._filter()
+        if filt:
+            base_sql += f" WHERE {filt}"
+
+        # schema probe (LIMIT 0) on the driver
+        cl = MySqlClient(host, port, user, password, database)
+        try:
+            cols, types, _ = cl.query(base_sql + " LIMIT 0")
+        finally:
+            cl.close()
+        part_col = self.opt("partition_column")
+        nparts = int(self.opt("partition_num", 1)) if part_col else 1
+        if part_col and nparts > 1:
+            conj = "AND" if filt else "WHERE"
+            slices = [f"{base_sql} {conj} MOD({part_col}, {nparts}) = {i}"
+                      for i in range(nparts)]
+        else:
+            slices = [base_sql]
+
+        rdd = spark.sparkContext.parallelize(slices, len(slices)).flatMap(
+            lambda s: _fetch_slice(host, port, user, password, database, s))
+        str_ddl = ", ".join(f"`{c}` string" for c in cols)
+        raw = spark.createDataFrame(rdd, str_ddl)
+        from pyspark.sql import functions as F
+
+        typed = [F.col(f"`{c}`").cast(
+            _MYSQL_TO_SPARK.get(TYPE_NAMES.get(t, ""), "string"))
+            .alias(c) for c, t in zip(cols, types)]
+        return raw.select(*typed)
+
+
+class DorisSource(_MySqlProtocolSource):
+    NAME = "Doris"
+
+    def _endpoint(self) -> tuple[str, int]:
+        fe = str(self.require("fenodes")).split(",")[0].strip()
+        host = fe.split(":")[0]
+        return host, int(self.opt("query-port", 9030))
+
+    def _table(self) -> str:
+        return self.require("table.identifier")
+
+    def _projection(self) -> str:
+        return self.opt("doris.read.field", "*") or "*"
+
+    def _filter(self) -> str | None:
+        return self.opt("doris.filter.query")
+
+
+class StarRocksSource(_MySqlProtocolSource):
+    NAME = "StarRocks"
+
+    def _endpoint(self) -> tuple[str, int]:
+        node = str(self.require("nodeUrls") if not isinstance(
+            self.opt("nodeUrls"), list)
+            else self.opt("nodeUrls")[0]).strip("[]' ")
+        host = node.split(":")[0]
+        return host, int(self.opt("query-port", 9030))
+
+    def _table(self) -> str:
+        return f"{self.require('database')}.{self.require('table')}"
+
+    def _projection(self) -> str:
+        return "*"
+
+    def _filter(self) -> str | None:
+        return self.opt("scan_filter") or None
+
+
+__all__ = ["DorisSource", "StarRocksSource"]

@@ -1,0 +1,200 @@
+"""Mini MySQL-protocol server: v10 handshake with mysql_native_password
+verification, COM_QUERY against canned tables (with a tiny
+WHERE/projection subset), statement capture — stands in for the
+Doris/StarRocks FE query port."""
+
+from __future__ import annotations
+
+import re
+import socket
+import struct
+import threading
+
+from seatunnel_spark.mysql_wire import (
+    lenenc,
+    lenenc_str,
+    native_scramble,
+)
+
+
+class MiniMySql:
+    def __init__(self, user: str = "root", password: str = ""):
+        self.user = user
+        self.password = password
+        self.statements: list[str] = []
+        # name -> (cols, type_codes, rows)
+        self.tables: dict[str, tuple[list[str], list[int], list[tuple]]] = {}
+        self.auth_failures = 0
+
+
+def _col_def(name: str, type_code: int) -> bytes:
+    return (lenenc_str(b"def") + lenenc_str(b"") + lenenc_str(b"")
+            + lenenc_str(b"") + lenenc_str(name.encode())
+            + lenenc_str(name.encode()) + lenenc(0x0C)
+            + struct.pack("<HIBHBH", 33, 255, type_code, 0, 0, 0))
+
+
+def _filter_rows(table, where: str):
+    cols, types, rows = table
+    m = re.match(r"\s*(?:\()?\s*(\w+)\s*(=|>=|<=|>|<)\s*'?([^')\s]+)'?",
+                 where or "")
+    if not m:
+        return rows
+    col, op, val = m.group(1), m.group(2), m.group(3)
+    if col not in cols:
+        return rows
+    idx = cols.index(col)
+    import operator
+
+    ops = {"=": operator.eq, ">": operator.gt, "<": operator.lt,
+           ">=": operator.ge, "<=": operator.le}
+
+    def conv(cell):
+        try:
+            return type(cell)(val) if cell is not None else None
+        except (TypeError, ValueError):
+            return val
+
+    return [r for r in rows
+            if r[idx] is not None and ops[op](r[idx], conv(r[idx]))]
+
+
+def _handle(conn: socket.socket, srv: MiniMySql) -> None:
+    buf = bytearray()
+    seq = [0]
+
+    def read_exact(n: int) -> bytes:
+        while len(buf) < n:
+            chunk = conn.recv(65536)
+            if not chunk:
+                raise ConnectionError
+            buf.extend(chunk)
+        out = bytes(buf[:n])
+        del buf[:n]
+        return out
+
+    def read_packet() -> bytes:
+        head = read_exact(4)
+        ln = int.from_bytes(head[:3], "little")
+        seq[0] = (head[3] + 1) & 0xFF
+        return read_exact(ln)
+
+    def send_packet(payload: bytes) -> None:
+        conn.sendall(len(payload).to_bytes(3, "little")
+                     + bytes([seq[0]]) + payload)
+        seq[0] = (seq[0] + 1) & 0xFF
+
+    def ok(affected: int = 0) -> bytes:
+        return b"\x00" + lenenc(affected) + lenenc(0) \
+            + struct.pack("<HH", 2, 0)
+
+    def eof() -> bytes:
+        return b"\xfe" + struct.pack("<HH", 0, 2)
+
+    try:
+        salt = b"12345678abcdefghijkl"  # 20 bytes
+        greet = (b"\x0a" + b"8.0.0-mini\0" + struct.pack("<I", 1)
+                 + salt[:8] + b"\0"
+                 + struct.pack("<H", 0xF7FF) + b"\x21"
+                 + struct.pack("<H", 2) + struct.pack("<H", 0x8008)
+                 + bytes([21]) + b"\0" * 10 + salt[8:] + b"\0"
+                 + b"mysql_native_password\0")
+        seq[0] = 0
+        send_packet(greet)
+        resp = read_packet()
+        i = 4 + 4 + 1 + 23
+        end = resp.index(b"\0", i)
+        user = resp[i:end].decode()
+        i = end + 1
+        auth_len = resp[i]
+        auth = resp[i + 1:i + 1 + auth_len]
+        want = native_scramble(srv.password, salt)
+        if user != srv.user or auth != want:
+            srv.auth_failures += 1
+            send_packet(b"\xff" + struct.pack("<H", 1045)
+                        + b"#28000Access denied")
+            return
+        send_packet(ok())
+        while True:
+            pkt = read_packet()
+            if pkt[:1] == b"\x01":  # COM_QUIT
+                return
+            if pkt[:1] != b"\x03":
+                send_packet(ok())
+                continue
+            sql = pkt[1:].decode()
+            srv.statements.append(sql)
+            m = re.match(
+                r"\s*SELECT\s+(.+?)\s+FROM\s+([`\w.]+)"
+                r"(?:\s+WHERE\s+(.+?))?(?:\s+LIMIT\s+(\d+))?\s*;?\s*$",
+                sql, re.I | re.S)
+            table = None
+            if m:
+                tname = m.group(2).replace("`", "").split(".")[-1]
+                table = srv.tables.get(tname)
+            if table is None:
+                send_packet(ok())
+                continue
+            cols, types, rows = table
+            proj = [c.strip().replace("`", "")
+                    for c in m.group(1).split(",")]
+            if proj == ["*"]:
+                proj = list(cols)
+            idxs = [cols.index(c) for c in proj]
+            rows = _filter_rows(table, m.group(3))
+            if m.group(4) is not None:
+                rows = rows[:int(m.group(4))]
+            send_packet(lenenc(len(proj)))
+            for c in proj:
+                send_packet(_col_def(c, types[cols.index(c)]))
+            send_packet(eof())
+            for r in rows:
+                body = b""
+                for ix in idxs:
+                    v = r[ix]
+                    if v is None:
+                        body += b"\xfb"
+                    else:
+                        body += lenenc_str(str(v).encode())
+                send_packet(body)
+            send_packet(eof())
+    except (ConnectionError, OSError, struct.error, ValueError):
+        pass
+    finally:
+        try:
+            conn.close()
+        except OSError:
+            pass
+
+
+def start_mini_mysql(user: str = "root", password: str = "",
+                     port: int = 0):
+    srv = MiniMySql(user, password)
+    sock = socket.create_server(("127.0.0.1", port))
+    sock.settimeout(0.5)
+    stopping = threading.Event()
+
+    def accept_loop():
+        while not stopping.is_set():
+            try:
+                conn, _ = sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            threading.Thread(target=_handle, args=(conn, srv),
+                             daemon=True).start()
+
+    threading.Thread(target=accept_loop, daemon=True).start()
+
+    def stop():
+        stopping.set()
+        try:
+            sock.close()
+        except OSError:
+            pass
+
+    return srv, sock.getsockname()[1], stop
+
+
+__all__ = ["MiniMySql", "start_mini_mysql"]
