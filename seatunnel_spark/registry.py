@@ -23,14 +23,12 @@ from seatunnel_spark.sinks.kafka import KafkaSink, WebhookSink
 # backend name -> (kind, spark strategy note)
 _GATED_SOURCES = {
     "Kudu": "kudu-spark (format 'kudu')",
-    "Maxcompute": "odps-spark-datasource",
     "Tablestore": "emr tablestore connector",
 }
 
 _GATED_SINKS = {
     "Kudu": "kudu-spark",
     "Tablestore": "tablestore SDK",
-    "Maxcompute": "odps tunnel",
     "Sentry": "sentry SDK event post",
     "Hive": None,  # implemented natively below
     "Kafka": None,  # implemented natively below
@@ -210,6 +208,14 @@ def register_all() -> None:
 
     SOURCES["Doris"] = DorisSource
     SOURCES["StarRocks"] = StarRocksSource
+    # MaxCompute: ODPS Tunnel REST + protobuf record stream.
+    from seatunnel_spark.sources.maxcompute import (
+        MaxcomputeSink,
+        MaxcomputeSource,
+    )
+
+    SOURCES["Maxcompute"] = MaxcomputeSource
+    SINKS["Maxcompute"] = MaxcomputeSink
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
     from seatunnel_spark.sinks.hive import HiveSink
