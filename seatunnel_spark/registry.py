@@ -23,12 +23,10 @@ from seatunnel_spark.sinks.kafka import KafkaSink, WebhookSink
 # backend name -> (kind, spark strategy note)
 _GATED_SOURCES = {
     "Kudu": "kudu-spark (format 'kudu')",
-    "Tablestore": "emr tablestore connector",
 }
 
 _GATED_SINKS = {
     "Kudu": "kudu-spark",
-    "Tablestore": "tablestore SDK",
     "Sentry": "sentry SDK event post",
     "Hive": None,  # implemented natively below
     "Kafka": None,  # implemented natively below
@@ -216,6 +214,14 @@ def register_all() -> None:
 
     SOURCES["Maxcompute"] = MaxcomputeSource
     SINKS["Maxcompute"] = MaxcomputeSink
+    # Tablestore: OTS protobuf + PlainBuffer wire format.
+    from seatunnel_spark.sources.tablestore import (
+        TablestoreSink,
+        TablestoreSource,
+    )
+
+    SOURCES["Tablestore"] = TablestoreSource
+    SINKS["Tablestore"] = TablestoreSink
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
     from seatunnel_spark.sinks.hive import HiveSink
