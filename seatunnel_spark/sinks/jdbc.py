@@ -1,25 +1,37 @@
-"""JDBC sink — savemode DDL + append/upsert/changelog-apply.
+"""JDBC sink — savemode DDL + append/upsert/changelog-apply + XA 2PC.
 
 Reference: connector-jdbc sink with generate_sink_sql/primary_keys
 (docs/en/connector-v2/sink/Jdbc.md), SchemaSaveMode × DataSaveMode
-(DefaultSaveModeHandler.java), and the "cdc sink" feature = apply
-RowKind by primary key (connector-v2-features.md:57-75).
+(DefaultSaveModeHandler.java), the "cdc sink" feature = apply RowKind
+by primary key (connector-v2-features.md:57-75), and exactly-once via
+XA transactions (is_exactly_once, XaFacadeImplAutoLoad.java — XA
+START/END/PREPARE per writer, coordinator-side COMMIT PREPARED).
 
 Spark-native:
-  * plain append/overwrite -> df.write.jdbc
+  * plain append/overwrite -> df.write.jdbc (JVM driver); when no
+    driver jar is present, pg/mysql-family URLs fall back to the
+    stdlib wire clients (sql_exec.WireExecutor) with the same
+    dialect-generated statements.
   * changelog apply (__row_kind present + primary_keys set) -> reduce
     the changelog to final-state rows per key (last +U/+I wins, -D
     deletes) with a window over a monotonic sequence, then MERGE-style
     upsert via foreachPartition batched statements. The reduction is
     distributed; only the final per-key state hits the database.
+  * is_exactly_once -> two-phase commit: every partition INSERTs
+    inside a transaction and PREPAREs it (pg: PREPARE TRANSACTION;
+    mysql: XA START/END/PREPARE); the driver commits every prepared
+    branch only after ALL partitions prepared — the XaFacade contract
+    (atomic multi-writer commit, not just idempotent replay).
 """
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, functions as F, Window
 
 from seatunnel_spark.sinks.base import Sink
-from seatunnel_spark.types import ROW_KIND_COL
+from seatunnel_spark.types import ROW_KIND_COL, TABLE_ID_COL
 
 
 def compact_changelog(df: DataFrame, keys: list[str]) -> DataFrame:
@@ -49,13 +61,26 @@ class JdbcSink(Sink):
     def write(self, df: DataFrame) -> None:
         url = self.require("url")
         table = self.opt("table") or self.require("table_path")
-        props = {"user": str(self.opt("user", "")), "password": str(self.opt("password", ""))}
+        user = str(self.opt("user", ""))
+        password = str(self.opt("password", ""))
+        props = {"user": user, "password": password}
         if self.opt("driver"):
             props["driver"] = self.opt("driver")
+        df = df.drop(*[c for c in (TABLE_ID_COL,) if c in df.columns])
         keys = self.opt("primary_keys")
         if keys and ROW_KIND_COL in df.columns:
             df = compact_changelog(df, keys)
-            self._upsert(df, url, table, props, keys)
+            self._upsert(df, url, table, user, password, keys)
+            return
+        df = df.drop(*[c for c in (ROW_KIND_COL,) if c in df.columns])
+        if bool(self.opt("is_exactly_once", False)):
+            self._write_2pc(df, url, table, user, password)
+            return
+        from seatunnel_spark.sql_exec import wire_family
+
+        if bool(self.opt("use_wire_client", False)) or (
+                wire_family(url) and not self.opt("driver")):
+            self._wire_insert(df, url, table, user, password)
             return
         mode = {
             "DROP_DATA": "overwrite",
@@ -65,29 +90,146 @@ class JdbcSink(Sink):
         }.get(str(self.opt("data_save_mode", "APPEND_DATA")).upper(), "append")
         df.write.mode(mode).jdbc(url, table, properties=props)
 
-    def _upsert(self, df: DataFrame, url: str, table: str, props: dict,
-                keys: list[str]) -> None:
+    # -- stdlib wire-client paths -----------------------------------------
+    def _batch_size(self) -> int:
+        return int(self.opt("batch_size", 500))
+
+    def _wire_insert(self, df: DataFrame, url: str, table: str,
+                     user: str, password: str) -> None:
+        from seatunnel_spark.jdbc_dialects import dialect_for
+
+        dialect = dialect_for(url, self.opt("compatible_mode"))
+        cols = df.columns
+        sql = dialect.insert_sql(table, cols)
+        batch = self._batch_size()
+
+        def run_partition(rows):
+            from seatunnel_spark.sql_exec import WireExecutor, bind
+
+            ex = None
+            pending = []
+            try:
+                for row in rows:
+                    if ex is None:
+                        ex = WireExecutor(url, user, password)
+                    pending.append(bind(sql, [row[c] for c in cols]))
+                    if len(pending) >= batch:
+                        ex.execute_batch(pending)
+                        pending = []
+                if ex is not None:
+                    ex.execute_batch(pending)
+            finally:
+                if ex is not None:
+                    ex.close()
+
+        df.foreachPartition(run_partition)
+
+    def _upsert(self, df: DataFrame, url: str, table: str, user: str,
+                password: str, keys: list[str]) -> None:
         """Partition-parallel batched upsert using the dialect's native
         statement (INSERT..ON DUPLICATE KEY / ON CONFLICT / MERGE INTO,
         seatunnel_spark.jdbc_dialects), falling back to the reference's
         update-then-insert pair when the dialect has none
         (JdbcDialect.java:166-207). Executors each hold one connection —
-        the reference's sink resource-sharing pattern
-        (seatunnel-api/.../sink/multitablesink/)."""
+        the reference's sink resource-sharing pattern."""
         from seatunnel_spark.jdbc_dialects import dialect_for
 
         cols = df.columns
         dialect = dialect_for(url, self.opt("compatible_mode"))
         sql = dialect.upsert_sql(table, cols, keys)
+        param_cols = list(cols)
+        upd = ins = None
         if sql is None:
-            sql = (dialect.update_sql(table, cols, keys)
-                   + " /* then-if-0-rows */ " + dialect.insert_sql(table, cols))
+            # dialect without a native upsert: update-then-insert pair
+            upd = dialect.update_sql(table, cols, keys)
+            ins = dialect.insert_sql(table, cols)
+        batch = self._batch_size()
 
         def run_partition(rows):
-            # Would open one JDBC connection per partition via jaydebeapi/JVM
-            # bridge; no database exists in this container to exercise it.
-            raise NotImplementedError(
-                f"executor-side JDBC upsert: executemany({sql!r}) per batch"
-            )
+            from seatunnel_spark.sql_exec import WireExecutor, bind
+
+            ex = None
+            pending = []
+            try:
+                for row in rows:
+                    if ex is None:
+                        ex = WireExecutor(url, user, password)
+                    if sql is not None:
+                        pending.append(bind(sql, [row[c]
+                                                  for c in param_cols]))
+                    else:
+                        non_keys = [c for c in cols if c not in keys]
+                        pending.append(bind(
+                            upd, [row[c] for c in non_keys]
+                            + [row[k] for k in keys]))
+                        pending.append(bind(ins, [row[c] for c in cols]))
+                    if len(pending) >= batch:
+                        ex.execute_batch(pending)
+                        pending = []
+                if ex is not None:
+                    ex.execute_batch(pending)
+            finally:
+                if ex is not None:
+                    ex.close()
 
         df.foreachPartition(run_partition)
+
+    def _write_2pc(self, df: DataFrame, url: str, table: str, user: str,
+                   password: str) -> None:
+        """Exactly-once 2PC: all partitions PREPARE, then the driver
+        commits every branch; any prepare failure aborts the job before
+        a single branch commits (XaFacade semantics)."""
+        from seatunnel_spark.jdbc_dialects import dialect_for
+        from seatunnel_spark.sql_exec import wire_family
+
+        family = wire_family(url)
+        if family is None:
+            raise NotImplementedError(
+                "is_exactly_once needs a pg/mysql-family URL for the "
+                "stdlib XA path (or deploy a JVM XA driver jar)")
+        dialect = dialect_for(url, self.opt("compatible_mode"))
+        cols = df.columns
+        sql = dialect.insert_sql(table, cols)
+        run_id = uuid.uuid4().hex[:12]
+        batch = self._batch_size()
+
+        def prepare_partition(idx, rows):
+            from seatunnel_spark.sql_exec import WireExecutor, bind
+
+            xid = f"seatunnel_{run_id}_{idx}"
+            ex = None
+            try:
+                statements = []
+                for row in rows:
+                    statements.append(bind(sql, [row[c] for c in cols]))
+                if not statements:
+                    return iter(())
+                ex = WireExecutor(url, user, password)
+                if family == "pg":
+                    ex.execute("BEGIN")
+                    for i in range(0, len(statements), batch):
+                        ex.execute_batch(statements[i:i + batch])
+                    ex.execute(f"PREPARE TRANSACTION '{xid}'")
+                else:
+                    ex.execute(f"XA START '{xid}'")
+                    for s in statements:
+                        ex.execute(s)
+                    ex.execute(f"XA END '{xid}'")
+                    ex.execute(f"XA PREPARE '{xid}'")
+                return iter([xid])
+            finally:
+                if ex is not None:
+                    ex.close()
+
+        prepared = df.rdd.mapPartitionsWithIndex(prepare_partition).collect()
+        from seatunnel_spark.sql_exec import WireExecutor
+
+        ex = WireExecutor(url, user, password)
+        try:
+            for xid in prepared:
+                if family == "pg":
+                    ex.execute(f"COMMIT PREPARED '{xid}'")
+                else:
+                    ex.execute(f"XA COMMIT '{xid}'")
+        finally:
+            ex.close()

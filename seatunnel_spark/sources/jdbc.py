@@ -52,6 +52,12 @@ class JdbcSource(Source):
         if dbtable is None:
             raise ValueError("Jdbc source: one of table_path/query required")
 
+        from seatunnel_spark.sql_exec import wire_family
+
+        if bool(self.opt("use_wire_client", False)) or (
+                wire_family(url) and not self.opt("driver")):
+            return self._wire_read(spark, url, props, table, query)
+
         part_col = self.opt("partition_column")
         if part_col:
             return spark.read.jdbc(
@@ -68,6 +74,71 @@ class JdbcSource(Source):
             return spark.read.jdbc(url=url, table=dbtable, predicates=predicates,
                                    properties=props)
         return spark.read.jdbc(url=url, table=dbtable, properties=props)
+
+    def _wire_read(self, spark: SparkSession, url: str, props: dict,
+                   table: str | None, query: str | None) -> DataFrame:
+        """Partitioned read over the stdlib pg/mysql wire clients (no
+        JVM driver jar needed). Same chunking contract as the JVM
+        path: partition_column range slices or explicit predicates;
+        each slice is drained by its own executor task."""
+        from pyspark.sql import functions as F
+
+        from seatunnel_spark.mysql_wire import TYPE_NAMES
+        from seatunnel_spark.sql_exec import WireExecutor, wire_family
+
+        user, password = props.get("user", ""), props.get("password", "")
+        family = wire_family(url)
+        base = query if query else f"SELECT * FROM {table}"
+
+        part_col = self.opt("partition_column")
+        predicates = self.opt("predicates")
+        if part_col:
+            lo = int(self.require("partition_lower_bound"))
+            hi = int(self.require("partition_upper_bound"))
+            n = int(self.opt("partition_num", 8))
+            step = max(1, (hi - lo + n) // n)
+            predicates = [
+                f"{part_col} >= {s} AND {part_col} < {min(s + step, hi + 1)}"
+                for s in range(lo, hi + 1, step)]
+        slices = ([f"SELECT * FROM ({base}) st_src WHERE {p}"
+                   for p in predicates] if predicates else [base])
+
+        ex = WireExecutor(url, user, password)
+        try:
+            cols, codes, _ = ex.query(
+                f"SELECT * FROM ({base}) st_probe WHERE 1=0"
+                if family == "pg" else f"SELECT * FROM ({base}) p LIMIT 0")
+        finally:
+            ex.close()
+        _PG_OID = {16: "boolean", 20: "bigint", 21: "smallint", 23: "int",
+                   700: "float", 701: "double", 1700: "decimal(38,10)",
+                   1082: "date", 1114: "timestamp", 1184: "timestamp",
+                   17: "binary"}
+        _MY = {"TINYINT": "tinyint", "SMALLINT": "smallint", "INT": "int",
+               "BIGINT": "bigint", "FLOAT": "float", "DOUBLE": "double",
+               "DECIMAL": "decimal(38,10)", "DATE": "date",
+               "DATETIME": "timestamp", "TIMESTAMP": "timestamp"}
+        if family == "pg":
+            spark_types = [_PG_OID.get(c, "string") for c in codes]
+        else:
+            spark_types = [_MY.get(TYPE_NAMES.get(c, ""), "string")
+                           for c in codes]
+
+        def fetch(sql):
+            e = WireExecutor(url, user, password)
+            try:
+                _, _, rows = e.query(sql)
+                return [tuple(None if v is None else str(v) for v in r)
+                        for r in rows]
+            finally:
+                e.close()
+
+        rdd = spark.sparkContext.parallelize(slices, len(slices)) \
+            .flatMap(fetch)
+        raw = spark.createDataFrame(
+            rdd, ", ".join(f"`{c}` string" for c in cols))
+        return raw.select(*[F.col(f"`{c}`").cast(t).alias(c)
+                            for c, t in zip(cols, spark_types)])
 
 
 def dynamic_chunk_predicates(

@@ -125,7 +125,9 @@ def _handle(conn: socket.socket, srv: MiniMySql) -> None:
             sql = pkt[1:].decode()
             srv.statements.append(sql)
             m = re.match(
-                r"\s*SELECT\s+(.+?)\s+FROM\s+([`\w.]+)"
+                r"\s*SELECT\s+(.+?)\s+FROM\s+\(?\s*"
+                r"(?:SELECT\s+.+?\s+FROM\s+)?([`\w.]+)\s*\)?"
+                r"(?:\s+(?!WHERE\b|LIMIT\b)\w+)?"
                 r"(?:\s+WHERE\s+(.+?))?(?:\s+LIMIT\s+(\d+))?\s*;?\s*$",
                 sql, re.I | re.S)
             table = None
