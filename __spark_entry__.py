@@ -577,6 +577,27 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (dataops/text.py:
+    repetition_signals): top-word / top-2-gram fractions and the
+    type-token ratio via (doc, gram) count shuffles."""
+    from seatunnel_spark.dataops.text import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4/Gopher keep/drop filter (dataops/text.py:
+    quality_filter) — per-rule booleans + the fused keep bit."""
+    from seatunnel_spark.dataops.text import quality_filter
+
+    q = quality_filter(_t(spark, sf_dir, "documents"))
+    return q.select(
+        "doc_id",
+        F.col("r_min_words"), F.col("r_word_len"),
+        F.col("r_punct"), F.col("r_stopwords"), F.col("keep"))
+
+
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return e.withColumn(
@@ -967,6 +988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_tokens": text_tokens,
+        "text_repetition": text_repetition,
+        "text_quality_filter": text_quality_filter,
         "sim_topk": sim_topk,
         "sim_pairs_exact": sim_pairs_exact,
         "dedup_embedding_pairs": dedup_embedding_pairs,
@@ -1468,6 +1491,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
                    md5(text) AS content_md5
             FROM documents
+        """,
+        "text_repetition": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS ws
+              FROM documents
+            ),
+            c1 AS (
+              SELECT doc_id, g, count(*) AS n
+              FROM (SELECT doc_id, unnest(ws) AS g FROM w)
+              GROUP BY 1, 2
+            ),
+            s1 AS (
+              SELECT doc_id, SUM(n) AS n_words, MAX(n) AS top_word_n,
+                     COUNT(*) AS distinct_words
+              FROM c1 GROUP BY 1
+            ),
+            c2 AS (
+              SELECT doc_id, g, count(*) AS n
+              FROM (SELECT doc_id,
+                           unnest(list_transform(
+                             list_zip(ws[1:len(ws) - 1], ws[2:]),
+                             x -> x[1] || ' ' || x[2])) AS g
+                    FROM w)
+              WHERE g IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            s2 AS (
+              SELECT doc_id, SUM(n) AS n_2grams, MAX(n) AS top_2gram_n
+              FROM c2 GROUP BY 1
+            )
+            SELECT s1.doc_id,
+                   CAST(s1.n_words AS BIGINT) AS n_words,
+                   CAST(s1.distinct_words AS BIGINT) AS distinct_words,
+                   round(s1.distinct_words * 1.0 / s1.n_words, 4)
+                     AS type_token_ratio,
+                   round(s1.top_word_n * 1.0 / s1.n_words, 4)
+                     AS top_word_frac,
+                   round(coalesce(s2.top_2gram_n * 1.0 / s2.n_2grams, 0), 4)
+                     AS top_2gram_frac
+            FROM s1 LEFT JOIN s2 ON s1.doc_id = s2.doc_id
+        """,
+        "text_quality_filter": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(text), '\\s+') AS ws,
+                     length(text) AS nc
+              FROM documents
+            ), sig AS (
+              SELECT doc_id,
+                     len(ws) AS n_words,
+                     list_sum(list_transform(ws, w -> length(w))) * 1.0
+                       / len(ws) AS mean_word_len,
+                     (nc - length(regexp_replace(text, '[^A-Za-z0-9\\s]',
+                                                 '', 'g'))) * 1.0 / nc
+                       AS punct_ratio,
+                     len(list_intersect(
+                       list_distinct(list_transform(ws, w -> lower(w))),
+                       ['the','of','and','to','in','a','is','that','for','it',
+                        'as','was','with','be','by','on','not','he','this',
+                        'are'])) AS stop_hits
+              FROM w
+            )
+            SELECT doc_id,
+                   n_words >= 10 AS r_min_words,
+                   mean_word_len BETWEEN 3.0 AND 12.0 AS r_word_len,
+                   punct_ratio <= 0.3 AS r_punct,
+                   stop_hits >= 1 AS r_stopwords,
+                   (n_words >= 10 AND mean_word_len BETWEEN 3.0 AND 12.0
+                    AND punct_ratio <= 0.3 AND stop_hits >= 1) AS keep
+            FROM sig
         """,
         "sim_topk": """
             WITH q AS (

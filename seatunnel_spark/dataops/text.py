@@ -145,3 +145,77 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
         F.regexp_replace(F.regexp_replace(F.lower(t), r"[^a-z0-9\s]", ""), r"\s+", " ")
     )
     return df.withColumn(out_col, F.md5(normalized))
+
+
+# --------------------------------------------------------------------------
+# repetition signals (Gopher-style) + composite quality filter
+# --------------------------------------------------------------------------
+
+def repetition_signals(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition metrics per document: top-word fraction,
+    top-2-gram fraction, and the distinct-word (type/token) ratio.
+
+    Distributed shape: explode words / 2-grams -> per-(doc, gram)
+    counts -> per-doc aggregates joined back. The groupBy keys are
+    (doc, gram), so partial aggregation folds counts map-side and no
+    single task ever materializes a whole document's gram multiset in
+    driver memory — at 100 TB this is two shuffles keyed by doc_id.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(id_col, words.alias("__ws"))
+
+    c1 = (base.select(id_col, F.explode("__ws").alias("g"))
+          .groupBy(id_col, "g").count())
+    s1 = c1.groupBy(id_col).agg(
+        F.sum("count").alias("n_words"),
+        F.max("count").alias("top_word_n"),
+        F.count("*").alias("distinct_words"))
+
+    grams2 = F.zip_with(
+        F.expr("slice(__ws, 1, greatest(size(__ws) - 1, 0))"),
+        F.expr("slice(__ws, 2, greatest(size(__ws) - 1, 0))"),
+        lambda a, b: F.concat_ws(" ", a, b))
+    c2 = (base.select(id_col, F.explode(grams2).alias("g"))
+          .groupBy(id_col, "g").count())
+    s2 = c2.groupBy(id_col).agg(
+        F.sum("count").alias("n_2grams"),
+        F.max("count").alias("top_2gram_n"))
+
+    out = s1.join(s2, id_col, "left")
+    return out.select(
+        id_col,
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("distinct_words").cast("bigint").alias("distinct_words"),
+        F.round(F.col("distinct_words") / F.col("n_words"), 4)
+        .alias("type_token_ratio"),
+        F.round(F.col("top_word_n") / F.col("n_words"), 4)
+        .alias("top_word_frac"),
+        F.round(F.coalesce(F.col("top_2gram_n") / F.col("n_2grams"),
+                           F.lit(0.0)), 4).alias("top_2gram_frac"),
+    )
+
+
+def quality_filter(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", min_words: int = 10,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 12.0,
+                   max_punct_ratio: float = 0.3,
+                   min_stop_hits: int = 1) -> DataFrame:
+    """C4/Gopher-style composite keep/drop filter. Emits every doc with
+    its signals, a boolean per rule, and `keep` — callers filter on
+    `keep` for the pipeline, or inspect rule columns for audits. Pure
+    Catalyst (no UDFs), so the rules fuse into one codegen'd stage."""
+    sig = quality_signals(df, text_col)
+    rules = {
+        "r_min_words": F.col("q_n_words") >= min_words,
+        "r_word_len": F.col("q_mean_word_len").between(
+            min_mean_word_len, max_mean_word_len),
+        "r_punct": F.col("q_punct_ratio") <= max_punct_ratio,
+        "r_stopwords": F.col("q_stopword_hits") >= min_stop_hits,
+    }
+    out = sig.withColumns(rules)
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)

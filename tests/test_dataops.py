@@ -334,3 +334,34 @@ def test_profile_table(spark):
     # approx mode still one pass, HLL distinct within tolerance
     ap = {r["column"]: r for r in profile_table(df, approx=True).collect()}
     assert abs(ap["id"]["n_distinct"] - 3) <= 1
+
+
+def test_repetition_signals_degenerate(spark):
+    """A fully repeated doc maxes the repetition fractions; a unique
+    doc stays near zero."""
+    from seatunnel_spark.dataops.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "every word here is fully unique today")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert out[1]["top_word_frac"] == 1.0
+    assert out[1]["top_2gram_frac"] == 1.0
+    assert out[1]["type_token_ratio"] == round(1 / 6, 4)
+    assert out[2]["top_word_frac"] == round(1 / 7, 4)
+    assert out[2]["type_token_ratio"] == 1.0
+
+
+def test_quality_filter_rules(spark):
+    from seatunnel_spark.dataops.text import quality_filter
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "it runs far away with joy")
+    df = spark.createDataFrame(
+        [(1, good), (2, "short text"), (3, "!!! ??? ### $$$ %%% " * 4)],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in quality_filter(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["r_min_words"] is False
+    assert out[3]["keep"] is False and out[3]["r_punct"] is False
