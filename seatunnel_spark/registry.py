@@ -20,13 +20,11 @@ from seatunnel_spark.sinks import SINKS, get_sink as _get_sink
 from seatunnel_spark.sinks.base import Sink
 from seatunnel_spark.sinks.kafka import KafkaSink, WebhookSink
 
-# backend name -> (kind, spark strategy note)
-_GATED_SOURCES = {
-    "Kudu": "kudu-spark (format 'kudu')",
-}
+# backend name -> (kind, spark strategy note). Empty since round 2:
+# every reference source/sink identifier has a native implementation.
+_GATED_SOURCES: dict[str, str] = {}
 
-_GATED_SINKS = {
-    "Kudu": "kudu-spark",
+_GATED_SINKS: dict[str, str | None] = {
     "Sentry": "sentry SDK event post",
     "Hive": None,  # implemented natively below
     "Kafka": None,  # implemented natively below
@@ -222,6 +220,11 @@ def register_all() -> None:
 
     SOURCES["Tablestore"] = TablestoreSource
     SINKS["Tablestore"] = TablestoreSink
+    # Kudu: krpc wire protocol (kudu_rpc.py) — tablet scans + row ops.
+    from seatunnel_spark.sources.kudu import KuduSink, KuduSource
+
+    SOURCES["Kudu"] = KuduSource
+    SINKS["Kudu"] = KuduSink
     for name in _GATED_SOURCES:
         SOURCES.setdefault(name, GatedSource)
     from seatunnel_spark.sinks.hive import HiveSink
