@@ -598,6 +598,67 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_punct"), F.col("r_stopwords"), F.col("keep"))
 
 
+def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dataops/decontam.py): flag docs
+    sharing any 13-gram with the benchmark set (docs with
+    doc_id % 97 == 0 stand in for an eval suite). Broadcast
+    benchmark-gram semi-join — no corpus shuffle."""
+    from seatunnel_spark.dataops.decontam import flag_contaminated
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return flag_contaminated(d, bench, n=13)
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (dataops/text.py:pii_redact): deterministic PII
+    spans are injected per doc, then redacted by the Java/RE2-portable
+    rule chain — counts per type + the scrubbed text. Zero-shuffle
+    codegen projection."""
+    from seatunnel_spark.dataops.text import pii_redact
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    with_pii = d.withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" contact u"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com or +555 123 4567 at 192.168."),
+                 (F.col("doc_id") % 255).cast("string"), F.lit(".9")))
+    return pii_redact(with_pii).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "redacted")
+
+
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (dataops/sampling.py:
+    split_assign): membership is a pure function of md5(doc_id) — no
+    shuffle, reproducible on any cluster layout."""
+    from seatunnel_spark.dataops.sampling import split_assign
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return split_assign(d, train=0.9, val=0.05)
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sampling (dataops/sampling.py:
+    stratified_sample) with deterministic hash membership."""
+    from seatunnel_spark.dataops.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    rates = {"en": 0.6, "fr": 0.5, "de": 0.4, "es": 0.3, "zh": 0.2}
+    return stratified_sample(d, "lang", rates)
+
+
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain rebalancing (dataops/sampling.py:domain_rebalance):
+    deterministically downsample every language to the smallest one's
+    size (en is ~3x over-represented in the corpus) — tiny count
+    aggregate broadcast onto the scan."""
+    from seatunnel_spark.dataops.sampling import domain_rebalance
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return domain_rebalance(d, "lang").select("doc_id", "lang")
+
+
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return e.withColumn(
@@ -990,6 +1051,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": text_tokens,
         "text_repetition": text_repetition,
         "text_quality_filter": text_quality_filter,
+        "text_pii_redact": text_pii_redact,
+        "decontam_ngram": decontam_ngram,
+        "sample_split": sample_split,
+        "sample_stratified": sample_stratified,
+        "sample_domain_mix": sample_domain_mix,
         "sim_topk": sim_topk,
         "sim_pairs_exact": sim_pairs_exact,
         "dedup_embedding_pairs": dedup_embedding_pairs,
@@ -1562,6 +1628,85 @@ def oracle_sql() -> dict[str, str]:
                    (n_words >= 10 AND mean_word_len BETWEEN 3.0 AND 12.0
                     AND punct_ratio <= 0.3 AND stop_hits >= 1) AS keep
             FROM sig
+        """,
+        "text_pii_redact": """
+            WITH pii AS (
+              SELECT doc_id,
+                     text || ' contact u' || doc_id
+                          || '@example.com or +555 123 4567 at 192.168.'
+                          || (doc_id % 255) || '.9' AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     AS n_email,
+                   len(regexp_extract_all(t,
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                     AS n_ipv4,
+                   len(regexp_extract_all(t,
+                     '\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}')) AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                     '<IPV4>', 'g'),
+                     '\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}', '<PHONE>', 'g')
+                     AS redacted
+            FROM pii
+        """,
+        "decontam_ngram": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(t[i:i+12], ' ') AS gram
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(t) - 12, 0)))
+                     AS u(i)
+            ), bench AS (
+              SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+            ), hits AS (
+              SELECT g.doc_id, count(DISTINCT g.gram) AS h
+              FROM grams g JOIN bench b USING (gram)
+              GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.h, 0) AS ngram_hits,
+                   coalesce(h.h, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "sample_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 9000 THEN 'train'
+                        WHEN b < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5(doc_id::varchar), 1, 8))::BIGINT
+                           % 10000 AS b
+                  FROM documents)
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(doc_id::varchar), 1, 8))::BIGINT
+                    % 10000 <
+                  CASE lang WHEN 'en' THEN 6000 WHEN 'fr' THEN 5000
+                            WHEN 'de' THEN 4000 WHEN 'es' THEN 3000
+                            WHEN 'zh' THEN 2000 ELSE 0 END
+        """,
+        "sample_domain_mix": """
+            WITH c AS (
+              SELECT lang, count(*) AS n_d FROM documents GROUP BY lang
+            ), k AS (
+              SELECT lang,
+                     floor((SELECT min(n_d) FROM c) * 10000 / n_d) AS kb
+              FROM c
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN k USING (lang)
+            WHERE ('0x' || substr(md5(d.doc_id::varchar), 1, 8))::BIGINT
+                    % 10000 < kb
         """,
         "sim_topk": """
             WITH q AS (

@@ -1,0 +1,79 @@
+"""Deterministic corpus sampling — hash splits, stratified rates,
+domain rebalancing.
+
+Training-data pipelines need REPRODUCIBLE sampling: the same doc must
+land in the same split on every run, on any cluster layout, or
+train/eval contamination and silent dataset drift follow. Random
+sampling (`df.sample`) is seed-and-partitioning dependent; everything
+here derives from a content hash instead — `md5(id)`'s first 8 hex
+digits as a uniform bucket in [0, 10000) — so membership is a pure
+function of the row.
+
+100 TB design: every operator below is one scan with a per-row hash +
+filter (no shuffle at all) except `domain_rebalance`, which needs one
+small aggregate (count per domain — map-side combined, domains are
+few) joined back as a broadcast. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column, buckets: int = _BUCKETS) -> Column:
+    """Deterministic uniform bucket in [0, buckets): first 8 hex chars
+    of md5 of the value's string form. Reproducible outside Spark
+    (DuckDB: ('0x' || substr(md5(v::varchar), 1, 8))::bigint % b)."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+    return (h.cast("bigint") % buckets).alias("bucket")
+
+
+def split_assign(df: DataFrame, id_col: str = "doc_id",
+                 train: float = 0.9, val: float = 0.05) -> DataFrame:
+    """Add a `split` column: train/val/test by hash range. The test
+    share is the remainder. Same id -> same split, forever."""
+    b = hash_bucket(F.col(id_col))
+    t_hi = int(train * _BUCKETS)
+    v_hi = t_hi + int(val * _BUCKETS)
+    return df.withColumn(
+        "split",
+        F.when(b < t_hi, "train").when(b < v_hi, "val").otherwise("test"))
+
+
+def stratified_sample(df: DataFrame, strat_col: str, rates: dict[str, float],
+                      id_col: str = "doc_id",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Keep each row with its stratum's rate, deterministically:
+    kept iff hash_bucket(id) < rate * 10000. A stratum absent from
+    `rates` uses default_rate."""
+    expr = F.lit(int(default_rate * _BUCKETS))
+    for k, v in rates.items():
+        expr = F.when(F.col(strat_col) == k, int(v * _BUCKETS)).otherwise(expr)
+    return df.filter(hash_bucket(F.col(id_col)) < expr)
+
+
+def domain_rebalance(df: DataFrame, domain_col: str = "source",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Downsample every domain to the size of the smallest one (uniform
+    target mixture), deterministically: keep-rate_d = min_count /
+    count_d, membership by hash bucket.
+
+    The per-domain counts are a tiny aggregate (one row per domain)
+    broadcast back onto the scan — the corpus itself never shuffles.
+    The window below is OVER () on the aggregated (small) frame only.
+    """
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_d"))
+    counts = counts.withColumn(
+        "keep_buckets",
+        F.floor(F.min("n_d").over(Window.partitionBy()) * F.lit(_BUCKETS)
+                / F.col("n_d")))
+    return (df.join(F.broadcast(counts.select(domain_col, "keep_buckets")),
+                    domain_col)
+            .filter(hash_bucket(F.col(id_col)) < F.col("keep_buckets"))
+            .drop("keep_buckets"))
+
+
+__all__ = ["hash_bucket", "split_assign", "stratified_sample",
+           "domain_rebalance"]

@@ -219,3 +219,42 @@ def quality_filter(df: DataFrame, id_col: str = "doc_id",
     for name in rules:
         keep = F.col(name) if keep is None else keep & F.col(name)
     return out.withColumn("keep", keep)
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# Patterns chosen to be valid (and equivalent) in Java regex AND RE2 —
+# no lookaround, no backreferences — so the same rules replay in
+# DuckDB/Go/Rust scrubbers verifying a corpus downstream.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+?\d{3}[- ]\d{3}[- ]\d{4}"),
+]
+
+
+def pii_redact(df: DataFrame, text_col: str = "text",
+               out_col: str = "redacted",
+               patterns: list[tuple[str, str]] | None = None,
+               with_counts: bool = True) -> DataFrame:
+    """Scrub PII-shaped spans, replacing each with a `<TYPE>` tag, and
+    (optionally) count matches per type before redaction.
+
+    Pure Catalyst regexp_replace/regexp_extract_all chain — one
+    codegen'd projection, no shuffle, no UDF: the 100 TB shape is
+    "runs at scan speed". Rules apply in list order (ipv4 before
+    phone, so dotted quads don't half-match as phone numbers).
+    """
+    rules = patterns or PII_PATTERNS
+    cols = {}
+    if with_counts:
+        for name, pat in rules:
+            cols[f"n_{name}"] = F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+    out = F.col(text_col)
+    for name, pat in rules:
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    cols[out_col] = out
+    return df.withColumns(cols)

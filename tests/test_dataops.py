@@ -365,3 +365,76 @@ def test_quality_filter_rules(spark):
     assert out[1]["keep"] is True
     assert out[2]["keep"] is False and out[2]["r_min_words"] is False
     assert out[3]["keep"] is False and out[3]["r_punct"] is False
+
+
+def test_decontam_ngram_flags(spark):
+    from seatunnel_spark.dataops.decontam import flag_contaminated, word_ngrams
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([
+        (1, "a b c d e f"),          # shares 4-gram "b c d e" with bench
+        (2, "z y x w v u"),          # clean
+        (3, "a b"),                  # shorter than n -> no grams, clean
+        (4, "b c d e b c d e x"),    # same bench gram twice -> 1 distinct hit
+    ], "doc_id int, text string")
+    bench = spark.createDataFrame([(99, "q b c d e q")],
+                                  "doc_id int, text string")
+    out = {r["doc_id"]: r for r in
+           flag_contaminated(docs, bench, n=4).collect()}
+    assert out[1]["contaminated"] and out[1]["ngram_hits"] == 1
+    assert not out[2]["contaminated"] and out[2]["ngram_hits"] == 0
+    assert not out[3]["contaminated"]
+    assert out[4]["ngram_hits"] == 1  # distinct grams, not occurrences
+    # short-doc guard: no descending-sequence explosion
+    grams = docs.select(word_ngrams(F.col("text"), 4).alias("g")) \
+                .agg(F.sum(F.size("g"))).first()[0]
+    assert grams == 3 + 3 + 0 + 6
+
+
+def test_pii_redact_rules(spark):
+    from seatunnel_spark.dataops.text import pii_redact
+
+    df = spark.createDataFrame([
+        (1, "mail bob.smith+x@corp.example.org now"),
+        (2, "server 10.0.255.3 and backup 192.168.1.77"),
+        (3, "call +555 123 4567 or 800-555-1234"),
+        (4, "clean text with no pii at all"),
+    ], "doc_id int, text string")
+    out = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert out[1]["redacted"] == "mail <EMAIL> now" and out[1]["n_email"] == 1
+    assert out[2]["redacted"] == "server <IPV4> and backup <IPV4>"
+    assert out[2]["n_ipv4"] == 2
+    assert out[3]["redacted"] == "call <PHONE> or <PHONE>"
+    assert out[3]["n_phone"] == 2
+    assert out[4]["redacted"] == out[4]["text"]
+    assert out[4]["n_email"] == out[4]["n_ipv4"] == out[4]["n_phone"] == 0
+
+
+def test_sampling_determinism_and_rates(spark):
+    from seatunnel_spark.dataops.sampling import (
+        domain_rebalance, hash_bucket, split_assign, stratified_sample)
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id").withColumn(
+        "grp", (F.col("doc_id") % 4 == 0).cast("string"))
+    # split: deterministic (same ids -> same split on re-run), ~90/5/5
+    s1 = {r["doc_id"]: r["split"] for r in split_assign(df).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in split_assign(df).collect()}
+    assert s1 == s2
+    counts = {k: sum(1 for v in s1.values() if v == k)
+              for k in ("train", "val", "test")}
+    assert counts["train"] > 1700 and counts["val"] > 50 and counts["test"] > 50
+    # stratified: per-stratum rates within tolerance, subset property
+    kept = stratified_sample(df, "grp", {"true": 1.0, "false": 0.25})
+    kt = kept.filter("grp = 'true'").count()
+    kf = kept.filter("grp = 'false'").count()
+    assert kt == 500                      # rate 1.0 keeps everything
+    assert 290 <= kf <= 460               # ~25% of 1500
+    # rebalance: every group downsampled to <= smallest group's size
+    reb = domain_rebalance(df, "grp").groupBy("grp").count().collect()
+    sizes = {r["grp"]: r["count"] for r in reb}
+    assert sizes["false"] <= 500 and sizes["true"] <= 500
+    assert min(sizes.values()) >= 350     # hash variance, not collapse
+    # buckets are uniform-ish over [0, 10000)
+    b = df.select(hash_bucket(F.col("doc_id")).alias("b"))
+    assert b.filter("b < 0 or b >= 10000").count() == 0
