@@ -648,6 +648,16 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(d, "lang", rates)
 
 
+def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (dataops/packing.py): map every doc onto its
+    fixed-length training sequence via a distributed two-pass prefix
+    sum (range shuffle + tiny driver rollup — never a one-partition
+    global window)."""
+    from seatunnel_spark.dataops.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+
+
 def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain rebalancing (dataops/sampling.py:domain_rebalance):
     deterministically downsample every language to the smallest one's
@@ -1056,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": sample_split,
         "sample_stratified": sample_stratified,
         "sample_domain_mix": sample_domain_mix,
+        "pack_docs": pack_docs,
         "sim_topk": sim_topk,
         "sim_pairs_exact": sim_pairs_exact,
         "dedup_embedding_pairs": dedup_embedding_pairs,
@@ -1686,6 +1697,25 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5(doc_id::varchar), 1, 8))::BIGINT
                            % 10000 AS b
                   FROM documents)
+        """,
+        "pack_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\\s+'))::BIGINT
+                       AS n_tokens
+              FROM documents
+            ), o AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS "offset"
+              FROM t
+            )
+            SELECT doc_id, n_tokens, "offset",
+                   "offset" // 512 AS pack_id,
+                   "offset" % 512 AS pack_offset
+            FROM o
         """,
         "sample_stratified": """
             SELECT doc_id, lang FROM documents

@@ -33,6 +33,10 @@ BENCH_QUERIES = [
     "text_quality",
     "text_langid",
     "sim_topk",
+    # round-2 additions (kept after the original 14 so per-query
+    # timings stay comparable across rounds)
+    "decontam_ngram",
+    "sample_domain_mix",
 ]
 
 

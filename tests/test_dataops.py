@@ -438,3 +438,22 @@ def test_sampling_determinism_and_rates(spark):
     # buckets are uniform-ish over [0, 10000)
     b = df.select(hash_bucket(F.col("doc_id")).alias("b"))
     assert b.filter("b < 0 or b >= 10000").count() == 0
+
+
+def test_pack_sequences_prefix_sum(spark):
+    from seatunnel_spark.dataops.packing import pack_sequences
+
+    docs = [(i, " ".join(["w"] * (3 + i % 7))) for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in
+           pack_sequences(df, seq_len=10, partitions=8).collect()}
+    # matches a sequential single-pass ground truth exactly
+    offset = 0
+    for i in range(200):
+        n = 3 + i % 7
+        r = out[i]
+        assert (r["n_tokens"], r["offset"], r["pack_id"],
+                r["pack_offset"]) == (n, offset, offset // 10, offset % 10)
+        offset += n
+    # docs cross pack boundaries (concat-and-chunk, not greedy-fill)
+    assert any(r["pack_offset"] + r["n_tokens"] > 10 for r in out.values())
