@@ -1460,11 +1460,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": f"""
             WITH {shingle_cte},
             sig AS (
+              -- four 32-bit slices per md5 digest = four hash families
+              -- (mirrors minhash_signatures' slice construction)
               SELECT doc_id,
-                     min(md5(sh || '#0')) AS mh_0, min(md5(sh || '#1')) AS mh_1,
-                     min(md5(sh || '#2')) AS mh_2, min(md5(sh || '#3')) AS mh_3,
-                     min(md5(sh || '#4')) AS mh_4, min(md5(sh || '#5')) AS mh_5,
-                     min(md5(sh || '#6')) AS mh_6, min(md5(sh || '#7')) AS mh_7
+                     min(substr(md5(sh || '#0'),  1, 8)) AS mh_0,
+                     min(substr(md5(sh || '#0'),  9, 8)) AS mh_1,
+                     min(substr(md5(sh || '#0'), 17, 8)) AS mh_2,
+                     min(substr(md5(sh || '#0'), 25, 8)) AS mh_3,
+                     min(substr(md5(sh || '#1'),  1, 8)) AS mh_4,
+                     min(substr(md5(sh || '#1'),  9, 8)) AS mh_5,
+                     min(substr(md5(sh || '#1'), 17, 8)) AS mh_6,
+                     min(substr(md5(sh || '#1'), 25, 8)) AS mh_7
               FROM shingles GROUP BY doc_id
             ),
             buckets AS (

@@ -85,21 +85,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature columns mh_0..mh_{H-1}.
 
-    Each hash family h is min(md5(shingle || '#h')) over the doc's
-    shingle set — engine-portable (md5 hex min is a string min; DuckDB
-    replays it) — via ONE explode + ONE groupBy(doc): all H minimums
-    fold in the same map-side combine, so the shuffle carries only
-    (doc_id, H×32B digests), never the shingles. [A zero-shuffle
-    variant using array_min(transform(...)) was measured 8× SLOWER:
-    higher-order functions are interpreted per element, while explode +
-    min(md5()) stays inside whole-stage codegen. Keep the explode.]
+    Hash families come in groups of FOUR per md5: digest d =
+    md5(shingle || '#d') and family h = substr(digest(h div 4),
+    1 + 8*(h mod 4), 8) — four disjoint 32-bit slices of each 128-bit
+    digest. md5 is the cost center (measured: one md5 per family made
+    the signature pass ~4x slower than slicing), the slices are
+    independent 32-bit hashes, and the construction stays
+    engine-portable (hex min is a string min on fixed-width slices;
+    DuckDB replays it verbatim).
+
+    One explode + one groupBy(doc): all H minimums fold in the same
+    map-side combine, so the shuffle carries only (doc_id, H×8B hex),
+    never the shingles. [A zero-shuffle variant using
+    array_min(transform(...)) was measured 8× SLOWER: higher-order
+    functions are interpreted per element, while explode + min(md5())
+    stays inside whole-stage codegen. Keep the explode.]
     """
     sh = _ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(_word_shingles(F.col(text_col), shingle_k))).alias("sh"),
     )
+    n_digests = (num_hashes + 3) // 4
+    digests = [F.md5(F.concat(F.col("sh"), F.lit(f"#{d}")))
+               for d in range(n_digests)]
     aggs = [
-        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{h}")))).alias(f"mh_{h}")
+        F.min(F.substring(digests[h // 4], 1 + 8 * (h % 4), 8)).alias(f"mh_{h}")
         for h in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -157,6 +167,13 @@ def minhash_lsh_pairs(
             .filter(F.col("__bn") <= F.lit(max_bucket))
             .drop("__bn")
         )
+    # The self-join consumes `buckets` on BOTH sides, and AQE broadcasts
+    # one of them — no ReusedExchange, so without a lineage cut the whole
+    # signature pipeline (the expensive md5 pass) executes twice
+    # (measured 2x wall on the bench corpus). A lazy localCheckpoint
+    # materializes the tiny (id, band, key) frame once and both sides
+    # read it back.
+    buckets = buckets.localCheckpoint(eager=False)
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
