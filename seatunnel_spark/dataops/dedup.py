@@ -287,6 +287,10 @@ def simhash_near_dups(
     buckets = sig.select(id_col, "simhash", F.explode(segs).alias("b")).select(
         id_col, "simhash", F.col("b.seg").alias("seg"), F.col("b.key").alias("key")
     )
+    # lineage cut: both self-join sides would otherwise re-run the
+    # simhash64 pandas-UDF pass (see minhash_lsh_pairs for the measured
+    # ReusedExchange failure under AQE broadcast)
+    buckets = buckets.localCheckpoint(eager=False)
     a, b = buckets.alias("a"), buckets.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     pairs = (
@@ -341,6 +345,10 @@ def ngram_jaccard_pairs(
         "id", *(block_cols or []), F.size("sh").alias("n"),
         F.explode("sh").alias("tok"),
     )
+    # lineage cut: the inverted index feeds both join sides; without it
+    # the shingle explode executes twice (AQE may broadcast one side,
+    # defeating ReusedExchange)
+    inv = inv.localCheckpoint(eager=False)
     a, b = inv.alias("a"), inv.alias("b")
     cond = (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id"))
     for c in block_cols or []:
@@ -463,6 +471,9 @@ def embedding_near_dups(
         F.col(id_col).alias("id"), v.alias("v"), norm.alias("n"),
         *( [bucket.alias("bucket")] if bucket is not None else [] ),
     )
+    # lineage cut: the hyperplane-bucket projection (interpreted
+    # higher-order dot products) feeds both self-join sides
+    bucketed = bucketed.localCheckpoint(eager=False)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     dot_ab = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
                          F.lit(0.0), lambda acc, x: acc + x)
