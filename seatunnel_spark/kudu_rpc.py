@@ -108,6 +108,18 @@ def _from_wire(ktype: int, v):
     return v
 
 
+def _slice_bytes(ktype: int, v) -> bytes:
+    """Value -> indirect-data bytes for a 16-byte (pointer, length)
+    slot. STRING/VARCHAR carry any non-bytes value as its canonical
+    string form (DECIMALs map to STRING columns — KuduTypeMapper.java
+    uses kudu decimals; the wire codec here keeps them exact as text)."""
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    if ktype == BINARY:
+        return bytes(v)
+    return str(v).encode()
+
+
 class Column:
     """One column of a Kudu schema (ColumnSchemaPB)."""
 
@@ -160,7 +172,7 @@ def encode_row_block(cols: list[Column], rows: list[tuple]) -> tuple[bytes, byte
                 continue
             v = _to_wire(c.ktype, v)
             if size == 16:
-                data = v.encode() if isinstance(v, str) else bytes(v)
+                data = _slice_bytes(c.ktype, v)
                 out += struct.pack("<QQ", len(indirect), len(data))
                 indirect += data
             elif fmt is None:  # BOOL
@@ -227,7 +239,7 @@ def encode_row_ops(cols: list[Column], ops: list[tuple[int, tuple]]) -> bytes:
             v = _to_wire(c.ktype, v)
             size, fmt = _SLOT[c.ktype]
             if size == 16:
-                data = v.encode() if isinstance(v, str) else bytes(v)
+                data = _slice_bytes(c.ktype, v)
                 body += struct.pack("<QQ", len(indirect), len(data))
                 indirect += data
             elif fmt is None:

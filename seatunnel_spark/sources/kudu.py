@@ -72,18 +72,15 @@ def kudu_columns(schema: T.StructType, key_cols: list[str]) -> list[K.Column]:
 class KuduSource(Source):
     NAME = "Kudu"
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        tables = self.opt("table_list") or [
-            {"table_name": self.require("table_name")}]
-        frames = []
-        for tc in tables:
-            frames.append(self._read_table(spark, tc["table_name"]))
-        if len(frames) == 1:
-            return frames[0]
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f, allowMissingColumns=True)
-        return out
+    def read(self, spark: SparkSession):
+        table_list = self.opt("table_list")
+        if table_list:
+            # multi-table: dict {table: df} — the engine routes per
+            # table (KuduSourceTableConfig.of's table_list form)
+            out = {tc["table_name"]: self._read_table(spark, tc["table_name"])
+                   for tc in table_list}
+            return out if len(out) > 1 else next(iter(out.values()))
+        return self._read_table(spark, self.require("table_name"))
 
     def _read_table(self, spark: SparkSession, table: str) -> DataFrame:
         masters = self.require("kudu_masters")
@@ -137,9 +134,25 @@ class KuduSink(Sink):
     def wants_observation(self) -> bool:
         return False
 
+    table_groups: dict[str, DataFrame] | None = None
+    input_name: str = "sink"
+
     def write(self, df: DataFrame) -> None:
+        table = self.opt("table_name")
+        if table:
+            self._write_one(df, str(table))
+            return
+        # no table_name: per-table fan-out (the reference resolves the
+        # sink table from the source's catalog table — multi-table conf
+        # `fake_to_kudu_with_multipletable.conf` has a bare kudu{} sink)
+        if self.table_groups:
+            for tid, tdf in self.table_groups.items():
+                self._write_one(tdf, tid.split(".")[-1])
+            return
+        self._write_one(df, self.input_name)
+
+    def _write_one(self, df: DataFrame, table: str) -> None:
         masters = self.require("kudu_masters")
-        table = self.require("table_name")
         user = self.opt("client_user", "seatunnel")
         batch = int(self.opt("batch_size", 1024))
         overwrite = str(self.opt("save_mode", "append")).lower() == "overwrite"

@@ -180,3 +180,95 @@ def test_sink_overwrite_and_ignore_flags(spark, mini_kudu):
                       "table_name": "ow",
                       "save_mode": "overwrite"}).write(df2)
     assert store.rows("ow") == [(1, "y")]
+
+
+# ---------------------------------------------------------------------------
+# Reference e2e confs (connector-kudu-e2e/src/test/resources) unmodified
+# ---------------------------------------------------------------------------
+
+_REF = ("/root/reference/seatunnel-e2e/seatunnel-connector-v2-e2e/"
+        "connector-kudu-e2e/src/test/resources")
+
+_E2E_COLS = [
+    K.Column("id", K.INT32, is_key=True),
+    K.Column("val_bool", K.BOOL, nullable=True),
+    K.Column("val_int8", K.INT8, nullable=True),
+    K.Column("val_int16", K.INT16, nullable=True),
+    K.Column("val_int32", K.INT32, nullable=True),
+    K.Column("val_int64", K.INT64, nullable=True),
+    K.Column("val_float", K.FLOAT, nullable=True),
+    K.Column("val_double", K.DOUBLE, nullable=True),
+    K.Column("val_decimal", K.STRING, nullable=True),
+    K.Column("val_string", K.STRING, nullable=True),
+    K.Column("val_unixtime_micros", K.UNIXTIME_MICROS, nullable=True),
+]
+
+
+@pytest.fixture()
+def kudu_e2e(monkeypatch):
+    import os
+
+    store, port, shutdown = start_mini_kudu(num_tablets=2)
+    monkeypatch.setitem(os.environ, "SEATUNNEL_SPARK_HOST_ALIASES",
+                        f"kudu-master=tcp://127.0.0.1:{port}")
+    yield store, port
+    shutdown()
+
+
+def _run_conf(spark, conf):
+    from seatunnel_spark.job.engine import JobEngine
+    from seatunnel_spark.job.spec import JobSpec
+
+    return JobEngine(spark).run(JobSpec.from_file(conf))
+
+
+def test_e2e_write_cdc_changelog_conf(spark, kudu_e2e):
+    """write-cdc-changelog-to-kudu.conf: 3 inserts, one -U/+U pair,
+    one delete -> rows 1 (updated val_int8=2) and 3 remain
+    (KuduIT.testWriteCdcChangelog)."""
+    store, _ = kudu_e2e
+    store.create_table("kudu_cdc_sink_table", _E2E_COLS)
+    _run_conf(spark, f"{_REF}/write-cdc-changelog-to-kudu.conf")
+    rows = store.rows("kudu_cdc_sink_table")
+    assert [r[0] for r in rows] == [1, 3]
+    by_id = {r[0]: r for r in rows}
+    assert by_id[1][2] == 2          # val_int8 updated via upsert
+    assert by_id[1][8] == "6.3"      # decimal carried canonically
+    assert by_id[3][9] == "NEW"
+
+
+def test_e2e_fake_to_kudu_multitable_and_back(spark, kudu_e2e):
+    """fake_to_kudu_with_multipletable.conf (bare kudu{} sink resolves
+    each table from the source's catalog table) then
+    kudu_to_assert_with_multipletable.conf reads both tables back
+    through table_list (KuduIT.testKuduMultipleRead)."""
+    store, _ = kudu_e2e
+    store.create_table("kudu_sink_1", _E2E_COLS)
+    store.create_table("kudu_sink_2", _E2E_COLS)
+    _run_conf(spark, f"{_REF}/fake_to_kudu_with_multipletable.conf")
+    assert len(store.rows("kudu_sink_1")) == 1
+    assert len(store.rows("kudu_sink_2")) == 1
+
+    # the assert conf reads kudu_source_table_1/2 — seed them from the
+    # just-written tables (the IT copies via a second job)
+    for i in (1, 2):
+        store.tables[f"kudu_source_table_{i}"] = store.tables[f"kudu_sink_{i}"]
+    tables = _run_conf(spark, f"{_REF}/kudu_to_assert_with_multipletable.conf")
+    assert any(df.count() == 2 for df in tables.values())
+
+
+def test_e2e_kudu_to_console_conf(spark, kudu_e2e):
+    """kudu_to_console.conf (actually kudu -> kudu: the sink block
+    writes kudu_sink_table): 5 seeded rows copy across tables."""
+    store, _ = kudu_e2e
+    store.create_table("kudu_source_table", _E2E_COLS)
+    store.create_table("kudu_sink_table", _E2E_COLS)
+    cl = K.KuduClient(f"127.0.0.1:{kudu_e2e[1]}")
+    try:
+        loc = cl.table_locations("kudu_source_table")[0]
+        cl.write("127.0.0.1", kudu_e2e[1], loc[0], _E2E_COLS,
+                 [(K.OP_INSERT, (i, True, 1, 2, 3, 4, 4.5, 5.5, "6.3",
+                                 "row", None)) for i in range(5)])
+    finally:
+        cl.close()
+    _run_conf(spark, f"{_REF}/kudu_to_console.conf")
