@@ -1012,6 +1012,38 @@ def stream_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming/__init__.py:stream_dedup,
+    dropDuplicatesWithinWatermark on streams): the events feed is
+    doubled to simulate at-least-once redelivery, then deduped by
+    event_id — duplicates are identical rows, so the surviving row is
+    deterministic and DuckDB replays it as DISTINCT."""
+    from seatunnel_spark.streaming import stream_dedup
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type")
+    doubled = e.union(e)
+    return stream_dedup(doubled, ["event_id"], "ts", "10 minutes").select(
+        "event_id", "user_id", "event_type")
+
+
+def stream_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/__init__.py:
+    stream_interval_join): clicks pair with the same user's purchases
+    within the next 30 minutes — watermarked, state-bounded on streams;
+    identical plan on the batch frame here, so DuckDB replays it."""
+    from seatunnel_spark.streaming import stream_interval_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id"))
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("bts"), F.col("event_id").alias("buy_id"))
+    out = stream_interval_join(clicks, buys, ["user_id"], "cts", "bts",
+                               "0 seconds", "30 minutes")
+    return out.select(clicks["user_id"], "click_id", "buy_id")
+
+
 # ===========================================================================
 # contract functions
 # ===========================================================================
@@ -1078,6 +1110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_stitched": cdc_stitched,
         "lake_changelog": lake_changelog,
         "stream_windowed_events": stream_windowed_events,
+        "stream_dedup_ids": stream_dedup_ids,
+        "stream_interval_join_events": stream_interval_join_events,
         "mm_image_features": mm_image_features,
         "mm_image_resize": mm_image_resize,
         # rows-only (no SQL oracle): model inference is inherently not
@@ -1763,6 +1797,16 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, match_id, cosine, rank FROM r WHERE rank <= 10
+        """,
+        "stream_dedup_ids": """
+            SELECT DISTINCT event_id, user_id, event_type FROM events
+        """,
+        "stream_interval_join_events": """
+            SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id
+            FROM events c JOIN events b
+              ON c.user_id = b.user_id
+             AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 30 MINUTE
+            WHERE c.event_type = 'click' AND b.event_type = 'purchase'
         """,
         "stream_windowed_events": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,

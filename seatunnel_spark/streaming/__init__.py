@@ -54,6 +54,41 @@ def stream_dedup(df: DataFrame, key_cols: list[str], ts_col: str, watermark: str
     return df.dropDuplicates(key_cols)
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream equi-join bounded by an event-time interval:
+    rows pair when keys match and right_ts in [left_ts + lower,
+    left_ts + upper].
+
+    On streaming frames both sides get watermarks and the time-range
+    predicate makes the join state BOUNDED (Spark evicts buffered rows
+    once the watermark passes the interval) — the only scale-safe shape
+    for joining two infinite streams. The same plan runs on batch
+    frames (where it compiles to a plain range-predicate join), so
+    results are replayable/oracle-checkable.
+    """
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    cond = None
+    for k in key_cols:
+        c = left[k] == right[k]
+        cond = c if cond is None else cond & c
+    lo = left[left_ts] + F.expr(f"INTERVAL {lower}")
+    hi = left[left_ts] + F.expr(f"INTERVAL {upper}")
+    cond = cond & (right[right_ts] >= lo) & (right[right_ts] <= hi)
+    return left.join(right, cond)
+
+
 def changelog_apply_writer(target_writer, primary_keys: list[str]):
     """foreachBatch function applying +I/-U/+U/-D semantics per batch.
 

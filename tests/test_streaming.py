@@ -254,3 +254,35 @@ def test_sink_ledger_makes_replay_noop(spark, tmp_path):
     s._process_batch(df, 8, ledger)      # next batch: writes
     assert writes == [2, 2]
     assert sorted(os.listdir(ledger)) == ["batch-7", "batch-8"]
+
+
+def test_stream_interval_join_stream_matches_batch(spark, tmp_path):
+    from seatunnel_spark.streaming import stream_interval_join
+
+    clicks = [(1, "2024-01-01 00:00:00", 100),
+              (1, "2024-01-01 01:00:00", 101),
+              (2, "2024-01-01 00:00:30", 102)]
+    buys = [(1, "2024-01-01 00:03:00", 200),   # within 5m of click 100
+            (1, "2024-01-01 02:00:00", 201),   # outside every interval
+            (2, "2024-01-01 00:04:00", 202)]   # within 5m of click 102
+
+    def mk(rows, ts_name, id_name):
+        df = spark.createDataFrame(rows, ["user_id", "s", id_name]) \
+            .withColumn(ts_name, F.to_timestamp("s")).drop("s")
+        path = str(tmp_path / id_name)
+        df.write.mode("overwrite").parquet(path)
+        return df, spark.readStream.schema(df.schema).parquet(path)
+
+    c_static, c_stream = mk(clicks, "cts", "click_id")
+    b_static, b_stream = mk(buys, "bts", "buy_id")
+    args = dict(key_cols=["user_id"], left_ts="cts", right_ts="bts",
+                lower="0 seconds", upper="5 minutes", watermark="1 hour")
+    got = _run_collect(
+        spark,
+        stream_interval_join(c_stream, b_stream, **args)
+        .select("click_id", "buy_id"),
+        tmp_path)
+    expected = stream_interval_join(c_static, b_static, **args) \
+        .select("click_id", "buy_id").collect()
+    assert {(r["click_id"], r["buy_id"]) for r in got} == \
+        {(r["click_id"], r["buy_id"]) for r in expected} == {(100, 200), (102, 202)}
