@@ -833,6 +833,19 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     centroids=_ivf_codebook(), round_to=4)
 
 
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (dataops/dedup.py:semantic_dedup): nearest-centroid
+    clustering over the fixed seeded codebook, within-cell cosine
+    pairs, keep the lowest id per duplicate relation — Σ cell² work,
+    never N². Oracle replays literal centroids like sim_ivf_topk."""
+    from seatunnel_spark.dataops.dedup import semantic_dedup
+
+    e = _emb_double(spark, sf_dir)
+    return semantic_dedup(e, "vec_id", "embedding",
+                          centroids=_ivf_codebook(), threshold=0.4,
+                          round_to=4)
+
+
 def cdc_stitched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CDC pipeline, oracle-checked end-to-end: a deterministic
     debezium-json feed + parquet snapshot derived from `orders` is
@@ -1106,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": sim_lsh_topk,
         "sim_ivf_topk": sim_ivf_topk,
         "dedup_simhash_pairs": dedup_simhash_pairs,
+        "dedup_semantic": dedup_semantic,
         "pipe_job_dag": pipe_job_dag,
         "cdc_stitched": cdc_stitched,
         "lake_changelog": lake_changelog,
@@ -1904,6 +1918,27 @@ def oracle_sql() -> dict[str, str]:
         # corpus vector to its argmax-cosine cell, probe each query's
         # top-2 cells, exact cosine + top-k inside. Centroids (and
         # their Python-computed norms) are full-precision literals.
+        "dedup_semantic": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS emb,
+                     sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])) AS nrm
+              FROM embeddings
+            ), sc AS (
+              SELECT vec_id, emb, nrm, {{ivf_scores}} AS scores FROM e
+            ), cells AS (
+              SELECT vec_id AS id, emb, nrm,
+                     (list_aggregate(scores, 'max')).i AS cell
+              FROM sc
+            ), dropped AS (
+              SELECT DISTINCT b.id
+              FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id
+              WHERE round(list_dot_product(a.emb, b.emb)
+                          / (a.nrm * b.nrm), 4) >= 0.4
+            )
+            SELECT c.id, c.cell, d.id IS NULL AS keep
+            FROM cells c LEFT JOIN dropped d ON c.id = d.id
+        """.format(ivf_scores=ivf_scores),
         "sim_ivf_topk": f"""
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS emb,

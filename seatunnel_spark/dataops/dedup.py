@@ -498,3 +498,64 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: cluster embeddings, prune near-dups
+# inside each cluster)
+# --------------------------------------------------------------------------
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    nlist: int = 16,
+    iters: int = 2,
+    threshold: float = 0.95,
+    round_to: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): quantize every
+    embedding to its nearest centroid, compare pairs ONLY within a
+    cluster, and drop each doc that has a higher-priority (lower-id)
+    semantic duplicate at cosine >= threshold.
+
+    -> (id, cell, keep) for every input row; filter on keep for the
+    pruned corpus.
+
+    100 TB shape: the all-pairs comparison SemDeDup's paper runs
+    per-cluster is here one equi-join on the cell id — Σ cell² work
+    instead of N², exactly the IVF trade. Cells come from a fixed
+    codebook (engine-replayable, oracle-checkable) or distributed
+    Lloyd's (similarity.train_ivf_centroids). The assigned frame is
+    lineage-cut before the self-join (see minhash_lsh_pairs).
+    """
+    from seatunnel_spark.dataops.similarity import (
+        _nearest_centroid, train_ivf_centroids)
+
+    if centroids is None:
+        centroids = train_ivf_centroids(df, vec_col, nlist=nlist, iters=iters)
+    v = F.col(vec_col).cast(T.ArrayType(T.DoubleType()))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    assigned = df.select(
+        F.col(id_col).alias("id"), v.alias("v"), norm.alias("n"),
+        _nearest_centroid(v, centroids).alias("cell"),
+    ).localCheckpoint(eager=False)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x) / (F.col("a.n") * F.col("b.n"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    dropped = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.id") < F.col("b.id")))
+        .filter(cos >= threshold)
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.select("id", "cell")
+        .join(dropped.withColumn("__drop", F.lit(True)), "id", "left")
+        .select("id", "cell",
+                F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"))
+    )

@@ -457,3 +457,21 @@ def test_pack_sequences_prefix_sum(spark):
         offset += n
     # docs cross pack boundaries (concat-and-chunk, not greedy-fill)
     assert any(r["pack_offset"] + r["n_tokens"] > 10 for r in out.values())
+
+
+def test_semantic_dedup_drops_near_identical(spark):
+    from seatunnel_spark.dataops.dedup import semantic_dedup
+
+    base = [1.0] + [0.0] * 7
+    near = [0.999] + [0.01] * 7           # cosine ~1 with base
+    far = [0.0] * 7 + [1.0]               # orthogonal
+    rows = [(1, base), (2, near), (3, far), (4, base)]
+    df = spark.createDataFrame(rows, "id int, embedding array<double>")
+    cents = [base, far]
+    out = {r["id"]: r for r in
+           semantic_dedup(df, "id", centroids=cents, threshold=0.95).collect()}
+    assert out[1]["keep"] is True         # lowest id in its dup set
+    assert out[2]["keep"] is False        # near-dup of 1
+    assert out[4]["keep"] is False        # exact dup of 1
+    assert out[3]["keep"] is True         # alone in its cell
+    assert out[1]["cell"] == out[2]["cell"] == out[4]["cell"] != out[3]["cell"]
