@@ -61,10 +61,16 @@ def test_sim_topk_broadcasts_queries_not_corpus(plans):
     assert "CartesianProduct" not in p
 
 
-def test_minhash_shuffle_carries_signatures_not_shingles(plans):
+def test_minhash_shuffle_carries_signatures_not_shingles(spark, sf_dir):
     # ONE hash-aggregate pair (partial_min then min) around one
-    # exchange: the shuffle payload is the fixed-width digests.
-    p = plans("dedup_minhash_pairs")
+    # exchange: the shuffle payload is the fixed-width digests. (The
+    # pair query's own plan hides this stage behind its lineage-cut
+    # checkpoint, so inspect the signature stage directly.)
+    from seatunnel_spark.dataops.dedup import minhash_signatures
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = minhash_signatures(df, "doc_id", "text")
+    p = sig._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in p
 
 
@@ -90,3 +96,49 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS bk_orders")
         spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+
+
+def test_no_cartesian_products_anywhere(plans):
+    """None of the bench queries may degrade to a cartesian product
+    (BroadcastNestedLoopJoin with a bounded broadcast side is fine)."""
+    import bench
+
+    for name in bench.BENCH_QUERIES:
+        assert "CartesianProduct" not in plans(name), name
+
+
+def test_decontam_benchmark_side_broadcasts(plans):
+    # the benchmark gram set must broadcast; the corpus side must not
+    # shuffle before the semi-join
+    p = plans("decontam_ngram")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_sampling_is_scan_only(plans):
+    # hash-split membership is a pure projection+filter: no exchange
+    # at all in the split assignment
+    p = plans("sample_split")
+    assert "Exchange" not in p
+
+
+def test_domain_mix_broadcasts_counts(plans):
+    # the per-domain keep-rate frame joins back as a broadcast; the
+    # corpus side must not shuffle for the join
+    p = plans("sample_domain_mix")
+    assert "BroadcastHashJoin" in p
+
+
+def test_minhash_single_signature_pass(plans):
+    # the lineage cut must leave exactly one signature computation:
+    # one scan of documents.parquet in the whole pair plan
+    p = plans("dedup_minhash_pairs")
+    assert p.count("FileScan parquet") <= 1
+
+
+def test_pack_docs_no_global_window(plans):
+    # the two-pass prefix sum must never fall back to a partition-less
+    # window (single-task global sort)
+    p = plans("pack_docs")
+    for line in p.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_pid" in line, f"global window leaked: {line}"
