@@ -80,14 +80,42 @@ def _decode_image_pil(content: bytes) -> tuple[int, int, str, list[float]]:
             [b / total for b in buckets])
 
 
+def _decode_image_png(content: bytes) -> tuple[int, int, str, list[float]]:
+    """Stdlib PNG path (dataops/png_codec.py — real decode, no deps):
+    full chunk/inflate/unfilter decode + 8-bin grayscale histogram."""
+    from seatunnel_spark.dataops import png_codec
+
+    img = png_codec.decode_png(content)
+    h, w = img.shape[:2]
+    return w, h, "png", png_codec.gray8_histogram_feature(img)
+
+
+def _decode_image_auto(content: bytes) -> tuple[int, int, str, list[float]]:
+    from seatunnel_spark.dataops import png_codec
+
+    if _pil_available():
+        return _decode_image_pil(content)
+    if png_codec.is_png(content):
+        try:
+            return _decode_image_png(content)
+        except png_codec.UnsupportedPng:
+            pass
+    return _decode_image_stub(content)
+
+
 def _pick_decoder(codec: str):
-    """codec='stub' pins determinism (oracle queries), 'pil' forces the
-    real codec, 'auto' (library default) uses PIL when importable."""
+    """codec='stub' pins determinism (oracle queries), 'pil'/'png'
+    force a real codec, 'auto' (library default) prefers PIL, then the
+    stdlib PNG decoder when the bytes are PNG, then the stub — so the
+    mm_* oracle rows (non-PNG synthetic bytes) stay stable while real
+    PNG corpora decode for real even without PIL."""
     if codec == "stub":
         return _decode_image_stub
     if codec == "pil":
         return _decode_image_pil
-    return _decode_image_pil if _pil_available() else _decode_image_stub
+    if codec == "png":
+        return _decode_image_png
+    return _decode_image_auto
 
 
 def image_features(df: DataFrame, content_col: str = "content",
@@ -138,6 +166,8 @@ def image_resize(df: DataFrame, width: int, height: int,
     )
 
     def run(batches):
+        from seatunnel_spark.dataops import png_codec
+
         use_pil = (codec == "pil"
                    or (codec == "auto" and _pil_available()))
         for pdf in batches:
@@ -153,6 +183,14 @@ def image_resize(df: DataFrame, width: int, height: int,
                     buf = io.BytesIO()
                     img.save(buf, format="PNG")
                     out_bytes.append(buf.getvalue())
+                    metas.append({"width": width, "height": height,
+                                  "format": "png"})
+                elif (codec in ("auto", "png")
+                      and png_codec.is_png(src)):
+                    # stdlib path: real decode -> nearest resize -> PNG
+                    resized = png_codec.resize_nearest(
+                        png_codec.decode_png(src), width, height)
+                    out_bytes.append(png_codec.encode_png(resized))
                     metas.append({"width": width, "height": height,
                                   "format": "png"})
                 else:

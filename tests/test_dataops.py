@@ -475,3 +475,89 @@ def test_semantic_dedup_drops_near_identical(spark):
     assert out[4]["keep"] is False        # exact dup of 1
     assert out[3]["keep"] is True         # alone in its cell
     assert out[1]["cell"] == out[2]["cell"] == out[4]["cell"] != out[3]["cell"]
+
+
+def test_png_codec_roundtrip_and_filters():
+    import numpy as np
+    import struct
+    import zlib
+
+    from seatunnel_spark.dataops import png_codec as P
+
+    rng = np.random.default_rng(3)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(13, 9, ch), dtype=np.uint8)
+        back = P.decode_png(P.encode_png(img))
+        assert np.array_equal(back, img), f"{ch}-channel roundtrip"
+    # every filter type decodes correctly: build a raw stream per filter
+    # and compare against a reference unfiltered image
+    img = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    flat = img.reshape(4, 15).astype(int)
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    def build(filter_type):
+        rows = []
+        prev = np.zeros(15, dtype=int)
+        for y in range(4):
+            cur = flat[y]
+            if filter_type == 1:
+                enc = [(cur[i] - (cur[i - 3] if i >= 3 else 0)) % 256
+                       for i in range(15)]
+            elif filter_type == 2:
+                enc = [(cur[i] - prev[i]) % 256 for i in range(15)]
+            elif filter_type == 3:
+                enc = [(cur[i] - (((cur[i - 3] if i >= 3 else 0) + prev[i]) >> 1)) % 256
+                       for i in range(15)]
+            elif filter_type == 4:
+                enc = [(cur[i] - P._paeth(int(cur[i - 3]) if i >= 3 else 0,
+                                          int(prev[i]),
+                                          int(prev[i - 3]) if i >= 3 else 0)) % 256
+                       for i in range(15)]
+            rows.append(bytes([filter_type]) + bytes(enc))
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", 5, 4, 8, 2, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+                + chunk(b"IEND", b""))
+
+    for ft in (1, 2, 3, 4):
+        assert np.array_equal(P.decode_png(build(ft)), img), f"filter {ft}"
+    # palette decode
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    raw = b"\x00" + idx[0].tobytes() + b"\x00" + idx[1].tobytes()
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    pal_png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"PLTE", plte)
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    out = P.decode_png(pal_png)
+    assert out[0, 0].tolist() == [255, 0, 0]
+    assert out[1, 0].tolist() == [0, 0, 255]
+
+
+def test_image_ops_real_png_without_pil(spark):
+    import numpy as np
+
+    from seatunnel_spark.dataops import png_codec as P
+    from seatunnel_spark.dataops.multimodal import image_features, image_resize
+
+    rng = np.random.default_rng(11)
+    rows = [(i, P.encode_png(
+        rng.integers(0, 256, size=(20 + i, 30 + i, 3), dtype=np.uint8)))
+        for i in range(4)]
+    df = spark.createDataFrame(rows, "img_id int, content binary")
+    feats = {r["img_id"]: r for r in
+             image_features(df, codec="auto").collect()}
+    for i in range(4):
+        meta = feats[i]["image_meta"]
+        assert (meta["width"], meta["height"], meta["format"]) == \
+            (30 + i, 20 + i, "png")
+        assert abs(sum(feats[i]["image_feat"]) - 1.0) < 1e-6
+    resized = image_resize(df, 8, 6, codec="auto").collect()
+    for r in resized:
+        out = P.decode_png(bytes(r["content"]))
+        assert out.shape == (6, 8, 3)
+        assert r["resized_meta"]["format"] == "png"
