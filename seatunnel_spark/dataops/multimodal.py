@@ -208,7 +208,20 @@ def image_resize(df: DataFrame, width: int, height: int,
 
 
 def _decode_audio(content: bytes) -> tuple[int, int, str]:
-    """STUB decoder. Real impl: soundfile/librosa. Deterministic fake."""
+    """RIFF/WAVE PCM decodes for real via the stdlib `wave` module
+    (sample rate + frame count straight from the fmt/data chunks);
+    compressed codecs (mp3/flac/ogg) need native libs and fall back to
+    the deterministic stub until deploy-time wiring."""
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(content)) as w:
+                return (w.getframerate(), w.getnframes(),
+                        f"pcm_s{8 * w.getsampwidth()}le")
+        except wave.Error:
+            pass
     h = hashlib.sha256(content or b"").digest()
     return 16000, 16000 * (1 + h[2] % 30), "fake/pcm"
 

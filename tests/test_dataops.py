@@ -561,3 +561,25 @@ def test_image_ops_real_png_without_pil(spark):
         out = P.decode_png(bytes(r["content"]))
         assert out.shape == (6, 8, 3)
         assert r["resized_meta"]["format"] == "png"
+
+
+def test_audio_metadata_real_wav(spark):
+    import io
+    import struct
+    import wave
+
+    from seatunnel_spark.dataops.multimodal import audio_metadata
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(struct.pack("<" + "h" * 500, *([0] * 500)))
+    wav = buf.getvalue()
+    df = spark.createDataFrame([(1, wav), (2, b"not audio")],
+                               "aid int, content binary")
+    out = {r["aid"]: r["audio_meta"] for r in audio_metadata(df).collect()}
+    assert (out[1]["sample_rate"], out[1]["n_samples"],
+            out[1]["codec"]) == (44100, 500, "pcm_s16le")
+    assert out[2]["codec"] == "fake/pcm"   # non-WAV falls back to stub
