@@ -5,11 +5,15 @@ column; decode/feature steps are Arrow-batched `mapInPandas` stages so
 each Python worker amortizes codec setup over a batch and the data
 never leaves executor memory.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so
-`_decode_image`/`_decode_audio` are deterministic fakes behind the
-same signatures — the Spark-side plumbing (schema, batching,
-partitioning) is real and tested. Swap the fake for the real decoder
-at deploy time.
+Codec chain, best-real-first with deterministic stubs as the floor:
+images decode via PIL when importable, else the stdlib PNG codec
+(dataops/png_codec.py) for PNG bytes; WAV audio parses through the
+stdlib `wave` module; MP4/MOV metadata comes from a stdlib ISO BMFF
+box walk. Compressed formats that genuinely need native libs
+(JPEG/mp3/H.264 frames) fall back to deterministic sha256 fakes with
+the real signatures — the Spark-side plumbing (schema, batching,
+partitioning) is identical either way, so swapping in a deploy-time
+codec changes no plan shape.
 """
 
 from __future__ import annotations
@@ -252,3 +256,85 @@ def frame_sample_plan(df: DataFrame, meta_col: str = "audio_meta",
         "frame_offset",
         F.explode(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n))),
     )
+
+
+# --------------------------------------------------------------------------
+# video metadata (stdlib ISO BMFF / MP4 box parse)
+# --------------------------------------------------------------------------
+
+VIDEO_META = T.StructType(
+    [
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("container", T.StringType()),
+    ]
+)
+
+
+def _decode_video_meta(content: bytes) -> tuple[int, int, int, str]:
+    """ISO BMFF (MP4/MOV) metadata without any decoder: walk the box
+    tree per the ISO 14496-12 layout — mvhd gives timescale+duration,
+    tkhd carries the 16.16 fixed-point track dimensions. Non-BMFF
+    bytes fall back to a deterministic stub (like image/audio)."""
+    import struct as _s
+
+    def walk(buf, start, end, want):
+        found = {}
+        pos = start
+        while pos + 8 <= end:
+            size, = _s.unpack_from(">I", buf, pos)
+            btype = buf[pos + 4:pos + 8]
+            body, hdr = pos + 8, 8
+            if size == 1:  # 64-bit largesize
+                size, = _s.unpack_from(">Q", buf, pos + 8)
+                body, hdr = pos + 16, 16
+            if size < hdr or pos + size > end:
+                break
+            if btype in want:
+                found.setdefault(btype, []).append((body, pos + size))
+            if btype in (b"moov", b"trak"):
+                for k, v in walk(buf, body, pos + size, want).items():
+                    found.setdefault(k, []).extend(v)
+            pos += size
+        return found
+
+    if len(content) >= 12 and content[4:8] == b"ftyp":
+        boxes = walk(content, 0, len(content), {b"mvhd", b"tkhd"})
+        dur_ms, w, h = 0, 0, 0
+        if boxes.get(b"mvhd"):
+            s, _ = boxes[b"mvhd"][0]
+            ver = content[s]
+            if ver == 1:
+                scale, dur = _s.unpack_from(">IQ", content, s + 4 + 16)
+            else:
+                scale, dur = _s.unpack_from(">II", content, s + 4 + 8)
+            dur_ms = int(dur * 1000 // (scale or 1))
+        for s, _ in boxes.get(b"tkhd", []):
+            ver = content[s]
+            off = s + 4 + (32 if ver == 1 else 20) + 52
+            if off + 8 <= len(content):
+                tw, th = _s.unpack_from(">II", content, off)
+                w, h = max(w, tw >> 16), max(h, th >> 16)
+        return dur_ms, w, h, "mp4"
+    hd = hashlib.sha256(content or b"").digest()
+    return 1000 * (1 + hd[3] % 120), 640, 360, "fake/container"
+
+
+def video_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Append video_meta (duration_ms, width, height, container) — the
+    same Arrow-batched mapInPandas shape as image/audio; planning
+    frame-sample stages over hours of video never touches a decoder."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("video_meta", VIDEO_META)])
+
+    def run(batches):
+        for pdf in batches:
+            pdf["video_meta"] = [
+                dict(zip(("duration_ms", "width", "height", "container"),
+                         _decode_video_meta(bytes(c) if c is not None else b"")))
+                for c in pdf[content_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -583,3 +583,27 @@ def test_audio_metadata_real_wav(spark):
     assert (out[1]["sample_rate"], out[1]["n_samples"],
             out[1]["codec"]) == (44100, 500, "pcm_s16le")
     assert out[2]["codec"] == "fake/pcm"   # non-WAV falls back to stub
+
+
+def test_video_metadata_real_mp4_boxes(spark):
+    import struct
+
+    from seatunnel_spark.dataops.multimodal import video_metadata
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    # mvhd v0: timescale 1000, duration 7500 -> 7500 ms
+    mvhd = box(b"mvhd", bytes(4) + bytes(8) + struct.pack(">II", 1000, 7500)
+               + bytes(80))
+    # tkhd v0: 16.16 fixed dims 1280x720 at offset ver+flags+20+52
+    tkhd = box(b"tkhd", bytes(4) + bytes(20) + bytes(52)
+               + struct.pack(">II", 1280 << 16, 720 << 16))
+    mp4 = (box(b"ftyp", b"isom" + bytes(8))
+           + box(b"moov", mvhd + box(b"trak", tkhd)))
+    df = spark.createDataFrame([(1, mp4), (2, b"not video")],
+                               "vid int, content binary")
+    out = {r["vid"]: r["video_meta"] for r in video_metadata(df).collect()}
+    assert (out[1]["duration_ms"], out[1]["width"], out[1]["height"],
+            out[1]["container"]) == (7500, 1280, 720, "mp4")
+    assert out[2]["container"] == "fake/container"
