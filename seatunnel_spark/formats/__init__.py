@@ -39,28 +39,87 @@ def _value_str(df: DataFrame) -> Column:
     return col
 
 
-def decode_json(df: DataFrame, schema_opt) -> DataFrame:
+def decode_json(df: DataFrame, schema_opt,
+                error_handle_way: str = "fail") -> DataFrame:
+    """error_handle_way mirrors the reference's
+    format_error_handle_way (MessageFormatErrorHandleWay): 'skip'
+    drops undecodable records (from_json -> null struct), 'fail'
+    surfaces them as an execution error (FAILFAST)."""
     schema = _schema_of(schema_opt)
-    return (
-        df.select(F.from_json(_value_str(df), schema).alias("r"))
-        .select("r.*")
-        .withColumn(ROW_KIND_COL, F.lit("+I"))
-    )
+    way = str(error_handle_way or "fail").lower()
+    opts = {} if way == "skip" else {"mode": "FAILFAST"}
+    value = _value_str(df)
+    out = df.select(value.alias("__v"),
+                    F.from_json(value, schema, opts).alias("r"))
+    if way == "skip":
+        out = out.filter(F.col("r").isNotNull() | F.col("__v").isNull())
+    return out.select("r.*").withColumn(ROW_KIND_COL, F.lit("+I"))
 
 
-def decode_text(df: DataFrame, schema_opt, delimiter: str = ",") -> DataFrame:
+def decode_text(df: DataFrame, schema_opt, delimiter: str = ",",
+                error_handle_way: str = "fail") -> DataFrame:
+    """Delimited-text decode. Complex fields (map/array/struct) are
+    JSON inside their slot, like the reference's TextSerializationSchema.
+
+    format_error_handle_way: 'fail' lets the ANSI cast raise on any
+    malformed field (TextDeserializationSchema throws); 'skip' drops a
+    row when the line is short OR any present field fails its typed
+    parse (try_cast/from_json null on non-null input) — the
+    reference's whole-row-skip-on-exception semantics."""
     schema = _schema_of(schema_opt)
     parts = F.split(_value_str(df), delimiter)
-    cols = [
-        parts.getItem(i).cast(f.dataType).alias(f.name)
-        for i, f in enumerate(schema.fields)
-    ]
-    return df.select(*cols).withColumn(ROW_KIND_COL, F.lit("+I"))
+    skip = str(error_handle_way or "fail").lower() == "skip"
+
+    def conv(i: int, f: T.StructField):
+        raw = F.try_element_at(parts, F.lit(i + 1)) if skip else parts.getItem(i)
+        if isinstance(f.dataType, (T.MapType, T.ArrayType, T.StructType)):
+            return F.from_json(raw, f.dataType)
+        return raw.try_cast(f.dataType) if skip else raw.cast(f.dataType)
+
+    out = df
+    if skip:
+        out = out.filter(F.size(parts) >= len(schema.fields))
+        raws = [F.try_element_at(parts, F.lit(i + 1))
+                for i in range(len(schema.fields))]
+        typed = [conv(i, f) for i, f in enumerate(schema.fields)]
+        bad = None
+        for r, t in zip(raws, typed):
+            b = r.isNotNull() & (F.length(F.trim(r)) > 0) & t.isNull()
+            bad = b if bad is None else (bad | b)
+        out = out.filter(~bad)
+    cols = [conv(i, f).alias(f.name) for i, f in enumerate(schema.fields)]
+    return out.select(*cols).withColumn(ROW_KIND_COL, F.lit("+I"))
+
+
+def _lenient_schema(schema: T.StructType) -> T.StructType:
+    """Envelope-payload schema with primitives as STRINGS: CDC writers
+    (canal especially) emit every scalar as a JSON string ("id":"1101"),
+    and from_json with a typed field nulls those out. Decode text-first,
+    cast after — the reference's JsonToRowConverters leniency."""
+    return T.StructType([
+        T.StructField(
+            f.name,
+            f.dataType if isinstance(
+                f.dataType, (T.MapType, T.ArrayType, T.StructType))
+            else T.StringType())
+        for f in schema.fields
+    ])
+
+
+def _typed_field(payload: Column, f: T.StructField) -> Column:
+    if isinstance(f.dataType, (T.MapType, T.ArrayType, T.StructType)):
+        return payload[f.name].alias(f.name)
+    if isinstance(f.dataType, T.BinaryType):
+        # JSON carries bytes base64-encoded (JsonToRowConverters)
+        return F.unbase64(payload[f.name]).alias(f.name)
+    return payload[f.name].cast(f.dataType).alias(f.name)
 
 
 def _two_phase(df: DataFrame, schema: T.StructType, before: Column, after: Column,
                op: Column, ins: str, upd: str, dele: str) -> DataFrame:
-    """Shared CDC expansion: updates emit -U (before) then +U (after)."""
+    """Shared CDC expansion: updates emit -U (before) then +U (after).
+    `before`/`after` are structs in the _lenient_schema shape; the
+    final projection casts them to the declared types."""
     rows = F.filter(
         F.array(
             F.struct(
@@ -80,9 +139,9 @@ def _two_phase(df: DataFrame, schema: T.StructType, before: Column, after: Colum
         lambda s: s["kind"].isNotNull(),
     )
     exploded = df.select(F.explode(rows).alias("e"))
-    payload = F.from_json(F.to_json(F.col("e.payload")), schema)
+    payload = F.col("e.payload")
     return exploded.select(
-        *[payload[f.name].alias(f.name) for f in schema.fields],
+        *[_typed_field(payload, f) for f in schema.fields],
         F.col("e.kind").alias(ROW_KIND_COL),
     )
 
@@ -90,10 +149,11 @@ def _two_phase(df: DataFrame, schema: T.StructType, before: Column, after: Colum
 def decode_debezium(df: DataFrame, schema_opt) -> DataFrame:
     """Debezium envelope {before, after, op} (DebeziumRowConverter.java)."""
     schema = _schema_of(schema_opt)
+    lenient = _lenient_schema(schema)
     env = T.StructType(
         [
-            T.StructField("before", schema),
-            T.StructField("after", schema),
+            T.StructField("before", lenient),
+            T.StructField("after", lenient),
             T.StructField("op", T.StringType()),
         ]
     )
@@ -108,10 +168,11 @@ def _decode_array_env(df: DataFrame, schema: T.StructType, data_field: str,
                       old_field: str, type_field: str,
                       ins: str, upd: str, dele: str) -> DataFrame:
     """Canal/Maxwell-style envelope where `data` is an array of rows."""
+    lenient = _lenient_schema(schema)
     env = T.StructType(
         [
-            T.StructField(data_field, T.ArrayType(schema)),
-            T.StructField(old_field, T.ArrayType(schema)),
+            T.StructField(data_field, T.ArrayType(lenient)),
+            T.StructField(old_field, T.ArrayType(lenient)),
             T.StructField(type_field, T.StringType()),
         ]
     )
@@ -134,10 +195,11 @@ def decode_canal(df: DataFrame, schema_opt) -> DataFrame:
 def decode_maxwell(df: DataFrame, schema_opt) -> DataFrame:
     """Maxwell envelope {data:{...}, old:{...}, type} — single-row data."""
     schema = _schema_of(schema_opt)
+    lenient = _lenient_schema(schema)
     env = T.StructType(
         [
-            T.StructField("data", schema),
-            T.StructField("old", schema),
+            T.StructField("data", lenient),
+            T.StructField("old", lenient),
             T.StructField("type", T.StringType()),
         ]
     )
@@ -151,10 +213,11 @@ def decode_maxwell(df: DataFrame, schema_opt) -> DataFrame:
 def decode_ogg(df: DataFrame, schema_opt) -> DataFrame:
     """Oracle GoldenGate envelope {before, after, op_type: I|U|D}."""
     schema = _schema_of(schema_opt)
+    lenient = _lenient_schema(schema)
     env = T.StructType(
         [
-            T.StructField("before", schema),
-            T.StructField("after", schema),
+            T.StructField("before", lenient),
+            T.StructField("after", lenient),
             T.StructField("op_type", T.StringType()),
         ]
     )
@@ -226,8 +289,9 @@ _DECODERS = {
 def decode_payload(df: DataFrame, fmt: str, schema_opt, delimiter: str = ",",
                    **opts) -> DataFrame:
     fmt = fmt.upper()
+    way = opts.get("error_handle_way", "fail")
     if fmt == "TEXT":
-        return decode_text(df, schema_opt, delimiter)
+        return decode_text(df, schema_opt, delimiter, way)
     if fmt == "AVRO":
         return decode_avro(df, schema_opt, opts.get("avro_schema"))
     if fmt == "PROTOBUF":
@@ -235,4 +299,6 @@ def decode_payload(df: DataFrame, fmt: str, schema_opt, delimiter: str = ",",
                                opts.get("protobuf_message_name"))
     if fmt not in _DECODERS:
         raise ValueError(f"unknown message format {fmt!r}; known: {sorted(_DECODERS)}")
+    if fmt == "JSON":
+        return decode_json(df, schema_opt, way)
     return _DECODERS[fmt](df, schema_opt)

@@ -229,7 +229,20 @@ class JobEngine:
                     observations.append((blk.plugin, name, obs))
         for plugin, name, obs in observations:
             try:
-                self.metrics[f"{plugin}.{name}.rows_written"] = obs.get["rows"]
+                # Observation.get BLOCKS until the SQL-execution event
+                # fires; a sink that ran an RDD-level action (or none)
+                # never produces one. Poll the JVM side non-blockingly
+                # so a mis-declared sink degrades to a missing metric,
+                # not a deadlock.
+                import time as _time
+
+                jo = getattr(obs, "_jo", None)
+                for _ in range(50):
+                    if jo is not None and not jo.getOrEmpty().isEmpty():
+                        self.metrics[f"{plugin}.{name}.rows_written"] = \
+                            obs.get["rows"]
+                        break
+                    _time.sleep(0.1)
             except Exception:
                 pass  # sink did not trigger an action (e.g. pure-plan sink)
         if streaming:

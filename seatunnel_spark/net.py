@@ -38,3 +38,18 @@ def apply_host_aliases(url: str, aliases: str | None = None) -> str:
         return urlunsplit((parts.scheme, netloc, parts.path,
                            parts.query, parts.fragment))
     return url
+
+
+def resolve_jdbc_url(url: str) -> str:
+    """Apply host aliases to a jdbc:...//host:port/db URL on the DRIVER
+    so closures ship final endpoints (executor Python workers are
+    long-lived and don't see late env changes). Only the netloc is
+    taken from the alias — the jdbc sub-scheme (postgresql/mysql/...)
+    carries dialect information and must survive even a full-endpoint
+    alias like "postgresql=tcp://127.0.0.1:5433"."""
+    prefix, rest = ("jdbc:", url[len("jdbc:"):]) if url.startswith("jdbc:") \
+        else ("", url)
+    parts = urlsplit(rest)
+    resolved = urlsplit(apply_host_aliases(rest))
+    return prefix + urlunsplit((parts.scheme, resolved.netloc, parts.path,
+                                parts.query, parts.fragment))

@@ -58,8 +58,16 @@ def compact_changelog(df: DataFrame, keys: list[str]) -> DataFrame:
 class JdbcSink(Sink):
     NAME = "Jdbc"
 
+    def wants_observation(self) -> bool:
+        # every write path here drives foreachPartition — an RDD-level
+        # action that never emits the SQL-execution event Observation
+        # listens for, so an engine-wrapped observe would block forever
+        return False
+
     def write(self, df: DataFrame) -> None:
-        url = self.require("url")
+        from seatunnel_spark.net import resolve_jdbc_url
+
+        url = resolve_jdbc_url(self.require("url"))
         table = self.opt("table") or self.require("table_path")
         user = str(self.opt("user", ""))
         password = str(self.opt("password", ""))

@@ -36,7 +36,9 @@ class JdbcSource(Source):
     NAME = "Jdbc"
 
     def read(self, spark: SparkSession) -> DataFrame:
-        url = self.require("url")
+        from seatunnel_spark.net import resolve_jdbc_url
+
+        url = resolve_jdbc_url(self.require("url"))
         props = {
             "user": str(self.opt("user", "")),
             "password": str(self.opt("password", "")),

@@ -37,12 +37,31 @@ def _kafka_jar_available(spark: SparkSession) -> bool:
 class KafkaSource(Source):
     NAME = "Kafka"
 
+    def _starting_offsets_json(self) -> str:
+        """Map the reference's start_mode vocabulary
+        (StartMode.java: EARLIEST/LATEST/GROUP_OFFSETS/TIMESTAMP/
+        SPECIFIC_OFFSETS + start_mode.offsets) to Spark's
+        startingOffsets."""
+        mode = str(self.opt("start_mode", "earliest")).lower()
+        if mode == "specific_offsets":
+            offs = self.opt("start_mode.offsets") or {}
+            by_topic: dict[str, dict[str, int]] = {}
+            for key, off in offs.items():
+                topic, _, part = str(key).rpartition("-")
+                by_topic.setdefault(topic, {})[part] = int(off)
+            return json.dumps(by_topic)
+        if mode == "latest":
+            return "latest"
+        # group_offsets/timestamp: no committed-offset store on the
+        # Spark reader — earliest is the reference's reset fallback
+        return "earliest"
+
     def _base(self, reader):
         reader = (
             reader.format("kafka")
             .option("kafka.bootstrap.servers", self.require("bootstrap.servers"))
             .option("subscribe", self.require("topic"))
-            .option("startingOffsets", self.opt("start_mode", "earliest"))
+            .option("startingOffsets", self._starting_offsets_json())
         )
         for k, v in (self.opt("kafka.config") or {}).items():
             reader = reader.option(f"kafka.{k}", v)
@@ -57,6 +76,7 @@ class KafkaSource(Source):
             avro_schema=self.opt("avro.schema"),
             protobuf_schema_file=self.opt("protobuf_schema_file"),
             protobuf_message_name=self.opt("protobuf_message_name"),
+            error_handle_way=self.opt("format_error_handle_way", "fail"),
         )
 
     # -- wire-protocol fallback -------------------------------------------
@@ -67,12 +87,26 @@ class KafkaSource(Source):
 
         bootstrap = resolve_bootstrap(self.require("bootstrap.servers"))
         topic = self.require("topic")
+        mode = str(self.opt("start_mode", "earliest")).lower()
+        spec_offsets = self.opt("start_mode.offsets") or {}
+        ts_arg = int(self.opt("start_mode.timestamp") or 0)
         cl = KafkaWireClient(bootstrap)
         try:
             parts = cl.metadata([topic]).get(topic, [0])
+            starts = {}
+            for p in parts:
+                if mode == "specific_offsets":
+                    starts[p] = int(spec_offsets.get(f"{topic}-{p}", 0))
+                elif mode == "latest":
+                    starts[p] = cl.list_offset(topic, p, -1)
+                elif mode == "timestamp":
+                    starts[p] = cl.list_offset(topic, p, ts_arg)
+                else:  # earliest / group_offsets reset fallback
+                    starts[p] = cl.list_offset(topic, p, -2)
         finally:
             cl.close()
-        pdf = spark.createDataFrame([(p,) for p in parts], "p int") \
+        pdf = spark.createDataFrame(
+            [(p, starts[p]) for p in parts], "p int, start long") \
             .repartition(max(1, len(parts)))
 
         def fetch_parts(batches):
@@ -81,12 +115,12 @@ class KafkaSource(Source):
             cl = KafkaWireClient(bootstrap)
             try:
                 for frame in batches:
-                    for p in frame["p"]:
+                    for p, start in zip(frame["p"], frame["start"]):
                         rows = [
                             (v.decode() if v is not None else None,
                              k.decode() if k is not None else None,
                              int(p), int(off))
-                            for off, k, v in cl.fetch(topic, int(p), 0)
+                            for off, k, v in cl.fetch(topic, int(p), int(start))
                         ]
                         yield pd.DataFrame(
                             rows, columns=["value", "key", "partition",

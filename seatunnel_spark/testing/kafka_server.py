@@ -128,7 +128,11 @@ class MiniKafka:
                     pid, ts = struct.unpack_from(">iq", body, i)
                     i += 12
                     log = self.logs.get((topic, pid), [])
-                    off = 0 if ts == -2 else len(log)
+                    # -2 earliest, -1 latest; a real broker indexes by
+                    # record time for ts >= 0 — the mini has no time
+                    # index and everything it holds was appended "now",
+                    # so any historical ts resolves to the log start
+                    off = len(log) if ts == -1 else 0
                     out += struct.pack(">ihqq", pid, 0, -1, off)
             return out
         if api == 1:  # Fetch v4

@@ -1,0 +1,107 @@
+"""Reference cdc-format e2e confs unmodified: Kafka (canal/maxwell/ogg
+envelopes) -> Jdbc postgres sink with generate_sink_sql + primary_keys.
+Two in-process backends (mini Kafka broker + mini pg capture server);
+the DML the sink speaks over the pg wire is replayed into DuckDB and
+the final table must equal the exact row sets KafkaFormatIT asserts
+(checkCanalFormat / checkMaxwellFormat / checkOggFormat)."""
+
+import os
+
+import duckdb
+import pytest
+
+from seatunnel_spark.job.engine import JobEngine
+from seatunnel_spark.job.spec import JobSpec
+from seatunnel_spark.testing.kafka_server import start_mini_kafka
+from seatunnel_spark.testing.pg_server import start_mini_pg
+
+_RES = ("/root/reference/seatunnel-e2e/seatunnel-connector-v2-e2e/"
+        "connector-kafka-e2e/src/test/resources")
+
+CANAL_EXPECTED = [
+    (1101, "scooter", "Small 2-wheel scooter", "4.56"),
+    (1102, "car battery", "12V car battery", "8.1"),
+    (1103, "12-pack drill bits",
+     "12-pack of drill bits with sizes ranging from #40 to #3", "0.8"),
+    (1104, "hammer", "12oz carpenter's hammer", "0.75"),
+    (1105, "hammer", "14oz carpenter's hammer", "0.875"),
+    (1106, "hammer", "16oz carpenter's hammer", "1.0"),
+    (1107, "rocks", "box of assorted rocks", "7.88"),
+    (1108, "jacket", "water resistent black wind breaker", "0.1"),
+]
+
+MAXWELL_EXPECTED = [
+    (101, "scooter", "Small 2-wheel scooter", "4.56"),
+    (102, "car battery", "12V car battery", "8.1"),
+    (103, "12-pack drill bits",
+     "12-pack of drill bits with sizes ranging from #40 to #3", "0.8"),
+    (104, "hammer", "12oz carpenter's hammer", "0.75"),
+    (105, "hammer", "14oz carpenter's hammer", "0.875"),
+    (106, "hammer", "16oz carpenter's hammer", "1.0"),
+    (107, "rocks", "box of assorted rocks", "7.88"),
+    (108, "jacket", "water resistent black wind breaker", "0.1"),
+]
+
+OGG_EXPECTED = [
+    (101, "scooter", "Small 2-wheel scooter", "3.140000104904175"),
+    (102, "car battery", "12V car battery", "8.100000381469727"),
+    (103, "12-pack drill bits",
+     "12-pack of drill bits with sizes ranging from #40 to #3",
+     "0.800000011920929"),
+    (104, "hammer", "12oz carpenter's hammer", "0.75"),
+    (105, "hammer", "14oz carpenter's hammer", "0.875"),
+    (106, "hammer", "18oz carpenter hammer", "1"),
+    (107, "rocks", "box of assorted rocks", "5.099999904632568"),
+    (108, "jacket", "water resistent black wind breaker",
+     "0.10000000149011612"),
+    (109, "spare tire", "24 inch spare tire", "22.200000762939453"),
+    (110, "jacket", "new water resistent white wind breaker", "0.5"),
+]
+
+
+@pytest.fixture()
+def backends(monkeypatch):
+    broker, kport, kstop = start_mini_kafka()
+    pg, pgport, pgstop = start_mini_pg(user="test", password="test")
+    monkeypatch.setitem(
+        os.environ, "SEATUNNEL_SPARK_HOST_ALIASES",
+        f"kafka_e2e=tcp://127.0.0.1:{kport},"
+        f"postgresql=tcp://127.0.0.1:{pgport}")
+    yield broker, pg
+    kstop()
+    pgstop()
+
+
+def _seed_from_file(broker, topic, path):
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    broker.seed(topic, lines)
+
+
+def _replay_into_duckdb(pg, table="public.sink"):
+    con = duckdb.connect()
+    con.execute("CREATE SCHEMA IF NOT EXISTS public")
+    con.execute(f"CREATE TABLE {table} (id INTEGER PRIMARY KEY, "
+                "name VARCHAR, description VARCHAR, weight VARCHAR)")
+    for sql in pg.statements:
+        head = sql.split()[0].upper() if sql.split() else ""
+        if head in ("INSERT", "UPDATE", "DELETE", "BEGIN", "COMMIT"):
+            con.execute(sql)
+    return con.execute(
+        f"SELECT id, name, description, weight FROM {table} "
+        "ORDER BY id").fetchall()
+
+
+@pytest.mark.parametrize("conf,data,topic,expected", [
+    ("canalFormatIT/kafka_source_canal_cdc_to_pgsql.conf",
+     "canal/canal_data.txt", "test-cdc_mds", CANAL_EXPECTED),
+    ("maxwellFormatIT/kafkasource_maxwell_cdc_to_pgsql.conf",
+     "maxwell/maxwell_data.txt", "maxwell-test-cdc_mds", MAXWELL_EXPECTED),
+    ("oggFormatIT/kafka_source_ogg_to_pgsql.conf",
+     "ogg/ogg_data.txt", "test-ogg-source", OGG_EXPECTED),
+], ids=["canal", "maxwell", "ogg"])
+def test_cdc_format_to_pg_conf(spark, backends, conf, data, topic, expected):
+    broker, pg = backends
+    _seed_from_file(broker, topic, f"{_RES}/{data}")
+    JobEngine(spark).run(JobSpec.from_file(f"{_RES}/{conf}"))
+    assert _replay_into_duckdb(pg) == [tuple(r) for r in expected]

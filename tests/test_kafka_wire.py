@@ -148,3 +148,73 @@ def test_kafka_default_sink_conf_runs_unmodified(spark, kafka):
         f"{_RES}/kafka_default_sink_fake_to_kafka.conf"))
     topics = {t for (t, p) in broker.logs if broker.logs[(t, p)]}
     assert any("test" in t for t in topics)
+
+
+# ---------------------------------------------------------------------------
+# More reference kafka-e2e confs unmodified (KafkaIT start modes,
+# json/text format suites, format_error_handle_way)
+# ---------------------------------------------------------------------------
+
+_FULL_JSON_ROW = ('{{"id": {i}, "c_map": {{"key": {i}}}, "c_array": [1], '
+                  '"c_string": "str{i}", "c_boolean": true, "c_tinyint": 1, '
+                  '"c_smallint": 2, "c_int": 3, "c_bigint": 4, '
+                  '"c_float": 4.5, "c_double": 5.5, "c_decimal": 1.1, '
+                  '"c_bytes": "dGVzdA==", "c_date": "2024-01-23", '
+                  '"c_timestamp": "2024-01-23T12:34:56"}}')
+
+_TEXT_ROW = ('{i},{{"key": {i}}},[1],str{i},true,1,2,3,4,4.5,5.5,1.1,'
+             'dGVzdA==,2024-01-23,2024-01-23T12:34:56')
+
+
+def _run_conf(spark, path):
+    JobEngine(spark).run(JobSpec.from_file(path))
+
+
+def test_start_mode_confs_run_unmodified(spark, kafka):
+    """kafkasource_{earliest,latest,specific_offsets,timestamp}_to_console
+    .conf (KafkaIT.testSourceKafka): ids 0..99 seeded; earliest reads
+    all, batch-latest reads nothing (vacuous asserts, exit 0 like the
+    IT), specific_offsets starts at offset 50 (MIN rule = 50),
+    timestamp resolves a historical ts to the covering offset."""
+    broker, _ = kafka
+    broker.seed("test_topic_source", ['{"id": %d}' % i for i in range(100)])
+    for conf in ("kafkasource_earliest_to_console.conf",
+                 "kafkasource_latest_to_console.conf",
+                 "kafkasource_specific_offsets_to_console.conf",
+                 "kafkasource_timestamp_to_console.conf"):
+        _run_conf(spark, f"{_RES}/kafka/{conf}")
+
+
+def test_json_format_conf_runs_unmodified(spark, kafka):
+    """jsonFormatIT/kafka_source_json_to_console.conf: the full
+    15-type schema decodes from JSON (id NOT_NULL/MIN 0/MAX 99)."""
+    broker, _ = kafka
+    broker.seed("test_topic_json",
+                [_FULL_JSON_ROW.format(i=i) for i in range(100)])
+    _run_conf(spark, f"{_RES}/jsonFormatIT/kafka_source_json_to_console.conf")
+
+
+def test_text_format_conf_runs_unmodified(spark, kafka):
+    """textFormatIT/kafka_source_text_to_console.conf: delimited text
+    with JSON-encoded complex slots (TextSerializationSchema layout)."""
+    broker, _ = kafka
+    broker.seed("test_topic_text",
+                [_TEXT_ROW.format(i=i) for i in range(100)])
+    _run_conf(spark, f"{_RES}/textFormatIT/kafka_source_text_to_console.conf")
+
+
+def test_format_error_handle_way_confs(spark, kafka):
+    """format_error_handle_way skip/fail confs: the topic holds JSON
+    but the confs declare format=text, so every row is malformed —
+    skip drops them all (exit 0, vacuous asserts) and fail raises
+    (the IT asserts exit code 1)."""
+    broker, _ = kafka
+    broker.seed("test_topic_error_message",
+                [_FULL_JSON_ROW.format(i=i) for i in range(10)])
+    _run_conf(
+        spark,
+        f"{_RES}/kafka/kafkasource_format_error_handle_way_skip_to_console.conf")
+    with pytest.raises(Exception):
+        _run_conf(
+            spark,
+            f"{_RES}/kafka/kafkasource_format_error_handle_way_fail_to_console.conf")
