@@ -181,7 +181,13 @@ def _decode_array_env(df: DataFrame, schema: T.StructType, data_field: str,
     idx = p.select(F.col("v"), F.explode(F.sequence(F.lit(0), n - 1)).alias("i"))
     op = F.upper(F.col(f"v.{type_field}"))
     row = F.col(f"v.{data_field}")[F.col("i")]
-    old = F.coalesce(F.col(f"v.{old_field}")[F.col("i")], row)
+    old_item = F.col(f"v.{old_field}")[F.col("i")]
+    # canal's `old` carries ONLY the changed fields — the before-image
+    # is old overlaid on data per field (CanalJsonDeserializationSchema)
+    old = F.struct(*[
+        F.coalesce(old_item[f.name], row[f.name]).alias(f.name)
+        for f in lenient.fields
+    ])
     return _two_phase(idx, schema, old, row, op, ins, upd, dele)
 
 
@@ -205,9 +211,14 @@ def decode_maxwell(df: DataFrame, schema_opt) -> DataFrame:
     )
     p = df.select(F.from_json(_value_str(df), env).alias("v"))
     op = F.upper(F.col("v.type"))
-    # Maxwell's `old` holds only changed fields; coalesce onto data for -U.
-    return _two_phase(p, schema, F.coalesce(F.col("v.old"), F.col("v.data")),
-                      F.col("v.data"), op, "INSERT", "UPDATE", "DELETE")
+    # Maxwell's `old` holds only changed fields; merge per field onto
+    # data for the before-image.
+    old = F.struct(*[
+        F.coalesce(F.col("v.old")[f.name], F.col("v.data")[f.name])
+        .alias(f.name) for f in lenient.fields
+    ])
+    return _two_phase(p, schema, old, F.col("v.data"), op,
+                      "INSERT", "UPDATE", "DELETE")
 
 
 def decode_ogg(df: DataFrame, schema_opt) -> DataFrame:

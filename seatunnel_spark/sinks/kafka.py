@@ -26,8 +26,12 @@ class KafkaSink(Sink):
     NAME = "Kafka"
 
     def _serialize(self, df: DataFrame) -> DataFrame:
+        from seatunnel_spark.types import ROW_KIND_COL, TABLE_ID_COL
+
         fmt = str(self.opt("format", "json")).lower()
         key_field = self.opt("partition_key_fields")
+        data_cols = [c for c in df.columns
+                     if c not in (ROW_KIND_COL, TABLE_ID_COL)]
         cols = {}
         if fmt == "json":
             cols["value"] = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
@@ -35,6 +39,31 @@ class KafkaSink(Sink):
             sep = self.opt("field_delimiter", ",")
             cols["value"] = F.concat_ws(sep, *[F.col(c).cast("string")
                                                for c in df.columns])
+        elif fmt in ("canal_json", "maxwell_json", "ogg_json"):
+            # CanalJsonSerializationSchema shape (maxwell/ogg sinks in
+            # the reference serialize identically — KafkaFormatIT
+            # expects {"data":{...},"type":"INSERT"|"DELETE"} for all
+            # three): +I/+U -> INSERT, -U/-D -> DELETE, so an update
+            # rides as a DELETE/INSERT pair.
+            kind = (F.col(ROW_KIND_COL) if ROW_KIND_COL in df.columns
+                    else F.lit("+I"))
+            typ = F.when(kind.isin("+I", "+U"), F.lit("INSERT")) \
+                .otherwise(F.lit("DELETE"))
+            cols["value"] = F.to_json(F.struct(
+                F.struct(*[F.col(c) for c in data_cols]).alias("data"),
+                typ.alias("type")))
+        elif fmt == "debezium_json":
+            # DebeziumJsonSerializationSchema: upserts as op=c with
+            # after, deletes (and the -U half) as op=d with before.
+            kind = (F.col(ROW_KIND_COL) if ROW_KIND_COL in df.columns
+                    else F.lit("+I"))
+            payload = F.struct(*[F.col(c) for c in data_cols])
+            is_del = kind.isin("-D", "-U")
+            cols["value"] = F.to_json(F.struct(
+                F.when(is_del, payload).alias("before"),
+                F.when(~is_del, payload).alias("after"),
+                F.when(is_del, F.lit("d")).otherwise(F.lit("c")).alias("op"),
+            ))
         else:
             raise ValueError(f"Kafka sink format {fmt!r} not supported")
         if key_field:
@@ -78,6 +107,11 @@ class KafkaSink(Sink):
             parts = cl.metadata([topic]).get(topic, [0]) or [0]
         finally:
             cl.close()
+        fixed = self.opt("partition")
+        if fixed is not None:
+            # `partition = N` pins every record (KafkaSinkConfig) —
+            # the format ITs use it to make consume order deterministic
+            parts = [int(fixed)]
         n_parts = len(parts)
 
         def produce_partition(idx, rows):

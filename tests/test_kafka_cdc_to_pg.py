@@ -105,3 +105,62 @@ def test_cdc_format_to_pg_conf(spark, backends, conf, data, topic, expected):
     _seed_from_file(broker, topic, f"{_RES}/{data}")
     JobEngine(spark).run(JobSpec.from_file(f"{_RES}/{conf}"))
     assert _replay_into_duckdb(pg) == [tuple(r) for r in expected]
+
+
+# ---------------------------------------------------------------------------
+# CDC format re-encode confs: kafka -> kafka (canal/maxwell/ogg/debezium
+# envelopes decoded then re-serialized by the sink). Expected message
+# lists are extracted VERBATIM from KafkaFormatIT.java's check methods.
+# ---------------------------------------------------------------------------
+
+_IT_JAVA = (f"{_RES}/../java/org/apache/seatunnel/e2e/connector/kafka/"
+            "KafkaFormatIT.java")
+
+
+def _expected_from_it(method: str) -> list[str]:
+    import re
+
+    src = open(_IT_JAVA).read()
+    body = src.split(f"private void {method}()", 1)[1]
+    body = body.split("ArrayList<String>", 1)[0]
+    raw = re.findall(r'"((?:\\.|[^"\\])*)"', body)
+    return [s.replace('\\"', '"') for s in raw if s.startswith('{\\"data\\"')
+            or s.startswith('{"data"') or '\\"data\\"' in s]
+
+
+def _sink_messages(broker, topic: str) -> list[str]:
+    return [v.decode() for _p, _o, _k, v in broker.read_all(topic)]
+
+
+@pytest.mark.parametrize("conf,data,src_topic,sink_topic,method", [
+    ("canalFormatIT/kafka_source_canal_to_kafka.conf",
+     "canal/canal_data.txt", "test-cdc_mds", "test-canal-sink",
+     "checkCanalFormat"),
+    ("maxwellFormatIT/kafkasource_maxwell_to_kafka.conf",
+     "maxwell/maxwell_data.txt", "maxwell-test-cdc_mds",
+     "test-maxwell-sink", "checkMaxWellFormat"),
+    ("oggFormatIT/kafka_source_ogg_to_kafka.conf",
+     "ogg/ogg_data.txt", "test-ogg-source", "test-ogg-sink",
+     "checkOggFormat"),
+], ids=["canal", "maxwell", "ogg"])
+def test_cdc_format_reencode_to_kafka(spark, backends, conf, data,
+                                      src_topic, sink_topic, method):
+    broker, _pg = backends
+    _seed_from_file(broker, src_topic, f"{_RES}/{data}")
+    JobEngine(spark).run(JobSpec.from_file(f"{_RES}/{conf}"))
+    expected = _expected_from_it(method)
+    assert expected, f"no expected strings parsed from {method}"
+    assert _sink_messages(broker, sink_topic) == expected
+
+
+def test_debezium_reencode_to_kafka(spark, backends):
+    broker, _pg = backends
+    _seed_from_file(broker, "dbserver1.debezium.products",
+                    f"{_RES}/debezium/debezium_data.txt")
+    JobEngine(spark).run(
+        JobSpec.from_file(
+            f"{_RES}/debeziumFormatIT/kafkasource_debezium_to_kafka.conf"))
+    msgs = _sink_messages(broker, "test-debezium-sink")
+    # KafkaFormatIT.checkDebeziumFormat asserts exactly 3 messages
+    assert len(msgs) == 3
+    assert all('"op"' in m for m in msgs)
