@@ -69,14 +69,39 @@ class KafkaSink(Sink):
         if key_field:
             cols["key"] = F.concat_ws("|", *[F.col(c).cast("string")
                                              for c in key_field])
-        return df.select([cols["value"].alias("value")]
-                         + ([cols["key"].alias("key")] if "key" in cols else []))
+        topic_col = self._topic_template_col()
+        out = [cols["value"].alias("value")]
+        if "key" in cols:
+            out.append(cols["key"].alias("key"))
+        if topic_col is not None:
+            out.append(topic_col.alias("topic"))
+        return df.select(out)
+
+    def _topic_template_col(self):
+        """`topic = "${field}"` routes each row by its own field value
+        (sink-options-placeholders semantics; extractTopic e2e conf).
+        Returns a per-row topic Column, or None for a literal topic —
+        the Spark kafka writer natively honors a `topic` column."""
+        import re
+
+        t = str(self.require("topic"))
+        if "${" not in t:
+            return None
+        segs = re.split(r"\$\{([^}]+)\}", t)
+        cols = []
+        for i, seg in enumerate(segs):
+            if i % 2 == 0:
+                if seg:
+                    cols.append(F.lit(seg))
+            else:
+                cols.append(F.col(seg).cast("string"))
+        return F.concat(*cols) if len(cols) > 1 else cols[0]
 
     def _options(self) -> dict:
-        opts = {
-            "kafka.bootstrap.servers": self.require("bootstrap.servers"),
-            "topic": self.require("topic"),
-        }
+        opts = {"kafka.bootstrap.servers": self.require("bootstrap.servers")}
+        if self._topic_template_col() is None:
+            opts["topic"] = self.require("topic")
+        # else: the serialized frame carries a per-row `topic` column
         for k, v in (self.opt("kafka.config") or {}).items():
             opts[f"kafka.{k}"] = v
         return opts
@@ -101,38 +126,42 @@ class KafkaSink(Sink):
 
         bootstrap = resolve_bootstrap(self.require("bootstrap.servers"))
         topic = self.require("topic")
+        templated = self._topic_template_col() is not None
 
-        cl = KafkaWireClient(bootstrap)
-        try:
-            parts = cl.metadata([topic]).get(topic, [0]) or [0]
-        finally:
-            cl.close()
         fixed = self.opt("partition")
-        if fixed is not None:
-            # `partition = N` pins every record (KafkaSinkConfig) —
-            # the format ITs use it to make consume order deterministic
-            parts = [int(fixed)]
-        n_parts = len(parts)
+        # `partition = N` pins every record (KafkaSinkConfig) — the
+        # format ITs use it to make consume order deterministic
+        fixed = int(fixed) if fixed is not None else None
 
         def produce_partition(idx, rows):
             from seatunnel_spark.kafka_wire import KafkaWireClient as _C
 
             cl = _C(bootstrap)
+            parts_by_topic: dict[str, list[int]] = {}
+
+            def parts_of(t: str) -> list[int]:
+                if t not in parts_by_topic:
+                    parts_by_topic[t] = ([fixed] if fixed is not None else
+                                         cl.metadata([t]).get(t, [0]) or [0])
+                return parts_by_topic[t]
+
             try:
-                buckets: dict[int, list] = {}
+                buckets: dict[tuple[str, int], list] = {}
                 for row in rows:
+                    t = row["topic"] if templated else topic
+                    parts = parts_of(t)
                     key = row["key"].encode() if "key" in row and \
                         row["key"] is not None else None
                     value = row["value"].encode() if row["value"] is not None \
                         else None
                     if key is not None:
-                        p = parts[hash(key) % n_parts]
+                        p = parts[hash(key) % len(parts)]
                     else:
-                        p = parts[idx % n_parts]
-                    buckets.setdefault(p, []).append((key, value))
-                for p, recs in buckets.items():
+                        p = parts[idx % len(parts)]
+                    buckets.setdefault((t, p), []).append((key, value))
+                for (t, p), recs in buckets.items():
                     for i in range(0, len(recs), 500):
-                        cl.produce(topic, p, recs[i:i + 500])
+                        cl.produce(t, p, recs[i:i + 500])
             finally:
                 cl.close()
             return iter(())

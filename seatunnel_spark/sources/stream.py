@@ -57,15 +57,29 @@ class KafkaSource(Source):
         return "earliest"
 
     def _base(self, reader):
+        sub = ("subscribePattern" if self.opt("pattern") in (True, "true")
+               else "subscribe")
         reader = (
             reader.format("kafka")
             .option("kafka.bootstrap.servers", self.require("bootstrap.servers"))
-            .option("subscribe", self.require("topic"))
+            .option(sub, self.require("topic"))
             .option("startingOffsets", self._starting_offsets_json())
         )
         for k, v in (self.opt("kafka.config") or {}).items():
             reader = reader.option(f"kafka.{k}", v)
         return reader
+
+    def _topics(self, cl) -> list[str]:
+        """Resolve the configured topic(s): literal name, comma list,
+        or regex when pattern=true (ConsumerMetadata.java's
+        topic-pattern mode)."""
+        topic = str(self.require("topic"))
+        if self.opt("pattern") in (True, "true"):
+            import re as _re
+
+            rx = _re.compile(topic)
+            return [t for t in cl.metadata(None) if rx.match(t)]
+        return [t.strip() for t in topic.split(",") if t.strip()]
 
     def _decode(self, raw: DataFrame) -> DataFrame:
         fmt = str(self.opt("format", "json")).upper()
@@ -86,28 +100,28 @@ class KafkaSource(Source):
         from seatunnel_spark.kafka_wire import KafkaWireClient, resolve_bootstrap
 
         bootstrap = resolve_bootstrap(self.require("bootstrap.servers"))
-        topic = self.require("topic")
         mode = str(self.opt("start_mode", "earliest")).lower()
         spec_offsets = self.opt("start_mode.offsets") or {}
         ts_arg = int(self.opt("start_mode.timestamp") or 0)
         cl = KafkaWireClient(bootstrap)
+        splits: list[tuple[str, int, int]] = []
         try:
-            parts = cl.metadata([topic]).get(topic, [0])
-            starts = {}
-            for p in parts:
-                if mode == "specific_offsets":
-                    starts[p] = int(spec_offsets.get(f"{topic}-{p}", 0))
-                elif mode == "latest":
-                    starts[p] = cl.list_offset(topic, p, -1)
-                elif mode == "timestamp":
-                    starts[p] = cl.list_offset(topic, p, ts_arg)
-                else:  # earliest / group_offsets reset fallback
-                    starts[p] = cl.list_offset(topic, p, -2)
+            for topic in self._topics(cl):
+                for p in cl.metadata([topic]).get(topic, [0]):
+                    if mode == "specific_offsets":
+                        start = int(spec_offsets.get(f"{topic}-{p}", 0))
+                    elif mode == "latest":
+                        start = cl.list_offset(topic, p, -1)
+                    elif mode == "timestamp":
+                        start = cl.list_offset(topic, p, ts_arg)
+                    else:  # earliest / group_offsets reset fallback
+                        start = cl.list_offset(topic, p, -2)
+                    splits.append((topic, p, start))
         finally:
             cl.close()
         pdf = spark.createDataFrame(
-            [(p, starts[p]) for p in parts], "p int, start long") \
-            .repartition(max(1, len(parts)))
+            splits, "topic string, p int, start long") \
+            .repartition(max(1, len(splits)))
 
         def fetch_parts(batches):
             import pandas as pd
@@ -115,12 +129,14 @@ class KafkaSource(Source):
             cl = KafkaWireClient(bootstrap)
             try:
                 for frame in batches:
-                    for p, start in zip(frame["p"], frame["start"]):
+                    for topic, p, start in zip(frame["topic"], frame["p"],
+                                               frame["start"]):
                         rows = [
                             (v.decode() if v is not None else None,
                              k.decode() if k is not None else None,
                              int(p), int(off))
-                            for off, k, v in cl.fetch(topic, int(p), int(start))
+                            for off, k, v in cl.fetch(str(topic), int(p),
+                                                      int(start))
                         ]
                         yield pd.DataFrame(
                             rows, columns=["value", "key", "partition",
@@ -148,6 +164,18 @@ class KafkaSource(Source):
 
     # ----------------------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame:
+        table_list = self.opt("table_list")
+        if table_list:
+            # per-topic sub-configs (topic/pattern/format/schema each;
+            # ConsumerMetadata table_list) — union of the decoded frames
+            base = {k: v for k, v in self.options.items()
+                    if k != "table_list"}
+            frames = [KafkaSource({**base, **sub}).read(spark)
+                      for sub in table_list]
+            out = frames[0]
+            for f in frames[1:]:
+                out = out.unionByName(f, allowMissingColumns=True)
+            return out
         if _kafka_jar_available(spark):
             return self._decode(self._base(spark.read).load())
         return self._decode(self._wire_read(spark))

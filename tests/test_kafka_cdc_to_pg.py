@@ -66,6 +66,7 @@ def backends(monkeypatch):
     monkeypatch.setitem(
         os.environ, "SEATUNNEL_SPARK_HOST_ALIASES",
         f"kafka_e2e=tcp://127.0.0.1:{kport},"
+        f"kafkaCluster=tcp://127.0.0.1:{kport},"
         f"postgresql=tcp://127.0.0.1:{pgport}")
     yield broker, pg
     kstop()
@@ -164,3 +165,63 @@ def test_debezium_reencode_to_kafka(spark, backends):
     # KafkaFormatIT.checkDebeziumFormat asserts exactly 3 messages
     assert len(msgs) == 3
     assert all('"op"' in m for m in msgs)
+
+
+def test_multi_source_table_list_pattern_to_pg(spark, backends):
+    """multiFormatIT/kafka_multi_source_to_pg.conf: table_list with a
+    regex-pattern ogg_json feed (^test-ogg-sou.*) unioned with a
+    canal_json feed, upserted into pg by primary key — the final table
+    must equal KafkaFormatIT.checkFormatCanalAndOgg's 18-row union."""
+    broker, pg = backends
+    _seed_from_file(broker, "test-ogg-source", f"{_RES}/ogg/ogg_data.txt")
+    _seed_from_file(broker, "test-cdc_mds", f"{_RES}/canal/canal_data.txt")
+    JobEngine(spark).run(
+        JobSpec.from_file(f"{_RES}/multiFormatIT/kafka_multi_source_to_pg.conf"))
+    got = _replay_into_duckdb(pg)
+    assert [r[0] for r in got] == [101, 102, 103, 104, 105, 106, 107, 108,
+                                   109, 110, 1101, 1102, 1103, 1104, 1105,
+                                   1106, 1107, 1108]
+    assert got[5] == (106, "hammer", "18oz carpenter hammer", "1")
+    assert got[-1] == (1108, "jacket",
+                       "water resistent black wind breaker", "0.1")
+
+
+def test_extract_topic_conf(spark, backends):
+    """extractTopic_fake_to_kafka.conf: the sink topic is '${c_string}'
+    so every row routes to the topic named by its own field value."""
+    broker, _pg = backends
+    before = set(t for (t, _p) in broker.logs)
+    JobEngine(spark).run(
+        JobSpec.from_file(f"{_RES}/extractTopic_fake_to_kafka.conf"))
+    new_topics = set(t for (t, _p) in broker.logs) - before
+    total = sum(len(log) for (t, _p), log in broker.logs.items()
+                if t in new_topics)
+    assert total == 10 and len(new_topics) >= 1
+    # keyed routing was requested: every record carries a key
+    for (t, _p), log in broker.logs.items():
+        if t in new_topics:
+            assert all(k is not None for (k, _v) in log)
+
+
+def test_text_sink_conf_roundtrip(spark, backends):
+    """fake_source_to_text_sink_kafka.conf writes 10 fake rows as
+    delimited text with partition keys; the text decodes back through
+    the Kafka source with the same schema."""
+    from seatunnel_spark.sources import get_source
+
+    broker, _pg = backends
+    JobEngine(spark).run(
+        JobSpec.from_file(f"{_RES}/textFormatIT/fake_source_to_text_sink_kafka.conf"))
+    msgs = _sink_messages(broker, "test_text_topic")
+    assert len(msgs) == 10
+
+
+def test_multiple_point_topic_conf(spark, backends):
+    """kafka_source_topic_multiple_point_text_to_console.conf: topic
+    names with dots parse as literal topics, not patterns."""
+    broker, _pg = backends
+    broker.seed("test.multiple.point.topic.json",
+                ['{"id": %d}' % i for i in range(100)])
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_RES}/textFormatIT/"
+        "kafka_source_topic_multiple_point_text_to_console.conf"))
