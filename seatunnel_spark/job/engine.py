@@ -53,6 +53,7 @@ class JobEngine:
         tables: dict[str, DataFrame] = {}
         self._groups: dict[str, dict[str, DataFrame]] = {}
         self._table_ids: dict[str, str] = {}
+        self._source_keys: dict[str, list[str]] = {}
         for blk in spec.sources:
             opts = dict(blk.options)
             if streaming:
@@ -69,6 +70,26 @@ class JobEngine:
                 tid = None
             if tid:
                 self._table_ids[blk.output] = tid.split(".")[-1]
+            # source-declared primary key (schema { primaryKey {
+            # columnNames = [...] } }) — keyed sinks without their own
+            # primary-keys option inherit it, like the reference's
+            # CatalogTable.primaryKey flowing into SupportSaveMode
+            # sinks. tables_configs declare one per table.
+            def _pk_of(schema_opt):
+                pk = ((schema_opt or {}).get("primaryKey") or {})
+                cols = pk.get("columnNames") or []
+                return [str(c) for c in cols] or None
+
+            tcs = opts.get("tables_configs")
+            if tcs:
+                per = {str((tc.get("schema") or {}).get("table")): k
+                       for tc in tcs
+                       if (k := _pk_of(tc.get("schema")))
+                       and (tc.get("schema") or {}).get("table")}
+                if per:
+                    self._source_keys[blk.output] = per
+            elif _pk_of(opts.get("schema")):
+                self._source_keys[blk.output] = _pk_of(opts.get("schema"))
             df = src.read_stream(self.spark) if streaming else src.read(self.spark)
             # env.parallelism (the reference's job-wide setting): bound
             # source partitioning. parallelism=1 additionally preserves
@@ -211,6 +232,7 @@ class JobEngine:
                 # catalog table when it has one, else the DAG name
                 # (sink-options-placeholders.md TablePath semantics).
                 sink.input_name = self._table_ids.get(name) or name
+                sink.source_keys = self._source_keys.get(name)
                 if streaming and df.isStreaming:
                     ckpt = spec.env.get("checkpoint.dir")
                     handles.append(sink.write_stream(df, checkpoint=ckpt))

@@ -109,19 +109,35 @@ class LakehouseTable:
         """Apply a +I/-U/+U/-D changelog batch by primary key.
 
         Last event per key wins within the batch (`order_col`, falling
-        back to arrival order); -U rows are transient update-before
-        markers and are ignored; a final -D removes the key. Equivalent
-        SQL: MERGE INTO t USING compacted ON t.pk = c.pk WHEN MATCHED
-        AND c.kind = '-D' THEN DELETE WHEN MATCHED THEN UPDATE SET *
-        WHEN NOT MATCHED AND c.kind != '-D' THEN INSERT *.
+        back to arrival order); a final -U or -D removes the key. -U
+        rows are NOT simply droppable: when an update CHANGES the
+        primary key, the -U carries the old key whose row must go away
+        while the +U inserts the new key (the reference's paimon sink
+        maps UPDATE_BEFORE to a delete op — PaimonSinkCDCIT key-change
+        cases). For the common pk-stable update the -U is immediately
+        superseded by its +U on the same key, so behavior is unchanged.
+        Equivalent SQL: MERGE INTO t USING compacted ON t.pk = c.pk
+        WHEN MATCHED AND c.kind IN ('-D','-U') THEN DELETE WHEN MATCHED
+        THEN UPDATE SET * WHEN NOT MATCHED AND c.kind NOT IN
+        ('-D','-U') THEN INSERT *.
         """
         data_cols = [c for c in batch.columns
                      if c not in (ROW_KIND_COL, TABLE_ID_COL, order_col)]
         seq = F.col(order_col) if order_col else F.monotonically_increasing_id()
-        w = Window.partitionBy(*keys).orderBy(F.col("__seq").desc())
+        # a -U and its +U decode from ONE source event and share the
+        # order value — the tie must resolve to the +U (update-after
+        # supersedes update-before on the same key); only a pk-CHANGING
+        # update leaves the -U as its old key's last word, where the
+        # -D remap deletes the moved-away row.
+        rank = F.when(F.col(ROW_KIND_COL) == "-U", 0).otherwise(1)
+        w = Window.partitionBy(*keys).orderBy(F.col("__seq").desc(),
+                                              F.col("__rank").desc())
         tomb = (
             batch.withColumn("__seq", seq)
-            .filter(F.col(ROW_KIND_COL) != "-U")
+            .withColumn("__rank", rank)
+            .withColumn(ROW_KIND_COL,
+                        F.when(F.col(ROW_KIND_COL) == "-U", "-D")
+                        .otherwise(F.col(ROW_KIND_COL)))
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select(*data_cols, F.col(ROW_KIND_COL).alias("__kind"))
@@ -190,17 +206,43 @@ class LakehouseSink(Sink):
 
     def write(self, df: DataFrame) -> None:
         if self.table_groups:
+            src_keys = getattr(self, "source_keys", None)
             for tid, tdf in self.table_groups.items():
                 sub = LakehouseSink(self.options)
                 sub.plugin_name = self.plugin_name
                 sub.input_name = tid
+                if isinstance(src_keys, dict):
+                    sub.source_keys = src_keys.get(tid) or src_keys.get(
+                        tid.split(".")[-1])
+                else:
+                    sub.source_keys = src_keys
                 sub.write(tdf)
             return
         opts = dict(self.options)
-        if opts.get("table") and "${table_name}" in str(opts["table"]):
-            opts["table"] = opts["table"].replace(
-                "${table_name}", self.input_name.split(".")[-1])
+        tid_parts = self.input_name.split(".")
+        for field in ("table", "database"):
+            val = str(opts.get(field, ""))
+            if "${table_name}" in val:
+                val = val.replace("${table_name}", tid_parts[-1])
+            if "${database_name}" in val:
+                # catalog table path is db.table — the db segment feeds
+                # the ${database_name} placeholder
+                # (sink-options-placeholders.md)
+                val = val.replace(
+                    "${database_name}",
+                    tid_parts[-2] if len(tid_parts) > 1 else "default")
+            if val:
+                opts[field] = val
         path, keys, parts = _resolve_layout(self.plugin_name, opts)
+        if not keys:
+            # inherit the source-declared primary key (schema {
+            # primaryKey { columnNames } } — the reference's paimon
+            # sink builds its primary-key table from CatalogTable)
+            src_keys = getattr(self, "source_keys", None)
+            if isinstance(src_keys, dict):
+                src_keys = src_keys.get(self.input_name) or src_keys.get(
+                    self.input_name.split(".")[-1])
+            keys = src_keys or []
         tbl = LakehouseTable(path)
 
         schema_mode = str(self.opt("schema_save_mode",
@@ -219,6 +261,28 @@ class LakehouseSink(Sink):
                 if cur is not None and cur.limit(1).count():
                     raise ValueError(f"{self.plugin_name}: table {path!r} "
                                      "has data (ERROR_WHEN_DATA_EXISTS)")
+
+        if tbl.exists():
+            # incompatible-schema guard (PaimonSinkCDCIT
+            # testSinkWithIncompatibleSchema: writing `name INT` into a
+            # table whose actual schema is `name STRING` must FAIL, not
+            # silently coerce through a union)
+            cur_schema = {f.name: f.dataType for f
+                          in (tbl.read(df.sparkSession) or df).schema.fields}
+            from seatunnel_spark.types import ROW_KIND_COL as _RK
+
+            for f in df.schema.fields:
+                if f.name in (_RK, TABLE_ID_COL):
+                    continue
+                have = cur_schema.get(f.name)
+                if have is not None and have.simpleString() != \
+                        f.dataType.simpleString():
+                    raise ValueError(
+                        f"{self.plugin_name}: The source field with schema "
+                        f"'{f.name} {f.dataType.simpleString().upper()}' is "
+                        f"incompatible with the sink table's actual schema "
+                        f"'{f.name} {have.simpleString().upper()}'. Please "
+                        "check schema of sink table.")
 
         upsert = bool(self.opt("iceberg.table.upsert-mode-enabled")
                       or self.opt("upsert-mode-enabled"))
@@ -268,6 +332,14 @@ class LakehouseSource(Source):
         if df is None:
             raise FileNotFoundError(
                 f"source {self.plugin_name}: no committed snapshot at {path!r}")
+        query = opts.get("query")
+        if query:
+            # predicate/projection pushdown surface (PaimonSourceConfig
+            # `query`): the filter confs read with a SQL statement over
+            # the table name — Catalyst prunes/pushes into the scan
+            table = str(opts.get("table"))
+            df.createOrReplaceTempView(table)
+            df = spark.sql(query)
         return df
 
 
