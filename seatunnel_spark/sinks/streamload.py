@@ -33,7 +33,7 @@ def _jsonable(v):
 
     if isinstance(v, (_dt.datetime,)):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")[:-3]
-    if isinstance(v, _dt.date):
+    if isinstance(v, (_dt.date, _dt.time)):
         return v.isoformat()
     if isinstance(v, decimal.Decimal):
         return str(v)

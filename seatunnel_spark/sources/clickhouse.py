@@ -173,6 +173,15 @@ class ClickhouseSink(Sink):
         template = self.opt("save_mode_create_template") or (
             f"CREATE TABLE IF NOT EXISTS `{db}`.`{table}` ({cols_ddl}) "
             f"ENGINE = MergeTree() ORDER BY {pk or 'tuple()'}")
+        # SaveModePlaceHolder vocabulary (sink-options-placeholders.md):
+        # custom templates carry ${database}/${table}/${rowtype_fields}/
+        # ${rowtype_primary_key}/${comment}
+        for ph, val in (("${database}", db), ("${table}", table),
+                        ("${table_name}", table),
+                        ("${rowtype_fields}", cols_ddl),
+                        ("${rowtype_primary_key}", pk or ""),
+                        ("${comment}", str(self.opt("comment", "")))):
+            template = template.replace(ph, str(val))
         exists = ch_exec(base, f"EXISTS TABLE `{db}`.`{table}`", None, user,
                          pw, None, "TabSeparated").strip() == b"1"
         if schema_mode == "ERROR_WHEN_SCHEMA_NOT_EXIST" and not exists:
@@ -193,6 +202,10 @@ class ClickhouseSink(Sink):
         has_kind = ROW_KIND_COL in df.columns
         meta = [c for c in (ROW_KIND_COL, TABLE_ID_COL) if c in df.columns]
 
+        pks = [c.strip().strip("`") for c in str(pk or "").split(",")
+               if c.strip()]
+        keyed = bool(pks) and has_kind
+
         def write_partition(rows):
             from seatunnel_spark.sinks.streamload import _jsonable
 
@@ -206,19 +219,33 @@ class ClickhouseSink(Sink):
                         ("\n".join(buf) + "\n").encode(), user, pw)
                 buf.clear()
 
+            def delete_by_key(d):
+                flush()  # keep ordering vs pending inserts
+                conds = []
+                for k in pks:
+                    v = d.get(k)
+                    lit = f"'{v}'" if isinstance(v, str) else v
+                    conds.append(f"`{k}` = {lit}")
+                ch_exec(base, f"DELETE FROM `{db}`.`{table}` "
+                              f"WHERE {' AND '.join(conds)}", b"", user, pw)
+
             for row in rows:
                 d = row.asDict(recursive=True)
                 kind = d.get(ROW_KIND_COL, "+I") if has_kind else "+I"
                 for c in meta:
                     d.pop(c, None)
                 if kind in ("-D", "-U"):
-                    if kind == "-D" and light_delete and pk:
-                        flush()  # keep ordering vs pending inserts
-                        v = d.get(pk)
-                        lit = f"'{v}'" if isinstance(v, str) else v
-                        ch_exec(base, f"DELETE FROM `{db}`.`{table}` "
-                                      f"WHERE `{pk}` = {lit}", b"", user, pw)
+                    # -U deletes its (possibly different) key like -D —
+                    # a pk-changing update drops the old row; a
+                    # pk-stable one is re-inserted by its +U
+                    if keyed:
+                        delete_by_key(d)
                     continue
+                if keyed:
+                    # upsert = delete-then-insert per key: the primary-
+                    # key contract a ReplacingMergeTree gives the
+                    # reference after merges, made immediate here
+                    delete_by_key(d)
                 buf.append(json.dumps({k: _jsonable(v)
                                        for k, v in d.items()}))
                 if len(buf) >= bulk:

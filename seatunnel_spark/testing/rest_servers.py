@@ -499,13 +499,16 @@ def start_mini_clickhouse(port: int = 0):
             name = q.split()[-1]
             return b"1\n" if norm(name, default_db) in tables else b"0\n"
         if re.match(r"DELETE\s+FROM", q, re.I):
-            dm = re.match(r"DELETE\s+FROM\s+(\S+)\s+WHERE\s+(\S+)\s*=\s*(.+)$",
-                          q, re.I)
+            dm = re.match(r"DELETE\s+FROM\s+(\S+)\s+WHERE\s+(.+)$", q, re.I)
             key = norm(dm.group(1), default_db)
-            col = dm.group(2).replace("`", "")
-            val = dm.group(3).strip().strip("'")
+            conds = []
+            for part in re.split(r"\s+AND\s+", dm.group(2), flags=re.I):
+                col, _, val = part.partition("=")
+                conds.append((col.strip().replace("`", ""),
+                              val.strip().strip("'")))
             rows = tables.get(key, [])
-            tables[key] = [r for r in rows if str(r.get(col)) != val]
+            tables[key] = [r for r in rows
+                           if not all(str(r.get(c)) == v for c, v in conds)]
             return b""
         if re.match(r"SELECT\s+count\(\)\s+FROM", q, re.I):
             name = q.split()[-1]
