@@ -1,0 +1,81 @@
+"""Reference doris-e2e confs unmodified against the mini Stream Load
+FE (DorisCDCSinkIT / DorisIT analogs)."""
+
+import json
+import os
+
+import pytest
+
+from seatunnel_spark.job.engine import JobEngine
+from seatunnel_spark.job.spec import JobSpec
+from seatunnel_spark.testing.rest_servers import start_mini_streamload
+
+_RES = ("/root/reference/seatunnel-e2e/seatunnel-connector-v2-e2e/"
+        "connector-doris-e2e/src/test/resources")
+
+
+def _ev(op, table, pos, ts, before=None, after=None, db="mysql_cdc"):
+    return json.dumps({"before": before, "after": after, "op": op,
+                       "ts_ms": ts,
+                       "source": {"db": db, "table": table, "pos": pos}})
+
+
+@pytest.fixture()
+def doris(monkeypatch, tmp_path):
+    state, port, stop = start_mini_streamload()
+    monkeypatch.setitem(os.environ, "SEATUNNEL_SPARK_HOST_ALIASES",
+                        f"doris_e2e=http://127.0.0.1:{port}")
+    # debezium replay feed for mysql_cdc.mysql_cdc_e2e_source_table
+    t = tmp_path / "mysql_cdc.mysql_cdc_e2e_source_table"
+    t.mkdir(parents=True)
+    lines = [
+        _ev("r", "mysql_cdc_e2e_source_table", 101, 1001,
+            after={"id": 1, "f_int": 10, "f_varchar": "v1"}),
+        _ev("r", "mysql_cdc_e2e_source_table", 102, 1002,
+            after={"id": 2, "f_int": 20, "f_varchar": "v2"}),
+        _ev("u", "mysql_cdc_e2e_source_table", 200, 2000,
+            before={"id": 2, "f_int": 20, "f_varchar": "v2"},
+            after={"id": 2, "f_int": 21, "f_varchar": "v2b"}),
+        _ev("d", "mysql_cdc_e2e_source_table", 210, 2100,
+            before={"id": 1, "f_int": 10, "f_varchar": "v1"}),
+    ]
+    (t / "changelog.jsonl").write_text("\n".join(lines) + "\n")
+    (t / "schema.json").write_text(json.dumps(
+        {"id": "int", "f_int": "int", "f_varchar": "string"}))
+    monkeypatch.setenv("SEATUNNEL_SPARK_CDC_REPLAY", str(tmp_path))
+    yield state, port
+    stop()
+
+
+def test_write_cdc_changelog_to_doris_conf(spark, doris):
+    """write-cdc-changelog-to-doris.conf: MySQL-CDC (replay feed) ->
+    Doris CSV stream load with sink.enable-delete — the batches carry
+    the __DORIS_DELETE_SIGN__ bit for -U/-D rows (DorisCDCSinkIT)."""
+    state, _ = doris
+    spec = JobSpec.from_file(f"{_RES}/write-cdc-changelog-to-doris.conf")
+    spec.env["streaming.await.timeout"] = 10
+    try:
+        JobEngine(spark).run(spec)
+    finally:
+        for q in spark.streams.active:
+            q.stop()
+    rows = state[("test", "e2e_table_sink")]
+    assert rows, "stream load received no batches"
+    # final per-key event: id=2 upserted (f_int 21), id=1 delete-signed
+    last = {}
+    for r in rows:
+        last[r.get("id")] = r
+    assert str(last[1].get("__DORIS_DELETE_SIGN__")) == "1"
+    assert str(last[2].get("__DORIS_DELETE_SIGN__")) == "0"
+    assert last[2].get("f_int") == 21
+
+
+def test_doris_sink_timeout_error_conf(spark, monkeypatch):
+    """fake_source_and_doris_sink_timeout_error.conf: the FE endpoint
+    is unreachable; with job.retry.times=0 the job must fail (the IT
+    asserts a non-zero exit)."""
+    monkeypatch.setitem(os.environ, "SEATUNNEL_SPARK_HOST_ALIASES",
+                        "doris_e2e=http://127.0.0.1:1")  # closed port
+    with pytest.raises(Exception):
+        JobEngine(spark).run(JobSpec.from_file(
+            f"{_RES}/fake_source_and_doris_sink_timeout_error.conf"))
