@@ -22,8 +22,15 @@ def apply_host_aliases(url: str, aliases: str | None = None) -> str:
     mapping = {k.lower(): v for k, v in
                (kv.split("=", 1) for kv in aliases.split(",") if "=" in kv)}
     parts = urlsplit(url)
-    if parts.hostname in mapping:
-        target = mapping[parts.hostname]
+    # a "host:port=target" alias wins over a bare "host=target" one —
+    # services exposing several ports on one hostname (Doris FE: HTTP
+    # 8030 + MySQL 9030) can remap each port to its own fixture
+    hostport = (f"{parts.hostname}:{parts.port}"
+                if parts.hostname and parts.port else None)
+    alias_key = (hostport if hostport in mapping
+                 else parts.hostname if parts.hostname in mapping else None)
+    if alias_key is not None:
+        target = mapping[alias_key]
         if "://" in target:
             # Full-endpoint alias ("es=http://127.0.0.1:9200"): scheme,
             # host AND port come from the alias — lets a conf written

@@ -63,7 +63,21 @@ class _MySqlProtocolSource(Source):
     def _filter(self) -> str | None:
         raise NotImplementedError
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession):
+        table_list = self.opt("table_list")
+        if table_list:
+            # per-table sub-configs (DorisSourceConfig table_list) —
+            # dict routing so Assert tables_configs sees each table
+            base = {k: v for k, v in self.options.items()
+                    if k != "table_list"}
+            out = {}
+            for sub in table_list:
+                src = type(self)({**base, **sub})
+                out[src._table()] = src._read_single(spark)
+            return out if len(out) > 1 else next(iter(out.values()))
+        return self._read_single(spark)
+
+    def _read_single(self, spark: SparkSession) -> DataFrame:
         from seatunnel_spark.mysql_wire import (
             TYPE_NAMES,
             MySqlClient,
@@ -120,7 +134,11 @@ class DorisSource(_MySqlProtocolSource):
         return host, int(self.opt("query-port", 9030))
 
     def _table(self) -> str:
-        return self.require("table.identifier")
+        ident = self.opt("table.identifier")
+        if ident:
+            return str(ident)
+        # table_list entries use database= / table= pairs
+        return f"{self.require('database')}.{self.require('table')}"
 
     def _projection(self) -> str:
         return self.opt("doris.read.field", "*") or "*"

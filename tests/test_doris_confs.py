@@ -79,3 +79,67 @@ def test_doris_sink_timeout_error_conf(spark, monkeypatch):
     with pytest.raises(Exception):
         JobEngine(spark).run(JobSpec.from_file(
             f"{_RES}/fake_source_and_doris_sink_timeout_error.conf"))
+
+
+# ---------------------------------------------------------------------------
+# Doris SOURCE confs: FE mysql-protocol reads (mini MySQL on the 9030
+# alias) fanned into the Stream Load sink (mini FE on the 8030 alias) —
+# exercises the port-aware host aliases.
+# ---------------------------------------------------------------------------
+
+from seatunnel_spark.testing.mysql_server import start_mini_mysql  # noqa: E402
+
+_LONGLONG, _VARSTR = 8, 253
+
+
+def _seed_unique_table(mysql, name, n, start=1):
+    spec = JobSpec.from_file(f"{_RES}/doris_source_and_sink.conf")
+    proj = [c.strip() for c in
+            spec.sources[0].options["doris.read.field"].split(",")]
+    types = [_LONGLONG if c == "F_ID" else _VARSTR for c in proj]
+    rows = [tuple(i if c == "F_ID" else f"x{i}" for c in proj)
+            for i in range(start, start + n)]
+    mysql.tables[name] = (proj, types, rows)
+    return proj
+
+
+@pytest.fixture()
+def doris_both(monkeypatch):
+    state, sl_port, sl_stop = start_mini_streamload()
+    mysql, my_port, my_stop = start_mini_mysql(user="root", password="")
+    monkeypatch.setitem(
+        os.environ, "SEATUNNEL_SPARK_HOST_ALIASES",
+        f"doris_e2e:8030=http://127.0.0.1:{sl_port},"
+        f"doris_e2e:9030=tcp://127.0.0.1:{my_port}")
+    yield state, mysql
+    sl_stop()
+    my_stop()
+
+
+@pytest.mark.parametrize("conf", ["doris_source_and_sink.conf",
+                                  "doris_source_and_sink_2pc_false.conf"])
+def test_doris_source_and_sink_confs(spark, doris_both, conf):
+    """FE read with doris.read.field projection + doris.filter.query
+    pushdown (F_ID > 50 over ids 1..100 -> 50 rows) stream-loaded into
+    the sink table (DorisIT.testDorisSourceAndSink)."""
+    state, mysql = doris_both
+    proj = _seed_unique_table(mysql, "doris_e2e_unique_table", 100)
+    JobEngine(spark).run(JobSpec.from_file(f"{_RES}/{conf}"))
+    rows = state[("e2e_sink", "doris_e2e_unique_table")]
+    assert len(rows) == 50
+    assert all(r["F_ID"] > 50 for r in rows)
+    assert set(rows[0].keys()) == set(proj)
+    # the filter reached the FE SELECT (pushdown, not post-scan)
+    assert any("F_ID > 50" in s for s in mysql.statements)
+    state.clear()
+
+
+def test_doris_multi_source_to_assert_conf(spark, doris_both):
+    """table_list with two FE tables routed per table into Assert's
+    tables_configs row rules (50 and 40 rows)."""
+    _state, mysql = doris_both
+    # table0 filter F_ID >= 50 must yield 50 rows; table1 F_ID < 40 -> 40
+    _seed_unique_table(mysql, "doris_e2e_unique_table_0", 60, start=40)
+    _seed_unique_table(mysql, "doris_e2e_unique_table_1", 60, start=0)
+    JobEngine(spark).run(
+        JobSpec.from_file(f"{_RES}/doris_multi_source_to_assert.conf"))
