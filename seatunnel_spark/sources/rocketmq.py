@@ -144,23 +144,44 @@ def decode_commitlog(data: bytes):
 class RocketMqSource(Source):
     NAME = "Rocketmq"
 
+    def _start_offset(self, cl, topic: str) -> int:
+        """RocketMQ ConsumerConfig start.mode vocabulary
+        (StartMode.java): CONSUME_FROM_FIRST_OFFSET,
+        CONSUME_FROM_LAST_OFFSET, CONSUME_FROM_SPECIFIC_OFFSETS (+
+        start.mode.offsets {topic-queue = off}), CONSUME_FROM_TIMESTAMP
+        (the mini broker has no time index — everything it holds was
+        appended 'now', so a historical ts maps to the log start), and
+        CONSUME_FROM_GROUP_OFFSETS (no committed store on this reader —
+        first-offset reset fallback)."""
+        mode = str(self.opt("start.mode",
+                            "CONSUME_FROM_GROUP_OFFSETS")).upper()
+        if mode == "CONSUME_FROM_LAST_OFFSET":
+            return cl.max_offset(topic)
+        if mode == "CONSUME_FROM_SPECIFIC_OFFSETS":
+            spec = self.opt("start.mode.offsets") or {}
+            return int(spec.get(f"{topic}-0", 0))
+        return 0
+
     def read(self, spark: SparkSession) -> DataFrame:
         from seatunnel_spark.formats import decode_payload
 
         addr = self.require("name.srv.addr")
-        topic = self.require("topic")
+        topics = [t.strip() for t in
+                  str(self.opt("topics") or self.require("topic")).split(",")
+                  if t.strip()]
         group = self.opt("consumer.group", "SEATUNNEL_CONSUMER")
         cl = RocketMqClient(addr)
         try:
-            end = cl.max_offset(topic)
             bodies = []
-            offset = 0
-            while offset < end:
-                msgs = cl.pull(topic, offset, group)
-                if not msgs:
-                    break
-                bodies.extend(m.decode() for m in msgs)
-                offset += len(msgs)
+            for topic in topics:
+                end = cl.max_offset(topic)
+                offset = self._start_offset(cl, topic)
+                while offset < end:
+                    msgs = cl.pull(topic, offset, group)
+                    if not msgs:
+                        break
+                    bodies.extend(m.decode() for m in msgs)
+                    offset += len(msgs)
         finally:
             cl.close()
         raw = spark.createDataFrame([(b,) for b in bodies] or [(None,)],
@@ -180,7 +201,10 @@ class RocketMqSink(Sink):
         return False
 
     def write(self, df: DataFrame) -> None:
-        addr = self.require("name.srv.addr")
+        # resolve aliases on the DRIVER — executor Python workers are
+        # long-lived and don't see late env changes
+        addr = apply_host_aliases(
+            f"tcp://{self.require('name.srv.addr')}").split("://", 1)[-1]
         topic = self.require("topic")
         group = self.opt("producer.group", "SEATUNNEL_PRODUCER")
         fmt = str(self.opt("format", "json")).lower()
