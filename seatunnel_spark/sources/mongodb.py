@@ -196,7 +196,9 @@ class MongoSource(Source):
         uri = self.require("uri")
         db = self.require("database")
         coll = self.require("collection")
-        match = parse_match(self.opt("match.query"))
+        # matchQuery is the legacy spelling (compatibleParametersIT)
+        match = parse_match(self.opt("match.query")
+                            or self.opt("matchQuery"))
         projection = parse_match(self.opt("match.projection"))
         fetch = int(self.opt("fetch.size", 2048))
         flat = bool(self.opt("flat.sync-string",
@@ -209,7 +211,12 @@ class MongoSource(Source):
             schema_opt = {c["name"]: c["type"]
                           for c in self.opt("schema")["columns"]}
         if flat or not schema_opt:
-            schema = T.StructType([T.StructField("content", T.StringType())])
+            # flat.sync-string: the whole doc as ONE string column —
+            # named by the declared single-field schema when present
+            # (flatIT declares `data = string`), else `content`
+            flat_col = (list(schema_opt.keys())[0]
+                        if schema_opt and len(schema_opt) == 1 else "content")
+            schema = T.StructType([T.StructField(flat_col, T.StringType())])
         else:
             schema = parse_schema(schema_opt)
 
@@ -271,7 +278,7 @@ class MongoSource(Source):
                             vals = [json.dumps(
                                 {k: v for k, v in d.items()}, default=str)
                                 for d in docs]
-                            yield pd.DataFrame({"content": vals})
+                            yield pd.DataFrame({sch.fields[0].name: vals})
                         else:
                             recs = [_doc_to_row(d, sch) for d in docs]
                             yield pd.DataFrame.from_records(

@@ -166,3 +166,123 @@ def test_sink_rowkind_deletes(spark, mongo):
     docs = [{k: v for k, v in d.items() if k != "_id"}
             for d in store.dbs["ch"]["t"].values()]
     assert docs == [{"id": 1, "v": "a2"}]
+
+
+def test_flat_sink_and_source_confs(spark, mongo):
+    """flatIT: fake_source_to_flat_mongodb.conf (flat.sync-string
+    writes the whole row as one string field) then
+    mongodb_flat_source_to_assert.conf reads it back flattened."""
+    store, _ = mongo
+    store.dbs.get("test_db", {}).pop("test_flat_table", None)
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_RES}/flatIT/fake_source_to_flat_mongodb.conf"))
+    assert store.dbs["test_db"]["test_flat_table"]
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_RES}/flatIT/mongodb_flat_source_to_assert.conf"))
+
+
+def test_match_projection_conf(spark, mongo):
+    """matchIT/mongodb_matchProjection_source_to_assert.conf:
+    match.projection prunes fields server-side."""
+    store, _ = mongo
+    store.dbs.get("test_db", {}).pop("test_match_op_result_db", None)
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_RES}/matchIT/mongodb_matchProjection_source_to_assert.conf"))
+    out = store.dbs["test_db"]["test_match_op_result_db"]
+    assert len(out) == 5
+    assert all(d.get("c_bigint") is None for d in out.values())
+
+
+def test_compatible_parameters_confs(spark, mongo):
+    """compatibleParametersIT: the legacy matchQuery spelling and the
+    legacy update conf run unmodified."""
+    store, _ = mongo
+    store.dbs.get("test_db", {}).pop("test_match_op_result_db", None)
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_RES}/compatibleParametersIT/"
+        "mongodb_matchQuery_source_to_assert.conf"))
+    assert len(store.dbs["test_db"]["test_match_op_result_db"]) == 1
+    store.dbs.get("test_db", {}).pop("test_update_table", None)
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_RES}/compatibleParametersIT/fake_source_to_update_mongodb.conf"))
+    assert store.dbs["test_db"]["test_update_table"]
+
+
+def test_split_confs(spark, mongo):
+    """splitIT: partition.split-key / split-size parallel range reads
+    return every row exactly once."""
+    store, _ = mongo
+    store.seed("test_db", "test_split_op_db", [
+        dict(_doc(i), _id=i) for i in range(50)])
+    for conf in ("splitIT/mongodb_split_key_source_to_assert.conf",
+                 "splitIT/mongodb_split_size_source_to_assert.conf"):
+        JobEngine(spark).run(JobSpec.from_file(f"{_RES}/{conf}"))
+
+
+def test_update_mode_insert_and_readback_confs(spark, mongo):
+    """updateIT: updateMode_insert writes with upsert semantics, then
+    update_mongodb_to_assert.conf reads the table back."""
+    store, _ = mongo
+    store.dbs.get("test_db", {}).pop("test_update_table", None)
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_RES}/updateIT/fake_source_to_updateMode_insert_mongodb.conf"))
+    assert store.dbs["test_db"]["test_update_table"]
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_RES}/updateIT/update_mongodb_to_assert.conf"))
+
+
+def test_transaction_confs(spark, mongo):
+    """transactionIT: transactional sink/upsert confs land every split
+    batch; the read-back assert confs verify counts."""
+    store, _ = mongo
+    store.dbs.get("test_db", {}).pop("test_source_transaction_sink_table",
+                                     None)
+    store.dbs.get("test_db", {}).pop("test_source_upsert_transaction_table",
+                                     None)
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_RES}/transactionIT/fake_source_to_transaction_sink_mongodb.conf"))
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_RES}/transactionIT/"
+        "mongodb_source_transaction_sink_to_assert.conf"))
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_RES}/transactionIT/"
+        "fake_source_to_transaction_upsert_mongodb.conf"))
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_RES}/transactionIT/"
+        "mongodb_source_transaction_upsert_to_assert.conf"))
+
+
+def test_null_and_double_value_confs(spark, mongo):
+    """mongodb_null_value.conf (projection drops c_bigint, null fields
+    survive) and mongodb_double_value.conf (doubles keep precision)."""
+    store, _ = mongo
+    store.seed("test_db", "test_null_op_db", [
+        {"_id": i, "c_string": None if i % 2 else f"s{i}",
+         "c_int": i, "c_bigint": 10_000_000_000 + i,
+         "c_double": i * 1.5} for i in range(5)])
+    store.dbs.get("test_db", {}).pop("test_null_op_result_db", None)
+    JobEngine(spark).run(
+        JobSpec.from_file(f"{_RES}/mongodb_null_value.conf"))
+    store.seed("test_db", "test_double_op_db", [
+        {"_id": i, "c_double": i + 0.123456789} for i in range(5)])
+    store.dbs.get("test_db", {}).pop("test_double_op_result_db", None)
+    JobEngine(spark).run(
+        JobSpec.from_file(f"{_RES}/mongodb_double_value.conf"))
+
+
+def test_cdc_sink_confs(spark, mongo):
+    """fake_cdc_sink_mongodb.conf / fake_cdc_upsert_sink_mongodb.conf:
+    +I/-U/+U/-D changelogs apply by primary key."""
+    store, _ = mongo
+    for conf, table in (
+            ("fake_cdc_sink_mongodb.conf", "test_cdc_table"),
+            ("fake_cdc_upsert_sink_mongodb.conf", "test_cdc_upsert_table")):
+        path = f"{_RES}/{conf}"
+        if not os.path.exists(path):
+            path = f"{_RES}/cdcIT/{conf}"
+        spec = JobSpec.from_file(path)
+        sink = spec.sinks[0].options
+        table = sink.get("collection", table)
+        store.dbs.get(sink.get("database", "test_db"), {}).pop(table, None)
+        JobEngine(spark).run(spec)
+        assert store.dbs[sink.get("database", "test_db")][table], conf
