@@ -115,6 +115,10 @@ class MiniRedis:
                 return sorted(d.get(a[0], ("set", set()))[1])
             if cmd == "SCARD":
                 return len(d.get(a[0], ("set", set()))[1])
+            if cmd == "ZCARD":
+                return len(d.get(a[0], ("zset", {}))[1])
+            if cmd == "HLEN":
+                return len(d.get(a[0], ("hash", {}))[1])
             if cmd == "ZADD":
                 t, v = d.setdefault(a[0], ("zset", {}))
                 n = 0
