@@ -195,7 +195,14 @@ class TypesenseSource(Source):
         fields_json = schema.jsonValue()
         url = f"{base}/collections/{coll}/documents/export"
         if query:
-            url += f"?filter_by={urllib.request.quote(str(query))}"
+            q = str(query)
+            if "=" in q:
+                # full querystring form ("q=*&filter_by=...") — re-encode
+                from urllib.parse import parse_qsl, urlencode
+
+                url += "?" + urlencode(parse_qsl(q))
+            else:
+                url += f"?filter_by={urllib.request.quote(q)}"
 
         one = spark.createDataFrame([(0,)], "i int").coalesce(1)
 
@@ -260,6 +267,17 @@ class TypesenseSink(Sink):
         elif data_mode == "DROP_DATA":
             _req(f"{base}/collections/{coll}/documents?filter_by=", "DELETE",
                  headers=headers)
+        elif data_mode == "ERROR_WHEN_DATA_EXISTS":
+            try:
+                head = _req(
+                    f"{base}/collections/{coll}/documents/export?limit=1",
+                    "GET", headers=headers)
+            except Exception:  # noqa: BLE001 — treat unreadable as empty
+                head = None
+            if head:
+                raise ValueError(
+                    f"Typesense sink: collection {coll!r} has data "
+                    "(ERROR_WHEN_DATA_EXISTS)")
 
         meta = [ROW_KIND_COL, TABLE_ID_COL]
 

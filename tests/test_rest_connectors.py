@@ -192,3 +192,60 @@ def test_typesense_savemodes(spark, typesense):
         TypesenseSink({"hosts": [f"127.0.0.1:{port}"], "collection": "nope",
                        "schema_save_mode": "ERROR_WHEN_SCHEMA_NOT_EXIST"}
                       ).write(df)
+
+
+def test_typesense_source_and_sink_conf(spark, typesense):
+    """typesense_source_and_sink.conf: export with a declared schema ->
+    import with composite num_employees=num key and DROP_DATA."""
+    state, _ = typesense
+    state["collections"]["typesense_test_collection_for_source"] = {
+        str(i): {"id": str(i), "company_name": f"c{i}", "num": 10 + i,
+                 "num_employees": 100 + i, "flag": i % 2 == 0}
+        for i in range(10)}
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_TS}/typesense_source_and_sink.conf"))
+    assert len(state["collections"]["typesense_test_collection"]) == 10
+
+
+def test_typesense_query_conf(spark, typesense):
+    """typesense_to_typesense_with_query.conf: source-side query
+    filters the export."""
+    state, _ = typesense
+    _seed_ts(state, "typesense_to_typesense_source_with_query")
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_TS}/typesense_to_typesense_with_query.conf"))
+
+
+_TS_SAVEMODE = [
+    ("fake_to_typesense_with_create_when_not_exists.conf", None),
+    ("fake_to_typesense_with_append_data.conf", None),
+    ("fake_to_typesense_with_drop_data.conf", None),
+    ("fake_to_typesense_with_recreate_schema.conf", None),
+    ("fake_to_typesense_with_primary_keys.conf", None),
+]
+
+
+@pytest.mark.parametrize("conf,_x", _TS_SAVEMODE)
+def test_typesense_savemode_confs(spark, typesense, conf, _x):
+    state, _ = typesense
+    spec = JobSpec.from_file(f"{_TS}/{conf}")
+    sink = next(b for b in spec.sinks
+                if b.plugin.lower() == "typesense").options
+    JobEngine(spark).run(spec)
+    assert state["collections"].get(sink["collection"]), conf
+
+
+def test_typesense_error_mode_confs(spark, typesense):
+    state, _ = typesense
+    # ERROR_WHEN_NOT_EXISTS: collection missing -> fail
+    with pytest.raises(Exception):
+        JobEngine(spark).run(JobSpec.from_file(
+            f"{_TS}/fake_to_typesense_with_error_when_not_exists.conf"))
+    # ERROR_WHEN_DATA_EXISTS: seed data -> fail
+    spec = JobSpec.from_file(
+        f"{_TS}/fake_to_typesense_with_error_when_data_exists.conf")
+    sink = next(b for b in spec.sinks
+                if b.plugin.lower() == "typesense").options
+    state["collections"][sink["collection"]] = {"1": {"id": "1"}}
+    with pytest.raises(Exception):
+        JobEngine(spark).run(spec)
