@@ -598,6 +598,24 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_punct"), F.col("r_stopwords"), F.col("keep"))
 
 
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (dataops/text.py:unigram_logprob):
+    per-doc mean token log-probability under the corpus's own smoothed
+    unigram model — the CCNet-style LM filter core. Two map-side-
+    combined aggregations, token-keyed join, no driver state."""
+    from seatunnel_spark.dataops.text import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per doc (dataops/text.py:tfidf_keywords),
+    deterministic tie-breaks."""
+    from seatunnel_spark.dataops.text import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), k=3)
+
+
 def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (dataops/decontam.py): flag docs
     sharing any 13-gram with the benchmark set (docs with
@@ -1107,6 +1125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "text_quality_filter": text_quality_filter,
         "text_pii_redact": text_pii_redact,
+        "text_lm_score": text_lm_score,
+        "text_tfidf_keywords": text_tfidf_keywords,
         "decontam_ngram": decontam_ngram,
         "sample_split": sample_split,
         "sample_stratified": sample_stratified,
@@ -1719,6 +1739,52 @@ def oracle_sql() -> dict[str, str]:
                      '\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}', '<PHONE>', 'g')
                      AS redacted
             FROM pii
+        """,
+        "text_lm_score": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS tok
+              FROM documents
+            ), counts AS (
+              SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+            ), stats AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                     count(*) AS vocab
+              FROM counts
+            ), scored AS (
+              SELECT t.doc_id,
+                     ln((c.cnt + 0.5) / (s.total + 0.5 * s.vocab)) AS lp
+              FROM toks t JOIN counts c USING (tok) CROSS JOIN stats s
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(lp), 6) AS avg_logprob
+            FROM scored GROUP BY doc_id
+        """,
+        "text_tfidf_keywords": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS tok
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), dfq AS (
+              SELECT tok, count(*) AS df FROM tf GROUP BY tok
+            ), n AS (
+              SELECT count(*) AS n FROM documents
+            ), scored AS (
+              SELECT doc_id, tok,
+                     tf * ln((n.n + 1.0) / (df + 1)) AS score
+              FROM tf JOIN dfq USING (tok) CROSS JOIN n
+            ), ranked AS (
+              SELECT doc_id, tok,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, tok ASC) AS r
+              FROM scored
+            )
+            SELECT doc_id, list(tok ORDER BY r) AS keywords
+            FROM ranked WHERE r <= 3 GROUP BY doc_id
         """,
         "decontam_ngram": """
             WITH toks AS (

@@ -258,3 +258,79 @@ def pii_redact(df: DataFrame, text_col: str = "text",
         out = F.regexp_replace(out, pat, f"<{name.upper()}>")
     cols[out_col] = out
     return df.withColumns(cols)
+
+
+# --------------------------------------------------------------------------
+# corpus-statistics scoring: unigram-LM perplexity + tf-idf keywords
+# --------------------------------------------------------------------------
+
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", alpha: float = 0.5) -> DataFrame:
+    """Per-doc mean token log-probability under the corpus's OWN
+    smoothed unigram LM — the cheap core of a CCNet-style LM quality
+    filter: docs whose tokens are improbable under the corpus
+    distribution (gibberish, boilerplate noise, wrong language) score
+    low and can be dropped by threshold.
+
+    -> (id, n_tokens, avg_logprob) with
+    p(w) = (count(w) + alpha) / (total + alpha * vocab).
+
+    100 TB design: two aggregations over the exploded token stream —
+    one tiny (vocab-sized) count table and one per-doc fold — both
+    map-side combined; the count table joins back on the token (the
+    shuffle the per-doc fold needs anyway). No driver materialization:
+    total/vocab ride a broadcast single-row frame.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        .alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("vocab"))
+    scored = (toks.join(counts, "tok")
+              .join(F.broadcast(stats))
+              .withColumn("lp", F.log(
+                  (F.col("cnt") + F.lit(alpha))
+                  / (F.col("total") + F.lit(alpha) * F.col("vocab")))))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.avg("lp"), 6).alias("avg_logprob")))
+
+
+def tfidf_keywords(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per doc by tf-idf — the standard
+    keyword/topic fingerprint for corpus exploration and near-dup
+    triage. -> (id, keywords array<string>) with ties broken
+    alphabetically for determinism.
+
+    idf = ln((N + 1) / (df + 1)); tf = in-doc count. One token
+    explode, one (doc, tok) count, one doc-frequency count joined
+    back on the token, one per-doc top-k via sort_array over
+    collected (score, tok) structs — every aggregation map-side
+    combined, nothing driver-side.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        .alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n")).withColumnRenamed("n", "__n")
+    scored = (tf.join(dfreq, "tok").join(F.broadcast(n_docs))
+              .withColumn("score",
+                          F.col("tf") * F.log((F.col("__n") + 1)
+                                              / (F.col("df") + 1))))
+    ranked = scored.withColumn(
+        "r", F.row_number().over(
+            Window.partitionBy(id_col).orderBy(
+                F.col("score").desc(), F.col("tok").asc())))
+    return (ranked.filter(F.col("r") <= k)
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(
+                F.struct("r", "tok"))).alias("__s"))
+            .select(id_col,
+                    F.expr("transform(__s, x -> x.tok)").alias("keywords")))

@@ -607,3 +607,34 @@ def test_video_metadata_real_mp4_boxes(spark):
     assert (out[1]["duration_ms"], out[1]["width"], out[1]["height"],
             out[1]["container"]) == (7500, 1280, 720, "mp4")
     assert out[2]["container"] == "fake/container"
+
+
+def test_unigram_logprob_ordering(spark):
+    from seatunnel_spark.dataops.text import unigram_logprob
+
+    # "common common common" tokens dominate the corpus; the rare-token
+    # doc must score strictly lower
+    rows = [(1, "common common common common"),
+            (2, "common common common common"),
+            (3, "rare tokens only here")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert out[1]["avg_logprob"] == out[2]["avg_logprob"]
+    assert out[3]["avg_logprob"] < out[1]["avg_logprob"]
+    assert out[3]["n_tokens"] == 4
+
+
+def test_tfidf_keywords_pick_distinctive_terms(spark):
+    from seatunnel_spark.dataops.text import tfidf_keywords
+
+    rows = [(1, "the the the apple apple banana"),
+            (2, "the the cherry cherry cherry date"),
+            (3, "the elderberry fig fig")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["keywords"] for r in
+           tfidf_keywords(df, k=2).collect()}
+    # 'the' appears in every doc (idf ~ ln(4/4)=0) and must never win
+    assert out[1] == ["apple", "banana"]
+    assert out[2] == ["cherry", "date"]
+    assert out[3][0] == "fig"
+    assert "the" not in out[1] + out[2] + out[3]
