@@ -19,6 +19,8 @@ CDC envelope -> RowKind mapping (reference semantics):
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from seatunnel_spark.types import ROW_KIND_COL, parse_schema
@@ -273,16 +275,60 @@ def decode_protobuf(df: DataFrame, schema_opt, descriptor_file: str | None = Non
     )
 
 
-def decode_avro(df: DataFrame, schema_opt, avro_schema_json: str | None = None) -> DataFrame:
-    from pyspark.sql.avro.functions import from_avro
+def _avro_jar_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.avro.AvroDataToCatalyst")
+        return True
+    except Exception:  # noqa: BLE001
+        return False
 
-    if avro_schema_json is None:
-        raise ValueError("avro format requires avro_schema (JSON schema string)")
-    return (
-        df.select(from_avro(F.col("value"), avro_schema_json).alias("r"))
-        .select("r.*")
-        .withColumn(ROW_KIND_COL, F.lit("+I"))
-    )
+
+def decode_avro(df: DataFrame, schema_opt, avro_schema_json: str | None = None) -> DataFrame:
+    if avro_schema_json is not None and _avro_jar_available(df.sparkSession):
+        from pyspark.sql.avro.functions import from_avro
+
+        return (
+            df.select(from_avro(F.col("value"), avro_schema_json).alias("r"))
+            .select("r.*")
+            .withColumn(ROW_KIND_COL, F.lit("+I"))
+        )
+    # stdlib fallback (avro_codec.py): the reference's format-avro
+    # derives the record schema from the declared row type
+    # (AvroSchemaConverter — every field a ["null", T] union), so the
+    # declared schema drives the datum decode without spark-avro.
+    if schema_opt is None:
+        raise ValueError(
+            "avro format requires schema {fields {...}} (or avro_schema "
+            "with the spark-avro jar on the classpath)")
+    schema = _schema_of(schema_opt)
+    schema_json = schema.json()
+
+    def run(batches):
+        import pandas as pd
+
+        from seatunnel_spark.avro_codec import decode_row
+
+        sch = T.StructType.fromJson(json.loads(schema_json))
+        names = [f.name for f in sch.fields]
+        for pdf in batches:
+            recs = []
+            for v in pdf["value"]:
+                if v is None:
+                    continue
+                b = v if isinstance(v, (bytes, bytearray)) else \
+                    str(v).encode("latin-1")
+                try:
+                    d = decode_row(sch, bytes(b))
+                except Exception:  # noqa: BLE001 — skip undecodable
+                    continue
+                recs.append(tuple(d.get(n) for n in names))
+            yield (pd.DataFrame.from_records(recs, columns=names)
+                   if recs else pd.DataFrame({n: [] for n in names}))
+
+    value_df = df.select(F.col("value"))
+    return (value_df.mapInPandas(run, schema)
+            .withColumn(ROW_KIND_COL, F.lit("+I")))
 
 
 _DECODERS = {

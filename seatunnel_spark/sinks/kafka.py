@@ -64,6 +64,34 @@ class KafkaSink(Sink):
                 F.when(~is_del, payload).alias("after"),
                 F.when(is_del, F.lit("d")).otherwise(F.lit("c")).alias("op"),
             ))
+        elif fmt == "avro":
+            from seatunnel_spark.formats import _avro_jar_available
+
+            data_df = df.select(*data_cols)
+            if _avro_jar_available(df.sparkSession):
+                from pyspark.sql.avro.functions import to_avro
+
+                cols["value"] = to_avro(F.struct(*[F.col(c)
+                                                   for c in data_cols]))
+            else:
+                # stdlib datum encode (avro_codec.py) via mapInPandas
+                schema_json = data_df.schema.json()
+
+                def enc(batches):
+                    import json as _json
+
+                    import pandas as pd
+                    from pyspark.sql import types as T
+
+                    from seatunnel_spark.avro_codec import encode_record
+
+                    sch = T.StructType.fromJson(_json.loads(schema_json))
+                    for pdf in batches:
+                        vals = [encode_record(sch, rec) for rec in
+                                pdf.to_dict("records")]
+                        yield pd.DataFrame({"value": vals})
+
+                return data_df.mapInPandas(enc, "value binary")
         else:
             raise ValueError(f"Kafka sink format {fmt!r} not supported")
         if key_field:
@@ -152,8 +180,10 @@ class KafkaSink(Sink):
                     parts = parts_of(t)
                     key = row["key"].encode() if "key" in row and \
                         row["key"] is not None else None
-                    value = row["value"].encode() if row["value"] is not None \
-                        else None
+                    rv = row["value"]
+                    value = (None if rv is None
+                             else bytes(rv) if isinstance(rv, (bytes, bytearray))
+                             else rv.encode())
                     if key is not None:
                         p = parts[hash(key) % len(parts)]
                     else:

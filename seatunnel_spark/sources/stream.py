@@ -131,8 +131,10 @@ class KafkaSource(Source):
                 for frame in batches:
                     for topic, p, start in zip(frame["topic"], frame["p"],
                                                frame["start"]):
+                        # value stays BINARY — avro datums are not
+                        # utf-8; text decoders cast binary->string
                         rows = [
-                            (v.decode() if v is not None else None,
+                            (bytes(v) if v is not None else None,
                              k.decode() if k is not None else None,
                              int(p), int(off))
                             for off, k, v in cl.fetch(str(topic), int(p),
@@ -146,7 +148,7 @@ class KafkaSource(Source):
 
         return pdf.mapInPandas(
             fetch_parts,
-            "value string, key string, partition int, offset long")
+            "value binary, key string, partition int, offset long")
 
     def _wire_read_stream(self, spark: SparkSession) -> DataFrame:
         from seatunnel_spark.sources.kafka_ds import register_kafka_datasource

@@ -218,3 +218,74 @@ def test_format_error_handle_way_confs(spark, kafka):
         _run_conf(
             spark,
             f"{_RES}/kafka/kafkasource_format_error_handle_way_fail_to_console.conf")
+
+
+# ---------------------------------------------------------------------------
+# Avro format (stdlib codec fallback — no spark-avro jar here)
+# ---------------------------------------------------------------------------
+
+def test_avro_codec_roundtrip():
+    import datetime
+    import decimal
+
+    from pyspark.sql import types as T
+
+    from seatunnel_spark.avro_codec import decode_row, encode_record
+
+    sch = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("c_map", T.MapType(T.StringType(), T.ShortType())),
+        T.StructField("c_array", T.ArrayType(T.ByteType())),
+        T.StructField("c_string", T.StringType()),
+        T.StructField("c_boolean", T.BooleanType()),
+        T.StructField("c_float", T.FloatType()),
+        T.StructField("c_double", T.DoubleType()),
+        T.StructField("c_decimal", T.DecimalType(2, 1)),
+        T.StructField("c_bytes", T.BinaryType()),
+        T.StructField("c_date", T.DateType()),
+        T.StructField("c_timestamp", T.TimestampType()),
+        T.StructField("c_null", T.StringType()),
+    ])
+    rec = {"id": -(2 ** 40), "c_map": {"k": 7}, "c_array": [1, 2, 3],
+           "c_string": "héllo", "c_boolean": True, "c_float": 1.5,
+           "c_double": -2.25, "c_decimal": decimal.Decimal("1.1"),
+           "c_bytes": b"\x00\xff", "c_date": datetime.date(2024, 1, 23),
+           "c_timestamp": datetime.datetime(2024, 1, 23, 12, 34, 56, 789000),
+           "c_null": None}
+    back = decode_row(sch, encode_record(sch, rec))
+    assert back == rec
+
+
+def test_avro_format_confs_run_unmodified(spark, kafka):
+    """avro/fake_source_to_kafka_avro_format.conf writes Avro datums
+    (stdlib codec — no spark-avro jar in this environment), then
+    avro/kafka_avro_to_assert.conf decodes them back with the declared
+    schema and Assert's id MIN/MAX rules pass (KafkaIT avro suite)."""
+    broker, _ = kafka
+    _run_conf(spark, f"{_RES}/avro/fake_source_to_kafka_avro_format.conf")
+    n = sum(len(log) for (t, _p), log in broker.logs.items()
+            if t == "test_avro_topic_fake_source")
+    assert n == 90
+    # the assert conf reads test_avro_topic — seed it with datums the
+    # IT's producer would write (ids 0..99 over the full type matrix)
+    import datetime
+    import decimal
+
+    from pyspark.sql import types as T
+
+    from seatunnel_spark.avro_codec import encode_record
+    from seatunnel_spark.job.spec import JobSpec as _JS
+    from seatunnel_spark.types import parse_schema
+
+    spec = _JS.from_file(f"{_RES}/avro/kafka_avro_to_assert.conf")
+    sch = parse_schema(spec.sources[0].options["schema"]["fields"])
+    for i in range(100):
+        rec = {"id": i, "c_map": {"k": i % 100}, "c_array": [1, 2],
+               "c_string": f"st{i:04d}", "c_boolean": True, "c_tinyint": 1,
+               "c_smallint": 2, "c_int": 3, "c_bigint": 4,
+               "c_float": 4.5, "c_double": 5.5,
+               "c_decimal": decimal.Decimal("1.1"), "c_bytes": b"test",
+               "c_date": datetime.date(2024, 1, 23),
+               "c_timestamp": datetime.datetime(2024, 1, 23, 12, 34, 56)}
+        broker.append("test_avro_topic", 0, [(None, encode_record(sch, rec))])
+    _run_conf(spark, f"{_RES}/avro/kafka_avro_to_assert.conf")
