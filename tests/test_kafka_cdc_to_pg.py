@@ -225,3 +225,19 @@ def test_multiple_point_topic_conf(spark, backends):
     JobEngine(spark).run(JobSpec.from_file(
         f"{_RES}/textFormatIT/"
         "kafka_source_topic_multiple_point_text_to_console.conf"))
+
+
+def test_compatible_kafka_connect_to_pg_conf(spark, backends):
+    """compatibleFormatIT/kafkasource_jdbc_record_to_pgsql.conf:
+    Kafka-Connect JSON envelopes (schema+payload) upsert into pg by
+    primary key — final table = KafkaFormatIT.checkCompatibleFormat's
+    rows (15/16/18)."""
+    broker, pg = backends
+    _seed_from_file(broker, "jdbc_source_record",
+                    f"{_RES}/compatible/compatible_data.txt")
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_RES}/compatibleFormatIT/kafkasource_jdbc_record_to_pgsql.conf"))
+    got = _replay_into_duckdb(pg)
+    assert [r[0] for r in got] == [15, 16, 18]
+    assert got[0] == (15, "test", "test", "20")
+    assert got[2] == (18, "sdc", "sdc", "sdc")
