@@ -254,16 +254,74 @@ def decode_kafka_connect(df: DataFrame, schema_opt) -> DataFrame:
 
 
 def decode_protobuf(df: DataFrame, schema_opt, descriptor_file: str | None = None,
-                    message_name: str | None = None) -> DataFrame:
-    """Protobuf payload via spark-protobuf (seatunnel-format-protobuf
-    analog). Needs the compiled descriptor set + message name
-    (`protobuf_schema_file` / `protobuf_message_name` options)."""
+                    message_name: str | None = None,
+                    proto_src: str | None = None) -> DataFrame:
+    """Protobuf payload. With inline `protobuf_schema` proto3 source
+    (the reference's CompileDescriptor.java path) the stdlib dynamic
+    codec (protobuf_codec.py) decodes datums via mapInPandas — no
+    protoc, no jar. A compiled descriptor file still routes through
+    spark-protobuf when provided."""
+    if proto_src and message_name:
+        if schema_opt is None:
+            raise ValueError("protobuf format needs schema {fields} "
+                             "alongside inline protobuf_schema")
+        schema = _schema_of(schema_opt)
+        schema_json = schema.json()
+
+        def run(batches):
+            import pandas as pd
+
+            from seatunnel_spark.protobuf_codec import (
+                decode_message,
+                lenient_get,
+                parse_proto,
+            )
+
+            sch = T.StructType.fromJson(json.loads(schema_json))
+            messages = parse_proto(proto_src)
+
+            def conform(v, dt):
+                # prune/reshape decoded dicts to the DECLARED schema —
+                # proto messages may carry extra fields (Address.zip)
+                # the Spark struct doesn't declare
+                if v is None:
+                    return None
+                if isinstance(dt, T.StructType):
+                    return {f.name: conform(lenient_get(v, f.name),
+                                            f.dataType)
+                            for f in dt.fields}
+                if isinstance(dt, T.ArrayType):
+                    return [conform(x, dt.elementType) for x in v]
+                if isinstance(dt, T.MapType):
+                    return {k: conform(x, dt.valueType)
+                            for k, x in dict(v).items()}
+                return v
+
+            for pdf in batches:
+                recs = []
+                for v in pdf["value"]:
+                    if v is None:
+                        continue
+                    b = bytes(v) if isinstance(v, (bytes, bytearray)) \
+                        else str(v).encode("latin-1")
+                    d = decode_message(messages, message_name, b)
+                    recs.append(tuple(
+                        conform(lenient_get(d, f.name), f.dataType)
+                        for f in sch.fields))
+                names = [f.name for f in sch.fields]
+                yield (pd.DataFrame.from_records(recs, columns=names)
+                       if recs else pd.DataFrame({n: [] for n in names}))
+
+        return (df.select(F.col("value")).mapInPandas(run, schema)
+                .withColumn(ROW_KIND_COL, F.lit("+I")))
+
     from pyspark.sql.protobuf.functions import from_protobuf
 
     if not descriptor_file or not message_name:
         raise ValueError(
-            "protobuf format requires protobuf_schema_file (compiled "
-            "FileDescriptorSet) and protobuf_message_name"
+            "protobuf format requires protobuf_schema (inline proto3 "
+            "source) or protobuf_schema_file (compiled FileDescriptorSet) "
+            "plus protobuf_message_name"
         )
     return (
         df.select(
@@ -353,7 +411,8 @@ def decode_payload(df: DataFrame, fmt: str, schema_opt, delimiter: str = ",",
         return decode_avro(df, schema_opt, opts.get("avro_schema"))
     if fmt == "PROTOBUF":
         return decode_protobuf(df, schema_opt, opts.get("protobuf_schema_file"),
-                               opts.get("protobuf_message_name"))
+                               opts.get("protobuf_message_name"),
+                               opts.get("protobuf_schema"))
     if fmt not in _DECODERS:
         raise ValueError(f"unknown message format {fmt!r}; known: {sorted(_DECODERS)}")
     if fmt == "JSON":

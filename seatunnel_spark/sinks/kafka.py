@@ -92,6 +92,31 @@ class KafkaSink(Sink):
                         yield pd.DataFrame({"value": vals})
 
                 return data_df.mapInPandas(enc, "value binary")
+        elif fmt == "protobuf":
+            proto_src = self.require("protobuf_schema")
+            message_name = self.require("protobuf_message_name")
+            data_df = df.select(*data_cols)
+            schema_json = data_df.schema.json()
+
+            def penc(batches):
+                import json as _json
+
+                import pandas as pd
+                from pyspark.sql import types as T
+
+                from seatunnel_spark.protobuf_codec import (
+                    encode_message,
+                    parse_proto,
+                )
+
+                sch = T.StructType.fromJson(_json.loads(schema_json))
+                messages = parse_proto(proto_src)
+                for pdf in batches:
+                    vals = [encode_message(messages, message_name, rec)
+                            for rec in pdf.to_dict("records")]
+                    yield pd.DataFrame({"value": vals})
+
+            return data_df.mapInPandas(penc, "value binary")
         else:
             raise ValueError(f"Kafka sink format {fmt!r} not supported")
         if key_field:

@@ -90,6 +90,7 @@ class KafkaSource(Source):
             avro_schema=self.opt("avro.schema"),
             protobuf_schema_file=self.opt("protobuf_schema_file"),
             protobuf_message_name=self.opt("protobuf_message_name"),
+            protobuf_schema=self.opt("protobuf_schema"),
             error_handle_way=self.opt("format_error_handle_way", "fail"),
         )
 

@@ -289,3 +289,58 @@ def test_avro_format_confs_run_unmodified(spark, kafka):
                "c_timestamp": datetime.datetime(2024, 1, 23, 12, 34, 56)}
         broker.append("test_avro_topic", 0, [(None, encode_record(sch, rec))])
     _run_conf(spark, f"{_RES}/avro/kafka_avro_to_assert.conf")
+
+
+# ---------------------------------------------------------------------------
+# Protobuf format (stdlib proto3 dynamic codec — no protoc here)
+# ---------------------------------------------------------------------------
+
+def test_proto3_codec_roundtrip():
+    from seatunnel_spark.protobuf_codec import (
+        decode_message,
+        encode_message,
+        parse_proto,
+    )
+
+    src = """
+      syntax = "proto3";
+      message Person {
+        int32 c_int32 = 1;
+        int64 c_int64 = 2;
+        float c_float = 3;
+        double c_double = 4;
+        bool c_bool = 5;
+        string c_string = 6;
+        bytes c_bytes = 7;
+        message Address { string street = 1; string city = 2; }
+        Address address = 8;
+        map<string, float> attributes = 9;
+        repeated string phone_numbers = 10;
+      }
+    """
+    messages = parse_proto(src)
+    rec = {"c_int32": -5, "c_int64": 2 ** 40, "c_float": 1.5,
+           "c_double": -2.25, "c_bool": True, "c_string": "héllo",
+           "c_bytes": b"\x00\x01", "address": {"street": "s", "city": "c"},
+           "attributes": {"a": 2.5}, "phone_numbers": ["1", "2"]}
+    out = decode_message(messages, "Person", encode_message(
+        messages, "Person", rec))
+    assert out["c_int32"] == -5 and out["c_int64"] == 2 ** 40
+    assert out["c_bool"] is True and out["c_string"] == "héllo"
+    assert out["address"] == {"street": "s", "city": "c"}
+    assert out["attributes"] == {"a": 2.5}
+    assert out["phone_numbers"] == ["1", "2"]
+
+
+def test_protobuf_confs_run_unmodified(spark, kafka):
+    """fake_to_kafka_protobuf.conf encodes 16 rows as proto3 datums via
+    the stdlib dynamic codec, then kafka_protobuf_to_assert.conf (and
+    the transform variant) decode the topic back (KafkaIT protobuf
+    suite)."""
+    broker, _ = kafka
+    _run_conf(spark, f"{_RES}/protobuf/fake_to_kafka_protobuf.conf")
+    n = sum(len(log) for (t, _p), log in broker.logs.items()
+            if t == "test_protobuf_topic_fake_source")
+    assert n == 16
+    _run_conf(spark, f"{_RES}/protobuf/kafka_protobuf_to_assert.conf")
+    _run_conf(spark, f"{_RES}/protobuf/kafka_protobuf_transform_to_assert.conf")
