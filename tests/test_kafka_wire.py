@@ -201,6 +201,8 @@ def test_text_format_conf_runs_unmodified(spark, kafka):
     broker.seed("test_topic_text",
                 [_TEXT_ROW.format(i=i) for i in range(100)])
     _run_conf(spark, f"{_RES}/textFormatIT/kafka_source_text_to_console.conf")
+    _run_conf(spark, f"{_RES}/textFormatIT/"
+                     "kafka_source_text_to_console_assert_catalog_table.conf")
 
 
 def test_format_error_handle_way_confs(spark, kafka):
