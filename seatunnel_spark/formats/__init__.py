@@ -31,6 +31,11 @@ def _schema_of(schema_opt) -> T.StructType:
         raise ValueError("this format requires an explicit schema {fields {...}}")
     if isinstance(schema_opt, T.StructType):
         return schema_opt
+    if isinstance(schema_opt, dict) and "columns" in schema_opt \
+            and "fields" not in schema_opt:
+        # columns-list form: [{name, type, nullable?, ...}]
+        return parse_schema({c["name"]: c["type"]
+                             for c in schema_opt["columns"]})
     return parse_schema(schema_opt.get("fields", schema_opt))
 
 
