@@ -205,6 +205,27 @@ class LakehouseSink(Sink):
         return False  # merge path acts on its own frames
 
     def write(self, df: DataFrame) -> None:
+        table_list = self.opt("table_list")
+        if table_list:
+            # per-table sink sub-configs (HudiSinkConfig table_list):
+            # each entry merges over the base options and binds to the
+            # matching source table group by table_name
+            base = {k: v for k, v in self.options.items()
+                    if k != "table_list"}
+            groups = self.table_groups or {}
+            for entry in table_list:
+                merged = {**base, **entry}
+                name = str(entry.get("table_name") or entry.get("table"))
+                tdf = None
+                for tid, g in groups.items():
+                    if tid == name or tid.split(".")[-1] == name:
+                        tdf = g
+                        break
+                sub = type(self)(merged)
+                sub.plugin_name = self.plugin_name
+                sub.input_name = name
+                sub.write(tdf if tdf is not None else df)
+            return
         if self.table_groups:
             src_keys = getattr(self, "source_keys", None)
             for tid, tdf in self.table_groups.items():
