@@ -610,10 +610,14 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 tf-idf keywords per doc (dataops/text.py:tfidf_keywords),
-    deterministic tie-breaks."""
+    deterministic tie-breaks. The keyword list is flattened to a
+    space-joined scalar so the driver's pandas canonicalizer (which
+    sorts column values and can't hash lists) can hash it."""
     from seatunnel_spark.dataops.text import tfidf_keywords
 
-    return tfidf_keywords(_t(spark, sf_dir, "documents"), k=3)
+    out = tfidf_keywords(_t(spark, sf_dir, "documents"), k=3)
+    return out.select(
+        "doc_id", F.array_join("keywords", " ").alias("keywords"))
 
 
 def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1783,7 +1787,7 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY score DESC, tok ASC) AS r
               FROM scored
             )
-            SELECT doc_id, list(tok ORDER BY r) AS keywords
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY r) AS keywords
             FROM ranked WHERE r <= 3 GROUP BY doc_id
         """,
         "decontam_ngram": """

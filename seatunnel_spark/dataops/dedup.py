@@ -24,6 +24,34 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
+def _cap_buckets(df: DataFrame, keys: list[str],
+                 max_bucket: int | None) -> DataFrame:
+    """Drop every row belonging to a bucket with more than `max_bucket`
+    members — the shared hot-bucket guard for all LSH/inverted-index
+    pair generators.
+
+    A degenerate corpus (millions of identical/boilerplate docs) floods
+    one bucket/shingle/cell and turns the bucket self-join quadratic.
+    The windowed count runs OVER the bucket keys' own hash
+    partitioning — the exact partitioning the self-join needs next, so
+    AQE reuses the exchange and the cap costs no extra shuffle. After
+    the filter every bucket is provably <= max_bucket rows, so the join
+    is <= max_bucket² work per bucket. Members of a dropped bucket are
+    (near-)identical by construction; collapse them losslessly with
+    `exact_dup_groups` first. `max_bucket=None` disables the cap.
+    """
+    if max_bucket is None:
+        return df
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bn") <= F.lit(max_bucket))
+        .drop("__bn")
+    )
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread CPU-heavy per-row work across cores when the scan produced
     too few partitions (small files read as 1 split). At real scale the
@@ -155,18 +183,7 @@ def minhash_lsh_pairs(
     buckets = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    if max_bucket is not None:
-        # count() OVER the bucket key reuses the hash-partitioning the
-        # self-join needs anyway; the filter then bounds every bucket,
-        # so the join below is provably <= max_bucket² per bucket.
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "key")
-        buckets = (
-            buckets.withColumn("__bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bn") <= F.lit(max_bucket))
-            .drop("__bn")
-        )
+    buckets = _cap_buckets(buckets, ["band", "key"], max_bucket)
     # The self-join consumes `buckets` on BOTH sides, and AQE broadcasts
     # one of them — no ReusedExchange, so without a lineage cut the whole
     # signature pipeline (the expensive md5 pass) executes twice
@@ -238,7 +255,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def simhash_near_dups(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
-    blocks: int = 8,
+    blocks: int = 8, max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -257,6 +274,12 @@ def simhash_near_dups(
     space), which keeps buckets near-singleton at billions of docs —
     index rows scale 14× but the join stays linear. Pick blocks so
     that (blocks - max_hamming) * (64/blocks) ≫ log2(N).
+
+    Hot-bucket cap: identical docs share a simhash, hence every block
+    key — one degenerate bucket goes quadratic regardless of key
+    width. `_cap_buckets` bounds each (combo, key) bucket to
+    `max_bucket` docs; dropped members are (near-)identical — collapse
+    with exact_dup_groups first. None disables.
     """
     import itertools
 
@@ -287,6 +310,7 @@ def simhash_near_dups(
     buckets = sig.select(id_col, "simhash", F.explode(segs).alias("b")).select(
         id_col, "simhash", F.col("b.seg").alias("seg"), F.col("b.key").alias("key")
     )
+    buckets = _cap_buckets(buckets, ["seg", "key"], max_bucket)
     # lineage cut: both self-join sides would otherwise re-run the
     # simhash64 pandas-UDF pass (see minhash_lsh_pairs for the measured
     # ReusedExchange failure under AQE broadcast)
@@ -322,6 +346,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     block_cols: list[str] | None = None,
+    max_df: int | None = 100_000,
 ) -> DataFrame:
     """Exact word-k-gram Jaccard similarity via an inverted-index join.
 
@@ -333,8 +358,13 @@ def ngram_jaccard_pairs(
     |A∪B| folds from the carried set sizes: |A|+|B|−|A∩B|.
     block_cols add extra equi-conditions (e.g. language) to the token
     join. Skew note: a pathologically hot shingle (df ≈ N) degrades to
-    that token's df² — AQE skew-split handles the shuffle side; cap df
-    upstream if a corpus has degenerate repeated boilerplate.
+    that token's df² — `max_df` ENFORCES the bound: shingles appearing
+    in more than max_df docs are dropped from the inverted index
+    (`_cap_buckets` on the token key). A dropped shingle is corpus
+    boilerplate carrying near-zero discriminative signal; since it is
+    absent from BOTH sides, the computed Jaccard becomes a (slight)
+    underestimate for pairs that shared it — the standard stop-shingle
+    trade. max_df=None keeps the operator exact.
     """
     shingled = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
@@ -345,6 +375,16 @@ def ngram_jaccard_pairs(
         "id", *(block_cols or []), F.size("sh").alias("n"),
         F.explode("sh").alias("tok"),
     )
+    if max_df is not None:
+        # the carried set size |A| must shrink with the dropped tokens,
+        # or |A∪B| overcounts: recompute n as the per-doc count of
+        # SURVIVING shingles after the df cap.
+        inv = _cap_buckets(inv.drop("n"),
+                           ["tok", *(block_cols or [])], max_df)
+        from pyspark.sql import Window
+
+        inv = inv.withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("id")))
     # lineage cut: the inverted index feeds both join sides; without it
     # the shingle explode executes twice (AQE may broadcast one side,
     # defeating ReusedExchange)
@@ -439,6 +479,7 @@ def embedding_near_dups(
     planes: int = 12,
     seed: int = 42,
     round_to: int | None = None,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
@@ -448,6 +489,12 @@ def embedding_near_dups(
     literals — no driver data movement. `planes=0` disables blocking
     (single bucket = exact all-pairs) — the correctness baseline for
     validating recall; use blocking at scale.
+
+    Hot-bucket cap: identical embeddings land in one LSH bucket no
+    matter how many planes — `_cap_buckets` bounds each bucket to
+    `max_bucket` rows (dropped members are embedding-identical;
+    collapse them by an exact digest groupBy first). Applies only in
+    blocked mode; None disables.
     """
     import numpy as np
 
@@ -471,6 +518,8 @@ def embedding_near_dups(
         F.col(id_col).alias("id"), v.alias("v"), norm.alias("n"),
         *( [bucket.alias("bucket")] if bucket is not None else [] ),
     )
+    if bucket is not None:
+        bucketed = _cap_buckets(bucketed, ["bucket"], max_bucket)
     # lineage cut: the hyperplane-bucket projection (interpreted
     # higher-order dot products) feeds both self-join sides
     bucketed = bucketed.localCheckpoint(eager=False)
@@ -514,6 +563,7 @@ def semantic_dedup(
     iters: int = 2,
     threshold: float = 0.95,
     round_to: int | None = None,
+    max_cell: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): quantize every
     embedding to its nearest centroid, compare pairs ONLY within a
@@ -529,6 +579,13 @@ def semantic_dedup(
     codebook (engine-replayable, oracle-checkable) or distributed
     Lloyd's (similarity.train_ivf_centroids). The assigned frame is
     lineage-cut before the self-join (see minhash_lsh_pairs).
+
+    Hot-cell cap: a degenerate mega-cell (a codebook mismatched to the
+    corpus, or billions of identical embeddings) turns the within-cell
+    join quadratic — `_cap_buckets` bounds the JOIN INPUT to `max_cell`
+    rows per cell. Docs in an over-full cell are conservatively KEPT
+    (keep=true for rows excluded from pair generation) — dedup never
+    drops a doc it didn't compare. None disables.
     """
     from seatunnel_spark.dataops.similarity import (
         _nearest_centroid, train_ivf_centroids)
@@ -541,7 +598,8 @@ def semantic_dedup(
         F.col(id_col).alias("id"), v.alias("v"), norm.alias("n"),
         _nearest_centroid(v, centroids).alias("cell"),
     ).localCheckpoint(eager=False)
-    a, b = assigned.alias("a"), assigned.alias("b")
+    join_in = _cap_buckets(assigned, ["cell"], max_cell)
+    a, b = join_in.alias("a"), join_in.alias("b")
     cos = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x) / (F.col("a.n") * F.col("b.n"))
     if round_to is not None:

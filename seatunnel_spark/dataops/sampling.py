@@ -17,7 +17,7 @@ few) joined back as a broadcast. Nothing collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 _BUCKETS = 10_000
 
@@ -62,13 +62,15 @@ def domain_rebalance(df: DataFrame, domain_col: str = "source",
 
     The per-domain counts are a tiny aggregate (one row per domain)
     broadcast back onto the scan — the corpus itself never shuffles.
-    The window below is OVER () on the aggregated (small) frame only.
+    The global min is a scalar aggregate broadcast-cross-joined back
+    onto the counts frame (not an OVER () window, which would funnel
+    the frame through one partition and spam WindowExec warnings).
     """
     counts = df.groupBy(domain_col).agg(F.count("*").alias("n_d"))
-    counts = counts.withColumn(
+    min_n = counts.agg(F.min("n_d").alias("__min_n"))
+    counts = counts.join(F.broadcast(min_n)).withColumn(
         "keep_buckets",
-        F.floor(F.min("n_d").over(Window.partitionBy()) * F.lit(_BUCKETS)
-                / F.col("n_d")))
+        F.floor(F.col("__min_n") * F.lit(_BUCKETS) / F.col("n_d")))
     return (df.join(F.broadcast(counts.select(domain_col, "keep_buckets")),
                     domain_col)
             .filter(hash_bucket(F.col(id_col)) < F.col("keep_buckets"))

@@ -59,7 +59,10 @@ def decode_json(df: DataFrame, schema_opt,
     out = df.select(value.alias("__v"),
                     F.from_json(value, schema, opts).alias("r"))
     if way == "skip":
-        out = out.filter(F.col("r").isNotNull() | F.col("__v").isNull())
+        # drop undecodable records AND null-value (tombstone) records —
+        # a null Kafka value has nothing to decode; keeping it would
+        # emit an all-null +I row
+        out = out.filter(F.col("r").isNotNull())
     return out.select("r.*").withColumn(ROW_KIND_COL, F.lit("+I"))
 
 

@@ -120,6 +120,70 @@ def _slice_bytes(ktype: int, v) -> bytes:
     return str(v).encode()
 
 
+_M64 = (1 << 64) - 1
+_INT_BITS = {INT8: 8, UINT8: 8, INT16: 16, UINT16: 16,
+             INT32: 32, UINT32: 32, INT64: 64, UINT64: 64,
+             UNIXTIME_MICROS: 64, DATE: 32}
+
+
+def murmur2_64(data: bytes, seed: int = 0) -> int:
+    """MurmurHash2 64A (Appleby's public-domain reference), the hash
+    Kudu's HashPartitionSchema uses for bucket assignment
+    (kudu/util/hash_util.h HashUtil::MurmurHash2_64)."""
+    m = 0xC6A4A7935BD1E995
+    r = 47
+    n = len(data)
+    h = (seed ^ ((n * m) & _M64)) & _M64
+    end = n - (n % 8)
+    for off in range(0, end, 8):
+        k = int.from_bytes(data[off:off + 8], "little")
+        k = (k * m) & _M64
+        k ^= k >> r
+        k = (k * m) & _M64
+        h ^= k
+        h = (h * m) & _M64
+    if n % 8:
+        h ^= int.from_bytes(data[end:], "little")
+        h = (h * m) & _M64
+    h ^= h >> r
+    h = (h * m) & _M64
+    h ^= h >> r
+    return h
+
+
+def _encode_key_col(ktype: int, v, last: bool) -> bytes:
+    """Kudu KeyEncoder memcmp-able encoding of one key column
+    (kudu/common/key_encoder.h): fixed-width ints big-endian with the
+    sign bit flipped; STRING/BINARY raw when last, else 0x00-escaped
+    (0x00 -> 0x00 0x01) and 0x00 0x00 terminated."""
+    bits = _INT_BITS.get(ktype)
+    if bits is not None:
+        x = int(_to_wire(ktype, v)) & ((1 << bits) - 1)
+        x ^= 1 << (bits - 1)  # flip sign bit -> unsigned memcmp order
+        return x.to_bytes(bits // 8, "big")
+    if ktype == BOOL:
+        return b"\x01" if v else b"\x00"
+    if ktype in (STRING, VARCHAR, BINARY):
+        b = _slice_bytes(ktype, v)
+        return b if last else b.replace(b"\x00", b"\x00\x01") + b"\x00\x00"
+    raise ValueError(f"type {ktype} is not a valid Kudu key column type")
+
+
+def hash_bucket(cols: "list[Column]", row: tuple, num_buckets: int,
+                seed: int = 0) -> int:
+    """Key-to-bucket routing for a single-level HASH(all key columns)
+    PARTITIONS n schema — murmur2_64 over the concatenated key-encoded
+    key columns, mod n (kudu/common/partition.cc
+    HashPartitionSchema::BucketForEncodedColumns). Multi-level or
+    range+hash schemas need the table's PartitionSchemaPB; callers must
+    not use this for those."""
+    keys = [(c, v) for c, v in zip(cols, row) if c.is_key]
+    buf = b"".join(
+        _encode_key_col(c.ktype, v, i == len(keys) - 1)
+        for i, (c, v) in enumerate(keys))
+    return murmur2_64(buf, seed) % num_buckets
+
+
 class Column:
     """One column of a Kudu schema (ColumnSchemaPB)."""
 

@@ -143,6 +143,14 @@ def encode_message(messages: dict, msg_name: str, datum: dict) -> bytes:
                 out += pb.fbytes(f.number, _enc_scalar(kt, 1, k) + ev)
             continue
         items = list(v) if f.repeated else [v]
+        if (f.repeated and items and f.ftype not in messages
+                and f.ftype not in ("string", "bytes")):
+            # proto3 packs repeated numeric scalars into ONE
+            # length-delimited blob by default — emit the same form
+            # real producers do (the decoder accepts both)
+            out += pb.fbytes(f.number, b"".join(
+                _packed_payload(f.ftype, x) for x in items))
+            continue
         for x in items:
             if f.ftype in messages:
                 out += pb.fbytes(f.number,
@@ -150,6 +158,20 @@ def encode_message(messages: dict, msg_name: str, datum: dict) -> bytes:
             else:
                 out += _enc_scalar(f.ftype, f.number, x)
     return out
+
+
+def _packed_payload(ftype: str, v) -> bytes:
+    if ftype in ("int32", "int64", "uint32", "uint64"):
+        return pb.varint(int(v))
+    if ftype in ("sint32", "sint64"):
+        return pb.varint(_zigzag(int(v)))
+    if ftype == "bool":
+        return pb.varint(1 if v else 0)
+    if ftype == "float":
+        return struct.pack("<f", float(v))
+    if ftype == "double":
+        return struct.pack("<d", float(v))
+    raise ValueError(f"proto codec: unknown packed scalar {ftype}")
 
 
 def _dec_scalar(ftype: str, raw):
@@ -176,6 +198,28 @@ def _dec_scalar(ftype: str, raw):
     raise ValueError(f"proto codec: unknown scalar {ftype}")
 
 
+_PACKED_FIXED = {"float": ("<I", 4), "double": ("<Q", 8)}
+
+
+def _unpack_packed(ftype: str, blob: bytes) -> list:
+    """proto3 encodes repeated numeric scalars PACKED by default: one
+    length-delimited blob of concatenated varints / fixed-width values.
+    Real producers emit this form; return the raw wire ints that
+    _dec_scalar expects (float/double as their unsigned bit patterns).
+    """
+    out: list = []
+    if ftype in _PACKED_FIXED:
+        fmtc, width = _PACKED_FIXED[ftype]
+        for off in range(0, len(blob), width):
+            out.append(struct.unpack_from(fmtc, blob, off)[0])
+        return out
+    i = 0
+    while i < len(blob):
+        v, i = pb.read_varint(blob, i)
+        out.append(v)
+    return out
+
+
 def decode_message(messages: dict, msg_name: str, data: bytes) -> dict:
     raw = pb.decode(data)
     out: dict = {}
@@ -192,9 +236,22 @@ def decode_message(messages: dict, msg_name: str, data: bytes) -> dict:
                         else _dec_scalar(vt, xv if xv is not None else 0))
             out[f.name] = d
         elif f.repeated:
-            out[f.name] = [
-                decode_message(messages, f.ftype, x) if f.ftype in messages
-                else _dec_scalar(f.ftype, x) for x in vals]
+            if f.ftype in messages:
+                out[f.name] = [decode_message(messages, f.ftype, x)
+                               for x in vals]
+            elif f.ftype in ("string", "bytes"):
+                out[f.name] = [_dec_scalar(f.ftype, x) for x in vals]
+            else:
+                # numeric scalar: each wire value is either one unpacked
+                # element (int) or a PACKED blob (bytes, the proto3
+                # default from real producers) — flatten both forms
+                flat: list = []
+                for x in vals:
+                    if isinstance(x, (bytes, bytearray)):
+                        flat.extend(_unpack_packed(f.ftype, bytes(x)))
+                    else:
+                        flat.append(x)
+                out[f.name] = [_dec_scalar(f.ftype, x) for x in flat]
         else:
             if not vals:
                 out[f.name] = (decode_message(messages, f.ftype, b"")

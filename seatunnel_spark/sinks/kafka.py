@@ -34,11 +34,13 @@ class KafkaSink(Sink):
                      if c not in (ROW_KIND_COL, TABLE_ID_COL)]
         cols = {}
         if fmt == "json":
-            cols["value"] = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+            # data_cols, NOT df.columns: internal meta columns
+            # (__row_kind/__table_id) must never leak into the payload
+            cols["value"] = F.to_json(F.struct(*[F.col(c) for c in data_cols]))
         elif fmt == "text":
             sep = self.opt("field_delimiter", ",")
             cols["value"] = F.concat_ws(sep, *[F.col(c).cast("string")
-                                               for c in df.columns])
+                                               for c in data_cols])
         elif fmt in ("canal_json", "maxwell_json", "ogg_json"):
             # CanalJsonSerializationSchema shape (maxwell/ogg sinks in
             # the reference serialize identically — KafkaFormatIT

@@ -224,7 +224,20 @@ class ClickhouseSink(Sink):
                 conds = []
                 for k in pks:
                     v = d.get(k)
-                    lit = f"'{v}'" if isinstance(v, str) else v
+                    if v is None:
+                        conds.append(f"`{k}` IS NULL")
+                        continue
+                    if isinstance(v, bool):
+                        lit = "1" if v else "0"
+                    elif isinstance(v, (int, float)):
+                        lit = repr(v)
+                    else:
+                        # quote everything else (str/date/datetime/
+                        # decimal), escaping backslash + single quote —
+                        # unquoted non-numerics are invalid SQL and
+                        # unescaped quotes are an injection surface
+                        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+                        lit = f"'{s}'"
                     conds.append(f"`{k}` = {lit}")
                 ch_exec(base, f"DELETE FROM `{db}`.`{table}` "
                               f"WHERE {' AND '.join(conds)}", b"", user, pw)

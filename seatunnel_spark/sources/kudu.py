@@ -173,27 +173,40 @@ class KuduSink(Sink):
         cols = kudu_columns(data_df.schema, key_names)
         col_specs = [(c.name, c.ktype, c.is_key, c.nullable) for c in cols]
         names = [c.name for c in cols]
-        # Partition routing happens server-side in the mini harness; a
-        # live cluster needs PartitionSchemaPB-based routing here.
-        tablet_id, host, port = locations[0]
+        # Key-to-tablet routing: murmur2 hash-bucket over the encoded
+        # key columns (kudu_rpc.hash_bucket — Kudu's single-level
+        # HASH(keys) PARTITIONS n scheme, the CREATE TABLE default the
+        # reference connector emits). GetTableLocations returns tablets
+        # in partition-key order, so bucket i == locations[i]. Rows are
+        # batched PER TABLET and each batch goes to its own leader —
+        # no cross-tablet writes.
+        locs = [(tid, h, int(p)) for tid, h, p in locations]
 
         def write_partition(rows):
             cols_local = [K.Column(*s) for s in col_specs]
-            cl = K.KuduClient(f"{host}:{port}", user)
-            pending: list[tuple[int, tuple]] = []
+            clients: dict[str, K.KuduClient] = {}
+            pending: dict[int, list[tuple[int, tuple]]] = {
+                i: [] for i in range(len(locs))}
 
-            def flush():
-                if not pending:
+            def conn(host, port):
+                key = f"{host}:{port}"
+                if key not in clients:
+                    clients[key] = K.KuduClient(key, user)
+                return clients[key]
+
+            def flush(i):
+                if not pending[i]:
                     return
-                errors = cl.write(host, int(port), tablet_id,
-                                  cols_local, list(pending))
+                tablet_id, host, port = locs[i]
+                errors = conn(host, port).write(
+                    host, port, tablet_id, cols_local, list(pending[i]))
                 for _idx, msg in errors:
                     if "not found" in msg and ignore_not_found:
                         continue
                     if "already present" in msg and ignore_duplicate:
                         continue
                     raise RuntimeError(f"kudu write error: {msg}")
-                pending.clear()
+                pending[i].clear()
 
             try:
                 for row in rows:
@@ -208,12 +221,16 @@ class KuduSink(Sink):
                         op = K.OP_UPSERT
                     else:
                         op = K.OP_INSERT
-                    pending.append((op, vals))
-                    if len(pending) >= batch:
-                        flush()
-                flush()
+                    b = (K.hash_bucket(cols_local, vals, len(locs))
+                         if len(locs) > 1 else 0)
+                    pending[b].append((op, vals))
+                    if len(pending[b]) >= batch:
+                        flush(b)
+                for i in range(len(locs)):
+                    flush(i)
             finally:
-                cl.close()
+                for c in clients.values():
+                    c.close()
 
         df.foreachPartition(write_partition)
 

@@ -638,3 +638,108 @@ def test_tfidf_keywords_pick_distinctive_terms(spark):
     assert out[2] == ["cherry", "date"]
     assert out[3][0] == "fig"
     assert "the" not in out[1] + out[2] + out[3]
+
+
+def test_simhash_hot_bucket_cap(spark):
+    # Identical docs share the same simhash => every block key collides:
+    # one degenerate bucket per combo. The cap drops those buckets while
+    # a genuinely near pair (few substituted words) still surfaces.
+    import hashlib
+
+    def py_simhash(text):  # mirror of dedup.simhash64 (md5-based)
+        acc = [0] * 64
+        for w in set(text.split()):
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+            for i in range(64):
+                acc[i] += 1 if (h >> (63 - i)) & 1 else -1
+        return sum(1 << i for i in range(64) if acc[63 - i] > 0)
+
+    words = [f"tok{i}" for i in range(60)]
+    base = " ".join(words)
+    # pick a substitution whose simhash stays within hamming 3 of base
+    near = None
+    for cand in range(1000):
+        w2 = list(words)
+        w2[0] = f"zzz{cand}"
+        t = " ".join(w2)
+        if bin(py_simhash(base) ^ py_simhash(t)).count("1") <= 3:
+            near = t
+            break
+    assert near is not None
+    boiler = "terms of service apply to everything here always forever ok"
+    rows = [(i, boiler) for i in range(200)] + [(900, base), (901, near)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(
+        df, "doc_id", "text", max_hamming=3, max_bucket=50).collect()}
+    assert (900, 901) in capped
+    assert not any(a < 200 and b < 200 for a, b in capped)
+    assert len(capped) <= 4  # bounded, not quadratic
+
+    uncapped = simhash_near_dups(
+        df, "doc_id", "text", max_hamming=3, max_bucket=None)
+    assert uncapped.count() >= 200 * 199 // 2  # the quadratic blowup
+
+
+def test_jaccard_max_df_cap(spark):
+    # A boilerplate 3-gram shared by ALL docs would make the inverted
+    # index join quadratic on that token. max_df drops it; pairs that
+    # are near-dups through DISTINCTIVE shingles still surface, and the
+    # boilerplate-only pair set is bounded.
+    boiler = "all rights reserved"  # one shared 3-gram across the corpus
+    rows = [(i, f"{boiler} unique{i} alpha{i} beta{i} gamma{i}")
+            for i in range(200)]
+    rows += [(900, "the quick brown fox jumps over the lazy dog today"),
+             (901, "the quick brown fox jumps over the lazy dog tomorrow")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(
+        df, "doc_id", "text", k=3, threshold=0.5, max_df=50).collect()}
+    assert (900, 901) in capped
+    assert not any(a < 200 and b < 200 for a, b in capped)
+
+    # exact mode still computes the full (tiny-sim) candidate set
+    exact = ngram_jaccard_pairs(
+        df, "doc_id", "text", k=3, threshold=0.0, max_df=None)
+    assert exact.count() >= 200 * 199 // 2
+
+
+def test_embedding_hot_bucket_cap(spark):
+    # Identical embeddings collide in one LSH bucket regardless of the
+    # number of planes; the cap bounds that bucket's self-join.
+    same = [1.0, 0.0, 0.0, 0.0]
+    rows = [(i, same) for i in range(200)]
+    rows += [(900, [0.0, 1.0, 0.05, 0.0]), (901, [0.0, 1.0, 0.06, 0.0])]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+
+    capped = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(
+        df, "id", "embedding", threshold=0.95, planes=6,
+        max_bucket=50).collect()}
+    assert (900, 901) in capped
+    assert not any(a < 200 and b < 200 for a, b in capped)
+
+    uncapped = embedding_near_dups(
+        df, "id", "embedding", threshold=0.95, planes=6, max_bucket=None)
+    assert uncapped.count() >= 200 * 199 // 2
+
+
+def test_semantic_dedup_hot_cell_cap(spark):
+    # A degenerate mega-cell is excluded from pair generation, and its
+    # members are conservatively KEPT (never dropped uncompared).
+    from seatunnel_spark.dataops.dedup import semantic_dedup
+
+    same = [1.0, 0.0]
+    rows = [(i, same) for i in range(200)]
+    rows += [(900, [0.0, 1.0]), (901, [0.01, 1.0])]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+
+    out = {r["id"]: r["keep"] for r in semantic_dedup(
+        df, "id", centroids=cents, threshold=0.95, max_cell=50).collect()}
+    assert len(out) == 202          # every row present in the output
+    assert all(out[i] for i in range(200))  # mega-cell kept, not dropped
+    assert out[900] and not out[901]        # normal cell still deduped
+
+    uncapped = {r["id"]: r["keep"] for r in semantic_dedup(
+        df, "id", centroids=cents, threshold=0.95, max_cell=None).collect()}
+    assert uncapped[0] and not uncapped[199]  # quadratic path dedups

@@ -346,3 +346,42 @@ def test_protobuf_confs_run_unmodified(spark, kafka):
     assert n == 16
     _run_conf(spark, f"{_RES}/protobuf/kafka_protobuf_to_assert.conf")
     _run_conf(spark, f"{_RES}/protobuf/kafka_protobuf_transform_to_assert.conf")
+
+
+def test_proto3_packed_repeated_scalars():
+    """proto3 packs repeated numeric scalars by default: the encoder
+    emits ONE length-delimited blob; the decoder accepts both packed
+    (real producers) and unpacked (proto2-style) forms."""
+    from seatunnel_spark import pb
+    from seatunnel_spark.protobuf_codec import (
+        decode_message, encode_message, parse_proto)
+
+    src = """
+      syntax = "proto3";
+      message M {
+        repeated int32 a = 1;
+        repeated sint64 b = 2;
+        repeated double c = 3;
+        repeated float d = 4;
+        repeated bool e = 5;
+        repeated string s = 6;
+      }
+    """
+    messages = parse_proto(src)
+    rec = {"a": [1, -2, 300], "b": [-1, 2 ** 40], "c": [1.5, -2.25],
+           "d": [0.5, 8.0], "e": [True, False, True], "s": ["x", "y"]}
+    wire = encode_message(messages, "M", rec)
+
+    # packed on the wire: exactly one occurrence of each numeric field
+    raw = pb.decode(wire)
+    for num in (1, 2, 3, 4, 5):
+        assert len(raw[num]) == 1 and isinstance(raw[num][0], bytes), num
+    assert len(raw[6]) == 2  # strings never pack
+
+    assert decode_message(messages, "M", wire) == rec
+
+    # unpacked (one tag per element) still decodes identically
+    unpacked = (pb.fvar(1, 1) + pb.fvar(1, (-2) & ((1 << 64) - 1))
+                + pb.fvar(1, 300))
+    got = decode_message(messages, "M", unpacked)
+    assert got["a"] == [1, -2, 300]

