@@ -75,7 +75,15 @@ def decode_text(df: DataFrame, schema_opt, delimiter: str = ",",
     malformed field (TextDeserializationSchema throws); 'skip' drops a
     row when the line is short OR any present field fails its typed
     parse (try_cast/from_json null on non-null input) — the
-    reference's whole-row-skip-on-exception semantics."""
+    reference's whole-row-skip-on-exception semantics.
+
+    No declared schema -> the whole value becomes one non-null STRING
+    column `content` (KafkaSourceConfig.createCatalogTable's default
+    single-field table; the exactly-once confs rely on it)."""
+    if schema_opt is None:
+        return (df.select(_value_str(df).alias("content"))
+                .filter(F.col("content").isNotNull())
+                .withColumn(ROW_KIND_COL, F.lit("+I")))
     schema = _schema_of(schema_opt)
     parts = F.split(_value_str(df), delimiter)
     skip = str(error_handle_way or "fail").lower() == "skip"

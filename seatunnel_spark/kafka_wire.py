@@ -111,8 +111,15 @@ def dec_bytes(data: bytes, i: int) -> tuple[bytes | None, int]:
 
 def encode_record_batch(base_offset: int,
                         records: list[tuple[bytes | None, bytes | None]],
-                        base_ts: int | None = None) -> bytes:
-    """records = [(key, value), ...] -> one magic-2 batch."""
+                        base_ts: int | None = None,
+                        producer_id: int = -1, producer_epoch: int = -1,
+                        base_sequence: int = -1,
+                        transactional: bool = False) -> bytes:
+    """records = [(key, value), ...] -> one magic-2 batch.
+
+    producer_id/epoch/base_sequence carry the idempotent-producer
+    identity; attribute bit 4 marks the batch transactional (KIP-98
+    batch format)."""
     base_ts = base_ts if base_ts is not None else int(time.time() * 1000)
     recs = bytearray()
     for delta, (key, value) in enumerate(records):
@@ -127,13 +134,31 @@ def encode_record_batch(base_offset: int,
                 body += enc_varint(len(field)) + field
         body += enc_varint(0)                 # headers count
         recs += enc_varint(len(body)) + body
+    attrs = 0x10 if transactional else 0
     after_crc = (
-        struct.pack(">hiqqqhii", 0, len(records) - 1, base_ts, base_ts,
-                    -1, -1, -1, len(records)) + bytes(recs)
+        struct.pack(">hiqqqhii", attrs, len(records) - 1, base_ts, base_ts,
+                    producer_id, producer_epoch, base_sequence,
+                    len(records)) + bytes(recs)
     )
     crc = crc32c(after_crc)
     body = (struct.pack(">iBI", 0, 2, crc) + after_crc)  # epoch, magic, crc
     return struct.pack(">qi", base_offset, len(body)) + body
+
+
+def batch_header(data: bytes) -> dict | None:
+    """Parse the FIRST batch's header out of a produce payload:
+    {attrs, transactional, producer_id, producer_epoch, base_sequence}."""
+    if len(data) < 12:
+        return None
+    _base, length = struct.unpack_from(">qi", data, 0)
+    batch = data[12:12 + length]
+    if len(batch) < 49 or batch[4] != 2:
+        return None
+    attrs, _lod, _ts1, _ts2, pid, epoch, seq, _cnt = struct.unpack_from(
+        ">hiqqqhii", batch, 9)
+    return {"attrs": attrs, "transactional": bool(attrs & 0x10),
+            "producer_id": pid, "producer_epoch": epoch,
+            "base_sequence": seq}
 
 
 def decode_record_batches(data: bytes):
@@ -180,6 +205,9 @@ def decode_record_batches(data: bytes):
 
 _API_PRODUCE, _API_FETCH, _API_LIST_OFFSETS, _API_METADATA = 0, 1, 2, 3
 _API_VERSIONS = 18
+_API_INIT_PRODUCER_ID = 22
+_API_ADD_PARTITIONS_TO_TXN = 24
+_API_END_TXN = 26
 
 
 def resolve_bootstrap(bootstrap: str) -> str:
@@ -280,10 +308,15 @@ class KafkaWireClient:
     # -- Produce v3 -------------------------------------------------------
     def produce(self, topic: str, partition: int,
                 records: list[tuple[bytes | None, bytes | None]],
-                base_offset_hint: int = 0) -> int:
-        batch = encode_record_batch(base_offset_hint, records)
+                base_offset_hint: int = 0,
+                txn_id: str | None = None, producer_id: int = -1,
+                producer_epoch: int = -1, base_sequence: int = -1) -> int:
+        batch = encode_record_batch(
+            base_offset_hint, records, producer_id=producer_id,
+            producer_epoch=producer_epoch, base_sequence=base_sequence,
+            transactional=txn_id is not None)
         payload = (
-            enc_str(None) + struct.pack(">hi", -1, 30000)   # txn, acks=-1
+            enc_str(txn_id) + struct.pack(">hi", -1, 30000)  # acks=-1
             + struct.pack(">i", 1) + enc_str(topic)
             + struct.pack(">i", 1) + struct.pack(">i", partition)
             + enc_bytes(batch)
@@ -296,6 +329,54 @@ class KafkaWireClient:
         if err:
             raise RuntimeError(f"kafka produce error code {err}")
         return base
+
+    # -- transactions (KIP-98: InitProducerId v0, AddPartitionsToTxn v0,
+    #    EndTxn v0) ---------------------------------------------------------
+    def init_producer_id(self, txn_id: str | None,
+                         timeout_ms: int = 60_000) -> tuple[int, int]:
+        """-> (producer_id, producer_epoch). Re-initializing an existing
+        transactional.id bumps the epoch, FENCING any zombie producer
+        still holding the old epoch (the exactly-once recovery path)."""
+        payload = enc_str(txn_id) + struct.pack(">i", timeout_ms)
+        r = self._call(_API_INIT_PRODUCER_ID, 0, payload)
+        _throttle, err, pid, epoch = struct.unpack_from(">ihqh", r, 0)
+        if err:
+            raise RuntimeError(f"kafka init_producer_id error code {err}")
+        return pid, epoch
+
+    def add_partitions_to_txn(self, txn_id: str, producer_id: int,
+                              producer_epoch: int,
+                              topic_parts: dict[str, list[int]]) -> None:
+        payload = (enc_str(txn_id)
+                   + struct.pack(">qh", producer_id, producer_epoch)
+                   + struct.pack(">i", len(topic_parts)))
+        for t, parts in topic_parts.items():
+            payload += enc_str(t) + struct.pack(">i", len(parts))
+            payload += b"".join(struct.pack(">i", p) for p in parts)
+        r = self._call(_API_ADD_PARTITIONS_TO_TXN, 0, payload)
+        i = 4  # throttle
+        (n_topics,) = struct.unpack_from(">i", r, i)
+        i += 4
+        for _ in range(n_topics):
+            _, i = dec_str(r, i)
+            (n_parts,) = struct.unpack_from(">i", r, i)
+            i += 4
+            for _ in range(n_parts):
+                _p, err = struct.unpack_from(">ih", r, i)
+                i += 6
+                if err:
+                    raise RuntimeError(
+                        f"kafka add_partitions_to_txn error code {err}")
+
+    def end_txn(self, txn_id: str, producer_id: int, producer_epoch: int,
+                commit: bool) -> None:
+        payload = (enc_str(txn_id)
+                   + struct.pack(">qh", producer_id, producer_epoch)
+                   + (b"\x01" if commit else b"\x00"))
+        r = self._call(_API_END_TXN, 0, payload)
+        _throttle, err = struct.unpack_from(">ih", r, 0)
+        if err:
+            raise RuntimeError(f"kafka end_txn error code {err}")
 
     # -- ListOffsets v1 ---------------------------------------------------
     def list_offset(self, topic: str, partition: int,
@@ -316,11 +397,14 @@ class KafkaWireClient:
 
     # -- Fetch v4 ---------------------------------------------------------
     def fetch(self, topic: str, partition: int, offset: int,
-              max_bytes: int = 4 * 1024 * 1024):
-        """Yield (offset, key, value) from `offset` to current log end."""
+              max_bytes: int = 4 * 1024 * 1024, isolation: int = 0):
+        """Yield (offset, key, value) from `offset` to current log end.
+        isolation 0 = read_uncommitted (Kafka's consumer default),
+        1 = read_committed (only records below the last stable offset,
+        skipping aborted transactions)."""
         while True:
             payload = (
-                struct.pack(">iiiiB", -1, 500, 1, max_bytes, 0)
+                struct.pack(">iiiiB", -1, 500, 1, max_bytes, isolation)
                 + struct.pack(">i", 1) + enc_str(topic)
                 + struct.pack(">i", 1)
                 + struct.pack(">iqi", partition, offset, max_bytes)
@@ -351,4 +435,5 @@ class KafkaWireClient:
 
 
 __all__ = ["KafkaWireClient", "encode_record_batch",
-           "decode_record_batches", "crc32c", "enc_varint", "dec_varint"]
+           "decode_record_batches", "batch_header", "crc32c",
+           "enc_varint", "dec_varint"]

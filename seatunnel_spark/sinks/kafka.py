@@ -176,7 +176,19 @@ class KafkaSink(Sink):
         """Stdlib wire-protocol produce: one connection per partition,
         keyed rows route by hash(key) % partitions (the default Kafka
         partitioner's contract), else rows stay on their Spark
-        partition modulo the topic's partition count."""
+        partition modulo the topic's partition count.
+
+        semantics = EXACTLY_ONCE (KafkaSemantics / KafkaTransactionSender
+        in the reference, connector-kafka/.../sink/KafkaTransactionSender
+        .java): every Spark task wraps its records in ONE Kafka
+        transaction — InitProducerId(transactional.id) /
+        AddPartitionsToTxn / transactional Produce with idempotent
+        sequences / EndTxn(commit); any failure aborts. A task RETRY
+        re-inits the same transactional.id (`<prefix>-<partition idx>`,
+        generateTransactionId's prefix-dash-id shape), which bumps the
+        producer epoch and fences + aborts the zombie attempt's open
+        transaction — so read_committed consumers see each task's
+        output exactly once."""
         from seatunnel_spark.kafka_wire import KafkaWireClient, resolve_bootstrap
 
         bootstrap = resolve_bootstrap(self.require("bootstrap.servers"))
@@ -187,6 +199,9 @@ class KafkaSink(Sink):
         # `partition = N` pins every record (KafkaSinkConfig) — the
         # format ITs use it to make consume order deterministic
         fixed = int(fixed) if fixed is not None else None
+        exactly_once = str(self.opt("semantics", "AT_LEAST_ONCE")) \
+            .upper() == "EXACTLY_ONCE"
+        txn_prefix = str(self.opt("transaction_prefix") or "SeaTunnel0000")
 
         def produce_partition(idx, rows):
             from seatunnel_spark.kafka_wire import KafkaWireClient as _C
@@ -216,9 +231,36 @@ class KafkaSink(Sink):
                     else:
                         p = parts[idx % len(parts)]
                     buckets.setdefault((t, p), []).append((key, value))
-                for (t, p), recs in buckets.items():
-                    for i in range(0, len(recs), 500):
-                        cl.produce(t, p, recs[i:i + 500])
+                if exactly_once:
+                    txn_id = f"{txn_prefix}-{idx}"
+                    pid, epoch = cl.init_producer_id(txn_id)
+                    if buckets:
+                        by_topic: dict[str, list[int]] = {}
+                        for (t, p) in buckets:
+                            by_topic.setdefault(t, []).append(p)
+                        cl.add_partitions_to_txn(txn_id, pid, epoch, by_topic)
+                    seqs: dict[tuple[str, int], int] = {}
+                    try:
+                        for (t, p), recs in buckets.items():
+                            for i in range(0, len(recs), 500):
+                                chunk = recs[i:i + 500]
+                                cl.produce(t, p, chunk, txn_id=txn_id,
+                                           producer_id=pid,
+                                           producer_epoch=epoch,
+                                           base_sequence=seqs.get((t, p), 0))
+                                seqs[(t, p)] = seqs.get((t, p), 0) + len(chunk)
+                        if buckets:
+                            cl.end_txn(txn_id, pid, epoch, commit=True)
+                    except BaseException:
+                        try:
+                            cl.end_txn(txn_id, pid, epoch, commit=False)
+                        except Exception:  # noqa: BLE001
+                            pass  # fencing/re-init will abort it anyway
+                        raise
+                else:
+                    for (t, p), recs in buckets.items():
+                        for i in range(0, len(recs), 500):
+                            cl.produce(t, p, recs[i:i + 500])
             finally:
                 cl.close()
             return iter(())

@@ -120,21 +120,33 @@ class LakehouseTable:
         WHEN MATCHED AND c.kind IN ('-D','-U') THEN DELETE WHEN MATCHED
         THEN UPDATE SET * WHEN NOT MATCHED AND c.kind NOT IN
         ('-D','-U') THEN INSERT *.
+
+        Determinism: the winner per key depends ONLY on row content,
+        never on partition layout. With `order_col` (any CDC feed
+        offset/ts) the sequence is the feed's own order; without one
+        there is NO arrival order in a distributed frame — all events
+        of a key tie on seq and the tie chain below (kind rank, then a
+        content hash, then the remapped kind) picks a reproducible
+        winner. Same input rows => same final table, whether the batch
+        arrives as 1 partition or 200 (test: shuffled-input invariance).
         """
         data_cols = [c for c in batch.columns
                      if c not in (ROW_KIND_COL, TABLE_ID_COL, order_col)]
-        seq = F.col(order_col) if order_col else F.monotonically_increasing_id()
+        seq = F.col(order_col) if order_col else F.lit(0)
         # a -U and its +U decode from ONE source event and share the
         # order value — the tie must resolve to the +U (update-after
         # supersedes update-before on the same key); only a pk-CHANGING
         # update leaves the -U as its old key's last word, where the
         # -D remap deletes the moved-away row.
         rank = F.when(F.col(ROW_KIND_COL) == "-U", 0).otherwise(1)
-        w = Window.partitionBy(*keys).orderBy(F.col("__seq").desc(),
-                                              F.col("__rank").desc())
+        tie = F.xxhash64(F.struct(*[F.col(c) for c in data_cols]))
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("__seq").desc(), F.col("__rank").desc(),
+            F.col("__tie").desc(), F.col(ROW_KIND_COL).desc())
         tomb = (
             batch.withColumn("__seq", seq)
             .withColumn("__rank", rank)
+            .withColumn("__tie", tie)
             .withColumn(ROW_KIND_COL,
                         F.when(F.col(ROW_KIND_COL) == "-U", "-D")
                         .otherwise(F.col(ROW_KIND_COL)))

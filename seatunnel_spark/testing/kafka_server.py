@@ -11,6 +11,7 @@ import struct
 import threading
 
 from seatunnel_spark.kafka_wire import (
+    batch_header,
     dec_bytes,
     dec_str,
     decode_record_batches,
@@ -28,6 +29,20 @@ class MiniKafka:
         self.lock = threading.RLock()
         self.host = "127.0.0.1"
         self.port = 0
+        # -- transaction coordinator state (KIP-98 model) --------------
+        self._next_pid = 1000
+        # transactional.id -> {"pid", "epoch", "parts": set[(t,p)]}
+        self.txns: dict[str, dict] = {}
+        # (topic, partition) -> {pid: first_uncommitted_offset}
+        self.open_txn_start: dict[tuple[str, int], dict[int, int]] = {}
+        # (topic, partition) -> [(start, end)] aborted offset ranges
+        self.aborted: dict[tuple[str, int], list[tuple[int, int]]] = {}
+        # (pid, epoch, topic, partition) -> next expected base sequence
+        # (idempotent-producer duplicate detection; epoch in the key —
+        # a fencing bump resets the sequence space like a real broker)
+        self.next_seq: dict[tuple, int] = {}
+        # (pid, epoch, topic, partition) -> base offset of last batch
+        self.last_base: dict[tuple, int] = {}
 
     def topic_partitions(self, topic: str) -> list[int]:
         with self.lock:
@@ -40,6 +55,41 @@ class MiniKafka:
             base = len(log)
             log.extend(records)
             return base
+
+    def _produce(self, topic: str, partition: int, records,
+                 txn: str | None, hdr: dict) -> tuple[int, int]:
+        """-> (base_offset, error_code). Enforces idempotent-producer
+        sequence dedup and transactional epoch fencing."""
+        ppid = hdr.get("producer_id", -1)
+        with self.lock:
+            if ppid is not None and ppid >= 0 and \
+                    hdr.get("base_sequence", -1) >= 0:
+                k = (ppid, hdr.get("producer_epoch", -1), topic, partition)
+                exp = self.next_seq.get(k, 0)
+                seq = hdr["base_sequence"]
+                if seq < exp:
+                    # duplicate batch retry: ack its original base
+                    # offset without re-appending (idempotence)
+                    return self.last_base.get(k, 0), 0
+                if seq > exp:
+                    return -1, 45  # OUT_OF_ORDER_SEQUENCE_NUMBER
+            if txn is not None or hdr.get("transactional"):
+                entry = self.txns.get(txn)
+                err = self._txn_err(entry, ppid, hdr.get("producer_epoch", -1))
+                if err:
+                    return -1, err
+                if (topic, partition) not in entry["parts"]:
+                    return -1, 49  # partition not added to txn
+            base = self.append(topic, partition, records)
+            if ppid is not None and ppid >= 0 and \
+                    hdr.get("base_sequence", -1) >= 0:
+                k = (ppid, hdr.get("producer_epoch", -1), topic, partition)
+                self.next_seq[k] = hdr["base_sequence"] + len(records)
+                self.last_base[k] = base
+            if txn is not None or hdr.get("transactional"):
+                self.open_txn_start.setdefault(
+                    (topic, partition), {}).setdefault(ppid, base)
+            return base, 0
 
     def read_all(self, topic: str) -> list[tuple]:
         """Test helper: every (partition, offset, key, value)."""
@@ -55,12 +105,127 @@ class MiniKafka:
                 for v in values]
         self.append(topic, partition, recs)
 
+    # -- transaction helpers ----------------------------------------------
+    def _txn_err(self, entry, pid: int, epoch: int) -> int:
+        """0 ok; 47 INVALID_PRODUCER_EPOCH (zombie fenced);
+        49 INVALID_TXN_STATE (unknown txn/pid)."""
+        if entry is None or entry["pid"] != pid:
+            return 49
+        if entry["epoch"] != epoch:
+            return 47
+        return 0
+
+    def _abort_open(self, entry) -> None:
+        for (t, p) in entry["parts"]:
+            opens = self.open_txn_start.get((t, p), {})
+            start = opens.pop(entry["pid"], None)
+            if start is not None:
+                end = len(self.logs.get((t, p), []))
+                self.aborted.setdefault((t, p), []).append((start, end))
+        entry["parts"] = set()
+
+    def _lso(self, t: str, p: int) -> int:
+        """Last stable offset: everything below it is decided."""
+        opens = self.open_txn_start.get((t, p), {})
+        log_end = len(self.logs.get((t, p), []))
+        return min(opens.values(), default=log_end)
+
+    def _visible_runs(self, t: str, p: int, off: int, limit: int
+                      ) -> list[tuple[int, list]]:
+        """Contiguous [base_offset, records] runs in [off, limit)
+        excluding aborted ranges — each run becomes its own batch so
+        consumer offsets stay exact despite the gaps."""
+        log = self.logs.get((t, p), [])
+        aborted = self.aborted.get((t, p), [])
+        runs: list[tuple[int, list]] = []
+        cur: list = []
+        cur_base = None
+        for o in range(off, min(limit, len(log))):
+            if any(s <= o < e for s, e in aborted):
+                if cur:
+                    runs.append((cur_base, cur))
+                    cur, cur_base = [], None
+                continue
+            if cur_base is None:
+                cur_base = o
+            cur.append(log[o])
+        if cur:
+            runs.append((cur_base, cur))
+        return runs
+
     # -- request handling -------------------------------------------------
     def handle_request(self, api: int, version: int, body: bytes) -> bytes:
         if api == 18:  # ApiVersions
-            entries = [(0, 0, 3), (1, 0, 4), (2, 0, 1), (3, 0, 1), (18, 0, 0)]
+            entries = [(0, 0, 3), (1, 0, 4), (2, 0, 1), (3, 0, 1),
+                       (18, 0, 0), (22, 0, 0), (24, 0, 0), (26, 0, 0)]
             return (struct.pack(">h", 0) + struct.pack(">i", len(entries))
                     + b"".join(struct.pack(">hhh", *e) for e in entries))
+        if api == 22:  # InitProducerId v0
+            txn_id, i = dec_str(body, 0)
+            with self.lock:
+                if txn_id is None:
+                    pid, epoch = self._next_pid, 0
+                    self._next_pid += 1
+                else:
+                    entry = self.txns.get(txn_id)
+                    if entry is None:
+                        entry = {"pid": self._next_pid, "epoch": 0,
+                                 "parts": set()}
+                        self._next_pid += 1
+                        self.txns[txn_id] = entry
+                    else:
+                        # bump the epoch: fences the previous producer
+                        # instance and ABORTS any transaction it left
+                        # open (real coordinator recovery semantics)
+                        self._abort_open(entry)
+                        entry["epoch"] += 1
+                    pid, epoch = entry["pid"], entry["epoch"]
+            return struct.pack(">ihqh", 0, 0, pid, epoch)
+        if api == 24:  # AddPartitionsToTxn v0
+            txn_id, i = dec_str(body, 0)
+            pid, epoch = struct.unpack_from(">qh", body, i)
+            i += 10
+            (n_topics,) = struct.unpack_from(">i", body, i)
+            i += 4
+            results = []
+            with self.lock:
+                entry = self.txns.get(txn_id)
+                for _ in range(n_topics):
+                    t, i = dec_str(body, i)
+                    (n_parts,) = struct.unpack_from(">i", body, i)
+                    i += 4
+                    parts = []
+                    for _ in range(n_parts):
+                        (p,) = struct.unpack_from(">i", body, i)
+                        i += 4
+                        err = self._txn_err(entry, pid, epoch)
+                        if not err:
+                            entry["parts"].add((t, p))
+                        parts.append((p, err))
+                    results.append((t, parts))
+            out = struct.pack(">i", 0) + struct.pack(">i", len(results))
+            for t, parts in results:
+                out += enc_str(t) + struct.pack(">i", len(parts))
+                for p, err in parts:
+                    out += struct.pack(">ih", p, err)
+            return out
+        if api == 26:  # EndTxn v0
+            txn_id, i = dec_str(body, 0)
+            pid, epoch = struct.unpack_from(">qh", body, i)
+            commit = body[i + 10] != 0
+            with self.lock:
+                entry = self.txns.get(txn_id)
+                err = self._txn_err(entry, pid, epoch)
+                if not err:
+                    for (t, p) in entry["parts"]:
+                        opens = self.open_txn_start.get((t, p), {})
+                        start = opens.pop(pid, None)
+                        if start is not None and not commit:
+                            end = len(self.logs.get((t, p), []))
+                            self.aborted.setdefault((t, p), []).append(
+                                (start, end))
+                    entry["parts"] = set()
+            return struct.pack(">ih", 0, err)
         if api == 3:  # Metadata v1
             i = 0
             (n,) = struct.unpack_from(">i", body, i)
@@ -91,7 +256,7 @@ class MiniKafka:
             return out
         if api == 0:  # Produce v3
             i = 0
-            _txn, i = dec_str(body, i)
+            txn, i = dec_str(body, i)
             _acks, _timeout = struct.unpack_from(">hi", body, i)
             i += 6
             (n_topics,) = struct.unpack_from(">i", body, i)
@@ -106,10 +271,11 @@ class MiniKafka:
                     (pid,) = struct.unpack_from(">i", body, i)
                     i += 4
                     recs, i = dec_bytes(body, i)
+                    hdr = batch_header(recs or b"") or {}
                     records = [(k, v) for _, k, v in
                                decode_record_batches(recs or b"")]
-                    base = self.append(topic, pid, records)
-                    part_resp += struct.pack(">ihqq", pid, 0, base, -1)
+                    base, err = self._produce(topic, pid, records, txn, hdr)
+                    part_resp += struct.pack(">ihqq", pid, err, base, -1)
                 resp_topics += (enc_str(topic) + struct.pack(">i", n_parts)
                                 + part_resp)
             return (struct.pack(">i", n_topics) + resp_topics
@@ -136,6 +302,7 @@ class MiniKafka:
                     out += struct.pack(">ihqq", pid, 0, -1, off)
             return out
         if api == 1:  # Fetch v4
+            isolation = body[4 + 4 + 4 + 4]
             i = 4 + 4 + 4 + 4 + 1  # replica, max_wait, min_bytes, max_bytes, isolation
             (n_topics,) = struct.unpack_from(">i", body, i)
             i += 4
@@ -149,15 +316,25 @@ class MiniKafka:
                 for _ in range(n_parts):
                     pid, off, _maxb = struct.unpack_from(">iqi", body, i)
                     i += 16
-                    log = self.logs.get((topic, pid), [])
-                    hw = len(log)
-                    chunk = log[off:off + 500]
-                    if chunk:
-                        batch = encode_record_batch(off, chunk)
-                    else:
-                        batch = b""
+                    with self.lock:
+                        log = self.logs.get((topic, pid), [])
+                        log_end = len(log)
+                        lso = self._lso(topic, pid)
+                        if isolation == 1:
+                            # read_committed: only decided offsets,
+                            # aborted ranges skipped; one batch per
+                            # contiguous visible run keeps offsets exact
+                            hw = lso
+                            runs = self._visible_runs(
+                                topic, pid, off, min(lso, off + 500))
+                        else:
+                            hw = log_end
+                            chunk = log[off:off + 500]
+                            runs = [(off, chunk)] if chunk else []
+                    batch = b"".join(encode_record_batch(b, recs)
+                                     for b, recs in runs if recs)
                     out += struct.pack(">ihq", pid, 0, hw)
-                    out += struct.pack(">q", hw)      # last stable offset
+                    out += struct.pack(">q", lso)     # last stable offset
                     out += struct.pack(">i", 0)       # aborted txns
                     out += enc_bytes(batch)
             return out

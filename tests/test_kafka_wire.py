@@ -385,3 +385,89 @@ def test_proto3_packed_repeated_scalars():
                 + pb.fvar(1, 300))
     got = decode_message(messages, "M", unpacked)
     assert got["a"] == [1, -2, 300]
+
+
+def test_txn_commit_abort_and_isolation(kafka):
+    """KIP-98 wire flow against the mini broker: committed records are
+    visible at both isolation levels; aborted records only at
+    read_uncommitted; LSO hides an OPEN transaction from
+    read_committed consumers."""
+    _, port = kafka
+    cl = KafkaWireClient(f"127.0.0.1:{port}")
+    t = "txn_topic"
+    pid, epoch = cl.init_producer_id("txA")
+    cl.add_partitions_to_txn("txA", pid, epoch, {t: [0]})
+    cl.produce(t, 0, [(None, b"c1"), (None, b"c2")], txn_id="txA",
+               producer_id=pid, producer_epoch=epoch, base_sequence=0)
+    # open txn: hidden from read_committed, visible to read_uncommitted
+    assert [v for _, _, v in cl.fetch(t, 0, 0, isolation=1)] == []
+    assert [v for _, _, v in cl.fetch(t, 0, 0, isolation=0)] == [b"c1", b"c2"]
+    cl.end_txn("txA", pid, epoch, commit=True)
+    assert [v for _, _, v in cl.fetch(t, 0, 0, isolation=1)] == [b"c1", b"c2"]
+
+    # aborted txn: records occupy offsets but never surface committed
+    pid2, ep2 = cl.init_producer_id("txB")
+    cl.add_partitions_to_txn("txB", pid2, ep2, {t: [0]})
+    cl.produce(t, 0, [(None, b"x1")], txn_id="txB", producer_id=pid2,
+               producer_epoch=ep2, base_sequence=0)
+    cl.end_txn("txB", pid2, ep2, commit=False)
+    cl.produce(t, 0, [(None, b"c3")])  # non-txn record after the abort
+    committed = [v for _, _, v in cl.fetch(t, 0, 0, isolation=1)]
+    assert committed == [b"c1", b"c2", b"c3"]  # x1 skipped, offsets intact
+    uncommitted = [v for _, _, v in cl.fetch(t, 0, 0, isolation=0)]
+    assert uncommitted == [b"c1", b"c2", b"x1", b"c3"]
+    cl.close()
+
+
+def test_txn_fencing_and_idempotent_dedup(kafka):
+    """Re-initializing a transactional.id bumps the epoch, fences the
+    zombie (its produce/end_txn fail), and aborts its open transaction.
+    A duplicate batch (same sequence) is acked without re-appending."""
+    _, port = kafka
+    cl = KafkaWireClient(f"127.0.0.1:{port}")
+    t = "fence_topic"
+    pid, e0 = cl.init_producer_id("job-7")
+    cl.add_partitions_to_txn("job-7", pid, e0, {t: [0]})
+    cl.produce(t, 0, [(None, b"zombie")], txn_id="job-7",
+               producer_id=pid, producer_epoch=e0, base_sequence=0)
+
+    pid2, e1 = cl.init_producer_id("job-7")  # task retry
+    assert pid2 == pid and e1 == e0 + 1
+    # the zombie's open records were aborted by the re-init
+    assert [v for _, _, v in cl.fetch(t, 0, 0, isolation=1)] == []
+    with pytest.raises(RuntimeError):  # zombie is fenced
+        cl.end_txn("job-7", pid, e0, commit=True)
+
+    cl.add_partitions_to_txn("job-7", pid, e1, {t: [0]})
+    cl.produce(t, 0, [(None, b"good")], txn_id="job-7", producer_id=pid,
+               producer_epoch=e1, base_sequence=0)
+    # idempotent retry of the same batch: same base offset, no dup
+    b1 = cl.produce(t, 0, [(None, b"good")], txn_id="job-7",
+                    producer_id=pid, producer_epoch=e1, base_sequence=0)
+    cl.end_txn("job-7", pid, e1, commit=True)
+    got = [v for _, _, v in cl.fetch(t, 0, 0, isolation=1)]
+    assert got == [b"good"]
+    assert isinstance(b1, int)
+    cl.close()
+
+
+def test_exactly_once_confs_run_unmodified(spark, kafka):
+    """kafka_to_kafka_exactly_once_batch.conf (and the streaming
+    variant's sink semantics): topic1 -> transactional sink -> topic2;
+    every record lands exactly once and is committed (visible at
+    read_committed)."""
+    broker, port = kafka
+    broker.seed("kafka_topic_exactly_once_1",
+                [f"row-{i}" for i in range(40)])
+    _run_conf(spark, f"{_RES}/kafka/kafka_to_kafka_exactly_once_batch.conf")
+    cl = KafkaWireClient(f"127.0.0.1:{port}")
+    got = []
+    for p in broker.topic_partitions("kafka_topic_exactly_once_2"):
+        got += [v.decode() for _, _, v in
+                cl.fetch("kafka_topic_exactly_once_2", p, 0, isolation=1)]
+    cl.close()
+    assert sorted(got) == sorted(f"row-{i}" for i in range(40))
+    # the sink's transactions are closed: nothing pending on the topic
+    for p in broker.topic_partitions("kafka_topic_exactly_once_2"):
+        assert not broker.open_txn_start.get(
+            ("kafka_topic_exactly_once_2", p))

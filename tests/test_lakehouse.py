@@ -149,3 +149,22 @@ def test_hudi_option_names(spark, tmp_path):
     s.write(df)
     t = LakehouseTable(str(tmp_path / "default" / "h1"))
     assert {r["id"]: r["v"] for r in t.read(spark).collect()} == {1: "a2"}
+
+
+def test_merge_apply_layout_invariance(spark, tmp_path):
+    """The per-key winner must not depend on partition layout: the same
+    changelog batch applied as 1 partition and as 32 partitions yields
+    the identical final table (the no-order_col tie chain is pure row
+    content, never monotonically_increasing_id)."""
+    rows = [(i % 7, f"v{i}", "+I" if i % 3 else "+U") for i in range(60)]
+    rows += [(3, "gone", "-D"), (5, "gone", "-D")]
+    batch = spark.createDataFrame(rows, ["id", "v", ROW_KIND_COL])
+
+    t1 = LakehouseTable(str(tmp_path / "t1"))
+    t1.merge_apply(spark, batch.repartition(1), ["id"])
+    t32 = LakehouseTable(str(tmp_path / "t32"))
+    t32.merge_apply(spark, batch.repartition(32), ["id"])
+
+    a = sorted(map(tuple, t1.read(spark).collect()))
+    b = sorted(map(tuple, t32.read(spark).collect()))
+    assert a == b
