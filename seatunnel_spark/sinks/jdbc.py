@@ -34,6 +34,19 @@ from seatunnel_spark.sinks.base import Sink
 from seatunnel_spark.types import ROW_KIND_COL, TABLE_ID_COL
 
 
+def _jvm_driver_available(spark, driver) -> bool:
+    """True when the conf-declared JDBC driver class is actually
+    loadable in the JVM — a declared-but-absent driver (no jars here)
+    must route to the wire client, not crash df.write.jdbc."""
+    if not driver:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName(str(driver))
+        return True
+    except Exception:  # noqa: BLE001 - py4j raises Py4JJavaError
+        return False
+
+
 def compact_changelog(df: DataFrame, keys: list[str]) -> DataFrame:
     """Reduce a +I/-U/+U/-D changelog to final state per key.
 
@@ -87,7 +100,11 @@ class JdbcSink(Sink):
         from seatunnel_spark.sql_exec import wire_family
 
         if bool(self.opt("use_wire_client", False)) or (
-                wire_family(url) and not self.opt("driver")):
+                wire_family(url) and not _jvm_driver_available(
+                    df.sparkSession, self.opt("driver"))):
+            # a conf-declared JVM driver class that isn't on the
+            # classpath (no jars in this sandbox) falls back to the
+            # stdlib wire client instead of failing the job
             self._wire_insert(df, url, table, user, password)
             return
         mode = {

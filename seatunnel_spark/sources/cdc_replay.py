@@ -116,8 +116,45 @@ def apply_ddl(fields: dict, ddl: str) -> dict:
     return out
 
 
+# text-protocol column type code -> schema DSL type (enum_field_types)
+_CODE_TO_DSL = {
+    1: "tinyint", 2: "smallint", 3: "int", 9: "int", 13: "int",
+    8: "bigint", 16: "bigint", 4: "float", 5: "double",
+    0: "decimal(38,10)", 246: "decimal(38,10)",
+    7: "timestamp", 12: "timestamp", 17: "timestamp", 18: "timestamp",
+    10: "date",
+}
+
+
+def _jsonable_cell(v):
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(v, _dec.Decimal):
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f") if v.microsecond \
+            else v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, _dt.timedelta):
+        total = int(v.total_seconds())
+        h, rem = divmod(abs(total), 3600)
+        m, s = divmod(rem, 60)
+        return f"{'-' if total < 0 else ''}{h:02d}:{m:02d}:{s:02d}"
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).decode("utf-8", errors="replace")
+    return v
+
+
 class CdcReplaySource(Source):
-    """MySQL-CDC / Postgres-CDC / ... over a debezium replay feed."""
+    """MySQL-CDC / Postgres-CDC / ... — LIVE binlog tail against a
+    MySQL-wire server (snapshot SELECT + SHOW MASTER STATUS watermark +
+    COM_BINLOG_DUMP via mysql_binlog.BinlogClient, stitched per
+    sources/cdc.py), or a debezium replay feed when `replay.dir` /
+    $SEATUNNEL_SPARK_CDC_REPLAY points at one. Reference:
+    connector-cdc-mysql MySqlIncrementalSource (snapshot phase +
+    BinlogSplitReader log phase, watermark handoff)."""
 
     NAME = "MySQL-CDC"
 
@@ -140,15 +177,132 @@ class CdcReplaySource(Source):
                 return c.get("primaryKeys")
         return None
 
+    # -- LIVE binlog mode ----------------------------------------------
+    def _base_url_parts(self) -> tuple[str, int, str]:
+        import re as _re
+
+        url = str(self.opt("base-url") or self.opt("base_url") or "")
+        m = _re.match(r"jdbc:mysql://([^:/]+)(?::(\d+))?(?:/([\w$-]+))?", url)
+        if not m:
+            raise ValueError(f"{self.plugin_name}: bad base-url {url!r}")
+        return m.group(1), int(m.group(2) or 3306), m.group(3) or ""
+
+    def _live_read_table(self, spark: SparkSession, table_full: str
+                         ) -> DataFrame:
+        """Snapshot + binlog stitch against a live MySQL-wire server.
+
+        1. SHOW MASTER STATUS -> (file, pos): the snapshot watermark
+           (MySqlSnapshotSplitReader captures the same low watermark).
+        2. SELECT * snapshot of current state (chunked at scale; the
+           chunk stitch lives in sources/cdc.stitch_chunked_snapshot).
+        3. COM_BINLOG_DUMP from the log start, row events for this
+           table re-shaped into debezium envelopes (op c/u/d,
+           source.pos = event end position) and fed through the SAME
+           envelope decode the replay path uses — one oracle-tested
+           code path for both feeds.
+        4. stitch: events at-or-before the watermark drop (the
+           snapshot already reflects them); later events replay on top.
+
+        The dump is bounded (BINLOG_DUMP_NON_BLOCK) for batch jobs;
+        a production streaming deployment tails with non_block=False
+        into foreachBatch of the same decode."""
+        from seatunnel_spark.mysql_binlog import BinlogClient
+        from seatunnel_spark.mysql_wire import MySqlClient
+        from seatunnel_spark.sources.cdc import stitch_snapshot_and_changelog
+
+        host, port, default_db = self._base_url_parts()
+        user = str(self.opt("username") or self.opt("user") or "root")
+        pw = str(self.opt("password") or "")
+        db, _, tbl = table_full.rpartition(".")
+        db = db or default_db
+        server_id = int(self.opt("server-id") or self.opt("server_id") or 1)
+
+        cl = MySqlClient(host, port, user, pw)
+        try:
+            _, _, wm_rows = cl.query("SHOW MASTER STATUS")
+            binfile, watermark = str(wm_rows[0][0]), int(wm_rows[0][1])
+            cols, codes, srows = cl.query(f"SELECT * FROM {db}.{tbl}")
+        finally:
+            cl.close()
+        fields = {c: _CODE_TO_DSL.get(t, "string")
+                  for c, t in zip(cols, codes)}
+        schema = parse_schema(fields)
+
+        bc = BinlogClient(host, port, user, pw)
+        try:
+            lines = []
+            for ev in bc.dump(server_id=server_id, filename=binfile, pos=4):
+                kind = ev["event"]
+                if kind == "query" and re.search(r"^\s*(ALTER|CREATE|DROP)\b",
+                                                 ev.get("sql", ""), re.I):
+                    lines.append(json.dumps({
+                        "ddl": ev["sql"],
+                        "source": {"db": ev.get("db"), "table": tbl,
+                                   "pos": ev["log_pos"]},
+                        "ts_ms": ev["ts"] * 1000}))
+                    continue
+                if kind not in ("insert", "update", "delete") or \
+                        ev["db"] != db or ev["table"] != tbl:
+                    continue
+                for row in ev["rows"]:
+                    if kind == "update":
+                        before, after = row
+                        env = {"before": dict(zip(cols, map(_jsonable_cell,
+                                                            before))),
+                               "after": dict(zip(cols, map(_jsonable_cell,
+                                                           after))),
+                               "op": "u"}
+                    elif kind == "insert":
+                        env = {"after": dict(zip(cols, map(_jsonable_cell,
+                                                           row))),
+                               "op": "c"}
+                    else:
+                        env = {"before": dict(zip(cols, map(_jsonable_cell,
+                                                            row))),
+                               "op": "d"}
+                    env["ts_ms"] = ev["ts"] * 1000
+                    env["source"] = {"db": db, "table": tbl,
+                                     "pos": ev["log_pos"]}
+                    lines.append(json.dumps(env))
+        finally:
+            bc.close()
+
+        if (self.opt("schema-changes.enabled")
+                or self.opt("schema-changes_enabled")):
+            for line in lines:
+                ev = json.loads(line)
+                if ev.get("ddl"):
+                    fields = apply_ddl(fields, ev["ddl"])
+            schema = parse_schema(fields)
+
+        raw = spark.createDataFrame([(ln,) for ln in lines] or
+                                    [(None,)], "value string") \
+            .filter(F.col("value").isNotNull())
+        decoded = self._decode(raw, schema, table_full)
+        snapshot = spark.createDataFrame(
+            [tuple(r) for r in srows], parse_schema(
+                {c: _CODE_TO_DSL.get(t, "string")
+                 for c, t in zip(cols, codes)})).withColumns({
+            EVENT_TS_COL: F.lit(watermark).cast("long"),
+            TABLE_ID_COL: F.lit(table_full),
+        })
+        for name in fields:
+            if name not in snapshot.columns:
+                snapshot = snapshot.withColumn(
+                    name, F.lit(None).cast(dict(
+                        (f.name, f.dataType) for f in schema.fields)[name]))
+        return stitch_snapshot_and_changelog(
+            snapshot, decoded, _OFFSET_COL, watermark)
+
     # ------------------------------------------------------------------
     def _require_replay(self) -> str:
         replay = self._replay_dir()
         if not replay:
             raise NotImplementedError(
-                f"source {self.plugin_name}: no binlog client in this "
-                "environment. Production path: debezium->Kafka topic + "
-                "spark.readStream.format('kafka') into the same decode; "
-                "replay path: set replay.dir / $SEATUNNEL_SPARK_CDC_REPLAY "
+                f"source {self.plugin_name}: no replay dir and no live "
+                "base-url. Production paths: base-url to a MySQL-wire "
+                "server (binlog dump) or a debezium Kafka topic; replay "
+                "path: set replay.dir / $SEATUNNEL_SPARK_CDC_REPLAY "
                 "to a directory of debezium-json feeds (see module doc)."
             )
         return replay
@@ -285,16 +439,30 @@ class CdcReplaySource(Source):
                 snapshot, decoded, _OFFSET_COL, watermark)
         return decoded
 
+    def _live_mode(self) -> bool:
+        return not self._replay_dir() and bool(
+            self.opt("base-url") or self.opt("base_url"))
+
     def read(self, spark: SparkSession):
-        replay = self._require_replay()
         tables = self._tables()
+        if self._live_mode():
+            if len(tables) == 1:
+                return self._live_read_table(spark, tables[0])
+            return {t: self._live_read_table(spark, t) for t in tables}
+        replay = self._require_replay()
         if len(tables) == 1:
             return self._read_table(spark, replay, tables[0], False)
         return {t: self._read_table(spark, replay, t, False) for t in tables}
 
     def read_stream(self, spark: SparkSession):
-        replay = self._require_replay()
         tables = self._tables()
+        if self._live_mode():
+            # bounded live tail (NON_BLOCK dump) -> batch frame; the
+            # engine writes a non-streaming frame once per run
+            if len(tables) == 1:
+                return self._live_read_table(spark, tables[0])
+            return {t: self._live_read_table(spark, t) for t in tables}
+        replay = self._require_replay()
         if len(tables) == 1:
             return self._read_table(spark, replay, tables[0], True)
         return {t: self._read_table(spark, replay, t, True) for t in tables}

@@ -21,10 +21,85 @@ class MiniMySql:
     def __init__(self, user: str = "root", password: str = ""):
         self.user = user
         self.password = password
+        # multi-account support (a CDC conf often uses separate source
+        # and sink users); seed more via srv.users[name] = password
+        self.users: dict[str, str] = {user: password}
         self.statements: list[str] = []
         # name -> (cols, type_codes, rows)
         self.tables: dict[str, tuple[list[str], list[int], list[tuple]]] = {}
         self.auth_failures = 0
+        # -- binlog master state (COM_BINLOG_DUMP) ---------------------
+        self.binlog: list[tuple[int, bytes]] = []  # (start_pos, event)
+        self.binlog_pos = 4
+        self.binlog_file = "mini-bin.000001"
+        self.snapshot_pos: int | None = None
+        self._table_ids: dict[tuple[str, str], int] = {}
+        self._table_cols: dict[tuple[str, str], list] = {}
+        self._xid = 0
+
+    # -- binlog master helpers --------------------------------------------
+    def binlog_table(self, db: str, table: str, cols: list) -> None:
+        """Register a binlog table schema: cols = [(ftype, meta), ...]
+        (mysql_binlog type codes)."""
+        self._table_ids[(db, table)] = 100 + len(self._table_ids)
+        self._table_cols[(db, table)] = list(cols)
+
+    def _emit(self, event_fn) -> None:
+        """event_fn(end_pos) -> encoded event; appends and advances."""
+        with self.lock if hasattr(self, "lock") else _NullCtx():
+            start = self.binlog_pos
+            ev = event_fn(start)  # provisional, to size it
+            end = start + len(ev)
+            ev = event_fn(end)
+            self.binlog.append((start, ev))
+            self.binlog_pos = end
+
+    def _rows_event(self, etype: int, db: str, table: str, rows) -> None:
+        from seatunnel_spark import mysql_binlog as B
+
+        tid = self._table_ids[(db, table)]
+        cols = self._table_cols[(db, table)]
+        self._emit(lambda pos: B.encode_table_map(tid, db, table, cols, pos))
+        self._emit(lambda pos: B.encode_rows_event(etype, tid, cols,
+                                                   rows, pos))
+        self._xid += 1
+        xid = self._xid
+        self._emit(lambda pos: B.encode_xid_event(xid, pos))
+
+    def binlog_insert(self, db: str, table: str, rows: list) -> None:
+        from seatunnel_spark import mysql_binlog as B
+
+        self._rows_event(B.WRITE_ROWS_EVENT, db, table, rows)
+
+    def binlog_update(self, db: str, table: str, pairs: list) -> None:
+        from seatunnel_spark import mysql_binlog as B
+
+        self._rows_event(B.UPDATE_ROWS_EVENT, db, table, pairs)
+
+    def binlog_delete(self, db: str, table: str, rows: list) -> None:
+        from seatunnel_spark import mysql_binlog as B
+
+        self._rows_event(B.DELETE_ROWS_EVENT, db, table, rows)
+
+    def binlog_ddl(self, db: str, sql: str) -> None:
+        from seatunnel_spark import mysql_binlog as B
+
+        self._emit(lambda pos: B.encode_query_event(db, sql, pos))
+
+    def mark_snapshot(self) -> None:
+        """Record the position SHOW MASTER STATUS reports — the test
+        double's stand-in for 'the snapshot SELECT ran at this log
+        position' (canned table rows = state as of this mark; binlog
+        events appended after it are the concurrent changes)."""
+        self.snapshot_pos = self.binlog_pos
+
+
+class _NullCtx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
 
 
 def _col_def(name: str, type_code: int) -> bytes:
@@ -108,8 +183,9 @@ def _handle(conn: socket.socket, srv: MiniMySql) -> None:
         i = end + 1
         auth_len = resp[i]
         auth = resp[i + 1:i + 1 + auth_len]
-        want = native_scramble(srv.password, salt)
-        if user != srv.user or auth != want:
+        pw = srv.users.get(user, srv.password if user == srv.user else None)
+        want = native_scramble(pw, salt) if pw is not None else None
+        if want is None or auth != want:
             srv.auth_failures += 1
             send_packet(b"\xff" + struct.pack("<H", 1045)
                         + b"#28000Access denied")
@@ -119,11 +195,34 @@ def _handle(conn: socket.socket, srv: MiniMySql) -> None:
             pkt = read_packet()
             if pkt[:1] == b"\x01":  # COM_QUIT
                 return
+            if pkt[:1] == b"\x12":  # COM_BINLOG_DUMP
+                from seatunnel_spark.mysql_binlog import encode_fde
+
+                pos, flags, _server_id = struct.unpack_from("<IHI", pkt, 1)
+                send_packet(b"\x00" + encode_fde())
+                for start, ev in list(srv.binlog):
+                    if start >= pos:
+                        send_packet(b"\x00" + ev)
+                if flags & 0x01:  # BINLOG_DUMP_NON_BLOCK -> EOF
+                    send_packet(b"\xfe\x00\x00\x02\x00")
+                    continue
+                return  # blocking dump unsupported: close like a kill
             if pkt[:1] != b"\x03":
                 send_packet(ok())
                 continue
             sql = pkt[1:].decode()
             srv.statements.append(sql)
+            if re.match(r"\s*SHOW\s+MASTER\s+STATUS", sql, re.I):
+                pos = srv.snapshot_pos if srv.snapshot_pos is not None \
+                    else srv.binlog_pos
+                send_packet(lenenc(1 + 1))
+                send_packet(_col_def("File", 253))
+                send_packet(_col_def("Position", 8))
+                send_packet(eof())
+                send_packet(lenenc_str(srv.binlog_file.encode())
+                            + lenenc_str(str(pos).encode()))
+                send_packet(eof())
+                continue
             m = re.match(
                 r"\s*SELECT\s+(.+?)\s+FROM\s+\(?\s*"
                 r"(?:SELECT\s+.+?\s+FROM\s+)?([`\w.]+)\s*\)?"

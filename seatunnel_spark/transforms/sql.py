@@ -47,6 +47,7 @@ class SqlTransform(Transform):
         sql = rewrite_zeta_sql(query)
         sql = rewrite_typed_zeta(sql, df)
         sql = rewrite_aliasless_lateral(sql, df.columns)
+        sql = self._carry_meta_columns(sql, df)
         # Register the input under its DAG name plus the reference's
         # pseudo-table names so SELECT ... FROM <anything declared> works.
         names = {self.input_name, "dual", "input"} - {None}
@@ -58,3 +59,39 @@ class SqlTransform(Transform):
             return spark.sql(sql)
         finally:
             pass  # views are session-scoped; harmless to leave registered
+
+    @staticmethod
+    def _carry_meta_columns(sql: str, df: DataFrame) -> str:
+        """Changelog metadata (__row_kind/__table_id/__event_ts/
+        __offset) rides OUTSIDE the projected fields in the reference
+        (SQLTransform maps the payload but the SeaTunnelRow keeps its
+        RowKind/tableId) — a CDC pipeline's `SELECT cols FROM t` must
+        not strip the row kind. For the reference-shaped row-mapping
+        query (single SELECT, no aggregation/set-op/join — everything
+        Zeta itself accepts) the meta columns are appended to the
+        projection; queries outside that shape (our superset) keep
+        their explicit output."""
+        import re
+
+        from seatunnel_spark.types import (
+            EVENT_TS_COL, ROW_KIND_COL, TABLE_ID_COL)
+
+        meta = [c for c in (ROW_KIND_COL, TABLE_ID_COL, EVENT_TS_COL,
+                            "__offset") if c in df.columns]
+        if not meta:
+            return sql
+        if re.search(r"\bgroup\s+by\b|\bjoin\b|\bdistinct\b|\bunion\b"
+                     r"|\bintersect\b|\bexcept\b|\bselect\b.*\bselect\b",
+                     sql, re.I | re.S):
+            return sql
+        m = re.match(r"(\s*select\s+)(.+?)(\s+from\s+.*)$", sql,
+                     re.I | re.S)
+        if not m:
+            return sql
+        proj = m.group(2)
+        if "*" in proj.split("--")[0]:
+            return sql  # the view carries meta; * already includes it
+        add = [c for c in meta if not re.search(rf"\b{c}\b", proj)]
+        if not add:
+            return sql
+        return m.group(1) + proj + ", " + ", ".join(add) + m.group(3)

@@ -184,3 +184,177 @@ def test_snapshot_stitch_with_watermark(spark, tmp_path):
     assert (1, "-U", 90) not in kinds  # pre-watermark event dropped
     state = final_state(df.drop(EVENT_TS_COL, TABLE_ID_COL), ["id"], "__offset")
     assert {r["id"]: r["bal"] for r in state.collect()} == {1: 100, 2: 250}
+
+
+# ---------------------------------------------------------------------------
+# LIVE binlog mode: snapshot SELECT + SHOW MASTER STATUS + COM_BINLOG_DUMP
+# against the mini MySQL master (no replay dir involved)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def live_mysql(monkeypatch):
+    from decimal import Decimal
+
+    from seatunnel_spark import mysql_binlog as B
+    from seatunnel_spark.testing.mysql_server import start_mini_mysql
+
+    monkeypatch.delenv("SEATUNNEL_SPARK_CDC_REPLAY", raising=False)
+    srv, port, stop = start_mini_mysql("st_user_source", "mysqlpw")
+    # snapshot state: rows 1..3 (what SELECT * returns), captured at
+    # the marked log position
+    srv.tables["mysql_cdc_e2e_source_table"] = (
+        ["id", "f_int", "f_varchar", "f_decimal"],
+        [3, 3, 253, 246],
+        [(1, 10, "v1", Decimal("1.10")), (2, 20, "v2", Decimal("2.20")),
+         (3, 30, "v3", Decimal("3.30"))])
+    cols = [(B.T_LONG, None), (B.T_LONG, None), (B.T_VARCHAR, 100),
+            (B.T_NEWDECIMAL, (38, 10))]
+    srv.binlog_table("mysql_cdc", "mysql_cdc_e2e_source_table", cols)
+    srv.mark_snapshot()
+    # concurrent changes AFTER the snapshot watermark
+    srv.binlog_insert("mysql_cdc", "mysql_cdc_e2e_source_table",
+                      [(4, 40, "v4", Decimal("4.40"))])
+    srv.binlog_update("mysql_cdc", "mysql_cdc_e2e_source_table",
+                      [((2, 20, "v2", Decimal("2.20")),
+                        (2, 200, "v2b", Decimal("22.00")))])
+    srv.binlog_delete("mysql_cdc", "mysql_cdc_e2e_source_table",
+                      [(3, 30, "v3", Decimal("3.30"))])
+    monkeypatch.setenv("SEATUNNEL_SPARK_HOST_ALIASES",
+                       f"mysql_cdc_e2e=tcp://127.0.0.1:{port}")
+    yield srv, port
+    stop()
+
+
+def test_live_binlog_stitch(spark, live_mysql):
+    """Snapshot + live-tailed binlog events stitch to the correct
+    changelog: snapshot rows as +I at the watermark, post-watermark
+    inserts/updates/deletes replayed with exact values (decimal via the
+    packed NEWDECIMAL codec)."""
+    from decimal import Decimal
+
+    src = CdcReplaySource({
+        "base-url": "jdbc:mysql://mysql_cdc_e2e:3306/mysql_cdc",
+        "username": "st_user_source", "password": "mysqlpw",
+        "server-id": 5652,
+        "table-names": ["mysql_cdc.mysql_cdc_e2e_source_table"],
+    })
+    df = src.read(spark)
+    rows = df.collect()
+    kinds = sorted(r[ROW_KIND_COL] for r in rows)
+    assert kinds == ["+I", "+I", "+I", "+I", "+U", "-D", "-U"]
+
+    from seatunnel_spark.sources.cdc import final_state
+
+    final = {r["id"]: r for r in final_state(
+        df, ["id"], "__offset").collect()}
+    assert set(final) == {1, 2, 4}  # 3 deleted
+    assert final[2]["f_int"] == 200 and final[2]["f_varchar"] == "v2b"
+    assert final[2]["f_decimal"] == Decimal("22.00")
+    assert final[4]["f_varchar"] == "v4"
+
+
+def test_live_binlog_metadata_trans_conf_runs_unmodified(spark, live_mysql):
+    """mysqlcdc_to_metadata_trans.conf runs UNMODIFIED against the mini
+    MySQL master with a real binlog dump — no replay dir: the source
+    does SELECT snapshot + SHOW MASTER STATUS + COM_BINLOG_DUMP, and
+    the Metadata transform + Assert NOT_NULL rules all pass."""
+    spec = JobSpec.from_file(f"{_CDC_E2E}/mysqlcdc_to_metadata_trans.conf")
+    JobEngine(spark).run(spec)
+    srv, _ = live_mysql
+    assert any("SHOW MASTER STATUS" in s for s in srv.statements)
+    assert any("SELECT * FROM mysql_cdc.mysql_cdc_e2e_source_table" in s
+               for s in srv.statements)
+
+
+def test_live_binlog_full_type_matrix_conf(spark, monkeypatch):
+    """mysqlcdc_to_mysql.conf runs UNMODIFIED live: the 42-column type
+    matrix table (ddl/mysql_cdc.sql) snapshots over the wire, binlog
+    row events decode through every supported column codec
+    (ints/unsigned widths, NEWDECIMAL, FLOAT/DOUBLE, VARCHAR/CHAR/
+    BLOB/TEXT, DATE/DATETIME2/TIMESTAMP2/TIME2, BIT, ENUM, YEAR), the
+    Sql transform projects all 42 fields, and the Jdbc sink upserts
+    into the sink table by primary key."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from seatunnel_spark import mysql_binlog as B
+    from seatunnel_spark.testing.mysql_server import start_mini_mysql
+
+    monkeypatch.delenv("SEATUNNEL_SPARK_CDC_REPLAY", raising=False)
+    srv, port, stop = start_mini_mysql("st_user_source", "mysqlpw")
+    srv.users["st_user_sink"] = "mysqlpw"
+    try:
+        names = ["id", "f_binary", "f_blob", "f_long_varbinary",
+                 "f_longblob", "f_tinyblob", "f_varbinary", "f_smallint",
+                 "f_smallint_unsigned", "f_mediumint",
+                 "f_mediumint_unsigned", "f_int", "f_int_unsigned",
+                 "f_integer", "f_integer_unsigned", "f_bigint",
+                 "f_bigint_unsigned", "f_numeric", "f_decimal", "f_float",
+                 "f_double", "f_double_precision", "f_longtext",
+                 "f_mediumtext", "f_text", "f_tinytext", "f_varchar",
+                 "f_date", "f_datetime", "f_timestamp", "f_bit1",
+                 "f_bit64", "f_char", "f_enum", "f_mediumblob",
+                 "f_long_varchar", "f_real", "f_time", "f_tinyint",
+                 "f_tinyint_unsigned", "f_json", "f_year"]
+        # text-protocol resultset type codes (SELECT side)
+        codes = [3, 254, 252, 252, 252, 252, 253, 2, 2, 9, 9, 3, 3, 3, 3,
+                 8, 8, 246, 246, 4, 5, 5, 252, 252, 252, 252, 253, 10, 12,
+                 7, 16, 16, 254, 247, 252, 252, 5, 11, 1, 1, 245, 13]
+        # binlog column specs (type, metadata) in table column order
+        bcols = [(B.T_LONG, None), (B.T_STRING, (B.T_STRING, 64)),
+                 (B.T_BLOB, 2), (B.T_BLOB, 3), (B.T_BLOB, 4),
+                 (B.T_BLOB, 1), (B.T_VARCHAR, 100), (B.T_SHORT, None),
+                 (B.T_SHORT, None), (B.T_INT24, None), (B.T_INT24, None),
+                 (B.T_LONG, None), (B.T_LONG, None), (B.T_LONG, None),
+                 (B.T_LONG, None), (B.T_LONGLONG, None),
+                 (B.T_LONGLONG, None), (B.T_NEWDECIMAL, (10, 0)),
+                 (B.T_NEWDECIMAL, (10, 0)), (B.T_FLOAT, None),
+                 (B.T_DOUBLE, None), (B.T_DOUBLE, None), (B.T_BLOB, 4),
+                 (B.T_BLOB, 3), (B.T_BLOB, 2), (B.T_BLOB, 1),
+                 (B.T_VARCHAR, 400), (B.T_DATE, None),
+                 (B.T_DATETIME2, 0), (B.T_TIMESTAMP2, 0),
+                 (B.T_BIT, (1, 0)), (B.T_BIT, (0, 8)),
+                 (B.T_STRING, (B.T_STRING, 4)),
+                 (B.T_STRING, (B.T_ENUM, 1)), (B.T_BLOB, 3),
+                 (B.T_BLOB, 3), (B.T_DOUBLE, None), (B.T_TIME2, 0),
+                 (B.T_TINY, None), (B.T_TINY, None), (B.T_JSON, 4),
+                 (B.T_YEAR, None)]
+
+        def mkrow(i):
+            return (i, f"bin{i}", f"blob{i}", "lvb", "lb", "tb",
+                    f"vb{i}", 100 + i, 200, -50000, 70000, i * 10, 11,
+                    12, 13, 2 ** 40 + i, 2 ** 41, Decimal(1000 + i),
+                    Decimal(-7), 1.5, 2.25, 3.5, "longtext", "medtext",
+                    f"text{i}", "tinytext", f"varchar{i}",
+                    dt.date(2024, 3, 19),
+                    dt.datetime(2024, 3, 19, 12, 0, i),
+                    dt.datetime(2023, 1, 2, 3, 4, 5), 1, 2 ** 33,
+                    "c", 2, "mblob", "lvc", 9.75,
+                    dt.timedelta(hours=13, minutes=30, seconds=1),
+                    -5, 7, None, 2024)
+
+        srv.tables["mysql_cdc_e2e_source_table"] = (
+            names, codes, [mkrow(1), mkrow(2)])
+        srv.binlog_table("mysql_cdc", "mysql_cdc_e2e_source_table", bcols)
+        srv.mark_snapshot()
+        srv.binlog_insert("mysql_cdc", "mysql_cdc_e2e_source_table",
+                          [mkrow(3)])
+        srv.binlog_update("mysql_cdc", "mysql_cdc_e2e_source_table",
+                          [(mkrow(1), mkrow(1)[:11] + (999,)
+                            + mkrow(1)[12:])])
+        srv.binlog_delete("mysql_cdc", "mysql_cdc_e2e_source_table",
+                          [mkrow(2)])
+        monkeypatch.setenv("SEATUNNEL_SPARK_HOST_ALIASES",
+                           f"mysql_cdc_e2e=tcp://127.0.0.1:{port}")
+
+        spec = JobSpec.from_file(f"{_CDC_E2E}/mysqlcdc_to_mysql.conf")
+        JobEngine(spark).run(spec)
+
+        stmts = [s for s in srv.statements
+                 if "mysql_cdc_e2e_sink_table" in s]
+        assert stmts, "jdbc sink produced no statements"
+        blob = " ".join(stmts)
+        assert "999" in blob          # the updated f_int value arrived
+        assert "varchar3" in blob     # the binlog-inserted row arrived
+    finally:
+        stop()
