@@ -91,6 +91,13 @@ class JobEngine:
             elif _pk_of(opts.get("schema")):
                 self._source_keys[blk.output] = _pk_of(opts.get("schema"))
             df = src.read_stream(self.spark) if streaming else src.read(self.spark)
+            # keys the source DISCOVERED while reading (live CDC reads
+            # the MySQL table's PRIMARY index) — conf-declared keys win
+            dk = getattr(src, "discovered_keys", None)
+            if dk and blk.output not in self._source_keys:
+                self._source_keys[blk.output] = (
+                    next(iter(dk.values())) if len(set(
+                        map(tuple, dk.values()))) == 1 else dk)
             # env.parallelism (the reference's job-wide setting): bound
             # source partitioning. parallelism=1 additionally preserves
             # changelog ROW ORDER end-to-end — the reference's

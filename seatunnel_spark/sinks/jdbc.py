@@ -90,6 +90,12 @@ class JdbcSink(Sink):
         df = df.drop(*[c for c in (TABLE_ID_COL,) if c in df.columns])
         keys = self.opt("primary_keys")
         if keys and ROW_KIND_COL in df.columns:
+            # CDC schema evolution to the sink table
+            # (docs/en/concept/schema-evolution.md sink matrix: the
+            # jdbc sink applies source DDL): ADD-COLUMN drift between
+            # the incoming evolved frame and the sink table becomes
+            # ALTER TABLE before the upsert.
+            self._sync_schema(df, url, table, user, password)
             df = compact_changelog(df, keys)
             self._upsert(df, url, table, user, password, keys)
             return
@@ -118,6 +124,47 @@ class JdbcSink(Sink):
     # -- stdlib wire-client paths -----------------------------------------
     def _batch_size(self) -> int:
         return int(self.opt("batch_size", 500))
+
+    _SPARK_TO_SQL = {
+        "tinyint": "TINYINT", "smallint": "SMALLINT", "int": "INT",
+        "bigint": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
+        "boolean": "BOOLEAN", "date": "DATE", "timestamp": "TIMESTAMP",
+        "string": "VARCHAR(255)", "binary": "BLOB",
+    }
+
+    def _sync_schema(self, df: DataFrame, url: str, table: str,
+                     user: str, password: str) -> None:
+        """Apply ADD-COLUMN drift to the sink table (the reference's
+        schema-evolution sink support: connector-jdbc applies the
+        source's AlterTableAddColumnEvent as DDL —
+        mysqlcdc_to_mysql_with_schema_change.conf). The incoming frame
+        carries the source's EVOLVED schema; columns the sink table
+        lacks are added with ALTER TABLE before the write. Probe
+        failure or an unknown table is a no-op (nothing to evolve)."""
+        from seatunnel_spark.sql_exec import WireExecutor, wire_family
+
+        if not wire_family(url):
+            return
+        meta = {ROW_KIND_COL, TABLE_ID_COL, "__offset", "__event_ts"}
+        try:
+            ex = WireExecutor(url, user, password)
+        except Exception:  # noqa: BLE001 - no server/auth: nothing to sync
+            return
+        try:
+            cols, _, _ = ex.query(f"SELECT * FROM {table} LIMIT 0")
+            if not cols:
+                return
+            have = {c.lower() for c in cols}
+            for f in df.schema.fields:
+                if f.name in meta or f.name.lower() in have:
+                    continue
+                s = f.dataType.simpleString()
+                sql_t = s.upper() if s.startswith("decimal") else \
+                    self._SPARK_TO_SQL.get(s, "VARCHAR(255)")
+                ex.execute(f"ALTER TABLE {table} "
+                           f"ADD COLUMN {f.name} {sql_t}")
+        finally:
+            ex.close()
 
     def _wire_insert(self, df: DataFrame, url: str, table: str,
                      user: str, password: str) -> None:

@@ -77,6 +77,66 @@ class LakehouseTable:
         shutil.rmtree(self.path, ignore_errors=True)
         os.makedirs(self.path, exist_ok=True)
 
+    def read_version(self, spark: SparkSession, version: int
+                     ) -> DataFrame | None:
+        vdir = os.path.join(self.path, f"v{version}")
+        if not os.path.isdir(vdir):
+            return None
+        df = spark.read.parquet(vdir)
+        part_cols = [c for c in df.columns if c.startswith("__p_")]
+        return df.drop(*part_cols) if part_cols else df
+
+    def read_changelog_since(self, spark: SparkSession,
+                             from_version: int | None,
+                             keys: list[str]) -> DataFrame:
+        """Streaming/incremental read: the CHANGELOG between snapshot
+        `from_version` and HEAD — the reference's paimon streaming read
+        (snapshot + continuous changelog; here each poll is one bounded
+        microbatch of per-key diffs).
+
+        from_version None (or missing dir) -> the full HEAD as +I (the
+        initial scan). Else a pk-keyed full-outer diff: new-only keys
+        +I, changed keys -U/+U pairs, vanished keys -D — exactly the
+        changelog a downstream keyed sink needs to converge to HEAD.
+        One shuffle on the pk; payload comparison via struct equality
+        (null-safe <=>), no driver state."""
+        head = self.read(spark)
+        if head is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path!r}")
+        old = None if from_version is None else \
+            self.read_version(spark, from_version)
+        if old is None:
+            return head.withColumn(ROW_KIND_COL, F.lit("+I"))
+        if not keys:
+            raise ValueError("incremental lakehouse read needs primary keys")
+        data_cols = [c for c in head.columns]
+        non_keys = [c for c in data_cols if c not in keys]
+        o = old.select(*keys, F.struct(*non_keys).alias("__o")) \
+            if non_keys else old.select(*keys).withColumn("__o", F.lit(0))
+        n = head.select(*keys, F.struct(*non_keys).alias("__n")) \
+            if non_keys else head.select(*keys).withColumn("__n", F.lit(0))
+        j = o.join(n, keys, "full_outer")
+        events = F.array(
+            F.struct(F.col("__o").alias("p"), F.when(
+                F.col("__n").isNull() & F.col("__o").isNotNull(),
+                F.lit("-D")).when(
+                F.col("__n").isNotNull() & F.col("__o").isNotNull()
+                & ~F.col("__o").eqNullSafe(F.col("__n")),
+                F.lit("-U")).alias("k")),
+            F.struct(F.col("__n").alias("p"), F.when(
+                F.col("__o").isNull() & F.col("__n").isNotNull(),
+                F.lit("+I")).when(
+                F.col("__n").isNotNull() & F.col("__o").isNotNull()
+                & ~F.col("__o").eqNullSafe(F.col("__n")),
+                F.lit("+U")).alias("k")),
+        )
+        e = j.select(*keys, F.explode(events).alias("e")) \
+            .filter(F.col("e.k").isNotNull())
+        return e.select(
+            *keys,
+            *[F.col("e.p")[c].alias(c) for c in non_keys],
+            F.col("e.k").alias(ROW_KIND_COL))
+
     def commit(self, df: DataFrame, partition_keys: list[str] | None = None
                ) -> int:
         """Write the next snapshot dir, then atomically flip _HEAD.
@@ -359,8 +419,24 @@ class LakehouseSource(Source):
             return out
         return self._read_one(spark, opts)
 
+    def read_stream(self, spark: SparkSession):
+        """Streaming read = changelog catch-up microbatch (paimon
+        streaming-read semantics: initial snapshot then per-snapshot
+        diffs; bounded here — each call emits the changelog from
+        `scan.snapshot-id` to HEAD, like one poll of the reference's
+        continuous scan)."""
+        return self.read(spark)
+
     def _read_one(self, spark: SparkSession, opts: dict) -> DataFrame:
-        path, _, _ = _resolve_layout(self.plugin_name, opts)
+        path, keys, _ = _resolve_layout(self.plugin_name, opts)
+        scan_mode = str(opts.get("scan.mode")
+                        or opts.get("paimon.scan.mode") or "").lower()
+        if scan_mode in ("changelog", "streaming", "from-snapshot",
+                         "changelog-from-snapshot"):
+            from_v = opts.get("scan.snapshot-id")
+            return LakehouseTable(path).read_changelog_since(
+                spark, int(from_v) if from_v is not None else None,
+                keys or [])
         df = LakehouseTable(path).read(spark)
         if df is None:
             raise FileNotFoundError(

@@ -215,24 +215,52 @@ class CdcReplaySource(Source):
         pw = str(self.opt("password") or "")
         db, _, tbl = table_full.rpartition(".")
         db = db or default_db
-        server_id = int(self.opt("server-id") or self.opt("server_id") or 1)
+        # server-id accepts a single id or a range "5652-5657" (one id
+        # per parallel reader in the reference); the dump uses the first
+        sid_raw = str(self.opt("server-id") or self.opt("server_id") or 1)
+        server_id = int(sid_raw.split("-")[0].split(",")[0])
 
         cl = MySqlClient(host, port, user, pw)
         try:
             _, _, wm_rows = cl.query("SHOW MASTER STATUS")
             binfile, watermark = str(wm_rows[0][0]), int(wm_rows[0][1])
             cols, codes, srows = cl.query(f"SELECT * FROM {db}.{tbl}")
+            # primary-key discovery (the reference builds CatalogTable
+            # from the MySQL table's PK; keyed sinks inherit it):
+            # table-names-config wins, else SHOW INDEX
+            pk = self._pk_of(table_full) or self._pk_of(tbl)
+            if not pk:
+                try:
+                    icols, _, irows = cl.query(
+                        f"SHOW INDEX FROM {db}.{tbl}")
+                    if icols:
+                        ki = icols.index("Key_name")
+                        ci = icols.index("Column_name")
+                        pk = [str(r[ci]) for r in irows
+                              if str(r[ki]).upper() == "PRIMARY"] or None
+                except Exception:  # noqa: BLE001
+                    pk = None
+            if pk:
+                if not hasattr(self, "discovered_keys"):
+                    self.discovered_keys = {}
+                self.discovered_keys[table_full] = pk
+                self.discovered_keys[tbl] = pk
         finally:
             cl.close()
+        snap_cols, snap_codes = list(cols), list(codes)
         fields = {c: _CODE_TO_DSL.get(t, "string")
                   for c, t in zip(cols, codes)}
         schema = parse_schema(fields)
 
         bc = BinlogClient(host, port, user, pw)
+        evolve = bool(self.opt("schema-changes.enabled")
+                      or self.opt("schema-changes_enabled"))
+        cur_fields = dict(fields)  # evolves as DDL events stream past
         try:
             lines = []
             for ev in bc.dump(server_id=server_id, filename=binfile, pos=4):
                 kind = ev["event"]
+                cols = list(cur_fields)
                 if kind == "query" and re.search(r"^\s*(ALTER|CREATE|DROP)\b",
                                                  ev.get("sql", ""), re.I):
                     lines.append(json.dumps({
@@ -240,6 +268,10 @@ class CdcReplaySource(Source):
                         "source": {"db": ev.get("db"), "table": tbl,
                                    "pos": ev["log_pos"]},
                         "ts_ms": ev["ts"] * 1000}))
+                    if evolve:
+                        # row events after this DDL carry the evolved
+                        # column set — zip them against it
+                        cur_fields = apply_ddl(cur_fields, ev["sql"])
                     continue
                 if kind not in ("insert", "update", "delete") or \
                         ev["db"] != db or ev["table"] != tbl:
@@ -282,7 +314,7 @@ class CdcReplaySource(Source):
         snapshot = spark.createDataFrame(
             [tuple(r) for r in srows], parse_schema(
                 {c: _CODE_TO_DSL.get(t, "string")
-                 for c, t in zip(cols, codes)})).withColumns({
+                 for c, t in zip(snap_cols, snap_codes)})).withColumns({
             EVENT_TS_COL: F.lit(watermark).cast("long"),
             TABLE_ID_COL: F.lit(table_full),
         })

@@ -27,6 +27,8 @@ class MiniMySql:
         self.statements: list[str] = []
         # name -> (cols, type_codes, rows)
         self.tables: dict[str, tuple[list[str], list[int], list[tuple]]] = {}
+        # name -> [pk column names] (served via SHOW INDEX)
+        self.primary_keys: dict[str, list[str]] = {}
         self.auth_failures = 0
         # -- binlog master state (COM_BINLOG_DUMP) ---------------------
         self.binlog: list[tuple[int, bytes]] = []  # (start_pos, event)
@@ -212,6 +214,21 @@ def _handle(conn: socket.socket, srv: MiniMySql) -> None:
                 continue
             sql = pkt[1:].decode()
             srv.statements.append(sql)
+            m_idx = re.match(r"\s*SHOW\s+INDEX\s+FROM\s+([`\w.]+)", sql,
+                             re.I)
+            if m_idx:
+                tname = m_idx.group(1).replace("`", "").split(".")[-1]
+                pks = srv.primary_keys.get(tname, [])
+                send_packet(lenenc(3))
+                for c in ("Table", "Key_name", "Column_name"):
+                    send_packet(_col_def(c, 253))
+                send_packet(eof())
+                for col in pks:
+                    send_packet(lenenc_str(tname.encode())
+                                + lenenc_str(b"PRIMARY")
+                                + lenenc_str(col.encode()))
+                send_packet(eof())
+                continue
             if re.match(r"\s*SHOW\s+MASTER\s+STATUS", sql, re.I):
                 pos = srv.snapshot_pos if srv.snapshot_pos is not None \
                     else srv.binlog_pos

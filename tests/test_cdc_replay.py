@@ -358,3 +358,113 @@ def test_live_binlog_full_type_matrix_conf(spark, monkeypatch):
         assert "varchar3" in blob     # the binlog-inserted row arrived
     finally:
         stop()
+
+
+def test_live_schema_change_to_jdbc_conf(spark, monkeypatch):
+    """mysqlcdc_to_mysql_with_schema_change.conf runs UNMODIFIED live:
+    schema-changes.enabled decodes the binlog ALTER into the evolved
+    source schema, and the jdbc sink applies the ADD-COLUMN drift to
+    the sink table as ALTER TABLE before upserting (the reference's
+    schema-evolution sink matrix for jdbc)."""
+    from seatunnel_spark import mysql_binlog as B
+    from seatunnel_spark.testing.mysql_server import start_mini_mysql
+
+    monkeypatch.delenv("SEATUNNEL_SPARK_CDC_REPLAY", raising=False)
+    srv, port, stop = start_mini_mysql("st_user_source", "mysqlpw")
+    srv.users["st_user_sink"] = "mysqlpw"
+    try:
+        cols = ["id", "name", "description", "weight"]
+        codes = [3, 253, 253, 5]
+        srv.tables["products"] = (cols, codes, [
+            (101, "scooter", "Small 2-wheel scooter", 3.14),
+            (102, "car battery", "12V car battery", 8.1)])
+        # sink table exists with the ORIGINAL schema
+        srv.tables["mysql_cdc_e2e_sink_table_with_schema_change"] = (
+            cols, codes, [])
+        bcols = [(B.T_LONG, None), (B.T_VARCHAR, 400), (B.T_VARCHAR, 2000),
+                 (B.T_DOUBLE, None)]
+        srv.binlog_table("shop", "products", bcols)
+        srv.mark_snapshot()
+        srv.binlog_ddl(
+            "shop", "ALTER TABLE products ADD COLUMN add_column1 "
+                    "varchar(64) NOT NULL DEFAULT 'yy'")
+        # post-DDL events carry the extra column
+        bcols2 = bcols + [(B.T_VARCHAR, 256)]
+        srv.binlog_table("shop", "products", bcols2)
+        srv.binlog_insert("shop", "products",
+                          [(103, "hammer", "12oz hammer", 0.75, "yy")])
+        monkeypatch.setenv("SEATUNNEL_SPARK_HOST_ALIASES",
+                           f"mysql_cdc_e2e=tcp://127.0.0.1:{port}")
+
+        spec = JobSpec.from_file(
+            f"{_CDC_E2E}/mysqlcdc_to_mysql_with_schema_change.conf")
+        JobEngine(spark).run(spec)
+
+        alters = [s for s in srv.statements if s.upper().startswith(
+            "ALTER TABLE mysql_cdc_e2e_sink_table_with_schema_change"
+            .upper())]
+        assert alters and "add_column1" in alters[0]
+        upserts = [s for s in srv.statements
+                   if "INSERT" in s.upper()
+                   and "mysql_cdc_e2e_sink_table_with_schema_change" in s]
+        assert upserts
+        blob = " ".join(upserts)
+        assert "add_column1" in blob and "hammer" in blob
+        # the ALTER ran before the first upsert
+        first_upsert = srv.statements.index(upserts[0])
+        assert srv.statements.index(alters[0]) < first_upsert
+    finally:
+        stop()
+
+
+def test_live_cdc_to_paimon_schema_change_conf(spark, monkeypatch, tmp_path):
+    """mysql_cdc_to_paimon_with_schema_change.conf (connector-paimon-e2e,
+    STREAMING) runs UNMODIFIED live: binlog tail with a mid-stream
+    ALTER, Paimon primary-key table merge, untouched pre-DDL rows read
+    the added column as null."""
+    import shutil
+
+    from seatunnel_spark import mysql_binlog as B
+    from seatunnel_spark.sinks.lakehouse import LakehouseTable
+    from seatunnel_spark.testing.mysql_server import start_mini_mysql
+
+    shutil.rmtree("/tmp/paimon/mysql_to_paimon", ignore_errors=True)
+    monkeypatch.delenv("SEATUNNEL_SPARK_CDC_REPLAY", raising=False)
+    srv, port, stop = start_mini_mysql("st_user_source", "mysqlpw")
+    try:
+        cols = ["id", "name", "description", "weight"]
+        srv.tables["products"] = (cols, [3, 253, 253, 5], [
+            (101, "scooter", "Small 2-wheel scooter", 3.14)])
+        srv.primary_keys["products"] = ["id"]
+        bcols = [(B.T_LONG, None), (B.T_VARCHAR, 400),
+                 (B.T_VARCHAR, 2000), (B.T_DOUBLE, None)]
+        srv.binlog_table("shop", "products", bcols)
+        srv.mark_snapshot()
+        srv.binlog_ddl("shop", "ALTER TABLE products ADD COLUMN "
+                               "add_column1 varchar(64)")
+        srv.binlog_table("shop", "products",
+                         bcols + [(B.T_VARCHAR, 256)])
+        srv.binlog_insert("shop", "products",
+                          [(103, "hammer", "12oz", 0.75, "yy")])
+        srv.binlog_update(
+            "shop", "products",
+            [((101, "scooter", "Small 2-wheel scooter", 3.14, None),
+              (101, "scooter v2", "3-wheel", 5.17, None))])
+        monkeypatch.setenv("SEATUNNEL_SPARK_HOST_ALIASES",
+                           f"mysql_cdc_e2e=tcp://127.0.0.1:{port}")
+
+        spec = JobSpec.from_file(
+            "/root/reference/seatunnel-e2e/seatunnel-connector-v2-e2e/"
+            "connector-paimon-e2e/src/test/resources/"
+            "mysql_cdc_to_paimon_with_schema_change.conf")
+        JobEngine(spark).run(spec)
+
+        t = LakehouseTable("/tmp/paimon/mysql_to_paimon/products")
+        got = {r["id"]: r for r in t.read(spark).collect()}
+        assert set(got) == {101, 103}
+        assert got[101]["name"] == "scooter v2"
+        assert got[101]["add_column1"] is None
+        assert got[103]["add_column1"] == "yy"
+    finally:
+        stop()
+        shutil.rmtree("/tmp/paimon/mysql_to_paimon", ignore_errors=True)
