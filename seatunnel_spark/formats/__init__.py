@@ -133,11 +133,32 @@ def _typed_field(payload: Column, f: T.StructField) -> Column:
     return payload[f.name].cast(f.dataType).alias(f.name)
 
 
+
+# feed-position carriage: one Kafka record may expand to several
+# changelog rows (canal's data array); scale the record offset so the
+# in-record index keeps sub-order. 2^20 rows per record, offsets up to
+# 2^40 -> 61 bits. Per-key ordering only needs within-partition order
+# (keys are partition-sticky), so the partition id is NOT packed in.
+_OFFSET_SCALE = 1 << 20
+
+
+def _carry_offset(df):
+    if "__offset" not in df.columns:
+        return []
+    return [(F.col("__offset") * F.lit(_OFFSET_SCALE)).alias("__offset")]
+
+
 def _two_phase(df: DataFrame, schema: T.StructType, before: Column, after: Column,
                op: Column, ins: str, upd: str, dele: str) -> DataFrame:
     """Shared CDC expansion: updates emit -U (before) then +U (after).
     `before`/`after` are structs in the _lenient_schema shape; the
-    final projection casts them to the declared types."""
+    final projection casts them to the declared types.
+
+    When the input frame carries a `__offset` feed position (the Kafka
+    record offset), it rides through the expansion so keyed sinks
+    resolve last-event-per-key by CONSUME ORDER, not content — the
+    reference's per-partition apply order. A -U and its +U share the
+    offset; the sinks' kind-rank tiebreak resolves that pair."""
     rows = F.filter(
         F.array(
             F.struct(
@@ -156,11 +177,13 @@ def _two_phase(df: DataFrame, schema: T.StructType, before: Column, after: Colum
         ),
         lambda s: s["kind"].isNotNull(),
     )
-    exploded = df.select(F.explode(rows).alias("e"))
+    carry = [F.col("__offset")] if "__offset" in df.columns else []
+    exploded = df.select(F.explode(rows).alias("e"), *carry)
     payload = F.col("e.payload")
     return exploded.select(
         *[_typed_field(payload, f) for f in schema.fields],
         F.col("e.kind").alias(ROW_KIND_COL),
+        *([F.col("__offset")] if carry else []),
     )
 
 
@@ -175,7 +198,8 @@ def decode_debezium(df: DataFrame, schema_opt) -> DataFrame:
             T.StructField("op", T.StringType()),
         ]
     )
-    p = df.select(F.from_json(_value_str(df), env).alias("v"))
+    p = df.select(F.from_json(_value_str(df), env).alias("v"),
+                  *_carry_offset(df))
     op = F.when(F.col("v.op").isin("c", "r"), F.lit("I")).when(
         F.col("v.op") == "u", F.lit("U")
     ).otherwise(F.lit("D"))
@@ -194,9 +218,15 @@ def _decode_array_env(df: DataFrame, schema: T.StructType, data_field: str,
             T.StructField(type_field, T.StringType()),
         ]
     )
-    p = df.select(F.from_json(_value_str(df), env).alias("v"))
+    p = df.select(F.from_json(_value_str(df), env).alias("v"),
+                  *_carry_offset(df))
     n = F.coalesce(F.size(f"v.{data_field}"), F.lit(0))
-    idx = p.select(F.col("v"), F.explode(F.sequence(F.lit(0), n - 1)).alias("i"))
+    idx = p.select(
+        F.col("v"), F.explode(F.sequence(F.lit(0), n - 1)).alias("i"),
+        *([F.col("__offset")] if "__offset" in p.columns else []))
+    if "__offset" in idx.columns:
+        # record offset (already scaled) + in-record element index
+        idx = idx.withColumn("__offset", F.col("__offset") + F.col("i"))
     op = F.upper(F.col(f"v.{type_field}"))
     row = F.col(f"v.{data_field}")[F.col("i")]
     old_item = F.col(f"v.{old_field}")[F.col("i")]
@@ -227,7 +257,8 @@ def decode_maxwell(df: DataFrame, schema_opt) -> DataFrame:
             T.StructField("type", T.StringType()),
         ]
     )
-    p = df.select(F.from_json(_value_str(df), env).alias("v"))
+    p = df.select(F.from_json(_value_str(df), env).alias("v"),
+                  *_carry_offset(df))
     op = F.upper(F.col("v.type"))
     # Maxwell's `old` holds only changed fields; merge per field onto
     # data for the before-image.
@@ -250,7 +281,8 @@ def decode_ogg(df: DataFrame, schema_opt) -> DataFrame:
             T.StructField("op_type", T.StringType()),
         ]
     )
-    p = df.select(F.from_json(_value_str(df), env).alias("v"))
+    p = df.select(F.from_json(_value_str(df), env).alias("v"),
+                  *_carry_offset(df))
     op = F.upper(F.col("v.op_type"))
     return _two_phase(p, schema, F.col("v.before"), F.col("v.after"), op, "I", "U", "D")
 

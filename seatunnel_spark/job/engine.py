@@ -231,10 +231,22 @@ class JobEngine:
             sink = get_sink(blk.plugin, blk.options)
             for name in blk.inputs or [next(reversed(tables))]:
                 df = tables[name]
+                if not getattr(sink, "WANTS_CHANGELOG_META", False):
+                    pos = [c for c in ("__offset", "__event_ts")
+                           if c in df.columns]
+                    if pos:
+                        df = df.drop(*pos)
                 # Multi-table jobs: expose the per-table group so sinks
                 # (Assert tables_configs, per-table writers) see each
                 # table's own clean schema, not the merged superset.
-                sink.table_groups = self._groups.get(name)
+                groups = self._groups.get(name)
+                if groups and not getattr(sink, "WANTS_CHANGELOG_META",
+                                          False):
+                    groups = {
+                        k: v.drop(*[c for c in ("__offset", "__event_ts")
+                                    if c in v.columns])
+                        for k, v in groups.items()}
+                sink.table_groups = groups
                 # ${table_name} resolves from the source's declared
                 # catalog table when it has one, else the DAG name
                 # (sink-options-placeholders.md TablePath semantics).

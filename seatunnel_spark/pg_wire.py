@@ -54,14 +54,15 @@ class PgClient:
 
     def __init__(self, host: str, port: int = 5432, user: str = "postgres",
                  password: str = "", database: str = "postgres",
-                 timeout: float = 30.0):
+                 timeout: float = 30.0, replication: str | None = None):
         url = apply_host_aliases(f"tcp://{host}:{port}")
         hostpart = url.split("://", 1)[-1]
         h, _, p = hostpart.rpartition(":")
         self.user = user
         self.sock = socket.create_connection((h, int(p)), timeout=timeout)
         self._buf = b""
-        params = (f"user\0{user}\0database\0{database}\0"
+        extra = f"replication\0{replication}\0" if replication else ""
+        params = (f"user\0{user}\0database\0{database}\0{extra}"
                   "client_encoding\0UTF8\0\0").encode()
         startup = struct.pack(">ii", 8 + len(params), 196608) + params
         self.sock.sendall(startup)

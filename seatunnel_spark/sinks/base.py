@@ -25,6 +25,13 @@ class Sink:
 
     NAME = "?"
 
+    # Changelog POSITION metadata (__offset/__event_ts) is transport
+    # detail, not payload: the engine strips it before write() unless a
+    # sink opts in to consume it (lakehouse uses __offset as the merge
+    # order, jdbc's compactor orders by it). __row_kind/__table_id stay
+    # — every changelog-aware sink already handles those.
+    WANTS_CHANGELOG_META = False
+
     def wants_observation(self) -> bool:
         """Whether the engine may wrap write() with an Observation for
         rows_written metrics. A sink whose write() acts on OTHER frames

@@ -179,6 +179,27 @@ class FileSink(Sink):
         return F.concat_ws(delim, *cols)
 
     def _write_one(self, df: DataFrame, path: str) -> None:
+        if self.plugin_name == "FtpFile" and self.opt("host"):
+            # FTP write = the full local write pipeline (formats,
+            # partition dirs, file_name_expression, transactions) into
+            # a spool dir, then an ftplib upload preserving layout —
+            # mirroring the reference's commit-then-transfer
+            # FtpFileSinkWriter. Single-server protocol; see ftp_fs.
+            import shutil
+            import tempfile
+
+            from seatunnel_spark import ftp_fs
+
+            spool = tempfile.mkdtemp(prefix="st_ftp_sink_")
+            try:
+                self._write_one_local(df, spool)
+                ftp_fs.upload_tree(self.options, spool, path)
+            finally:
+                shutil.rmtree(spool, ignore_errors=True)
+            return
+        self._write_one_local(df, path)
+
+    def _write_one_local(self, df: DataFrame, path: str) -> None:
         from pyspark.sql import functions as F
 
         fmt = str(self.opt("file_format_type", "parquet")).lower()

@@ -47,29 +47,51 @@ def _jvm_driver_available(spark, driver) -> bool:
         return False
 
 
+CHANGELOG_META = (ROW_KIND_COL, TABLE_ID_COL, "__offset", "__event_ts")
+
+
 def compact_changelog(df: DataFrame, keys: list[str]) -> DataFrame:
     """Reduce a +I/-U/+U/-D changelog to final state per key.
 
-    Keeps the LAST event per key (by arrival order within the batch);
-    drops keys whose last event is a delete; strips -U rows. This is
-    the batch analog of the reference's cdc-sink apply loop — but as a
-    single shuffle + window instead of per-row database round-trips.
+    Keeps the LAST event per key; drops keys whose last event is a
+    delete; strips -U rows. This is the batch analog of the reference's
+    cdc-sink apply loop — but as a single shuffle + window instead of
+    per-row database round-trips.
+
+    Determinism: order comes from the feed's own `__offset` position
+    when the frame carries one; otherwise events tie and a pure
+    content-based chain (kind rank, content hash) picks a reproducible
+    winner — never monotonically_increasing_id, whose value depends on
+    partition layout. The position/meta columns never reach the output
+    columns (they'd leak into INSERT column lists).
     """
     if ROW_KIND_COL not in df.columns:
-        return df
-    seq = F.monotonically_increasing_id()
-    w = Window.partitionBy(*keys).orderBy(F.col("__seq").desc())
+        return df.drop(*[c for c in ("__offset", "__event_ts")
+                         if c in df.columns])
+    seq = F.col("__offset") if "__offset" in df.columns else F.lit(0)
+    rank = F.when(F.col(ROW_KIND_COL) == "-U", 0).otherwise(1)
+    data_cols = [c for c in df.columns if c not in CHANGELOG_META]
+    tie = F.xxhash64(F.struct(*[
+        F.to_json(F.struct(F.col(c)))
+        if dict(df.dtypes)[c].startswith("map") else F.col(c)
+        for c in data_cols]))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__seq").desc(), F.col("__rank").desc(),
+        F.col("__tie").desc(), F.col(ROW_KIND_COL).desc())
     return (
         df.withColumn("__seq", seq)
+        .withColumn("__rank", rank)
+        .withColumn("__tie", tie)
         .filter(F.col(ROW_KIND_COL) != "-U")
         .withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") == 1) & (F.col(ROW_KIND_COL) != "-D"))
-        .drop("__seq", "__rn", ROW_KIND_COL)
+        .select(*data_cols)
     )
 
 
 class JdbcSink(Sink):
     NAME = "Jdbc"
+    WANTS_CHANGELOG_META = True  # compactor orders by __offset
 
     def wants_observation(self) -> bool:
         # every write path here drives foreachPartition — an RDD-level
@@ -99,7 +121,8 @@ class JdbcSink(Sink):
             df = compact_changelog(df, keys)
             self._upsert(df, url, table, user, password, keys)
             return
-        df = df.drop(*[c for c in (ROW_KIND_COL,) if c in df.columns])
+        df = df.drop(*[c for c in (ROW_KIND_COL, "__offset", "__event_ts")
+                       if c in df.columns])
         if bool(self.opt("is_exactly_once", False)):
             self._write_2pc(df, url, table, user, password)
             return

@@ -199,7 +199,24 @@ class LakehouseTable:
         # update leaves the -U as its old key's last word, where the
         # -D remap deletes the moved-away row.
         rank = F.when(F.col(ROW_KIND_COL) == "-U", 0).otherwise(1)
-        tie = F.xxhash64(F.struct(*[F.col(c) for c in data_cols]))
+
+        def _has_map(t):
+            from pyspark.sql import types as T
+
+            if isinstance(t, T.MapType):
+                return True
+            if isinstance(t, T.StructType):
+                return any(_has_map(f.dataType) for f in t.fields)
+            if isinstance(t, T.ArrayType):
+                return _has_map(t.elementType)
+            return False
+
+        dtypes = {f.name: f.dataType for f in batch.schema.fields}
+        # xxhash64 rejects MAP-typed inputs (hashcodes unstable) —
+        # serialize those columns to their canonical JSON first
+        tie = F.xxhash64(F.struct(*[
+            F.to_json(F.struct(F.col(c))) if _has_map(dtypes[c])
+            else F.col(c) for c in data_cols]))
         w = Window.partitionBy(*keys).orderBy(
             F.col("__seq").desc(), F.col("__rank").desc(),
             F.col("__tie").desc(), F.col(ROW_KIND_COL).desc())
@@ -272,6 +289,7 @@ class LakehouseSink(Sink):
     NAME = "Iceberg"
     table_groups = None
     input_name = "sink"
+    WANTS_CHANGELOG_META = True  # __offset is the merge order column
 
     def wants_observation(self) -> bool:
         return False  # merge path acts on its own frames

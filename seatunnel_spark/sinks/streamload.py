@@ -97,6 +97,82 @@ class _StreamLoadSink(Sink):
     def _db_table(self) -> tuple[str, str]:
         raise NotImplementedError
 
+    _SPARK_TO_OLAP = {
+        "tinyint": "TINYINT", "smallint": "SMALLINT", "int": "INT",
+        "bigint": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
+        "boolean": "BOOLEAN", "date": "DATE", "timestamp": "DATETIME",
+        "string": "STRING", "binary": "STRING",
+    }
+
+    def _fe_sql_host(self) -> tuple[str, int]:
+        """FE SQL (mysql-protocol) endpoint: fenodes host + query-port
+        (Doris FE 9030 / StarRocks 9030 by default)."""
+        from urllib.parse import urlsplit
+
+        first = self._endpoints()[0]
+        host = urlsplit(first).hostname
+        return host, int(self.opt("query-port") or self.opt("query_port")
+                         or 9030)
+
+    def _handle_save_mode(self, df: DataFrame, db: str, table: str,
+                          username: str, password: str) -> None:
+        """SupportSaveMode over the FE SQL port (the reference's
+        DorisSaveModeHandler: DDL from save_mode_create_template with
+        the SaveModePlaceHolder vocabulary, RECREATE_SCHEMA drop,
+        DROP_DATA truncate, CUSTOM_PROCESSING custom_sql —
+        connector-doris/.../catalog/DorisCatalog.java). No-op when the
+        conf requests nothing (plain stream load)."""
+        schema_mode = str(self.opt("schema_save_mode") or "").upper()
+        data_mode = str(self.opt("data_save_mode") or "").upper()
+        template = self.opt("save_mode_create_template")
+        custom = self.opt("custom_sql")
+        if not (schema_mode or template
+                or data_mode in ("DROP_DATA", "CUSTOM_PROCESSING")):
+            return
+        from seatunnel_spark.mysql_wire import MySqlClient
+
+        fields = [f for f in df.schema.fields
+                  if f.name not in (ROW_KIND_COL, TABLE_ID_COL)]
+
+        def olap_type(dt):
+            s = dt.simpleString()
+            return s.upper() if s.startswith("decimal") else \
+                self._SPARK_TO_OLAP.get(s, "STRING")
+
+        cols_ddl = ", ".join(f"`{f.name}` {olap_type(f.dataType)}"
+                             for f in fields)
+        first_key = f"`{fields[0].name}`" if fields else "`id`"
+        ddl = template or (
+            f"CREATE TABLE IF NOT EXISTS `{db}`.`{table}` ({cols_ddl}) "
+            f"ENGINE=OLAP DUPLICATE KEY ({first_key}) "
+            f"DISTRIBUTED BY HASH ({first_key})")
+        for ph, val in (("${database}", db), ("${table}", table),
+                        ("${table_name}", table),
+                        ("${rowtype_fields}", cols_ddl),
+                        ("${rowtype_duplicate_key}", first_key),
+                        ("${rowtype_unique_key}", first_key),
+                        ("${rowtype_primary_key}", first_key),
+                        ("${comment}", str(self.opt("comment", "")))):
+            ddl = str(ddl).replace(ph, str(val))
+        host, port = self._fe_sql_host()
+        cl = MySqlClient(host, port, username, password)
+        try:
+            if schema_mode == "RECREATE_SCHEMA":
+                cl.execute(f"DROP TABLE IF EXISTS `{db}`.`{table}`")
+            if schema_mode in ("", "CREATE_SCHEMA_WHEN_NOT_EXIST",
+                               "RECREATE_SCHEMA",
+                               "CREATE_SCHEMA_WHEN_NOT_EXIST_AND_DROP_DATA"):
+                cl.execute(ddl)
+            if data_mode == "DROP_DATA" or schema_mode == \
+                    "CREATE_SCHEMA_WHEN_NOT_EXIST_AND_DROP_DATA":
+                cl.execute(f"TRUNCATE TABLE `{db}`.`{table}`")
+            elif data_mode == "CUSTOM_PROCESSING" and custom:
+                for stmt in ([custom] if isinstance(custom, str)
+                             else list(custom)):
+                    cl.execute(str(stmt))
+        finally:
+            cl.close()
+
     def write(self, df: DataFrame) -> None:
         if self.table_groups:
             for tid, tdf in self.table_groups.items():
@@ -110,6 +186,7 @@ class _StreamLoadSink(Sink):
         table = table.replace("${table_name}", self.input_name.split(".")[-1])
         username = str(self.opt("username", "root"))
         password = str(self.opt("password", ""))
+        self._handle_save_mode(df, db, table, username, password)
         prefix = (self.opt("sink.label-prefix")
                   or self.opt("sink.label.prefix") or "seatunnel")
         batch_rows = int(self.opt("batch_max_rows")

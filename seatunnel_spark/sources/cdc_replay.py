@@ -116,6 +116,13 @@ def apply_ddl(fields: dict, ddl: str) -> dict:
     return out
 
 
+# pg type oid -> schema DSL type
+_OID_TO_DSL = {
+    16: "boolean", 21: "smallint", 23: "int", 20: "bigint",
+    700: "float", 701: "double", 1700: "decimal(38,10)",
+    1082: "date", 1114: "timestamp", 1184: "timestamp",
+}
+
 # text-protocol column type code -> schema DSL type (enum_field_types)
 _CODE_TO_DSL = {
     1: "tinyint", 2: "smallint", 3: "int", 9: "int", 13: "int",
@@ -163,7 +170,10 @@ class CdcReplaySource(Source):
             "SEATUNNEL_SPARK_CDC_REPLAY")
 
     def _tables(self) -> list[str]:
-        names = self.opt("table-names") or self.opt("table_names")
+        names = self.opt("table-names") or self.opt("table_names") \
+            or self.opt("collection")  # MongoDB-CDC collection list
+        if isinstance(names, str):
+            names = [names]
         if not names:
             cfg = self.opt("table-names-config") or []
             names = [c["table"] for c in cfg]
@@ -326,6 +336,121 @@ class CdcReplaySource(Source):
         return stitch_snapshot_and_changelog(
             snapshot, decoded, _OFFSET_COL, watermark)
 
+    def _live_read_pg_table(self, spark: SparkSession, table_full: str
+                            ) -> DataFrame:
+        """Postgres-CDC live: snapshot + pgoutput logical-replication
+        stitch (the pg analog of _live_read_table; reference:
+        connector-cdc-postgres via Debezium's
+        PostgresReplicationConnection).
+
+        1. SELECT pg_current_wal_lsn() -> the snapshot watermark.
+        2. SELECT * snapshot of current state.
+        3. CREATE_REPLICATION_SLOT (idempotent) + START_REPLICATION
+           with the pgoutput plugin; row events for this table become
+           debezium envelopes (source.pos = event LSN) through the
+           SAME decode/stitch path as the replay and mysql feeds.
+
+        Schema evolution rides pgoutput's own Relation messages — each
+        event is zipped against ITS relation's column list, so
+        mid-stream ADD COLUMN needs no DDL parsing here."""
+        import re as _re
+
+        from seatunnel_spark.pg_logical import (
+            LogicalReplicationClient, lsn_int)
+        from seatunnel_spark.pg_wire import PgClient
+
+        url = str(self.opt("base-url") or self.opt("base_url") or "")
+        m = _re.match(r"jdbc:(?:postgresql|opengauss)://([^:/]+)"
+                      r"(?::(\d+))?(?:/([\w$-]+))?", url)
+        if not m:
+            raise ValueError(f"{self.plugin_name}: bad base-url {url!r}")
+        host, port = m.group(1), int(m.group(2) or 5432)
+        db = m.group(3) or "postgres"
+        user = str(self.opt("username") or self.opt("user") or "postgres")
+        pw = str(self.opt("password") or "")
+        parts = table_full.split(".")
+        schema_name, tbl = (parts[-2], parts[-1]) if len(parts) >= 2 \
+            else ("public", parts[-1])
+        slot = str(self.opt("slot.name") or self.opt("slot_name")
+                   or "seatunnel")
+
+        cl = PgClient(host, port, user, pw, db)
+        try:
+            _, _, wm = cl.query("SELECT pg_current_wal_lsn()")
+            watermark = lsn_int(wm[0][0])
+            cols, oids, srows = cl.query(
+                f"SELECT * FROM {schema_name}.{tbl}")
+            pk = self._pk_of(table_full) or self._pk_of(tbl)
+            if not pk:
+                try:
+                    _, _, pkr = cl.query(
+                        "SELECT a.attname FROM pg_index i JOIN "
+                        "pg_attribute a ON a.attrelid = i.indrelid AND "
+                        "a.attnum = ANY(i.indkey) WHERE i.indrelid = "
+                        f"'{schema_name}.{tbl}'::regclass "
+                        "AND i.indisprimary")
+                    pk = [str(r[0]) for r in pkr] or None
+                except Exception:  # noqa: BLE001
+                    pk = None
+            if pk:
+                if not hasattr(self, "discovered_keys"):
+                    self.discovered_keys = {}
+                self.discovered_keys[table_full] = pk
+                self.discovered_keys[tbl] = pk
+        finally:
+            cl.close()
+        fields = {c: _OID_TO_DSL.get(t, "string")
+                  for c, t in zip(cols, oids)}
+
+        rc = LogicalReplicationClient(host, port, user, pw, db)
+        try:
+            rc.create_slot(slot)
+            lines = []
+            for ev in rc.stream(slot, publication=str(
+                    self.opt("publication.name") or "seatunnel")):
+                if ev["namespace"] != schema_name or ev["table"] != tbl:
+                    continue
+                ecols = ev["cols"]
+                for c in ecols:  # Relation-message schema evolution
+                    fields.setdefault(c, "string")
+
+                def d(vals):
+                    return None if vals is None else dict(
+                        zip(ecols, map(_jsonable_cell, vals)))
+
+                env = {"before": d(ev["before"]), "after": d(ev["after"]),
+                       "op": {"insert": "c", "update": "u",
+                              "delete": "d"}[ev["event"]],
+                       "ts_ms": 0,
+                       "source": {"db": db, "table": tbl,
+                                  "pos": ev["lsn"]}}
+                lines.append(json.dumps(env))
+        finally:
+            rc.close()
+
+        schema = parse_schema(fields)
+        raw = spark.createDataFrame([(ln,) for ln in lines] or
+                                    [(None,)], "value string") \
+            .filter(F.col("value").isNotNull())
+        decoded = self._decode(raw, schema, table_full)
+        snapshot = spark.createDataFrame(
+            [tuple(r) for r in srows], parse_schema(
+                {c: _OID_TO_DSL.get(t, "string")
+                 for c, t in zip(cols, oids)})).withColumns({
+            EVENT_TS_COL: F.lit(watermark).cast("long"),
+            TABLE_ID_COL: F.lit(table_full),
+        })
+        for name in fields:
+            if name not in snapshot.columns:
+                snapshot = snapshot.withColumn(
+                    name, F.lit(None).cast(dict(
+                        (f.name, f.dataType)
+                        for f in schema.fields)[name]))
+        from seatunnel_spark.sources.cdc import stitch_snapshot_and_changelog
+
+        return stitch_snapshot_and_changelog(
+            snapshot, decoded, _OFFSET_COL, watermark)
+
     # ------------------------------------------------------------------
     def _require_replay(self) -> str:
         replay = self._replay_dir()
@@ -475,12 +600,18 @@ class CdcReplaySource(Source):
         return not self._replay_dir() and bool(
             self.opt("base-url") or self.opt("base_url"))
 
+    def _live_one(self, spark: SparkSession, table: str) -> DataFrame:
+        url = str(self.opt("base-url") or self.opt("base_url") or "")
+        if url.startswith(("jdbc:postgresql", "jdbc:opengauss")):
+            return self._live_read_pg_table(spark, table)
+        return self._live_read_table(spark, table)
+
     def read(self, spark: SparkSession):
         tables = self._tables()
         if self._live_mode():
             if len(tables) == 1:
-                return self._live_read_table(spark, tables[0])
-            return {t: self._live_read_table(spark, t) for t in tables}
+                return self._live_one(spark, tables[0])
+            return {t: self._live_one(spark, t) for t in tables}
         replay = self._require_replay()
         if len(tables) == 1:
             return self._read_table(spark, replay, tables[0], False)
@@ -489,11 +620,12 @@ class CdcReplaySource(Source):
     def read_stream(self, spark: SparkSession):
         tables = self._tables()
         if self._live_mode():
-            # bounded live tail (NON_BLOCK dump) -> batch frame; the
-            # engine writes a non-streaming frame once per run
+            # bounded live tail (NON_BLOCK dump / CopyDone-terminated
+            # replication stream) -> batch frame; the engine writes a
+            # non-streaming frame once per run
             if len(tables) == 1:
-                return self._live_read_table(spark, tables[0])
-            return {t: self._live_read_table(spark, t) for t in tables}
+                return self._live_one(spark, tables[0])
+            return {t: self._live_one(spark, t) for t in tables}
         replay = self._require_replay()
         if len(tables) == 1:
             return self._read_table(spark, replay, tables[0], True)

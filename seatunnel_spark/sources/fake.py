@@ -192,9 +192,14 @@ class FakeSource(Source):
             if any(k != "INSERT" for k in kinds):
                 from seatunnel_spark.types import ROW_KIND_COL
 
-                schema = schema.add(ROW_KIND_COL, T.StringType())
-                data = [d + (_ROW_KINDS.get(k, "+I"),)
-                        for d, k in zip(data, kinds)]
+                # a changelog feed's row order IS its event order —
+                # stamp the position as __offset so keyed sinks resolve
+                # last-event-per-key deterministically regardless of
+                # partition layout (changelog sinks drop the column)
+                schema = schema.add(ROW_KIND_COL, T.StringType()) \
+                    .add("__offset", T.LongType())
+                data = [d + (_ROW_KINDS.get(k, "+I"), i)
+                        for i, (d, k) in enumerate(zip(data, kinds))]
             return spark.createDataFrame(data, schema=schema)
         # Reference default is 5 rows (FakeOption.java:36-40)
         num = int(self.opt("row.num", 5))

@@ -270,6 +270,35 @@ class FileSource(Source):
                 tid = (tc.get("schema") or {}).get("table") or f"table{len(out)}"
                 out[tid] = child.read(spark)
             return out
+        if self.plugin_name == "FtpFile" and self.opt("host"):
+            # FTP read = stage the remote tree into a local spool over
+            # the real wire (stdlib ftplib vs the reference's
+            # commons-net FTPClient), then the normal local read paths
+            # do the format work. See ftp_fs module doc for the
+            # single-server scale rationale.
+            import shutil
+            import tempfile
+
+            from seatunnel_spark import ftp_fs
+
+            spool = tempfile.mkdtemp(prefix="st_ftp_src_")
+            try:
+                ftp_fs.fetch_tree(
+                    self.options, str(self.require("path")), spool)
+            except Exception:
+                shutil.rmtree(spool, ignore_errors=True)
+                raise
+            sub = dict(self.options)
+            sub["path"] = spool
+            child = type(self)(sub)
+            child.plugin_name = "LocalFile"
+            df = child.read(spark)
+            # spool lives until the job ends; files are lazily read by
+            # Spark tasks, so defer cleanup to interpreter exit
+            import atexit
+
+            atexit.register(shutil.rmtree, spool, ignore_errors=True)
+            return df
         # Hive reads metastore tables (docs/en/connector-v2/source/Hive.md
         # `table_name = db.tbl`); file backends read paths.
         fmt = str(self.opt("file_format_type", "parquet")).lower()

@@ -51,6 +51,14 @@ def _fetch_slice(host: str, port: int, user: str, password: str,
 class _MySqlProtocolSource(Source):
     """Shared SELECT-pushdown source; subclasses map option names."""
 
+    def table_id(self) -> str | None:
+        # ${table_name} placeholder resolution uses the FE table path
+        # (sink-options-placeholders.md TablePath semantics)
+        try:
+            return self._table()
+        except Exception:  # noqa: BLE001 — table_list form has no single id
+            return super().table_id()
+
     def _endpoint(self) -> tuple[str, int]:
         raise NotImplementedError
 

@@ -84,6 +84,13 @@ class KafkaSource(Source):
     def _decode(self, raw: DataFrame) -> DataFrame:
         fmt = str(self.opt("format", "json")).upper()
         schema_opt = self.opt("schema")
+        if "offset" in raw.columns:
+            # feed position for the CDC decoders: keyed sinks apply
+            # last-event-per-key in consume order (partition-local,
+            # which is all per-key ordering needs)
+            from pyspark.sql import functions as F
+
+            raw = raw.withColumn("__offset", F.col("offset").cast("long"))
         return decode_payload(
             raw, fmt, schema_opt,
             delimiter=self.opt("field_delimiter", ","),

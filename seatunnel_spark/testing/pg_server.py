@@ -19,10 +19,83 @@ class MiniPg:
         self.statements: list[str] = []
         # uppercased-prefix -> (cols, oids, rows-of-strings)
         self.canned: dict[str, tuple[list[str], list[int], list[tuple]]] = {}
+        # -- logical-replication master state --------------------------
+        self.wal: list[tuple[int, bytes]] = []  # (lsn, pgoutput message)
+        self.lsn = 0x1000
+        self.snapshot_lsn: int | None = None
+        self._rels: dict[tuple[str, str], tuple[int, list]] = {}
+        self._xid = 100
+
+    # -- WAL seeding helpers (pgoutput encoder lives in pg_logical) ----
+    def wal_table(self, namespace: str, name: str,
+                  cols: list[tuple[str, int]]) -> None:
+        """cols = [(name, type_oid)] — registers the relation; its
+        Relation message precedes the first row event."""
+        from seatunnel_spark import pg_logical as L
+
+        rel_id = 16000 + len(self._rels)
+        self._rels[(namespace, name)] = (rel_id, cols)
+        self._append(L.enc_relation(rel_id, namespace, name, cols))
+
+    def _append(self, msg: bytes) -> None:
+        self.lsn += 8
+        self.wal.append((self.lsn, msg))
+
+    def _tx(self, msgs: list) -> None:
+        from seatunnel_spark import pg_logical as L
+
+        self._xid += 1
+        self._append(L.enc_begin(self.lsn + 8, self._xid))
+        for m in msgs:
+            self._append(m)
+        self._append(L.enc_commit(self.lsn + 8))
+
+    def wal_insert(self, namespace: str, name: str, rows: list) -> None:
+        from seatunnel_spark import pg_logical as L
+
+        rel_id, _ = self._rels[(namespace, name)]
+        self._tx([L.enc_insert(rel_id, list(r)) for r in rows])
+
+    def wal_update(self, namespace: str, name: str, pairs: list) -> None:
+        from seatunnel_spark import pg_logical as L
+
+        rel_id, _ = self._rels[(namespace, name)]
+        self._tx([L.enc_update(rel_id, list(b), list(a))
+                  for b, a in pairs])
+
+    def wal_delete(self, namespace: str, name: str, rows: list) -> None:
+        from seatunnel_spark import pg_logical as L
+
+        rel_id, _ = self._rels[(namespace, name)]
+        self._tx([L.enc_delete(rel_id, list(r)) for r in rows])
+
+    def mark_snapshot(self) -> None:
+        """Canned tables reflect state as of this LSN; WAL appended
+        after it is the concurrent-change stream."""
+        self.snapshot_lsn = self.lsn
 
 
 def _msg(mtype: bytes, payload: bytes) -> bytes:
     return mtype + struct.pack(">i", 4 + len(payload)) + payload
+
+
+def _send_rs(conn, cols, oids, rows) -> None:
+    """RowDescription + DataRows + CommandComplete."""
+    desc = struct.pack(">h", len(cols))
+    for c, oid in zip(cols, oids):
+        desc += c.encode() + b"\0" + struct.pack(">ihihih", 0, 0, oid,
+                                                 -1, -1, 0)
+    conn.sendall(_msg(b"T", desc))
+    for r in rows:
+        body = struct.pack(">h", len(r))
+        for v in r:
+            if v is None:
+                body += struct.pack(">i", -1)
+            else:
+                vb = str(v).encode()
+                body += struct.pack(">i", len(vb)) + vb
+        conn.sendall(_msg(b"D", body))
+    conn.sendall(_msg(b"C", f"SELECT {len(rows)}\0".encode()))
 
 
 def _handle(conn: socket.socket, pg: MiniPg) -> None:
@@ -66,6 +139,44 @@ def _handle(conn: socket.socket, pg: MiniPg) -> None:
                 continue
             sql = payload.rstrip(b"\0").decode()
             pg.statements.append(sql)
+            up = sql.upper()
+            if up.startswith("IDENTIFY_SYSTEM"):
+                from seatunnel_spark.pg_logical import lsn_str
+
+                _send_rs(conn, ["systemid", "timeline", "xlogpos",
+                                "dbname"],
+                         [25, 23, 25, 25],
+                         [("mini-pg-1", "1", lsn_str(pg.lsn), "postgres")])
+                conn.sendall(_msg(b"Z", b"I"))
+                continue
+            if up.startswith("CREATE_REPLICATION_SLOT"):
+                from seatunnel_spark.pg_logical import lsn_str
+
+                slot = sql.split()[1]
+                _send_rs(conn, ["slot_name", "consistent_point",
+                                "snapshot_name", "output_plugin"],
+                         [25, 25, 25, 25],
+                         [(slot, lsn_str(pg.lsn), "snap", "pgoutput")])
+                conn.sendall(_msg(b"Z", b"I"))
+                continue
+            if up.startswith("START_REPLICATION"):
+                import re as _re
+
+                from seatunnel_spark.pg_logical import lsn_int
+
+                m = _re.search(r"LOGICAL\s+([0-9A-Fa-f]+/[0-9A-Fa-f]+)",
+                               sql)
+                start = lsn_int(m.group(1)) if m else 0
+                conn.sendall(_msg(b"W", b"\x00" + struct.pack(">h", 0)))
+                for lsn, wmsg in list(pg.wal):
+                    if lsn <= start:
+                        continue
+                    xlog = b"w" + struct.pack(">QQQ", lsn, lsn, 0) + wmsg
+                    conn.sendall(_msg(b"d", xlog))
+                conn.sendall(_msg(b"c", b""))  # CopyDone: bounded end
+                conn.sendall(_msg(b"C", b"COPY 0\0"))
+                conn.sendall(_msg(b"Z", b"I"))
+                continue
             hit = next((v for k, v in pg.canned.items()
                         if sql.upper().startswith(k)), None)
             if hit:

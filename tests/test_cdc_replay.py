@@ -468,3 +468,45 @@ def test_live_cdc_to_paimon_schema_change_conf(spark, monkeypatch, tmp_path):
     finally:
         stop()
         shutil.rmtree("/tmp/paimon/mysql_to_paimon", ignore_errors=True)
+
+
+@pytest.mark.parametrize("family,conf,table", [
+    ("sqlserver",
+     "connector-cdc-sqlserver-e2e/src/test/resources/"
+     "sqlservercdc_to_metadata_trans.conf",
+     "column_type_test.dbo.full_types_custom_primary_key"),
+    ("mongodb",
+     "connector-cdc-mongodb-e2e/src/test/resources/"
+     "mongodbcdc_metadata_trans.conf",
+     "inventory.products"),
+])
+def test_other_cdc_family_metadata_trans_confs(spark, tmp_path, monkeypatch,
+                                               family, conf, table):
+    """SqlServer-CDC / MongoDB-CDC metadata-trans confs run unmodified
+    over the debezium replay feed (the production deployment tails
+    SQL Server CT tables / Mongo change streams into the same envelope;
+    MongoDB's `collection` option maps to the table list)."""
+    t = tmp_path / table
+    t.mkdir(parents=True)
+    short = table.split(".")[-1]
+    db = table.split(".")[0]
+    lines = [
+        _ev("r", short, 10, 1000, db=db,
+            after={"id": 1, "name": "a"} if family == "sqlserver"
+            else {"_id": "x1", "name": "scooter",
+                  "description": "d", "weight": "3.1"}),
+        _ev("c", short, 20, 2000, db=db,
+            after={"id": 2, "name": "b"} if family == "sqlserver"
+            else {"_id": "x2", "name": "hammer",
+                  "description": "d2", "weight": "0.7"}),
+    ]
+    (t / "changelog.jsonl").write_text("\n".join(lines) + "\n")
+    monkeypatch.setenv("SEATUNNEL_SPARK_CDC_REPLAY", str(tmp_path))
+    spec = JobSpec.from_file(
+        f"/root/reference/seatunnel-e2e/seatunnel-connector-v2-e2e/{conf}")
+    spec.env["streaming.await.timeout"] = 10
+    try:
+        JobEngine(spark).run(spec)
+    finally:
+        for q in spark.streams.active:
+            q.stop()

@@ -143,3 +143,126 @@ def test_doris_multi_source_to_assert_conf(spark, doris_both):
     _seed_unique_table(mysql, "doris_e2e_unique_table_1", 60, start=0)
     JobEngine(spark).run(
         JobSpec.from_file(f"{_RES}/doris_multi_source_to_assert.conf"))
+
+
+def test_doris_source_no_schema_conf(spark, doris_both):
+    """doris_source_no_schema.conf: FE read WITHOUT doris.read.field
+    (SELECT *), filter pushdown, RECREATE_SCHEMA on the sink — the
+    save-mode handler drops + recreates the sink table over the FE SQL
+    port before stream loading."""
+    state, mysql = doris_both
+    _seed_unique_table(mysql, "doris_e2e_unique_table", 100)
+    JobEngine(spark).run(
+        JobSpec.from_file(f"{_RES}/doris_source_no_schema.conf"))
+    rows = state[("e2e_sink", "doris_e2e_unique_table")]
+    assert len(rows) == 50 and all(r["F_ID"] > 50 for r in rows)
+    drops = [s for s in mysql.statements if s.upper().startswith(
+        "DROP TABLE IF EXISTS") and "doris_e2e_unique_table" in s]
+    creates = [s for s in mysql.statements
+               if s.upper().startswith("CREATE TABLE") and
+               "doris_e2e_unique_table" in s]
+    assert drops and creates
+    state.clear()
+
+
+def test_doris_custom_sql_savemode_conf(spark, doris_both):
+    """doris_source_and_sink_with_custom_sql.conf: FakeSource ->
+    data_save_mode=CUSTOM_PROCESSING executes the conf's custom_sql
+    over the FE SQL port, and the custom save_mode_create_template
+    (unique-key DDL with placeholders) renders with the frame's
+    columns."""
+    state, mysql = doris_both
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_RES}/doris_source_and_sink_with_custom_sql.conf"))
+    rows = state[("e2e_sink", "doris_e2e_unique_table")]
+    assert len(rows) == 100
+    customs = [s for s in mysql.statements if "VALUES (1, 123," in s]
+    assert customs, "custom_sql did not reach the FE"
+    creates = [s for s in mysql.statements
+               if s.upper().startswith("CREATE TABLE")]
+    assert creates and "unique KEY (`F_ID`)" in creates[-1]
+    assert "`F_DECIMAL` DECIMAL(10,2)" in creates[-1]
+    assert "${rowtype_fields}" not in creates[-1]
+    state.clear()
+
+
+def test_doris_type_convertor_conf(spark, doris_both):
+    """doris_source_to_doris_sink_type_convertor.conf: duplicate-key
+    table read -> ${table_name} placeholder sink with RECREATE_SCHEMA
+    and a duplicate-key template (${rowtype_duplicate_key})."""
+    state, mysql = doris_both
+    _seed_unique_table(mysql, "doris_duplicate_table", 10)
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_RES}/doris_source_to_doris_sink_type_convertor.conf"))
+    # ${table_name} resolves to the source table's name
+    key = next(k for k in state if k[0] == "e2e_sink")
+    assert key[1] == "doris_duplicate_table"
+    assert len(state[key]) == 10
+    creates = [s for s in mysql.statements
+               if s.upper().startswith("CREATE TABLE")]
+    assert creates and "duplicate KEY (`F_ID`)" in creates[-1]
+    state.clear()
+
+
+@pytest.mark.parametrize("conf", ["doris_multi_source_to_sink.conf",
+                                  "doris_multi_source_to_sink_2pc_false.conf"])
+def test_doris_multi_source_to_sink_confs(spark, doris_both, conf):
+    """table_list with two FE tables, each filtered, routed into the
+    ${table_name} sink — one stream-load target per source table."""
+    state, mysql = doris_both
+    _seed_unique_table(mysql, "doris_e2e_unique_table_0", 60, start=40)
+    _seed_unique_table(mysql, "doris_e2e_unique_table_1", 60, start=0)
+    JobEngine(spark).run(JobSpec.from_file(f"{_RES}/{conf}"))
+    t0 = state[("e2e_sink", "doris_e2e_unique_table_0")]
+    t1 = state[("e2e_sink", "doris_e2e_unique_table_1")]
+    assert len(t0) == 50 and all(r["F_ID"] >= 50 for r in t0)
+    assert len(t1) == 40 and all(r["F_ID"] < 40 for r in t1)
+    state.clear()
+
+
+def test_live_mysqlcdc_to_doris_schema_change_conf(spark, monkeypatch):
+    """mysqlcdc_to_doris_with_schema_change.conf runs UNMODIFIED live:
+    binlog tail (with a mid-stream ALTER) into the Doris stream-load
+    sink — post-DDL rows carry the added column, deletes ride the
+    delete sign."""
+    from seatunnel_spark import mysql_binlog as B
+    from seatunnel_spark.testing.mysql_server import start_mini_mysql
+
+    monkeypatch.delenv("SEATUNNEL_SPARK_CDC_REPLAY", raising=False)
+    state, sl_port, sl_stop = start_mini_streamload()
+    srv, my_port, my_stop = start_mini_mysql("st_user_source", "mysqlpw")
+    try:
+        cols = ["id", "name", "description", "weight"]
+        srv.tables["products"] = (cols, [3, 253, 253, 5], [
+            (101, "scooter", "Small 2-wheel scooter", 3.14)])
+        srv.primary_keys["products"] = ["id"]
+        bcols = [(B.T_LONG, None), (B.T_VARCHAR, 400),
+                 (B.T_VARCHAR, 2000), (B.T_DOUBLE, None)]
+        srv.binlog_table("shop", "products", bcols)
+        srv.mark_snapshot()
+        srv.binlog_ddl("shop", "ALTER TABLE products ADD COLUMN "
+                               "add_column1 varchar(64)")
+        srv.binlog_table("shop", "products", bcols + [(B.T_VARCHAR, 256)])
+        srv.binlog_insert("shop", "products",
+                          [(103, "hammer", "12oz", 0.75, "yy")])
+        srv.binlog_delete("shop", "products",
+                          [(101, "scooter", "Small 2-wheel scooter",
+                            3.14, None)])
+        monkeypatch.setitem(
+            os.environ, "SEATUNNEL_SPARK_HOST_ALIASES",
+            f"doris_e2e=http://127.0.0.1:{sl_port},"
+            f"mysql_cdc_e2e=tcp://127.0.0.1:{my_port}")
+        spec = JobSpec.from_file(
+            f"{_RES}/mysqlcdc_to_doris_with_schema_change.conf")
+        JobEngine(spark).run(spec)
+
+        rows = state[("shop", "products")]
+        last = {}
+        for r in rows:
+            last[r.get("id")] = r
+        assert str(last[101]["__DORIS_DELETE_SIGN__"]) == "1"
+        assert last[103]["add_column1"] == "yy"
+        assert str(last[103]["__DORIS_DELETE_SIGN__"]) == "0"
+    finally:
+        sl_stop()
+        my_stop()

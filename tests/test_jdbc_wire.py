@@ -35,9 +35,13 @@ def test_changelog_upsert_statements_pg(spark):
 
     pg, port, stop = start_mini_pg(user="u", password="pw")
     try:
+        # event order is the explicit __offset feed position (the
+        # changelog-determinism contract; arrival order is not a thing
+        # in a distributed frame)
         df = spark.createDataFrame(
-            [(1, "a", "+I"), (1, "b", "+U"), (2, "c", "+I"), (2, "c", "-D")],
-            f"id int, name string, {ROW_KIND_COL} string")
+            [(1, "a", "+I", 0), (1, "b", "+U", 1),
+             (2, "c", "+I", 2), (2, "c", "-D", 3)],
+            f"id int, name string, {ROW_KIND_COL} string, __offset long")
         get_sink("Jdbc", {
             "url": f"jdbc:postgresql://127.0.0.1:{port}/db",
             "user": "u", "password": "pw", "table": "t2",

@@ -35,16 +35,24 @@ def _model_compact(events):
 @settings(max_examples=15, deadline=None)
 @given(_EVENTS)
 def test_compact_changelog_matches_sequential_model(spark, events):
+    """Event order is an EXPLICIT `__offset` feed position (Kafka
+    record offset / binlog pos / FakeSource row index) — never implicit
+    DataFrame arrival order, which doesn't survive repartitioning. The
+    compacted result must match the sequential model AND be identical
+    under any partition layout."""
     from seatunnel_spark.sinks.jdbc import compact_changelog
 
     if not events:
         return
     df = spark.createDataFrame(
-        [(kind, k, v) for kind, k, v in events],
-        [ROW_KIND_COL, "k", "v"],
-    ).coalesce(1)  # single partition: arrival order == declared order
+        [(kind, k, v, i) for i, (kind, k, v) in enumerate(events)],
+        [ROW_KIND_COL, "k", "v", "__offset"],
+    )
     got = {r["k"]: r["v"] for r in compact_changelog(df, ["k"]).collect()}
     assert got == _model_compact(events)
+    shuffled = {r["k"]: r["v"] for r in
+                compact_changelog(df.repartition(7), ["k"]).collect()}
+    assert shuffled == got
 
 
 # -- salted join == plain join ----------------------------------------------
