@@ -179,6 +179,22 @@ class FileSink(Sink):
         return F.concat_ws(delim, *cols)
 
     def _write_one(self, df: DataFrame, path: str) -> None:
+        if self.plugin_name == "S3File" and self.opt("access_key") \
+                and (self.opt("fs.s3a.endpoint") or self.opt("endpoint")):
+            # local write pipeline into a spool, then SigV4 PutObject
+            # uploads preserving layout (see s3_fs module doc)
+            import shutil
+            import tempfile
+
+            from seatunnel_spark import s3_fs
+
+            spool = tempfile.mkdtemp(prefix="st_s3_sink_")
+            try:
+                self._write_one_local(df, spool)
+                s3_fs.upload_tree(self.options, spool, path)
+            finally:
+                shutil.rmtree(spool, ignore_errors=True)
+            return
         if self.plugin_name == "FtpFile" and self.opt("host"):
             # FTP write = the full local write pipeline (formats,
             # partition dirs, file_name_expression, transactions) into

@@ -102,8 +102,44 @@ class JdbcSink(Sink):
     def write(self, df: DataFrame) -> None:
         from seatunnel_spark.net import resolve_jdbc_url
 
+        groups = getattr(self, "table_groups", None)
+        if groups:
+            # multi-table CDC fan-out: one sub-writer per source table,
+            # ${table_name}/${database_name}/${primary_key} resolved
+            # per table (the reference's MultiTableSink + placeholders)
+            src_keys = getattr(self, "source_keys", None)
+            for tid, tdf in groups.items():
+                sub = JdbcSink(self.options)
+                sub.plugin_name = self.plugin_name
+                sub.input_name = tid
+                if isinstance(src_keys, dict):
+                    sub.source_keys = src_keys.get(tid) or src_keys.get(
+                        tid.split(".")[-1])
+                else:
+                    sub.source_keys = src_keys
+                sub.write(tdf)
+            return
         url = resolve_jdbc_url(self.require("url"))
-        table = self.opt("table") or self.require("table_path")
+        tid_parts = str(getattr(self, "input_name", None)
+                        or "default").split(".")
+        table_opt = self.opt("table") or self.opt("table_path")
+        if not table_opt and (self.opt("tablePrefix")
+                              or self.opt("tableSuffix")
+                              or self.opt("schema")):
+            # schema + tablePrefix/tableSuffix build the sink path from
+            # the SOURCE table name (JdbcSinkConfig's multi-table
+            # table-path derivation; pgcdc multi-table-mode confs)
+            sch = str(self.opt("schema") or "")
+            table_opt = ((sch + ".") if sch else "") \
+                + str(self.opt("tablePrefix") or "") + tid_parts[-1] \
+                + str(self.opt("tableSuffix") or "")
+        table = str(table_opt or self.require("table_path"))
+        if "${table_name}" in table:
+            table = table.replace("${table_name}", tid_parts[-1])
+        if "${database_name}" in table:
+            table = table.replace(
+                "${database_name}",
+                tid_parts[-2] if len(tid_parts) > 1 else "default")
         user = str(self.opt("user", ""))
         password = str(self.opt("password", ""))
         props = {"user": user, "password": password}
@@ -111,6 +147,15 @@ class JdbcSink(Sink):
             props["driver"] = self.opt("driver")
         df = df.drop(*[c for c in (TABLE_ID_COL,) if c in df.columns])
         keys = self.opt("primary_keys")
+        if keys and any("${primary_key}" in str(k) for k in keys):
+            # ${primary_key} resolves from the source-declared /
+            # discovered key (sink-options-placeholders.md)
+            sk = getattr(self, "source_keys", None) or []
+            keys = [k for k in keys if "${primary_key}" not in str(k)] + \
+                list(sk)
+            keys = keys or None
+        if not keys:
+            keys = getattr(self, "source_keys", None)
         if keys and ROW_KIND_COL in df.columns:
             # CDC schema evolution to the sink table
             # (docs/en/concept/schema-evolution.md sink matrix: the
@@ -119,7 +164,18 @@ class JdbcSink(Sink):
             # ALTER TABLE before the upsert.
             self._sync_schema(df, url, table, user, password)
             df = compact_changelog(df, keys)
-            self._upsert(df, url, table, user, password, keys)
+            if bool(self.opt("is_exactly_once", False)):
+                # XA-wrapped upserts: every partition prepares its
+                # branch, the driver commits all (the reference's
+                # exactly-once + upsert combination,
+                # mysqlcdc_to_mysql_with_schema_change_exactly_once)
+                from seatunnel_spark.jdbc_dialects import dialect_for
+
+                dialect = dialect_for(url, self.opt("compatible_mode"))
+                up = dialect.upsert_sql(table, df.columns, keys)
+                self._write_2pc(df, url, table, user, password, sql=up)
+            else:
+                self._upsert(df, url, table, user, password, keys)
             return
         df = df.drop(*[c for c in (ROW_KIND_COL, "__offset", "__event_ts")
                        if c in df.columns])
@@ -270,7 +326,7 @@ class JdbcSink(Sink):
         df.foreachPartition(run_partition)
 
     def _write_2pc(self, df: DataFrame, url: str, table: str, user: str,
-                   password: str) -> None:
+                   password: str, sql: str | None = None) -> None:
         """Exactly-once 2PC: all partitions PREPARE, then the driver
         commits every branch; any prepare failure aborts the job before
         a single branch commits (XaFacade semantics)."""
@@ -284,7 +340,7 @@ class JdbcSink(Sink):
                 "stdlib XA path (or deploy a JVM XA driver jar)")
         dialect = dialect_for(url, self.opt("compatible_mode"))
         cols = df.columns
-        sql = dialect.insert_sql(table, cols)
+        sql = sql or dialect.insert_sql(table, cols)
         run_id = uuid.uuid4().hex[:12]
         batch = self._batch_size()
 

@@ -178,8 +178,47 @@ class CdcReplaySource(Source):
             cfg = self.opt("table-names-config") or []
             names = [c["table"] for c in cfg]
         if not names:
+            # TiDB-CDC's singular database-name/table-name pair
+            db1 = self.opt("database-name") or self.opt("database_name")
+            t1 = self.opt("table-name") or self.opt("table_name")
+            if db1 and t1:
+                names = [f"{db1}.{t1}"]
+        if not names and (self.opt("table-pattern")
+                          or self.opt("table_pattern")):
+            names = self._discover_tables()
+        if not names:
             raise ValueError(f"{self.plugin_name}: table-names required")
         return list(names)
+
+    def _discover_tables(self) -> list[str]:
+        """table-pattern discovery (mysqlcdc_wildcards_to_mysql.conf):
+        regex over `db.table` across SHOW DATABASES / SHOW TABLES —
+        the reference's TableDiscoveryUtils sweep."""
+        import re as _re
+
+        from seatunnel_spark.mysql_wire import MySqlClient
+
+        pattern = _re.compile(str(self.opt("table-pattern")
+                                  or self.opt("table_pattern")))
+        host, port, _ = self._base_url_parts()
+        user = str(self.opt("username") or self.opt("user") or "root")
+        pw = str(self.opt("password") or "")
+        cl = MySqlClient(host, port, user, pw)
+        try:
+            _, _, dbs = cl.query("SHOW DATABASES")
+            out: list[str] = []
+            skip = {"information_schema", "mysql", "performance_schema",
+                    "sys"}
+            for (db,) in dbs:
+                if str(db).lower() in skip:
+                    continue
+                _, _, ts = cl.query(f"SHOW TABLES FROM {db}")
+                out += [f"{db}.{t}" for (t,) in ts
+                        if pattern.fullmatch(f"{db}.{t}")
+                        or pattern.match(f"{db}.{t}")]
+            return sorted(out)
+        finally:
+            cl.close()
 
     def _pk_of(self, table: str) -> list[str] | None:
         for c in self.opt("table-names-config") or []:

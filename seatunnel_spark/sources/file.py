@@ -270,6 +270,31 @@ class FileSource(Source):
                 tid = (tc.get("schema") or {}).get("table") or f"table{len(out)}"
                 out[tid] = child.read(spark)
             return out
+        if self.plugin_name == "S3File" and self.opt("access_key") \
+                and (self.opt("fs.s3a.endpoint") or self.opt("endpoint")):
+            # S3 read over the REST wire (SigV4, stdlib) staged into a
+            # local spool — same shape as the FTP path; production runs
+            # spark.read over s3a:// with hadoop-aws (see s3_fs doc).
+            import atexit
+            import shutil
+            import tempfile
+
+            from seatunnel_spark import s3_fs
+
+            spool = tempfile.mkdtemp(prefix="st_s3_src_")
+            try:
+                s3_fs.fetch_tree(self.options, str(self.require("path")),
+                                 spool)
+            except Exception:
+                shutil.rmtree(spool, ignore_errors=True)
+                raise
+            sub = dict(self.options)
+            sub["path"] = spool
+            child = type(self)(sub)
+            child.plugin_name = "LocalFile"
+            df = child.read(spark)
+            atexit.register(shutil.rmtree, spool, ignore_errors=True)
+            return df
         if self.plugin_name == "FtpFile" and self.opt("host"):
             # FTP read = stage the remote tree into a local spool over
             # the real wire (stdlib ftplib vs the reference's
@@ -311,8 +336,20 @@ class FileSource(Source):
             import glob as _glob
             import os
 
+            def _no_files(path: str) -> bool:
+                matches = _glob.glob(path)
+                if not matches:
+                    return True
+                for m in matches:
+                    if os.path.isfile(m):
+                        return False
+                    for _r, _d, names in os.walk(m):
+                        if names:
+                            return False
+                return True
+
             p = self._path()
-            if "://" not in p and not _glob.glob(p):
+            if "://" not in p and _no_files(p):
                 from pyspark.sql import types as T
 
                 from seatunnel_spark.types import parse_schema as _ps

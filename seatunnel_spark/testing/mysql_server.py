@@ -29,6 +29,8 @@ class MiniMySql:
         self.tables: dict[str, tuple[list[str], list[int], list[tuple]]] = {}
         # name -> [pk column names] (served via SHOW INDEX)
         self.primary_keys: dict[str, list[str]] = {}
+        # db -> [table names] (served via SHOW DATABASES / SHOW TABLES)
+        self.databases: dict[str, list[str]] = {}
         self.auth_failures = 0
         # -- binlog master state (COM_BINLOG_DUMP) ---------------------
         self.binlog: list[tuple[int, bytes]] = []  # (start_pos, event)
@@ -214,6 +216,25 @@ def _handle(conn: socket.socket, srv: MiniMySql) -> None:
                 continue
             sql = pkt[1:].decode()
             srv.statements.append(sql)
+            if re.match(r"\s*SHOW\s+DATABASES", sql, re.I):
+                send_packet(lenenc(1))
+                send_packet(_col_def("Database", 253))
+                send_packet(eof())
+                for db in sorted(srv.databases):
+                    send_packet(lenenc_str(db.encode()))
+                send_packet(eof())
+                continue
+            m_st = re.match(r"\s*SHOW\s+TABLES\s+FROM\s+`?(\w+)`?", sql,
+                            re.I)
+            if m_st:
+                db = m_st.group(1)
+                send_packet(lenenc(1))
+                send_packet(_col_def(f"Tables_in_{db}", 253))
+                send_packet(eof())
+                for t in sorted(srv.databases.get(db, [])):
+                    send_packet(lenenc_str(t.encode()))
+                send_packet(eof())
+                continue
             m_idx = re.match(r"\s*SHOW\s+INDEX\s+FROM\s+([`\w.]+)", sql,
                              re.I)
             if m_idx:

@@ -157,3 +157,53 @@ def test_live_opengauss_metadata_trans_conf(spark, monkeypatch):
         assert any("START_REPLICATION" in s for s in pg.statements)
     finally:
         stop()
+
+
+def _pg_seed_simple(pg, schema, table, snapshot_rows):
+    from seatunnel_spark.pg_logical import lsn_str
+
+    cols = [("id", 23), ("name", 25)]
+    pg.wal_table(schema, table, cols)
+    pg.canned[f"SELECT * FROM {schema.upper()}.{table.upper()}"] = (
+        ["id", "name"], [23, 25], snapshot_rows)
+    return cols
+
+
+@pytest.mark.parametrize("conf,tables", [
+    ("pgcdc_to_pg_with_multi_table_mode_one_table",
+     ["postgres_cdc_table_1"]),
+    ("pgcdc_to_pg_with_multi_table_mode_two_table",
+     ["postgres_cdc_table_1", "postgres_cdc_table_2"]),
+    ("postgrescdc_to_postgres_with_custom_primary_key",
+     ["full_types_no_primary_key"]),
+    ("postgrescdc_to_postgres_with_no_primary_key",
+     ["full_types_no_primary_key"]),
+    ("postgrescdc_to_postgres_test_add_Filed",
+     ["postgres_cdc_table_3"]),
+])
+def test_live_pgcdc_variant_confs(spark, monkeypatch, conf, tables):
+    """The remaining pgcdc conf variants run UNMODIFIED live over
+    pgoutput: multi-table mode, custom primary keys via
+    table-names-config, no-primary-key append, and the add-field
+    table."""
+    from seatunnel_spark.pg_logical import lsn_str
+
+    monkeypatch.delenv("SEATUNNEL_SPARK_CDC_REPLAY", raising=False)
+    pg, port, stop = start_mini_pg("postgres", "postgres")
+    try:
+        for t in tables:
+            _pg_seed_simple(pg, "inventory", t, [(1, "a")])
+        pg.mark_snapshot()
+        for t in tables:
+            pg.wal_insert("inventory", t, [["9", "new9"]])
+        pg.canned["SELECT PG_CURRENT_WAL_LSN"] = (
+            ["pg_current_wal_lsn"], [25], [(lsn_str(pg.snapshot_lsn),)])
+        pg.canned["SELECT A.ATTNAME"] = (["attname"], [25], [("id",)])
+        monkeypatch.setitem(os.environ, "SEATUNNEL_SPARK_HOST_ALIASES",
+                            f"postgres_cdc_e2e=tcp://127.0.0.1:{port}")
+        JobEngine(spark).run(JobSpec.from_file(f"{_RES}/{conf}.conf"))
+        ins = " ".join(s for s in pg.statements
+                       if s.upper().startswith("INSERT"))
+        assert "new9" in ins
+    finally:
+        stop()
