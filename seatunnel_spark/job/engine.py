@@ -54,6 +54,7 @@ class JobEngine:
         self._groups: dict[str, dict[str, DataFrame]] = {}
         self._table_ids: dict[str, str] = {}
         self._source_keys: dict[str, list[str]] = {}
+        self._job_sources: list = []
         for blk in spec.sources:
             opts = dict(blk.options)
             if streaming:
@@ -90,6 +91,7 @@ class JobEngine:
                     self._source_keys[blk.output] = per
             elif _pk_of(opts.get("schema")):
                 self._source_keys[blk.output] = _pk_of(opts.get("schema"))
+            self._job_sources.append(src)
             df = src.read_stream(self.spark) if streaming else src.read(self.spark)
             # keys the source DISCOVERED while reading (live CDC reads
             # the MySQL table's PRIMARY index) — conf-declared keys win
@@ -295,6 +297,12 @@ class JobEngine:
                     self.metrics[f"stream{i}.numInputRows"] = sum(
                         s.get("numInputRows", 0) for s in prog.get("sources", [])
                     ) or prog.get("numInputRows", 0)
+        # post-job source hooks (e.g. Kafka group-offset commit on
+        # checkpoint completion): only after every sink finished
+        for src in getattr(self, "_job_sources", []):
+            cb = getattr(src, "on_job_complete", None)
+            if cb is not None:
+                cb()
         return tables
 
 

@@ -330,6 +330,49 @@ class KafkaWireClient:
             raise RuntimeError(f"kafka produce error code {err}")
         return base
 
+    # -- consumer-group offsets (OffsetCommit v2 / OffsetFetch v1) --------
+    def offset_fetch(self, group: str, topic: str,
+                     partitions: list[int]) -> dict[int, int]:
+        """Committed offsets for (group, topic); -1 = none committed."""
+        payload = (enc_str(group) + struct.pack(">i", 1) + enc_str(topic)
+                   + struct.pack(">i", len(partitions))
+                   + b"".join(struct.pack(">i", p) for p in partitions))
+        r = self._call(9, 1, payload)
+        i = 4  # topic count
+        _, i = dec_str(r, i)
+        (n,) = struct.unpack_from(">i", r, i)
+        i += 4
+        out: dict[int, int] = {}
+        for _ in range(n):
+            p, off = struct.unpack_from(">iq", r, i)
+            i += 12
+            _meta, i = dec_str(r, i)
+            (err,) = struct.unpack_from(">h", r, i)
+            i += 2
+            if err:
+                raise RuntimeError(f"kafka offset_fetch error code {err}")
+            out[p] = off
+        return out
+
+    def offset_commit(self, group: str, topic: str,
+                      offsets: dict[int, int]) -> None:
+        payload = (enc_str(group) + struct.pack(">i", -1) + enc_str("")
+                   + struct.pack(">q", -1)  # retention
+                   + struct.pack(">i", 1) + enc_str(topic)
+                   + struct.pack(">i", len(offsets)))
+        for p, off in offsets.items():
+            payload += struct.pack(">iq", p, off) + enc_str(None)
+        r = self._call(8, 2, payload)
+        i = 4  # topic count
+        _, i = dec_str(r, i)
+        (n,) = struct.unpack_from(">i", r, i)
+        i += 4
+        for _ in range(n):
+            _p, err = struct.unpack_from(">ih", r, i)
+            i += 6
+            if err:
+                raise RuntimeError(f"kafka offset_commit error code {err}")
+
     # -- transactions (KIP-98: InitProducerId v0, AddPartitionsToTxn v0,
     #    EndTxn v0) ---------------------------------------------------------
     def init_producer_id(self, txn_id: str | None,

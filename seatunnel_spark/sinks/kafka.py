@@ -30,6 +30,15 @@ class KafkaSink(Sink):
 
         fmt = str(self.opt("format", "json")).lower()
         key_field = self.opt("partition_key_fields")
+        from pyspark.sql import types as T
+
+        if getattr(T, "TimeType", None) is not None:
+            # to_json cannot serialize TIME columns — emit their
+            # canonical HH:mm:ss form (TimeSerializationSchema analog)
+            for f in df.schema.fields:
+                if isinstance(f.dataType, T.TimeType):
+                    df = df.withColumn(f.name,
+                                       F.col(f.name).cast("string"))
         data_cols = [c for c in df.columns
                      if c not in (ROW_KIND_COL, TABLE_ID_COL)]
         cols = {}

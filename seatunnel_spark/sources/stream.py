@@ -111,20 +111,56 @@ class KafkaSource(Source):
         mode = str(self.opt("start_mode", "earliest")).lower()
         spec_offsets = self.opt("start_mode.offsets") or {}
         ts_arg = int(self.opt("start_mode.timestamp") or 0)
+        group = str(self.opt("consumer.group")
+                    or "SeaTunnel-Consumer-Group")
+        commit = str(self.opt("commit_on_checkpoint", "true")) \
+            .lower() != "false"
         cl = KafkaWireClient(bootstrap)
         splits: list[tuple[str, int, int]] = []
         try:
             for topic in self._topics(cl):
-                for p in cl.metadata([topic]).get(topic, [0]):
+                parts = cl.metadata([topic]).get(topic, [0])
+                committed = cl.offset_fetch(group, topic, parts) \
+                    if mode == "group_offsets" else {}
+                for p in parts:
                     if mode == "specific_offsets":
                         start = int(spec_offsets.get(f"{topic}-{p}", 0))
                     elif mode == "latest":
                         start = cl.list_offset(topic, p, -1)
                     elif mode == "timestamp":
                         start = cl.list_offset(topic, p, ts_arg)
-                    else:  # earliest / group_offsets reset fallback
+                    elif mode == "group_offsets":
+                        # resume from the group's committed position;
+                        # nothing committed -> LATEST (the consumer's
+                        # auto.offset.reset default — the reference's
+                        # enumerator leaves the split at its default
+                        # when listConsumerGroupOffsets has no entry)
+                        start = committed.get(p, -1)
+                        if start < 0:
+                            start = cl.list_offset(topic, p, -1)
+                    else:  # earliest
                         start = cl.list_offset(topic, p, -2)
                     splits.append((topic, p, start))
+            if mode == "group_offsets" and commit:
+                # commit_on_checkpoint: the group's offsets advance to
+                # the log end AFTER the job's sinks complete (the
+                # engine's on_job_complete hook — KafkaSourceReader
+                # commits on checkpoint completion, never before the
+                # data is processed)
+                by_topic: dict[str, dict[int, int]] = {}
+                for topic, p, _s in splits:
+                    by_topic.setdefault(topic, {})[p] = \
+                        cl.list_offset(topic, p, -1)
+
+                def _commit():
+                    c2 = KafkaWireClient(bootstrap)
+                    try:
+                        for topic, offs in by_topic.items():
+                            c2.offset_commit(group, topic, offs)
+                    finally:
+                        c2.close()
+
+                self.on_job_complete = _commit
         finally:
             cl.close()
         pdf = spark.createDataFrame(

@@ -43,6 +43,8 @@ class MiniKafka:
         self.next_seq: dict[tuple, int] = {}
         # (pid, epoch, topic, partition) -> base offset of last batch
         self.last_base: dict[tuple, int] = {}
+        # (group, topic, partition) -> committed offset
+        self.group_offsets: dict[tuple[str, str, int], int] = {}
 
     def topic_partitions(self, topic: str) -> list[int]:
         with self.lock:
@@ -157,9 +159,49 @@ class MiniKafka:
     def handle_request(self, api: int, version: int, body: bytes) -> bytes:
         if api == 18:  # ApiVersions
             entries = [(0, 0, 3), (1, 0, 4), (2, 0, 1), (3, 0, 1),
-                       (18, 0, 0), (22, 0, 0), (24, 0, 0), (26, 0, 0)]
+                       (8, 0, 2), (9, 0, 1), (18, 0, 0), (22, 0, 0),
+                       (24, 0, 0), (26, 0, 0)]
             return (struct.pack(">h", 0) + struct.pack(">i", len(entries))
                     + b"".join(struct.pack(">hhh", *e) for e in entries))
+        if api == 9:  # OffsetFetch v1
+            group, i = dec_str(body, 0)
+            (nt,) = struct.unpack_from(">i", body, i)
+            i += 4
+            out = struct.pack(">i", nt)
+            for _ in range(nt):
+                topic, i = dec_str(body, i)
+                (np_,) = struct.unpack_from(">i", body, i)
+                i += 4
+                out += enc_str(topic) + struct.pack(">i", np_)
+                for _ in range(np_):
+                    (p,) = struct.unpack_from(">i", body, i)
+                    i += 4
+                    with self.lock:
+                        off = self.group_offsets.get((group, topic, p), -1)
+                    out += struct.pack(">iq", p, off) + enc_str("") \
+                        + struct.pack(">h", 0)
+            return out
+        if api == 8:  # OffsetCommit v2
+            group, i = dec_str(body, 0)
+            i += 4  # generation
+            _member, i = dec_str(body, i)
+            i += 8  # retention
+            (nt,) = struct.unpack_from(">i", body, i)
+            i += 4
+            out = struct.pack(">i", nt)
+            for _ in range(nt):
+                topic, i = dec_str(body, i)
+                (np_,) = struct.unpack_from(">i", body, i)
+                i += 4
+                out += enc_str(topic) + struct.pack(">i", np_)
+                for _ in range(np_):
+                    p, off = struct.unpack_from(">iq", body, i)
+                    i += 12
+                    _meta, i = dec_str(body, i)
+                    with self.lock:
+                        self.group_offsets[(group, topic, p)] = off
+                    out += struct.pack(">ih", p, 0)
+            return out
         if api == 22:  # InitProducerId v0
             txn_id, i = dec_str(body, 0)
             with self.lock:

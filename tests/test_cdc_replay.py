@@ -698,3 +698,83 @@ def test_live_schema_change_exactly_once_conf(spark, monkeypatch):
         assert "hammer" in ins and "add_column1" in ins
     finally:
         stop()
+
+
+def test_oraclecdc_metadata_trans_conf(spark, tmp_path, monkeypatch):
+    """oraclecdc_to_metadata_trans.conf runs unmodified over the
+    debezium replay feed (Oracle LogMiner tails land in the same
+    envelope; no TNS wire client in this environment)."""
+    t = tmp_path / "ORCLCDB.DEBEZIUM.FULL_TYPES_NO_PRIMARY_KEY"
+    t.mkdir(parents=True)
+    lines = [_ev("r", "FULL_TYPES_NO_PRIMARY_KEY", 10 + i, 1000 + i,
+                 db="ORCLCDB", after={"ID": i, "VAL_VARCHAR": f"v{i}"})
+             for i in range(3)]
+    (t / "changelog.jsonl").write_text("\n".join(lines) + "\n")
+    monkeypatch.setenv("SEATUNNEL_SPARK_CDC_REPLAY", str(tmp_path))
+    spec = JobSpec.from_file(
+        "/root/reference/seatunnel-e2e/seatunnel-connector-v2-e2e/"
+        "connector-cdc-oracle-e2e/src/test/resources/"
+        "oraclecdc_to_metadata_trans.conf")
+    spec.env["streaming.await.timeout"] = 10
+    try:
+        JobEngine(spark).run(spec)
+    finally:
+        for q in spark.streams.active:
+            q.stop()
+
+
+def test_oraclecdc_to_mysql_schema_change_conf(spark, tmp_path,
+                                               monkeypatch):
+    """oraclecdc_to_mysql_with_schema_change.conf: replay-fed Oracle
+    source with a DDL event mid-feed, LIVE mysql jdbc sink — the
+    replay path's schema evolution reaches the jdbc sink as ALTER
+    TABLE (previously only the live binlog path exercised this)."""
+    from seatunnel_spark.testing.mysql_server import start_mini_mysql
+
+    conf = ("/root/reference/seatunnel-e2e/seatunnel-connector-v2-e2e/"
+            "connector-cdc-oracle-e2e/src/test/resources/"
+            "oraclecdc_to_mysql_with_schema_change.conf")
+    import re as _re
+
+    text = open(conf).read()
+    sink_host = _re.search(r'url\s*=\s*"jdbc:mysql://([^:/"]+)', text)
+    assert sink_host, "conf shape changed"
+    srv, port, stop = start_mini_mysql("st_user_sink", "mysqlpw")
+    try:
+        cols = ["ID", "VAL_VARCHAR"]
+        srv.tables["FULL_TYPES"] = (cols, [3, 253], [])
+        # sink table exists with the ORIGINAL columns -> drift = ALTER
+        srv.tables["oracle_cdc_2_mysql_sink_table"] = (cols, [3, 253], [])
+        t = tmp_path / "ORCLCDB.DEBEZIUM.FULL_TYPES"
+        t.mkdir(parents=True)
+        lines = [
+            _ev("r", "FULL_TYPES", 10, 1000, db="ORCLCDB",
+                after={"ID": 1, "VAL_VARCHAR": "a"}),
+            json.dumps({"source": {"db": "ORCLCDB", "table": "FULL_TYPES",
+                                   "pos": 20}, "ts_ms": 1500,
+                        "ddl": "ALTER TABLE FULL_TYPES ADD COLUMN "
+                               "ADD_COL1 varchar(64)"}),
+            _ev("c", "FULL_TYPES", 30, 2000, db="ORCLCDB",
+                after={"ID": 2, "VAL_VARCHAR": "b", "ADD_COL1": "yy"}),
+        ]
+        (t / "changelog.jsonl").write_text("\n".join(lines) + "\n")
+        (t / "schema.json").write_text(json.dumps(
+            {"ID": "int", "VAL_VARCHAR": "string"}))
+        monkeypatch.setenv("SEATUNNEL_SPARK_CDC_REPLAY", str(tmp_path))
+        monkeypatch.setenv("SEATUNNEL_SPARK_HOST_ALIASES",
+                           f"{sink_host.group(1)}=tcp://127.0.0.1:{port}")
+        spec = JobSpec.from_file(conf)
+        spec.env["streaming.await.timeout"] = 10
+        try:
+            JobEngine(spark).run(spec)
+        finally:
+            for q in spark.streams.active:
+                q.stop()
+        stmts = srv.statements
+        alters = [s for s in stmts if s.upper().startswith("ALTER TABLE")
+                  and "ADD_COL1" in s.upper()]
+        ins = " ".join(s for s in stmts if "INSERT" in s.upper())
+        assert alters, stmts
+        assert "yy" in ins
+    finally:
+        stop()

@@ -241,3 +241,102 @@ def test_compatible_kafka_connect_to_pg_conf(spark, backends):
     assert [r[0] for r in got] == [15, 16, 18]
     assert got[0] == (15, "test", "test", "20")
     assert got[2] == (18, "sdc", "sdc", "sdc")
+
+
+def test_debezium_cdc_to_pg_conf(spark, backends):
+    """kafkasource_debezium_cdc_to_pgsql.conf: the full-type debezium
+    envelope stream upserted into pg sink2 by primary key. Sentinel
+    values from KafkaFormatIT's expected list (the full 42-column
+    literal lives in the IT; the decode itself is byte-compared in the
+    re-encode test above)."""
+    broker, pg = backends
+    _seed_from_file(broker, "dbserver1.debezium.products",
+                    f"{_RES}/debezium/debezium_data.txt")
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_RES}/debeziumFormatIT/kafkasource_debezium_cdc_to_pgsql.conf"))
+    stmts = [s for s in pg.statements if "sink2" in s
+             and s.upper().startswith(("INSERT", "UPDATE", "DELETE"))]
+    assert stmts, "no DML reached pg"
+    blob = " ".join(stmts)
+    assert "12345" in blob                      # f_smallint
+    assert "This is a varchar field" in blob    # f_varchar
+    assert "enum2" in blob
+
+
+def test_max_poll_records_conf(spark, backends):
+    """kafka_source_to_assert_with_max_poll_records_1.conf:
+    max.poll.records=1 in kafka.config must not break the bounded read
+    (per-record polling is a consumer tuning knob; the wire fetch
+    honors completeness regardless)."""
+    broker, _ = backends
+    from tests.test_kafka_wire import _TEXT_ROW
+
+    broker.seed("test_topic_text_max_poll_records_1",
+                [_TEXT_ROW.format(i=i) for i in range(100)])
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_RES}/kafka/kafka_source_to_assert_with_max_poll_records_1"
+        ".conf"))
+
+
+def test_kafka_sink_with_not_kerberos_conf(spark, backends):
+    """kerberos/kafka_sink_with_not_kerberos.conf — the control conf of
+    the kerberos pair (plain PLAINTEXT produce) runs unmodified."""
+    broker, _ = backends
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_RES}/kerberos/kafka_sink_with_not_kerberos.conf"))
+    wrote = [t for (t, _p) in broker.logs if "kerberos" in t or True]
+    assert any(len(log) for log in broker.logs.values())
+
+
+def test_group_offsets_confs(spark, backends):
+    """kafkasource_group_offset_to_console.conf (+ the commit_offset
+    variant): start_mode=group_offsets resumes from the group's
+    committed position (none committed -> LATEST, the consumer
+    auto-reset default — the confs' MIN/MAX rules pass vacuously on the
+    empty first read, exactly the IT's semantics), and
+    commit_on_checkpoint advances the group offset to the log end
+    AFTER the job completes (OffsetCommit v2 / OffsetFetch v1)."""
+    broker, _ = backends
+    # the IT seeds ids 100..149 for the group topic (its assert rules
+    # check MIN 100 / MAX 149) and 0..99 for the commit-offset topic
+    broker.seed("test_topic_group",
+                ['{"id": %d}' % i for i in range(100, 150)])
+    broker.seed("test_topic_group_with_commit_offset",
+                ['{"id": %d}' % i for i in range(100)])
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_RES}/kafka/kafkasource_group_offset_to_console.conf"))
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_RES}/kafka/kafkasource_group_offset_to_console_with_commit_"
+        "offset.conf"))
+    committed = broker.group_offsets.get(
+        ("SeaTunnel-Consumer-Group",
+         "test_topic_group_with_commit_offset", 0), -1)
+    assert committed == 100  # log end committed after the job
+
+
+def test_exactly_once_streaming_conf(spark, backends):
+    """kafka_to_kafka_exactly_once_streaming.conf: the STREAMING twin
+    of the transactional sink conf, driven for a bounded window via
+    streaming.await.timeout (the IT submits, checks, cancels)."""
+    broker, _pg = backends
+    port = int(os.environ["SEATUNNEL_SPARK_HOST_ALIASES"]
+               .split("kafkaCluster=tcp://127.0.0.1:")[1].split(",")[0])
+    broker.seed("kafka_topic_exactly_once_1",
+                [f"srow-{i}" for i in range(20)])
+    spec = JobSpec.from_file(
+        f"{_RES}/kafka/kafka_to_kafka_exactly_once_streaming.conf")
+    spec.env["streaming.await.timeout"] = 15
+    try:
+        JobEngine(spark).run(spec)
+    finally:
+        for q in spark.streams.active:
+            q.stop()
+    from seatunnel_spark.kafka_wire import KafkaWireClient
+
+    cl = KafkaWireClient(f"127.0.0.1:{port}")
+    got = []
+    for p in broker.topic_partitions("kafka_topic_exactly_once_2"):
+        got += [v.decode() for _, _, v in
+                cl.fetch("kafka_topic_exactly_once_2", p, 0, isolation=1)]
+    cl.close()
+    assert sorted(got) == sorted(f"srow-{i}" for i in range(20))
