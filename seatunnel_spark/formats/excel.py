@@ -161,8 +161,9 @@ def read_xlsx(blob: bytes, sheet_name: str | None = None) -> list[list]:
                 val = sst[int(raw)] if raw is not None else ""
             elif ctype == "inlineStr":
                 is_el = c.find(f"{ns}is")
-                val = ("".join(t.text or "" for t in is_el.iter(f"{ns}t"))
-                       if is_el is not None else "")
+                val = _unesc_ooxml(
+                    "".join(t.text or "" for t in is_el.iter(f"{ns}t"))
+                    if is_el is not None else "")
             elif ctype == "str":
                 val = raw if raw is not None else ""
             elif ctype == "b":
@@ -591,9 +592,32 @@ _XLSX_WB_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 </Relationships>"""
 
 
+def _unesc_ooxml(s: str) -> str:
+    """Decode OOXML _xHHHH_ escapes (ECMA-376 string escaping) on read;
+    single non-overlapping pass keeps _x005F_-escaped literals right."""
+    if "_x" not in s:
+        return s
+    import re as _re
+
+    return _re.sub(r"_x([0-9A-Fa-f]{4})_",
+                   lambda m: chr(int(m.group(1), 16)), s)
+
+
 def _esc(s: str) -> str:
-    return (s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-            .replace('"', "&quot;"))
+    out = (s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+           .replace('"', "&quot;"))
+    if any(ord(c) < 0x20 and c not in "\t\n\r" for c in out) \
+            or "_x" in out:
+        # control characters are ILLEGAL in XML 1.0 even escaped —
+        # OOXML's convention (ECMA-376 §22.4.2.4 / SpreadsheetML
+        # string escaping) encodes them as _xHHHH_; a literal _x that
+        # could collide is itself escaped as _x005F_x
+        import re as _re
+
+        out = _re.sub(r"_(?=x[0-9A-Fa-f]{4}_)", "_x005F_", out)
+        out = "".join(c if ord(c) >= 0x20 or c in "\t\n\r"
+                      else f"_x{ord(c):04X}_" for c in out)
+    return out
 
 
 # cellXfs style indexes used by the writer

@@ -179,6 +179,37 @@ class FileSink(Sink):
         return F.concat_ws(delim, *cols)
 
     def _write_one(self, df: DataFrame, path: str) -> None:
+        if self.plugin_name == "CosFile" and self.opt("secret_id") \
+                and self.opt("region"):
+            import shutil
+            import tempfile
+
+            from seatunnel_spark import cos_fs
+
+            spool = tempfile.mkdtemp(prefix="st_cos_sink_")
+            try:
+                self._write_one_local(df, spool)
+                cos_fs.upload_tree(self.options, spool, path)
+            finally:
+                shutil.rmtree(spool, ignore_errors=True)
+            return
+        if self.plugin_name in ("OssFile", "OssJindoFile", "ObsFile") \
+                and self.opt("access_key") is not None \
+                and (self.opt("endpoint") or self.opt("fs.oss.endpoint")):
+            import shutil
+            import tempfile
+
+            from seatunnel_spark import oss_fs
+
+            spool = tempfile.mkdtemp(prefix="st_oss_sink_")
+            prefix = "OBS" if self.plugin_name == "ObsFile" else "OSS"
+            try:
+                self._write_one_local(df, spool)
+                oss_fs.upload_tree(self.options, spool, path,
+                                   auth_prefix=prefix)
+            finally:
+                shutil.rmtree(spool, ignore_errors=True)
+            return
         if self.plugin_name == "S3File" and self.opt("access_key") \
                 and (self.opt("fs.s3a.endpoint") or self.opt("endpoint")):
             # local write pipeline into a spool, then SigV4 PutObject

@@ -79,7 +79,12 @@ def _gen_column(field: T.StructField, opts: dict, seed: int):
         return F.substring(F.sha2(F.concat(F.lit(field.name), F.col("id").cast("string"),
                                            F.lit(seed)), 256), 1, length)
     if isinstance(dt, T.BinaryType):
-        return F.unhex(F.substring(F.sha2(F.col("id").cast("string"), 256), 1, 16))
+        # the reference's randomBytes is randomAlphabetic(...).getBytes()
+        # — always PRINTABLE ASCII (FakeDataRandomUtils.java:63), which
+        # downstream text renderings (excel row-joins, csv) rely on
+        return F.encode(
+            F.substring(F.sha2(F.col("id").cast("string"), 256), 1, 8),
+            "UTF-8")
     if isinstance(dt, T.DateType):
         return F.date_add(F.to_date(F.lit("2024-01-01")), (h % 365).cast("int"))
     if hasattr(T, "TimeType") and isinstance(dt, T.TimeType):

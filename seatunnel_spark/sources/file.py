@@ -295,6 +295,56 @@ class FileSource(Source):
             df = child.read(spark)
             atexit.register(shutil.rmtree, spool, ignore_errors=True)
             return df
+        if self.plugin_name in ("OssFile", "OssJindoFile", "ObsFile") \
+                and self.opt("access_key") is not None \
+                and (self.opt("endpoint") or self.opt("fs.oss.endpoint")):
+            # OSS read over the REST wire (HMAC-SHA1, stdlib) — same
+            # spool shape as S3/FTP (see oss_fs module doc)
+            import atexit
+            import shutil
+            import tempfile
+
+            from seatunnel_spark import oss_fs
+
+            spool = tempfile.mkdtemp(prefix="st_oss_src_")
+            prefix = "OBS" if self.plugin_name == "ObsFile" else "OSS"
+            try:
+                oss_fs.fetch_tree(self.options, str(self.require("path")),
+                                  spool, auth_prefix=prefix)
+            except Exception:
+                shutil.rmtree(spool, ignore_errors=True)
+                raise
+            sub = dict(self.options)
+            sub["path"] = spool
+            child = type(self)(sub)
+            child.plugin_name = "LocalFile"
+            df = child.read(spark)
+            atexit.register(shutil.rmtree, spool, ignore_errors=True)
+            return df
+        if self.plugin_name == "CosFile" and self.opt("secret_id") \
+                and self.opt("region"):
+            # COS read over the REST wire (q-sign auth, stdlib) — same
+            # spool shape as S3/OSS/FTP (see cos_fs module doc)
+            import atexit
+            import shutil
+            import tempfile
+
+            from seatunnel_spark import cos_fs
+
+            spool = tempfile.mkdtemp(prefix="st_cos_src_")
+            try:
+                cos_fs.fetch_tree(self.options, str(self.require("path")),
+                                  spool)
+            except Exception:
+                shutil.rmtree(spool, ignore_errors=True)
+                raise
+            sub = dict(self.options)
+            sub["path"] = spool
+            child = type(self)(sub)
+            child.plugin_name = "LocalFile"
+            df = child.read(spark)
+            atexit.register(shutil.rmtree, spool, ignore_errors=True)
+            return df
         if self.plugin_name == "FtpFile" and self.opt("host"):
             # FTP read = stage the remote tree into a local spool over
             # the real wire (stdlib ftplib vs the reference's
