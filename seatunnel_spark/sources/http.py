@@ -117,6 +117,35 @@ def _fetch_pages(url: str, method: str, headers: dict, params: dict,
     return out
 
 
+class Web3jSource(Source):
+    """Ethereum JSON-RPC source (connector-web3j
+    Web3jSourceReader.java): one eth_blockNumber call per poll; each
+    row is a single `value` string column holding
+    {"timestamp": <iso-now>, "blockNumber": <n>} — exactly the
+    reader's OBJECT_MAPPER payload. Driver-side single call, like the
+    reference's single-split reader."""
+
+    NAME = "Web3j"
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        import datetime as _dt
+        import urllib.request
+
+        url = apply_host_aliases(str(self.require("url")))
+        body = json.dumps({"jsonrpc": "2.0", "method": "eth_blockNumber",
+                           "params": [], "id": 1}).encode()
+        req = urllib.request.Request(
+            url, data=body, headers={"Content-Type": "application/json"},
+            method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:  # noqa: S310
+            resp = json.loads(r.read())
+        block = int(str(resp.get("result", "0x0")), 16)
+        value = json.dumps({
+            "timestamp": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "blockNumber": block})
+        return spark.createDataFrame([(value,)], "value string")
+
+
 class HttpSource(Source):
     NAME = "Http"
 
