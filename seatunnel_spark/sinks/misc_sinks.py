@@ -157,16 +157,107 @@ class HbaseRestSink(Sink):
     """HBase via the standard REST gateway (hbase rest start, port
     8080): PUT /{table}/{rowkey} with base64 {family:qualifier} cells
     — the no-native-client deployment path. rowkey_column(s) +
-    rowkey_delimiter + family_name mirror the reference's mapping."""
+    rowkey_delimiter + family_name mirror the reference's mapping;
+    `zookeeper_quorum` confs resolve the gateway from the quorum host
+    under a host alias (the reference speaks ZK + HBase RPC; the REST
+    gateway is the deployment stand-in here). Arrays serialize as
+    "a,b,c" — HbaseSinkWriter.convertColumnToBytes strips brackets and
+    spaces from the list rendering. SchemaSaveMode × DataSaveMode ride
+    the gateway's /schema endpoints (create / drop+recreate /
+    exists-probe)."""
 
     NAME = "Hbase"
 
     def wants_observation(self) -> bool:
         return False
 
+    def _base(self) -> str:
+        url = self.opt("rest_url")
+        if not url:
+            first = str(self.require("zookeeper_quorum")) \
+                .split(",")[0].strip()
+            url = f"http://{first}"
+        return apply_host_aliases(str(url).rstrip("/"))
+
+    def _handle_save_mode(self, base: str, table: str) -> None:
+        schema_mode = str(self.opt("schema_save_mode",
+                                   "CREATE_SCHEMA_WHEN_NOT_EXIST")).upper()
+        data_mode = str(self.opt("data_save_mode", "APPEND_DATA")).upper()
+
+        def exists() -> bool:
+            req = urllib.request.Request(
+                f"{base}/{table}/schema",
+                headers={"Accept": "application/json"})
+            try:
+                with urllib.request.urlopen(req, timeout=30):
+                    return True
+            except urllib.error.HTTPError as e:
+                if e.code == 404:
+                    return False
+                raise
+
+        def create() -> None:
+            _post_json(f"{base}/{table}/schema",
+                       {"name": table}, method="PUT")
+
+        def drop() -> None:
+            urllib.request.urlopen(urllib.request.Request(
+                f"{base}/{table}/schema", method="DELETE"), timeout=30)
+
+        have = exists()
+        if schema_mode == "ERROR_WHEN_SCHEMA_NOT_EXIST" and not have:
+            raise ValueError(f"Hbase sink: table {table!r} missing "
+                             "(ERROR_WHEN_SCHEMA_NOT_EXIST)")
+        if schema_mode == "RECREATE_SCHEMA":
+            if have:
+                drop()
+            create()
+            return
+        if not have:
+            create()
+            return
+        if data_mode == "DROP_DATA":
+            drop()
+            create()
+        elif data_mode == "ERROR_WHEN_DATA_EXISTS":
+            req = urllib.request.Request(
+                f"{base}/{table}/scanner", data=b'{"batch": 1}',
+                headers={"Content-Type": "application/json"},
+                method="PUT")
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                scanner = resp.headers.get("Location")
+            try:
+                g = urllib.request.Request(
+                    scanner, headers={"Accept": "application/json"})
+                with urllib.request.urlopen(g, timeout=30) as resp:
+                    if resp.status == 200 and \
+                            json.loads(resp.read() or b"{}").get("Row"):
+                        raise ValueError(
+                            f"Hbase sink: table {table!r} has data "
+                            "(ERROR_WHEN_DATA_EXISTS)")
+            except urllib.error.HTTPError as e:
+                if e.code not in (204, 404):
+                    raise
+            finally:
+                urllib.request.urlopen(urllib.request.Request(
+                    scanner, method="DELETE"), timeout=30)
+
     def write(self, df: DataFrame) -> None:
-        base = apply_host_aliases(self.require("rest_url").rstrip("/"))
-        table = self.require("table")
+        groups = getattr(self, "table_groups", None)
+        if groups:
+            # multi-table fan-out with ${table_name} per source table
+            for tid, tdf in groups.items():
+                sub = HbaseRestSink(self.options)
+                sub.plugin_name = self.plugin_name
+                sub.input_name = tid
+                sub.write(tdf)
+            return
+        base = self._base()
+        table = str(self.require("table")).replace(
+            "${table_name}",
+            str(getattr(self, "input_name", None) or "default")
+            .split(".")[-1])
+        self._handle_save_mode(base, table)
         rowkeys = self.opt("rowkey_column") or [self.require("rowkey")]
         if isinstance(rowkeys, str):
             rowkeys = [rowkeys]
@@ -201,6 +292,11 @@ class HbaseRestSink(Sink):
                     if k in rowkeys or v is None:
                         continue
                     fam = families.get(k, default_family)
+                    if isinstance(v, (list, tuple)):
+                        # convertColumnToBytes ARRAY: list rendering
+                        # with brackets/spaces stripped -> "a,b,c"
+                        v = ",".join("" if x is None else str(x)
+                                     for x in v)
                     cells.append({"column": b64(f"{fam}:{k}"),
                                   "$": b64(v)})
                 buf.append({"key": b64(key), "Cell": cells})

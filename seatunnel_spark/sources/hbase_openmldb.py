@@ -22,16 +22,32 @@ from seatunnel_spark.types import parse_schema
 
 
 class HbaseRestSource(Source):
+    """HBase read via the REST gateway's stateful scanner. The conf
+    declares columns either as plain qualifiers or family-qualified
+    "info:age" names (HbaseParameters.queryColumns — a `rowkey` column
+    carries the key); `zookeeper_quorum` resolves the gateway like the
+    sink. query_columns is the declared projection (the schema's
+    columns are exactly that list in the reference confs)."""
+
     NAME = "Hbase"
 
     def read(self, spark: SparkSession) -> DataFrame:
         from seatunnel_spark.sources.mongodb import _convert
         from pyspark.sql import types as T
 
-        base = apply_host_aliases(self.require("rest_url").rstrip("/"))
+        url = self.opt("rest_url")
+        if not url:
+            first = str(self.require("zookeeper_quorum")) \
+                .split(",")[0].strip()
+            url = f"http://{first}"
+        base = apply_host_aliases(str(url).rstrip("/"))
         table = self.require("table")
         batch = int(self.opt("caching", 1000))
-        fields = (self.opt("schema") or {}).get("fields")
+        schema_opt = self.opt("schema") or {}
+        fields = schema_opt.get("fields")
+        if not fields and "columns" in schema_opt:
+            fields = {c["name"]: c["type"]
+                      for c in schema_opt["columns"]}
         if not fields:
             raise ValueError("Hbase source: schema.fields required "
                              "(rowkey + qualifier columns)")
@@ -69,8 +85,10 @@ class HbaseRestSource(Source):
                 doc = rows.setdefault(key, {})
                 for cell in r.get("Cell", []):
                     col = base64.b64decode(cell["column"]).decode()
-                    qual = col.split(":", 1)[-1]
-                    doc[qual] = base64.b64decode(cell["$"]).decode()
+                    val = base64.b64decode(cell["$"]).decode()
+                    # addressable by bare qualifier AND "family:qual"
+                    doc[col.split(":", 1)[-1]] = val
+                    doc[col] = val
         urllib.request.urlopen(urllib.request.Request(
             scanner, method="DELETE"), timeout=30)
 
