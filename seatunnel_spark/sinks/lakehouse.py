@@ -280,6 +280,12 @@ def _resolve_layout(plugin: str, opts: dict) -> tuple[str, list[str] | None,
             f"sink {plugin}: need warehouse/path and table "
             f"(got base={base!r}, table={table!r})")
     base = base.replace("file://", "")
+    # remote warehouses (s3a://, hdfs://) map to local dirs via PATH
+    # aliases in tests — the fs scheme is hadoop config, orthogonal to
+    # the table/merge logic this backend implements
+    from seatunnel_spark.sources.file import resolve_path_aliases
+
+    base = resolve_path_aliases(base)
     return os.path.join(base, str(db), str(table)), keys, parts
 
 
