@@ -76,11 +76,20 @@ def encode_newdecimal(value, precision: int, scale: int) -> bytes:
     out = bytearray()
 
     def emit(part: str, leading: bool):
+        # bin2decimal stores the integer part's partial digit group FIRST
+        # (leading) but the fractional part's partial group LAST — mirror of
+        # decode_newdecimal's take() order above.
         n = len(part)
-        first = n % 9
-        chunks = ([part[:first]] if first else []) + \
-            [part[first + i * 9:first + (i + 1) * 9]
-             for i in range((n - first) // 9)]
+        if leading:
+            first = n % 9
+            chunks = ([part[:first]] if first else []) + \
+                [part[first + i * 9:first + (i + 1) * 9]
+                 for i in range((n - first) // 9)]
+        else:
+            full = n // 9
+            chunks = [part[i * 9:(i + 1) * 9] for i in range(full)]
+            if n % 9:
+                chunks.append(part[full * 9:])
         for c in chunks:
             out.extend(int(c or "0").to_bytes(_DIG2BYTES[len(c)] if
                                               len(c) % 9 else 4, "big"))

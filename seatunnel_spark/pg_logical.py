@@ -177,12 +177,22 @@ class LogicalReplicationClient(PgClient):
         cols, _oids, rows = self.query("IDENTIFY_SYSTEM")
         return dict(zip(cols, rows[0])) if rows else {}
 
-    def create_slot(self, slot: str, plugin: str = "pgoutput") -> None:
+    def create_slot(self, slot: str, plugin: str = "pgoutput"):
+        """CREATE_REPLICATION_SLOT; returns the slot's consistent_point
+        LSN (int) so callers can snapshot AT the slot's WAL retention
+        point (Debezium PostgresReplicationConnection creates the slot
+        before snapshotting for exactly this reason), or None when an
+        existing slot is reused."""
         try:
-            self.query(f"CREATE_REPLICATION_SLOT {slot} LOGICAL {plugin}")
+            cols, _oids, rows = self.query(
+                f"CREATE_REPLICATION_SLOT {slot} LOGICAL {plugin}")
+            if rows and "consistent_point" in cols:
+                return lsn_int(rows[0][cols.index("consistent_point")])
+            return None
         except RuntimeError as e:  # already exists -> reuse
             if "exists" not in str(e):
                 raise
+            return None
 
     def stream(self, slot: str, publication: str = "seatunnel",
                start_lsn: int = 0):
@@ -248,7 +258,13 @@ class LogicalReplicationClient(PgClient):
                        "cols": [c for c, _ in cols],
                        "before": typed(msg.get("old")),
                        "after": typed(msg.get("new")),
-                       "lsn": _end or _start}
+                       # the event's own position is the XLogData START
+                       # lsn; the second header field is the server's
+                       # current end-of-WAL, which on a real server is
+                       # >= the watermark for EVERY event (including
+                       # pre-snapshot replays from an existing slot) and
+                       # would defeat the offset>watermark stitch filter.
+                       "lsn": _start or _end}
 
 
 __all__ = ["LogicalReplicationClient", "decode_message", "lsn_int",

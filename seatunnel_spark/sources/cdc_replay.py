@@ -271,9 +271,26 @@ class CdcReplaySource(Source):
 
         cl = MySqlClient(host, port, user, pw)
         try:
+            # Pin the snapshot to the watermark: START TRANSACTION WITH
+            # CONSISTENT SNAPSHOT freezes the read view so rows committed
+            # between SHOW MASTER STATUS and the SELECT can't appear both
+            # in the snapshot and as >watermark changelog events
+            # (Debezium's MySqlSnapshotChangeEventSource uses FTWRL /
+            # consistent-snapshot the same way). Older/mini servers that
+            # reject the syntax fall back to the plain read.
+            try:
+                cl.query("SET SESSION TRANSACTION ISOLATION LEVEL "
+                         "REPEATABLE READ")
+                cl.query("START TRANSACTION WITH CONSISTENT SNAPSHOT")
+            except Exception:  # noqa: BLE001
+                pass
             _, _, wm_rows = cl.query("SHOW MASTER STATUS")
             binfile, watermark = str(wm_rows[0][0]), int(wm_rows[0][1])
             cols, codes, srows = cl.query(f"SELECT * FROM {db}.{tbl}")
+            try:
+                cl.query("COMMIT")
+            except Exception:  # noqa: BLE001
+                pass
             # primary-key discovery (the reference builds CatalogTable
             # from the MySQL table's PK; keyed sinks inherit it):
             # table-names-config wins, else SHOW INDEX
@@ -413,10 +430,19 @@ class CdcReplaySource(Source):
         slot = str(self.opt("slot.name") or self.opt("slot_name")
                    or "seatunnel")
 
+        # Create the replication slot BEFORE snapshotting: the slot only
+        # retains WAL from its creation point, so a slot created after the
+        # snapshot SELECT would permanently lose rows committed in between
+        # (Debezium PostgresReplicationConnection orders it the same way).
+        # The slot's consistent_point doubles as the stitch watermark.
+        rc = LogicalReplicationClient(host, port, user, pw, db)
+        watermark = rc.create_slot(slot)
+
         cl = PgClient(host, port, user, pw, db)
         try:
-            _, _, wm = cl.query("SELECT pg_current_wal_lsn()")
-            watermark = lsn_int(wm[0][0])
+            if watermark is None:  # pre-existing slot reused
+                _, _, wm = cl.query("SELECT pg_current_wal_lsn()")
+                watermark = lsn_int(wm[0][0])
             cols, oids, srows = cl.query(
                 f"SELECT * FROM {schema_name}.{tbl}")
             pk = self._pk_of(table_full) or self._pk_of(tbl)
@@ -441,9 +467,7 @@ class CdcReplaySource(Source):
         fields = {c: _OID_TO_DSL.get(t, "string")
                   for c, t in zip(cols, oids)}
 
-        rc = LogicalReplicationClient(host, port, user, pw, db)
         try:
-            rc.create_slot(slot)
             lines = []
             for ev in rc.stream(slot, publication=str(
                     self.opt("publication.name") or "seatunnel")):

@@ -153,10 +153,17 @@ def _handle(conn: socket.socket, pg: MiniPg) -> None:
                 from seatunnel_spark.pg_logical import lsn_str
 
                 slot = sql.split()[1]
+                # consistent_point: on a real server this is the WAL
+                # position at slot creation; the fixture pre-seeds the
+                # post-snapshot WAL before the client connects, so the
+                # mark_snapshot() point models "slot created here, later
+                # wal entries are concurrent changes".
+                point = pg.snapshot_lsn if pg.snapshot_lsn is not None \
+                    else pg.lsn
                 _send_rs(conn, ["slot_name", "consistent_point",
                                 "snapshot_name", "output_plugin"],
                          [25, 25, 25, 25],
-                         [(slot, lsn_str(pg.lsn), "snap", "pgoutput")])
+                         [(slot, lsn_str(point), "snap", "pgoutput")])
                 conn.sendall(_msg(b"Z", b"I"))
                 continue
             if up.startswith("START_REPLICATION"):

@@ -81,7 +81,9 @@ class SqlTransform(Transform):
         if not meta:
             return sql
         if re.search(r"\bgroup\s+by\b|\bjoin\b|\bdistinct\b|\bunion\b"
-                     r"|\bintersect\b|\bexcept\b|\bselect\b.*\bselect\b",
+                     r"|\bintersect\b|\bexcept\b|\bselect\b.*\bselect\b"
+                     r"|\b(?:count|sum|avg|min|max|first|last|collect_"
+                     r"list|collect_set)\s*\(",
                      sql, re.I | re.S):
             return sql
         m = re.match(r"(\s*select\s+)(.+?)(\s+from\s+.*)$", sql,
@@ -89,8 +91,12 @@ class SqlTransform(Transform):
         if not m:
             return sql
         proj = m.group(2)
-        if "*" in proj.split("--")[0]:
-            return sql  # the view carries meta; * already includes it
+        # Only a bare `*` / `t.*` projection ITEM means SELECT-star (the
+        # view carries meta, so * already includes it); an asterisk used
+        # as multiplication (`a * b AS x`) must still get meta appended.
+        items = [p.strip() for p in proj.split("--")[0].split(",")]
+        if any(re.fullmatch(r"(?:[\w.`\"]+\.)?\*", p) for p in items):
+            return sql
         add = [c for c in meta if not re.search(rf"\b{c}\b", proj)]
         if not add:
             return sql

@@ -225,6 +225,31 @@ def live_mysql(monkeypatch):
     stop()
 
 
+def test_newdecimal_roundtrip_scale_gt_9():
+    """Regression: encode_newdecimal must store the fractional part's
+    full 9-digit groups FIRST and the leftover group LAST (bin2decimal
+    layout) — with the groups swapped, Decimal('1.10') at (38,10)
+    round-tripped to 1.0167772160. Exercises scales > 9 on both signs
+    and precision 38 (the CDC default decimal(38,10) mapping)."""
+    from decimal import Decimal, localcontext
+
+    from seatunnel_spark.mysql_binlog import (decode_newdecimal,
+                                              encode_newdecimal)
+
+    cases = [("1.10", 38, 10), ("-3.1415926535", 20, 12),
+             ("0.000000001234567891", 38, 18),
+             ("123456789123456789.987654321987654321", 38, 18),
+             ("999999999.999999999999", 38, 12), ("22.00", 10, 2),
+             ("-0.5", 5, 2), ("0", 38, 10)]
+    with localcontext() as ctx:
+        ctx.prec = 65
+        for s, prec, scale in cases:
+            d = Decimal(s)
+            rt = decode_newdecimal(encode_newdecimal(d, prec, scale),
+                                   prec, scale)
+            assert rt == d.quantize(Decimal(1).scaleb(-scale)), (s, rt)
+
+
 def test_live_binlog_stitch(spark, live_mysql):
     """Snapshot + live-tailed binlog events stitch to the correct
     changelog: snapshot rows as +I at the watermark, post-watermark

@@ -156,6 +156,28 @@ def test_sql_transform_superset(people):
     assert row["n"] == 3 and row["m"] == 22
 
 
+def test_sql_transform_meta_carried_through_multiplication(spark):
+    """`a * b AS x` is a row-mapping projection, not SELECT-star: the
+    changelog meta columns must still be appended (a bare `*` item, by
+    contrast, already includes them via the view)."""
+    from seatunnel_spark.types import ROW_KIND_COL
+
+    df = spark.createDataFrame([(2, 3, "+I"), (4, 5, "-D")],
+                               f"a int, b int, {ROW_KIND_COL} string")
+    out = get_transform(
+        "Sql", {"plugin_input": "mul_view",
+                "query": "SELECT a * b AS x FROM mul_view"}).apply(df)
+    assert ROW_KIND_COL in out.columns
+    got = {(r["x"], r[ROW_KIND_COL]) for r in out.collect()}
+    assert got == {(6, "+I"), (20, "-D")}
+
+    # bare star: meta present exactly once (no duplicate append)
+    out2 = get_transform(
+        "Sql", {"plugin_input": "mul_view",
+                "query": "SELECT * FROM mul_view"}).apply(df)
+    assert out2.columns.count(ROW_KIND_COL) == 1
+
+
 def test_dynamic_compile(people):
     out = get_transform(
         "DynamicCompile",
