@@ -50,24 +50,25 @@ def _jvm_driver_available(spark, driver) -> bool:
 CHANGELOG_META = (ROW_KIND_COL, TABLE_ID_COL, "__offset", "__event_ts")
 
 
-def compact_changelog(df: DataFrame, keys: list[str]) -> DataFrame:
-    """Reduce a +I/-U/+U/-D changelog to final state per key.
+def last_event_per_key(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Deterministic last event per key of a +I/-U/+U/-D changelog.
 
-    Keeps the LAST event per key; drops keys whose last event is a
-    delete; strips -U rows. This is the batch analog of the reference's
-    cdc-sink apply loop — but as a single shuffle + window instead of
-    per-row database round-trips.
+    Shared ordering for EVERY per-key-winner computation (batch
+    compaction and the streaming delete set — a sink must never compute
+    winners two different ways, or a +I/-D pair split across partitions
+    can land in both the upsert and delete sets with layout-dependent
+    final state).
 
     Determinism: order comes from the feed's own `__offset` position
     when the frame carries one; otherwise events tie and a pure
     content-based chain (kind rank, content hash) picks a reproducible
     winner — never monotonically_increasing_id, whose value depends on
-    partition layout. The position/meta columns never reach the output
-    columns (they'd leak into INSERT column lists).
+    partition layout. -U rows are stripped (they only retract a prior
+    image; the paired +U/-D carries the outcome).
+
+    Returns the winning rows with ROW_KIND_COL and data columns intact;
+    internal __seq/__rank/__tie/__rn columns are dropped.
     """
-    if ROW_KIND_COL not in df.columns:
-        return df.drop(*[c for c in ("__offset", "__event_ts")
-                         if c in df.columns])
     seq = F.col("__offset") if "__offset" in df.columns else F.lit(0)
     rank = F.when(F.col(ROW_KIND_COL) == "-U", 0).otherwise(1)
     data_cols = [c for c in df.columns if c not in CHANGELOG_META]
@@ -84,7 +85,28 @@ def compact_changelog(df: DataFrame, keys: list[str]) -> DataFrame:
         .withColumn("__tie", tie)
         .filter(F.col(ROW_KIND_COL) != "-U")
         .withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") == 1) & (F.col(ROW_KIND_COL) != "-D"))
+        .filter(F.col("__rn") == 1)
+        .drop("__seq", "__rank", "__tie", "__rn")
+    )
+
+
+def compact_changelog(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Reduce a +I/-U/+U/-D changelog to final state per key.
+
+    Keeps the LAST event per key (last_event_per_key ordering); drops
+    keys whose last event is a delete; strips -U rows. This is the
+    batch analog of the reference's cdc-sink apply loop — but as a
+    single shuffle + window instead of per-row database round-trips.
+    The position/meta columns never reach the output columns (they'd
+    leak into INSERT column lists).
+    """
+    if ROW_KIND_COL not in df.columns:
+        return df.drop(*[c for c in ("__offset", "__event_ts")
+                         if c in df.columns])
+    data_cols = [c for c in df.columns if c not in CHANGELOG_META]
+    return (
+        last_event_per_key(df, keys)
+        .filter(F.col(ROW_KIND_COL) != "-D")
         .select(*data_cols)
     )
 

@@ -98,21 +98,22 @@ def changelog_apply_writer(target_writer, primary_keys: list[str]):
     batch_id)`. batch_id enables idempotent retries (the analog of the
     reference's 2PC commit messages keyed by checkpoint id).
     """
-    from seatunnel_spark.sinks.jdbc import compact_changelog
+    from seatunnel_spark.sinks.jdbc import compact_changelog, last_event_per_key
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         if ROW_KIND_COL not in batch.columns:
             target_writer(batch, None, batch_id)
             return
+        # Upserts and deletes MUST derive from the same per-key-winner
+        # ordering (last_event_per_key: __offset or content chain —
+        # never monotonically_increasing_id, whose value depends on
+        # partition layout): otherwise a +I/-D pair split across
+        # partitions can land in BOTH sets and final state depends on
+        # writer order.
         upserts = compact_changelog(batch, primary_keys)
-        last = batch.withColumn("__seq", F.monotonically_increasing_id())
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(*primary_keys).orderBy(F.col("__seq").desc())
         deletes = (
-            last.filter(F.col(ROW_KIND_COL) != "-U")
-            .withColumn("__rn", F.row_number().over(w))
-            .filter((F.col("__rn") == 1) & (F.col(ROW_KIND_COL) == "-D"))
+            last_event_per_key(batch, primary_keys)
+            .filter(F.col(ROW_KIND_COL) == "-D")
             .select(*primary_keys)
         )
         target_writer(upserts, deletes, batch_id)

@@ -104,9 +104,35 @@ def test_changelog_apply(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    # NOTE: within one parquet batch monotonically_increasing_id follows file
-    # order, so the +U supersedes +I for pk=1 and -D removes pk=2.
+    # Winners come from last_event_per_key's content chain (no __offset
+    # in this feed): the +U supersedes +I for pk=1 and -D removes pk=2.
     assert state == {1: "a2", 3: "c"}
+
+
+def test_changelog_writer_delete_set_layout_invariance(spark):
+    """Upserts and deletes must derive from the SAME per-key ordering:
+    a +I/-D pair split across partitions must never land in both sets,
+    and the final state must be identical under repartition(1) and
+    repartition(32) (the bug class fixed in lakehouse merge_apply —
+    the delete set previously used monotonically_increasing_id)."""
+    rows = [("+I", i % 7, f"v{i}") for i in range(40)]
+    rows += [("-D", 3, "v3"), ("-D", 5, "v47")]
+    batch = spark.createDataFrame(rows, [ROW_KIND_COL, "pk", "val"])
+
+    outcomes = []
+    for nparts in (1, 32):
+        captured = {}
+
+        def writer(upserts, deletes, batch_id, _c=captured):
+            _c["up"] = {r["pk"] for r in upserts.collect()}
+            _c["del"] = {r["pk"] for r in deletes.collect()}
+
+        changelog_apply_writer(writer, ["pk"])(
+            batch.repartition(nparts), 0)
+        # a key in both sets means winners were computed two ways
+        assert not (captured["up"] & captured["del"]), captured
+        outcomes.append((captured["up"], captured["del"]))
+    assert outcomes[0] == outcomes[1]
 
 
 def test_engine_streaming_job(spark, sf_dir, tmp_path):
