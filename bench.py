@@ -4,6 +4,13 @@
 
 Each query is executed to completion (count() forces the full plan;
 results stay distributed — no driver collect).
+
+Multi-run protocol: after a warm-up pass (codegen compile + file
+listing), each query is timed $SPARK_GRAFT_BENCH_RUNS times (default 5)
+and the MIN is reported — single runs at sub-second scale showed
+±25 % noise across rounds, which made per-query regression rules
+unenforceable. The min of 5 is the stable lower envelope of the
+plan's true cost on an otherwise-idle machine.
 """
 
 from __future__ import annotations
@@ -51,12 +58,16 @@ def main() -> None:
     # warm the JVM + file listing once (excluded from timings)
     entry._t(spark, sf_dir, "lineitem").count()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         qs[name](spark, sf_dir).count()  # warm-up: codegen compile + listing
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()  # timed steady-state run
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()  # timed steady-state run
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
