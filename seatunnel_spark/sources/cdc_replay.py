@@ -514,6 +514,94 @@ class CdcReplaySource(Source):
         return stitch_snapshot_and_changelog(
             snapshot, decoded, _OFFSET_COL, watermark)
 
+    # -- LIVE change-stream mode (MongoDB-CDC) --------------------------
+    def _mongo_schema_for(self, table_full: str) -> dict:
+        """Declared schema for a collection: per-table tables_configs
+        entry wins, else the single `schema` block (the reference's
+        MongodbSourceOptions requires a declared schema — Mongo has no
+        catalog to discover one from)."""
+        for c in self.opt("tables_configs") or []:
+            sch = c.get("schema") or {}
+            if sch.get("table") == table_full:
+                return sch
+        sch = self.opt("schema")
+        return sch if isinstance(sch, dict) else {}
+
+    def _live_read_mongo_table(self, spark: SparkSession,
+                               table_full: str) -> DataFrame:
+        """MongoDB-CDC live: snapshot + `$changeStream` tail over the
+        OP_MSG client, stitched like the MySQL/PG live paths.
+
+        Reference: connector-cdc-mongodb MongodbScanFetchTask (snapshot
+        split) + MongodbStreamFetchTask ($changeStream cursor,
+        fullDocument=updateLookup per MongodbSourceConfig) with
+        ChangeStreamOffset as the watermark. The stream opens BEFORE the
+        snapshot read — its operationTime is the stitch watermark, so
+        writes landing mid-snapshot replay on top (same
+        slot-before-snapshot ordering as the Postgres path)."""
+        from seatunnel_spark.sources.cdc import stitch_snapshot_and_changelog
+        from seatunnel_spark.sources.mongodb import (MongoClientLite,
+                                                     _doc_to_row)
+
+        hosts = str(self.opt("hosts") or "127.0.0.1:27017")
+        user = self.opt("username") or self.opt("user")
+        pw = self.opt("password")
+        cred = f"{user}:{pw}@" if user else ""
+        uri = f"mongodb://{cred}{hosts.split(',')[0].strip()}"
+        db, _, coll = table_full.rpartition(".")
+        sch = self._mongo_schema_for(table_full)
+        fields = dict(sch.get("fields") or {"_id": "string"})
+        schema = parse_schema(fields)
+        pk = list((sch.get("primaryKey") or {}).get("columnNames")
+                  or ["_id"])
+        if not hasattr(self, "discovered_keys"):
+            self.discovered_keys = {}
+        self.discovered_keys[table_full] = pk
+        self.discovered_keys[coll] = pk
+
+        cl = MongoClientLite(uri)
+        try:
+            watermark, events = cl.change_stream(db, coll)
+            docs = list(cl.find_all(db, coll))
+        finally:
+            cl.close()
+
+        def payload(doc):
+            if doc is None:
+                return None
+            return {f.name: _jsonable_cell(v) for f, v in
+                    zip(schema.fields, _doc_to_row(doc, schema))}
+
+        lines = []
+        for ev in events:
+            op = {"insert": "c", "replace": "u", "update": "u",
+                  "delete": "d"}.get(str(ev.get("operationType")))
+            if op is None:  # drop/rename/invalidate: no row effect here
+                continue
+            pos = int(ev.get("clusterTime") or 0)
+            after = None if op == "d" else payload(ev.get("fullDocument"))
+            # change streams carry no pre-image: deletes expose only the
+            # documentKey; updates reuse the updateLookup post-image so
+            # the -U retraction carries the key fields
+            before = payload(ev.get("documentKey")) if op == "d" \
+                else (after if op == "u" else None)
+            lines.append(json.dumps({
+                "before": before, "after": after, "op": op,
+                "ts_ms": pos,
+                "source": {"db": db, "table": coll, "pos": pos}}))
+
+        raw = spark.createDataFrame([(ln,) for ln in lines] or
+                                    [(None,)], "value string") \
+            .filter(F.col("value").isNotNull())
+        decoded = self._decode(raw, schema, table_full)
+        snapshot = spark.createDataFrame(
+            [_doc_to_row(d, schema) for d in docs], schema).withColumns({
+                EVENT_TS_COL: F.lit(watermark).cast("long"),
+                TABLE_ID_COL: F.lit(table_full),
+            })
+        return stitch_snapshot_and_changelog(
+            snapshot, decoded, _OFFSET_COL, watermark)
+
     # ------------------------------------------------------------------
     def _require_replay(self) -> str:
         replay = self._replay_dir()
@@ -660,10 +748,17 @@ class CdcReplaySource(Source):
         return decoded
 
     def _live_mode(self) -> bool:
-        return not self._replay_dir() and bool(
-            self.opt("base-url") or self.opt("base_url"))
+        if self._replay_dir():
+            return False
+        if self.opt("base-url") or self.opt("base_url"):
+            return True
+        # MongoDB-CDC declares `hosts`, not a jdbc base-url
+        return self.plugin_name == "MongoDB-CDC" and bool(
+            self.opt("hosts"))
 
     def _live_one(self, spark: SparkSession, table: str) -> DataFrame:
+        if self.plugin_name == "MongoDB-CDC":
+            return self._live_read_mongo_table(spark, table)
         url = str(self.opt("base-url") or self.opt("base_url") or "")
         if url.startswith(("jdbc:postgresql", "jdbc:opengauss")):
             return self._live_read_pg_table(spark, table)

@@ -97,6 +97,36 @@ class MongoClientLite:
             yield from cur.get("nextBatch", [])
             cid = cur.get("id", 0)
 
+    def change_stream(self, db: str, coll: str,
+                      start_at: int | None = None,
+                      batch_size: int = 1000):
+        """Open a `$changeStream` aggregate (fullDocument: updateLookup,
+        the reference's MongodbSourceConfig default) and drain the
+        available change documents. Returns (operation_time, events):
+        operation_time is the stream-open position — the snapshot
+        watermark for the slot-before-snapshot stitch — and events are
+        public change-stream documents (operationType, documentKey,
+        fullDocument, clusterTime). Bounded: the mini server terminates
+        the cursor when drained; a production tail keeps issuing getMore
+        on the live cursor."""
+        cs: dict = {"fullDocument": "updateLookup"}
+        if start_at is not None:
+            cs["startAtOperationTime"] = start_at
+        out = self.command(db, {"aggregate": coll,
+                                "pipeline": [{"$changeStream": cs}],
+                                "cursor": {"batchSize": batch_size}})
+        op_time = int(out.get("operationTime", 0))
+        cur = out["cursor"]
+        events = list(cur.get("firstBatch", []))
+        cid = cur.get("id", 0)
+        while cid:
+            out = self.command(db, {"getMore": cid, "collection": coll,
+                                    "batchSize": batch_size})
+            cur = out["cursor"]
+            events += list(cur.get("nextBatch", []))
+            cid = cur.get("id", 0)
+        return op_time, events
+
     def insert_many(self, db: str, coll: str, docs: list[dict]) -> int:
         if not docs:
             return 0

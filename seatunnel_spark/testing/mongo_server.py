@@ -70,6 +70,11 @@ class MiniMongo:
         self.cursors: dict[int, list] = {}
         self._cursor_n = itertools.count(1)
         self.lock = threading.RLock()
+        # oplog of change-stream events; seq doubles as clusterTime.
+        # seed() never logs (pre-snapshot state); the write commands do.
+        self.oplog: list[dict] = []
+        self.seq = 0
+        self.snapshot_seq: int | None = None
 
     def coll(self, db: str, name: str) -> dict:
         return self.dbs.setdefault(db, {}).setdefault(name, {})
@@ -82,6 +87,27 @@ class MiniMongo:
                 _id = d.setdefault("_id", bson.ObjectId())
                 key = _id.raw if isinstance(_id, bson.ObjectId) else _id
                 c[key] = d
+
+    def mark_snapshot(self):
+        """Change streams opened after this mark see only later writes
+        (models 'stream opened at the snapshot point'; the pg_server
+        fixture shape)."""
+        with self.lock:
+            self.snapshot_seq = self.seq
+
+    def _log_change(self, db: str, coll: str, op: str, doc_key,
+                    full_doc: dict | None):
+        """Append a change-stream document (public shape: _id resume
+        token, operationType, clusterTime, ns, documentKey,
+        fullDocument for insert/replace and update-with-updateLookup)."""
+        self.seq += 1
+        ev = {"_id": {"_data": f"{self.seq:016x}"},
+              "operationType": op, "clusterTime": self.seq,
+              "ns": {"db": db, "coll": coll},
+              "documentKey": {"_id": doc_key}}
+        if full_doc is not None:
+            ev["fullDocument"] = dict(full_doc)
+        self.oplog.append(ev)
 
     def execute(self, cmd: dict) -> dict:
         db = cmd.pop("$db", "admin")
@@ -138,6 +164,7 @@ class MiniMongo:
                     _id = d.setdefault("_id", bson.ObjectId())
                     key = _id.raw if isinstance(_id, bson.ObjectId) else _id
                     c[key] = d
+                    self._log_change(db, cmd["insert"], "insert", _id, d)
                     n += 1
                 return {"ok": 1, "n": n}
             if name == "update":
@@ -157,10 +184,14 @@ class MiniMongo:
                                     elif op == "$unset":
                                         for f in fields:
                                             c[k].pop(f, None)
+                                kind = "update"
                             else:
                                 _id = c[k].get("_id")
                                 c[k] = dict(repl)
                                 c[k].setdefault("_id", _id)
+                                kind = "replace"
+                            self._log_change(db, cmd["update"], kind,
+                                             c[k].get("_id"), c[k])
                             n += 1
                     elif u.get("upsert"):
                         d = dict(repl)
@@ -170,6 +201,7 @@ class MiniMongo:
                         _id = d.setdefault("_id", bson.ObjectId())
                         key = _id.raw if isinstance(_id, bson.ObjectId) else _id
                         c[key] = d
+                        self._log_change(db, cmd["update"], "insert", _id, d)
                         up += 1
                 return {"ok": 1, "n": n + up, "nModified": n}
             if name == "delete":
@@ -182,6 +214,8 @@ class MiniMongo:
                     if limit:
                         hits = hits[:limit]
                     for k in hits:
+                        self._log_change(db, cmd["delete"], "delete",
+                                         c[k].get("_id"), None)
                         del c[k]
                         n += 1
                 return {"ok": 1, "n": n}
@@ -189,6 +223,37 @@ class MiniMongo:
                 c = self.coll(db, cmd["count"])
                 return {"ok": 1, "n": sum(
                     _matches(d, cmd.get("query") or {}) for d in c.values())}
+            if name == "aggregate":
+                pipe = cmd.get("pipeline") or []
+                cs = next((st["$changeStream"] for st in pipe
+                           if isinstance(st, dict) and "$changeStream"
+                           in st), None)
+                if cs is None:
+                    return {"ok": 0, "errmsg": "only $changeStream "
+                                               "pipelines supported"}
+                # stream-open position: explicit resume point wins, else
+                # the snapshot mark (fixtures pre-seed the concurrent
+                # writes before the client connects), else 'now'
+                after = cs.get("startAtOperationTime")
+                if after is None:
+                    after = self.snapshot_seq if self.snapshot_seq \
+                        is not None else self.seq
+                target = cmd["aggregate"]  # coll name, or 1 = whole db
+                evs = [e for e in self.oplog
+                       if e["clusterTime"] > int(after)
+                       and e["ns"]["db"] == db
+                       and (target == 1 or e["ns"]["coll"] == target)]
+                batch = int((cmd.get("cursor") or {}).get(
+                    "batchSize", 101))
+                first, rest = evs[:batch], evs[batch:]
+                cid = 0
+                if rest:
+                    cid = next(self._cursor_n)
+                    self.cursors[cid] = rest
+                ns = f"{db}.{target if target != 1 else '$cmd.aggregate'}"
+                return {"ok": 1, "operationTime": int(after),
+                        "cursor": {"id": cid, "ns": ns,
+                                   "firstBatch": first}}
             if name == "drop":
                 self.dbs.get(db, {}).pop(cmd["drop"], None)
                 return {"ok": 1}
