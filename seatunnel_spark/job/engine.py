@@ -54,6 +54,7 @@ class JobEngine:
         self._groups: dict[str, dict[str, DataFrame]] = {}
         self._table_ids: dict[str, str] = {}
         self._source_keys: dict[str, list[str]] = {}
+        self._source_ddl: dict[str, dict] = {}
         self._job_sources: list = []
         for blk in spec.sources:
             opts = dict(blk.options)
@@ -100,6 +101,12 @@ class JobEngine:
                 self._source_keys[blk.output] = (
                     next(iter(dk.values())) if len(set(
                         map(tuple, dk.values()))) == 1 else dk)
+            # schema-change DDL the source decoded mid-stream, for
+            # evolution-capable sinks (drop/rename/modify can't be
+            # frame-diffed — the reference pipes SchemaChangeEvents)
+            sd = getattr(src, "ddl_events", None)
+            if sd:
+                self._source_ddl[blk.output] = sd
             # env.parallelism (the reference's job-wide setting): bound
             # source partitioning. parallelism=1 additionally preserves
             # changelog ROW ORDER end-to-end — the reference's
@@ -254,6 +261,7 @@ class JobEngine:
                 # (sink-options-placeholders.md TablePath semantics).
                 sink.input_name = self._table_ids.get(name) or name
                 sink.source_keys = self._source_keys.get(name)
+                sink.source_ddl = self._source_ddl.get(name)
                 if streaming and df.isStreaming:
                     ckpt = spec.env.get("checkpoint.dir")
                     handles.append(sink.write_stream(df, checkpoint=ckpt))

@@ -139,6 +139,7 @@ class JdbcSink(Sink):
                         tid.split(".")[-1])
                 else:
                     sub.source_keys = src_keys
+                sub.source_ddl = getattr(self, "source_ddl", None)
                 sub.write(tdf)
             return
         url = resolve_jdbc_url(self.require("url"))
@@ -256,6 +257,7 @@ class JdbcSink(Sink):
             if not cols:
                 return
             have = {c.lower() for c in cols}
+            self._apply_source_ddl(ex, url, table, have)
             for f in df.schema.fields:
                 if f.name in meta or f.name.lower() in have:
                     continue
@@ -264,8 +266,68 @@ class JdbcSink(Sink):
                     self._SPARK_TO_SQL.get(s, "VARCHAR(255)")
                 ex.execute(f"ALTER TABLE {table} "
                            f"ADD COLUMN {f.name} {sql_t}")
+                have.add(f.name.lower())
         finally:
             ex.close()
+
+    _DSL_TO_SQL = {
+        "tinyint": "TINYINT", "smallint": "SMALLINT", "int": "INT",
+        "bigint": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
+        "boolean": "BOOLEAN", "date": "DATE", "timestamp": "TIMESTAMP",
+        "string": "VARCHAR(255)",
+    }
+
+    def _apply_source_ddl(self, ex, url: str, table: str,
+                          have: set) -> None:
+        """Replay the source's schema-change DDL on the sink table, in
+        stream order — DROP / RENAME(CHANGE) / MODIFY beyond the
+        frame-diff ADD pass (the reference's schema-evolution contract,
+        docs/en/concept/schema-evolution.md:9-13: add/drop/rename/
+        modify all reach jdbc sinks as DDL). Ops that no longer apply
+        (column already dropped/renamed on a retry) are skipped, so the
+        replay is idempotent."""
+        from seatunnel_spark.sources.cdc_replay import (ddl_for_table,
+                                                        parse_ddl_ops)
+
+        ddls = ddl_for_table(getattr(self, "source_ddl", None) or {},
+                             getattr(self, "input_name", None),
+                             table.split(".")[-1])
+        pg = "postgres" in url or "opengauss" in url
+        for ddl in ddls:
+            for op in parse_ddl_ops(ddl):
+                kind = op[0]
+                if kind == "add" and op[1].lower() not in have:
+                    t = self._dsl_sql_type(op[2])
+                    ex.execute(f"ALTER TABLE {table} "
+                               f"ADD COLUMN {op[1]} {t}")
+                    have.add(op[1].lower())
+                elif kind == "drop" and op[1].lower() in have:
+                    ex.execute(f"ALTER TABLE {table} "
+                               f"DROP COLUMN {op[1]}")
+                    have.discard(op[1].lower())
+                elif kind == "rename" and op[1].lower() in have:
+                    old, new, dsl = op[1], op[2], op[3]
+                    t = self._dsl_sql_type(dsl)
+                    if pg:
+                        ex.execute(f"ALTER TABLE {table} RENAME "
+                                   f"COLUMN {old} TO {new}")
+                    else:
+                        ex.execute(f"ALTER TABLE {table} "
+                                   f"CHANGE COLUMN {old} {new} {t}")
+                    have.discard(old.lower())
+                    have.add(new.lower())
+                elif kind == "modify" and op[1].lower() in have:
+                    t = self._dsl_sql_type(op[2])
+                    if pg:
+                        ex.execute(f"ALTER TABLE {table} ALTER "
+                                   f"COLUMN {op[1]} TYPE {t}")
+                    else:
+                        ex.execute(f"ALTER TABLE {table} "
+                                   f"MODIFY COLUMN {op[1]} {t}")
+
+    def _dsl_sql_type(self, dsl: str) -> str:
+        return dsl.upper() if dsl.startswith("decimal") else \
+            self._DSL_TO_SQL.get(dsl, "VARCHAR(255)")
 
     def _wire_insert(self, df: DataFrame, url: str, table: str,
                      user: str, password: str) -> None:

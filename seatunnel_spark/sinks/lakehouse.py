@@ -162,6 +162,41 @@ class LakehouseTable:
         os.replace(tmp, self._head_file())  # atomic on POSIX
         return nxt
 
+    # -- schema evolution -------------------------------------------------
+    def evolve(self, spark: SparkSession, ops: list,
+               partition_keys: list[str] | None = None) -> None:
+        """Apply source schema-change ops to the committed table BEFORE
+        merging an evolved batch — DROP / RENAME / MODIFY beyond the
+        add-with-null-backfill the union merge gives for free (the
+        reference's schema-evolution sink contract,
+        docs/en/concept/schema-evolution.md:9-13; paimon
+        mysql_cdc_to_paimon_with_schema_change). RENAME must rewrite
+        the existing rows' column name — a frame-diff union would leave
+        old values stranded under the old name with nulls under the
+        new. Idempotent: ops that no longer apply are skipped."""
+        cur = self.read(spark)
+        if cur is None:
+            return
+        changed = False
+        for op in ops:
+            kind = op[0]
+            if kind == "drop" and op[1] in cur.columns:
+                cur = cur.drop(op[1])
+                changed = True
+            elif kind == "rename" and op[1] in cur.columns:
+                cur = cur.withColumnRenamed(op[1], op[2])
+                changed = True
+            elif kind == "modify" and op[1] in cur.columns:
+                from seatunnel_spark.types import parse_schema
+
+                dt = parse_schema({op[1]: op[2]}).fields[0].dataType
+                if dict(cur.dtypes)[op[1]] != dt.simpleString():
+                    cur = cur.withColumn(op[1],
+                                         F.col(op[1]).cast(dt))
+                    changed = True
+        if changed:
+            self.commit(cur, partition_keys)
+
     # -- MERGE INTO analog ------------------------------------------------
     def merge_apply(self, spark: SparkSession, batch: DataFrame,
                     keys: list[str], order_col: str | None = None,
@@ -320,6 +355,7 @@ class LakehouseSink(Sink):
                 sub = type(self)(merged)
                 sub.plugin_name = self.plugin_name
                 sub.input_name = name
+                sub.source_ddl = getattr(self, "source_ddl", None)
                 sub.write(tdf if tdf is not None else df)
             return
         if self.table_groups:
@@ -333,6 +369,7 @@ class LakehouseSink(Sink):
                         tid.split(".")[-1])
                 else:
                     sub.source_keys = src_keys
+                sub.source_ddl = getattr(self, "source_ddl", None)
                 sub.write(tdf)
             return
         opts = dict(self.options)
@@ -378,6 +415,18 @@ class LakehouseSink(Sink):
                 if cur is not None and cur.limit(1).count():
                     raise ValueError(f"{self.plugin_name}: table {path!r} "
                                      "has data (ERROR_WHEN_DATA_EXISTS)")
+
+        ddl_map = getattr(self, "source_ddl", None) or {}
+        if ddl_map and tbl.exists():
+            from seatunnel_spark.sources.cdc_replay import (ddl_for_table,
+                                                            parse_ddl_ops)
+
+            ops = [op for ddl in ddl_for_table(
+                ddl_map, self.input_name,
+                (self.input_name or "").split(".")[-1])
+                for op in parse_ddl_ops(ddl)]
+            if ops:
+                tbl.evolve(df.sparkSession, ops, parts)
 
         if tbl.exists():
             # incompatible-schema guard (PaimonSinkCDCIT

@@ -94,6 +94,73 @@ def _mysql_type_to_dsl(decl: str) -> str:
     return _MYSQL_TO_DSL.get(base, "string")
 
 
+_DDL_NON_COLUMN = {"TABLE", "INDEX", "KEY", "PRIMARY", "FOREIGN",
+                   "CONSTRAINT", "PARTITION"}
+
+
+def parse_ddl_ops(ddl: str) -> list[tuple]:
+    """Structured schema-change ops from an ALTER TABLE statement, in
+    statement order — the reference's AlterTableColumnsEvent family
+    (AlterTableAddColumnEvent / DropColumnEvent / ChangeColumnEvent /
+    ModifyColumnEvent, api/.../schema/event/). Frame-diffing alone
+    cannot distinguish RENAME from DROP+ADD (which would lose sink
+    data), so sinks replay these ops as dialect DDL.
+
+    Returns tuples: ('add', col, dsl_type) | ('drop', col) |
+    ('rename', old, new, dsl_type) | ('modify', col, dsl_type).
+    """
+    if not re.search(r"^\s*ALTER\b", ddl, re.I):
+        return []
+    ops: list[tuple[int, tuple]] = []
+    for m in _DDL_ADD.finditer(ddl):
+        ops.append((m.start(), ("add", m.group(1),
+                                _mysql_type_to_dsl(m.group(2)))))
+    for m in _DDL_CHANGE.finditer(ddl):
+        old, new, typ = m.groups()
+        ops.append((m.start(), ("rename", old, new,
+                                _mysql_type_to_dsl(typ))))
+    for m in _DDL_MODIFY.finditer(ddl):
+        ops.append((m.start(), ("modify", m.group(1),
+                                _mysql_type_to_dsl(m.group(2)))))
+    add_cols = {a.group(1) for a in _DDL_ADD.finditer(ddl)}
+    for m in _DDL_DROP.finditer(ddl):
+        col = m.group(1)
+        if col.upper() in _DDL_NON_COLUMN or col in add_cols:
+            continue
+        ops.append((m.start(), ("drop", col)))
+    return [op for _, op in sorted(ops, key=lambda x: x[0])]
+
+
+def evolve_frame(df: DataFrame, ops: list) -> DataFrame:
+    """Apply parse_ddl_ops results to a DataFrame: after ALTER, the
+    table's EXISTING rows live under the new schema (renamed columns
+    keep their values, dropped ones vanish) — so a snapshot taken
+    before a post-watermark DDL must be remapped the same way."""
+    for op in ops:
+        kind = op[0]
+        if kind == "drop" and op[1] in df.columns:
+            df = df.drop(op[1])
+        elif kind == "rename" and op[1] in df.columns:
+            df = df.withColumnRenamed(op[1], op[2])
+        elif kind == "modify" and op[1] in df.columns:
+            dt = parse_schema({op[1]: op[2]}).fields[0].dataType
+            if dict(df.dtypes)[op[1]] != dt.simpleString():
+                df = df.withColumn(op[1], F.col(op[1]).cast(dt))
+    return df
+
+
+def ddl_for_table(ddl_map: dict, *names) -> list:
+    """Resolve the DDL list a sink should replay for its table: exact
+    name match first (full or short id), else the single distinct list
+    when the source only evolved one table (ddl_events stores one
+    shared list under both the full and short ids)."""
+    for n in names:
+        if n and ddl_map.get(n):
+            return ddl_map[n]
+    distinct = {id(v): v for v in ddl_map.values()}
+    return next(iter(distinct.values())) if len(distinct) == 1 else []
+
+
 def apply_ddl(fields: dict, ddl: str) -> dict:
     """Evolve a {field: type} schema dict by a MySQL DDL statement —
     the reference's SchemaChangeEvent application
@@ -104,8 +171,14 @@ def apply_ddl(fields: dict, ddl: str) -> dict:
         out[m.group(1)] = _mysql_type_to_dsl(m.group(2))
     for m in _DDL_CHANGE.finditer(ddl):
         old, new, typ = m.groups()
-        out.pop(old, None)
-        out[new] = _mysql_type_to_dsl(typ)
+        if old in out:
+            # rename IN PLACE: MySQL CHANGE keeps the column position,
+            # and binlog row images zip against this dict's order
+            out = {(new if k == old else k):
+                   (_mysql_type_to_dsl(typ) if k == old else v)
+                   for k, v in out.items()}
+        else:
+            out[new] = _mysql_type_to_dsl(typ)
     for m in _DDL_MODIFY.finditer(ddl):
         out[m.group(1)] = _mysql_type_to_dsl(m.group(2))
     if re.search(r"^\s*ALTER\b", ddl, re.I):
@@ -219,6 +292,20 @@ class CdcReplaySource(Source):
             return sorted(out)
         finally:
             cl.close()
+
+    def _record_ddl(self, table: str, ddl: str) -> None:
+        """Remember decoded schema-change DDL (in stream order) so the
+        engine can hand it to evolution-capable sinks — the reference
+        pipes SchemaChangeEvents through the DAG to the sink
+        (docs/en/concept/schema-evolution.md sink matrix)."""
+        if not hasattr(self, "ddl_events"):
+            self.ddl_events = {}
+        short = table.split(".")[-1]
+        lst = self.ddl_events.get(table) or self.ddl_events.get(short) \
+            or []
+        lst.append(ddl)
+        self.ddl_events[table] = lst    # one shared list under both
+        self.ddl_events[short] = lst    # the full and the short id
 
     def _pk_of(self, table: str) -> list[str] | None:
         for c in self.opt("table-names-config") or []:
@@ -338,6 +425,7 @@ class CdcReplaySource(Source):
                         # row events after this DDL carry the evolved
                         # column set — zip them against it
                         cur_fields = apply_ddl(cur_fields, ev["sql"])
+                        self._record_ddl(table_full, ev["sql"])
                     continue
                 if kind not in ("insert", "update", "delete") or \
                         ev["db"] != db or ev["table"] != tbl:
@@ -365,22 +453,28 @@ class CdcReplaySource(Source):
         finally:
             bc.close()
 
+        ops: list = []
         if (self.opt("schema-changes.enabled")
                 or self.opt("schema-changes_enabled")):
             for line in lines:
                 ev = json.loads(line)
                 if ev.get("ddl"):
                     fields = apply_ddl(fields, ev["ddl"])
+                    ops += parse_ddl_ops(ev["ddl"])
             schema = parse_schema(fields)
 
         raw = spark.createDataFrame([(ln,) for ln in lines] or
                                     [(None,)], "value string") \
             .filter(F.col("value").isNotNull())
-        decoded = self._decode(raw, schema, table_full)
+        renames = [(op[1], op[2]) for op in ops if op[0] == "rename"]
+        decoded = self._decode(raw, schema, table_full, renames=renames)
         snapshot = spark.createDataFrame(
             [tuple(r) for r in srows], parse_schema(
                 {c: _CODE_TO_DSL.get(t, "string")
-                 for c, t in zip(snap_cols, snap_codes)})).withColumns({
+                 for c, t in zip(snap_cols, snap_codes)}))
+        # post-watermark DDL re-shapes the whole table, snapshot rows
+        # included (values ride renames; dropped columns vanish)
+        snapshot = evolve_frame(snapshot, ops).withColumns({
             EVENT_TS_COL: F.lit(watermark).cast("long"),
             TABLE_ID_COL: F.lit(table_full),
         })
@@ -644,6 +738,8 @@ class CdcReplaySource(Source):
                             continue
                         if ev.get("ddl"):
                             fields = apply_ddl(fields, ev["ddl"])
+                            self._record_ddl(
+                                os.path.basename(tdir), ev["ddl"])
         return parse_schema(fields)
 
     def _infer_fields(self, tdir: str, spark: SparkSession) -> dict:
@@ -668,13 +764,30 @@ class CdcReplaySource(Source):
         return {k: _infer_field_type(vs) for k, vs in cols.items()}
 
     def _decode(self, raw: DataFrame, schema: T.StructType,
-                table: str) -> DataFrame:
+                table: str, renames: list | None = None) -> DataFrame:
         """Debezium envelope -> changelog rows with ROW_KIND, offset
         (source.pos, falling back to ts_ms), event time, table id.
-        Updates expand to -U/+U pairs (DebeziumRowConverter.java)."""
+        Updates expand to -U/+U pairs (DebeziumRowConverter.java).
+
+        `renames` ((old, new) pairs from mid-stream CHANGE COLUMN DDL):
+        events emitted BEFORE the rename carry the old field name in
+        their payload JSON — the decode schema admits both names and
+        the projection coalesces new-name-first, so those rows keep
+        their values under the final schema."""
+        dec_schema = schema
+        old_for: dict[str, str] = {}
+        if renames:
+            tmap = {f.name: f.dataType for f in schema.fields}
+            extra = []
+            for old, new in renames:
+                if old not in tmap and new in tmap:
+                    extra.append(T.StructField(old, tmap[new]))
+                    old_for[new] = old
+            if extra:
+                dec_schema = T.StructType(list(schema.fields) + extra)
         env = T.StructType([
-            T.StructField("before", schema),
-            T.StructField("after", schema),
+            T.StructField("before", dec_schema),
+            T.StructField("after", dec_schema),
             T.StructField("op", T.StringType()),
             T.StructField("ts_ms", T.LongType()),
             T.StructField("ddl", T.StringType()),
@@ -710,8 +823,14 @@ class CdcReplaySource(Source):
             F.col("v.ts_ms").alias(EVENT_TS_COL),
             F.explode(rows).alias("e"),
         )
+        def _field(f):
+            c = F.col("e.payload")[f.name]
+            if f.name in old_for:
+                c = F.coalesce(c, F.col("e.payload")[old_for[f.name]])
+            return c.alias(f.name)
+
         return e.select(
-            *[F.col("e.payload")[f.name].alias(f.name) for f in schema.fields],
+            *[_field(f) for f in schema.fields],
             F.col("e.kind").alias(ROW_KIND_COL),
             F.col(_OFFSET_COL), F.col(EVENT_TS_COL),
             F.lit(table).alias(TABLE_ID_COL),

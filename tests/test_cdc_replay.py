@@ -442,6 +442,127 @@ def test_live_schema_change_to_jdbc_conf(spark, monkeypatch):
         stop()
 
 
+def test_live_schema_change_drop_rename_modify_jdbc(spark, monkeypatch):
+    """The full schema-evolution contract to jdbc
+    (docs/en/concept/schema-evolution.md:9-13): a binlog stream with
+    DROP COLUMN + CHANGE(rename) + MODIFY replays on the sink table as
+    dialect DDL in stream order, before the upsert — not just the
+    frame-diff ADD pass."""
+    from seatunnel_spark import mysql_binlog as B
+    from seatunnel_spark.testing.mysql_server import start_mini_mysql
+
+    monkeypatch.delenv("SEATUNNEL_SPARK_CDC_REPLAY", raising=False)
+    srv, port, stop = start_mini_mysql("st_user_source", "mysqlpw")
+    srv.users["st_user_sink"] = "mysqlpw"
+    sink_t = "mysql_cdc_e2e_sink_table_with_schema_change"
+    try:
+        cols = ["id", "name", "description", "weight"]
+        codes = [3, 253, 253, 5]
+        srv.tables["products"] = (cols, codes, [
+            (101, "scooter", "Small 2-wheel scooter", 3.14)])
+        srv.tables[sink_t] = (cols, codes, [])
+        bcols = [(B.T_LONG, None), (B.T_VARCHAR, 400),
+                 (B.T_VARCHAR, 2000), (B.T_DOUBLE, None)]
+        srv.binlog_table("shop", "products", bcols)
+        srv.mark_snapshot()
+        srv.binlog_ddl("shop",
+                       "ALTER TABLE products DROP COLUMN description")
+        srv.binlog_table("shop", "products",
+                         [(B.T_LONG, None), (B.T_VARCHAR, 400),
+                          (B.T_DOUBLE, None)])
+        srv.binlog_insert("shop", "products", [(103, "hammer", 0.75)])
+        srv.binlog_ddl("shop", "ALTER TABLE products CHANGE COLUMN "
+                               "weight weight_kg double")
+        srv.binlog_ddl("shop", "ALTER TABLE products MODIFY COLUMN "
+                               "name varchar(512)")
+        srv.binlog_insert("shop", "products", [(104, "wrench", 1.25)])
+        monkeypatch.setenv("SEATUNNEL_SPARK_HOST_ALIASES",
+                           f"mysql_cdc_e2e=tcp://127.0.0.1:{port}")
+
+        spec = JobSpec.from_file(
+            f"{_CDC_E2E}/mysqlcdc_to_mysql_with_schema_change.conf")
+        JobEngine(spark).run(spec)
+
+        alters = [s for s in srv.statements
+                  if s.upper().startswith(f"ALTER TABLE {sink_t}".upper())]
+        blob = " | ".join(alters)
+        assert "DROP COLUMN description" in blob
+        assert "CHANGE COLUMN weight weight_kg" in blob
+        assert "MODIFY COLUMN name" in blob
+        # DDL ordering preserved: drop before rename before modify
+        assert blob.index("DROP COLUMN") < blob.index("CHANGE COLUMN") \
+            < blob.index("MODIFY COLUMN")
+        upserts = [s for s in srv.statements
+                   if "INSERT" in s.upper() and sink_t in s]
+        assert upserts and "weight_kg" in " ".join(upserts)
+        # every ALTER ran before the first upsert
+        first_up = srv.statements.index(upserts[0])
+        assert all(srv.statements.index(a) < first_up for a in alters)
+    finally:
+        stop()
+
+
+def test_live_cdc_to_paimon_schema_change_drop_rename(spark, monkeypatch):
+    """DROP + RENAME evolution reaches the lakehouse sink: existing
+    rows are REWRITTEN under the renamed column (a frame-diff union
+    would strand old values under the old name), the dropped column
+    disappears, and the evolved batch merges on top."""
+    import shutil
+
+    from seatunnel_spark import mysql_binlog as B
+    from seatunnel_spark.sinks.lakehouse import LakehouseTable
+    from seatunnel_spark.testing.mysql_server import start_mini_mysql
+
+    shutil.rmtree("/tmp/paimon/mysql_to_paimon", ignore_errors=True)
+    monkeypatch.delenv("SEATUNNEL_SPARK_CDC_REPLAY", raising=False)
+    srv, port, stop = start_mini_mysql("st_user_source", "mysqlpw")
+    try:
+        # the paimon table pre-exists with the ORIGINAL schema and a row
+        # the incoming batch does not touch
+        t = LakehouseTable("/tmp/paimon/mysql_to_paimon/products")
+        t.commit(spark.createDataFrame(
+            [(100, "anvil", "old desc", 9.99)],
+            "id int, name string, description string, weight double"))
+
+        cols = ["id", "name", "description", "weight"]
+        srv.tables["products"] = (cols, [3, 253, 253, 5], [
+            (100, "anvil", "old desc", 9.99),
+            (101, "scooter", "2-wheel", 3.14)])
+        srv.primary_keys["products"] = ["id"]
+        srv.binlog_table("shop", "products",
+                         [(B.T_LONG, None), (B.T_VARCHAR, 400),
+                          (B.T_VARCHAR, 2000), (B.T_DOUBLE, None)])
+        srv.mark_snapshot()
+        srv.binlog_ddl("shop",
+                       "ALTER TABLE products DROP COLUMN description")
+        srv.binlog_ddl("shop", "ALTER TABLE products CHANGE COLUMN "
+                               "weight weight_kg double")
+        srv.binlog_table("shop", "products",
+                         [(B.T_LONG, None), (B.T_VARCHAR, 400),
+                          (B.T_DOUBLE, None)])
+        srv.binlog_insert("shop", "products", [(103, "hammer", 0.75)])
+        monkeypatch.setenv("SEATUNNEL_SPARK_HOST_ALIASES",
+                           f"mysql_cdc_e2e=tcp://127.0.0.1:{port}")
+
+        spec = JobSpec.from_file(
+            "/root/reference/seatunnel-e2e/seatunnel-connector-v2-e2e/"
+            "connector-paimon-e2e/src/test/resources/"
+            "mysql_cdc_to_paimon_with_schema_change.conf")
+        JobEngine(spark).run(spec)
+
+        got = {r["id"]: r for r in t.read(spark).collect()}
+        assert set(got) == {100, 101, 103}
+        fields = set(t.read(spark).columns)
+        assert "description" not in fields
+        assert "weight_kg" in fields and "weight" not in fields
+        # untouched pre-existing row: weight value survived the rename
+        assert got[100]["weight_kg"] == 9.99
+        assert got[103]["weight_kg"] == 0.75
+    finally:
+        stop()
+        shutil.rmtree("/tmp/paimon/mysql_to_paimon", ignore_errors=True)
+
+
 def test_live_cdc_to_paimon_schema_change_conf(spark, monkeypatch, tmp_path):
     """mysql_cdc_to_paimon_with_schema_change.conf (connector-paimon-e2e,
     STREAMING) runs UNMODIFIED live: binlog tail with a mid-stream
