@@ -19,7 +19,7 @@ mapInPandas, so `format = avro` confs run in either environment.
 from __future__ import annotations
 
 import struct
-from datetime import date, datetime, timezone
+from datetime import date, datetime, timedelta, timezone
 from decimal import Decimal
 
 from pyspark.sql import types as T
@@ -80,7 +80,10 @@ def encode_value(dt: T.DataType, v) -> bytes:
     if isinstance(dt, T.TimestampType):
         if isinstance(v, datetime):
             ts = v if v.tzinfo else v.replace(tzinfo=timezone.utc)
-            return zigzag_encode(int(ts.timestamp() * 1_000_000))
+            # exact integer micros — float seconds lose precision past
+            # ~2^53 µs and wobble the last microsecond everywhere
+            delta = ts - datetime(1970, 1, 1, tzinfo=timezone.utc)
+            return zigzag_encode(delta // timedelta(microseconds=1))
         return zigzag_encode(int(v))
     if isinstance(dt, T.DecimalType):
         unscaled = int(Decimal(v).scaleb(dt.scale).to_integral_value())
@@ -144,8 +147,8 @@ def decode_value(dt: T.DataType, data: bytes, i: int):
         return date.fromordinal(_EPOCH.toordinal() + days), i
     if isinstance(dt, T.TimestampType):
         us, i = zigzag_decode(data, i)
-        return datetime.fromtimestamp(us / 1_000_000,
-                                      tz=timezone.utc).replace(tzinfo=None), i
+        return (datetime(1970, 1, 1)
+                + timedelta(microseconds=us)), i
     if isinstance(dt, T.DecimalType):
         b, i = _dec_bytes(data, i)
         unscaled = int.from_bytes(b, "big", signed=True)
