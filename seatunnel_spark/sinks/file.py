@@ -226,21 +226,25 @@ class FileSink(Sink):
             finally:
                 shutil.rmtree(spool, ignore_errors=True)
             return
-        if self.plugin_name == "FtpFile" and self.opt("host"):
-            # FTP write = the full local write pipeline (formats,
+        if self.plugin_name in ("FtpFile", "SftpFile") and self.opt("host"):
+            # FTP/SFTP write = the full local write pipeline (formats,
             # partition dirs, file_name_expression, transactions) into
-            # a spool dir, then an ftplib upload preserving layout —
+            # a spool dir, then a wire upload preserving layout —
             # mirroring the reference's commit-then-transfer
-            # FtpFileSinkWriter. Single-server protocol; see ftp_fs.
+            # FtpFileSinkWriter / SftpFileSinkWriter. Single-server
+            # protocol; see ftp_fs / sftp_fs.
             import shutil
             import tempfile
 
-            from seatunnel_spark import ftp_fs
+            if self.plugin_name == "SftpFile":
+                from seatunnel_spark import sftp_fs as remote_fs
+            else:
+                from seatunnel_spark import ftp_fs as remote_fs
 
             spool = tempfile.mkdtemp(prefix="st_ftp_sink_")
             try:
                 self._write_one_local(df, spool)
-                ftp_fs.upload_tree(self.options, spool, path)
+                remote_fs.upload_tree(self.options, spool, path)
             finally:
                 shutil.rmtree(spool, ignore_errors=True)
             return
@@ -379,7 +383,27 @@ class FileSink(Sink):
                 writer = writer.option("lineSep", self.opt("row_delimiter"))
             writer.text(path)
             return
+        xml_opts = {}
+        if fmt == "xml":
+            # XmlWriteStrategy: rowTag/rootTag from conf; with
+            # xml_use_attr_format values ride as ATTRIBUTES of the row
+            # element (complex types JSON-encoded) — Spark's xml writer
+            # emits attributes for columns named with attributePrefix,
+            # so stringify + prefix every column
+            xml_opts = {"rowTag": self.opt("xml_row_tag", "RECORD"),
+                        "rootTag": self.opt("xml_root_tag", "RECORDS")}
+            if self.opt("xml_use_attr_format"):
+                from pyspark.sql import types as T
+
+                df = df.select(*[
+                    (F.to_json(F.col(f.name))
+                     if isinstance(f.dataType, (T.MapType, T.ArrayType,
+                                                T.StructType))
+                     else F.col(f.name).cast("string"))
+                    .alias(f"_{f.name}") for f in df.schema.fields])
         writer = df.write.mode(mode)
+        for k, v in xml_opts.items():
+            writer = writer.option(k, v)
         if self.opt("partition_by"):
             writer = writer.partitionBy(*self.opt("partition_by"))
         codec = _COMPRESSION.get(

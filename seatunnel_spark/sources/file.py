@@ -345,20 +345,24 @@ class FileSource(Source):
             df = child.read(spark)
             atexit.register(shutil.rmtree, spool, ignore_errors=True)
             return df
-        if self.plugin_name == "FtpFile" and self.opt("host"):
-            # FTP read = stage the remote tree into a local spool over
-            # the real wire (stdlib ftplib vs the reference's
-            # commons-net FTPClient), then the normal local read paths
-            # do the format work. See ftp_fs module doc for the
-            # single-server scale rationale.
+        if self.plugin_name in ("FtpFile", "SftpFile") and self.opt("host"):
+            # FTP/SFTP read = stage the remote tree into a local spool
+            # over the real wire (stdlib ftplib / the ssh_wire SFTP v3
+            # client vs the reference's commons-net FTPClient / JSch
+            # ChannelSftp), then the normal local read paths do the
+            # format work. See ftp_fs module doc for the single-server
+            # scale rationale.
             import shutil
             import tempfile
 
-            from seatunnel_spark import ftp_fs
+            if self.plugin_name == "SftpFile":
+                from seatunnel_spark import sftp_fs as remote_fs
+            else:
+                from seatunnel_spark import ftp_fs as remote_fs
 
             spool = tempfile.mkdtemp(prefix="st_ftp_src_")
             try:
-                ftp_fs.fetch_tree(
+                remote_fs.fetch_tree(
                     self.options, str(self.require("path")), spool)
             except Exception:
                 shutil.rmtree(spool, ignore_errors=True)
@@ -572,13 +576,18 @@ class FileSource(Source):
             for k, v in (self.opt("options") or {}).items():
                 reader = reader.option(k, v)
             raw = reader.format("xml").load(self._path())
+            # partition-dir columns (name=...) discovered beyond the
+            # declared schema ride along (the sftp/ftp xml assert confs
+            # check them)
+            part_cols = [c for c in raw.columns
+                         if c not in {f.name for f in schema.fields}]
             df = raw.select(*[
                 (F.from_json(F.col(f.name), f.dataType)
                  if isinstance(f.dataType, (T.MapType, T.ArrayType,
                                             T.StructType))
                  else F.col(f.name).cast(f.dataType)).alias(f.name)
                 for f in schema.fields
-            ])
+            ], *part_cols)
         elif fmt == "excel":
             # Excel is non-splittable — one file per task is the
             # parallelism unit (same as the reference's file-per-reader
