@@ -43,11 +43,59 @@ from seatunnel_spark.sources.base import Source
 from seatunnel_spark.types import ROW_KIND_COL, TABLE_ID_COL
 
 
-class LakehouseTable:
-    """Versioned parquet table with an atomic HEAD pointer."""
+class _S3Mirror:
+    """Mirror a lakehouse table directory to an S3 prefix through the
+    stdlib SigV4 REST client — the fs.s3a.* warehouse confs
+    (paimon.hadoop.conf) without hadoop-aws jars. Sync model: pull the
+    table tree before open, push the new snapshot after commit, wipe on
+    drop. On a real 100 TB deployment the table scan itself goes
+    through spark.read over s3a:// with hadoop-aws on the classpath
+    (distributed, no staging); this mirror carries the bounded
+    e2e-fixture scale, same story as the S3File connector (s3_fs)."""
 
-    def __init__(self, path: str):
+    def __init__(self, client, prefix: str):
+        self.cl, self.prefix = client, prefix.strip("/")
+
+    def pull(self, local: str) -> None:
+        import shutil
+
+        shutil.rmtree(local, ignore_errors=True)
+        os.makedirs(local, exist_ok=True)
+        for key in self.cl.list(self.prefix + "/"):
+            rel = key[len(self.prefix):].lstrip("/")
+            if not rel:
+                continue
+            dst = os.path.join(local, rel)
+            os.makedirs(os.path.dirname(dst) or local, exist_ok=True)
+            with open(dst, "wb") as f:
+                f.write(self.cl.get(key))
+
+    def push(self, local: str) -> None:
+        for root, _d, names in os.walk(local):
+            for n in names:
+                if n.startswith("_head_"):
+                    continue  # mkstemp leftovers never upload
+                full = os.path.join(root, n)
+                rel = os.path.relpath(full, local).replace(os.sep, "/")
+                with open(full, "rb") as f:
+                    self.cl.put(f"{self.prefix}/{rel}", f.read())
+
+    def wipe(self) -> None:
+        for key in self.cl.list(self.prefix + "/"):
+            self.cl.delete(key)
+
+
+class LakehouseTable:
+    """Versioned parquet table with an atomic HEAD pointer.
+
+    `remote`: optional _S3Mirror — `path` then acts as the local cache
+    of an object-store warehouse (pulled at open, pushed per commit)."""
+
+    def __init__(self, path: str, remote=None):
         self.path = path
+        self.remote = remote
+        if remote is not None:
+            remote.pull(path)
         os.makedirs(path, exist_ok=True)
 
     def _head_file(self) -> str:
@@ -74,6 +122,8 @@ class LakehouseTable:
     def drop(self) -> None:
         import shutil
 
+        if self.remote is not None:
+            self.remote.wipe()
         shutil.rmtree(self.path, ignore_errors=True)
         os.makedirs(self.path, exist_ok=True)
 
@@ -160,6 +210,8 @@ class LakehouseTable:
         with os.fdopen(fd, "w") as f:
             f.write(str(nxt))
         os.replace(tmp, self._head_file())  # atomic on POSIX
+        if self.remote is not None:
+            self.remote.push(self.path)
         return nxt
 
     # -- schema evolution -------------------------------------------------
@@ -315,13 +367,39 @@ def _resolve_layout(plugin: str, opts: dict) -> tuple[str, list[str] | None,
             f"sink {plugin}: need warehouse/path and table "
             f"(got base={base!r}, table={table!r})")
     base = base.replace("file://", "")
-    # remote warehouses (s3a://, hdfs://) map to local dirs via PATH
+    # s3a:// warehouse with fs.s3a.* creds (paimon.hadoop.conf /
+    # iceberg hadoop conf): table I/O goes through the SigV4 REST
+    # client via an _S3Mirror-backed local cache
+    hconf = dict(get("paimon.hadoop.conf") or get("hadoop.conf") or {})
+    endpoint = hconf.get("fs.s3a.endpoint")
+    if base.startswith(("s3a://", "s3://")) and endpoint:
+        import hashlib
+        import tempfile as _tf
+
+        from seatunnel_spark.s3_fs import S3Client
+
+        rest = base.split("://", 1)[1]
+        bucket, _, sub = rest.partition("/")
+        prefix = "/".join(x for x in (sub.strip("/"), str(db),
+                                      str(table)) if x)
+        cl = S3Client(str(endpoint), bucket,
+                      str(hconf.get("fs.s3a.access-key")
+                          or hconf.get("fs.s3a.access.key") or ""),
+                      str(hconf.get("fs.s3a.secret-key")
+                          or hconf.get("fs.s3a.secret.key") or ""))
+        cache = os.path.join(
+            _tf.gettempdir(), "st_s3_warehouse",
+            hashlib.md5(f"{endpoint}/{bucket}".encode(),
+                        usedforsecurity=False).hexdigest()[:12],
+            str(db), str(table))
+        return cache, keys, parts, _S3Mirror(cl, prefix)
+    # other remote warehouses (hdfs://) map to local dirs via PATH
     # aliases in tests — the fs scheme is hadoop config, orthogonal to
     # the table/merge logic this backend implements
     from seatunnel_spark.sources.file import resolve_path_aliases
 
     base = resolve_path_aliases(base)
-    return os.path.join(base, str(db), str(table)), keys, parts
+    return os.path.join(base, str(db), str(table)), keys, parts, None
 
 
 class LakehouseSink(Sink):
@@ -387,7 +465,7 @@ class LakehouseSink(Sink):
                     tid_parts[-2] if len(tid_parts) > 1 else "default")
             if val:
                 opts[field] = val
-        path, keys, parts = _resolve_layout(self.plugin_name, opts)
+        path, keys, parts, remote = _resolve_layout(self.plugin_name, opts)
         if not keys:
             # inherit the source-declared primary key (schema {
             # primaryKey { columnNames } } — the reference's paimon
@@ -397,7 +475,7 @@ class LakehouseSink(Sink):
                 src_keys = src_keys.get(self.input_name) or src_keys.get(
                     self.input_name.split(".")[-1])
             keys = src_keys or []
-        tbl = LakehouseTable(path)
+        tbl = LakehouseTable(path, remote=remote)
 
         schema_mode = str(self.opt("schema_save_mode",
                                    "CREATE_SCHEMA_WHEN_NOT_EXIST")).upper()
@@ -501,16 +579,16 @@ class LakehouseSource(Source):
         return self.read(spark)
 
     def _read_one(self, spark: SparkSession, opts: dict) -> DataFrame:
-        path, keys, _ = _resolve_layout(self.plugin_name, opts)
+        path, keys, _, remote = _resolve_layout(self.plugin_name, opts)
         scan_mode = str(opts.get("scan.mode")
                         or opts.get("paimon.scan.mode") or "").lower()
         if scan_mode in ("changelog", "streaming", "from-snapshot",
                          "changelog-from-snapshot"):
             from_v = opts.get("scan.snapshot-id")
-            return LakehouseTable(path).read_changelog_since(
+            return LakehouseTable(path, remote=remote).read_changelog_since(
                 spark, int(from_v) if from_v is not None else None,
                 keys or [])
-        df = LakehouseTable(path).read(spark)
+        df = LakehouseTable(path, remote=remote).read(spark)
         if df is None:
             raise FileNotFoundError(
                 f"source {self.plugin_name}: no committed snapshot at {path!r}")
