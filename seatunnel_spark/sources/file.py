@@ -73,7 +73,7 @@ _TEXT_SEPARATORS = ["\x01", "\x02", "\x03", "\x04", "\x05", "\x06", "\x07"]
 
 # zip/tar containers Hadoop has no codec for; gz/bzip2 the native
 # readers decompress by extension.
-_ARCHIVES = {"zip", "tar", "tar_gz"}
+_ARCHIVES = {"zip", "tar", "tar_gz", "lzo"}
 
 # charsets the JVM json/csv readers+writers accept (JSONOptions);
 # anything else (gbk, ...) goes through the Python decode path.
@@ -159,6 +159,10 @@ def _read_archive_lines(spark, path: str, codec: str, encoding: str):
                     with zipfile.ZipFile(bio) as zf:
                         blobs = [zf.read(n) for n in zf.namelist()
                                  if not n.endswith("/")]
+                elif codec == "lzo":
+                    from seatunnel_spark.formats.lzo import lzop_decompress
+
+                    blobs = [lzop_decompress(bytes(data))]
                 else:
                     mode = "r:gz" if codec == "tar_gz" else "r:"
                     with tarfile.open(fileobj=bio, mode=mode) as tf:
@@ -412,6 +416,11 @@ class FileSource(Source):
                           else T.StructType([]))
                 return spark.createDataFrame([], schema)
         codec = str(self.opt("archive_compress_codec", "none")).lower()
+        if str(self.opt("compress_codec", "")).lower() == "lzo":
+            # lzop-framed text/json (compress_codec = "lzo"): Hadoop has
+            # no builtin codec either — the stdlib LZO1X decompressor
+            # rides the same executor-side unpack path as zip/tar
+            codec = "lzo"
         encoding = str(self.opt("encoding", "utf-8"))
         skip = int(self.opt("skip_header_row_number", 0) or 0)
         if self.plugin_name == "Hive" and self.opt("table_name"):

@@ -125,9 +125,9 @@ FILE_CONFS = [
     "excel/local_excel_xls_gz_to_assert.conf",
     "excel/local_excel_xlsx_gz_to_assert.conf",
     "excel/fake_to_local_excel.conf",
+    "text/local_file_text_lzo_to_assert.conf",
+    "json/local_file_json_lzo_to_console.conf",
 ]
-# Not covered: lzo (GPL codec jar not bundled — same extra dependency
-# the reference needs).
 
 
 def _pack(codec: str, src: str, count: int, dst: str) -> None:
@@ -159,6 +159,17 @@ def file_layout(tmp_path_factory):
         dst = root / "seatunnel" / rel
         dst.parent.mkdir(parents=True, exist_ok=True)
         _pack(codec, f"{_RES}/{src}", count, str(dst))
+    # lzop fixtures: the IT compresses at runtime with airlift
+    # LzopCodec; the s3 suite ships the identical payloads pre-framed
+    # (same md5 as this suite's e2e.txt/e2e.json), decoded by the
+    # stdlib LZO1X decompressor (formats/lzo.py)
+    s3res = _RES.replace("connector-file-local-e2e",
+                         "connector-file-s3-e2e")
+    for rel, src in [("read/lzo_text/e2e.txt", "text/e2e.txt.lzo"),
+                     ("read/lzo_json/e2e.json", "json/e2e.json.lzo")]:
+        dst = root / "seatunnel" / rel
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy(f"{s3res}/{src}", dst)
     old = os.environ.get("SEATUNNEL_SPARK_PATH_ALIASES")
     os.environ["SEATUNNEL_SPARK_PATH_ALIASES"] = (
         f"/seatunnel={root}/seatunnel,/tmp={root}/tmp")

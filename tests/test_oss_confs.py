@@ -1,7 +1,8 @@
 """Reference connector-file-oss-e2e confs running UNMODIFIED against
 the mini OSS server (path-style REST + verified HMAC-SHA1 signatures)
 — the OssFileIT analog. Seed layout mirrors OssFileIT.uploadTestFiles;
-the two lzo confs are excluded (no lzo codec here)."""
+the lzop fixtures decode via the stdlib LZO1X decompressor
+(formats/lzo.py)."""
 
 import os
 
@@ -45,6 +46,8 @@ def oss():
          "hobby=coding/e2e_filter.xlsx"),
         ("text/e2e-text.zip",
          "test/seatunnel/read/text_zip/e2e-text.zip"),
+        ("json/e2e.json.lzo", "test/seatunnel/read/lzo_json/e2e.json"),
+        ("text/e2e.txt.lzo", "test/seatunnel/read/lzo_text/e2e.txt"),
     ]
     for src, dst in seeds:
         with open(os.path.join(_RES, src), "rb") as f:
@@ -94,6 +97,7 @@ def test_fake_to_oss_multiple_table_conf(spark, oss):
     "text/oss_file_delimiter_assert.conf",
     "text/oss_file_time_format_assert.conf",
     "text/oss_file_zip_text_to_assert.conf",
+    "text/oss_file_text_lzo_to_assert.conf",
     "json/oss_file_json_to_assert.conf",
     "excel/oss_excel_to_assert.conf",
     "excel/oss_excel_projection_to_assert.conf",
@@ -110,6 +114,7 @@ def test_oss_read_to_assert_confs(spark, oss, conf):
 @pytest.mark.parametrize("conf", [
     "json/oss_file_to_console.conf",
     "parquet/oss_file_to_console.conf",
+    "json/oss_file_json_lzo_to_console.conf",
 ])
 def test_oss_empty_prefix_to_console_confs(spark, oss, conf):
     with oss.lock:

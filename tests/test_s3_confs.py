@@ -1,8 +1,8 @@
 """Reference connector-file-s3-e2e confs running UNMODIFIED against
 the mini S3 server (path-style REST + verified SigV4) — the S3FileIT
-analog. Seed layout mirrors S3FileIT.uploadTestFiles; the two lzo
-confs are excluded (no lzo codec in this environment, same as the
-reference needs its native lzo libs)."""
+analog. Seed layout mirrors S3FileIT.uploadTestFiles, including the
+lzop fixtures decoded by the stdlib LZO1X decompressor
+(formats/lzo.py)."""
 
 import os
 
@@ -46,6 +46,8 @@ def s3():
          "hobby=coding/e2e_filter.xlsx"),
         ("text/e2e-text.zip",
          "test/seatunnel/read/text_zip/e2e-text.zip"),
+        ("json/e2e.json.lzo", "test/seatunnel/read/lzo_json/e2e.json"),
+        ("text/e2e.txt.lzo", "test/seatunnel/read/lzo_text/e2e.txt"),
     ]
     for src, dst in seeds:
         with open(os.path.join(_RES, src), "rb") as f:
@@ -98,6 +100,7 @@ def test_fake_to_s3_multiple_table_conf(spark, s3):
     "text/s3_file_delimiter_assert.conf",
     "text/s3_file_time_format_assert.conf",
     "text/s3_file_zip_text_to_assert.conf",
+    "text/s3_file_text_lzo_to_assert.conf",
     "json/s3_file_json_to_assert.conf",
     "excel/s3_excel_to_assert.conf",
     "excel/s3_excel_projection_to_assert.conf",
@@ -115,7 +118,8 @@ def test_s3_read_to_assert_confs(spark, s3, conf):
 
 
 @pytest.mark.parametrize("conf", ["json/s3_file_to_console.conf",
-                                  "parquet/s3_file_to_console.conf"])
+                                  "parquet/s3_file_to_console.conf",
+                                  "json/s3_file_json_lzo_to_console.conf"])
 def test_s3_empty_prefix_to_console_confs(spark, s3, conf):
     """s3_file_to_console.conf reads the EMPTY tmp/fake_empty prefix
     (S3FileIT.createDir) -> zero rows, exit 0. The multiple-table IT
