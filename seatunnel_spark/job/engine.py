@@ -239,6 +239,13 @@ class JobEngine:
         for blk in spec.sinks:
             sink = get_sink(blk.plugin, blk.options)
             for name in blk.inputs or [next(reversed(tables))]:
+                if name not in tables:
+                    # a plugin_input naming a table no block declared
+                    # (read_from_paimon_with_hdfs_ha_to_assert.conf:
+                    # plugin_input=paimon_source with no matching
+                    # plugin_output) — the reference's single-pipeline
+                    # parser connects by order; use the last table
+                    name = next(reversed(tables))
                 df = tables[name]
                 if not getattr(sink, "WANTS_CHANGELOG_META", False):
                     pos = [c for c in ("__offset", "__event_ts")
