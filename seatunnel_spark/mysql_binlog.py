@@ -71,6 +71,9 @@ def encode_newdecimal(value, precision: int, scale: int) -> bytes:
     d = Decimal(str(value)).scaleb(scale).to_integral_value()
     neg = d < 0
     digits = str(abs(int(d))).rjust(precision, "0")
+    if len(digits) > precision:
+        raise ValueError(
+            f"decimal {value!r} overflows DECIMAL({precision},{scale})")
     intg = precision - scale
     ip, fp = digits[:intg], digits[intg:]
     out = bytearray()
