@@ -214,6 +214,51 @@ class LakehouseTable:
             self.remote.push(self.path)
         return nxt
 
+    # -- changelog producer ----------------------------------------------
+    def record_changelog(self, df: DataFrame, version: int) -> None:
+        """The `changelog-producer` analog (paimon write-props
+        changelog-producer = lookup | full-compaction): persist the
+        batch's changelog events (+I/-U/+U/-D with row data) NEXT TO
+        the snapshot they produced — paimon materializes changelog
+        files at write time exactly so streaming readers can serve the
+        event history instead of re-diffing snapshots
+        (PaimonSinkCDCIT testChangelogLookup/testChangelogFullCompaction).
+        Arrival order is preserved per batch: the frame is collapsed to
+        one partition first, so the sequence column is genuinely
+        sequential (this is an append LOG, not a per-key winner —
+        compaction determinism is unaffected)."""
+        out = os.path.join(self.path, "changelog", f"c{version}")
+        (df.coalesce(1)
+           .withColumn("__clog_seq", F.monotonically_increasing_id())
+           .write.mode("overwrite").parquet(out))
+        if self.remote is not None:
+            self.remote.push(self.path)
+
+    def read_changelog_log(self, spark: SparkSession) -> DataFrame | None:
+        """The recorded changelog across all commits, in write order
+        (ROW_KIND_COL carries each event's kind) — what a streaming
+        read of a changelog-producer table serves. None when the table
+        never recorded one (then streaming falls back to snapshot /
+        diff semantics)."""
+        import glob as _glob
+
+        dirs = sorted(
+            _glob.glob(os.path.join(self.path, "changelog", "c*")),
+            key=lambda p: int(os.path.basename(p)[1:]))
+        if not dirs:
+            return None
+        frames = [
+            spark.read.parquet(d).withColumn(
+                "__clog_ver",
+                F.lit(int(os.path.basename(d)[1:])))
+            for d in dirs]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return (out.coalesce(1)
+                .sortWithinPartitions("__clog_ver", "__clog_seq")
+                .drop("__clog_ver", "__clog_seq"))
+
     # -- schema evolution -------------------------------------------------
     def evolve(self, spark: SparkSession, ops: list,
                partition_keys: list[str] | None = None) -> None:
@@ -538,17 +583,32 @@ class LakehouseSink(Sink):
         if order_col is None and "__offset" in df.columns:
             drop.append("__offset")
         body = df.drop(*drop) if drop else df
+        wprops = dict(self.opt("paimon.table.write-props") or {})
+        clog_producer = wprops.get("changelog-producer")
         if keys and (ROW_KIND_COL in body.columns or upsert):
             if ROW_KIND_COL not in body.columns:
                 body = body.withColumn(ROW_KIND_COL, F.lit("+I"))
-            tbl.merge_apply(df.sparkSession, body, keys,
-                            order_col=order_col, partition_keys=parts)
+            ver = tbl.merge_apply(df.sparkSession, body, keys,
+                                  order_col=order_col,
+                                  partition_keys=parts)
+            if clog_producer:
+                # changelog-producer tables also materialize this
+                # batch's event log for streaming readers
+                tbl.record_changelog(
+                    body.drop(*[c for c in (order_col,)
+                                if c and c in body.columns]), ver)
         else:
             body = body.drop(ROW_KIND_COL) if ROW_KIND_COL in body.columns else body
             cur = tbl.read(df.sparkSession)
             new = body if cur is None else cur.unionByName(
                 body, allowMissingColumns=True)
-            tbl.commit(new, parts)
+            ver = tbl.commit(new, parts)
+            if clog_producer:
+                # an all-insert batch is still changelog: +I per row
+                tbl.record_changelog(
+                    body.drop(*[c for c in (order_col,)
+                                if c and c in body.columns])
+                    .withColumn(ROW_KIND_COL, F.lit("+I")), ver)
 
 
 class LakehouseSource(Source):
@@ -575,7 +635,18 @@ class LakehouseSource(Source):
         streaming-read semantics: initial snapshot then per-snapshot
         diffs; bounded here — each call emits the changelog from
         `scan.snapshot-id` to HEAD, like one poll of the reference's
-        continuous scan)."""
+        continuous scan). A table written with changelog-producer set
+        serves its RECORDED event log verbatim (PaimonSinkCDCIT
+        testChangelogLookup: +I/-U/+U/-D rows in write order) instead
+        of a snapshot diff."""
+        opts = dict(self.options)
+        if not opts.get("table_list"):
+            path, _keys, _parts, remote = _resolve_layout(
+                self.plugin_name, opts)
+            clog = LakehouseTable(path, remote=remote) \
+                .read_changelog_log(spark)
+            if clog is not None:
+                return clog
         return self.read(spark)
 
     def _read_one(self, spark: SparkSession, opts: dict) -> DataFrame:

@@ -187,7 +187,10 @@ class FakeSource(Source):
             raise ValueError("FakeSource: schema.fields required")
         schema = parse_schema(fields)
         explicit_rows = self.opt("rows")
-        if explicit_rows:
+        # rows = [] DECLARED empty means "no rows" (the paimon
+        # changelog ddl conf creates a table with an empty batch) —
+        # only an ABSENT rows option falls back to the generator
+        if explicit_rows is not None:
             data = [
                 tuple(_coerce(v, f.dataType)
                       for v, f in zip(r["fields"], schema.fields))
@@ -218,6 +221,14 @@ class FakeSource(Source):
         return base.select(*cols)
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
+        # Explicit `rows` in a STREAMING job (the paimon changelog
+        # confs: job.mode=Streaming with a declared +I/-U/+U/-D list)
+        # emit exactly the declared changelog as one bounded microbatch
+        # — the reference's FakeSource plays its row list once and the
+        # IT cancels the job; random generation would replace the
+        # declared events entirely.
+        if self.opt("rows") is not None:
+            return self.read(spark)
         # Bounded-as-stream: the rate source drives ids, same generators apply.
         num = int(self.opt("row.num", 5))
         rate = spark.readStream.format("rate").option(
