@@ -15,8 +15,8 @@ from seatunnel_spark.sources.base import Source
 from seatunnel_spark.sources.fake import FakeSource
 from seatunnel_spark.sources.file import FileSource, FILE_SOURCE_NAMES
 from seatunnel_spark.sources.jdbc import JdbcSource, JDBC_ALIAS_NAMES
-from seatunnel_spark.sources.http import (HttpSource, Web3jSource,
-                                          HTTP_SOURCE_NAMES)
+from seatunnel_spark.sources.http import (HttpSource, PrometheusSource,
+                                          Web3jSource, HTTP_SOURCE_NAMES)
 from seatunnel_spark.sources.stream import KafkaSource, SocketSource
 
 SOURCES: dict[str, type[Source]] = {"FakeSource": FakeSource}
@@ -27,6 +27,7 @@ for n in JDBC_ALIAS_NAMES:
 for n in HTTP_SOURCE_NAMES:
     SOURCES[n] = HttpSource
 SOURCES["Web3j"] = Web3jSource  # eth JSON-RPC, not a REST pull
+SOURCES["Prometheus"] = PrometheusSource  # /api/v1/query(_range) shaping
 SOURCES["Kafka"] = KafkaSource
 SOURCES["Socket"] = SocketSource
 

@@ -140,6 +140,8 @@ def _coerce(value, dt: T.DataType):
     if isinstance(dt, T.TimestampType):
         import datetime
 
+        if value == "CURRENT_TIMESTAMP":  # prometheus_remote_write.conf
+            return datetime.datetime.now()
         return (value if not isinstance(value, str)
                 else datetime.datetime.fromisoformat(value))
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):

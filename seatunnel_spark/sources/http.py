@@ -117,6 +117,72 @@ def _fetch_pages(url: str, method: str, headers: dict, params: dict,
     return out
 
 
+class PrometheusSource(Source):
+    """Prometheus HTTP-API source (connector-prometheus
+    PrometheusSourceParameter: query_type Instant -> GET /api/v1/query,
+    Range -> /api/v1/query_range with start/end/step, CURRENT_TIMESTAMP
+    resolving to now; PrometheusSourceReader.convertInstantPoints /
+    convertRangePoints: each result point becomes (metric map,
+    Double(value[1]), long(value[0]*1000))). Driver-side single query
+    like the reference's one-split reader; VictoriaMetrics speaks the
+    same API, so both e2e conf families route here."""
+
+    NAME = "Prometheus"
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        import datetime as _dt
+
+        base = apply_host_aliases(str(self.require("url"))).rstrip("/")
+        query = str(self.require("query"))
+        qtype = str(self.opt("query_type", "Instant"))
+        params: dict = {"query": query}
+        if self.opt("timeout") is not None:
+            params["timeout"] = self.opt("timeout")
+
+        def _time(v):
+            if str(v) == "CURRENT_TIMESTAMP":
+                return _dt.datetime.now(_dt.timezone.utc).isoformat()
+            return str(v)
+
+        if qtype.lower() == "range":
+            url = base + "/api/v1/query_range"
+            params["start"] = _time(self.require("start"))
+            params["end"] = _time(self.require("end"))
+            params["step"] = str(self.require("step"))
+        else:
+            url = base + "/api/v1/query"
+            if self.opt("time") is not None:
+                params["time"] = _time(self.opt("time"))
+        headers = dict(self.opt("headers") or {})
+        text = _fetch_one(url, "GET", headers,
+                          {k: str(v).replace(" ", "%20")
+                           for k, v in params.items()}, None)
+        content_field = self.opt("content_field", "$.data.result.*")
+        points = jsonpath_select(json.loads(text), content_field)
+        if points is None:
+            points = []
+        if not isinstance(points, list):
+            points = [points]
+
+        rows = []
+        for p in points:
+            metric = {str(k): str(v)
+                      for k, v in (p.get("metric") or {}).items()}
+            if qtype.lower() == "range":
+                for value in p.get("values") or []:
+                    rows.append((metric, float(value[1]),
+                                 int(float(value[0]) * 1000)))
+            else:
+                value = p.get("value") or [0, "0"]
+                rows.append((metric, float(value[1]),
+                             int(float(value[0]) * 1000)))
+        schema = parse_schema(
+            (self.opt("schema") or {}).get("fields")
+            or {"metric": "map<string,string>", "value": "double",
+                "time": "bigint"})
+        return spark.createDataFrame(rows, schema)
+
+
 class Web3jSource(Source):
     """Ethereum JSON-RPC source (connector-web3j
     Web3jSourceReader.java): one eth_blockNumber call per poll; each

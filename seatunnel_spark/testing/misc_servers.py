@@ -220,6 +220,11 @@ def decode_write_request(data: bytes) -> list[tuple[dict, list]]:
 
 
 def start_mini_prometheus(port: int = 0):
+    """Remote-write receiver + the query HTTP API: GET /api/v1/query
+    answers with an instant vector built from the received samples
+    (last sample per series), /api/v1/query_range with a range matrix
+    (all samples) — the e2e ITs write via remote-write then read back
+    through the same server (VictoriaMetrics speaks both too)."""
     received: list = []
     lock = threading.RLock()
 
@@ -231,6 +236,37 @@ def start_mini_prometheus(port: int = 0):
             with lock:
                 received.extend(decode_write_request(raw))
             self._reply(200, {})
+
+        def do_GET(self):
+            import urllib.parse as _up
+
+            parts = _up.urlsplit(self.path)
+            q = dict(_up.parse_qsl(parts.query))
+            want = _up.unquote(q.get("query", ""))
+            with lock:
+                series = [(labels, samples) for labels, samples
+                          in received
+                          if labels.get("__name__") == want]
+            if parts.path.endswith("/api/v1/query_range"):
+                result = [{
+                    "metric": labels,
+                    "values": [[ts / 1000.0, str(val)]
+                               for val, ts in samples],
+                } for labels, samples in series]
+                rtype = "matrix"
+            elif parts.path.endswith("/api/v1/query"):
+                result = [{
+                    "metric": labels,
+                    "value": [samples[-1][1] / 1000.0,
+                              str(samples[-1][0])],
+                } for labels, samples in series if samples]
+                rtype = "vector"
+            else:
+                self._reply(404, {"status": "error"})
+                return
+            self._reply(200, {"status": "success",
+                              "data": {"resultType": rtype,
+                                       "result": result}})
 
     port, stop = _serve(H, port)
     return received, port, stop
