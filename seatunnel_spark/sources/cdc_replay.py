@@ -238,6 +238,23 @@ class CdcReplaySource(Source):
 
     NAME = "MySQL-CDC"
 
+    def table_id(self) -> str | None:
+        """Catalog table id: the declared schema table if any, else the
+        single table-names entry — a one-table CDC job's ${table_name}
+        placeholder must resolve to the SOURCE table (the reference
+        builds CatalogTable from it), not the DAG plugin_output name
+        (opengausscdc_to_opengauss_with_multi_table_mode_one_table.conf:
+        plugin_output is customers_opengauss_cdc but the sink writes
+        sink_opengauss_cdc_table_1)."""
+        base = super().table_id()
+        if base:
+            return base
+        try:
+            tables = self._tables()
+        except Exception:  # noqa: BLE001 - placeholder nicety only
+            return None
+        return tables[0] if len(tables) == 1 else None
+
     def _replay_dir(self) -> str | None:
         return self.opt("replay.dir") or os.environ.get(
             "SEATUNNEL_SPARK_CDC_REPLAY")

@@ -15,6 +15,7 @@ class MiniPg:
                  auth: str = "md5"):
         self.user = user
         self.password = password
+        self.users = {user: password}  # extra roles may be added
         self.auth = auth
         self.statements: list[str] = []
         # uppercased-prefix -> (cols, oids, rows-of-strings)
@@ -113,18 +114,27 @@ def _handle(conn: socket.socket, pg: MiniPg) -> None:
 
     try:
         (ln,) = struct.unpack(">i", read_exact(4))
-        read_exact(ln - 4)  # startup params (version + kv pairs)
+        startup = read_exact(ln - 4)  # version + kv pairs
+        # the connecting user from the startup message (several roles
+        # may exist: the opengauss confs read as gaussdb, sink as dailai)
+        kvs = startup[4:].split(b"\0")
+        req_user = pg.user
+        for i in range(0, len(kvs) - 1, 2):
+            if kvs[i] == b"user":
+                req_user = kvs[i + 1].decode()
         salt = b"sal7"
         if pg.auth == "md5":
             conn.sendall(_msg(b"R", struct.pack(">i", 5) + salt))
             mtype = read_exact(1)
             (ln,) = struct.unpack(">i", read_exact(4))
             pwd = read_exact(ln - 4).rstrip(b"\0")
+            users = getattr(pg, "users", None) or {pg.user: pg.password}
+            right = users.get(req_user, pg.password)
             inner = hashlib.md5(
-                pg.password.encode() + pg.user.encode()).hexdigest()
+                right.encode() + req_user.encode()).hexdigest()
             want = b"md5" + hashlib.md5(
                 inner.encode() + salt).hexdigest().encode()
-            if mtype != b"p" or pwd != want:
+            if mtype != b"p" or pwd != want or req_user not in users:
                 conn.sendall(_msg(b"E", b"SFATAL\0M" + b"auth failed\0\0"))
                 return
         conn.sendall(_msg(b"R", struct.pack(">i", 0)))

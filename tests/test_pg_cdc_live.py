@@ -135,6 +135,7 @@ def test_live_opengauss_metadata_trans_conf(spark, monkeypatch):
 
     monkeypatch.delenv("SEATUNNEL_SPARK_CDC_REPLAY", raising=False)
     pg, port, stop = start_mini_pg("gaussdb", "openGauss@123")
+    pg.users["dailai"] = "openGauss@123"  # the confs' sink role
     try:
         cols = ["id", "name", "description", "weight"]
         oids = [23, 25, 25, 701]
@@ -205,5 +206,55 @@ def test_live_pgcdc_variant_confs(spark, monkeypatch, conf, tables):
         ins = " ".join(s for s in pg.statements
                        if s.upper().startswith("INSERT"))
         assert "new9" in ins
+    finally:
+        stop()
+
+
+_OG_RES = ("/root/reference/seatunnel-e2e/seatunnel-connector-v2-e2e/"
+           "connector-cdc-opengauss-e2e/src/test/resources")
+
+
+@pytest.mark.parametrize("conf,tables", [
+    ("opengausscdc_to_opengauss", ["opengauss_cdc_table_1"]),
+    ("opengausscdc_to_opengauss_test_add_Filed",
+     ["opengauss_cdc_table_3"]),
+    ("opengausscdc_to_opengauss_with_custom_primary_key",
+     ["full_types_no_primary_key"]),
+    ("opengausscdc_to_opengauss_with_no_primary_key",
+     ["full_types_no_primary_key"]),
+    ("opengausscdc_to_opengauss_with_multi_table_mode_one_table",
+     ["opengauss_cdc_table_1"]),
+    ("opengausscdc_to_opengauss_with_multi_table_mode_two_table",
+     ["opengauss_cdc_table_1", "opengauss_cdc_table_2"]),
+])
+def test_live_opengausscdc_variant_confs(spark, monkeypatch, conf, tables):
+    """The six opengausscdc_to_opengauss confs run UNMODIFIED live:
+    openGauss speaks the postgres wire + pgoutput, so the same
+    replication client serves them (jdbc:postgresql base-url with the
+    opengauss_cdc_e2e host alias); single-table upserts, custom/no
+    primary keys, add-field, and ${tablePrefix} multi-table fan-out."""
+    from seatunnel_spark.pg_logical import lsn_str
+
+    monkeypatch.delenv("SEATUNNEL_SPARK_CDC_REPLAY", raising=False)
+    pg, port, stop = start_mini_pg("gaussdb", "openGauss@123")
+    pg.users["dailai"] = "openGauss@123"  # the confs' sink role
+    try:
+        for t in tables:
+            _pg_seed_simple(pg, "inventory", t, [(1, "a")])
+        pg.mark_snapshot()
+        for t in tables:
+            pg.wal_insert("inventory", t, [["9", "new9"]])
+        pg.canned["SELECT PG_CURRENT_WAL_LSN"] = (
+            ["pg_current_wal_lsn"], [25], [(lsn_str(pg.snapshot_lsn),)])
+        pg.canned["SELECT A.ATTNAME"] = (["attname"], [25], [("id",)])
+        monkeypatch.setitem(os.environ, "SEATUNNEL_SPARK_HOST_ALIASES",
+                            f"opengauss_cdc_e2e=tcp://127.0.0.1:{port}")
+        JobEngine(spark).run(JobSpec.from_file(f"{_OG_RES}/{conf}.conf"))
+        ins = " ".join(s for s in pg.statements
+                       if s.upper().startswith("INSERT"))
+        assert "new9" in ins
+        if "multi_table" in conf:  # ${tablePrefix} routing
+            for t in tables:
+                assert f"sink_{t}" in ins
     finally:
         stop()
