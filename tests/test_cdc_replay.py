@@ -924,3 +924,36 @@ def test_oraclecdc_to_mysql_schema_change_conf(spark, tmp_path,
         assert "yy" in ins
     finally:
         stop()
+
+
+@pytest.mark.parametrize("conf,table,has_pk", [
+    ("tidbcdc_to_tidb_with_disable_exactly_once",
+     "tidb_cdc_e2e_source_table", True),
+    ("tidbcdc_to_tidb_with_no_primary_key",
+     "tidb_cdc_e2e_source_table_no_primary_key", False),
+])
+def test_live_tidb_variant_confs(spark, monkeypatch, conf, table, has_pk):
+    """The remaining tidbcdc conf variants run UNMODIFIED via the
+    MySQL-compatible wire: exactly_once = false and the
+    no-primary-key table (sink keys from the conf's primary_keys)."""
+    from seatunnel_spark.testing.mysql_server import start_mini_mysql
+
+    monkeypatch.delenv("SEATUNNEL_SPARK_CDC_REPLAY", raising=False)
+    srv, port, stop = start_mini_mysql("root", "")
+    try:
+        _seed_simple(srv, "tidb_cdc", table, [(1, "a")])
+        if not has_pk:
+            srv.primary_keys.pop(table, None)
+        srv.mark_snapshot()
+        srv.binlog_insert("tidb_cdc", table, [(2, "b")])
+        monkeypatch.setenv("SEATUNNEL_SPARK_HOST_ALIASES",
+                           f"tidb0=tcp://127.0.0.1:{port}")
+        JobEngine(spark).run(JobSpec.from_file(
+            "/root/reference/seatunnel-e2e/seatunnel-connector-v2-e2e/"
+            f"connector-cdc-tidb-e2e/src/test/resources/tidb/{conf}.conf"))
+        ups = [s for s in srv.statements
+               if "tidb_cdc_e2e_sink_table" in s
+               and s.upper().startswith("INSERT")]
+        assert ups and "b" in " ".join(ups)
+    finally:
+        stop()
