@@ -176,6 +176,52 @@ class PgClient:
                     raise RuntimeError(f"pg error: {err}")
                 return cols, oids, rows
 
+    def copy_in(self, table: str, cols: list[str], rows) -> str:
+        """COPY table (cols) FROM STDIN, text format (tab-separated,
+        \\N nulls, backslash escapes — the protocol's default COPY
+        text encoding). Returns the CommandComplete tag."""
+        col_list = ", ".join(cols)
+        self._send(b"Q", f"COPY {table} ({col_list}) FROM STDIN"
+                   .encode() + b"\0")
+        # wait for CopyInResponse
+        while True:
+            mtype, payload = self._next()
+            if mtype == b"G":
+                break
+            if mtype == b"E":
+                raise RuntimeError(
+                    f"pg copy error: {self._error_text(payload)}")
+
+        def cell(v) -> str:
+            if v is None:
+                return "\\N"
+            s = v.decode("utf-8", "replace") if isinstance(
+                v, (bytes, bytearray)) else str(v)
+            return (s.replace("\\", "\\\\").replace("\t", "\\t")
+                    .replace("\n", "\\n").replace("\r", "\\r"))
+
+        buf = []
+        for r in rows:
+            buf.append("\t".join(cell(v) for v in r) + "\n")
+            if len(buf) >= 500:
+                self._send(b"d", "".join(buf).encode())
+                buf = []
+        if buf:
+            self._send(b"d", "".join(buf).encode())
+        self._send(b"c", b"")  # CopyDone
+        tag = ""
+        err = None
+        while True:
+            mtype, payload = self._next()
+            if mtype == b"C":
+                tag = payload.rstrip(b"\0").decode()
+            elif mtype == b"E":
+                err = self._error_text(payload)
+            elif mtype == b"Z":
+                if err:
+                    raise RuntimeError(f"pg copy error: {err}")
+                return tag
+
     def execute(self, sql: str) -> str:
         """Run a statement, return the last CommandComplete tag."""
         self._send(b"Q", sql.encode() + b"\0")

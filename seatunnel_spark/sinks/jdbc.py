@@ -50,6 +50,17 @@ def _jvm_driver_available(spark, driver) -> bool:
 CHANGELOG_META = (ROW_KIND_COL, TABLE_ID_COL, "__offset", "__event_ts")
 
 
+def _positional_sql(sql: str, columns) -> tuple[str, list[str]]:
+    """Named `:param` placeholders -> '?' plus their bind order; plain
+    '?' statements bind the given column order."""
+    import re
+
+    names = re.findall(r"(?<![:\w]):([A-Za-z_]\w*)", sql)
+    if names:
+        return re.sub(r"(?<![:\w]):([A-Za-z_]\w*)", "?", sql), names
+    return sql, list(columns)
+
+
 def last_event_per_key(df: DataFrame, keys: list[str]) -> DataFrame:
     """Deterministic last event per key of a +I/-U/+U/-D changelog.
 
@@ -143,6 +154,30 @@ class JdbcSink(Sink):
                 sub.write(tdf)
             return
         url = resolve_jdbc_url(self.require("url"))
+        sink_sql = self.opt("query")
+        if sink_sql and not (self.opt("generate_sink_sql")
+                             and (self.opt("table")
+                                  or self.opt("table_path"))):
+            # explicit DML statement (the reference's plain
+            # JdbcOutputFormat shape: `query = "insert into sink (...)
+            # values (?, ...)"`, or :name named parameters —
+            # jdbc_sink_name_parameter_sql.conf). Positional '?' binds
+            # the frame's column order: the conf's insert column list
+            # mirrors its select list.
+            user = str(self.opt("user", ""))
+            password = str(self.opt("password", ""))
+            body = df.drop(*[c for c in (TABLE_ID_COL, ROW_KIND_COL,
+                                         "__offset", "__event_ts")
+                             if c in df.columns])
+            sql, param_cols = _positional_sql(str(sink_sql),
+                                              body.columns)
+            if bool(self.opt("is_exactly_once", False)):
+                self._write_2pc(body.select(*param_cols), url, "",
+                                user, password, sql=sql)
+            else:
+                self._wire_exec(body, url, sql, user, password,
+                                param_cols)
+            return
         tid_parts = str(getattr(self, "input_name", None)
                         or "default").split(".")
         table_opt = self.opt("table") or self.opt("table_path")
@@ -202,6 +237,21 @@ class JdbcSink(Sink):
             return
         df = df.drop(*[c for c in (ROW_KIND_COL, "__offset", "__event_ts")
                        if c in df.columns])
+        if keys and bool(self.opt("generate_sink_sql")) \
+                and not bool(self.opt("use_copy_statement", False)):
+            # generate_sink_sql + primary_keys upserts even for plain
+            # batch rows (the reference's upsert-by-query mode,
+            # jdbc_sink_auto_generate_upsql_sql.conf)
+            if bool(self.opt("is_exactly_once", False)):
+                from seatunnel_spark.jdbc_dialects import dialect_for
+
+                dialect = dialect_for(url, self.opt("compatible_mode"))
+                self._write_2pc(df, url, table, user, password,
+                                sql=dialect.upsert_sql(
+                                    table, df.columns, keys))
+            else:
+                self._upsert(df, url, table, user, password, keys)
+            return
         if bool(self.opt("is_exactly_once", False)):
             self._write_2pc(df, url, table, user, password)
             return
@@ -332,10 +382,24 @@ class JdbcSink(Sink):
     def _wire_insert(self, df: DataFrame, url: str, table: str,
                      user: str, password: str) -> None:
         from seatunnel_spark.jdbc_dialects import dialect_for
+        from seatunnel_spark.sql_exec import wire_family
 
+        if bool(self.opt("use_copy_statement", False)) \
+                and wire_family(url) == "pg":
+            # COPY table (cols) FROM STDIN — the reference's bulk-load
+            # path for pg sinks (jdbc_postgres_source_and_sink_copy_
+            # stmt.conf; CopyManagerProxy in connector-jdbc)
+            self._wire_copy(df, url, table, user, password)
+            return
         dialect = dialect_for(url, self.opt("compatible_mode"))
-        cols = df.columns
-        sql = dialect.insert_sql(table, cols)
+        self._wire_exec(df, url, dialect.insert_sql(table, df.columns),
+                        user, password, df.columns)
+
+    def _wire_exec(self, df: DataFrame, url: str, sql: str, user: str,
+                   password: str, cols) -> None:
+        """Partition-parallel batched execution of one DML statement,
+        bound per row in `cols` order."""
+        cols = list(cols)
         batch = self._batch_size()
 
         def run_partition(rows):
@@ -356,6 +420,29 @@ class JdbcSink(Sink):
             finally:
                 if ex is not None:
                     ex.close()
+
+        df.foreachPartition(run_partition)
+
+    def _wire_copy(self, df: DataFrame, url: str, table: str,
+                   user: str, password: str) -> None:
+        cols = df.columns
+
+        def run_partition(rows):
+            from seatunnel_spark.pg_wire import PgClient
+
+            it = iter(rows)
+            first = next(it, None)
+            if first is None:
+                return
+            import itertools as _it
+
+            cl = PgClient.from_jdbc_url(url, user, password)
+            try:
+                cl.copy_in(table, cols,
+                           ([r[c] for c in cols]
+                            for r in _it.chain([first], it)))
+            finally:
+                cl.close()
 
         df.foreachPartition(run_partition)
 

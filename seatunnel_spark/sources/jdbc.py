@@ -38,6 +38,25 @@ class JdbcSource(Source):
     def read(self, spark: SparkSession) -> DataFrame:
         from seatunnel_spark.net import resolve_jdbc_url
 
+        table_list = self.opt("table_list")
+        if table_list:
+            # multi-table source (jdbc_mysql_source_and_sink_with_
+            # multiple_tables.conf): one entry per table_path/query,
+            # routed downstream by table id
+            out = {}
+            for entry in table_list:
+                sub_opts = {k: v for k, v in self.options.items()
+                            if k != "table_list"}
+                sub_opts.pop("table_path", None)
+                sub_opts.pop("query", None)
+                sub_opts.update(entry)
+                sub = JdbcSource(sub_opts)
+                sub.plugin_name = self.plugin_name
+                tid = str(entry.get("table_path")
+                          or entry.get("table") or f"t{len(out)}")
+                out[tid] = sub.read(spark)
+            return out if len(out) > 1 else next(iter(out.values()))
+
         url = resolve_jdbc_url(self.require("url"))
         props = {
             "user": str(self.opt("user", "")),
@@ -54,10 +73,15 @@ class JdbcSource(Source):
         if dbtable is None:
             raise ValueError("Jdbc source: one of table_path/query required")
 
+        from seatunnel_spark.sinks.jdbc import _jvm_driver_available
         from seatunnel_spark.sql_exec import wire_family
 
         if bool(self.opt("use_wire_client", False)) or (
-                wire_family(url) and not self.opt("driver")):
+                wire_family(url) and not _jvm_driver_available(
+                    spark, self.opt("driver"))):
+            # a conf-declared JVM driver class that isn't on the
+            # classpath falls back to the stdlib wire client, same
+            # rule as the sink
             return self._wire_read(spark, url, props, table, query)
 
         part_col = self.opt("partition_column")
@@ -91,17 +115,39 @@ class JdbcSource(Source):
         user, password = props.get("user", ""), props.get("password", "")
         family = wire_family(url)
         base = query if query else f"SELECT * FROM {table}"
+        base = base.strip().rstrip(";")  # confs end queries with ';'
 
         part_col = self.opt("partition_column")
         predicates = self.opt("predicates")
         if part_col:
-            lo = int(self.require("partition_lower_bound"))
-            hi = int(self.require("partition_upper_bound"))
-            n = int(self.opt("partition_num", 8))
-            step = max(1, (hi - lo + n) // n)
-            predicates = [
-                f"{part_col} >= {s} AND {part_col} < {min(s + step, hi + 1)}"
-                for s in range(lo, hi + 1, step)]
+            lo_opt = self.opt("partition_lower_bound")
+            hi_opt = self.opt("partition_upper_bound")
+            if lo_opt is None or hi_opt is None:
+                # DynamicChunkSplitter.java probes MIN/MAX when bounds
+                # are absent; a non-numeric partition column (the pg
+                # conf's varchar_col) falls back to one slice — the
+                # reference samples string ranges, a single slice is
+                # the correctness-safe analog
+                e = WireExecutor(url, user, password)
+                try:
+                    _, _, mm = e.query(
+                        f"SELECT MIN({part_col}), MAX({part_col}) "
+                        f"FROM ({base}) st_mm")
+                finally:
+                    e.close()
+                try:
+                    lo_opt = int(float(mm[0][0]))
+                    hi_opt = int(float(mm[0][1]))
+                except (TypeError, ValueError, IndexError):
+                    lo_opt = hi_opt = None
+            if lo_opt is not None and hi_opt is not None:
+                lo, hi = int(lo_opt), int(hi_opt)
+                n = int(self.opt("partition_num", 8))
+                step = max(1, (hi - lo + n) // n)
+                predicates = [
+                    f"{part_col} >= {s} AND "
+                    f"{part_col} < {min(s + step, hi + 1)}"
+                    for s in range(lo, hi + 1, step)]
         slices = ([f"SELECT * FROM ({base}) st_src WHERE {p}"
                    for p in predicates] if predicates else [base])
 

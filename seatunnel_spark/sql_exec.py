@@ -16,7 +16,8 @@ from __future__ import annotations
 import datetime
 import decimal
 
-_PG_PREFIXES = ("jdbc:postgresql:", "jdbc:redshift:", "jdbc:greenplum:")
+_PG_PREFIXES = ("jdbc:postgresql:", "jdbc:redshift:", "jdbc:greenplum:",
+                "jdbc:opengauss:", "jdbc:kingbase8:", "jdbc:highgo:")
 _MYSQL_PREFIXES = ("jdbc:mysql:", "jdbc:mariadb:", "jdbc:oceanbase:")
 
 

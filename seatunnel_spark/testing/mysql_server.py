@@ -114,28 +114,39 @@ def _col_def(name: str, type_code: int) -> bytes:
 
 
 def _filter_rows(table, where: str):
+    """ANDed comparison conditions; numeric compare when both sides
+    parse (partition predicates `col >= lo AND col < hi` would be
+    wrong lexicographically)."""
     cols, types, rows = table
-    m = re.match(r"\s*(?:\()?\s*(\w+)\s*(=|>=|<=|>|<)\s*'?([^')\s]+)'?",
-                 where or "")
-    if not m:
+    if not where:
         return rows
-    col, op, val = m.group(1), m.group(2), m.group(3)
-    if col not in cols:
+    conds = re.findall(r"(\w+)\s*(>=|<=|=|>|<)\s*'?([^'()\s]+)'?", where)
+    if not conds:
         return rows
-    idx = cols.index(col)
     import operator
 
     ops = {"=": operator.eq, ">": operator.gt, "<": operator.lt,
            ">=": operator.ge, "<=": operator.le}
 
-    def conv(cell):
-        try:
-            return type(cell)(val) if cell is not None else None
-        except (TypeError, ValueError):
-            return val
+    def keep(r):
+        for col, op, val in conds:
+            if col not in cols:
+                continue
+            cell = r[cols.index(col)]
+            if cell is None:
+                return False
+            try:  # exact ints first: floats lose precision past 2^53
+                a, b = int(cell), int(val)
+            except (TypeError, ValueError):
+                try:
+                    a, b = float(cell), float(val)
+                except (TypeError, ValueError):
+                    a, b = str(cell), str(val)
+            if not ops[op](a, b):
+                return False
+        return True
 
-    return [r for r in rows
-            if r[idx] is not None and ops[op](r[idx], conv(r[idx]))]
+    return [r for r in rows if keep(r)]
 
 
 def _handle(conn: socket.socket, srv: MiniMySql) -> None:
@@ -259,6 +270,34 @@ def _handle(conn: socket.socket, srv: MiniMySql) -> None:
                 send_packet(eof())
                 send_packet(lenenc_str(srv.binlog_file.encode())
                             + lenenc_str(str(pos).encode()))
+                send_packet(eof())
+                continue
+            m_ag = re.match(
+                r"\s*SELECT\s+MIN\(`?(\w+)`?\)\s*,\s*MAX\(`?(\w+)`?\)\s+"
+                r"FROM\s+\(?\s*(?:SELECT\s+.+?\s+FROM\s+)?([`\w.]+)",
+                sql, re.I | re.S)
+            if m_ag:
+                # partition-bound probe (DynamicChunkSplitter MIN/MAX)
+                tname = m_ag.group(3).replace("`", "").split(".")[-1]
+                t = srv.tables.get(tname)
+                if t is None:
+                    send_packet(ok())
+                    continue
+                cols, _types, rows = t
+                ci = cols.index(m_ag.group(1))
+                vals = [float(r[ci]) for r in rows if r[ci] is not None]
+                lo = min(vals) if vals else None
+                hi = max(vals) if vals else None
+                send_packet(lenenc(2))
+                send_packet(_col_def("MIN", 253))
+                send_packet(_col_def("MAX", 253))
+                send_packet(eof())
+
+                def fmt(v):
+                    return (b"\xfb" if v is None else lenenc_str(
+                        (str(int(v)) if float(v).is_integer()
+                         else str(v)).encode()))
+                send_packet(fmt(lo) + fmt(hi))
                 send_packet(eof())
                 continue
             m = re.match(

@@ -16,6 +16,7 @@ class MiniPg:
         self.user = user
         self.password = password
         self.users = {user: password}  # extra roles may be added
+        self.copied: list[tuple] = []  # COPY FROM STDIN rows
         self.auth = auth
         self.statements: list[str] = []
         # uppercased-prefix -> (cols, oids, rows-of-strings)
@@ -196,6 +197,36 @@ def _handle(conn: socket.socket, pg: MiniPg) -> None:
                 continue
             hit = next((v for k, v in pg.canned.items()
                         if sql.upper().startswith(k)), None)
+            import re as _re2
+
+            m_copy = _re2.match(r"\s*COPY\s+([\w.\"]+)\s*\(([^)]*)\)\s+"
+                                r"FROM\s+STDIN", sql, _re2.I)
+            if m_copy:
+                # CopyInResponse: text format, n columns, per-col fmt 0
+                names = [c.strip() for c in m_copy.group(2).split(",")]
+                conn.sendall(_msg(b"G", b"\x00"
+                             + struct.pack(">h", len(names))
+                             + struct.pack(">h", 0) * len(names)))
+                text = ""
+                while True:
+                    ct = read_exact(1)
+                    (cln,) = struct.unpack(">i", read_exact(4))
+                    cpayload = read_exact(cln - 4)
+                    if ct == b"d":
+                        text += cpayload.decode()
+                    elif ct in (b"c", b"f"):
+                        break
+                n = 0
+                for line in text.splitlines():
+                    cells = [None if c == "\\N" else c
+                             .replace("\\t", "\t").replace("\\n", "\n")
+                             .replace("\\r", "\r").replace("\\\\", "\\")
+                             for c in line.split("\t")]
+                    pg.copied.append((m_copy.group(1), names, cells))
+                    n += 1
+                conn.sendall(_msg(b"C", f"COPY {n}\0".encode()))
+                conn.sendall(_msg(b"Z", b"I"))
+                continue
             if hit:
                 cols, oids, rows = hit
                 desc = struct.pack(">h", len(cols))
