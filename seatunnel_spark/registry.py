@@ -233,7 +233,10 @@ def register_all() -> None:
     SINKS["Kafka"] = KafkaSink
     SINKS["Hive"] = HiveSink
     SINKS["Socket"] = SocketSink
-    for name in ("Http", "Slack", "DingTalk", "Feishu", "EmailSink", "Sentry"):
+    from seatunnel_spark.sinks.email import EmailSink
+
+    SINKS["EmailSink"] = EmailSink  # real SMTP, not a webhook
+    for name in ("Http", "Slack", "DingTalk", "Feishu", "Sentry"):
         SINKS.setdefault(name, WebhookSink)
     for name, note in _GATED_SINKS.items():
         if note is not None:

@@ -49,10 +49,26 @@ class DruidSink(Sink):
         return False
 
     def write(self, df: DataFrame) -> None:
-        base = apply_host_aliases(self.require("coordinatorUrl").rstrip("/"))
-        if not base.startswith("http"):
-            base = f"http://{base}"
-        datasource = self.require("datasource")
+        groups = getattr(self, "table_groups", None)
+        if groups:
+            # multi-table fan-out with ${table_name} datasources
+            # (fakesource_to_druid_with_multi.conf)
+            for tid, tdf in groups.items():
+                sub = DruidSink(self.options)
+                sub.plugin_name = self.plugin_name
+                sub.input_name = tid
+                sub.write(tdf)
+            return
+        raw = str(self.require("coordinatorUrl")).rstrip("/")
+        if "://" not in raw:  # conf writes bare host:port
+            raw = f"http://{raw}"
+        base = apply_host_aliases(raw)
+        datasource = str(self.require("datasource"))
+        if "${table_name}" in datasource:
+            datasource = datasource.replace(
+                "${table_name}",
+                str(getattr(self, "input_name", None)
+                    or "default").split(".")[-1])
         batch_size = int(self.opt("batchSize", 10000))
         columns = [c for c in df.columns
                    if c not in (ROW_KIND_COL, TABLE_ID_COL)]

@@ -31,12 +31,15 @@ _CQL_TO_DSL = {0x01: "string", 0x02: "bigint", 0x03: "binary",
 
 
 def _host_port(opts) -> tuple[str, int]:
+    from seatunnel_spark.net import apply_host_aliases
+
     host = opts.get("host", "localhost")
     host = host[0] if isinstance(host, list) else str(host).split(",")[0]
-    if ":" in host:
-        h, _, p = host.rpartition(":")
-        return h, int(p)
-    return host, 9042
+    if ":" not in host:
+        host = f"{host}:9042"
+    resolved = apply_host_aliases(f"tcp://{host}").split("://", 1)[1]
+    h, _, p = resolved.rpartition(":")
+    return h, int(p)
 
 
 class CassandraSource(Source):

@@ -115,9 +115,21 @@ class InfluxDbSink(Sink):
         return False
 
     def write(self, df: DataFrame) -> None:
+        groups = getattr(self, "table_groups", None)
+        if groups:
+            # multi-table fan-out: measurement = source table name
+            # (fake_to_infuxdb_with_multipletable.conf)
+            for tid, tdf in groups.items():
+                sub = InfluxDbSink(self.options)
+                sub.plugin_name = self.plugin_name
+                sub.input_name = tid
+                sub.write(tdf)
+            return
         base = apply_host_aliases(self.require("url").rstrip("/"))
         db = self.require("database")
-        measurement = self.require("measurement")
+        measurement = self.opt("measurement") or str(
+            getattr(self, "input_name", None) or
+            self.require("measurement")).split(".")[-1]
         key_time = self.opt("key_time")
         key_tags = self.opt("key_tags") or []
         batch_size = int(self.opt("batch_size", 1024))

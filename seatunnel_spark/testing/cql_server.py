@@ -25,7 +25,8 @@ _INSERT = re.compile(
     r"INSERT\s+INTO\s+(\S+?)\.(\S+?)\s*\(([^)]*)\)\s*VALUES\s*\((.*?)\)\s*$",
     re.I | re.S)
 _SELECT = re.compile(
-    r"SELECT\s+(.+?)\s+FROM\s+(\S+?)\.(\S+?)(?:\s+WHERE\s+.*)?$", re.I | re.S)
+    r"SELECT\s+(.+?)\s+FROM\s+(?:(\S+?)\.)?(\S+?)(?:\s+WHERE\s+.*)?$",
+    re.I | re.S)
 
 
 def _parse_vals(raw: str) -> list:
@@ -71,6 +72,11 @@ class MiniCql:
         if m:
             cols_s, ks, t = m.groups()
             with self.lock:
+                if ks is None:
+                    # session default keyspace (the driver connects
+                    # WITH a keyspace; bare table names resolve in it)
+                    ks = next((k for k, tt in self.tables
+                               if tt == t), None)
                 rows = list(self.tables.get((ks, t), []))
             if cols_s.strip() == "*":
                 names = sorted({k for r in rows for k in r})

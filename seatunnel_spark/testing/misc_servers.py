@@ -410,3 +410,92 @@ def start_mini_firestore(port: int = 0):
 
     port, stop = _serve(H, port)
     return state, port, stop
+
+
+# ==========================================================================
+# SMTP server (GreenMail stand-in for connector-email-e2e)
+# ==========================================================================
+
+def start_mini_smtp(port: int = 0, host: str = "127.0.0.1"):
+    """Minimal RFC 5321 server: HELO/EHLO, MAIL FROM, RCPT TO, DATA
+    (dot-terminated), QUIT. Returns (messages, port, stop); each
+    message is {"from", "to": [...], "data": str}."""
+    messages: list[dict] = []
+    lock = threading.RLock()
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, port))
+    srv.listen(8)
+    actual = srv.getsockname()[1]
+    stopping = threading.Event()
+
+    def handle(conn):
+        f = conn.makefile("rb")
+
+        def send(line):
+            conn.sendall(line.encode() + b"\r\n")
+
+        try:
+            send("220 mini-smtp ready")
+            cur = {"from": "", "to": [], "data": ""}
+            while True:
+                line = f.readline()
+                if not line:
+                    return
+                cmd = line.decode(errors="replace").strip()
+                up = cmd.upper()
+                if up.startswith(("HELO", "EHLO")):
+                    send("250 mini-smtp")
+                elif up.startswith("MAIL FROM:"):
+                    cur["from"] = cmd[10:].strip().strip("<>")
+                    send("250 OK")
+                elif up.startswith("RCPT TO:"):
+                    cur["to"].append(cmd[8:].strip().strip("<>"))
+                    send("250 OK")
+                elif up == "DATA":
+                    send("354 end with <CRLF>.<CRLF>")
+                    body = []
+                    while True:
+                        dl = f.readline()
+                        if not dl or dl.rstrip(b"\r\n") == b".":
+                            break
+                        body.append(dl.decode(errors="replace"))
+                    cur["data"] = "".join(body)
+                    with lock:
+                        messages.append(dict(cur))
+                    cur = {"from": "", "to": [], "data": ""}
+                    send("250 OK queued")
+                elif up == "QUIT":
+                    send("221 bye")
+                    return
+                elif up in ("RSET", "NOOP"):
+                    send("250 OK")
+                else:
+                    send("502 not implemented")
+        except OSError:
+            pass
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def accept_loop():
+        while not stopping.is_set():
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            threading.Thread(target=handle, args=(conn,),
+                             daemon=True).start()
+
+    threading.Thread(target=accept_loop, daemon=True).start()
+
+    def stop():
+        stopping.set()
+        try:
+            srv.close()
+        except OSError:
+            pass
+
+    return messages, actual, stop

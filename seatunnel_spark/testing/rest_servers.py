@@ -85,7 +85,10 @@ class MiniInflux:
                      "time": int(m.group("ts")) if m.group("ts") else None})
 
     def query(self, q: str) -> dict:
-        """SELECT <cols|*> FROM <m> [WHERE <col> >= a AND <col> < b]"""
+        """SELECT <cols|*> FROM <m> [WHERE <col> >= a AND <col> < b]
+        [tz('Zone')] — the tz clause shifts displayed timestamps on a
+        real server; fixture times are epoch ints, so it strips."""
+        q = re.sub(r"\s+tz\('[^']*'\)\s*$", "", q.strip())
         sel = re.match(
             r"SELECT\s+(?P<cols>.+?)\s+FROM\s+\"?(?P<m>[\w.]+)\"?"
             r"(?:\s+WHERE\s+(?P<where>.+))?$", q.strip(), re.I)

@@ -87,3 +87,38 @@ def test_activemq_stomp_sink(spark):
         assert sorted(m["id"] for m in msgs) == list(range(40))
     finally:
         stop()
+
+
+def test_email_confs(spark, monkeypatch):
+    """connector-email-e2e confs run UNMODIFIED against the mini SMTP
+    server (the IT's GreenMail): one MIME message per sink with the
+    conf's subject/body and every row in the emailsink.csv attachment
+    (EmailSinkWriter.java:67-160)."""
+    import os
+
+    from seatunnel_spark.job.engine import JobEngine
+    from seatunnel_spark.job.spec import JobSpec
+    from seatunnel_spark.testing.misc_servers import start_mini_smtp
+
+    res = ("/root/reference/seatunnel-e2e/seatunnel-connector-v2-e2e/"
+           "connector-email-e2e/src/test/resources")
+    messages, port, stop = start_mini_smtp()
+    monkeypatch.setenv("SEATUNNEL_SPARK_HOST_ALIASES",
+                       f"email-e2e=tcp://127.0.0.1:{port}")
+    try:
+        JobEngine(spark).run(JobSpec.from_file(f"{res}/fake_to_email.conf"))
+        assert len(messages) == 1
+        m = messages[0]
+        assert m["from"] == "sender@example.com"
+        assert set(m["to"]) == {"receiver-1@example.com",
+                                "receiver-2@example.com"}
+        assert "test-title" in m["data"] and "test-content" in m["data"]
+        assert "emailsink.csv" in m["data"]
+
+        JobEngine(spark).run(JobSpec.from_file(
+            f"{res}/fake_to_multiemailsink.conf"))
+        assert len(messages) >= 2
+        assert any("receiver-3@example.com" in m2["to"]
+                   for m2 in messages[1:])
+    finally:
+        stop()

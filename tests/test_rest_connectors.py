@@ -249,3 +249,29 @@ def test_typesense_error_mode_confs(spark, typesense):
     state["collections"][sink["collection"]] = {"1": {"id": "1"}}
     with pytest.raises(Exception):
         JobEngine(spark).run(spec)
+
+
+def test_influx_tz_conf_runs_unmodified(spark, influx):
+    """influxdb-to-influxdb-with-tz.conf: the source query carries a
+    trailing tz('Asia/Shanghai') clause (InfluxDB timezone display
+    semantics) — rows still read and land in the sink measurement."""
+    store, _ = influx
+    for i in range(20):
+        store.write_lines(
+            f"source,label=L{i % 3} c_string=\"s{i}\",c_double={i * 1.5},"
+            f"c_bigint={i}i,c_float={i * 0.5},c_int={i}i,"
+            f"c_smallint={i % 10}i,c_boolean={'true' if i % 2 else 'false'}"
+            f" {1700000000000000000 + i}")
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_INFLUX}/influxdb-to-influxdb-with-tz.conf"))
+    assert store.points.get("sink"), "tz conf wrote nothing"
+
+
+def test_influx_multipletable_conf(spark, influx):
+    """fake_to_infuxdb_with_multipletable.conf: multi-table FakeSource
+    fans out into per-table measurements over line protocol."""
+    store, _ = influx
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_INFLUX}/fake_to_infuxdb_with_multipletable.conf"))
+    written = {m for m in store.points if store.points[m]}
+    assert len(written) >= 2, written
