@@ -285,7 +285,18 @@ def _handle(conn: socket.socket, srv: MiniMySql) -> None:
                     continue
                 cols, _types, rows = t
                 ci = cols.index(m_ag.group(1))
-                vals = [float(r[ci]) for r in rows if r[ci] is not None]
+                raw = [r[ci] for r in rows if r[ci] is not None]
+                try:  # numeric column: numeric min/max
+                    vals = [float(v) for v in raw]
+
+                    def out(v):
+                        return str(int(v)) if float(v).is_integer() \
+                            else str(v)
+                except (TypeError, ValueError):  # varchar: lexicographic
+                    vals = [str(v) for v in raw]
+
+                    def out(v):
+                        return str(v)
                 lo = min(vals) if vals else None
                 hi = max(vals) if vals else None
                 send_packet(lenenc(2))
@@ -294,9 +305,8 @@ def _handle(conn: socket.socket, srv: MiniMySql) -> None:
                 send_packet(eof())
 
                 def fmt(v):
-                    return (b"\xfb" if v is None else lenenc_str(
-                        (str(int(v)) if float(v).is_integer()
-                         else str(v)).encode()))
+                    return (b"\xfb" if v is None
+                            else lenenc_str(out(v).encode()))
                 send_packet(fmt(lo) + fmt(hi))
                 send_packet(eof())
                 continue

@@ -957,3 +957,68 @@ def test_live_tidb_variant_confs(spark, monkeypatch, conf, table, has_pk):
         assert ups and "b" in " ".join(ups)
     finally:
         stop()
+
+
+@pytest.mark.parametrize("conf", [
+    "mysqlcdc_to_postgres_with_schema_change",
+    "mysqlcdc_to_postgres_with_schema_change_exactly_once",
+])
+def test_live_schema_change_to_postgres_confs(spark, monkeypatch, conf):
+    """Cross-family schema evolution: a live MySQL binlog with a
+    mid-stream ADD COLUMN lands on a POSTGRES sink (ALTER TABLE over
+    the pg wire before upserting), plain and XA exactly-once."""
+    import glob
+
+    from seatunnel_spark import mysql_binlog as B
+    from seatunnel_spark.testing.mysql_server import start_mini_mysql
+    from seatunnel_spark.testing.pg_server import start_mini_pg
+
+    monkeypatch.delenv("SEATUNNEL_SPARK_CDC_REPLAY", raising=False)
+    srv, port, stop = start_mini_mysql("st_user_source", "mysqlpw")
+    pg, pg_port, pg_stop = start_mini_pg("postgres", "postgres")
+    try:
+        cols = ["id", "name", "description", "weight"]
+        srv.tables["products"] = (cols, [3, 253, 253, 5], [
+            (101, "scooter", "Small 2-wheel scooter", 3.14)])
+        srv.primary_keys["products"] = ["id"]
+        srv.binlog_table("shop", "products",
+                         [(B.T_LONG, None), (B.T_VARCHAR, 400),
+                          (B.T_VARCHAR, 2000), (B.T_DOUBLE, None)])
+        srv.mark_snapshot()
+        srv.binlog_ddl("shop", "ALTER TABLE products ADD COLUMN "
+                               "add_column1 varchar(64)")
+        srv.binlog_table("shop", "products",
+                         [(B.T_LONG, None), (B.T_VARCHAR, 400),
+                          (B.T_VARCHAR, 2000), (B.T_DOUBLE, None),
+                          (B.T_VARCHAR, 256)])
+        srv.binlog_insert("shop", "products",
+                          [(103, "hammer", "12oz", 0.75, "yy")])
+        # sink table exists with the ORIGINAL schema (probe)
+        pg.canned["SELECT * FROM PUBLIC.SINK_TABLE_WITH_SCHEMA_CHANGE"] = (
+            cols, [23, 25, 25, 701], [])
+        monkeypatch.setenv(
+            "SEATUNNEL_SPARK_HOST_ALIASES",
+            f"mysql_cdc_e2e=tcp://127.0.0.1:{port},"
+            f"postgresql=tcp://127.0.0.1:{pg_port}")
+        path = glob.glob(
+            "/root/reference/seatunnel-e2e/**/" + conf + ".conf",
+            recursive=True)[0]
+        spec = JobSpec.from_file(path)
+        spec.env["streaming.await.timeout"] = 10
+        try:
+            JobEngine(spark).run(spec)
+        finally:
+            for q in spark.streams.active:
+                q.stop()
+        stmts = pg.statements
+        alters = [s for s in stmts if s.upper().startswith("ALTER TABLE")]
+        assert alters and "add_column1" in " ".join(alters)
+        ins = " ".join(s for s in stmts if s.upper().startswith("INSERT"))
+        assert "hammer" in ins and "add_column1" in ins
+        if "exactly_once" in conf:
+            blob = " ".join(stmts).upper()
+            assert "PREPARE TRANSACTION" in blob \
+                and "COMMIT PREPARED" in blob
+    finally:
+        stop()
+        pg_stop()

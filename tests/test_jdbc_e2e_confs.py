@@ -302,3 +302,131 @@ def test_pg_sink_shape_confs(spark, pg, conf, expect):
     assert expect in stmts, conf
     if "name_parameter" in conf:
         assert ":USER_ID" not in stmts  # named params were bound
+
+
+# -- OLAP mysql-wire family (doris / selectdb / starrocks / oceanbase) --
+
+_OLAP_COLS = ["BIGINT_COL", "LARGEINT_COL", "SMALLINT_COL",
+              "TINYINT_COL", "BOOLEAN_COL", "DECIMAL_COL", "DOUBLE_COL",
+              "FLOAT_COL", "INT_COL", "CHAR_COL", "VARCHAR_11_COL",
+              "STRING_COL", "DATETIME_COL", "DATE_COL"]
+
+
+def _olap_code(c):
+    c = c.lower()
+    if "datetime" in c:
+        return 12
+    if "date" in c:
+        return 10
+    if "decimal" in c:
+        return 246
+    if "double" in c:
+        return 5
+    if "float" in c:
+        return 4
+    if re.search(r"bigint|largeint", c):
+        return 8
+    if re.search(r"int|boolean", c):
+        return 3
+    return 253
+
+
+def _seed_olap(srv):
+    rows = [tuple(_value_for(c, i) for c in _OLAP_COLS)
+            for i in range(2)]
+    srv.tables["e2e_table_source"] = (
+        _OLAP_COLS, [_olap_code(c) for c in _OLAP_COLS], rows)
+    return rows
+
+
+def test_jdbc_starrocks_confs(spark, monkeypatch):
+    """jdbc_starrocks_source_to_sink.conf + jdbc_starrocks_dialect.conf
+    (compatible_mode=starrocks): both legs over the FE's mysql port."""
+    from seatunnel_spark.testing.mysql_server import start_mini_mysql
+
+    srv, port, stop = start_mini_mysql("root", "")
+    monkeypatch.setenv("SEATUNNEL_SPARK_HOST_ALIASES",
+                       f"e2e_starRocksdb=tcp://127.0.0.1:{port}")
+    try:
+        rows = _seed_olap(srv)
+        for conf in ("jdbc_starrocks_source_to_sink.conf",
+                     "jdbc_starrocks_dialect.conf"):
+            JobEngine(spark).run(JobSpec.from_file(_find_conf(conf)))
+        ins = " ".join(s for s in srv.statements
+                       if s.upper().lstrip().startswith("INSERT"))
+        assert "e2e_table_sink" in ins
+        assert str(rows[0][_OLAP_COLS.index("STRING_COL")]) in ins
+    finally:
+        stop()
+
+
+def test_doris_jdbc_to_doris_conf(spark, monkeypatch):
+    """doris-jdbc-to-doris.conf: jdbc source over the FE mysql port
+    (9030) into the Doris stream-load sink (8030)."""
+    from seatunnel_spark.testing.mysql_server import start_mini_mysql
+    from seatunnel_spark.testing.rest_servers import start_mini_streamload
+
+    srv, port, stop = start_mini_mysql("root", "")
+    loads, sl_port, sl_stop = start_mini_streamload()
+    monkeypatch.setenv(
+        "SEATUNNEL_SPARK_HOST_ALIASES",
+        f"doris_e2e:9030=tcp://127.0.0.1:{port},"
+        f"doris_e2e:8030=http://127.0.0.1:{sl_port}")
+    try:
+        _seed_olap(srv)
+        JobEngine(spark).run(JobSpec.from_file(
+            _find_conf("doris-jdbc-to-doris.conf")))
+        rows = loads.get(("test", "e2e_table_sink"), [])
+        assert len(rows) == 2, loads.keys()
+        assert {r["STRING_COL"] for r in rows} == {"s0_STRING_C",
+                                                   "s1_STRING_C"}
+    finally:
+        stop()
+        sl_stop()
+
+
+def test_selectdb_jdbc_to_selectdb_conf(spark, monkeypatch):
+    """selectdb-jdbc-to-selectdb.conf: jdbc source (FE mysql port) into
+    the SelectDBCloud staged-load sink (copy/upload 307 redirect +
+    COPY INTO)."""
+    import json as _json
+
+    from seatunnel_spark.testing.mysql_server import start_mini_mysql
+    from seatunnel_spark.testing.misc_servers import start_mini_selectdb
+
+    srv, port, stop = start_mini_mysql("admin", "")
+    state, sd_port, sd_stop = start_mini_selectdb()
+    monkeypatch.setenv(
+        "SEATUNNEL_SPARK_HOST_ALIASES",
+        f"selectdb_e2e:9030=tcp://127.0.0.1:{port},"
+        f"selectdb_e2e:8030=http://127.0.0.1:{sd_port}")
+    try:
+        _seed_olap(srv)
+        JobEngine(spark).run(JobSpec.from_file(
+            _find_conf("selectdb-jdbc-to-selectdb.conf")))
+        staged = [_json.loads(l) for body in state["files"].values()
+                  for l in body.decode().splitlines()]
+        assert len(staged) == 2
+        assert any("COPY INTO test.e2e_table_sink" in q["sql"]
+                   for q in state["queries"])
+    finally:
+        stop()
+        sd_stop()
+
+
+def test_jdbc_fake_to_oceanbase_sink_conf(spark, monkeypatch):
+    """jdbc_fake_to_oceanbase_sink.conf: FakeSource into the oceanbase
+    mysql-mode url with compatible_mode=mysql generated SQL."""
+    from seatunnel_spark.testing.mysql_server import start_mini_mysql
+
+    srv, port, stop = start_mini_mysql("root@test", "")
+    monkeypatch.setenv("SEATUNNEL_SPARK_HOST_ALIASES",
+                       f"e2e_oceanbase_vector=tcp://127.0.0.1:{port}")
+    try:
+        JobEngine(spark).run(JobSpec.from_file(
+            _find_conf("jdbc_fake_to_oceanbase_sink.conf")))
+        ins = [s for s in srv.statements
+               if s.upper().lstrip().startswith("INSERT")]
+        assert ins and "simple_example" in " ".join(ins)
+    finally:
+        stop()
