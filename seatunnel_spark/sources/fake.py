@@ -94,7 +94,13 @@ def _gen_column(field: T.StructField, opts: dict, seed: int):
         return F.timestamp_seconds(F.lit(1704067200) + (h % F.lit(86400 * 365)))
     if isinstance(dt, T.ArrayType):
         inner = _gen_column(T.StructField(field.name + "_e", dt.elementType), opts, seed)
-        return F.array(*[inner for _ in range(int(opts.get("array.size", 3)))])
+        # float arrays honor vector.dimension (the milvus confs declare
+        # float_vector columns sized by it — FakeOption VECTOR_DIMENSION)
+        size = int(opts.get("vector.dimension", opts.get("array.size", 3))
+                   if isinstance(dt.elementType, (T.FloatType,
+                                                  T.DoubleType))
+                   else opts.get("array.size", 3))
+        return F.array(*[inner for _ in range(size)])
     if isinstance(dt, T.MapType):
         k = _gen_column(T.StructField(field.name + "_k", dt.keyType), opts, seed)
         v = _gen_column(T.StructField(field.name + "_v", dt.valueType), opts, seed + 1)

@@ -57,7 +57,25 @@ class MilvusSource(Source):
         batch = int(self.opt("batch_size", 1000))
         fields = (self.opt("schema") or {}).get("fields")
         if not fields:
-            raise ValueError("Milvus source: schema.fields required")
+            # no declared schema: DESCRIBE the collection (the
+            # reference's MilvusSource builds its CatalogTable from the
+            # server's CollectionSchema)
+            out = _post(f"{base}/v2/vectordb/collections/describe",
+                        {"dbName": db, "collectionName": coll}, headers)
+            tmap = {"Bool": "boolean", "Int8": "tinyint",
+                    "Int16": "smallint", "Int32": "int",
+                    "Int64": "bigint", "Float": "float",
+                    "Double": "double", "VarChar": "string",
+                    "String": "string", "JSON": "string",
+                    "FloatVector": "array<float>",
+                    "BinaryVector": "binary"}
+            fields = {f.get("fieldName") or f.get("name"):
+                      tmap.get(str(f.get("type")), "string")
+                      for f in (out.get("data") or {}).get("fields", [])}
+            if not fields:
+                raise ValueError(
+                    "Milvus source: schema.fields required (collection "
+                    "describe returned no fields)")
         schema = parse_schema(fields)
         fields_json = schema.jsonValue()
 
@@ -109,7 +127,11 @@ class MilvusSink(Sink):
         headers = {}
         if self.opt("token"):
             headers["Authorization"] = f"Bearer {self.opt('token')}"
-        coll = str(self.require("collection")).replace(
+        # no collection option -> the upstream table name (the milvus
+        # sink confs declare only a database; MilvusSinkConfig derives
+        # the collection from the CatalogTable)
+        coll = str(self.opt("collection")
+                   or self.input_name.split(".")[-1]).replace(
             "${table_name}", self.input_name.split(".")[-1])
         db = self.opt("database", "default")
         batch_size = int(self.opt("batch_size", 1000))

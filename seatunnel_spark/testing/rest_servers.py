@@ -592,6 +592,27 @@ def start_mini_milvus(port: int = 0):
                     lim = int(body.get("limit", 100))
                     page = [c[i] for i in ids[off:off + lim]]
                     self._reply(200, {"code": 0, "data": page})
+                elif self.path.endswith("/collections/describe"):
+                    # schema inferred from the stored entities (the
+                    # real server returns the declared CollectionSchema;
+                    # inference matches what the sink wrote)
+                    c = state.get((db, coll), {})
+                    first = next(iter(c.values()), {})
+
+                    def mtype(v):
+                        if isinstance(v, bool):
+                            return "Bool"
+                        if isinstance(v, int):
+                            return "Int64"
+                        if isinstance(v, float):
+                            return "Double"
+                        if isinstance(v, list):
+                            return "FloatVector"
+                        return "VarChar"
+                    fields = [{"fieldName": k, "type": mtype(v)}
+                              for k, v in first.items()]
+                    self._reply(200, {"code": 0,
+                                      "data": {"fields": fields}})
                 else:
                     self._reply(404, {"code": 404})
 

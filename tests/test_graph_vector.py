@@ -90,3 +90,50 @@ def test_neo4j_one_by_one_mode(spark):
         assert sorted(n["id"] for n in state["Item"]) == [1, 2]
     finally:
         stop()
+
+
+# -- reference conf runs (connector-milvus-e2e) ------------------------
+
+_MILVUS_RES = ("/root/reference/seatunnel-e2e/seatunnel-connector-v2-e2e/"
+               "connector-milvus-e2e/src/test/resources")
+
+
+def test_milvus_confs_run_unmodified(spark, monkeypatch):
+    """fake-to-milvus.conf (vector-typed FakeSource columns into a
+    database-only sink: collection = source table name),
+    multi-fake-to-milvus.conf (float + binary vectors), and
+    milvus-to-milvus.conf (schema-less source via collection
+    describe)."""
+    import os
+
+    from seatunnel_spark.job.engine import JobEngine
+    from seatunnel_spark.job.spec import JobSpec
+    from seatunnel_spark.sources.graph_vector import MilvusSink
+
+    state, port, stop = start_mini_milvus()
+    monkeypatch.setenv("SEATUNNEL_SPARK_HOST_ALIASES",
+                       f"milvus-e2e=http://127.0.0.1:{port}")
+    try:
+        JobEngine(spark).run(JobSpec.from_file(
+            f"{_MILVUS_RES}/fake-to-milvus.conf"))
+        assert len(state[("test1", "simple_example_1")]) == 10
+        ent = next(iter(state[("test1", "simple_example_1")].values()))
+        assert len(ent["book_intro"]) == 4  # vector.dimension honored
+
+        JobEngine(spark).run(JobSpec.from_file(
+            f"{_MILVUS_RES}/multi-fake-to-milvus.conf"))
+        assert len(state[("test2", "simple_example_2")]) == 10
+
+        # seed default.simple_example (the IT's pymilvus setup), then
+        # the schema-less source round-trips it through describe
+        url = f"http://127.0.0.1:{port}"
+        seed = spark.createDataFrame(
+            [(i, [float(i)] * 4, f"b{i}") for i in range(6)],
+            "book_id bigint, book_intro array<float>, book_title string")
+        MilvusSink({"url": url, "collection": "simple_example"}
+                   ).write(seed)
+        JobEngine(spark).run(JobSpec.from_file(
+            f"{_MILVUS_RES}/milvus-to-milvus.conf"))
+        assert len(state[("test", "simple_example")]) == 6
+    finally:
+        stop()
