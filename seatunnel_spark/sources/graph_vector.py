@@ -272,16 +272,36 @@ class Neo4jSink(Sink):
                 neo4j_tx(base, db, stmts, headers)
                 buf.clear()
 
+            def cell(v):
+                if hasattr(v, "isoformat"):
+                    return v.isoformat()
+                if isinstance(v, (bytes, bytearray)):
+                    # the HTTP Cypher API has no bytes type; Bolt's
+                    # byte arrays ride as int lists
+                    return list(v)
+                return v
+
+            cols = [c for c in columns if c not in meta]
             for row in rows:
                 d = row.asDict(recursive=True)
                 for c in meta:
                     d.pop(c, None)
-                buf.append({k: (v.isoformat() if hasattr(v, "isoformat")
-                                else v) for k, v in d.items()})
+                if param_pos:
+                    # queryParamPosition: $param <- row field by COLUMN
+                    # INDEX (Neo4jSinkConfig.queryParamPosition)
+                    buf.append({p: cell(row[cols[int(i)]])
+                                for p, i in param_pos.items()
+                                if int(i) < len(cols)})
+                else:
+                    buf.append({k: cell(v) for k, v in d.items()})
                 if len(buf) >= batch_size:
                     flush()
             flush()
 
+        param_pos = dict(self.opt("queryParamPosition") or {})
+        if batched:
+            param_pos = {}  # batch mode binds whole rows via $batch
+        columns = list(df.columns)
         df.foreachPartition(write_partition)
 
 

@@ -643,21 +643,40 @@ def start_mini_neo4j(port: int = 0):
             with lock:
                 state.setdefault(m.group(1), []).append(dict(params))
             return {"columns": [], "data": []}
-        m = re.search(r"MATCH\s*\(\s*(\w+):(\w+)\s*\)\s*RETURN\s+(.+)$",
+        m = re.search(r"MATCH\s*\(\s*(\w+):(\w+)\s*\)\s*"
+                      r"(?:WITH\s+(.+?)\s+)?RETURN\s+(.+)$",
                       stmt, re.I | re.S)
         if m:
-            var, label, ret = m.groups()
-            outs = []
+            var, label, with_clause, ret = m.groups()
+            # WITH map projections: `t{.int} AS _map` -> alias whose
+            # value is {prop: n[prop]} (neo4j_to_neo4j.conf shape)
+            projections = {}
+            for pm in re.finditer(
+                    rf"{var}\s*\{{\s*\.(\w+)\s*\}}\s+AS\s+(\w+)",
+                    with_clause or "", re.I):
+                projections[pm.group(2)] = pm.group(1)
+            outs = []  # (kind, payload, column_name)
             for item in ret.split(","):
                 item = item.strip()
                 am = re.match(rf"{var}\.(\w+)(?:\s+AS\s+(\w+))?$", item,
                               re.I)
                 if am:
-                    outs.append((am.group(1), am.group(2) or am.group(1)))
+                    # RETURN t.prop without AS keeps `t.prop` as the
+                    # column name (real server behavior)
+                    outs.append(("prop", am.group(1),
+                                 am.group(2) or item))
+                elif item in projections:
+                    outs.append(("map", projections[item], item))
             with lock:
                 nodes = list(state.get(label, []))
-            return {"columns": [alias for _, alias in outs],
-                    "data": [{"row": [n.get(prop) for prop, _ in outs]}
+
+            def val(n, kind, payload):
+                if kind == "map":
+                    return {payload: n.get(payload)}
+                return n.get(payload)
+
+            return {"columns": [name for _, _, name in outs],
+                    "data": [{"row": [val(n, k, p) for k, p, _ in outs]}
                              for n in nodes]}
         raise ValueError(f"mini-neo4j: unsupported cypher {stmt!r}")
 

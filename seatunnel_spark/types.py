@@ -62,6 +62,10 @@ _MAP_RE = re.compile(r"^map\s*<(.+)>$", re.I | re.S)
 
 def parse_type(decl) -> T.DataType:
     """Parse one DSL type declaration (string or nested dict) to a Spark DataType."""
+    if decl is None:
+        # a bare NULL type literal (neo4j_to_neo4j.conf `t.null = NULL`)
+        # parses to HOCON null before reaching the type DSL
+        return T.NullType()
     if isinstance(decl, dict):
         # Nested row: {field: type_decl, ...} (schema-feature.md nested row syntax)
         return T.StructType(

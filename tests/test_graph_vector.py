@@ -137,3 +137,62 @@ def test_milvus_confs_run_unmodified(spark, monkeypatch):
         assert len(state[("test", "simple_example")]) == 6
     finally:
         stop()
+
+
+_NEO4J_RES = ("/root/reference/seatunnel-e2e/seatunnel-connector-v2-e2e/"
+              "connector-neo4j-e2e/src/test/resources/neo4j")
+
+
+def test_neo4j_batch_write_conf(spark, monkeypatch):
+    """fake_to_neo4j_batch_write.conf: 1000 rows through UNWIND $batch
+    in max_batch_size=101 chunks."""
+    from seatunnel_spark.job.engine import JobEngine
+    from seatunnel_spark.job.spec import JobSpec
+
+    state, port, stop = start_mini_neo4j()
+    monkeypatch.setenv("SEATUNNEL_SPARK_HOST_ALIASES",
+                       f"neo4j-host=http://127.0.0.1:{port}")
+    try:
+        JobEngine(spark).run(JobSpec.from_file(
+            f"{_NEO4J_RES}/fake_to_neo4j_batch_write.conf"))
+        assert len(state["BatchLabel"]) == 1000
+        assert {"name", "age"} <= set(state["BatchLabel"][0])
+    finally:
+        stop()
+
+
+def test_neo4j_to_neo4j_conf(spark, monkeypatch):
+    """neo4j_to_neo4j.conf: the full-type MATCH with a `t{.int}` map
+    projection reads seeded Test nodes; the sink binds $params by
+    queryParamPosition into CREATE (tt:TestTest ...)."""
+    from seatunnel_spark.job.engine import JobEngine
+    from seatunnel_spark.job.spec import JobSpec
+    from seatunnel_spark.sources.graph_vector import neo4j_tx
+
+    state, port, stop = start_mini_neo4j()
+    monkeypatch.setenv("SEATUNNEL_SPARK_HOST_ALIASES",
+                       f"neo4j-host=http://127.0.0.1:{port}")
+    try:
+        # seed Test nodes over the same tx-commit wire (the IT's driver
+        # session.run CREATE)
+        for i in range(3):
+            neo4j_tx(f"http://127.0.0.1:{port}", "neo4j", [{
+                "statement": "CREATE (t:Test) SET t = $params",
+                "parameters": {
+                    "string": f"s{i}", "boolean": i % 2 == 0,
+                    "long": 10 ** 12 + i, "double": i * 1.5,
+                    "byteArray": [1, 2, i], "date": "2024-03-19",
+                    "localDateTime": "2024-03-19T12:00:00",
+                    "int": i, "float": i * 0.5,
+                    "list": [i, i + 1]}}], {})
+        JobEngine(spark).run(JobSpec.from_file(
+            f"{_NEO4J_RES}/neo4j_to_neo4j.conf"))
+        out = state["TestTest"]
+        assert len(out) == 3
+        byname = {d["string"]: d for d in out}
+        assert byname["s1"]["int"] == 1
+        assert byname["s1"]["map"] == {"int": 1}   # map projection rode
+        assert byname["s1"]["list"] == [1, 2]
+        assert byname["s1"]["byteArray"] == [1, 2, 1]
+    finally:
+        stop()
