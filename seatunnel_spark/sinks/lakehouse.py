@@ -416,6 +416,21 @@ def _resolve_layout(plugin: str, opts: dict) -> tuple[str, list[str] | None,
     # iceberg hadoop conf): table I/O goes through the SigV4 REST
     # client via an _S3Mirror-backed local cache
     hconf = dict(get("paimon.hadoop.conf") or get("hadoop.conf") or {})
+    cfp = get("conf_files_path")
+    if not hconf.get("fs.s3a.endpoint") and cfp:
+        # hudi declares hadoop config as a core-site.xml path
+        # (s3_fake_to_hudi.conf + HudiSeatunnelS3MultiTableIT's
+        # copyFileToContainer); pull the fs.s3a.* pairs out of it
+        import xml.etree.ElementTree as _ET
+
+        try:
+            root_el = _ET.parse(str(cfp)).getroot()
+            for prop in root_el.findall(".//property"):
+                name = prop.findtext("name") or ""
+                if name.startswith("fs."):
+                    hconf.setdefault(name, prop.findtext("value"))
+        except (OSError, _ET.ParseError):
+            pass
     endpoint = hconf.get("fs.s3a.endpoint")
     if base.startswith(("s3a://", "s3://")) and endpoint:
         import hashlib
