@@ -22,6 +22,11 @@ class HiveSink(Sink):
     def write(self, df: DataFrame) -> None:
         table = self.opt("table_name") or self.require("table")
         spark = df.sparkSession
+        if "." in str(table):
+            # the IT pre-creates the database in its metastore; the
+            # session-catalog analog creates the namespace
+            db = str(table).rsplit(".", 1)[0]
+            spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
         exists = spark.catalog.tableExists(table)
 
         schema_mode = str(self.opt("schema_save_mode",
