@@ -430,3 +430,32 @@ def test_jdbc_fake_to_oceanbase_sink_conf(spark, monkeypatch):
         assert ins and "simple_example" in " ".join(ins)
     finally:
         stop()
+
+
+def test_jdbc_oceanbase_milvus_pair_confs(spark, monkeypatch):
+    """jdbc_oceanbase_source_and_milvus_sink.conf +
+    jdbc_milvus_source_and_oceanbase_sink.conf: the vector round-trip
+    between the oceanbase mysql-mode wire and Milvus REST."""
+    from seatunnel_spark.testing.mysql_server import start_mini_mysql
+    from seatunnel_spark.testing.rest_servers import start_mini_milvus
+
+    srv, port, stop = start_mini_mysql("root@test", "")
+    state, mv_port, mv_stop = start_mini_milvus()
+    monkeypatch.setenv(
+        "SEATUNNEL_SPARK_HOST_ALIASES",
+        f"e2e_oceanbase_vector=tcp://127.0.0.1:{port},"
+        f"milvus-e2e=http://127.0.0.1:{mv_port}")
+    try:
+        _seed_mysql(srv, "simple_example", ["id", "c1", "c2"])
+        JobEngine(spark).run(JobSpec.from_file(
+            _find_conf("jdbc_oceanbase_source_and_milvus_sink.conf")))
+        assert len(state[("default", "simple_example")]) == 2
+
+        JobEngine(spark).run(JobSpec.from_file(
+            _find_conf("jdbc_milvus_source_and_oceanbase_sink.conf")))
+        ins = " ".join(s for s in srv.statements
+                       if s.upper().lstrip().startswith("INSERT"))
+        assert ins
+    finally:
+        stop()
+        mv_stop()
