@@ -2,9 +2,11 @@
 
 Written from the public bitstream description (the LZO1X format notes
 distributed with the Linux kernel, Documentation/lzo.txt, and the lzop
-file-format spec from lzop.org). Only decompression — the reference's
-lzo read confs (compress_codec = "lzo" on text/json files) consume
-lzop-framed fixtures; the e2e never writes lzo.
+file-format spec from lzop.org). The reference's lzo read confs
+(compress_codec = "lzo" on text/json files) consume lzop-framed
+fixtures; the compressor closes the write side (CompressFormat.LZO's
+.lzo suffix on text/json sinks) and makes the codec round-trip
+property-testable.
 
 Instruction summary (state = literals copied by the previous op):
     0..15   state 0   long literal run, len = 3 + L(ext)
@@ -110,6 +112,108 @@ def lzo1x_decompress(src: bytes) -> bytes:
     return bytes(out)
 
 
+def lzo1x_compress(src: bytes) -> bytes:
+    """Valid (if unambitious) LZO1X: greedy back-references via a
+    4-byte-prefix hash emitting M3 copies (opcode 32..63, <= 16 kB
+    distance) between state-0 long literal runs. Any conformant
+    decompressor — including lzo1x_decompress above — reads it;
+    liblzo2 finds more matches, same bitstream.
+
+    State discipline: literal runs only ever follow stream start or an
+    op with S=0 (state 0); runs are always >= 4 literals (matches are
+    shortened so a 1..3-byte tail never occurs); <= 3-byte inputs use
+    the first-byte form (valid at stream start only)."""
+    n = len(src)
+    out = bytearray()
+
+    def emit_literals(chunk: bytes) -> None:
+        ln = len(chunk)
+        if ln == 0:
+            return
+        if 4 <= ln <= 18:
+            out.append(ln - 3)
+        else:
+            out.append(0)
+            rem = ln - 18
+            while rem > 255:
+                out.append(0)
+                rem -= 255
+            out.append(rem)
+        out.extend(chunk)
+
+    if n <= 3:  # first-byte literal form, then EOF
+        if n:
+            out.append(17 + n)
+            out.extend(src)
+        out += b"\x11\x00\x00"
+        return bytes(out)
+
+    table: dict[bytes, int] = {}
+    lit_start = 0
+    i = 0
+    while i + 4 <= n:
+        key = src[i:i + 4]
+        cand = table.get(key)
+        table[key] = i
+        dist = i - cand if cand is not None else None
+        run = i - lit_start
+        if dist is not None and 0 < dist <= 16384 \
+                and (run == 0 or run >= 4):
+            m = 4
+            while i + m < n and m < 255 and src[cand + m] == src[i + m]:
+                m += 1
+            tail = n - (i + m)
+            if 0 < tail < 4:
+                m -= 4 - tail  # never strand a 1..3-byte literal tail
+            if m >= 4:
+                emit_literals(src[lit_start:i])
+                ln = m - 2
+                if ln <= 31:
+                    out.append(32 | ln)
+                else:
+                    out.append(32)
+                    rem = ln - 31
+                    while rem > 255:
+                        out.append(0)
+                        rem -= 255
+                    out.append(rem)
+                le = (dist - 1) << 2  # S=0: no trailing literals
+                out.append(le & 0xFF)
+                out.append((le >> 8) & 0xFF)
+                for k in range(i + 1, min(i + m, n - 3)):
+                    table[src[k:k + 4]] = k
+                i += m
+                lit_start = i
+                continue
+        i += 1
+    emit_literals(src[lit_start:])
+    out += b"\x11\x00\x00"  # EOF marker (M4, distance 16384)
+    return bytes(out)
+
+
+def lzop_compress(data: bytes, block: int = 256 * 1024) -> bytes:
+    """Frame `data` as an lzop file (flags=0: no checksums beyond the
+    mandatory header one — which readers with flags=0 skip-verify)."""
+    header = (LZOP_MAGIC
+              + struct.pack(">HHH", 0x1040, 0x2080, 0x0940)
+              + b"\x01\x05"                       # method LZO1X_1, level
+              + struct.pack(">I", 0)              # flags
+              + struct.pack(">II", 0o100644, 0)   # mode, mtime
+              + struct.pack(">I", 0)              # mtime_high
+              + b"\x00"                           # no filename
+              + struct.pack(">I", 0))             # header checksum
+    out = bytearray(header)
+    for off in range(0, len(data), block) or [0]:
+        chunk = data[off:off + block]
+        comp = lzo1x_compress(chunk)
+        if len(comp) < len(chunk):
+            out += struct.pack(">II", len(chunk), len(comp)) + comp
+        else:  # stored block
+            out += struct.pack(">II", len(chunk), len(chunk)) + chunk
+    out += struct.pack(">I", 0)
+    return bytes(out)
+
+
 def lzop_decompress(blob: bytes) -> bytes:
     """Unframe an lzop file (possibly multi-block) and decompress."""
     if not blob.startswith(LZOP_MAGIC):
@@ -162,4 +266,5 @@ def lzop_decompress(blob: bytes) -> bytes:
         i += clen
 
 
-__all__ = ["lzo1x_decompress", "lzop_decompress", "LZOP_MAGIC"]
+__all__ = ["lzo1x_decompress", "lzo1x_compress", "lzop_decompress",
+           "lzop_compress", "LZOP_MAGIC"]

@@ -35,9 +35,33 @@ _DATA_SAVE_MODE = {
     "IGNORE": "ignore",
 }
 
+def _lzo_post_compress(path: str) -> None:
+    """compress_codec=lzo on text/json writes: Hadoop has no builtin
+    lzo codec either — each part file is lzop-framed post-write with
+    the CompressFormat.LZO `.lzo` suffix (formats/lzo.py)."""
+    import os
+
+    from seatunnel_spark.formats.lzo import lzop_compress
+
+    for root, _d, names in os.walk(path):
+        for name in names:
+            if not name.startswith("part-") or name.endswith(".lzo") \
+                    or name.endswith(".crc"):
+                continue
+            full = os.path.join(root, name)
+            with open(full, "rb") as fh:
+                blob = lzop_compress(fh.read())
+            with open(full + ".lzo", "wb") as fh:
+                fh.write(blob)
+            os.remove(full)
+            crc = os.path.join(root, "." + name + ".crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+
+
 # sink compress_codec (BaseSinkConfig) -> Spark writer compression.
-# lzo needs the GPL hadoop-lzo jar (an optional extra in the reference
-# too) — written uncompressed when the codec isn't on the classpath.
+# lzo maps to None here because it is post-compressed by
+# _lzo_post_compress (the stdlib codec), not by a Hadoop codec.
 _COMPRESSION = {"gzip": "gzip", "gz": "gzip", "bzip2": "bzip2",
                 "lzo": None, "snappy": "snappy", "zstd": "zstd",
                 "none": None}
@@ -382,6 +406,8 @@ class FileSink(Sink):
             if self.opt("row_delimiter") not in (None, "\n"):
                 writer = writer.option("lineSep", self.opt("row_delimiter"))
             writer.text(path)
+            if str(self.opt("compress_codec", "")).lower() == "lzo":
+                _lzo_post_compress(path)
             return
         xml_opts = {}
         if fmt == "xml":
@@ -415,3 +441,6 @@ class FileSink(Sink):
         for k, v in (self.opt("options") or {}).items():
             writer = writer.option(k, v)
         writer.format({"binary": "parquet"}.get(fmt, fmt)).save(path)
+        if fmt in ("json", "text") \
+                and str(self.opt("compress_codec", "")).lower() == "lzo":
+            _lzo_post_compress(path)

@@ -359,3 +359,23 @@ def test_bson_roundtrip(doc):
     out, used = bson.decode(blob)
     assert used == len(blob)
     assert out == norm(doc)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.one_of(
+    st.binary(max_size=4000),
+    st.text(max_size=2000).map(str.encode),
+    st.lists(st.sampled_from([b"abc", b"the quick ", b"\x00\xff",
+                              b"lorem ipsum dolor "]),
+             max_size=200).map(b"".join)))
+def test_lzo_roundtrip(payload):
+    """Arbitrary payloads (random bytes, text, repetitive fragments)
+    survive lzo1x_compress -> lzo1x_decompress and the lzop container
+    framing byte-identically."""
+    from seatunnel_spark.formats.lzo import (lzo1x_compress,
+                                             lzo1x_decompress,
+                                             lzop_compress,
+                                             lzop_decompress)
+
+    assert lzo1x_decompress(lzo1x_compress(payload)) == payload
+    assert lzop_decompress(lzop_compress(payload)) == payload

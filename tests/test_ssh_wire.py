@@ -128,3 +128,29 @@ def test_lzo_stored_block_and_literal_stream():
 
     with pytest.raises(ValueError):
         lzop_decompress(b"not an lzop stream")
+
+
+def test_lzo_sink_write_source_read_roundtrip(spark, tmp_path):
+    """compress_codec=lzo text write -> .lzo part files -> lzo text
+    read: full sink/source round trip through the stdlib codec."""
+    from seatunnel_spark.sinks import get_sink
+    from seatunnel_spark.sources import get_source
+
+    out = str(tmp_path / "lzo_out")
+    df = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(50)], "id int, name string")
+    get_sink("LocalFile", {
+        "path": out, "file_format_type": "text",
+        "field_delimiter": ",", "compress_codec": "lzo"}).write(df)
+    import glob
+
+    parts = glob.glob(f"{out}/**/part-*", recursive=True)
+    assert parts and all(p.endswith(".lzo") for p in parts), parts
+
+    back = get_source("LocalFile", {
+        "path": out, "file_format_type": "text",
+        "field_delimiter": ",", "compress_codec": "lzo",
+        "schema": {"fields": {"id": "int", "name": "string"}},
+    }).read(spark)
+    got = {r["id"]: r["name"] for r in back.collect()}
+    assert got == {i: f"name{i}" for i in range(50)}
