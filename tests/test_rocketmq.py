@@ -123,3 +123,14 @@ def test_rocketmq_sink_confs(spark, rocket):
         JobEngine(spark).run(spec)
         sink_topic = topic or spec.sinks[0].options["topic"]
         assert rocket.topics.get(sink_topic), conf
+
+
+def test_rocketmq_text_offset_check_conf(spark, rocket):
+    """rocketmq-source_tex_with_offset_check.conf: text-format read
+    whose Assert rules check the full row count — seeded to the IT's
+    message set (the offset check: every message consumed exactly
+    once)."""
+    _seed(rocket, "test_topic_text_offset_check",
+          [_TEXT.format(i=i) for i in range(100)])
+    JobEngine(spark).run(JobSpec.from_file(
+        f"{_RES}/rocketmq-source_tex_with_offset_check.conf"))
