@@ -125,7 +125,10 @@ class DataHubSink(Sink):
         return False
 
     def write(self, df: DataFrame) -> None:
-        endpoint = apply_host_aliases(self.require("endpoint").rstrip("/"))
+        raw_ep = str(self.require("endpoint")).rstrip("/")
+        if "://" not in raw_ep:  # confs may write a bare host
+            raw_ep = f"http://{raw_ep}"
+        endpoint = apply_host_aliases(raw_ep)
         project = self.require("project")
         topic = self.require("topic")
         access_id = self.opt("accessId", "")

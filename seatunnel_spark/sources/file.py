@@ -584,7 +584,51 @@ class FileSource(Source):
                 reader = reader.option("attributePrefix", "")
             for k, v in (self.opt("options") or {}).items():
                 reader = reader.option(k, v)
-            raw = reader.format("xml").load(self._path())
+            xml_path = self._path()
+            if codec in _ARCHIVES:
+                # zip/tar XML (local_file_zip_xml_to_assert.conf): the
+                # JVM xml reader has no archive codec — unpack the
+                # bounded archive fixtures to a spool first (gz/bzip2
+                # decompress natively by extension)
+                import atexit
+                import glob as _glob
+                import io
+                import shutil
+                import tarfile
+                import tempfile
+                import zipfile
+
+                spool = tempfile.mkdtemp(prefix="st_xml_arch_")
+                atexit.register(shutil.rmtree, spool, ignore_errors=True)
+                hits = [p for p in _glob.glob(xml_path)
+                        if os.path.isfile(p)] or [
+                    os.path.join(r, n)
+                    for r, _d, ns in os.walk(xml_path) for n in ns]
+                for k, apath in enumerate(hits):
+                    with open(apath, "rb") as fh:
+                        bio = io.BytesIO(fh.read())
+                    if codec == "zip":
+                        with zipfile.ZipFile(bio) as zf:
+                            for nm in zf.namelist():
+                                if nm.endswith("/"):
+                                    continue
+                                with open(os.path.join(
+                                        spool, f"{k}_{os.path.basename(nm)}"
+                                ), "wb") as out:
+                                    out.write(zf.read(nm))
+                    else:
+                        mode = "r:gz" if codec == "tar_gz" else "r:"
+                        with tarfile.open(fileobj=bio, mode=mode) as tf:
+                            for mem in tf.getmembers():
+                                if mem.isfile():
+                                    with open(os.path.join(
+                                            spool,
+                                            f"{k}_{os.path.basename(mem.name)}"
+                                    ), "wb") as out:
+                                        out.write(
+                                            tf.extractfile(mem).read())
+                xml_path = spool
+            raw = reader.format("xml").load(xml_path)
             # partition-dir columns (name=...) discovered beyond the
             # declared schema ride along (the sftp/ftp xml assert confs
             # check them)

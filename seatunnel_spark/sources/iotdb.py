@@ -61,12 +61,19 @@ class IoTDbSource(Source):
 
         lo, hi = self.opt("lower_bound"), self.opt("upper_bound")
         n = int(self.opt("num_partitions", 1))
+        # split predicates go BEFORE a trailing `align by device`
+        # (iotdb_source_to_sink.conf) — it must stay the last clause
+        import re as _re
+
+        m_align = _re.search(r"\s+align\s+by\s+device\s*$", sql, _re.I)
+        core, suffix = ((sql[:m_align.start()], sql[m_align.start():])
+                        if m_align else (sql, ""))
         if lo is not None and hi is not None and n > 1:
             lo, hi = int(lo), int(hi)
             step = max(1, (hi - lo) // n)
-            conj = "AND" if " where " in sql.lower() else "WHERE"
-            sqls = [f"{sql} {conj} time >= {lo + i * step} AND time < "
-                    f"{hi if i == n - 1 else lo + (i + 1) * step}"
+            conj = "AND" if " where " in core.lower() else "WHERE"
+            sqls = [f"{core} {conj} time >= {lo + i * step} AND time < "
+                    f"{hi if i == n - 1 else lo + (i + 1) * step}{suffix}"
                     for i in range(n)]
         else:
             sqls = [sql]
@@ -92,17 +99,26 @@ class IoTDbSource(Source):
                         + (out.get("values") or [])
                     idx = {c.split(".")[-1].lower(): i
                            for i, c in enumerate(cols)}
+                    # schema spellings for the implicit columns
+                    # (iotdb_source_to_sink.conf: ts + device_name in
+                    # align-by-device mode)
+                    alias = {"ts": "time", "device_name": "device"}
                     n_rows = len(series[0]) if series else 0
                     recs = []
                     for r in range(n_rows):
-                        recs.append(tuple(
-                            _convert(series[idx[nm.lower()]][r]
-                                     if nm.lower() in idx else None, dt)
-                            for nm, dt in names))
-                    yield (pd.DataFrame.from_records(
-                        recs, columns=[nm for nm, _ in names])
-                        if recs else pd.DataFrame(
-                        {nm: [] for nm, _ in names}))
+                        row = []
+                        for nm, dt in names:
+                            key = nm.lower()
+                            if key not in idx:
+                                key = alias.get(key, key)
+                            row.append(_convert(
+                                series[idx[key]][r] if key in idx
+                                else None, dt))
+                        recs.append(tuple(row))
+                    if recs:  # empty frames default to float64
+                        # columns, which Arrow can't cast to timestamp
+                        yield pd.DataFrame.from_records(
+                            recs, columns=[nm for nm, _ in names])
 
         return sdf.mapInPandas(run, schema)
 
@@ -152,7 +168,17 @@ class IoTDbSink(Sink):
                 if key_ts and key_ts in d:
                     ts = d.pop(key_ts)
                     if hasattr(ts, "timestamp"):
-                        ts = int(ts.timestamp() * 1000)
+                        # exact integer millis: float seconds truncate
+                        # odd milliseconds down (1.001s * 1000 ->
+                        # 1000.999...)
+                        import datetime as _dt
+
+                        epoch = _dt.datetime(
+                            1970, 1, 1,
+                            tzinfo=ts.tzinfo or _dt.timezone.utc)
+                        ts = (ts.replace(tzinfo=ts.tzinfo
+                                         or _dt.timezone.utc) - epoch) \
+                            // _dt.timedelta(milliseconds=1)
                     ts = int(ts)
                 else:
                     ts = int(_time.time() * 1000)

@@ -725,31 +725,56 @@ def start_mini_iotdb(port: int = 0):
                 return
             if self.path == "/rest/v2/query":
                 sql = body.get("sql", "")
+                aligned = bool(re.search(r"align\s+by\s+device\s*$",
+                                         sql.strip(), re.I))
+                if aligned:
+                    sql = re.sub(r"align\s+by\s+device\s*$", "",
+                                 sql.strip(), flags=re.I)
                 m = re.match(
                     r"SELECT\s+(.+?)\s+FROM\s+(\S+?)"
-                    r"(?:\s+WHERE\s+(.*?))?$", sql.strip(), re.I)
+                    r"(?:\s+WHERE\s+(.*?))?\s*$", sql.strip(), re.I)
                 if not m:
                     self._reply(400, {"code": 400, "message": "bad sql"})
                     return
-                cols_s, device, where = m.groups()
+                cols_s, pattern, where = m.groups()
                 with lock:
-                    dev = dict(devices.get(device, {}))
+                    if pattern.endswith(".*"):
+                        prefix = pattern[:-2]
+                        devs = {d: dict(v) for d, v in devices.items()
+                                if d.startswith(prefix + ".")}
+                    else:
+                        devs = {pattern: dict(devices.get(pattern, {}))}
                 lo = hi = None
-                for cond in re.split(r"\s+AND\s+", where or "", flags=re.I):
+                for cond in re.split(r"\s+AND\s+", where or "",
+                                     flags=re.I):
                     cm = re.match(r"time\s*(>=|<)\s*(\d+)", cond.strip())
                     if cm and cm.group(1) == ">=":
                         lo = int(cm.group(2))
                     elif cm:
                         hi = int(cm.group(2))
-                times = sorted(t for t in dev
-                               if (lo is None or t >= lo)
-                               and (hi is None or t < hi))
+                pairs = sorted(
+                    (d, t) for d, dev in devs.items() for t in dev
+                    if (lo is None or t >= lo) and (hi is None or t < hi))
                 if cols_s.strip() == "*":
-                    cols = sorted({m for t in times for m in dev[t]})
+                    cols = sorted({m for d, dev in devs.items()
+                                   for t in dev for m in dev[t]})
                 else:
                     cols = [c.strip() for c in cols_s.split(",")]
+                if aligned:
+                    # align by device: a Device column precedes the
+                    # measurement columns, one row per (device, time)
+                    self._reply(200, {
+                        "expressions": ["Device"] + cols,
+                        "column_names": None,
+                        "timestamps": [t for _d, t in pairs],
+                        "values": [[d for d, _t in pairs]] + [
+                            [devs[d][t].get(c) for d, t in pairs]
+                            for c in cols]})
+                    return
+                times = [t for _d, t in pairs]
+                dev = next(iter(devs.values()), {})
                 self._reply(200, {
-                    "expressions": [f"{device}.{c}" for c in cols],
+                    "expressions": [f"{pattern}.{c}" for c in cols],
                     "column_names": None,
                     "timestamps": times,
                     "values": [[dev[t].get(c) for t in times]

@@ -62,6 +62,7 @@ _ARCHIVES = {
     "read/zip/json/single/e2e-json.zip": ("zip", "json/e2e.json", 1),
     "read/zip/json/multifile/multiJson.zip": ("zip", "json/e2e.json", 2),
     "read/gz/xml/single/e2e-xml-gz.gz": ("gz", "xml/e2e.xml", 1),
+    "read/zip/xml/single/e2e-xml.zip": ("zip", "xml/e2e.xml", 1),
     "read/zip/excel/single/e2e-xlsx.zip": ("zip", "excel/e2e.xlsx", 1),
     "read/zip/excel/multifile/multiZip.zip": ("zip", "excel/e2e.xlsx", 2),
     "read/gz/excel/single/e2e-gz.xls.gz": ("gz", "excel/e2e.xls", 1),
@@ -113,6 +114,7 @@ FILE_CONFS = [
     "csv/local_csv_to_assert.conf",
     "xml/local_file_xml_to_assert.conf",
     "xml/local_file_gz_xml_to_assert.conf",
+    "xml/local_file_zip_xml_to_assert.conf",
     "binary/local_file_binary_to_local_file_binary.conf",
     "binary/local_file_binary_to_assert.conf",
     "binary/local_file_binary_to_local_file_binary_with_multipletable.conf",

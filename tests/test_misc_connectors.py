@@ -122,3 +122,92 @@ def test_email_confs(spark, monkeypatch):
                    for m2 in messages[1:])
     finally:
         stop()
+
+
+def test_activemq_confs(spark, monkeypatch, tmp_path):
+    """connector-activemq-e2e confs UNMODIFIED against the mini STOMP
+    broker (the text protocol every ActiveMQ ships): FakeSource full
+    types and the LocalFile json read, each landing in the conf's
+    queue."""
+    import json as _json
+    import os
+    import shutil
+
+    from seatunnel_spark.job.engine import JobEngine
+    from seatunnel_spark.job.spec import JobSpec
+    from seatunnel_spark.testing.misc_servers import start_mini_stomp
+
+    res = ("/root/reference/seatunnel-e2e/seatunnel-connector-v2-e2e/"
+           "connector-activemq-e2e/src/test/resources")
+    queues, port, stop = start_mini_stomp()
+    # the confs carry BOTH a uri (tcp://activemq-host:61616 /
+    # tcp://localhost:61616) and host/port — alias every spelling
+    monkeypatch.setenv("SEATUNNEL_SPARK_HOST_ALIASES",
+                       f"activemq-e2e=tcp://127.0.0.1:{port},"
+                       f"active-e2e=tcp://127.0.0.1:{port},"
+                       f"activemq-host=tcp://127.0.0.1:{port},"
+                       f"localhost:61616=tcp://127.0.0.1:{port}")
+    # the IT copies e2e.json to the container root; path-alias it
+    src_json = ("/root/reference/seatunnel-e2e/seatunnel-connector-v2-e2e/"
+                "connector-file-local-e2e/src/test/resources/json/e2e.json")
+    root = tmp_path / "amq_root"
+    root.mkdir()
+    shutil.copy(src_json, root / "e2e.json")
+    monkeypatch.setenv("SEATUNNEL_SPARK_PATH_ALIASES",
+                       f"/e2e.json={root}/e2e.json")
+    try:
+        JobEngine(spark).run(JobSpec.from_file(
+            f"{res}/fake_source_to_sink.conf"))
+        assert queues.get("/queue/testQueue"), list(queues)
+
+        JobEngine(spark).run(JobSpec.from_file(
+            f"{res}/localfile_source_to_sink.conf"))
+        msgs = [_json.loads(m) for m in queues.get("/queue/test1", [])]
+        assert msgs and "c_string" in msgs[0]
+    finally:
+        stop()
+
+
+def test_datahub_conf(spark, monkeypatch):
+    """fakesource_to_datahub.conf runs UNMODIFIED: the conf's
+    placeholder endpoint resolves through the host-alias layer (the
+    testcontainers-network analog) to a signed-records capture."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from seatunnel_spark.job.engine import JobEngine
+    from seatunnel_spark.job.spec import JobSpec
+
+    calls = []
+
+    class H(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            calls.append((self.path, self.rfile.read(n)))
+            payload = b'{"ok": true}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *args):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    monkeypatch.setenv(
+        "SEATUNNEL_SPARK_HOST_ALIASES",
+        f"xxx=http://127.0.0.1:{srv.server_address[1]}")
+    try:
+        JobEngine(spark).run(JobSpec.from_file(
+            "/root/reference/seatunnel-e2e/seatunnel-connector-v2-e2e/"
+            "connector-datahub-e2e/src/test/resources/"
+            "fakesource_to_datahub.conf"))
+        shards = [(p, b) for p, b in calls if "shards" in p]
+        assert shards
+        recs = _json.loads(shards[0][1])
+        assert recs.get("Records"), recs
+    finally:
+        srv.shutdown()
+        srv.server_close()
