@@ -23,6 +23,7 @@ Each op's low 2 bits (S) are trailing literals; state = S after.
 from __future__ import annotations
 
 import struct
+import zlib
 
 LZOP_MAGIC = b"\x89LZO\x00\r\n\x1a\n"
 
@@ -194,14 +195,16 @@ def lzo1x_compress(src: bytes) -> bytes:
 def lzop_compress(data: bytes, block: int = 256 * 1024) -> bytes:
     """Frame `data` as an lzop file (flags=0: no checksums beyond the
     mandatory header one — which readers with flags=0 skip-verify)."""
-    header = (LZOP_MAGIC
-              + struct.pack(">HHH", 0x1040, 0x2080, 0x0940)
+    fields = (struct.pack(">HHH", 0x1040, 0x2080, 0x0940)
               + b"\x01\x05"                       # method LZO1X_1, level
               + struct.pack(">I", 0)              # flags
               + struct.pack(">II", 0o100644, 0)   # mode, mtime
               + struct.pack(">I", 0)              # mtime_high
-              + b"\x00"                           # no filename
-              + struct.pack(">I", 0))             # header checksum
+              + b"\x00")                          # no filename
+    # mandatory header checksum: adler32 over version..filename (lzop.c
+    # header_write; verified by lzop CLI and hadoop-lzo LzopInputStream)
+    header = (LZOP_MAGIC + fields
+              + struct.pack(">I", zlib.adler32(fields) & 0xFFFFFFFF))
     out = bytearray(header)
     for off in range(0, len(data), block) or [0]:
         chunk = data[off:off + block]
@@ -236,7 +239,16 @@ def lzop_decompress(blob: bytes) -> bytes:
         i += 4  # mtime_high
     fn_len = blob[i]
     i += 1 + fn_len
-    i += 4      # header checksum (adler32 or crc32)
+    # header checksum: adler32 (crc32 when F_H_CRC32=0x1000 is set)
+    # over version..filename — verified, matching lzop CLI / hadoop-lzo
+    (hchk,) = struct.unpack_from(">I", blob, i)
+    fields = blob[len(LZOP_MAGIC):i]
+    want = (zlib.crc32(fields) if flags & 0x1000
+            else zlib.adler32(fields)) & 0xFFFFFFFF
+    if hchk != want:
+        raise ValueError(
+            f"lzop header checksum mismatch: {hchk:#x} != {want:#x}")
+    i += 4
 
     out = b""
     while True:

@@ -243,8 +243,15 @@ class JobEngine:
                     # a plugin_input naming a table no block declared
                     # (read_from_paimon_with_hdfs_ha_to_assert.conf:
                     # plugin_input=paimon_source with no matching
-                    # plugin_output) — the reference's single-pipeline
-                    # parser connects by order; use the last table
+                    # plugin_output) — the reference's order-based
+                    # connection only applies to single-source pipelines;
+                    # in a multi-source job a dangling name is a typo that
+                    # must not silently rebind to another source's data
+                    if len(spec.sources) > 1:
+                        raise ValueError(
+                            f"plugin_input {name!r} matches no declared "
+                            f"plugin_output (have: {list(tables)}) in a "
+                            "multi-source job")
                     name = next(reversed(tables))
                 df = tables[name]
                 if not getattr(sink, "WANTS_CHANGELOG_META", False):

@@ -547,38 +547,38 @@ class CdcReplaySource(Source):
         # (Debezium PostgresReplicationConnection orders it the same way).
         # The slot's consistent_point doubles as the stitch watermark.
         rc = LogicalReplicationClient(host, port, user, pw, db)
-        watermark = rc.create_slot(slot)
-
-        cl = PgClient(host, port, user, pw, db)
         try:
-            if watermark is None:  # pre-existing slot reused
-                _, _, wm = cl.query("SELECT pg_current_wal_lsn()")
-                watermark = lsn_int(wm[0][0])
-            cols, oids, srows = cl.query(
-                f"SELECT * FROM {schema_name}.{tbl}")
-            pk = self._pk_of(table_full) or self._pk_of(tbl)
-            if not pk:
-                try:
-                    _, _, pkr = cl.query(
-                        "SELECT a.attname FROM pg_index i JOIN "
-                        "pg_attribute a ON a.attrelid = i.indrelid AND "
-                        "a.attnum = ANY(i.indkey) WHERE i.indrelid = "
-                        f"'{schema_name}.{tbl}'::regclass "
-                        "AND i.indisprimary")
-                    pk = [str(r[0]) for r in pkr] or None
-                except Exception:  # noqa: BLE001
-                    pk = None
-            if pk:
-                if not hasattr(self, "discovered_keys"):
-                    self.discovered_keys = {}
-                self.discovered_keys[table_full] = pk
-                self.discovered_keys[tbl] = pk
-        finally:
-            cl.close()
-        fields = {c: _OID_TO_DSL.get(t, "string")
-                  for c, t in zip(cols, oids)}
+            watermark = rc.create_slot(slot)
 
-        try:
+            cl = PgClient(host, port, user, pw, db)
+            try:
+                if watermark is None:  # pre-existing slot reused
+                    _, _, wm = cl.query("SELECT pg_current_wal_lsn()")
+                    watermark = lsn_int(wm[0][0])
+                cols, oids, srows = cl.query(
+                    f"SELECT * FROM {schema_name}.{tbl}")
+                pk = self._pk_of(table_full) or self._pk_of(tbl)
+                if not pk:
+                    try:
+                        _, _, pkr = cl.query(
+                            "SELECT a.attname FROM pg_index i JOIN "
+                            "pg_attribute a ON a.attrelid = i.indrelid AND "
+                            "a.attnum = ANY(i.indkey) WHERE i.indrelid = "
+                            f"'{schema_name}.{tbl}'::regclass "
+                            "AND i.indisprimary")
+                        pk = [str(r[0]) for r in pkr] or None
+                    except Exception:  # noqa: BLE001
+                        pk = None
+                if pk:
+                    if not hasattr(self, "discovered_keys"):
+                        self.discovered_keys = {}
+                    self.discovered_keys[table_full] = pk
+                    self.discovered_keys[tbl] = pk
+            finally:
+                cl.close()
+            fields = {c: _OID_TO_DSL.get(t, "string")
+                      for c, t in zip(cols, oids)}
+
             lines = []
             for ev in rc.stream(slot, publication=str(
                     self.opt("publication.name") or "seatunnel")):

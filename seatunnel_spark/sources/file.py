@@ -206,6 +206,28 @@ class FileSource(Source):
             path = scheme + path.lstrip("/") if scheme.endswith("//") else scheme + path
         return path
 
+    def _glob_has_suffix(self, suffix: str) -> bool:
+        """True when the (local) source path resolves to at least one file
+        with the given suffix — a driver-side metadata peek (listing only,
+        never reads data), mirroring Hadoop's CompressionCodecFactory
+        suffix dispatch. Remote schemes return False: their read paths
+        declare compress_codec explicitly."""
+        import glob as _glob
+        import os
+
+        p = self._path()
+        if "://" in p:
+            return False
+        for m in _glob.glob(p) or [p]:
+            if os.path.isfile(m):
+                if m.endswith(suffix):
+                    return True
+            elif os.path.isdir(m):
+                for _r, _d, names in os.walk(m):
+                    if any(n.endswith(suffix) for n in names):
+                        return True
+        return False
+
     def _reader(self, reader):
         fmt = str(self.opt("file_format_type", "parquet")).lower()
         if fmt not in _FORMATS:
@@ -421,6 +443,15 @@ class FileSource(Source):
             # no builtin codec either — the stdlib LZO1X decompressor
             # rides the same executor-side unpack path as zip/tar
             codec = "lzo"
+        elif codec in ("", "none") and fmt in ("text", "json", "csv"):
+            # Hadoop's CompressionCodecFactory picks the codec from the
+            # file suffix regardless of conf; the reference read confs
+            # never declare compress_codec even when the paired sink conf
+            # wrote .lzo parts (TextReadStrategy.java:83-94 defaults to
+            # NONE, making the reference pair latent-broken). Suffix
+            # detection is the behavior a user actually wants.
+            if self._glob_has_suffix(".lzo"):
+                codec = "lzo"
         encoding = str(self.opt("encoding", "utf-8"))
         skip = int(self.opt("skip_header_row_number", 0) or 0)
         if self.plugin_name == "Hive" and self.opt("table_name"):

@@ -154,9 +154,13 @@ class PrometheusSource(Source):
             if self.opt("time") is not None:
                 params["time"] = _time(self.opt("time"))
         headers = dict(self.opt("headers") or {})
-        text = _fetch_one(url, "GET", headers,
-                          {k: str(v).replace(" ", "%20")
-                           for k, v in params.items()}, None)
+        # PromQL carries '+', '&', '=', '{}', quotes — full RFC 3986
+        # encoding, not a manual space substitution
+        import urllib.parse as _up
+        text = _fetch_one(
+            url + "?" + _up.urlencode({k: str(v)
+                                       for k, v in params.items()}),
+            "GET", headers, None, None)
         content_field = self.opt("content_field", "$.data.result.*")
         points = jsonpath_select(json.loads(text), content_field)
         if points is None:

@@ -148,6 +148,10 @@ class JdbcSource(Source):
                     f"{part_col} >= {s} AND "
                     f"{part_col} < {min(s + step, hi + 1)}"
                     for s in range(lo, hi + 1, step)]
+                # Spark's JDBCRelation gives the first slice a
+                # NULL-catching clause; closed ranges alone silently
+                # drop rows whose partition_column is NULL
+                predicates[0] += f" OR {part_col} IS NULL"
         slices = ([f"SELECT * FROM ({base}) st_src WHERE {p}"
                    for p in predicates] if predicates else [base])
 
