@@ -6,11 +6,16 @@ Each query is executed to completion (count() forces the full plan;
 results stay distributed — no driver collect).
 
 Multi-run protocol: after a warm-up pass (codegen compile + file
-listing), each query is timed $SPARK_GRAFT_BENCH_RUNS times (default 5)
-and the MIN is reported — single runs at sub-second scale showed
-±25 % noise across rounds, which made per-query regression rules
-unenforceable. The min of 5 is the stable lower envelope of the
-plan's true cost on an otherwise-idle machine.
+listing), queries are timed in $SPARK_GRAFT_BENCH_RUNS (default 5)
+INTERLEAVED rounds — each round times every query once, in order, and
+the per-query MIN across rounds is reported. Interleaving matters:
+with consecutive per-query runs, a sustained ambient-load spike lands
+entirely inside one query's timing window and fakes a plan regression
+(round 4: sample_domain_mix 0.45→3.2 s under driver load while the
+idle truth was 0.34 s). Round-robin spreads any spike thinly across
+all queries, so the min-across-rounds still converges on the idle
+envelope. os.getloadavg() at start/end is recorded alongside so a
+loaded run is visible in the JSON itself.
 """
 
 from __future__ import annotations
@@ -55,19 +60,21 @@ def main() -> None:
     spark = get_spark("seatunnel-bench")
     qs = entry.queries()
 
+    load_start = os.getloadavg()
+
     # warm the JVM + file listing once (excluded from timings)
     entry._t(spark, sf_dir, "lineitem").count()
+    for name in BENCH_QUERIES:  # warm-up: codegen compile + listing
+        qs[name](spark, sf_dir).count()
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        qs[name](spark, sf_dir).count()  # warm-up: codegen compile + listing
-        best = float("inf")
-        for _ in range(runs):
+    timings = {name: float("inf") for name in BENCH_QUERIES}
+    for _ in range(runs):  # interleaved: every query once per round
+        for name in BENCH_QUERIES:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()  # timed steady-state run
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+    timings = {k: round(v, 3) for k, v in timings.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -78,6 +85,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "runs": runs,
             }
         )
     )
