@@ -56,7 +56,16 @@ def resolve_jdbc_url(url: str) -> str:
     alias like "postgresql=tcp://127.0.0.1:5433"."""
     prefix, rest = ("jdbc:", url[len("jdbc:"):]) if url.startswith("jdbc:") \
         else ("", url)
+    # jdbc:sqlserver carries ;prop=value pairs where a path would be —
+    # split them off before urlsplit (';' in a netloc breaks .port)
+    props = ""
+    if "//" in rest:
+        head, sep, tail = rest.partition("//")
+        hostpart, semi, props_part = tail.partition(";")
+        if semi:
+            rest = head + sep + hostpart
+            props = ";" + props_part
     parts = urlsplit(rest)
     resolved = urlsplit(apply_host_aliases(rest))
     return prefix + urlunsplit((parts.scheme, resolved.netloc, parts.path,
-                                parts.query, parts.fragment))
+                                parts.query, parts.fragment)) + props

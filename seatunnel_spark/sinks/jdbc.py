@@ -198,6 +198,18 @@ class JdbcSink(Sink):
             table = table.replace(
                 "${database_name}",
                 tid_parts[-2] if len(tid_parts) > 1 else "default")
+        from seatunnel_spark.sql_exec import wire_family as _wf
+
+        db_opt = self.opt("database")
+        if db_opt and not table.startswith(f"{db_opt}.") \
+                and _wf(url) != "pg":
+            # JdbcSinkConfig composes TablePath as database.table — the
+            # write must target the declared database even when the URL
+            # omits it (sqlservercdc_to_sqlserver: url has no
+            # databaseName, sink declares database + dbo.table).
+            # Postgres-family excluded: PG has no cross-database
+            # qualification — there the database rides the connection.
+            table = f"{db_opt}.{table}"
         user = str(self.opt("user", ""))
         password = str(self.opt("password", ""))
         props = {"user": user, "password": password}
@@ -303,7 +315,13 @@ class JdbcSink(Sink):
         except Exception:  # noqa: BLE001 - no server/auth: nothing to sync
             return
         try:
-            cols, _, _ = ex.query(f"SELECT * FROM {table} LIMIT 0")
+            probe = (f"SELECT TOP 0 * FROM {table}"
+                     if wire_family(url) == "mssql"
+                     else f"SELECT * FROM {table} LIMIT 0")
+            try:
+                cols, _, _ = ex.query(probe)
+            except Exception:  # noqa: BLE001 - unknown table: no-op
+                return
             if not cols:
                 return
             have = {c.lower() for c in cols}

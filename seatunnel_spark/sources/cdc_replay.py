@@ -503,6 +503,144 @@ class CdcReplaySource(Source):
         return stitch_snapshot_and_changelog(
             snapshot, decoded, _OFFSET_COL, watermark)
 
+    _MSSQL_TO_DSL = {
+        "tinyint": "smallint", "smallint": "smallint", "int": "int",
+        "bigint": "bigint", "real": "float", "float": "double",
+        "bit": "boolean", "decimal": "decimal(38,10)",
+        "numeric": "decimal(38,10)", "money": "decimal(19,4)",
+        "smallmoney": "decimal(10,4)", "date": "date",
+        "datetime": "timestamp", "smalldatetime": "timestamp",
+        "datetime2": "timestamp", "datetimeoffset": "timestamp",
+    }
+
+    def _live_read_sqlserver_table(self, spark: SparkSession,
+                                   table_full: str) -> DataFrame:
+        """SqlServer-CDC live: snapshot + CT-table poll over the TDS
+        wire client (reference: connector-cdc-sqlserver via Debezium's
+        SqlServerConnection — GET_MAX_LSN / GET_ALL_CHANGES_FOR_TABLE,
+        SqlServerConnection.java:80,92).
+
+        1. SELECT sys.fn_cdc_get_max_lsn() -> the snapshot watermark
+           (Debezium's snapshot offset; LsnOffset semantics).
+        2. SELECT * snapshot of current state.
+        3. Poll cdc.fn_cdc_get_all_changes_<schema>_<table> over the
+           full LSN range ordered by (__$start_lsn, __$seqval,
+           __$operation) — operation 1=delete 2=insert 3=update-before
+           4=update-after (the documented CT-table codes); rows at or
+           before the watermark drop client-side (bytes compare — the
+           10-byte LSN is big-endian ordered), the rest become debezium
+           envelopes through the SAME decode/stitch path the
+           mysql/pg/replay feeds use.
+        """
+        import datetime as _dt
+        import re as _re
+
+        from seatunnel_spark.tds_wire import TdsClient
+
+        url = str(self.opt("base-url") or self.opt("base_url") or "")
+        m = _re.match(r"jdbc:sqlserver://([^:;/]+)(?::(\d+))?", url)
+        if not m:
+            raise ValueError(f"{self.plugin_name}: bad base-url {url!r}")
+        host, port = m.group(1), int(m.group(2) or 1433)
+        parts = table_full.split(".")
+        if len(parts) >= 3:
+            db, schema_name, tbl = parts[-3], parts[-2], parts[-1]
+        else:
+            dbs = self.opt("database-names") or self.opt("database_names") \
+                or [""]
+            db = dbs[0] if isinstance(dbs, list) else str(dbs)
+            schema_name, tbl = (parts[-2], parts[-1]) if len(parts) == 2 \
+                else ("dbo", parts[-1])
+        user = str(self.opt("username") or self.opt("user") or "sa")
+        pw = str(self.opt("password") or "")
+
+        cl = TdsClient(host, port, user, pw, db)
+        try:
+            _, _, wm = cl.query("SELECT sys.fn_cdc_get_max_lsn() AS max_lsn")
+            watermark_lsn = bytes(wm[0][0] or b"\x00" * 10)
+            cols, tnames, srows = cl.query(
+                f"SELECT * FROM [{db}].[{schema_name}].[{tbl}]")
+            pk = self._pk_of(table_full) or self._pk_of(tbl)
+            if not pk:
+                try:
+                    _, _, pkr = cl.query(
+                        "SELECT kcu.COLUMN_NAME "
+                        "FROM INFORMATION_SCHEMA.TABLE_CONSTRAINTS tc "
+                        "JOIN INFORMATION_SCHEMA.KEY_COLUMN_USAGE kcu "
+                        "ON tc.CONSTRAINT_NAME = kcu.CONSTRAINT_NAME "
+                        "WHERE tc.CONSTRAINT_TYPE = 'PRIMARY KEY' "
+                        f"AND kcu.TABLE_NAME = N'{tbl}' "
+                        "ORDER BY kcu.ORDINAL_POSITION")
+                    pk = [str(r[0]) for r in pkr] or None
+                except Exception:  # noqa: BLE001
+                    pk = None
+            if pk:
+                if not hasattr(self, "discovered_keys"):
+                    self.discovered_keys = {}
+                self.discovered_keys[table_full] = pk
+                self.discovered_keys[tbl] = pk
+            # full-range poll; NO_STOPPING upper bound (LsnOffset)
+            capture = f"{schema_name}_{tbl}"
+            _, _, crows = cl.query(
+                f"SELECT * FROM [{db}].cdc.[fn_cdc_get_all_changes_"
+                f"{capture}](0x{'00' * 9}01, 0x7f{'ff' * 9}, "
+                "N'all update old') ORDER BY [__$start_lsn] ASC, "
+                "[__$seqval] ASC, [__$operation] ASC")
+        finally:
+            cl.close()
+
+        fields = {c: self._MSSQL_TO_DSL.get(t, "string")
+                  for c, t in zip(cols, tnames)}
+        schema = parse_schema(fields)
+
+        def cell(v):
+            if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+                return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            if isinstance(v, _dt.time):
+                return v.isoformat()
+            if isinstance(v, (bytes, bytearray)):
+                return bytes(v).decode("utf-8", errors="replace")
+            return v
+
+        lines = []
+        pos = 0
+        pending_before = None
+        for crow in crows:
+            start_lsn, _seq, op = bytes(crow[0]), crow[1], int(crow[2])
+            vals = [_jsonable_cell(cell(v)) for v in crow[4:]]
+            if start_lsn <= watermark_lsn:
+                continue  # the snapshot already reflects it
+            data = dict(zip(cols, vals))
+            if op == 3:
+                pending_before = data
+                continue
+            if op == 4:
+                env = {"before": pending_before, "after": data, "op": "u"}
+                pending_before = None
+            elif op == 2:
+                env = {"after": data, "op": "c"}
+            else:
+                env = {"before": data, "op": "d"}
+            pos += 1
+            env["ts_ms"] = 0
+            env["source"] = {"db": db, "table": tbl, "pos": pos}
+            lines.append(json.dumps(env))
+
+        raw = spark.createDataFrame([(ln,) for ln in lines] or
+                                    [(None,)], "value string") \
+            .filter(F.col("value").isNotNull())
+        decoded = self._decode(raw, schema, table_full)
+        snapshot = spark.createDataFrame(
+            [tuple(cell(v) for v in r) for r in srows],
+            schema).withColumns({
+                EVENT_TS_COL: F.lit(0).cast("long"),
+                TABLE_ID_COL: F.lit(table_full),
+            })
+        from seatunnel_spark.sources.cdc import stitch_snapshot_and_changelog
+
+        return stitch_snapshot_and_changelog(snapshot, decoded,
+                                             _OFFSET_COL, 0)
+
     def _live_read_pg_table(self, spark: SparkSession, table_full: str
                             ) -> DataFrame:
         """Postgres-CDC live: snapshot + pgoutput logical-replication
@@ -898,6 +1036,8 @@ class CdcReplaySource(Source):
         url = str(self.opt("base-url") or self.opt("base_url") or "")
         if url.startswith(("jdbc:postgresql", "jdbc:opengauss")):
             return self._live_read_pg_table(spark, table)
+        if url.startswith("jdbc:sqlserver"):
+            return self._live_read_sqlserver_table(spark, table)
         return self._live_read_table(spark, table)
 
     def read(self, spark: SparkSession):

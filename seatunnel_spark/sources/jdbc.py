@@ -159,7 +159,10 @@ class JdbcSource(Source):
         try:
             cols, codes, _ = ex.query(
                 f"SELECT * FROM ({base}) st_probe WHERE 1=0"
-                if family == "pg" else f"SELECT * FROM ({base}) p LIMIT 0")
+                if family == "pg"
+                else f"SELECT TOP 0 * FROM ({base}) st_probe"
+                if family == "mssql"
+                else f"SELECT * FROM ({base}) p LIMIT 0")
         finally:
             ex.close()
         _PG_OID = {16: "boolean", 20: "bigint", 21: "smallint", 23: "int",
@@ -170,8 +173,19 @@ class JdbcSource(Source):
                "BIGINT": "bigint", "FLOAT": "float", "DOUBLE": "double",
                "DECIMAL": "decimal(38,10)", "DATE": "date",
                "DATETIME": "timestamp", "TIMESTAMP": "timestamp"}
+        _MS = {"tinyint": "smallint", "smallint": "smallint", "int": "int",
+               "bigint": "bigint", "real": "float", "float": "double",
+               "bit": "boolean", "decimal": "decimal(38,10)",
+               "numeric": "decimal(38,10)", "money": "decimal(19,4)",
+               "smallmoney": "decimal(10,4)", "date": "date",
+               "datetime": "timestamp", "smalldatetime": "timestamp",
+               "datetime2": "timestamp", "varbinary": "binary",
+               "binary": "binary"}
         if family == "pg":
             spark_types = [_PG_OID.get(c, "string") for c in codes]
+        elif family == "mssql":
+            # TdsClient returns T-SQL type-name strings, not codes
+            spark_types = [_MS.get(c, "string") for c in codes]
         else:
             spark_types = [_MY.get(TYPE_NAMES.get(c, ""), "string")
                            for c in codes]

@@ -19,6 +19,7 @@ import decimal
 _PG_PREFIXES = ("jdbc:postgresql:", "jdbc:redshift:", "jdbc:greenplum:",
                 "jdbc:opengauss:", "jdbc:kingbase8:", "jdbc:highgo:")
 _MYSQL_PREFIXES = ("jdbc:mysql:", "jdbc:mariadb:", "jdbc:oceanbase:")
+_MSSQL_PREFIXES = ("jdbc:sqlserver:",)
 
 
 def wire_family(url: str) -> str | None:
@@ -27,6 +28,8 @@ def wire_family(url: str) -> str | None:
         return "pg"
     if u.startswith(_MYSQL_PREFIXES):
         return "mysql"
+    if u.startswith(_MSSQL_PREFIXES):
+        return "mssql"
     return None
 
 
@@ -74,6 +77,11 @@ class WireExecutor:
             from seatunnel_spark.pg_wire import PgClient
 
             self.cl = PgClient.from_jdbc_url(url, user, password)
+        elif fam == "mssql":
+            from seatunnel_spark.tds_wire import TdsClient
+
+            # host aliasing happens inside TdsClient (same as MySqlClient)
+            self.cl = TdsClient.from_jdbc_url(url, user, password)
         else:
             from seatunnel_spark.mysql_wire import MySqlClient
 

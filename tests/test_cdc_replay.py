@@ -425,8 +425,10 @@ def test_live_schema_change_to_jdbc_conf(spark, monkeypatch):
             f"{_CDC_E2E}/mysqlcdc_to_mysql_with_schema_change.conf")
         JobEngine(spark).run(spec)
 
+        # the sink targets the declared database-qualified path
+        # (JdbcSinkConfig TablePath = database.table)
         alters = [s for s in srv.statements if s.upper().startswith(
-            "ALTER TABLE mysql_cdc_e2e_sink_table_with_schema_change"
+            "ALTER TABLE shop.mysql_cdc_e2e_sink_table_with_schema_change"
             .upper())]
         assert alters and "add_column1" in alters[0]
         upserts = [s for s in srv.statements
@@ -484,7 +486,8 @@ def test_live_schema_change_drop_rename_modify_jdbc(spark, monkeypatch):
         JobEngine(spark).run(spec)
 
         alters = [s for s in srv.statements
-                  if s.upper().startswith(f"ALTER TABLE {sink_t}".upper())]
+                  if s.upper().startswith(
+                      f"ALTER TABLE shop.{sink_t}".upper())]
         blob = " | ".join(alters)
         assert "DROP COLUMN description" in blob
         assert "CHANGE COLUMN weight weight_kg" in blob

@@ -459,3 +459,38 @@ def test_jdbc_oceanbase_milvus_pair_confs(spark, monkeypatch):
     finally:
         stop()
         mv_stop()
+
+
+def test_jdbc_sqlserver_source_to_sink_conf(spark, monkeypatch):
+    """jdbc_sqlserver_source_to_sink.conf UNMODIFIED over the TDS wire:
+    query-shaped source read (TOP-0 schema probe + full fetch) into a
+    generated INSERT sink targeting the declared database-qualified
+    path [master].[dbo].[sink]."""
+    import datetime
+    from decimal import Decimal
+
+    from seatunnel_spark.testing.tds_server import start_mini_sqlserver
+
+    srv, port, stop = start_mini_sqlserver("SA",
+                                           "A_Str0ng_Required_Password")
+    monkeypatch.setenv("SEATUNNEL_SPARK_HOST_ALIASES",
+                       f"sqlserver=tcp://127.0.0.1:{port}")
+    try:
+        srv.tables["source"] = (
+            ["id", "name", "score", "born"],
+            ["int", "nvarchar(50)", "decimal(10,2)", "datetime2(3)"],
+            [(1, "ann", Decimal("9.50"),
+              datetime.datetime(2024, 3, 19, 12, 0, 1)),
+             (2, "bob", Decimal("7.25"),
+              datetime.datetime(2024, 3, 19, 12, 0, 2))])
+        JobEngine(spark).run(JobSpec.from_file(
+            _find_conf("jdbc_sqlserver_source_to_sink.conf")))
+        ins = [s for s in srv.statements
+               if s.upper().lstrip().startswith("INSERT")]
+        assert ins
+        blob = " ".join(ins)
+        assert "ann" in blob and "bob" in blob and "9.50" in blob
+        assert '"master"."dbo"."sink"' in blob or \
+            "master.dbo.sink" in blob.replace('"', "")
+    finally:
+        stop()
