@@ -223,13 +223,16 @@ class LakehouseTable:
         files at write time exactly so streaming readers can serve the
         event history instead of re-diffing snapshots
         (PaimonSinkCDCIT testChangelogLookup/testChangelogFullCompaction).
-        Arrival order is preserved per batch: the frame is collapsed to
-        one partition first, so the sequence column is genuinely
-        sequential (this is an append LOG, not a per-key winner —
-        compaction determinism is unaffected)."""
+        Per-bucket materialization, like paimon's: each partition writes
+        its own changelog file in parallel (no single-partition funnel),
+        ordered by (spark_partition_id, local sequence) —
+        monotonically_increasing_id encodes exactly that pair
+        (partition_id << 33 | local_seq), so arrival order within each
+        bucket is genuinely sequential and cross-bucket order follows
+        partition id, matching paimon's bucket-then-sequence changelog
+        semantics."""
         out = os.path.join(self.path, "changelog", f"c{version}")
-        (df.coalesce(1)
-           .withColumn("__clog_seq", F.monotonically_increasing_id())
+        (df.withColumn("__clog_seq", F.monotonically_increasing_id())
            .write.mode("overwrite").parquet(out))
         if self.remote is not None:
             self.remote.push(self.path)
@@ -255,8 +258,9 @@ class LakehouseTable:
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
-        return (out.coalesce(1)
-                .sortWithinPartitions("__clog_ver", "__clog_seq")
+        # distributed range sort (no single-partition funnel): global
+        # order = (commit version, bucket-encoded sequence)
+        return (out.orderBy("__clog_ver", "__clog_seq")
                 .drop("__clog_ver", "__clog_seq"))
 
     # -- schema evolution -------------------------------------------------

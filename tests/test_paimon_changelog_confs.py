@@ -77,3 +77,38 @@ def test_changelog_full_compaction_conf(spark):
     assert final == {1: ("Aa", 200), 2: ("Bb", 90)}
     log = t.read_changelog_log(spark)
     assert log is not None and log.count() == 7
+
+
+def test_changelog_recording_is_per_bucket(spark, tmp_path):
+    """Layout/scale test: record_changelog materializes per PARTITION
+    (paimon's per-bucket changelog files), not through a coalesce(1)
+    funnel — a multi-partition frame produces multiple part files, and
+    the replayed log preserves (partition, local-seq) order."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.types import ROW_KIND_COL
+
+    t = LakehouseTable(str(tmp_path / "clog_t"))
+    df = (spark.range(0, 400, 1, 8)
+          .withColumn(ROW_KIND_COL, F.lit("+I"))
+          .withColumn("v", F.col("id") * 2))
+    v = t.commit(df.drop(ROW_KIND_COL))
+    t.record_changelog(df, v)
+
+    import glob
+
+    parts = glob.glob(str(tmp_path / "clog_t" / "changelog" / f"c{v}"
+                          / "part-*.parquet"))
+    assert len(parts) > 1, "changelog write collapsed to one partition"
+
+    log = t.read_changelog_log(spark)
+    rows = log.collect()
+    assert len(rows) == 400
+    # within each original partition, arrival (id) order is preserved
+    ids = [r["id"] for r in rows]
+    per_part = {}
+    for r in rows:
+        per_part.setdefault(r["id"] // 50, []).append(r["id"])
+    for grp in per_part.values():
+        assert grp == sorted(grp)
+    assert sorted(ids) == list(range(400))
