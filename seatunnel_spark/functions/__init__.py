@@ -436,6 +436,241 @@ def rewrite_typed_zeta(sql: str, df) -> str:
     return sql
 
 
+# -- zeta_compat: exact arithmetic/dateadd dialect parity ---------------
+#
+# The three documented deviations between Spark's evaluator and Zeta's
+# (ZetaSQLFunction.executeBinaryExpr:601-683 + ZetaSQLType:215-250 +
+# the DATEADD result-type rule at ZetaSQLType:478-485), closed by a
+# schema-aware rewrite behind the Sql transform's `zeta_compat` flag:
+#   1. int/int (and long) division truncates (Java integer division);
+#      Spark's `/` is fractional -> rewrite to DIV with a result cast.
+#   2. DECIMAL division rounds RoundingMode.UP (away from zero) at the
+#      result scale max(s_l, s_r); Spark rounds HALF_EVEN at its own
+#      scale -> rewrite to CEIL/FLOOR(q, scale) by sign + CAST.
+#   3. DATEADD whose first argument is a DATE returns DATE (result has
+#      the type of arg 0); the Spark rewrite returns TIMESTAMP ->
+#      wrap in CAST(... AS DATE).
+
+_COMPAT_KEYWORDS = frozenset(
+    "SELECT FROM WHERE AND OR NOT CASE WHEN THEN ELSE END AS ON JOIN "
+    "INNER LEFT RIGHT FULL OUTER CROSS GROUP BY ORDER HAVING LIMIT "
+    "UNION ALL DISTINCT IN IS NULL LIKE BETWEEN EXISTS OVER PARTITION "
+    "ASC DESC CAST INTERVAL TRUE FALSE DIV".split())
+
+_COMPAT_IDENT = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
+_COMPAT_NUM = re.compile(r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?")
+
+
+def _compat_primary(sql: str, i: int) -> tuple[int, int] | None:
+    """Span of the primary expression at/after i: optional unary sign,
+    then number / quoted string / parenthesized group / identifier
+    (with .parts and an optional call-argument group). None when the
+    text there is not a primary."""
+    n = len(sql)
+    while i < n and sql[i].isspace():
+        i += 1
+    if i >= n:
+        return None
+    start = i
+
+    def skip_group(j: int) -> int:
+        depth = 0
+        while j < n:
+            c = sql[j]
+            if c == "'":
+                j += 1
+                while j < n and sql[j] != "'":
+                    j += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    return j + 1
+            j += 1
+        return j
+
+    c = sql[i]
+    if c == "(":
+        return start, skip_group(i)
+    if c == "'":
+        j = i + 1
+        while j < n and sql[j] != "'":
+            j += 1
+        return start, j + 1
+    if c.isdigit():
+        m = _COMPAT_NUM.match(sql, i)
+        return start, m.end()
+    m = _COMPAT_IDENT.match(sql, i)
+    if not m:
+        return None
+    if m.group(0).upper() in _COMPAT_KEYWORDS:
+        return None
+    i = m.end()
+    while i < n and sql[i] == "." and _COMPAT_IDENT.match(sql, i + 1):
+        i = _COMPAT_IDENT.match(sql, i + 1).end()
+    j = i
+    while j < n and sql[j].isspace():
+        j += 1
+    if j < n and sql[j] == "(":
+        return start, skip_group(j)
+    return start, i
+
+
+def _zeta_kind(dtype: str):
+    base = dtype.split("(")[0]
+    if base in ("tinyint", "smallint", "int"):
+        return ("int", None)
+    if base == "bigint":
+        return ("long", None)
+    if base == "decimal":
+        inner = dtype[dtype.index("(") + 1:-1] if "(" in dtype else "10,0"
+        p, s = (int(x) for x in inner.split(","))
+        return ("decimal", (p, s))
+    if base in ("float", "double"):
+        return ("double", None)
+    return None
+
+
+def _fold_zeta_kind(lk, rk):
+    """Zeta's arithmetic result typing (ZetaSQLType:196-250)."""
+    if lk[0] == "decimal" or rk[0] == "decimal":
+        lp, ls = lk[1] or (0, 0)
+        rp, rs = rk[1] or (0, 0)
+        return ("decimal", (max(lp, rp), max(ls, rs)))
+    if lk[0] == "double" or rk[0] == "double":
+        return ("double", None)
+    if lk[0] == "long" or rk[0] == "long":
+        return ("long", None)
+    return ("int", None)
+
+
+def rewrite_zeta_compat(sql: str, df) -> str:
+    """Schema-aware rewrite to exact Zeta arithmetic/DATEADD semantics
+    (run BEFORE rewrite_zeta_sql; enabled by the Sql transform's
+    zeta_compat option)."""
+
+    def probe(expr: str) -> str | None:
+        try:
+            plan = df.limit(0).selectExpr(f"({expr}) AS __zc")
+            return plan.dtypes[0][1]
+        except Exception:  # noqa: BLE001 - zeta-only spelling: skip
+            return None
+
+    def rewrite_operand(text: str) -> str:
+        # recurse into parenthesized groups / call args so nested
+        # divisions get compat semantics too
+        if "(" not in text:
+            return text
+        lo = text.index("(")
+        hi = text.rindex(")")
+        if hi < lo:
+            return text
+        return text[:lo + 1] + _rewrite(text[lo + 1:hi]) + text[hi:]
+
+    def fold_chain(operands: list[str], ops: list[str]) -> str | None:
+        kinds = []
+        for o in operands:
+            dt = probe(o)
+            k = _zeta_kind(dt) if dt else None
+            if k is None:
+                return None
+            kinds.append(k)
+        acc, kind = operands[0], kinds[0]
+        for op, rhs, rk in zip(ops, operands[1:], kinds[1:]):
+            res = _fold_zeta_kind(kind, rk)
+            if op == "/":
+                if res[0] == "int":
+                    acc = f"CAST(({acc}) DIV ({rhs}) AS INT)"
+                elif res[0] == "long":
+                    acc = f"(({acc}) DIV ({rhs}))"
+                elif res[0] == "decimal":
+                    p, s = res[1]
+                    q = f"(CAST(({acc}) AS DOUBLE) / CAST(({rhs}) AS DOUBLE))"
+                    # RoundingMode.UP = away from zero at the result
+                    # scale (Zeta itself computes via doubleValue())
+                    acc = (f"CAST(CASE WHEN {q} >= 0 THEN CEIL({q}, {s}) "
+                           f"ELSE FLOOR({q}, {s}) END AS DECIMAL({p},{s}))")
+                else:
+                    acc = f"(({acc}) / ({rhs}))"
+            else:
+                acc = f"(({acc}) {op} ({rhs}))"
+            kind = res
+        return acc
+
+    def _rewrite(s: str) -> str:
+        out = []
+        i, n = 0, len(s)
+        while i < n:
+            c = s[i]
+            if c == "'":
+                j = i + 1
+                while j < n and s[j] != "'":
+                    j += 1
+                out.append(s[i:j + 1])
+                i = j + 1
+                continue
+            kw = _COMPAT_IDENT.match(s, i)
+            if kw and kw.group(0).upper() in _COMPAT_KEYWORDS:
+                out.append(kw.group(0))
+                i = kw.end()
+                continue
+            p = _compat_primary(s, i)
+            if p is None:
+                out.append(c)
+                i += 1
+                continue
+            st, end = p
+            if st != i:  # leading whitespace stays verbatim
+                out.append(s[i:st])
+            spans = [(st, end)]
+            ops: list[str] = []
+            j = end
+            while True:
+                k = j
+                while k < n and s[k].isspace():
+                    k += 1
+                if k < n and s[k] in "*/%":
+                    # '*' here is a multiplication only after a primary,
+                    # never SELECT-star (that case has no left operand)
+                    q = _compat_primary(s, k + 1)
+                    if q is None:
+                        break
+                    ops.append(s[k])
+                    spans.append(q)
+                    j = q[1]
+                else:
+                    break
+            operands = [rewrite_operand(s[a:b]) for a, b in spans]
+            if "/" in ops:
+                folded = fold_chain(operands, ops)
+                if folded is not None:
+                    out.append(folded)
+                    i = j
+                    continue
+            # not a rewritable chain: emit operands (inner-rewritten)
+            # with the original operator text between them
+            pieces = [operands[0]]
+            for idx in range(len(ops)):
+                pieces.append(s[spans[idx][1]:spans[idx + 1][0]])
+                pieces.append(operands[idx + 1])
+            out.append("".join(pieces))
+            i = j
+            continue
+        return "".join(out)
+
+    def build_dateadd_compat(args: list[str]) -> str:
+        call = f"DATEADD({', '.join(args)})"
+        if args:
+            dt = probe(args[0])
+            if dt == "date":
+                return f"CAST({call} AS DATE)"
+        return call
+
+    sql = _rewrite_calls(sql, "DATEADD", build_dateadd_compat)
+    return _rewrite(sql)
+
+
 def rewrite_zeta_sql(sql: str) -> str:
     out = _raw_string_literals(sql)
     for zeta, spark_name in _NAME_REWRITES.items():

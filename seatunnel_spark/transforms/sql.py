@@ -44,7 +44,16 @@ class SqlTransform(Transform):
         query = self.require("query")
         spark = df.sparkSession
         register_zeta_udfs(spark)
-        sql = rewrite_zeta_sql(query)
+        sql = query
+        if str(self.opt("zeta_compat", "")).lower() in ("true", "1", "yes"):
+            # exact Zeta arithmetic/DATEADD dialect parity (truncating
+            # integer division, RoundingMode.UP decimal division,
+            # DATE-in DATE-out DATEADD) — schema-aware, so it runs
+            # against the input frame before the textual rewrites
+            from seatunnel_spark.functions import rewrite_zeta_compat
+
+            sql = rewrite_zeta_compat(sql, df)
+        sql = rewrite_zeta_sql(sql)
         sql = rewrite_typed_zeta(sql, df)
         sql = rewrite_aliasless_lateral(sql, df.columns)
         sql = self._carry_meta_columns(sql, df)

@@ -206,3 +206,64 @@ def test_udf_spi(spark):
     assert _sql1(spark, "MY_SUFFIX('abc')") == "abc_x"
     # the shipped example UDF (docs example output shape)
     assert _sql1(spark, "EXAMPLE('x')") == "UDF: x"
+
+
+# -- zeta_compat: exact dialect parity for the 3 documented deviations --
+# golden vectors computed per ZetaSQLFunction.executeBinaryExpr:601-683
+# (Java int/long division, BigDecimal RoundingMode.UP at
+# ZetaSQLType:229-244's max-scale result type) and the DATEADD
+# result-has-arg0's-type rule (ZetaSQLType:478-485).
+
+def _compat(spark, df, q):
+    t = get_transform("Sql", {"query": q, "zeta_compat": "true",
+                              "plugin_input": "t"})
+    out = t.apply(df)
+    return out.collect()[0], dict(out.dtypes)
+
+
+def test_zeta_compat_integer_division(spark):
+    df = spark.createDataFrame([(7, 2, -7, 9000000000)],
+                               "a int, b int, neg int, c bigint")
+    r, types = _compat(spark, df, "SELECT a / b AS x FROM t")
+    assert r["x"] == 3 and types["x"] == "int"     # Java 7/2 == 3
+    r, types = _compat(spark, df, "SELECT neg / b AS x FROM t")
+    assert r["x"] == -3 and types["x"] == "int"    # Java -7/2 == -3
+    r, types = _compat(spark, df, "SELECT c / b AS x FROM t")
+    assert r["x"] == 4500000000 and types["x"] == "bigint"
+    # left-assoc chain types like Zeta: (a*a)/b stays INT
+    r, types = _compat(spark, df, "SELECT a * a / b AS x FROM t")
+    assert r["x"] == 24 and types["x"] == "int"
+    # without the flag, Spark fractional semantics are untouched
+    t = get_transform("Sql", {"query": "SELECT a / b AS x FROM t",
+                              "plugin_input": "t"})
+    assert t.apply(df).collect()[0]["x"] == 3.5
+
+
+def test_zeta_compat_decimal_division_rounds_up(spark):
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(Decimal("10.00"), Decimal("3.000"), Decimal("-10.00"))],
+        "d decimal(10,2), e decimal(8,3), nd decimal(10,2)")
+    # result scale = max(2,3) = 3; 10/3 = 3.3333.. -> UP -> 3.334
+    r, types = _compat(spark, df, "SELECT d / e AS x FROM t")
+    assert r["x"] == Decimal("3.334") and types["x"].startswith("decimal")
+    # UP is away from zero: -3.3333.. -> -3.334 (HALF_EVEN gives -3.333)
+    r, _ = _compat(spark, df, "SELECT nd / e AS x FROM t")
+    assert r["x"] == Decimal("-3.334")
+    # decimal / int keeps the decimal's own scale: 10.00/3 -> 3.34
+    r, _ = _compat(spark, df, "SELECT d / 3 AS x FROM t")
+    assert r["x"] == Decimal("3.34")
+
+
+def test_zeta_compat_dateadd_date_returns_date(spark):
+    import datetime
+
+    df = spark.sql("SELECT DATE'2020-01-10' AS dcol, "
+                   "TIMESTAMP'2020-01-10 05:00:00' AS tcol")
+    r, types = _compat(
+        spark, df, "SELECT DATEADD(dcol, 5, 'DAY') AS x, "
+                   "DATEADD(tcol, 5, 'DAY') AS y FROM t")
+    assert types["x"] == "date" and r["x"] == datetime.date(2020, 1, 15)
+    assert types["y"] == "timestamp"
+    assert r["y"] == datetime.datetime(2020, 1, 15, 5, 0)
