@@ -57,6 +57,10 @@ def _eq_expr(col, dt, rv):
     simple = dt.simpleString() if dt is not None else ""
     if simple.startswith("time") and isinstance(rv, str):
         return col.eqNullSafe(F.lit(rv).cast(dt))
+    if simple == "float" and isinstance(rv, float):
+        # compare at FLOAT precision like the reference's typed rule
+        # parser (a double literal 67.89 != float32 67.89 otherwise)
+        return col.eqNullSafe(F.lit(rv).cast("float"))
     return col.eqNullSafe(F.lit(rv))
 
 
@@ -148,7 +152,11 @@ class AssertSink(Sink):
                 # (AssertFieldRule.java; e2e sql_transform/case_when.conf:94)
                 rv = rule.get("rule_value", rule.get("equals_to"))
                 alias = f"__f{i}_{j}"
-                col = F.col(fname)
+                # a field name containing '.' that exists VERBATIM in
+                # the frame is a literal column (hive-jdbc labels
+                # `table.column`), not a nested-struct path — quote it
+                col = (F.col(f"`{fname}`") if "." in fname
+                       and fname in df.columns else F.col(fname))
                 if rt == "NOT_NULL":
                     aggs.append(F.sum(col.isNull().cast("long")).alias(alias))
                     checks.append((alias, ("==", 0, f"{fname} NOT_NULL")))

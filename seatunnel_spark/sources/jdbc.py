@@ -181,11 +181,18 @@ class JdbcSource(Source):
                "datetime": "timestamp", "smalldatetime": "timestamp",
                "datetime2": "timestamp", "varbinary": "binary",
                "binary": "binary"}
+        _HIVE = {"tinyint": "tinyint", "smallint": "smallint", "int": "int",
+                 "bigint": "bigint", "float": "float", "double": "double",
+                 "boolean": "boolean", "decimal": "decimal(38,10)",
+                 "date": "date", "timestamp": "timestamp",
+                 "binary": "binary"}
         if family == "pg":
             spark_types = [_PG_OID.get(c, "string") for c in codes]
         elif family == "mssql":
             # TdsClient returns T-SQL type-name strings, not codes
             spark_types = [_MS.get(c, "string") for c in codes]
+        elif family == "hive":
+            spark_types = [_HIVE.get(c, "string") for c in codes]
         else:
             spark_types = [_MY.get(TYPE_NAMES.get(c, ""), "string")
                            for c in codes]

@@ -20,6 +20,7 @@ _PG_PREFIXES = ("jdbc:postgresql:", "jdbc:redshift:", "jdbc:greenplum:",
                 "jdbc:opengauss:", "jdbc:kingbase8:", "jdbc:highgo:")
 _MYSQL_PREFIXES = ("jdbc:mysql:", "jdbc:mariadb:", "jdbc:oceanbase:")
 _MSSQL_PREFIXES = ("jdbc:sqlserver:",)
+_HIVE_PREFIXES = ("jdbc:hive2:",)
 
 
 def wire_family(url: str) -> str | None:
@@ -30,6 +31,8 @@ def wire_family(url: str) -> str | None:
         return "mysql"
     if u.startswith(_MSSQL_PREFIXES):
         return "mssql"
+    if u.startswith(_HIVE_PREFIXES):
+        return "hive"
     return None
 
 
@@ -82,6 +85,10 @@ class WireExecutor:
 
             # host aliasing happens inside TdsClient (same as MySqlClient)
             self.cl = TdsClient.from_jdbc_url(url, user, password)
+        elif fam == "hive":
+            from seatunnel_spark.hive_thrift import HiveThriftClient
+
+            self.cl = HiveThriftClient.from_jdbc_url(url, user, password)
         else:
             from seatunnel_spark.mysql_wire import MySqlClient
 

@@ -494,3 +494,44 @@ def test_jdbc_sqlserver_source_to_sink_conf(spark, monkeypatch):
             "master.dbo.sink" in blob.replace('"', "")
     finally:
         stop()
+
+
+def test_jdbc_hive_source_and_assert_conf(spark, monkeypatch):
+    """jdbc_hive_source_and_assert.conf UNMODIFIED over the HiveServer2
+    thrift wire (TCLIService via SASL-PLAIN framing): query-shaped read
+    with columnar TRowSet decode; hive-jdbc's qualified column labels
+    (table.column) feed the Assert field rules verbatim."""
+    import datetime
+    from decimal import Decimal
+
+    from seatunnel_spark.testing.hive_thrift_server import start_mini_hs2
+
+    srv, port, stop = start_mini_hs2("root", "")
+    monkeypatch.setenv("SEATUNNEL_SPARK_HOST_ALIASES",
+                       f"e2ehivejdbc=tcp://127.0.0.1:{port}")
+    try:
+        q = "hive_e2e_source_table"
+        row = (2, 1, 1234567890, 32767, 127, 123.45, 123.45, 67.89,
+               "Hello, Hive", "CharCol   ", "VarcharCol", True,
+               datetime.date(2023, 9, 4),
+               datetime.datetime(2023, 9, 4, 10, 30, 0),
+               Decimal("42.10"), Decimal("42.12"))
+        srv.tables[q] = (
+            [f"{q}.int_column", f"{q}.integer_column",
+             f"{q}.bigint_column", f"{q}.smallint_column",
+             f"{q}.tinyint_column", f"{q}.double_column",
+             f"{q}.double_precision_column", f"{q}.float_column",
+             f"{q}.string_column", f"{q}.char_column",
+             f"{q}.varchar_column", f"{q}.boolean_column",
+             f"{q}.date_column", f"{q}.timestamp_column",
+             f"{q}.decimal_column", f"{q}.numeric_column"],
+            ["int", "int", "bigint", "smallint", "tinyint", "double",
+             "double", "float", "string", "char(10)", "varchar(20)",
+             "boolean", "date", "timestamp", "decimal(10,2)",
+             "decimal(10,2)"],
+            [row, row, row])
+        JobEngine(spark).run(JobSpec.from_file(
+            _find_conf("jdbc_hive_source_and_assert.conf")))
+        assert any("hive_e2e_source_table" in s for s in srv.statements)
+    finally:
+        stop()
