@@ -156,6 +156,12 @@ class DorisSource(_MySqlProtocolSource):
 
 
 class StarRocksSource(_MySqlProtocolSource):
+    """Native scan path first (the reference's own flow — FE
+    `_query_plan` REST + BE thrift Arrow scan, StarRocksSourceReader /
+    StarRocksBeReadClient.java), falling back to the FE MySQL query
+    port when the REST endpoint is unreachable (both FE surfaces are
+    public; the MySQL port distributes the scan FE-side)."""
+
     NAME = "StarRocks"
 
     def _endpoint(self) -> tuple[str, int]:
@@ -173,6 +179,64 @@ class StarRocksSource(_MySqlProtocolSource):
 
     def _filter(self) -> str | None:
         return self.opt("scan_filter") or None
+
+    def _read_single(self, spark: SparkSession) -> DataFrame:
+        nodes = self.opt("nodeUrls")
+        nodes = [str(n).strip() for n in
+                 (nodes if isinstance(nodes, list) else [nodes])]
+        db = str(self.require("database"))
+        table = str(self.require("table"))
+        user = str(self.opt("username", "root"))
+        pw = str(self.opt("password", ""))
+        fields = (self.opt("schema") or {}).get("fields") or {}
+        proj = ", ".join(f"`{c}`" for c in fields) if fields else "*"
+        sql = f"select {proj} from `{db}`.`{table}`"
+        filt = self._filter()
+        if filt:
+            sql += f" where {filt}"
+
+        from seatunnel_spark.starrocks_scan import (
+            StarRocksScanError,
+            assign_tablets,
+            fetch_query_plan,
+            scan_partition,
+        )
+
+        plan = partitions = None
+        for node in nodes:
+            try:
+                plan, partitions = fetch_query_plan(node, db, table, sql,
+                                                    user, pw)
+                break
+            except StarRocksScanError:
+                raise  # the FE answered and rejected: a real error
+            except Exception:  # noqa: BLE001 — not an FE REST endpoint
+                continue  # (refused / timeout / non-HTTP): try next
+        if plan is None:
+            # no FE REST endpoint answered — MySQL query-port fallback
+            return super()._read_single(spark)
+        if not fields:
+            raise StarRocksScanError(
+                "StarRocks source requires a declared schema "
+                "(SourceConfig.java: the native scan projects by it)")
+        parts = assign_tablets(
+            partitions, int(self.opt("request_tablet_size", 1024)))
+        batch = int(self.opt("scan_batch_rows", 1024))
+        props = {str(k)[len("scan.params."):]: str(v)
+                 for k, v in self.options.items()
+                 if str(k).startswith("scan.params.")}
+
+        def fetch(p):
+            be, tablets = p
+            return scan_partition(be, db, table, tablets, plan, user, pw,
+                                  batch_size=batch, properties=props)
+
+        from seatunnel_spark.types import parse_schema
+
+        schema = parse_schema(fields)
+        rdd = spark.sparkContext.parallelize(
+            parts, max(1, len(parts))).flatMap(fetch)
+        return spark.createDataFrame(rdd, schema)
 
 
 __all__ = ["DorisSource", "StarRocksSource"]
