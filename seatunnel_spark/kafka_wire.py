@@ -204,10 +204,50 @@ def decode_record_batches(data: bytes):
 # --------------------------------------------------------------------------
 
 _API_PRODUCE, _API_FETCH, _API_LIST_OFFSETS, _API_METADATA = 0, 1, 2, 3
+_API_SASL_HANDSHAKE = 17
 _API_VERSIONS = 18
 _API_INIT_PRODUCER_ID = 22
 _API_ADD_PARTITIONS_TO_TXN = 24
 _API_END_TXN = 26
+_API_SASL_AUTHENTICATE = 36
+
+
+def sasl_gssapi_config(kafka_config: dict | None,
+                       bootstrap: str) -> dict | None:
+    """Build the GSSAPI SASL parameters from the conf's `kafka.config`
+    block (security.protocol=SASL_PLAINTEXT + sasl.mechanism=GSSAPI):
+    keytab/principal parsed out of the JAAS Krb5LoginModule string,
+    krb5.conf from java.security.krb5.conf, the acceptor principal
+    `{service}/{bootstrap-host}` like the Java client's
+    sasl.kerberos.service.name rule. File paths resolve through
+    SEATUNNEL_SPARK_PATH_ALIASES (the volume-mount analog), so a conf
+    written for container paths (/etc/krb5.conf, /tmp/kafka.keytab)
+    runs unmodified."""
+    import re
+
+    from seatunnel_spark.sources.file import resolve_path_aliases
+
+    cfg = kafka_config or {}
+    if str(cfg.get("security.protocol", "")).upper() != "SASL_PLAINTEXT":
+        return None
+    if str(cfg.get("sasl.mechanism", "GSSAPI")).upper() != "GSSAPI":
+        return None
+    jaas = str(cfg.get("sasl.jaas.config", ""))
+    mk = re.search(r'keyTab="([^"]+)"', jaas)
+    mp = re.search(r'principal="([^"]+)"', jaas)
+    if not (mk and mp):
+        raise ValueError("kafka GSSAPI: sasl.jaas.config must carry "
+                         "keyTab=\"...\" and principal=\"...\"")
+    krb5_path = str(cfg.get("java.security.krb5.conf",
+                            "/etc/krb5.conf")).strip('"')
+    host = bootstrap.split(",")[0].rsplit(":", 1)[0].strip().lower()
+    return {
+        "keytab": resolve_path_aliases(mk.group(1)),
+        "principal": mp.group(1),
+        "krb5_conf": resolve_path_aliases(krb5_path),
+        "service": str(cfg.get("sasl.kerberos.service.name", "kafka")),
+        "host": host,
+    }
 
 
 def resolve_bootstrap(bootstrap: str) -> str:
@@ -224,7 +264,7 @@ def resolve_bootstrap(bootstrap: str) -> str:
 
 class KafkaWireClient:
     def __init__(self, bootstrap: str, client_id: str = "seatunnel-spark",
-                 timeout: float = 30.0):
+                 timeout: float = 30.0, sasl: dict | None = None):
         from seatunnel_spark.net import apply_host_aliases
 
         first = bootstrap.split(",")[0].strip()
@@ -237,6 +277,60 @@ class KafkaWireClient:
         self._corr = 0
         self._buf = b""
         self._lock = threading.Lock()
+        if sasl:
+            self._sasl_gssapi(sasl)
+
+    def _sasl_gssapi(self, sasl: dict) -> None:
+        """SASL GSSAPI (RFC 4752) over SaslHandshake v1 +
+        SaslAuthenticate v0: kinit from the keytab (AS exchange against
+        the krb5.conf realm's KDC), TGS for `{service}/{host}`, then
+        the GSS context tokens (AP-REQ -> AP-REP, mutual) and the
+        security-layer wrap negotiation (layer: none)."""
+        from seatunnel_spark import krb5 as K
+
+        key = K.keytab_key(sasl["keytab"], sasl["principal"])
+        conf = K.parse_krb5_conf(sasl["krb5_conf"])
+        _comps, realm = K.parse_principal(sasl["principal"])
+        realm = realm or conf.get("default_realm", "")
+        kdc = conf["realms"].get(realm, {}).get("kdc")
+        if not kdc:
+            raise ValueError(f"krb5.conf: no kdc for realm {realm!r}")
+        tgt_session, tgt = K.as_exchange(kdc, sasl["principal"], key,
+                                         realm)
+        session, ticket = K.tgs_exchange(
+            kdc, tgt, tgt_session, sasl["principal"],
+            [sasl["service"], sasl["host"]], realm)
+
+        # SaslHandshake v1
+        resp = self._call(_API_SASL_HANDSHAKE, 1,
+                          enc_str("GSSAPI"))
+        (err,) = struct.unpack_from(">h", resp, 0)
+        if err:
+            raise RuntimeError(f"kafka SaslHandshake error {err}")
+
+        def authenticate(token: bytes) -> bytes:
+            r = self._call(_API_SASL_AUTHENTICATE, 0, enc_bytes(token))
+            (e,) = struct.unpack_from(">h", r, 0)
+            msg, i = dec_str(r, 2)
+            if e:
+                raise RuntimeError(
+                    f"kafka SASL authentication failed: {msg or e}")
+            out, _ = dec_bytes(r, i)
+            return out or b""
+
+        ap_req = K.build_ap_req(ticket, session, sasl["principal"],
+                                usage=11, cksum=K.gss_checksum_deleg(),
+                                seq_number=0, mutual=True)
+        ap_rep_tok = authenticate(K.gss_initial_token(ap_req))
+        K.dec_ap_rep(K.gss_parse_ap_rep(ap_rep_tok), session)  # mutual
+        challenge = authenticate(b"")
+        layers = K.gss_unwrap(session, challenge, initiator_sent=False)
+        if not layers or not layers[0] & 0x01:
+            raise RuntimeError("kafka SASL: server offers no "
+                               "security-layer 'none'")
+        reply = K.gss_wrap(session, bytes([0x01]) + layers[1:4],
+                           initiator=True, seq=0, seal=False)
+        authenticate(reply)
 
     def close(self):
         try:

@@ -20,6 +20,16 @@ class HiveSink(Sink):
     NAME = "Hive"
 
     def write(self, df: DataFrame) -> None:
+        if self.opt("kerberos_principal"):
+            # HiveMetaStoreProxy.loginUserFromKeytab analog: a REAL AS
+            # exchange against the conf's KDC before touching the
+            # catalog — bad keytab / unknown principal fails the job
+            # exactly like the JVM login would
+            from seatunnel_spark import krb5 as _krb
+
+            _krb.kinit(str(self.require("kerberos_principal")),
+                       str(self.require("kerberos_keytab_path")),
+                       str(self.opt("krb5_path", "/etc/krb5.conf")))
         table = self.opt("table_name") or self.require("table")
         spark = df.sparkSession
         if "." in str(table):

@@ -201,6 +201,10 @@ class KafkaSink(Sink):
         from seatunnel_spark.kafka_wire import KafkaWireClient, resolve_bootstrap
 
         bootstrap = resolve_bootstrap(self.require("bootstrap.servers"))
+        from seatunnel_spark.kafka_wire import sasl_gssapi_config
+
+        sasl = sasl_gssapi_config(self.opt("kafka.config"),
+                                  str(self.require("bootstrap.servers")))
         topic = self.require("topic")
         templated = self._topic_template_col() is not None
 
@@ -215,7 +219,7 @@ class KafkaSink(Sink):
         def produce_partition(idx, rows):
             from seatunnel_spark.kafka_wire import KafkaWireClient as _C
 
-            cl = _C(bootstrap)
+            cl = _C(bootstrap, sasl=sasl)
             parts_by_topic: dict[str, list[int]] = {}
 
             def parts_of(t: str) -> list[int]:

@@ -455,6 +455,14 @@ class FileSource(Source):
         encoding = str(self.opt("encoding", "utf-8"))
         skip = int(self.opt("skip_header_row_number", 0) or 0)
         if self.plugin_name == "Hive" and self.opt("table_name"):
+            if self.opt("kerberos_principal"):
+                # real AS exchange before the catalog read (the
+                # HiveMetaStoreProxy.loginUserFromKeytab analog)
+                from seatunnel_spark import krb5 as _krb
+
+                _krb.kinit(str(self.require("kerberos_principal")),
+                           str(self.require("kerberos_keytab_path")),
+                           str(self.opt("krb5_path", "/etc/krb5.conf")))
             df = spark.table(self.opt("table_name"))
         elif fmt == "text" and fields_opt:
             # The reference's TEXT format: one line per row, fields

@@ -18,13 +18,15 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
         self.bootstrap = cfg["bootstrap"]
         self.topic = cfg["topic"]
         self.per_trigger = int(cfg.get("per_trigger", 10000))
+        self.sasl = cfg.get("sasl")
         self._client = None
 
     def _cl(self):
         from seatunnel_spark.kafka_wire import KafkaWireClient
 
         if self._client is None:
-            self._client = KafkaWireClient(self.bootstrap)
+            self._client = KafkaWireClient(self.bootstrap,
+                                           sasl=self.sasl)
         return self._client
 
     def initialOffset(self) -> dict:

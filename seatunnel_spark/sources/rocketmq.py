@@ -30,8 +30,25 @@ from seatunnel_spark.types import ROW_KIND_COL, TABLE_ID_COL
 SEND_MESSAGE, PULL_MESSAGE, GET_MAX_OFFSET = 10, 11, 30
 
 
+def acl_signature(ext_fields: dict, body: bytes, secret_key: str) -> str:
+    """RocketMQ ACL request signature (public AclSigner/AclUtils
+    algorithm: values of the key-sorted extFields — Signature itself
+    excluded — concatenated, body appended, HmacSHA1 base64)."""
+    import base64
+    import hashlib
+    import hmac
+
+    content = "".join(
+        str(v) for k, v in sorted(ext_fields.items())
+        if k != "Signature").encode() + body
+    return base64.b64encode(hmac.new(secret_key.encode(), content,
+                                     hashlib.sha1).digest()).decode()
+
+
 class RocketMqClient:
-    def __init__(self, addr: str, timeout: float = 30.0):
+    def __init__(self, addr: str, timeout: float = 30.0,
+                 access_key: str | None = None,
+                 secret_key: str | None = None):
         resolved = apply_host_aliases(
             f"tcp://{addr.split(';')[0].strip()}")
         hostpart = resolved.split("://", 1)[1]
@@ -40,6 +57,10 @@ class RocketMqClient:
                                              timeout=timeout)
         self._buf = b""
         self._opaque = 0
+        # acl.enabled: every request carries AccessKey + Signature
+        # (AclClientRPCHook.doBeforeRequest)
+        self.access_key = access_key
+        self.secret_key = secret_key
 
     def _read_exact(self, n: int) -> bytes:
         while len(self._buf) < n:
@@ -53,10 +74,15 @@ class RocketMqClient:
     def call(self, code: int, ext_fields: dict,
              body: bytes = b"") -> tuple[dict, bytes]:
         self._opaque += 1
+        ext = {k: str(v) for k, v in ext_fields.items()}
+        if self.access_key is not None:
+            ext["AccessKey"] = self.access_key
+            ext["Signature"] = acl_signature(ext, body,
+                                             self.secret_key or "")
         header = json.dumps({
             "code": code, "language": "OTHER", "version": 0,
             "opaque": self._opaque, "flag": 0,
-            "extFields": {k: str(v) for k, v in ext_fields.items()},
+            "extFields": ext,
         }).encode()
         frame = (struct.pack(">i", 4 + len(header) + len(body))
                  + struct.pack(">i", len(header) & 0xFFFFFF)  # JSON type 0
@@ -170,7 +196,11 @@ class RocketMqSource(Source):
                   str(self.opt("topics") or self.require("topic")).split(",")
                   if t.strip()]
         group = self.opt("consumer.group", "SEATUNNEL_CONSUMER")
-        cl = RocketMqClient(addr)
+        acl = str(self.opt("acl.enabled", "false")).lower() == "true"
+        cl = RocketMqClient(
+            addr,
+            access_key=str(self.require("access.key")) if acl else None,
+            secret_key=str(self.require("secret.key")) if acl else None)
         try:
             bodies = []
             for topic in topics:
@@ -210,9 +240,12 @@ class RocketMqSink(Sink):
         fmt = str(self.opt("format", "json")).lower()
         delim = self.opt("field_delimiter", ",")
         meta = [c for c in (ROW_KIND_COL, TABLE_ID_COL) if c in df.columns]
+        acl = str(self.opt("acl.enabled", "false")).lower() == "true"
+        ak = str(self.require("access.key")) if acl else None
+        sk = str(self.require("secret.key")) if acl else None
 
         def write_partition(rows):
-            cl = RocketMqClient(addr)
+            cl = RocketMqClient(addr, access_key=ak, secret_key=sk)
             try:
                 for row in rows:
                     d = row.asDict(recursive=True)

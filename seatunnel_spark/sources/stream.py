@@ -115,7 +115,11 @@ class KafkaSource(Source):
                     or "SeaTunnel-Consumer-Group")
         commit = str(self.opt("commit_on_checkpoint", "true")) \
             .lower() != "false"
-        cl = KafkaWireClient(bootstrap)
+        from seatunnel_spark.kafka_wire import sasl_gssapi_config
+
+        sasl = sasl_gssapi_config(self.opt("kafka.config"),
+                                  str(self.require("bootstrap.servers")))
+        cl = KafkaWireClient(bootstrap, sasl=sasl)
         splits: list[tuple[str, int, int]] = []
         try:
             for topic in self._topics(cl):
@@ -153,7 +157,7 @@ class KafkaSource(Source):
                         cl.list_offset(topic, p, -1)
 
                 def _commit():
-                    c2 = KafkaWireClient(bootstrap)
+                    c2 = KafkaWireClient(bootstrap, sasl=sasl)
                     try:
                         for topic, offs in by_topic.items():
                             c2.offset_commit(group, topic, offs)
@@ -170,7 +174,7 @@ class KafkaSource(Source):
         def fetch_parts(batches):
             import pandas as pd
 
-            cl = KafkaWireClient(bootstrap)
+            cl = KafkaWireClient(bootstrap, sasl=sasl)
             try:
                 for frame in batches:
                     for topic, p, start in zip(frame["topic"], frame["p"],
@@ -200,11 +204,16 @@ class KafkaSource(Source):
         from seatunnel_spark.kafka_wire import resolve_bootstrap
 
         register_kafka_datasource(spark)
+        from seatunnel_spark.kafka_wire import sasl_gssapi_config
+
         cfg = {"bootstrap": resolve_bootstrap(self.require("bootstrap.servers")),
                "topic": self.require("topic"),
                "per_trigger": int(self.opt("maxOffsetsPerTrigger")
                                   or self.opt("read_limit.rows_per_second")
-                                  or 10000)}
+                                  or 10000),
+               "sasl": sasl_gssapi_config(
+                   self.opt("kafka.config"),
+                   str(self.require("bootstrap.servers")))}
         return (spark.readStream.format("seatunnel_kafka")
                 .option("config", json.dumps(cfg)).load())
 

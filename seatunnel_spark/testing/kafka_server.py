@@ -45,6 +45,64 @@ class MiniKafka:
         self.last_base: dict[tuple, int] = {}
         # (group, topic, partition) -> committed offset
         self.group_offsets: dict[tuple[str, str, int], int] = {}
+        # -- SASL GSSAPI acceptor state (kerberized broker mode) -------
+        self.gssapi_key: bytes | None = None  # the broker's service key
+        self.sasl_events: list[str] = []
+        self.auth_failures = 0
+
+    def enable_gssapi(self, service_key: bytes) -> None:
+        """Kerberize the broker: every connection must complete a SASL
+        GSSAPI handshake (service ticket encrypted with `service_key`)
+        before any other API; unauthenticated requests drop the
+        connection like a real SASL_PLAINTEXT listener."""
+        self.gssapi_key = service_key
+
+    def _gss_accept(self, state: dict, token: bytes) -> bytes:
+        from seatunnel_spark import krb5 as K
+
+        step = state.get("sasl_step", 0)
+        if step == 0:
+            ap_req = K.gss_parse_initial(token)
+            _tag, inner = K.der_unwrap(ap_req, 0x6E)
+            _, seq = K.der_unwrap(inner)
+            af = seq.fields()
+            ticket = K.dec_ticket(af[3].bytes_())
+            tkt_plain = K.krb_decrypt(self.gssapi_key, 2, ticket.cipher)
+            _, tp = K.der_unwrap(tkt_plain, 0x63)
+            _, tpseq = K.der_unwrap(tp)
+            tpf = tpseq.fields()
+            _kt, session = K.dec_key(K.DerView(tpf[1].bytes_()))
+            cname = K.dec_principal(K.DerView(tpf[3].bytes_()))
+            _et, auth_cipher = K.dec_encrypted_data(
+                K.DerView(af[4].bytes_()))
+            K.krb_decrypt(session, 11, auth_cipher)  # verify client
+            state["sasl_session"] = session
+            state["sasl_client"] = "/".join(cname)
+            self.sasl_events.append(f"AP-REQ from {'/'.join(cname)}")
+            ap_rep = K.der_app(15, K.der_seq(
+                K.der_ctx(0, K.der_int(5)),
+                K.der_ctx(1, K.der_int(15)),
+                K.der_ctx(2, K.enc_encrypted_data(
+                    K.ETYPE_AES256,
+                    K.krb_encrypt(session, 12, K.der_app(27, K.der_seq(
+                        K.der_ctx(0, K.der_gentime()),
+                        K.der_ctx(1, K.der_int(0)))))))))
+            state["sasl_step"] = 1
+            return K.gss_ap_rep_token(ap_rep)
+        if step == 1:
+            # client context complete (empty token) -> offer layers
+            state["sasl_step"] = 2
+            return K.gss_wrap(state["sasl_session"],
+                              b"\x01\x7f\xff\xff", initiator=False,
+                              seal=False)
+        # step 2: client's chosen layer
+        choice = K.gss_unwrap(state["sasl_session"], token,
+                              initiator_sent=True)
+        if not choice or not choice[0] & 0x01:
+            raise ValueError("client selected unsupported SASL layer")
+        state["authenticated"] = True
+        self.sasl_events.append(f"authenticated {state['sasl_client']}")
+        return b""
 
     def topic_partitions(self, topic: str) -> list[int]:
         with self.lock:
@@ -156,11 +214,36 @@ class MiniKafka:
         return runs
 
     # -- request handling -------------------------------------------------
-    def handle_request(self, api: int, version: int, body: bytes) -> bytes:
+    def handle_request(self, api: int, version: int, body: bytes,
+                       state: dict | None = None) -> bytes:
+        state = state if state is not None else {"authenticated": True}
+        if self.gssapi_key is not None and not state.get("authenticated"):
+            if api == 17:  # SaslHandshake v1
+                mech, _ = dec_str(body, 0)
+                if (mech or "").upper() != "GSSAPI":
+                    return struct.pack(">hi", 33, 1) + enc_str("GSSAPI")
+                state["handshook"] = True
+                return struct.pack(">hi", 0, 1) + enc_str("GSSAPI")
+            if api == 36:  # SaslAuthenticate v0
+                token, _ = dec_bytes(body, 0)
+                try:
+                    out = self._gss_accept(state, token or b"")
+                except Exception as e:  # noqa: BLE001 - bad credentials
+                    self.auth_failures += 1
+                    return (struct.pack(">h", 58)  # SASL_AUTH_FAILED
+                            + enc_str(str(e)) + enc_bytes(b""))
+                return struct.pack(">h", 0) + enc_str(None) \
+                    + enc_bytes(out)
+            if api == 18:
+                pass  # ApiVersions allowed pre-auth (the real broker's)
+            else:
+                # unauthenticated data API on a SASL listener: the real
+                # broker closes the connection
+                raise ConnectionError("unauthenticated request")
         if api == 18:  # ApiVersions
             entries = [(0, 0, 3), (1, 0, 4), (2, 0, 1), (3, 0, 1),
-                       (8, 0, 2), (9, 0, 1), (18, 0, 0), (22, 0, 0),
-                       (24, 0, 0), (26, 0, 0)]
+                       (8, 0, 2), (9, 0, 1), (17, 0, 1), (18, 0, 0),
+                       (22, 0, 0), (24, 0, 0), (26, 0, 0), (36, 0, 0)]
             return (struct.pack(">h", 0) + struct.pack(">i", len(entries))
                     + b"".join(struct.pack(">hhh", *e) for e in entries))
         if api == 9:  # OffsetFetch v1
@@ -395,6 +478,7 @@ def start_mini_kafka(port: int = 0, host: str = "127.0.0.1",
 
     def handle(conn):
         buf = b""
+        state = {"authenticated": broker.gssapi_key is None}
 
         def read_exact(n):
             nonlocal buf
@@ -414,7 +498,8 @@ def start_mini_kafka(port: int = 0, host: str = "127.0.0.1",
                 api, version, corr = struct.unpack_from(">hhi", msg, 0)
                 _cid, i = dec_str(msg, 8)
                 try:
-                    resp = broker.handle_request(api, version, msg[i:])
+                    resp = broker.handle_request(api, version, msg[i:],
+                                                 state)
                 except ValueError:
                     continue
                 conn.sendall(struct.pack(">i", len(resp) + 4)

@@ -21,6 +21,26 @@ class MiniRocketMq:
     def __init__(self):
         self.topics: dict[str, list[bytes]] = {}
         self.lock = threading.RLock()
+        # ACL mode: {accessKey: secretKey}; every request must carry a
+        # valid AccessKey + Signature (the broker-side PlainAccessValidator)
+        self.acl: dict[str, str] | None = None
+        self.acl_failures = 0
+
+    def enable_acl(self, access_key: str, secret_key: str) -> None:
+        self.acl = {access_key: secret_key}
+
+    def check_acl(self, ext: dict, body: bytes) -> bool:
+        if self.acl is None:
+            return True
+        from seatunnel_spark.sources.rocketmq import acl_signature
+
+        ak = ext.get("AccessKey")
+        sig = ext.get("Signature")
+        sk = self.acl.get(ak or "")
+        if sk is None or sig != acl_signature(ext, body, sk):
+            self.acl_failures += 1
+            return False
+        return True
 
 
 def start_mini_rocketmq(port: int = 0, host: str = "127.0.0.1"):
@@ -64,6 +84,10 @@ def start_mini_rocketmq(port: int = 0, host: str = "127.0.0.1"):
                 code = header.get("code")
                 ext = header.get("extFields") or {}
                 opaque = header.get("opaque", 0)
+                if not broker.check_acl(ext, body):
+                    # NO_PERMISSION (ResponseCode 16)
+                    reply(opaque, 16, {"remark": "acl check failed"})
+                    continue
                 with broker.lock:
                     if code == SEND_MESSAGE:
                         topic = ext["topic"]
