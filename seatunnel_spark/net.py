@@ -54,6 +54,16 @@ def resolve_jdbc_url(url: str) -> str:
     taken from the alias — the jdbc sub-scheme (postgresql/mysql/...)
     carries dialect information and must survive even a full-endpoint
     alias like "postgresql=tcp://127.0.0.1:5433"."""
+    if url.startswith("jdbc:phoenix:thin:"):
+        # the endpoint lives in the url= property — alias THAT (on the
+        # driver, like every other family; executors never re-resolve)
+        head, _, rest = url.partition("thin:")
+        parts = []
+        for kv in rest.split(";"):
+            if kv.startswith("url="):
+                kv = "url=" + apply_host_aliases(kv[4:])
+            parts.append(kv)
+        return head + "thin:" + ";".join(parts)
     prefix, rest = ("jdbc:", url[len("jdbc:"):]) if url.startswith("jdbc:") \
         else ("", url)
     # jdbc:sqlserver carries ;prop=value pairs where a path would be —

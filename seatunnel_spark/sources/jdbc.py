@@ -193,6 +193,9 @@ class JdbcSource(Source):
             spark_types = [_MS.get(c, "string") for c in codes]
         elif family == "hive":
             spark_types = [_HIVE.get(c, "string") for c in codes]
+        elif family == "avatica":
+            # AvaticaClient already maps java.sql.Types -> schema DSL
+            spark_types = list(codes)
         else:
             spark_types = [_MY.get(TYPE_NAMES.get(c, ""), "string")
                            for c in codes]

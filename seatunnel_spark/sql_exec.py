@@ -18,9 +18,15 @@ import decimal
 
 _PG_PREFIXES = ("jdbc:postgresql:", "jdbc:redshift:", "jdbc:greenplum:",
                 "jdbc:opengauss:", "jdbc:kingbase8:", "jdbc:highgo:")
-_MYSQL_PREFIXES = ("jdbc:mysql:", "jdbc:mariadb:", "jdbc:oceanbase:")
+_MYSQL_PREFIXES = ("jdbc:mysql:", "jdbc:mariadb:", "jdbc:oceanbase:",
+                   # GBase 8a speaks the MySQL client protocol (its
+                   # JDBC driver is Connector/J-derived — the conf's
+                   # useUnicode/rewriteBatchedStatements options are
+                   # Connector/J's; dialect quoting/upsert match)
+                   "jdbc:gbase:")
 _MSSQL_PREFIXES = ("jdbc:sqlserver:",)
 _HIVE_PREFIXES = ("jdbc:hive2:",)
+_AVATICA_PREFIXES = ("jdbc:phoenix:thin:",)
 
 
 def wire_family(url: str) -> str | None:
@@ -33,6 +39,8 @@ def wire_family(url: str) -> str | None:
         return "mssql"
     if u.startswith(_HIVE_PREFIXES):
         return "hive"
+    if u.startswith(_AVATICA_PREFIXES):
+        return "avatica"
     return None
 
 
@@ -89,6 +97,10 @@ class WireExecutor:
             from seatunnel_spark.hive_thrift import HiveThriftClient
 
             self.cl = HiveThriftClient.from_jdbc_url(url, user, password)
+        elif fam == "avatica":
+            from seatunnel_spark.avatica import AvaticaClient
+
+            self.cl = AvaticaClient.from_jdbc_url(url)
         else:
             from seatunnel_spark.mysql_wire import MySqlClient
 

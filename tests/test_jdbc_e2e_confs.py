@@ -535,3 +535,31 @@ def test_jdbc_hive_source_and_assert_conf(spark, monkeypatch):
         assert any("hive_e2e_source_table" in s for s in srv.statements)
     finally:
         stop()
+
+
+def test_jdbc_gbase8a_source_to_assert_conf(spark, monkeypatch):
+    """jdbc_gbase8a_source_to_assert.conf UNMODIFIED: GBase 8a speaks
+    the MySQL client protocol (its JDBC driver is Connector/J-derived),
+    so the jdbc:gbase url rides the mysql wire client; 100 rows into
+    the Assert MIN_ROW/MAX_ROW rules."""
+    from seatunnel_spark.testing.mysql_server import start_mini_mysql
+
+    srv, port, stop = start_mini_mysql("root", "root")
+    monkeypatch.setenv("SEATUNNEL_SPARK_HOST_ALIASES",
+                       f"e2e_gbase8aDb=tcp://127.0.0.1:{port}")
+    try:
+        cols = ["varchar_10_col", "char_10_col", "text_col",
+                "decimal_col", "float_col", "int_col", "tinyint_col",
+                "smallint_col", "double_col", "bigint_col", "date_col",
+                "timestamp_col", "datetime_col", "blob_col"]
+        codes = [_mysql_code(c) for c in cols]
+        rows = [tuple(f"2024-03-19 12:00:{i % 60:02d}"
+                      if ("datetime" in c or "timestamp" in c)
+                      else _value_for(c, i % 10) for c in cols)
+                for i in range(100)]
+        srv.tables["e2e_table_source"] = (cols, codes, rows)
+        JobEngine(spark).run(JobSpec.from_file(
+            _find_conf("jdbc_gbase8a_source_to_assert.conf")))
+        assert any("e2e_table_source" in s for s in srv.statements)
+    finally:
+        stop()
