@@ -64,6 +64,13 @@ def resolve_jdbc_url(url: str) -> str:
                 kv = "url=" + apply_host_aliases(kv[4:])
             parts.append(kv)
         return head + "thin:" + ";".join(parts)
+    if url.startswith("jdbc:snowflake:"):
+        # resolve the account endpoint WITH scheme (a full-endpoint
+        # alias can downgrade https->http for a local fixture); the
+        # resolved form round-trips through SnowflakeRestClient
+        host = url.split("//", 1)[1].split("/")[0].split("?")[0]
+        resolved = apply_host_aliases(f"https://{host}")
+        return f"jdbc:snowflake:{resolved}"
     prefix, rest = ("jdbc:", url[len("jdbc:"):]) if url.startswith("jdbc:") \
         else ("", url)
     # jdbc:sqlserver carries ;prop=value pairs where a path would be —

@@ -193,8 +193,8 @@ class JdbcSource(Source):
             spark_types = [_MS.get(c, "string") for c in codes]
         elif family == "hive":
             spark_types = [_HIVE.get(c, "string") for c in codes]
-        elif family == "avatica":
-            # AvaticaClient already maps java.sql.Types -> schema DSL
+        elif family in ("avatica", "snowflake"):
+            # these clients already map their catalogs -> schema DSL
             spark_types = list(codes)
         else:
             spark_types = [_MY.get(TYPE_NAMES.get(c, ""), "string")

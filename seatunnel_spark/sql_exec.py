@@ -27,6 +27,7 @@ _MYSQL_PREFIXES = ("jdbc:mysql:", "jdbc:mariadb:", "jdbc:oceanbase:",
 _MSSQL_PREFIXES = ("jdbc:sqlserver:",)
 _HIVE_PREFIXES = ("jdbc:hive2:",)
 _AVATICA_PREFIXES = ("jdbc:phoenix:thin:",)
+_SNOWFLAKE_PREFIXES = ("jdbc:snowflake:",)
 
 
 def wire_family(url: str) -> str | None:
@@ -41,6 +42,8 @@ def wire_family(url: str) -> str | None:
         return "hive"
     if u.startswith(_AVATICA_PREFIXES):
         return "avatica"
+    if u.startswith(_SNOWFLAKE_PREFIXES):
+        return "snowflake"
     return None
 
 
@@ -101,6 +104,11 @@ class WireExecutor:
             from seatunnel_spark.avatica import AvaticaClient
 
             self.cl = AvaticaClient.from_jdbc_url(url)
+        elif fam == "snowflake":
+            from seatunnel_spark.snowflake_rest import SnowflakeRestClient
+
+            self.cl = SnowflakeRestClient.from_jdbc_url(url, user,
+                                                        password)
         else:
             from seatunnel_spark.mysql_wire import MySqlClient
 
