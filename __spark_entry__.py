@@ -244,6 +244,46 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: conditional
+    min-ts per user (one map-side-combined shuffle of |users| rows,
+    never the event log), strict-order completion flags."""
+    from seatunnel_spark.dataops.analytics import funnel
+
+    e = _t(spark, sf_dir, "events")
+    return funnel(e, "user_id", "ts", "event_type",
+                  ["view", "click", "purchase"])
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: first-activity cohort x offset
+    distinct-user counts (two shuffles, no per-event self-join)."""
+    from seatunnel_spark.dataops.analytics import cohort_retention
+
+    e = _t(spark, sf_dir, "events")
+    return cohort_retention(e, "user_id", "ts", unit_days=7)
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day x event-type wide pivot by declared values — one
+    conditional-aggregation shuffle, no distinct-values pre-job."""
+    from seatunnel_spark.dataops.analytics import pivot_counts
+
+    e = _t(spark, sf_dir, "events")
+    return pivot_counts(e, F.col("ts").cast("date"), "event_type",
+                        ["view", "click", "purchase", "signup", "error"],
+                        "day")
+
+
+def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 bigrams: split once, shifted-slice zip (no UDF),
+    map-side-combined counts — only (ngram, partial count) shuffles."""
+    from seatunnel_spark.dataops.analytics import ngram_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_stats(d, "text", n=2, top=20)
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (absent from the
     reference; sort-based agg in Spark)."""
@@ -1103,6 +1143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_range_join": q_range_join,
         "q_salted_join": q_salted_join,
+        "q_funnel": q_funnel,
+        "q_retention": q_retention,
+        "q_pivot": q_pivot,
+        "text_ngram_stats": text_ngram_stats,
         "q4_semi_join": q4_semi_join,
         "q_percentiles": q_percentiles,
         "t_metadata": t_metadata,
@@ -1400,6 +1444,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(max(ts))) AS BIGINT)
                      - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
             FROM s GROUP BY user_id, session_id
+        """,
+        "q_funnel": """
+            WITH per_user AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+                     min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+              FROM events GROUP BY user_id
+            ), flags AS (
+              SELECT CAST(t0 IS NOT NULL AS BIGINT) AS s0,
+                     CAST(t0 IS NOT NULL AND t1 IS NOT NULL
+                          AND t1 > t0 AS BIGINT) AS s1,
+                     CAST(t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                          AND t2 IS NOT NULL AND t2 > t1 AS BIGINT) AS s2
+              FROM per_user
+            )
+            SELECT 'view' AS step, 0 AS step_idx, CAST(sum(s0) AS BIGINT) AS users
+              FROM flags
+            UNION ALL
+            SELECT 'click', 1, CAST(sum(s1) AS BIGINT) FROM flags
+            UNION ALL
+            SELECT 'purchase', 2, CAST(sum(s2) AS BIGINT) FROM flags
+        """,
+        "q_retention": """
+            WITH ev AS (
+              SELECT user_id AS u,
+                     CAST(floor(datediff('day', DATE '1970-01-01',
+                                         CAST(ts AS DATE)) / 7)
+                          AS BIGINT) AS p
+              FROM events
+            ), first AS (
+              SELECT u, min(p) AS cohort FROM ev GROUP BY u
+            )
+            SELECT first.cohort AS cohort_period,
+                   ev.p - first.cohort AS "offset",
+                   count(DISTINCT ev.u) AS users
+            FROM ev JOIN first ON ev.u = first.u
+            GROUP BY 1, 2
+        """,
+        "q_pivot": """
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(event_type = 'view' AS BIGINT)) AS BIGINT) AS view,
+                   CAST(sum(CAST(event_type = 'click' AS BIGINT)) AS BIGINT) AS click,
+                   CAST(sum(CAST(event_type = 'purchase' AS BIGINT)) AS BIGINT) AS purchase,
+                   CAST(sum(CAST(event_type = 'signup' AS BIGINT)) AS BIGINT) AS signup,
+                   CAST(sum(CAST(event_type = 'error' AS BIGINT)) AS BIGINT) AS error
+            FROM events GROUP BY 1
+        """,
+        "text_ngram_stats": """
+            WITH w AS (
+              SELECT string_split(trim(text), ' ') AS ws FROM documents
+            ), pairs AS (
+              SELECT unnest(list_transform(
+                       range(1, len(ws)),
+                       i -> ws[i] || ' ' || ws[i+1])) AS ngram
+              FROM w WHERE len(ws) >= 2
+            )
+            SELECT ngram, count(*) AS n FROM pairs
+            GROUP BY 1 ORDER BY n DESC, ngram ASC LIMIT 20
         """,
         "q_range_join": """
             SELECT c.c_custkey, s.s_suppkey

@@ -1,0 +1,94 @@
+"""Event-analytics operators a training-data/product pipeline needs at
+100 TB: ordered funnels, cohort retention, wide pivots, and corpus
+n-gram statistics — each a single-shuffle conditional-aggregation plan
+(map-side combined; no self-joins, no windows over the whole table),
+so the shuffle volume is one row per (group) not per (event)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
+           steps: list[str]) -> DataFrame:
+    """Ordered funnel: users whose FIRST occurrence of each step is
+    strictly after the previous step's first occurrence.
+
+    One groupBy(user) with a conditional min per step (partial aggs
+    combine map-side — the shuffle carries |users| rows x |steps|
+    timestamps, never the event log), then one tiny global aggregation
+    of step-completion flags. Output: (step, step_idx, users)."""
+    mins = [
+        F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"__t{i}")
+        for i, s in enumerate(steps)
+    ]
+    per_user = df.groupBy(user_col).agg(*mins)
+    done: Column = F.col("__t0").isNotNull()
+    flags = [done.cast("long").alias("__s0")]
+    for i in range(1, len(steps)):
+        done = done & F.col(f"__t{i}").isNotNull() \
+            & (F.col(f"__t{i}") > F.col(f"__t{i-1}"))
+        flags.append(done.cast("long").alias(f"__s{i}"))
+    totals = per_user.select(*flags).agg(
+        *[F.sum(f"__s{i}").alias(f"__n{i}") for i in range(len(steps))])
+    rows = totals.select(F.explode(F.array(*[
+        F.struct(F.lit(s).alias("step"), F.lit(i).alias("step_idx"),
+                 F.col(f"__n{i}").alias("users"))
+        for i, s in enumerate(steps)])).alias("r"))
+    return rows.select("r.step", "r.step_idx", "r.users")
+
+
+def cohort_retention(df: DataFrame, user_col: str, ts_col: str,
+                     unit_days: int = 7) -> DataFrame:
+    """Cohort retention matrix: users bucketed by their FIRST activity
+    period; counts of distinct users active k periods later.
+
+    Two shuffles total: groupBy(user) for the cohort assignment (the
+    min-ts partial agg combines map-side), then the (cohort, offset)
+    distinct-count — never a per-event self-join. Periods are
+    `unit_days`-wide buckets of epoch days (calendar-agnostic, so the
+    oracle matches exactly)."""
+    period = (F.datediff(F.col(ts_col).cast("date"),
+                         F.lit("1970-01-01").cast("date"))
+              / unit_days).cast("long")
+    ev = df.select(F.col(user_col).alias("__u"), period.alias("__p"))
+    first = ev.groupBy("__u").agg(F.min("__p").alias("__cohort"))
+    joined = ev.join(first, "__u")
+    return (joined
+            .groupBy(F.col("__cohort").alias("cohort_period"),
+                     (F.col("__p") - F.col("__cohort")).alias("offset"))
+            .agg(F.count_distinct("__u").alias("users")))
+
+
+def pivot_counts(df: DataFrame, row_col: Column, type_col: str,
+                 values: list[str], row_alias: str) -> DataFrame:
+    """Wide pivot via explicit conditional aggregation — the value set
+    is declared, so no extra distinct-values job runs and the plan is
+    one map-side-combined shuffle (Spark's .pivot with values does the
+    same; this keeps the column naming deterministic)."""
+    aggs = [F.sum((F.col(type_col) == v).cast("long")).alias(v)
+            for v in values]
+    return df.groupBy(row_col.alias(row_alias)).agg(*aggs)
+
+
+def ngram_stats(docs: DataFrame, text_col: str = "text", n: int = 2,
+                top: int = 20) -> DataFrame:
+    """Corpus-level top n-grams: split once, slide with arrays_zip over
+    shifted slices (no UDF), explode, count with map-side combine; only
+    the (ngram, partial-count) pairs shuffle. Deterministic order:
+    count desc, ngram asc."""
+    w = F.split(F.trim(F.col(text_col)), " ")
+    slices = [F.slice(w, i + 1, F.greatest(
+        F.size(w) - F.lit(n - 1), F.lit(0))) for i in range(n)]
+    zipped = F.arrays_zip(*slices)
+    gram = F.concat_ws(" ", *[F.col(f"g.{i}") for i in range(n)])
+    grams = (docs
+             .filter(F.size(w) >= n)
+             .select(F.explode(zipped).alias("g"))
+             .select(gram.alias("ngram")))
+    return (grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("ngram")).limit(top))
+
+
+__all__ = ["funnel", "cohort_retention", "pivot_counts", "ngram_stats"]

@@ -743,3 +743,61 @@ def test_semantic_dedup_hot_cell_cap(spark):
     uncapped = {r["id"]: r["keep"] for r in semantic_dedup(
         df, "id", centroids=cents, threshold=0.95, max_cell=None).collect()}
     assert uncapped[0] and not uncapped[199]  # quadratic path dedups
+
+
+# -- analytics: funnel / retention / pivot / ngram stats ----------------
+
+def test_funnel_strict_order(spark):
+    from seatunnel_spark.dataops.analytics import funnel
+
+    rows = [
+        # u1 completes all three in order
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:10:00", "purchase"),
+        # u2 clicks BEFORE viewing: only step 0 counts
+        (2, "2024-01-01 09:00:00", "click"),
+        (2, "2024-01-01 09:30:00", "view"),
+        # u3 views only
+        (3, "2024-01-01 08:00:00", "view"),
+        # u4 never views
+        (4, "2024-01-01 08:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string, "
+                               "event_type string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["step"]: r["users"] for r in funnel(
+        df, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+    # plan: the event log never hits a window — one partial agg chain
+    plan = funnel(df, "user_id", "ts", "event_type",
+                  ["view", "click"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_cohort_retention_offsets(spark):
+    from seatunnel_spark.dataops.analytics import cohort_retention
+
+    rows = [(1, "2024-01-01 00:00:00"), (1, "2024-01-09 00:00:00"),
+            (2, "2024-01-01 00:00:00"), (2, "2024-01-02 00:00:00"),
+            (3, "2024-01-09 00:00:00")]
+    df = spark.createDataFrame(rows, "user_id int, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r["cohort_period"], r["offset"]): r["users"]
+           for r in cohort_retention(df, "user_id", "ts", 7).collect()}
+    c0 = min(k[0] for k in out)
+    assert out[(c0, 0)] == 2          # u1+u2 in the first cohort
+    assert out[(c0, 1)] == 1          # u1 back one period later
+    assert out[(c0 + 1, 0)] == 1      # u3's own cohort
+
+
+def test_ngram_stats_deterministic(spark):
+    from seatunnel_spark.dataops.analytics import ngram_stats
+
+    df = spark.createDataFrame(
+        [("a b a b c",), ("a b",), ("solo",)], "text string")
+    rows = [(r["ngram"], r["n"]) for r in
+            ngram_stats(df, "text", n=2, top=3).collect()]
+    assert rows == [("a b", 3), ("b a", 1), ("b c", 1)]
