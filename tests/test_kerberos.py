@@ -244,9 +244,15 @@ def test_hive_kerberos_confs(spark, hive_krb):
     HiveMetaStoreProxy.loginUserFromKeytab analog) gates the catalog
     write/read; then the write round-trips through the session
     catalog."""
+    import shutil
+
     srv, _ = hive_krb
     spark.sql("DROP TABLE IF EXISTS "
               "default.test_hive_sink_on_hdfs_with_kerberos")
+    # a stale location from an earlier aborted run blocks saveAsTable
+    shutil.rmtree("/root/repo/spark-warehouse/"
+                  "test_hive_sink_on_hdfs_with_kerberos",
+                  ignore_errors=True)
     JobEngine(spark).run(JobSpec.from_file(
         f"{_HIVE_RES}/fake_to_hive_with_kerberos.conf"))
     assert any(r.startswith("AS ['hive'") for r in srv.requests)

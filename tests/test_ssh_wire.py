@@ -111,12 +111,17 @@ def test_lzo_stored_block_and_literal_stream():
     from seatunnel_spark.formats.lzo import (LZOP_MAGIC, lzo1x_decompress,
                                              lzop_decompress)
 
+    import zlib
+
     payload = b"The quick brown fox jumps over the lazy dog. " * 10
-    header = (LZOP_MAGIC + struct.pack(">HHH", 0x1040, 0x2080, 0x0940)
+    fields = (struct.pack(">HHH", 0x1040, 0x2080, 0x0940)
               + b"\x01\x05" + struct.pack(">I", 0)       # method/level/flags
               + struct.pack(">II", 0o100644, 0)           # mode, mtime
               + struct.pack(">I", 0)                      # mtime_high
-              + b"\x00" + struct.pack(">I", 0))           # fname, checksum
+              + b"\x00")                                  # fname
+    # the mandatory header checksum is verified since round 5
+    header = LZOP_MAGIC + fields \
+        + struct.pack(">I", zlib.adler32(fields) & 0xFFFFFFFF)
     stored = header + struct.pack(">II", len(payload), len(payload)) \
         + payload + struct.pack(">I", 0)
     assert lzop_decompress(stored) == payload
