@@ -159,7 +159,7 @@ class JdbcSource(Source):
         try:
             cols, codes, _ = ex.query(
                 f"SELECT * FROM ({base}) st_probe WHERE 1=0"
-                if family == "pg"
+                if family in ("pg", "drda")  # db2 has no LIMIT
                 else f"SELECT TOP 0 * FROM ({base}) st_probe"
                 if family == "mssql"
                 else f"SELECT * FROM ({base}) p LIMIT 0")
@@ -193,7 +193,7 @@ class JdbcSource(Source):
             spark_types = [_MS.get(c, "string") for c in codes]
         elif family == "hive":
             spark_types = [_HIVE.get(c, "string") for c in codes]
-        elif family in ("avatica", "snowflake"):
+        elif family in ("avatica", "snowflake", "drda"):
             # these clients already map their catalogs -> schema DSL
             spark_types = list(codes)
         else:

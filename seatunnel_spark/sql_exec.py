@@ -28,6 +28,7 @@ _MSSQL_PREFIXES = ("jdbc:sqlserver:",)
 _HIVE_PREFIXES = ("jdbc:hive2:",)
 _AVATICA_PREFIXES = ("jdbc:phoenix:thin:",)
 _SNOWFLAKE_PREFIXES = ("jdbc:snowflake:",)
+_DRDA_PREFIXES = ("jdbc:db2:",)
 
 
 def wire_family(url: str) -> str | None:
@@ -44,6 +45,8 @@ def wire_family(url: str) -> str | None:
         return "avatica"
     if u.startswith(_SNOWFLAKE_PREFIXES):
         return "snowflake"
+    if u.startswith(_DRDA_PREFIXES):
+        return "drda"
     return None
 
 
@@ -109,6 +112,10 @@ class WireExecutor:
 
             self.cl = SnowflakeRestClient.from_jdbc_url(url, user,
                                                         password)
+        elif fam == "drda":
+            from seatunnel_spark.drda_wire import DrdaClient
+
+            self.cl = DrdaClient.from_jdbc_url(url, user, password)
         else:
             from seatunnel_spark.mysql_wire import MySqlClient
 

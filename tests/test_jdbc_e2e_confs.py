@@ -563,3 +563,66 @@ def test_jdbc_gbase8a_source_to_assert_conf(spark, monkeypatch):
         assert any("e2e_table_source" in s for s in srv.statements)
     finally:
         stop()
+
+
+def _seed_db2(srv):
+    import datetime
+    from decimal import Decimal
+
+    cols = ["C_BOOLEAN", "C_SMALLINT", "C_INT", "C_INTEGER", "C_BIGINT",
+            "C_DECIMAL", "C_DEC", "C_NUMERIC", "C_NUM", "C_REAL",
+            "C_FLOAT", "C_DOUBLE", "C_DOUBLE_PRECISION", "C_CHAR",
+            "C_VARCHAR", "C_BINARY", "C_VARBINARY", "C_DATE"]
+    decls = ["boolean", "smallint", "int", "int", "bigint",
+             "decimal(10,2)", "decimal(10,2)", "decimal(10,2)",
+             "decimal(10,2)", "real", "double", "double", "double",
+             "char(8)", "varchar(100)", "binary(4)", "varbinary(50)",
+             "date"]
+    rows = [(i % 2 == 0, i, 100 + i, 200 + i, 10_000_000_000 + i,
+             Decimal(f"{i}.25"), Decimal(f"{i}.50"), Decimal(f"{i}.75"),
+             Decimal(f"{i}.00"), i / 2, i * 1.5, i * 2.5, i * 3.5,
+             f"ch{i}", f"varchar_{i}", b"\x00\x01\x02\x03", b"\xff\xfe",
+             datetime.date(2024, 3, 19)) for i in range(5)]
+    srv.tables["SOURCE"] = (cols, decls, rows)
+
+
+@pytest.mark.parametrize("conf,expect", [
+    ("jdbc_db2_source_and_sink.conf", "INSERT"),
+    ("jdbc_db2_source_and_sink_upsert.conf", "MERGE"),
+])
+def test_jdbc_db2_confs(spark, monkeypatch, conf, expect):
+    """jdbc_db2 confs UNMODIFIED over the DRDA wire (Open Group spec
+    subset: EXCSAT/ACCSEC/SECCHK EBCDIC auth, ACCRDB, PRPSQLSTT +
+    OPNQRY/CNTQRY paged FD:OCA row decode incl. packed-BCD decimals,
+    EXCSQLIMM DML): 18-column source read into the explicit INSERT /
+    generated MERGE upsert sink."""
+    from seatunnel_spark.testing.drda_server import start_mini_db2
+
+    srv, port, stop = start_mini_db2("db2inst1", "123456", "E2E")
+    monkeypatch.setenv("SEATUNNEL_SPARK_HOST_ALIASES",
+                       f"db2-e2e=tcp://127.0.0.1:{port}")
+    try:
+        _seed_db2(srv)
+        JobEngine(spark).run(JobSpec.from_file(_find_conf(conf)))
+        hits = [s for s in srv.statements
+                if s.upper().startswith(expect)]
+        assert len(hits) == 5 if expect == "INSERT" else hits
+        blob = " ".join(hits)
+        assert "varchar_4" in blob and "SINK" in blob
+        if expect == "MERGE":
+            assert "C_INT" in blob  # the conf's primary key drives it
+    finally:
+        stop()
+
+
+def test_drda_auth_failure(spark, monkeypatch):
+    from seatunnel_spark.drda_wire import DrdaClient, DrdaError
+    from seatunnel_spark.testing.drda_server import start_mini_db2
+
+    srv, port, stop = start_mini_db2("db2inst1", "123456", "E2E")
+    try:
+        with pytest.raises(DrdaError, match="security check"):
+            DrdaClient("127.0.0.1", port, "db2inst1", "bad", "E2E")
+        assert srv.auth_failures == 1
+    finally:
+        stop()
