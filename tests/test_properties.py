@@ -379,3 +379,101 @@ def test_lzo_roundtrip(payload):
 
     assert lzo1x_decompress(lzo1x_compress(payload)) == payload
     assert lzop_decompress(lzop_compress(payload)) == payload
+
+
+# -- DRDA FD:OCA value codecs (drda_wire) ------------------------------
+
+@given(st.decimals(allow_nan=False, allow_infinity=False,
+                   min_value=-(10 ** 14), max_value=10 ** 14, places=2))
+@settings(max_examples=150, deadline=None)
+def test_drda_packed_bcd_roundtrip(d):
+    from seatunnel_spark import drda_wire as D
+
+    raw = D._pack_bcd(d, 18, 2)
+    assert D._unpack_bcd(raw, 2) == d
+
+
+@given(st.one_of(
+    st.none(),
+    st.integers(-(2 ** 31), 2 ** 31 - 1),
+    st.text(max_size=60).filter(lambda s: "\x00" not in s),
+    st.binary(max_size=60),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+))
+@settings(max_examples=200, deadline=None)
+def test_drda_value_roundtrip(v):
+    from seatunnel_spark import drda_wire as D
+
+    if v is None:
+        col = D.DrdaColumn("c", D.T_INTEGER, True)
+    elif isinstance(v, bool):
+        col = D.DrdaColumn("c", D.T_BOOLEAN, True)
+    elif isinstance(v, int):
+        col = D.DrdaColumn("c", D.T_INTEGER, True)
+    elif isinstance(v, float):
+        col = D.DrdaColumn("c", D.T_FLOAT8, True)
+    elif isinstance(v, bytes):
+        col = D.DrdaColumn("c", D.T_VARBYTE, True)
+    else:
+        col = D.DrdaColumn("c", D.T_VARCHAR, True)
+    buf = D.enc_value(col, v)
+    got, i = D.dec_value(col, buf, 0)
+    assert i == len(buf)
+    assert got == v
+
+
+@given(st.lists(st.tuples(
+    st.text(min_size=1, max_size=20).filter(str.isidentifier),
+    st.sampled_from(["smallint", "int", "bigint", "double",
+                     "varchar(100)", "date", "timestamp",
+                     "decimal(10,2)"])), min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_drda_sqldard_roundtrip(cols):
+    from seatunnel_spark import drda_wire as D
+    from seatunnel_spark.testing.drda_server import _col
+
+    dcols = [_col(n, d) for n, d in cols]
+    code, got = D.dec_sqldard(D.enc_sqldard(dcols))
+    assert code == 0
+    assert [(c.name, c.dtype, c.precision, c.scale) for c in got] == \
+        [(c.name, c.dtype, c.precision, c.scale) for c in dcols]
+
+
+# -- Avatica TypedValue + Kerberos crypto properties --------------------
+
+@given(st.one_of(
+    st.none(), st.booleans(),
+    st.integers(-(2 ** 62), 2 ** 62),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=60),
+    st.binary(min_size=1, max_size=60),
+))
+@settings(max_examples=200, deadline=None)
+def test_avatica_typed_value_roundtrip(v):
+    from seatunnel_spark.avatica import dec_typed_value, enc_typed_value
+
+    got = dec_typed_value(enc_typed_value(v))
+    if isinstance(v, bytes) and v == b"":
+        return  # empty byte strings are type-ambiguous on the wire
+    assert got == v
+
+
+@given(st.binary(max_size=300), st.integers(0, 30))
+@settings(max_examples=150, deadline=None)
+def test_krb5_encrypt_roundtrip_any_usage(data, usage):
+    from seatunnel_spark import krb5 as K
+
+    key = K.string_to_key("pw", "REALMprincipal")
+    assert K.krb_decrypt(key, usage, K.krb_encrypt(key, usage,
+                                                   data)) == data
+
+
+@given(st.binary(min_size=1, max_size=200), st.booleans(),
+       st.booleans(), st.integers(0, 2 ** 32))
+@settings(max_examples=150, deadline=None)
+def test_gss_wrap_roundtrip(data, initiator, seal, seq):
+    from seatunnel_spark import krb5 as K
+
+    key = K.string_to_key("x", "Ry")
+    tok = K.gss_wrap(key, data, initiator=initiator, seq=seq, seal=seal)
+    assert K.gss_unwrap(key, tok, initiator_sent=initiator) == data
