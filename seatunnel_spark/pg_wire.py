@@ -52,6 +52,10 @@ class PgClient:
     """One connection; `jdbc:postgresql://h:p/db` / `jdbc:redshift://…`
     URLs are accepted next to plain host/port arguments."""
 
+    #: StartupMessage protocol version (3.0); Vertica's derivative
+    #: dialect overrides it below.
+    PROTOCOL_VERSION = 196608
+
     def __init__(self, host: str, port: int = 5432, user: str = "postgres",
                  password: str = "", database: str = "postgres",
                  timeout: float = 30.0, replication: str | None = None):
@@ -64,7 +68,8 @@ class PgClient:
         extra = f"replication\0{replication}\0" if replication else ""
         params = (f"user\0{user}\0database\0{database}\0{extra}"
                   "client_encoding\0UTF8\0\0").encode()
-        startup = struct.pack(">ii", 8 + len(params), 196608) + params
+        startup = struct.pack(">ii", 8 + len(params),
+                              self.PROTOCOL_VERSION) + params
         self.sock.sendall(startup)
         self._auth(password)
 
@@ -246,4 +251,27 @@ class PgClient:
             pass
 
 
-__all__ = ["PgClient"]
+class VerticaClient(PgClient):
+    """Vertica native protocol: a derivative of the pg v3
+    frontend/backend grammar (same message types — StartupMessage,
+    Query/RowDescription/DataRow/CommandComplete — with protocol
+    version 3.5), de-facto public through the Apache-2.0
+    vertica-python driver which implements it. The simple-query
+    subset this executor uses is wire-identical apart from the
+    version word; Vertica's type OIDs for the scalar types the confs
+    touch (int/varchar/float/date/timestamp/numeric/bool) align with
+    the pg values this client already maps."""
+
+    PROTOCOL_VERSION = (3 << 16) | 5  # 3.5
+
+    @classmethod
+    def from_jdbc_url(cls, jdbc_url: str, user: str, password: str,
+                      **kw) -> "VerticaClient":
+        rest = jdbc_url.split("://", 1)[1]
+        hostport, _, db = rest.partition("/")
+        host, _, port = hostport.partition(":")
+        return cls(host, int(port or 5433), user, password,
+                   db.split("?")[0] or "vertica", **kw)
+
+
+__all__ = ["PgClient", "VerticaClient"]

@@ -29,6 +29,7 @@ _HIVE_PREFIXES = ("jdbc:hive2:",)
 _AVATICA_PREFIXES = ("jdbc:phoenix:thin:",)
 _SNOWFLAKE_PREFIXES = ("jdbc:snowflake:",)
 _DRDA_PREFIXES = ("jdbc:db2:",)
+_VERTICA_PREFIXES = ("jdbc:vertica:",)
 
 
 def wire_family(url: str) -> str | None:
@@ -47,6 +48,10 @@ def wire_family(url: str) -> str | None:
         return "snowflake"
     if u.startswith(_DRDA_PREFIXES):
         return "drda"
+    if u.startswith(_VERTICA_PREFIXES):
+        # Vertica speaks the pg-v3-derivative native protocol
+        # (version 3.5 startup; VerticaClient)
+        return "pg"
     return None
 
 
@@ -91,9 +96,11 @@ class WireExecutor:
             raise ValueError(f"no stdlib wire client for {url!r}")
         self.family = fam
         if fam == "pg":
-            from seatunnel_spark.pg_wire import PgClient
+            from seatunnel_spark.pg_wire import PgClient, VerticaClient
 
-            self.cl = PgClient.from_jdbc_url(url, user, password)
+            cls = VerticaClient if url.lower().startswith(
+                _VERTICA_PREFIXES) else PgClient
+            self.cl = cls.from_jdbc_url(url, user, password)
         elif fam == "mssql":
             from seatunnel_spark.tds_wire import TdsClient
 

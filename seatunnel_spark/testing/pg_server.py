@@ -116,6 +116,15 @@ def _handle(conn: socket.socket, pg: MiniPg) -> None:
     try:
         (ln,) = struct.unpack(">i", read_exact(4))
         startup = read_exact(ln - 4)  # version + kv pairs
+        want = getattr(pg, "required_protocol", None)
+        if want is not None:
+            (ver,) = struct.unpack(">i", startup[:4])
+            if ver != want:
+                # vertica mode: a stock pg 3.0 client is not speaking
+                # the dialect — reject like a version mismatch would
+                conn.sendall(_msg(b"E", b"SFATAL\0Cprotocol\0"
+                                  b"Munsupported protocol version\0\0"))
+                return
         # the connecting user from the startup message (several roles
         # may exist: the opengauss confs read as gaussdb, sink as dailai)
         kvs = startup[4:].split(b"\0")
