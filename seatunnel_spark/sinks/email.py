@@ -57,7 +57,14 @@ class EmailSink(Sink):
         h, _, p = hostpart.rpartition(":")
         auth = str(self.opt("email_smtp_auth", "false")).lower() == "true"
         if auth:
-            cl = smtplib.SMTP_SSL(h, int(p), timeout=30)
+            import ssl
+
+            # the reference's MailSSLSocketFactory.setTrustAllHosts(true)
+            # + mail.smtp.ssl.enable=true (EmailSinkWriter.java:88-93):
+            # SSL transport with certificate verification disabled
+            cl = smtplib.SMTP_SSL(
+                h, int(p), timeout=30,
+                context=ssl._create_unverified_context())  # noqa: S323
             cl.login(msg["From"],
                      str(self.opt("email_authorization_code", "")))
         else:

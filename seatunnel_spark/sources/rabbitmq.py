@@ -59,6 +59,14 @@ class RabbitMqSource(Source):
                 delimiter=self.opt("field_delimiter", ","))
         return raw.withColumnRenamed("value", "content")
 
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        """STREAMING job mode: bounded queue drain per run — the
+        reference's `for_e2e_testing=true` consumer stops at the end of
+        the queue (RabbitmqSourceReader's e2e flag), and a production
+        deployment re-runs on the checkpoint interval; same shape as
+        the CDC sources' bounded live tails."""
+        return self.read(spark)
+
 
 class RabbitMqSink(Sink):
     NAME = "RabbitMQ"
@@ -67,7 +75,16 @@ class RabbitMqSink(Sink):
         return False
 
     def write(self, df: DataFrame) -> None:
+        from seatunnel_spark.net import apply_host_aliases
+
         opts = dict(self.options)
+        # resolve aliases on the DRIVER — executor workers don't see
+        # late env changes (same rule as the kafka/rocketmq sinks)
+        resolved = apply_host_aliases(
+            f"tcp://{opts.get('host', 'localhost')}"
+            f":{int(opts.get('port', 5672))}")
+        hostpart = resolved.split("://", 1)[1]
+        opts["host"], _, opts["port"] = hostpart.rpartition(":")
         queue = self.require("queue_name")
         routing_key = self.opt("routing_key") or queue
         exchange = self.opt("exchange") or ""

@@ -75,10 +75,24 @@ class QdrantSource(Source):
 
     def read(self, spark: SparkSession) -> DataFrame:
         coll = self.require("collection_name")
-        fields = (self.opt("schema") or {}).get("fields")
+        schema_opt = self.opt("schema") or {}
+        if "columns" in schema_opt and "fields" not in schema_opt:
+            # columns-list form (qdrant-to-qdrant.conf)
+            fields = {c["name"]: c["type"]
+                      for c in schema_opt["columns"]}
+        else:
+            from seatunnel_spark.sources.file import _schema_fields
+
+            fields = _schema_fields(schema_opt)
         if not fields:
             raise ValueError("Qdrant source: schema.fields required "
                              "(id + vector + payload columns)")
+        # qdrant's vector column type spelling (qdrant-to-qdrant.conf);
+        # an unnamed point vector maps to the declared vector column
+        vector_cols = [k for k, v in fields.items()
+                       if str(v).lower() in ("float_vector", "vector")]
+        fields = {k: ("array<float>" if k in vector_cols else v)
+                  for k, v in fields.items()}
         schema = parse_schema(fields)
         base, headers = self._base()
         batch = int(self.opt("batch_size", 256))
@@ -118,6 +132,8 @@ class QdrantSource(Source):
                         doc.update(vec)
                     else:
                         doc.setdefault("vector", vec)
+                        for vc in vector_cols:
+                            doc.setdefault(vc, vec)
                     recs.append(tuple(doc.get(n) for n in names))
                 yield pd.DataFrame.from_records(recs, columns=names)
                 offset = res.get("next_page_offset")
@@ -144,10 +160,16 @@ class QdrantSink(Sink):
         coll = self.require("collection_name")
         id_col = self.opt("id_field", "id")
         vec_col = self.opt("vector_field", "vector")
+        # array<float> columns are vectors whatever their name — the
+        # qdrant-to-qdrant conf round-trips a `my_vector` column
+        vec_fallbacks = [f.name for f in df.schema.fields
+                         if f.dataType.simpleString() == "array<float>"]
         batch_size = int(self.opt("batch_size", 64))
         meta = [ROW_KIND_COL, TABLE_ID_COL]
 
         def write_partition(rows):
+            import uuid as _uuid
+
             points: list[dict] = []
 
             def flush():
@@ -161,7 +183,17 @@ class QdrantSink(Sink):
                 for c in meta:
                     d.pop(c, None)
                 pid = d.pop(id_col, None)
+                if pid is None:
+                    # no id column declared (qdrant-to-qdrant.conf):
+                    # collision-free point ids, like the reference's
+                    # UUID point-id fallback
+                    pid = str(_uuid.uuid4())
                 vec = d.pop(vec_col, None)
+                if vec is None:
+                    for vf in vec_fallbacks:
+                        if d.get(vf) is not None:
+                            vec = d.pop(vf)
+                            break
                 points.append({"id": pid,
                                "vector": [float(x) for x in vec or []],
                                "payload": d})

@@ -416,10 +416,48 @@ def start_mini_firestore(port: int = 0):
 # SMTP server (GreenMail stand-in for connector-email-e2e)
 # ==========================================================================
 
-def start_mini_smtp(port: int = 0, host: str = "127.0.0.1"):
+def _self_signed_context():
+    """Server SSLContext with a fresh self-signed cert (cryptography)
+    — the SMTPS listener the auth'd email path talks to."""
+    import datetime
+    import ssl
+    import tempfile
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME,
+                                         "mini-smtp")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (x509.CertificateBuilder()
+            .subject_name(name).issuer_name(name)
+            .public_key(key.public_key())
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(now - datetime.timedelta(days=1))
+            .not_valid_after(now + datetime.timedelta(days=1))
+            .sign(key, hashes.SHA256()))
+    with tempfile.NamedTemporaryFile(suffix=".pem", delete=False) as f:
+        f.write(key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.TraditionalOpenSSL,
+            serialization.NoEncryption()))
+        f.write(cert.public_bytes(serialization.Encoding.PEM))
+        path = f.name
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(path)
+    return ctx
+
+
+def start_mini_smtp(port: int = 0, host: str = "127.0.0.1",
+                    tls: bool = False):
     """Minimal RFC 5321 server: HELO/EHLO, MAIL FROM, RCPT TO, DATA
-    (dot-terminated), QUIT. Returns (messages, port, stop); each
-    message is {"from", "to": [...], "data": str}."""
+    (dot-terminated), QUIT; `tls=True` wraps accepted sockets in a
+    self-signed SMTPS listener (what mail.smtp.ssl.enable talks to).
+    Returns (messages, port, stop); each message is
+    {"from", "to": [...], "data": str}."""
     messages: list[dict] = []
     lock = threading.RLock()
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -428,8 +466,14 @@ def start_mini_smtp(port: int = 0, host: str = "127.0.0.1"):
     srv.listen(8)
     actual = srv.getsockname()[1]
     stopping = threading.Event()
+    ssl_ctx = _self_signed_context() if tls else None
 
     def handle(conn):
+        if ssl_ctx is not None:
+            try:
+                conn = ssl_ctx.wrap_socket(conn, server_side=True)
+            except OSError:
+                return
         f = conn.makefile("rb")
 
         def send(line):
@@ -444,8 +488,20 @@ def start_mini_smtp(port: int = 0, host: str = "127.0.0.1"):
                     return
                 cmd = line.decode(errors="replace").strip()
                 up = cmd.upper()
-                if up.startswith(("HELO", "EHLO")):
+                if up.startswith("EHLO"):
+                    send("250-mini-smtp")
+                    send("250 AUTH PLAIN LOGIN")
+                elif up.startswith("HELO"):
                     send("250 mini-smtp")
+                elif up.startswith("AUTH"):
+                    # PLAIN with inline initial response, or LOGIN's
+                    # two base64 prompts — accept either
+                    if up.startswith("AUTH LOGIN"):
+                        send("334 VXNlcm5hbWU6")
+                        f.readline()
+                        send("334 UGFzc3dvcmQ6")
+                        f.readline()
+                    send("235 authenticated")
                 elif up.startswith("MAIL FROM:"):
                     cur["from"] = cmd[10:].strip().strip("<>")
                     send("250 OK")
