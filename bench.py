@@ -49,6 +49,11 @@ BENCH_QUERIES = [
     # timings stay comparable across rounds)
     "decontam_ngram",
     "sample_domain_mix",
+    # round-5 additions (append-only for the same reason)
+    "q_funnel",
+    "q_retention",
+    "q_pivot",
+    "text_ngram_stats",
 ]
 
 
