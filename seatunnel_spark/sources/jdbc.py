@@ -193,7 +193,7 @@ class JdbcSource(Source):
             spark_types = [_MS.get(c, "string") for c in codes]
         elif family == "hive":
             spark_types = [_HIVE.get(c, "string") for c in codes]
-        elif family in ("avatica", "snowflake", "drda"):
+        elif family in ("avatica", "snowflake", "drda", "hana"):
             # these clients already map their catalogs -> schema DSL
             spark_types = list(codes)
         else:

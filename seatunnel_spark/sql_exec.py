@@ -30,6 +30,7 @@ _AVATICA_PREFIXES = ("jdbc:phoenix:thin:",)
 _SNOWFLAKE_PREFIXES = ("jdbc:snowflake:",)
 _DRDA_PREFIXES = ("jdbc:db2:",)
 _VERTICA_PREFIXES = ("jdbc:vertica:",)
+_HANA_PREFIXES = ("jdbc:sap:",)
 
 
 def wire_family(url: str) -> str | None:
@@ -52,6 +53,8 @@ def wire_family(url: str) -> str | None:
         # Vertica speaks the pg-v3-derivative native protocol
         # (version 3.5 startup; VerticaClient)
         return "pg"
+    if u.startswith(_HANA_PREFIXES):
+        return "hana"
     return None
 
 
@@ -123,6 +126,10 @@ class WireExecutor:
             from seatunnel_spark.drda_wire import DrdaClient
 
             self.cl = DrdaClient.from_jdbc_url(url, user, password)
+        elif fam == "hana":
+            from seatunnel_spark.hana_wire import HanaClient
+
+            self.cl = HanaClient.from_jdbc_url(url, user, password)
         else:
             from seatunnel_spark.mysql_wire import MySqlClient
 
