@@ -201,20 +201,34 @@ class JdbcSink(Sink):
         from seatunnel_spark.sql_exec import wire_family as _wf
 
         db_opt = self.opt("database")
+        fam = _wf(url)
         if db_opt and not table.startswith(f"{db_opt}.") \
-                and _wf(url) != "pg":
+                and fam != "pg" \
+                and (fam in ("mssql", "mysql") or "." not in table):
             # JdbcSinkConfig composes TablePath as database.table — the
             # write must target the declared database even when the URL
             # omits it (sqlservercdc_to_sqlserver: url has no
             # databaseName, sink declares database + dbo.table).
             # Postgres-family excluded: PG has no cross-database
             # qualification — there the database rides the connection.
+            # Families without three-part names (db2, hana, …) only
+            # compose db.table when the table isn't already qualified —
+            # db.schema.table is invalid SQL there.
             table = f"{db_opt}.{table}"
         user = str(self.opt("user", ""))
         password = str(self.opt("password", ""))
         props = {"user": user, "password": password}
         if self.opt("driver"):
             props["driver"] = self.opt("driver")
+        if (self.opt("schema_save_mode") or self.opt("data_save_mode")) \
+                and fam and not _jvm_driver_available(
+                    df.sparkSession, self.opt("driver")):
+            # conf-declared SaveMode semantics over the stdlib wire
+            # clients (the reference's DefaultSaveModeHandler: schema
+            # RECREATE/CREATE-IF-MISSING/ERROR-IF-MISSING × data
+            # DROP/APPEND/ERROR/CUSTOM — jdbc_sap_hana confs declare
+            # RECREATE_SCHEMA + DROP_DATA)
+            self._wire_save_mode(df, url, table, user, password)
         df = df.drop(*[c for c in (TABLE_ID_COL,) if c in df.columns])
         keys = self.opt("primary_keys")
         if keys and any("${primary_key}" in str(k) for k in keys):
@@ -320,7 +334,9 @@ class JdbcSink(Sink):
                      else f"SELECT * FROM {table} LIMIT 0")
             try:
                 cols, _, _ = ex.query(probe)
-            except Exception:  # noqa: BLE001 - unknown table: no-op
+            except (ConnectionError, OSError):
+                raise  # transport failure is not "unknown table"
+            except Exception:  # noqa: BLE001 - server error: table absent
                 return
             if not cols:
                 return
@@ -396,6 +412,81 @@ class JdbcSink(Sink):
     def _dsl_sql_type(self, dsl: str) -> str:
         return dsl.upper() if dsl.startswith("decimal") else \
             self._DSL_TO_SQL.get(dsl, "VARCHAR(255)")
+
+    def _wire_save_mode(self, df: DataFrame, url: str, table: str,
+                        user: str, password: str) -> None:
+        """schema_save_mode × data_save_mode over a wire client — the
+        reference's DefaultSaveModeHandler.java contract: schema
+        RECREATE_SCHEMA (drop + create), CREATE_SCHEMA_WHEN_NOT_EXIST,
+        ERROR_WHEN_SCHEMA_NOT_EXIST, IGNORE; data DROP_DATA (truncate),
+        APPEND_DATA, ERROR_WHEN_DATA_EXISTS, CUSTOM_PROCESSING
+        (custom_sql)."""
+        from seatunnel_spark.jdbc_dialects import dialect_for
+        from seatunnel_spark.sql_exec import WireExecutor, wire_family
+
+        ssm = str(self.opt("schema_save_mode",
+                           "CREATE_SCHEMA_WHEN_NOT_EXIST")).upper()
+        dsm = str(self.opt("data_save_mode", "APPEND_DATA")).upper()
+        fam = wire_family(url)
+        dialect = dialect_for(url, self.opt("compatible_mode"))
+        meta = {ROW_KIND_COL, TABLE_ID_COL, "__offset", "__event_ts"}
+        ex = WireExecutor(url, user, password)
+        try:
+            def exists() -> bool:
+                probe = (f"SELECT TOP 0 * FROM {table}"
+                         if fam == "mssql"
+                         else f"SELECT * FROM {table} WHERE 1=0"
+                         if fam in ("pg", "drda")
+                         else f"SELECT * FROM {table} LIMIT 0")
+                try:
+                    ex.query(probe)
+                    return True
+                except (ConnectionError, OSError):
+                    raise
+                except Exception:  # noqa: BLE001 - server "unknown table"
+                    return False
+
+            keys = [str(k) for k in (self.opt("primary_keys") or [])]
+            col_ddl = ", ".join(
+                f"{dialect.quote(f.name)} "
+                f"{self._dsl_sql_type(f.dataType.simpleString())}"
+                for f in df.schema.fields if f.name not in meta)
+            if keys:
+                col_ddl += (", PRIMARY KEY ("
+                            + ", ".join(dialect.quote(k) for k in keys)
+                            + ")")
+            tid = dialect.table_identifier(table)
+            create = f"CREATE TABLE {tid} ({col_ddl})"
+            if ssm == "RECREATE_SCHEMA":
+                if exists():
+                    ex.execute(f"DROP TABLE {tid}")
+                ex.execute(create)
+            elif ssm == "CREATE_SCHEMA_WHEN_NOT_EXIST":
+                if not exists():
+                    ex.execute(create)
+            elif ssm == "ERROR_WHEN_SCHEMA_NOT_EXIST":
+                if not exists():
+                    raise RuntimeError(
+                        f"sink table {table} does not exist "
+                        "(schema_save_mode=ERROR_WHEN_SCHEMA_NOT_EXIST)")
+            if dsm == "DROP_DATA" and ssm != "RECREATE_SCHEMA":
+                # a freshly recreated table is already empty
+                ex.execute(f"TRUNCATE TABLE {tid}")
+            elif dsm == "ERROR_WHEN_DATA_EXISTS":
+                _, _, rows = ex.query(
+                    f"SELECT * FROM {tid} LIMIT 1"
+                    if fam not in ("mssql", "pg", "drda")
+                    else f"SELECT TOP 1 * FROM {tid}" if fam == "mssql"
+                    else f"SELECT * FROM {tid} FETCH FIRST 1 ROWS ONLY"
+                    if fam == "drda" else f"SELECT * FROM {tid} LIMIT 1")
+                if rows:
+                    raise RuntimeError(
+                        f"sink table {table} already has data "
+                        "(data_save_mode=ERROR_WHEN_DATA_EXISTS)")
+            elif dsm == "CUSTOM_PROCESSING" and self.opt("custom_sql"):
+                ex.execute(str(self.opt("custom_sql")))
+        finally:
+            ex.close()
 
     def _wire_insert(self, df: DataFrame, url: str, table: str,
                      user: str, password: str) -> None:
