@@ -205,7 +205,12 @@ def _pack_bcd(v: decimal.Decimal, precision: int, scale: int) -> bytes:
     q = v.scaleb(scale).to_integral_value()
     n = int(q)
     sign = 0xC if n >= 0 else 0xD
-    digits = str(abs(n)).rjust(precision, "0")[-precision:]
+    if len(str(abs(n))) > precision:
+        # DB2 raises SQL0413N on decimal overflow; silent truncation
+        # would corrupt written values
+        raise DrdaError(
+            f"DECIMAL({precision},{scale}) overflow packing {v}")
+    digits = str(abs(n)).rjust(precision, "0")
     nibbles = [int(d) for d in digits] + [sign]
     if len(nibbles) % 2:
         nibbles = [0] + nibbles

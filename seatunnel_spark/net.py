@@ -67,10 +67,18 @@ def resolve_jdbc_url(url: str) -> str:
     if url.startswith("jdbc:snowflake:"):
         # resolve the account endpoint WITH scheme (a full-endpoint
         # alias can downgrade https->http for a local fixture); the
-        # resolved form round-trips through SnowflakeRestClient
-        host = url.split("//", 1)[1].split("/")[0].split("?")[0]
-        resolved = apply_host_aliases(f"https://{host}")
-        return f"jdbc:snowflake:{resolved}"
+        # resolved form round-trips through SnowflakeRestClient.
+        # Path/query connection parameters (db, schema, warehouse,
+        # role) survive the rewrite, and an explicit http:// scheme is
+        # kept when no alias rewrites the endpoint.
+        body = url[len("jdbc:snowflake:"):]
+        if body.startswith("//"):
+            body = "https:" + body
+        p = urlsplit(body)
+        r = urlsplit(apply_host_aliases(
+            urlunsplit((p.scheme, p.netloc, "", "", ""))))
+        return "jdbc:snowflake:" + urlunsplit(
+            (r.scheme, r.netloc, p.path, p.query, p.fragment))
     prefix, rest = ("jdbc:", url[len("jdbc:"):]) if url.startswith("jdbc:") \
         else ("", url)
     # jdbc:sqlserver carries ;prop=value pairs where a path would be —

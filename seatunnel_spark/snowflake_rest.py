@@ -78,7 +78,11 @@ class SnowflakeRestClient:
         the driver-resolved jdbc:snowflake:http(s)://host:port form."""
         rest = url[len("jdbc:snowflake:"):]
         if rest.startswith(("http://", "https://")):
-            return cls(rest, user, password,
+            # strip path/query connection params from the REST base —
+            # resolve_jdbc_url preserves them on the URL
+            scheme, _, tail = rest.partition("://")
+            host = tail.split("/")[0].split("?")[0]
+            return cls(f"{scheme}://{host}", user, password,
                        account=cls._account_of(rest))
         host = rest.lstrip("/").split("/")[0].split("?")[0]
         return cls(f"https://{host}", user, password)

@@ -556,10 +556,19 @@ class CdcReplaySource(Source):
 
         cl = TdsClient(host, port, user, pw, db)
         try:
+            # watermark and snapshot must be mutually consistent
+            # (Debezium SqlServerSnapshotChangeEventSource: read
+            # max_lsn INSIDE a SNAPSHOT-isolation transaction, then
+            # select within the same transaction) — a watermark taken
+            # outside would double-apply changes committed between the
+            # two statements
+            cl.execute("SET TRANSACTION ISOLATION LEVEL SNAPSHOT")
+            cl.execute("BEGIN TRANSACTION")
             _, _, wm = cl.query("SELECT sys.fn_cdc_get_max_lsn() AS max_lsn")
             watermark_lsn = bytes(wm[0][0] or b"\x00" * 10)
             cols, tnames, srows = cl.query(
                 f"SELECT * FROM [{db}].[{schema_name}].[{tbl}]")
+            cl.execute("COMMIT TRANSACTION")
             pk = self._pk_of(table_full) or self._pk_of(tbl)
             if not pk:
                 try:
@@ -625,6 +634,13 @@ class CdcReplaySource(Source):
             env["ts_ms"] = 0
             env["source"] = {"db": db, "table": tbl, "pos": pos}
             lines.append(json.dumps(env))
+        if pending_before is not None:
+            # an op-3 (update-before) with no op-4 partner means a
+            # truncated/corrupt CT feed; dropping it silently would
+            # lose an update
+            raise ValueError(
+                f"{self.plugin_name}: dangling update-before row at end "
+                f"of CT poll for {table_full} (op-3 without op-4)")
 
         raw = spark.createDataFrame([(ln,) for ln in lines] or
                                     [(None,)], "value string") \

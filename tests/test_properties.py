@@ -477,3 +477,18 @@ def test_gss_wrap_roundtrip(data, initiator, seal, seq):
     key = K.string_to_key("x", "Ry")
     tok = K.gss_wrap(key, data, initiator=initiator, seq=seq, seal=seal)
     assert K.gss_unwrap(key, tok, initiator_sent=initiator) == data
+
+
+def test_drda_packed_bcd_overflow_raises():
+    """DECIMAL overflow must raise (DB2 SQL0413N), not silently
+    truncate high-order digits."""
+    import decimal
+
+    import pytest as _pytest
+
+    from seatunnel_spark import drda_wire as D
+
+    with _pytest.raises(D.DrdaError, match="overflow"):
+        D._pack_bcd(decimal.Decimal("123456.78"), 5, 2)
+    assert D._unpack_bcd(D._pack_bcd(decimal.Decimal("999.99"), 5, 2),
+                         2) == decimal.Decimal("999.99")

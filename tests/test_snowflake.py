@@ -121,3 +121,26 @@ def test_snowflake_conf_runs_unmodified(spark, sf):
     assert len(inserts) == 3
     blob = " ".join(inserts)
     assert "MOCK_DATA" in blob and "varchar_col_1" in blob
+
+
+def test_resolve_jdbc_url_keeps_params_and_scheme(monkeypatch, sf):
+    """Path/query connection parameters (db, schema, warehouse, role)
+    survive host-alias resolution, an explicit http:// endpoint is kept
+    when no alias matches, and the REST client still reaches the
+    server through the parameterized URL."""
+    from seatunnel_spark.net import resolve_jdbc_url
+
+    srv, port = sf
+    url = ("jdbc:snowflake://<account_id>.snowflakecomputing.com"
+           "/?db=MYDB&schema=PUBLIC&warehouse=WH&role=R1")
+    got = resolve_jdbc_url(url)
+    assert got.startswith(f"jdbc:snowflake:http://127.0.0.1:{port}")
+    assert "db=MYDB" in got and "warehouse=WH" in got
+    # the resolved parameterized form still logs in and queries
+    cl = SnowflakeRestClient.from_jdbc_url(got, "user", "password")
+    cols, _, rows = cl.query("SELECT ID FROM MOCK_DATA")
+    assert cols == ["ID"] and len(rows) == 3
+    # no alias match -> explicit http endpoint is NOT re-forced to https
+    monkeypatch.setenv("SEATUNNEL_SPARK_HOST_ALIASES", "")
+    plain = resolve_jdbc_url("jdbc:snowflake:http://local:8080/?db=D")
+    assert plain == "jdbc:snowflake:http://local:8080/?db=D"

@@ -164,3 +164,52 @@ def test_tds_auth_failure_fails_job(spark, live_sqlserver):
     with pytest.raises(Exception, match="[Ll]ogin"):
         src.read(spark)
     assert srv.auth_failures >= 1
+
+
+def test_snapshot_and_watermark_share_a_transaction(spark,
+                                                    live_sqlserver):
+    """The max_lsn watermark is read INSIDE the same SNAPSHOT-isolation
+    transaction as the snapshot SELECT (Debezium's
+    SqlServerSnapshotChangeEventSource contract) — a watermark taken
+    outside would double-apply changes committed in between."""
+    srv, _ = live_sqlserver
+    src = CdcReplaySource({
+        "base-url": "jdbc:sqlserver://sqlserver-host:1433;"
+                    "databaseName=column_type_test",
+        "username": "sa", "password": "Password!",
+        "database-names": ["column_type_test"],
+        "table-names": ["column_type_test.dbo.full_types"],
+    })
+    src.plugin_name = "SqlServer-CDC"
+    src.read(spark)
+    stmts = [s.upper() for s in srv.statements]
+    begin = next(i for i, s in enumerate(stmts)
+                 if s.startswith("BEGIN TRANSACTION"))
+    commit = next(i for i, s in enumerate(stmts)
+                  if s.startswith("COMMIT"))
+    wm = next(i for i, s in enumerate(stmts)
+              if "FN_CDC_GET_MAX_LSN" in s)
+    snap = next(i for i, s in enumerate(stmts)
+                if "FROM [COLUMN_TYPE_TEST].[DBO].[FULL_TYPES]" in s)
+    assert begin < wm < snap < commit
+    assert any(s.startswith("SET TRANSACTION ISOLATION LEVEL SNAPSHOT")
+               for s in stmts)
+
+
+def test_dangling_update_before_raises(spark, live_sqlserver):
+    """An op-3 (update-before) with no op-4 partner at the end of the
+    CT poll is a truncated feed — the source must fail loudly, not
+    drop the update."""
+    srv, _ = live_sqlserver
+    inst = srv._cdc["dbo_full_types"]
+    inst.append((srv._next_lsn(), 3, _row(0)))  # op-3, no op-4
+    src = CdcReplaySource({
+        "base-url": "jdbc:sqlserver://sqlserver-host:1433;"
+                    "databaseName=column_type_test",
+        "username": "sa", "password": "Password!",
+        "database-names": ["column_type_test"],
+        "table-names": ["column_type_test.dbo.full_types"],
+    })
+    src.plugin_name = "SqlServer-CDC"
+    with pytest.raises(ValueError, match="dangling update-before"):
+        src.read(spark)
