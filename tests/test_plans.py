@@ -142,3 +142,34 @@ def test_pack_docs_no_global_window(plans):
     for line in p.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "_pid" in line, f"global window leaked: {line}"
+
+
+def test_retention_no_event_self_join_no_window(plans):
+    # cohort assignment is a min-ts aggregation joined back — never a
+    # per-event self-join of events against events, never a window;
+    # the whole matrix is <=3 hash exchanges (assign, join side,
+    # distinct-count)
+    p = plans("q_retention")
+    assert "Window" not in p and "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning") <= 3
+    assert "partial_min" in p  # map-side combined cohort assignment
+
+
+def test_pivot_single_exchange_no_expand(plans):
+    # declared pivot values: one conditional-agg shuffle, no
+    # distinct-values pre-job and no Expand node
+    p = plans("q_pivot")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Expand" not in p
+    assert "partial_sum" in p
+
+
+def test_ngram_stats_no_udf_partial_agg(plans):
+    # shifted-slice arrays_zip keeps the n-gram build JVM-side: no
+    # Python eval in the plan, counts combine map-side, and the top-k
+    # compiles to TakeOrderedAndProject (no global sort)
+    p = plans("text_ngram_stats")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "partial_count" in p
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p or "TakeOrderedAndProject" in p
