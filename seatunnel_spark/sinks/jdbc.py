@@ -446,17 +446,16 @@ class JdbcSink(Sink):
                 except Exception:  # noqa: BLE001 - server "unknown table"
                     return False
 
+            from seatunnel_spark.plans.ddl_builders import \
+                generic_create_table
+
             keys = [str(k) for k in (self.opt("primary_keys") or [])]
-            col_ddl = ", ".join(
-                f"{dialect.quote(f.name)} "
-                f"{self._dsl_sql_type(f.dataType.simpleString())}"
-                for f in df.schema.fields if f.name not in meta)
-            if keys:
-                col_ddl += (", PRIMARY KEY ("
-                            + ", ".join(dialect.quote(k) for k in keys)
-                            + ")")
             tid = dialect.table_identifier(table)
-            create = f"CREATE TABLE {tid} ({col_ddl})"
+            create = generic_create_table(
+                tid,
+                [(f.name, self._dsl_sql_type(f.dataType.simpleString()))
+                 for f in df.schema.fields if f.name not in meta],
+                primary_key=keys or None, quote=dialect.quote_char)
             if ssm == "RECREATE_SCHEMA":
                 if exists():
                     ex.execute(f"DROP TABLE {tid}")
