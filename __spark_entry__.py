@@ -284,6 +284,38 @@ def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_stats(d, "text", n=2, top=20)
 
 
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair contamination surface: distinct 3-gram shingles
+    shared between every pair of corpus subsets. Shuffle = distinct
+    (shingle, source) pairs; per-shingle pair expansion bounded by
+    |sources|², never corpus size (dataops/analytics.py:
+    corpus_overlap)."""
+    from seatunnel_spark.dataops.analytics import corpus_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_overlap(d, "source", "text", k=3)
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured profiling: JVM-side get_json_object over the
+    events props JSON column, bucketed stats — no Python UDF in the
+    plan (dataops/analytics.py: json_bucket_stats)."""
+    from seatunnel_spark.dataops.analytics import json_bucket_stats
+
+    e = _t(spark, sf_dir, "events")
+    return json_bucket_stats(e, "props", "k", "value", bucket=10)
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily volumes with a 7-day trailing moving
+    average — the window runs over the AGGREGATED daily series, not
+    the event log (dataops/analytics.py: moving_average)."""
+    from seatunnel_spark.dataops.analytics import moving_average
+
+    e = _t(spark, sf_dir, "events")
+    return moving_average(e, "ts", "event_type", window_rows=7)
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (absent from the
     reference; sort-based agg in Spark)."""
@@ -1147,6 +1179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retention": q_retention,
         "q_pivot": q_pivot,
         "text_ngram_stats": text_ngram_stats,
+        "q_corpus_overlap": q_corpus_overlap,
+        "q_json_extract": q_json_extract,
+        "q_moving_avg": q_moving_avg,
         "q4_semi_join": q4_semi_join,
         "q_percentiles": q_percentiles,
         "t_metadata": t_metadata,
@@ -1444,6 +1479,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(max(ts))) AS BIGINT)
                      - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
             FROM s GROUP BY user_id, session_id
+        """,
+        "q_corpus_overlap": """
+            WITH sh AS (
+              SELECT DISTINCT source AS src,
+                     unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             for i in range(1, len(ws) - 1)]) AS tok
+              FROM (SELECT source,
+                           regexp_split_to_array(trim(text), '\\s+') AS ws
+                    FROM documents)
+              WHERE len(ws) >= 3)
+            SELECT a.src AS source_a, b.src AS source_b,
+                   count(*) AS shared_shingles
+            FROM sh a JOIN sh b
+              ON a.tok = b.tok AND a.src < b.src
+            GROUP BY 1, 2
+        """,
+        "q_json_extract": """
+            SELECT (k - k % 10) AS k_bucket,
+                   count(*) AS n,
+                   round(avg(value), 4) AS avg_value
+            FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT)
+                           AS k,
+                         value
+                  FROM events)
+            GROUP BY 1
+        """,
+        "q_moving_avg": """
+            WITH daily AS (
+              SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT grp, day, n,
+                   round(avg(n) OVER (
+                     PARTITION BY grp ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+                     AS ma7_n
+            FROM daily
         """,
         "q_funnel": """
             WITH per_user AS (

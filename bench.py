@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "q_retention",
     "q_pivot",
     "text_ngram_stats",
+    # round-6 additions (append-only)
+    "q_corpus_overlap",
+    "q_json_extract",
+    "q_moving_avg",
 ]
 
 

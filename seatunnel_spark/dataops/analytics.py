@@ -91,4 +91,72 @@ def ngram_stats(docs: DataFrame, text_col: str = "text", n: int = 2,
             .orderBy(F.desc("n"), F.asc("ngram")).limit(top))
 
 
-__all__ = ["funnel", "cohort_retention", "pivot_counts", "ngram_stats"]
+def corpus_overlap(df: DataFrame, source_col: str, text_col: str = "text",
+                   k: int = 3) -> DataFrame:
+    """Contamination surface between corpus subsets: for every pair of
+    sources, the number of distinct k-word shingles they share.
+
+    Scale shape: the shuffle carries distinct (shingle, source) pairs
+    (map-side-combined dropDuplicates), then one groupBy(shingle)
+    collecting the source set — the per-shingle work is bounded by
+    |sources|² (a partition dimension, ~10s-100s), NEVER by corpus
+    size, so no hot-token cap is needed. Pair expansion happens inside
+    the ≤|sources| sorted array (tiny interpreted HOF), not via a
+    token self-join. Docs shorter than k words carry no shingles
+    (same rule as ngram_stats)."""
+    from seatunnel_spark.dataops.dedup import _shingle_str, _shingle_structs
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = (df.filter(F.size(words) >= k)
+            .select(F.col(source_col).alias("__src"),
+                    F.explode(_shingle_structs(F.col(text_col), k))
+                    .alias("g"))
+            .select("__src", _shingle_str(F.col("g"), k).alias("__tok"))
+            .dropDuplicates(["__src", "__tok"]))
+    srcs = toks.groupBy("__tok").agg(
+        F.sort_array(F.collect_set("__src")).alias("s"))
+    pairs = srcs.select(F.explode(F.flatten(F.transform(
+        "s", lambda x, i: F.transform(
+            F.slice(F.col("s"), i + F.lit(2), F.size("s")),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))).alias("p"))
+    return (pairs.groupBy(F.col("p.a").alias("source_a"),
+                          F.col("p.b").alias("source_b"))
+            .agg(F.count(F.lit(1)).alias("shared_shingles")))
+
+
+def json_bucket_stats(df: DataFrame, json_col: str, field: str,
+                      value_col: str, bucket: int = 10) -> DataFrame:
+    """Semi-structured profiling: extract a numeric field from a JSON
+    string column (JVM-side get_json_object — no Python UDF), bucket
+    it, and aggregate counts + value means per bucket. One map-side-
+    combined shuffle of (bucket) keys."""
+    kv = F.get_json_object(F.col(json_col), f"$.{field}").cast("int")
+    return (df.groupBy((kv - kv % bucket).alias(f"{field}_bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg(value_col), 4).alias("avg_value")))
+
+
+def moving_average(df: DataFrame, ts_col: str, group_col: str,
+                   window_rows: int = 7) -> DataFrame:
+    """Per-group daily series with an N-point trailing moving average.
+
+    Two steps: (1) the daily aggregation — map-side-combined shuffle
+    on (group, day); (2) a window over the AGGREGATED series (rows =
+    groups × days, orders of magnitude smaller than the event log, so
+    the per-group sort inside the window is cheap). The window frame
+    is ROWS BETWEEN N-1 PRECEDING AND CURRENT ROW."""
+    from pyspark.sql import Window
+
+    day = F.col(ts_col).cast("date")
+    daily = df.groupBy(F.col(group_col).alias("grp"),
+                       day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("grp").orderBy("day") \
+        .rowsBetween(-(window_rows - 1), 0)
+    return daily.select(
+        "grp", "day", "n",
+        F.round(F.avg("n").over(w), 4).alias(f"ma{window_rows}_n"))
+
+
+__all__ = ["funnel", "cohort_retention", "pivot_counts", "ngram_stats",
+           "corpus_overlap", "json_bucket_stats", "moving_average"]

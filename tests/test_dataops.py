@@ -801,3 +801,47 @@ def test_ngram_stats_deterministic(spark):
     rows = [(r["ngram"], r["n"]) for r in
             ngram_stats(df, "text", n=2, top=3).collect()]
     assert rows == [("a b", 3), ("b a", 1), ("b c", 1)]
+
+
+def test_corpus_overlap_counts(spark):
+    from seatunnel_spark.dataops.analytics import corpus_overlap
+
+    rows = [
+        ("s1", "a b c d"),        # shingles: "a b c", "b c d"
+        ("s2", "a b c x"),        # shares "a b c" with s1
+        ("s2", "b c d y"),        # shares "b c d" with s1
+        ("s3", "z z z"),          # shares nothing
+        ("s3", "a b"),            # <3 words: no shingles at all
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r["source_a"], r["source_b"]): r["shared_shingles"]
+           for r in corpus_overlap(df, "source", "text", k=3).collect()}
+    assert out == {("s1", "s2"): 2}
+
+
+def test_json_bucket_stats_values(spark):
+    from seatunnel_spark.dataops.analytics import json_bucket_stats
+
+    rows = [('{"k": 5}', 1.0), ('{"k": 7}', 3.0), ('{"k": 15}', 10.0),
+            ('{"k": null}', 99.0)]
+    df = spark.createDataFrame(rows, "props string, value double")
+    out = {r["k_bucket"]: (r["n"], r["avg_value"])
+           for r in json_bucket_stats(df, "props", "k", "value").collect()}
+    assert out[0] == (2, 2.0)
+    assert out[10] == (1, 10.0)
+    assert out[None][0] == 1  # null key bucket survives, not dropped
+
+
+def test_moving_average_trailing_window(spark):
+    from seatunnel_spark.dataops.analytics import moving_average
+
+    rows = ([("a", f"2024-01-0{d} 10:00:00") for d in (1, 1, 2, 3)]
+            + [("b", "2024-01-01 09:00:00")])
+    df = spark.createDataFrame(rows, "t string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r["grp"], str(r["day"])): (r["n"], r["ma3_n"])
+           for r in moving_average(df, "ts", "t", window_rows=3).collect()}
+    assert out[("a", "2024-01-01")] == (2, 2.0)
+    assert out[("a", "2024-01-02")] == (1, 1.5)
+    assert out[("a", "2024-01-03")] == (1, 1.3333)
+    assert out[("b", "2024-01-01")] == (1, 1.0)

@@ -173,3 +173,28 @@ def test_ngram_stats_no_udf_partial_agg(plans):
     assert "partial_count" in p
     assert "TakeOrderedAndProject" in p
     assert "Sort " not in p or "TakeOrderedAndProject" in p
+
+
+def test_corpus_overlap_no_token_self_join(plans):
+    # pair expansion happens inside the <=|sources| array — no
+    # token-keyed self-join, no cartesian, one scan of documents
+    p = plans("q_corpus_overlap")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert p.count("FileScan parquet") == 1
+
+
+def test_json_extract_single_exchange_no_udf(plans):
+    p = plans("q_json_extract")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "partial_count" in p
+
+
+def test_moving_avg_window_over_aggregate(plans):
+    # the window must consume the aggregated daily series (partial
+    # aggregation below the window), never the raw event log
+    p = plans("q_moving_avg")
+    assert "Window" in p and "partial_count" in p
+    w = p.index("Window")
+    assert "HashAggregate" in p[w:], "window not over the aggregate"
