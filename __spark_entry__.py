@@ -284,6 +284,74 @@ def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_stats(d, "text", n=2, top=20)
 
 
+def _synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WAV/MP4 bytes per doc_id (executor-side
+    mapInPandas) — the REAL stdlib RIFF and ISO-BMFF parsers then
+    decode them, and the SQL oracle replays the generation formula
+    (dataops/multimodal.py: synthesize_wav/synthesize_mp4)."""
+    import pyspark.sql.types as T
+
+    from seatunnel_spark.dataops.multimodal import (synthesize_mp4,
+                                                    synthesize_wav)
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100).select("doc_id")
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("audio", T.BinaryType()),
+        T.StructField("video", T.BinaryType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            pdf["audio"] = [synthesize_wav(8000 * (1 + i % 3),
+                                           800 + (i % 7) * 160)
+                            for i in ids]
+            pdf["video"] = [synthesize_mp4(500 + (i % 10) * 250,
+                                           320 + (i % 4) * 16,
+                                           240 + (i % 4) * 16)
+                            for i in ids]
+            yield pdf
+
+    return docs.mapInPandas(gen, schema=schema)
+
+
+def mm_av_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio+video metadata extraction over binary columns: the real
+    RIFF/WAVE fmt+data parse and the real ISO 14496-12 box walk
+    (mvhd/tkhd), Arrow-batched — no fake decode on this path."""
+    from seatunnel_spark.dataops.multimodal import (audio_metadata,
+                                                    video_metadata)
+
+    out = video_metadata(audio_metadata(_synth_media(spark, sf_dir),
+                                        "audio"), "video")
+    return out.select(
+        "doc_id",
+        F.col("audio_meta.sample_rate").alias("sample_rate"),
+        F.col("audio_meta.n_samples").alias("n_samples"),
+        F.col("audio_meta.codec").alias("codec"),
+        F.col("video_meta.duration_ms").alias("duration_ms"),
+        F.col("video_meta.width").alias("vw"),
+        F.col("video_meta.height").alias("vh"),
+        F.col("video_meta.container").alias("container"),
+    )
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/chunk sampling WITHOUT decoding: Catalyst
+    sequence+explode over the decoded n_samples — planning the
+    sample offsets for 10^9 media rows is a metadata-only stage
+    (dataops/multimodal.py: frame_sample_plan)."""
+    from seatunnel_spark.dataops.multimodal import (audio_metadata,
+                                                    frame_sample_plan)
+
+    a = audio_metadata(_synth_media(spark, sf_dir), "audio")
+    return frame_sample_plan(a, "audio_meta", every_n=320).select(
+        "doc_id", "frame_offset")
+
+
 def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-pair contamination surface: distinct 3-gram shingles
     shared between every pair of corpus subsets. Shuffle = distinct
@@ -1231,6 +1299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join_events": stream_interval_join_events,
         "mm_image_features": mm_image_features,
         "mm_image_resize": mm_image_resize,
+        "mm_av_metadata": mm_av_metadata,
+        "mm_frame_sample": mm_frame_sample,
         # rows-only (no SQL oracle): model inference is inherently not
         # SQL-expressible — these two stay rows-only by nature.
         "t_llm": t_llm,
@@ -1624,6 +1694,29 @@ def oracle_sql() -> dict[str, str]:
             -- per-row plumbing ran, not a real codec.
             SELECT doc_id, CAST(32 AS INTEGER) AS w,
                    CAST(64 AS INTEGER) AS nbytes
+            FROM documents WHERE doc_id < 100
+        """,
+        "mm_av_metadata": """
+            -- the Spark side synthesizes REAL WAV/MP4 bytes from this
+            -- same formula and decodes them with the genuine RIFF /
+            -- ISO-BMFF parsers; the oracle replays the formula, so any
+            -- codec bug breaks the hash match.
+            SELECT doc_id,
+                   CAST(8000 * (1 + doc_id % 3) AS INTEGER)
+                     AS sample_rate,
+                   CAST(800 + (doc_id % 7) * 160 AS BIGINT) AS n_samples,
+                   'pcm_s16le' AS codec,
+                   CAST(500 + (doc_id % 10) * 250 AS BIGINT)
+                     AS duration_ms,
+                   CAST(320 + (doc_id % 4) * 16 AS INTEGER) AS vw,
+                   CAST(240 + (doc_id % 4) * 16 AS INTEGER) AS vh,
+                   'mp4' AS container
+            FROM documents WHERE doc_id < 100
+        """,
+        "mm_frame_sample": """
+            SELECT doc_id,
+                   CAST(unnest(range(0, 800 + (doc_id % 7) * 160, 320))
+                        AS BIGINT) AS frame_offset
             FROM documents WHERE doc_id < 100
         """,
         "t_copy": """

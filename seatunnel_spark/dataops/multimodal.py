@@ -224,7 +224,7 @@ def _decode_audio(content: bytes) -> tuple[int, int, str]:
             with wave.open(io.BytesIO(content)) as w:
                 return (w.getframerate(), w.getnframes(),
                         f"pcm_s{8 * w.getsampwidth()}le")
-        except wave.Error:
+        except (wave.Error, EOFError):  # truncated RIFF -> stub
             pass
     h = hashlib.sha256(content or b"").digest()
     return 16000, 16000 * (1 + h[2] % 30), "fake/pcm"
@@ -338,3 +338,45 @@ def video_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# deterministic media synthesis (test/bench fixtures that exercise the
+# REAL RIFF/ISO-BMFF parse paths — metadata is a pure function of the
+# inputs, so a SQL oracle can replay it without any decoder)
+# --------------------------------------------------------------------------
+
+def synthesize_wav(sample_rate: int, n_frames: int) -> bytes:
+    """Minimal valid RIFF/WAVE PCM s16le mono file of silence."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"\x00\x00" * n_frames)
+    return buf.getvalue()
+
+
+def synthesize_mp4(duration_ms: int, width: int, height: int) -> bytes:
+    """Minimal ISO BMFF: ftyp + moov(mvhd v0 + trak(tkhd v0)) with a
+    1000-tick timescale and 16.16 fixed-point track dimensions — just
+    the boxes _decode_video_meta walks (ISO 14496-12 layout)."""
+    import struct as _s
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return _s.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + _s.pack(">I", 0) + b"isom")
+    mvhd = box(b"mvhd", b"\x00\x00\x00\x00"          # version+flags
+               + _s.pack(">II", 0, 0)                 # ctime, mtime
+               + _s.pack(">II", 1000, duration_ms)    # timescale, duration
+               + b"\x00" * 80)                        # rate..next_track
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07"
+               + _s.pack(">IIIII", 0, 0, 1, 0, duration_ms)
+               + b"\x00" * 52                         # reserved..matrix
+               + _s.pack(">II", width << 16, height << 16))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov

@@ -845,3 +845,43 @@ def test_moving_average_trailing_window(spark):
     assert out[("a", "2024-01-02")] == (1, 1.5)
     assert out[("a", "2024-01-03")] == (1, 1.3333)
     assert out[("b", "2024-01-01")] == (1, 1.0)
+
+
+def test_synth_media_real_parsers_roundtrip():
+    """synthesize_wav/mp4 produce REAL containers the genuine parsers
+    decode back to the inputs (no stub on this path) — truncated or
+    foreign bytes fall to the deterministic stub instead of crashing."""
+    from seatunnel_spark.dataops.multimodal import (_decode_audio,
+                                                    _decode_video_meta,
+                                                    synthesize_mp4,
+                                                    synthesize_wav)
+
+    assert _decode_audio(synthesize_wav(44100, 999)) == \
+        (44100, 999, "pcm_s16le")
+    assert _decode_video_meta(synthesize_mp4(1234, 1920, 1080)) == \
+        (1234, 1920, 1080, "mp4")
+    # non-container bytes -> deterministic stub, never an exception
+    rate, n, codec = _decode_audio(b"not a wav")
+    assert codec == "fake/pcm" and rate == 16000 and n > 0
+    assert _decode_video_meta(b"junk")[3] != "mp4"
+    # a RIFF header with a corrupt body also falls back cleanly
+    bad = synthesize_wav(8000, 10)[:20]
+    assert _decode_audio(bad)[2] == "fake/pcm"
+
+
+def test_frame_sample_plan_is_catalyst_only(spark):
+    from seatunnel_spark.dataops.multimodal import (audio_metadata,
+                                                    frame_sample_plan,
+                                                    synthesize_wav)
+
+    rows = [(1, synthesize_wav(8000, 700)), (2, synthesize_wav(8000, 50))]
+    df = spark.createDataFrame(rows, "id long, audio binary")
+    a = audio_metadata(df, "audio")
+    out = frame_sample_plan(a, "audio_meta", every_n=320)
+    got = sorted((r["id"], r["frame_offset"]) for r in out.collect())
+    assert got == [(1, 0), (1, 320), (1, 640), (2, 0)]
+    # the expansion itself is sequence+explode — no extra Python eval
+    # beyond the one decode stage
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "Generate explode" in plan
