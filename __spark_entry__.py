@@ -339,6 +339,51 @@ def mm_av_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG round trip: executors encode solid-gray PNGs with the
+    stdlib codec (dataops/png_codec.py), image_features decodes them
+    back through the genuine chunk/inflate/unfilter path and extracts
+    the 8-bin histogram — a solid level-g image is one-hot at bin
+    g//32, so the oracle replays the formula without any decoder."""
+    import pyspark.sql.types as T
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100).select("doc_id")
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def gen(batches):
+        import numpy as np
+
+        from seatunnel_spark.dataops.png_codec import encode_png
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            pdf["content"] = [
+                encode_png(np.full((6 + (i % 3) * 4, 8 + (i % 5) * 4),
+                                   i % 256, dtype=np.uint8))
+                for i in ids]
+            yield pdf
+
+    from seatunnel_spark.dataops.multimodal import image_features
+
+    out = image_features(docs.mapInPandas(gen, schema=schema),
+                         "content", codec="png")
+    return out.select(
+        "doc_id",
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.format").alias("fmt"),
+        F.expr("array_position(image_feat, array_max(image_feat))")
+        .cast("int").alias("top_bin"),
+        F.round(F.array_max("image_feat").cast("double"), 4)
+        .alias("top_frac"),
+    )
+
+
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame/chunk sampling WITHOUT decoding: Catalyst
     sequence+explode over the decoded n_samples — planning the
@@ -1300,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_features": mm_image_features,
         "mm_image_resize": mm_image_resize,
         "mm_av_metadata": mm_av_metadata,
+        "mm_png_features": mm_png_features,
         "mm_frame_sample": mm_frame_sample,
         # rows-only (no SQL oracle): model inference is inherently not
         # SQL-expressible — these two stay rows-only by nature.
@@ -1694,6 +1740,19 @@ def oracle_sql() -> dict[str, str]:
             -- per-row plumbing ran, not a real codec.
             SELECT doc_id, CAST(32 AS INTEGER) AS w,
                    CAST(64 AS INTEGER) AS nbytes
+            FROM documents WHERE doc_id < 100
+        """,
+        "mm_png_features": """
+            -- solid gray level g = doc_id%256: histogram one-hot at
+            -- bin g//32 (1-based array_position), width/height from
+            -- the synth formula; the Spark side really encodes and
+            -- decodes PNG bytes (png_codec.py).
+            SELECT doc_id,
+                   CAST(8 + (doc_id % 5) * 4 AS INTEGER) AS width,
+                   CAST(6 + (doc_id % 3) * 4 AS INTEGER) AS height,
+                   'png' AS fmt,
+                   CAST((doc_id % 256) // 32 + 1 AS INTEGER) AS top_bin,
+                   1.0 AS top_frac
             FROM documents WHERE doc_id < 100
         """,
         "mm_av_metadata": """
