@@ -397,6 +397,26 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "frame_offset")
 
 
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup REMOVAL: jaccard pairs -> connected
+    components -> drop every cluster member except the min-id canon ->
+    per-source survivor stats. The anti-join ships only loser doc_ids
+    (a tiny broadcast), never document text."""
+    from seatunnel_spark.dataops import (duplicate_clusters,
+                                         ngram_jaccard_pairs)
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.2,
+                                block_cols=["lang"])
+    losers = duplicate_clusters(pairs).filter(
+        F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id"))
+    kept = d.join(losers, "doc_id", "left_anti")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_chars").alias("kept_chars"))
+
+
 def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-pair contamination surface: distinct 3-gram shingles
     shared between every pair of corpus subsets. Shuffle = distinct
@@ -1315,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_clusters": dedup_clusters,
+        "dedup_apply": dedup_apply,
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_tokens": text_tokens,
@@ -1895,6 +1916,39 @@ def oracle_sql() -> dict[str, str]:
               ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh))
                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+        """,
+        "dedup_apply": f"""
+            WITH RECURSIVE {shingle_cte},
+            shl AS (
+              SELECT doc_id, lang, list(DISTINCT sh) AS sh
+              FROM shingles GROUP BY doc_id, lang
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM shl a JOIN shl b
+                ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, label) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+            ),
+            clusters AS (
+              SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
+            )
+            SELECT source,
+                   count(*) AS kept_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS kept_chars
+            FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM clusters
+                                 WHERE id != cluster_id)
+            GROUP BY source
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {shingle_cte},

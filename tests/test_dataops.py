@@ -885,3 +885,36 @@ def test_frame_sample_plan_is_catalyst_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
     assert "Generate explode" in plan
+
+
+def test_corpus_overlap_matches_bruteforce(spark):
+    """Randomized corpus vs a pure-python set computation — the
+    operator must equal exact per-pair shared-shingle counts."""
+    import random
+    from collections import defaultdict
+
+    from seatunnel_spark.dataops.analytics import corpus_overlap
+
+    rnd = random.Random(7)
+    vocab = list("abcdefgh")
+    rows = []
+    for _ in range(60):
+        src = f"s{rnd.randrange(4)}"
+        n = rnd.randrange(0, 9)
+        rows.append((src, " ".join(rnd.choice(vocab) for _ in range(n))))
+    sets = defaultdict(set)
+    for src, text in rows:
+        ws = text.split()
+        for j in range(len(ws) - 2):
+            sets[src].add(" ".join(ws[j:j + 3]))
+    expect = {}
+    names = sorted(sets)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            n = len(sets[a] & sets[b])
+            if n:
+                expect[(a, b)] = n
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {(r["source_a"], r["source_b"]): r["shared_shingles"]
+           for r in corpus_overlap(df, "source", "text", k=3).collect()}
+    assert got == expect
