@@ -113,7 +113,11 @@ def _element(name: str, v) -> bytes:
     if isinstance(v, _dt.datetime):
         if v.tzinfo is None:
             v = v.replace(tzinfo=_dt.timezone.utc)
-        ms = int((v - _EPOCH).total_seconds() * 1000)
+        # integer arithmetic: total_seconds()*1000 loses sub-ms
+        # precision to float for dates far from the epoch
+        delta = v - _EPOCH
+        ms = (delta.days * 86_400_000 + delta.seconds * 1000
+              + delta.microseconds // 1000)
         return b"\x09" + n + struct.pack("<q", ms)
     if isinstance(v, _dt.date):
         dt = _dt.datetime(v.year, v.month, v.day, tzinfo=_dt.timezone.utc)
