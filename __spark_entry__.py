@@ -1252,6 +1252,24 @@ def stream_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Spark session_window aggregation (dynamic gap-closed
+    windows; the streaming form evicts closed-session state behind a
+    watermark — streaming/__init__.py:session_window_agg). Oracle:
+    the classic lag+cumsum islands computation."""
+    from seatunnel_spark.streaming import session_window_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = session_window_agg(e, "ts", "30 minutes", ["user_id"],
+                             {"n": "count(1)", "sv": "round(sum(value), 2)"})
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("ss"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("se"),
+        "n", "sv",
+    )
+
+
 def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (streaming/__init__.py:stream_dedup,
     dropDuplicatesWithinWatermark on streams): the events feed is
@@ -1362,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_changelog": lake_changelog,
         "stream_windowed_events": stream_windowed_events,
         "stream_dedup_ids": stream_dedup_ids,
+        "stream_session_window": stream_session_window,
         "stream_interval_join_events": stream_interval_join_events,
         "mm_image_features": mm_image_features,
         "mm_image_resize": mm_image_resize,
@@ -2262,6 +2281,29 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, match_id, cosine, rank FROM r WHERE rank <= 10
+        """,
+        "stream_session_window": """
+            WITH o AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts > lag(ts) OVER w
+                                    + INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts, value,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ss,
+                   strftime(max(ts) + INTERVAL 30 MINUTE,
+                            '%Y-%m-%d %H:%M:%S') AS se,
+                   count(*) AS n,
+                   round(sum(value), 2) AS sv
+            FROM s GROUP BY user_id, sid
         """,
         "stream_dedup_ids": """
             SELECT DISTINCT event_id, user_id, event_type FROM events

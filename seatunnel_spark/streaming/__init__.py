@@ -43,6 +43,31 @@ def windowed_agg(
     )
 
 
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    group_cols: list[str],
+    aggs: dict[str, str],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based session windows via Spark's NATIVE session_window
+    (dynamic-length windows that close `gap` after the last event) —
+    the streaming-capable form: with a watermark, state for closed
+    sessions is evicted. Works identically on batch frames.
+
+    aggs: {out_name: "fn(col)"} Spark SQL expressions."""
+    src = df.withWatermark(ts_col, watermark) \
+        if df.isStreaming and watermark else df
+    exprs = [F.expr(e).alias(name) for name, e in aggs.items()]
+    return (src.groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                        *group_cols)
+            .agg(*exprs)
+            .select(F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    *group_cols, *[F.col(n) for n in aggs]))
+
+
 def stream_dedup(df: DataFrame, key_cols: list[str], ts_col: str, watermark: str) -> DataFrame:
     """Streaming exact dedup within the watermark horizon.
 

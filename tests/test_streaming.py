@@ -312,3 +312,23 @@ def test_stream_interval_join_stream_matches_batch(spark, tmp_path):
         .select("click_id", "buy_id").collect()
     assert {(r["click_id"], r["buy_id"]) for r in got} == \
         {(r["click_id"], r["buy_id"]) for r in expected} == {(100, 200), (102, 202)}
+
+
+def test_session_window_stream_matches_batch(spark, events_stream, tmp_path):
+    """Native session_window on a real stream (watermark + complete
+    mode) produces the same sessions as the batch run."""
+    from seatunnel_spark.streaming import session_window_agg
+
+    static, stream = events_stream
+    spec = dict(ts_col="ts", gap="30 minutes", group_cols=["user_id"],
+                aggs={"n": "count(1)", "sv": "round(sum(value), 2)"})
+    batches = _run_batches(
+        spark, session_window_agg(stream, watermark="2 hours", **spec),
+        tmp_path, mode="complete")
+    got = batches[-1]
+    expected = session_window_agg(static, **spec).collect()
+    assert len(got) == len(expected) > 0
+    assert {tuple(r) for r in got} == {tuple(r) for r in expected}
+    # dynamic windows: gap-separated events really split sessions
+    sessions = [r for r in expected if r["user_id"] == expected[0]["user_id"]]
+    assert all(r["session_end"] > r["session_start"] for r in sessions)
