@@ -149,7 +149,7 @@ def iris_create_table(
         if c.comment:
             line += f" %Description '{c.comment}'"
         lines.append(line)
-    index_sql = ""
+    index_sqls = []
     if create_index:
         if primary_key:
             cols = ", ".join(f'"{k}"' for k in primary_key)
@@ -159,11 +159,12 @@ def iris_create_table(
             lines.append(f"UNIQUE ({q})")
         for name, cols in index_keys or []:
             q = ", ".join(f'"{c}"' for c in cols)
-            index_sql = f"CREATE INDEX {table}_{name} ON {tid}({q});"
+            index_sqls.append(f"CREATE INDEX {table}_{name} ON {tid}({q});")
     head = f"CREATE TABLE {tid} (\n"
     if table_comment:
         head += f" %Description '{table_comment}',\n"
-    return head + ",\n".join(lines) + "\n);" + "\n" + index_sql
+    return head + ",\n".join(lines) + "\n);" + "\n" \
+        + "\n".join(index_sqls)
 
 
 def xugu_create_table(

@@ -50,6 +50,24 @@ def _jvm_driver_available(spark, driver) -> bool:
 CHANGELOG_META = (ROW_KIND_COL, TABLE_ID_COL, "__offset", "__event_ts")
 
 
+def _probe_sql(fam: str, table: str) -> str:
+    """Zero-row existence/schema probe in the family's LIMIT dialect
+    (shared by schema-sync, SaveMode exists(), and data checks)."""
+    if fam == "mssql":
+        return f"SELECT TOP 0 * FROM {table}"
+    if fam in ("pg", "drda"):  # db2 has no LIMIT
+        return f"SELECT * FROM {table} WHERE 1=0"
+    return f"SELECT * FROM {table} LIMIT 0"
+
+
+def _limit1_sql(fam: str, table: str) -> str:
+    if fam == "mssql":
+        return f"SELECT TOP 1 * FROM {table}"
+    if fam == "drda":
+        return f"SELECT * FROM {table} FETCH FIRST 1 ROWS ONLY"
+    return f"SELECT * FROM {table} LIMIT 1"
+
+
 def _positional_sql(sql: str, columns) -> tuple[str, list[str]]:
     """Named `:param` placeholders -> '?' plus their bind order; plain
     '?' statements bind the given column order."""
@@ -220,15 +238,6 @@ class JdbcSink(Sink):
         props = {"user": user, "password": password}
         if self.opt("driver"):
             props["driver"] = self.opt("driver")
-        if (self.opt("schema_save_mode") or self.opt("data_save_mode")) \
-                and fam and not _jvm_driver_available(
-                    df.sparkSession, self.opt("driver")):
-            # conf-declared SaveMode semantics over the stdlib wire
-            # clients (the reference's DefaultSaveModeHandler: schema
-            # RECREATE/CREATE-IF-MISSING/ERROR-IF-MISSING × data
-            # DROP/APPEND/ERROR/CUSTOM — jdbc_sap_hana confs declare
-            # RECREATE_SCHEMA + DROP_DATA)
-            self._wire_save_mode(df, url, table, user, password)
         df = df.drop(*[c for c in (TABLE_ID_COL,) if c in df.columns])
         keys = self.opt("primary_keys")
         if keys and any("${primary_key}" in str(k) for k in keys):
@@ -240,6 +249,18 @@ class JdbcSink(Sink):
             keys = keys or None
         if not keys:
             keys = getattr(self, "source_keys", None)
+        if (self.opt("schema_save_mode") or self.opt("data_save_mode")) \
+                and fam and not _jvm_driver_available(
+                    df.sparkSession, self.opt("driver")):
+            # conf-declared SaveMode semantics over the stdlib wire
+            # clients (the reference's DefaultSaveModeHandler: schema
+            # RECREATE/CREATE-IF-MISSING/ERROR-IF-MISSING × data
+            # DROP/APPEND/ERROR/CUSTOM — jdbc_sap_hana confs declare
+            # RECREATE_SCHEMA + DROP_DATA). Runs AFTER key resolution
+            # so the generated PRIMARY KEY uses resolved/discovered
+            # keys, never the raw ${primary_key} placeholder.
+            self._wire_save_mode(df, url, table, user, password,
+                                 [str(k) for k in (keys or [])])
         if keys and ROW_KIND_COL in df.columns:
             # CDC schema evolution to the sink table
             # (docs/en/concept/schema-evolution.md sink matrix: the
@@ -329,9 +350,7 @@ class JdbcSink(Sink):
         except Exception:  # noqa: BLE001 - no server/auth: nothing to sync
             return
         try:
-            probe = (f"SELECT TOP 0 * FROM {table}"
-                     if wire_family(url) == "mssql"
-                     else f"SELECT * FROM {table} LIMIT 0")
+            probe = _probe_sql(wire_family(url), table)
             try:
                 cols, _, _ = ex.query(probe)
             except (ConnectionError, OSError):
@@ -414,13 +433,15 @@ class JdbcSink(Sink):
             self._DSL_TO_SQL.get(dsl, "VARCHAR(255)")
 
     def _wire_save_mode(self, df: DataFrame, url: str, table: str,
-                        user: str, password: str) -> None:
+                        user: str, password: str,
+                        keys: list[str]) -> None:
         """schema_save_mode × data_save_mode over a wire client — the
         reference's DefaultSaveModeHandler.java contract: schema
         RECREATE_SCHEMA (drop + create), CREATE_SCHEMA_WHEN_NOT_EXIST,
         ERROR_WHEN_SCHEMA_NOT_EXIST, IGNORE; data DROP_DATA (truncate),
         APPEND_DATA, ERROR_WHEN_DATA_EXISTS, CUSTOM_PROCESSING
-        (custom_sql)."""
+        (custom_sql). `keys` are the RESOLVED primary keys
+        (placeholder substitution + source-key discovery applied)."""
         from seatunnel_spark.jdbc_dialects import dialect_for
         from seatunnel_spark.sql_exec import WireExecutor, wire_family
 
@@ -430,16 +451,14 @@ class JdbcSink(Sink):
         fam = wire_family(url)
         dialect = dialect_for(url, self.opt("compatible_mode"))
         meta = {ROW_KIND_COL, TABLE_ID_COL, "__offset", "__event_ts"}
+        tid = dialect.table_identifier(table)
         ex = WireExecutor(url, user, password)
         try:
             def exists() -> bool:
-                probe = (f"SELECT TOP 0 * FROM {table}"
-                         if fam == "mssql"
-                         else f"SELECT * FROM {table} WHERE 1=0"
-                         if fam in ("pg", "drda")
-                         else f"SELECT * FROM {table} LIMIT 0")
+                # probe the QUOTED identifier DDL addresses (unquoted
+                # names case-fold differently on pg-family servers)
                 try:
-                    ex.query(probe)
+                    ex.query(_probe_sql(fam, tid))
                     return True
                 except (ConnectionError, OSError):
                     raise
@@ -449,8 +468,6 @@ class JdbcSink(Sink):
             from seatunnel_spark.plans.ddl_builders import \
                 generic_create_table
 
-            keys = [str(k) for k in (self.opt("primary_keys") or [])]
-            tid = dialect.table_identifier(table)
             create = generic_create_table(
                 tid,
                 [(f.name, self._dsl_sql_type(f.dataType.simpleString()))
@@ -472,12 +489,7 @@ class JdbcSink(Sink):
                 # a freshly recreated table is already empty
                 ex.execute(f"TRUNCATE TABLE {tid}")
             elif dsm == "ERROR_WHEN_DATA_EXISTS":
-                _, _, rows = ex.query(
-                    f"SELECT * FROM {tid} LIMIT 1"
-                    if fam not in ("mssql", "pg", "drda")
-                    else f"SELECT TOP 1 * FROM {tid}" if fam == "mssql"
-                    else f"SELECT * FROM {tid} FETCH FIRST 1 ROWS ONLY"
-                    if fam == "drda" else f"SELECT * FROM {tid} LIMIT 1")
+                _, _, rows = ex.query(_limit1_sql(fam, tid))
                 if rows:
                     raise RuntimeError(
                         f"sink table {table} already has data "

@@ -89,7 +89,9 @@ class SnowflakeRestClient:
 
     @staticmethod
     def _account_of(url: str) -> str:
-        host = url.split("//", 1)[1].split("/")[0]
+        # strip query params too: host?db=X (no path slash) must not
+        # leak into the account name
+        host = url.split("//", 1)[1].split("/")[0].split("?")[0]
         return host.split(".")[0]
 
     def _post(self, path: str, payload: dict,

@@ -558,11 +558,15 @@ class CdcReplaySource(Source):
         try:
             # watermark and snapshot must be mutually consistent
             # (Debezium SqlServerSnapshotChangeEventSource: read
-            # max_lsn INSIDE a SNAPSHOT-isolation transaction, then
+            # max_lsn INSIDE an isolation-pinned transaction, then
             # select within the same transaction) — a watermark taken
             # outside would double-apply changes committed between the
-            # two statements
-            cl.execute("SET TRANSACTION ISOLATION LEVEL SNAPSHOT")
+            # two statements. REPEATABLE READ, not SNAPSHOT: snapshot
+            # isolation requires ALLOW_SNAPSHOT_ISOLATION=ON (off by
+            # default), which is why Debezium's
+            # snapshot.isolation.mode also defaults to repeatable_read
+            cl.execute(
+                "SET TRANSACTION ISOLATION LEVEL REPEATABLE READ")
             cl.execute("BEGIN TRANSACTION")
             _, _, wm = cl.query("SELECT sys.fn_cdc_get_max_lsn() AS max_lsn")
             watermark_lsn = bytes(wm[0][0] or b"\x00" * 10)

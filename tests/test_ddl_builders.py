@@ -170,3 +170,12 @@ def test_generic_create_table():
                                primary_key=["a"])
     assert sql == ('CREATE TABLE "S"."T" ("a" INT, "b" VARCHAR(255), '
                    'PRIMARY KEY ("a"))')
+
+
+def test_iris_multiple_indexes_all_emitted():
+    cols = [ColumnSpec("a", "int"), ColumnSpec("b", "int"),
+            ColumnSpec("c", "int")]
+    got = iris_create_table("t", cols, index_keys=[("b", ["b"]),
+                                                   ("c", ["c"])])
+    assert 'CREATE INDEX t_b ON "t"("b");' in got
+    assert 'CREATE INDEX t_c ON "t"("c");' in got

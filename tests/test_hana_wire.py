@@ -351,3 +351,37 @@ def test_jdbc_sap_hana_view_and_synonym_conf(spark, monkeypatch):
         assert len(ins) == 10
     finally:
         stop()
+
+
+def test_wire_save_mode_uses_resolved_primary_keys(spark, monkeypatch):
+    """The SaveMode CREATE TABLE must carry the RESOLVED primary key
+    (placeholder substituted from discovered source keys), never the
+    raw ${primary_key} string, and probes the quoted identifier."""
+    from seatunnel_spark.sinks.jdbc import JdbcSink
+
+    srv, port, stop = start_mini_hana("SYSTEM", "pw")
+    monkeypatch.setenv("SEATUNNEL_SPARK_HOST_ALIASES",
+                       f"hana-sm=tcp://127.0.0.1:{port}")
+    try:
+        sink = JdbcSink({
+            "url": "jdbc:sap://hana-sm:39017",
+            "user": "SYSTEM", "password": "pw",
+            "table": "TEST.PK_SINK",
+            "generate_sink_sql": True,
+            "schema_save_mode": "CREATE_SCHEMA_WHEN_NOT_EXIST",
+            "primary_keys": ["${primary_key}"],
+        })
+        sink.plugin_name = "Jdbc"
+        sink.source_keys = ["id"]
+        df = spark.createDataFrame([(1, "x")], "id int, v string")
+        sink.write(df)
+        creates = [s for s in srv.statements
+                   if s.upper().startswith("CREATE TABLE")]
+        assert creates, srv.statements
+        assert 'PRIMARY KEY ("id")' in creates[0]
+        assert "${primary_key}" not in creates[0]
+        # probe used the quoted identifier form
+        assert any('"TEST"."PK_SINK"' in s for s in srv.statements
+                   if s.upper().startswith("SELECT"))
+    finally:
+        stop()

@@ -168,10 +168,12 @@ def test_tds_auth_failure_fails_job(spark, live_sqlserver):
 
 def test_snapshot_and_watermark_share_a_transaction(spark,
                                                     live_sqlserver):
-    """The max_lsn watermark is read INSIDE the same SNAPSHOT-isolation
+    """The max_lsn watermark is read INSIDE the same REPEATABLE-READ
     transaction as the snapshot SELECT (Debezium's
-    SqlServerSnapshotChangeEventSource contract) — a watermark taken
-    outside would double-apply changes committed in between."""
+    SqlServerSnapshotChangeEventSource contract; repeatable_read is
+    its default because SNAPSHOT isolation needs a non-default
+    database option) — a watermark taken outside would double-apply
+    changes committed in between."""
     srv, _ = live_sqlserver
     src = CdcReplaySource({
         "base-url": "jdbc:sqlserver://sqlserver-host:1433;"
@@ -192,7 +194,8 @@ def test_snapshot_and_watermark_share_a_transaction(spark,
     snap = next(i for i, s in enumerate(stmts)
                 if "FROM [COLUMN_TYPE_TEST].[DBO].[FULL_TYPES]" in s)
     assert begin < wm < snap < commit
-    assert any(s.startswith("SET TRANSACTION ISOLATION LEVEL SNAPSHOT")
+    assert any(s.startswith("SET TRANSACTION ISOLATION LEVEL "
+                            "REPEATABLE READ")
                for s in stmts)
 
 
