@@ -928,6 +928,95 @@ def sim_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML cleaning (dataops/text.py:html_clean): wrap each doc in a
+    synthetic page (script/style blocks, tags, entities incl. the
+    double-decode trap &amp;lt;) then strip it — a zero-shuffle
+    regexp_replace chain; the oracle replays the same RE2-safe rules."""
+    from seatunnel_spark.dataops.text import html_clean
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wrapped = d.withColumn(
+        "text",
+        F.concat(
+            F.lit('<html><head><style media="all">p{color:red}</style>'
+                  '</head><body><p class="doc">'),
+            F.col("text"),
+            F.lit('</p><script type="text/javascript">var x = 1 < 2;'
+                  '</script><br/>&amp;lt; &quot;done&quot;</body></html>'),
+        ),
+    )
+    out = html_clean(wrapped)
+    return out.select(
+        "doc_id",
+        F.length("clean_text").alias("clean_len"),
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage stats (dataops/dedup.py:passage_dup_stats):
+    chunk-granular exact-substring dedup (Lee et al. 2022) — chunks
+    shuffle as md5 digests with a packed (doc,pos) ordinal, never as
+    text."""
+    from seatunnel_spark.dataops.dedup import passage_dup_stats
+
+    return passage_dup_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", chunk_words=8)
+
+
+def sample_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle (dataops/sampling.py:
+    global_shuffle): (shard, pos) training-order address as a pure
+    function of (doc_id, seed); each shard ranks independently."""
+    from seatunnel_spark.dataops.sampling import global_shuffle
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return global_shuffle(d, "doc_id", seed=7, num_shards=8)
+
+
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (dataops/embeddings.py:
+    quantize_int8 + dequant_error): symmetric per-vector codes with
+    the dequant scale and reconstruction MSE — one codegen'd
+    projection, no shuffle."""
+    from seatunnel_spark.dataops.embeddings import dequant_error, quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = dequant_error(quantize_int8(e))
+    qc = F.col("q")
+    return q.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale_r"),
+        F.aggregate(qc, F.lit(0).cast("long"),
+                    lambda a, b: a + b).alias("q_sum"),
+        F.size(F.filter(qc, lambda v: v != 0)).alias("q_nonzero"),
+        F.round(F.col("mse"), 9).alias("mse_r"),
+    )
+
+
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (dataops/embeddings.py:kmeans_fit/
+    kmeans_assign): deterministic init (k lowest ids), rounded-
+    distance argmin with lowest-index tiebreak, rounded per-dim mean
+    updates — the DuckDB oracle replays both iterations exactly.
+    Centroids ride the plan as broadcast literals; each iteration
+    shuffles only k×dim map-side-combined partial means."""
+    from seatunnel_spark.dataops.embeddings import kmeans_assign, kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=8, iters=2, round_to=6)
+    assigned = kmeans_assign(e, cents, dist_col="__d")
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("sample_id"),
+            F.round(F.avg(F.sqrt(F.col("__d"))), 4).alias("avg_dist"),
+        )
+    )
+
+
 # ===========================================================================
 # Rows-only suite: genuinely non-SQL-expressible ops (python-side hashing,
 # model inference, codecs) — no oracle entry; the driver records the
@@ -1387,6 +1476,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_av_metadata": mm_av_metadata,
         "mm_png_features": mm_png_features,
         "mm_frame_sample": mm_frame_sample,
+        "text_html_clean": text_html_clean,
+        "dedup_passages": dedup_passages,
+        "sample_shuffle": sample_shuffle,
+        "emb_quantize": emb_quantize,
+        "emb_kmeans": emb_kmeans,
         # rows-only (no SQL oracle): model inference is inherently not
         # SQL-expressible — these two stay rows-only by nature.
         "t_llm": t_llm,
@@ -1430,6 +1524,65 @@ def _ivf_scores_sql() -> str:
             f"{{'s': list_dot_product(emb, {lit}) / (nrm * {cn}), 'i': {i}}}"
         )
     return "[" + ", ".join(structs) + "]"
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
+    """Unrolled Lloyd's iterations replaying kmeans_fit/kmeans_assign
+    (dataops/embeddings.py) exactly: init = k lowest-id vectors,
+    assignment = round(dist²,6) argmin with lowest-index tiebreak,
+    update = per-dim avg rounded to 6 (empty clusters keep their
+    previous centroid via the LEFT JOIN coalesce)."""
+
+    def dist_cte(tag: str, cents: str) -> str:
+        return f"""
+      d{tag} AS (
+        SELECT v.vec_id, v.x, c.ci,
+               round(list_sum(list_transform(
+                   generate_series(1, len(v.x)),
+                   i -> (v.x[i] - c.c[i]) * (v.x[i] - c.c[i]))), 6) AS d
+        FROM v, {cents} c
+      ),
+      a{tag} AS (
+        SELECT vec_id, x, ci, d FROM (
+          SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d, ci) AS rn
+          FROM d{tag})
+        WHERE rn = 1
+      )"""
+
+    parts = [f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+      c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, x AS c
+        FROM (SELECT vec_id, x FROM v ORDER BY vec_id LIMIT {k})
+      )"""]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append("," + dist_cte(str(it), prev))
+        parts.append(f""",
+      m{it} AS (
+        SELECT ci, generate_subscripts(x, 1) AS dd, unnest(x) AS val
+        FROM a{it}
+      ),
+      u{it} AS (
+        SELECT ci, list(m ORDER BY dd) AS c FROM (
+          SELECT ci, dd, round(avg(val), 6) AS m
+          FROM m{it} GROUP BY ci, dd)
+        GROUP BY ci
+      ),
+      c{it} AS (
+        SELECT p.ci, coalesce(u.c, p.c) AS c
+        FROM {prev} p LEFT JOIN u{it} u ON p.ci = u.ci
+      )""")
+        prev = f"c{it}"
+    parts.append("," + dist_cte("f", prev))
+    parts.append("""
+    SELECT ci AS cluster, count(*) AS n_members,
+           min(vec_id) AS sample_id,
+           round(avg(sqrt(d)), 4) AS avg_dist
+    FROM af GROUP BY ci
+    """)
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2503,4 +2656,112 @@ def oracle_sql() -> dict[str, str]:
             FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id
             WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3
         """,
+        # same RE2-safe regexp chain as html_clean (dataops/text.py):
+        # script/style blocks, then tags, then entities (&amp; LAST so
+        # &amp;lt; can't double-decode), then whitespace collapse.
+        "text_html_clean": r"""
+            WITH wrapped AS (
+              SELECT doc_id,
+                     '<html><head><style media="all">p{color:red}</style>'
+                     || '</head><body><p class="doc">' || text
+                     || '</p><script type="text/javascript">var x = 1 < 2;'
+                     || '</script><br/>&amp;lt; &quot;done&quot;'
+                     || '</body></html>' AS t
+              FROM documents
+            ), stripped AS (
+              SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(t,
+                     '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+                     '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+                     '(?s)<[^>]+>', ' ', 'g') AS t
+              FROM wrapped
+            ), decoded AS (
+              SELECT doc_id,
+                 replace(replace(replace(replace(replace(replace(t,
+                     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                     '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+              FROM stripped
+            )
+            SELECT doc_id,
+                   length(trim(regexp_replace(t, '\s+', ' ', 'g')))
+                     AS clean_len,
+                   md5(trim(regexp_replace(t, '\s+', ' ', 'g')))
+                     AS clean_md5
+            FROM decoded
+        """,
+        # chunk-granular exact-substring dedup: 8-word chunks, first
+        # owner = min packed (doc_id*1e6 + pos) ordinal per md5(chunk)
+        # — replays passage_dup_stats (dataops/dedup.py) exactly.
+        "dedup_passages": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents
+            ), ch AS (
+              SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(ws[(i-1)*8+1 : i*8], ' ')) AS k
+              FROM w, unnest(generate_series(
+                       1, cast(ceil(len(ws) / 8.0) AS BIGINT))) AS t(i)
+            ), f AS (
+              SELECT doc_id, pos,
+                     doc_id * 1000000 + pos AS ord,
+                     min(doc_id * 1000000 + pos)
+                       OVER (PARTITION BY k) AS first_ord
+              FROM ch
+            )
+            SELECT doc_id, count(*) AS n_chunks,
+                   count(*) FILTER (WHERE ord <> first_ord) AS n_dup_chunks,
+                   round(count(*) FILTER (WHERE ord <> first_ord)
+                         * 1.0 / count(*), 4) AS dup_frac
+            FROM f GROUP BY doc_id
+        """,
+        # deterministic global shuffle: shard = first-8-hex of
+        # md5(id:seed) mod 8; pos = rank within shard by full digest
+        # (global_shuffle, dataops/sampling.py; seed 7).
+        "sample_shuffle": """
+            WITH d AS (
+              SELECT doc_id,
+                     md5(doc_id::VARCHAR || ':7') AS k
+              FROM documents
+            ), s AS (
+              SELECT doc_id, k,
+                     ('0x' || substr(k, 1, 8))::BIGINT % 8 AS shard
+              FROM d
+            )
+            SELECT doc_id, shard,
+                   row_number() OVER (
+                     PARTITION BY shard ORDER BY k, doc_id) AS pos
+            FROM s
+        """,
+        # symmetric int8 quantization + reconstruction MSE
+        # (quantize_int8/dequant_error, dataops/embeddings.py);
+        # round() is half-away-from-zero in BOTH engines (Java
+        # HALF_UP == DuckDB double round), so codes match exactly.
+        "emb_quantize": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+            ), m AS (
+              SELECT vec_id, x,
+                     list_max(list_transform(x, v -> abs(v))) AS maxabs
+              FROM e
+            ), q AS (
+              SELECT vec_id, x, maxabs,
+                     list_transform(x, v -> cast(round(
+                       v * 127.0 / (CASE WHEN maxabs = 0 THEN 1.0
+                                         ELSE maxabs END)) AS INTEGER))
+                       AS qv
+              FROM m
+            )
+            SELECT vec_id,
+                   round(maxabs, 6) AS scale_r,
+                   list_sum(qv) AS q_sum,
+                   len(list_filter(qv, v -> v <> 0)) AS q_nonzero,
+                   round(list_sum(list_transform(
+                       generate_series(1, len(x)),
+                       i -> (x[i] - qv[i] * maxabs / 127.0)
+                            * (x[i] - qv[i] * maxabs / 127.0)))
+                     / len(x), 9) AS mse_r
+            FROM q
+        """,
+        "emb_kmeans": _kmeans_oracle_sql(k=8, iters=2),
     }

@@ -33,6 +33,15 @@ from seatunnel_spark.dataops.text import (
     quality_signals,
     lang_id,
     fingerprint,
+    html_clean,
+)
+from seatunnel_spark.dataops.dedup import passage_dup_stats
+from seatunnel_spark.dataops.sampling import global_shuffle
+from seatunnel_spark.dataops.embeddings import (
+    quantize_int8,
+    dequant_error,
+    kmeans_fit,
+    kmeans_assign,
 )
 
 __all__ = [
@@ -43,4 +52,6 @@ __all__ = [
     "ivf_topk", "train_ivf_centroids", "salted_join",
     "write_ivf_index", "search_ivf_index",
     "token_count", "quality_signals", "lang_id", "fingerprint",
+    "html_clean", "passage_dup_stats", "global_shuffle",
+    "quantize_int8", "dequant_error", "kmeans_fit", "kmeans_assign",
 ]

@@ -640,3 +640,52 @@ def semantic_dedup(
         .select("id", "cell",
                 F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"))
     )
+
+
+# --------------------------------------------------------------------------
+# passage-level exact dedup (Lee et al. 2022-style, chunk granularity)
+# --------------------------------------------------------------------------
+
+def passage_dup_stats(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      chunk_words: int = 8) -> DataFrame:
+    """Corpus-wide repeated-passage detection: split every doc into
+    fixed `chunk_words`-word chunks, find each distinct chunk's FIRST
+    occurrence (lowest (doc, position)), and report per-doc how much
+    of the doc is passage-duplicated elsewhere — the chunk-granular
+    form of exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better").
+
+    -> (id, n_chunks, n_dup_chunks, dup_frac).
+
+    100 TB design: chunks shuffle as (md5 digest, owner-ordinal) pairs
+    — never the chunk text — keyed by the digest, so the first-owner
+    window and the per-doc rollup are one digest shuffle + one id
+    shuffle, both map-side reducible. The owner ordinal packs
+    (doc_id, pos) into one bigint so the min is a plain scalar agg
+    (cross-engine total order without struct-compare semantics).
+    """
+    from pyspark.sql import Window
+
+    cw = int(chunk_words)
+    chunks = F.expr(
+        f"transform(sequence(0, cast(ceil(size(__ws) / {cw}.0) as int) - 1),"
+        f" i -> array_join(slice(__ws, i * {cw} + 1, {cw}), ' '))")
+    exploded = (
+        df.select(F.col(id_col).alias("__id"),
+                  F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+                  .alias("__ws"))
+        .select("__id", F.posexplode(chunks).alias("__pos", "__chunk"))
+        .select("__id", "__pos", F.md5(F.col("__chunk")).alias("__k"))
+    )
+    ordinal = F.col("__id") * F.lit(1_000_000) + F.col("__pos")
+    first = F.min(ordinal).over(Window.partitionBy("__k"))
+    flagged = exploded.withColumn(
+        "__dup", (ordinal != first).cast("int"))
+    return (
+        flagged.groupBy(F.col("__id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_chunks"),
+             F.sum("__dup").alias("n_dup_chunks"))
+        .withColumn("dup_frac",
+                    F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4))
+    )

@@ -77,5 +77,35 @@ def domain_rebalance(df: DataFrame, domain_col: str = "source",
             .drop("keep_buckets"))
 
 
+def global_shuffle(df: DataFrame, id_col: str = "doc_id",
+                   seed: int = 42, num_shards: int = 8) -> DataFrame:
+    """Deterministic global shuffle for training-order randomization:
+    every row gets a (shard, pos) address that is a pure function of
+    (id, seed) — the same corpus shuffles identically on any cluster
+    layout, and changing the seed reshuffles everything.
+
+    shard = first-8-hex-digits of md5(id:seed) mod num_shards (uniform);
+    pos = rank within the shard by the full digest. Writers emit one
+    file per shard; trainers read shards in order.
+
+    100 TB design: the shard assignment is a pure projection; the only
+    shuffle is the per-shard ranking window — each shard sorts
+    INDEPENDENTLY (partitionBy shard), so the sort is num_shards-way
+    parallel and nothing funnels through one task. With num_shards
+    sized to the cluster (e.g. 10k shards for 100 TB) each shard's
+    sort is a few GB — never a global single-partition ORDER BY.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                            F.lit(str(int(seed)))))
+    shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint")
+             % int(num_shards))
+    out = df.withColumns({"__key": key, "shard": shard})
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return (out.withColumn("pos", F.row_number().over(w))
+            .drop("__key"))
+
+
 __all__ = ["hash_bucket", "split_assign", "stratified_sample",
-           "domain_rebalance"]
+           "domain_rebalance", "global_shuffle"]

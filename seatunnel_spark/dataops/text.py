@@ -162,6 +162,33 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
 
 
 # --------------------------------------------------------------------------
+# HTML / markup cleaning
+# --------------------------------------------------------------------------
+
+def html_clean(df: DataFrame, text_col: str = "text",
+               out_col: str = "clean_text") -> DataFrame:
+    """Strip markup from crawled HTML: drop <script>/<style> blocks
+    wholesale, replace remaining tags with spaces, decode the common
+    entities, collapse whitespace.
+
+    Pure regexp_replace chain — one codegen'd projection, runs at scan
+    speed with zero shuffles (the 100 TB shape for a cleaning pass).
+    Patterns avoid backreferences/lookaround so the SAME rules replay
+    in RE2 engines (DuckDB/Go) for downstream corpus verification;
+    `&amp;` decodes LAST so `&amp;lt;` can't double-decode.
+    """
+    t = F.col(text_col)
+    for tag in ("script", "style"):
+        t = F.regexp_replace(t, rf"(?is)<{tag}[^>]*>.*?</{tag}\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.withColumn(out_col, t)
+
+
+# --------------------------------------------------------------------------
 # repetition signals (Gopher-style) + composite quality filter
 # --------------------------------------------------------------------------
 

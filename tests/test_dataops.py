@@ -918,3 +918,110 @@ def test_corpus_overlap_matches_bruteforce(spark):
     got = {(r["source_a"], r["source_b"]): r["shared_shingles"]
            for r in corpus_overlap(df, "source", "text", k=3).collect()}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions: html cleaning, passage dedup, global shuffle,
+# embedding quantization, distributed k-means
+# ---------------------------------------------------------------------------
+
+def test_html_clean_strips_and_decodes(spark):
+    from seatunnel_spark.dataops.text import html_clean
+
+    df = spark.createDataFrame(
+        [(1, '<p class="x">a &amp;lt; b</p>'
+             '<script>var s = "<p>";</script>'
+             '<style>p{}</style> ok &quot;q&quot;')],
+        "doc_id int, text string")
+    out = html_clean(df).collect()[0]["clean_text"]
+    # &amp;lt; must decode to the LITERAL text "&lt;" (no double decode);
+    # script/style bodies vanish entirely, tags become spaces.
+    assert out == 'a &lt; b ok "q"'
+
+
+def test_passage_dup_stats_flags_repeated_chunks(spark):
+    from seatunnel_spark.dataops.dedup import passage_dup_stats
+
+    a = " ".join(f"w{i}" for i in range(8))
+    b = " ".join(f"x{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, f"{a} {b}"), (2, a)], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in passage_dup_stats(df).collect()}
+    # doc 1 owns both chunks (lowest (doc,pos) wins); doc 2's single
+    # chunk is a repeat of doc 1's first chunk.
+    assert (rows[1]["n_chunks"], rows[1]["n_dup_chunks"]) == (2, 0)
+    assert (rows[2]["n_chunks"], rows[2]["n_dup_chunks"]) == (1, 1)
+    assert rows[2]["dup_frac"] == 1.0
+
+
+def test_passage_dup_short_doc_single_chunk(spark):
+    from seatunnel_spark.dataops.dedup import passage_dup_stats
+
+    df = spark.createDataFrame([(7, "one two three")],
+                               "doc_id long, text string")
+    r = passage_dup_stats(df).collect()[0]
+    assert (r["n_chunks"], r["n_dup_chunks"]) == (1, 0)
+
+
+def test_global_shuffle_deterministic_dense_and_seeded(spark):
+    from seatunnel_spark.dataops.sampling import global_shuffle
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    o1 = sorted(map(tuple, global_shuffle(df, "doc_id", 3, 4).collect()))
+    o2 = sorted(map(tuple, global_shuffle(df, "doc_id", 3, 4).collect()))
+    assert o1 == o2  # pure function of (id, seed)
+    by_shard = {}
+    for _id, shard, pos in o1:
+        by_shard.setdefault(shard, []).append(pos)
+    assert set(by_shard) <= set(range(4))
+    for ps in by_shard.values():  # dense rank 1..n inside every shard
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    o3 = sorted(map(tuple, global_shuffle(df, "doc_id", 4, 4).collect()))
+    assert o1 != o3  # a new seed is a new permutation
+
+
+def test_quantize_int8_codes_scale_and_error(spark):
+    from seatunnel_spark.dataops.embeddings import dequant_error, quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in dequant_error(quantize_int8(df)).collect()}
+    # 0.5*127 = 63.5 rounds HALF_UP to 64 — the mode the oracle relies on
+    assert out[1]["q"] == [64, -127, 32]
+    assert out[1]["scale"] == 1.0
+    step = out[1]["scale"] / 127.0
+    assert 0.0 < out[1]["mse"] <= step * step / 4 + 1e-12
+    # all-zero vector: guarded divide -> zero codes, zero error
+    assert out[2]["q"] == [0, 0, 0]
+    assert out[2]["scale"] == 0.0 and out[2]["mse"] == 0.0
+
+
+def test_kmeans_separates_blobs_and_is_deterministic(spark):
+    from seatunnel_spark.dataops.embeddings import kmeans_assign, kmeans_fit
+
+    rows = []
+    for i in range(10):  # ids 0/1 seed one blob each (init = lowest ids)
+        rows.append((2 * i, [1.0 + 0.01 * i, 0.0]))
+        rows.append((2 * i + 1, [0.0, 1.0 + 0.01 * i]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=2, iters=3)
+    assert cents == kmeans_fit(df, k=2, iters=3)  # bit-deterministic
+    got = {r["vec_id"]: r["cluster"]
+           for r in kmeans_assign(df, cents).collect()}
+    blob_a = {got[i] for i in range(0, 20, 2)}
+    blob_b = {got[i] for i in range(1, 20, 2)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    from seatunnel_spark.dataops.embeddings import kmeans_fit
+
+    # ids 0 and 2 are identical; the distance tie resolves to the
+    # LOWEST centroid index, so cluster 2 goes empty and must keep its
+    # init centroid instead of crashing or NaN-ing.
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [5.0, 5.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=3, iters=2)
+    assert cents[2] == [0.0, 0.0]

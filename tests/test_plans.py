@@ -198,3 +198,42 @@ def test_moving_avg_window_over_aggregate(plans):
     assert "Window" in p and "partial_count" in p
     w = p.index("Window")
     assert "HashAggregate" in p[w:], "window not over the aggregate"
+
+
+def test_emb_quantize_scan_only_no_udf(plans):
+    # quantization is one codegen'd projection: no exchange, no Python
+    p = plans("emb_quantize")
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_html_clean_scan_only(plans):
+    p = plans("text_html_clean")
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_kmeans_assignment_is_literal_projection(plans):
+    # centroids ride the plan as literals: final assignment + rollup
+    # must have NO join and map-side partial aggregation.
+    p = plans("emb_kmeans")
+    assert "Join" not in p
+    assert "partial_min" in p or "partial_count" in p
+
+
+def test_sample_shuffle_no_global_sort(plans):
+    # ranking is per-shard (partitionBy shard) — a global ORDER BY
+    # would funnel through one partition (SinglePartition exchange).
+    p = plans("sample_shuffle")
+    assert "SinglePartition" not in p
+    assert "windowspecdefinition(shard" in p
+
+
+def test_dedup_passages_shuffles_digests(plans):
+    # the first-owner window partitions on the md5 digest __k; the
+    # chunk text itself must be projected away before any exchange.
+    p = plans("dedup_passages")
+    assert "hashpartitioning(__k" in p
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "__chunk" not in line
