@@ -928,6 +928,24 @@ def sim_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection (dataops/dedup.py:
+    minhash_band_index + incremental_minhash_matches): an 80/20
+    hash-split plays the roles of persisted corpus index and new
+    ingest batch — new docs probe the (band, key) index without any
+    corpus self-join or re-scan."""
+    from seatunnel_spark.dataops.dedup import (
+        incremental_minhash_matches, minhash_band_index)
+    from seatunnel_spark.dataops.sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    existing = d.filter(b < 8000)
+    new = d.filter(b >= 8000)
+    idx = minhash_band_index(existing, "doc_id", "text")
+    return incremental_minhash_matches(new, idx, "doc_id", "text")
+
+
 def text_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML cleaning (dataops/text.py:html_clean): wrap each doc in a
     synthetic page (script/style blocks, tags, entities incl. the
@@ -1477,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_png_features": mm_png_features,
         "mm_frame_sample": mm_frame_sample,
         "text_html_clean": text_html_clean,
+        "dedup_incremental": dedup_incremental,
         "dedup_passages": dedup_passages,
         "sample_shuffle": sample_shuffle,
         "emb_quantize": emb_quantize,
@@ -2655,6 +2674,45 @@ def oracle_sql() -> dict[str, str]:
                      AS hamming
             FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id
             WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3
+        """,
+        # incremental dedup: the same minhash/band construction as
+        # dedup_minhash_pairs, but buckets split 80/20 by the
+        # hash_bucket rule (first-8-hex md5(id) % 10000) into index
+        # vs probe sides; n_bands = distinct agreeing bands.
+        "dedup_incremental": f"""
+            WITH {shingle_cte},
+            sig AS (
+              SELECT doc_id,
+                     min(substr(md5(sh || '#0'),  1, 8)) AS mh_0,
+                     min(substr(md5(sh || '#0'),  9, 8)) AS mh_1,
+                     min(substr(md5(sh || '#0'), 17, 8)) AS mh_2,
+                     min(substr(md5(sh || '#0'), 25, 8)) AS mh_3,
+                     min(substr(md5(sh || '#1'),  1, 8)) AS mh_4,
+                     min(substr(md5(sh || '#1'),  9, 8)) AS mh_5,
+                     min(substr(md5(sh || '#1'), 17, 8)) AS mh_6,
+                     min(substr(md5(sh || '#1'), 25, 8)) AS mh_7
+              FROM shingles GROUP BY doc_id
+            ),
+            split AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 10000 AS hb
+              FROM documents
+            ),
+            buckets AS (
+              SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS key FROM sig
+              UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
+              UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
+              UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig
+            ),
+            nb AS (SELECT b.* FROM buckets b JOIN split s USING (doc_id)
+                   WHERE s.hb >= 8000),
+            eb AS (SELECT b.* FROM buckets b JOIN split s USING (doc_id)
+                   WHERE s.hb < 8000)
+            SELECT n.doc_id AS new_id, e.doc_id AS match_id,
+                   count(DISTINCT n.band) AS n_bands
+            FROM nb n JOIN eb e ON n.band = e.band AND n.key = e.key
+            GROUP BY 1, 2
         """,
         # same RE2-safe regexp chain as html_clean (dataops/text.py):
         # script/style blocks, then tags, then entities (&amp; LAST so

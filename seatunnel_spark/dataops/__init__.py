@@ -35,7 +35,11 @@ from seatunnel_spark.dataops.text import (
     fingerprint,
     html_clean,
 )
-from seatunnel_spark.dataops.dedup import passage_dup_stats
+from seatunnel_spark.dataops.dedup import (
+    incremental_minhash_matches,
+    minhash_band_index,
+    passage_dup_stats,
+)
 from seatunnel_spark.dataops.sampling import global_shuffle
 from seatunnel_spark.dataops.embeddings import (
     quantize_int8,
@@ -53,5 +57,6 @@ __all__ = [
     "write_ivf_index", "search_ivf_index",
     "token_count", "quality_signals", "lang_id", "fingerprint",
     "html_clean", "passage_dup_stats", "global_shuffle",
+    "minhash_band_index", "incremental_minhash_matches",
     "quantize_int8", "dequant_error", "kmeans_fit", "kmeans_assign",
 ]

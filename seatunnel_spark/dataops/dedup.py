@@ -190,22 +190,8 @@ def minhash_lsh_pairs(
     construction; run `exact_dup_groups` first to collapse them, which
     is both cheaper and lossless. `max_bucket=None` disables the cap.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    buckets = minhash_band_index(df, id_col, text_col, num_hashes,
+                                 bands, shingle_k)
     buckets = _cap_buckets(buckets, ["band", "key"], max_bucket)
     # The self-join consumes `buckets` on BOTH sides, and AQE broadcasts
     # one of them — no ReusedExchange, so without a lineage cut the whole
@@ -230,6 +216,79 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return pairs
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band, key) LSH bucket table — the corpus's persistable
+    near-dup index. Write it partitioned by `band` and bucketed by
+    `key` so future probes (incremental_minhash_matches) co-locate
+    without reshuffling the historical corpus; the index is
+    bands× |corpus| tiny rows, not documents."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.explode(band_structs).alias("bk")
+    ).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def incremental_minhash_matches(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """Incremental dedup: which NEW documents near-duplicate the
+    EXISTING corpus, without re-pairing the corpus against itself.
+
+    `index_df` is a previously built minhash_band_index (read back
+    from its persisted, key-bucketed layout at scale). The new batch
+    builds its own (band, key) probes and joins the index — cost is
+    O(|new| + matching buckets), never O(|corpus|²) and never a
+    corpus re-scan. -> (new_id, match_id, n_bands) with n_bands the
+    number of agreeing LSH bands (1..bands; more bands ≈ higher
+    Jaccard confidence).
+
+    100 TB shape: a daily-ingest batch is orders of magnitude smaller
+    than the corpus, so its probe table is broadcast-sized; the join
+    then partition-prunes on `band` and bucket-joins on `key` against
+    the persisted index. The hot-bucket cap guards boilerplate keys
+    on the index side.
+    """
+    probes = minhash_band_index(new_df, id_col, text_col, num_hashes,
+                                bands, shingle_k)
+    idx = _cap_buckets(
+        index_df.select(F.col(id_col).alias("__mid"), "band", "key"),
+        ["band", "key"], max_bucket)
+    return (
+        probes.select(F.col(id_col).alias("new_id"), "band", "key")
+        .join(idx, ["band", "key"])
+        .groupBy("new_id", F.col("__mid").alias("match_id"))
+        .agg(F.count_distinct("band").alias("n_bands"))
+    )
 
 
 # --------------------------------------------------------------------------

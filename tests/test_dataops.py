@@ -1025,3 +1025,24 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
         "vec_id long, embedding array<double>")
     cents = kmeans_fit(df, k=3, iters=2)
     assert cents[2] == [0.0, 0.0]
+
+
+def test_incremental_minhash_probe_matches_only_new_side(spark):
+    from seatunnel_spark.dataops.dedup import (
+        incremental_minhash_matches, minhash_band_index)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    existing = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text entirely here")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, base),                         # exact dup of existing 1
+         (11, "unrelated fresh content with no overlap at all ok")],
+        "doc_id long, text string")
+    idx = minhash_band_index(existing, "doc_id", "text")
+    out = {(r["new_id"], r["match_id"]): r["n_bands"]
+           for r in incremental_minhash_matches(
+               new, idx, "doc_id", "text").collect()}
+    assert out[(10, 1)] == 4        # identical text agrees on ALL bands
+    assert (11, 1) not in out and (11, 2) not in out
+    assert all(k[0] != 10 or k[1] != 2 for k in out)
