@@ -946,6 +946,47 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_matches(new, idx, "doc_id", "text")
 
 
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (dataops/retrieval.py:bm25_topk): three
+    literal queries probe the corpus — query terms and per-term idf
+    broadcast, corpus tokenized once, score rounded before ranking so
+    the DuckDB oracle replays identical rankings."""
+    from seatunnel_spark.dataops.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(0, "spark table scan"), (1, "hash join merge"),
+         (2, "window sort batch")],
+        "query_id int, query_text string")
+    return bm25_topk(docs, queries, k=10)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (dataops/graph.py:pagerank) over the symmetrized
+    customer<->supplier bipartite graph from orders x lineitem — one
+    (dst, contribution) shuffle per iteration; the oracle unrolls both
+    iterations as CTEs (same fixed-iteration replay as emb_kmeans)."""
+    from seatunnel_spark.dataops.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("c"), o.o_custkey).alias("src"),
+        F.concat(F.lit("s"), li.l_suppkey).alias("dst"))
+    edges = j.union(
+        j.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(edges, iters=2)
+
+
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking (dataops/text.py:doc_chunks): overlapping 32-word
+    windows at stride 24 — sequence + posexplode + slice, zero UDF,
+    zero shuffle (plan-tested)."""
+    from seatunnel_spark.dataops.text import doc_chunks
+
+    return doc_chunks(_t(spark, sf_dir, "documents"))
+
+
 def text_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML cleaning (dataops/text.py:html_clean): wrap each doc in a
     synthetic page (script/style blocks, tags, entities incl. the
@@ -1496,6 +1537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": mm_frame_sample,
         "text_html_clean": text_html_clean,
         "dedup_incremental": dedup_incremental,
+        "text_bm25": text_bm25,
+        "q_pagerank": q_pagerank,
+        "text_chunks": text_chunks,
         "dedup_passages": dedup_passages,
         "sample_shuffle": sample_shuffle,
         "emb_quantize": emb_quantize,
@@ -2713,6 +2757,101 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT n.band) AS n_bands
             FROM nb n JOIN eb e ON n.band = e.band AND n.key = e.key
             GROUP BY 1, 2
+        """,
+        # BM25: same whitespace tokenization as the Spark side, Lucene
+        # idf = ln(1 + (N - df + .5)/(df + .5)), k1=1.2 b=0.75, score
+        # rounded to 6 BEFORE ranking, ties on doc_id.
+        "text_bm25": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n,
+                             sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+            q(query_id, query_text) AS (VALUES
+              (0, 'spark table scan'), (1, 'hash join merge'),
+              (2, 'window sort batch')),
+            qt AS (SELECT DISTINCT query_id,
+                          unnest(string_split_regex(trim(lower(query_text)),
+                                                    '\s+')) AS tok
+                   FROM q),
+            dfreq AS (SELECT tok, count(*) AS df FROM tf
+                      WHERE tok IN (SELECT tok FROM qt) GROUP BY 1),
+            hits AS (
+              SELECT qt.query_id, tf.doc_id,
+                     ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                     * (tf.tf * (1.2 + 1))
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       AS contrib
+              FROM tf JOIN qt USING (tok) JOIN dfreq d USING (tok)
+                   JOIN dl USING (doc_id) CROSS JOIN stats s
+            ),
+            scored AS (SELECT query_id, doc_id,
+                              round(sum(contrib), 6) AS score
+                       FROM hits GROUP BY 1, 2)
+            SELECT query_id, doc_id, score, rank
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score DESC, doc_id) AS rank
+                  FROM scored)
+            WHERE rank <= 10
+        """,
+        # PageRank, 2 unrolled iterations over the symmetrized
+        # customer<->supplier graph; ranks rounded to 6 per iteration
+        # exactly like the Spark loop (dataops/graph.py).
+        "q_pagerank": """
+            WITH je AS (SELECT DISTINCT 'c' || o_custkey AS src,
+                               's' || l_suppkey AS dst
+                        FROM lineitem JOIN orders
+                          ON l_orderkey = o_orderkey),
+            edges AS (SELECT src, dst FROM je
+                      UNION SELECT dst, src FROM je),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            n AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+            deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+            r0 AS (SELECT node, 1.0::DOUBLE / n.n AS r
+                   FROM nodes CROSS JOIN n),
+            c1 AS (SELECT e.dst AS node, sum(r0.r / deg.deg) AS s
+                   FROM edges e JOIN deg ON e.src = deg.src
+                        JOIN r0 ON e.src = r0.node
+                   GROUP BY 1),
+            r1 AS (SELECT nodes.node,
+                          round(0.15 / n.n
+                                + 0.85 * coalesce(c1.s, 0), 6) AS r
+                   FROM nodes CROSS JOIN n
+                        LEFT JOIN c1 ON nodes.node = c1.node),
+            c2 AS (SELECT e.dst AS node, sum(r1.r / deg.deg) AS s
+                   FROM edges e JOIN deg ON e.src = deg.src
+                        JOIN r1 ON e.src = r1.node
+                   GROUP BY 1),
+            r2 AS (SELECT nodes.node,
+                          round(0.15 / n.n
+                                + 0.85 * coalesce(c2.s, 0), 6) AS r
+                   FROM nodes CROSS JOIN n
+                        LEFT JOIN c2 ON nodes.node = c2.node)
+            SELECT node, r AS rank FROM r2
+        """,
+        # RAG chunking: 32-word windows at stride 24; DuckDB list
+        # slicing is 1-based inclusive so [start+1 : start+32] is
+        # exactly Spark's slice(w, start+1, 32).
+        "text_chunks": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS w
+              FROM documents
+            ),
+            st AS (SELECT doc_id, w,
+                          unnest(generate_series(0, greatest(len(w) - 1, 0),
+                                                 24)) AS start
+                   FROM words)
+            SELECT doc_id, start // 24 AS chunk_id,
+                   array_to_string(w[start + 1 : start + 32], ' ')
+                     AS chunk_text,
+                   least(32, len(w) - start) AS n_tokens
+            FROM st
         """,
         # same RE2-safe regexp chain as html_clean (dataops/text.py):
         # script/style blocks, then tags, then entities (&amp; LAST so

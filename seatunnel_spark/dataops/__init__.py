@@ -34,7 +34,10 @@ from seatunnel_spark.dataops.text import (
     lang_id,
     fingerprint,
     html_clean,
+    doc_chunks,
 )
+from seatunnel_spark.dataops.retrieval import bm25_topk
+from seatunnel_spark.dataops.graph import pagerank
 from seatunnel_spark.dataops.dedup import (
     incremental_minhash_matches,
     minhash_band_index,
@@ -58,5 +61,6 @@ __all__ = [
     "token_count", "quality_signals", "lang_id", "fingerprint",
     "html_clean", "passage_dup_stats", "global_shuffle",
     "minhash_band_index", "incremental_minhash_matches",
+    "doc_chunks", "bm25_topk", "pagerank",
     "quantize_int8", "dequant_error", "kmeans_fit", "kmeans_assign",
 ]

@@ -375,3 +375,37 @@ def tfidf_keywords(df: DataFrame, id_col: str = "doc_id",
                 F.struct("r", "tok"))).alias("__s"))
             .select(id_col,
                     F.expr("transform(__s, x -> x.tok)").alias("keywords")))
+
+
+def doc_chunks(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", size: int = 32,
+               stride: int = 24) -> DataFrame:
+    """Split documents into overlapping word-window chunks for RAG
+    indexing / context packing -> (id, chunk_id, chunk_text,
+    n_tokens). Chunk i covers words [i*stride, i*stride + size);
+    starts run 0, stride, 2*stride, ... while start < len(words), so
+    every word lands in at least one chunk and consecutive chunks
+    overlap by size - stride words.
+
+    Zero UDF: one sequence() of starts, one posexplode, one slice +
+    array_join per chunk — a single scan with no shuffle at all
+    (chunking is embarrassingly row-parallel; at 100 TB this runs at
+    I/O speed and the output can be written partition-preserving).
+    """
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)), F.lit(stride))
+    return (
+        df.select(F.col(id_col), w.alias("__w"), starts.alias("__s"))
+        .select(id_col, "__w",
+                F.posexplode("__s").alias("chunk_id", "__start"))
+        .select(
+            id_col, "chunk_id",
+            F.array_join(
+                F.slice("__w", F.col("__start") + 1, size), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(size), F.size("__w") - F.col("__start")
+            ).alias("n_tokens"),
+        )
+    )

@@ -1046,3 +1046,57 @@ def test_incremental_minhash_probe_matches_only_new_side(spark):
     assert out[(10, 1)] == 4        # identical text agrees on ALL bands
     assert (11, 1) not in out and (11, 2) not in out
     assert all(k[0] != 10 or k[1] != 2 for k in out)
+
+
+def test_bm25_rare_term_and_length_normalization(spark):
+    from seatunnel_spark.dataops.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana banana banana"),
+         (2, "apple banana"),
+         (3, "cherry cherry cherry cherry cherry cherry"),
+         (4, "apple " + "filler " * 20 + "end")],
+        "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(0, "banana"), (1, "apple")], "query_id int, query_text string")
+    out = bm25_topk(docs, qs, k=10)
+    got = {(r["query_id"], r["rank"]): r["doc_id"] for r in out.collect()}
+    # more occurrences of the query term -> higher rank
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 2
+    # same tf: the SHORTER doc wins on length normalization
+    assert got[(1, 1)] == 2
+    # doc 3 never matches either query
+    assert 3 not in {v for k, v in got.items()}
+
+
+def test_pagerank_one_iteration_hand_check(spark):
+    from seatunnel_spark.dataops.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], "src string, dst string")
+    r = {row["node"]: row["rank"]
+         for row in pagerank(e, iters=1).collect()}
+    # N=3, d=.85: a gets all of b's mass, b and c half of a's each;
+    # c is dangling so total mass leaks below 1.
+    assert r["a"] == round(0.15 / 3 + 0.85 * (1 / 3), 6)
+    assert r["b"] == r["c"] == round(0.15 / 3 + 0.85 * (1 / 6), 6)
+    assert sum(r.values()) < 1.0
+
+
+def test_doc_chunks_overlap_and_tail(spark):
+    from seatunnel_spark.dataops.text import doc_chunks
+
+    words = [f"w{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "just five small words here")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+           for r in doc_chunks(docs).collect()}
+    assert len(out) == 3
+    t0, n0 = out[(1, 0)]
+    t1, n1 = out[(1, 1)]
+    assert n0 == 32 and t0 == " ".join(words[:32])
+    assert n1 == 16 and t1 == " ".join(words[24:])
+    # consecutive chunks overlap by size - stride = 8 words
+    assert t0.split()[24:] == t1.split()[:8]
+    assert out[(2, 0)] == ("just five small words here", 5)

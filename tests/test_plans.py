@@ -237,3 +237,21 @@ def test_dedup_passages_shuffles_digests(plans):
     for line in p.splitlines():
         if "Exchange" in line:
             assert "__chunk" not in line
+
+
+def test_text_chunks_has_no_shuffle(plans):
+    # chunking is row-local: sequence+posexplode+slice must compile to
+    # a scan-project with zero exchanges.
+    assert "Exchange" not in plans("text_chunks")
+
+
+def test_bm25_query_side_broadcast_no_cartesian(plans):
+    p = plans("text_bm25")
+    # query terms + idf table broadcast into the tf join; the 1-row
+    # stats frame rides a broadcast nested loop, never a cartesian.
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_pagerank_no_cartesian(plans):
+    assert "CartesianProduct" not in plans("q_pagerank")
