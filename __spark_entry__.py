@@ -946,6 +946,31 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_matches(new, idx, "doc_id", "text")
 
 
+def dedup_passage_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-dedup APPLY (dataops/dedup.py:passage_dedup_apply):
+    rebuild each doc keeping only corpus-wide first-occurrence chunks;
+    the hash gate covers the reconstructed text via md5. Shuffles
+    carry digests and int arrays — never chunk text."""
+    from seatunnel_spark.dataops.dedup import passage_dedup_apply
+
+    out = passage_dedup_apply(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").alias("clean_len"),
+        "n_chunks", "n_kept")
+
+
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature/alpha domain sampling
+    (dataops/sampling.py:temperature_sample): alpha=0.5 up-weights
+    small sources inside a half-corpus budget; the oracle replays the
+    n^alpha weights, the rounded hash threshold, and the exact md5
+    membership draw."""
+    from seatunnel_spark.dataops.sampling import temperature_sample
+
+    return temperature_sample(_t(spark, sf_dir, "documents"))
+
+
 def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k retrieval (dataops/retrieval.py:bm25_topk): three
     literal queries probe the corpus — query terms and per-term idf
@@ -1540,6 +1565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": text_bm25,
         "q_pagerank": q_pagerank,
         "text_chunks": text_chunks,
+        "dedup_passage_apply": dedup_passage_apply,
+        "sample_temperature": sample_temperature,
         "dedup_passages": dedup_passages,
         "sample_shuffle": sample_shuffle,
         "emb_quantize": emb_quantize,
@@ -2757,6 +2784,67 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT n.band) AS n_bands
             FROM nb n JOIN eb e ON n.band = e.band AND n.key = e.key
             GROUP BY 1, 2
+        """,
+        # passage-dedup APPLY: same chunking/digest/first-ordinal rules
+        # as dedup_passages, then rebuild from kept chunks in position
+        # order (string_agg ORDER BY pos == Spark's ordered array_join).
+        "dedup_passage_apply": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents
+            ), ch AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(ws[(i-1)*8+1 : i*8], ' ') AS chunk
+              FROM w, unnest(generate_series(
+                       1, cast(ceil(len(ws) / 8.0) AS BIGINT))) AS t(i)
+            ), f AS (
+              SELECT doc_id, pos, chunk,
+                     doc_id * 1000000 + pos AS ord,
+                     min(doc_id * 1000000 + pos)
+                       OVER (PARTITION BY md5(chunk)) AS first_ord
+              FROM ch
+            ), agg AS (
+              SELECT doc_id,
+                     string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+                     count(*) AS n_kept
+              FROM f WHERE ord = first_ord GROUP BY doc_id
+            ), nc AS (
+              SELECT doc_id,
+                     cast(ceil(len(ws) / 8.0) AS INT) AS n_chunks
+              FROM w
+            )
+            SELECT nc.doc_id,
+                   md5(coalesce(a.clean_text, '')) AS clean_md5,
+                   length(coalesce(a.clean_text, '')) AS clean_len,
+                   nc.n_chunks, coalesce(a.n_kept, 0) AS n_kept
+            FROM nc LEFT JOIN agg a ON nc.doc_id = a.doc_id
+        """,
+        # temperature sampling: n^0.5 domain weights inside a
+        # half-corpus budget; thr = round(p * 1e6) over the md5 hash
+        # space (hash_bucket, dataops/sampling.py).
+        "sample_temperature": """
+            WITH c AS (
+              SELECT source AS domain, count(*) AS n_docs
+              FROM documents GROUP BY 1
+            ), t AS (
+              SELECT sum(pow(n_docs, 0.5)) AS z, sum(n_docs) AS N FROM c
+            ), p AS (
+              SELECT domain, n_docs,
+                     cast(round(least(1.0,
+                            0.5 * t.N * pow(n_docs, 0.5) / t.z / n_docs)
+                          * 1000000) AS BIGINT) AS thr
+              FROM c CROSS JOIN t
+            ), b AS (
+              SELECT source AS domain,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 1000000 AS hb
+              FROM documents
+            )
+            SELECT p.domain, p.n_docs, p.thr,
+                   count(*) FILTER (WHERE b.hb < p.thr) AS n_sampled
+            FROM b JOIN p USING (domain)
+            GROUP BY 1, 2, 3
         """,
         # BM25: same whitespace tokenization as the Spark side, Lucene
         # idf = ln(1 + (N - df + .5)/(df + .5)), k1=1.2 b=0.75, score

@@ -42,8 +42,9 @@ from seatunnel_spark.dataops.dedup import (
     incremental_minhash_matches,
     minhash_band_index,
     passage_dup_stats,
+    passage_dedup_apply,
 )
-from seatunnel_spark.dataops.sampling import global_shuffle
+from seatunnel_spark.dataops.sampling import global_shuffle, temperature_sample
 from seatunnel_spark.dataops.embeddings import (
     quantize_int8,
     dequant_error,
@@ -62,5 +63,6 @@ __all__ = [
     "html_clean", "passage_dup_stats", "global_shuffle",
     "minhash_band_index", "incremental_minhash_matches",
     "doc_chunks", "bm25_topk", "pagerank",
+    "passage_dedup_apply", "temperature_sample",
     "quantize_int8", "dequant_error", "kmeans_fit", "kmeans_assign",
 ]

@@ -748,3 +748,61 @@ def passage_dup_stats(df: DataFrame, id_col: str = "doc_id",
         .withColumn("dup_frac",
                     F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4))
     )
+
+
+def passage_dedup_apply(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        chunk_words: int = 8) -> DataFrame:
+    """The APPLY step of passage-level exact dedup (Lee et al. 2022):
+    rebuild every document keeping only the chunks whose (doc, pos)
+    is the corpus-wide FIRST occurrence of that chunk's digest —
+    repeated boilerplate passages survive exactly once, in the
+    earliest document that carried them.
+
+    -> (id, clean_text, n_chunks, n_kept). Reassembly normalizes to
+    the chunking's own tokenization (lowercased, single-spaced) — the
+    same canonical form the digests are computed over.
+
+    100 TB shape: the first-occurrence resolution shuffles ONLY
+    (digest, packed-ordinal) pairs — chunk text never rides a
+    shuffle. Kept positions come back as a per-doc int array that
+    joins the source table on id (co-located for free when the corpus
+    is bucketed by id), and the text itself is re-chunked by a pure
+    projection at rebuild time.
+    """
+    cw = int(chunk_words)
+    chunks_expr = (
+        f"transform(sequence(0, cast(ceil(size(__ws) / {cw}.0) as int) - 1),"
+        f" i -> array_join(slice(__ws, i * {cw} + 1, {cw}), ' '))")
+    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    exploded = (
+        df.select(F.col(id_col).alias("__id"), ws.alias("__ws"))
+        .select("__id", F.posexplode(F.expr(chunks_expr))
+                .alias("__pos", "__chunk"))
+        .select("__id", "__pos", F.md5(F.col("__chunk")).alias("__k"))
+    )
+    ordinal = F.col("__id") * F.lit(1_000_000) + F.col("__pos")
+    firsts = (exploded.select("__k", ordinal.alias("__ord"))
+              .groupBy("__k").agg(F.min("__ord").alias("__first")))
+    keep_pos = (
+        exploded.join(firsts, "__k")
+        .filter(ordinal == F.col("__first"))
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list("__pos")).alias("__kp"))
+    )
+    rebuilt = (
+        df.select(F.col(id_col), ws.alias("__ws"))
+        .select(F.col(id_col), F.expr(chunks_expr).alias("__chunks"))
+        .join(keep_pos.withColumnRenamed("__id", id_col), id_col, "left")
+    )
+    kp = F.coalesce(F.col("__kp"), F.expr("cast(array() as array<int>)"))
+    return rebuilt.select(
+        id_col,
+        F.array_join(
+            F.transform(
+                kp, lambda i: F.element_at(F.col("__chunks"), i + 1)
+            ), " "
+        ).alias("clean_text"),
+        F.size("__chunks").alias("n_chunks"),
+        F.size(kp).alias("n_kept"),
+    )

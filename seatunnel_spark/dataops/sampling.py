@@ -107,5 +107,50 @@ def global_shuffle(df: DataFrame, id_col: str = "doc_id",
             .drop("__key"))
 
 
+def temperature_sample(df: DataFrame, domain_col: str = "source",
+                       id_col: str = "doc_id", alpha: float = 0.5,
+                       budget_frac: float = 0.5,
+                       buckets: int = 1_000_000) -> DataFrame:
+    """Temperature (alpha) domain sampling — the standard multilingual
+    /multi-source data-mix rule: domain s gets weight n_s^alpha / Z,
+    so alpha=1 keeps natural proportions, alpha=0 is uniform, and
+    values in between up-weight small domains. The total budget is
+    budget_frac of the corpus; per-domain acceptance probability
+    p_s = min(1, budget * N * w_s / n_s) is materialized as an integer
+    hash threshold so membership is a pure function of the doc id —
+    the same mix reproduces on any cluster layout, and re-runs are
+    incremental-friendly.
+
+    -> (domain, n_docs, thr, n_sampled): the realized plan plus the
+    exact deterministic draw (thr over a `buckets`-sized hash space).
+
+    100 TB shape: one map-side-combined count per domain (a handful of
+    rows, broadcast back), then a pure-projection accept test — no
+    shuffle of the corpus at all beyond the final per-domain count.
+    """
+    c = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs"))
+    tot = F.broadcast(c.agg(
+        F.sum(F.pow("n_docs", float(alpha))).alias("__z"),
+        F.sum("n_docs").alias("__N")))
+    thr = F.round(
+        F.least(
+            F.lit(1.0),
+            float(budget_frac) * F.col("__N")
+            * F.pow("n_docs", float(alpha)) / F.col("__z")
+            / F.col("n_docs"),
+        ) * int(buckets)
+    ).cast("bigint")
+    plan = c.join(tot).select("domain", "n_docs", thr.alias("thr"))
+    b = hash_bucket(F.col(id_col), int(buckets))
+    return (
+        df.select(F.col(domain_col).alias("domain"), b.alias("__b"))
+        .join(F.broadcast(plan), "domain")
+        .groupBy("domain", "n_docs", "thr")
+        .agg(F.sum((F.col("__b") < F.col("thr")).cast("long"))
+             .alias("n_sampled"))
+    )
+
+
 __all__ = ["hash_bucket", "split_assign", "stratified_sample",
-           "domain_rebalance", "global_shuffle"]
+           "domain_rebalance", "global_shuffle", "temperature_sample"]

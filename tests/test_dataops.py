@@ -1100,3 +1100,37 @@ def test_doc_chunks_overlap_and_tail(spark):
     # consecutive chunks overlap by size - stride = 8 words
     assert t0.split()[24:] == t1.split()[:8]
     assert out[(2, 0)] == ("just five small words here", 5)
+
+
+def test_passage_dedup_apply_keeps_first_occurrence_only(spark):
+    from seatunnel_spark.dataops.dedup import passage_dedup_apply
+
+    boiler = " ".join(f"b{i}" for i in range(8))     # one exact chunk
+    uniq1 = " ".join(f"x{i}" for i in range(8))
+    uniq2 = " ".join(f"y{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, boiler + " " + uniq1),   # first owner of the boilerplate
+         (2, boiler + " " + uniq2),   # loses it
+         (3, boiler)],                # entirely duplicated -> empty
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in passage_dedup_apply(docs).collect()}
+    assert out[1]["clean_text"] == boiler + " " + uniq1
+    assert out[2]["clean_text"] == uniq2
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+
+
+def test_temperature_sample_upweights_small_domain(spark):
+    from seatunnel_spark.dataops.sampling import temperature_sample
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small")
+                                               for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["domain"]: r for r in
+           temperature_sample(df, alpha=0.5, budget_frac=0.5).collect()}
+    # z = sqrt(100)+sqrt(4) = 12; p_big = 52*10/12/100 = 0.4333..,
+    # p_small = 52*2/12/4 > 1 -> clamped: small domain fully kept.
+    assert out["small"]["thr"] == 1_000_000
+    assert out["small"]["n_sampled"] == 4
+    assert out["big"]["thr"] == 433333
+    assert 20 <= out["big"]["n_sampled"] <= 65   # ~43% of 100

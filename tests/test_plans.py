@@ -255,3 +255,15 @@ def test_bm25_query_side_broadcast_no_cartesian(plans):
 
 def test_pagerank_no_cartesian(plans):
     assert "CartesianProduct" not in plans("q_pagerank")
+
+
+def test_temperature_sample_broadcasts_the_plan(plans):
+    p = plans("sample_temperature")
+    # per-domain plan is broadcast back; the corpus is never shuffled
+    # on doc rows — only the tiny domain-count aggregations exchange.
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_passage_apply_no_cartesian(plans):
+    assert "CartesianProduct" not in plans("dedup_passage_apply")
