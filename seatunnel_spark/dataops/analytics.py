@@ -96,14 +96,15 @@ def corpus_overlap(df: DataFrame, source_col: str, text_col: str = "text",
     """Contamination surface between corpus subsets: for every pair of
     sources, the number of distinct k-word shingles they share.
 
-    Scale shape: the shuffle carries distinct (shingle, source) pairs
-    (map-side-combined dropDuplicates), then one groupBy(shingle)
-    collecting the source set — the per-shingle work is bounded by
-    |sources|² (a partition dimension, ~10s-100s), NEVER by corpus
-    size, so no hot-token cap is needed. Pair expansion happens inside
-    the ≤|sources| sorted array (tiny interpreted HOF), not via a
-    token self-join. Docs shorter than k words carry no shingles
-    (same rule as ngram_stats)."""
+    Scale shape: ONE shuffle — groupBy(shingle) with a partial
+    (map-side) collect_set of sources, which dedupes (source, shingle)
+    during the map phase, so no separate dropDuplicates exchange is
+    needed. The per-shingle work is bounded by |sources|² (a partition
+    dimension, ~10s-100s), NEVER by corpus size, so no hot-token cap
+    is needed. Pair expansion happens inside the ≤|sources| sorted
+    array (tiny interpreted HOF), not via a token self-join. Docs
+    shorter than k words carry no shingles (same rule as
+    ngram_stats)."""
     from seatunnel_spark.dataops.dedup import _shingle_str, _shingle_structs
 
     words = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -111,17 +112,23 @@ def corpus_overlap(df: DataFrame, source_col: str, text_col: str = "text",
             .select(F.col(source_col).alias("__src"),
                     F.explode(_shingle_structs(F.col(text_col), k))
                     .alias("g"))
-            .select("__src", _shingle_str(F.col("g"), k).alias("__tok"))
-            .dropDuplicates(["__src", "__tok"]))
+            .select("__src", _shingle_str(F.col("g"), k).alias("__tok")))
     srcs = toks.groupBy("__tok").agg(
         F.sort_array(F.collect_set("__src")).alias("s"))
-    pairs = srcs.select(F.explode(F.flatten(F.transform(
-        "s", lambda x, i: F.transform(
-            F.slice(F.col("s"), i + F.lit(2), F.size("s")),
-            lambda y: F.struct(x.alias("a"), y.alias("b")))))).alias("p"))
+    # Second-level rollup: collapse shingles to their SOURCE SET before
+    # expanding pairs, so the interpreted pair-expansion HOF runs over
+    # |distinct source sets| rows (hundreds) instead of |shingles|
+    # (corpus-scale) — the set counts are map-side combined.
+    sets = srcs.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = sets.select(
+        "cnt",
+        F.explode(F.flatten(F.transform(
+            "s", lambda x, i: F.transform(
+                F.slice(F.col("s"), i + F.lit(2), F.size("s")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")))))).alias("p"))
     return (pairs.groupBy(F.col("p.a").alias("source_a"),
                           F.col("p.b").alias("source_b"))
-            .agg(F.count(F.lit(1)).alias("shared_shingles")))
+            .agg(F.sum("cnt").alias("shared_shingles")))
 
 
 def json_bucket_stats(df: DataFrame, json_col: str, field: str,
