@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     "q_corpus_overlap",
     "q_json_extract",
     "q_moving_avg",
+    "dedup_incremental",
+    "text_bm25",
+    "q_pagerank",
+    "text_chunks",
+    "dedup_passage_apply",
+    "sample_temperature",
 ]
 
 

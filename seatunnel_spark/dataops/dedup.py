@@ -227,10 +227,12 @@ def minhash_band_index(
     shingle_k: int = 3,
 ) -> DataFrame:
     """(id, band, key) LSH bucket table — the corpus's persistable
-    near-dup index. Write it partitioned by `band` and bucketed by
-    `key` so future probes (incremental_minhash_matches) co-locate
-    without reshuffling the historical corpus; the index is
-    bands× |corpus| tiny rows, not documents."""
+    near-dup index. Write it bucketed by (band, key)
+    (plans/bucketing.write_bucketed) so future probes
+    (incremental_minhash_matches) co-locate without reshuffling the
+    historical corpus — only the new batch moves (plan-tested in
+    tests/test_dataops.py); the index is bands×|corpus| tiny rows,
+    not documents."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     band_structs = F.array(

@@ -1134,3 +1134,39 @@ def test_temperature_sample_upweights_small_domain(spark):
     assert out["small"]["n_sampled"] == 4
     assert out["big"]["thr"] == 433333
     assert 20 <= out["big"]["n_sampled"] <= 65   # ~43% of 100
+
+
+def test_incremental_probe_against_bucketed_persisted_index(spark):
+    """The 100 TB incremental-dedup shape: the corpus band index is
+    PERSISTED bucketed by the LSH key, so a later ingest batch's probe
+    join never reshuffles the historical index — only the (small) new
+    batch moves."""
+    from seatunnel_spark.dataops.dedup import (
+        incremental_minhash_matches, minhash_band_index)
+    from seatunnel_spark.plans.bucketing import write_bucketed
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    existing = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text entirely here")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, base)], "doc_id long, text string")
+    try:
+        write_bucketed(minhash_band_index(existing, "doc_id", "text"),
+                       "mh_band_idx", ["band", "key"], num_buckets=4)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = incremental_minhash_matches(
+            new, spark.table("mh_band_idx"), "doc_id", "text",
+            max_bucket=None)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # exactly ONE side shuffles on the join key: the probe batch.
+        # The bucketed index side reads pre-partitioned files.
+        assert plan.count("Exchange hashpartitioning(band") <= 1
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+        rows = {(r["new_id"], r["match_id"]): r["n_bands"]
+                for r in out.collect()}
+        assert rows[(10, 1)] == 4
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS mh_band_idx")
