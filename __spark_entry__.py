@@ -995,12 +995,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        F.concat(F.lit("c"), o.o_custkey).alias("src"),
-        F.concat(F.lit("s"), li.l_suppkey).alias("dst"))
+    # distinct on the narrow int key pair BEFORE stringifying; the
+    # symmetrized union of two disjoint namespaces stays distinct, so
+    # pagerank can skip its own edge dedup shuffle.
+    jp = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select(o.o_custkey.alias("c"), li.l_suppkey.alias("s"))
+          .distinct())
+    j = jp.select(F.concat(F.lit("c"), F.col("c")).alias("src"),
+                  F.concat(F.lit("s"), F.col("s")).alias("dst"))
     edges = j.union(
         j.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return pagerank(edges, iters=2)
+    return pagerank(edges, iters=2, dedupe=False)
 
 
 def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:

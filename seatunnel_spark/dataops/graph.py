@@ -28,6 +28,7 @@ def pagerank(
     iters: int = 2,
     damping: float = 0.85,
     round_to: int = 6,
+    dedupe: bool = True,
 ) -> DataFrame:
     """PageRank over a directed edge list -> (node, rank).
 
@@ -40,9 +41,17 @@ def pagerank(
     reproducible bit-for-bit across engines and summation orders
     (same convention as embeddings.kmeans_fit).
     """
-    e = edges.select(
-        F.col(src).alias("__src"), F.col(dst).alias("__dst")
-    ).distinct()
+    # The deduped edge list feeds degree, the node set, and every
+    # iteration: cut lineage so upstream joins/distinct run ONCE
+    # instead of once per consumer (same convention as
+    # dedup.minhash_lsh_pairs; at cluster scale persist or write the
+    # edge list bucketed by src instead). Pass dedupe=False when the
+    # input is already distinct — e.g. deduped upstream on narrower
+    # pre-stringified keys — to skip a full edge shuffle.
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    if dedupe:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select("__dst"))
