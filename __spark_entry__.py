@@ -971,6 +971,24 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(_t(spark, sf_dir, "documents"))
 
 
+def q_argmin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin-per-group via min-agg + join-back — the scalable form of
+    TPC-H Q2's correlated min-subquery (the reference runs such
+    subqueries through its SQL transform; Spark-first this is two
+    aggregations whose exchanges share a key, so the join-back reuses
+    the first shuffle (ReusedExchange, plan-tested) instead of
+    windowing the whole fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("min_price"))
+    return (
+        li.join(m, ["l_partkey"])
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .groupBy("l_partkey", "min_price")
+        .agg(F.min("l_suppkey").alias("best_supplier"))
+    )
+
+
 def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k retrieval (dataops/retrieval.py:bm25_topk): three
     literal queries probe the corpus — query terms and per-term idf
@@ -1572,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": text_chunks,
         "dedup_passage_apply": dedup_passage_apply,
         "sample_temperature": sample_temperature,
+        "q_argmin_join": q_argmin_join,
         "dedup_passages": dedup_passages,
         "sample_shuffle": sample_shuffle,
         "emb_quantize": emb_quantize,
@@ -2788,6 +2807,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.doc_id AS new_id, e.doc_id AS match_id,
                    count(DISTINCT n.band) AS n_bands
             FROM nb n JOIN eb e ON n.band = e.band AND n.key = e.key
+            GROUP BY 1, 2
+        """,
+        # argmin-per-group: correlated min-subquery as agg + join-back.
+        "q_argmin_join": """
+            WITH m AS (SELECT l_partkey,
+                              min(l_extendedprice) AS min_price
+                       FROM lineitem GROUP BY 1)
+            SELECT l.l_partkey, m.min_price,
+                   min(l.l_suppkey) AS best_supplier
+            FROM lineitem l JOIN m ON l.l_partkey = m.l_partkey
+            WHERE l.l_extendedprice = m.min_price
             GROUP BY 1, 2
         """,
         # passage-dedup APPLY: same chunking/digest/first-ordinal rules

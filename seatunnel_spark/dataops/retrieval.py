@@ -66,6 +66,10 @@ def bm25_topk(
     scored table through a two-phase top-k instead.
     """
     toks = _tokens(docs, id_col, text_col)
+    # tf feeds doc lengths, document frequencies, AND the score join —
+    # its exchange is identical in all three subplans, so Catalyst's
+    # ReusedExchange materializes it once (verified: a lineage cut
+    # here changes nothing).
     tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     # corpus scalars as a broadcast 1-row frame (no driver collect)

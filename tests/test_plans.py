@@ -267,3 +267,14 @@ def test_temperature_sample_broadcasts_the_plan(plans):
 
 def test_passage_apply_no_cartesian(plans):
     assert "CartesianProduct" not in plans("dedup_passage_apply")
+
+
+def test_argmin_join_avoids_fact_table_window(plans):
+    # min-agg + join-back: Catalyst folds the equality filter into the
+    # join keys and broadcasts the per-group min table — the fact side
+    # joins with NO shuffle and is never windowed; only the two
+    # aggregations exchange.
+    p = plans("q_argmin_join")
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
+    assert p.count("Exchange hashpartitioning") == 2
