@@ -971,6 +971,23 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(_t(spark, sf_dir, "documents"))
 
 
+def stream_probe_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LSH probe (streaming/__init__.py:stream_minhash_probe):
+    new-doc ingest joins the STATIC persisted band index — Structured
+    Streaming's stream-static join, stateless/append-safe because the
+    per-row HOF signature needs no aggregation. Runs identically on
+    the batch frame here; tests/test_streaming.py proves the real
+    readStream path emits the same rows."""
+    from seatunnel_spark.dataops.dedup import minhash_band_index
+    from seatunnel_spark.dataops.sampling import hash_bucket
+    from seatunnel_spark.streaming import stream_minhash_probe
+
+    d = _t(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    idx = minhash_band_index(d.filter(b < 8000), "doc_id", "text")
+    return stream_minhash_probe(d.filter(b >= 8000), idx)
+
+
 def q_argmin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmin-per-group via min-agg + join-back — the scalable form of
     TPC-H Q2's correlated min-subquery (the reference runs such
@@ -1591,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_passage_apply": dedup_passage_apply,
         "sample_temperature": sample_temperature,
         "q_argmin_join": q_argmin_join,
+        "stream_probe_index": stream_probe_index,
         "dedup_passages": dedup_passages,
         "sample_shuffle": sample_shuffle,
         "emb_quantize": emb_quantize,
@@ -2808,6 +2826,41 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT n.band) AS n_bands
             FROM nb n JOIN eb e ON n.band = e.band AND n.key = e.key
             GROUP BY 1, 2
+        """,
+        # streaming probe: same split/band CTEs, one row per agreeing
+        # band (the append-mode zero-state form — no n_bands agg).
+        "stream_probe_index": f"""
+            WITH {shingle_cte},
+            sig AS (
+              SELECT doc_id,
+                     min(substr(md5(sh || '#0'),  1, 8)) AS mh_0,
+                     min(substr(md5(sh || '#0'),  9, 8)) AS mh_1,
+                     min(substr(md5(sh || '#0'), 17, 8)) AS mh_2,
+                     min(substr(md5(sh || '#0'), 25, 8)) AS mh_3,
+                     min(substr(md5(sh || '#1'),  1, 8)) AS mh_4,
+                     min(substr(md5(sh || '#1'),  9, 8)) AS mh_5,
+                     min(substr(md5(sh || '#1'), 17, 8)) AS mh_6,
+                     min(substr(md5(sh || '#1'), 25, 8)) AS mh_7
+              FROM shingles GROUP BY doc_id
+            ),
+            split AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 10000 AS hb
+              FROM documents
+            ),
+            buckets AS (
+              SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS key FROM sig
+              UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
+              UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
+              UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig
+            ),
+            nb AS (SELECT b.* FROM buckets b JOIN split s USING (doc_id)
+                   WHERE s.hb >= 8000),
+            eb AS (SELECT b.* FROM buckets b JOIN split s USING (doc_id)
+                   WHERE s.hb < 8000)
+            SELECT n.doc_id AS new_id, e.doc_id AS match_id, n.band
+            FROM nb n JOIN eb e ON n.band = e.band AND n.key = e.key
         """,
         # argmin-per-group: correlated min-subquery as agg + join-back.
         "q_argmin_join": """

@@ -159,6 +159,67 @@ def run_stream_to_batch_sink(df: DataFrame, sink_write, checkpoint: str,
     )
 
 
+def stream_minhash_probe(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Continuous near-dup detection for a document INGEST STREAM
+    against a persisted corpus LSH index (dataops/dedup.py:
+    minhash_band_index) — a stream-static join, Structured Streaming's
+    zero-state join form.
+
+    Signatures here are per-ROW array expressions (array_min over the
+    shingle transform), not the batch path's explode+groupBy: an
+    aggregation would demand watermarks/update-mode state, while this
+    projection is stateless and append-mode safe. The HOF form is
+    slower per row than the batch explode (interpreted per element —
+    measured in dataops/dedup.py), which is the right trade at stream
+    increments of thousands of docs against a corpus of billions.
+
+    -> (new_id, match_id, band): one row per agreeing LSH band, as
+    they stream in; aggregate downstream (or dedupe at the sink) when
+    n_bands confidence is needed. Works identically on a batch
+    new_df — tests prove stream == batch.
+    """
+    from seatunnel_spark.dataops.dedup import _word_shingles
+
+    # same canonicalization as minhash_signatures (trim, split, NO
+    # lower) so probe keys equal the persisted index's keys
+    shingles = _word_shingles(F.col(text_col), shingle_k)
+    n_digests = (num_hashes + 3) // 4
+
+    def mh(h: int):
+        return F.array_min(F.transform(
+            shingles,
+            lambda s: F.substring(
+                F.md5(F.concat(s, F.lit(f"#{h // 4}"))),
+                1 + 8 * (h % 4), 8)))
+
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[
+                mh(b * rows_per_band + r) for r in range(rows_per_band)
+            ]).alias("key"),
+        )
+        for b in range(bands)
+    ])
+    probes = new_df.select(
+        F.col(id_col).alias("new_id"), F.explode(band_structs).alias("bk")
+    ).select("new_id", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+    idx = index_df.select(
+        F.col(index_df.columns[0]).alias("match_id"), "band", "key")
+    return probes.join(idx, ["band", "key"]).select(
+        "new_id", "match_id", "band")
+
+
 def stateful_running_counts(
     df: DataFrame,
     key_cols: list[str],

@@ -332,3 +332,34 @@ def test_session_window_stream_matches_batch(spark, events_stream, tmp_path):
     # dynamic windows: gap-separated events really split sessions
     sessions = [r for r in expected if r["user_id"] == expected[0]["user_id"]]
     assert all(r["session_end"] > r["session_start"] for r in sessions)
+
+
+def test_stream_minhash_probe_matches_batch_incremental(spark, tmp_path):
+    """Streaming ingest probing a STATIC persisted LSH index
+    (stream-static join, zero state): the streamed matches equal the
+    batch incremental-dedup pairs, and exact dups agree on all bands."""
+    from seatunnel_spark.dataops.dedup import (
+        incremental_minhash_matches, minhash_band_index)
+    from seatunnel_spark.streaming import stream_minhash_probe
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    existing = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text entirely here")],
+        "doc_id long, text string")
+    new_static = spark.createDataFrame(
+        [(10, base),
+         (11, "unrelated fresh content with no overlap at all ok")],
+        "doc_id long, text string")
+    src = str(tmp_path / "newdocs")
+    new_static.write.mode("overwrite").parquet(src)
+    new_stream = spark.readStream.schema(new_static.schema).parquet(src)
+
+    idx = minhash_band_index(existing, "doc_id", "text")
+    got = _run_collect(
+        spark, stream_minhash_probe(new_stream, idx), tmp_path)
+    pairs = {(r["new_id"], r["match_id"]) for r in got}
+    batch = incremental_minhash_matches(new_static, idx, "doc_id", "text")
+    expected = {(r["new_id"], r["match_id"]) for r in batch.collect()}
+    assert pairs == expected == {(10, 1)}
+    # exact duplicate agrees on every band, streamed one row per band
+    assert sorted(r["band"] for r in got) == [0, 1, 2, 3]
