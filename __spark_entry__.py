@@ -1515,6 +1515,135 @@ def stream_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(clicks["user_id"], "click_id", "buy_id")
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue between two nations by shipping year —
+    a six-table join where BOTH ends need a nation lookup. The two
+    nation dims (25 rows, fixed size) are broadcast so the only
+    shuffles are the lineitem->orders->customer equi-joins, which AQE
+    plans; the nation-pair filter is applied post-broadcast-join at
+    scan speed, so no fact-table row survives past its first join
+    unless a filtered nation matched."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"),
+                              F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"),
+                              F.col("n_name").alias("cust_nation")))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): a HAVING-subquery —
+    orders whose lineitems total > 200 units — joined back to
+    customer+orders+lineitem. The qualifying-key set comes from ONE
+    map-side-combined aggregation of lineitem (sum per orderkey,
+    filter) and feeds a semi join; at 100 TB the subquery output is
+    the rare tail (<5% of orders), so the second lineitem pass joins
+    against a small build side instead of re-shuffling the fact table
+    twice at full width."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("__q"))
+           .filter(F.col("__q") > 200)
+           .select("l_orderkey"))
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", F.col("o_orderkey"),
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                 F.round("o_totalprice", 2).alias("total_price"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the (scalar-subquery) average
+    positive balance who have NEVER ordered, rolled up by nation. The
+    scalar aggregate is a one-row broadcast cross join (no collect);
+    the existence check is a left-anti join on o_custkey (here:
+    "never placed an URGENT order", so the result is non-trivial on
+    this data). At scale the anti join's build side is the filtered
+    customer-key projection of orders — filter + column pruning both
+    reach the scan."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0)
+               .agg(F.round(F.avg("c_acctbal"), 4).alias("__avg")))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(o.filter(F.col("o_orderpriority") == "1-URGENT")
+               .select("o_custkey"),
+              c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+    )
+
+
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill + LOCF (dataops/timeseries.py:
+    gapfill_daily): daily value sums per event type over a dense
+    day spine, missing days forward-filled from the last observed
+    value. One map-side-combined agg of the event table; the spine and
+    fill windows are |types| x |days| — independent of event count."""
+    from seatunnel_spark.dataops.timeseries import gapfill_daily
+
+    e = _t(spark, sf_dir, "events")
+    out = gapfill_daily(e, "ts", ["event_type"], "round(sum(value), 6)")
+    return out.select(
+        "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "day_value", "filled_value", "had_data")
+
+
+def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (dataops/decontam.py:
+    flag_contaminated_bloom): a fixed 512 KiB bitmap broadcast +
+    vectorized Arrow probe prunes corpus grams before the exact
+    confirm join — EXACT same answer as decontam_ngram (same oracle),
+    built for benchmark gram sets too wide to broadcast as strings."""
+    from seatunnel_spark.dataops.decontam import flag_contaminated_bloom
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return flag_contaminated_bloom(d, bench, n=13)
+
+
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (dataops/text.py:heavy_hitters):
+    per-partition Misra-Gries candidate summaries (<= capacity tokens
+    per partition ever leave the scan) + an exact recount of only the
+    candidates — the full vocabulary never shuffles. Capacity 4096 >>
+    N_tokens/min_count here, so the Misra-Gries no-false-negative
+    bound makes the result exactly the true >= min_count set."""
+    from seatunnel_spark.dataops.text import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    return heavy_hitters(d, "text", min_count=50, capacity=4096)
+
+
 # ===========================================================================
 # contract functions
 # ===========================================================================
@@ -1613,6 +1742,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_shuffle": sample_shuffle,
         "emb_quantize": emb_quantize,
         "emb_kmeans": emb_kmeans,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q18_large_orders": q18_large_orders,
+        "q_cust_no_orders": q_cust_no_orders,
+        "q_gapfill": q_gapfill,
+        "decontam_bloom": decontam_bloom,
+        "text_heavy_hitters": text_heavy_hitters,
         # rows-only (no SQL oracle): model inference is inherently not
         # SQL-expressible — these two stay rows-only by nature.
         "t_llm": t_llm,
@@ -3137,4 +3272,107 @@ def oracle_sql() -> dict[str, str]:
             FROM q
         """,
         "emb_kmeans": _kmeans_oracle_sql(k=8, iters=2),
+        "q7_volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 2) AS revenue
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     year(l_shipdate) AS l_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+              FROM lineitem
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders   ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            )
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey FROM lineitem
+              GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+            )
+            SELECT c_name, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(o_totalprice, 2) AS total_price,
+                   round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            WHERE l_orderkey IN (SELECT l_orderkey FROM big)
+            GROUP BY c_name, o_orderkey, o_orderdate, total_price
+        """,
+        "q_cust_no_orders": """
+            WITH a AS (
+              SELECT round(avg(c_acctbal), 4) AS avg_bal
+              FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_nationkey::INTEGER AS nationkey,
+                   count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer, a
+            WHERE c_acctbal > a.avg_bal
+              AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+            GROUP BY nationkey
+        """,
+        "q_gapfill": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     round(sum(value), 6) AS day_value
+              FROM events GROUP BY 1, 2
+            ), span AS (
+              SELECT unnest(generate_series(
+                       min(CAST(ts AS DATE)), max(CAST(ts AS DATE)),
+                       INTERVAL 1 DAY))::DATE AS day
+              FROM events
+            ), spine AS (
+              SELECT event_type, day
+              FROM (SELECT DISTINCT event_type FROM events)
+              CROSS JOIN span
+            )
+            SELECT s.event_type, strftime(s.day, '%Y-%m-%d') AS day,
+                   d.day_value,
+                   last_value(d.day_value IGNORE NULLS) OVER (
+                     PARTITION BY s.event_type ORDER BY s.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS filled_value,
+                   d.day_value IS NOT NULL AS had_data
+            FROM spine s LEFT JOIN daily d USING (event_type, day)
+        """,
+        # EXACT same semantics as decontam_ngram — the bloom is a
+        # prefilter, the confirm join restores exactness.
+        "decontam_bloom": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(t[i:i+12], ' ') AS gram
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(t) - 12, 0)))
+                     AS u(i)
+            ), bench AS (
+              SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+            ), hits AS (
+              SELECT g.doc_id, count(DISTINCT g.gram) AS h
+              FROM grams g JOIN bench b USING (gram)
+              GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.h, 0) AS ngram_hits,
+                   coalesce(h.h, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "text_heavy_hitters": """
+            SELECT token, count(*) AS cnt
+            FROM (SELECT unnest(string_split_regex(
+                           trim(lower(text)), '\\s+')) AS token
+                  FROM documents)
+            WHERE token <> ''
+            GROUP BY token HAVING count(*) >= 50
+        """,
     }

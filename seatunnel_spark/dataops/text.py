@@ -409,3 +409,64 @@ def doc_chunks(df: DataFrame, id_col: str = "doc_id",
             ).alias("n_tokens"),
         )
     )
+
+
+def heavy_hitters(df: DataFrame, text_col: str = "text",
+                  min_count: int = 100, capacity: int = 4096,
+                  lowercase: bool = True) -> DataFrame:
+    """EXACT corpus heavy hitters -> (token, cnt) for every token with
+    total frequency >= min_count, via two phases:
+
+      1. per-partition Misra-Gries summaries (mapInPandas; vectorized
+         value_counts per Arrow batch merged into a dict that is
+         compressed back to `capacity` entries by subtracting the
+         (capacity+1)-th count whenever it overflows — the classic
+         decrement step, batched). Each partition emits <= capacity
+         candidate tokens, NOT its vocabulary.
+      2. exact recount of ONLY the candidates: explode corpus tokens,
+         hash-semi-join the (tiny, auto-broadcast) candidate set,
+         map-side-combined count, filter >= min_count.
+
+    Guarantee: Misra-Gries with capacity c never evicts a token whose
+    partition frequency exceeds N_p/(c+1); summed over partitions, any
+    token with TOTAL count > N/(c+1) survives in at least one
+    partition, so with capacity >= N_tokens/min_count the result is
+    exactly the true heavy-hitter set (the recount then removes false
+    positives). Callers at 100 TB size `capacity` from the corpus
+    token count (a cheap metadata-level estimate); the shuffle in
+    phase 2 carries only candidate-token rows — the full vocabulary
+    (billions of long-tail tokens) never shuffles, which is what makes
+    this viable where a plain groupBy(token) would spill.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    toks = F.split(F.trim(F.lower(F.col(text_col)) if lowercase
+                          else F.col(text_col)), r"\s+")
+    tokens = (df.select(F.explode(toks).alias("token"))
+              .filter(F.col("token") != ""))
+
+    cand_schema = StructType([StructField("token", StringType())])
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            for tok, c in vc.items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+            if len(counts) > capacity:
+                # batched decrement: drop the smallest counts so that
+                # <= capacity remain, subtracting the cut value from
+                # the survivors (one Misra-Gries step per overflow).
+                vals = sorted(counts.values(), reverse=True)
+                cut = vals[capacity]
+                counts = {t: c - cut for t, c in counts.items() if c > cut}
+        yield pd.DataFrame({"token": list(counts.keys())})
+
+    candidates = tokens.mapInPandas(mg_partition, cand_schema).distinct()
+    return (tokens
+            .join(F.broadcast(candidates), "token", "left_semi")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= min_count))

@@ -143,3 +143,44 @@ def range_join_bucketed(
         .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col)))
         .drop("__bucket")
     )
+
+
+def gapfill_daily(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_expr: str,
+    out_col: str = "day_value",
+) -> DataFrame:
+    """Hypertable-style time_bucket_gapfill + locf: bucket events to
+    days, emit EVERY day of the observed span for EVERY key, and
+    forward-fill missing days from the last observed value.
+
+    -> (keys..., day, day_value nullable, filled_value, had_data)
+
+    Plan shape (the 100 TB concern): the event table is touched ONCE —
+    a map-side-combined groupBy(keys, day) reduces it to at most
+    |keys| x |days| rows before anything else happens. The day spine
+    is sequence(min_day, max_day) from a single-row global agg
+    (broadcast, zero cost) crossed with the distinct key set — spine
+    size is |keys| x |days|, independent of event count. The
+    forward-fill window partitions BY KEY over day-grained rows, so
+    each window partition holds |days| rows (thousands), never raw
+    events; skew is impossible by construction.
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    daily = (df.groupBy(*key_cols, day)
+             .agg(F.expr(value_expr).alias(out_col)))
+    span = (df.select(
+        F.sequence(F.min(F.to_date(F.col(ts_col))),
+                   F.max(F.to_date(F.col(ts_col)))).alias("__days")))
+    keys = df.select(*key_cols).distinct()
+    spine = (keys.join(F.broadcast(span))
+             .select(*key_cols, F.explode("__days").alias("day")))
+    w = (Window.partitionBy(*key_cols).orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (spine.join(daily, [*key_cols, "day"], "left")
+            .select(*key_cols, "day", out_col,
+                    F.last(out_col, ignorenulls=True).over(w)
+                    .alias("filled_value"),
+                    F.col(out_col).isNotNull().alias("had_data")))

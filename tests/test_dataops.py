@@ -1170,3 +1170,66 @@ def test_incremental_probe_against_bucketed_persisted_index(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
                        str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS mh_band_idx")
+
+
+def test_decontam_bloom_matches_exact(spark):
+    """The bloom prefilter must be invisible: flag_contaminated_bloom
+    == flag_contaminated on the same inputs (confirm join removes the
+    bloom's false positives), including with an adversarially tiny
+    bitmap where nearly every gram is a bloom hit."""
+    from seatunnel_spark.dataops.decontam import (
+        flag_contaminated, flag_contaminated_bloom)
+
+    docs = spark.createDataFrame([
+        (1, "a b c d e f"),
+        (2, "z y x w v u"),
+        (3, "a b"),
+        (4, "b c d e b c d e x"),
+    ], "doc_id int, text string")
+    bench = spark.createDataFrame([(99, "q b c d e q")],
+                                  "doc_id int, text string")
+    exact = sorted(map(tuple, flag_contaminated(docs, bench, n=4).collect()))
+    for num_bits in (1 << 20, 64):  # 64 bits -> heavy false positives
+        got = sorted(map(tuple, flag_contaminated_bloom(
+            docs, bench, n=4, num_bits=num_bits).collect()))
+        assert got == exact, f"num_bits={num_bits}"
+
+
+def test_heavy_hitters_exact(spark):
+    from seatunnel_spark.dataops.text import heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(i, ("the quick " * 5) + f"rare{i} " + ("fox " * (3 if i % 2 else 0)))
+         for i in range(40)],
+        "doc_id int, text string").repartition(8)
+    truth = {"the": 200, "quick": 200, "fox": 60}
+    got = {r["token"]: r["cnt"]
+           for r in heavy_hitters(docs, min_count=50).collect()}
+    assert got == truth
+    # min_count high enough to exclude fox
+    got2 = {r["token"]: r["cnt"]
+            for r in heavy_hitters(docs, min_count=100).collect()}
+    assert got2 == {"the": 200, "quick": 200}
+
+
+def test_heavy_hitters_tiny_capacity_no_false_positives(spark):
+    """With capacity below the exactness bound the result may MISS
+    hitters but must never report one that fails min_count, and every
+    reported count is the exact total (phase-2 recount)."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.text import heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i % 7)) + " top top top")
+         for i in range(60)],
+        "doc_id int, text string").repartition(6)
+    toks = docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+                       .alias("token")).filter(F.col("token") != "")
+    truth = {r["token"]: r["cnt"] for r in
+             toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+                 .filter(F.col("cnt") >= 40).collect()}
+    got = {r["token"]: r["cnt"]
+           for r in heavy_hitters(docs, min_count=40, capacity=2).collect()}
+    for tok, cnt in got.items():
+        assert truth[tok] == cnt  # exact counts, no spurious tokens

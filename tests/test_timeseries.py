@@ -57,3 +57,28 @@ def test_range_join_bucketed(spark):
     out = range_join_bucketed(points, ranges, "x", "lo", "hi", bucket_width=10.0)
     got = {(r["pid"], r["rid"]) for r in out.collect()}
     assert got == {(1, 10), (2, 20)}
+
+
+def test_gapfill_daily_locf(spark):
+    from seatunnel_spark.dataops.timeseries import gapfill_daily
+
+    e = _ts(spark, [
+        ("A", "2024-01-01 05:00:00", 1.0),
+        ("A", "2024-01-01 06:00:00", 2.0),   # day 1 sum = 3
+        ("A", "2024-01-04 05:00:00", 7.0),   # days 2,3 missing -> locf 3
+        ("B", "2024-01-02 05:00:00", 5.0),   # B spans the GLOBAL span
+    ], ["k", "ts", "v"])
+    out = gapfill_daily(e, "ts", ["k"], "sum(v)")
+    rows = {(r["k"], str(r["day"])): r for r in out.collect()}
+    # dense spine: every key x every day of the global span
+    assert len(rows) == 2 * 4
+    assert rows[("A", "2024-01-01")]["day_value"] == 3.0
+    assert rows[("A", "2024-01-02")]["day_value"] is None
+    assert rows[("A", "2024-01-02")]["filled_value"] == 3.0   # locf
+    assert rows[("A", "2024-01-03")]["filled_value"] == 3.0
+    assert rows[("A", "2024-01-04")]["filled_value"] == 7.0
+    assert rows[("A", "2024-01-02")]["had_data"] is False
+    # B before its first observation: nothing to fill from
+    assert rows[("B", "2024-01-01")]["filled_value"] is None
+    assert rows[("B", "2024-01-02")]["filled_value"] == 5.0
+    assert rows[("B", "2024-01-04")]["filled_value"] == 5.0
