@@ -1654,6 +1654,301 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# TPC-H completion suite — the remaining classic shapes, adapted where the
+# driver's schema lacks a table/column (no partsupp, no commit/receipt
+# dates; adaptations preserve each query's PLAN shape, which is what the
+# 100 TB argument is about). Constants reference TPC-H rev 2.18 Q text.
+# ===========================================================================
+
+_D = lambda s: F.lit(s).cast("date")  # noqa: E731
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate — the pushdown benchmark.
+    All three predicates and the 2-column projection reach the parquet
+    scan (PushedFilters + ReadSchema); the agg is a one-row partial
+    sum per partition merged on the driver side of a 1-row exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    sd = F.col("l_shipdate").cast("date")
+    return (li.filter((sd >= _D("1996-01-01")) & (sd < _D("1997-01-01"))
+                      & (F.col("l_discount") >= 0.05)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                 .alias("revenue")))
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share — a conditional-ratio agg over a
+    7-table join. Both nation lookups and region are broadcast
+    (fixed-size dims); the part filter lands before the join so only
+    PROMO lineitems survive the first probe; one groupBy(year)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    od = F.col("o_orderdate").cast("date")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"),
+                              F.col("n_regionkey").alias("c_rk")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"),
+                              F.col("n_name").alias("supp_nation")))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o.filter((od >= _D("1996-01-01")) & (od <= _D("1997-12-31"))),
+              li.l_orderkey == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(n1, c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(n2, s.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", vol)
+                  .otherwise(F.lit(0.0))) / F.sum(vol), 4)
+            .alias("mkt_share")))
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp in this schema: supplycost proxied
+    as 60% of p_retailprice): profit by supplier nation x order year
+    for parts matching a name substring. The name filter prunes part
+    before its join; nation is broadcast; one groupBy shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.6 * F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit")))
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: revenue lost to returns by customer, top 20. The
+    quarter filter prunes orders before the fact join; top-k compiles
+    to TakeOrderedAndProject (per-partition heaps), never a global
+    sort; c_custkey tiebreak makes the cut deterministic. Revenue is
+    summed in DECIMAL (exact, order-independent — double sums near a
+    half-cent boundary round differently per engine/partition order,
+    which matters when a LIMIT cut rides on the rounded value)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    od = F.col("o_orderdate").cast("date")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)")
+              - F.col("l_discount").cast("decimal(18,4)")))
+    return (
+        li.join(o.filter((od >= _D("1996-01-01")) & (od < _D("1996-04-01"))),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue",
+                F.round("c_acctbal", 2).alias("c_acctbal"), "n_name"))
+
+
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp: value = lineitem extendedprice
+    from suppliers of one nation): parts whose value exceeds a
+    FRACTION of the total — group-having against a scalar subquery.
+    The scalar is a one-row broadcast cross join; the per-part agg —
+    |parts| narrow rows, tiny next to the fact table — is lineage-cut
+    (localCheckpoint) so its two consumers (HAVING stream + scalar
+    total) trigger ONE lineitem scan, not two; nothing is collected."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    base = (li.join(s, li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .select("l_partkey", "l_extendedprice"))
+    per_part = (base.groupBy("l_partkey")
+                .agg(F.sum("l_extendedprice").alias("__v"))
+                .localCheckpoint(eager=False))
+    total = per_part.agg(F.sum("__v").alias("__tot"))
+    return (per_part.join(F.broadcast(total))
+            .filter(F.col("__v") > 0.002 * F.col("__tot"))
+            .select("l_partkey", F.round("__v", 2).alias("value")))
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: order-count distribution — customer LEFT OUTER JOIN
+    orders (with an order-side filter), count per customer, then a
+    second agg over the counts. The first agg's output is |customers|
+    rows; the second is a map-side-combined count over ints."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one month — conditional
+    ratio over a single part-lineitem join; the month filter reaches
+    the lineitem scan; one-row result, no post-join shuffle at all."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    sd = F.col("l_shipdate").cast("date")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter((sd >= _D("1996-03-01")) & (sd < _D("1996-04-01")))
+        .join(p, li.l_partkey == p.p_partkey)
+        .agg(F.round(
+            100.0 * F.sum(F.when(F.col("p_type") == "PROMO", vol)
+                          .otherwise(F.lit(0.0))) / F.sum(vol), 4)
+            .alias("promo_revenue")))
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the revenue-view + scalar-max shape. The per-supplier
+    revenue agg is computed once; its max is a one-row broadcast
+    joined back by equality (handles ties like the spec) — revenue is
+    rounded to cents BEFORE the max/equality so the float compare is
+    exact and engine-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    sd = F.col("l_shipdate").cast("date")
+    rev = (li.filter((sd >= _D("1996-01-01")) & (sd < _D("1996-04-01")))
+           .groupBy("l_suppkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+            .join(s, F.col("l_suppkey") == s.s_suppkey)
+            .select(F.col("s_suppkey"), "s_name", "total_revenue"))
+
+
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier-part association via lineitem instead
+    of partsupp): distinct supplier count per (brand, type, size) for
+    a size list, excluding one brand and a NOT-IN supplier set (neg
+    acctbal standing in for the complaints filter). The exclusion set
+    is a small broadcast anti join; count_distinct shuffles narrow
+    (brand,type,size,suppkey) tuples only."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt")))
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: the per-key correlated-average shape — lineitems of
+    one brand whose quantity is below 20% of that part's average.
+    The per-part avg is ONE map-side-combined agg of the (already
+    brand-pruned) join output, re-joined by partkey; no window, no
+    correlated re-scan of lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    joined = li.join(p, li.l_partkey == p.p_partkey) \
+               .select("l_partkey", "l_quantity", "l_extendedprice")
+    avg_q = (joined.groupBy("l_partkey")
+             .agg(F.avg("l_quantity").alias("__aq")))
+    return (joined.join(avg_q, "l_partkey")
+            .filter(F.col("l_quantity") < 0.2 * F.col("__aq"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+                 .alias("avg_yearly")))
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs across the join — the predicate refers to
+    both sides, so it can only run post-join, but each disjunct's
+    single-side conjuncts (brand+size / quantity) are pushed through
+    as an OR-union prefilter on each input, shrinking the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    pred = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 5))
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & (F.col("p_size").between(1, 10))
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#19") & (F.col("p_size").between(1, 15))
+           & q.between(20, 30)))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .filter(pred)
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty threshold becomes a shipped-quantity
+    threshold — no partsupp): suppliers in one nation that shipped
+    more than 30 units of some 'small%' part during 1996 — a nested
+    semi-join chain. The part filter prunes before the agg; the
+    qualifying (part,supp) agg output is the only shuffle; supplier
+    is reached by LEFT SEMI so each supplier emits once."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    sd = F.col("l_shipdate").cast("date")
+    qual = (li.filter((sd >= _D("1996-01-01")) & (sd < _D("1997-01-01")))
+            .join(p, li.l_partkey == p.p_partkey)
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum("l_quantity").alias("__q"))
+            .filter(F.col("__q") > 30)
+            .select("l_suppkey"))
+    return (s.join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
+            .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+            .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal")))
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (no receipt/commit dates: 'late' = being the
+    order's unique latest shipper). The EXISTS/NOT-EXISTS pair over
+    lineitem-self becomes ONE per-order aggregation (max shipdate,
+    distinct-supplier count) plus a filtered re-join at the max —
+    the fact table is never self-joined row-to-row, and the per-order
+    agg output (3 narrow columns) is the only wide shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")
+    per_order = (li.groupBy("l_orderkey")
+                 .agg(F.max("l_shipdate").alias("__mx"),
+                      F.count_distinct("l_suppkey").alias("__nsup"))
+                 .filter(F.col("__nsup") > 1))
+    last = (li.join(per_order, "l_orderkey")
+            .filter(F.col("l_shipdate") == F.col("__mx"))
+            .groupBy("l_orderkey")
+            .agg(F.count_distinct("l_suppkey").alias("__nmax"),
+                 F.min("l_suppkey").alias("wait_supp"))
+            .filter(F.col("__nmax") == 1))
+    return (last.join(o, last.l_orderkey == o.o_orderkey, "left_semi")
+            .join(s, F.col("wait_supp") == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))
+
+
+# ===========================================================================
 # contract functions
 # ===========================================================================
 
@@ -1757,6 +2052,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gapfill": q_gapfill,
         "decontam_bloom": decontam_bloom,
         "text_heavy_hitters": text_heavy_hitters,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q11_value_concentration": q11_value_concentration,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_cnt": q16_supplier_cnt,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q20_excess_shippers": q20_excess_shippers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         # rows-only (no SQL oracle): model inference is inherently not
         # SQL-expressible — these two stay rows-only by nature.
         "t_llm": t_llm,
@@ -3383,5 +3691,183 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE token <> ''
             GROUP BY token HAVING count(*) >= 50
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q8_market_share": """
+            SELECT year(o_orderdate) AS o_year,
+                   round(sum(CASE WHEN n2.n_name = 'NATION_5'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS mkt_share
+            FROM lineitem
+            JOIN part     ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON n1.n_nationkey = c_nationkey
+            JOIN region   ON r_regionkey = n1.n_regionkey
+            JOIN nation n2 ON n2.n_nationkey = s_nationkey
+            WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+              AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+            GROUP BY o_year
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - 0.6 * p_retailprice * l_quantity), 2)
+                     AS sum_profit
+            FROM lineitem
+            JOIN part     ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN nation   ON n_nationkey = s_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name,
+                   round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                             * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                     ::DOUBLE AS revenue,
+                   round(c_acctbal, 2) AS c_acctbal, n_name
+            FROM lineitem
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation   ON n_nationkey = c_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-04-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q11_value_concentration": """
+            WITH base AS (
+              SELECT l_partkey, l_extendedprice
+              FROM lineitem
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+              WHERE n_name = 'NATION_3'
+            ), per_part AS (
+              SELECT l_partkey, sum(l_extendedprice) AS v
+              FROM base GROUP BY l_partkey
+            )
+            SELECT l_partkey, round(v, 2) AS value
+            FROM per_part
+            WHERE v > 0.002 * (SELECT sum(v) FROM per_part)
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer
+              LEFT JOIN orders ON o_custkey = c_custkey
+                              AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "q14_promo_revenue": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS promo_revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_shipdate >= DATE '1996-03-01'
+              AND l_shipdate < DATE '1996-04-01'
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON s_suppkey = l_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "q16_supplier_cnt": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q17_small_qty_revenue": """
+            WITH j AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#13'
+            ), a AS (
+              SELECT l_partkey, avg(l_quantity) AS aq
+              FROM j GROUP BY l_partkey
+            )
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM j JOIN a USING (l_partkey)
+            WHERE l_quantity < 0.2 * aq
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q20_excess_shippers": """
+            SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+            FROM supplier
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE n_name = 'NATION_1'
+              AND s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_name LIKE 'small%'
+                  AND l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate < DATE '1997-01-01'
+                GROUP BY l_partkey, l_suppkey
+                HAVING sum(l_quantity) > 30)
+        """,
+        "q21_waiting_suppliers": """
+            WITH per_order AS (
+              SELECT l_orderkey, max(l_shipdate) AS mx,
+                     count(DISTINCT l_suppkey) AS nsup
+              FROM lineitem GROUP BY l_orderkey
+              HAVING count(DISTINCT l_suppkey) > 1
+            ), last AS (
+              SELECT l.l_orderkey,
+                     count(DISTINCT l.l_suppkey) AS nmax,
+                     min(l.l_suppkey) AS wait_supp
+              FROM lineitem l JOIN per_order p
+                ON l.l_orderkey = p.l_orderkey AND l.l_shipdate = p.mx
+              GROUP BY l.l_orderkey
+              HAVING count(DISTINCT l.l_suppkey) = 1
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM last
+            JOIN orders ON o_orderkey = last.l_orderkey
+            JOIN supplier ON s_suppkey = wait_supp
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE o_orderstatus = 'F' AND n_name = 'NATION_0'
+            GROUP BY s_name
         """,
     }

@@ -278,3 +278,101 @@ def test_argmin_join_avoids_fact_table_window(plans):
     assert "Window" not in p
     assert "BroadcastHashJoin" in p
     assert p.count("Exchange hashpartitioning") == 2
+
+
+# --- TPC-H completion suite (round 6) --------------------------------------
+
+def test_q6_pushdown_and_one_row_agg(plans):
+    # all three predicates reach the parquet scan; no join, no wide
+    # shuffle — a single partial/final agg pair.
+    p = plans("q6_forecast_revenue")
+    scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    assert "l_returnflag" not in scan  # column pruning
+    assert "PushedFilters" in p and "l_discount" in p.split("PushedFilters")[1].split("]")[0]
+    assert "Join" not in p
+    assert "partial_sum" in p
+
+
+def test_q8_dims_broadcast_no_cartesian(plans):
+    p = plans("q8_market_share")
+    assert p.count("BroadcastHashJoin") >= 3  # n1, n2, region at least
+    assert "CartesianProduct" not in p
+
+
+def test_q10_topk_distributed(plans):
+    p = plans("q10_returned_items")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q11_reuses_base_no_collect_scalar(plans):
+    # the scalar total joins back as a broadcast (1-row), not via a
+    # driver collect; the per-part agg is lineage-cut so BOTH its
+    # consumers read the checkpoint — lineitem is never scanned twice
+    # (plan shows checkpoint scans, zero parquet re-scans).
+    p = plans("q11_value_concentration")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert p.count("FileScan parquet") <= 3
+
+
+def test_q13_left_join_then_narrow_second_agg(plans):
+    p = plans("q13_customer_distribution")
+    # second agg is over (c_count) ints — partial agg present both times
+    assert p.count("partial_count") >= 1
+    assert "CartesianProduct" not in p
+
+
+def test_q15_scalar_max_is_broadcast(plans):
+    p = plans("q15_top_supplier")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    # the revenue view is computed once and reused for the max
+    assert "ReusedExchange" in p or p.count("FileScan parquet") <= 3
+
+
+def test_q17_no_window_no_fact_rescan(plans):
+    # per-part avg via agg+join, not a correlated re-scan or window
+    p = plans("q17_small_qty_revenue")
+    assert "Window" not in p
+    assert p.count("FileScan parquet") <= 4  # lineitem(x2 via reuse or 2 scans) + part
+
+
+def test_q18_semi_join_before_wide_joins(plans):
+    p = plans("q18_large_orders")
+    assert "LeftSemi" in p
+
+
+def test_q20_semi_join_chain(plans):
+    p = plans("q20_excess_shippers")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q21_no_row_level_self_join_explosion(plans):
+    # the EXISTS/NOT-EXISTS pair is ONE per-order agg + a filtered
+    # re-join at the max; no window over raw lineitems.
+    p = plans("q21_waiting_suppliers")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_gapfill_spine_broadcast(plans):
+    # the day-span scalar is a 1-row broadcast cross join; the event
+    # table is aggregated before any join.
+    p = plans("q_gapfill")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_heavy_hitters_candidates_broadcast(plans):
+    # phase-2 recount semi-joins the tiny candidate set broadcast-side;
+    # the full vocabulary must not shuffle un-filtered.
+    p = plans("text_heavy_hitters")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_decontam_bloom_confirm_join_after_filter(plans):
+    # the bloom test runs BEFORE the exact confirm join: ArrowEvalPython
+    # (the vectorized probe) must appear, and the join must be LeftSemi.
+    p = plans("decontam_bloom")
+    assert "ArrowEvalPython" in p
+    assert "LeftSemi" in p
