@@ -1923,22 +1923,24 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (no receipt/commit dates: 'late' = being the
     order's unique latest shipper). The EXISTS/NOT-EXISTS pair over
-    lineitem-self becomes ONE per-order aggregation (max shipdate,
-    distinct-supplier count) plus a filtered re-join at the max —
-    the fact table is never self-joined row-to-row, and the per-order
-    agg output (3 narrow columns) is the only wide shuffle."""
+    lineitem-self becomes: ONE map-side-combined (orderkey, suppkey)
+    aggregation — raw lineitem shuffles exactly once — then a window
+    over the supplier-level rows (partition = suppliers-per-order,
+    bounded by construction) for the order max / supplier count. No
+    re-join of the fact table, no row-level self-join."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")
-    per_order = (li.groupBy("l_orderkey")
-                 .agg(F.max("l_shipdate").alias("__mx"),
-                      F.count_distinct("l_suppkey").alias("__nsup"))
-                 .filter(F.col("__nsup") > 1))
-    last = (li.join(per_order, "l_orderkey")
-            .filter(F.col("l_shipdate") == F.col("__mx"))
+    sup_level = (li.groupBy("l_orderkey", "l_suppkey")
+                 .agg(F.max("l_shipdate").alias("__smax")))
+    w = Window.partitionBy("l_orderkey")
+    last = (sup_level
+            .withColumn("__mx", F.max("__smax").over(w))
+            .withColumn("__nsup", F.count(F.lit(1)).over(w))
+            .filter((F.col("__nsup") > 1) & (F.col("__smax") == F.col("__mx")))
             .groupBy("l_orderkey")
-            .agg(F.count_distinct("l_suppkey").alias("__nmax"),
+            .agg(F.count(F.lit(1)).alias("__nmax"),
                  F.min("l_suppkey").alias("wait_supp"))
             .filter(F.col("__nmax") == 1))
     return (last.join(o, last.l_orderkey == o.o_orderkey, "left_semi")

@@ -64,6 +64,16 @@ BENCH_QUERIES = [
     "text_chunks",
     "dedup_passage_apply",
     "sample_temperature",
+    # round-6 TPC-H completion (append-only; the heaviest shapes —
+    # the full 22-shape suite runs in selfcheck, these five cover the
+    # distinct plan families: scan-agg pushdown, 7-table ratio,
+    # fact-self-agg, double-agg distribution, per-key correlated avg)
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q17_small_qty_revenue",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -348,11 +348,13 @@ def test_q20_semi_join_chain(plans):
 
 
 def test_q21_no_row_level_self_join_explosion(plans):
-    # the EXISTS/NOT-EXISTS pair is ONE per-order agg + a filtered
-    # re-join at the max; no window over raw lineitems.
+    # the EXISTS/NOT-EXISTS pair rides on ONE (orderkey,suppkey) agg:
+    # lineitem is scanned exactly once (no self-join, no re-join of
+    # the raw fact table); the window runs over supplier-level rows.
     p = plans("q21_waiting_suppliers")
-    assert "Window" not in p
     assert "CartesianProduct" not in p
+    assert p.count("FileScan parquet") <= 4  # lineitem once + 3 dims
+    assert "partial_max" in p  # map-side combine before the one shuffle
 
 
 def test_gapfill_spine_broadcast(plans):
