@@ -1653,6 +1653,36 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(d, "text", min_count=50, capacity=4096)
 
 
+def sample_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic uniform sample per source domain
+    (dataops/sampling.py:group_sample_topk). Priorities are md5 hex
+    strings — no RNG, no float math — and the two-phase salted window
+    keeps a hot domain from funneling through one task."""
+    from seatunnel_spark.dataops.sampling import group_sample_topk
+
+    d = _t(spark, sf_dir, "documents")
+    out = group_sample_topk(d, "source", k=10, id_col="doc_id")
+    return out.select("source", "doc_id", "sample_rank")
+
+
+def text_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch build + point queries (dataops/text.py:
+    cms_build/cms_estimate): 4x4096 counters from ONE corpus scan,
+    probed for every token of a small fixed probe set. est >= true
+    always; the sketch is a bounded shuffle regardless of corpus
+    size and the probe join broadcasts the sketch."""
+    from seatunnel_spark.dataops.text import cms_build, cms_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    cms = cms_build(d, "text")
+    probes = (d.filter(F.col("doc_id") % 199 == 0)
+              .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+                      .alias("token"))
+              .filter(F.col("token") != "")
+              .distinct())
+    return cms_estimate(cms, probes)
+
+
 # ===========================================================================
 # TPC-H completion suite — the remaining classic shapes, adapted where the
 # driver's schema lacks a table/column (no partsupp, no commit/receipt
@@ -2054,6 +2084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gapfill": q_gapfill,
         "decontam_bloom": decontam_bloom,
         "text_heavy_hitters": text_heavy_hitters,
+        "sample_group_topk": sample_group_topk,
+        "text_cms_counts": text_cms_counts,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
@@ -3693,6 +3725,56 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE token <> ''
             GROUP BY token HAVING count(*) >= 50
+        """,
+        # The salted two-phase window is semantically identical to one
+        # global rank per group: any group-wide top-k row is also a
+        # top-k row of its own salt bucket, so phase 2 never loses a
+        # candidate. The oracle states the single-window definition.
+        "sample_group_topk": """
+            SELECT source, doc_id, CAST(rnk AS INT) AS sample_rank
+            FROM (SELECT source, doc_id,
+                         row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                         ) AS rnk
+                  FROM documents)
+            WHERE rnk <= 10
+        """,
+        # Bit-identical CMS replay: bucket keys are hex-string
+        # prefixes of md5(token||'#d'), so DuckDB and Spark build the
+        # exact same 4x4096 sketch and the min-over-rows estimates
+        # match exactly.
+        "text_cms_counts": """
+            WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+            tokens AS (
+              SELECT token
+              FROM (SELECT unnest(string_split_regex(
+                             trim(lower(text)), '\\s+')) AS token
+                    FROM documents)
+              WHERE token <> ''
+            ), cms AS (
+              SELECT d,
+                     substr(md5(token || '#' || CAST(d AS VARCHAR)),
+                            1, 3) AS pos,
+                     count(*) AS cnt
+              FROM tokens CROSS JOIN ds
+              GROUP BY d, pos
+            ), probes AS (
+              SELECT DISTINCT token
+              FROM (SELECT unnest(string_split_regex(
+                             trim(lower(text)), '\\s+')) AS token
+                    FROM documents WHERE doc_id % 199 = 0)
+              WHERE token <> ''
+            ), keyed AS (
+              SELECT p.token, ds.d,
+                     substr(md5(p.token || '#' || CAST(ds.d AS VARCHAR)),
+                            1, 3) AS pos
+              FROM probes p CROSS JOIN ds
+            )
+            SELECT k.token, min(coalesce(c.cnt, 0)) AS est
+            FROM keyed k
+            LEFT JOIN cms c ON k.d = c.d AND k.pos = c.pos
+            GROUP BY k.token
         """,
         "q6_forecast_revenue": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue

@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "q13_customer_distribution",
     "q17_small_qty_revenue",
     "q21_waiting_suppliers",
+    # round-6 late additions (append-only)
+    "sample_group_topk",
+    "text_cms_counts",
 ]
 
 

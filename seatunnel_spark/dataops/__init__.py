@@ -44,7 +44,12 @@ from seatunnel_spark.dataops.dedup import (
     passage_dup_stats,
     passage_dedup_apply,
 )
-from seatunnel_spark.dataops.sampling import global_shuffle, temperature_sample
+from seatunnel_spark.dataops.sampling import (
+    global_shuffle,
+    group_sample_topk,
+    temperature_sample,
+)
+from seatunnel_spark.dataops.text import cms_build, cms_estimate, heavy_hitters
 from seatunnel_spark.dataops.embeddings import (
     quantize_int8,
     dequant_error,
@@ -65,4 +70,5 @@ __all__ = [
     "doc_chunks", "bm25_topk", "pagerank",
     "passage_dedup_apply", "temperature_sample",
     "quantize_int8", "dequant_error", "kmeans_fit", "kmeans_assign",
+    "group_sample_topk", "cms_build", "cms_estimate", "heavy_hitters",
 ]

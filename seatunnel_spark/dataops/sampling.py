@@ -152,5 +152,39 @@ def temperature_sample(df: DataFrame, domain_col: str = "source",
     )
 
 
+def group_sample_topk(df: DataFrame, group_col: str, k: int,
+                      id_col: str = "doc_id", salt: int = 32) -> DataFrame:
+    """Exactly-k uniform sample per group, deterministic and skew-proof.
+
+    Priority = md5 of the id — a fixed-width hex STRING, so the order
+    is identical in any engine (no float math, no RNG, no seed). The
+    k smallest priorities per group are a uniform without-replacement
+    k-sample, reproducible forever.
+
+    A single window partitioned by group would funnel each group's
+    ENTIRE row set through one task — a hot domain at 100 TB is a
+    straggler. Two phases fix it: (1) rank within (group, salt) —
+    `salt` buckets from the id hash — and keep each bucket's top k;
+    (2) rank the survivors (<= salt*k rows per group, thousands not
+    billions) within the group. Any group winner is also a winner of
+    its own salt bucket, so phase 2 sees every true top-k candidate.
+    """
+    from pyspark.sql import Window
+
+    pri = F.md5(F.col(id_col).cast("string"))
+    slt = F.conv(F.substring(pri, 25, 6), 16, 10).cast("long") % salt
+    w1 = (Window.partitionBy(group_col, "__salt")
+          .orderBy("__pri", id_col))
+    w2 = Window.partitionBy(group_col).orderBy("__pri", id_col)
+    return (df
+            .withColumn("__pri", pri).withColumn("__salt", slt)
+            .withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= k)
+            .withColumn("sample_rank", F.row_number().over(w2).cast("int"))
+            .filter(F.col("sample_rank") <= k)
+            .drop("__pri", "__salt", "__r1"))
+
+
 __all__ = ["hash_bucket", "split_assign", "stratified_sample",
-           "domain_rebalance", "global_shuffle", "temperature_sample"]
+           "domain_rebalance", "global_shuffle", "temperature_sample",
+           "group_sample_topk"]

@@ -411,6 +411,64 @@ def doc_chunks(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _cms_pos(token, d: int, width_hex: int = 3):
+    """Row-d count-min bucket for a token: the first `width_hex` chars
+    of md5(token||'#d') — a fixed-width hex STRING key (16^width_hex
+    buckets). String keys sidestep hex->int conversion differences
+    across engines, so the sketch replays bit-identically in DuckDB."""
+    return F.substring(F.md5(F.concat(token, F.lit(f"#{d}"))), 1, width_hex)
+
+
+def cms_build(df: DataFrame, text_col: str = "text", depth: int = 4,
+              width_hex: int = 3, lowercase: bool = True) -> DataFrame:
+    """Count-min sketch of corpus token frequencies -> (d, pos, cnt).
+
+    depth x 16^width_hex counters (4 x 4096 default). ONE corpus scan:
+    each token emits its depth (d, pos) pairs from a single explode,
+    and the map-side-combined groupBy((d, pos)) means the shuffle
+    carries at most depth * 16^width_hex * n_partitions partial rows
+    no matter the corpus size; the finished sketch (<= 16k rows)
+    broadcasts anywhere. Mergeable across corpora by summing cnt on
+    (d, pos)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col)) if lowercase
+                          else F.col(text_col)), r"\s+")
+    tokens = (df.select(F.explode(toks).alias("token"))
+              .filter(F.col("token") != ""))
+    dp = F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 _cms_pos(F.col("token"), d, width_hex).alias("pos"))
+        for d in range(depth)])).alias("dp")
+    return (tokens.select(dp)
+            .groupBy(F.col("dp.d").alias("d"), F.col("dp.pos").alias("pos"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_estimate(cms: DataFrame, probes: DataFrame,
+                 token_col: str = "token", depth: int = 4,
+                 width_hex: int = 3) -> DataFrame:
+    """Point-query the sketch for each probe token -> (token, est).
+
+    est = min over rows d of the counter at that row's bucket — the
+    classic CMS guarantee: est >= true count always, and the over-
+    estimate is bounded by collisions in the narrowest row. The probe
+    side joins the (tiny, auto-broadcast) sketch by (d, pos); missing
+    buckets count 0."""
+    keyed = probes.select(token_col)
+    for d in range(depth):
+        keyed = keyed.withColumn(f"__p{d}",
+                                 _cms_pos(F.col(token_col), d, width_hex))
+    long = keyed.select(
+        token_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"), F.col(f"__p{d}").alias("pos"))
+            for d in range(depth)])).alias("dp"))
+    return (long.select(token_col, F.col("dp.d").alias("d"),
+                       F.col("dp.pos").alias("pos"))
+           .join(F.broadcast(cms), ["d", "pos"], "left")
+           .groupBy(token_col)
+           .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est")))
+
+
 def heavy_hitters(df: DataFrame, text_col: str = "text",
                   min_count: int = 100, capacity: int = 4096,
                   lowercase: bool = True) -> DataFrame:

@@ -1233,3 +1233,105 @@ def test_heavy_hitters_tiny_capacity_no_false_positives(spark):
            for r in heavy_hitters(docs, min_count=40, capacity=2).collect()}
     for tok, cnt in got.items():
         assert truth[tok] == cnt  # exact counts, no spurious tokens
+
+
+def test_group_sample_topk_matches_single_window(spark):
+    """The salted two-phase plan must equal the plain definition:
+    k smallest md5(id) per group."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.sampling import group_sample_topk
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(200)] + [(1000 + i, "hot") for i in range(500)],
+        "doc_id long, source string").repartition(16)
+    k = 7
+    got = sorted(map(tuple, group_sample_topk(df, "source", k=k)
+                     .select("source", "doc_id", "sample_rank").collect()))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    want = sorted(map(tuple, df
+                      .withColumn("sample_rank",
+                                  F.row_number().over(w).cast("int"))
+                      .filter(F.col("sample_rank") <= k)
+                      .select("source", "doc_id", "sample_rank").collect()))
+    assert got == want
+    # exactly k per group (every group here has > k rows)
+    per_group = {}
+    for src, _, _ in got:
+        per_group[src] = per_group.get(src, 0) + 1
+    assert per_group == {"g0": k, "g1": k, "g2": k, "hot": k}
+
+
+def test_group_sample_topk_small_group_keeps_all(spark):
+    from seatunnel_spark.dataops.sampling import group_sample_topk
+
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny"), (3, "big"), (4, "big"), (5, "big")],
+        "doc_id long, source string")
+    got = group_sample_topk(df, "source", k=4).collect()
+    counts = {}
+    for r in got:
+        counts[r["source"]] = counts.get(r["source"], 0) + 1
+    assert counts == {"tiny": 2, "big": 3}
+    ranks = sorted(r["sample_rank"] for r in got if r["source"] == "big")
+    assert ranks == [1, 2, 3]
+
+
+def test_cms_estimate_never_underestimates_and_is_tight(spark):
+    """CMS guarantee: est >= true count for every probed token; with
+    4x4096 counters and a tiny vocabulary the estimates are exact."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.text import cms_build, cms_estimate
+
+    docs = spark.createDataFrame(
+        [(i, ("alpha " * 3) + ("beta " * (i % 4)) + f"uniq{i}")
+         for i in range(50)],
+        "doc_id int, text string").repartition(8)
+    toks = docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+                       .alias("token")).filter(F.col("token") != "")
+    truth = {r["token"]: r["cnt"] for r in
+             toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+                 .collect()}
+    cms = cms_build(docs)
+    probes = toks.select("token").distinct()
+    got = {r["token"]: r["est"] for r in cms_estimate(cms, probes).collect()}
+    assert set(got) == set(truth)
+    for tok, true_cnt in truth.items():
+        assert got[tok] >= true_cnt, tok
+    # small vocab, wide sketch: collisions are overwhelmingly unlikely
+    # in EVERY one of the 4 rows at once, so min() recovers the truth
+    assert got["alpha"] == truth["alpha"]
+    assert got["beta"] == truth["beta"]
+
+
+def test_cms_unseen_token_estimates_small(spark):
+    """A token absent from the corpus can only collide; with 4 rows of
+    4096 buckets over a tiny corpus the min over rows is 0."""
+    from seatunnel_spark.dataops.text import cms_build, cms_estimate
+
+    docs = spark.createDataFrame(
+        [(i, "x y z") for i in range(10)], "doc_id int, text string")
+    cms = cms_build(docs)
+    probes = spark.createDataFrame([("never-seen-token",)], "token string")
+    got = cms_estimate(cms, probes).collect()
+    assert len(got) == 1 and got[0]["est"] == 0
+
+
+def test_cms_mergeable_across_corpora(spark):
+    """Summing two sketches on (d, pos) equals the sketch of the
+    union — the property that lets 100 TB build per-partition and
+    merge."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.text import cms_build
+
+    a = spark.createDataFrame([(1, "p q p")], "doc_id int, text string")
+    b = spark.createDataFrame([(2, "q r")], "doc_id int, text string")
+    merged = (cms_build(a).unionByName(cms_build(b))
+              .groupBy("d", "pos").agg(F.sum("cnt").alias("cnt")))
+    whole = cms_build(a.unionByName(b))
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, whole.collect())))

@@ -378,3 +378,23 @@ def test_decontam_bloom_confirm_join_after_filter(plans):
     p = plans("decontam_bloom")
     assert "ArrowEvalPython" in p
     assert "LeftSemi" in p
+
+
+def test_group_sample_topk_salted_two_phase(plans):
+    # phase 1 ranks within (group, salt): the wide window must carry
+    # the salt key so a hot group spreads across tasks; phase 2's
+    # per-group window sees only <= salt*k survivors.
+    p = plans("sample_group_topk")
+    assert p.count("Window") >= 2
+    assert "__salt" in p
+    assert "CartesianProduct" not in p
+
+
+def test_cms_build_partial_agg_probe_broadcast(plans):
+    # the sketch build must map-side combine (bounded shuffle rows no
+    # matter the corpus size) and the probe join must broadcast the
+    # <=16k-row sketch, never shuffle the probes against it.
+    p = plans("text_cms_counts")
+    assert "partial_count" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
