@@ -1683,6 +1683,54 @@ def text_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(cms, probes)
 
 
+def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-confirmed near-dup pairs (dataops/dedup.py:
+    fuzzy_dup_pairs): prefix-blocked candidates confirmed by Spark's
+    banded THRESHOLD levenshtein — the sequence-order-sensitive
+    complement to the minhash/simhash set family. Hot prefix blocks
+    capped, so the per-block self-join is bounded at any corpus
+    size."""
+    from seatunnel_spark.dataops.dedup import fuzzy_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return fuzzy_dup_pairs(d, "doc_id", "text")
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomalies (dataops/analytics.py:
+    zscore_outliers): the |groups|-row stats table broadcasts back
+    onto the event log — the fact table itself never shuffles (plan-
+    tested), unlike the window formulation which sorts every event
+    per group."""
+    from seatunnel_spark.dataops.analytics import zscore_outliers
+
+    e = _t(spark, sf_dir, "events")
+    out = zscore_outliers(e, "event_type", "value", threshold=2.5)
+    return out.select("event_id", "event_type", "value", "z")
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of l_extendedprice (dataops/analytics.py:
+    equiwidth_histogram): the [min,max] span is a 1-row broadcast —
+    never a collect — and the count shuffle carries at most
+    n_bins x n_partitions partial rows."""
+    from seatunnel_spark.dataops.analytics import equiwidth_histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    return equiwidth_histogram(li, "l_extendedprice", n_bins=20)
+
+
+def text_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution KL divergence vs the corpus blend
+    (dataops/text.py:domain_kl_drift) — the data-mixing drift
+    diagnostic. All wide work is vocabulary-sized; raw text never
+    shuffles."""
+    from seatunnel_spark.dataops.text import domain_kl_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return domain_kl_drift(d, "source", "text")
+
+
 # ===========================================================================
 # TPC-H completion suite — the remaining classic shapes, adapted where the
 # driver's schema lacks a table/column (no partsupp, no commit/receipt
@@ -2086,6 +2134,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heavy_hitters": text_heavy_hitters,
         "sample_group_topk": sample_group_topk,
         "text_cms_counts": text_cms_counts,
+        "dedup_fuzzy": dedup_fuzzy,
+        "q_zscore_outliers": q_zscore_outliers,
+        "q_histogram": q_histogram,
+        "text_kl_drift": text_kl_drift,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
@@ -3775,6 +3827,84 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed k
             LEFT JOIN cms c ON k.d = c.d AND k.pos = c.pos
             GROUP BY k.token
+        """,
+        # Exact replay of the prefix-blocked edit-distance confirm.
+        # Spark's threshold levenshtein (-1 above 40) composed with
+        # dist <= bound equals the full-distance filter stated here.
+        # levenshtein is char-based in Spark / byte-based in DuckDB —
+        # identical on this ASCII corpus.
+        "dedup_fuzzy": """
+            WITH base AS (
+              SELECT doc_id AS id, text AS t, length(text) AS len,
+                     array_to_string(string_split_regex(
+                       trim(lower(text)), '\\s+')[1:4], ' ') AS bkey
+              FROM documents
+            )
+            SELECT a.id AS id1, b.id AS id2,
+                   levenshtein(a.t, b.t) AS dist,
+                   round(levenshtein(a.t, b.t)
+                         / greatest(a.len, b.len), 4) AS rel_dist
+            FROM base a JOIN base b USING (bkey)
+            WHERE a.id < b.id
+              AND levenshtein(a.t, b.t)
+                  <= least(40, floor(0.25 * greatest(a.len, b.len)))
+        """,
+        # z is rounded to 3 decimals BEFORE the threshold test in both
+        # engines, so float summation-order noise in mu/sd (~1e-15)
+        # cannot flip membership.
+        "q_zscore_outliers": """
+            WITH s AS (
+              SELECT event_type, avg(value) AS mu,
+                     stddev_samp(value) AS sd
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   round((e.value - s.mu) / s.sd, 3) AS z
+            FROM events e JOIN s USING (event_type)
+            WHERE s.sd > 0
+              AND abs(round((e.value - s.mu) / s.sd, 3)) > 2.5
+        """,
+        # All bin math in double with the same exact mn/mx scalars, so
+        # floor((v-mn)/width) replays bit-identically.
+        "q_histogram": """
+            WITH span AS (
+              SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+                     max(CAST(l_extendedprice AS DOUBLE)) AS mx
+              FROM lineitem
+            ), b AS (
+              SELECT CAST(least(floor((CAST(l_extendedprice AS DOUBLE)
+                                       - mn) / ((mx - mn) / 20.0)),
+                                19) AS INT) AS bin,
+                     mn, mx
+              FROM lineitem CROSS JOIN span
+              WHERE l_extendedprice IS NOT NULL
+            )
+            SELECT bin,
+                   round(mn + bin * ((mx - mn) / 20.0), 4) AS lo,
+                   round(mn + (bin + 1) * ((mx - mn) / 20.0), 4) AS hi,
+                   count(*) AS cnt
+            FROM b GROUP BY 1, 2, 3
+        """,
+        "text_kl_drift": """
+            WITH dt AS (
+              SELECT domain, token, count(*) AS c_dt
+              FROM (SELECT source AS domain,
+                           unnest(string_split_regex(
+                             trim(lower(text)), '\\s+')) AS token
+                    FROM documents)
+              WHERE token <> ''
+              GROUP BY 1, 2
+            ), corpus AS (
+              SELECT token, sum(c_dt) AS c_t FROM dt GROUP BY 1
+            ), nc AS (SELECT sum(c_t) AS n_corpus FROM corpus),
+            nd AS (SELECT domain, sum(c_dt) AS n_d FROM dt GROUP BY 1)
+            SELECT dt.domain, max(n_d) AS n_tokens,
+                   round(sum((c_dt / n_d)
+                             * ln((c_dt / n_d) / (c_t / n_corpus))),
+                         5) AS kl
+            FROM dt JOIN corpus USING (token) JOIN nd USING (domain)
+                    CROSS JOIN nc
+            GROUP BY dt.domain
         """,
         "q6_forecast_revenue": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue

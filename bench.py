@@ -77,6 +77,10 @@ BENCH_QUERIES = [
     # round-6 late additions (append-only)
     "sample_group_topk",
     "text_cms_counts",
+    "dedup_fuzzy",
+    "q_zscore_outliers",
+    "q_histogram",
+    "text_kl_drift",
 ]
 
 

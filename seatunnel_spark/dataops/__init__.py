@@ -49,7 +49,17 @@ from seatunnel_spark.dataops.sampling import (
     group_sample_topk,
     temperature_sample,
 )
-from seatunnel_spark.dataops.text import cms_build, cms_estimate, heavy_hitters
+from seatunnel_spark.dataops.text import (
+    cms_build,
+    cms_estimate,
+    domain_kl_drift,
+    heavy_hitters,
+)
+from seatunnel_spark.dataops.analytics import (
+    equiwidth_histogram,
+    zscore_outliers,
+)
+from seatunnel_spark.dataops.dedup import fuzzy_dup_pairs
 from seatunnel_spark.dataops.embeddings import (
     quantize_int8,
     dequant_error,
@@ -71,4 +81,6 @@ __all__ = [
     "passage_dedup_apply", "temperature_sample",
     "quantize_int8", "dequant_error", "kmeans_fit", "kmeans_assign",
     "group_sample_topk", "cms_build", "cms_estimate", "heavy_hitters",
+    "domain_kl_drift", "equiwidth_histogram", "zscore_outliers",
+    "fuzzy_dup_pairs",
 ]

@@ -165,5 +165,61 @@ def moving_average(df: DataFrame, ts_col: str, group_col: str,
         F.round(F.avg("n").over(w), 4).alias(f"ma{window_rows}_n"))
 
 
+def zscore_outliers(df: DataFrame, group_col: str, value_col: str,
+                    threshold: float = 2.5,
+                    round_to: int = 3) -> DataFrame:
+    """Per-group z-score anomaly flagging: rows whose value sits more
+    than `threshold` sample standard deviations from their group mean.
+
+    Two-pass shape that scales: (1) one map-side-combined aggregation
+    computes each group's mean/stddev (tiny result — |groups| rows);
+    (2) the stats broadcast back onto the fact table, so the event log
+    itself never shuffles — the ONLY wide exchange carries |groups|
+    rows. A window over the raw rows would instead sort the whole fact
+    table per group. Degenerate groups (n < 2 or zero variance) emit
+    no outliers, matching the SQL NULL-stddev semantics."""
+    stats = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_samp(value_col).alias("__sd"))
+    z = (F.col(value_col) - F.col("__mu")) / F.col("__sd")
+    return (df.join(F.broadcast(stats),
+                    F.col(group_col) == F.col("__g"))
+            .filter(F.col("__sd") > 0)
+            .withColumn("z", F.round(z, round_to))
+            .filter(F.abs(F.col("z")) > threshold)
+            .drop("__g", "__mu", "__sd"))
+
+
+def equiwidth_histogram(df: DataFrame, value_col: str,
+                        n_bins: int = 20) -> DataFrame:
+    """Equi-width histogram of a numeric column -> (bin, lo, hi, cnt).
+
+    The [min, max] span comes from a 1-row aggregate broadcast onto
+    the scan (BroadcastNestedLoopJoin of one row — never a driver
+    collect), then bin = floor((v - mn) / width) clamped so v == max
+    lands in the last bin. ONE full-width pass; the shuffle carries at
+    most n_bins × n_partitions partial counts. All arithmetic in
+    double so any engine replays bit-identically."""
+    span = df.agg(F.min(F.col(value_col).cast("double")).alias("__mn"),
+                  F.max(F.col(value_col).cast("double")).alias("__mx"))
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins))
+    v = F.col(value_col).cast("double")
+    bin_ = F.least(F.floor((v - F.col("__mn")) / width),
+                   F.lit(n_bins - 1)).cast("int")
+    return (df.join(F.broadcast(span))
+            .filter(v.isNotNull())
+            .withColumn("bin", bin_)
+            .withColumn("lo", F.round(F.col("__mn")
+                                      + F.col("bin") * width, 4))
+            .withColumn("hi", F.round(F.col("__mn")
+                                      + (F.col("bin") + 1) * width, 4))
+            # lo/hi are functions of bin: grouping by all three keeps
+            # the single map-side-combined exchange
+            .groupBy("bin", "lo", "hi")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select("bin", "lo", "hi", "cnt"))
+
+
 __all__ = ["funnel", "cohort_retention", "pivot_counts", "ngram_stats",
-           "corpus_overlap", "json_bucket_stats", "moving_average"]
+           "corpus_overlap", "json_bucket_stats", "moving_average",
+           "zscore_outliers", "equiwidth_histogram"]

@@ -808,3 +808,53 @@ def passage_dedup_apply(df: DataFrame, id_col: str = "doc_id",
         F.size("__chunks").alias("n_chunks"),
         F.size(kp).alias("n_kept"),
     )
+
+
+def fuzzy_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", block_words: int = 4,
+                    max_dist: int = 40, max_rel: float = 0.25,
+                    max_bucket: int | None = 256) -> DataFrame:
+    """Edit-distance-confirmed near-duplicate pairs.
+
+    The sequence-based complement to the set-based family
+    (minhash/simhash/jaccard): catches small in-place edits — typo
+    fixes, a swapped token, a trimmed suffix — where word ORDER is
+    preserved, which shingle sets can miss, and never fires on
+    bag-of-words coincidences, which they can.
+
+    Blocking: the first `block_words` lowercased words. A near-dup in
+    the edit-distance sense keeps its prefix unless the edit lands in
+    the first few words (the standard prefix-blocking trade-off;
+    combine with `minhash_lsh_pairs` for order-insensitive recall).
+    Hot blocks (boilerplate prefixes) are capped by `_cap_buckets`, so
+    the per-block self-join is bounded <= max_bucket² at ANY corpus
+    size.
+
+    Confirm: Spark's THRESHOLD levenshtein (banded DP — O(len·k), not
+    O(len²); returns -1 above `max_dist`), then the relative bound
+    dist <= max_rel · max(len) so short texts aren't over-matched.
+    Levenshtein is CHARACTER-based in Spark but BYTE-based in DuckDB —
+    identical on ASCII corpora; normalize or transliterate first when
+    replaying a unicode corpus against a byte-based oracle.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("t"),
+        F.length(text_col).alias("len"),
+        F.concat_ws(" ", F.slice(words, 1, block_words)).alias("bkey"))
+    base = _cap_buckets(base, ["bkey"], max_bucket)
+    a = base.select("bkey", F.col("id").alias("id1"),
+                    F.col("t").alias("t1"), F.col("len").alias("len1"))
+    b = base.select("bkey", F.col("id").alias("id2"),
+                    F.col("t").alias("t2"), F.col("len").alias("len2"))
+    g = F.greatest("len1", "len2")
+    bound = F.least(F.lit(max_dist), F.floor(F.lit(max_rel) * g))
+    dist = F.levenshtein("t1", "t2", max_dist)
+    return (a.join(b, "bkey")
+            .filter(F.col("id1") < F.col("id2"))
+            # levenshtein >= |len1-len2|: free prefilter before the DP
+            .filter(F.abs(F.col("len1") - F.col("len2")) <= bound)
+            .withColumn("dist", dist)
+            .filter((F.col("dist") >= 0) & (F.col("dist") <= bound))
+            .select("id1", "id2", "dist",
+                    F.round(F.col("dist") / g, 4).alias("rel_dist")))

@@ -528,3 +528,44 @@ def heavy_hitters(df: DataFrame, text_col: str = "text",
             .groupBy("token")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .filter(F.col("cnt") >= min_count))
+
+
+def domain_kl_drift(df: DataFrame, domain_col: str = "source",
+                    text_col: str = "text",
+                    round_to: int = 5) -> DataFrame:
+    """Per-domain token-distribution drift: KL(P_domain || P_corpus)
+    -> (domain, n_tokens, kl) — the data-mixing diagnostic that tells
+    you which source's language diverges from the blend (candidates
+    for re-weighting or inspection before training).
+
+    KL = Σ_t p_t·ln(p_t/q_t) over the domain's tokens, where p is the
+    domain distribution and q the whole-corpus distribution. Every
+    domain token also appears in the corpus by construction, so q_t>0
+    and the sum is finite.
+
+    Scale shape: ONE tokenize pass feeds both distributions; the wide
+    work is a map-side-combined count on (domain, token) — vocabulary-
+    not corpus-sized. The corpus marginal re-aggregates from those
+    partials (never re-scans text) and joins back on token — left to
+    AQE, since the vocabulary can itself be huge at 100 TB (broadcast
+    when small, shuffle when not). Only the per-domain totals (a
+    |domains|-row table) are forced broadcast. No row of raw text
+    ever rides a shuffle."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    dt = (df.select(F.col(domain_col).alias("domain"),
+                    F.explode(toks).alias("token"))
+          .filter(F.col("token") != "")
+          .groupBy("domain", "token")
+          .agg(F.count(F.lit(1)).alias("c_dt")))
+    corpus = dt.groupBy("token").agg(F.sum("c_dt").alias("c_t"))
+    tot_corpus = corpus.agg(F.sum("c_t").alias("n_corpus"))
+    per_dom = dt.groupBy("domain").agg(F.sum("c_dt").alias("n_d"))
+    p = F.col("c_dt") / F.col("n_d")
+    q = F.col("c_t") / F.col("n_corpus")
+    return (dt.join(corpus, "token")
+            .join(F.broadcast(per_dom), "domain")
+            .join(F.broadcast(tot_corpus))
+            .groupBy("domain")
+            .agg(F.max("n_d").alias("n_tokens"),
+                 F.round(F.sum(p * F.log(p / q)), round_to).alias("kl"))
+            .select("domain", "n_tokens", "kl"))

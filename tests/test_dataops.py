@@ -1335,3 +1335,108 @@ def test_cms_mergeable_across_corpora(spark):
     whole = cms_build(a.unionByName(b))
     assert (sorted(map(tuple, merged.collect()))
             == sorted(map(tuple, whole.collect())))
+
+
+def test_fuzzy_dup_pairs_confirms_small_edits_only(spark):
+    """Same-prefix small edit -> pair; same-prefix rewrite -> no pair;
+    different prefix -> never a candidate even if texts are close."""
+    from seatunnel_spark.dataops.dedup import fuzzy_dup_pairs
+
+    base = "alpha beta gamma delta " + "word " * 30
+    rows = [
+        (1, base),
+        (2, base.replace("word", "ward", 3)),       # 3 substitutions
+        (3, "alpha beta gamma delta " + "zzz " * 30),  # same prefix, far
+        (4, "ALPHA beta gamma delta " + "word " * 30),  # blocks with base
+        (5, "omega beta gamma delta " + "word " * 30),  # prefix differs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id1"], r["id2"]): r["dist"]
+           for r in fuzzy_dup_pairs(df, max_dist=10, max_rel=0.2).collect()}
+    assert got[(1, 2)] == 3
+    # blocking case-folds, but the confirm distance is on RAW text:
+    # the 5 upper-case chars count as edits
+    assert got[(1, 4)] == 5 and got[(2, 4)] == 8
+    assert not any(3 in k or 5 in k for k in got)
+
+
+def test_fuzzy_dup_pairs_threshold_equals_full_distance(spark):
+    """The banded threshold levenshtein + relative bound must equal
+    the naive full-distance filter on a random-ish corpus."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.dedup import fuzzy_dup_pairs
+
+    rows = [(i, "p q r s " + " ".join(
+        f"w{(i * 7 + j) % 5}" for j in range(10))) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r["id1"], r["id2"], r["dist"]) for r in
+                 fuzzy_dup_pairs(df, max_dist=12, max_rel=0.5).collect())
+    a = df.select(F.col("doc_id").alias("id1"), F.col("text").alias("t1"),
+                  F.length("text").alias("n1"))
+    b = df.select(F.col("doc_id").alias("id2"), F.col("text").alias("t2"),
+                  F.length("text").alias("n2"))
+    g = F.greatest("n1", "n2")
+    naive = (a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
+             .withColumn("dist", F.levenshtein("t1", "t2"))
+             .filter(F.col("dist") <= F.least(F.lit(12),
+                                              F.floor(0.5 * g))))
+    want = sorted((r["id1"], r["id2"], r["dist"]) for r in naive.collect())
+    assert got == want and len(got) > 0
+
+
+def test_zscore_outliers_matches_definition(spark):
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.analytics import zscore_outliers
+
+    rows = ([(i, "a", 10.0) for i in range(20)] + [(100, "a", 500.0)]
+            + [(200, "b", 5.0), (201, "b", 5.0)]       # zero variance
+            + [(300, "c", 1.0)])                        # n=1 -> sd NULL
+    df = spark.createDataFrame(rows, "event_id long, grp string, v double")
+    got = zscore_outliers(df, "grp", "v", threshold=2.5).collect()
+    assert [r["event_id"] for r in got] == [100]
+    import statistics
+    vals = [10.0] * 20 + [500.0]
+    z = (500.0 - statistics.mean(vals)) / statistics.stdev(vals)
+    assert abs(got[0]["z"] - round(z, 3)) < 1e-9
+
+
+def test_equiwidth_histogram_bins_and_bounds(spark):
+    from seatunnel_spark.dataops.analytics import equiwidth_histogram
+
+    df = spark.createDataFrame([(float(v),) for v in range(0, 101)]
+                               + [(None,)], "v double")
+    got = {r["bin"]: (r["lo"], r["hi"], r["cnt"])
+           for r in equiwidth_histogram(df, "v", n_bins=10).collect()}
+    assert sum(c for _, _, c in got.values()) == 101  # null dropped
+    assert got[0] == (0.0, 10.0, 10)
+    # v == max lands in the LAST bin, not bin n_bins
+    assert got[9] == (90.0, 100.0, 11)
+    assert set(got) == set(range(10))
+
+
+def test_domain_kl_drift_zero_for_identical_and_positive_for_skew(spark):
+    import math
+
+    from seatunnel_spark.dataops.text import domain_kl_drift
+
+    df = spark.createDataFrame(
+        [(1, "a", "x y"), (2, "a", "x y"),
+         (3, "b", "x y"), (4, "b", "x y")],
+        "doc_id long, source string, text string")
+    got = {r["source"]: r for r in
+           domain_kl_drift(df, "source", "text")
+           .withColumnRenamed("domain", "source").collect()}
+    assert got["a"]["kl"] == 0.0 and got["b"]["kl"] == 0.0
+    assert got["a"]["n_tokens"] == 4
+
+    df2 = spark.createDataFrame(
+        [(1, "a", "x x x y"), (2, "b", "x y y y")],
+        "doc_id long, source string, text string")
+    got2 = {r["domain"]: r["kl"] for r in
+            domain_kl_drift(df2, "source", "text").collect()}
+    # corpus is 50/50; each domain is 75/25 -> KL = .75 ln1.5 + .25 ln.5
+    want = 0.75 * math.log(1.5) + 0.25 * math.log(0.5)
+    assert abs(got2["a"] - round(want, 5)) < 1e-9
+    assert abs(got2["b"] - round(want, 5)) < 1e-9

@@ -398,3 +398,36 @@ def test_cms_build_partial_agg_probe_broadcast(plans):
     assert "partial_count" in p
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_fuzzy_dedup_block_join_no_cartesian(plans):
+    # pairs come from an equi-join on the prefix block key, never a
+    # cartesian; the hot-block cap's window rides the same exchange.
+    p = plans("dedup_fuzzy")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "levenshtein" in p
+
+
+def test_zscore_stats_broadcast_fact_never_shuffles(plans):
+    # the |groups|-row stats side broadcasts; the events scan must not
+    # feed an Exchange (a window formulation would sort the fact table)
+    p = plans("q_zscore_outliers")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "Window" not in p
+
+
+def test_histogram_span_broadcast_single_count_shuffle(plans):
+    # 1-row min/max broadcast (never a collect), then ONE partial-
+    # aggregated exchange for the bin counts.
+    p = plans("q_histogram")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
+
+
+def test_kl_drift_text_never_shuffles(plans):
+    # the only wide exchanges are vocabulary-sized aggregates: the raw
+    # text column must not appear in any Exchange input.
+    p = plans("text_kl_drift")
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
