@@ -849,11 +849,19 @@ def fuzzy_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                     F.col("t").alias("t2"), F.col("len").alias("len2"))
     g = F.greatest("len1", "len2")
     bound = F.least(F.lit(max_dist), F.floor(F.lit(max_rel) * g))
-    dist = F.levenshtein("t1", "t2", max_dist)
+    # The DP must be GUARDED, not just filtered: Catalyst folds the
+    # dist filters into the join condition and reorders conjuncts, so
+    # every self-pair (each row bkey-matches itself) would pay the
+    # full banded levenshtein before id1 < id2 discards it — ~90 % of
+    # all matched pairs on a mostly-unique corpus, measured 3x wall.
+    # The when() short-circuits per row whatever the conjunct order;
+    # |len1-len2| <= bound is a true lower bound on the distance, so
+    # the guard never changes the result.
+    cheap = ((F.col("id1") < F.col("id2"))
+             & (F.abs(F.col("len1") - F.col("len2")) <= bound))
+    dist = F.when(cheap, F.levenshtein("t1", "t2", max_dist)) \
+        .otherwise(F.lit(-1))
     return (a.join(b, "bkey")
-            .filter(F.col("id1") < F.col("id2"))
-            # levenshtein >= |len1-len2|: free prefilter before the DP
-            .filter(F.abs(F.col("len1") - F.col("len2")) <= bound)
             .withColumn("dist", dist)
             .filter((F.col("dist") >= 0) & (F.col("dist") <= bound))
             .select("id1", "id2", "dist",
