@@ -1720,6 +1720,18 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equiwidth_histogram(li, "l_extendedprice", n_bins=20)
 
 
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP sequence matching (dataops/analytics.py:
+    event_pattern_match): users with >= 3 CONSECUTIVE errors — an
+    adjacency+repetition shape funnel()'s min-ts ordering can't
+    express. One event-log shuffle on user; regex per entity,
+    JVM-side; (ts, event_id) tiebreak makes matches deterministic."""
+    from seatunnel_spark.dataops.analytics import event_pattern_match
+
+    e = _t(spark, sf_dir, "events")
+    return event_pattern_match(e, r"error( error){2}")
+
+
 def text_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-distribution KL divergence vs the corpus blend
     (dataops/text.py:domain_kl_drift) — the data-mixing drift
@@ -2138,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zscore_outliers": q_zscore_outliers,
         "q_histogram": q_histogram,
         "text_kl_drift": text_kl_drift,
+        "q_event_pattern": q_event_pattern,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
@@ -3884,6 +3897,17 @@ def oracle_sql() -> dict[str, str]:
                    round(mn + (bin + 1) * ((mx - mn) / 20.0), 4) AS hi,
                    count(*) AS cnt
             FROM b GROUP BY 1, 2, 3
+        """,
+        # string_agg(... ORDER BY ts, event_id) replays Spark's
+        # array_sort(struct(ts, event_id, type)) ordering exactly;
+        # the regex is engine-neutral (no lookaround/backrefs).
+        "q_event_pattern": """
+            SELECT user_id AS entity, count(*) AS n_events
+            FROM events
+            GROUP BY user_id
+            HAVING regexp_matches(
+                     string_agg(event_type, ' ' ORDER BY ts, event_id),
+                     'error( error){2}')
         """,
         "text_kl_drift": """
             WITH dt AS (

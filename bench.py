@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "q_zscore_outliers",
     "q_histogram",
     "text_kl_drift",
+    "q_event_pattern",
 ]
 
 

@@ -220,6 +220,40 @@ def equiwidth_histogram(df: DataFrame, value_col: str,
             .select("bin", "lo", "hi", "cnt"))
 
 
+def event_pattern_match(df: DataFrame, pattern: str,
+                        entity_col: str = "user_id",
+                        ts_col: str = "ts",
+                        order_col: str = "event_id",
+                        type_col: str = "event_type") -> DataFrame:
+    """CEP-style sequence-pattern matching: entities whose time-ordered
+    event-type sequence matches a regex — the batch analog of
+    MATCH_RECOGNIZE / FlinkCEP for shapes like "3 consecutive errors"
+    or "view then cart then purchase" that funnel() (min-timestamp
+    conditional agg) cannot express, because they need adjacency and
+    repetition, not just ordering.
+
+    The per-entity sequence is built as a space-joined string of event
+    types sorted by (ts, order_col) — the tiebreaker makes the
+    sequence, and therefore the match, deterministic under equal
+    timestamps in any engine.
+
+    Scale: the event log shuffles ONCE on entity (inherent to any
+    per-entity sequence semantics); everything after operates on
+    |entities| rows. Sequence length is bounded by per-entity
+    activity — pre-cap degenerate entities (bots) upstream with a
+    count filter when activity is unbounded. The regex runs once per
+    entity, JVM-side."""
+    ordered = F.array_sort(F.collect_list(
+        F.struct(F.col(ts_col), F.col(order_col), F.col(type_col))))
+    seq = F.array_join(
+        F.transform(ordered, lambda s: s[type_col]), " ")
+    return (df.groupBy(F.col(entity_col).alias("entity"))
+            .agg(F.count(F.lit(1)).alias("n_events"), seq.alias("__seq"))
+            .filter(F.col("__seq").rlike(pattern))
+            .select("entity", "n_events"))
+
+
 __all__ = ["funnel", "cohort_retention", "pivot_counts", "ngram_stats",
            "corpus_overlap", "json_bucket_stats", "moving_average",
-           "zscore_outliers", "equiwidth_histogram"]
+           "zscore_outliers", "equiwidth_histogram",
+           "event_pattern_match"]

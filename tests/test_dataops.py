@@ -1440,3 +1440,28 @@ def test_domain_kl_drift_zero_for_identical_and_positive_for_skew(spark):
     want = 0.75 * math.log(1.5) + 0.25 * math.log(0.5)
     assert abs(got2["a"] - round(want, 5)) < 1e-9
     assert abs(got2["b"] - round(want, 5)) < 1e-9
+
+
+def test_event_pattern_match_adjacency_and_ties(spark):
+    """Adjacency is real (A..A..A non-consecutive must NOT match) and
+    equal timestamps break ties by order_col deterministically."""
+    import datetime
+
+    from seatunnel_spark.dataops.analytics import event_pattern_match
+
+    t0 = datetime.datetime(2026, 1, 1)
+    s = lambda sec: t0 + datetime.timedelta(seconds=sec)  # noqa: E731
+    rows = (
+        # u1: error error error (consecutive) -> match
+        [(1, s(i), 1, "error") for i in range(3)]
+        # u2: error click error click error -> NO match
+        + [(10 + i, s(i), 2, ["error", "click"][i % 2]) for i in range(5)]
+        # u3: ties — same ts, event_id orders click(20) before error(21,22,23)
+        + [(20, s(0), 3, "click"), (21, s(0), 3, "error"),
+           (22, s(0), 3, "error"), (23, s(0), 3, "error")]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r["entity"]: r["n_events"] for r in
+           event_pattern_match(df, r"error( error){2}").collect()}
+    assert got == {1: 3, 3: 4}

@@ -431,3 +431,11 @@ def test_kl_drift_text_never_shuffles(plans):
     p = plans("text_kl_drift")
     assert "partial_count" in p
     assert "CartesianProduct" not in p
+
+
+def test_event_pattern_single_entity_shuffle(plans):
+    # exactly one wide exchange (the per-entity grouping); the regex
+    # runs post-agg on |entities| rows, never on raw events
+    p = plans("q_event_pattern")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in p
