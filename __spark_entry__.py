@@ -1683,6 +1683,19 @@ def text_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(cms, probes)
 
 
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted exactly-k sample per source domain
+    (dataops/sampling.py:weighted_sample_topk — Efraimidis–Spirakis
+    A-ES keys u^(1/w) from md5-derived uniforms): P(pick) ∝ n_chars,
+    no RNG, replays bit-identically in any engine."""
+    from seatunnel_spark.dataops.sampling import weighted_sample_topk
+
+    d = _t(spark, sf_dir, "documents")
+    out = weighted_sample_topk(d, "source", k=10, weight_col="n_chars",
+                               id_col="doc_id")
+    return out.select("source", "doc_id", "n_chars", "sample_rank")
+
+
 def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-confirmed near-dup pairs (dataops/dedup.py:
     fuzzy_dup_pairs): prefix-blocked candidates confirmed by Spark's
@@ -2146,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heavy_hitters": text_heavy_hitters,
         "sample_group_topk": sample_group_topk,
         "text_cms_counts": text_cms_counts,
+        "sample_weighted": sample_weighted,
         "dedup_fuzzy": dedup_fuzzy,
         "q_zscore_outliers": q_zscore_outliers,
         "q_histogram": q_histogram,
@@ -3840,6 +3854,31 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed k
             LEFT JOIN cms c ON k.d = c.d AND k.pos = c.pos
             GROUP BY k.token
+        """,
+        # A-ES replay: u parsed from the md5 hex prefix (exact in
+        # double), key = u^(1/w); pow may differ by 1 ulp across
+        # libms but adjacent keys differ astronomically more, and
+        # exact ties fall back to the doc_id tiebreak in both engines.
+        "sample_weighted": """
+            WITH keyed AS (
+              SELECT source, doc_id, n_chars,
+                     power((list_sum(list_transform(
+                              generate_series(1, 8),
+                              i -> (strpos('0123456789abcdef',
+                                      substr(md5(CAST(doc_id AS VARCHAR)),
+                                             i, 1)) - 1)
+                                   * power(16, 8 - i))) + 0.5)
+                           / 4294967296.0,
+                           1.0 / CAST(n_chars AS DOUBLE)) AS key
+              FROM documents
+            )
+            SELECT source, doc_id, n_chars, CAST(rnk AS INT) AS sample_rank
+            FROM (SELECT source, doc_id, n_chars,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY key DESC, doc_id)
+                           AS rnk
+                  FROM keyed)
+            WHERE rnk <= 10
         """,
         # Exact replay of the prefix-blocked edit-distance confirm.
         # Spark's threshold levenshtein (-1 above 40) composed with

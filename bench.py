@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "q_histogram",
     "text_kl_drift",
     "q_event_pattern",
+    "sample_weighted",
 ]
 
 

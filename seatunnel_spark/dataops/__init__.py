@@ -48,6 +48,7 @@ from seatunnel_spark.dataops.sampling import (
     global_shuffle,
     group_sample_topk,
     temperature_sample,
+    weighted_sample_topk,
 )
 from seatunnel_spark.dataops.text import (
     cms_build,
@@ -57,6 +58,7 @@ from seatunnel_spark.dataops.text import (
 )
 from seatunnel_spark.dataops.analytics import (
     equiwidth_histogram,
+    event_pattern_match,
     zscore_outliers,
 )
 from seatunnel_spark.dataops.dedup import fuzzy_dup_pairs
@@ -82,5 +84,5 @@ __all__ = [
     "quantize_int8", "dequant_error", "kmeans_fit", "kmeans_assign",
     "group_sample_topk", "cms_build", "cms_estimate", "heavy_hitters",
     "domain_kl_drift", "equiwidth_histogram", "zscore_outliers",
-    "fuzzy_dup_pairs",
+    "fuzzy_dup_pairs", "weighted_sample_topk", "event_pattern_match",
 ]

@@ -185,6 +185,41 @@ def group_sample_topk(df: DataFrame, group_col: str, k: int,
             .drop("__pri", "__salt", "__r1"))
 
 
+def weighted_sample_topk(df: DataFrame, group_col: str, k: int,
+                         weight_col: str, id_col: str = "doc_id",
+                         salt: int = 32) -> DataFrame:
+    """Exactly-k WEIGHTED sample without replacement per group,
+    deterministic (Efraimidis–Spirakis A-ES): key = u^(1/w) with u a
+    uniform in (0,1), keep the k largest keys. P(selection) is
+    proportional to weight — e.g. weight by document length to bias a
+    QA sample toward long documents — and the whole draw replays
+    bit-identically in any engine because u derives from md5(id), not
+    an RNG: u = (first-8-hex-of-md5 + 0.5) / 16^8 (exact in double).
+
+    Weights must be > 0. Same salted two-phase window as
+    `group_sample_topk` (any group-wide top-k key is also its salt
+    bucket's top-k), so a hot group never funnels through one task.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    u = ((F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + 0.5)
+         / F.lit(float(16 ** 8)))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    slt = F.conv(F.substring(h, 25, 6), 16, 10).cast("long") % salt
+    w1 = (Window.partitionBy(group_col, "__salt")
+          .orderBy(F.col("__key").desc(), id_col))
+    w2 = (Window.partitionBy(group_col)
+          .orderBy(F.col("__key").desc(), id_col))
+    return (df
+            .withColumn("__key", key).withColumn("__salt", slt)
+            .withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= k)
+            .withColumn("sample_rank", F.row_number().over(w2).cast("int"))
+            .filter(F.col("sample_rank") <= k)
+            .drop("__key", "__salt", "__r1"))
+
+
 __all__ = ["hash_bucket", "split_assign", "stratified_sample",
            "domain_rebalance", "global_shuffle", "temperature_sample",
-           "group_sample_topk"]
+           "group_sample_topk", "weighted_sample_topk"]

@@ -1465,3 +1465,33 @@ def test_event_pattern_match_adjacency_and_ties(spark):
     got = {r["entity"]: r["n_events"] for r in
            event_pattern_match(df, r"error( error){2}").collect()}
     assert got == {1: 3, 3: 4}
+
+
+def test_weighted_sample_topk_matches_single_window_and_biases(spark):
+    """Salted two-phase == plain A-ES definition; and weighting by a
+    huge weight makes selection near-certain."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.sampling import weighted_sample_topk
+
+    rows = [(i, 1 if i < 190 else 10_000) for i in range(200)]
+    df = (spark.createDataFrame(rows, "doc_id long, w int")
+          .withColumn("grp", F.lit("g")).repartition(8))
+    k = 12
+    got = sorted((r["doc_id"], r["sample_rank"]) for r in
+                 weighted_sample_topk(df, "grp", k, "w").collect())
+    h = F.md5(F.col("doc_id").cast("string"))
+    u = ((F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + 0.5)
+         / F.lit(float(16 ** 8)))
+    key = F.pow(u, F.lit(1.0) / F.col("w").cast("double"))
+    w = Window.partitionBy("grp").orderBy(key.desc(), "doc_id")
+    want = sorted((r["doc_id"], r["sample_rank"]) for r in
+                  df.withColumn("sample_rank",
+                                F.row_number().over(w).cast("int"))
+                  .filter(F.col("sample_rank") <= k).collect())
+    assert got == want
+    # the 10 heavy docs (w=10000 vs 1) are virtually certain to be
+    # picked: key = u^(1/10000) ~ 1 for any u
+    heavy = {d for d, _ in got if d >= 190}
+    assert heavy == set(range(190, 200))

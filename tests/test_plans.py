@@ -439,3 +439,12 @@ def test_event_pattern_single_entity_shuffle(plans):
     p = plans("q_event_pattern")
     assert p.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in p
+
+
+def test_weighted_sample_salted_two_phase(plans):
+    # same scale property as sample_group_topk: two window phases with
+    # the salt key in the wide one
+    p = plans("sample_weighted")
+    assert p.count("Window") >= 2
+    assert "__salt" in p
+    assert "CartesianProduct" not in p
