@@ -1683,6 +1683,57 @@ def text_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(cms, probes)
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with GROUPING flags — the full
+    2^n grouping-set powerset (rollup only does prefixes). Spark
+    expands grouping sets in a single Expand + one map-side-combined
+    aggregation; no per-set re-scan."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping("o_orderstatus").cast("int").alias("g_status"),
+             F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+             F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("prio"),
+            "g_status", "g_prio", "n", "total",
+        )
+    )
+
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-nation quintile scores for recency /
+    frequency / monetary. The ntile windows run over the CUSTOMER-
+    level aggregate (orders-of-magnitude smaller than the fact table)
+    and are PARTITIONED by nation, so no global single-task sort
+    exists anywhere; ties order by c_custkey for engine-deterministic
+    buckets."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    agg = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"))
+    j = agg.join(c, agg.o_custkey == c.c_custkey)
+
+    def quintile(col: str):
+        w = Window.partitionBy("c_nationkey").orderBy(col, "c_custkey")
+        return F.ntile(5).over(w)
+
+    return (j.select(
+        "c_custkey", "c_nationkey",
+        quintile("recency").alias("r_score"),
+        quintile("frequency").alias("f_score"),
+        quintile("monetary").alias("m_score"))
+        .withColumn("rfm_cell",
+                    (F.col("r_score") * 100 + F.col("f_score") * 10
+                     + F.col("m_score")).cast("int")))
+
+
 def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted exactly-k sample per source domain
     (dataops/sampling.py:weighted_sample_topk — Efraimidis–Spirakis
@@ -2159,6 +2210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heavy_hitters": text_heavy_hitters,
         "sample_group_topk": sample_group_topk,
         "text_cms_counts": text_cms_counts,
+        "q_cube": q_cube,
+        "q_rfm": q_rfm,
         "sample_weighted": sample_weighted,
         "dedup_fuzzy": dedup_fuzzy,
         "q_zscore_outliers": q_zscore_outliers,
@@ -3854,6 +3907,37 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed k
             LEFT JOIN cms c ON k.d = c.d AND k.pos = c.pos
             GROUP BY k.token
+        """,
+        "q_cube": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS prio,
+                   CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                   CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        # ntile's remainder-to-front bucket sizing is identical in
+        # both engines; ordering ties resolve by c_custkey.
+        "q_rfm": """
+            WITH agg AS (
+              SELECT o_custkey,
+                     max(o_orderdate) AS recency,
+                     count(*) AS frequency,
+                     round(sum(o_totalprice), 2) AS monetary
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT c_custkey, c_nationkey,
+                   ntile(5) OVER (PARTITION BY c_nationkey
+                                  ORDER BY recency, c_custkey) AS r_score,
+                   ntile(5) OVER (PARTITION BY c_nationkey
+                                  ORDER BY frequency, c_custkey) AS f_score,
+                   ntile(5) OVER (PARTITION BY c_nationkey
+                                  ORDER BY monetary, c_custkey) AS m_score,
+                   CAST(r_score * 100 + f_score * 10 + m_score AS INT)
+                     AS rfm_cell
+            FROM agg JOIN customer ON o_custkey = c_custkey
         """,
         # A-ES replay: u parsed from the md5 hex prefix (exact in
         # double), key = u^(1/w); pow may differ by 1 ulp across

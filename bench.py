@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "text_kl_drift",
     "q_event_pattern",
     "sample_weighted",
+    "q_cube",
+    "q_rfm",
 ]
 
 

@@ -448,3 +448,19 @@ def test_weighted_sample_salted_two_phase(plans):
     assert p.count("Window") >= 2
     assert "__salt" in p
     assert "CartesianProduct" not in p
+
+
+def test_cube_single_expand_no_rescan(plans):
+    # Spark compiles CUBE to ONE Expand over one scan + one combined
+    # aggregation — not a per-grouping-set re-scan/union
+    p = plans("q_cube")
+    assert "Expand" in p
+    assert p.count("FileScan parquet") == 1
+
+
+def test_rfm_windows_partitioned_by_nation(plans):
+    # all three ntile windows must be partitioned (no global
+    # single-task sort of the customer aggregate)
+    p = plans("q_rfm")
+    assert "Exchange SinglePartition" not in p
+    assert "ntile" in p
