@@ -204,8 +204,11 @@ def equiwidth_histogram(df: DataFrame, value_col: str,
                   F.max(F.col(value_col).cast("double")).alias("__mx"))
     width = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins))
     v = F.col(value_col).cast("double")
-    bin_ = F.least(F.floor((v - F.col("__mn")) / width),
-                   F.lit(n_bins - 1)).cast("int")
+    # a constant column has width 0 -> (v-mn)/0 is NaN and the ANSI
+    # int cast would throw; everything lands in bin 0 by definition
+    bin_ = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)) \
+        .otherwise(F.least(F.floor((v - F.col("__mn")) / width),
+                           F.lit(n_bins - 1))).cast("int")
     return (df.join(F.broadcast(span))
             .filter(v.isNotNull())
             .withColumn("bin", bin_)

@@ -196,9 +196,12 @@ def weighted_sample_topk(df: DataFrame, group_col: str, k: int,
     bit-identically in any engine because u derives from md5(id), not
     an RNG: u = (first-8-hex-of-md5 + 0.5) / 16^8 (exact in double).
 
-    Weights must be > 0. Same salted two-phase window as
-    `group_sample_topk` (any group-wide top-k key is also its salt
-    bucket's top-k), so a hot group never funnels through one task.
+    Weights must be > 0 and NON-NULL: a null weight makes the key
+    null, and DESC null ordering differs across engines (Spark sorts
+    nulls last, DuckDB first) — filter or coalesce weights upstream.
+    Same salted two-phase window as `group_sample_topk` (any
+    group-wide top-k key is also its salt bucket's top-k), so a hot
+    group never funnels through one task.
     """
     from pyspark.sql import Window
 

@@ -1495,3 +1495,13 @@ def test_weighted_sample_topk_matches_single_window_and_biases(spark):
     # picked: key = u^(1/10000) ~ 1 for any u
     heavy = {d for d, _ in got if d >= 190}
     assert heavy == set(range(190, 200))
+
+
+def test_equiwidth_histogram_constant_column(spark):
+    """min == max (zero width): all rows in bin 0, no ANSI cast crash."""
+    from seatunnel_spark.dataops.analytics import equiwidth_histogram
+
+    df = spark.createDataFrame([(7.5,)] * 9, "v double")
+    got = equiwidth_histogram(df, "v", n_bins=4).collect()
+    assert len(got) == 1
+    assert got[0]["bin"] == 0 and got[0]["cnt"] == 9
