@@ -1683,6 +1683,27 @@ def text_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(cms, probes)
 
 
+def dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (dataops/profile.py:dq_checks):
+    four rules — text present, doc_id unique, length in range, lang
+    in whitelist — ALL evaluated in one aggregation pass over one
+    scan; nulls explicitly fail rate rules."""
+    from seatunnel_spark.dataops.profile import dq_checks
+
+    d = _t(spark, sf_dir, "documents")
+    return dq_checks(d, [
+        {"name": "text_present", "kind": "rate",
+         "expr": "text IS NOT NULL AND length(trim(text)) > 0",
+         "min": 0.99},
+        {"name": "doc_id_unique", "kind": "unique",
+         "col": "doc_id", "min": 1.0},
+        {"name": "len_in_range", "kind": "rate",
+         "expr": "n_chars BETWEEN 1 AND 100000", "min": 0.999},
+        {"name": "lang_whitelist", "kind": "rate",
+         "expr": "lang IN ('en','de','fr','es','it')", "min": 0.5},
+    ])
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, priority) with GROUPING flags — the full
     2^n grouping-set powerset (rollup only does prefixes). Spark
@@ -2210,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heavy_hitters": text_heavy_hitters,
         "sample_group_topk": sample_group_topk,
         "text_cms_counts": text_cms_counts,
+        "dq_gate": dq_gate,
         "q_cube": q_cube,
         "q_rfm": q_rfm,
         "sample_weighted": sample_weighted,
@@ -3907,6 +3929,30 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed k
             LEFT JOIN cms c ON k.d = c.d AND k.pos = c.pos
             GROUP BY k.token
+        """,
+        "dq_gate": """
+            WITH a AS (
+              SELECT count(*) AS n,
+                     avg(CAST(coalesce(text IS NOT NULL
+                              AND length(trim(text)) > 0, false)
+                              AS INT)) AS m0,
+                     count(DISTINCT doc_id) / count(*) AS m1,
+                     avg(CAST(coalesce(n_chars BETWEEN 1 AND 100000,
+                              false) AS INT)) AS m2,
+                     avg(CAST(coalesce(lang IN
+                              ('en','de','fr','es','it'), false)
+                              AS INT)) AS m3
+              FROM documents
+            )
+            SELECT "check", round(metric, 4) AS metric, min_rate,
+                   round(metric, 4) >= min_rate AS passed
+            FROM a, (VALUES ('text_present', 0, 0.99),
+                            ('doc_id_unique', 1, 1.0),
+                            ('len_in_range', 2, 0.999),
+                            ('lang_whitelist', 3, 0.5))
+                 AS r("check", idx, min_rate),
+                 LATERAL (SELECT CASE idx WHEN 0 THEN m0 WHEN 1 THEN m1
+                                 WHEN 2 THEN m2 ELSE m3 END AS metric) m
         """,
         "q_cube": """
             SELECT coalesce(o_orderstatus, 'ALL') AS status,

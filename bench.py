@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "sample_weighted",
     "q_cube",
     "q_rfm",
+    "dq_gate",
 ]
 
 

@@ -69,4 +69,47 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
     return row.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
 
 
-__all__ = ["profile_table"]
+def dq_checks(df: DataFrame, rules: list[dict],
+              round_to: int = 4) -> DataFrame:
+    """Declarative data-quality gate (the Deequ/Great-Expectations
+    shape) -> one row per rule: (check, metric, min_rate, passed).
+
+    Rule kinds:
+      {"name", "kind": "rate",   "expr": <bool SQL>, "min": r}
+          metric = fraction of rows satisfying expr (nulls count as
+          failing — explicit `IS NOT NULL AND ...` semantics via
+          coalesce, so a null never silently passes a gate)
+      {"name", "kind": "unique", "col": c, "min": r}
+          metric = count_distinct(c) / count(*)
+
+    Scale: ALL rules evaluate in ONE aggregation pass over one scan —
+    adding a rule never adds a job. `unique` rules cost an exact
+    distinct each (per-column shuffle inside the same stage); swap in
+    approx_count_distinct upstream for 100 TB audit runs where ±2 %
+    is fine. The rule->row unpivot is pure Catalyst on the single
+    aggregate row."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, r in enumerate(rules):
+        if r["kind"] == "rate":
+            ok = F.coalesce(F.expr(r["expr"]).cast("int"), F.lit(0))
+            aggs.append(F.avg(ok).alias(f"m_{i}"))
+        elif r["kind"] == "unique":
+            aggs.append((F.count_distinct(F.col(r["col"]))
+                         / F.count(F.lit(1))).alias(f"m_{i}"))
+        else:
+            raise ValueError(f"unknown rule kind: {r['kind']!r}")
+    row = df.agg(*aggs)
+    parts = [
+        F.struct(
+            F.lit(r["name"]).alias("check"),
+            F.round(F.col(f"m_{i}"), round_to).alias("metric"),
+            F.lit(float(r["min"])).alias("min_rate"),
+            (F.round(F.col(f"m_{i}"), round_to)
+             >= float(r["min"])).alias("passed"),
+        )
+        for i, r in enumerate(rules)
+    ]
+    return row.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
+
+
+__all__ = ["profile_table", "dq_checks"]

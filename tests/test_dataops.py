@@ -1505,3 +1505,29 @@ def test_equiwidth_histogram_constant_column(spark):
     got = equiwidth_histogram(df, "v", n_bins=4).collect()
     assert len(got) == 1
     assert got[0]["bin"] == 0 and got[0]["cnt"] == 9
+
+
+def test_dq_checks_rules_and_null_semantics(spark):
+    from seatunnel_spark.dataops.profile import dq_checks
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y"), (3, "z")],
+        "id long, s string")
+    got = {r["check"]: r for r in dq_checks(df, [
+        {"name": "s_present", "kind": "rate",
+         "expr": "s IS NOT NULL", "min": 0.9},
+        {"name": "id_unique", "kind": "unique", "col": "id", "min": 1.0},
+    ]).collect()}
+    assert got["s_present"]["metric"] == 0.75
+    assert got["s_present"]["passed"] is False
+    assert got["id_unique"]["metric"] == 0.75  # 3 distinct / 4 rows
+    assert got["id_unique"]["passed"] is False
+    # a null expr result must FAIL the row, not be skipped: avg over
+    # non-null-only would report 1.0 here
+    got2 = dq_checks(df, [{"name": "s_is_x", "kind": "rate",
+                           "expr": "s = 'x'", "min": 0.5}]).collect()[0]
+    assert got2["metric"] == 0.25
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dq_checks(df, [{"name": "bad", "kind": "nope", "min": 1}])

@@ -464,3 +464,10 @@ def test_rfm_windows_partitioned_by_nation(plans):
     p = plans("q_rfm")
     assert "Exchange SinglePartition" not in p
     assert "ntile" in p
+
+
+def test_dq_gate_single_pass(plans):
+    # every rule folds into ONE aggregation over ONE scan; adding a
+    # rule must never add a scan
+    p = plans("dq_gate")
+    assert p.count("FileScan parquet") == 1
