@@ -4016,11 +4016,14 @@ def oracle_sql() -> dict[str, str]:
         # levenshtein is char-based in Spark / byte-based in DuckDB —
         # identical on this ASCII corpus.
         "dedup_fuzzy": """
-            WITH base AS (
-              SELECT doc_id AS id, text AS t, length(text) AS len,
+            WITH rep AS (
+              SELECT min(doc_id) AS id, max(text) AS t
+              FROM documents GROUP BY md5(text)
+            ), base AS (
+              SELECT id, t, length(t) AS len,
                      array_to_string(string_split_regex(
-                       trim(lower(text)), '\\s+')[1:4], ' ') AS bkey
-              FROM documents
+                       trim(lower(t)), '\\s+')[1:4], ' ') AS bkey
+              FROM rep
             )
             SELECT a.id AS id1, b.id AS id2,
                    levenshtein(a.t, b.t) AS dist,

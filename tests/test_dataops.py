@@ -1371,7 +1371,8 @@ def test_fuzzy_dup_pairs_threshold_equals_full_distance(spark):
         f"w{(i * 7 + j) % 5}" for j in range(10))) for i in range(30)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = sorted((r["id1"], r["id2"], r["dist"]) for r in
-                 fuzzy_dup_pairs(df, max_dist=12, max_rel=0.5).collect())
+                 fuzzy_dup_pairs(df, max_dist=12, max_rel=0.5,
+                                 collapse_exact=False).collect())
     a = df.select(F.col("doc_id").alias("id1"), F.col("text").alias("t1"),
                   F.length("text").alias("n1"))
     b = df.select(F.col("doc_id").alias("id2"), F.col("text").alias("t2"),
@@ -1531,3 +1532,19 @@ def test_dq_checks_rules_and_null_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dq_checks(df, [{"name": "bad", "kind": "nope", "min": 1}])
+
+
+def test_fuzzy_dup_pairs_collapses_exact_copies(spark):
+    """10 exact copies of each text must not inflate block pairs: the
+    output is between min-id representatives only, and is identical
+    to the single-copy corpus result."""
+    from seatunnel_spark.dataops.dedup import fuzzy_dup_pairs
+
+    base = [(1, "a b c d " + "w " * 20), (2, "a b c d " + "w " * 19 + "x ")]
+    copies = [(100 * c + i, t) for i, t in base for c in range(1, 10)]
+    df1 = spark.createDataFrame(base, "doc_id long, text string")
+    df10 = spark.createDataFrame(base + copies, "doc_id long, text string")
+    one = sorted(map(tuple, fuzzy_dup_pairs(df1).collect()))
+    ten = sorted(map(tuple, fuzzy_dup_pairs(df10).collect()))
+    assert one == ten
+    assert [(p[0], p[1]) for p in one] == [(1, 2)]
