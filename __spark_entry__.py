@@ -1683,6 +1683,18 @@ def text_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(cms, probes)
 
 
+def emb_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass population covariance of the embedding column
+    (dataops/embeddings.py:emb_covariance — the PCA/whitening
+    primitive): Arrow-batched per-partition (n, Σx, Σxxᵀ) partials,
+    shuffle carries n_partitions × d² numbers never N × d²; float64
+    accumulation from exact float32 widening."""
+    from seatunnel_spark.dataops.embeddings import emb_covariance
+
+    e = _t(spark, sf_dir, "embeddings")
+    return emb_covariance(e, "embedding")
+
+
 def dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate (dataops/profile.py:dq_checks):
     four rules — text present, doc_id unique, length in range, lang
@@ -2231,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heavy_hitters": text_heavy_hitters,
         "sample_group_topk": sample_group_topk,
         "text_cms_counts": text_cms_counts,
+        "emb_covariance": emb_covariance_q,
         "dq_gate": dq_gate,
         "q_cube": q_cube,
         "q_rfm": q_rfm,
@@ -3929,6 +3942,17 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed k
             LEFT JOIN cms c ON k.d = c.d AND k.pos = c.pos
             GROUP BY k.token
+        """,
+        # covar_pop(x_i, x_j) = E[xy] - E[x]E[y] (population), the
+        # same formula the one-pass partials compute; float32->double
+        # widening is exact in both engines.
+        "emb_covariance": """
+            WITH idx AS (SELECT unnest(generate_series(0, 63)) AS k)
+            SELECT i.k AS i, j.k AS j,
+                   round(covar_pop(e.embedding[i.k + 1],
+                                   e.embedding[j.k + 1]), 6) AS cov
+            FROM embeddings e, idx i, idx j
+            GROUP BY i.k, j.k
         """,
         "dq_gate": """
             WITH a AS (

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "q_cube",
     "q_rfm",
     "dq_gate",
+    "emb_covariance",
 ]
 
 

@@ -136,4 +136,67 @@ def kmeans_assign(df: DataFrame, centroids: list[list[float]],
     return out
 
 
-__all__ = ["quantize_int8", "dequant_error", "kmeans_fit", "kmeans_assign"]
+def emb_covariance(df: DataFrame, vec_col: str = "embedding",
+                   round_to: int = 6) -> DataFrame:
+    """One-pass population covariance matrix of an embedding column
+    -> (i, j, cov), d² rows. The primitive behind PCA/whitening/
+    drift monitors over trained-embedding shards.
+
+    Scale shape (the standard linear-algebra fan-in): each partition
+    folds its vectors into ONE (n, Σx, Σxxᵀ) partial via an
+    Arrow-batched mapInPandas (vectorized BLAS outer-product — this
+    is the legitimate Pandas-UDF case: no built-in elementwise
+    array-sum aggregate exists), so the shuffle carries
+    n_partitions × d² numbers, never N × d². The partials explode to
+    (idx, val) rows and a map-side-combined sum finishes
+    distributed — no driver-side matrix assembly.
+
+    cov_pop(i,j) = Σxᵢxⱼ/N − (Σxᵢ/N)(Σxⱼ/N), accumulated in float64
+    from the float32 inputs (exact widening), so any engine replays
+    it to summation-order noise; results round to `round_to`.
+    """
+    import pandas as pd
+
+    def part(batches):
+        import numpy as np
+
+        n, s, ss = 0, None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            n += m.shape[0]
+            s = m.sum(0) if s is None else s + m.sum(0)
+            g = m.T @ m
+            ss = g if ss is None else ss + g
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()],
+                                "ss": [ss.ravel().tolist()]})
+
+    partials = df.select(vec_col).mapInPandas(
+        part, "n long, s array<double>, ss array<double>")
+    d = F.size("s")
+    # one tiny frame: total N and per-dimension sums / cross-sums
+    sums = (partials
+            .select("n", d.alias("d"),
+                    F.posexplode("ss").alias("idx", "xx"))
+            .groupBy("idx")
+            .agg(F.sum("xx").alias("sxx"), F.sum("n").alias("N"),
+                 F.max("d").alias("d")))
+    si = (partials.select(F.posexplode("s").alias("i", "x"))
+          .groupBy("i").agg(F.sum("x").alias("sx")))
+    sj = si.select(F.col("i").alias("j"), F.col("sx").alias("sy"))
+    return (sums
+            .withColumn("i", F.floor(F.col("idx") / F.col("d"))
+                        .cast("int"))
+            .withColumn("j", (F.col("idx") % F.col("d")).cast("int"))
+            .join(F.broadcast(si), "i").join(F.broadcast(sj), "j")
+            .select("i", "j",
+                    F.round(F.col("sxx") / F.col("N")
+                            - (F.col("sx") / F.col("N"))
+                            * (F.col("sy") / F.col("N")),
+                            round_to).alias("cov")))
+
+
+__all__ = ["quantize_int8", "dequant_error", "kmeans_fit", "kmeans_assign",
+           "emb_covariance"]

@@ -1548,3 +1548,25 @@ def test_fuzzy_dup_pairs_collapses_exact_copies(spark):
     ten = sorted(map(tuple, fuzzy_dup_pairs(df10).collect()))
     assert one == ten
     assert [(p[0], p[1]) for p in one] == [(1, 2)]
+
+
+def test_emb_covariance_exact_and_partition_invariant(spark):
+    import numpy as np
+
+    from seatunnel_spark.dataops.embeddings import emb_covariance
+
+    rng = [[float(((i * 7 + j * 3) % 11) - 5) / 4 for j in range(4)]
+           for i in range(30)]
+    M = np.array(rng)
+    C = (M.T @ M) / len(M) - np.outer(M.mean(0), M.mean(0))
+    for nparts in (1, 7):
+        df = spark.createDataFrame([(v,) for v in rng],
+                                   "embedding array<float>") \
+            .repartition(nparts)
+        got = {(r["i"], r["j"]): r["cov"]
+               for r in emb_covariance(df).collect()}
+        assert len(got) == 16
+        for i in range(4):
+            for j in range(4):
+                assert abs(got[(i, j)] - round(C[i, j], 6)) < 1e-9, \
+                    (nparts, i, j)

@@ -471,3 +471,14 @@ def test_dq_gate_single_pass(plans):
     # rule must never add a scan
     p = plans("dq_gate")
     assert p.count("FileScan parquet") == 1
+
+
+def test_emb_covariance_partials_not_vectors_shuffle(plans):
+    # the Arrow stage folds each partition to one partial; the only
+    # wide exchanges carry exploded partials (n_partitions x d^2),
+    # never N x d^2 rows — no posexplode of the raw vector column
+    # upstream of the Arrow stage, and the mean joins broadcast.
+    p = plans("emb_covariance")
+    assert "ArrowEvalPython" in p or "MapInPandas" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
