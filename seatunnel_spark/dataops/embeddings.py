@@ -198,5 +198,61 @@ def emb_covariance(df: DataFrame, vec_col: str = "embedding",
                             round_to).alias("cov")))
 
 
+def pca_fit(df: DataFrame, n_components: int,
+            vec_col: str = "embedding") -> dict:
+    """Fit PCA from the distributed covariance: the d×d matrix (a few
+    KB — 64×64 here) is the ONLY thing that ever reaches the driver;
+    the eigendecomposition of a d×d symmetric matrix is O(d³) driver
+    work, the textbook split for PCA at any corpus size (the N-row
+    pass stays in `emb_covariance`). Returns {"mean": [d],
+    "components": [n_components][d], "explained_variance": [k]},
+    eigenvectors sign-normalized (largest-|coord| positive) so the
+    fit is deterministic."""
+    import numpy as np
+
+    cov_rows = emb_covariance(df, vec_col, round_to=12).collect()
+    d = max(r["i"] for r in cov_rows) + 1
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = r["cov"]
+    mean = (df.select(F.posexplode(vec_col).alias("i", "x"))
+            .groupBy("i").agg(F.avg("x").alias("m"))
+            .orderBy("i").collect())
+    mu = np.array([r["m"] for r in mean])  # d rows — bounded collect
+    w, v = np.linalg.eigh(C)               # ascending eigenvalues
+    order = np.argsort(w)[::-1][:n_components]
+    comps = []
+    for k in order:
+        e = v[:, k]
+        if e[np.argmax(np.abs(e))] < 0:    # deterministic sign
+            e = -e
+        comps.append(e.tolist())
+    return {"mean": mu.tolist(), "components": comps,
+            "explained_variance": [float(w[k]) for k in order]}
+
+
+def pca_project(df: DataFrame, model: dict,
+                vec_col: str = "embedding",
+                out_col: str = "pca") -> DataFrame:
+    """Project vectors onto fitted components: out[k] = (x-μ)·W[k].
+    Pure Catalyst (zip_with dot products against literal component
+    arrays) — a codegen projection at scan speed, zero shuffles, the
+    same broadcast-literal pattern as kmeans_assign."""
+    mu = model["mean"]
+    x_centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.array(*[F.lit(float(m)) for m in mu]),
+        lambda x, m: x - m)
+    dots = [
+        F.aggregate(
+            F.zip_with(x_centered,
+                       F.array(*[F.lit(float(c)) for c in comp]),
+                       lambda x, w: x * w),
+            F.lit(0.0), lambda acc, y: acc + y)
+        for comp in model["components"]
+    ]
+    return df.withColumn(out_col, F.array(*dots))
+
+
 __all__ = ["quantize_int8", "dequant_error", "kmeans_fit", "kmeans_assign",
-           "emb_covariance"]
+           "emb_covariance", "pca_fit", "pca_project"]

@@ -1570,3 +1570,44 @@ def test_emb_covariance_exact_and_partition_invariant(spark):
             for j in range(4):
                 assert abs(got[(i, j)] - round(C[i, j], 6)) < 1e-9, \
                     (nparts, i, j)
+
+
+def test_pca_fit_project_matches_numpy(spark):
+    import numpy as np
+
+    from seatunnel_spark.dataops.embeddings import pca_fit, pca_project
+
+    # anisotropic data: variance concentrated along a known direction
+    rng = np.random.RandomState(7)
+    base = rng.randn(80, 1) @ np.array([[3.0, 1.0, 0.2, 0.0]]) \
+        + 0.05 * rng.randn(80, 4)
+    df = spark.createDataFrame([(v.tolist(),) for v in base],
+                               "embedding array<float>").repartition(5)
+    model = pca_fit(df, n_components=2)
+    M = np.stack([np.array(v, dtype="float32").astype("float64")
+                  for v in base.tolist()])
+    C = (M.T @ M) / len(M) - np.outer(M.mean(0), M.mean(0))
+    w, v = np.linalg.eigh(C)
+    assert abs(model["explained_variance"][0] - w[-1]) < 1e-6
+    top = v[:, -1]
+    if top[np.argmax(np.abs(top))] < 0:
+        top = -top
+    assert np.allclose(model["components"][0], top, atol=1e-6)
+    # projection: out[0] == (x - mu) . top for every row
+    got = pca_project(df, model).select("embedding", "pca").collect()
+    mu = np.array(model["mean"])
+    for r in got:
+        x = np.array(r["embedding"], dtype="float64")
+        want = (x - mu) @ np.array(model["components"]).T
+        assert np.allclose(r["pca"], want, atol=1e-9)
+
+
+def test_pca_project_is_scan_only(spark):
+    from seatunnel_spark.dataops.embeddings import pca_project
+
+    df = spark.createDataFrame([([1.0, 2.0],)], "embedding array<float>")
+    model = {"mean": [0.5, 0.5], "components": [[1.0, 0.0], [0.0, 1.0]]}
+    out = pca_project(df, model)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert out.collect()[0]["pca"] == [0.5, 1.5]
