@@ -1683,6 +1683,42 @@ def text_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(cms, probes)
 
 
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair support (dataops/analytics.py:
+    copurchase_pairs): part pairs co-ordered >= 2 times. The self-join
+    is keyed on orderkey so pair fan-out is bounded by basket size,
+    never corpus-quadratic."""
+    from seatunnel_spark.dataops.analytics import copurchase_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    return copurchase_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count (dataops/analytics.py:triangle_count)
+    over the support>=2 co-purchase graph — the canonical two-shuffle
+    wedge-close plan; each a<b<c triangle counted exactly once."""
+    from seatunnel_spark.dataops.analytics import (copurchase_pairs,
+                                                   triangle_count)
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = copurchase_pairs(li, "l_orderkey", "l_partkey",
+                             min_support=2).select("p1", "p2")
+    return triangle_count(edges)
+
+
+def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct users per day (dataops/
+    analytics.py:rolling_distinct): the contribute-forward inversion
+    of windowed COUNT DISTINCT — explode each (user, day) into its 7
+    target days; every shuffle map-side-combined, no window over raw
+    events."""
+    from seatunnel_spark.dataops.analytics import rolling_distinct
+
+    e = _t(spark, sf_dir, "events")
+    return rolling_distinct(e, "user_id", "ts", window_days=7)
+
+
 def emb_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass population covariance of the embedding column
     (dataops/embeddings.py:emb_covariance — the PCA/whitening
@@ -2243,6 +2279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heavy_hitters": text_heavy_hitters,
         "sample_group_topk": sample_group_topk,
         "text_cms_counts": text_cms_counts,
+        "q_copurchase": q_copurchase,
+        "q_triangles": q_triangles,
+        "q_rolling_dau": q_rolling_dau,
         "emb_covariance": emb_covariance_q,
         "dq_gate": dq_gate,
         "q_cube": q_cube,
@@ -3942,6 +3981,39 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed k
             LEFT JOIN cms c ON k.d = c.d AND k.pos = c.pos
             GROUP BY k.token
+        """,
+        "q_copurchase": """
+            WITH items AS (SELECT DISTINCT l_orderkey AS o,
+                                           l_partkey AS p
+                           FROM lineitem)
+            SELECT a.p AS p1, b.p AS p2, count(*) AS support
+            FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "q_triangles": """
+            WITH items AS (SELECT DISTINCT l_orderkey AS o,
+                                           l_partkey AS p
+                           FROM lineitem),
+            e AS (SELECT a.p AS p1, b.p AS p2
+                  FROM items a JOIN items b
+                       ON a.o = b.o AND a.p < b.p
+                  GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT count(*) AS n_triangles
+            FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+                 JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+        """,
+        "q_rolling_dau": """
+            WITH ud AS (SELECT DISTINCT user_id AS u,
+                                        CAST(ts AS DATE) AS day
+                        FROM events),
+            hi AS (SELECT max(day) AS hi FROM ud),
+            cover AS (SELECT DISTINCT u,
+                             unnest(generate_series(day, day + 6,
+                                    INTERVAL 1 DAY))::DATE AS day
+                      FROM ud)
+            SELECT c.day, count(*) AS dau7
+            FROM cover c, hi WHERE c.day <= hi.hi
+            GROUP BY c.day
         """,
         # covar_pop(x_i, x_j) = E[xy] - E[x]E[y] (population), the
         # same formula the one-pass partials compute; float32->double

@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "q_rfm",
     "dq_gate",
     "emb_covariance",
+    "q_copurchase",
+    "q_triangles",
+    "q_rolling_dau",
 ]
 
 

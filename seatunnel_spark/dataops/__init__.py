@@ -57,16 +57,23 @@ from seatunnel_spark.dataops.text import (
     heavy_hitters,
 )
 from seatunnel_spark.dataops.analytics import (
+    copurchase_pairs,
     equiwidth_histogram,
     event_pattern_match,
+    rolling_distinct,
+    triangle_count,
     zscore_outliers,
 )
 from seatunnel_spark.dataops.dedup import fuzzy_dup_pairs
+from seatunnel_spark.dataops.profile import dq_checks
 from seatunnel_spark.dataops.embeddings import (
     quantize_int8,
     dequant_error,
+    emb_covariance,
     kmeans_fit,
     kmeans_assign,
+    pca_fit,
+    pca_project,
 )
 
 __all__ = [
@@ -85,4 +92,6 @@ __all__ = [
     "group_sample_topk", "cms_build", "cms_estimate", "heavy_hitters",
     "domain_kl_drift", "equiwidth_histogram", "zscore_outliers",
     "fuzzy_dup_pairs", "weighted_sample_topk", "event_pattern_match",
+    "copurchase_pairs", "triangle_count", "rolling_distinct",
+    "emb_covariance", "pca_fit", "pca_project", "dq_checks",
 ]

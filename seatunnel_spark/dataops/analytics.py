@@ -256,7 +256,81 @@ def event_pattern_match(df: DataFrame, pattern: str,
             .select("entity", "n_events"))
 
 
+def copurchase_pairs(df: DataFrame, basket_col: str, item_col: str,
+                     min_support: int = 2) -> DataFrame:
+    """Market-basket pair support: item pairs co-occurring in the same
+    basket (order/session/document) at least `min_support` times ->
+    (p1, p2, support), p1 < p2 — the counting core of association-rule
+    mining (Apriori's k=2 pass).
+
+    Scale: the self-join is keyed on basket id, so pair fan-out is
+    Σ_b |basket_b|² — bounded by basket size (single digits for retail
+    orders), NEVER corpus-quadratic; distinct-ing (basket, item) first
+    kills multi-quantity double counts. The support filter runs inside
+    the map-side-combined aggregation. A pathological mega-basket
+    (one basket holding a whole catalog) should be dropped upstream —
+    the same hot-key discipline as dedup's `_cap_buckets`."""
+    items = df.select(F.col(basket_col).alias("__b"),
+                      F.col(item_col).alias("__p")).distinct()
+    a = items.select("__b", F.col("__p").alias("p1"))
+    b = items.select("__b", F.col("__p").alias("p2"))
+    return (a.join(b, "__b")
+            .filter(F.col("p1") < F.col("p2"))
+            .groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= min_support))
+
+
+def triangle_count(edges: DataFrame, src: str = "p1",
+                   dst: str = "p2") -> DataFrame:
+    """Global triangle count over an undirected graph given as
+    canonical edges (src < dst) -> one row (n_triangles). Each
+    triangle a<b<c is counted exactly once by composing its three
+    canonical edges.
+
+    Scale: the standard two-shuffle plan — edges join edges on the
+    shared middle vertex, then an (a, c) hash join closes the wedge.
+    Wedge count Σ_v deg(v)² governs the cost, the same bound every
+    distributed triangle algorithm carries; pre-drop super-hub
+    vertices (deg above a cap) when the degree distribution is
+    power-law, as with any wedge-based method."""
+    e1 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e2 = edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
+    e3 = edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))
+    return (e1.join(e2, "b").join(e3, ["a", "c"])
+            .agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+def rolling_distinct(df: DataFrame, entity_col: str, ts_col: str,
+                     window_days: int = 7) -> DataFrame:
+    """Exact trailing-N-day distinct entities per day (rolling DAU/WAU)
+    -> (day, dauN). A windowed COUNT(DISTINCT) is not partial-
+    aggregable; the scalable exact form inverts it: each (entity, day)
+    CONTRIBUTES to the next N days, so explode every distinct
+    (entity, day) into its <= N target days and count distinct
+    contributions per target.
+
+    Scale: the expansion is a pure projection (N rows per entity-day,
+    not per event); both the entity-day dedup and the final count are
+    map-side-combined shuffles. No window ever sees raw events, no
+    distinct-state accumulates across days. Target days past the data
+    horizon are cut by a 1-row max-day broadcast."""
+    ud = (df.select(F.col(entity_col).alias("__u"),
+                    F.col(ts_col).cast("date").alias("__d"))
+          .distinct())
+    hi = ud.agg(F.max("__d").alias("__hi"))
+    cover = (ud.select("__u", F.explode(F.sequence(
+                 F.col("__d"),
+                 F.date_add(F.col("__d"), window_days - 1))).alias("day"))
+             .join(F.broadcast(hi))
+             .filter(F.col("day") <= F.col("__hi"))
+             .select("__u", "day").distinct())
+    return (cover.groupBy("day")
+            .agg(F.count(F.lit(1)).alias(f"dau{window_days}")))
+
+
 __all__ = ["funnel", "cohort_retention", "pivot_counts", "ngram_stats",
            "corpus_overlap", "json_bucket_stats", "moving_average",
            "zscore_outliers", "equiwidth_histogram",
-           "event_pattern_match"]
+           "event_pattern_match", "copurchase_pairs", "triangle_count",
+           "rolling_distinct"]

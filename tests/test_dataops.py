@@ -1611,3 +1611,51 @@ def test_pca_project_is_scan_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert out.collect()[0]["pca"] == [0.5, 1.5]
+
+
+def test_copurchase_pairs_dedups_quantity_and_counts(spark):
+    from seatunnel_spark.dataops.analytics import copurchase_pairs
+
+    rows = [  # basket 1: {a,b,c} with a duplicated (qty reorder)
+        (1, "a"), (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),          # basket 2: {a,b}
+        (3, "a"), (3, "b"),          # basket 3: {a,b}
+        (4, "c"),                    # singleton: no pairs
+    ]
+    df = spark.createDataFrame(rows, "o long, p string")
+    got = {(r["p1"], r["p2"]): r["support"]
+           for r in copurchase_pairs(df, "o", "p", min_support=1).collect()}
+    assert got == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
+    got2 = {(r["p1"], r["p2"]) for r in
+            copurchase_pairs(df, "o", "p", min_support=3).collect()}
+    assert got2 == {("a", "b")}
+
+
+def test_triangle_count_exact(spark):
+    from seatunnel_spark.dataops.analytics import triangle_count
+
+    # K4 on {1,2,3,4} has 4 triangles; an extra pendant edge adds none
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 9)]
+    df = spark.createDataFrame(edges, "p1 long, p2 long")
+    assert triangle_count(df).collect()[0]["n_triangles"] == 4
+    # empty graph -> 0, not an empty frame
+    empty = spark.createDataFrame([], "p1 long, p2 long")
+    assert triangle_count(empty).collect()[0]["n_triangles"] == 0
+
+
+def test_rolling_distinct_window_semantics(spark):
+    import datetime
+
+    from seatunnel_spark.dataops.analytics import rolling_distinct
+
+    d = lambda s: datetime.datetime(2026, 1, s)  # noqa: E731
+    rows = [(1, d(1)), (1, d(1)), (2, d(1)),   # day1: users {1,2}
+            (1, d(3)),                          # day3: user 1 again
+            (3, d(5))]                          # day5: user 3
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {str(r["day"]): r["dau3"] for r in
+           rolling_distinct(df, "user_id", "ts", window_days=3).collect()}
+    # day1 {1,2}=2; day2 {1,2}=2; day3 {1,2,3=no... user1(d1,d3),2(d1)}=2
+    # day4 {1}=1 (d1 expired, d3 alive); day5 {1,3}=2 (horizon=d5)
+    assert got == {"2026-01-01": 2, "2026-01-02": 2, "2026-01-03": 2,
+                   "2026-01-04": 1, "2026-01-05": 2}

@@ -482,3 +482,19 @@ def test_emb_covariance_partials_not_vectors_shuffle(plans):
     assert "ArrowEvalPython" in p or "MapInPandas" in p
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_copurchase_join_keyed_on_basket(plans):
+    # pair generation must be an equi-join on the basket key
+    p = plans("q_copurchase")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p
+
+
+def test_rolling_dau_no_window_no_countdistinct_state(plans):
+    # the contribute-forward form: no Window operator anywhere, the
+    # horizon cut is a 1-row broadcast
+    p = plans("q_rolling_dau")
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
