@@ -1683,6 +1683,40 @@ def text_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(cms, probes)
 
 
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (dataops/text.py:collocations): adjacent word
+    pairs co-occurring far above independence — phrase mining for
+    tokenizer merge lists. One tokenize pass, vocabulary-sized
+    shuffles, scalar totals on 1-row broadcasts."""
+    from seatunnel_spark.dataops.text import collocations
+
+    d = _t(spark, sf_dir, "documents")
+    return collocations(d, "text", min_count=5)
+
+
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag median + MAD of extended price (dataops/
+    analytics.py:group_mad): robust dispersion via two exact
+    interpolated percentiles; the |groups|-row medians broadcast back,
+    the fact table never shuffles."""
+    from seatunnel_spark.dataops.analytics import group_mad
+
+    li = _t(spark, sf_dir, "lineitem")
+    return group_mad(li, "l_returnflag", "l_extendedprice")
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules on co-ordered part pairs (dataops/
+    analytics.py:association_rules): confidence both directions +
+    lift vs independence; marginals off the same distinct
+    (order, part) projection."""
+    from seatunnel_spark.dataops.analytics import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    return association_rules(li, "l_orderkey", "l_partkey",
+                             min_support=3)
+
+
 def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair support (dataops/analytics.py:
     copurchase_pairs): part pairs co-ordered >= 2 times. The self-join
@@ -2279,6 +2313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heavy_hitters": text_heavy_hitters,
         "sample_group_topk": sample_group_topk,
         "text_cms_counts": text_cms_counts,
+        "text_collocations": text_collocations,
+        "q_mad": q_mad,
+        "q_assoc_rules": q_assoc_rules,
         "q_copurchase": q_copurchase,
         "q_triangles": q_triangles,
         "q_rolling_dau": q_rolling_dau,
@@ -3981,6 +4018,67 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed k
             LEFT JOIN cms c ON k.d = c.d AND k.pos = c.pos
             GROUP BY k.token
+        """,
+        "text_collocations": """
+            WITH w AS (
+              SELECT list_filter(string_split_regex(
+                       trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS w
+              FROM documents
+            ), uni AS (
+              SELECT unnest(w) AS t FROM w
+            ), uc AS (
+              SELECT t, count(*) AS c FROM uni GROUP BY t
+            ), nu AS (SELECT sum(c) AS n_uni FROM uc),
+            bi AS (
+              SELECT w[i] AS w1, w[i + 1] AS w2
+              FROM w, unnest(generate_series(1, len(w) - 1)) AS u(i)
+              WHERE len(w) >= 2
+            ), bc AS (
+              SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY 1, 2
+            ), nb AS (SELECT sum(n_pair) AS n_bi FROM bc)
+            SELECT bc.w1, bc.w2, bc.n_pair,
+                   round(ln((bc.n_pair / nb.n_bi)
+                            / ((c1.c / nu.n_uni)
+                               * (c2.c / nu.n_uni))), 5) AS pmi
+            FROM bc
+            JOIN uc c1 ON c1.t = bc.w1
+            JOIN uc c2 ON c2.t = bc.w2
+            CROSS JOIN nu CROSS JOIN nb
+            WHERE bc.n_pair >= 5
+        """,
+        "q_mad": """
+            WITH med AS (
+              SELECT l_returnflag AS g,
+                     quantile_cont(l_extendedprice, 0.5) AS m
+              FROM lineitem GROUP BY 1
+            )
+            SELECT l_returnflag,
+                   round(max(m), 4) AS median,
+                   round(quantile_cont(abs(l_extendedprice - m), 0.5),
+                         4) AS mad
+            FROM lineitem JOIN med ON l_returnflag = g
+            GROUP BY l_returnflag
+        """,
+        "q_assoc_rules": """
+            WITH items AS (SELECT DISTINCT l_orderkey AS b,
+                                           l_partkey AS p
+                           FROM lineitem),
+            pairs AS (
+              SELECT a.p AS p1, c.p AS p2, count(*) AS support
+              FROM items a JOIN items c ON a.b = c.b AND a.p < c.p
+              GROUP BY 1, 2 HAVING count(*) >= 3
+            ), marg AS (
+              SELECT p, count(*) AS nb FROM items GROUP BY p
+            ), n AS (SELECT count(DISTINCT b) AS N FROM items)
+            SELECT p1, p2, support,
+                   round(support / m1.nb, 4) AS conf_12,
+                   round(support / m2.nb, 4) AS conf_21,
+                   round(support * n.N / (m1.nb * m2.nb), 4) AS lift
+            FROM pairs
+            JOIN marg m1 ON m1.p = p1
+            JOIN marg m2 ON m2.p = p2
+            CROSS JOIN n
         """,
         "q_copurchase": """
             WITH items AS (SELECT DISTINCT l_orderkey AS o,

@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     "q_copurchase",
     "q_triangles",
     "q_rolling_dau",
+    "text_collocations",
+    "q_mad",
+    "q_assoc_rules",
 ]
 
 

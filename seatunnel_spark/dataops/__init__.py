@@ -52,12 +52,15 @@ from seatunnel_spark.dataops.sampling import (
 )
 from seatunnel_spark.dataops.text import (
     cms_build,
+    collocations,
     cms_estimate,
     domain_kl_drift,
     heavy_hitters,
 )
 from seatunnel_spark.dataops.analytics import (
+    association_rules,
     copurchase_pairs,
+    group_mad,
     equiwidth_histogram,
     event_pattern_match,
     rolling_distinct,
@@ -94,4 +97,5 @@ __all__ = [
     "fuzzy_dup_pairs", "weighted_sample_topk", "event_pattern_match",
     "copurchase_pairs", "triangle_count", "rolling_distinct",
     "emb_covariance", "pca_fit", "pca_project", "dq_checks",
+    "collocations", "group_mad", "association_rules",
 ]

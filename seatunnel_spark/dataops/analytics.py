@@ -329,8 +329,63 @@ def rolling_distinct(df: DataFrame, entity_col: str, ts_col: str,
             .agg(F.count(F.lit(1)).alias(f"dau{window_days}")))
 
 
+def group_mad(df: DataFrame, group_col: str, value_col: str,
+              round_to: int = 4) -> DataFrame:
+    """Robust per-group dispersion -> (group, median, mad): median
+    absolute deviation, the outlier-resistant alternative to stddev
+    (one corrupt value can move a stddev arbitrarily, never a MAD).
+
+    Two exact interpolated-percentile aggregations: (1) per-group
+    median (map-side partial over the fact scan), (2) broadcast the
+    |groups|-row medians back and take the median of |x - median|.
+    The fact table never shuffles — the same broadcast-stats shape as
+    zscore_outliers; exchange reuse covers the second scan."""
+    med = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med"))
+    dev = F.abs(F.col(value_col) - F.col("__med"))
+    return (df.join(F.broadcast(med), F.col(group_col) == F.col("__g"))
+            .groupBy(group_col)
+            .agg(F.round(F.max("__med"), round_to).alias("median"),
+                 F.round(F.expr(
+                     f"percentile(abs({value_col} - __med), 0.5)"),
+                     round_to).alias("mad")))
+
+
+def association_rules(df: DataFrame, basket_col: str, item_col: str,
+                      min_support: int = 2,
+                      round_to: int = 4) -> DataFrame:
+    """Association-rule metrics over co-occurring item pairs ->
+    (p1, p2, support, conf_12, conf_21, lift): confidence in both
+    directions and lift vs independence — Apriori's rule step on the
+    k=2 itemsets from `copurchase_pairs`.
+
+    conf(a→b) = support(a,b) / baskets(a);
+    lift = conf(a→b) / (baskets(b) / N) — symmetric, > 1 means the
+    pair attracts. Scale: item marginals are one more map-side count
+    off the same distinct (basket, item) projection; the pair table
+    (already support-filtered) joins them — AQE broadcast when the
+    catalog is small — and N rides a 1-row broadcast."""
+    items = df.select(F.col(basket_col).alias("__b"),
+                      F.col(item_col).alias("__p")).distinct()
+    pairs = copurchase_pairs(df, basket_col, item_col, min_support)
+    marg = items.groupBy("__p").agg(F.count(F.lit(1)).alias("nb"))
+    n = items.agg(F.count_distinct("__b").alias("N"))
+    m1 = marg.select(F.col("__p").alias("p1"), F.col("nb").alias("n1"))
+    m2 = marg.select(F.col("__p").alias("p2"), F.col("nb").alias("n2"))
+    return (pairs.join(m1, "p1").join(m2, "p2").join(F.broadcast(n))
+            .select(
+                "p1", "p2", "support",
+                F.round(F.col("support") / F.col("n1"), round_to)
+                .alias("conf_12"),
+                F.round(F.col("support") / F.col("n2"), round_to)
+                .alias("conf_21"),
+                F.round(F.col("support") * F.col("N")
+                        / (F.col("n1") * F.col("n2")), round_to)
+                .alias("lift")))
+
+
 __all__ = ["funnel", "cohort_retention", "pivot_counts", "ngram_stats",
            "corpus_overlap", "json_bucket_stats", "moving_average",
            "zscore_outliers", "equiwidth_histogram",
            "event_pattern_match", "copurchase_pairs", "triangle_count",
-           "rolling_distinct"]
+           "rolling_distinct", "group_mad", "association_rules"]

@@ -530,6 +530,47 @@ def heavy_hitters(df: DataFrame, text_col: str = "text",
             .filter(F.col("cnt") >= min_count))
 
 
+def collocations(df: DataFrame, text_col: str = "text",
+                 min_count: int = 5, round_to: int = 5,
+                 lowercase: bool = True) -> DataFrame:
+    """Corpus collocations by pointwise mutual information ->
+    (w1, w2, n_pair, pmi): adjacent word pairs that co-occur far more
+    than their unigram frequencies predict — the classic phrase-mining
+    signal ("new york", "machine learning") used to build tokenizer
+    merge lists and phrase vocabularies.
+
+    pmi = ln( (c_ab / N_bi) / ((c_a / N_uni) · (c_b / N_uni)) ), with
+    the bigram set built by the same shifted-slice arrays_zip trick as
+    ngram_stats (zero UDF). Scale: unigram and bigram counts are both
+    map-side-combined vocabulary-sized shuffles off ONE tokenize pass;
+    the marginals join back on the (already capped by min_count)
+    bigram table, and the two scalar totals ride 1-row broadcasts."""
+    toks = F.split(F.trim(F.lower(F.col(text_col)) if lowercase
+                          else F.col(text_col)), r"\s+")
+    words = df.select(F.filter(toks, lambda t: t != "").alias("w"))
+    uni = (words.select(F.explode("w").alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    wc = F.col("w")
+    length = F.greatest(F.size(wc) - 1, F.lit(0))
+    zipped = F.arrays_zip(F.slice(wc, 1, length), F.slice(wc, 2, length))
+    bi = (words.filter(F.size(wc) >= 2)
+          .select(F.explode(zipped).alias("bg"))
+          .select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair")))
+    n_bi = bi.agg(F.sum("n_pair").alias("n_bi"))
+    c1 = uni.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select(F.col("t").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log((F.col("n_pair") / F.col("n_bi"))
+                / ((F.col("c1") / F.col("n_uni"))
+                   * (F.col("c2") / F.col("n_uni"))))
+    return (bi.filter(F.col("n_pair") >= min_count)
+            .join(c1, "w1").join(c2, "w2")
+            .join(F.broadcast(n_uni)).join(F.broadcast(n_bi))
+            .select("w1", "w2", "n_pair",
+                    F.round(pmi, round_to).alias("pmi")))
+
+
 def domain_kl_drift(df: DataFrame, domain_col: str = "source",
                     text_col: str = "text",
                     round_to: int = 5) -> DataFrame:

@@ -1659,3 +1659,50 @@ def test_rolling_distinct_window_semantics(spark):
     # day4 {1}=1 (d1 expired, d3 alive); day5 {1,3}=2 (horizon=d5)
     assert got == {"2026-01-01": 2, "2026-01-02": 2, "2026-01-03": 2,
                    "2026-01-04": 1, "2026-01-05": 2}
+
+
+def test_collocations_pmi_formula(spark):
+    import math
+
+    from seatunnel_spark.dataops.text import collocations
+
+    # 10 docs "a b", 10 docs "a c a c" -> bigram (a,b) x10, (a,c) x20,
+    # (c,a) x10; unigrams a=30 b=10 c=20, N_uni=60, N_bi=40
+    docs = [(i, "a b") for i in range(10)] + \
+           [(100 + i, "a c a c") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["w1"], r["w2"]): (r["n_pair"], r["pmi"])
+           for r in collocations(df, min_count=5).collect()}
+    def pmi(c_ab, c_a, c_b):
+        return round(math.log((c_ab / 40) / ((c_a / 60) * (c_b / 60))), 5)
+    assert got == {("a", "b"): (10, pmi(10, 30, 10)),
+                   ("a", "c"): (20, pmi(20, 30, 20)),
+                   ("c", "a"): (10, pmi(10, 20, 30))}
+
+
+def test_group_mad_robust_to_outlier(spark):
+    from seatunnel_spark.dataops.analytics import group_mad
+
+    rows = [("g", float(v)) for v in [1, 2, 3, 4, 5]] \
+        + [("h", float(v)) for v in [1, 2, 3, 4, 1_000_000]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: (r["median"], r["mad"]) for r in
+           group_mad(df, "g", "v").collect()}
+    assert got["g"] == (3.0, 1.0)   # devs: 2,1,0,1,2 -> median 1
+    assert got["h"] == (3.0, 1.0)   # the outlier moves NEITHER stat
+
+
+def test_association_rules_metrics(spark):
+    from seatunnel_spark.dataops.analytics import association_rules
+
+    # 4 baskets: {a,b} x3, {a} x1 -> support(ab)=3, nb(a)=4, nb(b)=3, N=4
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"),
+            (3, "a"), (3, "b"), (4, "a")]
+    df = spark.createDataFrame(rows, "o long, p string")
+    r = association_rules(df, "o", "p", min_support=2).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["p1"], row["p2"], row["support"]) == ("a", "b", 3)
+    assert row["conf_12"] == 0.75      # 3/4
+    assert row["conf_21"] == 1.0       # 3/3
+    assert row["lift"] == 1.0          # 3*4/(4*3)

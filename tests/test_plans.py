@@ -498,3 +498,17 @@ def test_rolling_dau_no_window_no_countdistinct_state(plans):
     assert "Window" not in p
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_mad_medians_broadcast_fact_never_shuffles(plans):
+    # same shape contract as zscore: stats broadcast, no fact exchange,
+    # no window
+    p = plans("q_mad")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "Window" not in p
+
+
+def test_collocations_single_tokenize_vocab_shuffles(plans):
+    p = plans("text_collocations")
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
