@@ -1753,6 +1753,20 @@ def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_distinct(e, "user_id", "ts", window_days=7)
 
 
+def q_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (dataops/analytics.py:
+    clustering_coefficient) over the support>=2 co-purchase graph:
+    triangles per vertex / (deg choose 2); degree-1 vertices have no
+    wedges and are excluded."""
+    from seatunnel_spark.dataops.analytics import (
+        clustering_coefficient, copurchase_pairs)
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = copurchase_pairs(li, "l_orderkey", "l_partkey",
+                             min_support=2).select("p1", "p2")
+    return clustering_coefficient(edges)
+
+
 def emb_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass population covariance of the embedding column
     (dataops/embeddings.py:emb_covariance — the PCA/whitening
@@ -2318,6 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_assoc_rules": q_assoc_rules,
         "q_copurchase": q_copurchase,
         "q_triangles": q_triangles,
+        "q_clustering_coef": q_clustering_coef,
         "q_rolling_dau": q_rolling_dau,
         "emb_covariance": emb_covariance_q,
         "dq_gate": dq_gate,
@@ -4099,6 +4114,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_triangles
             FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
                  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+        """,
+        "q_clustering_coef": """
+            WITH items AS (SELECT DISTINCT l_orderkey AS o,
+                                           l_partkey AS p
+                           FROM lineitem),
+            e AS (SELECT a.p AS p1, b.p AS p2
+                  FROM items a JOIN items b
+                       ON a.o = b.o AND a.p < b.p
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+            tri AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+                    FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+                         JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+            tv AS (SELECT v, count(*) AS triangles
+                   FROM (SELECT unnest([a, b, c]) AS v FROM tri)
+                   GROUP BY v),
+            deg AS (SELECT v, count(*) AS degree
+                    FROM (SELECT p1 AS v FROM e
+                          UNION ALL SELECT p2 FROM e)
+                    GROUP BY v)
+            SELECT deg.v AS vertex, deg.degree,
+                   coalesce(tv.triangles, 0) AS triangles,
+                   round(coalesce(tv.triangles, 0)
+                         / (deg.degree * (deg.degree - 1) / 2), 4)
+                     AS cc
+            FROM deg LEFT JOIN tv ON deg.v = tv.v
+            WHERE deg.degree >= 2
         """,
         "q_rolling_dau": """
             WITH ud AS (SELECT DISTINCT user_id AS u,

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "text_collocations",
     "q_mad",
     "q_assoc_rules",
+    "q_clustering_coef",
 ]
 
 

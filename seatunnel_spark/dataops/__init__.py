@@ -59,6 +59,7 @@ from seatunnel_spark.dataops.text import (
 )
 from seatunnel_spark.dataops.analytics import (
     association_rules,
+    clustering_coefficient,
     copurchase_pairs,
     group_mad,
     equiwidth_histogram,
@@ -98,4 +99,5 @@ __all__ = [
     "copurchase_pairs", "triangle_count", "rolling_distinct",
     "emb_covariance", "pca_fit", "pca_project", "dq_checks",
     "collocations", "group_mad", "association_rules",
+    "clustering_coefficient",
 ]

@@ -384,8 +384,40 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
                 .alias("lift")))
 
 
+def clustering_coefficient(edges: DataFrame, src: str = "p1",
+                           dst: str = "p2",
+                           round_to: int = 4) -> DataFrame:
+    """Local clustering coefficient per vertex -> (vertex, degree,
+    triangles, cc): how tightly each vertex's neighborhood closes
+    (cc = triangles / (deg choose 2)) — community cores vs bridges.
+
+    Same wedge-close join as `triangle_count`, but each found
+    triangle (a<b<c) is exploded back to its three member vertices
+    and counted per vertex; degrees come from one union-explode of
+    the canonical edge list. Vertices of degree < 2 have no wedges
+    and are excluded (cc undefined). Cost is the triangle join's
+    Σ deg² wedge bound; everything after is vertex-sized."""
+    e1 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e2 = edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
+    e3 = edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tv = (tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
+          .groupBy("v").agg(F.count(F.lit(1)).alias("triangles")))
+    deg = (edges.select(F.col(src).alias("v"))
+           .unionAll(edges.select(F.col(dst).alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("degree")))
+    wedges = F.col("degree") * (F.col("degree") - 1) / 2
+    return (deg.filter(F.col("degree") >= 2)
+            .join(tv, "v", "left")
+            .select(F.col("v").alias("vertex"), "degree",
+                    F.coalesce("triangles", F.lit(0)).alias("triangles"),
+                    F.round(F.coalesce("triangles", F.lit(0)) / wedges,
+                            round_to).alias("cc")))
+
+
 __all__ = ["funnel", "cohort_retention", "pivot_counts", "ngram_stats",
            "corpus_overlap", "json_bucket_stats", "moving_average",
            "zscore_outliers", "equiwidth_histogram",
            "event_pattern_match", "copurchase_pairs", "triangle_count",
-           "rolling_distinct", "group_mad", "association_rules"]
+           "rolling_distinct", "group_mad", "association_rules",
+           "clustering_coefficient"]

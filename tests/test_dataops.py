@@ -1706,3 +1706,15 @@ def test_association_rules_metrics(spark):
     assert row["conf_12"] == 0.75      # 3/4
     assert row["conf_21"] == 1.0       # 3/3
     assert row["lift"] == 1.0          # 3*4/(4*3)
+
+
+def test_clustering_coefficient_known_graph(spark):
+    from seatunnel_spark.dataops.analytics import clustering_coefficient
+
+    # triangle {1,2,3} + pendant 3-4: cc(1)=cc(2)=1.0;
+    # cc(3)=1/3 (deg 3 -> 3 wedges, 1 closed); 4 has deg 1 -> excluded
+    df = spark.createDataFrame([(1, 2), (1, 3), (2, 3), (3, 4)],
+                               "p1 long, p2 long")
+    got = {r["vertex"]: (r["degree"], r["triangles"], r["cc"])
+           for r in clustering_coefficient(df).collect()}
+    assert got == {1: (2, 1, 1.0), 2: (2, 1, 1.0), 3: (3, 1, 0.3333)}
