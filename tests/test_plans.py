@@ -484,11 +484,14 @@ def test_emb_covariance_partials_not_vectors_shuffle(plans):
     assert "CartesianProduct" not in p
 
 
-def test_copurchase_join_keyed_on_basket(plans):
-    # pair generation must be an equi-join on the basket key
+def test_copurchase_array_form_no_join(plans):
+    # pair generation happens inside each basket's sorted array: the
+    # plan must contain NO join at all — two map-side-combined
+    # shuffles (basket collect, pair count) and nothing else wide
     p = plans("q_copurchase")
-    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" not in p and "CartesianProduct" not in p
     assert "partial_count" in p
+    assert p.count("Exchange hashpartitioning") == 2
 
 
 def test_rolling_dau_no_window_no_countdistinct_state(plans):
