@@ -1820,6 +1820,28 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the arbitrary-set generalization rollup
+    and cube are sugar for; Spark 4 DataFrame groupingSets API):
+    status-only, priority-only, and grand-total sets in a single
+    Expand + one map-side-combined aggregation — no per-set rescan.
+    grouping() flags disambiguate set-NULLs from data NULLs."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets([["o_orderstatus"], ["o_orderpriority"], []],
+                       "o_orderstatus", "o_orderpriority")
+        .agg(F.grouping("o_orderstatus").cast("int").alias("g_status"),
+             F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+             F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("prio"),
+            "g_status", "g_prio", "n", "total",
+        )
+    )
+
+
 def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-nation quintile scores for recency /
     frequency / monetary. The ntile windows run over the CUSTOMER-
@@ -2337,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_covariance": emb_covariance_q,
         "dq_gate": dq_gate,
         "q_cube": q_cube,
+        "q_grouping_sets": q_grouping_sets,
         "q_rfm": q_rfm,
         "sample_weighted": sample_weighted,
         "dedup_fuzzy": dedup_fuzzy,
@@ -4198,6 +4221,17 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total
             FROM orders
             GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "q_grouping_sets": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS prio,
+                   CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                   CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus),
+                                    (o_orderpriority), ())
         """,
         # ntile's remainder-to-front bucket sizing is identical in
         # both engines; ordering ties resolve by c_custkey.

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "q_mad",
     "q_assoc_rules",
     "q_clustering_coef",
+    "q_grouping_sets",
 ]
 
 

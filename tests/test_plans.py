@@ -515,3 +515,10 @@ def test_collocations_single_tokenize_vocab_shuffles(plans):
     p = plans("text_collocations")
     assert "partial_count" in p
     assert "CartesianProduct" not in p
+
+
+def test_grouping_sets_single_expand(plans):
+    # like cube: one Expand over one scan, never per-set rescans
+    p = plans("q_grouping_sets")
+    assert "Expand" in p
+    assert p.count("FileScan parquet") == 1
