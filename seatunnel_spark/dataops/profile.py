@@ -94,21 +94,30 @@ def dq_checks(df: DataFrame, rules: list[dict],
             ok = F.coalesce(F.expr(r["expr"]).cast("int"), F.lit(0))
             aggs.append(F.avg(ok).alias(f"m_{i}"))
         elif r["kind"] == "unique":
-            aggs.append((F.count_distinct(F.col(r["col"]))
-                         / F.count(F.lit(1))).alias(f"m_{i}"))
+            # try_divide: ANSI `/` THROWS on an empty table (0/0);
+            # NULL flows to the explicit fail-below handling instead
+            aggs.append(F.try_divide(
+                F.count_distinct(F.col(r["col"])),
+                F.count(F.lit(1))).alias(f"m_{i}"))
         else:
             raise ValueError(f"unknown rule kind: {r['kind']!r}")
     row = df.agg(*aggs)
-    parts = [
-        F.struct(
+    # An EMPTY table must FAIL every rule, not sail through: rate
+    # metrics avg to NULL and unique metrics to 0/0 = NaN there, and
+    # Spark orders NaN above every number (NaN >= 1.0 is true), so the
+    # pass test must reject NULL/NaN explicitly before comparing.
+    parts = []
+    for i, r in enumerate(rules):
+        m = F.round(F.col(f"m_{i}"), round_to)
+        ok = F.coalesce(
+            F.when(F.isnan(m), F.lit(False))
+            .otherwise(m >= float(r["min"])), F.lit(False))
+        parts.append(F.struct(
             F.lit(r["name"]).alias("check"),
-            F.round(F.col(f"m_{i}"), round_to).alias("metric"),
+            F.when(F.isnan(m), None).otherwise(m).alias("metric"),
             F.lit(float(r["min"])).alias("min_rate"),
-            (F.round(F.col(f"m_{i}"), round_to)
-             >= float(r["min"])).alias("passed"),
-        )
-        for i, r in enumerate(rules)
-    ]
+            ok.alias("passed"),
+        ))
     return row.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
 
 

@@ -444,15 +444,29 @@ def cms_build(df: DataFrame, text_col: str = "text", depth: int = 4,
 
 
 def cms_estimate(cms: DataFrame, probes: DataFrame,
-                 token_col: str = "token", depth: int = 4,
-                 width_hex: int = 3) -> DataFrame:
+                 token_col: str = "token", depth: int | None = None,
+                 width_hex: int | None = None) -> DataFrame:
     """Point-query the sketch for each probe token -> (token, est).
 
     est = min over rows d of the counter at that row's bucket — the
     classic CMS guarantee: est >= true count always, and the over-
     estimate is bounded by collisions in the narrowest row. The probe
     side joins the (tiny, auto-broadcast) sketch by (d, pos); missing
-    buckets count 0."""
+    buckets count 0.
+
+    depth/width_hex default to the SKETCH'S OWN geometry (one bounded
+    scan of the <= depth·16^width-row sketch) — probing with mismatched
+    parameters would miss every bucket and return est=0 for every
+    token, silently inverting the never-underestimate guarantee; pass
+    them explicitly only to skip that metadata action when the caller
+    already knows the build parameters."""
+    if depth is None or width_hex is None:
+        geo = cms.agg(F.max("d").alias("dmax"),
+                      F.max(F.length("pos")).alias("w")).collect()[0]
+        if geo["dmax"] is None:
+            raise ValueError("cms_estimate: empty sketch")
+        depth = depth if depth is not None else geo["dmax"] + 1
+        width_hex = width_hex if width_hex is not None else geo["w"]
     keyed = probes.select(token_col)
     for d in range(depth):
         keyed = keyed.withColumn(f"__p{d}",

@@ -1718,3 +1718,46 @@ def test_clustering_coefficient_known_graph(spark):
     got = {r["vertex"]: (r["degree"], r["triangles"], r["cc"])
            for r in clustering_coefficient(df).collect()}
     assert got == {1: (2, 1, 1.0), 2: (2, 1, 1.0), 3: (3, 1, 0.3333)}
+
+
+def test_dq_checks_empty_table_fails_everything(spark):
+    """The one scenario a gate exists for: upstream produced nothing.
+    Every rule must report passed=False (not NULL, not NaN-true)."""
+    from seatunnel_spark.dataops.profile import dq_checks
+
+    df = spark.createDataFrame([], "id long, s string")
+    got = {r["check"]: r for r in dq_checks(df, [
+        {"name": "s_present", "kind": "rate",
+         "expr": "s IS NOT NULL", "min": 0.0},
+        {"name": "id_unique", "kind": "unique", "col": "id", "min": 0.0},
+    ]).collect()}
+    assert got["s_present"]["passed"] is False
+    assert got["id_unique"]["passed"] is False
+    assert got["id_unique"]["metric"] is None  # NaN surfaced as NULL
+
+
+def test_cms_estimate_derives_sketch_geometry(spark):
+    """A sketch built with non-default depth/width must probe
+    correctly without the caller restating the parameters."""
+    from seatunnel_spark.dataops.text import cms_build, cms_estimate
+
+    docs = spark.createDataFrame([(1, "x x x y")], "doc_id int, text string")
+    cms = cms_build(docs, depth=2, width_hex=2)
+    probes = spark.createDataFrame([("x",), ("y",)], "token string")
+    got = {r["token"]: r["est"] for r in cms_estimate(cms, probes).collect()}
+    assert got["x"] >= 3 and got["y"] >= 1  # est >= true, never 0
+
+    import pytest as _pytest
+    empty = cms.filter("1 = 0")
+    with _pytest.raises(ValueError):
+        cms_estimate(empty, probes)
+
+
+def test_pca_fit_empty_input_raises_cleanly(spark):
+    import pytest as _pytest
+
+    from seatunnel_spark.dataops.embeddings import pca_fit
+
+    df = spark.createDataFrame([], "embedding array<float>")
+    with _pytest.raises(ValueError, match="no vectors"):
+        pca_fit(df, n_components=1)

@@ -474,12 +474,14 @@ def test_dq_gate_single_pass(plans):
 
 
 def test_emb_covariance_partials_not_vectors_shuffle(plans):
-    # the Arrow stage folds each partition to one partial; the only
-    # wide exchanges carry exploded partials (n_partitions x d^2),
-    # never N x d^2 rows — no posexplode of the raw vector column
-    # upstream of the Arrow stage, and the mean joins broadcast.
+    # the Arrow stage folds each partition to one partial and is
+    # materialized ONCE by an eager localCheckpoint (the plan scans
+    # the checkpointed RDD, no parquet rescan per branch); exchanges
+    # carry exploded partials (n_partitions x d^2), never N x d^2
+    # rows, and the mean joins broadcast.
     p = plans("emb_covariance")
-    assert "ArrowEvalPython" in p or "MapInPandas" in p
+    assert "ExistingRDD" in p          # the lineage-cut partials
+    assert "FileScan parquet" not in p  # raw vectors never rescanned
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
 
