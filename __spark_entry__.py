@@ -1820,6 +1820,25 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (DataFrame.unpivot/melt) + per-measure
+    stats: the reshape every metrics pipeline needs before generic
+    per-measure processing. Spark compiles unpivot to a single Expand
+    over one scan (same machinery as cube) — row count multiplies by
+    the measure count but nothing re-scans; the stats aggregation
+    map-side combines."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure", "value")
+    return (long.groupBy("l_returnflag", "measure")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("value"), 4).alias("avg_v"),
+                 F.round(F.min("value"), 4).alias("min_v"),
+                 F.round(F.max("value"), 4).alias("max_v")))
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the arbitrary-set generalization rollup
     and cube are sugar for; Spark 4 DataFrame groupingSets API):
@@ -2363,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_covariance": emb_covariance_q,
         "dq_gate": dq_gate,
         "q_cube": q_cube,
+        "q_melt": q_melt,
         "q_grouping_sets": q_grouping_sets,
         "q_rfm": q_rfm,
         "sample_weighted": sample_weighted,
@@ -4225,6 +4245,21 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total
             FROM orders
             GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "q_melt": """
+            WITH long AS (
+              SELECT l_returnflag, measure, value FROM (
+                UNPIVOT (SELECT l_returnflag, l_quantity,
+                                l_extendedprice, l_discount, l_tax
+                         FROM lineitem)
+                ON l_quantity, l_extendedprice, l_discount, l_tax
+                INTO NAME measure VALUE value)
+            )
+            SELECT l_returnflag, measure, count(*) AS n,
+                   round(avg(value), 4) AS avg_v,
+                   round(min(value), 4) AS min_v,
+                   round(max(value), 4) AS max_v
+            FROM long GROUP BY 1, 2
         """,
         "q_grouping_sets": """
             SELECT coalesce(o_orderstatus, 'ALL') AS status,

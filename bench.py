@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "q_assoc_rules",
     "q_clustering_coef",
     "q_grouping_sets",
+    "q_melt",
 ]
 
 

@@ -524,3 +524,11 @@ def test_grouping_sets_single_expand(plans):
     p = plans("q_grouping_sets")
     assert "Expand" in p
     assert p.count("FileScan parquet") == 1
+
+
+def test_melt_single_expand_one_scan(plans):
+    # unpivot compiles to Expand over ONE scan; stats combine map-side
+    p = plans("q_melt")
+    assert "Expand" in p
+    assert p.count("FileScan parquet") == 1
+    assert "partial_count" in p

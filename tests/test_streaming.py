@@ -363,3 +363,31 @@ def test_stream_minhash_probe_matches_batch_incremental(spark, tmp_path):
     assert pairs == expected == {(10, 1)}
     # exact duplicate agrees on every band, streamed one row per band
     assert sorted(r["band"] for r in got) == [0, 1, 2, 3]
+
+
+def test_cms_build_stream_matches_batch(spark, tmp_path):
+    """The count-min sketch is a pure mergeable aggregation, so the
+    SAME cms_build code runs on a readStream (complete mode) and the
+    final sketch is bit-identical to the batch build — the property
+    that lets a streaming pipeline maintain corpus token frequencies
+    incrementally."""
+    from seatunnel_spark.dataops.text import cms_build, cms_estimate
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} common") for i in range(60)]
+    static = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "docs")
+    static.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(static.schema).parquet(path)
+
+    batches = _run_batches(spark, cms_build(stream), tmp_path,
+                           mode="complete")
+    got = {(r["d"], r["pos"]): r["cnt"] for r in batches[-1]}
+    want = {(r["d"], r["pos"]): r["cnt"]
+            for r in cms_build(static).collect()}
+    assert got == want and len(want) > 0
+    # and the streamed sketch answers point queries exactly like batch
+    sketch = spark.createDataFrame(
+        [(d, pos, cnt) for (d, pos), cnt in got.items()],
+        "d int, pos string, cnt long")
+    probes = spark.createDataFrame([("common",)], "token string")
+    assert cms_estimate(sketch, probes).collect()[0]["est"] == 60
