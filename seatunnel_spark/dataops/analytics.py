@@ -227,7 +227,8 @@ def event_pattern_match(df: DataFrame, pattern: str,
                         entity_col: str = "user_id",
                         ts_col: str = "ts",
                         order_col: str = "event_id",
-                        type_col: str = "event_type") -> DataFrame:
+                        type_col: str = "event_type",
+                        max_events: int | None = 100_000) -> DataFrame:
     """CEP-style sequence-pattern matching: entities whose time-ordered
     event-type sequence matches a regex — the batch analog of
     MATCH_RECOGNIZE / FlinkCEP for shapes like "3 consecutive errors"
@@ -242,10 +243,24 @@ def event_pattern_match(df: DataFrame, pattern: str,
 
     Scale: the event log shuffles ONCE on entity (inherent to any
     per-entity sequence semantics); everything after operates on
-    |entities| rows. Sequence length is bounded by per-entity
-    activity — pre-cap degenerate entities (bots) upstream with a
-    count filter when activity is unbounded. The regex runs once per
+    |entities| rows. Degenerate hot entities (bots with millions of
+    events) are guarded IN CODE by `max_events`: a map-side-combined
+    count on the same key drops any entity whose event count exceeds
+    the cap BEFORE its sequence is collected, so no aggregation buffer
+    ever materializes an unbounded array — a deterministic DROP, not a
+    truncation, because a truncated sequence could silently report a
+    different (prefix-only) match result; excluded-entity semantics
+    are explicit and order-independent. The guard's narrow (entity,
+    count) shuffle and the semi join hash on the same key the groupBy
+    needs, so the event log still shuffles once. `max_events=None`
+    disables the guard for pre-capped inputs. The regex runs once per
     entity, JVM-side."""
+    if max_events is not None:
+        ok = (df.groupBy(entity_col)
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .filter(F.col("__n") <= max_events)
+              .select(entity_col))
+        df = df.join(ok, entity_col, "left_semi")
     ordered = F.array_sort(F.collect_list(
         F.struct(F.col(ts_col), F.col(order_col), F.col(type_col))))
     seq = F.array_join(

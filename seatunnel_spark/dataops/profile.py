@@ -79,15 +79,17 @@ def dq_checks(df: DataFrame, rules: list[dict],
           metric = fraction of rows satisfying expr (nulls count as
           failing — explicit `IS NOT NULL AND ...` semantics via
           coalesce, so a null never silently passes a gate)
-      {"name", "kind": "unique", "col": c, "min": r}
-          metric = count_distinct(c) / count(*)
+      {"name", "kind": "unique", "col": c, "min": r,
+       "approx": False}
+          metric = count_distinct(c) / count(*); with "approx": True
+          the distinct is HyperLogLog++ (approx_count_distinct, ±~2%)
+          — no per-column exact-distinct shuffle, the right mode for
+          100 TB audit runs where the gate threshold has slack.
 
     Scale: ALL rules evaluate in ONE aggregation pass over one scan —
-    adding a rule never adds a job. `unique` rules cost an exact
-    distinct each (per-column shuffle inside the same stage); swap in
-    approx_count_distinct upstream for 100 TB audit runs where ±2 %
-    is fine. The rule->row unpivot is pure Catalyst on the single
-    aggregate row."""
+    adding a rule never adds a job, and an approx unique rule keeps
+    the whole gate a single map-side-combinable aggregate. The
+    rule->row unpivot is pure Catalyst on the single aggregate row."""
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, r in enumerate(rules):
         if r["kind"] == "rate":
@@ -96,9 +98,11 @@ def dq_checks(df: DataFrame, rules: list[dict],
         elif r["kind"] == "unique":
             # try_divide: ANSI `/` THROWS on an empty table (0/0);
             # NULL flows to the explicit fail-below handling instead
+            nd = (F.approx_count_distinct(F.col(r["col"]))
+                  if r.get("approx") else
+                  F.count_distinct(F.col(r["col"])))
             aggs.append(F.try_divide(
-                F.count_distinct(F.col(r["col"])),
-                F.count(F.lit(1))).alias(f"m_{i}"))
+                nd, F.count(F.lit(1))).alias(f"m_{i}"))
         else:
             raise ValueError(f"unknown rule kind: {r['kind']!r}")
     row = df.agg(*aggs)

@@ -196,15 +196,20 @@ def weighted_sample_topk(df: DataFrame, group_col: str, k: int,
     bit-identically in any engine because u derives from md5(id), not
     an RNG: u = (first-8-hex-of-md5 + 0.5) / 16^8 (exact in double).
 
-    Weights must be > 0 and NON-NULL: a null weight makes the key
-    null, and DESC null ordering differs across engines (Spark sorts
-    nulls last, DuckDB first) — filter or coalesce weights upstream.
-    Same salted two-phase window as `group_sample_topk` (any
-    group-wide top-k key is also its salt bucket's top-k), so a hot
-    group never funnels through one task.
+    Rows whose weight is NULL or <= 0 are dropped IN-OPERATOR: A-ES
+    gives weight-0 rows zero selection probability by definition, a
+    null weight would make the key null (and DESC null ordering
+    differs across engines — Spark sorts nulls last, DuckDB first),
+    and a negative weight flips u^(1/w) into a u^(-x) explosion.
+    Enforcing the precondition here instead of in a docstring keeps
+    the draw well-defined on any input. Same salted two-phase window
+    as `group_sample_topk` (any group-wide top-k key is also its salt
+    bucket's top-k), so a hot group never funnels through one task.
     """
     from pyspark.sql import Window
 
+    df = df.filter(F.col(weight_col).isNotNull()
+                   & (F.col(weight_col).cast("double") > 0))
     h = F.md5(F.col(id_col).cast("string"))
     u = ((F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + 0.5)
          / F.lit(float(16 ** 8)))

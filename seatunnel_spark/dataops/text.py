@@ -484,7 +484,7 @@ def cms_estimate(cms: DataFrame, probes: DataFrame,
 
 
 def heavy_hitters(df: DataFrame, text_col: str = "text",
-                  min_count: int = 100, capacity: int = 4096,
+                  min_count: int = 100, capacity: int | None = None,
                   lowercase: bool = True) -> DataFrame:
     """EXACT corpus heavy hitters -> (token, cnt) for every token with
     total frequency >= min_count, via two phases:
@@ -504,11 +504,20 @@ def heavy_hitters(df: DataFrame, text_col: str = "text",
     token with TOTAL count > N/(c+1) survives in at least one
     partition, so with capacity >= N_tokens/min_count the result is
     exactly the true heavy-hitter set (the recount then removes false
-    positives). Callers at 100 TB size `capacity` from the corpus
-    token count (a cheap metadata-level estimate); the shuffle in
-    phase 2 carries only candidate-token rows — the full vocabulary
-    (billions of long-tail tokens) never shuffles, which is what makes
-    this viable where a plain groupBy(token) would spill.
+    positives). With `capacity=None` (the default) the operator SIZES
+    ITSELF to that bound: one narrow sum(length(text)) aggregate gives
+    N_upper = (total_chars + 1) // 2, a strict upper bound on the
+    whitespace token count (k tokens need >= 2k-1 chars), and capacity
+    becomes ceil(N_upper / min_count) — exactness is enforced in code,
+    not left to the caller's judgement. At 100 TB a fixed absolute
+    min_count would make that capacity huge, but heavy hitters at that
+    scale are a support FRACTION phi anyway (min_count = phi * N), and
+    then capacity = ceil(1/phi) is constant — the classic Misra-Gries
+    framing. An explicit `capacity` skips the sizing scan but forfeits
+    the no-false-negative guarantee when capacity < N/min_count. The
+    shuffle in phase 2 carries only candidate-token rows — the full
+    vocabulary (billions of long-tail tokens) never shuffles, which is
+    what makes this viable where a plain groupBy(token) would spill.
     """
     from pyspark.sql.types import StringType, StructField, StructType
 
@@ -516,6 +525,12 @@ def heavy_hitters(df: DataFrame, text_col: str = "text",
                           else F.col(text_col)), r"\s+")
     tokens = (df.select(F.explode(toks).alias("token"))
               .filter(F.col("token") != ""))
+
+    if capacity is None:
+        total_chars = (df.agg(F.sum(F.length(text_col)).alias("c"))
+                       .collect()[0]["c"]) or 0
+        n_upper = (int(total_chars) + 1) // 2
+        capacity = max(64, -(-n_upper // max(1, min_count)))
 
     cand_schema = StructType([StructField("token", StringType())])
 

@@ -1761,3 +1761,92 @@ def test_pca_fit_empty_input_raises_cleanly(spark):
     df = spark.createDataFrame([], "embedding array<float>")
     with _pytest.raises(ValueError, match="no vectors"):
         pca_fit(df, n_components=1)
+
+
+def test_event_pattern_match_hot_entity_cap(spark):
+    """max_events drops a degenerate mega-entity BEFORE its sequence
+    is collected (no unbounded aggregation buffer) and leaves every
+    normal entity's result unchanged; None disables the guard."""
+    import datetime as _dt
+
+    from seatunnel_spark.dataops.analytics import event_pattern_match
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + _dt.timedelta(seconds=i), 1, "error")
+            for i in range(3)]                      # normal matcher
+    rows += [(10 + i, t0 + _dt.timedelta(seconds=i), 2, "view")
+             for i in range(4)]                     # normal non-match
+    rows += [(100 + i, t0 + _dt.timedelta(seconds=i), 99, "error")
+             for i in range(5000)]                  # bot entity
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).repartition(8)
+    got = {r["entity"]: r["n_events"] for r in
+           event_pattern_match(df, r"error( error){2}",
+                               max_events=1000).collect()}
+    assert got == {1: 3}  # bot dropped, normal entity unchanged
+    uncapped = {r["entity"]: r["n_events"] for r in
+                event_pattern_match(df, r"error( error){2}",
+                                    max_events=None).collect()}
+    assert uncapped == {1: 3, 99: 5000}
+
+
+def test_weighted_sample_topk_rejects_nonpositive_weights(spark):
+    """NULL / zero / negative weights are dropped in-operator: the
+    draw stays well-defined and equals the draw over the valid rows."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.sampling import weighted_sample_topk
+
+    rows = [(0, None), (1, 0), (2, -5)] + [(i, i) for i in range(3, 40)]
+    df = (spark.createDataFrame(rows, "doc_id long, w int")
+          .withColumn("grp", F.lit("g")).repartition(4))
+    got = sorted(r["doc_id"] for r in
+                 weighted_sample_topk(df, "grp", 5, "w").collect())
+    want = sorted(r["doc_id"] for r in
+                  weighted_sample_topk(df.filter("w > 0"),
+                                       "grp", 5, "w").collect())
+    assert got == want
+    assert all(d >= 3 for d in got)
+
+
+def test_heavy_hitters_auto_capacity_exact(spark):
+    """capacity=None sizes itself from sum(length(text)) so the
+    Misra-Gries bound capacity >= N_tokens/min_count holds by
+    construction — exact on an adversarial flat (non-Zipfian) corpus
+    where a small fixed capacity WOULD evict true hitters."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.text import heavy_hitters
+
+    # 400 distinct mid-frequency tokens (count 12 each) + 2 heavy ones
+    rows = [(i, " ".join(f"mid{j}" for j in range(400)) + " hot hot hot")
+            for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string") \
+        .repartition(6)
+    got = {r["token"]: r["cnt"]
+           for r in heavy_hitters(docs, min_count=12).collect()}
+    toks = docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+                       .alias("token")).filter(F.col("token") != "")
+    truth = {r["token"]: r["cnt"] for r in
+             toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+                 .filter(F.col("cnt") >= 12).collect()}
+    assert got == truth and len(truth) == 401
+
+
+def test_dq_checks_approx_unique(spark):
+    """approx=True swaps the exact distinct for HyperLogLog++ inside
+    the same single-pass gate; on a small distinct set HLL is exact,
+    and an empty table still fails."""
+    from seatunnel_spark.dataops.profile import dq_checks
+
+    df = spark.createDataFrame([(i % 7,) for i in range(70)], "k int")
+    rules = [{"name": "u_exact", "kind": "unique", "col": "k", "min": 0.05},
+             {"name": "u_approx", "kind": "unique", "col": "k",
+              "min": 0.05, "approx": True}]
+    got = {r["check"]: r for r in dq_checks(df, rules).collect()}
+    assert got["u_exact"]["passed"] and got["u_approx"]["passed"]
+    assert abs(got["u_approx"]["metric"] - 0.1) < 1e-9
+    empty = spark.createDataFrame([], "k int")
+    got2 = dq_checks(empty, rules).collect()
+    assert all(not r["passed"] for r in got2)
