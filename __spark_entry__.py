@@ -1697,6 +1697,31 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations(d, "text", min_count=5)
 
 
+def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (dataops/sketches.py:ddsketch_build/
+    ddsketch_merge/ddsketch_quantiles — DDSketch, PVLDB'19): price
+    quantiles from TWO independently-built sketches (even/odd order
+    halves) merged by summing bucket counts — the estimate is
+    IDENTICAL to a whole-table build (the defining mergeable-sketch
+    property, which is why the oracle builds once over everything).
+    Each build is one map-side-combined groupBy over ~240 (kind, idx)
+    buckets; the quantile walk runs on the few-hundred-row sketch.
+    Every estimate is within relative error alpha=1% of the true
+    quantile — the scale story exact percentile() (a full sort per
+    group) cannot offer at 100 TB."""
+    from seatunnel_spark.dataops.sketches import (ddsketch_build,
+                                                  ddsketch_merge,
+                                                  ddsketch_quantiles)
+
+    li = _t(spark, sf_dir, "lineitem")
+    s_even = ddsketch_build(li.filter(F.col("l_orderkey") % 2 == 0),
+                            "l_extendedprice")
+    s_odd = ddsketch_build(li.filter(F.col("l_orderkey") % 2 == 1),
+                           "l_extendedprice")
+    merged = ddsketch_merge(s_even, s_odd)
+    return ddsketch_quantiles(merged, [0.5, 0.9, 0.95, 0.99])
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag median + MAD of extended price (dataops/
     analytics.py:group_mad): robust dispersion via two exact
@@ -2387,6 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cms_counts": text_cms_counts,
         "text_collocations": text_collocations,
         "q_mad": q_mad,
+        "q_ddsketch_quantiles": q_ddsketch_quantiles,
         "q_assoc_rules": q_assoc_rules,
         "q_copurchase": q_copurchase,
         "q_triangles": q_triangles,
@@ -4121,6 +4147,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc c2 ON c2.t = bc.w2
             CROSS JOIN nu CROSS JOIN nb
             WHERE bc.n_pair >= 5
+        """,
+        # DDSketch replay: identical bucket mapping (idx defined as
+        # ceil(round(ln(v)/ln(gamma), 9)) — the round step makes the
+        # bucket decision engine-independent), identical rank rule and
+        # midpoint estimate; gamma is written (1.0+0.01)/(1.0-0.01) in
+        # BOTH engines so the two doubles are bit-identical. Merging
+        # the even/odd sketches equals building over the whole table
+        # (counts are additive), which is what the oracle does.
+        "q_ddsketch_quantiles": """
+            WITH b AS (
+              SELECT CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1
+                          ELSE 0 END AS kind,
+                     CASE WHEN v = 0 THEN 0
+                          ELSE CAST(ceil(round(
+                                 ln(abs(v))
+                                 / ln((1.0+0.01)/(1.0-0.01)), 9))
+                               AS INT)
+                     END AS idx,
+                     count(*) AS cnt
+              FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+                    FROM lineitem WHERE l_extendedprice IS NOT NULL)
+              GROUP BY 1, 2
+            ), c AS (
+              SELECT kind, idx, cnt,
+                     sum(cnt) OVER (
+                       ORDER BY kind,
+                                CASE WHEN kind = -1 THEN -idx
+                                     ELSE idx END
+                       ROWS UNBOUNDED PRECEDING) AS cum_hi
+              FROM b
+            ), t AS (SELECT sum(cnt) AS n FROM b)
+            SELECT q,
+                   kind * round(2.0 * power((1.0+0.01)/(1.0-0.01), idx)
+                                / ((1.0+0.01)/(1.0-0.01) + 1.0), 4)
+                     AS est
+            FROM (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE,
+                                 0.95::DOUBLE, 0.99::DOUBLE]) AS q) qs,
+                 t, c
+            WHERE cum_hi - cnt < floor(round(q * (n - 1), 6)) + 1
+              AND floor(round(q * (n - 1), 6)) + 1 <= cum_hi
+            ORDER BY q
         """,
         "q_mad": """
             WITH med AS (

@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "q_clustering_coef",
     "q_grouping_sets",
     "q_melt",
+    # round-7 additions (append-only)
+    "q_ddsketch_quantiles",
 ]
 
 

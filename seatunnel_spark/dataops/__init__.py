@@ -27,6 +27,11 @@ from seatunnel_spark.dataops.similarity import (
     write_ivf_index,
     search_ivf_index,
 )
+from seatunnel_spark.dataops.sketches import (
+    ddsketch_build,
+    ddsketch_merge,
+    ddsketch_quantiles,
+)
 from seatunnel_spark.dataops.skew import salted_join
 from seatunnel_spark.dataops.text import (
     token_count,
@@ -92,6 +97,7 @@ __all__ = [
     "minhash_band_index", "incremental_minhash_matches",
     "doc_chunks", "bm25_topk", "pagerank",
     "passage_dedup_apply", "temperature_sample",
+    "ddsketch_build", "ddsketch_merge", "ddsketch_quantiles",
     "quantize_int8", "dequant_error", "kmeans_fit", "kmeans_assign",
     "group_sample_topk", "cms_build", "cms_estimate", "heavy_hitters",
     "domain_kl_drift", "equiwidth_histogram", "zscore_outliers",

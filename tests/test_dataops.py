@@ -1850,3 +1850,52 @@ def test_dq_checks_approx_unique(spark):
     empty = spark.createDataFrame([], "k int")
     got2 = dq_checks(empty, rules).collect()
     assert all(not r["passed"] for r in got2)
+
+
+def test_ddsketch_merge_equals_whole_and_error_bound(spark):
+    """Merging per-half sketches is bit-identical to one whole-table
+    build (counts are additive), and every quantile estimate is within
+    the alpha relative-error guarantee of the exact quantile."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.sketches import (
+        ddsketch_build, ddsketch_merge, ddsketch_quantiles)
+
+    vals = [(i, float(1.5 ** (i % 37)) + i * 0.01) for i in range(4000)]
+    df = spark.createDataFrame(vals, "k long, v double").repartition(8)
+    whole = ddsketch_build(df, "v", alpha=0.02)
+    merged = ddsketch_merge(
+        ddsketch_build(df.filter("k % 2 = 0"), "v", alpha=0.02),
+        ddsketch_build(df.filter("k % 2 = 1"), "v", alpha=0.02))
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, whole.collect())))
+    qs = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = {r["q"]: r["est"]
+           for r in ddsketch_quantiles(merged, qs, alpha=0.02).collect()}
+    exact = df.agg(*[F.expr(f"percentile(v, {q})").alias(str(q))
+                     for q in qs]).collect()[0]
+    for q in qs:
+        t = exact[str(q)]
+        assert abs(est[q] - t) / abs(t) <= 0.02 + 1e-6, (q, est[q], t)
+
+
+def test_ddsketch_sign_domains_and_validation(spark):
+    """Negative/zero/positive values keep true order through the
+    mirrored-index walk; q=0/q=1 hit the extremes; bad alpha raises."""
+    import pytest as _pytest
+
+    from seatunnel_spark.dataops.sketches import (
+        ddsketch_build, ddsketch_merge, ddsketch_quantiles)
+
+    df = spark.createDataFrame(
+        [(x,) for x in [-100.0, -1.0, 0.0, 0.0, 5.0, 50.0, 500.0]],
+        "v double")
+    sk = ddsketch_build(df, "v")
+    got = {r["q"]: r["est"]
+           for r in ddsketch_quantiles(sk, [0.0, 0.3, 0.5, 1.0]).collect()}
+    assert got[0.0] < -99 and abs(got[0.3] + 1.0) < 0.02
+    assert got[0.5] == 0.0 and abs(got[1.0] - 500.0) <= 5.0
+    with _pytest.raises(ValueError, match="alpha"):
+        ddsketch_build(df, "v", alpha=1.5)
+    with _pytest.raises(ValueError, match="no sketches"):
+        ddsketch_merge()

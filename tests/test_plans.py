@@ -532,3 +532,18 @@ def test_melt_single_expand_one_scan(plans):
     assert "Expand" in p
     assert p.count("FileScan parquet") == 1
     assert "partial_count" in p
+
+
+def test_ddsketch_build_is_one_partial_agg_exchange(spark, sf_dir):
+    """The sketch build must be a single map-side-combined aggregation:
+    partial_count before one exchange, and the shuffle payload is
+    (kind, idx) buckets — never the raw values."""
+    from seatunnel_spark.dataops.sketches import ddsketch_build
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = (ddsketch_build(li, "l_extendedprice")
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "partial_count" in p
+    assert p.count("Exchange") == 1
+    scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    assert "l_extendedprice" in scan and "l_comment" not in scan

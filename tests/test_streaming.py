@@ -391,3 +391,33 @@ def test_cms_build_stream_matches_batch(spark, tmp_path):
         "d int, pos string, cnt long")
     probes = spark.createDataFrame([("common",)], "token string")
     assert cms_estimate(sketch, probes).collect()[0]["est"] == 60
+
+
+def test_ddsketch_build_stream_matches_batch(spark, tmp_path):
+    """The DDSketch build is a pure additive groupBy aggregation —
+    the SAME ddsketch_build code on a readStream (complete mode)
+    yields a sketch bit-identical to the batch build, so a streaming
+    pipeline can maintain corpus quantiles incrementally and merge
+    them with batch sketches (the CMS mergeable-aggregation property,
+    extended to quantiles)."""
+    from seatunnel_spark.dataops.sketches import (ddsketch_build,
+                                                  ddsketch_quantiles)
+
+    rows = [(i, float(2 ** (i % 20)) + 0.25 * i) for i in range(300)]
+    static = spark.createDataFrame(rows, "k long, v double")
+    path = str(tmp_path / "vals")
+    static.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(static.schema).parquet(path)
+
+    batches = _run_batches(spark, ddsketch_build(stream, "v"), tmp_path,
+                           mode="complete")
+    got = {(r["kind"], r["idx"]): r["cnt"] for r in batches[-1]}
+    want = {(r["kind"], r["idx"]): r["cnt"]
+            for r in ddsketch_build(static, "v").collect()}
+    assert got == want and len(want) > 10
+    # and the streamed sketch answers quantile queries exactly like batch
+    sk = spark.createDataFrame(
+        [(k, i, c) for (k, i), c in got.items()], "kind int, idx int, cnt long")
+    est = ddsketch_quantiles(sk, [0.5]).collect()[0]["est"]
+    exact = sorted(v for _, v in rows)[149]
+    assert abs(est - exact) / exact <= 0.01 + 1e-6
