@@ -8,9 +8,11 @@ Scale shape: each PageRank iteration is exactly one shuffle of
 (dst, contribution) pairs — the edge list itself is never moved after
 the first degree join, and ranks are a |V|-row table, never collected
 to the driver. Dedup-ed edges + out-degrees are computed once and
-reused across iterations (cache-friendly; at cluster scale persist
-`edges` and `deg` or write them bucketed by src so every iteration's
-rank join co-locates without reshuffling the graph).
+reused across iterations. At cluster scale, `write_bucketed_edges` +
+`pagerank_on_bucketed` make the co-location durable: the edge list is
+written bucketed by source ONCE, and every iteration's degree/rank
+join reads it pre-partitioned with zero edge-side exchange
+(plan-tested in tests/test_plans.py).
 """
 
 from __future__ import annotations
@@ -18,40 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "write_bucketed_edges", "pagerank_on_bucketed"]
 
 
-def pagerank(
-    edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-    iters: int = 2,
-    damping: float = 0.85,
-    round_to: int = 6,
-    dedupe: bool = True,
-) -> DataFrame:
-    """PageRank over a directed edge list -> (node, rank).
-
-    Nodes are the union of endpoints; initial rank is 1/N. Each
-    iteration computes r'(v) = (1-d)/N + d * sum over in-edges u->v of
-    r(u)/outdeg(u); nodes with no out-edges (dangling) simply leak
-    their mass, the classic simplification — feed a symmetrized edge
-    list if you need mass conservation. Ranks are rounded to
-    `round_to` after every iteration so fixed-iteration runs are
-    reproducible bit-for-bit across engines and summation orders
-    (same convention as embeddings.kmeans_fit).
-    """
-    # The deduped edge list feeds degree, the node set, and every
-    # iteration: cut lineage so upstream joins/distinct run ONCE
-    # instead of once per consumer (same convention as
-    # dedup.minhash_lsh_pairs; at cluster scale persist or write the
-    # edge list bucketed by src instead). Pass dedupe=False when the
-    # input is already distinct — e.g. deduped upstream on narrower
-    # pre-stringified keys — to skip a full edge shuffle.
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
-    if dedupe:
-        e = e.distinct()
-    e = e.localCheckpoint(eager=False)
+def _pagerank_iterations(e: DataFrame, iters: int, damping: float,
+                         round_to: int) -> DataFrame:
+    """Shared fixed-iteration core over a deduped edge frame with
+    columns (__src, __dst). One (dst, contribution) shuffle per
+    iteration; ranks never collected."""
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select("__dst"))
@@ -82,3 +58,89 @@ def pagerank(
             )
         )
     return ranks
+
+
+def write_bucketed_edges(
+    edges: DataFrame,
+    table: str,
+    src: str = "src",
+    dst: str = "dst",
+    num_buckets: int = 32,
+    dedupe: bool = True,
+) -> None:
+    """Persist a deduped edge list bucketed + sorted by source — the
+    durable co-location every ITERATIVE graph algorithm wants: pay the
+    edge shuffle ONCE at write time, and every later per-iteration
+    rank/degree join hashed on source finds the edges already
+    partitioned on disk (zero edge-side exchange, plan-tested). The
+    in-memory `pagerank(dedupe=True)` path re-shuffles the edge list
+    per run; this is the cluster-scale alternative its docstring
+    promises (same write-once/probe-many pattern as
+    similarity.write_ivf_index and plans.bucketing.write_bucketed).
+
+    Columns are stored under the canonical internal names (__src,
+    __dst) so `pagerank_on_bucketed` consumes the scan with no
+    renaming projection between the bucketed FileScan and the joins.
+    """
+    from seatunnel_spark.plans.bucketing import write_bucketed
+
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    if dedupe:
+        e = e.distinct()
+    write_bucketed(e, table, ["__src"], num_buckets=num_buckets)
+
+
+def pagerank_on_bucketed(
+    spark,
+    table: str,
+    iters: int = 2,
+    damping: float = 0.85,
+    round_to: int = 6,
+) -> DataFrame:
+    """PageRank over an edge table written by `write_bucketed_edges`
+    -> (node, rank), numerically identical to `pagerank` on the same
+    edges (same fixed-iteration, round-per-iteration arithmetic).
+
+    Scale shape vs the in-memory path: the edge list is read already
+    hash-partitioned by __src, so per-iteration `edges ⋈ deg ⋈ ranks`
+    plans with NO exchange on the edge side — only the |V|-row ranks
+    table moves to meet the edges, then the one inherent
+    (dst, contribution) shuffle runs. The graph (the 100 TB part)
+    never reshuffles, not even once per job."""
+    return _pagerank_iterations(spark.table(table), iters, damping,
+                                round_to)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    damping: float = 0.85,
+    round_to: int = 6,
+    dedupe: bool = True,
+) -> DataFrame:
+    """PageRank over a directed edge list -> (node, rank).
+
+    Nodes are the union of endpoints; initial rank is 1/N. Each
+    iteration computes r'(v) = (1-d)/N + d * sum over in-edges u->v of
+    r(u)/outdeg(u); nodes with no out-edges (dangling) simply leak
+    their mass, the classic simplification — feed a symmetrized edge
+    list if you need mass conservation. Ranks are rounded to
+    `round_to` after every iteration so fixed-iteration runs are
+    reproducible bit-for-bit across engines and summation orders
+    (same convention as embeddings.kmeans_fit).
+    """
+    # The deduped edge list feeds degree, the node set, and every
+    # iteration: cut lineage so upstream joins/distinct run ONCE
+    # instead of once per consumer (same convention as
+    # dedup.minhash_lsh_pairs; at cluster scale use
+    # write_bucketed_edges + pagerank_on_bucketed instead — the
+    # durable form of this co-location). Pass dedupe=False when the
+    # input is already distinct — e.g. deduped upstream on narrower
+    # pre-stringified keys — to skip a full edge shuffle.
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    if dedupe:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=False)
+    return _pagerank_iterations(e, iters, damping, round_to)

@@ -547,3 +547,48 @@ def test_ddsketch_build_is_one_partial_agg_exchange(spark, sf_dir):
     assert p.count("Exchange") == 1
     scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
     assert "l_extendedprice" in scan and "l_comment" not in scan
+
+
+def test_pagerank_bucketed_edges_join_without_exchange(spark, sf_dir):
+    """write_bucketed_edges makes the per-iteration degree/rank join
+    read the graph pre-partitioned: the edges-side of every __src join
+    has NO exchange — only the |V|-row ranks table moves. This is the
+    durable co-location pagerank's docstring promises at cluster
+    scale."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.graph import (pagerank,
+                                               pagerank_on_bucketed,
+                                               write_bucketed_edges)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .select(F.concat(F.lit("c"), o.o_custkey).alias("src"),
+                 F.concat(F.lit("s"), li.l_suppkey).alias("dst")))
+    edges = j.union(j.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
+    try:
+        write_bucketed_edges(edges, "bk_pr_edges", num_buckets=8)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        e = spark.table("bk_pr_edges")
+        deg = e.groupBy("__src").agg(F.count("*").alias("__deg"))
+        frag = e.join(deg, "__src")
+        p = frag._jdf.queryExecution().executedPlan().toString()
+        # both sides derive from the bucketed scan: zero exchange
+        assert "Exchange" not in p
+        full = pagerank_on_bucketed(spark, "bk_pr_edges", iters=2)
+        fp = full._jdf.queryExecution().executedPlan().toString()
+        # bucketed read is active, and the only __src exchanges are
+        # the ranks side (one per iteration) — never edges or degrees
+        assert "Bucketed: true" in fp
+        assert fp.count("Exchange hashpartitioning(__src") <= 2
+        # numerically identical to the in-memory path
+        a = {r["node"]: r["rank"] for r in full.collect()}
+        b = {r["node"]: r["rank"]
+             for r in pagerank(edges, iters=2).collect()}
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bk_pr_edges")
