@@ -1524,6 +1524,24 @@ def stream_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(clicks["user_id"], "click_id", "buy_id")
 
 
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ordered funnel signup -> click -> purchase
+    (streaming/__init__.py:stream_funnel_state + dataops/analytics.py:
+    funnel_finish): the per-user state is a pure conditional-min
+    aggregation — mergeable, so a readStream maintains it
+    incrementally and bit-identically to batch in any arrival order
+    (equivalence proven in tests/test_streaming.py); the readout folds
+    |users| rows. Identical code path on the batch frame here, so
+    DuckDB replays it."""
+    from seatunnel_spark.dataops.analytics import funnel_finish
+    from seatunnel_spark.streaming import stream_funnel_state
+
+    e = _t(spark, sf_dir, "events")
+    steps = ["signup", "click", "purchase"]
+    state = stream_funnel_state(e, "user_id", "ts", "event_type", steps)
+    return funnel_finish(state, steps)
+
+
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: revenue between two nations by shipping year —
     a six-table join where BOTH ends need a nation lookup. The two
@@ -2409,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_ids": stream_dedup_ids,
         "stream_session_window": stream_session_window,
         "stream_interval_join_events": stream_interval_join_events,
+        "stream_funnel": stream_funnel,
         "mm_image_features": mm_image_features,
         "mm_image_resize": mm_image_resize,
         "mm_av_metadata": mm_av_metadata,
@@ -3422,6 +3441,32 @@ def _oracle_sql_literal() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, match_id, cosine, rank FROM r WHERE rank <= 10
+        """,
+        # Same per-user conditional-min + strict-order flags as
+        # q_funnel, over the signup->click->purchase step list the
+        # streaming entry uses.
+        "stream_funnel": """
+            WITH per_user AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+                     min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+              FROM events GROUP BY user_id
+            ), flags AS (
+              SELECT CAST(t0 IS NOT NULL AS BIGINT) AS s0,
+                     CAST(t0 IS NOT NULL AND t1 IS NOT NULL
+                          AND t1 > t0 AS BIGINT) AS s1,
+                     CAST(t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                          AND t2 IS NOT NULL AND t2 > t1 AS BIGINT) AS s2
+              FROM per_user
+            )
+            SELECT 'signup' AS step, 0 AS step_idx,
+                   CAST(sum(s0) AS BIGINT) AS users
+              FROM flags
+            UNION ALL
+            SELECT 'click', 1, CAST(sum(s1) AS BIGINT) FROM flags
+            UNION ALL
+            SELECT 'purchase', 2, CAST(sum(s2) AS BIGINT) FROM flags
         """,
         "stream_session_window": """
             WITH o AS (

@@ -10,20 +10,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
-           steps: list[str]) -> DataFrame:
-    """Ordered funnel: users whose FIRST occurrence of each step is
-    strictly after the previous step's first occurrence.
-
-    One groupBy(user) with a conditional min per step (partial aggs
-    combine map-side — the shuffle carries |users| rows x |steps|
-    timestamps, never the event log), then one tiny global aggregation
-    of step-completion flags. Output: (step, step_idx, users)."""
+def funnel_user_state(df: DataFrame, user_col: str, ts_col: str,
+                      type_col: str, steps: list[str]) -> DataFrame:
+    """Per-user funnel STATE: first-occurrence timestamp of each step
+    -> (user, __t0..__tN). A pure conditional-min aggregation — fully
+    mergeable (min is associative/commutative), which is exactly what
+    makes the funnel streamable: the same expression runs on a
+    readStream (streaming.stream_funnel_state) and the incrementally
+    maintained state is bit-identical to a batch build. The shuffle
+    carries |users| rows x |steps| timestamps, never the event log."""
     mins = [
         F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"__t{i}")
         for i, s in enumerate(steps)
     ]
-    per_user = df.groupBy(user_col).agg(*mins)
+    return df.groupBy(user_col).agg(*mins)
+
+
+def funnel_finish(per_user: DataFrame, steps: list[str]) -> DataFrame:
+    """Fold per-user funnel state into the funnel readout
+    (step, step_idx, users): strict-order completion flags + one tiny
+    global aggregation. Runs over |users| rows — cheap enough to call
+    on every micro-batch readout of a streaming state table."""
     done: Column = F.col("__t0").isNotNull()
     flags = [done.cast("long").alias("__s0")]
     for i in range(1, len(steps)):
@@ -37,6 +44,19 @@ def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
                  F.col(f"__n{i}").alias("users"))
         for i, s in enumerate(steps)])).alias("r"))
     return rows.select("r.step", "r.step_idx", "r.users")
+
+
+def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
+           steps: list[str]) -> DataFrame:
+    """Ordered funnel: users whose FIRST occurrence of each step is
+    strictly after the previous step's first occurrence.
+
+    Composition of `funnel_user_state` (one map-side-combined shuffle
+    of |users| rows, never the event log) and `funnel_finish` (tiny
+    global aggregation of step-completion flags). Output:
+    (step, step_idx, users)."""
+    return funnel_finish(
+        funnel_user_state(df, user_col, ts_col, type_col, steps), steps)
 
 
 def cohort_retention(df: DataFrame, user_col: str, ts_col: str,
@@ -470,7 +490,8 @@ def clustering_coefficient(edges: DataFrame, src: str = "p1",
                             round_to).alias("cc")))
 
 
-__all__ = ["funnel", "cohort_retention", "pivot_counts", "ngram_stats",
+__all__ = ["funnel", "funnel_user_state", "funnel_finish",
+           "cohort_retention", "pivot_counts", "ngram_stats",
            "corpus_overlap", "json_bucket_stats", "moving_average",
            "zscore_outliers", "equiwidth_histogram",
            "event_pattern_match", "copurchase_pairs", "triangle_count",

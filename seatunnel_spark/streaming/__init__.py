@@ -68,6 +68,30 @@ def session_window_agg(
                     *group_cols, *[F.col(n) for n in aggs]))
 
 
+def stream_funnel_state(df: DataFrame, user_col: str, ts_col: str,
+                        type_col: str, steps: list[str]) -> DataFrame:
+    """Streaming ordered-funnel state: per-user first-occurrence
+    timestamp of each step, maintained incrementally.
+
+    The funnel's per-user state is a pure conditional-MIN aggregation
+    (dataops/analytics.py:funnel_user_state) — min is associative and
+    commutative, so the same expression runs on a readStream
+    (complete/update mode) and the state is BIT-IDENTICAL to a batch
+    build over the same events, in any arrival order (the CMS /
+    DDSketch mergeable-aggregation property, extended to event
+    analytics). State size is |users| x |steps| timestamps — bounded
+    by the user population, never the stream length. Fold a readout
+    with `dataops.analytics.funnel_finish` on each materialized batch
+    (see tests/test_streaming.py for the stream==batch equivalence).
+
+    Works identically on batch frames — the batch/stream duality the
+    reference's connector-v2 model is built on
+    (docs/concept/connector-v2-features.md:10)."""
+    from seatunnel_spark.dataops.analytics import funnel_user_state
+
+    return funnel_user_state(df, user_col, ts_col, type_col, steps)
+
+
 def stream_dedup(df: DataFrame, key_cols: list[str], ts_col: str, watermark: str) -> DataFrame:
     """Streaming exact dedup within the watermark horizon.
 

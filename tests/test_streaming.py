@@ -421,3 +421,57 @@ def test_ddsketch_build_stream_matches_batch(spark, tmp_path):
     est = ddsketch_quantiles(sk, [0.5]).collect()[0]["est"]
     exact = sorted(v for _, v in rows)[149]
     assert abs(est - exact) / exact <= 0.01 + 1e-6
+
+
+def test_stream_funnel_matches_batch(spark, tmp_path):
+    """The funnel's per-user state is a pure conditional-min
+    aggregation, so the SAME stream_funnel_state code on a readStream
+    (complete mode) yields state bit-identical to the batch build, and
+    funnel_finish over it reproduces the batch funnel() readout
+    exactly — event analytics joins CMS/session-window/LSH-probe in
+    the stream==batch family."""
+    import datetime as _dt
+
+    from seatunnel_spark.dataops.analytics import funnel, funnel_finish
+    from seatunnel_spark.streaming import stream_funnel_state
+
+    t0 = _dt.datetime(2024, 3, 1)
+    rows = []
+    # user 1 completes view->click->purchase in order; user 2 clicks
+    # before viewing (blocked at click); user 3 views only; user 4
+    # has ties (click at the same ts as view -> strict order fails)
+    evs = {1: [("view", 0), ("click", 5), ("purchase", 9)],
+           2: [("click", 1), ("view", 2), ("purchase", 3)],
+           3: [("view", 4)],
+           4: [("view", 6), ("click", 6)]}
+    i = 0
+    for u, seq in evs.items():
+        for typ, s in seq:
+            rows.append((i, t0 + _dt.timedelta(minutes=s), u, typ))
+            i += 1
+    static = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    path = str(tmp_path / "funnel_events")
+    static.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(static.schema).parquet(path)
+
+    steps = ["view", "click", "purchase"]
+    batches = _run_batches(
+        spark, stream_funnel_state(stream, "user_id", "ts",
+                                   "event_type", steps),
+        tmp_path, mode="complete")
+    state = spark.createDataFrame(
+        batches[-1],
+        "user_id long, __t0 timestamp, __t1 timestamp, __t2 timestamp")
+    got = {(r["step"], r["step_idx"]): r["users"]
+           for r in funnel_finish(state, steps).collect()}
+    want = {(r["step"], r["step_idx"]): r["users"]
+            for r in funnel(static, "user_id", "ts",
+                            "event_type", steps).collect()}
+    assert got == want == {("view", 0): 4, ("click", 1): 1,
+                           ("purchase", 2): 1}
+    # and the streamed state itself equals the batch state
+    stream_state = {tuple(r) for r in batches[-1]}
+    want_state = {tuple(r) for r in stream_funnel_state(
+        static, "user_id", "ts", "event_type", steps).collect()}
+    assert stream_state == want_state
