@@ -1765,6 +1765,23 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddsketch_quantiles(merged, [0.5, 0.9, 0.95, 0.99])
 
 
+def q_ddsketch_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantiles from a grouped DDSketch (dataops/
+    sketches.py:ddsketch_build_grouped/ddsketch_quantiles_grouped):
+    median + p95 of price per returnflag. The shuffle carries at most
+    |groups| x n_buckets (kind, idx) keys — never the raw values —
+    where exact per-group percentile() is a full sort-based
+    aggregation buffering every group member; the error is bounded at
+    alpha=1% relative. The quantile walk runs on the few-hundred-row
+    grouped sketch."""
+    from seatunnel_spark.dataops.sketches import (
+        ddsketch_build_grouped, ddsketch_quantiles_grouped)
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = ddsketch_build_grouped(li, ["l_returnflag"], "l_extendedprice")
+    return ddsketch_quantiles_grouped(sk, ["l_returnflag"], [0.5, 0.95])
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag median + MAD of extended price (dataops/
     analytics.py:group_mad): robust dispersion via two exact
@@ -2458,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": text_collocations,
         "q_mad": q_mad,
         "q_ddsketch_quantiles": q_ddsketch_quantiles,
+        "q_ddsketch_by_group": q_ddsketch_by_group,
         "q_assoc_rules": q_assoc_rules,
         "q_copurchase": q_copurchase,
         "q_triangles": q_triangles,
@@ -4259,6 +4277,47 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE cum_hi - cnt < floor(round(q * (n - 1), 6)) + 1
               AND floor(round(q * (n - 1), 6)) + 1 <= cum_hi
             ORDER BY q
+        """,
+        # Grouped DDSketch replay: same bucket mapping / rank rule /
+        # midpoint as q_ddsketch_quantiles, with the cumulative walk
+        # partitioned by returnflag.
+        "q_ddsketch_by_group": """
+            WITH b AS (
+              SELECT l_returnflag,
+                     CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1
+                          ELSE 0 END AS kind,
+                     CASE WHEN v = 0 THEN 0
+                          ELSE CAST(ceil(round(
+                                 ln(abs(v))
+                                 / ln((1.0+0.01)/(1.0-0.01)), 9))
+                               AS INT)
+                     END AS idx,
+                     count(*) AS cnt
+              FROM (SELECT l_returnflag,
+                           CAST(l_extendedprice AS DOUBLE) AS v
+                    FROM lineitem WHERE l_extendedprice IS NOT NULL)
+              GROUP BY 1, 2, 3
+            ), c AS (
+              SELECT l_returnflag, kind, idx, cnt,
+                     sum(cnt) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY kind,
+                                CASE WHEN kind = -1 THEN -idx
+                                     ELSE idx END
+                       ROWS UNBOUNDED PRECEDING) AS cum_hi
+              FROM b
+            ), t AS (SELECT l_returnflag, sum(cnt) AS n
+                     FROM b GROUP BY 1)
+            SELECT t.l_returnflag, q,
+                   kind * round(2.0 * power((1.0+0.01)/(1.0-0.01), idx)
+                                / ((1.0+0.01)/(1.0-0.01) + 1.0), 4)
+                     AS est
+            FROM t
+            CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS q) qs
+            JOIN c ON c.l_returnflag = t.l_returnflag
+            WHERE cum_hi - cnt < floor(round(q * (n - 1), 6)) + 1
+              AND floor(round(q * (n - 1), 6)) + 1 <= cum_hi
+            ORDER BY t.l_returnflag, q
         """,
         "q_mad": """
             WITH med AS (

@@ -41,7 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ddsketch_build", "ddsketch_merge", "ddsketch_quantiles"]
+__all__ = ["ddsketch_build", "ddsketch_merge", "ddsketch_quantiles",
+           "ddsketch_build_grouped", "ddsketch_quantiles_grouped"]
 
 
 def _gamma(alpha: float) -> float:
@@ -78,6 +79,64 @@ def ddsketch_build(df: DataFrame, value_col: str,
             .agg(F.count(F.lit(1)).alias("cnt")))
 
 
+def ddsketch_build_grouped(df: DataFrame, group_cols: list[str],
+                           value_col: str,
+                           alpha: float = 0.01) -> DataFrame:
+    """Per-group DDSketch -> (group..., kind, idx, cnt): one map-side-
+    combined groupBy over (group, kind, idx) — the shuffle carries at
+    most |groups| x n_buckets keys, NEVER the raw values. This is the
+    scale path for per-group percentiles: exact `percentile()` is a
+    full sort-based aggregation buffering every group member, while
+    the sketch is a bounded additive aggregate with an alpha relative-
+    error guarantee. Grouped sketches with the same alpha merge by
+    summing cnt on (group, kind, idx)."""
+    import math
+
+    lng = math.log(_gamma(alpha))
+    v = F.col(value_col).cast("double")
+    idx = F.when(v == 0, F.lit(0)).otherwise(
+        F.ceil(F.round(F.log(F.abs(v)) / F.lit(lng), 9))).cast("int")
+    kind = F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)) \
+        .otherwise(F.lit(0)).cast("int")
+    return (df.filter(v.isNotNull())
+            .select(*group_cols, kind.alias("kind"), idx.alias("idx"))
+            .groupBy(*group_cols, "kind", "idx")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def ddsketch_quantiles_grouped(sketch: DataFrame, group_cols: list[str],
+                               qs: list[float], alpha: float = 0.01,
+                               round_to: int = 4) -> DataFrame:
+    """Per-group quantile estimates from a grouped sketch ->
+    (group..., q, est). Same rank rule and midpoint estimate as
+    `ddsketch_quantiles`, with the cumulative walk partitioned by
+    group — every window/join here runs on the (|groups| x n_buckets)-
+    row sketch, not the data."""
+    from pyspark.sql import Window
+
+    g = _gamma(alpha)
+    spark = sketch.sparkSession
+    order = [F.col("kind").asc(),
+             F.when(F.col("kind") == -1, -F.col("idx"))
+             .otherwise(F.col("idx")).asc()]
+    w = (Window.partitionBy(*group_cols).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (sketch
+           .withColumn("cum_hi", F.sum("cnt").over(w))
+           .withColumn("cum_lo", F.col("cum_hi") - F.col("cnt")))
+    totals = sketch.groupBy(*group_cols).agg(F.sum("cnt").alias("__n"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    rank = (F.floor(F.round(F.col("q") * (F.col("__n") - 1), 6)) + 1)
+    est = (F.col("kind")
+           * F.round(F.lit(2.0) * F.pow(F.lit(g), F.col("idx"))
+                     / F.lit(g + 1.0), round_to))
+    return (totals.join(F.broadcast(qdf))
+            .join(cum, group_cols)
+            .filter((F.col("cum_lo") < rank) & (rank <= F.col("cum_hi")))
+            .select(*group_cols, "q", est.alias("est"))
+            .orderBy(*group_cols, "q"))
+
+
 def ddsketch_merge(*sketches: DataFrame) -> DataFrame:
     """Merge sketches built with the SAME alpha: union + sum counts
     per bucket. Exact (no approximation is added by merging) because
@@ -96,8 +155,11 @@ def ddsketch_quantiles(sketch: DataFrame, qs: list[float],
                        round_to: int = 4) -> DataFrame:
     """Estimate quantiles from a sketch -> (q, est), one row per
     requested quantile, est within relative error alpha of the true
-    quantile (sign-exact: negative/zero/positive domains keep their
-    true order).
+    rank-floor(q*(n-1)) ORDER STATISTIC (the discontinuous / type-1
+    quantile — the definition the paper's guarantee covers; an
+    interpolating percentile() can land between order stats that are
+    farther than alpha apart on sparse data). Sign-exact:
+    negative/zero/positive domains keep their true order.
 
     rank r = floor(q * (n-1)); the answer bucket is the first, in
     value order (kind asc, then mirrored idx for negatives), whose

@@ -1899,3 +1899,44 @@ def test_ddsketch_sign_domains_and_validation(spark):
         ddsketch_build(df, "v", alpha=1.5)
     with _pytest.raises(ValueError, match="no sketches"):
         ddsketch_merge()
+
+
+def test_ddsketch_grouped_matches_per_group_builds(spark):
+    """Grouped build == independent per-group builds, and per-group
+    estimates respect the alpha bound against exact percentiles."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.sketches import (
+        ddsketch_build, ddsketch_build_grouped, ddsketch_quantiles,
+        ddsketch_quantiles_grouped)
+
+    rows = [(("a" if i % 3 else "b"), float(1.2 ** (i % 50)) + i * 0.003)
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+    sk = ddsketch_build_grouped(df, ["g"], "v")
+    for grp in ("a", "b"):
+        part = {(r["kind"], r["idx"]): r["cnt"]
+                for r in sk.filter(F.col("g") == grp)
+                .select("kind", "idx", "cnt").collect()}
+        solo = {(r["kind"], r["idx"]): r["cnt"]
+                for r in ddsketch_build(df.filter(F.col("g") == grp),
+                                        "v").collect()}
+        assert part == solo
+    qs = [0.5, 0.95]
+    got = {(r["g"], r["q"]): r["est"]
+           for r in ddsketch_quantiles_grouped(sk, ["g"], qs).collect()}
+    # the DDSketch guarantee is against the rank-floor(q*(n-1)) ORDER
+    # STATISTIC (the disc quantile) — not Spark's interpolated
+    # percentile(), which can land between order stats that are
+    # farther than alpha apart on sparse geometric data
+    import math as _math
+    for grp in ("a", "b"):
+        sub = df.filter(F.col("g") == grp)
+        vals = sorted(r["v"] for r in sub.collect())
+        for q in qs:
+            t = vals[_math.floor(q * (len(vals) - 1))]
+            assert abs(got[(grp, q)] - t) / abs(t) <= 0.01 + 1e-6
+        solo_est = {r["q"]: r["est"] for r in ddsketch_quantiles(
+            ddsketch_build(sub, "v"), qs).collect()}
+        for q in qs:
+            assert got[(grp, q)] == solo_est[q]
