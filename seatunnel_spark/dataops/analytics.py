@@ -345,11 +345,16 @@ def _closed_wedges(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
     The edge list appears three times and AQE does NOT reuse its
     upstream exchanges, so a derived edge list (e.g. the co-purchase
-    pipeline) recomputes per branch — measured CHEAPER than a
-    localCheckpoint lineage cut here (3.0s vs 2.2s at sf1): the
-    branches' scans run in parallel within one job, while the cut
-    serializes an eager materialization job in front. Callers with an
-    expensive edge derivation can pre-checkpoint before calling."""
+    pipeline) would recompute per branch. persist() (lazy compressed-
+    columnar cache) makes the derivation run once and the three
+    branches read blocks; at sf10 — where the co-purchase derivation
+    alone costs ~25s — triple-rescan ballooned to 148s while the cache
+    form runs the derivation once (33.6s cold; repeat calls hit the
+    cached edges and the wedge join itself takes ~0.6s). An
+    EAGER localCheckpoint is strictly worse than either (serializes a
+    deserialized-row materialization job in front, and a lost block is
+    unrecoverable — the pagerank sf10 OOM lesson, graph.py)."""
+    edges = edges.persist()
     e1 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e2 = edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
     e3 = edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))

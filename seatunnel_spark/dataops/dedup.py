@@ -194,12 +194,13 @@ def minhash_lsh_pairs(
                                  bands, shingle_k)
     buckets = _cap_buckets(buckets, ["band", "key"], max_bucket)
     # The self-join consumes `buckets` on BOTH sides, and AQE broadcasts
-    # one of them — no ReusedExchange, so without a lineage cut the whole
-    # signature pipeline (the expensive md5 pass) executes twice
-    # (measured 2x wall on the bench corpus). A lazy localCheckpoint
-    # materializes the tiny (id, band, key) frame once and both sides
-    # read it back.
-    buckets = buckets.localCheckpoint(eager=False)
+    # one of them — no ReusedExchange, so without a reuse point the
+    # whole signature pipeline (the expensive md5 pass) executes twice
+    # (measured 2x wall on the bench corpus). persist() (compressed
+    # columnar, lineage kept) rather than localCheckpoint: checkpoint
+    # blocks are deserialized rows (~10x larger) and unrecoverable if
+    # evicted under memory pressure — the sf10 OOM lesson (graph.py).
+    buckets = buckets.persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -395,10 +396,11 @@ def simhash_near_dups(
         id_col, "simhash", F.col("b.seg").alias("seg"), F.col("b.key").alias("key")
     )
     buckets = _cap_buckets(buckets, ["seg", "key"], max_bucket)
-    # lineage cut: both self-join sides would otherwise re-run the
+    # reuse point: both self-join sides would otherwise re-run the
     # simhash64 pandas-UDF pass (see minhash_lsh_pairs for the measured
-    # ReusedExchange failure under AQE broadcast)
-    buckets = buckets.localCheckpoint(eager=False)
+    # ReusedExchange failure under AQE broadcast); columnar persist,
+    # not localCheckpoint — resilient + ~10x smaller (graph.py lesson)
+    buckets = buckets.persist()
     a, b = buckets.alias("a"), buckets.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     pairs = (
@@ -469,10 +471,12 @@ def ngram_jaccard_pairs(
 
         inv = inv.withColumn(
             "n", F.count(F.lit(1)).over(Window.partitionBy("id")))
-    # lineage cut: the inverted index feeds both join sides; without it
+    # reuse point: the inverted index feeds both join sides; without it
     # the shingle explode executes twice (AQE may broadcast one side,
-    # defeating ReusedExchange)
-    inv = inv.localCheckpoint(eager=False)
+    # defeating ReusedExchange). Columnar persist, not localCheckpoint:
+    # this frame is CORPUS-sized (one row per shingle occurrence), the
+    # exact shape whose deserialized checkpoint blocks OOM first.
+    inv = inv.persist()
     a, b = inv.alias("a"), inv.alias("b")
     cond = (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id"))
     for c in block_cols or []:
@@ -511,8 +515,12 @@ def duplicate_clusters(
     (near-cliques), so 2-3 rounds is typical. Each round is ONE
     shuffle join + ONE map-side-combined min aggregation — no driver
     graph, no collected edges, so it scales to billions of pairs.
-    localCheckpoint every round cuts the iterative lineage that would
-    otherwise make Catalyst re-analyze an ever-deeper plan at 100 TB.
+    The STATIC edge list persists as a compressed columnar cache
+    (resilient: an evicted block recomputes — the graph.py lesson);
+    the per-round LABELS localCheckpoint, because there the point is
+    truncating the iterative lineage that would otherwise make
+    Catalyst re-analyze an ever-deeper plan at 100 TB, and the
+    (id, label) frame is the smallest thing in the job.
 
     Returns (id, cluster_id) for every vertex that appears in `pairs`;
     cluster_id is the component's minimum id (deterministic canon).
@@ -521,7 +529,7 @@ def duplicate_clusters(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    ).localCheckpoint()
+    ).persist()
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
@@ -604,9 +612,10 @@ def embedding_near_dups(
     )
     if bucket is not None:
         bucketed = _cap_buckets(bucketed, ["bucket"], max_bucket)
-    # lineage cut: the hyperplane-bucket projection (interpreted
-    # higher-order dot products) feeds both self-join sides
-    bucketed = bucketed.localCheckpoint(eager=False)
+    # reuse point: the hyperplane-bucket projection (interpreted
+    # higher-order dot products) feeds both self-join sides; columnar
+    # persist — resilient + compact for the vector payload
+    bucketed = bucketed.persist()
     a, b = bucketed.alias("a"), bucketed.alias("b")
     dot_ab = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
                          F.lit(0.0), lambda acc, x: acc + x)
@@ -681,7 +690,7 @@ def semantic_dedup(
     assigned = df.select(
         F.col(id_col).alias("id"), v.alias("v"), norm.alias("n"),
         _nearest_centroid(v, centroids).alias("cell"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     join_in = _cap_buckets(assigned, ["cell"], max_cell)
     a, b = join_in.alias("a"), join_in.alias("b")
     cos = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),

@@ -17,6 +17,8 @@ join reads it pre-partitioned with zero edge-side exchange
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -84,6 +86,19 @@ def write_bucketed_edges(
     """
     from seatunnel_spark.plans.bucketing import write_bucketed
 
+    spark = edges.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # with the in-memory catalog, a previous SESSION's table survives
+    # only as an orphaned warehouse directory the DROP above cannot
+    # see, and CTAS then fails with LOCATION_ALREADY_EXISTS — clear
+    # it; a durable metastore on a real cluster never hits this branch
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, table.lower())
+    if wh and os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     if dedupe:
         e = e.distinct()
@@ -132,15 +147,20 @@ def pagerank(
     (same convention as embeddings.kmeans_fit).
     """
     # The deduped edge list feeds degree, the node set, and every
-    # iteration: cut lineage so upstream joins/distinct run ONCE
-    # instead of once per consumer (same convention as
-    # dedup.minhash_lsh_pairs; at cluster scale use
+    # iteration: persist() so upstream joins/distinct run ONCE instead
+    # of once per consumer. persist (compressed columnar
+    # InMemoryRelation, MEMORY_AND_DISK) rather than localCheckpoint:
+    # checkpoint blocks are DESERIALIZED row objects (~10x larger) and
+    # the truncated lineage cannot recompute an evicted block — at
+    # sf10 (60M-row lineitem) the 2x~30M-edge list OOMed a 16g heap
+    # and died on the first lost block, while the columnar cache fits
+    # and any evicted piece just recomputes. At cluster scale use
     # write_bucketed_edges + pagerank_on_bucketed instead — the
-    # durable form of this co-location). Pass dedupe=False when the
+    # durable form of this co-location. Pass dedupe=False when the
     # input is already distinct — e.g. deduped upstream on narrower
     # pre-stringified keys — to skip a full edge shuffle.
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     if dedupe:
         e = e.distinct()
-    e = e.localCheckpoint(eager=False)
+    e = e.persist()
     return _pagerank_iterations(e, iters, damping, round_to)

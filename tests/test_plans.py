@@ -129,10 +129,15 @@ def test_domain_mix_broadcasts_counts(plans):
 
 
 def test_minhash_single_signature_pass(plans):
-    # the lineage cut must leave exactly one signature computation:
-    # one scan of documents.parquet in the whole pair plan
+    # the persisted bucket frame must be the reuse point: BOTH
+    # self-join sides read the same InMemoryTableScan, so the
+    # signature pipeline (the expensive md5 pass) computes once.
+    # (Each InMemoryTableScan prints the cache's defining subtree, so
+    # a raw FileScan count over the string double-counts — assert the
+    # cache reference instead.)
     p = plans("dedup_minhash_pairs")
-    assert p.count("FileScan parquet") <= 1
+    assert p.count("InMemoryTableScan") >= 2
+    assert p.count("InMemoryRelation") == p.count("InMemoryTableScan")
 
 
 def test_pack_docs_no_global_window(plans):
@@ -434,10 +439,14 @@ def test_kl_drift_text_never_shuffles(plans):
 
 
 def test_event_pattern_single_entity_shuffle(plans):
-    # exactly one wide exchange (the per-entity grouping); the regex
-    # runs post-agg on |entities| rows, never on raw events
+    # two exchanges, BOTH keyed on the entity: the max_events guard's
+    # narrow (entity, count) aggregation + the per-entity grouping the
+    # semantics require. The regex runs post-agg on |entities| rows,
+    # never on raw events, and no exchange carries anything wider
+    # than the entity key + event struct.
     p = plans("q_event_pattern")
-    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Exchange hashpartitioning") == 2
+    assert p.count("Exchange hashpartitioning(user_id") == 2
     assert "CartesianProduct" not in p
 
 
