@@ -874,6 +874,24 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(d, train=0.9, val=0.05)
 
 
+def sample_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (dataops/sampling.py:
+    leakage_safe_split): the split key is md5(text), not the doc id,
+    so duplicate documents can NEVER straddle the train/test fence —
+    the classic silent eval contamination an id-hash split permits.
+    Zero shuffle for the assignment itself; the per-split counts
+    reported here show every distinct text lives in exactly one split
+    (Σ per-split n_texts == global distinct texts)."""
+    from seatunnel_spark.dataops.sampling import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    s = leakage_safe_split(d, "text", train=0.8, val=0.1)
+    return (s.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct("text").alias("n_texts"))
+            .orderBy("split"))
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language stratified sampling (dataops/sampling.py:
     stratified_sample) with deterministic hash membership."""
@@ -2426,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_keywords": text_tfidf_keywords,
         "decontam_ngram": decontam_ngram,
         "sample_split": sample_split,
+        "sample_leakage_split": sample_leakage_split,
         "sample_stratified": sample_stratified,
         "sample_domain_mix": sample_domain_mix,
         "pack_docs": pack_docs,
@@ -3399,6 +3418,23 @@ def _oracle_sql_literal() -> dict[str, str]:
                          ('0x' || substr(md5(doc_id::varchar), 1, 8))::BIGINT
                            % 10000 AS b
                   FROM documents)
+        """,
+        # Content-keyed split replay: hash_bucket stringifies its key
+        # column before hashing, so the bucket is md5(md5(text)).
+        "sample_leakage_split": """
+            WITH s AS (
+              SELECT text,
+                     CASE WHEN b < 8000 THEN 'train'
+                          WHEN b < 9000 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT text,
+                           ('0x' || substr(md5(md5(text)), 1, 8))::BIGINT
+                             % 10000 AS b
+                    FROM documents)
+            )
+            SELECT split, count(*) AS n_docs,
+                   count(DISTINCT text) AS n_texts
+            FROM s GROUP BY split ORDER BY split
         """,
         "pack_docs": """
             WITH t AS (

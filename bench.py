@@ -16,6 +16,17 @@ idle truth was 0.34 s). Round-robin spreads any spike thinly across
 all queries, so the min-across-rounds still converges on the idle
 envelope. os.getloadavg() at start/end is recorded alongside so a
 loaded run is visible in the JSON itself.
+
+Cache isolation: spark.catalog.clearCache() runs after every timed
+query. Several operators persist() a reused frame (pagerank edges,
+wedge-close edge lists, LSH bucket tables); the cache serves the
+MULTIPLE CONSUMERS INSIDE one query execution — that benefit is real
+and stays inside the timed window — but letting it survive across
+queries (a) hands later invocations of the same plan a free ride the
+r6 localCheckpoint protocol never had, and (b) at sf10 accumulates
+GBs of cached blocks whose eviction churn distorts innocent
+neighbors (q_events_hourly measured 10.3 s mid-suite vs 0.75 s
+isolated). Each timed number is a standalone cold-cache execution.
 """
 
 from __future__ import annotations
@@ -115,6 +126,7 @@ def main() -> None:
     entry._t(spark, sf_dir, "lineitem").count()
     for name in BENCH_QUERIES:  # warm-up: codegen compile + listing
         qs[name](spark, sf_dir).count()
+        spark.catalog.clearCache()
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     timings = {name: float("inf") for name in BENCH_QUERIES}
@@ -123,6 +135,7 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()  # timed steady-state run
             timings[name] = min(timings[name], time.perf_counter() - t0)
+            spark.catalog.clearCache()  # per-query cache isolation
     timings = {k: round(v, 3) for k, v in timings.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -137,6 +150,8 @@ def main() -> None:
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "runs": runs,
+                "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                             "16g"),
             }
         )
     )

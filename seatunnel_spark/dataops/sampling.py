@@ -42,6 +42,31 @@ def split_assign(df: DataFrame, id_col: str = "doc_id",
         F.when(b < t_hi, "train").when(b < v_hi, "val").otherwise("test"))
 
 
+def leakage_safe_split(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       train: float = 0.9, val: float = 0.05,
+                       cluster_col: str | None = None) -> DataFrame:
+    """`split_assign`, but leakage-safe: duplicate documents ALWAYS
+    land in the same split. Hashing the doc id puts two copies of the
+    same text on different sides of the train/test fence — the classic
+    silent eval contamination — so the split key here is the CONTENT
+    (md5(text)), making membership a pure function of what the model
+    would actually memorize. For near-duplicate safety, pass
+    `cluster_col` (e.g. the cluster_id from dedup.duplicate_clusters
+    over MinHash pairs) and the whole near-dup cluster moves together.
+
+    Scale: identical to split_assign — one scan, a per-row hash +
+    range test, zero shuffle (the md5 the exact-dedup path computes
+    anyway). Same content -> same split, forever, on any layout."""
+    key = F.col(cluster_col) if cluster_col else F.md5(F.col(text_col))
+    b = hash_bucket(key)
+    t_hi = int(train * _BUCKETS)
+    v_hi = t_hi + int(val * _BUCKETS)
+    return df.withColumn(
+        "split",
+        F.when(b < t_hi, "train").when(b < v_hi, "val").otherwise("test"))
+
+
 def stratified_sample(df: DataFrame, strat_col: str, rates: dict[str, float],
                       id_col: str = "doc_id",
                       default_rate: float = 0.0) -> DataFrame:
@@ -228,6 +253,7 @@ def weighted_sample_topk(df: DataFrame, group_col: str, k: int,
             .drop("__key", "__salt", "__r1"))
 
 
-__all__ = ["hash_bucket", "split_assign", "stratified_sample",
+__all__ = ["hash_bucket", "split_assign", "leakage_safe_split",
+           "stratified_sample",
            "domain_rebalance", "global_shuffle", "temperature_sample",
            "group_sample_topk", "weighted_sample_topk"]

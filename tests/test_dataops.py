@@ -1940,3 +1940,36 @@ def test_ddsketch_grouped_matches_per_group_builds(spark):
             ddsketch_build(sub, "v"), qs).collect()}
         for q in qs:
             assert got[(grp, q)] == solo_est[q]
+
+
+def test_leakage_safe_split_no_text_straddles_splits(spark):
+    """Duplicate texts with DIFFERENT ids must land in one split (the
+    exact failure mode an id-hash split permits), and cluster_col
+    moves whole near-dup clusters together."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.sampling import (leakage_safe_split,
+                                                  split_assign)
+
+    rows = [(i, f"text number {i % 40}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(8)
+    s = leakage_safe_split(df, "text", train=0.6, val=0.2)
+    spans = (s.groupBy("text")
+             .agg(F.count_distinct("split").alias("k"))
+             .filter(F.col("k") > 1).count())
+    assert spans == 0
+    # the id split DOES straddle on this corpus — the guard is real
+    bad = (split_assign(df, train=0.6, val=0.2)
+           .groupBy("text")
+           .agg(F.count_distinct("split").alias("k"))
+           .filter(F.col("k") > 1).count())
+    assert bad > 0
+    # cluster mode: everything with one cluster id moves together
+    cl = df.withColumn("cid", (F.col("doc_id") % 5))
+    sc = leakage_safe_split(cl, "text", cluster_col="cid",
+                            train=0.6, val=0.2)
+    spans_c = (sc.groupBy("cid")
+               .agg(F.count_distinct("split").alias("k"))
+               .filter(F.col("k") > 1).count())
+    assert spans_c == 0
