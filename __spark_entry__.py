@@ -1758,6 +1758,31 @@ def q_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_on_bucketed(spark, "st_pr_edges", iters=2)
 
 
+def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout round trip (plans/zorder.py: zorder_key +
+    write_zordered): lineitem rewritten Morton-ordered on
+    (l_partkey, l_suppkey), then a selective 2-d box filter over the
+    re-read copy. Results are byte-identical to filtering the original
+    table (layout moves rows, never changes them) — which is exactly
+    what the oracle checks; the pruning property (per-FILE min-max
+    ranges narrow in BOTH dimensions, so the box skips most files) is
+    asserted from parquet footer stats in tests/test_plans.py. Revenue
+    is summed in DECIMAL so the rounded cent is partition-order-
+    independent."""
+    from seatunnel_spark.plans.zorder import write_zordered
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+    path = "/tmp/st_zorder_lineitem"
+    write_zordered(li, path, ["l_partkey", "l_suppkey"], num_files=16)
+    z = spark.read.parquet(path)
+    rev = F.col("l_extendedprice").cast("decimal(18,4)")
+    return (z.filter((F.col("l_partkey") <= 500)
+                     & (F.col("l_suppkey") <= 20))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.round(F.sum(rev), 2).cast("double").alias("revenue")))
+
+
 def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (dataops/sketches.py:ddsketch_build/
     ddsketch_merge/ddsketch_quantiles — DDSketch, PVLDB'19): price
@@ -2495,6 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mad": q_mad,
         "q_ddsketch_quantiles": q_ddsketch_quantiles,
         "q_ddsketch_by_group": q_ddsketch_by_group,
+        "q_zorder_prune": q_zorder_prune,
         "q_assoc_rules": q_assoc_rules,
         "q_copurchase": q_copurchase,
         "q_triangles": q_triangles,
@@ -4272,6 +4298,15 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN uc c2 ON c2.t = bc.w2
             CROSS JOIN nu CROSS JOIN nb
             WHERE bc.n_pair >= 5
+        """,
+        # Layout changes WHERE rows sit, never what they are: the
+        # oracle filters the ORIGINAL table.
+        "q_zorder_prune": """
+            SELECT count(*) AS n_rows,
+                   round(sum(CAST(l_extendedprice AS DECIMAL(18,4))),
+                         2)::DOUBLE AS revenue
+            FROM lineitem
+            WHERE l_partkey <= 500 AND l_suppkey <= 20
         """,
         # DDSketch replay: identical bucket mapping (idx defined as
         # ceil(round(ln(v)/ln(gamma), 9)) — the round step makes the

@@ -601,3 +601,57 @@ def test_pagerank_bucketed_edges_join_without_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
                        str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS bk_pr_edges")
+
+
+def test_zorder_narrows_both_dimensions(spark, sf_dir, tmp_path):
+    """The Morton sort-write must make per-FILE min-max ranges narrow
+    in BOTH participating columns (k-dimensional tiles) — a
+    single-column sort is narrow in that column only, leaving filters
+    on the other column unable to skip anything. Asserted straight
+    from parquet footer stats, the same stats the scan pruner uses;
+    and the z-ordered copy holds exactly the original rows."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.plans.zorder import write_zordered
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey")
+
+    def avg_ranges(path, cols):
+        import glob
+        spans = {c: [] for c in cols}
+        glo = {c: [None, None] for c in cols}
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            for c in cols:
+                lo, hi = None, None
+                idx = md.schema.to_arrow_schema().get_field_index(c)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                spans[c].append(hi - lo)
+                glo[c][0] = lo if glo[c][0] is None else min(glo[c][0], lo)
+                glo[c][1] = hi if glo[c][1] is None else max(glo[c][1], hi)
+        return {c: (sum(spans[c]) / len(spans[c]))
+                / max(1, glo[c][1] - glo[c][0]) for c in cols}
+
+    zp = str(tmp_path / "zorder")
+    write_zordered(li, zp, ["l_partkey", "l_suppkey"], num_files=8)
+    sp = str(tmp_path / "singlesort")
+    (li.repartitionByRange(8, "l_partkey")
+       .sortWithinPartitions("l_partkey")
+       .write.mode("overwrite").parquet(sp))
+
+    zr = avg_ranges(zp, ["l_partkey", "l_suppkey"])
+    sr = avg_ranges(sp, ["l_partkey", "l_suppkey"])
+    # single sort: partkey tiles tight, suppkey files cover ~everything
+    assert sr["l_partkey"] < 0.3 and sr["l_suppkey"] > 0.8
+    # z-order: BOTH dimensions substantially narrowed per file
+    assert zr["l_partkey"] < 0.6 and zr["l_suppkey"] < 0.6
+    # layout preserves content exactly
+    a = spark.read.parquet(zp).orderBy("l_orderkey", "l_partkey",
+                                       "l_suppkey").collect()
+    b = li.orderBy("l_orderkey", "l_partkey", "l_suppkey").collect()
+    assert a == b
