@@ -1825,6 +1825,22 @@ def q_ddsketch_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddsketch_quantiles_grouped(sk, ["l_returnflag"], [0.5, 0.95])
 
 
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training pair counts (dataops/text.py:
+    bpe_pair_counts — Sennrich et al., ACL 2016): adjacent-symbol
+    frequencies over the character vocabulary with `</w>` end-of-word
+    markers, weighted by word frequency. The corpus collapses to its
+    word VOCABULARY first (one map-side-combined shuffle); the pair
+    expansion runs on |vocab| rows — why BPE training is feasible at
+    100 TB. The full merge loop (bpe_learn) is validated against a
+    pure-Python reference trainer in tests; this entry oracle-checks
+    the aggregation each round repeats."""
+    from seatunnel_spark.dataops.text import bpe_pair_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(d, "text")
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag median + MAD of extended price (dataops/
     analytics.py:group_mad): robust dispersion via two exact
@@ -2518,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cms_counts": text_cms_counts,
         "text_collocations": text_collocations,
         "q_mad": q_mad,
+        "text_bpe_pairs": text_bpe_pairs,
         "q_ddsketch_quantiles": q_ddsketch_quantiles,
         "q_ddsketch_by_group": q_ddsketch_by_group,
         "q_zorder_prune": q_zorder_prune,
@@ -4348,6 +4365,28 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE cum_hi - cnt < floor(round(q * (n - 1), 6)) + 1
               AND floor(round(q * (n - 1), 6)) + 1 <= cum_hi
             ORDER BY q
+        """,
+        # Character-vocabulary pair counts with the </w> marker; the
+        # corpus collapses to (word, freq) first in both engines.
+        "text_bpe_pairs": """
+            WITH w AS (
+              SELECT unnest(string_split_regex(trim(lower(text)),
+                                               '\s+')) AS word
+              FROM documents
+            ), wf AS (
+              SELECT word, count(*) AS freq
+              FROM w WHERE word <> '' GROUP BY word
+            ), syms AS (
+              SELECT list_append(
+                       list_transform(generate_series(1, length(word)),
+                                      i -> substr(word, i, 1)),
+                       '</w>') AS s, freq
+              FROM wf
+            )
+            SELECT s[i] AS a, s[i + 1] AS b, sum(freq) AS cnt
+            FROM syms, LATERAL (
+              SELECT unnest(generate_series(1, len(s) - 1)) AS i) t
+            GROUP BY 1, 2
         """,
         # Grouped DDSketch replay: same bucket mapping / rank rule /
         # midpoint as q_ddsketch_quantiles, with the cumulative walk

@@ -639,3 +639,105 @@ def domain_kl_drift(df: DataFrame, domain_col: str = "source",
             .agg(F.max("n_d").alias("n_tokens"),
                  F.round(F.sum(p * F.log(p / q)), round_to).alias("kl"))
             .select("domain", "n_tokens", "kl"))
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training (distributed merge learning)
+# --------------------------------------------------------------------------
+
+def _bpe_word_vocab(df: DataFrame, text_col: str,
+                    lowercase: bool) -> DataFrame:
+    """(symbols array<string>, freq) per DISTINCT word — every BPE
+    round operates on this vocabulary table, never the corpus. Words
+    start as character sequences with a `</w>` end-of-word marker
+    (the Sennrich et al. 2016 convention, so merges can't cross word
+    boundaries and final tokens know word ends)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col)) if lowercase
+                          else F.col(text_col)), r"\s+")
+    words = (df.select(F.explode(toks).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    symbols = F.concat(F.split(F.col("word"), ""),
+                       F.array(F.lit("</w>")))
+    return words.select(symbols.alias("syms"), "freq")
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(a, b, cnt) adjacent-symbol pair frequencies, weighted by word
+    frequency — the shifted-slice arrays_zip sliding window (zero
+    UDF), then ONE vocabulary-sized map-side-combined shuffle."""
+    s = F.col("syms")
+    n = F.size(s)
+    m = F.greatest(n - 1, F.lit(0))
+    zipped = F.arrays_zip(F.slice(s, 1, m).alias("a"),
+                          F.slice(s, 2, m).alias("b"))
+    return (vocab.filter(n >= 2)
+            .select(F.explode(zipped).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt")))
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text",
+                    lowercase: bool = True) -> DataFrame:
+    """Adjacent-symbol pair frequencies over the initial character
+    vocabulary -> (a, b, cnt): the counting core of byte-pair-encoding
+    tokenizer training (Sennrich, Haddow & Birch, ACL 2016), exposed
+    as its own operator because this ONE aggregation is what every BPE
+    round repeats.
+
+    Scale: the corpus collapses to its word vocabulary first (one
+    corpus-sized map-side-combined shuffle of words); pair expansion,
+    weighting, and counting then run on |vocab| rows — at 100 TB the
+    vocabulary is millions of rows where the corpus is trillions of
+    tokens, which is why BPE training is feasible at all. Everything
+    is deterministic (no sampling), so DuckDB replays it exactly."""
+    return _pair_counts(_bpe_word_vocab(df, text_col, lowercase))
+
+
+def bpe_learn(df: DataFrame, text_col: str = "text", n_merges: int = 10,
+              lowercase: bool = True) -> DataFrame:
+    """Learn the first `n_merges` BPE merges -> (merge_rank, left,
+    right, freq), the merge table a tokenizer ships. Classic greedy
+    loop: count adjacent pairs (weighted by word freq), merge the most
+    frequent pair everywhere, repeat. Ties break deterministically
+    (freq desc, then left asc, right asc) so the table is identical in
+    any engine/partitioning — validated against a pure-Python
+    reference implementation in tests.
+
+    Scale: every round is ONE vocabulary-sized aggregation + a 1-row
+    argmax collect + a vocabulary-sized merge projection (an aggregate
+    fold over each word's symbol array — interpreted, but over |vocab|
+    rows, not the corpus). The vocab table persists (compressed
+    columnar) and is replaced each round; n_merges bounds the loop, so
+    driver work is n_merges tiny collects. The corpus is read ONCE."""
+    vocab = _bpe_word_vocab(df, text_col, lowercase).persist()
+    merges = []
+    for rank in range(n_merges):
+        top = (_pair_counts(vocab)
+               .orderBy(F.col("cnt").desc(), F.col("a").asc(),
+                        F.col("b").asc())
+               .limit(1).collect())
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        merges.append((rank, a, b, int(cnt)))
+        la, lb = F.lit(a), F.lit(b)
+        # fold each symbol array left-to-right, joining adjacent (a,b)
+        # into ab; greedy leftmost-first exactly like the reference
+        # implementation (so "aaa" with merge (a,a) -> ["aa","a"])
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la) & (x == lb),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.concat(la, lb)))
+            ).otherwise(F.concat(acc, F.array(x))))
+        new_vocab = vocab.select(merged.alias("syms"), "freq").persist()
+        vocab.unpersist()
+        vocab = new_vocab
+    vocab.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, freq long")

@@ -1973,3 +1973,57 @@ def test_leakage_safe_split_no_text_straddles_splits(spark):
                .agg(F.count_distinct("split").alias("k"))
                .filter(F.col("k") > 1).count())
     assert spans_c == 0
+
+
+def test_bpe_learn_matches_reference_implementation(spark):
+    """The distributed greedy loop must reproduce the classic
+    single-machine BPE trainer exactly: same merges, same order, same
+    frequencies — including overlap semantics (greedy leftmost:
+    'aaa' + merge (a,a) -> ['aa','a'])."""
+    import collections
+
+    from seatunnel_spark.dataops.text import bpe_learn
+
+    corpus = ["low low lower lowest new newer",
+              "wider new low aaa aaa baaa"]
+
+    def reference(texts, n):
+        vocab = collections.Counter()
+        for t in texts:
+            for w in t.lower().split():
+                vocab[tuple(list(w) + ["</w>"])] += 1
+        merges = []
+        for rank in range(n):
+            pairs = collections.Counter()
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += f
+            if not pairs:
+                break
+            (a, b), cnt = min(pairs.items(),
+                              key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            merges.append((rank, a, b, cnt))
+            new = collections.Counter()
+            for syms, f in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new[tuple(out)] += f
+            vocab = new
+        return merges
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "id int, text string"
+    ).repartition(4)
+    got = [(r["merge_rank"], r["left"], r["right"], r["freq"])
+           for r in bpe_learn(df, n_merges=8).collect()]
+    assert got == reference(corpus, 8)
+    # overlap case is actually exercised: 'aaa' must appear merged
+    lefts = {(a, b) for _, a, b, _ in got}
+    assert ("a", "a") in lefts
