@@ -735,6 +735,11 @@ def bpe_learn(df: DataFrame, text_col: str = "text", n_merges: int = 10,
                          F.array(F.concat(la, lb)))
             ).otherwise(F.concat(acc, F.array(x))))
         new_vocab = vocab.select(merged.alias("syms"), "freq").persist()
+        # materialize the new cache BEFORE dropping the old one: the
+        # new vocab's plan reads the old cache, and unpersisting first
+        # would make every later round recompute the whole merge chain
+        # from the corpus (O(rounds) recompute per round)
+        new_vocab.count()
         vocab.unpersist()
         vocab = new_vocab
     vocab.unpersist()
