@@ -92,6 +92,48 @@ def stream_funnel_state(df: DataFrame, user_col: str, ts_col: str,
     return funnel_user_state(df, user_col, ts_col, type_col, steps)
 
 
+def stream_retention(events: DataFrame, cohorts: DataFrame,
+                     user_col: str, ts_col: str,
+                     unit_days: int = 7) -> DataFrame:
+    """Streaming cohort-retention counts -> (cohort_period, offset,
+    users): live events join a STATIC cohort table (user -> first
+    activity period, built by a batch pass over history — the
+    stream-static join is stateless) and per-(cohort, offset) distinct
+    users are maintained with approx_count_distinct. HyperLogLog++
+    registers merge associatively and order-independently, so the SAME
+    code on a readStream (complete mode, ONE stateful aggregation)
+    yields counts BIT-IDENTICAL to a batch run over the same events —
+    the same mergeable-aggregation property the CMS/DDSketch/funnel
+    parities use. Exact distinct is NOT streamable (COUNT DISTINCT
+    state grows with the user set and Spark rejects it on streams);
+    HLL is the scale-correct choice at 100 TB anyway (±~2%, fixed
+    state per group). For exact batch retention use
+    dataops.analytics.cohort_retention."""
+    period = (F.datediff(F.col(ts_col).cast("date"),
+                         F.lit("1970-01-01").cast("date"))
+              / unit_days).cast("long")
+    ev = events.select(F.col(user_col).alias("__u"),
+                       period.alias("__p"))
+    return (ev.join(cohorts.withColumnRenamed(user_col, "__u"), "__u")
+            .groupBy(F.col("cohort_period"),
+                     (F.col("__p") - F.col("cohort_period"))
+                     .alias("offset"))
+            .agg(F.approx_count_distinct("__u").alias("users")))
+
+
+def retention_cohorts(history: DataFrame, user_col: str, ts_col: str,
+                      unit_days: int = 7) -> DataFrame:
+    """Batch half of `stream_retention`: (user, cohort_period) — each
+    user's first activity period over the historical corpus. One
+    map-side-combined min aggregation."""
+    period = (F.datediff(F.col(ts_col).cast("date"),
+                         F.lit("1970-01-01").cast("date"))
+              / unit_days).cast("long")
+    return (history.select(F.col(user_col), period.alias("__p"))
+            .groupBy(user_col)
+            .agg(F.min("__p").alias("cohort_period")))
+
+
 def stream_dedup(df: DataFrame, key_cols: list[str], ts_col: str, watermark: str) -> DataFrame:
     """Streaming exact dedup within the watermark horizon.
 

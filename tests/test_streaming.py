@@ -475,3 +475,73 @@ def test_stream_funnel_matches_batch(spark, tmp_path):
     want_state = {tuple(r) for r in stream_funnel_state(
         static, "user_id", "ts", "event_type", steps).collect()}
     assert stream_state == want_state
+
+
+def test_stream_retention_matches_batch(spark, tmp_path):
+    """Stream-static cohort join + HLL distinct counts: the SAME
+    stream_retention code on a readStream (complete mode, one stateful
+    aggregation) is bit-identical to the batch run — HyperLogLog++
+    registers merge associatively in any arrival order."""
+    import datetime as _dt
+
+    from seatunnel_spark.streaming import (retention_cohorts,
+                                           stream_retention)
+
+    t0 = _dt.datetime(2024, 1, 1)
+    hist_rows, live_rows = [], []
+    for u in range(40):
+        first = u % 3  # cohort weeks 0..2
+        hist_rows.append((u, t0 + _dt.timedelta(days=7 * first)))
+        for k in range(u % 4):  # later activity at offsets 1..3
+            live_rows.append(
+                (u, t0 + _dt.timedelta(days=7 * (first + k + 1))))
+    hist = spark.createDataFrame(hist_rows, "user_id long, ts timestamp")
+    live = spark.createDataFrame(live_rows, "user_id long, ts timestamp")
+    cohorts = retention_cohorts(hist, "user_id", "ts")
+
+    path = str(tmp_path / "live_events")
+    live.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(live.schema).parquet(path)
+
+    batches = _run_batches(
+        spark, stream_retention(stream, cohorts, "user_id", "ts"),
+        tmp_path, mode="complete")
+    got = {(r["cohort_period"], r["offset"]): r["users"]
+           for r in batches[-1]}
+    want = {(r["cohort_period"], r["offset"]): r["users"]
+            for r in stream_retention(live, cohorts,
+                                      "user_id", "ts").collect()}
+    assert got == want and len(want) > 3
+    # HLL is exact at these cardinalities: cross-check one cell
+    # against the true distinct count
+    truth = len({u for u, _ in live_rows if u % 3 == 0 and u % 4 >= 1})
+    assert got[(2819, 1)] == truth
+
+
+def test_dq_checks_streamable_with_approx(spark, tmp_path):
+    """The whole declarative DQ gate (rate rules + an approx unique
+    rule) is ONE map-side-combinable aggregation, so it runs unchanged
+    on a readStream in complete mode and every metric/pass flag is
+    bit-identical to batch — a live data-quality monitor for free.
+    (An exact unique rule would be rejected on streams: COUNT DISTINCT
+    state grows with the key set.)"""
+    from seatunnel_spark.dataops.profile import dq_checks
+
+    rows = [(i, i % 9, "x" if i % 5 else None) for i in range(90)]
+    static = spark.createDataFrame(rows, "id long, k int, s string")
+    path = str(tmp_path / "dq_rows")
+    static.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(static.schema).parquet(path)
+
+    rules = [
+        {"name": "s_mostly_set", "kind": "rate",
+         "expr": "s IS NOT NULL", "min": 0.7},
+        {"name": "k_cardinality", "kind": "unique", "col": "k",
+         "min": 0.05, "approx": True},
+    ]
+    batches = _run_batches(spark, dq_checks(stream, rules), tmp_path,
+                           mode="complete")
+    got = {tuple(r) for r in batches[-1]}
+    want = {tuple(r) for r in dq_checks(static, rules).collect()}
+    assert got == want
+    assert all(r[-1] for r in got)  # both rules pass on this data
