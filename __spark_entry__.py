@@ -2110,6 +2110,34 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_pattern_match(e, r"error( error){2}")
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (dataops/analytics.py:event_transitions): how users
+    actually move between states — the journey-analysis complement of
+    q_funnel (fixed path) and q_event_pattern (declared shape). ONE
+    event-log shuffle (the per-entity ordering window); pair counts
+    and marginals are |event_types|²-sized, marginals broadcast."""
+    from seatunnel_spark.dataops.analytics import event_transitions
+
+    e = _t(spark, sf_dir, "events")
+    return event_transitions(e)
+
+
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph (dataops/graph.py:
+    degree_distribution) — the Σdeg² early-warning diagnostic every
+    wedge-bound algorithm (q_triangles, q_clustering_coef) should be
+    preceded by. Two map-side-combined aggregations; output is
+    |distinct degrees| rows."""
+    from seatunnel_spark.dataops.analytics import copurchase_pairs
+    from seatunnel_spark.dataops.graph import degree_distribution
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = copurchase_pairs(li, "l_orderkey", "l_partkey",
+                             min_support=2).select("p1", "p2")
+    return degree_distribution(edges, "p1", "p2")
+
+
 def text_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-distribution KL divergence vs the corpus blend
     (dataops/text.py:domain_kl_drift) — the data-mixing drift
@@ -2555,6 +2583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram": q_histogram,
         "text_kl_drift": text_kl_drift,
         "q_event_pattern": q_event_pattern,
+        "q_event_transitions": q_event_transitions,
+        "q_degree_dist": q_degree_dist,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
@@ -4365,6 +4395,53 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE cum_hi - cnt < floor(round(q * (n - 1), 6)) + 1
               AND floor(round(q * (n - 1), 6)) + 1 <= cum_hi
             ORDER BY q
+        """,
+        # LEAD over (user, ts, event_id) replays identically; the
+        # prob rounding is on an exact integer ratio in both engines.
+        "q_event_transitions": """
+            WITH seq AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS to_type
+              FROM events
+            ), pairs AS (
+              SELECT from_type, to_type, count(*) AS n
+              FROM seq WHERE to_type IS NOT NULL
+              GROUP BY 1, 2
+            ), marg AS (
+              SELECT from_type, sum(n) AS tot FROM pairs GROUP BY 1
+            )
+            SELECT p.from_type, p.to_type, p.n,
+                   round(p.n / m.tot, 4) AS prob
+            FROM pairs p JOIN marg m USING (from_type)
+        """,
+        # Same basket pair generation as q_copurchase, then the
+        # endpoint union -> degree -> histogram rollup.
+        "q_degree_dist": """
+            WITH baskets AS (
+              SELECT l_orderkey AS b,
+                     list_sort(list(DISTINCT l_partkey)) AS items
+              FROM lineitem GROUP BY 1
+            ), pr AS (
+              SELECT items[i] AS p1, items[j] AS p2
+              FROM baskets,
+                   LATERAL (SELECT unnest(generate_series(1, len(items)))
+                            AS i) t1,
+                   LATERAL (SELECT unnest(generate_series(i + 1,
+                                                          len(items)))
+                            AS j) t2
+            ), edges AS (
+              SELECT p1, p2 FROM pr GROUP BY p1, p2
+              HAVING count(*) >= 2
+            ), ends AS (
+              SELECT p1 AS v FROM edges
+              UNION ALL SELECT p2 FROM edges
+            ), deg AS (
+              SELECT v, count(*) AS degree FROM ends GROUP BY v
+            )
+            SELECT degree, count(*) AS n_vertices
+            FROM deg GROUP BY degree
         """,
         # Character-vocabulary pair counts with the </w> marker; the
         # corpus collapses to (word, freq) first in both engines.

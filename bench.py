@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "q_melt",
     # round-7 additions (append-only)
     "q_ddsketch_quantiles",
+    "q_event_transitions",
 ]
 
 

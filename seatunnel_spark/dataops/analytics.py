@@ -496,9 +496,46 @@ def clustering_coefficient(edges: DataFrame, src: str = "p1",
 
 
 __all__ = ["funnel", "funnel_user_state", "funnel_finish",
+           "event_transitions",
            "cohort_retention", "pivot_counts", "ngram_stats",
            "corpus_overlap", "json_bucket_stats", "moving_average",
            "zscore_outliers", "equiwidth_histogram",
            "event_pattern_match", "copurchase_pairs", "triangle_count",
            "rolling_distinct", "group_mad", "association_rules",
            "clustering_coefficient"]
+
+def event_transitions(df: DataFrame, entity_col: str = "user_id",
+                      ts_col: str = "ts", order_col: str = "event_id",
+                      type_col: str = "event_type",
+                      round_to: int = 4) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences -> (from_type, to_type, n, prob): how users actually
+    move between states (view -> click -> ...), the journey-analysis
+    complement of funnel() (which fixes the path) and
+    event_pattern_match (which matches a declared shape).
+
+    prob = n(from, to) / sum_to' n(from, to') — rows sum to 1 per
+    from-state. The (ts, order_col) tiebreak makes consecutive pairs
+    deterministic under equal timestamps in any engine.
+
+    Scale: ONE event-log shuffle (the per-entity window ordering —
+    inherent to sequence semantics), then everything is
+    |event_types|²-sized: pair counts combine map-side, and the
+    per-from marginals come from a window over the tiny PAIRS frame —
+    a separate marginal aggregation would re-run the whole event
+    pipeline for its branch (AQE reuses no exchanges), so the shuffle
+    it saves is event-log-sized, not pairs-sized."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(entity_col)
+         .orderBy(F.col(ts_col).asc(), F.col(order_col).asc()))
+    pairs = (df
+             .withColumn("__next", F.lead(type_col).over(w))
+             .filter(F.col("__next").isNotNull())
+             .groupBy(F.col(type_col).alias("from_type"),
+                      F.col("__next").alias("to_type"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    tot = F.sum("n").over(Window.partitionBy("from_type"))
+    return pairs.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n") / tot, round_to).alias("prob"))

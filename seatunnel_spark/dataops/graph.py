@@ -22,7 +22,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "write_bucketed_edges", "pagerank_on_bucketed"]
+__all__ = ["pagerank", "write_bucketed_edges", "pagerank_on_bucketed",
+           "degree_distribution"]
 
 
 def _pagerank_iterations(e: DataFrame, iters: int, damping: float,
@@ -164,3 +165,21 @@ def pagerank(
         e = e.distinct()
     e = e.persist()
     return _pagerank_iterations(e, iters, damping, round_to)
+
+
+def degree_distribution(edges: DataFrame, src: str = "src",
+                        dst: str = "dst") -> DataFrame:
+    """Degree histogram of an undirected graph given as canonical
+    edges -> (degree, n_vertices), the first thing to look at before
+    any wedge-bound algorithm (triangles, clustering coefficient):
+    a power-law tail here is the early warning that Σ deg² is about
+    to explode and super-hubs need capping.
+
+    Two map-side-combined aggregations over the edge list (union of
+    endpoints -> degree per vertex -> count per degree); the output
+    is at most |distinct degrees| rows."""
+    ends = (edges.select(F.col(src).alias("v"))
+            .unionAll(edges.select(F.col(dst).alias("v"))))
+    deg = ends.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
+    return (deg.groupBy("degree")
+            .agg(F.count(F.lit(1)).alias("n_vertices")))

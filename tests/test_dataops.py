@@ -2027,3 +2027,40 @@ def test_bpe_learn_matches_reference_implementation(spark):
     # overlap case is actually exercised: 'aaa' must appear merged
     lefts = {(a, b) for _, a, b, _ in got}
     assert ("a", "a") in lefts
+
+
+def test_event_transitions_probabilities(spark):
+    """Rows sum to 1 per from-state; counts follow the (ts, event_id)
+    order with deterministic tie-breaks; last event has no outgoing
+    transition."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.analytics import event_transitions
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [  # user 1: a->b->a ; user 2: a->b (tie broken by event_id)
+        (1, t0, 1, "a"), (2, t0 + _dt.timedelta(1), 1, "b"),
+        (3, t0 + _dt.timedelta(2), 1, "a"),
+        (10, t0, 2, "a"), (11, t0, 2, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["prob"])
+           for r in event_transitions(df).collect()}
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+    sums = (event_transitions(df).groupBy("from_type")
+            .agg(F.round(F.sum("prob"), 4).alias("s")).collect())
+    assert all(r["s"] == 1.0 for r in sums)
+
+
+def test_degree_distribution(spark):
+    from seatunnel_spark.dataops.graph import degree_distribution
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "src long, dst long")
+    got = {r["degree"]: r["n_vertices"]
+           for r in degree_distribution(edges).collect()}
+    # deg(1)=3, deg(2)=2, deg(3)=2, deg(4)=1
+    assert got == {3: 1, 2: 2, 1: 1}

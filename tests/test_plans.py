@@ -655,3 +655,13 @@ def test_zorder_narrows_both_dimensions(spark, sf_dir, tmp_path):
                                        "l_suppkey").collect()
     b = li.orderBy("l_orderkey", "l_partkey", "l_suppkey").collect()
     assert a == b
+
+
+def test_event_transitions_one_event_shuffle(plans):
+    # exactly one exchange over the event log (the per-entity window
+    # ordering); the pair/marginal work is |event_types|^2-sized and
+    # the marginals ride a broadcast join
+    p = plans("q_event_transitions")
+    assert p.count("Exchange hashpartitioning(user_id") == 1
+    assert "Join" not in p  # marginals ride a pairs-frame window
+    assert "CartesianProduct" not in p
