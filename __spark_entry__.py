@@ -2110,6 +2110,30 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_pattern_match(e, r"error( error){2}")
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (dataops/analytics.py:winsorize):
+    prices clipped to their returnflag's exact [p05, p95] percentile
+    bounds, summarized per group. One percentile aggregation broadcast
+    back onto the scan; the clip is a codegen projection — the fact
+    table never shuffles (the zscore/MAD broadcast-stats shape).
+    Outputs are counts + rounded bounds, so the hash compare never
+    rides a partition-order-dependent double sum."""
+    from seatunnel_spark.dataops.analytics import winsorize
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = winsorize(li, "l_returnflag", "l_extendedprice")
+    return (w.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("clip_lo").alias("clip_lo"),
+                 F.max("clip_hi").alias("clip_hi"),
+                 F.sum((F.col("l_extendedprice_w")
+                        == F.col("clip_lo")).cast("long"))
+                 .alias("n_clipped_low"),
+                 F.sum((F.col("l_extendedprice_w")
+                        == F.col("clip_hi")).cast("long"))
+                 .alias("n_clipped_high")))
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences (dataops/analytics.py:event_transitions): how users
@@ -2584,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kl_drift": text_kl_drift,
         "q_event_pattern": q_event_pattern,
         "q_event_transitions": q_event_transitions,
+        "q_winsorize": q_winsorize,
         "q_degree_dist": q_degree_dist,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q8_market_share": q8_market_share,
@@ -4395,6 +4420,31 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE cum_hi - cnt < floor(round(q * (n - 1), 6)) + 1
               AND floor(round(q * (n - 1), 6)) + 1 <= cum_hi
             ORDER BY q
+        """,
+        # quantile_cont == Spark's interpolated percentile (the
+        # q_mad-proven equivalence); counts compare clipped-and-
+        # rounded values to the rounded bounds in both engines.
+        "q_winsorize": """
+            WITH b AS (
+              SELECT l_returnflag AS g,
+                     round(quantile_cont(l_extendedprice, 0.05), 4)
+                       AS clip_lo,
+                     round(quantile_cont(l_extendedprice, 0.95), 4)
+                       AS clip_hi,
+                     quantile_cont(l_extendedprice, 0.05) AS lo_raw,
+                     quantile_cont(l_extendedprice, 0.95) AS hi_raw
+              FROM lineitem GROUP BY 1
+            )
+            SELECT l_returnflag, count(*) AS n,
+                   max(clip_lo) AS clip_lo, max(clip_hi) AS clip_hi,
+                   sum(CAST(round(least(greatest(l_extendedprice,
+                                                 lo_raw), hi_raw), 4)
+                            = clip_lo AS BIGINT)) AS n_clipped_low,
+                   sum(CAST(round(least(greatest(l_extendedprice,
+                                                 lo_raw), hi_raw), 4)
+                            = clip_hi AS BIGINT)) AS n_clipped_high
+            FROM lineitem JOIN b ON l_returnflag = g
+            GROUP BY l_returnflag
         """,
         # LEAD over (user, ts, event_id) replays identically; the
         # prob rounding is on an exact integer ratio in both engines.

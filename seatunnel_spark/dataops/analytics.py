@@ -501,6 +501,7 @@ __all__ = ["funnel", "funnel_user_state", "funnel_finish",
            "corpus_overlap", "json_bucket_stats", "moving_average",
            "zscore_outliers", "equiwidth_histogram",
            "event_pattern_match", "copurchase_pairs", "triangle_count",
+           "winsorize",
            "rolling_distinct", "group_mad", "association_rules",
            "clustering_coefficient"]
 
@@ -539,3 +540,29 @@ def event_transitions(df: DataFrame, entity_col: str = "user_id",
     return pairs.select(
         "from_type", "to_type", "n",
         F.round(F.col("n") / tot, round_to).alias("prob"))
+
+
+def winsorize(df: DataFrame, group_col: str, value_col: str,
+              lo: float = 0.05, hi: float = 0.95,
+              round_to: int = 4) -> DataFrame:
+    """Per-group winsorization: clip a value column to its group's
+    [lo, hi] exact interpolated percentiles -> the input plus
+    (clip_lo, clip_hi, <value>_w). The robust alternative to dropping
+    outliers before averaging quality scores / losses / prices — one
+    corrupt value moves a mean arbitrarily, never a winsorized mean.
+
+    Scale: one map-side-combined percentile aggregation over the fact
+    scan (|groups| rows out), broadcast back onto a second scan, clip
+    as a pure codegen projection — the fact table never shuffles, the
+    same broadcast-stats shape as zscore_outliers/group_mad."""
+    b = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("__hi"))
+    v = F.col(value_col)
+    return (df.join(F.broadcast(b), F.col(group_col) == F.col("__g"))
+            .withColumn("clip_lo", F.round("__lo", round_to))
+            .withColumn("clip_hi", F.round("__hi", round_to))
+            .withColumn(f"{value_col}_w",
+                        F.round(F.least(F.greatest(v, F.col("__lo")),
+                                        F.col("__hi")), round_to))
+            .drop("__g", "__lo", "__hi"))

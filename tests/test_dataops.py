@@ -2064,3 +2064,20 @@ def test_degree_distribution(spark):
            for r in degree_distribution(edges).collect()}
     # deg(1)=3, deg(2)=2, deg(3)=2, deg(4)=1
     assert got == {3: 1, 2: 2, 1: 1}
+
+
+def test_winsorize_bounds_and_clipping(spark):
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.analytics import winsorize
+
+    rows = [("g", float(v)) for v in range(1, 101)] + [("g", 1e9)]
+    df = spark.createDataFrame(rows, "grp string, v double").repartition(4)
+    out = winsorize(df, "grp", "v", lo=0.1, hi=0.9)
+    mx = out.agg(F.max("v_w")).collect()[0][0]
+    mn = out.agg(F.min("v_w")).collect()[0][0]
+    hi = out.select("clip_hi").first()["clip_hi"]
+    lo = out.select("clip_lo").first()["clip_lo"]
+    assert mx == hi and mn == lo
+    assert mx < 1e6  # the outlier is clipped to ~p90 of the group
+    assert out.count() == 101  # no rows dropped
