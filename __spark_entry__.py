@@ -892,6 +892,38 @@ def sample_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("split"))
 
 
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def sample_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture plan (dataops/sampling.py:mixture_plan): given
+    target weights over three sources and a token budget 3x any single
+    source's supply, per-source sampling rates and upsampling epoch
+    counts (rate > 1 -> multiple passes). ONE map-side-combined token
+    count per domain; the plan is |domains|-row arithmetic."""
+    from seatunnel_spark.dataops.sampling import mixture_plan
+
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_plan(d, "source", _MIX_WEIGHTS, token_budget=6000)
+    return out.filter(F.col("target_tokens") > 0)
+
+
+def sample_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized mixture (dataops/sampling.py:mixture_apply): each
+    doc emitted once per full epoch plus a deterministic hash-sampled
+    fractional last epoch — per-(domain, epoch) doc counts. Pure
+    projection + |domains|-row broadcast, zero corpus shuffle."""
+    from seatunnel_spark.dataops.sampling import (mixture_apply,
+                                                  mixture_plan)
+
+    d = _t(spark, sf_dir, "documents")
+    plan = mixture_plan(d, "source", _MIX_WEIGHTS, token_budget=6000)
+    out = mixture_apply(d, plan, "source")
+    return (out.groupBy("source", "epoch")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("source", "epoch"))
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language stratified sampling (dataops/sampling.py:
     stratified_sample) with deterministic hash membership."""
@@ -2538,6 +2570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_ngram": decontam_ngram,
         "sample_split": sample_split,
         "sample_leakage_split": sample_leakage_split,
+        "sample_mixture_plan": sample_mixture_plan,
+        "sample_mixture_apply": sample_mixture_apply,
         "sample_stratified": sample_stratified,
         "sample_domain_mix": sample_domain_mix,
         "pack_docs": pack_docs,
@@ -3516,6 +3550,76 @@ def _oracle_sql_literal() -> dict[str, str]:
                          ('0x' || substr(md5(doc_id::varchar), 1, 8))::BIGINT
                            % 10000 AS b
                   FROM documents)
+        """,
+        # Same token counting, weight map, rounding and ceil in SQL;
+        # NULLIF replays try_divide.
+        "sample_mixture_plan": """
+            WITH agg AS (
+              SELECT source AS domain, count(*) AS n_docs,
+                     sum(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text),
+                                                     '\s+')) END)
+                       AS n_tokens
+              FROM documents GROUP BY 1
+            ), w AS (
+              SELECT domain, n_docs, n_tokens,
+                     CASE domain WHEN 'src0' THEN 0.5
+                                 WHEN 'src1' THEN 0.3
+                                 WHEN 'src2' THEN 0.2
+                                 ELSE 0.0 END AS wt
+              FROM agg
+            )
+            SELECT domain, n_docs, n_tokens,
+                   CAST(round(wt * 6000) AS BIGINT) AS target_tokens,
+                   coalesce(round(CAST(round(wt * 6000) AS BIGINT)
+                                  / NULLIF(CAST(n_tokens AS DOUBLE), 0),
+                                  6), 0.0) AS rate,
+                   CAST(ceil(coalesce(round(
+                          CAST(round(wt * 6000) AS BIGINT)
+                          / NULLIF(CAST(n_tokens AS DOUBLE), 0), 6),
+                        0.0)) AS INT) AS epochs
+            FROM w
+            WHERE CAST(round(wt * 6000) AS BIGINT) > 0
+        """,
+        # Epoch explode + md5(id#epoch) membership for the fractional
+        # last pass, replayed verbatim.
+        "sample_mixture_apply": """
+            WITH agg AS (
+              SELECT source AS domain, count(*) AS n_docs,
+                     sum(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text),
+                                                     '\s+')) END)
+                       AS n_tokens
+              FROM documents GROUP BY 1
+            ), plan AS (
+              SELECT domain,
+                     coalesce(round(
+                       CAST(round(CASE domain WHEN 'src0' THEN 0.5
+                                              WHEN 'src1' THEN 0.3
+                                              WHEN 'src2' THEN 0.2
+                                              ELSE 0.0 END * 6000)
+                            AS BIGINT)
+                       / NULLIF(CAST(n_tokens AS DOUBLE), 0), 6), 0.0)
+                       AS rate
+              FROM agg
+            ), pl2 AS (
+              SELECT domain, rate,
+                     CAST(ceil(rate) AS INT) AS epochs
+              FROM plan WHERE ceil(rate) > 0
+            ), exploded AS (
+              SELECT d.source, d.doc_id, p.rate, p.epochs, t.epoch
+              FROM documents d JOIN pl2 p ON d.source = p.domain,
+                   LATERAL (SELECT unnest(generate_series(1, p.epochs))
+                            AS epoch) t
+            )
+            SELECT source, epoch, count(*) AS n_docs
+            FROM exploded
+            WHERE epoch < epochs
+               OR ('0x' || substr(md5(doc_id::VARCHAR || '#' ||
+                                      epoch::VARCHAR), 1, 8))::BIGINT
+                  % 10000 < floor((rate - (epochs - 1)) * 10000)
+            GROUP BY source, epoch
+            ORDER BY source, epoch
         """,
         # Content-keyed split replay: hash_bucket stringifies its key
         # column before hashing, so the bucket is md5(md5(text)).

@@ -254,6 +254,64 @@ def weighted_sample_topk(df: DataFrame, group_col: str, k: int,
 
 
 __all__ = ["hash_bucket", "split_assign", "leakage_safe_split",
-           "stratified_sample",
+           "stratified_sample", "mixture_plan", "mixture_apply",
            "domain_rebalance", "global_shuffle", "temperature_sample",
            "group_sample_topk", "weighted_sample_topk"]
+
+
+def mixture_plan(df: DataFrame, domain_col: str, weights: dict[str, float],
+                 token_budget: int, token_col: str | None = None,
+                 text_col: str = "text") -> DataFrame:
+    """Training-mixture plan -> (domain, n_docs, n_tokens,
+    target_tokens, rate, epochs): given target mixture weights and a
+    total token budget, how much of each source to take — the
+    LLaMA/Dolma-style "data mixing" step between cleaning and
+    training. rate = target/available may exceed 1 (upsampling):
+    epochs = ceil(rate) full passes, with the last pass sampled at the
+    fractional remainder. Domains absent from `weights` get weight 0.
+
+    Scale: ONE map-side-combined aggregation over the corpus (token
+    counts per domain — |domains| rows out); the plan itself is
+    domain-sized arithmetic. Apply it with `mixture_apply`, a pure
+    projection (explode epochs + hash threshold), zero shuffle."""
+    from seatunnel_spark.dataops.text import token_count
+
+    ntok = (F.col(token_col) if token_col
+            else token_count(F.col(text_col)))
+    agg = (df.groupBy(F.col(domain_col).alias("domain"))
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(ntok).alias("n_tokens")))
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    w = F.coalesce(wmap[F.col("domain")], F.lit(0.0))
+    target = F.round(w * F.lit(float(token_budget))).cast("long")
+    rate = F.round(F.try_divide(target.cast("double"),
+                                F.col("n_tokens").cast("double")), 6)
+    return (agg
+            .withColumn("target_tokens", target)
+            .withColumn("rate", F.coalesce(rate, F.lit(0.0)))
+            .withColumn("epochs", F.ceil("rate").cast("int")))
+
+
+def mixture_apply(df: DataFrame, plan: DataFrame, domain_col: str,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Materialize a `mixture_plan`: emit each document `epochs` times
+    (epoch column added), with the LAST epoch sampled at the
+    fractional remainder of `rate` by deterministic hash membership —
+    so the expected token take per domain equals target_tokens, every
+    full epoch is complete (no within-epoch bias), and membership is a
+    pure function of (id, epoch): reproducible on any layout, zero
+    shuffle (the plan is a |domains|-row broadcast)."""
+    p = F.broadcast(plan.select(F.col("domain").alias("__d"),
+                                "rate", "epochs"))
+    joined = df.join(p, F.col(domain_col) == F.col("__d"))
+    out = (joined.filter(F.col("epochs") > 0)
+           .withColumn("epoch", F.explode(
+               F.sequence(F.lit(1), F.col("epochs")))))
+    frac = F.col("rate") - (F.col("epochs") - 1)
+    keep_buckets = F.floor(frac * _BUCKETS)
+    keep = F.when(F.col("epoch") < F.col("epochs"), F.lit(True)) \
+        .otherwise(hash_bucket(F.concat(F.col(id_col).cast("string"),
+                                        F.lit("#"),
+                                        F.col("epoch").cast("string")))
+                   < keep_buckets)
+    return out.filter(keep).drop("__d", "rate", "epochs")

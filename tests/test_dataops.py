@@ -2081,3 +2081,41 @@ def test_winsorize_bounds_and_clipping(spark):
     assert mx == hi and mn == lo
     assert mx < 1e6  # the outlier is clipped to ~p90 of the group
     assert out.count() == 101  # no rows dropped
+
+
+def test_mixture_plan_and_apply_budget(spark):
+    """The plan's expected token take equals the target per domain,
+    upsampling emits complete full epochs plus a hash-sampled
+    fractional pass, and zero-weight domains vanish."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.sampling import mixture_apply, mixture_plan
+
+    rows = [(i, ("a " * 10).strip(), "big" if i < 80 else "small")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # big: 800 tokens, small: 200 tokens
+    plan = mixture_plan(df, "source", {"big": 0.25, "small": 0.75},
+                        token_budget=800)
+    p = {r["domain"]: r for r in plan.collect()}
+    assert p["big"]["target_tokens"] == 200 and p["big"]["rate"] == 0.25 \
+        and p["big"]["epochs"] == 1
+    assert p["small"]["target_tokens"] == 600 and p["small"]["rate"] == 3.0 \
+        and p["small"]["epochs"] == 3
+    out = mixture_apply(df, plan, "source")
+    per = {(r["source"], r["epoch"]): r["n"] for r in
+           out.groupBy("source", "epoch")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    # small rate=3.0 exactly: all three epochs complete (frac = 1.0)
+    assert per[("small", 1)] == per[("small", 2)] == per[("small", 3)] == 20
+    # big rate=0.25: one partial epoch, ~25% of 80 docs by hash
+    assert 10 <= per[("big", 1)] <= 30
+    # determinism: same draw twice
+    a = sorted(map(tuple, out.select("doc_id", "epoch").collect()))
+    b = sorted(map(tuple, mixture_apply(df, plan, "source")
+                   .select("doc_id", "epoch").collect()))
+    assert a == b
+    # zero-weight domain produces nothing
+    plan0 = mixture_plan(df, "source", {"big": 1.0}, token_budget=100)
+    assert mixture_apply(df, plan0, "source") \
+        .filter("source = 'small'").count() == 0
