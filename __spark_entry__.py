@@ -2142,6 +2142,33 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_pattern_match(e, r"error( error){2}")
 
 
+def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily event volume
+    (dataops/timeseries.py:seasonal_decompose): trend = centered 7-day
+    moving average, seasonal = centered mean detrended value per
+    weekday phase, resid = what anomaly detection should actually
+    alarm on. Events reduce to the |days|-row daily series in ONE
+    map-side-combined shuffle; everything after is days/period-sized.
+    Daily value is a COUNT (integer), so no partition-order-dependent
+    double sum rides the hash compare."""
+    from seatunnel_spark.dataops.timeseries import seasonal_decompose
+
+    e = _t(spark, sf_dir, "events")
+    return seasonal_decompose(e, "ts", "count(1)", period=7)
+
+
+def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram of prices (dataops/analytics.py:
+    equidepth_histogram): 8 bins with edges at exact interpolated
+    percentiles — near-equal counts per bin where equi-width piles the
+    skewed mass into one bar. One percentile aggregation broadcast
+    back, bin assignment at scan speed, bounded count shuffle."""
+    from seatunnel_spark.dataops.analytics import equidepth_histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    return equidepth_histogram(li, "l_extendedprice", n_bins=8)
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group winsorization (dataops/analytics.py:winsorize):
     prices clipped to their returnflag's exact [p05, p95] percentile
@@ -2643,6 +2670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_pattern": q_event_pattern,
         "q_event_transitions": q_event_transitions,
         "q_winsorize": q_winsorize,
+        "q_equidepth": q_equidepth,
+        "q_seasonal": q_seasonal,
         "q_degree_dist": q_degree_dist,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q8_market_share": q8_market_share,
@@ -4524,6 +4553,58 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE cum_hi - cnt < floor(round(q * (n - 1), 6)) + 1
               AND floor(round(q * (n - 1), 6)) + 1 <= cum_hi
             ORDER BY q
+        """,
+        # Centered MA over the ordered daily series (full windows
+        # only), phase means over detrended rows, centered seasonal.
+        "q_seasonal": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day, count(*) AS value
+              FROM events GROUP BY 1
+            ), tr AS (
+              SELECT day, value,
+                     CASE WHEN count(*) OVER w = 7
+                          THEN round(avg(value) OVER w, 4) END AS trend,
+                     (day - DATE '1970-01-01') % 7 AS phase
+              FROM daily
+              WINDOW w AS (ORDER BY day
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            ), seas_raw AS (
+              SELECT phase, round(avg(value - trend), 4) AS s_raw
+              FROM tr WHERE trend IS NOT NULL GROUP BY phase
+            ), c AS (SELECT round(avg(s_raw), 4) AS c FROM seas_raw),
+            seas AS (
+              SELECT phase, round(s_raw - c, 4) AS seasonal
+              FROM seas_raw, c
+            )
+            SELECT day, value, trend, seasonal,
+                   round(value - trend - seasonal, 4) AS resid
+            FROM tr LEFT JOIN seas USING (phase)
+        """,
+        # Same rounded edges (quantile_cont == Spark percentile), same
+        # strict-below bin rule with the last-bin clamp.
+        "q_equidepth": """
+            WITH e AS (
+              SELECT round(quantile_cont(l_extendedprice, 0/8.0), 4) AS e0,
+                     round(quantile_cont(l_extendedprice, 1/8.0), 4) AS e1,
+                     round(quantile_cont(l_extendedprice, 2/8.0), 4) AS e2,
+                     round(quantile_cont(l_extendedprice, 3/8.0), 4) AS e3,
+                     round(quantile_cont(l_extendedprice, 4/8.0), 4) AS e4,
+                     round(quantile_cont(l_extendedprice, 5/8.0), 4) AS e5,
+                     round(quantile_cont(l_extendedprice, 6/8.0), 4) AS e6,
+                     round(quantile_cont(l_extendedprice, 7/8.0), 4) AS e7,
+                     round(quantile_cont(l_extendedprice, 8/8.0), 4) AS e8
+              FROM lineitem
+            ), binned AS (
+              SELECT least(CAST(round(CAST(l_extendedprice AS DOUBLE), 4) > e1 AS INT) + CAST(round(CAST(l_extendedprice AS DOUBLE), 4) > e2 AS INT) + CAST(round(CAST(l_extendedprice AS DOUBLE), 4) > e3 AS INT) + CAST(round(CAST(l_extendedprice AS DOUBLE), 4) > e4 AS INT) + CAST(round(CAST(l_extendedprice AS DOUBLE), 4) > e5 AS INT) + CAST(round(CAST(l_extendedprice AS DOUBLE), 4) > e6 AS INT) + CAST(round(CAST(l_extendedprice AS DOUBLE), 4) > e7 AS INT), 7) AS bin
+              FROM lineitem, e
+              WHERE l_extendedprice IS NOT NULL
+            ), edges_arr AS (
+              SELECT [e0, e1, e2, e3, e4, e5, e6, e7, e8] AS a FROM e
+            )
+            SELECT bin, a[bin + 1] AS lo, a[bin + 2] AS hi,
+                   count(*) AS cnt
+            FROM binned, edges_arr
+            GROUP BY 1, 2, 3
         """,
         # quantile_cont == Spark's interpolated percentile (the
         # q_mad-proven equivalence); counts compare clipped-and-

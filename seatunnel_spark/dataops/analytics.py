@@ -501,7 +501,7 @@ __all__ = ["funnel", "funnel_user_state", "funnel_finish",
            "corpus_overlap", "json_bucket_stats", "moving_average",
            "zscore_outliers", "equiwidth_histogram",
            "event_pattern_match", "copurchase_pairs", "triangle_count",
-           "winsorize",
+           "winsorize", "equidepth_histogram",
            "rolling_distinct", "group_mad", "association_rules",
            "clustering_coefficient"]
 
@@ -566,3 +566,40 @@ def winsorize(df: DataFrame, group_col: str, value_col: str,
                         F.round(F.least(F.greatest(v, F.col("__lo")),
                                         F.col("__hi")), round_to))
             .drop("__g", "__lo", "__hi"))
+
+
+def equidepth_histogram(df: DataFrame, value_col: str,
+                        n_bins: int = 10,
+                        round_to: int = 4) -> DataFrame:
+    """Equi-depth (quantile) histogram -> (bin, lo, hi, cnt): bin
+    edges at the exact interpolated k/n_bins percentiles, so bins hold
+    ~equal row counts — the shape that resolves skewed distributions
+    where equi-width piles everything into one bar (and the boundary
+    table a range-partitioner or a CBO would want).
+
+    Scale: ONE percentile aggregation over the scan (n_bins+1 edge
+    values out — map-side combined), broadcast back, bin assignment
+    as a codegen projection, then the same bounded (n_bins x
+    partitions) count shuffle as equiwidth_histogram. Ties on edge
+    values all fall to the LOWEST containing bin (deterministic in
+    any engine); duplicate edges (heavy ties) yield empty higher
+    bins rather than double counting."""
+    qs = [i / n_bins for i in range(n_bins + 1)]
+    edges = df.agg(*[
+        F.round(F.expr(f"percentile({value_col}, {q})"), round_to)
+        .alias(f"__e{i}") for i, q in enumerate(qs)])
+    v = F.round(F.col(value_col).cast("double"), round_to)
+    # lowest bin whose [lo, hi] contains v: count how many edges are
+    # strictly below v (edges are sorted), clamp to the last bin
+    below = sum((v > F.col(f"__e{i}")).cast("int")
+                for i in range(1, n_bins))
+    bin_ = F.least(below, F.lit(n_bins - 1)).cast("int")
+    edge_arr = F.array(*[F.col(f"__e{i}") for i in range(n_bins + 1)])
+    return (df.join(F.broadcast(edges))
+            .filter(F.col(value_col).isNotNull())
+            .withColumn("bin", bin_)
+            .withColumn("lo", F.element_at(edge_arr, F.col("bin") + 1))
+            .withColumn("hi", F.element_at(edge_arr, F.col("bin") + 2))
+            .groupBy("bin", "lo", "hi")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select("bin", "lo", "hi", "cnt"))

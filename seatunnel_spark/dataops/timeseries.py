@@ -184,3 +184,45 @@ def gapfill_daily(
                     F.last(out_col, ignorenulls=True).over(w)
                     .alias("filled_value"),
                     F.col(out_col).isNotNull().alias("had_data")))
+
+
+def seasonal_decompose(df: DataFrame, ts_col: str, value_expr: str,
+                       period: int = 7,
+                       round_to: int = 4) -> DataFrame:
+    """Classic additive seasonal decomposition of the DAILY series ->
+    (day, value, trend, seasonal, resid): trend = centered
+    `period`-day moving average (full windows only), seasonal = mean
+    detrended value per phase (day-index mod period, normalized to sum
+    to ~0), resid = value - trend - seasonal. The standard
+    decomposition behind seasonality-aware anomaly detection ("is
+    Sunday low because it's Sunday?").
+
+    Scale: the event table is touched ONCE (map-side-combined
+    groupBy(day) — at most |days| rows out); every window/join after
+    runs on the |days|-row series, the same convention as
+    moving_average/gapfill. The phase means are a |period|-row
+    broadcast."""
+    day = F.to_date(F.col(ts_col)).alias("day")
+    daily = df.groupBy(day).agg(F.expr(value_expr).alias("value"))
+    half = period // 2
+    w = (Window.orderBy("day")
+         .rowsBetween(-half, period - half - 1))
+    trend = F.when(F.count(F.lit(1)).over(w) == period,
+                   F.round(F.avg("value").over(w), round_to))
+    phase = (F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+             % period).alias("phase")
+    dt = (daily.withColumn("trend", trend)
+          .withColumn("phase", phase))
+    seas = (dt.filter(F.col("trend").isNotNull())
+            .groupBy("phase")
+            .agg(F.round(F.avg(F.col("value") - F.col("trend")),
+                         round_to).alias("__s_raw")))
+    center = seas.agg(F.round(F.avg("__s_raw"), round_to).alias("__c"))
+    seas = (seas.join(F.broadcast(center))
+            .select("phase", F.round(F.col("__s_raw") - F.col("__c"),
+                                     round_to).alias("seasonal")))
+    return (dt.join(F.broadcast(seas), "phase", "left")
+            .select("day", "value", "trend", "seasonal",
+                    F.round(F.col("value") - F.col("trend")
+                            - F.col("seasonal"), round_to)
+                    .alias("resid")))

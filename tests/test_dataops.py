@@ -2119,3 +2119,54 @@ def test_mixture_plan_and_apply_budget(spark):
     plan0 = mixture_plan(df, "source", {"big": 1.0}, token_budget=100)
     assert mixture_apply(df, plan0, "source") \
         .filter("source = 'small'").count() == 0
+
+
+def test_equidepth_histogram_balanced_and_constant(spark):
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.analytics import equidepth_histogram
+
+    # heavily skewed data: equi-depth must still balance counts
+    rows = [(float(i),) for i in range(80)] + [(1e6 + i,) for i in range(20)]
+    df = spark.createDataFrame(rows, "v double").repartition(4)
+    got = equidepth_histogram(df, "v", n_bins=5).collect()
+    counts = [r["cnt"] for r in sorted(got, key=lambda r: r["bin"])]
+    assert sum(counts) == 100
+    assert max(counts) <= 25  # no bin takes more than ~2x the ideal 20
+    # constant column: everything in bin 0, no crash
+    c = spark.createDataFrame([(3.5,)] * 7, "v double")
+    one = equidepth_histogram(c, "v", n_bins=4).collect()
+    assert len(one) == 1 and one[0]["bin"] == 0 and one[0]["cnt"] == 7
+
+
+def test_seasonal_decompose_recovers_pure_seasonality(spark):
+    """On base + weekly effect data the decomposition is exact: trend
+    = base + mean(effect), seasonal = centered effect, resid = 0 for
+    every full-window day."""
+    import datetime as _dt
+
+    from seatunnel_spark.dataops.timeseries import seasonal_decompose
+
+    base, effects = 100, [0, 10, 20, -5, -10, 5, -20]
+    t0 = _dt.date(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(28):
+        day = t0 + _dt.timedelta(days=d)
+        phase = (day - _dt.date(1970, 1, 1)).days % 7
+        for _ in range(base + effects[phase]):
+            rows.append((eid, _dt.datetime.combine(day, _dt.time(12))))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp") \
+        .repartition(8)
+    out = {r["day"].isoformat(): r for r in
+           seasonal_decompose(df, "ts", "count(1)", period=7).collect()}
+    assert len(out) == 28
+    mean_eff = sum(effects) / 7
+    full = [r for r in out.values() if r["trend"] is not None]
+    assert len(full) == 22  # 28 days - 3 head - 3 tail
+    for r in full:
+        assert abs(r["trend"] - (base + mean_eff)) < 1e-9
+        assert abs(r["resid"]) < 1e-9
+        phase = (r["day"] - _dt.date(1970, 1, 1)).days % 7
+        assert abs(r["seasonal"] - (effects[phase] - mean_eff)) < 1e-9
