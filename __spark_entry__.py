@@ -2142,6 +2142,19 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_pattern_match(e, r"error( error){2}")
 
 
+def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (dataops/text.py:bigram_logprob): mean
+    log p(b|a) per doc under the corpus's own add-alpha bigram model —
+    the CCNet-filter step above text_lm_score's unigram: token-salad
+    text scores fluent under unigrams but collapses here. One tokenize
+    pass (shifted-slice arrays_zip, zero UDF); the bigram count table
+    is Zipf-small and joins back on the key the per-doc fold needs."""
+    from seatunnel_spark.dataops.text import bigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_logprob(d)
+
+
 def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive seasonal decomposition of daily event volume
     (dataops/timeseries.py:seasonal_decompose): trend = centered 7-day
@@ -2672,6 +2685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winsorize": q_winsorize,
         "q_equidepth": q_equidepth,
         "q_seasonal": q_seasonal,
+        "text_lm_bigram": text_lm_bigram,
         "q_degree_dist": q_degree_dist,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q8_market_share": q8_market_share,
@@ -4553,6 +4567,34 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE cum_hi - cnt < floor(round(q * (n - 1), 6)) + 1
               AND floor(round(q * (n - 1), 6)) + 1 <= cum_hi
             ORDER BY q
+        """,
+        # Same tokenize/bigram build, same smoothing arithmetic; V is
+        # the distinct-unigram count in both engines.
+        "text_lm_bigram": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS ws
+              FROM documents
+            ), bi AS (
+              SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+              FROM w, LATERAL (
+                SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t
+              WHERE len(ws) >= 2
+            ), counts AS (
+              SELECT a, b, count(*) AS c_ab FROM bi GROUP BY 1, 2
+            ), heads AS (
+              SELECT a, sum(c_ab) AS c_a FROM counts GROUP BY 1
+            ), v AS (
+              SELECT count(DISTINCT tok) AS V
+              FROM (SELECT unnest(ws) AS tok FROM w)
+              WHERE tok <> ''
+            )
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(ln((c_ab + 0.5) / (c_a + 0.5 * V))), 6)
+                     AS avg_logprob
+            FROM bi JOIN counts USING (a, b)
+                    JOIN heads USING (a), v
+            GROUP BY doc_id
         """,
         # Centered MA over the ordered daily series (full windows
         # only), phase means over detrended rows, centered seasonal.

@@ -746,3 +746,46 @@ def bpe_learn(df: DataFrame, text_col: str = "text", n_merges: int = 10,
     spark = df.sparkSession
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, freq long")
+
+
+def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   alpha: float = 0.5) -> DataFrame:
+    """Per-doc mean BIGRAM log-probability under the corpus's own
+    add-alpha-smoothed bigram LM -> (id, n_bigrams, avg_logprob):
+    the next step up from `unigram_logprob` for CCNet-style quality
+    filtering — token-salad documents (right words, wrong order) score
+    like fluent text under a unigram model but collapse under
+    p(b | a) = (count(a,b) + alpha) / (count(a·) + alpha * vocab),
+    where count(a·) is a's count as a bigram HEAD and vocab is the
+    unigram vocabulary size (the conditional's support).
+
+    100 TB design: the doc bigram stream is built with the same
+    shifted-slice arrays_zip trick as ngram_stats (zero UDF, one
+    tokenize pass); the (a, b) count table is vocabulary²-bounded but
+    Zipf-small in practice, and it joins back on the bigram key — the
+    same shuffle the per-doc fold needs anyway. Head counts derive
+    from the bigram table (tiny), not a second corpus pass; scalar
+    vocab rides a 1-row broadcast. Docs with < 2 tokens carry no
+    bigrams and are excluded (score undefined)."""
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    m = F.greatest(F.size(w) - 1, F.lit(0))
+    zipped = F.arrays_zip(F.slice(w, 1, m).alias("a"),
+                          F.slice(w, 2, m).alias("b"))
+    bi = (df.filter(F.size(w) >= 2)
+          .select(F.col(id_col), F.explode(zipped).alias("p"))
+          .select(F.col(id_col), F.col("p.a").alias("a"),
+                  F.col("p.b").alias("b")))
+    counts = bi.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    heads = counts.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    vocab = (df.select(F.explode(w).alias("t")).filter(F.col("t") != "")
+             .agg(F.count_distinct("t").alias("V")))
+    scored = (bi.join(counts, ["a", "b"])
+              .join(heads, "a")
+              .join(F.broadcast(vocab))
+              .withColumn("lp", F.log(
+                  (F.col("c_ab") + F.lit(alpha))
+                  / (F.col("c_a") + F.lit(alpha) * F.col("V")))))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.avg("lp"), 6).alias("avg_logprob")))

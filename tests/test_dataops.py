@@ -2170,3 +2170,25 @@ def test_seasonal_decompose_recovers_pure_seasonality(spark):
         assert abs(r["resid"]) < 1e-9
         phase = (r["day"] - _dt.date(1970, 1, 1)).days % 7
         assert abs(r["seasonal"] - (effects[phase] - mean_eff)) < 1e-9
+
+
+def test_bigram_logprob_detects_token_salad(spark):
+    """Documents made of the corpus's own words in scrambled order
+    must score below the fluent documents they were scrambled from —
+    the discrimination a unigram LM cannot make (identical unigram
+    distributions by construction)."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.text import bigram_logprob, unigram_logprob
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    salad = "dog the over quick lazy jumps fox brown the"
+    rows = [(i, fluent) for i in range(20)] + [(100, salad)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(4)
+    bg = {r["doc_id"]: r["avg_logprob"]
+          for r in bigram_logprob(df).collect()}
+    assert bg[100] < bg[0] - 1.0  # clearly separated
+    ug = {r["doc_id"]: r["avg_logprob"]
+          for r in unigram_logprob(df).collect()}
+    assert abs(ug[100] - ug[0]) < 1e-9  # unigram model is blind to it
