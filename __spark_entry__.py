@@ -2142,6 +2142,30 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_pattern_match(e, r"error( error){2}")
 
 
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source content originality (dataops/text.py:source_novelty):
+    the share of each source's docs that are the corpus-wide FIRST
+    occurrence of their content — mirrors and aggregators score low.
+    One 16-byte digest shuffle (the exact-dedup aggregation); the
+    first-owner join reuses the digest partitioning."""
+    from seatunnel_spark.dataops.text import source_novelty
+
+    d = _t(spark, sf_dir, "documents")
+    return source_novelty(d)
+
+
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law digit audit of prices (dataops/profile.py:
+    benford_check): observed leading-digit shares vs log10(1+1/d) —
+    the forensic screen for fabricated/truncated feeds. Leading digit
+    via the round-guarded log trick (engine-replayable); one 9-row
+    map-side-combined aggregation over one scan."""
+    from seatunnel_spark.dataops.profile import benford_check
+
+    li = _t(spark, sf_dir, "lineitem")
+    return benford_check(li, "l_extendedprice")
+
+
 def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality score (dataops/text.py:bigram_logprob): mean
     log p(b|a) per doc under the corpus's own add-alpha bigram model —
@@ -2686,6 +2710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_equidepth": q_equidepth,
         "q_seasonal": q_seasonal,
         "text_lm_bigram": text_lm_bigram,
+        "text_novelty": text_novelty,
+        "dq_benford": dq_benford,
         "q_degree_dist": q_degree_dist,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q8_market_share": q8_market_share,
@@ -4567,6 +4593,47 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE cum_hi - cnt < floor(round(q * (n - 1), 6)) + 1
               AND floor(round(q * (n - 1), 6)) + 1 <= cum_hi
             ORDER BY q
+        """,
+        # First-occurrence attribution on the md5 digest.
+        "text_novelty": """
+            WITH d AS (
+              SELECT source, doc_id, md5(text) AS dg FROM documents
+            ), f AS (
+              SELECT dg, min(doc_id) AS first_id FROM d GROUP BY dg
+            )
+            SELECT source, count(*) AS n_docs,
+                   sum(CAST(doc_id = first_id AS BIGINT)) AS n_novel,
+                   round(sum(CAST(doc_id = first_id AS BIGINT))
+                         / CAST(count(*) AS DOUBLE), 4) AS novelty_rate
+            FROM d JOIN f USING (dg)
+            GROUP BY source
+        """,
+        # Same round-guarded leading-digit arithmetic; expected shares
+        # are the same 6-decimal constants.
+        "dq_benford": """
+            WITH c AS (
+              SELECT CAST(floor(abs(CAST(l_extendedprice AS DOUBLE))
+                                / power(10, floor(round(
+                                    log10(abs(CAST(l_extendedprice
+                                                   AS DOUBLE))), 9))))
+                          AS INT) AS digit,
+                     count(*) AS n
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND abs(CAST(l_extendedprice AS DOUBLE)) > 0
+              GROUP BY 1
+            ), t AS (SELECT sum(n) AS tot FROM c)
+            SELECT digit, n,
+                   round(n / CAST(tot AS DOUBLE), 4) AS obs_share,
+                   [0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+                    0.066947, 0.057992, 0.051153, 0.045757][digit]
+                     AS exp_share,
+                   round(abs(round(n / CAST(tot AS DOUBLE), 4)
+                             - [0.30103, 0.176091, 0.124939, 0.09691,
+                                0.079181, 0.066947, 0.057992, 0.051153,
+                                0.045757][digit]), 4) AS abs_dev
+            FROM c, t
+            ORDER BY digit
         """,
         # Same tokenize/bigram build, same smoothing arithmetic; V is
         # the distinct-unigram count in both engines.

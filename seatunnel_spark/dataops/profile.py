@@ -125,4 +125,40 @@ def dq_checks(df: DataFrame, rules: list[dict],
     return row.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
 
 
-__all__ = ["profile_table", "dq_checks"]
+
+def benford_check(df: DataFrame, value_col: str,
+                  round_to: int = 4) -> DataFrame:
+    """Benford's-law digit audit -> one row per leading digit 1..9:
+    (digit, n, obs_share, exp_share, abs_dev). Naturally-occurring
+    multi-scale quantities (prices, populations, transaction amounts)
+    follow P(d) = log10(1 + 1/d); fabricated or truncated data
+    doesn't — the classic forensic data-quality screen to run next to
+    `dq_checks` when a feed looks too clean.
+
+    The leading digit is floor(|v| / 10^floor(log10 |v|)), computed
+    with the same round-guarded log trick as the DDSketch bucket
+    mapping (round to 9 decimals before floor) so any engine replays
+    it; zeros/NULLs are excluded (no leading digit). One
+    map-side-combined 9-row aggregation over one scan."""
+    import math
+
+    v = F.abs(F.col(value_col).cast("double"))
+    mag = F.floor(F.round(F.log10(v), 9))
+    digit = F.floor(v / F.pow(F.lit(10.0), mag)).cast("int")
+    counted = (df.filter(F.col(value_col).isNotNull() & (v > 0))
+               .select(digit.alias("digit"))
+               .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    total = counted.agg(F.sum("n").alias("__t"))
+    exp = F.element_at(
+        F.array(*[F.lit(round(math.log10(1 + 1 / d), 6))
+                  for d in range(1, 10)]), F.col("digit"))
+    obs = F.round(F.try_divide(F.col("n"), F.col("__t")), round_to)
+    return (counted.join(F.broadcast(total))
+            .select("digit", "n",
+                    obs.alias("obs_share"),
+                    exp.alias("exp_share"),
+                    F.round(F.abs(obs - exp), round_to).alias("abs_dev"))
+            .orderBy("digit"))
+
+
+__all__ = ["profile_table", "dq_checks", "benford_check"]

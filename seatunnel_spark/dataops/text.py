@@ -789,3 +789,32 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     return (scored.groupBy(id_col)
             .agg(F.count("*").alias("n_bigrams"),
                  F.round(F.avg("lp"), 6).alias("avg_logprob")))
+
+
+def source_novelty(df: DataFrame, source_col: str = "source",
+                   id_col: str = "doc_id", text_col: str = "text",
+                   round_to: int = 4) -> DataFrame:
+    """Per-source content originality -> (source, n_docs, n_novel,
+    novelty_rate): a document is NOVEL if it is the first occurrence
+    of its content corpus-wide (min id over its md5(text) group).
+    Sources that mostly republish others' content (mirrors,
+    aggregators, scrapes) score low — the source-level triage signal
+    for crawl prioritization and mixture weighting, and the natural
+    readout AFTER exact dedup says "who should I keep".
+
+    Scale: one 16-byte digest shuffle (the exact-dedup aggregation),
+    first-owner ids join back on the digest — the same key, so the
+    join reuses the partitioning; per-source rollup is |sources|
+    rows."""
+    digest = F.md5(F.col(text_col)).alias("__dg")
+    docs = df.select(F.col(source_col), F.col(id_col), digest)
+    firsts = docs.groupBy("__dg").agg(F.min(id_col).alias("__first"))
+    return (docs.join(firsts, "__dg")
+            .withColumn("__novel",
+                        (F.col(id_col) == F.col("__first")).cast("long"))
+            .groupBy(source_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__novel").alias("n_novel"),
+                 F.round(F.try_divide(F.sum("__novel"),
+                                      F.count(F.lit(1))), round_to)
+                 .alias("novelty_rate")))

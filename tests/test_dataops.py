@@ -2192,3 +2192,38 @@ def test_bigram_logprob_detects_token_salad(spark):
     ug = {r["doc_id"]: r["avg_logprob"]
           for r in unigram_logprob(df).collect()}
     assert abs(ug[100] - ug[0]) < 1e-9  # unigram model is blind to it
+
+
+def test_source_novelty_attribution(spark):
+    """A mirror source republishing another's content scores 0; the
+    origin source keeps full credit; unique content counts for both."""
+    from seatunnel_spark.dataops.text import source_novelty
+
+    rows = [(1, "alpha", "origin"), (2, "beta", "origin"),
+            (10, "alpha", "mirror"), (11, "beta", "mirror"),
+            (20, "gamma", "fresh")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: (r["n_docs"], r["n_novel"], r["novelty_rate"])
+           for r in source_novelty(df).collect()}
+    assert got == {"origin": (2, 2, 1.0), "mirror": (2, 0, 0.0),
+                   "fresh": (1, 1, 1.0)}
+
+
+def test_benford_check_detects_uniform_fabrication(spark):
+    """Multi-scale (log-uniform) data tracks Benford closely; uniform
+    'fabricated' data deviates heavily on digit 1."""
+    from seatunnel_spark.dataops.profile import benford_check
+
+    natural = [(round(10 ** (i * 5 / 2999.0), 6),) for i in range(3000)]
+    ndf = spark.createDataFrame(natural, "v double")
+    ng = {r["digit"]: r for r in benford_check(ndf, "v").collect()}
+    assert set(ng) == set(range(1, 10))
+    assert abs(ng[1]["obs_share"] - 0.30103) < 0.02
+    assert all(r["abs_dev"] < 0.02 for r in ng.values())
+    uniform = [(1000.0 + i,) for i in range(9000)]
+    ug = {r["digit"]: r for r in
+          benford_check(spark.createDataFrame(uniform, "v double"),
+                        "v").collect()}
+    # uniform digits 1..9 (~0.111 each): digit 1 starved of its 0.301
+    # share, digit 9 far above its 0.046 — the fabrication signature
+    assert ug[1]["abs_dev"] > 0.15 and ug[9]["abs_dev"] > 0.05
