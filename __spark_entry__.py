@@ -2230,6 +2230,19 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_clipped_high")))
 
 
+def q_event_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event cadence (dataops/analytics.py:
+    inter_event_stats): median + IQR of seconds between consecutive
+    events — the bot/automation signal (machines have tight cadence)
+    and the quantitative companion to q_event_pattern's max_events
+    guard. One event-log shuffle; the percentile fold emits |users|
+    rows."""
+    from seatunnel_spark.dataops.analytics import inter_event_stats
+
+    e = _t(spark, sf_dir, "events")
+    return inter_event_stats(e)
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences (dataops/analytics.py:event_transitions): how users
@@ -2706,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kl_drift": text_kl_drift,
         "q_event_pattern": q_event_pattern,
         "q_event_transitions": q_event_transitions,
+        "q_event_cadence": q_event_cadence,
         "q_winsorize": q_winsorize,
         "q_equidepth": q_equidepth,
         "q_seasonal": q_seasonal,
@@ -4739,6 +4753,24 @@ def _oracle_sql_literal() -> dict[str, str]:
                             = clip_hi AS BIGINT)) AS n_clipped_high
             FROM lineitem JOIN b ON l_returnflag = g
             GROUP BY l_returnflag
+        """,
+        # LAG gaps in epoch seconds over the same deterministic
+        # (ts, event_id) order; quantile_cont == Spark percentile.
+        "q_event_cadence": """
+            WITH g AS (
+              SELECT user_id,
+                     epoch(ts) - epoch(lag(ts) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC)) AS gap
+              FROM events
+            )
+            SELECT user_id AS entity,
+                   count(*) + 1 AS n_events,
+                   round(quantile_cont(gap, 0.5), 4) AS median_gap_s,
+                   round(quantile_cont(gap, 0.75)
+                         - quantile_cont(gap, 0.25), 4) AS iqr_s
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY user_id
         """,
         # LEAD over (user, ts, event_id) replays identically; the
         # prob rounding is on an exact integer ratio in both engines.

@@ -501,7 +501,7 @@ __all__ = ["funnel", "funnel_user_state", "funnel_finish",
            "corpus_overlap", "json_bucket_stats", "moving_average",
            "zscore_outliers", "equiwidth_histogram",
            "event_pattern_match", "copurchase_pairs", "triangle_count",
-           "winsorize", "equidepth_histogram",
+           "winsorize", "equidepth_histogram", "inter_event_stats",
            "rolling_distinct", "group_mad", "association_rules",
            "clustering_coefficient"]
 
@@ -603,3 +603,41 @@ def equidepth_histogram(df: DataFrame, value_col: str,
             .groupBy("bin", "lo", "hi")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .select("bin", "lo", "hi", "cnt"))
+
+
+def inter_event_stats(df: DataFrame, entity_col: str = "user_id",
+                      ts_col: str = "ts", order_col: str = "event_id",
+                      round_to: int = 4) -> DataFrame:
+    """Per-entity inter-event cadence -> (entity, n_events,
+    median_gap_s, iqr_s): the median and interquartile range of the
+    seconds between consecutive events. The standard bot/automation
+    signal — machine traffic has an unnaturally tight cadence (tiny
+    IQR around a fixed median), humans don't — and the quantitative
+    companion to event_pattern_match's max_events guard: rank entities
+    by iqr_s/median_gap_s to find what to cap. Entities with a single
+    event have no gaps and are excluded.
+
+    Scale: ONE event-log shuffle (the per-entity ordering window,
+    inherent to sequence semantics); the percentile aggregation folds
+    the |events|-row gap stream map-side into |entities| rows. The
+    (ts, order_col) tiebreak makes gaps deterministic under equal
+    timestamps in any engine."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(entity_col)
+         .orderBy(F.col(ts_col).asc(), F.col(order_col).asc()))
+    # cast-to-double keeps the fractional (micro)seconds that
+    # unix_timestamp would truncate — exact in double, so any engine
+    # replays the gaps bit-identically (the timestamp hop handles
+    # TIMESTAMP_NTZ inputs; the engine session runs in UTC)
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    gaps = (df.withColumn("__gap", gap)
+            .filter(F.col("__gap").isNotNull()))
+    return (gaps.groupBy(F.col(entity_col).alias("entity"))
+            .agg((F.count(F.lit(1)) + 1).alias("n_events"),
+                 F.round(F.expr("percentile(__gap, 0.5)"), round_to)
+                 .alias("median_gap_s"),
+                 F.round(F.expr("percentile(__gap, 0.75)")
+                         - F.expr("percentile(__gap, 0.25)"), round_to)
+                 .alias("iqr_s")))

@@ -2227,3 +2227,30 @@ def test_benford_check_detects_uniform_fabrication(spark):
     # uniform digits 1..9 (~0.111 each): digit 1 starved of its 0.301
     # share, digit 9 far above its 0.046 — the fabrication signature
     assert ug[1]["abs_dev"] > 0.15 and ug[9]["abs_dev"] > 0.05
+
+
+def test_inter_event_stats_bot_signature(spark):
+    """A metronome bot (fixed 10s cadence) shows IQR 0; a bursty human
+    shows wide IQR; single-event entities are excluded; sub-second
+    gaps keep their fractional part."""
+    import datetime as _dt
+
+    from seatunnel_spark.dataops.analytics import inter_event_stats
+
+    t0 = _dt.datetime(2024, 5, 1)
+    rows = [(i, t0 + _dt.timedelta(seconds=10 * i), 1) for i in range(20)]
+    human_gaps = [1, 2, 60, 3, 600, 5, 30, 7200]
+    t, eid = t0, 100
+    for g in human_gaps:
+        t += _dt.timedelta(seconds=g)
+        rows.append((eid, t, 2)); eid += 1
+    rows.append((200, t0, 3))  # single event -> excluded
+    rows.append((300, t0, 4))
+    rows.append((301, t0 + _dt.timedelta(milliseconds=250), 4))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long")
+    got = {r["entity"]: r for r in inter_event_stats(df).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1]["median_gap_s"] == 10.0 and got[1]["iqr_s"] == 0.0
+    assert got[2]["iqr_s"] > 50
+    assert got[4]["median_gap_s"] == 0.25
