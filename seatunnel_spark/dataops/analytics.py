@@ -292,7 +292,8 @@ def event_pattern_match(df: DataFrame, pattern: str,
 
 
 def copurchase_pairs(df: DataFrame, basket_col: str, item_col: str,
-                     min_support: int = 2) -> DataFrame:
+                     min_support: int = 2,
+                     max_basket: int | None = 1_000) -> DataFrame:
     """Market-basket pair support: item pairs co-occurring in the same
     basket (order/session/document) at least `min_support` times ->
     (p1, p2, support), p1 < p2 — the counting core of association-rule
@@ -306,12 +307,32 @@ def copurchase_pairs(df: DataFrame, basket_col: str, item_col: str,
     form re-shuffles both sides onto the basket key, the array form
     needs exactly TWO map-side-combined shuffles total (basket
     collect, pair count) — measured 2.4x faster and 10x-data = 1.4x
-    wall at sf1. A pathological mega-basket (one basket holding a
-    whole catalog) should be dropped upstream — the same hot-key
-    discipline as dedup's `_cap_buckets` — since its pair array is
-    materialized per row."""
+    wall at sf1.
+
+    Degenerate mega-baskets (a bot session, a default SKU holding the
+    whole catalog) are guarded IN CODE by `max_basket`: the pair array
+    is materialized per ROW, |basket|²/2 structs that cannot spill, so
+    any basket with more than `max_basket` distinct items is DROPPED
+    after the basket aggregation (a pure size() filter — deterministic,
+    order-independent, and a drop rather than a truncation because a
+    truncated basket would report a biased pair subset). The same
+    hot-key discipline as dedup's `_cap_buckets` and
+    event_pattern_match's `max_events`. `max_basket=None` disables the
+    guard for pre-capped inputs."""
     return _pairs_from_baskets(
-        _baskets(df, basket_col, item_col), min_support)
+        _cap_baskets(_baskets(df, basket_col, item_col), max_basket),
+        min_support)
+
+
+def _cap_baskets(baskets: DataFrame,
+                 max_basket: int | None) -> DataFrame:
+    """Drop baskets whose distinct-item count exceeds the cap — the
+    in-row pair array is |basket|²/2 structs in ONE task buffer (in-row
+    arrays cannot spill), so the bound must hold before pair
+    generation. A zero-shuffle codegen filter on the basket table."""
+    if max_basket is None:
+        return baskets
+    return baskets.filter(F.size("__s") <= max_basket)
 
 
 def _baskets(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
@@ -336,25 +357,60 @@ def _pairs_from_baskets(baskets: DataFrame,
             .filter(F.col("support") >= min_support))
 
 
+def _capped_edges(edges: DataFrame, src: str, dst: str,
+                  max_degree: int | None) -> DataFrame:
+    """persist() the edge list, then drop every edge touching a
+    SUPER-HUB vertex (degree > `max_degree`) — the shared in-code
+    scale guard of `triangle_count` and `clustering_coefficient`.
+
+    Why the cap lives here: the wedge join's cost is Σ_v deg(v)² — on
+    power-law graphs ONE hub of degree d contributes d² wedges, which
+    turns the package's steepest cost curve quadratic in the hub
+    degree. Dropping the hub (every incident edge — a deterministic
+    DROP, not a truncation, because a sampled neighborhood would
+    report biased triangle counts) bounds every vertex's wedge
+    contribution at max_degree² while leaving all vertices NOT
+    adjacent to a hub bit-identical. Same hot-key discipline as
+    dedup's `_cap_buckets` and event_pattern_match's `max_events`;
+    `max_degree=None` disables for pre-capped graphs.
+
+    The over-cap set is degree-aggregated from the persisted edges
+    (one map-side-combined pass, |hubs| rows out — tiny by
+    construction) and applied as two broadcast ANTI joins, so the
+    edge list itself never reshuffles for the guard.
+
+    Why persist(): the edge list appears three times in the wedge
+    join (plus twice in the hub scan) and AQE does NOT reuse upstream
+    exchanges, so a derived edge list (e.g. the co-purchase pipeline)
+    would recompute per branch. persist() (lazy compressed-columnar
+    cache) makes the derivation run once; at sf10 — where the
+    co-purchase derivation alone costs ~25s — triple-rescan ballooned
+    to 148s while the cache form runs it once (33.6s cold). An EAGER
+    localCheckpoint is strictly worse (serializes a deserialized-row
+    materialization job in front, and a lost block is unrecoverable —
+    the pagerank sf10 OOM lesson, graph.py)."""
+    edges = edges.persist()
+    if max_degree is None:
+        return edges
+    hubs = (edges.select(F.col(src).alias("__v"))
+            .unionAll(edges.select(F.col(dst).alias("__v")))
+            .groupBy("__v").agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") > max_degree)
+            .select("__v"))
+    return (edges
+            .join(F.broadcast(hubs), edges[src] == hubs["__v"],
+                  "left_anti")
+            .join(F.broadcast(hubs), edges[dst] == hubs["__v"],
+                  "left_anti"))
+
+
 def _closed_wedges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """(a, b, c) rows, one per triangle a<b<c of the canonical edge
     list — the shared wedge-close core of `triangle_count` and
     `clustering_coefficient`: edges join edges on the middle vertex,
-    then an (a, c) hash join closes the wedge. Any future super-hub
-    degree cap belongs HERE so both operators stay in lockstep.
-
-    The edge list appears three times and AQE does NOT reuse its
-    upstream exchanges, so a derived edge list (e.g. the co-purchase
-    pipeline) would recompute per branch. persist() (lazy compressed-
-    columnar cache) makes the derivation run once and the three
-    branches read blocks; at sf10 — where the co-purchase derivation
-    alone costs ~25s — triple-rescan ballooned to 148s while the cache
-    form runs the derivation once (33.6s cold; repeat calls hit the
-    cached edges and the wedge join itself takes ~0.6s). An
-    EAGER localCheckpoint is strictly worse than either (serializes a
-    deserialized-row materialization job in front, and a lost block is
-    unrecoverable — the pagerank sf10 OOM lesson, graph.py)."""
-    edges = edges.persist()
+    then an (a, c) hash join closes the wedge. Callers pass edges
+    through `_capped_edges` first (persist + super-hub guard) so both
+    operators stay in lockstep."""
     e1 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e2 = edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
     e3 = edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))
@@ -362,7 +418,8 @@ def _closed_wedges(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
 
 def triangle_count(edges: DataFrame, src: str = "p1",
-                   dst: str = "p2") -> DataFrame:
+                   dst: str = "p2",
+                   max_degree: int | None = 10_000) -> DataFrame:
     """Global triangle count over an undirected graph given as
     canonical edges (src < dst) -> one row (n_triangles). Each
     triangle a<b<c is counted exactly once by composing its three
@@ -370,10 +427,12 @@ def triangle_count(edges: DataFrame, src: str = "p1",
 
     Scale: the standard two-shuffle plan (`_closed_wedges`). Wedge
     count Σ_v deg(v)² governs the cost, the same bound every
-    distributed triangle algorithm carries; pre-drop super-hub
-    vertices (deg above a cap) when the degree distribution is
-    power-law, as with any wedge-based method."""
-    return (_closed_wedges(edges, src, dst)
+    distributed triangle algorithm carries; super-hub vertices above
+    `max_degree` are dropped IN CODE before the join
+    (`_capped_edges`) so a power-law hub cannot make the wedge join
+    quadratic in its degree."""
+    return (_closed_wedges(_capped_edges(edges, src, dst, max_degree),
+                           src, dst)
             .agg(F.count(F.lit(1)).alias("n_triangles")))
 
 
@@ -428,7 +487,8 @@ def group_mad(df: DataFrame, group_col: str, value_col: str,
 
 def association_rules(df: DataFrame, basket_col: str, item_col: str,
                       min_support: int = 2,
-                      round_to: int = 4) -> DataFrame:
+                      round_to: int = 4,
+                      max_basket: int | None = 1_000) -> DataFrame:
     """Association-rule metrics over co-occurring item pairs ->
     (p1, p2, support, conf_12, conf_21, lift): confidence in both
     directions and lift vs independence — Apriori's rule step on the
@@ -446,10 +506,27 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
     this form). Parallel columnar scans are cheap; object-agg
     materialization is not. The pair table (already support-filtered)
     joins the marginals — AQE broadcast when the catalog is small —
-    and N rides a 1-row broadcast."""
+    and N rides a 1-row broadcast.
+
+    Mega-baskets above `max_basket` (see copurchase_pairs — the
+    in-row pair array cannot spill) are excluded from the ENTIRE
+    analysis — pairs, marginals, and N — so confidence/lift stay
+    internally consistent on the capped basket universe (a marginal
+    that counted a basket whose pairs were dropped would bias
+    confidence downward). The over-cap basket set is one map-side-
+    combined count over the same distinct projection the marginals
+    need, applied as a broadcast anti join (degenerate baskets are
+    rare by construction, so the set is tiny)."""
     items = df.select(F.col(basket_col).alias("__b"),
                       F.col(item_col).alias("__p")).distinct()
-    pairs = copurchase_pairs(df, basket_col, item_col, min_support)
+    if max_basket is not None:
+        over = (items.groupBy("__b")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > max_basket)
+                .select("__b"))
+        items = items.join(F.broadcast(over), "__b", "left_anti")
+    pairs = copurchase_pairs(df, basket_col, item_col, min_support,
+                             max_basket=max_basket)
     marg = items.groupBy("__p").agg(F.count(F.lit(1)).alias("nb"))
     n = items.agg(F.count_distinct("__b").alias("N"))
     m1 = marg.select(F.col("__p").alias("p1"), F.col("nb").alias("n1"))
@@ -468,7 +545,8 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
 
 def clustering_coefficient(edges: DataFrame, src: str = "p1",
                            dst: str = "p2",
-                           round_to: int = 4) -> DataFrame:
+                           round_to: int = 4,
+                           max_degree: int | None = 10_000) -> DataFrame:
     """Local clustering coefficient per vertex -> (vertex, degree,
     triangles, cc): how tightly each vertex's neighborhood closes
     (cc = triangles / (deg choose 2)) — community cores vs bridges.
@@ -479,7 +557,15 @@ def clustering_coefficient(edges: DataFrame, src: str = "p1",
     the canonical edge list. Vertices of degree < 2 have no wedges
     and are excluded (cc undefined). Cost is the triangle join's
     Σ deg² wedge bound (`_closed_wedges`, shared with
-    triangle_count); everything after is vertex-sized."""
+    triangle_count); everything after is vertex-sized.
+
+    Super-hub vertices above `max_degree` are dropped IN CODE before
+    the join (`_capped_edges`, shared with triangle_count) —
+    degrees, triangles, and cc are all computed on the CAPPED graph
+    so the three columns stay mutually consistent; vertices not
+    adjacent to a dropped hub are bit-identical to the uncapped
+    result."""
+    edges = _capped_edges(edges, src, dst, max_degree)
     tri = _closed_wedges(edges, src, dst)
     tv = (tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
           .groupBy("v").agg(F.count(F.lit(1)).alias("triangles")))

@@ -1643,6 +1643,66 @@ def test_triangle_count_exact(spark):
     assert triangle_count(empty).collect()[0]["n_triangles"] == 0
 
 
+def test_triangle_super_hub_cap(spark):
+    """The in-code max_degree guard (_capped_edges): a power-law
+    mega-hub's edges are dropped BEFORE the wedge join, vertices not
+    adjacent to the hub are bit-identical, and the operator neither
+    OOMs nor silently truncates."""
+    from seatunnel_spark.dataops.analytics import (
+        clustering_coefficient, triangle_count)
+
+    # hub 0 connected to 1..50 (degree 50) + fans 1-2, 2-3 closing
+    # hub triangles {0,1,2},{0,2,3} + a detached triangle {100,101,102}
+    edges = ([(0, i) for i in range(1, 51)]
+             + [(1, 2), (2, 3), (100, 101), (100, 102), (101, 102)])
+    df = spark.createDataFrame(edges, "p1 long, p2 long")
+    # uncapped: 3 triangles
+    assert triangle_count(df, max_degree=None) \
+        .collect()[0]["n_triangles"] == 3
+    # cap below the hub degree: hub edges vanish, only the detached
+    # triangle survives; its vertices are untouched by the drop
+    assert triangle_count(df, max_degree=10) \
+        .collect()[0]["n_triangles"] == 1
+    got = {r["vertex"]: (r["degree"], r["triangles"], r["cc"])
+           for r in clustering_coefficient(df, max_degree=10).collect()}
+    # hub 0 gone entirely; 1-2, 2-3 remain as a path (no triangles);
+    # the detached triangle is bit-identical to the uncapped run
+    assert 0 not in got
+    assert got[100] == (2, 1, 1.0) and got[102] == (2, 1, 1.0)
+    assert got[2] == (2, 0, 0.0)
+    # default cap (10_000) leaves this small graph unchanged
+    assert triangle_count(df).collect()[0]["n_triangles"] == 3
+
+
+def test_copurchase_mega_basket_cap(spark):
+    """The in-code max_basket guard (_cap_baskets): a degenerate
+    basket is dropped before its |basket|^2/2 in-row pair array is
+    materialized; normal baskets are unchanged, and association_rules
+    excludes the dropped basket from marginals/N too."""
+    from seatunnel_spark.dataops.analytics import (association_rules,
+                                                   copurchase_pairs)
+
+    rows = ([(99, f"item{i}") for i in range(200)]   # mega-basket
+            + [(1, "a"), (1, "b"), (2, "a"), (2, "b")])
+    df = spark.createDataFrame(rows, "o long, p string")
+    got = {(r["p1"], r["p2"]): r["support"]
+           for r in copurchase_pairs(df, "o", "p", min_support=1,
+                                     max_basket=100).collect()}
+    assert got == {("a", "b"): 2}
+    # association_rules on the capped universe: N=2 baskets, both
+    # contain a and b -> conf 1.0 both ways, lift 1.0 (a basket-99
+    # marginal would have biased lift to 2*3/(3*3))
+    row = association_rules(df, "o", "p", min_support=1,
+                            max_basket=100).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r["support"], r["conf_12"], r["conf_21"], r["lift"]) \
+        == (2, 1.0, 1.0, 1.0)
+    # default cap (1000) leaves the 200-item basket in
+    n_default = copurchase_pairs(df, "o", "p", min_support=1).count()
+    assert n_default == 200 * 199 // 2 + 1
+
+
 def test_rolling_distinct_window_semantics(spark):
     import datetime
 
