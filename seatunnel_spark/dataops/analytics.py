@@ -248,7 +248,8 @@ def event_pattern_match(df: DataFrame, pattern: str,
                         ts_col: str = "ts",
                         order_col: str = "event_id",
                         type_col: str = "event_type",
-                        max_events: int | None = 100_000) -> DataFrame:
+                        max_events: int | None = 100_000,
+                        strict: bool = False) -> DataFrame:
     """CEP-style sequence-pattern matching: entities whose time-ordered
     event-type sequence matches a regex — the batch analog of
     MATCH_RECOGNIZE / FlinkCEP for shapes like "3 consecutive errors"
@@ -274,11 +275,26 @@ def event_pattern_match(df: DataFrame, pattern: str,
     count) shuffle and the semi join hash on the same key the groupBy
     needs, so the event log still shuffles once. `max_events=None`
     disables the guard for pre-capped inputs. The regex runs once per
-    entity, JVM-side."""
+    entity, JVM-side.
+
+    `strict=True` makes the cap DETECTABLE instead of silent: if any
+    entity exceeds `max_events` the call raises with the dropped-
+    entity count (a 1-row aggregate over the same narrow count frame
+    the guard computes anyway), so callers find out the cap fired
+    here rather than discovering missing entities downstream."""
     if max_events is not None:
-        ok = (df.groupBy(entity_col)
-              .agg(F.count(F.lit(1)).alias("__n"))
-              .filter(F.col("__n") <= max_events)
+        cnt = (df.groupBy(entity_col)
+               .agg(F.count(F.lit(1)).alias("__n")))
+        if strict:
+            dropped = (cnt.filter(F.col("__n") > max_events)
+                       .count())
+            if dropped:
+                raise ValueError(
+                    f"event_pattern_match: {dropped} entities exceed "
+                    f"max_events={max_events} and would be dropped; "
+                    f"raise the cap, pre-filter, or pass strict=False "
+                    f"to accept the deterministic drop")
+        ok = (cnt.filter(F.col("__n") <= max_events)
               .select(entity_col))
         df = df.join(ok, entity_col, "left_semi")
     ordered = F.array_sort(F.collect_list(
@@ -388,7 +404,10 @@ def _capped_edges(edges: DataFrame, src: str, dst: str,
     to 148s while the cache form runs it once (33.6s cold). An EAGER
     localCheckpoint is strictly worse (serializes a deserialized-row
     materialization job in front, and a lost block is unrecoverable —
-    the pagerank sf10 OOM lesson, graph.py)."""
+    the pagerank sf10 OOM lesson, graph.py). The cache backs the LAZY
+    returned frame, so it cannot be unpersisted here; long-lived
+    sessions should spark.catalog.clearCache() between operator
+    batches (see dedup.py's module note — same contract)."""
     edges = edges.persist()
     if max_degree is None:
         return edges

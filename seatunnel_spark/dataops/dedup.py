@@ -18,6 +18,17 @@ Scale design notes (the part that matters at 100 TB):
 
 All hash choices are deterministic and engine-portable (md5 on UTF-8),
 so DuckDB can replay them for the correctness oracle.
+
+Cache lifetime: operators that return a LAZY frame built over a
+persist()ed reuse point (minhash_lsh_pairs, simhash_near_dups,
+ngram_jaccard_pairs — the bucket/index frames feed both self-join
+sides) cannot unpersist before the caller materializes the result, and
+persist()ed plans are NOT released by the ContextCleaner the way
+checkpoint RDDs are. Operators that materialize internally
+(duplicate_clusters) unpersist before returning; for the lazy ones,
+long-lived sessions running many operator batches should call
+spark.catalog.clearCache() between batches — the contract the bench
+protocol itself follows.
 """
 
 from __future__ import annotations
@@ -556,6 +567,12 @@ def duplicate_clusters(
         labels = new_labels.drop("__chg")
         if changed == 0:
             break
+    # labels is localCheckpoint-materialized (every round), so the
+    # result no longer reads the edge cache — release it here instead
+    # of leaving it registered in the CacheManager until session end
+    # (persist()ed plans, unlike checkpoint RDDs, are NOT collected by
+    # the ContextCleaner; long-lived sessions would accumulate them)
+    edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

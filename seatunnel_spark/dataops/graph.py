@@ -88,17 +88,29 @@ def write_bucketed_edges(
     from seatunnel_spark.plans.bucketing import write_bucketed
 
     spark = edges.sparkSession
+    # qualified names (db.tbl) would turn the orphan-directory cleanup
+    # below into a literal "<warehouse>/db.tbl" path that can alias a
+    # foreign directory — resolve them properly or not at all
+    if "." in table:
+        raise ValueError(
+            f"write_bucketed_edges takes an unqualified table name "
+            f"(got {table!r}); qualified names don't map to a single "
+            f"default warehouse path")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # with the in-memory catalog, a previous SESSION's table survives
     # only as an orphaned warehouse directory the DROP above cannot
     # see, and CTAS then fails with LOCATION_ALREADY_EXISTS — clear
-    # it; a durable metastore on a real cluster never hits this branch
+    # it. Guard rails: only when the catalog confirms the table does
+    # NOT exist (so we never delete a live table's data on a shared
+    # warehouse) and only the default location for the unqualified
+    # name. A durable metastore on a real cluster never hits this.
     import shutil
     from urllib.parse import urlparse
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     loc = os.path.join(wh, table.lower())
-    if wh and os.path.isdir(loc):
+    if (wh and os.path.isdir(loc)
+            and not spark.catalog.tableExists(table)):
         shutil.rmtree(loc, ignore_errors=True)
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     if dedupe:

@@ -485,7 +485,8 @@ def cms_estimate(cms: DataFrame, probes: DataFrame,
 
 def heavy_hitters(df: DataFrame, text_col: str = "text",
                   min_count: int = 100, capacity: int | None = None,
-                  lowercase: bool = True) -> DataFrame:
+                  lowercase: bool = True,
+                  max_capacity: int | None = 4_194_304) -> DataFrame:
     """EXACT corpus heavy hitters -> (token, cnt) for every token with
     total frequency >= min_count, via two phases:
 
@@ -513,7 +514,15 @@ def heavy_hitters(df: DataFrame, text_col: str = "text",
     min_count would make that capacity huge, but heavy hitters at that
     scale are a support FRACTION phi anyway (min_count = phi * N), and
     then capacity = ceil(1/phi) is constant — the classic Misra-Gries
-    framing. An explicit `capacity` skips the sizing scan but forfeits
+    framing. That framing is ENFORCED, not just documented: the
+    per-partition dict and the broadcast candidate set are both
+    capacity-sized, so an auto capacity above `max_capacity` (default
+    4M entries — a few hundred MB per partition dict, the practical
+    ceiling) raises with the exact
+    `min_count` that would fit, instead of silently scaling the
+    operator's memory with the corpus. `max_capacity=None` disables
+    the bound for callers who have the memory. An explicit `capacity`
+    skips the sizing scan but forfeits
     the no-false-negative guarantee when capacity < N/min_count. The
     shuffle in phase 2 carries only candidate-token rows — the full
     vocabulary (billions of long-tail tokens) never shuffles, which is
@@ -531,6 +540,15 @@ def heavy_hitters(df: DataFrame, text_col: str = "text",
                        .collect()[0]["c"]) or 0
         n_upper = (int(total_chars) + 1) // 2
         capacity = max(64, -(-n_upper // max(1, min_count)))
+        if max_capacity is not None and capacity > max_capacity:
+            need = -(-n_upper // max_capacity)
+            raise ValueError(
+                f"heavy_hitters: exact tracking of min_count="
+                f"{min_count} over this corpus needs capacity="
+                f"{capacity} (> max_capacity={max_capacity}). Use the "
+                f"support-fraction framing: min_count >= {need} keeps "
+                f"capacity <= {max_capacity}; or pass an explicit "
+                f"capacity / max_capacity=None if memory allows.")
 
     cand_schema = StructType([StructField("token", StringType())])
 

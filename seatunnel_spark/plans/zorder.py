@@ -46,8 +46,23 @@ def zorder_key(cols: list[Column], bounds: list[tuple[Column, Column]],
     """Morton key: interleave the top `bits` bits of each scaled
     column (column i contributes bit b to key position b*k + i).
     Pure shift/or arithmetic — whole-stage codegen, zero UDF, and
-    trivially replayable in any SQL engine."""
+    trivially replayable in any SQL engine.
+
+    The key lives in a signed 64-bit long, so bits * k must fit in the
+    63 value bits: with the old unchecked arithmetic, k=4 at the
+    default bits=16 put the top interleave bit in the SIGN bit
+    (negative keys sort before all positive — inverting that
+    dimension's ordering) and k>=5 wrapped shiftleft mod 64, aliasing
+    high bits into low positions. `bits` is therefore auto-reduced to
+    63 // k when the requested width doesn't fit (precision loss only
+    — 15 bits/dim at k=4 still gives 32k-tile pruning); an explicit
+    bits that can NEVER fit (k > 63) raises."""
     k = len(cols)
+    if k == 0:
+        raise ValueError("zorder_key needs at least one column")
+    if k > 63:
+        raise ValueError(f"zorder_key supports at most 63 columns, got {k}")
+    bits = min(bits, 63 // k)
     scaled = [_scale_to_bits(c, lo, hi, bits)
               for c, (lo, hi) in zip(cols, bounds)]
     key = F.lit(0).cast("long")

@@ -1235,6 +1235,60 @@ def test_heavy_hitters_tiny_capacity_no_false_positives(spark):
         assert truth[tok] == cnt  # exact counts, no spurious tokens
 
 
+def test_heavy_hitters_max_capacity_guard(spark):
+    """An auto-sized capacity above max_capacity must raise with the
+    support-fraction guidance (min_count that fits) instead of
+    silently scaling the per-partition dict with the corpus; None
+    disables the bound."""
+    import pytest
+
+    from seatunnel_spark.dataops.text import heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 10) for i in range(20)],
+        "doc_id int, text string")
+    with pytest.raises(ValueError, match="min_count >="):
+        heavy_hitters(docs, min_count=1, max_capacity=100).collect()
+    got = {r["token"] for r in
+           heavy_hitters(docs, min_count=100,
+                         max_capacity=100).collect()}
+    assert got == {"alpha", "beta", "gamma", "delta"}
+    assert heavy_hitters(docs, min_count=1,
+                         max_capacity=None).count() == 4
+
+
+def test_event_pattern_strict_detects_cap(spark):
+    """strict=True raises (with the dropped-entity count) when the
+    max_events guard would drop anyone; strict default stays a silent
+    deterministic drop."""
+    import datetime
+
+    import pytest
+
+    from seatunnel_spark.dataops.analytics import event_pattern_match
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = ([(i, t0, 1, "error") for i in range(5)]      # hot entity
+            + [(100 + i, t0, 2, "error") for i in range(2)])
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    with pytest.raises(ValueError, match="1 entities exceed"):
+        event_pattern_match(df, "error", max_events=3, strict=True)
+    got = {r["entity"] for r in
+           event_pattern_match(df, "error", max_events=3).collect()}
+    assert got == {2}
+
+
+def test_write_bucketed_edges_rejects_qualified_name(spark):
+    import pytest
+
+    from seatunnel_spark.dataops.graph import write_bucketed_edges
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="unqualified"):
+        write_bucketed_edges(df, "somedb.edges")
+
+
 def test_group_sample_topk_matches_single_window(spark):
     """The salted two-phase plan must equal the plain definition:
     k smallest md5(id) per group."""

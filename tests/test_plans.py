@@ -657,6 +657,34 @@ def test_zorder_narrows_both_dimensions(spark, sf_dir, tmp_path):
     assert a == b
 
 
+def test_zorder_key_wide_k_stays_in_value_bits(spark):
+    """k=4 at the default bits=16 used to push the top interleave bit
+    into the 64-bit SIGN bit (negative keys sort before all positive,
+    inverting that dimension) and k>=5 wrapped shiftleft mod 64. The
+    fix auto-reduces bits to 63//k: all keys non-negative, and the key
+    is strictly monotone in any one dimension with the others held at
+    their lows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.plans.zorder import zorder_key
+
+    for k in (4, 5):
+        rows = [tuple([v] + [0] * (k - 1)) for v in range(0, 1000, 37)]
+        cols = [f"c{i}" for i in range(k)]
+        df = spark.createDataFrame(rows, ", ".join(f"{c} long"
+                                                   for c in cols))
+        bounds = [(F.lit(0), F.lit(999))] * k
+        out = (df.withColumn("__z", zorder_key(
+                   [F.col(c) for c in cols], bounds))
+               .orderBy("c0").collect())
+        keys = [r["__z"] for r in out]
+        assert all(z >= 0 for z in keys), f"negative Morton key at k={k}"
+        assert keys == sorted(keys) and len(set(keys)) == len(keys)
+    with pytest.raises(ValueError):
+        zorder_key([], [])
+
+
 def test_event_transitions_one_event_shuffle(plans):
     # exactly one exchange over the event log (the per-entity window
     # ordering); the pair/marginal work is |event_types|^2-sized and
