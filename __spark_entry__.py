@@ -1873,6 +1873,61 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(d, "text")
 
 
+# Fixed BPE merge table for the encode queries — a literal tokenizer
+# artifact (rank order matters), shared verbatim by the Spark query
+# and the DuckDB oracle the way sim_ivf_topk shares its codebook.
+# bpe_learn->bpe_encode consistency is property-tested in
+# tests/test_dataops.py; the oracle checks the ENCODE arithmetic.
+_BPE_FIXED_MERGES = [
+    ("e", "</w>"), ("t", "a"), ("ta", "b"), ("tab", "l"),
+    ("tabl", "e</w>"), ("a", "</w>"), ("s", "p"), ("sp", "a"),
+]
+
+
+def _bpe_oracle_enc_expr() -> str:
+    """DuckDB expression replaying bpe_encode's merge chain on a
+    column `word`: the chr(31)+sym+chr(30) self-delimited encoding,
+    then one literal replace() per merge in rank order — DuckDB's
+    replace is the same non-overlapping left-to-right scan as
+    Spark's, so the chain is bit-identical (see
+    seatunnel_spark/dataops/text.py:bpe_encode)."""
+    e = ("chr(31) || array_to_string(string_split(word, ''), "
+         "chr(30)||chr(31)) || chr(30) || chr(31) || '</w>' || chr(30)")
+    for a, b in _BPE_FIXED_MERGES:
+        pat = f"chr(31)||'{a}'||chr(30)||chr(31)||'{b}'||chr(30)"
+        rep = f"chr(31)||'{a}{b}'||chr(30)"
+        e = f"replace({e}, {pat}, {rep})"
+    return e
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer ENCODE (dataops/text.py:bpe_encode — the half a
+    training pipeline runs at 100 TB): apply a fixed merge table in
+    rank order, each merge exhaustively leftmost-first, and return
+    corpus token frequencies (token, cnt). The corpus collapses to
+    its distinct-word vocabulary first; each merge is ONE literal
+    string replace on a self-delimited symbol encoding — pure
+    codegen, zero UDF. The oracle replays the identical replace chain
+    (DuckDB's replace is the same non-overlapping left-to-right
+    scan)."""
+    from seatunnel_spark.dataops.text import bpe_token_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_token_counts(d, _BPE_FIXED_MERGES)
+
+
+def text_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token budget (dataops/text.py:
+    bpe_encode_docs): docs exploded to words meet the vocab-sized
+    word->n_tokens dictionary (AQE broadcasts it), then one map-side-
+    combined per-doc rollup -> (doc_id, n_words, n_tokens) — what
+    pack_docs consumes for token-budget packing."""
+    from seatunnel_spark.dataops.text import bpe_encode_docs
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_encode_docs(d, _BPE_FIXED_MERGES)
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag median + MAD of extended price (dataops/
     analytics.py:group_mad): robust dispersion via two exact
@@ -2698,6 +2753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": text_collocations,
         "q_mad": q_mad,
         "text_bpe_pairs": text_bpe_pairs,
+        "text_bpe_encode": text_bpe_encode,
+        "text_bpe_encode_docs": text_bpe_encode_docs,
         "q_ddsketch_quantiles": q_ddsketch_quantiles,
         "q_ddsketch_by_group": q_ddsketch_by_group,
         "q_zorder_prune": q_zorder_prune,
@@ -4821,6 +4878,53 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         # Character-vocabulary pair counts with the </w> marker; the
         # corpus collapses to (word, freq) first in both engines.
+        "text_bpe_encode": f"""
+            WITH w AS (
+              SELECT unnest(string_split_regex(trim(lower(text)),
+                                               '\\s+')) AS word
+              FROM documents
+            ), wf AS (
+              SELECT word, count(*) AS freq
+              FROM w
+              WHERE word <> ''
+                AND NOT regexp_matches(word,
+                                       '[' || chr(30) || chr(31) || ']')
+              GROUP BY word
+            ), enc AS (
+              SELECT word, freq, {_bpe_oracle_enc_expr()} AS e FROM wf
+            )
+            SELECT substr(tok, 2) AS token, sum(freq)::BIGINT AS cnt
+            FROM (SELECT freq,
+                         unnest(list_filter(string_split(e, chr(30)),
+                                            x -> x <> '')) AS tok
+                  FROM enc)
+            GROUP BY 1
+        """,
+        "text_bpe_encode_docs": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)),
+                                               '\\s+')) AS word
+              FROM documents
+            ), wfil AS (
+              SELECT doc_id, word FROM w
+              WHERE word <> ''
+                AND NOT regexp_matches(word,
+                                       '[' || chr(30) || chr(31) || ']')
+            ), wf AS (SELECT DISTINCT word FROM wfil),
+            enc AS (
+              SELECT word, {_bpe_oracle_enc_expr()} AS e FROM wf
+            ), dic AS (
+              SELECT word,
+                     len(list_filter(string_split(e, chr(30)),
+                                     x -> x <> ''))::BIGINT AS n_tok
+              FROM enc
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_words,
+                   sum(n_tok)::BIGINT AS n_tokens
+            FROM wfil JOIN dic USING (word)
+            GROUP BY doc_id
+        """,
         "text_bpe_pairs": """
             WITH w AS (
               SELECT unnest(string_split_regex(trim(lower(text)),

@@ -766,6 +766,124 @@ def bpe_learn(df: DataFrame, text_col: str = "text", n_merges: int = 10,
         merges, "merge_rank int, left string, right string, freq long")
 
 
+# self-delimited symbol encoding for BPE merge application: every
+# symbol is wrapped chr(31)+sym+chr(30), so ONE literal replace() of
+# "<31>a<30><31>b<30>" -> "<31>ab<30>" is exactly the exhaustive
+# leftmost-first application of merge (a,b) to the symbol sequence
+# (matches cannot cross symbol boundaries, and consecutive matches
+# share no characters, so non-overlapping left-to-right replace ==
+# the greedy fold bpe_learn trains with)
+_BPE_L = "\x1f"
+_BPE_R = "\x1e"
+
+
+def _bpe_merge_list(merges) -> list[tuple[str, str]]:
+    """Normalize a merge table to an ordered [(left, right)] list.
+    Accepts the (merge_rank, left, right, ...) frame bpe_learn returns
+    or a plain Python list. The collect is bounded by the merge-table
+    size — a tokenizer artifact (tens of thousands of rows at most),
+    never data-sized."""
+    if isinstance(merges, DataFrame):
+        return [(r["left"], r["right"])
+                for r in merges.orderBy("merge_rank").collect()]
+    return [(a, b) for a, b in merges]
+
+
+def bpe_encode(df: DataFrame, merges, text_col: str = "text",
+               lowercase: bool = True,
+               materialize_every: int = 64) -> DataFrame:
+    """Apply a learned BPE merge table to the corpus -> the WORD-level
+    tokenization dictionary (word, freq, tokens array<string>,
+    n_tokens) — the half of a tokenizer a training pipeline actually
+    runs at scale (bpe_learn builds the table; this spends it), and
+    the natural producer for pack_docs' token budgets.
+
+    Semantics: merges apply in rank order, each exhaustively
+    leftmost-first within the word — the SAME fold bpe_learn trains
+    with, so encoding the training corpus with the learned table
+    reproduces the trainer's final vocabulary state exactly
+    (property-tested). Words are split on whitespace with the `</w>`
+    end-of-word marker (Sennrich et al., ACL 2016).
+
+    100 TB design: the corpus collapses to its distinct-word
+    vocabulary FIRST (one map-side-combined shuffle — the same reason
+    bpe_learn is feasible), and every merge is a LITERAL string
+    replace on a self-delimited symbol encoding (see _BPE_L/_BPE_R) —
+    pure codegen, zero UDF, zero Python in the per-word path. The
+    merge chain is broken into `materialize_every`-sized chunks with
+    a localCheckpoint barrier between chunks: ProjectCollapse would
+    otherwise fuse thousands of nested replace() calls into one
+    codegen unit (compile blowup); the barrier frame is VOCAB-sized,
+    the one shape where checkpoint's deserialized rows are harmless.
+    Words containing the two delimiter control bytes (chr 30/31) are
+    dropped deterministically (never real text; documented so the
+    DuckDB oracle mirrors the filter)."""
+    pairs = _bpe_merge_list(merges)
+    toks = F.split(F.trim(F.lower(F.col(text_col)) if lowercase
+                          else F.col(text_col)), r"\s+")
+    words = (df.select(F.explode(toks).alias("word"))
+             .filter((F.col("word") != "")
+                     & ~F.col("word").rlike("[\x1e\x1f]"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    enc = F.concat(
+        F.lit(_BPE_L),
+        F.array_join(F.split(F.col("word"), ""), _BPE_R + _BPE_L),
+        F.lit(_BPE_R + _BPE_L + "</w>" + _BPE_R))
+    cur = words.select("word", "freq", enc.alias("__e"))
+    for i in range(0, len(pairs), materialize_every):
+        col = F.col("__e")
+        for a, b in pairs[i:i + materialize_every]:
+            col = F.replace(
+                col,
+                F.lit(_BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R),
+                F.lit(_BPE_L + a + b + _BPE_R))
+        cur = cur.select("word", "freq", col.alias("__e"))
+        if i + materialize_every < len(pairs):
+            cur = cur.localCheckpoint()
+    tokens = F.transform(
+        F.filter(F.split(F.col("__e"), _BPE_R),
+                 lambda x: x != F.lit("")),
+        lambda x: F.substr(x, F.lit(2)))
+    return cur.select("word", "freq", tokens.alias("tokens"),
+                      F.size(tokens).alias("n_tokens"))
+
+
+def bpe_token_counts(df: DataFrame, merges, text_col: str = "text",
+                     lowercase: bool = True) -> DataFrame:
+    """Corpus-wide BPE token frequencies -> (token, cnt): the word
+    dictionary from `bpe_encode` exploded to its tokens, weighted by
+    word frequency. |vocab|-sized input, |tokens|-sized output — the
+    readout for vocabulary coverage / compression-rate tuning."""
+    dic = bpe_encode(df, merges, text_col, lowercase)
+    return (dic.select(F.explode("tokens").alias("token"), "freq")
+            .groupBy("token").agg(F.sum("freq").alias("cnt")))
+
+
+def bpe_encode_docs(df: DataFrame, merges, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    lowercase: bool = True) -> DataFrame:
+    """Per-document BPE token counts -> (id, n_words, n_tokens): the
+    corpus's docs joined to the word-level dictionary — what a packing
+    / budget step (pack_docs) consumes.
+
+    Scale: the doc->word explode shuffles on the word key to meet the
+    vocab-sized dictionary (AQE broadcasts the dictionary when it is
+    small); per-doc rollup is the second, map-side-combined shuffle.
+    Docs with no words carry no tokens and are excluded (same
+    semantics as the inner join that defines them)."""
+    dic = bpe_encode(df, merges, text_col, lowercase) \
+        .select("word", "n_tokens")
+    toks = F.split(F.trim(F.lower(F.col(text_col)) if lowercase
+                          else F.col(text_col)), r"\s+")
+    words = (df.select(F.col(id_col), F.explode(toks).alias("word"))
+             .filter((F.col("word") != "")
+                     & ~F.col("word").rlike("[\x1e\x1f]")))
+    return (words.join(dic, "word")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_tokens").alias("n_tokens")))
+
+
 def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
                    alpha: float = 0.5) -> DataFrame:

@@ -2143,6 +2143,69 @@ def test_bpe_learn_matches_reference_implementation(spark):
     assert ("a", "a") in lefts
 
 
+def test_bpe_encode_matches_reference_and_trainer(spark):
+    """bpe_encode must apply the learned table with the trainer's own
+    semantics: rank-ordered merges, each exhaustively leftmost-first.
+    Checked against a pure-Python encoder on every distinct word —
+    including the overlap case ('aaa' -> ['aa','a']) — and exercised
+    across the chunked localCheckpoint barrier (materialize_every=2)."""
+    from seatunnel_spark.dataops.text import (bpe_encode,
+                                              bpe_encode_docs, bpe_learn,
+                                              bpe_token_counts)
+
+    corpus = ["low low lower lowest new newer",
+              "wider new low aaa aaa baaa"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "id int, text string"
+    ).repartition(4)
+    merges = bpe_learn(df, n_merges=8)
+    table = [(r["left"], r["right"])
+             for r in merges.orderBy("merge_rank").collect()]
+
+    def ref_encode(word):
+        syms = list(word) + ["</w>"]
+        for a, b in table:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for me in (64, 2):  # single-select and chunked-barrier paths
+        got = {r["word"]: (r["freq"], r["tokens"], r["n_tokens"])
+               for r in bpe_encode(df, merges,
+                                   materialize_every=me).collect()}
+        words = [w for t in corpus for w in t.lower().split()]
+        assert set(got) == set(words)
+        for w in set(words):
+            exp = ref_encode(w)
+            assert got[w] == (words.count(w), exp, len(exp)), w
+    # the list form of the merge table is accepted too
+    got2 = {r["word"]: r["tokens"]
+            for r in bpe_encode(df, table).collect()}
+    assert got2["aaa"] == ref_encode("aaa")
+    # corpus token frequencies = sum over words of freq per token
+    tc = {r["token"]: r["cnt"]
+          for r in bpe_token_counts(df, merges).collect()}
+    import collections
+    exp_tc = collections.Counter()
+    for w in [w for t in corpus for w in t.lower().split()]:
+        for t in ref_encode(w):
+            exp_tc[t] += 1
+    assert tc == dict(exp_tc)
+    # per-doc rollup
+    docs = {r["id"]: (r["n_words"], r["n_tokens"])
+            for r in bpe_encode_docs(df, merges, id_col="id").collect()}
+    for i, t in enumerate(corpus):
+        ws = t.lower().split()
+        assert docs[i] == (len(ws), sum(len(ref_encode(w)) for w in ws))
+
+
 def test_event_transitions_probabilities(spark):
     """Rows sum to 1 per from-state; counts follow the (ts, event_id)
     order with deterministic tie-breaks; last event has no outgoing
