@@ -1510,6 +1510,28 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup dedup (dataops/multimodal.py:
+    image_near_dups): dHash per image (stub codec here — deterministic
+    sha256 fold so DuckDB replays the hash), then the EXACT-RECALL
+    multi-index pigeonhole Hamming join shared with text SimHash
+    (dedup.py:hamming_near_dups). The oracle brute-forces the N^2
+    bit_count(xor) on the same hashes — so a value-hash match proves
+    the blocking scheme loses NO pair within the radius, not just that
+    the plumbing ran. Synthetic "images" are the first two words of
+    each doc (full texts are all distinct at every SF; a shared prefix
+    makes real duplicate clusters) — real-codec near-dup behavior is
+    covered by the PNG dHash test in tests/test_dataops.py."""
+    from seatunnel_spark.dataops.multimodal import image_near_dups
+
+    first2 = F.array_join(
+        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 2), " ")
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300).select(
+        "doc_id", F.encode(first2, "UTF-8").alias("content"))
+    return image_near_dups(docs, "doc_id", codec="stub", max_hamming=3)
+
+
 def stream_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed aggregation via the streaming module (runs on
     the batch frame here; identical code path handles readStream)."""
@@ -2724,6 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join_events": stream_interval_join_events,
         "stream_funnel": stream_funnel,
         "mm_image_features": mm_image_features,
+        "mm_image_dedup": mm_image_dedup,
         "mm_image_resize": mm_image_resize,
         "mm_av_metadata": mm_av_metadata,
         "mm_png_features": mm_png_features,
@@ -3235,6 +3258,34 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "mm_image_dedup": """
+            -- brute-force N^2 ground truth for the pigeonhole-blocked
+            -- Hamming join: stub phash = first 8 sha256 bytes as a
+            -- signed 64-bit fold (multimodal.py:_phash_stub)
+            WITH h AS (
+              SELECT doc_id,
+                     CAST(
+                       CAST(CAST('0x' || substring(sha256(text), 1, 8)
+                                 AS BIGINT) AS HUGEINT) * 4294967296
+                       + CAST('0x' || substring(sha256(text), 9, 8)
+                              AS BIGINT)
+                       - CASE WHEN CAST('0x' || substring(sha256(text),
+                                                          1, 8)
+                                   AS BIGINT) >= 2147483648
+                              THEN 18446744073709551616 ELSE 0 END
+                       AS BIGINT) AS ph
+              FROM (SELECT doc_id,
+                           array_to_string(
+                             regexp_split_to_array(trim(text),
+                                                   '\s+')[1:2],
+                             ' ') AS text
+                    FROM documents WHERE doc_id < 300)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.ph, b.ph)) AS hamming
+            FROM h a JOIN h b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.ph, b.ph)) <= 3
         """,
         "mm_image_features": """
             SELECT doc_id,

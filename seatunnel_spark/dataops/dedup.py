@@ -377,6 +377,21 @@ def simhash_near_dups(
     `max_bucket` docs; dropped members are (near-)identical — collapse
     with exact_dup_groups first. None disables.
     """
+    return hamming_near_dups(simhash64(df, id_col, text_col), id_col,
+                             "simhash", max_hamming, blocks, max_bucket)
+
+
+def hamming_near_dups(
+    sig: DataFrame, id_col: str, hash_col: str = "simhash",
+    max_hamming: int = 3, blocks: int = 8,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """Generic exact-recall Hamming self-join over any (id, 64-bit
+    hash) frame -> (id_a, id_b, hamming) pairs with distance <=
+    `max_hamming` — the multi-index pigeonhole machinery shared by
+    simhash_near_dups (text) and multimodal.image_near_dups
+    (perceptual hashes): see simhash_near_dups for the blocking math,
+    the blocks-vs-key-width trade, and the hot-bucket cap."""
     import itertools
 
     if 64 % blocks:
@@ -388,7 +403,7 @@ def simhash_near_dups(
     mask = (1 << width) - 1
 
     def _seg(j: int) -> Column:
-        return F.shiftrightunsigned(F.col("simhash"), j * width).bitwiseAND(F.lit(mask))
+        return F.shiftrightunsigned(F.col(hash_col), j * width).bitwiseAND(F.lit(mask))
 
     def _combo_key(combo: tuple[int, ...]) -> Column:
         key = F.lit(0).cast("long")
@@ -396,24 +411,24 @@ def simhash_near_dups(
             key = key.bitwiseOR(F.shiftleft(_seg(j), pos * width))
         return key
 
-    sig = simhash64(df, id_col, text_col)
     segs = F.array(
         *[
             F.struct(F.lit(ci).alias("seg"), _combo_key(combo).alias("key"))
             for ci, combo in enumerate(itertools.combinations(range(blocks), key_size))
         ]
     )
-    buckets = sig.select(id_col, "simhash", F.explode(segs).alias("b")).select(
-        id_col, "simhash", F.col("b.seg").alias("seg"), F.col("b.key").alias("key")
+    buckets = sig.select(id_col, hash_col, F.explode(segs).alias("b")).select(
+        id_col, hash_col, F.col("b.seg").alias("seg"), F.col("b.key").alias("key")
     )
     buckets = _cap_buckets(buckets, ["seg", "key"], max_bucket)
     # reuse point: both self-join sides would otherwise re-run the
-    # simhash64 pandas-UDF pass (see minhash_lsh_pairs for the measured
-    # ReusedExchange failure under AQE broadcast); columnar persist,
-    # not localCheckpoint — resilient + ~10x smaller (graph.py lesson)
+    # upstream hash pass (simhash's pandas UDF / the image decode —
+    # see minhash_lsh_pairs for the measured ReusedExchange failure
+    # under AQE broadcast); columnar persist, not localCheckpoint —
+    # resilient + ~10x smaller (graph.py lesson)
     buckets = buckets.persist()
     a, b = buckets.alias("a"), buckets.alias("b")
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    xor = F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
     pairs = (
         a.join(
             b,

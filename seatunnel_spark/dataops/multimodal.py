@@ -211,6 +211,122 @@ def image_resize(df: DataFrame, width: int, height: int,
     return df.mapInPandas(run, schema=out_schema)
 
 
+def _dhash64_from_gray(gray) -> int:
+    """dHash (difference hash): resize to 9x8 grayscale, set bit
+    (y*8 + x) when pixel[y, x] < pixel[y, x+1] — 64 horizontal-gradient
+    bits, the classic perceptual hash (robust to rescale/recompress,
+    cheap, and pure integer arithmetic so any engine replays it).
+    `gray` is an 8x9 list-of-rows of ints."""
+    sig = 0
+    for y in range(8):
+        for x in range(8):
+            if gray[y][x] < gray[y][x + 1]:
+                sig |= 1 << (y * 8 + x)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def _phash_pil(content: bytes) -> int:
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(content)).convert("L")
+    # NEAREST, not the default filter: bit-identical to the stdlib
+    # png path's resize_nearest, so mixed-codec clusters still match
+    small = img.resize((9, 8), Image.NEAREST)
+    px = list(small.getdata())
+    return _dhash64_from_gray([px[y * 9:(y + 1) * 9] for y in range(8)])
+
+
+def _phash_png(content: bytes) -> int:
+    from seatunnel_spark.dataops import png_codec
+
+    img = png_codec.decode_png(content)
+    small = png_codec.resize_nearest(img, 9, 8)
+    gray = [[int(small[y][x].mean()) if small.ndim == 3
+             else int(small[y][x]) for x in range(9)] for y in range(8)]
+    return _dhash64_from_gray(gray)
+
+
+def _phash_stub(content: bytes) -> int:
+    """STUB perceptual hash: the first 8 sha256 bytes as a signed
+    64-bit int. Identical bytes collide at Hamming 0 (exact-dup
+    behavior is real); near-dup behavior needs a real codec. Engine-
+    replayable — the DuckDB oracle recomputes the same fold."""
+    h = hashlib.sha256(content or b"").digest()
+    v = int.from_bytes(h[:8], "big")
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _pick_phash(codec: str):
+    if codec == "stub":
+        return _phash_stub
+    if codec == "pil":
+        return _phash_pil
+    if codec == "png":
+        return _phash_png
+
+    def _auto(content: bytes) -> int:
+        from seatunnel_spark.dataops import png_codec
+
+        if _pil_available():
+            return _phash_pil(content)
+        if png_codec.is_png(content):
+            try:
+                return _phash_png(content)
+            except png_codec.UnsupportedPng:
+                pass
+        return _phash_stub(content)
+
+    return _auto
+
+
+def image_phash64(df: DataFrame, content_col: str = "content",
+                  codec: str = "auto",
+                  out_col: str = "phash") -> DataFrame:
+    """Perceptual 64-bit image hash (dHash) in Arrow batches — the
+    image analog of dedup.simhash64. Same codec ladder as
+    image_features: PIL when importable, stdlib PNG decode for PNG
+    bytes, deterministic sha256 stub as the floor (exact dups still
+    collide; the Spark plumbing — batching, schema, downstream
+    blocking — is identical either way)."""
+    out_schema = T.StructType(df.schema.fields
+                              + [T.StructField(out_col, T.LongType())])
+
+    def run(batches):
+        ph = _pick_phash(codec)  # resolved on the EXECUTOR
+        for pdf in batches:
+            pdf[out_col] = [
+                ph(bytes(c) if c is not None else b"")
+                for c in pdf[content_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def image_near_dups(df: DataFrame, id_col: str = "path",
+                    content_col: str = "content",
+                    codec: str = "auto", max_hamming: int = 3,
+                    blocks: int = 8,
+                    max_bucket: int | None = 100_000) -> DataFrame:
+    """Image near-duplicate pairs -> (id_a, id_b, hamming): perceptual
+    dHash (image_phash64), then the EXACT-RECALL multi-index
+    pigeonhole Hamming join shared with text SimHash
+    (dedup.hamming_near_dups — every pair within `max_hamming` agrees
+    on some (blocks - max_hamming)-segment combination, so candidates
+    come from bucket joins, never a cross join; `_cap_buckets` bounds
+    degenerate buckets). Closes the multimodal dedup gap: the same
+    blocking math, cap discipline, and plan shape as the text side,
+    with the decode pass as the only new cost — one mapInPandas scan,
+    paid once."""
+    from seatunnel_spark.dataops.dedup import hamming_near_dups
+
+    sig = image_phash64(df, content_col, codec).select(id_col, "phash")
+    return hamming_near_dups(sig, id_col, "phash", max_hamming,
+                             blocks, max_bucket)
+
+
 def _decode_audio(content: bytes) -> tuple[int, int, str]:
     """RIFF/WAVE PCM decodes for real via the stdlib `wave` module
     (sample rate + frame count straight from the fmt/data chunks);

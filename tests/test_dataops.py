@@ -563,6 +563,54 @@ def test_image_ops_real_png_without_pil(spark):
         assert r["resized_meta"]["format"] == "png"
 
 
+def test_image_near_dups_real_png_and_stub(spark):
+    """Perceptual dHash dedup: a re-encoded/slightly-noised copy of a
+    real PNG lands within the Hamming radius of the original while an
+    unrelated image stays far; and the multi-index pigeonhole join has
+    EXACT recall vs brute force on the stub path."""
+    import numpy as np
+
+    from seatunnel_spark.dataops import png_codec as P
+    from seatunnel_spark.dataops.multimodal import (image_near_dups,
+                                                    image_phash64)
+
+    rng = np.random.default_rng(7)
+    # structured image (smooth gradient) so dHash carries signal
+    y, x = np.mgrid[0:40, 0:60]
+    base = ((x * 4 + y * 2) % 256).astype(np.uint8)
+    img = np.stack([base, base, base], axis=2)
+    near = img.copy()
+    near[5:8, 5:8] = 255  # small local edit
+    far = rng.integers(0, 256, size=(40, 60, 3), dtype=np.uint8)
+    rows = [(1, P.encode_png(img)), (2, P.encode_png(near)),
+            (3, P.encode_png(far))]
+    df = spark.createDataFrame(rows, "img_id int, content binary")
+    ph = {r["img_id"]: r["phash"] for r in
+          image_phash64(df, codec="png").select("img_id", "phash").collect()}
+    assert ph[1] == ph[2] or bin((ph[1] ^ ph[2]) & ((1 << 64) - 1)).count("1") <= 3
+    assert bin((ph[1] ^ ph[3]) & ((1 << 64) - 1)).count("1") > 3
+    got = {(r["id_a"], r["id_b"]) for r in
+           image_near_dups(df, "img_id", codec="png").collect()}
+    assert got == {(1, 2)}
+
+    # stub path: exact recall vs a brute-force N^2 check
+    sdf = spark.createDataFrame(
+        [(i, f"content-{i % 4}".encode()) for i in range(12)],
+        "img_id int, content binary")
+    import hashlib as _hl
+
+    def stub_ph(b):
+        v = int.from_bytes(_hl.sha256(b).digest()[:8], "big")
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    hs = {i: stub_ph(f"content-{i % 4}".encode()) for i in range(12)}
+    brute = {(a, b) for a in range(12) for b in range(a + 1, 12)
+             if bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1") <= 3}
+    got2 = {(r["id_a"], r["id_b"]) for r in
+            image_near_dups(sdf, "img_id", codec="stub").collect()}
+    assert got2 == brute and len(brute) >= 12  # 4 groups of 3 exact dups
+
+
 def test_audio_metadata_real_wav(spark):
     import io
     import struct
