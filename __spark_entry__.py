@@ -1812,6 +1812,28 @@ def q_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_on_bucketed(spark, "st_pr_edges", iters=2)
 
 
+def q_triangles_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over a PERSISTED bucketed edge list
+    (dataops/graph.py:triangles_on_bucketed): the same support>=2
+    co-purchase graph and count as q_triangles (identical oracle), but
+    the canonical edges are written bucketed by source ONCE — the
+    wedge self-join then plans with ZERO exchange and zero sort (both
+    sides are the same bucketed+sorted scan; plan-tested), and the
+    close join shuffles only wedge rows. At 100 TB the graph pays one
+    shuffle at write time and never moves again — the triangle-family
+    analog of q_pagerank_bucketed."""
+    from seatunnel_spark.dataops.analytics import copurchase_pairs
+    from seatunnel_spark.dataops.graph import (triangles_on_bucketed,
+                                               write_bucketed_edges)
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = copurchase_pairs(li, "l_orderkey", "l_partkey",
+                             min_support=2).select("p1", "p2")
+    write_bucketed_edges(edges, "st_tri_edges", src="p1", dst="p2",
+                         dedupe=False)
+    return triangles_on_bucketed(spark, "st_tri_edges")
+
+
 def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout round trip (plans/zorder.py: zorder_key +
     write_zordered): lineitem rewritten Morton-ordered on
@@ -2756,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": text_bm25,
         "q_pagerank": q_pagerank,
         "q_pagerank_bucketed": q_pagerank_bucketed,
+        "q_triangles_bucketed": q_triangles_bucketed,
         "text_chunks": text_chunks,
         "dedup_passage_apply": dedup_passage_apply,
         "sample_temperature": sample_temperature,
@@ -5528,4 +5551,7 @@ def oracle_sql() -> dict[str, str]:
     the same CTE-unrolled replay verifies both."""
     d = _oracle_sql_literal()
     d["q_pagerank_bucketed"] = d["q_pagerank"]
+    # same sharing for the triangle family: the bucketed variant runs the
+    # identical count over the identical co-purchase graph
+    d["q_triangles_bucketed"] = d["q_triangles"]
     return d

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["pagerank", "write_bucketed_edges", "pagerank_on_bucketed",
-           "degree_distribution"]
+           "triangles_on_bucketed", "degree_distribution"]
 
 
 def _pagerank_iterations(e: DataFrame, iters: int, damping: float,
@@ -177,6 +177,54 @@ def pagerank(
         e = e.distinct()
     e = e.persist()
     return _pagerank_iterations(e, iters, damping, round_to)
+
+
+def triangles_on_bucketed(spark, table: str,
+                          max_degree: int | None = 10_000) -> DataFrame:
+    """Triangle count over a CANONICAL (src < dst, deduped) edge table
+    written by `write_bucketed_edges` -> one row (n_triangles),
+    numerically identical to analytics.triangle_count on the same
+    edges — the write-once/probe-many form of the wedge join, the
+    same durable co-location pagerank_on_bucketed gets.
+
+    Plan shape (the reason this variant exists): the wedge build is a
+    SELF-join on __src — both sides read the same bucketed+sorted
+    scan, so it plans with ZERO exchange and zero sort. The close
+    join's edge side is again the bucketed scan: its bucket key __src
+    is a subset of the join keys (__src, __dst), so only the
+    wedge-side rows shuffle to meet it (needs
+    spark.sql.requireAllClusterKeysForCoPartition=false, a
+    session.py default; Spark's own default refuses subset
+    co-partitioning and re-shuffles the edge side too). The in-memory form
+    (`_closed_wedges`) shuffles the edge list on every run; here the
+    graph paid one shuffle at write time and never moves again —
+    across any number of runs or jobs.
+
+    Canonical-orientation wedge identity: each triangle a<b<c is
+    found exactly once as the wedge (a,b)+(a,c) at its minimum vertex
+    closed by the canonical edge (b,c). Super-hub vertices above
+    `max_degree` are pre-dropped with the same broadcast anti joins
+    as analytics._capped_edges (broadcast joins pass the bucketed
+    partitioning through, so the zero-exchange wedge build
+    survives)."""
+    t = spark.table(table)
+    if max_degree is not None:
+        hubs = (t.select(F.col("__src").alias("__v"))
+                .unionAll(t.select(F.col("__dst").alias("__v")))
+                .groupBy("__v").agg(F.count(F.lit(1)).alias("__deg"))
+                .filter(F.col("__deg") > max_degree)
+                .select("__v"))
+        t = (t.join(F.broadcast(hubs), t["__src"] == hubs["__v"],
+                    "left_anti")
+             .join(F.broadcast(hubs), t["__dst"] == hubs["__v"],
+                   "left_anti"))
+    x, y = t.alias("x"), t.alias("y")
+    wedges = (x.join(y, (F.col("x.__src") == F.col("y.__src"))
+                     & (F.col("x.__dst") < F.col("y.__dst")))
+              .select(F.col("x.__dst").alias("__src"),
+                      F.col("y.__dst").alias("__dst")))
+    closed = wedges.join(t, ["__src", "__dst"])
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 def degree_distribution(edges: DataFrame, src: str = "src",

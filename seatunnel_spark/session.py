@@ -26,6 +26,13 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # Broadcast joins for small dims (region/nation/supplier-sized).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Accept co-partitioning on a SUBSET of the join keys: a table
+    # bucketed by k1 then joined on (k1, k2) keeps its bucketed scan
+    # exchange-free (only the other side shuffles, on k1) — the
+    # write-once/probe-many contract of write_bucketed_edges and
+    # triangles_on_bucketed. Semantics are unchanged; the default
+    # (true) merely refuses the optimization.
+    "spark.sql.requireAllClusterKeysForCoPartition": "false",
     # Read-side partition sizing: 128 MB splits keep executor memory bounded.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",

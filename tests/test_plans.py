@@ -603,6 +603,54 @@ def test_pagerank_bucketed_edges_join_without_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS bk_pr_edges")
 
 
+def test_triangles_bucketed_wedge_join_without_exchange(spark, sf_dir):
+    """triangles_on_bucketed: the wedge SELF-join on __src reads the
+    bucketed+sorted scan on both sides — zero exchange, zero sort —
+    and the close join never shuffles the edge side (its bucket key
+    is a subset of the join keys). Count identical to the in-memory
+    triangle_count."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.analytics import triangle_count
+    from seatunnel_spark.dataops.graph import (triangles_on_bucketed,
+                                               write_bucketed_edges)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (li.select(F.col("l_orderkey").alias("o"),
+                       F.col("l_partkey").alias("p"))
+             .join(li.select(F.col("l_orderkey").alias("o"),
+                             F.col("l_partkey").alias("q")), "o")
+             .filter(F.col("p") < F.col("q"))
+             .select("p", "q").distinct())
+    try:
+        write_bucketed_edges(edges, "bk_tri_edges", src="p", dst="q",
+                             dedupe=False, num_buckets=8)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = spark.table("bk_tri_edges")
+        x, y = t.alias("x"), t.alias("y")
+        wedge = x.join(y, (F.col("x.__src") == F.col("y.__src"))
+                       & (F.col("x.__dst") < F.col("y.__dst")))
+        wp = wedge._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in wp and "Bucketed: true" in wp
+        full = triangles_on_bucketed(spark, "bk_tri_edges",
+                                     max_degree=None)
+        fp = full._jdf.queryExecution().executedPlan().toString()
+        # the only exchanges left: wedge rows moving to the close join
+        # (never on the bucketed edge side) + the 1-row final agg
+        assert fp.count("Exchange hashpartitioning") <= 1
+        got = full.collect()[0]["n_triangles"]
+        exp = triangle_count(edges, "p", "q",
+                             max_degree=None).collect()[0]["n_triangles"]
+        assert got == exp and got > 0
+        # the capped form agrees on this hub-free graph
+        assert triangles_on_bucketed(spark, "bk_tri_edges") \
+            .collect()[0]["n_triangles"] == exp
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bk_tri_edges")
+
+
 def test_zorder_narrows_both_dimensions(spark, sf_dir, tmp_path):
     """The Morton sort-write must make per-FILE min-max ranges narrow
     in BOTH participating columns (k-dimensional tiles) — a
