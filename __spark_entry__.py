@@ -1332,6 +1332,33 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     centroids=_ivf_codebook(), round_to=4)
 
 
+def sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall audit (dataops/similarity.py:topk_recall): recall@10
+    of the two shipped approximate indexes (LSH planes=4, IVF nlist=8
+    nprobe=2 over the fixed seed-7 codebook) against brute-force
+    ground truth, per query — the number a user tuning
+    planes/nlist/nprobe at 100 TB actually needs. Pure DataFrame
+    set-overlap of result tables the driver already oracle-checks
+    individually; the oracle recomputes all three searches and the
+    same overlap arithmetic."""
+    from seatunnel_spark.dataops import (brute_force_topk, ivf_topk,
+                                         lsh_bucketed_topk, topk_recall)
+
+    e = _emb_double(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(q, e, "vec_id", "vec_id", k=10, round_to=4)
+    lsh = lsh_bucketed_topk(q, e, "vec_id", "vec_id", k=10, planes=4,
+                            round_to=4)
+    ivf = ivf_topk(q, e, "vec_id", "vec_id", k=10, nlist=8, nprobe=2,
+                   centroids=_ivf_codebook(), round_to=4)
+    return (topk_recall(lsh, exact).select(F.lit("lsh").alias("method"),
+                                           "query_id", "n_true",
+                                           "n_hits", "recall")
+            .unionAll(topk_recall(ivf, exact)
+                      .select(F.lit("ivf").alias("method"), "query_id",
+                              "n_true", "n_hits", "recall")))
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (dataops/dedup.py:semantic_dedup): nearest-centroid
     clustering over the fixed seeded codebook, within-cell cosine
@@ -2757,6 +2784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "sim_lsh_topk": sim_lsh_topk,
         "sim_ivf_topk": sim_ivf_topk,
+        "sim_recall": sim_recall,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_semantic": dedup_semantic,
         "pipe_job_dag": pipe_job_dag,
@@ -4088,6 +4116,79 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT c.id, c.cell, d.id IS NULL AS keep
             FROM cells c LEFT JOIN dropped d ON c.id = d.id
         """.format(ivf_scores=ivf_scores),
+        # Recall@10 audit: recompute exact / LSH / IVF top-10 (the same
+        # replays the three individual oracles use), then per-query
+        # set-overlap per method.
+        "sim_recall": f"""
+            WITH {lsh_cte},
+            ev AS (
+              SELECT vec_id, emb,
+                     sqrt(list_dot_product(emb, emb)) AS nrm
+              FROM e
+            ), exact AS (
+              SELECT query_id, match_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY round(list_dot_product(q.emb, c.emb)
+                                        / (q.nrm * c.nrm), 4) DESC,
+                                  c.vec_id ASC) AS rnk
+                FROM (SELECT * FROM ev WHERE vec_id < 5) q
+                CROSS JOIN ev c)
+              WHERE rnk <= 10
+            ), lsh AS (
+              SELECT query_id, match_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY round(list_dot_product(q.emb, c.emb)
+                             / (sqrt(list_dot_product(q.emb, q.emb))
+                                * sqrt(list_dot_product(c.emb, c.emb))),
+                             4) DESC,
+                                  c.vec_id ASC) AS rnk
+                FROM (SELECT * FROM b WHERE vec_id < 5) q
+                JOIN b c ON q.bucket = c.bucket)
+              WHERE rnk <= 10
+            ), sc AS (
+              SELECT vec_id, emb, nrm, {ivf_scores} AS scores FROM ev
+            ), cells AS (
+              SELECT vec_id, emb, nrm,
+                     (list_aggregate(scores, 'max')).i AS cell
+              FROM sc
+            ), qp AS (
+              SELECT vec_id, emb, nrm,
+                     unnest(list_transform(
+                       list_slice(list_reverse_sort(scores), 1, 2),
+                       s -> s.i)) AS cell
+              FROM sc WHERE vec_id < 5
+            ), ivf AS (
+              SELECT query_id, match_id FROM (
+                SELECT qp.vec_id AS query_id, c.vec_id AS match_id,
+                       row_number() OVER (PARTITION BY qp.vec_id
+                         ORDER BY round(list_dot_product(qp.emb, c.emb)
+                                        / (qp.nrm * c.nrm), 4) DESC,
+                                  c.vec_id ASC) AS rnk
+                FROM qp JOIN cells c ON qp.cell = c.cell)
+              WHERE rnk <= 10
+            ), audits AS (
+              SELECT 'lsh' AS method, ex.query_id,
+                     count(*) AS n_true,
+                     count(a.match_id) AS n_hits
+              FROM exact ex LEFT JOIN lsh a
+                ON ex.query_id = a.query_id
+               AND ex.match_id = a.match_id
+              GROUP BY 2
+              UNION ALL
+              SELECT 'ivf' AS method, ex.query_id,
+                     count(*) AS n_true,
+                     count(a.match_id) AS n_hits
+              FROM exact ex LEFT JOIN ivf a
+                ON ex.query_id = a.query_id
+               AND ex.match_id = a.match_id
+              GROUP BY 2
+            )
+            SELECT method, query_id, n_true, n_hits,
+                   round(n_hits / n_true, 4) AS recall
+            FROM audits
+        """,
         "sim_ivf_topk": f"""
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS emb,

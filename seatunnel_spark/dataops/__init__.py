@@ -26,6 +26,7 @@ from seatunnel_spark.dataops.similarity import (
     train_ivf_centroids,
     write_ivf_index,
     search_ivf_index,
+    topk_recall,
 )
 from seatunnel_spark.dataops.sketches import (
     ddsketch_build,
@@ -90,7 +91,7 @@ __all__ = [
     "simhash64", "simhash_near_dups", "ngram_jaccard_pairs",
     "embedding_near_dups", "duplicate_clusters",
     "with_cosine", "brute_force_topk", "lsh_bucketed_topk",
-    "ivf_topk", "train_ivf_centroids", "salted_join",
+    "ivf_topk", "train_ivf_centroids", "topk_recall", "salted_join",
     "write_ivf_index", "search_ivf_index",
     "token_count", "quality_signals", "lang_id", "fingerprint",
     "html_clean", "passage_dup_stats", "global_shuffle",

@@ -315,3 +315,34 @@ def lsh_bucketed_topk(
         cos = F.round(cos, round_to)
     scored = qb.join(cb, "__bucket").select("__qid", "__cid", cos.alias("cosine"))
     return _rank_topk(scored, k)
+
+
+def topk_recall(approx: DataFrame, exact: DataFrame,
+                round_to: int = 4) -> DataFrame:
+    """Recall audit for an ANN result against exact ground truth ->
+    (query_id, n_true, n_hits, recall): per-query
+    |approx ∩ exact| / |exact| over the FIXED (query_id, match_id)
+    schema every topk operator here emits (brute_force_topk is the
+    ground-truth producer; lsh_bucketed_topk / ivf_topk /
+    search_ivf_index the candidates). This is the number a user
+    tuning nlist/nprobe/planes at 100 TB actually needs — an
+    oracle-matched approximate result says the INDEX arithmetic is
+    right, recall@k says the index is USEFUL.
+
+    Pure DataFrame set-overlap: one left-semi join of the exact rows
+    against the approximate rows on (query_id, match_id) — both
+    tables are |queries| x k, so this costs nothing next to either
+    search. Queries the approximate side missed entirely still
+    report (recall = 0) because the exact side drives the join."""
+    hits = exact.join(approx.select("query_id", "match_id"),
+                      ["query_id", "match_id"], "left_semi")
+    n_true = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_true"))
+    n_hit = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits"))
+    return (n_true.join(n_hit, "query_id", "left")
+            .select("query_id", "n_true",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    F.round(F.coalesce("n_hits", F.lit(0))
+                            / F.col("n_true"), round_to)
+                    .alias("recall")))

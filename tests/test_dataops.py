@@ -611,6 +611,27 @@ def test_image_near_dups_real_png_and_stub(spark):
     assert got2 == brute and len(brute) >= 12  # 4 groups of 3 exact dups
 
 
+def test_topk_recall_bounds_and_misses(spark):
+    """topk_recall: exact-vs-itself is 1.0 everywhere; a query the
+    approximate side missed entirely still reports (recall 0); partial
+    overlap counts hits / n_true."""
+    from seatunnel_spark.dataops import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, m, 0.9, r + 1) for r, m in enumerate([10, 11, 12])]
+        + [(2, m, 0.8, r + 1) for r, m in enumerate([20, 21])],
+        "query_id int, match_id int, cosine double, rank int")
+    self_r = {r["query_id"]: r["recall"]
+              for r in topk_recall(exact, exact).collect()}
+    assert self_r == {1: 1.0, 2: 1.0}
+    approx = spark.createDataFrame(
+        [(1, 10, 0.9, 1), (1, 99, 0.5, 2)],
+        "query_id int, match_id int, cosine double, rank int")
+    got = {r["query_id"]: (r["n_true"], r["n_hits"], r["recall"])
+           for r in topk_recall(approx, exact).collect()}
+    assert got == {1: (3, 1, 0.3333), 2: (2, 0, 0.0)}
+
+
 def test_audio_metadata_real_wav(spark):
     import io
     import struct
