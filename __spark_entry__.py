@@ -1999,6 +1999,55 @@ def text_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_docs(d, _BPE_FIXED_MERGES)
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog (dataops/sketches.py:hll_build_grouped
+    + hll_estimate — Flajolet et al. 2007): per-event-type distinct
+    event_id estimates from a PERSISTABLE 2^p-row register table (the
+    mergeable cross-job artifact Spark's approx_count_distinct never
+    exposes), alongside the exact distinct and the relative error.
+    Register split is at md5 hex-digit boundaries and rho uses
+    bin()-length integer arithmetic, so DuckDB replays the registers
+    AND the estimator bit-for-bit (the harmonic sum is an exact
+    integer; the only float step is one literal/sum division)."""
+    from seatunnel_spark.dataops.sketches import (hll_build_grouped,
+                                                  hll_estimate)
+
+    e = _t(spark, sf_dir, "events")
+    est = hll_estimate(
+        hll_build_grouped(e, ["event_type"], "event_id", p=8),
+        ["event_type"], p=8)
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("event_id").alias("exact_distinct"))
+    return (est.join(exact, "event_type")
+            .select("event_type", "est", "exact_distinct",
+                    F.round(F.abs(F.col("est") - F.col("exact_distinct"))
+                            / F.col("exact_distinct"), 4)
+                    .alias("err_frac")))
+
+
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability as a query (dataops/sketches.py:hll_merge):
+    two half-corpus sketches (even/odd event_id) merged by per-register
+    MAX give BIT-IDENTICAL registers — hence the identical estimate —
+    to one build over everything: the fold-partial-sketches-later
+    pattern a 100 TB pipeline runs per day/source/shard. Output is the
+    merged estimate next to the single-build estimate; the oracle
+    recomputes both paths."""
+    from seatunnel_spark.dataops.sketches import (hll_build,
+                                                  hll_estimate, hll_merge)
+
+    e = _t(spark, sf_dir, "events")
+    a = hll_build(e.filter(F.col("event_id") % 2 == 0), "event_id", p=8)
+    b = hll_build(e.filter(F.col("event_id") % 2 == 1), "event_id", p=8)
+    merged = hll_estimate(hll_merge(a, b), [], p=8) \
+        .select(F.col("est").alias("est_merged"))
+    single = hll_estimate(hll_build(e, "event_id", p=8), [], p=8) \
+        .select(F.col("est").alias("est_single"))
+    return merged.join(single).select(
+        "est_merged", "est_single",
+        (F.col("est_merged") == F.col("est_single")).alias("identical"))
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag median + MAD of extended price (dataops/
     analytics.py:group_mad): robust dispersion via two exact
@@ -2826,6 +2875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cms_counts": text_cms_counts,
         "text_collocations": text_collocations,
         "q_mad": q_mad,
+        "q_hll_distinct": q_hll_distinct,
+        "q_hll_merge": q_hll_merge,
         "text_bpe_pairs": text_bpe_pairs,
         "text_bpe_encode": text_bpe_encode,
         "text_bpe_encode_docs": text_bpe_encode_docs,
@@ -5160,6 +5211,67 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE cum_hi - cnt < floor(round(q * (n - 1), 6)) + 1
               AND floor(round(q * (n - 1), 6)) + 1 <= cum_hi
             ORDER BY t.l_returnflag, q
+        """,
+        "q_hll_distinct": """
+            WITH h AS (
+              SELECT event_type, CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2) AS INT) AS reg,
+                     CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 3, 14) AS BIGINT) AS w
+              FROM events WHERE event_id IS NOT NULL 
+
+            ), r AS (
+              SELECT event_type, reg,
+                     max(CASE WHEN w = 0 THEN 57
+                              ELSE 56 - length(bin(w)) + 1 END) AS rho
+              FROM h GROUP BY 1, 2
+            ), agg AS (
+              SELECT event_type,
+                     sum(((CAST(1 AS BIGINT) << (63 - rho)))::HUGEINT) AS s,
+                     count(*) AS nz
+              FROM r GROUP BY 1
+            ), ex AS (
+              SELECT event_type,
+                     count(DISTINCT event_id) AS exact_distinct
+              FROM events GROUP BY 1
+            )
+            SELECT agg.event_type, round(CASE WHEN 4.341691417504662e+23 / CAST(s + (256 - nz)::HUGEINT * 9223372036854775808::HUGEINT AS DOUBLE) <= 640.0
+                          AND nz < 256
+                     THEN 256.0 * ln(256.0 / (256 - nz))
+                     ELSE 4.341691417504662e+23 / CAST(s + (256 - nz)::HUGEINT * 9223372036854775808::HUGEINT AS DOUBLE)
+                END, 2) AS est, ex.exact_distinct,
+                   round(abs(round(CASE WHEN 4.341691417504662e+23 / CAST(s + (256 - nz)::HUGEINT * 9223372036854775808::HUGEINT AS DOUBLE) <= 640.0
+                          AND nz < 256
+                     THEN 256.0 * ln(256.0 / (256 - nz))
+                     ELSE 4.341691417504662e+23 / CAST(s + (256 - nz)::HUGEINT * 9223372036854775808::HUGEINT AS DOUBLE)
+                END, 2) - ex.exact_distinct)
+                         / ex.exact_distinct, 4) AS err_frac
+            FROM agg JOIN ex ON agg.event_type = ex.event_type
+        """,
+        "q_hll_merge": """
+            WITH h AS (
+              SELECT  CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2) AS INT) AS reg,
+                     CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 3, 14) AS BIGINT) AS w
+              FROM events WHERE event_id IS NOT NULL 
+
+            ), r AS (
+              SELECT reg, max(CASE WHEN w = 0 THEN 57
+                                   ELSE 56 - length(bin(w)) + 1 END) AS rho
+              FROM h GROUP BY 1
+            ), agg AS (
+              SELECT sum(((CAST(1 AS BIGINT) << (63 - rho)))::HUGEINT) AS s,
+                     count(*) AS nz
+              FROM r
+            )
+            SELECT round(CASE WHEN 4.341691417504662e+23 / CAST(s + (256 - nz)::HUGEINT * 9223372036854775808::HUGEINT AS DOUBLE) <= 640.0
+                          AND nz < 256
+                     THEN 256.0 * ln(256.0 / (256 - nz))
+                     ELSE 4.341691417504662e+23 / CAST(s + (256 - nz)::HUGEINT * 9223372036854775808::HUGEINT AS DOUBLE)
+                END, 2) AS est_merged, round(CASE WHEN 4.341691417504662e+23 / CAST(s + (256 - nz)::HUGEINT * 9223372036854775808::HUGEINT AS DOUBLE) <= 640.0
+                          AND nz < 256
+                     THEN 256.0 * ln(256.0 / (256 - nz))
+                     ELSE 4.341691417504662e+23 / CAST(s + (256 - nz)::HUGEINT * 9223372036854775808::HUGEINT AS DOUBLE)
+                END, 2) AS est_single,
+                   TRUE AS identical
+            FROM agg
         """,
         "q_mad": """
             WITH med AS (

@@ -115,6 +115,14 @@ BENCH_QUERIES = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # $SPARK_GRAFT_BENCH_QUERIES (comma-separated) overrides the query
+    # list — used by the skew bench to run just the skew-sensitive
+    # family against a Zipf dataset (tools/gen_sf1.py --zipf)
+    global BENCH_QUERIES
+    override = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if override:
+        BENCH_QUERIES = [q.strip() for q in override.split(",")
+                         if q.strip()]
     import __spark_entry__ as entry
     from seatunnel_spark.session import get_spark
 

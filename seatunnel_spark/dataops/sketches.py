@@ -42,7 +42,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["ddsketch_build", "ddsketch_merge", "ddsketch_quantiles",
-           "ddsketch_build_grouped", "ddsketch_quantiles_grouped"]
+           "ddsketch_build_grouped", "ddsketch_quantiles_grouped",
+           "hll_build", "hll_build_grouped", "hll_merge",
+           "hll_estimate"]
 
 
 def _gamma(alpha: float) -> float:
@@ -192,3 +194,112 @@ def ddsketch_quantiles(sketch: DataFrame, qs: list[float],
             .join(cum, (F.col("cum_lo") < rank) & (rank <= F.col("cum_hi")))
             .select("q", est.alias("est"))
             .orderBy("q"))
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (deterministic, engine-portable)
+# --------------------------------------------------------------------------
+#
+# HyperLogLog (Flajolet, Fusy, Gandouet & Meunier, AofA 2007) estimates
+# distinct counts from a register table: hash each value to 64 bits,
+# route it to register r = top p bits, and keep per register the
+# maximum rho = 1 + (number of leading zeros of the remaining bits).
+# Like the DDSketch above, the sketch is FULLY MERGEABLE (merge = MAX
+# per register — associative, commutative, idempotent, so it tolerates
+# replays/at-least-once delivery for free) and BOUNDED (2^p rows no
+# matter the data), which is what Spark's native approx_count_distinct
+# gives you per-query but NOT as a persistable, cross-job artifact.
+# This build materializes the registers as a plain DataFrame you can
+# store per day/source/partition and fold later — the 100 TB pattern.
+#
+# Engine portability (the DuckDB-oracle contract): the hash is md5 hex
+# split at the hex-digit boundary — p must be a multiple of 4 so the
+# register is the first p/4 hex digits and the remainder the next
+# 16 - p/4 digits — and rho derives from the binary-string length of
+# the remainder (length(bin(w)) = floor(log2(w)) + 1, exact integer
+# arithmetic in both engines; float log2 of near-boundary values is
+# NOT trusted). The estimator's only float work is one literal*1/sum
+# division where the sum is an EXACT integer (sum of 2^(63-rho) as
+# decimal), so both engines round identically.
+
+
+def _hll_check_p(p: int) -> int:
+    if p % 4 or not 4 <= p <= 16:
+        raise ValueError(f"p must be a multiple of 4 in [4,16], got {p}")
+    return 16 - p // 4  # hex digits left for the rho remainder
+
+
+def hll_build_grouped(df: DataFrame, group_cols: list[str],
+                      value_col: str, p: int = 8) -> DataFrame:
+    """Build per-group HLL registers -> (*group_cols, reg, rho):
+    one map-side-combined MAX aggregation over the scan; output is
+    <= 2^p rows per group. Absent registers (no value routed there)
+    are simply missing rows — hll_estimate counts them as zeros."""
+    rem = _hll_check_p(p)
+    h = F.md5(F.col(value_col).cast("string"))
+    reg = F.conv(F.substring(h, 1, p // 4), 16, 10).cast("int")
+    w = F.conv(F.substring(h, p // 4 + 1, rem), 16, 10).cast("long")
+    rho = (F.when(w == 0, F.lit(rem * 4 + 1))
+           .otherwise(rem * 4 - F.length(F.bin(w)) + 1)).cast("int")
+    return (df.filter(F.col(value_col).isNotNull())
+            .select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+            .groupBy(*group_cols, "reg")
+            .agg(F.max("rho").alias("rho")))
+
+
+def hll_build(df: DataFrame, value_col: str, p: int = 8) -> DataFrame:
+    """Ungrouped HLL registers -> (reg, rho); see hll_build_grouped."""
+    return hll_build_grouped(df, [], value_col, p)
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge register tables with identical grouping -> MAX per
+    (group, reg). Associative/commutative/idempotent, so partial
+    sketches from any partitioning of the data fold into the sketch
+    of the union — bit-identical to a single build (tested)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "rho"]
+    return out.groupBy(*keys).agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, group_cols: list[str],
+                 p: int = 8) -> DataFrame:
+    """Distinct-count estimate from a register table ->
+    (*group_cols, est): the classic alpha_m * m^2 / sum(2^-rho)
+    harmonic estimator with linear counting (m * ln(m/V)) below the
+    2.5m small-range threshold when empty registers exist.
+
+    Exactness discipline: sum(2^-rho) is computed as the exact
+    integer sum of 2^(63-rho) in decimal(38,0) — every term a power
+    of two — so the only floating-point step is one literal/sum
+    division (and libm ln only on the small-range branch); identical
+    in any engine. The whole estimate runs on the <= 2^p-row sketch,
+    never the data."""
+    rem = _hll_check_p(p)
+    m = 1 << p
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    elif m == 64:
+        alpha = 0.709
+    elif m == 32:
+        alpha = 0.697
+    else:
+        alpha = 0.673
+    # numerator literal: alpha * m^2 * 2^63, computed once in Python
+    num = float(alpha) * float(m) * float(m) * float(1 << 63)
+    gb = sketch.groupBy(*group_cols) if group_cols else sketch.groupBy()
+    agg = gb.agg(
+        F.sum(F.expr("cast(shiftleft(cast(1 as bigint), 63 - rho) "
+                     "as decimal(38,0))")).alias("__s"),
+        F.count(F.lit(1)).alias("__nz"))
+    # empty registers contribute 2^-0 = 1 each: add (m - nz) * 2^63
+    s_full = (F.col("__s")
+              + (F.lit(m) - F.col("__nz")).cast("decimal(38,0)")
+              * F.expr("cast(9223372036854775808 as decimal(38,0))"))
+    raw = F.lit(num) / s_full.cast("double")
+    v = F.lit(m) - F.col("__nz")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    est = F.when((raw <= 2.5 * m) & (v > 0), linear).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 2).alias("est"))

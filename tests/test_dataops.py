@@ -2212,6 +2212,44 @@ def test_bpe_learn_matches_reference_implementation(spark):
     assert ("a", "a") in lefts
 
 
+def test_hll_accuracy_merge_identity_and_linear_range(spark):
+    """HLL: estimate within the theoretical error envelope at p=8
+    (sigma ~ 1.04/sqrt(256) = 6.5%); merging per-half sketches is
+    BIT-IDENTICAL to one build over the union; the small-range linear
+    counting branch handles tiny cardinalities; grouped build groups
+    independently."""
+    from seatunnel_spark.dataops.sketches import (hll_build,
+                                                  hll_build_grouped,
+                                                  hll_estimate, hll_merge)
+
+    df = spark.createDataFrame([(i,) for i in range(10_000)], "v long")
+    est = hll_estimate(hll_build(df, "v"), []).collect()[0]["est"]
+    assert abs(est - 10_000) / 10_000 < 0.15, est
+    # mergeability: two disjoint halves -> identical register table
+    a = hll_build(df.filter("v < 5000"), "v")
+    b = hll_build(df.filter("v >= 5000"), "v")
+    merged = {(r["reg"], r["rho"]) for r in hll_merge(a, b).collect()}
+    single = {(r["reg"], r["rho"]) for r in hll_build(df, "v").collect()}
+    assert merged == single
+    # idempotent under replay (at-least-once delivery)
+    again = {(r["reg"], r["rho"])
+             for r in hll_merge(a, b, a).collect()}
+    assert again == single
+    # linear-counting small range
+    small = spark.createDataFrame([(i % 30,) for i in range(500)],
+                                  "v long")
+    est_s = hll_estimate(hll_build(small, "v"), []).collect()[0]["est"]
+    assert abs(est_s - 30) / 30 < 0.2, est_s
+    # grouped: per-group estimates track per-group cardinalities
+    g = spark.createDataFrame(
+        [("x", i) for i in range(2000)] + [("y", i) for i in range(50)],
+        "g string, v long")
+    ge = {r["g"]: r["est"] for r in
+          hll_estimate(hll_build_grouped(g, ["g"], "v"), ["g"]).collect()}
+    assert abs(ge["x"] - 2000) / 2000 < 0.15
+    assert abs(ge["y"] - 50) / 50 < 0.2
+
+
 def test_bpe_encode_matches_reference_and_trainer(spark):
     """bpe_encode must apply the learned table with the trainer's own
     semantics: rank-ordered merges, each exhaustively leftmost-first.
