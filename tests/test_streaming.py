@@ -545,3 +545,30 @@ def test_dq_checks_streamable_with_approx(spark, tmp_path):
     want = {tuple(r) for r in dq_checks(static, rules).collect()}
     assert got == want
     assert all(r[-1] for r in got)  # both rules pass on this data
+
+
+def test_hll_build_stream_matches_batch(spark, tmp_path):
+    """The HLL build is a pure MAX groupBy aggregation — the SAME
+    hll_build code on a readStream (complete mode) yields a register
+    table bit-identical to the batch build, so streaming pipelines
+    maintain distinct-count sketches incrementally and hll_merge them
+    with batch/offline sketches (MAX is idempotent, so at-least-once
+    replays are harmless by construction)."""
+    from seatunnel_spark.dataops.sketches import hll_build, hll_estimate
+
+    rows = [(i % 700,) for i in range(2000)]
+    static = spark.createDataFrame(rows, "v long")
+    path = str(tmp_path / "ids")
+    static.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(static.schema).parquet(path)
+
+    batches = _run_batches(spark, hll_build(stream, "v"), tmp_path,
+                           mode="complete")
+    got = {(r["reg"], r["rho"]) for r in batches[-1]}
+    want = {(r["reg"], r["rho"])
+            for r in hll_build(static, "v").collect()}
+    assert got == want and len(want) > 100
+    # and the streamed registers estimate like batch
+    sk = spark.createDataFrame(sorted(got), "reg int, rho int")
+    est = hll_estimate(sk, []).collect()[0]["est"]
+    assert abs(est - 700) / 700 < 0.15
