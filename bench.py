@@ -110,6 +110,12 @@ BENCH_QUERIES = [
     # round-7 additions (append-only)
     "q_ddsketch_quantiles",
     "q_event_transitions",
+    # round-8 additions (append-only)
+    "text_bpe_encode",
+    "q_hll_distinct",
+    "mm_image_dedup",
+    "sim_recall",
+    "q_triangles_bucketed",
 ]
 
 

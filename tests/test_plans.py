@@ -741,3 +741,50 @@ def test_event_transitions_one_event_shuffle(plans):
     assert p.count("Exchange hashpartitioning(user_id") == 1
     assert "Join" not in p  # marginals ride a pairs-frame window
     assert "CartesianProduct" not in p
+
+
+def test_bpe_encode_is_pure_codegen_over_vocab(plans):
+    """The merge chain must stay JVM-side: no Python workers
+    (BatchEvalPython/ArrowEvalPython) anywhere, exactly the two
+    map-side-combined shuffles (word vocab, token counts), and the
+    doc scan pruned to the text column."""
+    p = plans("text_bpe_encode")
+    assert "EvalPython" not in p
+    assert "partial_count" in p or "partial_sum" in p
+    scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    assert "text" in scan and "doc_id" not in scan
+
+
+def test_bpe_encode_docs_two_shuffles(plans):
+    """Doc rollup: dictionary join + per-doc agg; no Python, and the
+    dictionary side is vocab-sized (AQE may broadcast it)."""
+    p = plans("text_bpe_encode_docs")
+    assert "EvalPython" not in p
+    assert "partial_count" in p
+
+
+def test_hll_register_agg_is_partial(plans):
+    """The register build must combine map-side (MAX partials) and
+    never touch Python; the estimate runs over the register table."""
+    p = plans("q_hll_distinct")
+    assert "partial_max" in p
+    assert "EvalPython" not in p
+
+
+def test_mm_image_dedup_is_bucket_join_not_cross(plans):
+    """The Hamming join must be an equi-join on (seg, key) buckets —
+    never a cross/nested-loop pair enumeration; the decode pass is the
+    single Arrow-batched Python stage."""
+    p = plans("mm_image_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("ArrowEvalPython") + p.count("MapInPandas") >= 1
+
+
+def test_sim_recall_reuses_topk_shapes(plans):
+    """Recall audit adds only hash joins over |queries| x k rows on
+    top of the three searches — no extra scan of the corpus beyond
+    what the searches themselves read, no Python."""
+    p = plans("sim_recall")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
