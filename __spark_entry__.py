@@ -1359,6 +1359,26 @@ def sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "n_true", "n_hits", "recall")))
 
 
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-search fusion (dataops/retrieval.py:rrf_fuse — Cormack
+    et al., SIGIR 2009): reciprocal-rank fusion of the two shipped ANN
+    indexes' top-10 lists (LSH planes=4, IVF nlist=8/nprobe=2) with
+    the paper's k=60 — rank-only combination, no score calibration,
+    the standard lexical+vector hybrid glue. Everything after the
+    searches is |queries| x k arithmetic; the oracle recomputes both
+    searches and the same fusion."""
+    from seatunnel_spark.dataops import ivf_topk, lsh_bucketed_topk
+    from seatunnel_spark.dataops.retrieval import rrf_fuse
+
+    e = _emb_double(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    lsh = lsh_bucketed_topk(q, e, "vec_id", "vec_id", k=10, planes=4,
+                            round_to=4)
+    ivf = ivf_topk(q, e, "vec_id", "vec_id", k=10, nlist=8, nprobe=2,
+                   centroids=_ivf_codebook(), round_to=4)
+    return rrf_fuse([lsh, ivf], k=60, topk=10)
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (dataops/dedup.py:semantic_dedup): nearest-centroid
     clustering over the fixed seeded codebook, within-cell cosine
@@ -2834,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": sim_lsh_topk,
         "sim_ivf_topk": sim_ivf_topk,
         "sim_recall": sim_recall,
+        "sim_hybrid_rrf": sim_hybrid_rrf,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_semantic": dedup_semantic,
         "pipe_job_dag": pipe_job_dag,
@@ -4239,6 +4260,58 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT method, query_id, n_true, n_hits,
                    round(n_hits / n_true, 4) AS recall
             FROM audits
+        """,
+        "sim_hybrid_rrf": f"""
+            WITH {lsh_cte},
+            ev AS (
+              SELECT vec_id, emb,
+                     sqrt(list_dot_product(emb, emb)) AS nrm
+              FROM e
+            ), lsh AS (
+              SELECT query_id, match_id, rnk FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY round(list_dot_product(q.emb, c.emb)
+                             / (sqrt(list_dot_product(q.emb, q.emb))
+                                * sqrt(list_dot_product(c.emb, c.emb))),
+                             4) DESC,
+                                  c.vec_id ASC) AS rnk
+                FROM (SELECT * FROM b WHERE vec_id < 5) q
+                JOIN b c ON q.bucket = c.bucket)
+              WHERE rnk <= 10
+            ), sc AS (
+              SELECT vec_id, emb, nrm, {ivf_scores} AS scores FROM ev
+            ), cells AS (
+              SELECT vec_id, emb, nrm,
+                     (list_aggregate(scores, 'max')).i AS cell
+              FROM sc
+            ), qp AS (
+              SELECT vec_id, emb, nrm,
+                     unnest(list_transform(
+                       list_slice(list_reverse_sort(scores), 1, 2),
+                       s -> s.i)) AS cell
+              FROM sc WHERE vec_id < 5
+            ), ivf AS (
+              SELECT query_id, match_id, rnk FROM (
+                SELECT qp.vec_id AS query_id, c.vec_id AS match_id,
+                       row_number() OVER (PARTITION BY qp.vec_id
+                         ORDER BY round(list_dot_product(qp.emb, c.emb)
+                                        / (qp.nrm * c.nrm), 4) DESC,
+                                  c.vec_id ASC) AS rnk
+                FROM qp JOIN cells c ON qp.cell = c.cell)
+              WHERE rnk <= 10
+            ), fused AS (
+              SELECT query_id, match_id,
+                     round(sum(1.0 / (60 + rnk)), 6) AS rrf_score
+              FROM (SELECT * FROM lsh UNION ALL SELECT * FROM ivf)
+              GROUP BY 1, 2
+            )
+            SELECT query_id, match_id, rrf_score,
+                   CAST(rnk2 AS INTEGER) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY rrf_score DESC, match_id ASC) AS rnk2
+                  FROM fused)
+            WHERE rnk2 <= 10
         """,
         "sim_ivf_topk": f"""
             WITH e AS (

@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "mm_image_dedup",
     "sim_recall",
     "q_triangles_bucketed",
+    "sim_hybrid_rrf",
+    "q_hll_merge",
 ]
 
 

@@ -123,3 +123,42 @@ def bm25_topk(
             F.col("__qid").alias("query_id"), id_col, "score", "rank"
         )
     )
+
+
+def rrf_fuse(results: list, k: int = 60, topk: int | None = None,
+             round_to: int = 6) -> "DataFrame":
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009) of ranked result lists sharing the (query_id, match_id,
+    rank) schema every topk operator here emits (bm25_topk,
+    brute_force_topk, lsh_bucketed_topk, ivf_topk, search_ivf_index)
+    -> (query_id, match_id, rrf_score, rank): the standard glue for
+    HYBRID search — lexical BM25 + vector ANN — because it needs no
+    score calibration between systems, only ranks:
+    score(d) = Σ_lists 1/(k + rank_list(d)).
+
+    k=60 is the paper's constant. Ties break on match_id, so the
+    fused ranking is reproducible across engines; with two input
+    lists the score is a sum of at most two doubles (exactly
+    commutative) — for many lists, `round_to` absorbs summation-order
+    ulps before ranking (the brute_force_topk convention).
+
+    Scale: inputs are |queries| x k rows — everything here is
+    negligible next to the searches that produced them; one
+    map-side-combined sum and a per-query window over <= |lists|*k
+    rows."""
+    from pyspark.sql import Window
+
+    parts = [r.select("query_id", "match_id",
+                      (1.0 / (F.lit(k) + F.col("rank"))).alias("__c"))
+             for r in results]
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    fused = (out.groupBy("query_id", "match_id")
+             .agg(F.round(F.sum("__c"), round_to).alias("rrf_score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("match_id").asc())
+    fused = fused.withColumn("rank", F.row_number().over(w))
+    if topk is not None:
+        fused = fused.filter(F.col("rank") <= topk)
+    return fused

@@ -2212,6 +2212,32 @@ def test_bpe_learn_matches_reference_implementation(spark):
     assert ("a", "a") in lefts
 
 
+def test_rrf_fuse_known_rankings(spark):
+    """RRF: a doc ranked well by BOTH lists outranks a doc that tops
+    only one; docs missing from a list contribute only their present
+    terms; ties break on match_id."""
+    from seatunnel_spark.dataops.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 0.9, 1), (1, 11, 0.8, 2), (1, 12, 0.7, 3)],
+        "query_id int, match_id int, score double, rank int")
+    b = spark.createDataFrame(
+        [(1, 11, 5.0, 1), (1, 13, 4.0, 2)],
+        "query_id int, match_id int, score double, rank int")
+    got = [(r["match_id"], r["rrf_score"], r["rank"])
+           for r in rrf_fuse([a, b]).orderBy("rank").collect()]
+    # 11: 1/62 + 1/61; 10: 1/61; 13: 1/62; 12: 1/63
+    exp = sorted(
+        [(11, round(1 / 62 + 1 / 61, 6)), (10, round(1 / 61, 6)),
+         (13, round(1 / 62, 6)), (12, round(1 / 63, 6))],
+        key=lambda t: (-t[1], t[0]))
+    assert [(m, s) for m, s, _ in got] == exp
+    assert [r for _, _, r in got] == [1, 2, 3, 4]
+    assert got[0][0] == 11  # consensus doc wins
+    # topk cut
+    assert rrf_fuse([a, b], topk=2).count() == 2
+
+
 def test_hll_accuracy_merge_identity_and_linear_range(spark):
     """HLL: estimate within the theoretical error envelope at p=8
     (sigma ~ 1.04/sqrt(256) = 6.5%); merging per-half sketches is
