@@ -424,16 +424,53 @@ def _capped_edges(edges: DataFrame, src: str, dst: str,
 
 
 def _closed_wedges(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """(a, b, c) rows, one per triangle a<b<c of the canonical edge
-    list — the shared wedge-close core of `triangle_count` and
-    `clustering_coefficient`: edges join edges on the middle vertex,
-    then an (a, c) hash join closes the wedge. Callers pass edges
-    through `_capped_edges` first (persist + super-hub guard) so both
-    operators stay in lockstep."""
-    e1 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    e2 = edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
-    e3 = edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))
-    return e1.join(e2, "b").join(e3, ["a", "c"])
+    """(a, b, c) rows, one per triangle {a, b, c} of the canonical
+    edge list — the shared wedge-close core of `triangle_count` and
+    `clustering_coefficient`. Callers pass edges through
+    `_capped_edges` first (persist + super-hub guard) so both
+    operators stay in lockstep.
+
+    DEGREE-ORDERED wedge enumeration (the compact-forward /
+    Schank-Wagner orientation, cf. Latapy 2008): every edge is
+    oriented from its lower-(degree, id) endpoint to the higher one,
+    wedges are enumerated only at each triangle's MINIMUM-order
+    vertex, and the close probes the oriented edge between the two
+    higher-order endpoints. Each triangle is found exactly once (the
+    (degree, id) order is total), and wedge work drops from Σ deg²
+    — quadratic in a power-law hub's degree — to Σ outdeg² with
+    outdeg ≲ √(2m), i.e. O(m^1.5) REGARDLESS of skew: measured 23x
+    on q_triangles at Zipf(1.2) sf1 (133.6 s id-ordered → see
+    BENCH_SKEW_r08.json) with identical counts everywhere.
+
+    The oriented edge list is persisted: it feeds both wedge sides
+    and the close probe, and AQE reuses no exchanges across branches.
+    (Output rows are (a, b, c) with a the minimum-ORDER vertex — a
+    per-triangle labeling, not the id-sorted labeling; both consumers
+    treat the row as an unordered vertex set.)"""
+    deg = (edges.select(F.col(src).alias("__v"))
+           .unionAll(edges.select(F.col(dst).alias("__v")))
+           .groupBy("__v").agg(F.count(F.lit(1)).alias("__d")))
+    e = (edges
+         .join(deg.select(F.col("__v").alias(src),
+                          F.col("__d").alias("__d1")), src)
+         .join(deg.select(F.col("__v").alias(dst),
+                          F.col("__d").alias("__d2")), dst))
+    fwd = (F.struct(F.col("__d1"), F.col(src))
+           < F.struct(F.col("__d2"), F.col(dst)))
+    o = e.select(
+        F.when(fwd, F.col(src)).otherwise(F.col(dst)).alias("u"),
+        F.when(fwd, F.col(dst)).otherwise(F.col(src)).alias("w"),
+        F.when(fwd, F.col("__d2")).otherwise(F.col("__d1")).alias("dw"),
+    ).persist()
+    x, y = o.alias("x"), o.alias("y")
+    wedges = (x.join(y, (F.col("x.u") == F.col("y.u"))
+                     & (F.struct(F.col("x.dw"), F.col("x.w"))
+                        < F.struct(F.col("y.dw"), F.col("y.w"))))
+              .select(F.col("x.u").alias("a"),
+                      F.col("x.w").alias("b"),
+                      F.col("y.w").alias("c")))
+    close = o.select(F.col("u").alias("b"), F.col("w").alias("c"))
+    return wedges.join(close, ["b", "c"]).select("a", "b", "c")
 
 
 def triangle_count(edges: DataFrame, src: str = "p1",
