@@ -202,7 +202,14 @@ def triangles_on_bucketed(spark, table: str,
 
     Canonical-orientation wedge identity: each triangle a<b<c is
     found exactly once as the wedge (a,b)+(a,c) at its minimum vertex
-    closed by the canonical edge (b,c). Super-hub vertices above
+    closed by the canonical edge (b,c). Orientation trade vs the
+    in-memory path: analytics._closed_wedges enumerates in DEGREE
+    order (O(m^1.5) on skewed graphs) but must reshuffle to do it;
+    this variant keeps the ID order the table was bucketed in, which
+    is what makes it exchange-free — prefer it for bounded-degree
+    graphs probed by many jobs, prefer the in-memory form for
+    power-law graphs (or write the bucketed table from a pre-capped,
+    degree-filtered edge list). Super-hub vertices above
     `max_degree` are pre-dropped with the same broadcast anti joins
     as analytics._capped_edges (broadcast joins pass the bucketed
     partitioning through, so the zero-exchange wedge build
