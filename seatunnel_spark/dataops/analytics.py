@@ -374,10 +374,12 @@ def _pairs_from_baskets(baskets: DataFrame,
 
 
 def _capped_edges(edges: DataFrame, src: str, dst: str,
-                  max_degree: int | None) -> DataFrame:
-    """persist() the edge list, then drop every edge touching a
-    SUPER-HUB vertex (degree > `max_degree`) — the shared in-code
-    scale guard of `triangle_count` and `clustering_coefficient`.
+                  max_degree: int | None) -> tuple[DataFrame, int]:
+    """persist() the edge list, drop every edge touching a SUPER-HUB
+    vertex (degree > `max_degree`), and return
+    (capped_edges, max_degree_bound) — the shared in-code scale guard
+    of `triangle_count` and `clustering_coefficient`, plus the
+    runtime statistic `_closed_wedges` picks its wedge strategy from.
 
     Why the cap lives here: the wedge join's cost is Σ_v deg(v)² — on
     power-law graphs ONE hub of degree d contributes d² wedges, which
@@ -388,68 +390,111 @@ def _capped_edges(edges: DataFrame, src: str, dst: str,
     contribution at max_degree² while leaving all vertices NOT
     adjacent to a hub bit-identical. Same hot-key discipline as
     dedup's `_cap_buckets` and event_pattern_match's `max_events`;
-    `max_degree=None` disables for pre-capped graphs.
+    `max_degree=None` disables (the degree pass still runs — the
+    strategy decision needs the true max degree).
 
-    The over-cap set is degree-aggregated from the persisted edges
-    (one map-side-combined pass, |hubs| rows out — tiny by
-    construction) and applied as two broadcast ANTI joins, so the
-    edge list itself never reshuffles for the guard.
+    ONE degree aggregation over the persisted edges yields, in a
+    single 1-row collect, BOTH the over-cap vertex list and the max
+    degree. Hubs are applied as a LITERAL isin() filter when the
+    list is small (the by-construction case — super-hubs are rare):
+    a pure codegen projection over the cache, so the three wedge
+    branches re-run only a filter, never a join or a second degree
+    scan (the broadcast-anti-join form re-executed its hub-scan
+    subplan per consuming branch — measured 7.4 s vs 1.6 s for the
+    whole of q_triangles at sf0.1). A pathological >4096-hub graph
+    falls back to broadcast anti joins with the capped frame
+    persisted, paying one materialization instead.
 
     Why persist(): the edge list appears three times in the wedge
-    join (plus twice in the hub scan) and AQE does NOT reuse upstream
-    exchanges, so a derived edge list (e.g. the co-purchase pipeline)
-    would recompute per branch. persist() (lazy compressed-columnar
-    cache) makes the derivation run once; at sf10 — where the
-    co-purchase derivation alone costs ~25s — triple-rescan ballooned
-    to 148s while the cache form runs it once (33.6s cold). An EAGER
-    localCheckpoint is strictly worse (serializes a deserialized-row
-    materialization job in front, and a lost block is unrecoverable —
-    the pagerank sf10 OOM lesson, graph.py). The cache backs the LAZY
-    returned frame, so it cannot be unpersisted here; long-lived
-    sessions should spark.catalog.clearCache() between operator
-    batches (see dedup.py's module note — same contract)."""
+    join and AQE does NOT reuse upstream exchanges, so a derived
+    edge list (e.g. the co-purchase pipeline) would recompute per
+    branch. persist() (lazy compressed-columnar cache) makes the
+    derivation run once; at sf10 — where the co-purchase derivation
+    alone costs ~25s — triple-rescan ballooned to 148s while the
+    cache form runs it once (33.6s cold). An EAGER localCheckpoint
+    is strictly worse (deserialized blocks, unrecoverable on
+    eviction — the pagerank sf10 OOM lesson, graph.py). The cache
+    backs the LAZY returned frame, so it cannot be unpersisted here;
+    long-lived sessions should spark.catalog.clearCache() between
+    operator batches (see dedup.py's module note — same contract)."""
     edges = edges.persist()
+    deg = (edges.select(F.col(src).alias("__v"))
+           .unionAll(edges.select(F.col(dst).alias("__v")))
+           .groupBy("__v").agg(F.count(F.lit(1)).alias("__deg")))
     if max_degree is None:
-        return edges
-    hubs = (edges.select(F.col(src).alias("__v"))
-            .unionAll(edges.select(F.col(dst).alias("__v")))
-            .groupBy("__v").agg(F.count(F.lit(1)).alias("__deg"))
-            .filter(F.col("__deg") > max_degree)
-            .select("__v"))
-    return (edges
-            .join(F.broadcast(hubs), edges[src] == hubs["__v"],
-                  "left_anti")
-            .join(F.broadcast(hubs), edges[dst] == hubs["__v"],
-                  "left_anti"))
+        row = deg.agg(F.max("__deg").alias("mx")).collect()[0]
+        return edges, row["mx"] or 0
+    row = deg.agg(F.max("__deg").alias("mx"),
+                  F.collect_list(
+                      F.when(F.col("__deg") > max_degree,
+                             F.col("__v"))).alias("hubs")).collect()[0]
+    maxdeg = row["mx"] or 0
+    hubs = list(row["hubs"])
+    if not hubs:
+        return edges, maxdeg
+    bound = min(maxdeg, max_degree)
+    if len(hubs) <= 4096:
+        return edges.filter(~F.col(src).isin(hubs)
+                            & ~F.col(dst).isin(hubs)), bound
+    hub_f = deg.filter(F.col("__deg") > max_degree).select("__v")
+    capped = (edges
+              .join(F.broadcast(hub_f), edges[src] == hub_f["__v"],
+                    "left_anti")
+              .join(F.broadcast(hub_f), edges[dst] == hub_f["__v"],
+                    "left_anti"))
+    return capped.persist(), bound
 
 
-def _closed_wedges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+def _closed_wedges(edges: DataFrame, src: str, dst: str,
+                   maxdeg: int | None = None,
+                   orient_threshold: int = 512) -> DataFrame:
     """(a, b, c) rows, one per triangle {a, b, c} of the canonical
     edge list — the shared wedge-close core of `triangle_count` and
     `clustering_coefficient`. Callers pass edges through
-    `_capped_edges` first (persist + super-hub guard) so both
-    operators stay in lockstep.
+    `_capped_edges` first (persist + super-hub guard + the max-degree
+    statistic) so both operators stay in lockstep.
 
-    DEGREE-ORDERED wedge enumeration (the compact-forward /
-    Schank-Wagner orientation, cf. Latapy 2008): every edge is
-    oriented from its lower-(degree, id) endpoint to the higher one,
-    wedges are enumerated only at each triangle's MINIMUM-order
-    vertex, and the close probes the oriented edge between the two
-    higher-order endpoints. Each triangle is found exactly once (the
-    (degree, id) order is total), and wedge work drops from Σ deg²
-    — quadratic in a power-law hub's degree — to Σ outdeg² with
-    outdeg ≲ √(2m), i.e. O(m^1.5) REGARDLESS of skew: measured 23x
-    on q_triangles at Zipf(1.2) sf1 (133.6 s id-ordered → see
-    BENCH_SKEW_r08.json) with identical counts everywhere.
+    ADAPTIVE orientation (measured both ways, round 8): the physical
+    wedge strategy is picked from the graph's actual max degree —
+    `maxdeg`, already known from _capped_edges' single degree pass
+    (computed here with one extra aggregation only when a caller
+    passes None) — the AQE discipline: decide the plan from runtime
+    statistics, not hope.
 
-    The oriented edge list is persisted: it feeds both wedge sides
-    and the close probe, and AQE reuses no exchanges across branches.
-    (Output rows are (a, b, c) with a the minimum-ORDER vertex — a
-    per-triangle labeling, not the id-sorted labeling; both consumers
-    treat the row as an unordered vertex set.)"""
+      * max degree <= `orient_threshold` (default 512): the plain
+        ID-ORDERED two-join close — Σ deg² is bounded by m·maxdeg,
+        and skipping the orientation machinery (two degree joins +
+        an extra persisted copy of the edges) is worth ~3x on
+        TPC-H-shaped graphs where the edge DERIVATION dominates
+        (q_triangles 5.78 s → 1.7 s-class at sf0.1 uniform).
+      * above it: DEGREE-ORDERED enumeration (compact-forward /
+        Schank-Wagner, cf. Latapy 2008) — orient every edge from its
+        lower-(degree, id) endpoint, enumerate wedges only at each
+        triangle's minimum-order vertex, close on the oriented edge
+        between the two higher-order endpoints. Wedge work drops
+        from Σ deg² (quadratic in a power-law hub's degree) to
+        Σ outdeg² with outdeg ≲ √(2m) — O(m^1.5) REGARDLESS of
+        skew: q_triangles 133.6 s → 73.3 s at Zipf(1.2) sf1
+        (BENCH_SKEW_r08.json), identical counts everywhere.
+
+    Each triangle is found exactly once on either path (both orders
+    are total); output rows are a per-triangle vertex labeling, and
+    both consumers treat them as unordered sets. The degree table
+    (vertex-sized) and the oriented edge list persist on the skewed
+    path — they feed multiple branches and AQE reuses no exchanges
+    (see dedup.py's cache-lifetime module note)."""
     deg = (edges.select(F.col(src).alias("__v"))
            .unionAll(edges.select(F.col(dst).alias("__v")))
            .groupBy("__v").agg(F.count(F.lit(1)).alias("__d")))
+    if maxdeg is None:
+        maxdeg = deg.agg(F.max("__d").alias("mx")) \
+            .collect()[0]["mx"] or 0
+    if maxdeg <= orient_threshold:
+        e1 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        e2 = edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
+        e3 = edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))
+        return e1.join(e2, "b").join(e3, ["a", "c"])
+    deg = deg.persist()
     e = (edges
          .join(deg.select(F.col("__v").alias(src),
                           F.col("__d").alias("__d1")), src)
@@ -487,8 +532,8 @@ def triangle_count(edges: DataFrame, src: str = "p1",
     `max_degree` are dropped IN CODE before the join
     (`_capped_edges`) so a power-law hub cannot make the wedge join
     quadratic in its degree."""
-    return (_closed_wedges(_capped_edges(edges, src, dst, max_degree),
-                           src, dst)
+    capped, maxdeg = _capped_edges(edges, src, dst, max_degree)
+    return (_closed_wedges(capped, src, dst, maxdeg)
             .agg(F.count(F.lit(1)).alias("n_triangles")))
 
 
@@ -621,8 +666,8 @@ def clustering_coefficient(edges: DataFrame, src: str = "p1",
     so the three columns stay mutually consistent; vertices not
     adjacent to a dropped hub are bit-identical to the uncapped
     result."""
-    edges = _capped_edges(edges, src, dst, max_degree)
-    tri = _closed_wedges(edges, src, dst)
+    edges, maxdeg = _capped_edges(edges, src, dst, max_degree)
+    tri = _closed_wedges(edges, src, dst, maxdeg)
     tv = (tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
           .groupBy("v").agg(F.count(F.lit(1)).alias("triangles")))
     deg = (edges.select(F.col(src).alias("v"))

@@ -1797,6 +1797,33 @@ def test_triangle_super_hub_cap(spark):
     assert triangle_count(df).collect()[0]["n_triangles"] == 3
 
 
+def test_closed_wedges_both_orientations_agree(spark):
+    """The adaptive wedge strategy must be invisible to results:
+    forcing the degree-ordered path (orient_threshold=0) and forcing
+    the id-ordered path (huge threshold) find the IDENTICAL triangle
+    set — as unordered vertex sets — on a graph with hubs, triangles
+    and pendants."""
+    from seatunnel_spark.dataops.analytics import _closed_wedges
+
+    edges = ([(0, i) for i in range(1, 21)]          # hub 0, deg 20
+             + [(1, 2), (2, 3), (1, 3),              # triangle 1-2-3
+                (5, 6), (5, 7), (6, 7),              # triangle 5-6-7
+                (40, 41)])                           # pendant
+    df = spark.createDataFrame(edges, "p1 long, p2 long")
+    ordered = {frozenset((r["a"], r["b"], r["c"])) for r in
+               _closed_wedges(df, "p1", "p2",
+                              orient_threshold=0).collect()}
+    plain = {frozenset((r["a"], r["b"], r["c"])) for r in
+             _closed_wedges(df, "p1", "p2", maxdeg=20,
+                            orient_threshold=10**6).collect()}
+    # hub 0 is adjacent to 1..20, so it closes a triangle over every
+    # edge among its neighbors: {0,1,2},{0,1,3},{0,2,3},{0,5,6},
+    # {0,5,7},{0,6,7} + the two standalone triangles = 8
+    assert ordered == plain
+    assert frozenset((1, 2, 3)) in plain and frozenset((5, 6, 7)) in plain
+    assert len(plain) == 8
+
+
 def test_copurchase_mega_basket_cap(spark):
     """The in-code max_basket guard (_cap_baskets): a degenerate
     basket is dropped before its |basket|^2/2 in-row pair array is
