@@ -507,6 +507,16 @@ def _closed_wedges(edges: DataFrame, src: str, dst: str,
         F.when(fwd, F.col(dst)).otherwise(F.col(src)).alias("w"),
         F.when(fwd, F.col("__d2")).otherwise(F.col("__d1")).alias("dw"),
     ).persist()
+    # EAGER materialization: a lazy cache is filled per-partition by
+    # whichever task first needs it, and the wedge join's THREE
+    # consumers of `o` run concurrently in one job — each recomputes
+    # the missing partitions (the orientation joins) before blocks
+    # land, up to 3x duplicated work with run-to-run variance
+    # (q_clustering_coef measured 12.6-33.5 s across identical zipf
+    # runs). One count() barrier makes the derivation run exactly
+    # once; the skewed path already pays a driver action for the
+    # strategy decision, so this adds one job, not a new pattern.
+    o.count()
     x, y = o.alias("x"), o.alias("y")
     wedges = (x.join(y, (F.col("x.u") == F.col("y.u"))
                      & (F.struct(F.col("x.dw"), F.col("x.w"))
