@@ -2019,6 +2019,21 @@ def text_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_docs(d, _BPE_FIXED_MERGES)
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    (dataops/timeseries.py:ewma_last): one entity shuffle collects the
+    (ts, event_id)-sorted series, then a pure-codegen LEFT fold —
+    O(n) per entity, no UDF, no window over raw events. The oracle
+    replays the identical fold with DuckDB's list_reduce over the
+    identically-sorted list (same IEEE op sequence), so the value
+    hash is exact."""
+    from seatunnel_spark.dataops.timeseries import ewma_last
+
+    e = _t(spark, sf_dir, "events")
+    return ewma_last(e, "user_id", "ts", "event_id", "value",
+                     alpha=0.1)
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog (dataops/sketches.py:hll_build_grouped
     + hll_estimate — Flajolet et al. 2007): per-event-type distinct
@@ -2896,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cms_counts": text_cms_counts,
         "text_collocations": text_collocations,
         "q_mad": q_mad,
+        "q_ewma": q_ewma,
         "q_hll_distinct": q_hll_distinct,
         "q_hll_merge": q_hll_merge,
         "text_bpe_pairs": text_bpe_pairs,
@@ -5284,6 +5300,20 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE cum_hi - cnt < floor(round(q * (n - 1), 6)) + 1
               AND floor(round(q * (n - 1), 6)) + 1 <= cum_hi
             ORDER BY t.l_returnflag, q
+        """,
+        "q_ewma": """
+            -- same LEFT fold as Spark's F.aggregate: y_1 = x_1,
+            -- y_t = acc*(1-a) + x*a over the (ts, event_id)-sorted
+            -- doubles; list_reduce inits from the first element
+            SELECT user_id AS entity,
+                   count(*)::BIGINT AS n_points,
+                   round(list_reduce(
+                     array_agg(CAST(value AS DOUBLE)
+                               ORDER BY ts, event_id),
+                     (acc, x) -> acc * CAST(0.9 AS DOUBLE)
+                                 + x * CAST(0.1 AS DOUBLE)), 6) AS ewma
+            FROM events WHERE value IS NOT NULL
+            GROUP BY user_id
         """,
         "q_hll_distinct": """
             WITH h AS (

@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "q_triangles_bucketed",
     "sim_hybrid_rrf",
     "q_hll_merge",
+    "q_ewma",
 ]
 
 

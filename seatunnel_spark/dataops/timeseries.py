@@ -226,3 +226,49 @@ def seasonal_decompose(df: DataFrame, ts_col: str, value_expr: str,
                     F.round(F.col("value") - F.col("trend")
                             - F.col("seasonal"), round_to)
                     .alias("resid")))
+
+
+def ewma_last(df: DataFrame, entity_col: str = "user_id",
+              ts_col: str = "ts", order_col: str = "event_id",
+              value_col: str = "value", alpha: float = 0.1,
+              round_to: int = 6,
+              max_events: int | None = 100_000) -> DataFrame:
+    """Per-entity exponentially-weighted moving average, final state
+    -> (entity, n_points, ewma): the standard smoothed-activity /
+    smoothed-latency readout (y_1 = x_1; y_t = (1-alpha)*y_{t-1}
+    + alpha*x_t over the (ts, order_col)-sorted series — the
+    tiebreaker makes the fold, hence the result, deterministic under
+    equal timestamps in any engine).
+
+    Scale: EWMA is inherently sequential per entity, so the series
+    is collected per entity (ONE map-side-combined shuffle — the same
+    inherent cost as any per-entity sequence semantics) and folded
+    with F.aggregate — pure codegen, zero UDF, O(n) per entity where
+    any closed-form pow() reformulation is O(n^2) or numerically
+    explosive. Degenerate hot entities are guarded IN CODE by
+    `max_events` (deterministic DROP before the array materializes —
+    the event_pattern_match discipline); None disables.
+
+    Engine portability: a strict LEFT fold over doubles — DuckDB's
+    list_reduce applies the identical operation sequence to the
+    identically-sorted list, so the pre-rounding float is
+    bit-identical (both engines run acc*(1-alpha) + x*alpha in IEEE
+    double, same order)."""
+    df = df.filter(F.col(value_col).isNotNull())
+    if max_events is not None:
+        ok = (df.groupBy(entity_col)
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .filter(F.col("__n") <= max_events)
+              .select(entity_col))
+        df = df.join(ok, entity_col, "left_semi")
+    ordered = F.array_sort(F.collect_list(F.struct(
+        F.col(ts_col), F.col(order_col),
+        F.col(value_col).cast("double").alias("__v"))))
+    vals = F.transform(ordered, lambda s: s["__v"])
+    rest = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+    ew = F.aggregate(
+        rest, F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha))
+    return (df.groupBy(F.col(entity_col).alias("entity"))
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.round(ew, round_to).alias("ewma")))

@@ -788,3 +788,13 @@ def test_sim_recall_reuses_topk_shapes(plans):
     p = plans("sim_recall")
     assert "EvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_ewma_single_entity_shuffle_no_udf(plans):
+    """The EWMA fold stays JVM-side (no Python workers) and the event
+    log shuffles once — the guard's narrow count and the collect hash
+    on the same entity key."""
+    p = plans("q_ewma")
+    assert "EvalPython" not in p
+    assert "partial_count" in p  # map-side-combined guard count
+    assert "Window" not in p     # no window over raw events

@@ -82,3 +82,33 @@ def test_gapfill_daily_locf(spark):
     assert rows[("B", "2024-01-01")]["filled_value"] is None
     assert rows[("B", "2024-01-02")]["filled_value"] == 5.0
     assert rows[("B", "2024-01-04")]["filled_value"] == 5.0
+
+
+def test_ewma_last_known_series_and_guard(spark):
+    """EWMA fold: hand-computed values, (ts, order) tie determinism,
+    single-point entities return their value, and the max_events
+    guard drops hot entities deterministically."""
+    import datetime as _dt
+
+    from seatunnel_spark.dataops.timeseries import ewma_last
+
+    t0 = _dt.datetime(2026, 1, 1)
+    s = lambda k: t0 + _dt.timedelta(seconds=k)  # noqa: E731
+    rows = ([(i, s(i), 1, float(v)) for i, v in
+             enumerate([10.0, 20.0, 30.0])]          # u1: 3 points
+            + [(10, s(0), 2, 7.5)]                   # u2: single point
+            # u3: same ts, order decides 1.0 then 100.0
+            + [(21, s(0), 3, 100.0), (20, s(0), 3, 1.0)]
+            + [(100 + i, s(i), 4, 1.0) for i in range(5)])  # hot u4
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    got = {r["entity"]: (r["n_points"], r["ewma"]) for r in
+           ewma_last(df, alpha=0.5, max_events=4).collect()}
+    # u1: y=10 -> 15 -> 22.5
+    assert got[1] == (3, 22.5)
+    assert got[2] == (1, 7.5)
+    # u3: init 1.0 (event 20 first), then 0.5*1 + 0.5*100 = 50.5
+    assert got[3] == (2, 50.5)
+    assert 4 not in got  # guard fired
+    assert 4 in {r["entity"] for r in
+                 ewma_last(df, alpha=0.5, max_events=None).collect()}
