@@ -2481,6 +2481,56 @@ def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_distribution(edges, "p1", "p2")
 
 
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (dataops/graph.py:connected_components —
+    hash-to-min + pointer jumping, Rastogi et al. 2013) of the STRONG
+    co-purchase graph (parts co-ordered in >= 3 distinct orders):
+    component = the minimum reachable part key, a canonical labeling
+    unique at any iteration schedule, which the oracle replays as
+    recursive min-reachability. Convergence-checked (one bounded count
+    per round), O(log diameter) rounds via the shortcut step, per-round
+    |V|-row localCheckpoint (without it the pointer-jump self-join
+    doubles the logical plan every round — measured non-termination)."""
+    from seatunnel_spark.dataops.analytics import copurchase_pairs
+    from seatunnel_spark.dataops.graph import connected_components
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = copurchase_pairs(li, "l_orderkey", "l_partkey",
+                             min_support=3).select("p1", "p2")
+    return connected_components(edges, "p1", "p2")
+
+
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (dataops/graph.py:
+    label_propagation — Raghavan et al. 2007 with a total tie order:
+    most-frequent neighbor label, ties to the smallest) over the strong
+    co-purchase graph, exactly 2 rounds — the same fixed-iteration
+    replay convention as q_pagerank/emb_kmeans; the oracle unrolls both
+    rounds with the identical count + (count DESC, label ASC) arg-min."""
+    from seatunnel_spark.dataops.analytics import copurchase_pairs
+    from seatunnel_spark.dataops.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = copurchase_pairs(li, "l_orderkey", "l_partkey",
+                             min_support=3).select("p1", "p2")
+    return label_propagation(edges, "p1", "p2", iters=2)
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph (dataops/graph.py:k_core —
+    iterative peel to the unique fixpoint, convergence-checked): the
+    dense backbone + within-core degrees. Peeling is confluent, so the
+    converged Spark result matches the oracle's unrolled peel rounds
+    (14 rounds — sf0.01 converges in 11, extra rounds are no-ops)."""
+    from seatunnel_spark.dataops.analytics import copurchase_pairs
+    from seatunnel_spark.dataops.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = copurchase_pairs(li, "l_orderkey", "l_partkey",
+                             min_support=2).select("p1", "p2")
+    return k_core(edges, k=3, src="p1", dst="p2")
+
+
 def text_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-distribution KL divergence vs the corpus blend
     (dataops/text.py:domain_kl_drift) — the data-mixing drift
@@ -2946,6 +2996,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_novelty": text_novelty,
         "dq_benford": dq_benford,
         "q_degree_dist": q_degree_dist,
+        "q_connected_components": q_connected_components,
+        "q_label_prop": q_label_prop,
+        "q_kcore": q_kcore,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
@@ -5860,6 +5913,68 @@ def _oracle_sql_literal() -> dict[str, str]:
     }
 
 
+def _copurchase_edges_cte(min_support: int) -> str:
+    """Shared oracle CTE: the distinct-order co-purchase graph as a
+    canonical (src < dst) edge list `e` plus its symmetrized form
+    `und` — the same semantics as copurchase_pairs (distinct items
+    per order, pair support = orders containing both)."""
+    return f"""items AS (SELECT DISTINCT l_orderkey AS o,
+                                          l_partkey AS p
+                          FROM lineitem),
+            e AS (SELECT a.p AS p1, b.p AS p2
+                  FROM items a JOIN items b
+                       ON a.o = b.o AND a.p < b.p
+                  GROUP BY 1, 2 HAVING count(*) >= {min_support}),
+            und AS (SELECT p1 AS src, p2 AS dst FROM e
+                    UNION SELECT p2, p1 FROM e)"""
+
+
+def _kcore_unrolled_sql(k: int, rounds: int, min_support: int) -> str:
+    """Oracle for q_kcore: `rounds` unrolled peel rounds over the
+    co-purchase graph. Peeling is confluent with a unique fixpoint, so
+    any rounds >= the convergence point reproduces Spark's
+    converged-to-fixpoint result exactly (extra rounds are no-ops)."""
+    # every CTE is MATERIALIZED: each round references the previous
+    # round's edge frame three times, so default CTE inlining expands
+    # the base scan 3^rounds times (measured: 14 rounds exhausted the
+    # process fd limit before planning finished).
+    parts = [f"WITH {_copurchase_edges_cte(min_support)},\n"
+             "            e0 AS MATERIALIZED (SELECT src, dst FROM und)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+            k{i} AS MATERIALIZED (SELECT src FROM e{i - 1}
+                   GROUP BY src HAVING count(*) >= {k}),
+            e{i} AS MATERIALIZED (SELECT x.src, x.dst FROM e{i - 1} x
+                   JOIN k{i} a ON x.src = a.src
+                   JOIN k{i} b ON x.dst = b.src)""")
+    return (",".join(parts)
+            + f"\n            SELECT src AS node, count(*) AS degree"
+              f" FROM e{rounds} GROUP BY src")
+
+
+def _label_prop_unrolled_sql(iters: int, min_support: int) -> str:
+    """Oracle for q_label_prop: `iters` unrolled synchronous LPA
+    rounds — per-node neighbor-label counts, then the
+    (count DESC, label ASC) arg-min, identical to the Spark side's
+    min_by(label, struct(-count, label))."""
+    ctes = [f"WITH {_copurchase_edges_cte(min_support)}",
+            """l0 AS (SELECT DISTINCT src AS node, src AS label
+                    FROM und)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""c{i} AS (SELECT u.dst AS node, l.label AS lbl,
+                         count(*) AS c
+                  FROM und u JOIN l{i - 1} l ON u.src = l.node
+                  GROUP BY 1, 2)""")
+        ctes.append(f"""l{i} AS (SELECT node, lbl AS label FROM (
+                    SELECT node, lbl,
+                           row_number() OVER (PARTITION BY node
+                               ORDER BY c DESC, lbl ASC) AS rn
+                    FROM c{i}) WHERE rn = 1)""")
+    return (",\n            ".join(ctes)
+            + f"\n            SELECT node, label FROM l{iters}")
+
+
 def oracle_sql() -> dict[str, str]:
     """Queries that are plan-level variants with IDENTICAL semantics
     share one oracle: q_pagerank_bucketed runs the same fixed-point
@@ -5870,4 +5985,21 @@ def oracle_sql() -> dict[str, str]:
     # same sharing for the triangle family: the bucketed variant runs the
     # identical count over the identical co-purchase graph
     d["q_triangles_bucketed"] = d["q_triangles"]
+    # connected components: the converged hash-to-min labeling is the
+    # canonical min-reachable-id per node, which recursive reachability
+    # computes directly (iteration-schedule independent by uniqueness).
+    d["q_connected_components"] = f"""
+            WITH RECURSIVE {_copurchase_edges_cte(3)},
+            reach(node, lbl) AS (
+              SELECT src AS node, src AS lbl FROM und
+              UNION
+              SELECT u.dst, r.lbl FROM reach r
+              JOIN und u ON u.src = r.node
+            )
+            SELECT node, min(lbl) AS component FROM reach GROUP BY node
+        """
+    d["q_label_prop"] = _label_prop_unrolled_sql(iters=2, min_support=3)
+    # 14 unrolled peel rounds: sf0.01 converges in 11; margin rounds
+    # are no-ops past the fixpoint.
+    d["q_kcore"] = _kcore_unrolled_sql(k=3, rounds=14, min_support=2)
     return d

@@ -2591,3 +2591,78 @@ def test_inter_event_stats_bot_signature(spark):
     assert got[1]["median_gap_s"] == 10.0 and got[1]["iqr_s"] == 0.0
     assert got[2]["iqr_s"] > 50
     assert got[4]["median_gap_s"] == 0.25
+
+
+def test_connected_components_multi_component(spark):
+    """Chain, isolated pair, and triangle-with-pendant each get the
+    canonical min-id label; nothing leaks across components."""
+    from seatunnel_spark.dataops.graph import connected_components
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11),
+         (20, 21), (21, 22), (20, 22), (22, 23)], ["src", "dst"])
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert {n: got[n] for n in (1, 2, 3, 4, 5)} == dict.fromkeys(
+        (1, 2, 3, 4, 5), 1)
+    assert got[10] == got[11] == 10
+    assert {n: got[n] for n in (20, 21, 22, 23)} == dict.fromkeys(
+        (20, 21, 22, 23), 20)
+
+
+def test_connected_components_log_convergence_on_path(spark):
+    """A 32-node path has diameter 31; pointer jumping must label it
+    in far fewer rounds (max_iter=8 would NOT suffice for plain
+    min-propagation, which needs diameter rounds)."""
+    from seatunnel_spark.dataops.graph import connected_components
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)], ["src", "dst"])
+    got = {r["node"]: r["component"]
+           for r in connected_components(path, max_iter=8).collect()}
+    assert len(got) == 32 and set(got.values()) == {0}
+
+
+def test_label_propagation_two_rounds_hand_check(spark):
+    """Synchronous LPA, 2 rounds, deterministic tie-break (most
+    frequent neighbor label, ties to the smallest) — hand-computed on
+    a chain and a triangle-with-pendant. Chain oscillation (classic
+    sync-LPA behavior on bipartite-ish structure) is part of the
+    deterministic contract, not smoothed over."""
+    from seatunnel_spark.dataops.graph import label_propagation
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (20, 21), (21, 22), (20, 22), (22, 23)], ["src", "dst"])
+    got = {r["node"]: r["label"]
+           for r in label_propagation(df, iters=2).collect()}
+    # chain 1-2-3-4-5: r1 = {1:2, 2:1, 3:2, 4:3, 5:4};
+    # r2: 1<-l(2)=1; 2<-mode{l(1)=2, l(3)=2}=2; 3<-tie{1,3}->1;
+    #     4<-tie{2,4}->2; 5<-l(4)=3
+    assert {n: got[n] for n in (1, 2, 3, 4, 5)} == {
+        1: 1, 2: 2, 3: 1, 4: 2, 5: 3}
+    # triangle 20-21-22 + pendant 23 converges onto 20 in 2 rounds
+    assert {n: got[n] for n in (20, 21, 22, 23)} == dict.fromkeys(
+        (20, 21, 22, 23), 20)
+
+
+def test_k_core_peel_cascade(spark):
+    """K4 minus one edge: initial degrees (3,3,2,2) all survive k=2,
+    but k=3 peeling CASCADES to empty (dropping the two degree-2
+    vertices leaves the rest under-degree) — the multi-round fixpoint
+    a single degree filter would get wrong."""
+    from seatunnel_spark.dataops.graph import k_core
+
+    k4_minus = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], ["src", "dst"])
+    core2 = sorted((r["node"], r["degree"])
+                   for r in k_core(k4_minus, 2).collect())
+    assert core2 == [(1, 3), (2, 3), (3, 2), (4, 2)]
+    assert k_core(k4_minus, 3).count() == 0
+    # a pendant chain hanging off a triangle peels away at k=2
+    df = spark.createDataFrame(
+        [(20, 21), (21, 22), (20, 22), (22, 23), (23, 24)],
+        ["src", "dst"])
+    core = sorted((r["node"], r["degree"])
+                  for r in k_core(df, 2).collect())
+    assert core == [(20, 2), (21, 2), (22, 2)]
