@@ -2404,6 +2404,32 @@ def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose(e, "ts", "count(1)", period=7)
 
 
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily event volume at lags 1..7
+    (dataops/timeseries.py:acf — the biased Σ(x_t-m)(x_{t+l}-m)/Σ(x_t-m)²
+    estimator): the seasonality fingerprint read before picking
+    seasonal_decompose's period. Events collapse to the |days|-row
+    series once; all 7 leads come from one window pass; daily value is
+    a COUNT so the estimator sees deterministic integer inputs."""
+    from seatunnel_spark.dataops.timeseries import acf
+
+    e = _t(spark, sf_dir, "events")
+    return acf(e, "ts", "count(1)", max_lag=7)
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized CUSUM changepoint scan over daily event volume
+    (dataops/timeseries.py:cusum_changepoint — Page 1954): S_t drifts
+    after a mean shift; the max-|S| day (is_peak) is the ML
+    changepoint estimate. Peak compare runs on the ROUNDED cusum so
+    the flag is engine-stable; one shuffle to the daily series, then
+    |days|-row windows and 1-row broadcasts only."""
+    from seatunnel_spark.dataops.timeseries import cusum_changepoint
+
+    e = _t(spark, sf_dir, "events")
+    return cusum_changepoint(e, "ts", "count(1)")
+
+
 def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quantile) histogram of prices (dataops/analytics.py:
     equidepth_histogram): 8 bins with edges at exact interpolated
@@ -2992,6 +3018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winsorize": q_winsorize,
         "q_equidepth": q_equidepth,
         "q_seasonal": q_seasonal,
+        "q_acf": q_acf,
+        "q_cusum": q_cusum,
         "text_lm_bigram": text_lm_bigram,
         "text_novelty": text_novelty,
         "dq_benford": dq_benford,
@@ -5975,6 +6003,39 @@ def _label_prop_unrolled_sql(iters: int, min_support: int) -> str:
             + f"\n            SELECT node, label FROM l{iters}")
 
 
+def _acf_sql(max_lag: int) -> str:
+    """Oracle for q_acf: the identical biased-ACF arithmetic — daily
+    count series, one lead per lag, Σ products / Σ squares."""
+    leads = ",\n                   ".join(
+        f"lead(value, {lag}) OVER (ORDER BY day) AS x{lag}"
+        for lag in range(1, max_lag + 1))
+    nums = ",\n                   ".join(
+        f"sum((value - m) * (x{lag} - m)) AS n{lag},"
+        f" count(x{lag}) AS c{lag}"
+        for lag in range(1, max_lag + 1))
+    rows = "\n              UNION ALL ".join(
+        f"SELECT {lag} AS lag, n{lag} AS n, c{lag} AS c, den FROM agg"
+        for lag in range(1, max_lag + 1))
+    return f"""
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST(count(1) AS DOUBLE) AS value
+              FROM events GROUP BY 1
+            ), m AS (SELECT avg(value) AS m FROM daily),
+            led AS (
+              SELECT value,
+                   {leads}
+              FROM daily
+            ), agg AS (
+              SELECT sum((value - m) * (value - m)) AS den,
+                   {nums}
+              FROM led, m
+            )
+            SELECT lag, round(n / den, 6) AS acf, c AS n_pairs
+            FROM ({rows})
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     """Queries that are plan-level variants with IDENTICAL semantics
     share one oracle: q_pagerank_bucketed runs the same fixed-point
@@ -5999,6 +6060,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, min(lbl) AS component FROM reach GROUP BY node
         """
     d["q_label_prop"] = _label_prop_unrolled_sql(iters=2, min_support=3)
+    d["q_acf"] = _acf_sql(max_lag=7)
+    d["q_cusum"] = """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST(count(1) AS DOUBLE) AS value
+              FROM events GROUP BY 1
+            ), st AS (
+              SELECT avg(value) AS m, stddev_pop(value) AS sd FROM daily
+            ), sc AS (
+              SELECT day, value,
+                     round(sum(CASE WHEN sd = 0 THEN 0.0
+                                    ELSE (value - m) / sd END)
+                           OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW), 6) AS cusum
+              FROM daily, st
+            ), pk AS (SELECT max(abs(cusum)) AS p FROM sc)
+            SELECT day, value, cusum, abs(cusum) = p AS is_peak
+            FROM sc, pk
+        """
     # 14 unrolled peel rounds: sf0.01 converges in 11; margin rounds
     # are no-ops past the fixpoint.
     d["q_kcore"] = _kcore_unrolled_sql(k=3, rounds=14, min_support=2)

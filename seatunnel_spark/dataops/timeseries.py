@@ -272,3 +272,77 @@ def ewma_last(df: DataFrame, entity_col: str = "user_id",
     return (df.groupBy(F.col(entity_col).alias("entity"))
             .agg(F.count(F.lit(1)).alias("n_points"),
                  F.round(ew, round_to).alias("ewma")))
+
+
+def acf(df: DataFrame, ts_col: str, value_expr: str,
+        max_lag: int = 7, round_to: int = 6) -> DataFrame:
+    """Sample autocorrelation of the DAILY series at row-lags
+    1..max_lag -> (lag, acf, n_pairs): the standard biased estimator
+    acf(l) = Σ_t (x_t - m)(x_{t+l} - m) / Σ_t (x_t - m)² — the
+    seasonality/persistence fingerprint (a weekly-seasonal series
+    spikes at lag 7) read BEFORE choosing seasonal_decompose's period.
+    Lags are ROW lags over the day-ordered series; run gapfill_daily
+    upstream if calendar lags over a gappy series are wanted.
+
+    Scale: the event table collapses to the |days|-row daily series in
+    one map-side-combined shuffle; all max_lag leads come out of a
+    single window pass over that series (the WindowExec
+    single-partition warning is benign by the same |days|-row argument
+    as seasonal_decompose), and the answer is a max_lag-row stack of
+    one aggregate row. Prefer integer-valued value_expr (count) so no
+    partition-order-dependent double sum feeds the estimator."""
+    day = F.to_date(F.col(ts_col)).alias("day")
+    daily = df.groupBy(day).agg(
+        F.expr(value_expr).cast("double").alias("value"))
+    m = daily.agg(F.avg("value").alias("__m"))
+    w = Window.orderBy("day")
+    led = daily.select(
+        "value",
+        *[F.lead("value", lag).over(w).alias(f"__x{lag}")
+          for lag in range(1, max_lag + 1)],
+    ).join(F.broadcast(m))
+    c = F.col("value") - F.col("__m")
+    aggs = [F.sum(c * c).alias("__den")]
+    for lag in range(1, max_lag + 1):
+        aggs.append(F.sum(c * (F.col(f"__x{lag}") - F.col("__m")))
+                    .alias(f"__n{lag}"))
+        aggs.append(F.count(F.col(f"__x{lag}")).alias(f"__c{lag}"))
+    row = led.agg(*aggs)
+    stacked = ", ".join(f"{lag}, __n{lag} / __den, __c{lag}"
+                        for lag in range(1, max_lag + 1))
+    return (row.selectExpr(
+        f"stack({max_lag}, {stacked}) AS (lag, __r, n_pairs)")
+        .select("lag", F.round("__r", round_to).alias("acf"), "n_pairs"))
+
+
+def cusum_changepoint(df: DataFrame, ts_col: str, value_expr: str,
+                      round_to: int = 6) -> DataFrame:
+    """Standardized CUSUM over the daily series -> (day, value, cusum,
+    is_peak): S_t = Σ_{i<=t} (x_i - mean)/σ, the classic level-shift
+    detector — S drifts away from 0 after a mean change, and the day
+    of max |S| is the maximum-likelihood changepoint estimate (Page
+    1954). is_peak marks that day (possibly several on exact ties).
+
+    Determinism discipline: the peak compare runs on the ROUNDED
+    cusum (round first, then max), so the flag survives the ~1e-15
+    summation-order noise a raw float equality would trip on across
+    engines. Scale: one map-side-combined shuffle to the |days|-row
+    series; the cumulative window and both 1-row broadcasts run on
+    that series only. σ=0 (constant series) yields cusum 0 everywhere
+    rather than a division error."""
+    day = F.to_date(F.col(ts_col)).alias("day")
+    daily = df.groupBy(day).agg(
+        F.expr(value_expr).cast("double").alias("value"))
+    st = daily.agg(F.avg("value").alias("__m"),
+                   F.stddev_pop("value").alias("__sd"))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    z = F.when(F.col("__sd") == 0, F.lit(0.0)) \
+         .otherwise((F.col("value") - F.col("__m")) / F.col("__sd"))
+    scored = (daily.join(F.broadcast(st))
+              .withColumn("cusum", F.round(F.sum(z).over(w), round_to)))
+    peak = scored.agg(F.max(F.abs(F.col("cusum"))).alias("__p"))
+    return (scored.join(F.broadcast(peak))
+            .select("day", "value", "cusum",
+                    (F.abs(F.col("cusum")) == F.col("__p"))
+                    .alias("is_peak")))

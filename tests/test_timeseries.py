@@ -112,3 +112,48 @@ def test_ewma_last_known_series_and_guard(spark):
     assert 4 not in got  # guard fired
     assert 4 in {r["entity"] for r in
                  ewma_last(df, alpha=0.5, max_events=None).collect()}
+
+
+def test_acf_alternating_series_exact(spark):
+    """Alternating 2/8 over 8 days: mean 5, deviations ±3. Biased
+    estimator: acf(1) = -7·9/(8·9) = -0.875, acf(2) = 6/8 = 0.75;
+    n_pairs = n - lag."""
+    import datetime as _dt
+
+    from seatunnel_spark.dataops.timeseries import acf
+
+    t0 = _dt.datetime(2024, 3, 1)
+    rows = [(i, t0 + _dt.timedelta(days=i), float(2 if i % 2 == 0 else 8))
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    got = {r["lag"]: (r["acf"], r["n_pairs"])
+           for r in acf(df, "ts", "sum(value)", max_lag=3).collect()}
+    assert got[1] == (-0.875, 7)
+    assert got[2] == (0.75, 6)
+    assert got[3] == (-0.625, 5)
+
+
+def test_cusum_step_change_peak(spark):
+    """0,0,0,0,0 then 10,10,10,10,10: mean 5, σ 5, z = ∓1 — S walks to
+    -5 at the step boundary and back to 0; the boundary day alone is
+    the peak. A constant series yields cusum 0 (no σ=0 blowup)."""
+    import datetime as _dt
+
+    from seatunnel_spark.dataops.timeseries import cusum_changepoint
+
+    t0 = _dt.datetime(2024, 3, 1)
+    rows = [(i, t0 + _dt.timedelta(days=i), 0.0 if i < 5 else 10.0)
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    got = {r["day"].day: (r["cusum"], r["is_peak"])
+           for r in cusum_changepoint(df, "ts", "sum(value)").collect()}
+    assert got[5] == (-5.0, True)          # 2024-03-05 = day index 4
+    assert [got[d][0] for d in range(1, 11)] == [
+        -1.0, -2.0, -3.0, -4.0, -5.0, -4.0, -3.0, -2.0, -1.0, 0.0]
+    assert [d for d in range(1, 11) if got[d][1]] == [5]
+
+    const = spark.createDataFrame(
+        [(i, t0 + _dt.timedelta(days=i), 7.0) for i in range(4)],
+        "event_id long, ts timestamp, value double")
+    cz = cusum_changepoint(const, "ts", "sum(value)").collect()
+    assert all(r["cusum"] == 0.0 and r["is_peak"] for r in cz)
