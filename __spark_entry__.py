@@ -2083,6 +2083,57 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_merged") == F.col("est_single")).alias("identical"))
 
 
+def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap from sketches (dataops/sketches.py:
+    hll_intersect_estimate): |A∩B| by inclusion-exclusion over two
+    persisted HLL register tables plus their per-register-MAX union
+    merge — the overlap question two saved sketches answer without
+    rescanning either corpus. A = events of even users, B = events
+    with event_id % 3 > 0 (overlapping by construction); the exact
+    intersection rides along for the error readout. The oracle
+    replays all three register builds AND the estimator bit-for-bit
+    (same exact-integer harmonic sum as q_hll_distinct)."""
+    from seatunnel_spark.dataops.sketches import (hll_build,
+                                                  hll_intersect_estimate)
+
+    e = _t(spark, sf_dir, "events")
+    a = hll_build(e.filter(F.col("user_id") % 2 == 0), "event_id", p=8)
+    b = hll_build(e.filter(F.col("event_id") % 3 > 0), "event_id", p=8)
+    exact = (e.filter((F.col("user_id") % 2 == 0)
+                      & (F.col("event_id") % 3 > 0))
+             .agg(F.count_distinct("event_id")
+                  .alias("exact_intersection")))
+    return hll_intersect_estimate(a, b, p=8).join(exact)
+
+
+def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (dataops/web.py:url_dedup_groups): messy
+    absolute URLs (mixed-case scheme/host, www, default ports,
+    trailing slashes, tracking params, fragments — synthesized
+    deterministically from documents so both engines see identical
+    inputs) collapse to canonical form, then one map-side-combined
+    groupBy yields the crawl-dedup ledger (canon_url, n_docs,
+    keeper_id). Canonicalization is a zero-shuffle codegen chain:
+    regexp part extraction + in-row filter/sort of query params."""
+    from seatunnel_spark.dataops.web import url_dedup_groups
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(
+            F.lit("https://")),
+        F.col("source"), F.lit(".example.com"),
+        F.when(i % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Articles/"), (i % 37).cast("string"),
+        F.when(i % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?z=2&utm_source=feed&id="), (i % 5).cast("string"),
+        F.when(i % 6 == 0, F.lit("&fbclid=abc")).otherwise(F.lit("")),
+        F.lit("#frag"),
+    )
+    return url_dedup_groups(d.select("doc_id", url.alias("url")),
+                            "url", "doc_id")
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag median + MAD of extended price (dataops/
     analytics.py:group_mad): robust dispersion via two exact
@@ -2990,6 +3041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ewma": q_ewma,
         "q_hll_distinct": q_hll_distinct,
         "q_hll_merge": q_hll_merge,
+        "q_hll_intersect": q_hll_intersect,
+        "web_url_dedup": web_url_dedup,
         "text_bpe_pairs": text_bpe_pairs,
         "text_bpe_encode": text_bpe_encode,
         "text_bpe_encode_docs": text_bpe_encode_docs,
@@ -6036,6 +6089,33 @@ def _acf_sql(max_lag: int) -> str:
         """
 
 
+def _hll_est_cte(pred: str, tag: str) -> str:
+    """One p=8 HLL register build + estimate over `events.event_id`
+    filtered by `pred`, as a CTE chain ending in est_{tag}(est) — the
+    identical register split / exact-integer harmonic sum as the
+    q_hll_distinct oracle (4.341691417504662e+23 = alpha_256·256²·2⁶³)."""
+    raw = (f"4.341691417504662e+23 / CAST(s_{tag} + (256 - nz_{tag})"
+           f"::HUGEINT * 9223372036854775808::HUGEINT AS DOUBLE)")
+    return f"""h_{tag} AS (
+              SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2) AS INT) AS reg,
+                     CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 3, 14) AS BIGINT) AS w
+              FROM events WHERE event_id IS NOT NULL AND ({pred})
+            ), r_{tag} AS (
+              SELECT reg, max(CASE WHEN w = 0 THEN 57
+                                   ELSE 56 - length(bin(w)) + 1 END) AS rho
+              FROM h_{tag} GROUP BY 1
+            ), agg_{tag} AS (
+              SELECT sum(((CAST(1 AS BIGINT) << (63 - rho)))::HUGEINT) AS s_{tag},
+                     count(*) AS nz_{tag}
+              FROM r_{tag}
+            ), est_{tag} AS (
+              SELECT round(CASE WHEN {raw} <= 640.0 AND nz_{tag} < 256
+                     THEN 256.0 * ln(256.0 / (256 - nz_{tag}))
+                     ELSE {raw} END, 2) AS est
+              FROM agg_{tag}
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     """Queries that are plan-level variants with IDENTICAL semantics
     share one oracle: q_pagerank_bucketed runs the same fixed-point
@@ -6061,6 +6141,73 @@ def oracle_sql() -> dict[str, str]:
         """
     d["q_label_prop"] = _label_prop_unrolled_sql(iters=2, min_support=3)
     d["q_acf"] = _acf_sql(max_lag=7)
+    # inclusion-exclusion over three replayed register builds; the
+    # union sketch == a build over the OR of the predicates (the
+    # hll_merge bit-identity, tested in test_dataops/test_streaming)
+    d["q_hll_intersect"] = f"""
+            WITH {_hll_est_cte("user_id % 2 = 0", "a")},
+            {_hll_est_cte("event_id % 3 > 0", "b")},
+            {_hll_est_cte("(user_id % 2 = 0) OR (event_id % 3 > 0)",
+                          "u")},
+            ex AS (
+              SELECT count(DISTINCT event_id) AS exact_intersection
+              FROM events
+              WHERE user_id % 2 = 0 AND event_id % 3 > 0
+            )
+            SELECT est_a.est AS est_a, est_b.est AS est_b,
+                   est_u.est AS est_union,
+                   round(est_a.est + est_b.est - est_u.est, 2)
+                     AS est_intersection,
+                   ex.exact_intersection
+            FROM est_a, est_b, est_u, ex
+        """
+    d["web_url_dedup"] = r"""
+            WITH u AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
+                      ELSE 'https://' END)
+                || source || '.example.com'
+                || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+                || '/Articles/' || CAST(doc_id % 37 AS VARCHAR)
+                || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+                || '?z=2&utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+                || (CASE WHEN doc_id % 6 = 0 THEN '&fbclid=abc' ELSE '' END)
+                || '#frag' AS url
+              FROM documents
+            ), parts AS (
+              SELECT doc_id,
+                lower(regexp_extract(url,
+                  '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(lower(regexp_replace(regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                  '^[^@]*@', '')), '^www\.', '') AS h,
+                regexp_replace(regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                  '/+$', '') AS p,
+                list_sort(list_filter(
+                  string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                  x -> x <> '' AND NOT regexp_matches(x,
+                    '^(utm_[^=]*|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)(=|$)')
+                )) AS kept
+              FROM u
+            ), norm AS (
+              SELECT doc_id,
+                scheme || '://'
+                || (CASE WHEN scheme = 'https'
+                         THEN regexp_replace(h, ':443$', '')
+                         WHEN scheme = 'http'
+                         THEN regexp_replace(h, ':80$', '')
+                         ELSE h END)
+                || (CASE WHEN p = '' THEN '/' ELSE p END)
+                || (CASE WHEN len(kept) > 0
+                         THEN '?' || array_to_string(kept, '&')
+                         ELSE '' END) AS canon_url
+              FROM parts
+            )
+            SELECT canon_url, count(*) AS n_docs,
+                   min(doc_id) AS keeper_id
+            FROM norm GROUP BY 1
+        """
     d["q_cusum"] = """
             WITH daily AS (
               SELECT CAST(ts AS DATE) AS day,

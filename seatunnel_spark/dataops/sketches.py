@@ -303,3 +303,31 @@ def hll_estimate(sketch: DataFrame, group_cols: list[str],
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
     est = F.when((raw <= 2.5 * m) & (v > 0), linear).otherwise(raw)
     return agg.select(*group_cols, F.round(est, 2).alias("est"))
+
+
+def hll_intersect_estimate(a: DataFrame, b: DataFrame, p: int = 8,
+                           round_to: int = 2) -> DataFrame:
+    """Inclusion-exclusion intersection estimate from two ungrouped
+    register tables -> one row (est_a, est_b, est_union,
+    est_intersection): |A∩B| ≈ est(A) + est(B) - est(A∪B), where the
+    union sketch is the per-register MAX merge (bit-identical to
+    building over the concatenated data — the hll_merge identity).
+    The audience-overlap / cross-day-retention readout two persisted
+    sketches can answer WITHOUT rescanning either corpus.
+
+    Caveat inherited from the estimator (documented, not hidden):
+    inclusion-exclusion compounds the ±1.04/√m relative error of
+    three estimates onto a possibly much smaller intersection, so the
+    result can be negative for near-disjoint sets — it is reported
+    as computed (the standard HLL behavior) rather than clamped, so
+    callers can see the sign carry the uncertainty. All arithmetic
+    runs on the <= 3·2^p register rows."""
+    ea = hll_estimate(a, [], p).select(F.col("est").alias("est_a"))
+    eb = hll_estimate(b, [], p).select(F.col("est").alias("est_b"))
+    eu = (hll_estimate(hll_merge(a, b), [], p)
+          .select(F.col("est").alias("est_union")))
+    return (ea.join(eb).join(eu)
+            .select("est_a", "est_b", "est_union",
+                    F.round(F.col("est_a") + F.col("est_b")
+                            - F.col("est_union"), round_to)
+                    .alias("est_intersection")))

@@ -2666,3 +2666,63 @@ def test_k_core_peel_cascade(spark):
     core = sorted((r["node"], r["degree"])
                   for r in k_core(df, 2).collect())
     assert core == [(20, 2), (21, 2), (22, 2)]
+
+
+def test_canonical_url_rules(spark):
+    """Each normalization rule hand-checked: case, www, default port,
+    userinfo, tracking params, param sort, trailing slash, fragment,
+    path-case preservation, non-http ports kept, relative passthrough."""
+    from seatunnel_spark.dataops.web import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/A/b/?utm_source=x&b=2&a=1#f",
+         "https://ex.com/A/b?a=1&b=2"),
+        ("http://user:pw@ex.com:80/", "http://ex.com/"),
+        ("http://ex.com", "http://ex.com/"),
+        ("https://ex.com:8443/x", "https://ex.com:8443/x"),  # non-default port kept
+        ("https://ex.com/x?gclid=1&fbclid=2&ref=3", "https://ex.com/x"),
+        ("https://ex.com/x?ref=3&refresh=1", "https://ex.com/x?refresh=1"),
+        ("ftp://Ex.com:80/f", "ftp://ex.com:80/f"),  # :80 only default for http
+        ("not-a-url", "not-a-url"),
+        ("  https://ex.com/x  ", "https://ex.com/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r["c"] for r in
+           df.select(canonical_url("url").alias("c")).collect()]
+    for (u, want), c in zip(cases, got):
+        assert c == want, f"{u!r}: got {c!r}, want {want!r}"
+
+
+def test_url_dedup_groups(spark):
+    """http/https-variant, www-variant, and tracking-param-variant
+    fetches of one page collapse to a single group with the min id
+    as keeper; a genuinely different query param does not collapse."""
+    from seatunnel_spark.dataops.web import url_dedup_groups
+
+    df = spark.createDataFrame([
+        (1, "https://ex.com/a?utm_source=x"),
+        (2, "HTTPS://www.ex.com/a/"),
+        (3, "https://ex.com:443/a#top"),
+        (4, "https://ex.com/a?page=2"),
+    ], ["doc_id", "url"])
+    got = {r["canon_url"]: (r["n_docs"], r["keeper_id"])
+           for r in url_dedup_groups(df, "url", "doc_id").collect()}
+    assert got["https://ex.com/a"] == (3, 1)
+    assert got["https://ex.com/a?page=2"] == (1, 4)
+
+
+def test_hll_intersect_estimate_known_overlap(spark):
+    """A = 1..4000, B = 2001..6000 (overlap 2000): the
+    inclusion-exclusion estimate lands within the compounded
+    3·1.04/√256 ≈ 20% band, and est_union <= est_a + est_b."""
+    from seatunnel_spark.dataops.sketches import (hll_build,
+                                                  hll_intersect_estimate)
+
+    a = hll_build(spark.range(1, 4001).selectExpr("id AS v"), "v", p=8)
+    b = hll_build(spark.range(2001, 6001).selectExpr("id AS v"), "v", p=8)
+    row = hll_intersect_estimate(a, b, p=8).collect()[0]
+    assert abs(row["est_a"] - 4000) / 4000 < 0.2
+    assert abs(row["est_b"] - 4000) / 4000 < 0.2
+    assert abs(row["est_union"] - 6000) / 6000 < 0.2
+    assert abs(row["est_intersection"] - 2000) / 2000 < 0.45
+    assert row["est_union"] <= row["est_a"] + row["est_b"]
