@@ -1332,6 +1332,38 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     centroids=_ivf_codebook(), round_to=4)
 
 
+def _pq_codebooks() -> list[list[list[float]]]:
+    """Deterministic seeded PQ codebooks (seed 11, 4 subspaces × 16
+    centroids × 16 dims, scaled ~unit-norm) — fixed so the DuckDB
+    oracle replays identical encoding and ADC from literal values
+    (same pattern as _ivf_codebook; the TRAINED path pq_train is
+    exercised in tests/test_dataops.py with a recall floor)."""
+    import numpy as np
+
+    mat = np.random.default_rng(11).standard_normal((4, 16, 16)) * 0.25
+    return [[[float(x) for x in cent] for cent in book] for book in mat]
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (dataops/similarity.py:
+    pq_encode + pq_topk — Jégou et al. 2011): the corpus is encoded
+    once to 4 small ints per vector (the write-once artifact that
+    makes 100 TB of embeddings scannable: m codes instead of dim
+    floats), then each query scores rows as Σ_s ||q_s − cb[s][code]||²
+    — m literal-array lookups + m·(dim/m) multiply-adds per row, pure
+    codegen, queries broadcast. Rounded-before-ranking per the
+    brute_force_topk convention; the oracle replays encode AND ADC
+    from the literal codebooks."""
+    from seatunnel_spark.dataops.similarity import pq_encode, pq_topk
+
+    e = _emb_double(spark, sf_dir)
+    books = _pq_codebooks()
+    codes = pq_encode(e, books).select("vec_id", "codes")
+    q = e.filter(F.col("vec_id") < 5)
+    return pq_topk(q, codes, books, "vec_id", "vec_id", k=10,
+                   round_to=4)
+
+
 def sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN recall audit (dataops/similarity.py:topk_recall): recall@10
     of the two shipped approximate indexes (LSH planes=4, IVF nlist=8
@@ -2995,6 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "sim_lsh_topk": sim_lsh_topk,
         "sim_ivf_topk": sim_ivf_topk,
+        "sim_pq_topk": sim_pq_topk,
         "sim_recall": sim_recall,
         "sim_hybrid_rrf": sim_hybrid_rrf,
         "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -6056,6 +6089,65 @@ def _label_prop_unrolled_sql(iters: int, min_support: int) -> str:
             + f"\n            SELECT node, label FROM l{iters}")
 
 
+def _pq_oracle_sql(k_top: int = 10) -> str:
+    """Oracle for sim_pq_topk: per-subspace encode (rounded-distance
+    argmin, lowest-index tie — the kmeans dist_cte discipline) from
+    the literal seed-11 codebooks, then ADC scoring and the
+    (adc_dist, cid) ranking, all replayed in DuckDB."""
+    books = _pq_codebooks()
+    d0 = len(books[0][0])
+    ctes = ["v AS (SELECT vec_id, embedding::DOUBLE[] AS x"
+            " FROM embeddings)",
+            "q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv"
+            " FROM embeddings WHERE vec_id < 5)"]
+    for s, book in enumerate(books):
+        off = s * d0
+        vals = ",\n                ".join(
+            f"({ci}, [{', '.join(repr(v) for v in cent)}]::DOUBLE[])"
+            for ci, cent in enumerate(book))
+        ctes.append(f"cb{s} AS (SELECT * FROM (VALUES {vals})"
+                    f" t(ci, c))")
+        ctes.append(f"""d{s} AS (
+              SELECT v.vec_id, cb.ci,
+                     round(list_sum(list_transform(
+                         generate_series(1, {d0}),
+                         i -> (v.x[{off} + i] - cb.c[i])
+                            * (v.x[{off} + i] - cb.c[i]))), 6) AS d
+              FROM v, cb{s} cb)""")
+        ctes.append(f"""a{s} AS (
+              SELECT vec_id, ci FROM (
+                SELECT vec_id, ci, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d, ci) AS rn
+                FROM d{s}) WHERE rn = 1)""")
+        ctes.append(f"""s{s} AS (
+              SELECT q.qid, a.vec_id AS cid,
+                     list_sum(list_transform(
+                         generate_series(1, {d0}),
+                         i -> (q.qv[{off} + i] - cb.c[i])
+                            * (q.qv[{off} + i] - cb.c[i]))) AS ds
+              FROM q, a{s} a JOIN cb{s} cb ON a.ci = cb.ci)""")
+    joins = " ".join(
+        f"JOIN s{s} ON s0.qid = s{s}.qid AND s0.cid = s{s}.cid"
+        for s in range(1, len(books)))
+    total = " + ".join(f"s{s}.ds" for s in range(len(books)))
+    joined = ",\n            ".join(ctes)
+    return f"""
+            WITH {joined},
+            t AS (
+              SELECT s0.qid, s0.cid,
+                     round({total}, 4) AS adc_dist
+              FROM s0 {joins}
+            )
+            SELECT qid AS query_id, cid AS match_id, adc_dist,
+                   CAST(rank AS INT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY qid
+                      ORDER BY adc_dist, cid) AS rank
+                  FROM t)
+            WHERE rank <= {k_top}
+        """
+
+
 def _acf_sql(max_lag: int) -> str:
     """Oracle for q_acf: the identical biased-ACF arithmetic — daily
     count series, one lead per lag, Σ products / Σ squares."""
@@ -6141,6 +6233,7 @@ def oracle_sql() -> dict[str, str]:
         """
     d["q_label_prop"] = _label_prop_unrolled_sql(iters=2, min_support=3)
     d["q_acf"] = _acf_sql(max_lag=7)
+    d["sim_pq_topk"] = _pq_oracle_sql(k_top=10)
     # inclusion-exclusion over three replayed register builds; the
     # union sketch == a build over the OR of the predicates (the
     # hll_merge bit-identity, tested in test_dataops/test_streaming)

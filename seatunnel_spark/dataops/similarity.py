@@ -346,3 +346,115 @@ def topk_recall(approx: DataFrame, exact: DataFrame,
                     F.round(F.coalesce("n_hits", F.lit(0))
                             / F.col("n_true"), round_to)
                     .alias("recall")))
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    vector into `m` contiguous subvectors and run the deterministic
+    distributed Lloyd's (embeddings.kmeans_fit — lowest-id init,
+    rounded-argmin assignment) independently per subspace. Returns
+    m × k × (dim/m) floats — the whole model is m·k·(dim/m) = k·dim
+    numbers, driver-tiny by construction, while the ENCODED corpus
+    shrinks from dim floats to m small ints per vector: the structure
+    that makes 100 TB of embeddings scannable.
+
+    `m` sequential kmeans fits, each shuffling only (cluster, dim,
+    partial-avg) triples; the corpus is scanned m·iters times — train
+    on a sample at scale (the standard practice), encode everything."""
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d0 = dim // m
+    from seatunnel_spark.dataops.embeddings import kmeans_fit
+
+    x = F.col(vec_col).cast("array<double>")
+    books = []
+    for s in range(m):
+        sub = corpus.select(F.col(id_col),
+                            F.slice(x, s * d0 + 1, d0).alias("__sub"))
+        books.append(kmeans_fit(sub, "__sub", id_col, k=k, iters=iters))
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Attach the m-code PQ encoding of `vec_col` as `out_col` — per
+    subspace the rounded-distance argmin against broadcast-literal
+    centroids (same tie discipline as kmeans_assign: round first,
+    lowest index wins). A zero-shuffle codegen projection: this is the
+    write-once step — persist (id, codes) next to the corpus and every
+    later search scans m ints per vector instead of dim floats."""
+    from seatunnel_spark.dataops.embeddings import _assign_expr
+
+    d0 = len(codebooks[0][0])
+    x = F.col(vec_col).cast("array<double>")
+    codes = F.array(*[
+        _assign_expr(F.slice(x, s * d0 + 1, d0), book, round_to)
+        for s, book in enumerate(codebooks)
+    ])
+    return df.withColumn(out_col, codes)
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    codes_col: str = "codes",
+    k: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k -> (query_id, match_id,
+    adc_dist, rank): score every encoded corpus row against each raw
+    query vector as Σ_s ||q_sub_s − codebook[s][code_s]||² — the query
+    side stays exact, the corpus side is its m codes, so the scan
+    touches no corpus vectors at all. Ranking is ascending distance
+    with id tiebreak; `round_to` rounds BEFORE ranking for
+    engine-reproducible results (the brute_force_topk convention).
+
+    Scale shape: queries broadcast (small by assumption); per corpus
+    row the score is m literal-array lookups + m·(dim/m)
+    multiply-adds, pure codegen, no shuffle before the top-k window.
+    The classic pairing is IVF for candidate pruning + PQ for the
+    in-cell scan; this operator is the PQ half and composes with
+    ivf_topk's cell filter."""
+    m = len(codebooks)
+    d0 = len(codebooks[0][0])
+    q = F.broadcast(queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).cast("array<double>").alias("__qv")))
+    c = corpus_codes.select(F.col(corpus_id).alias("__cid"),
+                            F.col(codes_col).alias("__codes"))
+    total = F.lit(0.0)
+    for s in range(m):
+        sub = F.slice(F.col("__qv"), s * d0 + 1, d0)
+        book = F.array(*[F.array(*[F.lit(float(v)) for v in cent])
+                         for cent in codebooks[s]])
+        cent = F.element_at(book, F.element_at("__codes", s + 1) + 1)
+        total = total + F.aggregate(
+            F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v)
+    if round_to is not None:
+        total = F.round(total, round_to)
+    scored = q.join(c).select("__qid", "__cid", total.alias("adc_dist"))
+    w = Window.partitionBy("__qid").orderBy(F.col("adc_dist").asc(),
+                                            F.col("__cid").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("__qid").alias("query_id"),
+                    F.col("__cid").alias("match_id"),
+                    "adc_dist", "rank"))

@@ -2726,3 +2726,62 @@ def test_hll_intersect_estimate_known_overlap(spark):
     assert abs(row["est_union"] - 6000) / 6000 < 0.2
     assert abs(row["est_intersection"] - 2000) / 2000 < 0.45
     assert row["est_union"] <= row["est_a"] + row["est_b"]
+
+
+def test_pq_roundtrip_and_recall(spark):
+    """Trained PQ (m=4, k=16 on the sf0.001 embeddings): encoding is
+    m codes in [0, k); every query's own vector appears in its ADC
+    top-10 (same codes -> minimal quantization distance); recall@10
+    vs exact L2 ground truth clears a modest floor (coarse 4x16
+    codebooks on 64-dim data)."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.similarity import (pq_encode, pq_topk,
+                                                    pq_train)
+
+    e = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+         .withColumn("embedding",
+                     F.transform("embedding", lambda x: x.cast("double"))))
+    books = pq_train(e, m=4, k=16, iters=2)
+    assert len(books) == 4 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)
+
+    codes = pq_encode(e, books).select("vec_id", "codes")
+    crow = codes.filter(F.col("vec_id") == 0).collect()[0]["codes"]
+    assert len(crow) == 4 and all(0 <= c < 16 for c in crow)
+
+    q = e.filter(F.col("vec_id") < 5)
+    approx = pq_topk(q, codes, books, "vec_id", "vec_id", k=10,
+                     round_to=4)
+    got = [(r["query_id"], r["match_id"]) for r in approx.collect()]
+    for qid in range(5):
+        assert (qid, qid) in got, f"query {qid} lost its own vector"
+
+    # exact L2 ground truth
+    a = q.select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv"))
+    b = e.select(F.col("vec_id").alias("cid"),
+                 F.col("embedding").alias("cv"))
+    d2 = F.aggregate(F.zip_with("qv", "cv", lambda x, y: (x-y)*(x-y)),
+                     F.lit(0.0), lambda acc, v: acc + v)
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(),
+                                          F.col("cid").asc())
+    truth = (a.join(b).select("qid", "cid", d2.alias("d"))
+             .withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 10))
+    t = {(r["qid"], r["cid"]) for r in truth.collect()}
+    recall = len(set(got) & t) / len(t)
+    assert recall >= 0.3, f"recall@10 {recall} below floor"
+
+
+def test_pq_train_validates_divisibility(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.similarity import pq_train
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])],
+                               ["vec_id", "embedding"])
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=2, k=1, iters=1)
