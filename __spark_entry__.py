@@ -2513,6 +2513,33 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoint(e, "ts", "count(1)")
 
 
+def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend smoothing of daily event volume
+    (dataops/timeseries.py:holt_linear) with 1-day and 7-day
+    forecasts — the capacity-planning readout. Inherently sequential
+    like EWMA, so the |days|-row series folds through one F.aggregate
+    struct accumulator (pure codegen); the oracle replays the
+    identical IEEE fold with DuckDB list_reduce over struct elements
+    (the q_ewma discipline, upgraded to a 2-component state)."""
+    from seatunnel_spark.dataops.timeseries import holt_linear
+
+    e = _t(spark, sf_dir, "events")
+    return holt_linear(e, "ts", "count(1)", alpha=0.3, beta=0.1)
+
+
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection (dataops/timeseries.py:
+    seasonal_anomalies): 3-sigma flags on the q_seasonal residuals —
+    "is Sunday low because it's Sunday?" answered the way a raw
+    z-score can't. Rounded-residual vs rounded-sigma compare keeps
+    the flag engine-stable; the oracle extends the q_seasonal replay
+    with one stddev_pop CTE."""
+    from seatunnel_spark.dataops.timeseries import seasonal_anomalies
+
+    e = _t(spark, sf_dir, "events")
+    return seasonal_anomalies(e, "ts", "count(1)", period=7)
+
+
 def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quantile) histogram of prices (dataops/analytics.py:
     equidepth_histogram): 8 bins with edges at exact interpolated
@@ -3106,6 +3133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seasonal": q_seasonal,
         "q_acf": q_acf,
         "q_cusum": q_cusum,
+        "q_holt": q_holt,
+        "q_anomaly": q_anomaly,
         "text_lm_bigram": text_lm_bigram,
         "text_novelty": text_novelty,
         "dq_benford": dq_benford,
@@ -6234,6 +6263,73 @@ def oracle_sql() -> dict[str, str]:
     d["q_label_prop"] = _label_prop_unrolled_sql(iters=2, min_support=3)
     d["q_acf"] = _acf_sql(max_lag=7)
     d["sim_pq_topk"] = _pq_oracle_sql(k_top=10)
+    # the identical IEEE left fold as Spark's F.aggregate struct
+    # accumulator: init l=x1,b=0 (list_reduce seeds from the first
+    # element, whose b is 0), then the Holt recurrence per element
+    d["q_holt"] = """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST(count(1) AS DOUBLE) AS value
+              FROM events GROUP BY 1
+            ), arr AS (
+              -- state is a 2-element LIST [level, trend], NOT a
+              -- struct: DuckDB 1.0 evaluates struct-accumulator
+              -- lambda fields against a partially-updated acc
+              -- (measured: the trend field saw the new level mid-
+              -- step), and bare literals are DECIMALs that silently
+              -- truncate the fold — hence the ::DOUBLE on every
+              -- constant. The list form replays Spark's struct
+              -- F.aggregate fold IEEE-exactly.
+              SELECT array_agg([value, 0.0::DOUBLE]
+                               ORDER BY day) AS xs,
+                     count(*) AS n_days
+              FROM daily
+            ), f AS (
+              SELECT n_days, list_reduce(xs, (acc, e) ->
+                [0.3::DOUBLE * e[1]
+                     + 0.7::DOUBLE * (acc[1] + acc[2]),
+                 0.1::DOUBLE * ((0.3::DOUBLE * e[1]
+                             + 0.7::DOUBLE * (acc[1] + acc[2]))
+                             - acc[1]) + 0.9::DOUBLE * acc[2]]) AS st
+              FROM arr
+            )
+            SELECT n_days, round(st[1], 6) AS level,
+                   round(st[2], 6) AS trend,
+                   round(st[1] + st[2], 6) AS forecast_1,
+                   round(st[1] + 7 * st[2], 6) AS forecast_7
+            FROM f
+        """
+    d["q_anomaly"] = """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day, count(*) AS value
+              FROM events GROUP BY 1
+            ), tr AS (
+              SELECT day, value,
+                     CASE WHEN count(*) OVER w = 7
+                          THEN round(avg(value) OVER w, 4) END AS trend,
+                     (day - DATE '1970-01-01') % 7 AS phase
+              FROM daily
+              WINDOW w AS (ORDER BY day
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            ), seas_raw AS (
+              SELECT phase, round(avg(value - trend), 4) AS s_raw
+              FROM tr WHERE trend IS NOT NULL GROUP BY phase
+            ), c AS (SELECT round(avg(s_raw), 4) AS c FROM seas_raw),
+            seas AS (
+              SELECT phase, round(s_raw - c, 4) AS seasonal
+              FROM seas_raw, c
+            ), dec AS (
+              SELECT day, value,
+                     round(value - trend - seasonal, 4) AS resid
+              FROM tr LEFT JOIN seas USING (phase)
+              WHERE trend IS NOT NULL
+            ), sd AS (
+              SELECT round(stddev_pop(resid), 4) AS sigma FROM dec
+            )
+            SELECT day, value, resid, sigma,
+                   abs(resid) > 3.0 * sigma AS is_anomaly
+            FROM dec, sd
+        """
     # inclusion-exclusion over three replayed register builds; the
     # union sketch == a build over the OR of the predicates (the
     # hll_merge bit-identity, tested in test_dataops/test_streaming)

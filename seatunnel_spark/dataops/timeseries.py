@@ -346,3 +346,77 @@ def cusum_changepoint(df: DataFrame, ts_col: str, value_expr: str,
             .select("day", "value", "cusum",
                     (F.abs(F.col("cusum")) == F.col("__p"))
                     .alias("is_peak")))
+
+
+def holt_linear(df: DataFrame, ts_col: str, value_expr: str,
+                alpha: float = 0.3, beta: float = 0.1,
+                round_to: int = 6) -> DataFrame:
+    """Holt double-exponential (level + trend) smoothing of the daily
+    series, final state -> one row (n_days, level, trend, forecast_1,
+    forecast_7): l_t = α·x_t + (1-α)(l_{t-1}+b_{t-1}),
+    b_t = β(l_t−l_{t-1}) + (1-β)b_{t-1}, init l_1 = x_1, b_1 = 0 —
+    the trend-aware upgrade of ewma_last, and forecast_h = l + h·b is
+    the capacity-planning readout ("what will tomorrow / next week's
+    volume be").
+
+    Like EWMA, the recurrence is inherently sequential, so the
+    |days|-row daily series (one map-side-combined shuffle — the only
+    corpus pass) is collected into a single day-sorted array and
+    folded with F.aggregate over a struct accumulator — pure codegen,
+    zero UDF, and the fold's IEEE operation sequence is identical in
+    any engine, so results replay bit-for-bit (rounded only at
+    output; the q_ewma oracle discipline)."""
+    day = F.to_date(F.col(ts_col)).alias("day")
+    daily = df.groupBy(day).agg(
+        F.expr(value_expr).cast("double").alias("value"))
+    arr = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "value")))
+        .alias("__s"),
+        F.count(F.lit(1)).alias("n_days"))
+    xs = F.transform(F.col("__s"), lambda s: s["value"])
+    rest = F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0)))
+    a, b_ = F.lit(float(alpha)), F.lit(float(beta))
+
+    def step(acc, x):
+        nl = a * x + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
+        nb = b_ * (nl - acc["l"]) + (F.lit(1.0) - b_) * acc["b"]
+        return F.struct(nl.alias("l"), nb.alias("b"))
+
+    st = F.aggregate(
+        rest,
+        F.struct(F.element_at(xs, 1).alias("l"),
+                 F.lit(0.0).alias("b")),
+        step)
+    return arr.select(
+        "n_days",
+        F.round(st["l"], round_to).alias("level"),
+        F.round(st["b"], round_to).alias("trend"),
+        F.round(st["l"] + st["b"], round_to).alias("forecast_1"),
+        F.round(st["l"] + 7 * st["b"], round_to).alias("forecast_7"))
+
+
+def seasonal_anomalies(df: DataFrame, ts_col: str, value_expr: str,
+                       period: int = 7, n_sigmas: float = 3.0,
+                       round_to: int = 4) -> DataFrame:
+    """Seasonality-aware anomaly flags -> (day, value, resid, sigma,
+    is_anomaly): decompose (seasonal_decompose), then flag days whose
+    residual exceeds n_sigmas population standard deviations — the
+    answer to "is Sunday low because it's Sunday, or is something
+    wrong?" that a raw z-score gets wrong on seasonal series. Days
+    without a full trend window (the first/last period/2) have no
+    residual and are excluded rather than guessed.
+
+    Scale: everything after the one corpus shuffle runs on the
+    |days|-row decomposition; sigma is a 1-row broadcast. The flag
+    compares ROUNDED residuals against the rounded sigma (both at
+    `round_to`), keeping the boundary engine-stable."""
+    dec = (seasonal_decompose(df, ts_col, value_expr, period, round_to)
+           .filter(F.col("resid").isNotNull()))
+    sd = dec.agg(F.round(F.stddev_pop("resid"), round_to)
+                 .alias("__sd"))
+    return (dec.join(F.broadcast(sd))
+            .select("day", "value", "resid",
+                    F.col("__sd").alias("sigma"),
+                    (F.abs(F.col("resid"))
+                     > F.lit(float(n_sigmas)) * F.col("__sd"))
+                    .alias("is_anomaly")))

@@ -157,3 +157,56 @@ def test_cusum_step_change_peak(spark):
         "event_id long, ts timestamp, value double")
     cz = cusum_changepoint(const, "ts", "sum(value)").collect()
     assert all(r["cusum"] == 0.0 and r["is_peak"] for r in cz)
+
+
+def test_holt_linear_matches_reference_fold(spark):
+    """Engine fold == pure-Python reference fold on a noisy linear
+    series; on a PERFECT linear ramp the trend estimate approaches the
+    true slope from below (b init 0)."""
+    import datetime as _dt
+
+    from seatunnel_spark.dataops.timeseries import holt_linear
+
+    t0 = _dt.datetime(2024, 3, 1)
+    xs = [10.0 + 2.0 * i + (3.0 if i % 5 == 0 else -1.0)
+          for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, t0 + _dt.timedelta(days=i), x) for i, x in enumerate(xs)],
+        "event_id long, ts timestamp, value double")
+    row = holt_linear(df, "ts", "sum(value)", alpha=0.3,
+                      beta=0.1).collect()[0]
+
+    l, b = xs[0], 0.0
+    for x in xs[1:]:
+        nl = 0.3 * x + 0.7 * (l + b)
+        nb = 0.1 * (nl - l) + 0.9 * b
+        l, b = nl, nb
+    assert row["n_days"] == 40
+    assert row["level"] == round(l, 6)
+    assert row["trend"] == round(b, 6)
+    assert row["forecast_1"] == round(l + b, 6)
+    assert row["forecast_7"] == round(l + 7 * b, 6)
+    assert 1.0 < row["trend"] < 2.5  # tracking the true slope 2
+
+
+def test_seasonal_anomalies_flags_injected_spike(spark):
+    """A clean weekly pattern with one spiked day: only the spiked day
+    is flagged; edge days without a full trend window are excluded."""
+    import datetime as _dt
+
+    from seatunnel_spark.dataops.timeseries import seasonal_anomalies
+
+    t0 = _dt.datetime(2024, 3, 4)  # a Monday
+    weekly = [100.0, 110.0, 105.0, 95.0, 90.0, 60.0, 55.0]
+    rows = []
+    for i in range(28):
+        v = weekly[i % 7] + (300.0 if i == 15 else 0.0)
+        rows.append((i, t0 + _dt.timedelta(days=i), v))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double")
+    got = {r["day"].isoformat(): r for r in
+           seasonal_anomalies(df, "ts", "sum(value)",
+                              period=7).collect()}
+    flagged = [d for d, r in got.items() if r["is_anomaly"]]
+    assert flagged == ["2024-03-19"]
+    assert len(got) == 22  # 28 days minus 3 leading + 3 trailing
