@@ -2667,6 +2667,31 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, k=3, src="p1", dst="p2")
 
 
+def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit (dataops/text.py:zipf_fit): OLS of ln(freq) on
+    ln(rank) over the frequency head — natural text sits near slope
+    −1; the sf corpus's template text fits FLAT (slope ≈ −0.18,
+    r² ≈ 0.06), which is precisely the spam signature the diagnostic
+    exists to flag. Head extraction is a distributed TakeOrdered
+    (no vocabulary-sized single-partition sort); OLS runs on the
+    max_terms-row head."""
+    from seatunnel_spark.dataops.text import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), max_terms=500)
+
+
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth (dataops/text.py:vocab_growth):
+    cumulative docs/tokens/distinct-vocab at 10 id-ordered slice
+    boundaries — the "is the crawl still finding new words?"
+    saturation read. Bucket edges are exact doc_id percentiles (one
+    aggregate, the equidepth discipline — NOTHING single-partitions
+    over the corpus); each token contributes its min-bucket once."""
+    from seatunnel_spark.dataops.text import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"), buckets=10)
+
+
 def text_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-distribution KL divergence vs the corpus blend
     (dataops/text.py:domain_kl_drift) — the data-mixing drift
@@ -3125,6 +3150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zscore_outliers": q_zscore_outliers,
         "q_histogram": q_histogram,
         "text_kl_drift": text_kl_drift,
+        "text_zipf": text_zipf,
+        "text_vocab_growth": text_vocab_growth,
         "q_event_pattern": q_event_pattern,
         "q_event_transitions": q_event_transitions,
         "q_event_cadence": q_event_cadence,
@@ -6263,6 +6290,72 @@ def oracle_sql() -> dict[str, str]:
     d["q_label_prop"] = _label_prop_unrolled_sql(iters=2, min_support=3)
     d["q_acf"] = _acf_sql(max_lag=7)
     d["sim_pq_topk"] = _pq_oracle_sql(k_top=10)
+    d["text_zipf"] = r"""
+            WITH toks AS (
+              SELECT unnest(string_split_regex(trim(lower(text)),
+                                               '\s+')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT token, count(*) AS cnt FROM toks
+              WHERE token <> '' GROUP BY 1
+            ), head AS (
+              SELECT cnt, token FROM tf
+              ORDER BY cnt DESC, token LIMIT 500
+            ), ranked AS (
+              SELECT ln(CAST(row_number() OVER (
+                         ORDER BY cnt DESC, token) AS DOUBLE)) AS x,
+                     ln(CAST(cnt AS DOUBLE)) AS y
+              FROM head
+            ), s AS (
+              SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+              FROM ranked
+            )
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6)
+                     AS slope,
+                   round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx))*sx)
+                         / n, 6) AS intercept,
+                   round((n*sxy - sx*sy)*(n*sxy - sx*sy)
+                         / ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
+            FROM s
+        """
+    d["text_vocab_growth"] = r"""
+            WITH e AS (
+              SELECT quantile_cont(CAST(doc_id AS DOUBLE),
+                  [0.1, 0.2, 0.3, 0.4, 0.5,
+                   0.6, 0.7, 0.8, 0.9, 1.0]) AS ed
+              FROM documents
+            ), bd AS (
+              SELECT doc_id,
+                     least(list_sum(list_transform(ed,
+                         t -> CAST(CAST(doc_id AS DOUBLE) > t AS INT))),
+                         9) AS bucket,
+                     len(list_filter(string_split_regex(
+                         trim(lower(text)), '\s+'),
+                         x -> x <> '')) AS nt,
+                     string_split_regex(trim(lower(text)),
+                                        '\s+') AS ws
+              FROM documents, e
+            ), doc_tok AS (
+              SELECT bucket, count(*) AS docs, sum(nt) AS toks
+              FROM bd GROUP BY 1
+            ), first AS (
+              SELECT min_b AS bucket, count(*) AS new FROM (
+                SELECT token, min(bucket) AS min_b FROM (
+                  SELECT bucket, unnest(ws) AS token FROM bd)
+                WHERE token <> '' GROUP BY 1)
+              GROUP BY 1
+            )
+            SELECT d.bucket,
+                   sum(d.docs) OVER w AS docs_cum,
+                   sum(d.toks) OVER w AS tokens_cum,
+                   sum(coalesce(f.new, 0)) OVER w AS vocab_cum
+            FROM doc_tok d LEFT JOIN first f ON d.bucket = f.bucket
+            WINDOW w AS (ORDER BY d.bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        """
     # the identical IEEE left fold as Spark's F.aggregate struct
     # accumulator: init l=x1,b=0 (list_reduce seeds from the first
     # element, whose b is 0), then the Holt recurrence per element

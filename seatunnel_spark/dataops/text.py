@@ -7,7 +7,7 @@ in the hot path, so they run at scan speed on any corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # --------------------------------------------------------------------------
 # token counting
@@ -954,3 +954,98 @@ def source_novelty(df: DataFrame, source_col: str = "source",
                  F.round(F.try_divide(F.sum("__novel"),
                                       F.count(F.lit(1))), round_to)
                  .alias("novelty_rate")))
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text",
+             max_terms: int = 1000, round_to: int = 6) -> DataFrame:
+    """Zipf's-law fit over the frequency head -> one row (n_terms,
+    slope, intercept, r2): OLS of ln(freq) on ln(rank) for the top
+    `max_terms` tokens — natural language sits near slope −1, and a
+    corpus that doesn't (template spam ~ flat head; key-value dumps ~
+    cliff) fails the fit loudly. The companion diagnostic to
+    domain_kl_drift for corpus-mix QA.
+
+    Scale: one map-side-combined token count, then the head is taken
+    with orderBy(count desc, token).limit — Spark plans a DISTRIBUTED
+    TakeOrdered, so no vocabulary-sized single-partition sort exists;
+    ranking and the five OLS sums run on the max_terms-row head
+    only. Ties rank deterministically (count desc, token asc)."""
+    toks = df.select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                          r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    head = tf.orderBy(F.col("cnt").desc(), F.col("token")) \
+             .limit(max_terms)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    ranked = head.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"))
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(cov / varx, round_to).alias("slope"),
+        F.round((F.col("sy") - (cov / varx) * F.col("sx"))
+                / F.col("n"), round_to).alias("intercept"),
+        F.round(cov * cov / (varx * vary), round_to).alias("r2"))
+
+
+def vocab_growth(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 buckets: int = 10) -> DataFrame:
+    """Heaps'-law vocabulary growth curve -> (bucket, docs_cum,
+    tokens_cum, vocab_cum): the corpus in `buckets` id-ordered slices
+    with the cumulative doc count, token count, and DISTINCT-token
+    count at each slice boundary — the "are new documents still
+    bringing new vocabulary?" saturation read (V ~ K·nᵝ, β≈0.5 for
+    natural text; a flattening curve means the crawl is re-fetching
+    what it already has).
+
+    Scale: bucket edges are exact percentiles of `id_col` (one
+    aggregate — the equidepth_histogram discipline; NO doc-count
+    window, so nothing single-partitions over the corpus). Each
+    token's first-appearance bucket = bucket(min doc id) from the
+    one token shuffle; the cumulative sums run on the `buckets`-row
+    result."""
+    edges = df.agg(F.percentile(
+        F.col(id_col).cast("double"),
+        F.array(*[F.lit(i / buckets) for i in range(1, buckets + 1)])
+    ).alias("__e"))
+    bucket_of = lambda c: F.aggregate(  # noqa: E731
+        F.col("__e"),
+        F.lit(0).cast("int"),
+        lambda acc, e: acc + (c.cast("double") > e).cast("int"))
+    b = df.join(F.broadcast(edges))
+    per_doc = b.select(
+        F.least(bucket_of(F.col(id_col)),
+                F.lit(buckets - 1)).alias("bucket"),
+        F.size(F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda x: x != "")).alias("__nt"))
+    doc_tok = per_doc.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("__docs"),
+        F.sum("__nt").alias("__toks"))
+    first = (b.select(
+        F.least(bucket_of(F.col(id_col)),
+                F.lit(buckets - 1)).alias("__b"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                          r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token").agg(F.min("__b").alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("__new")))
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (doc_tok.join(first, "bucket", "left")
+            .select("bucket",
+                    F.sum("__docs").over(w).alias("docs_cum"),
+                    F.sum("__toks").over(w).alias("tokens_cum"),
+                    F.sum(F.coalesce("__new", F.lit(0)))
+                    .over(w).alias("vocab_cum")))

@@ -2785,3 +2785,43 @@ def test_pq_train_validates_divisibility(spark):
                                ["vec_id", "embedding"])
     with _pytest.raises(ValueError, match="not divisible"):
         pq_train(df, m=2, k=1, iters=1)
+
+
+def test_zipf_fit_power_law_vs_flat(spark):
+    """A corpus engineered with freq(rank r) = 1000//r fits slope ~ -1
+    with high r²; a flat 'template spam' corpus (all tokens equally
+    frequent) degenerates toward slope 0."""
+    from seatunnel_spark.dataops.text import zipf_fit
+
+    words = []
+    for r in range(1, 51):
+        words += [f"w{r:03d}"] * (1000 // r)
+    # chunk into docs of 200 words
+    docs = [(i, " ".join(words[i * 200:(i + 1) * 200]))
+            for i in range(len(words) // 200 + 1)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    row = zipf_fit(df, max_terms=50).collect()[0]
+    assert row["n_terms"] == 50
+    assert -1.15 < row["slope"] < -0.85
+    assert row["r2"] > 0.95
+
+    flat = spark.createDataFrame(
+        [(i, "aa bb cc dd ee") for i in range(20)], ["doc_id", "text"])
+    frow = zipf_fit(flat).collect()[0]
+    assert frow["slope"] == 0.0 or abs(frow["slope"]) < 1e-6
+
+
+def test_vocab_growth_saturation_and_growth(spark):
+    """Docs 0-9 share one vocab; docs 10-19 introduce a second one:
+    the cumulative vocab curve steps up exactly at the second half,
+    while token counts grow linearly throughout."""
+    from seatunnel_spark.dataops.text import vocab_growth
+
+    rows = [(i, "alpha beta gamma") for i in range(10)]
+    rows += [(i, "delta epsilon zeta") for i in range(10, 20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["bucket"]: r for r in
+           vocab_growth(df, buckets=4).collect()}
+    assert got[0]["vocab_cum"] == 3 and got[1]["vocab_cum"] == 3
+    assert got[3]["vocab_cum"] == 6
+    assert got[3]["docs_cum"] == 20 and got[3]["tokens_cum"] == 60
