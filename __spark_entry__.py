@@ -2166,6 +2166,33 @@ def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "url", "doc_id")
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution (dataops/analytics.py:
+    touch_attribution): every purchase credited with the touches in
+    its segment (events since the previous purchase), deterministic
+    under equal timestamps via the (ts, event_id) order. One
+    entity-keyed shuffle; struct-ordered min_by/max_by — no
+    touch×conversion pair join, so hot entities cost n, not n²."""
+    from seatunnel_spark.dataops.analytics import touch_attribution
+
+    e = _t(spark, sf_dir, "events")
+    return touch_attribution(e, "user_id", "ts", "event_type",
+                             "purchase", "event_id")
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew pre-flight (dataops/skew.py:skew_report) on
+    lineitem.l_partkey — hot-key shares, per-key skew_ratio (× the
+    average reducer load), and normalized key entropy: the numbers
+    that decide between a plain join, salted_join, and a hot-key cap
+    BEFORE the shuffle runs. One count per key, distributed
+    TakeOrdered head, entropy folded in the same aggregate pass."""
+    from seatunnel_spark.dataops.skew import skew_report
+
+    return skew_report(_t(spark, sf_dir, "lineitem"), "l_partkey",
+                       top=10)
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag median + MAD of extended price (dataops/
     analytics.py:group_mad): robust dispersion via two exact
@@ -3123,6 +3150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cms_counts": text_cms_counts,
         "text_collocations": text_collocations,
         "q_mad": q_mad,
+        "q_skew_report": q_skew_report,
+        "q_attribution": q_attribution,
         "q_ewma": q_ewma,
         "q_hll_distinct": q_hll_distinct,
         "q_hll_merge": q_hll_merge,
@@ -6290,6 +6319,67 @@ def oracle_sql() -> dict[str, str]:
     d["q_label_prop"] = _label_prop_unrolled_sql(iters=2, min_support=3)
     d["q_acf"] = _acf_sql(max_lag=7)
     d["sim_pq_topk"] = _pq_oracle_sql(k_top=10)
+    d["q_attribution"] = """
+            WITH tagged AS (
+              SELECT user_id AS entity, ts AS t, event_type AS ty,
+                     event_id AS o,
+                     coalesce(sum(CASE WHEN event_type = 'purchase'
+                                       THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS seg
+              FROM events
+            ), fl AS (
+              SELECT entity, seg, ty,
+                     row_number() OVER (PARTITION BY entity, seg
+                         ORDER BY t, o) AS rn_a,
+                     row_number() OVER (PARTITION BY entity, seg
+                         ORDER BY t DESC, o DESC) AS rn_d
+              FROM tagged WHERE ty <> 'purchase'
+            ), touches AS (
+              SELECT entity, seg,
+                     max(CASE WHEN rn_a = 1 THEN ty END)
+                       AS first_touch,
+                     max(CASE WHEN rn_d = 1 THEN ty END)
+                       AS last_touch,
+                     count(*) AS n_touches
+              FROM fl GROUP BY 1, 2
+            ), convs AS (
+              SELECT entity, seg, o AS conv_id, t AS conv_ts
+              FROM tagged WHERE ty = 'purchase'
+            )
+            SELECT c.entity, c.conv_id, c.conv_ts,
+                   tt.first_touch, tt.last_touch,
+                   coalesce(tt.n_touches, 0) AS n_touches
+            FROM convs c LEFT JOIN touches tt
+              ON c.entity = tt.entity AND c.seg = tt.seg
+        """
+    d["q_skew_report"] = """
+            WITH counts AS (
+              SELECT CAST(l_partkey AS VARCHAR) AS key,
+                     count(*) AS cnt
+              FROM lineitem GROUP BY 1
+            ), tot AS (
+              SELECT sum(cnt)::DOUBLE AS n, count(*) AS n_keys,
+                     sum(cnt::DOUBLE * ln(cnt::DOUBLE)) AS slnc
+              FROM counts
+            ), head AS (
+              SELECT key, cnt FROM counts
+              ORDER BY cnt DESC, key LIMIT 10
+            )
+            SELECT key, cnt,
+                   round(cnt / n, 6) AS share,
+                   round(sum(cnt) OVER (ORDER BY cnt DESC, key
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) / n, 6) AS cum_share,
+                   round(cnt / (n / n_keys), 6) AS skew_ratio,
+                   n_keys,
+                   round(CASE WHEN n_keys > 1
+                         THEN (ln(n) - slnc / n)
+                              / ln(n_keys::DOUBLE)
+                         ELSE 0.0 END, 6) AS entropy_norm
+            FROM head, tot
+        """
     d["text_zipf"] = r"""
             WITH toks AS (
               SELECT unnest(string_split_regex(trim(lower(text)),

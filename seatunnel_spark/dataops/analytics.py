@@ -6,7 +6,7 @@ so the shuffle volume is one row per (group) not per (event)."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -838,3 +838,46 @@ def inter_event_stats(df: DataFrame, entity_col: str = "user_id",
                  F.round(F.expr("percentile(__gap, 0.75)")
                          - F.expr("percentile(__gap, 0.25)"), round_to)
                  .alias("iqr_s")))
+
+
+def touch_attribution(df: DataFrame, entity_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      conversion: str = "purchase",
+                      order_col: str = "event_id") -> DataFrame:
+    """First/last-touch attribution -> one row per conversion event
+    (entity, conv_id, conv_ts, first_touch, last_touch, n_touches):
+    each conversion is credited with the touches in ITS segment — the
+    events since the previous conversion (or the start of history) —
+    the standard multi-conversion attribution window, deterministic
+    under equal timestamps via the (ts, order_col) total order.
+
+    Scale: one entity-keyed shuffle total. The segment index is a
+    running prior-conversion count (window sum), touch extremes are
+    struct-ordered min_by/max_by aggregates per (entity, segment) —
+    no touch×conversion pair join ever materializes, so a hot entity
+    costs its event count, not events², and the conversion join is
+    |conversions|-row on both sides."""
+    w = (Window.partitionBy(entity_col)
+         .orderBy(F.col(ts_col), F.col(order_col))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    is_conv = (F.col(type_col) == conversion).cast("int")
+    seg = F.coalesce(F.sum(is_conv).over(w), F.lit(0))
+    tagged = df.select(
+        F.col(entity_col).alias("entity"), F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__t"), F.col(order_col).alias("__o"),
+        seg.alias("__seg"))
+    ordkey = F.struct(F.col("__ts").alias("ts"), F.col("__o").alias("o"))
+    touches = (tagged.filter(F.col("__t") != conversion)
+               .groupBy("entity", "__seg")
+               .agg(F.min_by("__t", ordkey).alias("first_touch"),
+                    F.max_by("__t", ordkey).alias("last_touch"),
+                    F.count(F.lit(1)).alias("n_touches")))
+    convs = (tagged.filter(F.col("__t") == conversion)
+             .select("entity", "__seg",
+                     F.col("__o").alias("conv_id"),
+                     F.col("__ts").alias("conv_ts")))
+    return (convs.join(touches, ["entity", "__seg"], "left")
+            .select("entity", "conv_id", "conv_ts",
+                    "first_touch", "last_touch",
+                    F.coalesce("n_touches", F.lit(0))
+                    .alias("n_touches")))

@@ -21,7 +21,7 @@ rows-per-task, and keep the replicated side the SMALL one.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def salted_join(
@@ -48,3 +48,51 @@ def salted_join(
     )
     out = s.join(o, keys + ["__salt"], how)
     return out.drop("__salt")
+
+
+def skew_report(df: DataFrame, key_col: str, top: int = 10,
+                round_to: int = 6) -> DataFrame:
+    """Key-skew diagnostic -> `top` rows (key, cnt, share, cum_share,
+    skew_ratio, n_keys, entropy_norm): the pre-flight check before
+    shuffling on `key_col` — exactly the read that decides between a
+    plain join, `salted_join`, and a hot-key cap. Per hot key: its
+    row share, the cumulative head share, and skew_ratio =
+    cnt / (N / n_keys) (how many times an average reducer's load the
+    hottest task would carry). entropy_norm is the normalized Shannon
+    entropy of the FULL key distribution (1 = uniform, → 0 = one key
+    owns the table), constant across the report's rows.
+
+    Scale: one map-side-combined count per key; the head is a
+    distributed TakeOrdered (never a key-cardinality sort); entropy
+    folds the (cnt)-table in the same aggregate pass as N and n_keys.
+    Deterministic head order: cnt desc, key asc (stringified)."""
+    counts = (df.select(F.col(key_col).cast("string").alias("key"))
+              .groupBy("key").agg(F.count(F.lit(1)).alias("cnt")))
+    counts = counts.persist()
+    tot = counts.agg(
+        F.sum("cnt").cast("double").alias("__n"),
+        F.count(F.lit(1)).alias("n_keys"),
+        # Σ p ln p folded in the same pass; guarded for single-key
+        F.sum(F.col("cnt").cast("double")
+              * F.log(F.col("cnt").cast("double"))).alias("__slnc"))
+    head = (counts.orderBy(F.col("cnt").desc(), F.col("key"))
+            .limit(top))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # H = ln N - (1/N) Σ c ln c ; normalized by ln(n_keys)
+    ent = F.when(
+        F.col("n_keys") > 1,
+        (F.log(F.col("__n")) - F.col("__slnc") / F.col("__n"))
+        / F.log(F.col("n_keys").cast("double"))).otherwise(F.lit(0.0))
+    return (head.join(F.broadcast(tot))
+            .select("key", "cnt",
+                    F.round(F.col("cnt") / F.col("__n"), round_to)
+                    .alias("share"),
+                    F.round(F.sum(F.col("cnt")).over(w)
+                            / F.col("__n"), round_to)
+                    .alias("cum_share"),
+                    F.round(F.col("cnt")
+                            / (F.col("__n") / F.col("n_keys")),
+                            round_to).alias("skew_ratio"),
+                    "n_keys",
+                    F.round(ent, round_to).alias("entropy_norm")))

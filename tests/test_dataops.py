@@ -2825,3 +2825,55 @@ def test_vocab_growth_saturation_and_growth(spark):
     assert got[0]["vocab_cum"] == 3 and got[1]["vocab_cum"] == 3
     assert got[3]["vocab_cum"] == 6
     assert got[3]["docs_cum"] == 20 and got[3]["tokens_cum"] == 60
+
+
+def test_skew_report_hand_computed(spark):
+    """a×6, b×3, c×1: shares, cumulative head, skew_ratio vs the
+    average reducer load, and normalized entropy all hand-checked."""
+    import math
+
+    from seatunnel_spark.dataops.skew import skew_report
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)]
+    df = spark.createDataFrame(rows, ["k"])
+    got = {r["key"]: r for r in skew_report(df, "k", top=3).collect()}
+    assert got["a"]["cnt"] == 6 and got["a"]["share"] == 0.6
+    assert got["a"]["skew_ratio"] == round(6 / (10 / 3), 6)
+    assert got["b"]["cum_share"] == 0.9
+    assert got["c"]["cum_share"] == 1.0
+    ent = -(0.6 * math.log(0.6) + 0.3 * math.log(0.3)
+            + 0.1 * math.log(0.1)) / math.log(3)
+    assert got["a"]["entropy_norm"] == round(ent, 6)
+    assert got["a"]["n_keys"] == 3
+
+    # single-key table: entropy 0, ratio 1
+    one = skew_report(spark.createDataFrame([("x",)] * 4, ["k"]),
+                      "k").collect()[0]
+    assert one["entropy_norm"] == 0.0 and one["skew_ratio"] == 1.0
+
+
+def test_touch_attribution_segments(spark):
+    """view,click,PURCHASE,view,PURCHASE,PURCHASE: each conversion is
+    credited with exactly its segment's touches; a back-to-back
+    conversion gets zero touches and null first/last."""
+    import datetime as _dt
+
+    from seatunnel_spark.dataops.analytics import touch_attribution
+
+    t0 = _dt.datetime(2024, 4, 1)
+    evs = [(1, "view"), (2, "click"), (3, "purchase"),
+           (4, "view"), (5, "purchase"), (6, "purchase")]
+    rows = [(eid, t0 + _dt.timedelta(minutes=eid), 7, ty)
+            for eid, ty in evs]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string")
+    got = {r["conv_id"]: r for r in
+           touch_attribution(df, "user_id", "ts", "event_type",
+                             "purchase", "event_id").collect()}
+    assert got[3]["first_touch"] == "view"
+    assert got[3]["last_touch"] == "click"
+    assert got[3]["n_touches"] == 2
+    assert got[5]["first_touch"] == got[5]["last_touch"] == "view"
+    assert got[5]["n_touches"] == 1
+    assert got[6]["first_touch"] is None and got[6]["n_touches"] == 0
