@@ -1364,6 +1364,24 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    round_to=4)
 
 
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB ANN architecture (dataops/similarity.py:
+    ivfpq_topk): IVF cell pruning (seed-7 coarse codebook, nprobe=2
+    of 8 cells) + PQ ADC scoring inside the probed cells (seed-11
+    codebooks — m codes per row, no corpus vectors touched). One
+    projection attaches cell+codes; the __cell equi-join is the only
+    movement before the top-k window. The oracle replays coarse
+    assignment, probe order, per-subspace encoding, AND the ADC sum
+    from the literal codebooks."""
+    from seatunnel_spark.dataops.similarity import ivfpq_topk
+
+    e = _emb_double(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(q, e, _pq_codebooks(), "vec_id", "vec_id",
+                      k=10, nprobe=2,
+                      coarse_centroids=_ivf_codebook(), round_to=4)
+
+
 def sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN recall audit (dataops/similarity.py:topk_recall): recall@10
     of the two shipped approximate indexes (LSH planes=4, IVF nlist=8
@@ -2191,6 +2209,21 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return skew_report(_t(spark, sf_dir, "lineitem"), "l_partkey",
                        top=10)
+
+
+def q_rolling_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day DAU from MERGED DAILY SKETCHES (dataops/
+    sketches.py:hll_rolling_estimate): the event log is scanned once
+    into |days|x256 registers; every window width is then a
+    re-window of that persisted table (per-register trailing MAX) —
+    where the exact q_rolling_dau must re-shuffle (day, user) pairs
+    per width. The oracle replays registers, the dense day-spine, the
+    trailing merge, and the exact-integer estimator."""
+    from seatunnel_spark.dataops.sketches import hll_rolling_estimate
+
+    e = _t(spark, sf_dir, "events")
+    return hll_rolling_estimate(e, "ts", "user_id", window_days=7,
+                                p=8)
 
 
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3107,6 +3140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": sim_lsh_topk,
         "sim_ivf_topk": sim_ivf_topk,
         "sim_pq_topk": sim_pq_topk,
+        "sim_ivfpq_topk": sim_ivfpq_topk,
         "sim_recall": sim_recall,
         "sim_hybrid_rrf": sim_hybrid_rrf,
         "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -3152,6 +3186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mad": q_mad,
         "q_skew_report": q_skew_report,
         "q_attribution": q_attribution,
+        "q_rolling_dau_hll": q_rolling_dau_hll,
         "q_ewma": q_ewma,
         "q_hll_distinct": q_hll_distinct,
         "q_hll_merge": q_hll_merge,
@@ -6233,6 +6268,88 @@ def _pq_oracle_sql(k_top: int = 10) -> str:
         """
 
 
+def _ivfpq_oracle_sql(k_top: int = 10, nprobe: int = 2) -> str:
+    """Oracle for sim_ivfpq_topk: the sim_ivf_topk cell/probe replay
+    (literal seed-7 coarse centroids) composed with the sim_pq_topk
+    encode/ADC replay (literal seed-11 codebooks), ADC restricted to
+    probed cells."""
+    books = _pq_codebooks()
+    d0 = len(books[0][0])
+    ivf_scores = _ivf_scores_sql()
+    ctes = [f"""e AS (
+              -- x and emb are the same vector: the PQ blocks read x,
+              -- the shared _ivf_scores_sql expression reads emb/nrm
+              SELECT vec_id, embedding::DOUBLE[] AS x,
+                     embedding::DOUBLE[] AS emb,
+                     sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])) AS nrm
+              FROM embeddings
+            ), sc AS (
+              SELECT vec_id, x, nrm, {ivf_scores} AS scores
+              FROM e
+            ), cells AS (
+              SELECT vec_id, (list_aggregate(scores, 'max')).i AS cell
+              FROM sc
+            ), qp AS (
+              SELECT vec_id AS qid, x AS qv,
+                     unnest(list_transform(
+                       list_slice(list_reverse_sort(scores),
+                                  1, {nprobe}),
+                       s -> s.i)) AS cell
+              FROM sc WHERE vec_id < 5
+            ), pairs AS (
+              SELECT qp.qid, qp.qv, c.vec_id AS cid
+              FROM qp JOIN cells c ON qp.cell = c.cell
+            )"""]
+    for s, book in enumerate(books):
+        off = s * d0
+        vals = ",\n                ".join(
+            f"({ci}, [{', '.join(repr(v) for v in cent)}]::DOUBLE[])"
+            for ci, cent in enumerate(book))
+        ctes.append(f"cb{s} AS (SELECT * FROM (VALUES {vals})"
+                    f" t(ci, c))")
+        ctes.append(f"""d{s} AS (
+              SELECT e.vec_id, cb.ci,
+                     round(list_sum(list_transform(
+                         generate_series(1, {d0}),
+                         i -> (e.x[{off} + i] - cb.c[i])
+                            * (e.x[{off} + i] - cb.c[i]))), 6) AS d
+              FROM e, cb{s} cb)""")
+        ctes.append(f"""a{s} AS (
+              SELECT vec_id, ci FROM (
+                SELECT vec_id, ci, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d, ci) AS rn
+                FROM d{s}) WHERE rn = 1)""")
+        ctes.append(f"""s{s} AS (
+              SELECT p.qid, p.cid,
+                     list_sum(list_transform(
+                         generate_series(1, {d0}),
+                         i -> (p.qv[{off} + i] - cb.c[i])
+                            * (p.qv[{off} + i] - cb.c[i]))) AS ds
+              FROM pairs p JOIN a{s} a ON p.cid = a.vec_id
+                   JOIN cb{s} cb ON a.ci = cb.ci)""")
+    joins = " ".join(
+        f"JOIN s{s} ON s0.qid = s{s}.qid AND s0.cid = s{s}.cid"
+        for s in range(1, len(books)))
+    total = " + ".join(f"s{s}.ds" for s in range(len(books)))
+    joined = ",\n            ".join(ctes)
+    return f"""
+            WITH {joined},
+            t AS (
+              SELECT s0.qid, s0.cid,
+                     round({total}, 4) AS adc_dist
+              FROM s0 {joins}
+            )
+            SELECT qid AS query_id, cid AS match_id, adc_dist,
+                   CAST(rank AS INT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY qid
+                      ORDER BY adc_dist, cid) AS rank
+                  FROM t)
+            WHERE rank <= {k_top}
+        """
+
+
 def _acf_sql(max_lag: int) -> str:
     """Oracle for q_acf: the identical biased-ACF arithmetic — daily
     count series, one lead per lag, Σ products / Σ squares."""
@@ -6319,6 +6436,53 @@ def oracle_sql() -> dict[str, str]:
     d["q_label_prop"] = _label_prop_unrolled_sql(iters=2, min_support=3)
     d["q_acf"] = _acf_sql(max_lag=7)
     d["sim_pq_topk"] = _pq_oracle_sql(k_top=10)
+    d["sim_ivfpq_topk"] = _ivfpq_oracle_sql(k_top=10, nprobe=2)
+    d["q_rolling_dau_hll"] = """
+            WITH h AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS INT) AS reg,
+                     CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 14) AS BIGINT) AS w
+              FROM events WHERE user_id IS NOT NULL
+            ), r AS (
+              SELECT day, reg,
+                     max(CASE WHEN w = 0 THEN 57
+                              ELSE 56 - length(bin(w)) + 1 END) AS rho
+              FROM h GROUP BY 1, 2
+            ), spine AS (
+              SELECT day, reg
+              FROM (SELECT DISTINCT day FROM r),
+                   (SELECT unnest(generate_series(0, 255)) AS reg)
+            ), dense AS (
+              SELECT s.day, s.reg, coalesce(r.rho, 0) AS rho
+              FROM spine s LEFT JOIN r
+                ON s.day = r.day AND s.reg = r.reg
+            ), rolled AS (
+              SELECT day, reg,
+                     max(rho) OVER (PARTITION BY reg ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                       AS rho
+              FROM dense
+            ), agg AS (
+              -- dense registers: rho=0 rows ARE the empties (each
+              -- contributes 2^63 — branched to the literal, a 64-bit
+              -- shift by 63 overflows), so no (m - nz) correction
+              SELECT day,
+                     sum(CASE WHEN rho = 0
+                         THEN 9223372036854775808::HUGEINT
+                         ELSE ((CAST(1 AS BIGINT) << (63 - rho)))::HUGEINT
+                         END) AS s,
+                     sum(CASE WHEN rho > 0 THEN 1 ELSE 0 END) AS nz
+              FROM rolled GROUP BY 1
+            )
+            SELECT day,
+                   round(CASE WHEN 4.341691417504662e+23
+                                   / CAST(s AS DOUBLE) <= 640.0
+                              AND nz < 256
+                         THEN 256.0 * ln(256.0 / (256 - nz))
+                         ELSE 4.341691417504662e+23
+                              / CAST(s AS DOUBLE) END, 2) AS est
+            FROM agg
+        """
     d["q_attribution"] = """
             WITH tagged AS (
               SELECT user_id AS entity, ts AS t, event_type AS ty,

@@ -407,6 +407,24 @@ def pq_encode(
     return df.withColumn(out_col, codes)
 
 
+def _adc_dist(qv: Column, codes: Column,
+              codebooks: list[list[list[float]]]) -> Column:
+    """Asymmetric PQ distance Σ_s ||q_sub_s − codebook[s][code_s]||²:
+    m literal-array lookups + m·(dim/m) multiply-adds, pure codegen —
+    the shared scoring core of pq_topk and ivfpq_topk."""
+    d0 = len(codebooks[0][0])
+    total = F.lit(0.0)
+    for s, book in enumerate(codebooks):
+        sub = F.slice(qv, s * d0 + 1, d0)
+        blit = F.array(*[F.array(*[F.lit(float(v)) for v in cent])
+                         for cent in book])
+        cent = F.element_at(blit, F.element_at(codes, s + 1) + 1)
+        total = total + F.aggregate(
+            F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v)
+    return total
+
+
 def pq_topk(
     queries: DataFrame,
     corpus_codes: DataFrame,
@@ -432,25 +450,78 @@ def pq_topk(
     The classic pairing is IVF for candidate pruning + PQ for the
     in-cell scan; this operator is the PQ half and composes with
     ivf_topk's cell filter."""
-    m = len(codebooks)
-    d0 = len(codebooks[0][0])
     q = F.broadcast(queries.select(
         F.col(query_id).alias("__qid"),
         F.col(query_vec).cast("array<double>").alias("__qv")))
     c = corpus_codes.select(F.col(corpus_id).alias("__cid"),
                             F.col(codes_col).alias("__codes"))
-    total = F.lit(0.0)
-    for s in range(m):
-        sub = F.slice(F.col("__qv"), s * d0 + 1, d0)
-        book = F.array(*[F.array(*[F.lit(float(v)) for v in cent])
-                         for cent in codebooks[s]])
-        cent = F.element_at(book, F.element_at("__codes", s + 1) + 1)
-        total = total + F.aggregate(
-            F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, v: acc + v)
+    total = _adc_dist(F.col("__qv"), F.col("__codes"), codebooks)
     if round_to is not None:
         total = F.round(total, round_to)
     scored = q.join(c).select("__qid", "__cid", total.alias("adc_dist"))
+    w = Window.partitionBy("__qid").orderBy(F.col("adc_dist").asc(),
+                                            F.col("__cid").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("__qid").alias("query_id"),
+                    F.col("__cid").alias("match_id"),
+                    "adc_dist", "rank"))
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+    coarse_centroids: list[list[float]] | None = None,
+    nlist: int = 8,
+    iters: int = 2,
+    round_to: int | None = None,
+) -> DataFrame:
+    """IVF cell pruning + PQ in-cell ADC scoring -> (query_id,
+    match_id, adc_dist, rank): the composed 100 TB ANN architecture —
+    IVF cuts the scan to nprobe/nlist of the corpus (partition-prune
+    when the encoded table is persisted by __cell, the write_ivf_index
+    pattern), PQ makes the surviving scan vector-free (m codes per
+    row instead of dim floats). Non-residual variant: codes quantize
+    the RAW vectors, not the cell residuals (the residual refinement
+    of Jégou et al. 2011 §III-C needs per-cell codebooks — documented
+    deviation, kept so the same codebooks serve flat-PQ and IVF-PQ).
+
+    One projection attaches cell + codes to the corpus (both
+    broadcast-literal argmins, zero shuffle); queries explode to
+    nprobe (query, cell) rows and the equi-join on __cell is the only
+    data movement before the top-k window."""
+    if coarse_centroids is None:
+        coarse_centroids = train_ivf_centroids(
+            corpus, corpus_vec, corpus_id, nlist, iters)
+    c = pq_encode(
+        corpus.select(F.col(corpus_id).alias("__cid"),
+                      F.col(corpus_vec).alias("__cv")),
+        codebooks, "__cv", "__codes"
+    ).select(
+        "__cid", "__codes",
+        _nearest_centroid(F.col("__cv"), coarse_centroids)
+        .alias("__cell"))
+    probe = F.transform(
+        F.slice(F.reverse(F.array_sort(
+            _centroid_scores(F.col(query_vec), coarse_centroids))),
+            1, nprobe),
+        lambda s: s["i"])
+    q = F.broadcast(queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).cast("array<double>").alias("__qv"),
+        F.explode(probe).alias("__cell")))
+    total = _adc_dist(F.col("__qv"), F.col("__codes"), codebooks)
+    if round_to is not None:
+        total = F.round(total, round_to)
+    scored = (q.join(c, "__cell")
+              .select("__qid", "__cid", total.alias("adc_dist")))
     w = Window.partitionBy("__qid").orderBy(F.col("adc_dist").asc(),
                                             F.col("__cid").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

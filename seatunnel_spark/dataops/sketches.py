@@ -331,3 +331,65 @@ def hll_intersect_estimate(a: DataFrame, b: DataFrame, p: int = 8,
                     F.round(F.col("est_a") + F.col("est_b")
                             - F.col("est_union"), round_to)
                     .alias("est_intersection")))
+
+
+def hll_rolling_estimate(df: DataFrame, ts_col: str, value_col: str,
+                         window_days: int = 7, p: int = 8) -> DataFrame:
+    """Rolling distinct-count estimates from DAILY sketches ->
+    (day, est): per-day HLL registers merged over a trailing
+    `window_days` window by per-register MAX — the sketch-algebra
+    form of rolling DAU. The point at 100 TB: the event log is
+    scanned ONCE to produce |days|×2^p register rows, and every
+    window width (7-day, 28-day, quarter) is answerable afterwards by
+    re-windowing the same persisted register table — the exact
+    rolling-distinct (analytics.rolling_distinct) must re-shuffle
+    (day, entity) pairs per width and keeps |days|×|entities| state.
+
+    Mechanics: the register table is densified against the day
+    spine (a 2^p×|days| frame — sketch-sized, never data-sized) so
+    absent registers don't shorten window frames; the trailing MAX
+    runs per register ordered by day; the estimate is the same
+    exact-integer harmonic sum as hll_estimate, grouped by day."""
+    from pyspark.sql import Window
+
+    rem = _hll_check_p(p)
+    m = 1 << p
+    day = F.to_date(F.col(ts_col)).alias("day")
+    regs = hll_build_grouped(
+        df.select(day, F.col(value_col)), ["day"], value_col, p)
+    days = regs.select("day").distinct()
+    spine = days.crossJoin(
+        regs.sparkSession.range(m).select(
+            F.col("id").cast("int").alias("reg")))
+    dense = (spine.join(regs, ["day", "reg"], "left")
+             .select("day", "reg",
+                     F.coalesce("rho", F.lit(0)).alias("rho")))
+    w = (Window.partitionBy("reg").orderBy("day")
+         .rowsBetween(-(window_days - 1), 0))
+    rolled = dense.select(
+        "day", "reg", F.max("rho").over(w).alias("rho"))
+    # estimate per day over the rolled registers; rho=0 rows ARE the
+    # empty registers, so nz must count only rho>0
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    elif m == 64:
+        alpha = 0.709
+    elif m == 32:
+        alpha = 0.697
+    else:
+        alpha = 0.673
+    num = float(alpha) * float(m) * float(m) * float(1 << 63)
+    # rho=0 (empty register) contributes 2^63, which overflows a
+    # 64-bit shift — branch to the literal instead
+    term = ("case when rho = 0 "
+            "then cast(9223372036854775808 as decimal(38,0)) "
+            "else cast(shiftleft(cast(1 as bigint), 63 - rho) "
+            "as decimal(38,0)) end")
+    agg = rolled.groupBy("day").agg(
+        F.sum(F.expr(term)).alias("__s"),
+        F.sum((F.col("rho") > 0).cast("int")).alias("__nz"))
+    raw = F.lit(num) / F.col("__s").cast("double")
+    v = F.lit(m) - F.col("__nz")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    est = F.when((raw <= 2.5 * m) & (v > 0), linear).otherwise(raw)
+    return agg.select("day", F.round(est, 2).alias("est"))

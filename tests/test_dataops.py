@@ -2877,3 +2877,88 @@ def test_touch_attribution_segments(spark):
     assert got[5]["first_touch"] == got[5]["last_touch"] == "view"
     assert got[5]["n_touches"] == 1
     assert got[6]["first_touch"] is None and got[6]["n_touches"] == 0
+
+
+def test_hll_rolling_estimate_tracks_exact(spark):
+    """10 days, 80 distinct users/day with 50% day-over-day overlap:
+    every day's trailing-7 estimate lands within the ~3x1.04/sqrt(256)
+    band of the exact trailing distinct; the last day's full-window
+    estimate equals the ungrouped estimate over the same span."""
+    import datetime as _dt
+
+    from seatunnel_spark.dataops.sketches import (hll_build,
+                                                  hll_estimate,
+                                                  hll_rolling_estimate)
+
+    t0 = _dt.datetime(2024, 5, 1)
+    rows, eid = [], 0
+    for d in range(10):
+        for u in range(d * 40, d * 40 + 80):  # 40 new, 40 carried
+            rows.append((eid, t0 + _dt.timedelta(days=d), u))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long")
+    got = {r["day"].day: r["est"] for r in
+           hll_rolling_estimate(df, "ts", "user_id",
+                                window_days=7).collect()}
+    # exact trailing-7 distinct per day
+    for d in range(10):
+        lo = max(0, d - 6)
+        exact = len({u for dd in range(lo, d + 1)
+                     for u in range(dd * 40, dd * 40 + 80)})
+        est = got[d + 1]
+        assert abs(est - exact) / exact < 0.25, (d, est, exact)
+    # day 7 window covers days 1..7 -> equals a direct build over them
+    cutoff = t0 + _dt.timedelta(days=7)
+    direct = hll_estimate(
+        hll_build(df.filter(df.ts < cutoff), "user_id"), []
+    ).collect()[0]["est"]
+    assert got[7] == direct
+
+
+def test_ivfpq_candidates_and_recall(spark):
+    """IVF+PQ: every result row comes from a probed cell (structural
+    check vs a direct cell assignment), and with all cells probed the
+    ranking equals flat PQ over the same codebooks (IVF reduces the
+    candidate set, never rescores)."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.similarity import (ivfpq_topk,
+                                                    pq_encode, pq_topk,
+                                                    pq_train,
+                                                    train_ivf_centroids,
+                                                    _nearest_centroid)
+
+    e = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+         .withColumn("embedding",
+                     F.transform("embedding", lambda x: x.cast("double"))))
+    books = pq_train(e, m=4, k=16, iters=1)
+    coarse = train_ivf_centroids(e, "embedding", "vec_id", 4, 1)
+    q = e.filter(F.col("vec_id") < 3)
+
+    got = ivfpq_topk(q, e, books, "vec_id", "vec_id", k=5, nprobe=2,
+                     coarse_centroids=coarse, round_to=4).collect()
+    cells = {r["vec_id"]: r["c"] for r in e.select(
+        "vec_id", _nearest_centroid(F.col("embedding"), coarse)
+        .alias("c")).collect()}
+    probed = {}
+    for r in q.select("vec_id").collect():
+        pass  # probes recomputed below per query
+    from seatunnel_spark.dataops.similarity import _centroid_scores
+    pr = q.select("vec_id", F.transform(
+        F.slice(F.reverse(F.array_sort(
+            _centroid_scores(F.col("embedding"), coarse))), 1, 2),
+        lambda s: s["i"]).alias("p")).collect()
+    probed = {r["vec_id"]: set(r["p"]) for r in pr}
+    for r in got:
+        assert cells[r["match_id"]] in probed[r["query_id"]]
+
+    # nprobe = nlist -> identical to flat PQ
+    full = ivfpq_topk(q, e, books, "vec_id", "vec_id", k=5, nprobe=4,
+                      coarse_centroids=coarse, round_to=4).collect()
+    codes = pq_encode(e, books).select("vec_id", "codes")
+    flat = pq_topk(q, codes, books, "vec_id", "vec_id", k=5,
+                   round_to=4).collect()
+    key = lambda rs: sorted((r["query_id"], r["rank"], r["match_id"],
+                             r["adc_dist"]) for r in rs)
+    assert key(full) == key(flat)
