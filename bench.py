@@ -119,6 +119,23 @@ BENCH_QUERIES = [
     "sim_hybrid_rrf",
     "q_hll_merge",
     "q_ewma",
+    # round-8 continuation additions (append-only)
+    "q_connected_components",
+    "q_label_prop",
+    "q_kcore",
+    "q_acf",
+    "q_cusum",
+    "q_holt",
+    "q_anomaly",
+    "q_hll_intersect",
+    "web_url_dedup",
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
+    "text_zipf",
+    "text_vocab_growth",
+    "q_skew_report",
+    "q_attribution",
+    "q_rolling_dau_hll",
 ]
 
 
