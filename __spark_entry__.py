@@ -1573,6 +1573,39 @@ def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(o, round_to=2)
 
 
+def q_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate (dataops/profile.py:
+    k_anonymity_report): quasi-identifier groups with < 3 rows over
+    (linestatus, quantity, tax, discount) — the combination-risk
+    check pii_redact can't see (it removes direct identifiers only).
+    One map-side-combined groupBy; output bounded by the violating
+    groups."""
+    from seatunnel_spark.dataops.profile import k_anonymity_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return k_anonymity_report(
+        li, ["l_linestatus", "l_quantity", "l_tax", "l_discount"], k=3)
+
+
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift diff (dataops/profile.py:profile_drift): events
+    vs a deterministically doctored snapshot (half the rows; value
+    nulled on a slice) — per-column null-rate / distinct / mean
+    deltas, the yesterday-vs-today schema-health check that catches
+    an upstream change before it poisons a training run. Two
+    one-aggregate profile passes + a |columns|-row join."""
+    from seatunnel_spark.dataops.profile import profile_drift
+
+    e = _t(spark, sf_dir, "events")
+    a = e.select("value", "user_id", "event_type")
+    b = (e.filter(F.col("event_id") % 2 == 0)
+         .select(F.when((F.col("value") > 400)
+                        & (F.col("event_id") % 3 == 0), None)
+                 .otherwise(F.col("value")).alias("value"),
+                 "user_id", "event_type"))
+    return profile_drift(a, b)
+
+
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary column -> mapInPandas decode (stub
     codec, deterministic sha256 — so DuckDB can replay the metadata as
@@ -3111,6 +3144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_sql_functions": t_sql_functions,
         "t_zeta_datetime": t_zeta_datetime,
         "data_profile": data_profile,
+        "q_kanon": q_kanon,
+        "q_profile_drift": q_profile_drift,
         "dedup_exact": dedup_exact,
         "dedup_fingerprint": dedup_fingerprint,
         "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -6437,6 +6472,52 @@ def oracle_sql() -> dict[str, str]:
     d["q_acf"] = _acf_sql(max_lag=7)
     d["sim_pq_topk"] = _pq_oracle_sql(k_top=10)
     d["sim_ivfpq_topk"] = _ivfpq_oracle_sql(k_top=10, nprobe=2)
+    d["q_kanon"] = """
+            SELECT l_linestatus, l_quantity, l_tax, l_discount,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY 1, 2, 3, 4
+            HAVING count(*) < 3
+        """
+    # profile_drift on (value, user_id, event_type): string columns
+    # profile their lengths (the profile_table convention)
+    _pd_cols = [("value", "num"), ("user_id", "num"),
+                ("event_type", "str")]
+
+    def _pd_block(src: str) -> str:
+        blocks = []
+        for name, kind in _pd_cols:
+            mean_src = f"length({name})" if kind == "str" else name
+            blocks.append(f"""SELECT '{name}' AS "column",
+                round((count(*) - count({name})) * 1.0 / count(*), 4)
+                  AS null_rate,
+                count(DISTINCT {name}) AS n_distinct,
+                round(avg(CAST({mean_src} AS DOUBLE)), 4) AS mean
+              FROM {src}""")
+        return "\n              UNION ALL ".join(blocks)
+
+    d["q_profile_drift"] = f"""
+            WITH b AS (
+              SELECT CASE WHEN value > 400 AND event_id % 3 = 0
+                          THEN NULL ELSE value END AS value,
+                     user_id, event_type
+              FROM events WHERE event_id % 2 = 0
+            ), pa AS (
+              {_pd_block("events")}
+            ), pb AS (
+              {_pd_block("b")}
+            )
+            SELECT pa."column",
+                   pa.null_rate AS null_rate_a,
+                   pb.null_rate AS null_rate_b,
+                   round(pb.null_rate - pa.null_rate, 4)
+                     AS null_rate_delta,
+                   pa.n_distinct AS n_distinct_a,
+                   pb.n_distinct AS n_distinct_b,
+                   pa.mean AS mean_a, pb.mean AS mean_b,
+                   round(pb.mean - pa.mean, 4) AS mean_delta
+            FROM pa JOIN pb ON pa."column" = pb."column"
+        """
     d["q_rolling_dau_hll"] = """
             WITH h AS (
               SELECT CAST(ts AS DATE) AS day,

@@ -162,3 +162,55 @@ def benford_check(df: DataFrame, value_col: str,
 
 
 __all__ = ["profile_table", "dq_checks", "benford_check"]
+
+
+def k_anonymity_report(df: DataFrame, quasi_cols: list[str],
+                       k: int = 5) -> DataFrame:
+    """Re-identification risk ledger -> the quasi-identifier groups
+    with FEWER than k rows (*quasi_cols, n_rows): every row in these
+    groups is k-anonymity-violating (an attacker knowing just the
+    quasi-identifiers pins it to < k candidates) — the release gate
+    that runs AFTER pii_redact, which removes direct identifiers but
+    cannot see combination risk. Suppress or generalize the listed
+    groups before publishing.
+
+    One map-side-combined groupBy on the quasi columns; output is
+    bounded by the violating-group count (on well-generalized data,
+    near zero — an empty result IS the pass signal)."""
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .filter(F.col("n_rows") < k))
+
+
+def profile_drift(a: DataFrame, b: DataFrame,
+                  columns: list[str] | None = None,
+                  approx: bool = False,
+                  round_to: int = 4) -> DataFrame:
+    """Snapshot-over-snapshot drift -> one row per column (column,
+    null_rate_a, null_rate_b, null_rate_delta, n_distinct_a,
+    n_distinct_b, mean_a, mean_b, mean_delta): profile_table run on
+    both frames and joined — the yesterday-vs-today schema-health
+    diff that catches a upstream change (a field suddenly nullable, a
+    cardinality collapse, a unit change shifting the mean) before it
+    poisons a training run. `approx` switches distinct counts to HLL
+    for the 100 TB path, same as profile_table.
+
+    Cost is two profile passes (each one aggregate over its frame);
+    the join is |columns|-row."""
+    pa = profile_table(a, columns, approx, round_to).select(
+        "column", F.col("null_rate").alias("null_rate_a"),
+        F.col("n_distinct").alias("n_distinct_a"),
+        F.col("mean").alias("mean_a"))
+    pb = profile_table(b, columns, approx, round_to).select(
+        "column", F.col("null_rate").alias("null_rate_b"),
+        F.col("n_distinct").alias("n_distinct_b"),
+        F.col("mean").alias("mean_b"))
+    return (pa.join(pb, "column")
+            .select("column", "null_rate_a", "null_rate_b",
+                    F.round(F.col("null_rate_b")
+                            - F.col("null_rate_a"), round_to)
+                    .alias("null_rate_delta"),
+                    "n_distinct_a", "n_distinct_b",
+                    "mean_a", "mean_b",
+                    F.round(F.col("mean_b") - F.col("mean_a"),
+                            round_to).alias("mean_delta")))

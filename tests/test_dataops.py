@@ -2962,3 +2962,43 @@ def test_ivfpq_candidates_and_recall(spark):
     key = lambda rs: sorted((r["query_id"], r["rank"], r["match_id"],
                              r["adc_dist"]) for r in rs)
     assert key(full) == key(flat)
+
+
+def test_k_anonymity_report_violations(spark):
+    """Groups of 1 and 2 are listed with sizes; groups >= k are not;
+    a well-generalized table yields the empty pass signal."""
+    from seatunnel_spark.dataops.profile import k_anonymity_report
+
+    rows = ([("NY", 30)] * 5 + [("NY", 31)] * 2 + [("SF", 30)])
+    df = spark.createDataFrame(rows, ["city", "age"])
+    got = {(r["city"], r["age"]): r["n_rows"] for r in
+           k_anonymity_report(df, ["city", "age"], k=3).collect()}
+    assert got == {("NY", 31): 2, ("SF", 30): 1}
+    ny = df.filter("city = 'NY'")
+    assert k_anonymity_report(ny, ["city"], k=3).count() == 0
+
+
+def test_profile_drift_detects_injected_changes(spark):
+    """Nulling a slice of one column and halving the rows shows up as
+    a null-rate delta on exactly that column; an unchanged column
+    reports zero deltas."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.profile import profile_drift
+
+    a = spark.createDataFrame(
+        [(i, float(i % 10), "t") for i in range(100)],
+        ["id", "v", "s"])
+    b = (a.filter(F.col("id") % 2 == 0)
+         .select("id",
+                 F.when(F.col("v") > 7, None)
+                 .otherwise(F.col("v")).alias("v"), "s"))
+    got = {r["column"]: r for r in
+           profile_drift(a, b, ["v", "s"]).collect()}
+    assert got["v"]["null_rate_a"] == 0.0
+    assert got["v"]["null_rate_b"] == 0.2  # 8.0/9.0 nulled -> 10/50
+    assert got["v"]["null_rate_delta"] == 0.2
+    assert got["v"]["n_distinct_a"] == 10
+    assert got["v"]["n_distinct_b"] == 4  # even v only, 8.0 nulled
+    assert got["s"]["null_rate_delta"] == 0.0
+    assert got["s"]["mean_delta"] == 0.0
