@@ -1382,6 +1382,33 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       coarse_centroids=_ivf_codebook(), round_to=4)
 
 
+def _pq_res_codebooks() -> list[list[list[float]]]:
+    """Seed-13 codebooks for the residual (IVFADC) query, scaled to
+    residual magnitudes — fixed for oracle replay like _pq_codebooks;
+    the trained path pq_train_residual is exercised in tests."""
+    import numpy as np
+
+    mat = np.random.default_rng(13).standard_normal((4, 16, 16)) * 0.15
+    return [[[float(x) for x in cent] for cent in book] for book in mat]
+
+
+def sim_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the full Jégou et al. 2011 architecture (dataops/
+    similarity.py:ivfadc_topk): IVF cell pruning + PQ over RESIDUALS,
+    where each probed (query, cell) pair forms the query residual
+    against that cell's centroid and ADC runs residual-to-residual —
+    the refinement sim_ivfpq_topk's non-residual variant trades away.
+    All codebooks literal (seed-7 coarse, seed-13 fine); the oracle
+    replays cell assignment, BOTH residual formations, encoding, and
+    the ADC sum."""
+    from seatunnel_spark.dataops.similarity import ivfadc_topk
+
+    e = _emb_double(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    return ivfadc_topk(q, e, _pq_res_codebooks(), _ivf_codebook(),
+                       "vec_id", "vec_id", k=10, nprobe=2, round_to=4)
+
+
 def sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN recall audit (dataops/similarity.py:topk_recall): recall@10
     of the two shipped approximate indexes (LSH planes=4, IVF nlist=8
@@ -3176,6 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": sim_ivf_topk,
         "sim_pq_topk": sim_pq_topk,
         "sim_ivfpq_topk": sim_ivfpq_topk,
+        "sim_ivfadc_topk": sim_ivfadc_topk,
         "sim_recall": sim_recall,
         "sim_hybrid_rrf": sim_hybrid_rrf,
         "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -6385,6 +6413,103 @@ def _ivfpq_oracle_sql(k_top: int = 10, nprobe: int = 2) -> str:
         """
 
 
+def _ivfadc_oracle_sql(k_top: int = 10, nprobe: int = 2) -> str:
+    """Oracle for sim_ivfadc_topk: cell assignment and probe order
+    from the literal seed-7 coarse centroids, CORPUS residuals and
+    per-(query, cell) QUERY residuals against those same literals,
+    seed-13 residual-codebook encoding, and the ADC sum — the full
+    IVFADC replay."""
+    books = _pq_res_codebooks()
+    d0 = len(books[0][0])
+    dim = d0 * len(books)
+    ivf_scores = _ivf_scores_sql()
+    cvals = ",\n                ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(_ivf_codebook()))
+    ctes = [f"""e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS x,
+                     embedding::DOUBLE[] AS emb,
+                     sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])) AS nrm
+              FROM embeddings
+            ), cc AS (SELECT * FROM (VALUES {cvals}) t(ci, c)),
+            sc AS (
+              SELECT vec_id, x, nrm, {ivf_scores} AS scores
+              FROM e
+            ), cells AS (
+              SELECT vec_id, (list_aggregate(scores, 'max')).i AS cell
+              FROM sc
+            ), rv AS (
+              SELECT cells.vec_id, cells.cell,
+                     list_transform(generate_series(1, {dim}),
+                         i -> e.x[i] - cc.c[i]) AS rx
+              FROM cells JOIN e ON cells.vec_id = e.vec_id
+                   JOIN cc ON cells.cell = cc.ci
+            ), qp AS (
+              SELECT vec_id AS qid, x AS qv,
+                     unnest(list_transform(
+                       list_slice(list_reverse_sort(scores),
+                                  1, {nprobe}),
+                       s -> s.i)) AS cell
+              FROM sc WHERE vec_id < 5
+            ), qr AS (
+              SELECT qp.qid, qp.cell,
+                     list_transform(generate_series(1, {dim}),
+                         i -> qp.qv[i] - cc.c[i]) AS qrx
+              FROM qp JOIN cc ON qp.cell = cc.ci
+            ), pairs AS (
+              SELECT qr.qid, qr.qrx, r.vec_id AS cid, r.rx
+              FROM qr JOIN rv r ON qr.cell = r.cell
+            )"""]
+    for s, book in enumerate(books):
+        off = s * d0
+        vals = ",\n                ".join(
+            f"({ci}, [{', '.join(repr(v) for v in cent)}]::DOUBLE[])"
+            for ci, cent in enumerate(book))
+        ctes.append(f"cb{s} AS (SELECT * FROM (VALUES {vals})"
+                    f" t(ci, c))")
+        ctes.append(f"""d{s} AS (
+              SELECT r.vec_id, cb.ci,
+                     round(list_sum(list_transform(
+                         generate_series(1, {d0}),
+                         i -> (r.rx[{off} + i] - cb.c[i])
+                            * (r.rx[{off} + i] - cb.c[i]))), 6) AS d
+              FROM rv r, cb{s} cb)""")
+        ctes.append(f"""a{s} AS (
+              SELECT vec_id, ci FROM (
+                SELECT vec_id, ci, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d, ci) AS rn
+                FROM d{s}) WHERE rn = 1)""")
+        ctes.append(f"""s{s} AS (
+              SELECT p.qid, p.cid,
+                     list_sum(list_transform(
+                         generate_series(1, {d0}),
+                         i -> (p.qrx[{off} + i] - cb.c[i])
+                            * (p.qrx[{off} + i] - cb.c[i]))) AS ds
+              FROM pairs p JOIN a{s} a ON p.cid = a.vec_id
+                   JOIN cb{s} cb ON a.ci = cb.ci)""")
+    joins = " ".join(
+        f"JOIN s{s} ON s0.qid = s{s}.qid AND s0.cid = s{s}.cid"
+        for s in range(1, len(books)))
+    total = " + ".join(f"s{s}.ds" for s in range(len(books)))
+    joined = ",\n            ".join(ctes)
+    return f"""
+            WITH {joined},
+            t AS (
+              SELECT s0.qid, s0.cid,
+                     round({total}, 4) AS adc_dist
+              FROM s0 {joins}
+            )
+            SELECT qid AS query_id, cid AS match_id, adc_dist,
+                   CAST(rank AS INT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY qid
+                      ORDER BY adc_dist, cid) AS rank
+                  FROM t)
+            WHERE rank <= {k_top}
+        """
+
+
 def _acf_sql(max_lag: int) -> str:
     """Oracle for q_acf: the identical biased-ACF arithmetic — daily
     count series, one lead per lag, Σ products / Σ squares."""
@@ -6472,6 +6597,7 @@ def oracle_sql() -> dict[str, str]:
     d["q_acf"] = _acf_sql(max_lag=7)
     d["sim_pq_topk"] = _pq_oracle_sql(k_top=10)
     d["sim_ivfpq_topk"] = _ivfpq_oracle_sql(k_top=10, nprobe=2)
+    d["sim_ivfadc_topk"] = _ivfadc_oracle_sql(k_top=10, nprobe=2)
     d["q_kanon"] = """
             SELECT l_linestatus, l_quantity, l_tax, l_discount,
                    count(*) AS n_rows

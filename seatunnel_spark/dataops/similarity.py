@@ -529,3 +529,95 @@ def ivfpq_topk(
             .select(F.col("__qid").alias("query_id"),
                     F.col("__cid").alias("match_id"),
                     "adc_dist", "rank"))
+
+
+def _residual(vec: Column, cell: Column,
+              coarse: list[list[float]]) -> Column:
+    """vec − coarse[cell] as a zero-shuffle literal-lookup expression."""
+    clit = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                     for c in coarse])
+    cent = F.element_at(clit, cell + 1)
+    return F.zip_with(vec, cent, lambda a, b: a - b)
+
+
+def pq_train_residual(
+    corpus: DataFrame,
+    coarse_centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """PQ codebooks trained on COARSE RESIDUALS (x − nearest coarse
+    centroid) — the IVFADC formulation (Jégou et al. 2011 §III-C):
+    residuals are centered near zero regardless of which cell a vector
+    lives in, so one shared codebook quantizes them far tighter than
+    it quantizes raw vectors spread across cells. Same deterministic
+    Lloyd's per subspace as pq_train; one extra zero-shuffle residual
+    projection in front."""
+    v = F.col(vec_col).cast("array<double>")
+    res = corpus.select(
+        F.col(id_col),
+        _residual(v, _nearest_centroid(v, coarse_centroids),
+                  coarse_centroids).alias("__res"))
+    return pq_train(res, "__res", id_col, m=m, k=k, iters=iters)
+
+
+def ivfadc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    coarse_centroids: list[list[float]],
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+    round_to: int | None = None,
+) -> DataFrame:
+    """IVFADC: IVF cell pruning + PQ over RESIDUALS (Jégou et al.
+    2011) -> (query_id, match_id, adc_dist, rank). Corpus rows store
+    (cell, residual codes); at query time each probed (query, cell)
+    pair forms the QUERY residual against that cell's centroid (a
+    literal lookup) and ADC runs residual-to-residual — distances
+    approximate ||q − x||² properly because both sides subtract the
+    SAME centroid, the refinement the non-residual ivfpq_topk trades
+    away. `codebooks` should come from pq_train_residual over the
+    same coarse centroids.
+
+    Plan shape unchanged from ivfpq_topk: one corpus projection
+    (cell + residual codes, all broadcast literals), queries explode
+    to nprobe rows, one __cell equi-join, ADC codegen, top-k window."""
+    v = F.col(corpus_vec).cast("array<double>")
+    cell = _nearest_centroid(v, coarse_centroids)
+    c = pq_encode(
+        corpus.select(F.col(corpus_id).alias("__cid"),
+                      _residual(v, cell, coarse_centroids)
+                      .alias("__res"),
+                      cell.alias("__cell")),
+        codebooks, "__res", "__codes"
+    ).select("__cid", "__cell", "__codes")
+    probe = F.transform(
+        F.slice(F.reverse(F.array_sort(
+            _centroid_scores(F.col(query_vec), coarse_centroids))),
+            1, nprobe),
+        lambda s: s["i"])
+    q = F.broadcast(queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).cast("array<double>").alias("__qv"),
+        F.explode(probe).alias("__cell")))
+    qres = _residual(F.col("__qv"), F.col("__cell"), coarse_centroids)
+    total = _adc_dist(qres, F.col("__codes"), codebooks)
+    if round_to is not None:
+        total = F.round(total, round_to)
+    scored = (q.join(c, "__cell")
+              .select("__qid", "__cid", total.alias("adc_dist")))
+    w = Window.partitionBy("__qid").orderBy(F.col("adc_dist").asc(),
+                                            F.col("__cid").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("__qid").alias("query_id"),
+                    F.col("__cid").alias("match_id"),
+                    "adc_dist", "rank"))
