@@ -737,6 +737,85 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs (dataops/dedup.py:
+    ngram_containment_pairs): |A∩B| / min(|A|,|B|) — catches the
+    short-doc-quoted-inside-long-doc duplication a Jaccard threshold
+    can never see (Jaccard ≈ |A|/|B| for subsets). Same inverted-index
+    candidate core and hot-shingle cap as dedup_jaccard_pairs."""
+    from seatunnel_spark.dataops.dedup import ngram_containment_pairs
+
+    out = ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=3, threshold=0.25, block_cols=["lang"])
+    return out.select("id_a", "id_b",
+                      F.round("containment", 4).alias("containment"))
+
+
+def sim_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-PQ-index round trip (dataops/similarity.py:
+    write_pq_index + search_pq_index): codes + codebooks written once,
+    search reads ONLY the m-int codes column (ReadSchema-tested) —
+    results identical to the in-memory sim_pq_topk, which is exactly
+    what the shared oracle checks. The write-once/probe-many artifact
+    form of PQ (the IVF analog is write_ivf_index)."""
+    from seatunnel_spark.dataops.similarity import (search_pq_index,
+                                                    write_pq_index)
+
+    e = _emb_double(spark, sf_dir)
+    path = "/tmp/st_pq_index"
+    write_pq_index(e, path, _pq_codebooks())
+    q = e.filter(F.col("vec_id") < 5)
+    return search_pq_index(spark, path, q, "vec_id", "embedding",
+                           k=10, round_to=4)
+
+
+def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged dedup funnel -> (stage, n_docs): raw corpus -> canonical-
+    URL dedup -> exact-text dedup -> fingerprint near-dup, each stage
+    keeping its min-id survivor — the composition a real crawl
+    pipeline runs (cheap cascades first so the expensive stage sees
+    the smallest corpus). URLs derive deterministically from doc_id
+    (the web_url_dedup construction); the oracle replays every stage's
+    survivor set."""
+    from seatunnel_spark.dataops.dedup import exact_dedup
+    from seatunnel_spark.dataops.text import fingerprint
+    from seatunnel_spark.dataops.web import canonicalize_urls
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/p/"), (i % 60).cast("string"),
+                   F.when(i % 2 == 0, F.lit("/?utm_source=x"))
+                   .otherwise(F.lit("")))
+    with_url = canonicalize_urls(
+        d.withColumn("url", url), "url")
+    s1 = (with_url.groupBy("canon_url")
+          .agg(F.min("doc_id").alias("doc_id")))
+    after_url = with_url.join(s1, ["canon_url", "doc_id"], "semi")
+    after_exact = exact_dedup(after_url, ["text"], order_col="doc_id")
+    fp = fingerprint(after_exact, "text")
+    s3 = (fp.groupBy("fingerprint")
+          .agg(F.min("doc_id").alias("doc_id")))
+    after_fp = fp.join(s3, ["fingerprint", "doc_id"], "semi")
+    counts = [
+        d.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("0_raw").alias("stage"), F.col("n").alias("n_docs")),
+        after_url.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("1_url").alias("stage"), F.col("n").alias("n_docs")),
+        after_exact.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("2_exact").alias("stage"),
+            F.col("n").alias("n_docs")),
+        after_fp.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("3_fingerprint").alias("stage"),
+            F.col("n").alias("n_docs")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters = connected components over the n-gram
     Jaccard near-dup graph (seatunnel_spark/dataops/dedup.py:
@@ -3177,6 +3256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": dedup_fingerprint,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "dedup_containment": dedup_containment,
+        "dedup_cascade": dedup_cascade,
+        "sim_pq_index": sim_pq_index,
         "dedup_clusters": dedup_clusters,
         "dedup_apply": dedup_apply,
         "text_quality": text_quality,
@@ -3413,10 +3495,10 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
     return "".join(parts)
 
 
-def _oracle_sql_literal() -> dict[str, str]:
-    _, lsh_cte = _lsh_plane_sql()
-    ivf_scores = _ivf_scores_sql()
-    shingle_cte = """
+def _shingle_cte_for_oracles() -> str:
+    """The shared word-3-gram shingle CTE used by every dedup oracle
+    (jaccard / containment / minhash / clusters / apply)."""
+    return """
       words AS (
         SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS ws
         FROM documents
@@ -3433,6 +3515,12 @@ def _oracle_sql_literal() -> dict[str, str]:
         FROM words WHERE len(ws) < 3
       )
     """
+
+
+def _oracle_sql_literal() -> dict[str, str]:
+    _, lsh_cte = _lsh_plane_sql()
+    ivf_scores = _ivf_scores_sql()
+    shingle_cte = _shingle_cte_for_oracles()
     return {
         # one SELECT per profiled column; strings profile their lengths
         "data_profile": """
@@ -6598,6 +6686,80 @@ def oracle_sql() -> dict[str, str]:
     d["sim_pq_topk"] = _pq_oracle_sql(k_top=10)
     d["sim_ivfpq_topk"] = _ivfpq_oracle_sql(k_top=10, nprobe=2)
     d["sim_ivfadc_topk"] = _ivfadc_oracle_sql(k_top=10, nprobe=2)
+    # the persisted-index round trip returns exactly the in-memory PQ
+    # search's rows — one oracle verifies both
+    d["sim_pq_index"] = d["sim_pq_topk"]
+    d["dedup_containment"] = f"""
+            WITH {_shingle_cte_for_oracles()},
+            shl AS (
+              SELECT doc_id, lang, list(DISTINCT sh) AS sh
+              FROM shingles GROUP BY doc_id, lang
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh))
+                         * 1.0 / least(len(a.sh), len(b.sh)), 4)
+                     AS containment
+            FROM shl a JOIN shl b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))
+                  * 1.0 / least(len(a.sh), len(b.sh)) >= 0.25
+        """
+    d["dedup_cascade"] = r"""
+            WITH u AS (
+              SELECT doc_id, text,
+                     'https://' || source || '.example.com/p/'
+                     || CAST(doc_id % 60 AS VARCHAR)
+                     || (CASE WHEN doc_id % 2 = 0
+                         THEN '/?utm_source=x' ELSE '' END) AS url
+              FROM documents
+            ), parts AS (
+              SELECT doc_id, text,
+                lower(regexp_extract(url,
+                  '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(lower(regexp_replace(regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                  '^[^@]*@', '')), '^www\.', '') AS h,
+                regexp_replace(regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                  '/+$', '') AS p,
+                list_sort(list_filter(
+                  string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                  x -> x <> '' AND NOT regexp_matches(x,
+                    '^(utm_[^=]*|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)(=|$)')
+                )) AS kept
+              FROM u
+            ), c AS (
+              SELECT doc_id, text,
+                scheme || '://'
+                || (CASE WHEN scheme = 'https'
+                         THEN regexp_replace(h, ':443$', '')
+                         WHEN scheme = 'http'
+                         THEN regexp_replace(h, ':80$', '')
+                         ELSE h END)
+                || (CASE WHEN p = '' THEN '/' ELSE p END)
+                || (CASE WHEN len(kept) > 0
+                         THEN '?' || array_to_string(kept, '&')
+                         ELSE '' END) AS canon_url
+              FROM parts
+            ), s1 AS (
+              SELECT canon_url, min(doc_id) AS keep FROM c GROUP BY 1
+            ), a1 AS (
+              SELECT c.doc_id, c.text FROM c
+              JOIN s1 ON c.canon_url = s1.canon_url
+                     AND c.doc_id = s1.keep
+            )
+            SELECT '0_raw' AS stage, count(*) AS n_docs FROM documents
+            UNION ALL
+            SELECT '1_url', count(*) FROM a1
+            UNION ALL
+            SELECT '2_exact', count(DISTINCT text) FROM a1
+            UNION ALL
+            SELECT '3_fingerprint',
+                   count(DISTINCT md5(trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9\s]', '',
+                                      'g'), '\s+', ' ', 'g'))))
+            FROM a1
+        """
     d["q_kanon"] = """
             SELECT l_linestatus, l_quantity, l_tax, l_discount,
                    count(*) AS n_rows

@@ -136,6 +136,9 @@ BENCH_QUERIES = [
     "q_skew_report",
     "q_attribution",
     "q_rolling_dau_hll",
+    "sim_ivfadc_topk",
+    "q_kanon",
+    "q_profile_drift",
 ]
 
 

@@ -503,18 +503,7 @@ def ngram_jaccard_pairs(
     # this frame is CORPUS-sized (one row per shingle occurrence), the
     # exact shape whose deserialized checkpoint blocks OOM first.
     inv = inv.persist()
-    a, b = inv.alias("a"), inv.alias("b")
-    cond = (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id"))
-    for c in block_cols or []:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = (
-        a.join(b, cond)
-        .groupBy(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter = _inverted_intersections(inv, block_cols)
     return (
         inter.select(
             "id_a", "id_b",
@@ -522,6 +511,74 @@ def ngram_jaccard_pairs(
             .alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _inverted_intersections(inv: DataFrame,
+                            block_cols: list[str] | None) -> DataFrame:
+    """Shared candidate core of ngram_jaccard_pairs and
+    ngram_containment_pairs: self-join the persisted inverted index on
+    the shingle, count shared shingles per canonical (id_a < id_b)
+    pair, carry both set sizes."""
+    a, b = inv.alias("a"), inv.alias("b")
+    cond = (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id"))
+    for c in block_cols or []:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.9,
+    block_cols: list[str] | None = None,
+    max_df: int | None = 100_000,
+) -> DataFrame:
+    """Word-k-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|) — the
+    subset-duplication detector. A short doc quoted wholesale inside a
+    much longer one has containment 1.0 but Jaccard |A|/|B| ≈ 0, so a
+    Jaccard threshold can NEVER catch it; containment is the right
+    score for quote-expansion, boilerplate-wrapping, and
+    article-plus-comments duplication. Symmetric (min-denominator)
+    form over canonical id_a < id_b pairs.
+
+    Same machinery and scale shape as ngram_jaccard_pairs (shared
+    inverted-index candidate core `_inverted_intersections`, same
+    `max_df` hot-shingle cap with the same underestimate trade)."""
+    shingled = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in (block_cols or [])],
+        F.array_distinct(_word_shingles(F.col(text_col), k)).alias("sh"),
+    )
+    inv = shingled.select(
+        "id", *(block_cols or []), F.size("sh").alias("n"),
+        F.explode("sh").alias("tok"),
+    )
+    if max_df is not None:
+        inv = _cap_buckets(inv.drop("n"),
+                           ["tok", *(block_cols or [])], max_df)
+        from pyspark.sql import Window
+
+        inv = inv.withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    inv = inv.persist()
+    inter = _inverted_intersections(inv, block_cols)
+    return (
+        inter.select(
+            "id_a", "id_b",
+            (F.col("inter") / F.least(F.col("na"), F.col("nb")))
+            .alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
     )
 
 

@@ -621,3 +621,54 @@ def ivfadc_topk(
             .select(F.col("__qid").alias("query_id"),
                     F.col("__cid").alias("match_id"),
                     "adc_dist", "rank"))
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    path: str,
+    codebooks: list[list[list[float]]],
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a PQ index: (id, codes) parquet + the codebooks under
+    `<path>/_codebooks` (underscore-prefixed so data scans skip it —
+    the write_ivf_index convention). This is PQ's whole economics at
+    100 TB: the search artifact is m small ints per vector (a ~64x
+    shrink at dim=64/m=4 over float32), scanned instead of the
+    embedding column; re-encoding only happens when the codebooks
+    retrain."""
+    spark = corpus.sparkSession
+    (pq_encode(corpus.select(F.col(corpus_id), F.col(vec_col)),
+               codebooks, vec_col, "codes")
+     .select(corpus_id, "codes")
+     .write.mode("overwrite").parquet(path))
+    rows = [(s, ci, [float(x) for x in cent])
+            for s, book in enumerate(codebooks)
+            for ci, cent in enumerate(book)]
+    spark.createDataFrame(
+        rows, "s INT, ci INT, centroid ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebooks")
+
+
+def search_pq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    k: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """ADC top-k against a persisted PQ index — reads ONLY the codes
+    column of the index parquet (ReadSchema-tested); numerically
+    identical to pq_topk over the same codebooks."""
+    cb = {}
+    for r in spark.read.parquet(f"{path}/_codebooks").collect():
+        cb.setdefault(r["s"], {})[r["ci"]] = [float(x)
+                                              for x in r["centroid"]]
+    codebooks = [[cb[s][ci] for ci in sorted(cb[s])]
+                 for s in sorted(cb)]
+    codes = spark.read.parquet(path).select(corpus_id, "codes")
+    return pq_topk(queries, codes, codebooks, query_id, corpus_id,
+                   query_vec, "codes", k, round_to)

@@ -3050,3 +3050,65 @@ def test_ivfadc_residual_beats_raw_quantization(spark):
     r_res = len(res & truth) / len(truth)
     assert r_res > r_raw, (r_res, r_raw)
     assert r_res >= 0.4
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A 6-word doc quoted inside a 60-word doc: containment 1.0,
+    Jaccard far below any usable threshold — the case the operator
+    exists for."""
+    from seatunnel_spark.dataops.dedup import (ngram_containment_pairs,
+                                               ngram_jaccard_pairs)
+
+    quote = "the quick brown fox jumps high"
+    long = quote + " " + " ".join(f"w{i}" for i in range(54))
+    df = spark.createDataFrame(
+        [(1, quote), (2, long), (3, "totally different text here")],
+        ["doc_id", "text"])
+    cont = {(r["id_a"], r["id_b"]): r["containment"] for r in
+            ngram_containment_pairs(df, "doc_id", "text", k=3,
+                                    threshold=0.9).collect()}
+    assert cont == {(1, 2): 1.0}
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", k=3,
+                              threshold=0.5).collect()
+    assert jac == []  # jaccard(quote, long) = 4/58 — invisible
+
+
+def test_pq_index_round_trip_identical(spark, tmp_path):
+    """write_pq_index + search_pq_index returns exactly pq_topk's
+    rows, and the search scan reads only the codes column."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.similarity import (pq_encode, pq_topk,
+                                                    pq_train,
+                                                    search_pq_index,
+                                                    write_pq_index)
+
+    e = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+         .withColumn("embedding",
+                     F.transform("embedding", lambda x: x.cast("double"))))
+    books = pq_train(e, m=4, k=8, iters=1)
+    path = str(tmp_path / "pqidx")
+    write_pq_index(e, path, books)
+    q = e.filter(F.col("vec_id") < 3)
+    via_index = search_pq_index(spark, path, q, k=5, round_to=4)
+    direct = pq_topk(q, pq_encode(e, books).select("vec_id", "codes"),
+                     books, "vec_id", "vec_id", k=5, round_to=4)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(via_index) == key(direct)
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines()
+            if "FileScan parquet" in l and "pqidx" in l]
+    assert scan and "embedding" not in scan[0]
+
+
+def test_dedup_cascade_monotone(spark):
+    """Each cascade stage can only shrink the corpus, and the exact
+    stage at minimum removes the doc_id-synthesized URL collisions."""
+    import __spark_entry__ as entry
+
+    out = {r["stage"]: r["n_docs"] for r in
+           entry.queries()["dedup_cascade"](
+               spark, "/root/testdata/sf0.001").collect()}
+    assert (out["0_raw"] >= out["1_url"] >= out["2_exact"]
+            >= out["3_fingerprint"])
+    assert out["1_url"] < out["0_raw"]  # URL collisions exist by design
