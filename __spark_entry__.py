@@ -2835,6 +2835,29 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, "p1", "p2")
 
 
+def q_connected_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a PERSISTED bucketed edge table
+    (dataops/graph.py:connected_components_on_bucketed): identical
+    labels to q_connected_components (shared oracle), but the
+    per-round neighbor-min join probes the bucketed scan with zero
+    edge-side exchange — the durable co-location form, the same
+    write-once/probe-many upgrade pagerank and triangles already
+    have. The SYMMETRIZED list is written (bucketed storage fixes one
+    physical partitioning, so both orientations go to disk)."""
+    from seatunnel_spark.dataops.analytics import copurchase_pairs
+    from seatunnel_spark.dataops.graph import (
+        connected_components_on_bucketed, write_bucketed_edges)
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = copurchase_pairs(li, "l_orderkey", "l_partkey",
+                         min_support=3).select("p1", "p2")
+    und = e.union(e.select(F.col("p2").alias("p1"),
+                           F.col("p1").alias("p2")))
+    write_bucketed_edges(und, "bk_cc_edges", "p1", "p2",
+                         num_buckets=8)
+    return connected_components_on_bucketed(spark, "bk_cc_edges")
+
+
 def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label propagation (dataops/graph.py:
     label_propagation — Raghavan et al. 2007 with a total tie order:
@@ -3376,6 +3399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_benford": dq_benford,
         "q_degree_dist": q_degree_dist,
         "q_connected_components": q_connected_components,
+        "q_connected_bucketed": q_connected_bucketed,
         "q_label_prop": q_label_prop,
         "q_kcore": q_kcore,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -6682,6 +6706,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, min(lbl) AS component FROM reach GROUP BY node
         """
     d["q_label_prop"] = _label_prop_unrolled_sql(iters=2, min_support=3)
+    # identical converged labeling over the identical graph — the
+    # bucketed variant shares the recursive min-reachability oracle
+    d["q_connected_bucketed"] = d["q_connected_components"]
     d["q_acf"] = _acf_sql(max_lag=7)
     d["sim_pq_topk"] = _pq_oracle_sql(k_top=10)
     d["sim_ivfpq_topk"] = _ivfpq_oracle_sql(k_top=10, nprobe=2)

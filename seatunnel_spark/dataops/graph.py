@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["pagerank", "write_bucketed_edges", "pagerank_on_bucketed",
            "triangles_on_bucketed", "degree_distribution",
-           "connected_components", "label_propagation", "k_core"]
+           "connected_components", "connected_components_on_bucketed",
+           "label_propagation", "k_core"]
 
 
 def _symmetrized(edges: DataFrame, src: str, dst: str,
@@ -453,3 +454,62 @@ def degree_distribution(edges: DataFrame, src: str = "src",
     deg = ends.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
     return (deg.groupBy("degree")
             .agg(F.count(F.lit(1)).alias("n_vertices")))
+
+
+def connected_components_on_bucketed(
+    spark,
+    table: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an edge table written by
+    `write_bucketed_edges` -> (node, component), numerically identical
+    to `connected_components` on the same edges — the durable
+    co-location form: the per-round neighbor-min join probes the
+    bucketed scan on __src with ZERO edge-side exchange (plan-tested),
+    so the 100 TB graph never reshuffles across any number of rounds
+    or jobs. Only the |V|-row label table moves.
+
+    Feed it a SYMMETRIZED edge list (write both orientations before
+    write_bucketed_edges) — bucketed storage fixes one physical
+    partitioning, and symmetrizing at read time would break it."""
+    und = spark.table(table)
+    labels = (und.select(F.col("__src").alias("node")).distinct()
+              .localCheckpoint())
+    labels = labels.withColumn("component", F.col("node")) \
+                   .localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels.select(F.col("node").alias("__src"),
+                                   F.col("component").alias("__l")),
+                     "__src")
+            .groupBy(F.col("__dst").alias("node"))
+            .agg(F.min("__l").alias("__nl"))
+        )
+        prop = (
+            labels.join(nbr_min, "node", "left")
+            .select("node",
+                    F.least(F.col("component"),
+                            F.coalesce(F.col("__nl"), F.col("component"))
+                            ).alias("component"))
+            .localCheckpoint()
+        )
+        ptr = prop.select(F.col("node").alias("__t"),
+                          F.col("component").alias("__jc"))
+        new = (
+            prop.join(ptr, prop["component"] == ptr["__t"], "left")
+            .select(prop["node"],
+                    F.coalesce(ptr["__jc"], prop["component"])
+                    .alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.select("node",
+                                   F.col("component").alias("__old")),
+                     "node")
+            .filter(F.col("component") != F.col("__old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -863,3 +863,44 @@ def test_connected_components_edges_cached_once(spark):
     # beyond the edge frame is REQUIRED, but the result must be
     # checkpoint-backed (bounded lineage, no re-derivation)
     assert "Scan ExistingRDD" in p or "LocalTableScan" in p
+
+
+def test_connected_bucketed_edge_join_without_exchange(spark):
+    """connected_components_on_bucketed: the per-round neighbor-min
+    join must read the bucketed edge scan with NO edge-side exchange
+    — only the |V|-row label table moves (the pagerank_on_bucketed
+    property, verified on the join fragment the rounds run)."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.graph import (
+        connected_components, connected_components_on_bucketed,
+        write_bucketed_edges)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["src", "dst"])
+    und = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    try:
+        write_bucketed_edges(und, "bk_cc_test", num_buckets=4)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        e = spark.table("bk_cc_test")
+        labels = e.select(F.col("__src").alias("node")).distinct() \
+                  .localCheckpoint()
+        frag = e.join(labels.select(F.col("node").alias("__src")),
+                      "__src")
+        p = frag._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in p
+        # the edge scan side must contribute no exchange; the only
+        # exchange allowed is the label side moving to the buckets
+        assert p.count("Exchange") <= 1
+        got = {r["node"]: r["component"] for r in
+               connected_components_on_bucketed(
+                   spark, "bk_cc_test").collect()}
+        want = {r["node"]: r["component"] for r in
+                connected_components(edges).collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bk_cc_test")
