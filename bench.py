@@ -139,6 +139,9 @@ BENCH_QUERIES = [
     "sim_ivfadc_topk",
     "q_kanon",
     "q_profile_drift",
+    "dedup_containment",
+    "dedup_cascade",
+    "q_connected_bucketed",
 ]
 
 
