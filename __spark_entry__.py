@@ -2337,6 +2337,18 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "purchase", "event_id")
 
 
+def q_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (dataops/analytics.py:grouped_ols): discounted
+    revenue regressed on quantity per returnflag — the fit-a-line-
+    per-segment primitive with exactly one map-side-combined shuffle
+    (five sums per group, closed form after); no ML runtime."""
+    from seatunnel_spark.dataops.analytics import grouped_ols
+
+    return grouped_ols(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"],
+        "l_quantity", "l_extendedprice * (1 - l_discount)")
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew pre-flight (dataops/skew.py:skew_report) on
     lineitem.l_partkey — hot-key shares, per-key skew_ratio (× the
@@ -3353,6 +3365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": text_collocations,
         "q_mad": q_mad,
         "q_skew_report": q_skew_report,
+        "q_ols": q_ols,
         "q_attribution": q_attribution,
         "q_rolling_dau_hll": q_rolling_dau_hll,
         "q_ewma": q_ewma,
@@ -6913,6 +6926,37 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(tt.n_touches, 0) AS n_touches
             FROM convs c LEFT JOIN touches tt
               ON c.entity = tt.entity AND c.seg = tt.seg
+        """
+    d["q_ols"] = """
+            WITH base AS (
+              SELECT l_returnflag,
+                     CAST(l_quantity AS DOUBLE) AS x,
+                     CAST(l_extendedprice * (1 - l_discount)
+                          AS DOUBLE) AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+                AND l_discount IS NOT NULL
+            ), s AS (
+              SELECT l_returnflag, count(*)::DOUBLE AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x*x) AS sxx, sum(x*y) AS sxy,
+                     sum(y*y) AS syy
+              FROM base GROUP BY 1
+            )
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   round(CASE WHEN n*sxx - sx*sx > 0
+                         THEN (n*sxy - sx*sy) / (n*sxx - sx*sx)
+                         END, 6) AS slope,
+                   round((sy - (CASE WHEN n*sxx - sx*sx > 0
+                         THEN (n*sxy - sx*sy) / (n*sxx - sx*sx)
+                         END) * sx) / n, 6) AS intercept,
+                   round(CASE WHEN n*sxx - sx*sx > 0
+                              AND n*syy - sy*sy > 0
+                         THEN (n*sxy - sx*sy)*(n*sxy - sx*sy)
+                              / ((n*sxx - sx*sx)*(n*syy - sy*sy))
+                         END, 6) AS r2
+            FROM s
         """
     d["q_skew_report"] = """
             WITH counts AS (

@@ -881,3 +881,42 @@ def touch_attribution(df: DataFrame, entity_col: str = "user_id",
                     "first_touch", "last_touch",
                     F.coalesce("n_touches", F.lit(0))
                     .alias("n_touches")))
+
+
+def grouped_ols(df: DataFrame, group_cols: list[str], x_expr: str,
+                y_expr: str, round_to: int = 6) -> DataFrame:
+    """Per-group simple linear regression -> (*group_cols, n, slope,
+    intercept, r2): one map-side-combined aggregation computes the
+    five OLS sums per group, the closed form does the rest — the
+    "fit a line per segment" primitive (price elasticity per region,
+    tokens-vs-chars per source, latency-vs-size per endpoint) that
+    needs no ML runtime and exactly one shuffle at any scale. Groups
+    with zero x-variance return null slope/r2 rather than dividing
+    by zero; rows with a null on either side are excluded (the
+    standard pairwise-complete convention)."""
+    x = F.expr(x_expr).cast("double")
+    y = F.expr(y_expr).cast("double")
+    base = (df.select(*group_cols, x.alias("__x"), y.alias("__y"))
+            .filter(F.col("__x").isNotNull()
+                    & F.col("__y").isNotNull()))
+    s = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("__x").alias("__sx"), F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"))
+    cov = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    varx = (F.col("__n") * F.col("__sxx")
+            - F.col("__sx") * F.col("__sx"))
+    vary = (F.col("__n") * F.col("__syy")
+            - F.col("__sy") * F.col("__sy"))
+    slope = F.when(varx > 0, cov / varx)
+    return s.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        F.round(slope, round_to).alias("slope"),
+        F.round((F.col("__sy") - slope * F.col("__sx")) / F.col("__n"),
+                round_to).alias("intercept"),
+        F.round(F.when((varx > 0) & (vary > 0),
+                       cov * cov / (varx * vary)), round_to)
+        .alias("r2"))

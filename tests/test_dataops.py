@@ -3112,3 +3112,19 @@ def test_dedup_cascade_monotone(spark):
     assert (out["0_raw"] >= out["1_url"] >= out["2_exact"]
             >= out["3_fingerprint"])
     assert out["1_url"] < out["0_raw"]  # URL collisions exist by design
+
+
+def test_grouped_ols_exact_and_degenerate(spark):
+    """Group 'a' lies exactly on y = 3x + 2 (slope/intercept exact,
+    r2 = 1); group 'b' has zero x-variance -> null slope/r2 rather
+    than a division blowup."""
+    from seatunnel_spark.dataops.analytics import grouped_ols
+
+    rows = [("a", float(x), 3.0 * x + 2.0) for x in range(1, 6)]
+    rows += [("b", 4.0, float(y)) for y in (1, 2, 3)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = {r["g"]: r for r in
+           grouped_ols(df, ["g"], "x", "y").collect()}
+    assert got["a"]["slope"] == 3.0 and got["a"]["intercept"] == 2.0
+    assert got["a"]["r2"] == 1.0 and got["a"]["n"] == 5
+    assert got["b"]["slope"] is None and got["b"]["r2"] is None
