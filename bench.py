@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "dedup_containment",
     "dedup_cascade",
     "q_connected_bucketed",
+    "q_ols",
 ]
 
 
