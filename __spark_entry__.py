@@ -737,6 +737,24 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase dedup, the scale architecture (dataops/dedup.py:
+    minhash_lsh_pairs -> verify_pairs): banded LSH proposes candidate
+    pairs, one array_intersect per candidate scores them exactly
+    (jaccard AND containment). Cost O(|candidates|·set) — on
+    all-pairs-overlap corpora the exact-pairs operators must pay for
+    the quadratic overlap this prunes before materializing (the
+    BENCH_SF10_r08b dedup_containment exclusion, closed as an
+    operator). The oracle replays the banding AND the exact scores."""
+    from seatunnel_spark.dataops.dedup import (minhash_lsh_pairs,
+                                               verify_pairs)
+
+    d = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=8,
+                              bands=4)
+    return verify_pairs(cands, d, "doc_id", "text", k=3)
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup pairs (dataops/dedup.py:
     ngram_containment_pairs): |A∩B| / min(|A|,|B|) — catches the
@@ -3292,6 +3310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_containment": dedup_containment,
+        "dedup_verify": dedup_verify,
         "dedup_cascade": dedup_cascade,
         "sim_pq_index": sim_pq_index,
         "dedup_clusters": dedup_clusters,
@@ -6729,6 +6748,46 @@ def oracle_sql() -> dict[str, str]:
     # the persisted-index round trip returns exactly the in-memory PQ
     # search's rows — one oracle verifies both
     d["sim_pq_index"] = d["sim_pq_topk"]
+    d["dedup_verify"] = f"""
+            WITH {_shingle_cte_for_oracles()},
+            sig AS (
+              SELECT doc_id,
+                     min(substr(md5(sh || '#0'),  1, 8)) AS mh_0,
+                     min(substr(md5(sh || '#0'),  9, 8)) AS mh_1,
+                     min(substr(md5(sh || '#0'), 17, 8)) AS mh_2,
+                     min(substr(md5(sh || '#0'), 25, 8)) AS mh_3,
+                     min(substr(md5(sh || '#1'),  1, 8)) AS mh_4,
+                     min(substr(md5(sh || '#1'),  9, 8)) AS mh_5,
+                     min(substr(md5(sh || '#1'), 17, 8)) AS mh_6,
+                     min(substr(md5(sh || '#1'), 25, 8)) AS mh_7
+              FROM shingles GROUP BY doc_id
+            ),
+            buckets AS (
+              SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS key FROM sig
+              UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
+              UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
+              UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM buckets a JOIN buckets b
+                ON a.band = b.band AND a.key = b.key
+               AND a.doc_id < b.doc_id
+            ),
+            shl AS (
+              SELECT doc_id, list(DISTINCT sh) AS sh
+              FROM shingles GROUP BY doc_id
+            )
+            SELECT c.id_a, c.id_b,
+                   round(len(list_intersect(a.sh, b.sh)) * 1.0
+                         / len(list_distinct(list_concat(a.sh, b.sh))),
+                         4) AS jaccard,
+                   round(len(list_intersect(a.sh, b.sh)) * 1.0
+                         / least(len(a.sh), len(b.sh)), 4)
+                     AS containment
+            FROM cand c JOIN shl a ON c.id_a = a.doc_id
+                 JOIN shl b ON c.id_b = b.doc_id
+        """
     d["dedup_containment"] = f"""
             WITH {_shingle_cte_for_oracles()},
             shl AS (

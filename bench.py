@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "dedup_cascade",
     "q_connected_bucketed",
     "q_ols",
+    "dedup_verify",
 ]
 
 

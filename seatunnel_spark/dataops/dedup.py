@@ -982,3 +982,43 @@ def fuzzy_dup_pairs(df: DataFrame, id_col: str = "doc_id",
             .filter((F.col("dist") >= 0) & (F.col("dist") <= bound))
             .select("id1", "id2", "dist",
                     F.round(F.col("dist") / g, 4).alias("rel_dist")))
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact overlap scores for CANDIDATE pairs only -> (id_a, id_b,
+    jaccard, containment): the verify stage of two-phase dedup —
+    a candidate generator (minhash_lsh_pairs' banded buckets,
+    hamming blocking, a canonical-URL collision list) proposes pairs,
+    this scores them exactly. Cost is O(|candidates| · shingle-set),
+    never Σ df² and never N²: on corpora where every pair overlaps a
+    little (template boilerplate), the exact-pairs operators
+    (ngram_jaccard_pairs / ngram_containment_pairs) must output — and
+    therefore pay for — the quadratic overlap that LSH's threshold
+    tuning prunes before it is ever materialized.
+
+    Both scores come from one array_intersect per pair (jaccard =
+    |∩| / |∪|, containment = |∩| / min(|A|,|B|)); two broadcast-or-
+    shuffle joins attach the per-doc shingle sets to the pair list."""
+    sh = df.select(
+        F.col(id_col).alias("__vid"),
+        F.array_distinct(_word_shingles(F.col(text_col), k))
+        .alias("__sh"))
+    a = sh.select(F.col("__vid").alias(id_a), F.col("__sh").alias("__sa"))
+    b = sh.select(F.col("__vid").alias(id_b), F.col("__sh").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size("__sa") + F.size("__sb") - inter
+    return (pairs.join(a, id_a).join(b, id_b)
+            .select(id_a, id_b,
+                    F.round(inter / union, round_to).alias("jaccard"),
+                    F.round(inter / F.least(F.size("__sa"),
+                                            F.size("__sb")),
+                            round_to).alias("containment")))

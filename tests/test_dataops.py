@@ -3128,3 +3128,24 @@ def test_grouped_ols_exact_and_degenerate(spark):
     assert got["a"]["slope"] == 3.0 and got["a"]["intercept"] == 2.0
     assert got["a"]["r2"] == 1.0 and got["a"]["n"] == 5
     assert got["b"]["slope"] is None and got["b"]["r2"] is None
+
+
+def test_verify_pairs_scores_only_candidates(spark):
+    """verify_pairs scores exactly the pair list it is given — one
+    exact jaccard+containment per candidate, hand-checked, and pairs
+    NOT proposed are absent even if similar."""
+    from seatunnel_spark.dataops.dedup import verify_pairs
+
+    docs = spark.createDataFrame([
+        (1, "a b c d e f"),          # shingles: abc bcd cde def
+        (2, "a b c d x y"),          # abc bcd cdx dxy
+        (3, "a b c d e f"),          # identical to 1
+    ], ["doc_id", "text"])
+    cands = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    got = {(r["id_a"], r["id_b"]): (r["jaccard"], r["containment"])
+           for r in verify_pairs(cands, docs, "doc_id",
+                                 "text").collect()}
+    assert set(got) == {(1, 2), (1, 3)}  # (2,3) never proposed
+    assert got[(1, 3)] == (1.0, 1.0)
+    # |∩|=2 (abc,bcd), |∪|=6, min size 4
+    assert got[(1, 2)] == (round(2 / 6, 4), 0.5)
