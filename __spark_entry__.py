@@ -755,6 +755,25 @@ def dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_pairs(cands, d, "doc_id", "text", k=3)
 
 
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard (dataops/dedup.py:
+    jaccard_prefix_pairs — Chaudhuri et al. 2006 / PPJoin): same
+    output as the plain inverted-index join at the same threshold
+    (equivalence tested at two thresholds), but candidates come only
+    from each doc's RAREST |A|−⌈t|A|⌉+1 shingles — the common
+    boilerplate shingles sort last and fall outside every prefix, so
+    the tokens that blow up Σdf² are pruned WITHOUT the max_df cap's
+    underestimate. The oracle replays the full-pair ground truth
+    (candidates are an implementation detail; output is what's
+    checked)."""
+    from seatunnel_spark.dataops.dedup import jaccard_prefix_pairs
+
+    out = jaccard_prefix_pairs(_t(spark, sf_dir, "documents"),
+                               "doc_id", "text", k=3, threshold=0.8)
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 4).alias("jaccard"))
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup pairs (dataops/dedup.py:
     ngram_containment_pairs): |A∩B| / min(|A|,|B|) — catches the
@@ -3311,6 +3330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_containment": dedup_containment,
         "dedup_verify": dedup_verify,
+        "dedup_jaccard_prefix": dedup_jaccard_prefix,
         "dedup_cascade": dedup_cascade,
         "sim_pq_index": sim_pq_index,
         "dedup_clusters": dedup_clusters,
@@ -6787,6 +6807,20 @@ def oracle_sql() -> dict[str, str]:
                      AS containment
             FROM cand c JOIN shl a ON c.id_a = a.doc_id
                  JOIN shl b ON c.id_b = b.doc_id
+        """
+    d["dedup_jaccard_prefix"] = f"""
+            WITH {_shingle_cte_for_oracles()},
+            shl AS (
+              SELECT doc_id, list(DISTINCT sh) AS sh
+              FROM shingles GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh)) * 1.0
+                         / len(list_distinct(list_concat(a.sh, b.sh))),
+                         4) AS jaccard
+            FROM shl a JOIN shl b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
         """
     d["dedup_containment"] = f"""
             WITH {_shingle_cte_for_oracles()},

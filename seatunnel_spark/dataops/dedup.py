@@ -1022,3 +1022,71 @@ def verify_pairs(
                     F.round(inter / F.least(F.size("__sa"),
                                             F.size("__sb")),
                             round_to).alias("containment")))
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard pairs via PREFIX FILTERING (Chaudhuri
+    et al. 2006 / PPJoin) — same output as ngram_jaccard_pairs at the
+    same threshold, strictly fewer candidates: sort each doc's
+    shingles by global rarity (df asc, token asc) and index only the
+    first |A| − ⌈t·|A|⌉ + 1 of them; any pair with J ≥ t MUST share a
+    prefix shingle (if they shared none, the overlap is confined to
+    the two suffixes, bounding |A∩B| ≤ min(⌈t|A|⌉−1, ⌈t|B|⌉−1) < the
+    t·max(|A|,|B|)/(1+t)... ≥ t requirement), so candidates form from
+    the prefix inverted index only and are then verified exactly.
+
+    Scale: at t=0.8 the prefix is ~20% of each set, so candidate work
+    is Σ df_prefix² — on corpora where the HOT shingles are the
+    common boilerplate (they have the highest df, so they sort LAST
+    and fall outside every prefix), this prunes exactly the tokens
+    that blow up the plain inverted-index join, WITHOUT the max_df
+    cap's underestimate. Verification joins the full shingle sets
+    back (the verify_pairs shape): one array_intersect per surviving
+    candidate."""
+    shingled = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in (block_cols or [])],
+        F.array_distinct(_word_shingles(F.col(text_col), k)).alias("sh"),
+    )
+    occ = shingled.select(
+        "id", *(block_cols or []), F.explode("sh").alias("tok"))
+    dfreq = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    # global rarity rank per occurrence, then per-doc prefix slice
+    from pyspark.sql import Window
+
+    ranked = (occ.join(dfreq, "tok")
+              .withColumn("__pos", F.row_number().over(
+                  Window.partitionBy("id")
+                  .orderBy(F.col("__df").asc(), F.col("tok").asc())))
+              .withColumn("__n", F.count(F.lit(1)).over(
+                  Window.partitionBy("id"))))
+    prefix_len = (F.col("__n")
+                  - F.ceil(F.lit(float(threshold)) * F.col("__n"))
+                  + 1)
+    pref = ranked.filter(F.col("__pos") <= prefix_len) \
+                 .select("id", *(block_cols or []), "tok").persist()
+    a, b = pref.alias("a"), pref.alias("b")
+    cond = ((F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id")))
+    for c in block_cols or []:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cands = (a.join(b, cond)
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+             .distinct())
+    sa = shingled.select(F.col("id").alias("id_a"),
+                         F.col("sh").alias("__sa"))
+    sb = shingled.select(F.col("id").alias("id_b"),
+                         F.col("sh").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size("__sa") + F.size("__sb") - inter
+    return (cands.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b", (inter / union).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))

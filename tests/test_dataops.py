@@ -3149,3 +3149,35 @@ def test_verify_pairs_scores_only_candidates(spark):
     assert got[(1, 3)] == (1.0, 1.0)
     # |∩|=2 (abc,bcd), |∪|=6, min size 4
     assert got[(1, 2)] == (round(2 / 6, 4), 0.5)
+
+
+def test_jaccard_prefix_equals_full_join(spark):
+    """Prefix filtering is lossless: identical output to the plain
+    inverted-index join (max_df=None) at two thresholds on the real
+    corpus, and the prefix index holds strictly fewer occurrence rows
+    (the pruning is real, not vacuous)."""
+    from pyspark.sql import Window, functions as F
+
+    from seatunnel_spark.dataops.dedup import (_word_shingles,
+                                               jaccard_prefix_pairs,
+                                               ngram_jaccard_pairs)
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.8, 0.5):
+        a = {(r["id_a"], r["id_b"], round(r["jaccard"], 4)) for r in
+             jaccard_prefix_pairs(d, "doc_id", "text", k=3,
+                                  threshold=t).collect()}
+        b = {(r["id_a"], r["id_b"], round(r["jaccard"], 4)) for r in
+             ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=t,
+                                 max_df=None).collect()}
+        assert a == b, f"t={t}"
+    # pruning check: prefix rows < total shingle occurrences at t=0.8
+    sh = d.select(F.col("doc_id"),
+                  F.explode(F.array_distinct(
+                      _word_shingles(F.col("text"), 3))).alias("tok"))
+    total = sh.count()
+    n_per = sh.groupBy("doc_id").count()
+    kept = n_per.select(
+        F.sum(F.col("count") - F.ceil(0.8 * F.col("count")) + 1)
+    ).collect()[0][0]
+    assert kept < total * 0.45
