@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "q_connected_bucketed",
     "q_ols",
     "dedup_verify",
+    "dedup_jaccard_prefix",
 ]
 
 
