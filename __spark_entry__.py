@@ -2865,6 +2865,46 @@ def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_distribution(edges, "p1", "p2")
 
 
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (dataops/graph.py:personalized_pagerank):
+    teleport mass returns to a 5-customer seed set over the same
+    symmetrized customer<->supplier graph as q_pagerank — ranks now
+    measure proximity TO THE SEEDS (related-entity scoring,
+    TrustRank), not global importance. Same one-shuffle-per-iteration
+    shape plus a broadcast seed flag; the oracle unrolls both
+    iterations with the seed-restart vector."""
+    from seatunnel_spark.dataops.graph import personalized_pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    jp = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select(o.o_custkey.alias("c"), li.l_suppkey.alias("s"))
+          .distinct())
+    j = jp.select(F.concat(F.lit("c"), F.col("c")).alias("src"),
+                  F.concat(F.lit("s"), F.col("s")).alias("dst"))
+    edges = j.union(
+        j.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = (jp.filter(F.col("c") < 5)
+             .select(F.concat(F.lit("c"), F.col("c")).alias("node"))
+             .distinct())
+    return personalized_pagerank(edges, seeds, iters=2, dedupe=False)
+
+
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (dataops/profile.py:psi_report):
+    events.value vs a deterministically shifted half-snapshot
+    (value x1.15 on even event_ids) — the scorecard-monitoring
+    distribution-shape test complementing q_profile_drift's moment
+    deltas. Reference-quantile edges from one percentile aggregate,
+    codegen binning on both scans, bins-sized arithmetic after."""
+    from seatunnel_spark.dataops.profile import psi_report
+
+    e = _t(spark, sf_dir, "events")
+    b = (e.filter(F.col("event_id") % 2 == 0)
+         .withColumn("value", F.col("value") * 1.15))
+    return psi_report(e, b, "value", bins=10)
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (dataops/graph.py:connected_components —
     hash-to-min + pointer jumping, Rastogi et al. 2013) of the STRONG
@@ -3450,6 +3490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_novelty": text_novelty,
         "dq_benford": dq_benford,
         "q_degree_dist": q_degree_dist,
+        "q_ppr": q_ppr,
+        "q_psi": q_psi,
         "q_connected_components": q_connected_components,
         "q_connected_bucketed": q_connected_bucketed,
         "q_label_prop": q_label_prop,
@@ -6744,6 +6786,98 @@ def oracle_sql() -> dict[str, str]:
     # same sharing for the triangle family: the bucketed variant runs the
     # identical count over the identical co-purchase graph
     d["q_triangles_bucketed"] = d["q_triangles"]
+    d["q_ppr"] = """
+            WITH je AS (SELECT DISTINCT 'c' || o_custkey AS src,
+                               's' || l_suppkey AS dst,
+                               o_custkey AS ck
+                        FROM lineitem JOIN orders
+                          ON l_orderkey = o_orderkey),
+            edges AS (SELECT src, dst FROM je
+                      UNION SELECT dst, src FROM je),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            seeds AS (SELECT DISTINCT 'c' || ck AS node FROM je
+                      WHERE ck < 5),
+            ns AS (SELECT count(*)::DOUBLE AS ns FROM seeds),
+            ev AS (SELECT n.node,
+                          CASE WHEN s.node IS NOT NULL
+                               THEN 1.0 / ns.ns ELSE 0.0 END AS e
+                   FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+                        CROSS JOIN ns),
+            deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+            r0 AS (SELECT node, e AS r FROM ev),
+            c1 AS (SELECT x.dst AS node, sum(r0.r / deg.deg) AS s
+                   FROM edges x JOIN deg ON x.src = deg.src
+                        JOIN r0 ON x.src = r0.node
+                   GROUP BY 1),
+            r1 AS (SELECT ev.node,
+                          round(0.15 * ev.e
+                                + 0.85 * coalesce(c1.s, 0), 6) AS r
+                   FROM ev LEFT JOIN c1 ON ev.node = c1.node),
+            c2 AS (SELECT x.dst AS node, sum(r1.r / deg.deg) AS s
+                   FROM edges x JOIN deg ON x.src = deg.src
+                        JOIN r1 ON x.src = r1.node
+                   GROUP BY 1),
+            r2 AS (SELECT ev.node,
+                          round(0.15 * ev.e
+                                + 0.85 * coalesce(c2.s, 0), 6) AS r
+                   FROM ev LEFT JOIN c2 ON ev.node = c2.node)
+            SELECT node, r AS rank FROM r2
+        """
+    d["q_psi"] = """
+            WITH ed AS (
+              SELECT list_transform(quantile_cont(
+                       CAST(value AS DOUBLE),
+                       [0.1, 0.2, 0.3, 0.4, 0.5,
+                        0.6, 0.7, 0.8, 0.9]),
+                     t -> round(t, 4)) AS e
+              FROM events
+            ), bsrc AS (
+              SELECT CASE WHEN event_id % 2 = 0
+                          THEN value * 1.15 END AS value, event_id
+              FROM events WHERE event_id % 2 = 0
+            ), ca AS (
+              SELECT list_sum(list_transform(ed.e,
+                       t -> CAST(round(CAST(value AS DOUBLE), 4) > t
+                                 AS INT))) AS bin,
+                     count(*) AS na
+              FROM events, ed WHERE value IS NOT NULL GROUP BY 1
+            ), cb AS (
+              SELECT list_sum(list_transform(ed.e,
+                       t -> CAST(round(CAST(value AS DOUBLE), 4) > t
+                                 AS INT))) AS bin,
+                     count(*) AS nb
+              FROM bsrc, ed WHERE value IS NOT NULL GROUP BY 1
+            ), spine AS (
+              SELECT unnest(generate_series(0, 9)) AS bin
+            ), ta AS (SELECT sum(na)::DOUBLE AS ta FROM ca),
+            tb AS (SELECT sum(nb)::DOUBLE AS tb FROM cb),
+            terms AS (
+              SELECT s.bin,
+                     CASE WHEN s.bin = 0 THEN NULL
+                          ELSE round(e[s.bin], 6) END AS lo,
+                     CASE WHEN s.bin = 9 THEN NULL
+                          ELSE round(e[s.bin + 1], 6) END AS hi,
+                     round(greatest(coalesce(ca.na, 0) / ta.ta,
+                                    1e-6), 6) AS frac_a,
+                     round(greatest(coalesce(cb.nb, 0) / tb.tb,
+                                    1e-6), 6) AS frac_b,
+                     round((greatest(coalesce(cb.nb, 0) / tb.tb, 1e-6)
+                            - greatest(coalesce(ca.na, 0) / ta.ta,
+                                       1e-6))
+                           * ln(greatest(coalesce(cb.nb, 0) / tb.tb,
+                                         1e-6)
+                                / greatest(coalesce(ca.na, 0) / ta.ta,
+                                           1e-6)), 6) AS psi_term
+              FROM spine s
+              LEFT JOIN ca ON s.bin = ca.bin
+              LEFT JOIN cb ON s.bin = cb.bin
+              CROSS JOIN ta CROSS JOIN tb CROSS JOIN ed
+            ), tot AS (SELECT round(sum(psi_term), 6) AS psi
+                       FROM terms)
+            SELECT t.bin, t.lo, t.hi, t.frac_a, t.frac_b, t.psi_term,
+                   tot.psi
+            FROM terms t, tot
+        """
     # connected components: the converged hash-to-min labeling is the
     # canonical min-reachable-id per node, which recursive reachability
     # computes directly (iteration-schedule independent by uniqueness).

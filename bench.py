@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "q_ols",
     "dedup_verify",
     "dedup_jaccard_prefix",
+    "q_ppr",
+    "q_psi",
 ]
 
 

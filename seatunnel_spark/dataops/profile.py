@@ -214,3 +214,69 @@ def profile_drift(a: DataFrame, b: DataFrame,
                     "mean_a", "mean_b",
                     F.round(F.col("mean_b") - F.col("mean_a"),
                             round_to).alias("mean_delta")))
+
+
+def psi_report(a: DataFrame, b: DataFrame, value_expr: str,
+               bins: int = 10, round_to: int = 6) -> DataFrame:
+    """Population Stability Index between two snapshots of one
+    numeric expression -> (bin, lo, hi, frac_a, frac_b, psi_term,
+    psi): bin edges are exact quantiles of A (the reference
+    population — the standard convention), both snapshots are
+    fractioned into them, and PSI = Σ (f_b − f_a)·ln(f_b/f_a). The
+    scorecard-monitoring staple: < 0.1 stable, 0.1-0.25 drifting,
+    > 0.25 shifted. Complements profile_drift (moment deltas) with a
+    distribution-shape test.
+
+    Scale: edges are ONE exact-percentile aggregate over A
+    (broadcast; the equidepth discipline), binning is a codegen
+    comparison chain on both scans, and everything after the two
+    bin-count aggregations is bins-sized. Empty-bin fractions are
+    floored at 1e-6 (the standard smoothing) so the log stays
+    finite; `psi` repeats the total on every row."""
+    # edges and compared values round to 4 decimals (the equidepth
+    # oracle discipline): percentile interpolation can differ by an
+    # ulp across engines, and a value sitting exactly on an edge must
+    # bin identically everywhere
+    edges = a.agg(F.transform(F.percentile(
+        F.expr(value_expr).cast("double"),
+        F.array(*[F.lit(i / bins) for i in range(1, bins)])
+    ), lambda t: F.round(t, 4)).alias("__e"))
+
+    def binned(df: DataFrame, tag: str) -> DataFrame:
+        v = F.expr(value_expr).cast("double")
+        bucket = F.aggregate(
+            F.col("__e"), F.lit(0).cast("int"),
+            lambda acc, t: acc + (F.round(v, 4) > t).cast("int"))
+        return (df.join(F.broadcast(edges))
+                .filter(v.isNotNull())
+                .select(bucket.alias("bin"))
+                .groupBy("bin")
+                .agg(F.count(F.lit(1)).alias(f"__n_{tag}")))
+    ca, cb = binned(a, "a"), binned(b, "b")
+    spine = (edges.select(F.explode(F.sequence(
+        F.lit(0), F.lit(bins - 1))).alias("bin"), "__e"))
+    ta = F.broadcast(ca.agg(F.sum("__n_a").cast("double")
+                            .alias("__ta")))
+    tb = F.broadcast(cb.agg(F.sum("__n_b").cast("double")
+                            .alias("__tb")))
+    fa = F.greatest(F.coalesce(F.col("__n_a"), F.lit(0))
+                    / F.col("__ta"), F.lit(1e-6))
+    fb = F.greatest(F.coalesce(F.col("__n_b"), F.lit(0))
+                    / F.col("__tb"), F.lit(1e-6))
+    term = F.round((fb - fa) * F.log(fb / fa), round_to)
+    lo = F.when(F.col("bin") == 0, F.lit(None).cast("double")) \
+          .otherwise(F.element_at("__e", F.col("bin")))
+    hi = F.when(F.col("bin") == bins - 1,
+                F.lit(None).cast("double")) \
+          .otherwise(F.element_at("__e", F.col("bin") + 1))
+    out = (spine.join(ca, "bin", "left").join(cb, "bin", "left")
+           .join(ta).join(tb)
+           .select("bin",
+                   F.round(lo, round_to).alias("lo"),
+                   F.round(hi, round_to).alias("hi"),
+                   F.round(fa, round_to).alias("frac_a"),
+                   F.round(fb, round_to).alias("frac_b"),
+                   term.alias("psi_term")))
+    tot = F.broadcast(out.agg(F.round(F.sum("psi_term"), round_to)
+                              .alias("psi")))
+    return out.join(tot)

@@ -3181,3 +3181,35 @@ def test_jaccard_prefix_equals_full_join(spark):
         F.sum(F.col("count") - F.ceil(0.8 * F.col("count")) + 1)
     ).collect()[0][0]
     assert kept < total * 0.45
+
+
+def test_personalized_pagerank_hand_check(spark):
+    """Symmetrized path 1-2-3 with seed {1}: two unrolled iterations
+    hand-computed — rank mass concentrates near the seed and sums
+    to 1 (teleport conserves mass on a symmetrized graph)."""
+    from seatunnel_spark.dataops.graph import personalized_pagerank
+
+    e = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    edges = spark.createDataFrame(e, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r["node"]: r["rank"] for r in
+           personalized_pagerank(edges, seeds, iters=2).collect()}
+    assert got == {1: 0.51125, 2: 0.1275, 3: 0.36125}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_psi_report_zero_and_shifted(spark):
+    """Identical snapshots -> PSI ~ 0; a +50% location shift on half
+    the mass -> PSI above the 0.25 'shifted' alarm line."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.profile import psi_report
+
+    a = spark.range(1000).select(
+        (F.col("id") % 100).cast("double").alias("v"))
+    same = psi_report(a, a, "v", bins=5).collect()
+    assert all(abs(r["psi"]) < 1e-9 for r in same)
+    b = a.select((F.col("v") + 50.0).alias("v"))
+    shifted = psi_report(a, b, "v", bins=5).collect()
+    assert shifted[0]["psi"] > 0.25
+    assert len(shifted) == 5
