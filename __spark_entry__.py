@@ -3954,7 +3954,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag
         """,
-        "mm_image_dedup": """
+        "mm_image_dedup": r"""
             -- brute-force N^2 ground truth for the pigeonhole-blocked
             -- Hamming join: stub phash = first 8 sha256 bytes as a
             -- signed 64-bit fold (multimodal.py:_phash_stub)
@@ -4439,7 +4439,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         # Same token counting, weight map, rounding and ceil in SQL;
         # NULLIF replays try_divide.
-        "sample_mixture_plan": """
+        "sample_mixture_plan": r"""
             WITH agg AS (
               SELECT source AS domain, count(*) AS n_docs,
                      sum(CASE WHEN trim(text) = '' THEN 0
@@ -4469,7 +4469,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         # Epoch explode + md5(id#epoch) membership for the fractional
         # last pass, replayed verbatim.
-        "sample_mixture_apply": """
+        "sample_mixture_apply": r"""
             WITH agg AS (
               SELECT source AS domain, count(*) AS n_docs,
                      sum(CASE WHEN trim(text) = '' THEN 0
@@ -5579,7 +5579,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         # Same tokenize/bigram build, same smoothing arithmetic; V is
         # the distinct-unigram count in both engines.
-        "text_lm_bigram": """
+        "text_lm_bigram": r"""
             WITH w AS (
               SELECT doc_id,
                      string_split_regex(trim(lower(text)), '\s+') AS ws
@@ -5796,7 +5796,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM wfil JOIN dic USING (word)
             GROUP BY doc_id
         """,
-        "text_bpe_pairs": """
+        "text_bpe_pairs": r"""
             WITH w AS (
               SELECT unnest(string_split_regex(trim(lower(text)),
                                                '\s+')) AS word
@@ -7085,8 +7085,14 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 56 - length(bin(w)) + 1 END) AS rho
               FROM h GROUP BY 1, 2
             ), spine AS (
-              SELECT day, reg
-              FROM (SELECT DISTINCT day FROM r),
+              -- CALENDAR spine (gapless), mirroring the engine: a
+              -- zero-event gap day must occupy a ROWS-frame slot or
+              -- the trailing window spans >7 calendar days
+              SELECT CAST(d AS DATE) AS day, reg
+              FROM (SELECT unnest(generate_series(
+                       (SELECT min(day) FROM r),
+                       (SELECT max(day) FROM r),
+                       INTERVAL 1 DAY)) AS d),
                    (SELECT unnest(generate_series(0, 255)) AS reg)
             ), dense AS (
               SELECT s.day, s.reg, coalesce(r.rho, 0) AS rho

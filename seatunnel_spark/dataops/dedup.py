@@ -553,7 +553,14 @@ def ngram_containment_pairs(
 
     Same machinery and scale shape as ngram_jaccard_pairs (shared
     inverted-index candidate core `_inverted_intersections`, same
-    `max_df` hot-shingle cap with the same underestimate trade)."""
+    `max_df` hot-shingle cap). Cap semantics differ from Jaccard,
+    though: the intersection is counted over CAPPED shingles but the
+    min() denominator uses the PRE-CAP set sizes — if the post-cap
+    size were used instead, a capped shingle present only in the
+    smaller doc would shrink the denominator and INFLATE containment
+    (a short boilerplate-heavy doc could false-positive at 1.0).
+    With pre-cap sizes the score is a clean underestimate, the same
+    direction as the Jaccard trade."""
     shingled = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in (block_cols or [])],
@@ -564,12 +571,9 @@ def ngram_containment_pairs(
         F.explode("sh").alias("tok"),
     )
     if max_df is not None:
-        inv = _cap_buckets(inv.drop("n"),
-                           ["tok", *(block_cols or [])], max_df)
-        from pyspark.sql import Window
-
-        inv = inv.withColumn(
-            "n", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        # keep the PRE-CAP "n" through the cap (see docstring: a
+        # post-cap denominator overestimates containment)
+        inv = _cap_buckets(inv, ["tok", *(block_cols or [])], max_df)
     inv = inv.persist()
     inter = _inverted_intersections(inv, block_cols)
     return (

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 __all__ = ["pagerank", "write_bucketed_edges", "pagerank_on_bucketed",
            "triangles_on_bucketed", "degree_distribution",
            "connected_components", "connected_components_on_bucketed",
-           "label_propagation", "k_core"]
+           "label_propagation", "k_core", "personalized_pagerank"]
 
 
 def _symmetrized(edges: DataFrame, src: str, dst: str,

@@ -357,7 +357,15 @@ def hll_rolling_estimate(df: DataFrame, ts_col: str, value_col: str,
     day = F.to_date(F.col(ts_col)).alias("day")
     regs = hll_build_grouped(
         df.select(day, F.col(value_col)), ["day"], value_col, p)
-    days = regs.select("day").distinct()
+    # CALENDAR spine, not observed-days: with a ROWS-based trailing
+    # window, a zero-event gap day must still occupy a frame slot or
+    # the window silently spans more than `window_days` calendar days
+    # and overestimates (diverging from the calendar-based exact
+    # rolling_distinct this is interchangeable with). sequence() over
+    # the [min, max] day range is gapless by construction.
+    days = (regs.agg(F.min("day").alias("__lo"),
+                     F.max("day").alias("__hi"))
+            .select(F.explode(F.sequence("__lo", "__hi")).alias("day")))
     spine = days.crossJoin(
         regs.sparkSession.range(m).select(
             F.col("id").cast("int").alias("reg")))

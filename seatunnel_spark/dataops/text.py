@@ -990,12 +990,18 @@ def zipf_fit(df: DataFrame, text_col: str = "text",
     cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # Degenerate heads (single token -> varx=0; all head counts equal
+    # -> vary=0) must yield NULL, not DIVIDE_BY_ZERO under ANSI mode
+    # (the Spark 4 default) — same guard discipline as grouped_ols.
+    slope = F.when(varx > 0, cov / varx)
     return s.select(
         F.col("n").cast("long").alias("n_terms"),
-        F.round(cov / varx, round_to).alias("slope"),
-        F.round((F.col("sy") - (cov / varx) * F.col("sx"))
+        F.round(slope, round_to).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx"))
                 / F.col("n"), round_to).alias("intercept"),
-        F.round(cov * cov / (varx * vary), round_to).alias("r2"))
+        F.round(F.when((varx > 0) & (vary > 0),
+                       cov * cov / (varx * vary)),
+                round_to).alias("r2"))
 
 
 def vocab_growth(df: DataFrame, id_col: str = "doc_id",

@@ -2916,6 +2916,36 @@ def test_hll_rolling_estimate_tracks_exact(spark):
     assert got[7] == direct
 
 
+def test_hll_rolling_estimate_calendar_gap_days(spark):
+    """Zero-event gap days must still consume window slots: users
+    {0..49} appear on day 1 only, users {100..119} on day 9 only
+    (days 2-8 and 10 empty). With window_days=3, day 9's trailing
+    window covers calendar days 7-9 => only the 20 day-9 users; an
+    observed-days spine would let day 1 leak in (ROWS frame spanning
+    8 calendar days) and report ~70. Also: every gap day inside the
+    [min, max] range gets an output row with the correct carried
+    estimate (day 2 and 3 still see day 1's users; day 4 sees none)."""
+    import datetime as _dt
+
+    from seatunnel_spark.dataops.sketches import hll_rolling_estimate
+
+    t0 = _dt.datetime(2024, 5, 1)
+    rows = [(i, t0, u) for i, u in enumerate(range(50))]
+    rows += [(1000 + i, t0 + _dt.timedelta(days=8), 100 + u)
+             for i, u in enumerate(range(20))]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long")
+    got = {r["day"].day: r["est"] for r in
+           hll_rolling_estimate(df, "ts", "user_id",
+                                window_days=3).collect()}
+    # gapless output spine: one row per calendar day 1..9
+    assert sorted(got) == list(range(1, 10))
+    assert abs(got[9] - 20) / 20 < 0.35, got[9]   # day 1 must NOT leak
+    assert abs(got[1] - 50) / 50 < 0.35, got[1]
+    assert got[3] == got[1]                        # day 1 still in frame
+    assert got[4] == 0.0                           # window all-empty
+
+
 def test_ivfpq_candidates_and_recall(spark):
     """IVF+PQ: every result row comes from a probed cell (structural
     check vs a direct cell assignment), and with all cells probed the
