@@ -164,6 +164,9 @@ def main() -> None:
     from seatunnel_spark.session import get_spark
 
     spark = get_spark("seatunnel-bench")
+    # keep the tail window clean: log4j WARN spew (WindowExec etc.)
+    # must never share the capture budget with the result line
+    spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
 
     load_start = os.getloadavg()
@@ -185,22 +188,54 @@ def main() -> None:
     timings = {k: round(v, 3) for k, v in timings.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "loadavg_start": [round(x, 2) for x in load_start],
-                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-                "runs": runs,
-                "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM",
-                                             "16g"),
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "runs": runs,
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    }
+
+    # The round driver records only the LAST ~2000 chars of stdout and
+    # json-parses them; with 90+ queries the full per-query line
+    # overflows that window and the official artifact comes back
+    # "parsed": null (round 8). So: the COMPLETE result always goes to
+    # BENCH_LOCAL.json next to this script, and the final stdout line
+    # is guaranteed to fit — full if it can be, otherwise with the
+    # queries dict trimmed to the slowest entries that fit (the
+    # fastest are the ones nobody diagnoses from the tail; the
+    # committed BENCH_LOCAL.json keeps every timing + a sha256 digest
+    # that lets anyone confirm the two artifacts describe the same
+    # run).
+    digest = __import__("hashlib").sha256(
+        json.dumps(timings, sort_keys=True).encode()).hexdigest()[:12]
+    result["queries_sha256"] = digest
+    local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json")
+    with open(local, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+    budget = int(os.environ.get("SPARK_GRAFT_TAIL_BUDGET", "1800"))
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > budget:
+        by_cost = sorted(timings, key=timings.get, reverse=True)
+        keep = dict(timings)
+        for name in reversed(by_cost):  # drop fastest first
+            if len(line) <= budget:
+                break
+            keep.pop(name)
+            trimmed = {**result, "queries": keep,
+                       "queries_omitted": len(timings) - len(keep),
+                       "queries_total": len(timings),
+                       "detail": "BENCH_LOCAL.json"}
+            line = json.dumps(trimmed, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1028,32 +1028,21 @@ def verify_pairs(
                             round_to).alias("containment")))
 
 
-def jaccard_prefix_pairs(
+def _jaccard_prefix_stages(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    k: int = 3,
-    threshold: float = 0.8,
-    block_cols: list[str] | None = None,
-) -> DataFrame:
-    """Exact word-k-gram Jaccard pairs via PREFIX FILTERING (Chaudhuri
-    et al. 2006 / PPJoin) — same output as ngram_jaccard_pairs at the
-    same threshold, strictly fewer candidates: sort each doc's
-    shingles by global rarity (df asc, token asc) and index only the
-    first |A| − ⌈t·|A|⌉ + 1 of them; any pair with J ≥ t MUST share a
-    prefix shingle (if they shared none, the overlap is confined to
-    the two suffixes, bounding |A∩B| ≤ min(⌈t|A|⌉−1, ⌈t|B|⌉−1) < the
-    t·max(|A|,|B|)/(1+t)... ≥ t requirement), so candidates form from
-    the prefix inverted index only and are then verified exactly.
-
-    Scale: at t=0.8 the prefix is ~20% of each set, so candidate work
-    is Σ df_prefix² — on corpora where the HOT shingles are the
-    common boilerplate (they have the highest df, so they sort LAST
-    and fall outside every prefix), this prunes exactly the tokens
-    that blow up the plain inverted-index join, WITHOUT the max_df
-    cap's underestimate. Verification joins the full shingle sets
-    back (the verify_pairs shape): one array_intersect per surviving
-    candidate."""
+    k: int,
+    threshold: float,
+    block_cols: list[str] | None,
+    max_prefix_df: int | None,
+    length_filter: bool,
+    positional_filter: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared PPJoin core -> (shingled docs, candidate pairs). The
+    filters are opt-out only so tests can measure each one's
+    candidate reduction in isolation; production callers get all of
+    them through jaccard_prefix_pairs' defaults."""
     shingled = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in (block_cols or [])],
@@ -1071,20 +1060,97 @@ def jaccard_prefix_pairs(
                   .orderBy(F.col("__df").asc(), F.col("tok").asc())))
               .withColumn("__n", F.count(F.lit(1)).over(
                   Window.partitionBy("id"))))
-    prefix_len = (F.col("__n")
-                  - F.ceil(F.lit(float(threshold)) * F.col("__n"))
-                  + 1)
+    t = float(threshold)
+    prefix_len = (F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + 1)
     pref = ranked.filter(F.col("__pos") <= prefix_len) \
-                 .select("id", *(block_cols or []), "tok").persist()
+                 .select("id", *(block_cols or []),
+                         "tok", "__pos", "__n")
+    # Hot-prefix cap: rarity ordering already pushes boilerplate
+    # shingles out of every prefix, but a corpus of near-identical
+    # SHORT docs (prefix == whole set) can still flood one token and
+    # turn the candidate join quadratic. Same _cap_buckets discipline
+    # as ngram_jaccard_pairs' max_df; when the cap fires, pairs whose
+    # ONLY shared prefix token was dropped are missed (underestimate
+    # — collapse exact dups with exact_dup_groups first).
+    pref = _cap_buckets(pref, ["tok", *(block_cols or [])],
+                        max_prefix_df)
+    pref = pref.persist()
     a, b = pref.alias("a"), pref.alias("b")
     cond = ((F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.id") < F.col("b.id")))
     for c in block_cols or []:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    if length_filter:
+        # J >= t forces t*|A| <= |B| <= |A|/t — symmetric because ids
+        # (not sizes) order the pair
+        cond = cond & (F.col("b.__n") >= F.lit(t) * F.col("a.__n")) \
+                    & (F.col("a.__n") >= F.lit(t) * F.col("b.__n"))
+    if positional_filter:
+        # PPJoin positional upper bound: a match on token at rarity
+        # positions (pa, pb) can contribute at most itself plus the
+        # shorter suffix. ANY-match semantics stay exact: the
+        # EARLIEST common token (consistent global order => earliest
+        # in both lists, with nothing common before it) is always in
+        # both prefixes whenever any common token is, and its bound
+        # 1 + min(|A|-pa, |B|-pb) >= true overlap, so every true pair
+        # survives via that match even if later matches are pruned.
+        minov = F.ceil(F.lit(t / (1.0 + t))
+                       * (F.col("a.__n") + F.col("b.__n")))
+        ubound = (F.lit(1)
+                  + F.least(F.col("a.__n") - F.col("a.__pos"),
+                            F.col("b.__n") - F.col("b.__pos")))
+        cond = cond & (ubound >= minov)
     cands = (a.join(b, cond)
              .select(F.col("a.id").alias("id_a"),
                      F.col("b.id").alias("id_b"))
              .distinct())
+    return shingled, cands
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    block_cols: list[str] | None = None,
+    max_prefix_df: int | None = 100_000,
+    length_filter: bool = True,
+    positional_filter: bool = True,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard pairs via PREFIX FILTERING (Chaudhuri
+    et al. 2006 / PPJoin) — same output as ngram_jaccard_pairs at the
+    same threshold, strictly fewer candidates: sort each doc's
+    shingles by global rarity (df asc, token asc) and index only the
+    first |A| − ⌈t·|A|⌉ + 1 of them; any pair with J ≥ t MUST share a
+    prefix shingle (if they shared none, the overlap is confined to
+    the two suffixes, bounding |A∩B| ≤ min(⌈t|A|⌉−1, ⌈t|B|⌉−1) < the
+    t·max(|A|,|B|)/(1+t)... ≥ t requirement), so candidates form from
+    the prefix inverted index only and are then verified exactly.
+
+    On top of the prefix index, the full PPJoin candidate filters run
+    INSIDE the join condition (so pruned pairs never materialize):
+    the LENGTH filter (t·|A| ≤ |B| ≤ |A|/t — J ≥ t bounds the size
+    ratio) and the POSITIONAL filter (a match at rarity positions
+    (pa, pb) can witness at most 1 + min(|A|−pa, |B|−pb) overlap,
+    which must reach ⌈t/(1+t)·(|A|+|B|)⌉). Both only remove pairs
+    that provably cannot pass the threshold, so the exact verify
+    output is unchanged. `max_prefix_df` caps degenerate hot prefix
+    tokens (near-identical short docs) — the one knob that trades
+    recall for bounded work, default high enough to never fire on
+    natural corpora.
+
+    Scale: at t=0.8 the prefix is ~20% of each set, so candidate work
+    is Σ df_prefix² — on corpora where the HOT shingles are the
+    common boilerplate (they have the highest df, so they sort LAST
+    and fall outside every prefix), this prunes exactly the tokens
+    that blow up the plain inverted-index join, WITHOUT the max_df
+    cap's underestimate. Verification joins the full shingle sets
+    back (the verify_pairs shape): one array_intersect per surviving
+    candidate."""
+    shingled, cands = _jaccard_prefix_stages(
+        df, id_col, text_col, k, threshold, block_cols,
+        max_prefix_df, length_filter, positional_filter)
     sa = shingled.select(F.col("id").alias("id_a"),
                          F.col("sh").alias("__sa"))
     sb = shingled.select(F.col("id").alias("id_b"),
@@ -1094,3 +1160,26 @@ def jaccard_prefix_pairs(
     return (cands.join(sa, "id_a").join(sb, "id_b")
             .select("id_a", "id_b", (inter / union).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
+
+
+def jaccard_prefix_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    block_cols: list[str] | None = None,
+    max_prefix_df: int | None = 100_000,
+    length_filter: bool = True,
+    positional_filter: bool = True,
+) -> DataFrame:
+    """The candidate (id_a, id_b) pairs jaccard_prefix_pairs would
+    verify — the observable for 'how much did each PPJoin filter
+    prune': count(candidates) / count(verified) is the verification
+    amplification, and toggling length_filter/positional_filter
+    isolates each filter's reduction. Used by the bench candidate-
+    count log and the filter regression tests."""
+    _, cands = _jaccard_prefix_stages(
+        df, id_col, text_col, k, threshold, block_cols,
+        max_prefix_df, length_filter, positional_filter)
+    return cands

@@ -3213,6 +3213,60 @@ def test_jaccard_prefix_equals_full_join(spark):
     assert kept < total * 0.45
 
 
+def test_jaccard_prefix_ppjoin_filters(spark):
+    """PPJoin length + positional filters: (a) each filter only
+    removes candidates (monotone reduction, with the combined set
+    strictly smaller on the real corpus at t=0.8); (b) the verified
+    output is IDENTICAL with filters on and off (they prune only
+    pairs that provably cannot pass the threshold); (c) a hand case
+    the length filter must kill: doc sizes 3 vs 10 share a rare
+    shingle -> candidate without the filter, impossible at t=0.8
+    (max J = 3/10), pruned with it."""
+    from seatunnel_spark.dataops.dedup import (jaccard_prefix_candidates,
+                                               jaccard_prefix_pairs)
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # t=0.5 (longer prefixes -> real candidate pressure): measured
+    # 1139 plain -> 867 with length -> 29 with length+positional
+    plain = jaccard_prefix_candidates(
+        d, "doc_id", "text", k=3, threshold=0.5,
+        length_filter=False, positional_filter=False).count()
+    with_len = jaccard_prefix_candidates(
+        d, "doc_id", "text", k=3, threshold=0.5,
+        positional_filter=False).count()
+    filtered = jaccard_prefix_candidates(
+        d, "doc_id", "text", k=3, threshold=0.5).count()
+    assert filtered < with_len < plain, (filtered, with_len, plain)
+    for t in (0.5, 0.8):
+        pairs_on = {(r["id_a"], r["id_b"], round(r["jaccard"], 4))
+                    for r in jaccard_prefix_pairs(
+                        d, "doc_id", "text", k=3,
+                        threshold=t).collect()}
+        pairs_off = {(r["id_a"], r["id_b"], round(r["jaccard"], 4))
+                     for r in jaccard_prefix_pairs(
+                         d, "doc_id", "text", k=3, threshold=t,
+                         length_filter=False,
+                         positional_filter=False).collect()}
+        assert pairs_on == pairs_off, t
+    # hand case the LENGTH filter must kill: sizes 3 vs 10 share the
+    # in-prefix shingle "aa1 aa2 aa3" (doc 3 exists only to give the
+    # big doc's zz-filler shingles df=2, so the shared aa shingles —
+    # df=2, token-asc first — stay inside both rarity prefixes), but
+    # max possible J = 3/10 < 0.8 => candidate without the filter,
+    # pruned with it
+    small = "aa1 aa2 aa3 aa4 aa5"                       # 3 shingles
+    filler = "zz1 zz2 zz3 zz4 zz5 zz6 zz7"
+    h = spark.createDataFrame(
+        [(1, small), (2, small + " " + filler), (3, filler)],
+        ["doc_id", "text"])
+    assert jaccard_prefix_candidates(
+        h, "doc_id", "text", k=3, threshold=0.8,
+        length_filter=False, positional_filter=False).count() == 1
+    assert jaccard_prefix_candidates(
+        h, "doc_id", "text", k=3, threshold=0.8,
+        positional_filter=False).count() == 0
+
+
 def test_personalized_pagerank_hand_check(spark):
     """Symmetrized path 1-2-3 with seed {1}: two unrolled iterations
     hand-computed — rank mass concentrates near the seed and sums
