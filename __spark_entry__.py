@@ -1525,6 +1525,56 @@ def sim_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "vec_id", "vec_id", k=10, nprobe=2, round_to=4)
 
 
+def sim_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC+R (dataops/similarity.py:ivfadc_rerank_topk — Jégou et
+    al. 2011 §VI): the ADC scan produces a 4k-per-query shortlist,
+    the shortlist (always broadcast-thin) joins back to the original
+    vectors for EXACT squared-L2, and the final top-10 ranks on the
+    exact distance — the standard recall lever over sim_ivfadc_topk
+    at the cost of one broadcast-hash probe of the corpus. The oracle
+    replays the full IVFADC pipeline, the shortlist cut, and the
+    exact re-rank arithmetic."""
+    from seatunnel_spark.dataops.similarity import ivfadc_rerank_topk
+
+    e = _emb_double(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    return ivfadc_rerank_topk(q, e, _pq_res_codebooks(),
+                              _ivf_codebook(), "vec_id", "vec_id",
+                              k=10, nprobe=2, rerank=4, round_to=4)
+
+
+def sim_recall_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVFADC before/after the exact re-rank stage
+    (dataops/similarity.py:topk_recall), audited against EXACT
+    squared-L2 ground truth (brute_force_l2_topk — the metric the
+    PQ family approximates; cosine ground truth would mis-grade an
+    L2 index on unnormalized vectors). The measured lift of the +R
+    stage at the shipped defaults (nprobe=2, rerank=4); per-query
+    recall(ivfadc_r) >= recall(ivfadc) is a theorem (a true top-10
+    item in any shortlist has < 10 exact-closer shortlist members),
+    so a drop here is an arithmetic bug, not noise."""
+    from seatunnel_spark.dataops.similarity import (brute_force_l2_topk,
+                                                    ivfadc_rerank_topk,
+                                                    ivfadc_topk,
+                                                    topk_recall)
+
+    e = _emb_double(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    exact = brute_force_l2_topk(q, e, "vec_id", "vec_id", k=10,
+                                round_to=4)
+    adc = ivfadc_topk(q, e, _pq_res_codebooks(), _ivf_codebook(),
+                      "vec_id", "vec_id", k=10, nprobe=2, round_to=4)
+    rr = ivfadc_rerank_topk(q, e, _pq_res_codebooks(), _ivf_codebook(),
+                            "vec_id", "vec_id", k=10, nprobe=2,
+                            rerank=4, round_to=4)
+    cols = ["query_id", "n_true", "n_hits", "recall"]
+    return (topk_recall(adc, exact)
+            .select(F.lit("ivfadc").alias("method"), *cols)
+            .unionAll(topk_recall(rr, exact)
+                      .select(F.lit("ivfadc_r").alias("method"),
+                              *cols)))
+
+
 def sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN recall audit (dataops/similarity.py:topk_recall): recall@10
     of the two shipped approximate indexes (LSH planes=4, IVF nlist=8
@@ -3400,6 +3450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_topk": sim_pq_topk,
         "sim_ivfpq_topk": sim_ivfpq_topk,
         "sim_ivfadc_topk": sim_ivfadc_topk,
+        "sim_ivfadc_rerank": sim_ivfadc_rerank,
+        "sim_recall_rerank": sim_recall_rerank,
         "sim_recall": sim_recall,
         "sim_hybrid_rrf": sim_hybrid_rrf,
         "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -6619,12 +6671,15 @@ def _ivfpq_oracle_sql(k_top: int = 10, nprobe: int = 2) -> str:
         """
 
 
-def _ivfadc_oracle_sql(k_top: int = 10, nprobe: int = 2) -> str:
+def _ivfadc_oracle_sql(k_top: int = 10, nprobe: int = 2,
+                       rerank: int | None = None) -> str:
     """Oracle for sim_ivfadc_topk: cell assignment and probe order
     from the literal seed-7 coarse centroids, CORPUS residuals and
     per-(query, cell) QUERY residuals against those same literals,
     seed-13 residual-codebook encoding, and the ADC sum — the full
-    IVFADC replay."""
+    IVFADC replay. With `rerank` set it becomes the IVFADC+R oracle:
+    ADC top-(k_top*rerank) shortlist, exact squared-L2 against the
+    original vectors, re-rank to k_top."""
     books = _pq_res_codebooks()
     d0 = len(books[0][0])
     dim = d0 * len(books)
@@ -6699,13 +6754,15 @@ def _ivfadc_oracle_sql(k_top: int = 10, nprobe: int = 2) -> str:
         for s in range(1, len(books)))
     total = " + ".join(f"s{s}.ds" for s in range(len(books)))
     joined = ",\n            ".join(ctes)
-    return f"""
+    adc_cte = f"""
             WITH {joined},
             t AS (
               SELECT s0.qid, s0.cid,
                      round({total}, 4) AS adc_dist
               FROM s0 {joins}
-            )
+            )"""
+    if rerank is None:
+        return f"""{adc_cte}
             SELECT qid AS query_id, cid AS match_id, adc_dist,
                    CAST(rank AS INT) AS rank
             FROM (SELECT *, row_number() OVER (
@@ -6713,6 +6770,81 @@ def _ivfadc_oracle_sql(k_top: int = 10, nprobe: int = 2) -> str:
                       ORDER BY adc_dist, cid) AS rank
                   FROM t)
             WHERE rank <= {k_top}
+        """
+    return f"""{adc_cte},
+            short AS (
+              SELECT qid, cid
+              FROM (SELECT *, row_number() OVER (
+                        PARTITION BY qid
+                        ORDER BY adc_dist, cid) AS rank
+                    FROM t)
+              WHERE rank <= {k_top * rerank}
+            ),
+            ex AS (
+              SELECT s.qid, s.cid,
+                     round(list_sum(list_transform(
+                         generate_series(1, {dim}),
+                         i -> (qe.x[i] - ce.x[i])
+                            * (qe.x[i] - ce.x[i]))), 4) AS dist
+              FROM short s JOIN e qe ON s.qid = qe.vec_id
+                   JOIN e ce ON s.cid = ce.vec_id
+            )
+            SELECT qid AS query_id, cid AS match_id, dist,
+                   CAST(rank AS INT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY qid
+                      ORDER BY dist, cid) AS rank
+                  FROM ex)
+            WHERE rank <= {k_top}
+        """
+
+
+def _recall_rerank_oracle_sql() -> str:
+    """Oracle for sim_recall_rerank: exact squared-L2 top-10 ground
+    truth, the plain-IVFADC and IVFADC+R result sets (each a full
+    nested replay via _ivfadc_oracle_sql), and the per-query overlap
+    arithmetic topk_recall computes."""
+    books = _pq_res_codebooks()
+    dim = len(books[0][0]) * len(books)
+    adc = _ivfadc_oracle_sql(k_top=10, nprobe=2)
+    rr = _ivfadc_oracle_sql(k_top=10, nprobe=2, rerank=4)
+    return f"""
+            WITH ev AS (
+              SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+            ), exact AS (
+              SELECT query_id, match_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY round(list_sum(list_transform(
+                             generate_series(1, {dim}),
+                             i -> (q.x[i] - c.x[i])
+                                * (q.x[i] - c.x[i]))), 4) ASC,
+                                  c.vec_id ASC) AS rnk
+                FROM (SELECT * FROM ev WHERE vec_id < 5) q
+                CROSS JOIN ev c)
+              WHERE rnk <= 10
+            ), adc AS (
+              SELECT query_id, match_id FROM ({adc})
+            ), rr AS (
+              SELECT query_id, match_id FROM ({rr})
+            ), audits AS (
+              SELECT 'ivfadc' AS method, ex.query_id,
+                     count(*) AS n_true, count(a.match_id) AS n_hits
+              FROM exact ex LEFT JOIN adc a
+                ON ex.query_id = a.query_id
+               AND ex.match_id = a.match_id
+              GROUP BY 2
+              UNION ALL
+              SELECT 'ivfadc_r' AS method, ex.query_id,
+                     count(*) AS n_true, count(a.match_id) AS n_hits
+              FROM exact ex LEFT JOIN rr a
+                ON ex.query_id = a.query_id
+               AND ex.match_id = a.match_id
+              GROUP BY 2
+            )
+            SELECT method, query_id, n_true, n_hits,
+                   round(n_hits / n_true, 4) AS recall
+            FROM audits
         """
 
 
@@ -6899,6 +7031,9 @@ def oracle_sql() -> dict[str, str]:
     d["sim_pq_topk"] = _pq_oracle_sql(k_top=10)
     d["sim_ivfpq_topk"] = _ivfpq_oracle_sql(k_top=10, nprobe=2)
     d["sim_ivfadc_topk"] = _ivfadc_oracle_sql(k_top=10, nprobe=2)
+    d["sim_ivfadc_rerank"] = _ivfadc_oracle_sql(k_top=10, nprobe=2,
+                                                rerank=4)
+    d["sim_recall_rerank"] = _recall_rerank_oracle_sql()
     # the persisted-index round trip returns exactly the in-memory PQ
     # search's rows — one oracle verifies both
     d["sim_pq_index"] = d["sim_pq_topk"]

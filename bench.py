@@ -147,6 +147,9 @@ BENCH_QUERIES = [
     "dedup_jaccard_prefix",
     "q_ppr",
     "q_psi",
+    # round-9 additions (append-only)
+    "sim_ivfadc_rerank",
+    "sim_recall_rerank",
 ]
 
 

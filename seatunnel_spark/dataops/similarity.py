@@ -61,6 +61,43 @@ def brute_force_topk(
     return _rank_topk(scored, k)
 
 
+def brute_force_l2_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact top-k by SQUARED L2 (ascending) -> (query_id, match_id,
+    dist, rank) — the ground truth for the PQ/IVFADC family, which
+    approximates ||q − x||²; recall of an L2-metric index must be
+    audited against L2 ground truth, not cosine (they rank
+    differently on unnormalized vectors). Same broadcast-queries /
+    one-corpus-scan shape as brute_force_topk."""
+    q = F.broadcast(queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).cast("array<double>").alias("__qv")))
+    c = corpus.select(F.col(corpus_id).alias("match_id"),
+                      F.col(corpus_vec).cast("array<double>")
+                      .alias("__cv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__cv"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    if round_to is not None:
+        d2 = F.round(d2, round_to)
+    scored = q.join(c).select("query_id", "match_id",
+                              d2.alias("dist"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("match_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "match_id", "dist", "rank"))
+
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid").asc())
     return (
@@ -621,6 +658,63 @@ def ivfadc_topk(
             .select(F.col("__qid").alias("query_id"),
                     F.col("__cid").alias("match_id"),
                     "adc_dist", "rank"))
+
+
+def ivfadc_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    coarse_centroids: list[list[float]],
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 4,
+    round_to: int | None = None,
+) -> DataFrame:
+    """IVFADC+R (Jégou et al. 2011 §VI): ADC produces a SHORTLIST of
+    k' = rerank·k candidates per query, the shortlist joins back to
+    the ORIGINAL vectors for exact squared-L2, and the final top-k
+    ranks on the exact distance -> (query_id, match_id, dist, rank).
+    This is the standard recall lever — quantization error only has
+    to keep a true neighbor inside the top-k', not in exact rank
+    order, so recall@k approaches the IVF ceiling (what nprobe cells
+    contain) at the cost of ONE extra read of k' full vectors per
+    query.
+
+    Scale shape: the shortlist is |Q|·k' rows — driver-thin, always
+    broadcast — so the re-rank is one broadcast-hash probe of the
+    corpus scan (corpus never shuffles) plus codegen arithmetic on
+    |Q|·k' rows. The expensive stage stays the code-sized ADC scan;
+    re-rank adds a second corpus pass that reads only the matched
+    ids' vectors (row-group pruning applies where ids cluster)."""
+    cand = ivfadc_topk(queries, corpus, codebooks, coarse_centroids,
+                       query_id, corpus_id, query_vec, corpus_vec,
+                       k=k * rerank, nprobe=nprobe,
+                       round_to=round_to)
+    qv = queries.select(F.col(query_id).alias("query_id"),
+                        F.col(query_vec).cast("array<double>")
+                        .alias("__qv"))
+    shortlist = F.broadcast(
+        cand.select("query_id", "match_id").join(qv, "query_id"))
+    cv = corpus.select(F.col(corpus_id).alias("match_id"),
+                       F.col(corpus_vec).cast("array<double>")
+                       .alias("__cv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__cv"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    if round_to is not None:
+        d2 = F.round(d2, round_to)
+    scored = (cv.join(shortlist, "match_id")
+              .select("query_id", "match_id", d2.alias("dist")))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(),
+                                               F.col("match_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "match_id", "dist", "rank"))
 
 
 def write_pq_index(

@@ -2946,6 +2946,51 @@ def test_hll_rolling_estimate_calendar_gap_days(spark):
     assert got[4] == 0.0                           # window all-empty
 
 
+def test_ivfadc_rerank_exactness_and_recall(spark):
+    """IVFADC+R (Jégou 2011 §VI): (a) with all cells probed and the
+    shortlist covering the whole corpus, the exact re-rank reproduces
+    brute-force L2 top-10 bit-for-bit (quantization error fully
+    erased); (b) at the shipped rerank=4 the per-query recall@10 vs
+    L2 ground truth is >= plain ADC ranking — a theorem, not luck: a
+    true top-10 item surviving into any shortlist has < 10 exact-
+    closer items there, so exact re-ranking can only keep it."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.similarity import (
+        brute_force_l2_topk, ivfadc_rerank_topk, ivfadc_topk,
+        pq_train_residual, topk_recall, train_ivf_centroids)
+
+    e = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+         .select("vec_id",
+                 F.transform("embedding",
+                             lambda x: x.cast("double"))
+                 .alias("embedding")))
+    q = e.filter(F.col("vec_id") < 5)
+    coarse = train_ivf_centroids(e, nlist=4, iters=1)
+    books = pq_train_residual(e, coarse, m=4, k=16, iters=1)
+    exact = brute_force_l2_topk(q, e, "vec_id", "vec_id", k=10,
+                                round_to=4)
+    # (a) nprobe = nlist and rerank*k >= |corpus| => exact equality
+    rr_all = ivfadc_rerank_topk(q, e, books, coarse, "vec_id",
+                                "vec_id", k=10, nprobe=4, rerank=50,
+                                round_to=4)
+    want = {tuple(r) for r in exact.collect()}
+    got = {tuple(r) for r in rr_all.collect()}
+    assert got == want
+    # (b) shipped defaults: per-query recall never drops vs plain ADC
+    adc = ivfadc_topk(q, e, books, coarse, "vec_id", "vec_id", k=10,
+                      nprobe=2, round_to=4)
+    rr = ivfadc_rerank_topk(q, e, books, coarse, "vec_id", "vec_id",
+                            k=10, nprobe=2, rerank=4, round_to=4)
+    r_adc = {r["query_id"]: r["recall"]
+             for r in topk_recall(adc, exact).collect()}
+    r_rr = {r["query_id"]: r["recall"]
+            for r in topk_recall(rr, exact).collect()}
+    assert set(r_adc) == set(r_rr) == set(range(5))
+    for qid in r_adc:
+        assert r_rr[qid] >= r_adc[qid], (qid, r_rr[qid], r_adc[qid])
+
+
 def test_ivfpq_candidates_and_recall(spark):
     """IVF+PQ: every result row comes from a probed cell (structural
     check vs a direct cell assignment), and with all cells probed the
