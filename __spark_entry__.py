@@ -3028,6 +3028,49 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, k=3, src="p1", dst="p2")
 
 
+def q_lpa_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation over a PERSISTED bucketed edge table
+    (dataops/graph.py:label_propagation_on_bucketed): identical labels
+    to q_label_prop (shared oracle), but each round's edge⋈label join
+    probes the bucketed scan with zero edge-side exchange — the same
+    durable write-once/probe-many co-location pagerank, triangles and
+    connected components already have. The SYMMETRIZED list is
+    written (bucketed storage fixes one physical partitioning)."""
+    from seatunnel_spark.dataops.analytics import copurchase_pairs
+    from seatunnel_spark.dataops.graph import (
+        label_propagation_on_bucketed, write_bucketed_edges)
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = copurchase_pairs(li, "l_orderkey", "l_partkey",
+                         min_support=3).select("p1", "p2")
+    und = e.union(e.select(F.col("p2").alias("p1"),
+                           F.col("p1").alias("p2")))
+    write_bucketed_edges(und, "bk_lpa_edges", "p1", "p2",
+                         num_buckets=8)
+    return label_propagation_on_bucketed(spark, "bk_lpa_edges",
+                                         iters=2)
+
+
+def q_kcore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core over a PERSISTED bucketed edge table (dataops/graph.py:
+    k_core_on_bucketed): identical output to q_kcore (shared oracle),
+    but the initial degree aggregation and every peel round's
+    dropped-frontier join consume the bucketed scan with zero
+    edge-side exchange — only the shrinking frontier moves."""
+    from seatunnel_spark.dataops.analytics import copurchase_pairs
+    from seatunnel_spark.dataops.graph import (k_core_on_bucketed,
+                                               write_bucketed_edges)
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = copurchase_pairs(li, "l_orderkey", "l_partkey",
+                         min_support=2).select("p1", "p2")
+    und = e.union(e.select(F.col("p2").alias("p1"),
+                           F.col("p1").alias("p2")))
+    write_bucketed_edges(und, "bk_kcore_edges", "p1", "p2",
+                         num_buckets=8)
+    return k_core_on_bucketed(spark, "bk_kcore_edges", k=3)
+
+
 def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit (dataops/text.py:zipf_fit): OLS of ln(freq) on
     ln(rank) over the frequency head — natural text sits near slope
@@ -3548,6 +3591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_connected_bucketed": q_connected_bucketed,
         "q_label_prop": q_label_prop,
         "q_kcore": q_kcore,
+        "q_lpa_bucketed": q_lpa_bucketed,
+        "q_kcore_bucketed": q_kcore_bucketed,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
@@ -7027,6 +7072,9 @@ def oracle_sql() -> dict[str, str]:
     # identical converged labeling over the identical graph — the
     # bucketed variant shares the recursive min-reachability oracle
     d["q_connected_bucketed"] = d["q_connected_components"]
+    # bucketed variants are numerically identical to their in-memory
+    # forms on the same edges — shared oracles
+    d["q_lpa_bucketed"] = d["q_label_prop"]
     d["q_acf"] = _acf_sql(max_lag=7)
     d["sim_pq_topk"] = _pq_oracle_sql(k_top=10)
     d["sim_ivfpq_topk"] = _ivfpq_oracle_sql(k_top=10, nprobe=2)
@@ -7574,4 +7622,5 @@ def oracle_sql() -> dict[str, str]:
     # 14 unrolled peel rounds: sf0.01 converges in 11; margin rounds
     # are no-ops past the fixpoint.
     d["q_kcore"] = _kcore_unrolled_sql(k=3, rounds=14, min_support=2)
+    d["q_kcore_bucketed"] = d["q_kcore"]
     return d

@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     # round-9 additions (append-only)
     "sim_ivfadc_rerank",
     "sim_recall_rerank",
+    "q_lpa_bucketed",
+    "q_kcore_bucketed",
 ]
 
 

@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 __all__ = ["pagerank", "write_bucketed_edges", "pagerank_on_bucketed",
            "triangles_on_bucketed", "degree_distribution",
            "connected_components", "connected_components_on_bucketed",
-           "label_propagation", "k_core", "personalized_pagerank"]
+           "label_propagation", "k_core", "personalized_pagerank",
+           "label_propagation_on_bucketed", "k_core_on_bucketed"]
 
 
 def _symmetrized(edges: DataFrame, src: str, dst: str,
@@ -354,6 +355,12 @@ def label_propagation(
     no structure here grows super-linearly on skew (a super-hub costs
     deg rows, not deg²)."""
     und = _symmetrized(edges, src, dst, dedupe).persist()
+    return _lpa_rounds(und, iters)
+
+
+def _lpa_rounds(und: DataFrame, iters: int) -> DataFrame:
+    """Shared fixed-round LPA core over a symmetrized (__src, __dst)
+    edge frame — consumed by both the in-memory and bucketed paths."""
     labels = (und.select(F.col("__src").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     for _ in range(iters):
@@ -375,6 +382,23 @@ def label_propagation(
     return labels
 
 
+def label_propagation_on_bucketed(
+    spark,
+    table: str,
+    iters: int = 2,
+) -> DataFrame:
+    """Label propagation over an edge table written by
+    `write_bucketed_edges` -> (node, label), numerically identical to
+    `label_propagation` on the same edges: each round's edge⋈label
+    join probes the bucketed scan on __src with ZERO edge-side
+    exchange (plan-tested) — only the |V|-row label table moves, then
+    the inherent (node, label) count shuffle runs. Feed it a
+    SYMMETRIZED edge list (write both orientations before
+    write_bucketed_edges), the connected_components_on_bucketed
+    convention."""
+    return _lpa_rounds(spark.table(table), iters)
+
+
 def k_core(
     edges: DataFrame,
     k: int,
@@ -393,49 +417,82 @@ def k_core(
     output is oracle-checkable by replaying peel rounds in SQL until
     past the measured convergence point (extra rounds are no-ops).
 
-    Algorithm: iterative peeling — drop every vertex with current
-    degree < k, repeat until no vertex is lost. The iteration state is
-    the |V|-row ALIVE-NODE table, not the edge list: each round joins
-    the once-persisted edge frame against the alive set on both
-    endpoints (the edges themselves are never rewritten, re-shuffled,
-    or checkpointed — the 100 TB side of the computation moves exactly
-    once, at the initial distinct), recomputes surviving degrees with
-    one map-side-combined aggregation, and localCheckpoint-s the new
-    alive set. Truncating on the small side is mandatory, not a style
-    choice: the restricted-edge formulation references the edge frame
-    three times per round, so its logical plan grows 3^rounds
-    (measured: an 11-round peel exceeded the 2 GB plan-string limit).
-    Convergence is one bounded count per round; `max_iter` is a
-    backstop — rounds are worst-case O(|V|) on a path graph but
-    single digits on real graphs (11 at sf0.01 for the co-purchase
-    graph)."""
+    Algorithm: DELTA-BASED iterative peeling. The classic formulation
+    recomputes every surviving vertex's degree each round (two full
+    alive-set joins against the edge list); here the iteration state
+    is the |V|-row DEGREE table and each round touches only the
+    edges INCIDENT TO JUST-DROPPED vertices: (1) dropped = vertices
+    whose maintained degree fell below k, (2) one join of the
+    once-persisted edge frame against the dropped set (after round 1
+    this set is small — AQE turns the join broadcast at runtime — so
+    per-round work tracks the peel frontier, not the graph), (3) each
+    dropped vertex decrements its neighbors' degrees exactly once, in
+    the round it drops, so the maintained degree always equals the
+    degree within the surviving subgraph — which also makes the final
+    output free (no closing recompute join). Same round semantics as
+    the classic simultaneous peel (drops are decided from the
+    pre-round degrees), hence the same unique fixpoint.
+
+    The per-round degree table is localCheckpoint-ed: the edges
+    themselves are never rewritten, re-shuffled, or checkpointed —
+    the 100 TB side of the computation moves exactly once, at the
+    initial distinct. Truncating on the small side is mandatory, not
+    a style choice: a self-referencing degree table grows the logical
+    plan exponentially in rounds (measured: an 11-round peel exceeded
+    the 2 GB plan-string limit). Convergence is one bounded count per
+    round; `max_iter` is a backstop — rounds are worst-case O(|V|) on
+    a path graph but single digits on real graphs (11 at sf0.01 for
+    the co-purchase graph)."""
     und = _symmetrized(edges, src, dst, dedupe).persist()
-    alive = (und.select(F.col("__src").alias("node")).distinct()
-             .localCheckpoint())
-    n = alive.count()
+    return _kcore_peel(und, k, max_iter)
+
+
+def _kcore_peel(und: DataFrame, k: int, max_iter: int) -> DataFrame:
+    """Shared delta-peel core over a symmetrized (__src, __dst) edge
+    frame -> (node, degree) for the k-core; see k_core's docstring."""
+    degs = (und.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+            .localCheckpoint())
     for _ in range(max_iter):
-        deg = (
-            und.join(alive.select(F.col("node").alias("__src")), "__src")
-            .join(alive.select(F.col("node").alias("__dst")), "__dst")
-            .groupBy("__src")
-            .agg(F.count(F.lit(1)).alias("__deg"))
-        )
-        new = (deg.filter(F.col("__deg") >= k)
-               .select(F.col("__src").alias("node"))
-               .localCheckpoint())
-        m = new.count()
-        alive = new
-        if m == n:
+        dropped = (degs.filter(F.col("__deg") < k)
+                   .select(F.col("__src").alias("__d"))
+                   .localCheckpoint())
+        if dropped.count() == 0:
             break
-        n = m
-    # und stays persisted — the returned frame reads it lazily (same
+        dec = (
+            und.join(dropped, und["__src"] == dropped["__d"])
+            .groupBy(F.col("__dst").alias("__src"))
+            .agg(F.count(F.lit(1)).alias("__dec"))
+        )
+        degs = (
+            degs.join(dropped, degs["__src"] == dropped["__d"],
+                      "left_anti")
+            .join(dec, "__src", "left")
+            .select("__src",
+                    (F.col("__deg")
+                     - F.coalesce(F.col("__dec"), F.lit(0)))
+                    .alias("__deg"))
+            .localCheckpoint()
+        )
+    # und stays persisted — callers may compose further reads (same
     # clearCache contract for long-lived sessions as pagerank's edges).
-    return (
-        und.join(alive.select(F.col("node").alias("__src")), "__src")
-        .join(alive.select(F.col("node").alias("__dst")), "__dst")
-        .groupBy(F.col("__src").alias("node"))
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
+    return degs.select(F.col("__src").alias("node"),
+                       F.col("__deg").alias("degree"))
+
+
+def k_core_on_bucketed(
+    spark,
+    table: str,
+    k: int,
+    max_iter: int = 30,
+) -> DataFrame:
+    """k-core over an edge table written by `write_bucketed_edges` ->
+    (node, degree), numerically identical to `k_core` on the same
+    edges: the initial degree aggregation AND each round's
+    dropped-frontier join consume the bucketed scan on __src with
+    ZERO edge-side exchange (plan-tested) — only the frontier moves
+    (and AQE broadcasts it once it shrinks). Feed it a SYMMETRIZED
+    edge list, the connected_components_on_bucketed convention."""
+    return _kcore_peel(spark.table(table), k, max_iter)
 
 
 def degree_distribution(edges: DataFrame, src: str = "src",

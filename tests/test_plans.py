@@ -904,3 +904,89 @@ def test_connected_bucketed_edge_join_without_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
                        str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS bk_cc_test")
+
+
+def test_lpa_bucketed_edge_join_without_exchange(spark):
+    """label_propagation_on_bucketed: each round's edge⋈label join
+    must read the bucketed edge scan with NO edge-side exchange —
+    only the |V|-row label table moves; output identical to the
+    in-memory label_propagation on the same edges."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.graph import (
+        label_propagation, label_propagation_on_bucketed,
+        write_bucketed_edges)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12)], ["src", "dst"])
+    und = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    try:
+        write_bucketed_edges(und, "bk_lpa_test", num_buckets=4)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        e = spark.table("bk_lpa_test")
+        labels = (e.select(F.col("__src").alias("node")).distinct()
+                  .withColumn("label", F.col("node"))
+                  .localCheckpoint())
+        frag = e.join(labels.select(F.col("node").alias("__src"),
+                                    F.col("label").alias("__l")),
+                      "__src")
+        p = frag._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in p
+        assert p.count("Exchange") <= 1  # labels move; edges never
+        got = {r["node"]: r["label"] for r in
+               label_propagation_on_bucketed(
+                   spark, "bk_lpa_test", iters=2).collect()}
+        want = {r["node"]: r["label"] for r in
+                label_propagation(edges, iters=2).collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bk_lpa_test")
+
+
+def test_kcore_bucketed_frontier_join_without_exchange(spark):
+    """k_core_on_bucketed: the initial degree aggregation and the
+    per-round dropped-frontier join consume the bucketed scan with NO
+    edge-side exchange; output identical to the in-memory delta peel
+    (which itself equals the classic simultaneous peel — cascade
+    case covered in test_dataops.test_k_core_peel_cascade)."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.graph import (k_core,
+                                               k_core_on_bucketed,
+                                               write_bucketed_edges)
+
+    # K4 minus an edge + pendant chain: 2-core peels the chain off
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (4, 5), (5, 6)],
+        ["src", "dst"])
+    und = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    try:
+        write_bucketed_edges(und, "bk_kcore_test", num_buckets=4)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        e = spark.table("bk_kcore_test")
+        # degree aggregation: partial agg runs on the bucketed scan,
+        # final agg needs no exchange (grouping key == bucket key)
+        deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+        p = deg._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in p and "Exchange" not in p
+        dropped = (deg.filter(F.col("__deg") < 2)
+                   .select(F.col("__src").alias("__d"))
+                   .localCheckpoint())
+        frag = e.join(dropped, e["__src"] == dropped["__d"])
+        fp = frag._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in fp
+        assert fp.count("Exchange") <= 1  # frontier moves; edges never
+        got = sorted((r["node"], r["degree"]) for r in
+                     k_core_on_bucketed(spark, "bk_kcore_test",
+                                        k=2).collect())
+        want = sorted((r["node"], r["degree"]) for r in
+                      k_core(edges, 2).collect())
+        assert got == want == [(1, 3), (2, 3), (3, 2), (4, 2)]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bk_kcore_test")
