@@ -1937,6 +1937,24 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_finish(state, steps)
 
 
+def stream_hll_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming daily-active-users sketch (streaming/__init__.py:
+    stream_hll_dau + dataops/sketches.py:hll_estimate): per-day HLL
+    registers via a pure per-register MAX — mergeable, so a
+    readStream maintains them incrementally (complete/update mode)
+    or a foreachBatch store (hll_register_sink) MAX-merges per-batch
+    increments with NO streaming state, bit-identically to one batch
+    build in any arrival order (equivalence proven in
+    tests/test_streaming.py). Identical code path on the batch frame
+    here; the oracle replays registers and the exact-integer
+    estimator per day."""
+    from seatunnel_spark.dataops.sketches import hll_estimate
+    from seatunnel_spark.streaming import stream_hll_dau as _shd
+
+    e = _t(spark, sf_dir, "events")
+    return hll_estimate(_shd(e, "ts", "user_id", p=8), ["day"], p=8)
+
+
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: revenue between two nations by shipping year —
     a six-table join where BOTH ends need a nation lookup. The two
@@ -3507,6 +3525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_window": stream_session_window,
         "stream_interval_join_events": stream_interval_join_events,
         "stream_funnel": stream_funnel,
+        "stream_hll_dau": stream_hll_dau,
         "mm_image_features": mm_image_features,
         "mm_image_dedup": mm_image_dedup,
         "mm_image_resize": mm_image_resize,
@@ -4684,6 +4703,39 @@ def _oracle_sql_literal() -> dict[str, str]:
         # Same per-user conditional-min + strict-order flags as
         # q_funnel, over the signup->click->purchase step list the
         # streaming entry uses.
+        # Per-day HLL register build + the exact-integer estimator —
+        # the grouped form of the q_hll_distinct replay over user_id.
+        "stream_hll_dau": """
+            WITH h AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS INT) AS reg,
+                     CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 14) AS BIGINT) AS w
+              FROM events WHERE user_id IS NOT NULL
+            ), r AS (
+              SELECT day, reg,
+                     max(CASE WHEN w = 0 THEN 57
+                              ELSE 56 - length(bin(w)) + 1 END) AS rho
+              FROM h GROUP BY 1, 2
+            ), agg AS (
+              SELECT day,
+                     sum(((CAST(1 AS BIGINT) << (63 - rho)))::HUGEINT)
+                       AS s,
+                     count(*) AS nz
+              FROM r GROUP BY 1
+            )
+            SELECT day,
+                   round(CASE WHEN 4.341691417504662e+23
+                                   / CAST(s + (256 - nz)::HUGEINT
+                                     * 9223372036854775808::HUGEINT
+                                     AS DOUBLE) <= 640.0
+                              AND nz < 256
+                         THEN 256.0 * ln(256.0 / (256 - nz))
+                         ELSE 4.341691417504662e+23
+                              / CAST(s + (256 - nz)::HUGEINT
+                                * 9223372036854775808::HUGEINT
+                                AS DOUBLE) END, 2) AS est
+            FROM agg
+        """,
         "stream_funnel": """
             WITH per_user AS (
               SELECT user_id,

@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "sim_recall_rerank",
     "q_lpa_bucketed",
     "q_kcore_bucketed",
+    "stream_hll_dau",
 ]
 
 

@@ -343,6 +343,56 @@ def stateful_running_counts(
     )
 
 
+def stream_hll_dau(df: DataFrame, ts_col: str = "ts",
+                   value_col: str = "user_id", p: int = 8) -> DataFrame:
+    """Per-day HLL registers over an event frame -> (day, reg, rho).
+    Per-register MAX is a pure mergeable aggregation, so this
+    IDENTICAL code runs on a batch frame or a readStream
+    (complete/update output mode) with bit-identical state — the
+    stream==batch family that already covers CMS, DDSketch, and the
+    funnel state (tests/test_streaming.py). State is bounded at
+    |days|·2^p rows regardless of event volume; downstream,
+    sketches.hll_estimate / hll_rolling_estimate turn the register
+    table into DAU / rolling-DAU readouts without rescanning events.
+    """
+    from seatunnel_spark.dataops.sketches import hll_build_grouped
+
+    return hll_build_grouped(
+        df.select(F.to_date(F.col(ts_col)).alias("day"),
+                  F.col(value_col)),
+        ["day"], value_col, p)
+
+
+def hll_register_sink(path: str, ts_col: str = "ts",
+                      value_col: str = "user_id", p: int = 8):
+    """foreachBatch writer factory maintaining a PERSISTED day-level
+    HLL register store at `path` — the append-mode operational form:
+    each micro-batch builds registers over ONLY its own rows (no
+    streaming state at all) and MAX-merges them into the store, so
+    any arrival order/partitioning folds to the sketch of the union
+    (the hll_merge identity, bit-identical to one batch build —
+    parity-tested). The store is sketch-sized (|days|·2^p rows), so
+    the read-merge-rewrite cycle costs nothing next to the feed; the
+    merged frame is localCheckpoint-ed (eager) before the overwrite
+    so the write never races its own input files.
+
+    Use with run_stream_to_batch_sink(df, hll_register_sink(p)) — or
+    directly as .writeStream.foreachBatch(...)."""
+    from seatunnel_spark.dataops.sketches import hll_merge
+
+    def merge(batch: DataFrame, batch_id: int = 0) -> None:
+        spark = batch.sparkSession
+        regs = stream_hll_dau(batch, ts_col, value_col, p)
+        try:
+            existing = spark.read.parquet(path)
+            merged = hll_merge(regs, existing)
+        except Exception:  # first batch: no store yet
+            merged = regs
+        merged.localCheckpoint().write.mode("overwrite").parquet(path)
+
+    return merge
+
+
 class TokenBucketRateLimiter:
     """Batch-mode rate limiter (read_limit.rows_per_second analog,
     EnvCommonOptions.java:67-75). Spark streaming gets rate limits from

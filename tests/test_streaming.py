@@ -572,3 +572,65 @@ def test_hll_build_stream_matches_batch(spark, tmp_path):
     sk = spark.createDataFrame(sorted(got), "reg int, rho int")
     est = hll_estimate(sk, []).collect()[0]["est"]
     assert abs(est - 700) / 700 < 0.15
+
+
+def test_stream_hll_dau_matches_batch(spark, tmp_path):
+    """HLL registers are a pure per-register MAX: (a) the SAME
+    stream_hll_dau code on a readStream (complete mode) yields
+    registers bit-identical to the batch build; (b) the foreachBatch
+    register store (hll_register_sink) fed one file per micro-batch
+    MAX-merges to the identical table — any arrival order folds to
+    the sketch of the union; (c) the estimate over either equals the
+    batch estimate."""
+    import datetime as _dt
+
+    from seatunnel_spark.dataops.sketches import (hll_build_grouped,
+                                                  hll_estimate)
+    from seatunnel_spark.streaming import (hll_register_sink,
+                                           run_stream_to_batch_sink,
+                                           stream_hll_dau)
+
+    t0 = _dt.datetime(2024, 6, 1)
+    rows = [(i, t0 + _dt.timedelta(days=i % 5, minutes=i), i % 300)
+            for i in range(1200)]
+    static = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long")
+    path = str(tmp_path / "hll_events")
+    static.repartition(3).write.mode("overwrite").parquet(path)
+
+    want = {(r["day"], r["reg"]): r["rho"] for r in
+            hll_build_grouped(
+                static.select(F.to_date("ts").alias("day"), "user_id"),
+                ["day"], "user_id").collect()}
+
+    # (a) aggregation form on a stream, complete mode
+    stream = spark.readStream.schema(static.schema).parquet(path)
+    batches = _run_batches(spark, stream_hll_dau(stream), tmp_path,
+                           mode="complete")
+    got = {(r["day"], r["reg"]): r["rho"] for r in batches[-1]}
+    assert got == want and len(want) > 100
+
+    # (b) foreachBatch register store, one file per micro-batch
+    store = str(tmp_path / "hll_store")
+    stream2 = (spark.readStream.schema(static.schema)
+               .option("maxFilesPerTrigger", 1).parquet(path))
+    q = (stream2.writeStream
+         .foreachBatch(lambda b, i: hll_register_sink(store)(b, i))
+         .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stored = {(r["day"], r["reg"]): r["rho"]
+              for r in spark.read.parquet(store).collect()}
+    assert stored == want
+
+    # (c) estimates agree with the batch readout
+    est_store = {r["day"]: r["est"] for r in
+                 hll_estimate(spark.read.parquet(store),
+                              ["day"]).collect()}
+    est_batch = {r["day"]: r["est"] for r in
+                 hll_estimate(
+                     hll_build_grouped(
+                         static.select(F.to_date("ts").alias("day"),
+                                       "user_id"),
+                         ["day"], "user_id"), ["day"]).collect()}
+    assert est_store == est_batch and len(est_store) == 5
