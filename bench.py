@@ -167,6 +167,7 @@ def main() -> None:
         BENCH_QUERIES = [q.strip() for q in override.split(",")
                          if q.strip()]
     import __spark_entry__ as entry
+    from seatunnel_spark.dataops import cache_scope
     from seatunnel_spark.session import get_spark
 
     spark = get_spark("seatunnel-bench")
@@ -187,9 +188,17 @@ def main() -> None:
     timings = {name: float("inf") for name in BENCH_QUERIES}
     for _ in range(runs):  # interleaved: every query once per round
         for name in BENCH_QUERIES:
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).count()  # timed steady-state run
-            timings[name] = min(timings[name], time.perf_counter() - t0)
+            # cache_scope releases exactly the operator-internal
+            # persists this query took (the enforceable contract);
+            # clearCache stays for cross-round protocol continuity
+            # (localCheckpoint blocks, caller-level caches). Both
+            # cleanups run OUTSIDE the timed window, as clearCache
+            # always has.
+            with cache_scope():
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).count()  # timed steady run
+                dt = time.perf_counter() - t0
+            timings[name] = min(timings[name], dt)
             spark.catalog.clearCache()  # per-query cache isolation
     timings = {k: round(v, 3) for k, v in timings.items()}
 

@@ -7,6 +7,7 @@ designed for the 100 TB regime: blocking keys before pairwise work,
 band-bucket joins instead of cross joins, no driver-side collects.
 """
 
+from seatunnel_spark.dataops._cache import cache_scope, scoped_persist
 from seatunnel_spark.dataops.dedup import (
     exact_dedup,
     exact_dup_groups,
@@ -87,6 +88,7 @@ from seatunnel_spark.dataops.embeddings import (
 )
 
 __all__ = [
+    "cache_scope", "scoped_persist",
     "exact_dedup", "exact_dup_groups", "minhash_signatures", "minhash_lsh_pairs",
     "simhash64", "simhash_near_dups", "ngram_jaccard_pairs",
     "embedding_near_dups", "duplicate_clusters",

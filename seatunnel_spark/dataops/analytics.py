@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from seatunnel_spark.dataops._cache import scoped_persist
+
 
 def funnel_user_state(df: DataFrame, user_col: str, ts_col: str,
                       type_col: str, steps: list[str]) -> DataFrame:
@@ -417,7 +419,7 @@ def _capped_edges(edges: DataFrame, src: str, dst: str,
     backs the LAZY returned frame, so it cannot be unpersisted here;
     long-lived sessions should spark.catalog.clearCache() between
     operator batches (see dedup.py's module note — same contract)."""
-    edges = edges.persist()
+    edges = scoped_persist(edges)
     deg = (edges.select(F.col(src).alias("__v"))
            .unionAll(edges.select(F.col(dst).alias("__v")))
            .groupBy("__v").agg(F.count(F.lit(1)).alias("__deg")))
@@ -442,7 +444,7 @@ def _capped_edges(edges: DataFrame, src: str, dst: str,
                     "left_anti")
               .join(F.broadcast(hub_f), edges[dst] == hub_f["__v"],
                     "left_anti"))
-    return capped.persist(), bound
+    return scoped_persist(capped), bound
 
 
 def _closed_wedges(edges: DataFrame, src: str, dst: str,
@@ -494,7 +496,7 @@ def _closed_wedges(edges: DataFrame, src: str, dst: str,
         e2 = edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
         e3 = edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))
         return e1.join(e2, "b").join(e3, ["a", "c"])
-    deg = deg.persist()
+    deg = scoped_persist(deg)
     e = (edges
          .join(deg.select(F.col("__v").alias(src),
                           F.col("__d").alias("__d1")), src)
@@ -502,11 +504,11 @@ def _closed_wedges(edges: DataFrame, src: str, dst: str,
                           F.col("__d").alias("__d2")), dst))
     fwd = (F.struct(F.col("__d1"), F.col(src))
            < F.struct(F.col("__d2"), F.col(dst)))
-    o = e.select(
+    o = scoped_persist(e.select(
         F.when(fwd, F.col(src)).otherwise(F.col(dst)).alias("u"),
         F.when(fwd, F.col(dst)).otherwise(F.col(src)).alias("w"),
         F.when(fwd, F.col("__d2")).otherwise(F.col("__d1")).alias("dw"),
-    ).persist()
+    ))
     # EAGER materialization: a lazy cache is filled per-partition by
     # whichever task first needs it, and the wedge join's THREE
     # consumers of `o` run concurrently in one job — each recomputes

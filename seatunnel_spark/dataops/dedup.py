@@ -26,14 +26,23 @@ sides) cannot unpersist before the caller materializes the result, and
 persist()ed plans are NOT released by the ContextCleaner the way
 checkpoint RDDs are. Operators that materialize internally
 (duplicate_clusters) unpersist before returning; for the lazy ones,
-long-lived sessions running many operator batches should call
-spark.catalog.clearCache() between batches — the contract the bench
-protocol itself follows.
+every persist routes through dataops._cache.scoped_persist, so a
+long-lived session bounds the lifetime explicitly:
+
+    with dataops.cache_scope():
+        pairs = minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    # the bucket table is unpersisted here — the caller's own caches
+    # are untouched (memory-growth-tested over 50 operator calls)
+
+The bench harness wraps every timed execution in a cache_scope (plus
+the blunt clearCache, keeping its protocol comparable across rounds).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from seatunnel_spark.dataops._cache import scoped_persist
 
 def _cap_buckets(df: DataFrame, keys: list[str],
                  max_bucket: int | None) -> DataFrame:
@@ -211,7 +220,7 @@ def minhash_lsh_pairs(
     # columnar, lineage kept) rather than localCheckpoint: checkpoint
     # blocks are deserialized rows (~10x larger) and unrecoverable if
     # evicted under memory pressure — the sf10 OOM lesson (graph.py).
-    buckets = buckets.persist()
+    buckets = scoped_persist(buckets)
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -426,7 +435,7 @@ def hamming_near_dups(
     # see minhash_lsh_pairs for the measured ReusedExchange failure
     # under AQE broadcast); columnar persist, not localCheckpoint —
     # resilient + ~10x smaller (graph.py lesson)
-    buckets = buckets.persist()
+    buckets = scoped_persist(buckets)
     a, b = buckets.alias("a"), buckets.alias("b")
     xor = F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
     pairs = (
@@ -502,7 +511,7 @@ def ngram_jaccard_pairs(
     # defeating ReusedExchange). Columnar persist, not localCheckpoint:
     # this frame is CORPUS-sized (one row per shingle occurrence), the
     # exact shape whose deserialized checkpoint blocks OOM first.
-    inv = inv.persist()
+    inv = scoped_persist(inv)
     inter = _inverted_intersections(inv, block_cols)
     return (
         inter.select(
@@ -574,7 +583,7 @@ def ngram_containment_pairs(
         # keep the PRE-CAP "n" through the cap (see docstring: a
         # post-cap denominator overestimates containment)
         inv = _cap_buckets(inv, ["tok", *(block_cols or [])], max_df)
-    inv = inv.persist()
+    inv = scoped_persist(inv)
     inter = _inverted_intersections(inv, block_cols)
     return (
         inter.select(
@@ -612,11 +621,11 @@ def duplicate_clusters(
     Returns (id, cluster_id) for every vertex that appears in `pairs`;
     cluster_id is the component's minimum id (deterministic canon).
     """
-    edges = pairs.select(
+    edges = scoped_persist(pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    ).persist()
+    ))
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
@@ -708,7 +717,7 @@ def embedding_near_dups(
     # reuse point: the hyperplane-bucket projection (interpreted
     # higher-order dot products) feeds both self-join sides; columnar
     # persist — resilient + compact for the vector payload
-    bucketed = bucketed.persist()
+    bucketed = scoped_persist(bucketed)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     dot_ab = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
                          F.lit(0.0), lambda acc, x: acc + x)
@@ -780,10 +789,10 @@ def semantic_dedup(
         centroids = train_ivf_centroids(df, vec_col, nlist=nlist, iters=iters)
     v = F.col(vec_col).cast(T.ArrayType(T.DoubleType()))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    assigned = df.select(
+    assigned = scoped_persist(df.select(
         F.col(id_col).alias("id"), v.alias("v"), norm.alias("n"),
         _nearest_centroid(v, centroids).alias("cell"),
-    ).persist()
+    ))
     join_in = _cap_buckets(assigned, ["cell"], max_cell)
     a, b = join_in.alias("a"), join_in.alias("b")
     cos = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
@@ -1074,7 +1083,7 @@ def _jaccard_prefix_stages(
     # — collapse exact dups with exact_dup_groups first).
     pref = _cap_buckets(pref, ["tok", *(block_cols or [])],
                         max_prefix_df)
-    pref = pref.persist()
+    pref = scoped_persist(pref)
     a, b = pref.alias("a"), pref.alias("b")
     cond = ((F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.id") < F.col("b.id")))

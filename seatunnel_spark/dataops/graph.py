@@ -22,6 +22,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from seatunnel_spark.dataops._cache import scoped_persist
+
 __all__ = ["pagerank", "write_bucketed_edges", "pagerank_on_bucketed",
            "triangles_on_bucketed", "degree_distribution",
            "connected_components", "connected_components_on_bucketed",
@@ -188,7 +190,7 @@ def pagerank(
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     if dedupe:
         e = e.distinct()
-    e = e.persist()
+    e = scoped_persist(e)
     return _pagerank_iterations(e, iters, damping, round_to)
 
 
@@ -284,7 +286,7 @@ def connected_components(
     a real cluster swap in df.checkpoint() to reliable storage for the
     same truncation with durability.
     """
-    und = _symmetrized(edges, src, dst, dedupe).persist()
+    und = scoped_persist(_symmetrized(edges, src, dst, dedupe))
     labels = (und.select(F.col("__src").alias("node")).distinct()
               .withColumn("component", F.col("node"))
               .localCheckpoint())
@@ -354,7 +356,7 @@ def label_propagation(
     rounds. The per-node candidate set is bounded by its degree, so
     no structure here grows super-linearly on skew (a super-hub costs
     deg rows, not deg²)."""
-    und = _symmetrized(edges, src, dst, dedupe).persist()
+    und = scoped_persist(_symmetrized(edges, src, dst, dedupe))
     return _lpa_rounds(und, iters)
 
 
@@ -443,7 +445,7 @@ def k_core(
     round; `max_iter` is a backstop — rounds are worst-case O(|V|) on
     a path graph but single digits on real graphs (11 at sf0.01 for
     the co-purchase graph)."""
-    und = _symmetrized(edges, src, dst, dedupe).persist()
+    und = scoped_persist(_symmetrized(edges, src, dst, dedupe))
     return _kcore_peel(und, k, max_iter)
 
 
@@ -600,19 +602,19 @@ def personalized_pagerank(
                      F.col(dst).alias("__dst"))
     if dedupe:
         e = e.distinct()
-    e = e.persist()
+    e = scoped_persist(e)
     nodes = (e.select(F.col("__src").alias("node"))
              .union(e.select("__dst")).distinct())
     sd = F.broadcast(seeds.select(F.col(seed_col).alias("node"))
                      .distinct().withColumn("__is_seed", F.lit(1)))
     ns = F.broadcast(sd.agg(F.count(F.lit(1)).cast("double")
                             .alias("__ns")))
-    flagged = (nodes.join(sd, "node", "left")
-               .join(ns)
-               .select("node",
-                       (F.coalesce(F.col("__is_seed"), F.lit(0))
-                        / F.col("__ns")).alias("__e"))
-               .persist())
+    flagged = scoped_persist(
+        nodes.join(sd, "node", "left")
+        .join(ns)
+        .select("node",
+                (F.coalesce(F.col("__is_seed"), F.lit(0))
+                 / F.col("__ns")).alias("__e")))
     deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
     ranks = flagged.select("node", F.col("__e").alias("rank"))
     for _ in range(iters):

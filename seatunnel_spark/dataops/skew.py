@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from seatunnel_spark.dataops._cache import scoped_persist
+
 
 def salted_join(
     skewed: DataFrame,
@@ -68,7 +70,7 @@ def skew_report(df: DataFrame, key_col: str, top: int = 10,
     Deterministic head order: cnt desc, key asc (stringified)."""
     counts = (df.select(F.col(key_col).cast("string").alias("key"))
               .groupBy("key").agg(F.count(F.lit(1)).alias("cnt")))
-    counts = counts.persist()
+    counts = scoped_persist(counts)
     tot = counts.agg(
         F.sum("cnt").cast("double").alias("__n"),
         F.count(F.lit(1)).alias("n_keys"),

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from seatunnel_spark.dataops._cache import scoped_persist
+
 # --------------------------------------------------------------------------
 # token counting
 # --------------------------------------------------------------------------
@@ -728,7 +730,7 @@ def bpe_learn(df: DataFrame, text_col: str = "text", n_merges: int = 10,
     rows, not the corpus). The vocab table persists (compressed
     columnar) and is replaced each round; n_merges bounds the loop, so
     driver work is n_merges tiny collects. The corpus is read ONCE."""
-    vocab = _bpe_word_vocab(df, text_col, lowercase).persist()
+    vocab = scoped_persist(_bpe_word_vocab(df, text_col, lowercase))
     merges = []
     for rank in range(n_merges):
         top = (_pair_counts(vocab)
@@ -752,7 +754,8 @@ def bpe_learn(df: DataFrame, text_col: str = "text", n_merges: int = 10,
                 F.concat(F.slice(acc, 1, F.size(acc) - 1),
                          F.array(F.concat(la, lb)))
             ).otherwise(F.concat(acc, F.array(x))))
-        new_vocab = vocab.select(merged.alias("syms"), "freq").persist()
+        new_vocab = scoped_persist(
+            vocab.select(merged.alias("syms"), "freq"))
         # materialize the new cache BEFORE dropping the old one: the
         # new vocab's plan reads the old cache, and unpersisting first
         # would make every later round recompute the whole merge chain

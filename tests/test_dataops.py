@@ -3342,3 +3342,42 @@ def test_psi_report_zero_and_shifted(spark):
     shifted = psi_report(a, b, "v", bins=5).collect()
     assert shifted[0]["psi"] > 0.25
     assert len(shifted) == 5
+
+
+def test_cache_scope_bounds_long_session_memory(spark):
+    """The enforceable cache-lifetime contract: 50 pagerank calls
+    (each persists its deduped edge frame) inside cache_scope leave
+    the SQL CacheManager empty after every call — a long-lived
+    session's memory does not grow with operator call count. A
+    caller's OWN cached frame inside the scope is untouched (scoped
+    release is surgical, not clearCache), and nesting releases only
+    the inner scope's frames."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops import cache_scope
+    from seatunnel_spark.dataops.graph import pagerank
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 7) for i in range(30)], ["src", "dst"])
+    for _ in range(50):
+        with cache_scope():
+            pagerank(edges, iters=1).count()
+            assert not cm.isEmpty()  # the scope's persist is live
+        assert cm.isEmpty()          # and released on exit
+
+    mine = edges.persist()
+    mine.count()
+    with cache_scope():
+        pagerank(edges, iters=1).count()
+    assert not cm.isEmpty()          # caller's cache survived
+    with cache_scope():              # nesting: inner releases inner
+        outer = pagerank(edges, iters=1)
+        outer.count()
+        with cache_scope():
+            pagerank(edges, iters=1).count()
+        assert not cm.isEmpty()
+    mine.unpersist()
+    assert cm.isEmpty()
