@@ -2958,6 +2958,41 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank(edges, seeds, iters=2, dedupe=False)
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (dataops/graph.py:hits — Kleinberg
+    1999) over the DIRECTED customer->supplier purchase graph:
+    authority scores suppliers by being bought from by broad
+    customers, hub scores customers by buying from strong suppliers —
+    the two-role scoring PageRank's single axis conflates on
+    bipartite interaction data. Two fixed iterations with per-half-
+    step L1 normalization + rounding (the pagerank replay
+    convention); the oracle unrolls the identical arithmetic."""
+    from seatunnel_spark.dataops.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    e = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .select(F.concat(F.lit("c"), o.o_custkey).alias("src"),
+                 F.concat(F.lit("s"), li.l_suppkey).alias("dst"))
+         .distinct())
+    return hits(e, iters=2, dedupe=False)
+
+
+def q_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day p50/p95 from merged DAILY DDSketches (dataops/
+    sketches.py:ddsketch_rolling_quantiles): one scan into per-day
+    buckets, every window width a re-window of the persisted bucket
+    table (count addition IS sketch merge) — the quantile twin of
+    q_rolling_dau_hll, with the calendar-dense spine from day one.
+    The oracle replays bucketing, the gapless spine, the trailing
+    sum, and the type-1 rank walk."""
+    from seatunnel_spark.dataops.sketches import ddsketch_rolling_quantiles
+
+    e = _t(spark, sf_dir, "events")
+    return ddsketch_rolling_quantiles(e, "ts", "value", window_days=7,
+                                      qs=[0.5, 0.95])
+
+
 def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index (dataops/profile.py:psi_report):
     events.value vs a deterministically shifted half-snapshot
@@ -3606,6 +3641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_degree_dist": q_degree_dist,
         "q_ppr": q_ppr,
         "q_psi": q_psi,
+        "q_hits": q_hits,
+        "q_rolling_quantiles": q_rolling_quantiles,
         "q_connected_components": q_connected_components,
         "q_connected_bucketed": q_connected_bucketed,
         "q_label_prop": q_label_prop,
@@ -6605,6 +6642,49 @@ def _kcore_unrolled_sql(k: int, rounds: int, min_support: int) -> str:
               f" FROM e{rounds} GROUP BY src")
 
 
+def _hits_unrolled_sql(iters: int = 2, round_to: int = 6) -> str:
+    """Oracle for q_hits: the identical fixed-iteration HITS replay —
+    directed customer->supplier edges, hub starts at 1.0, each half
+    step is one neighbor sum, one L1 normalization, one round."""
+    ctes = ["""je AS (
+              SELECT DISTINCT 'c' || o_custkey AS src,
+                     's' || l_suppkey AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ), nodes AS (
+              SELECT src AS node FROM je UNION SELECT dst FROM je
+            ), h0 AS (SELECT node, 1.0::DOUBLE AS hub FROM nodes)"""]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""ar{i} AS (
+              SELECT dst AS node, sum(h.hub) AS a
+              FROM je JOIN {prev_h} h ON je.src = h.node GROUP BY 1
+            ), asum{i} AS (SELECT sum(a) AS s FROM ar{i}),
+            a{i} AS (
+              SELECT n.node,
+                     round(coalesce(r.a, 0) / asum{i}.s, {round_to})
+                       AS auth
+              FROM nodes n LEFT JOIN ar{i} r ON n.node = r.node,
+                   asum{i}
+            ), hr{i} AS (
+              SELECT src AS node, sum(a.auth) AS h
+              FROM je JOIN a{i} a ON je.dst = a.node GROUP BY 1
+            ), hsum{i} AS (SELECT sum(h) AS s FROM hr{i}),
+            h{i} AS (
+              SELECT n.node,
+                     round(coalesce(r.h, 0) / hsum{i}.s, {round_to})
+                       AS hub
+              FROM nodes n LEFT JOIN hr{i} r ON n.node = r.node,
+                   hsum{i}
+            )""")
+        prev_h = f"h{i}"
+    joined = ",\n            ".join(ctes)
+    return f"""
+            WITH {joined}
+            SELECT h.node, h.hub, a.auth
+            FROM h{iters} h JOIN a{iters} a ON h.node = a.node
+        """
+
+
 def _label_prop_unrolled_sql(iters: int, min_support: int) -> str:
     """Oracle for q_label_prop: `iters` unrolled synchronous LPA
     rounds — per-node neighbor-label counts, then the
@@ -7015,6 +7095,62 @@ def oracle_sql() -> dict[str, str]:
     # same sharing for the triangle family: the bucketed variant runs the
     # identical count over the identical co-purchase graph
     d["q_triangles_bucketed"] = d["q_triangles"]
+    d["q_hits"] = _hits_unrolled_sql(iters=2)
+    d["q_rolling_quantiles"] = """
+            WITH b AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1
+                          ELSE 0 END AS kind,
+                     CASE WHEN v = 0 THEN 0
+                          ELSE CAST(ceil(round(
+                                 ln(abs(v))
+                                 / ln((1.0+0.01)/(1.0-0.01)), 9))
+                               AS INT)
+                     END AS idx,
+                     count(*) AS cnt
+              FROM (SELECT ts, CAST(value AS DOUBLE) AS v
+                    FROM events WHERE value IS NOT NULL)
+              GROUP BY 1, 2, 3
+            ), cal AS (
+              SELECT CAST(d AS DATE) AS day
+              FROM (SELECT unnest(generate_series(
+                       (SELECT min(day) FROM b),
+                       (SELECT max(day) FROM b),
+                       INTERVAL 1 DAY)) AS d)
+            ), keys AS (SELECT DISTINCT kind, idx FROM b),
+            dense AS (
+              SELECT cal.day, keys.kind, keys.idx,
+                     coalesce(b.cnt, 0) AS cnt
+              FROM cal CROSS JOIN keys
+              LEFT JOIN b ON cal.day = b.day AND keys.kind = b.kind
+                         AND keys.idx = b.idx
+            ), rolled AS (
+              SELECT day, kind, idx,
+                     sum(cnt) OVER (PARTITION BY kind, idx
+                         ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                       AS cnt
+              FROM dense
+            ), rpos AS (SELECT * FROM rolled WHERE cnt > 0),
+            c AS (
+              SELECT day, kind, idx, cnt,
+                     sum(cnt) OVER (PARTITION BY day
+                       ORDER BY kind,
+                                CASE WHEN kind = -1 THEN -idx
+                                     ELSE idx END
+                       ROWS UNBOUNDED PRECEDING) AS cum_hi
+              FROM rpos
+            ), t AS (SELECT day, sum(cnt) AS n FROM rpos GROUP BY 1)
+            SELECT c.day, q,
+                   kind * round(2.0 * power((1.0+0.01)/(1.0-0.01), idx)
+                                / ((1.0+0.01)/(1.0-0.01) + 1.0), 4)
+                     AS est
+            FROM (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS q) qs,
+                 t, c
+            WHERE c.day = t.day
+              AND cum_hi - cnt < floor(round(q * (n - 1), 6)) + 1
+              AND floor(round(q * (n - 1), 6)) + 1 <= cum_hi
+        """
     d["q_ppr"] = """
             WITH je AS (SELECT DISTINCT 'c' || o_custkey AS src,
                                's' || l_suppkey AS dst,

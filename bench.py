@@ -153,6 +153,8 @@ BENCH_QUERIES = [
     "q_lpa_bucketed",
     "q_kcore_bucketed",
     "stream_hll_dau",
+    "q_hits",
+    "q_rolling_quantiles",
 ]
 
 

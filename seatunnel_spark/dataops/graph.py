@@ -28,7 +28,8 @@ __all__ = ["pagerank", "write_bucketed_edges", "pagerank_on_bucketed",
            "triangles_on_bucketed", "degree_distribution",
            "connected_components", "connected_components_on_bucketed",
            "label_propagation", "k_core", "personalized_pagerank",
-           "label_propagation_on_bucketed", "k_core_on_bucketed"]
+           "label_propagation_on_bucketed", "k_core_on_bucketed",
+           "hits"]
 
 
 def _symmetrized(edges: DataFrame, src: str, dst: str,
@@ -636,3 +637,65 @@ def personalized_pagerank(
             )
         )
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    round_to: int = 6,
+    dedupe: bool = True,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge
+    list -> (node, hub, auth): authority = being pointed at by good
+    hubs, hub = pointing at good authorities — the natural scoring
+    for bipartite interaction graphs (customers x suppliers, crawlers
+    x sites) where PageRank's single importance axis conflates the
+    two roles.
+
+    Fixed-iteration, deterministic replay form (the pagerank/
+    emb_kmeans convention): hub starts at 1.0 everywhere; each round
+    computes auth'(v) = Σ_{u→v} hub(u) L1-normalized then rounded to
+    `round_to`, then hub'(u) = Σ_{u→v} auth'(v) normalized and
+    rounded — rounding per half-step makes the run bit-reproducible
+    across engines, so the oracle unrolls the identical arithmetic.
+    Nodes with no in-edges carry auth 0 (respectively hub 0 for no
+    out-edges) rather than dropping out.
+
+    Scale: per half-step one edge⋈score join and one
+    map-side-combined sum — the edge list is shuffled once at the
+    initial distinct, persisted, and then only probed (the pagerank
+    shape); normalization sums are 1-row broadcasts. Scores are a
+    |V|-row table, never collected."""
+    e = edges.select(F.col(src).alias("__src"),
+                     F.col(dst).alias("__dst"))
+    if dedupe:
+        e = e.distinct()
+    e = scoped_persist(e)
+    nodes = (e.select(F.col("__src").alias("node"))
+             .union(e.select("__dst")).distinct())
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (e.join(hub.withColumnRenamed("node", "__src"),
+                        "__src")
+                 .groupBy(F.col("__dst").alias("node"))
+                 .agg(F.sum("hub").alias("__a")))
+        s_a = F.broadcast(a_raw.agg(F.sum("__a").alias("__s")))
+        auth = (nodes.join(a_raw, "node", "left").join(s_a)
+                .select("node",
+                        F.round(F.coalesce(F.col("__a"), F.lit(0.0))
+                                / F.col("__s"), round_to)
+                        .alias("auth")))
+        h_raw = (e.join(auth.withColumnRenamed("node", "__dst"),
+                        "__dst")
+                 .groupBy(F.col("__src").alias("node"))
+                 .agg(F.sum("auth").alias("__h")))
+        s_h = F.broadcast(h_raw.agg(F.sum("__h").alias("__s")))
+        hub = (nodes.join(h_raw, "node", "left").join(s_h)
+               .select("node",
+                       F.round(F.coalesce(F.col("__h"), F.lit(0.0))
+                               / F.col("__s"), round_to)
+                       .alias("hub")))
+    return hub.join(auth, "node")

@@ -43,8 +43,10 @@ from pyspark.sql import functions as F
 
 __all__ = ["ddsketch_build", "ddsketch_merge", "ddsketch_quantiles",
            "ddsketch_build_grouped", "ddsketch_quantiles_grouped",
+           "ddsketch_rolling_quantiles",
            "hll_build", "hll_build_grouped", "hll_merge",
-           "hll_estimate"]
+           "hll_estimate", "hll_intersect_estimate",
+           "hll_rolling_estimate"]
 
 
 def _gamma(alpha: float) -> float:
@@ -137,6 +139,52 @@ def ddsketch_quantiles_grouped(sketch: DataFrame, group_cols: list[str],
             .filter((F.col("cum_lo") < rank) & (rank <= F.col("cum_hi")))
             .select(*group_cols, "q", est.alias("est"))
             .orderBy(*group_cols, "q"))
+
+
+def ddsketch_rolling_quantiles(df: DataFrame, ts_col: str,
+                               value_col: str, window_days: int = 7,
+                               qs: list[float] | None = None,
+                               alpha: float = 0.01,
+                               round_to: int = 4) -> DataFrame:
+    """Rolling trailing-`window_days` quantile estimates from DAILY
+    DDSketches -> (day, q, est): the quantile twin of
+    hll_rolling_estimate. The event log is scanned ONCE into per-day
+    (day, kind, idx, cnt) buckets; a trailing window is then a SUM of
+    counts per bucket over the window (sketch merge is exactly
+    count addition), and every width (7-day p95, 28-day p50, quarter
+    p99) re-windows the same persisted bucket table — the exact
+    percentile would re-sort raw values per width.
+
+    Spine discipline (the hll_rolling lesson, applied from day one):
+    buckets are densified against the full CALENDAR range crossed
+    with the observed (kind, idx) keys — sketch-sized × |days|, never
+    data-sized — so zero-event gap days hold ROWS-frame slots and a
+    window never silently spans extra calendar days. Days whose whole
+    window is empty produce no row (n = 0 has no order statistics).
+    Estimates use the same type-1 rank rule and midpoint arithmetic
+    as ddsketch_quantiles, so the oracle replays bit-for-bit."""
+    from pyspark.sql import Window
+
+    if qs is None:
+        qs = [0.5, 0.95]
+    day = F.to_date(F.col(ts_col)).alias("day")
+    sk = ddsketch_build_grouped(
+        df.select(day, F.col(value_col)), ["day"], value_col, alpha)
+    days = (sk.agg(F.min("day").alias("__lo"),
+                   F.max("day").alias("__hi"))
+            .select(F.explode(F.sequence("__lo", "__hi")).alias("day")))
+    buckets = sk.select("kind", "idx").distinct()
+    dense = (days.crossJoin(buckets)
+             .join(sk, ["day", "kind", "idx"], "left")
+             .select("day", "kind", "idx",
+                     F.coalesce("cnt", F.lit(0)).alias("cnt")))
+    w = (Window.partitionBy("kind", "idx").orderBy("day")
+         .rowsBetween(-(window_days - 1), 0))
+    rolled = (dense.select("day", "kind", "idx",
+                           F.sum("cnt").over(w).alias("cnt"))
+              .filter(F.col("cnt") > 0))
+    return ddsketch_quantiles_grouped(rolled, ["day"], list(qs),
+                                      alpha, round_to)
 
 
 def ddsketch_merge(*sketches: DataFrame) -> DataFrame:

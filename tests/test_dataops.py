@@ -3381,3 +3381,63 @@ def test_cache_scope_bounds_long_session_memory(spark):
         assert not cm.isEmpty()
     mine.unpersist()
     assert cm.isEmpty()
+
+
+def test_ddsketch_rolling_quantiles_tracks_exact_and_gaps(spark):
+    """Rolling-sketch quantiles: days 1-3 carry values ~100, days 8-9
+    values ~1000, days 4-7 empty. With window_days=3: (a) every
+    emitted estimate is within the alpha=1% DDSketch band of the
+    exact type-1 quantile over the true trailing-3-calendar-day
+    multiset; (b) day 9's window (days 7-9) sees ONLY the ~1000s —
+    gap days hold frame slots, day-1 values cannot leak; (c) day 5
+    still sees day 3's values; (d) all-empty windows (day 7) emit no
+    row."""
+    import datetime as _dt
+
+    from seatunnel_spark.dataops.sketches import ddsketch_rolling_quantiles
+
+    t0 = _dt.datetime(2024, 7, 1)
+    rows, eid = [], 0
+    vals = {}
+    for d in (0, 1, 2):
+        vals[d] = [100.0 + 3 * i + d for i in range(60)]
+    for d in (7, 8):
+        vals[d] = [1000.0 + 5 * i + d for i in range(40)]
+    for d, vs in vals.items():
+        for v in vs:
+            rows.append((eid, t0 + _dt.timedelta(days=d), v))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, v double")
+    got = {(r["day"].day, r["q"]): r["est"] for r in
+           ddsketch_rolling_quantiles(df, "ts", "v", window_days=3,
+                                      qs=[0.5, 0.95]).collect()}
+    days_out = sorted({d for d, _ in got})
+    assert 7 not in days_out                      # all-empty window
+    assert days_out == [1, 2, 3, 4, 5, 8, 9]
+    for dday in days_out:
+        d0 = dday - 1                              # 0-based day offset
+        window = [v for dd in range(max(0, d0 - 2), d0 + 1)
+                  for v in vals.get(dd, [])]
+        window.sort()
+        for q in (0.5, 0.95):
+            exact = window[int(q * (len(window) - 1))]
+            est = got[(dday, q)]
+            assert abs(est - exact) / exact <= 0.011, (dday, q, est, exact)
+    # day 9 must be in the 1000s (no day-1 leak through the gap)
+    assert got[(9, 0.5)] > 900
+
+
+def test_hits_bipartite_hand_check(spark):
+    """c1->{s1,s2}, c2->{s1}: two unrolled iterations hand-computed.
+    Iter 2: auth(s1)=1.0/1.6=0.625, auth(s2)=0.375; hub(c1)=
+    1/1.625=0.615385, hub(c2)=0.625/1.625=0.384615. Suppliers carry
+    hub 0 and customers auth 0 (no out-/in-edges respectively) —
+    the two-role separation PageRank conflates."""
+    from seatunnel_spark.dataops.graph import hits
+
+    e = spark.createDataFrame(
+        [("c1", "s1"), ("c1", "s2"), ("c2", "s1")], ["src", "dst"])
+    got = {r["node"]: (r["hub"], r["auth"]) for r in
+           hits(e, iters=2).collect()}
+    assert got == {"c1": (0.615385, 0.0), "c2": (0.384615, 0.0),
+                   "s1": (0.0, 0.625), "s2": (0.0, 0.375)}
