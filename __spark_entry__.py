@@ -2993,6 +2993,60 @@ def q_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       qs=[0.5, 0.95])
 
 
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record linkage (dataops/linkage.py:
+    link_score_pairs) between the customer table and a
+    deterministically PERTURBED copy (name uppercased on custkey%7,
+    phone nulled on custkey%5, ids shifted +1,000,000): blocked on
+    nationkey, per-field log2(m/u) agreement weights summed in pure
+    codegen, threshold keeps the positive-evidence pairs. The oracle
+    replays the perturbation, the block join, and the literal weight
+    arithmetic."""
+    from seatunnel_spark.dataops.linkage import link_score_pairs
+
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(F.col("c_custkey").alias("ida"),
+                 F.lower(F.col("c_name")).alias("name"),
+                 F.col("c_acctbal").alias("bal"),
+                 F.col("c_mktsegment").alias("seg"),
+                 F.col("c_nationkey"))
+    b = c.select((F.col("c_custkey") + 1_000_000).alias("idb"),
+                 F.when(F.col("c_custkey") % 7 == 0,
+                        F.upper(F.col("c_name")))
+                 .otherwise(F.lower(F.col("c_name"))).alias("name"),
+                 F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+                 .otherwise(F.col("c_acctbal")).alias("bal"),
+                 F.col("c_mktsegment").alias("seg"),
+                 F.col("c_nationkey"))
+    fields = {"name": (0.95, 0.001), "bal": (0.9, 0.0005),
+              "seg": (0.9, 0.2)}
+    return link_score_pairs(a, b, "ida", "idb", ["c_nationkey"],
+                            fields, threshold=5.0)
+
+
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pre-filtered fact⋈dim join (dataops/skew.py:
+    bloom_prefilter_join): a selective supplier subset's keys fold
+    into a 2^20-bit Bloom filter (distributed bit_or build, literal-
+    array probe), the lineitem scan is pre-filtered BEFORE its
+    exchange, and the equi-join eliminates the false positives — so
+    the output is EXACTLY the plain join (the oracle) while the
+    shuffle carries only ~matching rows. Revenue per surviving
+    supplier."""
+    from seatunnel_spark.dataops.skew import bloom_prefilter_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = (_t(spark, sf_dir, "supplier")
+           .filter(F.col("s_suppkey") % 17 == 0)
+           .select("s_suppkey", "s_name"))
+    j = bloom_prefilter_join(li, sup, "l_suppkey", "s_suppkey")
+    return (j.groupBy("s_suppkey", "s_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
 def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index (dataops/profile.py:psi_report):
     events.value vs a deterministically shifted half-snapshot
@@ -3643,6 +3697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_psi": q_psi,
         "q_hits": q_hits,
         "q_rolling_quantiles": q_rolling_quantiles,
+        "q_record_linkage": q_record_linkage,
+        "q_bloom_join": q_bloom_join,
         "q_connected_components": q_connected_components,
         "q_connected_bucketed": q_connected_bucketed,
         "q_label_prop": q_label_prop,
@@ -6685,6 +6741,51 @@ def _hits_unrolled_sql(iters: int = 2, round_to: int = 6) -> str:
         """
 
 
+def _linkage_oracle_sql() -> str:
+    """Oracle for q_record_linkage: the same deterministic
+    perturbation, nationkey block join, and literal log2(m/u) weight
+    arithmetic (weights Python-computed exactly as the operator
+    computes them; terms summed in the same field order)."""
+    import math
+
+    fields = {"name": (0.95, 0.001), "bal": (0.9, 0.0005),
+              "seg": (0.9, 0.2)}
+    terms, hits = [], []
+    for c, (m, u) in fields.items():
+        wa = math.log2(m / u)
+        wd = math.log2((1.0 - m) / (1.0 - u))
+        terms.append(
+            f"(CASE WHEN a.{c} IS NULL OR b.{c} IS NULL THEN 0.0 "
+            f"WHEN a.{c} = b.{c} THEN {wa!r} ELSE {wd!r} END)")
+        hits.append(
+            f"(CASE WHEN a.{c} IS NULL OR b.{c} IS NULL THEN 0 "
+            f"WHEN a.{c} = b.{c} THEN 1 ELSE 0 END)")
+    score = " + ".join(terms)
+    n_agree = " + ".join(hits)
+    return f"""
+            WITH a AS (
+              SELECT c_custkey AS ida, lower(c_name) AS name,
+                     c_acctbal AS bal, c_mktsegment AS seg,
+                     c_nationkey AS blk
+              FROM customer
+            ), b AS (
+              SELECT c_custkey + 1000000 AS idb,
+                     CASE WHEN c_custkey % 7 = 0 THEN upper(c_name)
+                          ELSE lower(c_name) END AS name,
+                     CASE WHEN c_custkey % 5 = 0 THEN NULL
+                          ELSE c_acctbal END AS bal,
+                     c_mktsegment AS seg, c_nationkey AS blk
+              FROM customer
+            )
+            SELECT id_a, id_b, n_agree, score FROM (
+              SELECT a.ida AS id_a, b.idb AS id_b,
+                     {n_agree} AS n_agree,
+                     round({score}, 4) AS score
+              FROM a JOIN b ON a.blk = b.blk)
+            WHERE score >= 5.0
+        """
+
+
 def _label_prop_unrolled_sql(iters: int, min_support: int) -> str:
     """Oracle for q_label_prop: `iters` unrolled synchronous LPA
     rounds — per-node neighbor-label counts, then the
@@ -7096,6 +7197,19 @@ def oracle_sql() -> dict[str, str]:
     # identical count over the identical co-purchase graph
     d["q_triangles_bucketed"] = d["q_triangles"]
     d["q_hits"] = _hits_unrolled_sql(iters=2)
+    # bloom pre-filter has no false negatives and the equi-join kills
+    # the false positives, so the oracle is the PLAIN join
+    d["q_bloom_join"] = """
+            SELECT s.s_suppkey, s.s_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)),
+                         2) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem l JOIN supplier s
+              ON l.l_suppkey = s.s_suppkey
+            WHERE s.s_suppkey % 17 = 0
+            GROUP BY 1, 2
+        """
+    d["q_record_linkage"] = _linkage_oracle_sql()
     d["q_rolling_quantiles"] = """
             WITH b AS (
               SELECT CAST(ts AS DATE) AS day,

@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     "stream_hll_dau",
     "q_hits",
     "q_rolling_quantiles",
+    "q_record_linkage",
+    "q_bloom_join",
 ]
 
 

