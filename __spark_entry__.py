@@ -2993,6 +2993,31 @@ def q_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       qs=[0.5, 0.95])
 
 
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (dataops/graph.py:bfs_hops)
+    from the 5 seed customers over the symmetrized customer-supplier
+    graph — crawl-depth / within-k-hops labeling. Frontier-delta
+    iteration (edges probed, never rewritten; the k-core peel
+    discipline); BFS layers are schedule-independent so the converged
+    labeling is unique and the oracle replays it as a recursive
+    min-hops CTE."""
+    from seatunnel_spark.dataops.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    jp = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select(o.o_custkey.alias("c"), li.l_suppkey.alias("s"))
+          .distinct())
+    j = jp.select(F.concat(F.lit("c"), F.col("c")).alias("src"),
+                  F.concat(F.lit("s"), F.col("s")).alias("dst"))
+    edges = j.union(
+        j.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = (jp.filter(F.col("c") < 5)
+             .select(F.concat(F.lit("c"), F.col("c")).alias("node"))
+             .distinct())
+    return bfs_hops(edges, seeds, max_hops=6, dedupe=False)
+
+
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter record linkage (dataops/linkage.py:
     link_score_pairs) between the customer table and a
@@ -3699,6 +3724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_quantiles": q_rolling_quantiles,
         "q_record_linkage": q_record_linkage,
         "q_bloom_join": q_bloom_join,
+        "q_bfs_hops": q_bfs_hops,
         "q_connected_components": q_connected_components,
         "q_connected_bucketed": q_connected_bucketed,
         "q_label_prop": q_label_prop,
@@ -7210,6 +7236,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """
     d["q_record_linkage"] = _linkage_oracle_sql()
+    d["q_bfs_hops"] = """
+            WITH RECURSIVE je AS (
+              SELECT DISTINCT 'c' || o_custkey AS src,
+                     's' || l_suppkey AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ), edges AS (
+              SELECT src, dst FROM je UNION SELECT dst, src FROM je
+            ), seeds AS (
+              SELECT DISTINCT 'c' || o_custkey AS node
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE o_custkey < 5
+            ), walk(node, hops) AS (
+              SELECT node, 0 FROM seeds
+              UNION
+              SELECT e.dst, w.hops + 1
+              FROM walk w JOIN edges e ON w.node = e.src
+              WHERE w.hops < 6
+            )
+            SELECT node, CAST(min(hops) AS INT) AS hops
+            FROM walk GROUP BY node
+        """
     d["q_rolling_quantiles"] = """
             WITH b AS (
               SELECT CAST(ts AS DATE) AS day,

@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "q_rolling_quantiles",
     "q_record_linkage",
     "q_bloom_join",
+    "q_bfs_hops",
 ]
 
 

@@ -29,7 +29,7 @@ __all__ = ["pagerank", "write_bucketed_edges", "pagerank_on_bucketed",
            "connected_components", "connected_components_on_bucketed",
            "label_propagation", "k_core", "personalized_pagerank",
            "label_propagation_on_bucketed", "k_core_on_bucketed",
-           "hits"]
+           "hits", "bfs_hops"]
 
 
 def _symmetrized(edges: DataFrame, src: str, dst: str,
@@ -699,3 +699,53 @@ def hits(
                                / F.col("__s"), round_to)
                        .alias("hub")))
     return hub.join(auth, "node")
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "node",
+    max_hops: int = 10,
+    dedupe: bool = True,
+) -> DataFrame:
+    """Multi-source BFS hop distances over a DIRECTED edge list ->
+    (node, hops): the minimum number of edges from ANY source to the
+    node (sources at 0; unreachable nodes absent) — crawl-depth
+    labeling, blast-radius analysis, "within-k-hops of a trusted
+    seed" filters. Feed a symmetrized list for undirected distance.
+
+    Frontier iteration: each round expands ONLY the nodes discovered
+    last round (one edge⋈frontier join — the frontier is small after
+    the first hops, so AQE broadcasts it; the delta discipline of
+    k_core's peel), anti-joins out already-visited nodes, and
+    localCheckpoint-s the new frontier + the visited set (the
+    |V|-row SMALL side; the edge list is shuffled once at the initial
+    distinct and then only probed). Convergence = empty frontier, one
+    bounded count per round; `max_hops` bounds the worst case. BFS
+    layers are schedule-independent, so the converged (node, hops)
+    labeling is unique and the oracle replays it as a recursive
+    min-hops CTE."""
+    e = edges.select(F.col(src).alias("__src"),
+                     F.col(dst).alias("__dst"))
+    if dedupe:
+        e = e.distinct()
+    e = scoped_persist(e)
+    frontier = (sources.select(F.col(source_col).alias("node"))
+                .distinct().localCheckpoint())
+    visited = frontier.withColumn("hops", F.lit(0)).localCheckpoint()
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "__src"),
+                   "__src")
+            .select(F.col("__dst").alias("node")).distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        visited = (visited.unionByName(
+            nxt.withColumn("hops", F.lit(h))).localCheckpoint())
+        frontier = nxt
+    return visited

@@ -3519,3 +3519,24 @@ def test_link_score_pairs_hand_check(spark):
     import pytest
     with pytest.raises(ValueError):
         link_field_weights({"x": (0.5, 0.5)})
+
+
+def test_bfs_hops_layers_and_unreachable(spark):
+    """Multi-source BFS: diamond + chain 1->{2,3}->4->5, seed {1}
+    gives hops (1:0, 2:1, 3:1, 4:2, 5:3); node 99->1 is upstream of
+    the seed (directed: unreachable, absent); two seeds {1,5} make 5
+    a 0-hop node; max_hops truncates the frontier expansion."""
+    from seatunnel_spark.dataops.graph import bfs_hops
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (99, 1)],
+        ["src", "dst"])
+    s1 = spark.createDataFrame([(1,)], ["node"])
+    got = {r["node"]: r["hops"] for r in bfs_hops(e, s1).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+    s2 = spark.createDataFrame([(1,), (5,)], ["node"])
+    got2 = {r["node"]: r["hops"] for r in bfs_hops(e, s2).collect()}
+    assert got2 == {1: 0, 5: 0, 2: 1, 3: 1, 4: 2}
+    got3 = {r["node"]: r["hops"] for r in
+            bfs_hops(e, s1, max_hops=2).collect()}
+    assert got3 == {1: 0, 2: 1, 3: 1, 4: 2}
