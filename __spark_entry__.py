@@ -2993,6 +2993,18 @@ def q_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       qs=[0.5, 0.95])
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t readout (dataops/analytics.py:
+    ab_welch_t) between even- and odd-user_id events on `value` —
+    the A/B primitive: one conditional-aggregation pass, variances
+    from explicit Σv/Σv² literals so the oracle replays the identical
+    arithmetic (no var_samp implementation skew between engines)."""
+    from seatunnel_spark.dataops.analytics import ab_welch_t
+
+    e = _t(spark, sf_dir, "events")
+    return ab_welch_t(e, F.col("user_id") % 2 == 0, "value")
+
+
 def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distances (dataops/graph.py:bfs_hops)
     from the 5 seed customers over the symmetrized customer-supplier
@@ -3725,6 +3737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_record_linkage": q_record_linkage,
         "q_bloom_join": q_bloom_join,
         "q_bfs_hops": q_bfs_hops,
+        "q_ab_test": q_ab_test,
         "q_connected_components": q_connected_components,
         "q_connected_bucketed": q_connected_bucketed,
         "q_label_prop": q_label_prop,
@@ -7236,6 +7249,39 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """
     d["q_record_linkage"] = _linkage_oracle_sql()
+    d["q_ab_test"] = """
+            WITH s AS (
+              SELECT count(CASE WHEN user_id % 2 = 0 THEN 1 END)
+                       AS na,
+                     count(CASE WHEN user_id % 2 <> 0 THEN 1 END)
+                       AS nb,
+                     sum(CASE WHEN user_id % 2 = 0
+                         THEN CAST(value AS DOUBLE) END) AS sa,
+                     sum(CASE WHEN user_id % 2 <> 0
+                         THEN CAST(value AS DOUBLE) END) AS sb,
+                     sum(CASE WHEN user_id % 2 = 0
+                         THEN CAST(value AS DOUBLE)
+                            * CAST(value AS DOUBLE) END) AS qa,
+                     sum(CASE WHEN user_id % 2 <> 0
+                         THEN CAST(value AS DOUBLE)
+                            * CAST(value AS DOUBLE) END) AS qb
+              FROM events
+            ), m AS (
+              SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+                     (qa - sa * sa / na) / (na - 1) AS va,
+                     (qb - sb * sb / nb) / (nb - 1) AS vb
+              FROM s
+            )
+            SELECT na AS n_a, nb AS n_b,
+                   round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+                   round(ma - mb, 6) AS mean_diff,
+                   round((ma - mb) / sqrt(va / na + vb / nb), 6)
+                     AS t_stat,
+                   round(pow(va / na + vb / nb, 2)
+                         / (pow(va / na, 2) / (na - 1)
+                            + pow(vb / nb, 2) / (nb - 1)), 6) AS dof
+            FROM m
+        """
     d["q_bfs_hops"] = """
             WITH RECURSIVE je AS (
               SELECT DISTINCT 'c' || o_custkey AS src,

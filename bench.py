@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "q_record_linkage",
     "q_bloom_join",
     "q_bfs_hops",
+    "q_ab_test",
 ]
 
 

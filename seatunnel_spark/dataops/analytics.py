@@ -952,3 +952,61 @@ def grouped_ols(df: DataFrame, group_cols: list[str], x_expr: str,
         F.round(F.when((varx > 0) & (vary > 0),
                        cov * cov / (varx * vary)), round_to)
         .alias("r2"))
+
+
+def ab_welch_t(df: DataFrame, flag: Column, value_col: str,
+               round_to: int = 6) -> DataFrame:
+    """Welch's unequal-variance t-test between the rows where `flag`
+    is true (variant A) and false (variant B) -> one row (n_a, n_b,
+    mean_a, mean_b, mean_diff, t_stat, dof): the A/B-readout
+    primitive robust to unequal group sizes/variances (Student's
+    pooled test silently mis-states the error when the big control
+    arm has different variance than the small treatment).
+
+    t = (m_a − m_b) / sqrt(s²_a/n_a + s²_b/n_b), dof by
+    Welch–Satterthwaite. ONE map-side-combined aggregation pass
+    (conditional sums — no split, no join, no second scan); variances
+    come from explicit Σv/Σv² arithmetic rather than var_samp so any
+    SQL engine replays the identical expression (the grouped_ols
+    discipline). The t-to-p lookup is left to the caller's stats
+    table (erf is not portable across engines, so shipping a p-value
+    here would break the oracle-replay discipline every other
+    operator holds). Groups need n >= 2 each; degenerate inputs yield
+    NULL t/dof rather than ANSI division errors."""
+    v = F.col(value_col).cast("double")
+    a, b = flag, ~flag
+    s = df.agg(
+        F.count(F.when(a, 1)).alias("__na"),
+        F.count(F.when(b, 1)).alias("__nb"),
+        F.sum(F.when(a, v)).alias("__sa"),
+        F.sum(F.when(b, v)).alias("__sb"),
+        F.sum(F.when(a, v * v)).alias("__qa"),
+        F.sum(F.when(b, v * v)).alias("__qb"))
+    s = s.select(
+        "*",
+        (F.col("__sa") / F.col("__na")).alias("__ma"),
+        (F.col("__sb") / F.col("__nb")).alias("__mb"),
+        F.when(F.col("__na") >= 2,
+               (F.col("__qa")
+                - F.col("__sa") * F.col("__sa") / F.col("__na"))
+               / (F.col("__na") - 1)).alias("__va"),
+        F.when(F.col("__nb") >= 2,
+               (F.col("__qb")
+                - F.col("__sb") * F.col("__sb") / F.col("__nb"))
+               / (F.col("__nb") - 1)).alias("__vb"))
+    sea = F.col("__va") / F.col("__na")
+    seb = F.col("__vb") / F.col("__nb")
+    se2 = sea + seb
+    ok = ((F.col("__na") >= 2) & (F.col("__nb") >= 2) & (se2 > 0))
+    t = F.when(ok, (F.col("__ma") - F.col("__mb")) / F.sqrt(se2))
+    dof = F.when(ok, se2 * se2
+                 / (sea * sea / (F.col("__na") - 1)
+                    + seb * seb / (F.col("__nb") - 1)))
+    return s.select(
+        F.col("__na").alias("n_a"), F.col("__nb").alias("n_b"),
+        F.round("__ma", round_to).alias("mean_a"),
+        F.round("__mb", round_to).alias("mean_b"),
+        F.round(F.col("__ma") - F.col("__mb"), round_to)
+        .alias("mean_diff"),
+        F.round(t, round_to).alias("t_stat"),
+        F.round(dof, round_to).alias("dof"))

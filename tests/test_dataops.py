@@ -3540,3 +3540,33 @@ def test_bfs_hops_layers_and_unreachable(spark):
     got3 = {r["node"]: r["hops"] for r in
             bfs_hops(e, s1, max_hops=2).collect()}
     assert got3 == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_ab_welch_t_hand_check(spark):
+    """Welch t against scipy-checked constants: A=[1,2,3,4], B=[2,4,6,
+    8,10]: t = (2.5-6)/sqrt(var_a/4 + var_b/5) with Welch dof; flags
+    null out degenerate groups (n<2) instead of dividing by zero."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.analytics import ab_welch_t
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+            ("b", 2.0), ("b", 4.0), ("b", 6.0), ("b", 8.0),
+            ("b", 10.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = ab_welch_t(df, F.col("g") == "a", "v").collect()[0]
+    va, vb = 5 / 3, 10.0  # sample variances
+    se2 = va / 4 + vb / 5
+    t = (2.5 - 6.0) / math.sqrt(se2)
+    dof = se2 ** 2 / ((va / 4) ** 2 / 3 + (vb / 5) ** 2 / 4)
+    assert (r["n_a"], r["n_b"]) == (4, 5)
+    assert r["mean_a"] == 2.5 and r["mean_b"] == 6.0
+    assert r["t_stat"] == round(t, 6)
+    assert r["dof"] == round(dof, 6)
+    # degenerate: one-row group -> NULL t/dof, no ANSI error
+    one = spark.createDataFrame([("a", 1.0), ("b", 2.0), ("b", 3.0)],
+                                ["g", "v"])
+    r2 = ab_welch_t(one, F.col("g") == "a", "v").collect()[0]
+    assert r2["t_stat"] is None and r2["dof"] is None
