@@ -2993,6 +2993,46 @@ def q_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       qs=[0.5, 0.95])
 
 
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record fusion (dataops/linkage.py:golden_records) over
+    the q_record_linkage matches: link pairs become connected
+    components (transitive fusion), then each field survives from the
+    LATEST non-null (ord, id) row — the b-copy's fresher name wins,
+    while the a-copy's acctbal fills the b-copy's nulled-on-%5 hole
+    (stale non-null beats fresh null, field by field). The oracle
+    replays linkage, a recursive min-reachability CC, and arg_max
+    survivorship."""
+    from seatunnel_spark.dataops.linkage import (golden_records,
+                                                 link_score_pairs)
+
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(F.col("c_custkey").alias("ida"),
+                 F.lower(F.col("c_name")).alias("name"),
+                 F.col("c_acctbal").alias("bal"),
+                 F.col("c_mktsegment").alias("seg"),
+                 F.col("c_nationkey"))
+    b = c.select((F.col("c_custkey") + 1_000_000).alias("idb"),
+                 F.when(F.col("c_custkey") % 7 == 0,
+                        F.upper(F.col("c_name")))
+                 .otherwise(F.lower(F.col("c_name"))).alias("name"),
+                 F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+                 .otherwise(F.col("c_acctbal")).alias("bal"),
+                 F.col("c_mktsegment").alias("seg"),
+                 F.col("c_nationkey"))
+    fields = {"name": (0.95, 0.001), "bal": (0.9, 0.0005),
+              "seg": (0.9, 0.2)}
+    pairs = link_score_pairs(a, b, "ida", "idb", ["c_nationkey"],
+                             fields, threshold=5.0)
+    records = (a.select(F.col("ida").alias("id"),
+                        F.col("ida").alias("ord"),
+                        "name", "bal", "seg")
+               .unionByName(b.select(F.col("idb").alias("id"),
+                                     F.col("idb").alias("ord"),
+                                     "name", "bal", "seg")))
+    return golden_records(records, pairs, "id", "ord",
+                          fields=["name", "bal", "seg"])
+
+
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t readout (dataops/analytics.py:
     ab_welch_t) between even- and odd-user_id events on `value` —
@@ -3738,6 +3778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_join": q_bloom_join,
         "q_bfs_hops": q_bfs_hops,
         "q_ab_test": q_ab_test,
+        "q_golden_records": q_golden_records,
         "q_connected_components": q_connected_components,
         "q_connected_bucketed": q_connected_bucketed,
         "q_label_prop": q_label_prop,
@@ -6780,11 +6821,13 @@ def _hits_unrolled_sql(iters: int = 2, round_to: int = 6) -> str:
         """
 
 
-def _linkage_oracle_sql() -> str:
-    """Oracle for q_record_linkage: the same deterministic
-    perturbation, nationkey block join, and literal log2(m/u) weight
-    arithmetic (weights Python-computed exactly as the operator
-    computes them; terms summed in the same field order)."""
+def _linkage_ctes() -> tuple[str, str, str]:
+    """Shared pieces for the record-linkage oracles: (perturbation
+    CTEs, n_agree expression, score expression) — the deterministic
+    customer perturbation (a = original lowered, b = name-uppercased-
+    on-%7 / bal-nulled-on-%5 copy at ids +1e6) and the literal
+    log2(m/u) weights, Python-computed exactly as the operator
+    computes them, terms summed in the same field order."""
     import math
 
     fields = {"name": (0.95, 0.001), "bal": (0.9, 0.0005),
@@ -6799,10 +6842,7 @@ def _linkage_oracle_sql() -> str:
         hits.append(
             f"(CASE WHEN a.{c} IS NULL OR b.{c} IS NULL THEN 0 "
             f"WHEN a.{c} = b.{c} THEN 1 ELSE 0 END)")
-    score = " + ".join(terms)
-    n_agree = " + ".join(hits)
-    return f"""
-            WITH a AS (
+    ctes = """a AS (
               SELECT c_custkey AS ida, lower(c_name) AS name,
                      c_acctbal AS bal, c_mktsegment AS seg,
                      c_nationkey AS blk
@@ -6815,13 +6855,66 @@ def _linkage_oracle_sql() -> str:
                           ELSE c_acctbal END AS bal,
                      c_mktsegment AS seg, c_nationkey AS blk
               FROM customer
-            )
+            )"""
+    return ctes, " + ".join(hits), " + ".join(terms)
+
+
+def _linkage_oracle_sql() -> str:
+    """Oracle for q_record_linkage: perturbation, nationkey block
+    join, literal weight arithmetic."""
+    ctes, n_agree, score = _linkage_ctes()
+    return f"""
+            WITH {ctes}
             SELECT id_a, id_b, n_agree, score FROM (
               SELECT a.ida AS id_a, b.idb AS id_b,
                      {n_agree} AS n_agree,
                      round({score}, 4) AS score
               FROM a JOIN b ON a.blk = b.blk)
             WHERE score >= 5.0
+        """
+
+
+def _golden_records_oracle_sql() -> str:
+    """Oracle for q_golden_records: linkage pairs above threshold ->
+    recursive min-reachability components -> per-field latest-non-null
+    survivorship (arg_max over the unique ord key)."""
+    ctes, _n_agree, score = _linkage_ctes()
+    return f"""
+            WITH RECURSIVE {ctes},
+            p AS (
+              SELECT id_a, id_b FROM (
+                SELECT a.ida AS id_a, b.idb AS id_b,
+                       round({score}, 4) AS score
+                FROM a JOIN b ON a.blk = b.blk)
+              WHERE score >= 5.0
+            ), recs AS (
+              SELECT ida AS id, ida AS ord, name, bal, seg FROM a
+              UNION ALL
+              SELECT idb AS id, idb AS ord, name, bal, seg FROM b
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p
+            ), walk(node, r) AS (
+              SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+              UNION
+              SELECT w.node, e.dst FROM walk w
+              JOIN edges e ON w.r = e.src
+            ), comp AS (
+              SELECT node AS id, min(r) AS cluster_id
+              FROM walk GROUP BY node
+            ), labeled AS (
+              SELECT coalesce(c.cluster_id, r.id) AS cluster_id,
+                     r.ord, r.name, r.bal, r.seg
+              FROM recs r LEFT JOIN comp c ON r.id = c.id
+            )
+            SELECT cluster_id, count(*) AS n_members,
+                   arg_max(name, CASE WHEN name IS NOT NULL
+                                      THEN ord END) AS name,
+                   arg_max(bal, CASE WHEN bal IS NOT NULL
+                                     THEN ord END) AS bal,
+                   arg_max(seg, CASE WHEN seg IS NOT NULL
+                                     THEN ord END) AS seg
+            FROM labeled GROUP BY 1
         """
 
 
@@ -7249,6 +7342,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """
     d["q_record_linkage"] = _linkage_oracle_sql()
+    d["q_golden_records"] = _golden_records_oracle_sql()
     d["q_ab_test"] = """
             WITH s AS (
               SELECT count(CASE WHEN user_id % 2 = 0 THEN 1 END)

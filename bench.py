@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "q_bloom_join",
     "q_bfs_hops",
     "q_ab_test",
+    "q_golden_records",
 ]
 
 

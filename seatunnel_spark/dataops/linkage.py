@@ -25,7 +25,8 @@ import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["link_score_pairs", "link_field_weights"]
+__all__ = ["link_score_pairs", "link_field_weights",
+           "golden_records"]
 
 
 def link_field_weights(fields: dict[str, tuple[float, float]]
@@ -103,3 +104,49 @@ def link_score_pairs(
     return (j.select("id_a", "id_b", hits.alias("n_agree"),
                      F.round(score, round_to).alias("score"))
             .filter(F.col("score") >= threshold))
+
+
+def golden_records(
+    records: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_col: str,
+    fields: list[str] | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Survivorship after linkage -> one GOLDEN record per matched
+    cluster: link pairs become connected components
+    (dedup.duplicate_clusters — transitive matches fuse), then each
+    field independently survives as the value from the LATEST
+    (order_col, id) row where that field is NON-NULL — the standard
+    master-data rule (a stale row's phone fills a fresh row's null,
+    but a fresh non-null always wins). Output: (cluster_id,
+    n_members, <fields...>), cluster_id = the cluster's minimum id;
+    unmatched records pass through as 1-member clusters.
+
+    Scale: the pair graph is near-duplicate-shaped (tiny components),
+    so the CC converges in 2-3 label rounds; survivorship is ONE
+    map-side-combined max_by aggregation per field over |records|
+    rows keyed by cluster — no window, no per-cluster sort. The
+    (order_col, id) struct key makes every pick deterministic even
+    under order ties, so SQL engines replay it (arg_max over the
+    same tuple)."""
+    from seatunnel_spark.dataops.dedup import duplicate_clusters
+
+    if fields is None:
+        fields = [c for c in records.columns
+                  if c not in (id_col, order_col)]
+    clusters = duplicate_clusters(pairs, id_a, id_b)
+    r = (records.join(
+            clusters.withColumnRenamed("id", id_col), [id_col], "left")
+         .withColumn("__cid", F.coalesce("cluster_id", F.col(id_col))))
+    key = F.struct(F.col(order_col).alias("o"),
+                   F.col(id_col).alias("i"))
+    aggs = [F.count(F.lit(1)).alias("n_members")]
+    for c in fields:
+        aggs.append(F.max_by(
+            F.col(c),
+            F.when(F.col(c).isNotNull(), key)).alias(c))
+    return (r.groupBy(F.col("__cid").alias("cluster_id"))
+            .agg(*aggs))

@@ -3570,3 +3570,26 @@ def test_ab_welch_t_hand_check(spark):
                                 ["g", "v"])
     r2 = ab_welch_t(one, F.col("g") == "a", "v").collect()[0]
     assert r2["t_stat"] is None and r2["dof"] is None
+
+
+def test_golden_records_survivorship(spark):
+    """Field-level survivorship: pairs (1,2),(2,3) fuse into cluster 1
+    (transitive); each field survives from the latest (order, id) row
+    where it is NON-NULL — name from row 3, phone from row 3 even
+    though row 2 also has one; a stale non-null fills a fresh null
+    (cluster {5,6}: the newer row 6 has a null phone, row 5's
+    survives); unmatched rows pass through as singletons."""
+    from seatunnel_spark.dataops.linkage import golden_records
+
+    rec = spark.createDataFrame(
+        [(1, 1, "a", None), (2, 2, None, "p2"), (3, 3, "c3", "p3"),
+         (5, 5, "e", "p5"), (6, 6, "f", None),
+         (9, 9, "z", None)],
+        ["id", "ord", "name", "phone"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)],
+                                  ["id_a", "id_b"])
+    got = {r["cluster_id"]: (r["n_members"], r["name"], r["phone"])
+           for r in golden_records(rec, pairs, "id", "ord").collect()}
+    assert got == {1: (3, "c3", "p3"),
+                   5: (2, "f", "p5"),
+                   9: (1, "z", None)}
