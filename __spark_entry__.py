@@ -3006,11 +3006,12 @@ def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                  link_score_pairs)
 
     c = _t(spark, sf_dir, "customer")
+    blk2 = F.substring(F.lower(F.col("c_name")), -1, 1)
     a = c.select(F.col("c_custkey").alias("ida"),
                  F.lower(F.col("c_name")).alias("name"),
                  F.col("c_acctbal").alias("bal"),
                  F.col("c_mktsegment").alias("seg"),
-                 F.col("c_nationkey"))
+                 F.col("c_nationkey"), blk2.alias("blk2"))
     b = c.select((F.col("c_custkey") + 1_000_000).alias("idb"),
                  F.when(F.col("c_custkey") % 7 == 0,
                         F.upper(F.col("c_name")))
@@ -3018,10 +3019,11 @@ def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
                  .otherwise(F.col("c_acctbal")).alias("bal"),
                  F.col("c_mktsegment").alias("seg"),
-                 F.col("c_nationkey"))
+                 F.col("c_nationkey"), blk2.alias("blk2"))
     fields = {"name": (0.95, 0.001), "bal": (0.9, 0.0005),
               "seg": (0.9, 0.2)}
-    pairs = link_score_pairs(a, b, "ida", "idb", ["c_nationkey"],
+    pairs = link_score_pairs(a, b, "ida", "idb",
+                             ["c_nationkey", "blk2"],
                              fields, threshold=5.0)
     records = (a.select(F.col("ida").alias("id"),
                         F.col("ida").alias("ord"),
@@ -3082,11 +3084,12 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seatunnel_spark.dataops.linkage import link_score_pairs
 
     c = _t(spark, sf_dir, "customer")
+    blk2 = F.substring(F.lower(F.col("c_name")), -1, 1)
     a = c.select(F.col("c_custkey").alias("ida"),
                  F.lower(F.col("c_name")).alias("name"),
                  F.col("c_acctbal").alias("bal"),
                  F.col("c_mktsegment").alias("seg"),
-                 F.col("c_nationkey"))
+                 F.col("c_nationkey"), blk2.alias("blk2"))
     b = c.select((F.col("c_custkey") + 1_000_000).alias("idb"),
                  F.when(F.col("c_custkey") % 7 == 0,
                         F.upper(F.col("c_name")))
@@ -3094,10 +3097,11 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
                  .otherwise(F.col("c_acctbal")).alias("bal"),
                  F.col("c_mktsegment").alias("seg"),
-                 F.col("c_nationkey"))
+                 F.col("c_nationkey"), blk2.alias("blk2"))
     fields = {"name": (0.95, 0.001), "bal": (0.9, 0.0005),
               "seg": (0.9, 0.2)}
-    return link_score_pairs(a, b, "ida", "idb", ["c_nationkey"],
+    return link_score_pairs(a, b, "ida", "idb",
+                            ["c_nationkey", "blk2"],
                             fields, threshold=5.0)
 
 
@@ -6845,7 +6849,8 @@ def _linkage_ctes() -> tuple[str, str, str]:
     ctes = """a AS (
               SELECT c_custkey AS ida, lower(c_name) AS name,
                      c_acctbal AS bal, c_mktsegment AS seg,
-                     c_nationkey AS blk
+                     c_nationkey AS blk,
+                     substr(lower(c_name), length(c_name), 1) AS blk2
               FROM customer
             ), b AS (
               SELECT c_custkey + 1000000 AS idb,
@@ -6853,7 +6858,8 @@ def _linkage_ctes() -> tuple[str, str, str]:
                           ELSE lower(c_name) END AS name,
                      CASE WHEN c_custkey % 5 = 0 THEN NULL
                           ELSE c_acctbal END AS bal,
-                     c_mktsegment AS seg, c_nationkey AS blk
+                     c_mktsegment AS seg, c_nationkey AS blk,
+                     substr(lower(c_name), length(c_name), 1) AS blk2
               FROM customer
             )"""
     return ctes, " + ".join(hits), " + ".join(terms)
@@ -6869,7 +6875,7 @@ def _linkage_oracle_sql() -> str:
               SELECT a.ida AS id_a, b.idb AS id_b,
                      {n_agree} AS n_agree,
                      round({score}, 4) AS score
-              FROM a JOIN b ON a.blk = b.blk)
+              FROM a JOIN b ON a.blk = b.blk AND a.blk2 = b.blk2)
             WHERE score >= 5.0
         """
 
@@ -6885,7 +6891,7 @@ def _golden_records_oracle_sql() -> str:
               SELECT id_a, id_b FROM (
                 SELECT a.ida AS id_a, b.idb AS id_b,
                        round({score}, 4) AS score
-                FROM a JOIN b ON a.blk = b.blk)
+                FROM a JOIN b ON a.blk = b.blk AND a.blk2 = b.blk2)
               WHERE score >= 5.0
             ), recs AS (
               SELECT ida AS id, ida AS ord, name, bal, seg FROM a

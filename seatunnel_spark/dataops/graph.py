@@ -667,37 +667,47 @@ def hits(
     map-side-combined sum — the edge list is shuffled once at the
     initial distinct, persisted, and then only probed (the pagerank
     shape); normalization sums are 1-row broadcasts. Scores are a
-    |V|-row table, never collected."""
+    |V|-row table, never collected. Each half-step's score table is
+    localCheckpoint-ed (the connected_components lineage discipline):
+    every score feeds BOTH the next neighbor sum and its own
+    normalization denominator, so an untruncated plan re-derives the
+    whole history per reference — ~2^(2·iters) recomputes of the base
+    join (measured 19.5 s for 2 iterations on the sf1 purchase graph;
+    3.9 s truncated)."""
     e = edges.select(F.col(src).alias("__src"),
                      F.col(dst).alias("__dst"))
     if dedupe:
         e = e.distinct()
     e = scoped_persist(e)
     nodes = (e.select(F.col("__src").alias("node"))
-             .union(e.select("__dst")).distinct())
+             .union(e.select("__dst")).distinct().localCheckpoint())
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
     auth = None
     for _ in range(iters):
         a_raw = (e.join(hub.withColumnRenamed("node", "__src"),
                         "__src")
                  .groupBy(F.col("__dst").alias("node"))
-                 .agg(F.sum("hub").alias("__a")))
+                 .agg(F.sum("hub").alias("__a"))
+                 .localCheckpoint())
         s_a = F.broadcast(a_raw.agg(F.sum("__a").alias("__s")))
         auth = (nodes.join(a_raw, "node", "left").join(s_a)
                 .select("node",
                         F.round(F.coalesce(F.col("__a"), F.lit(0.0))
                                 / F.col("__s"), round_to)
-                        .alias("auth")))
+                        .alias("auth"))
+                .localCheckpoint())
         h_raw = (e.join(auth.withColumnRenamed("node", "__dst"),
                         "__dst")
                  .groupBy(F.col("__src").alias("node"))
-                 .agg(F.sum("auth").alias("__h")))
+                 .agg(F.sum("auth").alias("__h"))
+                 .localCheckpoint())
         s_h = F.broadcast(h_raw.agg(F.sum("__h").alias("__s")))
         hub = (nodes.join(h_raw, "node", "left").join(s_h)
                .select("node",
                        F.round(F.coalesce(F.col("__h"), F.lit(0.0))
                                / F.col("__s"), round_to)
-                       .alias("hub")))
+                       .alias("hub"))
+               .localCheckpoint())
     return hub.join(auth, "node")
 
 
