@@ -882,6 +882,39 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite [0,1] quality score (dataops/text.py:quality_score —
+    the heuristic-weight combination over the Gopher/C4 signals:
+    0.35·min(words/50,1) + 0.25·[3 ≤ mean_word_len ≤ 10] +
+    0.2·[punct ≤ 0.2] + 0.2·min(stop_hits/5,1)). Pure codegen over
+    the same one-scan signals text_quality verifies; the oracle
+    replays the signal arithmetic AND the weight formula."""
+    from seatunnel_spark.dataops.text import quality_score
+
+    return (quality_score(_t(spark, sf_dir, "documents"))
+            .select("doc_id", "quality_score"))
+
+
+def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding table to 2 components
+    (dataops/embeddings.py:pca_fit/pca_project — covariance partials
+    Arrow-batched per partition, d×d eigh on the driver only).
+    Rows-only by nature: eigenvectors come from LAPACK on the driver
+    (sign/ordering conventions are library-specific), so no SQL
+    engine can replay them — the numeric contract is pinned instead
+    by tests/test_dataops.py::test_pca_fit_project_matches_numpy.
+    Returns (vec_id, pc1, pc2)."""
+    from seatunnel_spark.dataops.embeddings import pca_fit, pca_project
+
+    e = _emb_double(spark, sf_dir)
+    model = pca_fit(e, n_components=2)
+    out = pca_project(e, model)
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("pca", 1), 4).alias("pc1"),
+        F.round(F.element_at("pca", 2), 4).alias("pc2"))
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seatunnel_spark.dataops.text import _LANG_MARKERS, lang_id
 
@@ -3657,6 +3690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "dedup_apply": dedup_apply,
         "text_quality": text_quality,
+        "text_quality_score": text_quality_score,
+        "emb_pca": emb_pca,
         "text_langid": text_langid,
         "text_tokens": text_tokens,
         "text_repetition": text_repetition,
@@ -4523,6 +4558,44 @@ def _oracle_sql_literal() -> dict[str, str]:
                       'as','was','with','be','by','on','not','he','this','are']
                    )) AS INTEGER) AS stop_hits
             FROM w
+        """,
+        # Same signal arithmetic as text_quality (UNROUNDED signals
+        # feed the weights, exactly as quality_score composes them),
+        # then the literal weight formula.
+        "text_quality_score": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(text), '\\s+') AS ws,
+                     length(text) AS nc
+              FROM documents
+            ), sig AS (
+              SELECT doc_id,
+                     len(ws) AS n_words,
+                     CASE WHEN len(ws) > 0
+                          THEN list_sum(list_transform(ws,
+                               w -> length(w))) * 1.0 / len(ws)
+                          ELSE 0.0 END AS mwl,
+                     CASE WHEN nc > 0
+                          THEN (nc - length(regexp_replace(text,
+                               '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0 / nc
+                          ELSE 0.0 END AS punct,
+                     len(list_intersect(
+                       list_distinct(list_transform(ws,
+                                                    w -> lower(w))),
+                       ['the','of','and','to','in','a','is','that',
+                        'for','it','as','was','with','be','by','on',
+                        'not','he','this','are'])) AS stop_hits
+              FROM w
+            )
+            SELECT doc_id,
+                   round(least(n_words / 50.0, 1.0) * 0.35
+                         + CASE WHEN mwl >= 3 AND mwl <= 10
+                                THEN 0.25 ELSE 0.0 END
+                         + CASE WHEN punct <= 0.2
+                                THEN 0.2 ELSE 0.0 END
+                         + least(stop_hits / 5.0, 1.0) * 0.2, 4)
+                     AS quality_score
+            FROM sig
         """,
         "text_langid": """
             WITH w AS (

@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "q_bfs_hops",
     "q_ab_test",
     "q_golden_records",
+    "text_quality_score",
+    "emb_pca",
 ]
 
 
