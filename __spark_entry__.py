@@ -3141,12 +3141,12 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pre-filtered fact⋈dim join (dataops/skew.py:
     bloom_prefilter_join): a selective supplier subset's keys fold
-    into a 2^20-bit Bloom filter (distributed bit_or build, literal-
-    array probe), the lineitem scan is pre-filtered BEFORE its
-    exchange, and the equi-join eliminates the false positives — so
-    the output is EXACTLY the plain join (the oracle) while the
-    shuffle carries only ~matching rows. Revenue per surviving
-    supplier."""
+    into a 2^20-bit JVM BloomFilter (distributed treeAggregate build,
+    ONE might_contain binary-literal probe in codegen), the lineitem
+    scan is pre-filtered BEFORE its exchange, and the equi-join
+    eliminates the false positives — so the output is EXACTLY the
+    plain join (the oracle) while the shuffle carries only ~matching
+    rows. Revenue per surviving supplier."""
     from seatunnel_spark.dataops.skew import bloom_prefilter_join
 
     li = _t(spark, sf_dir, "lineitem")

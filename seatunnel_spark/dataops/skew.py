@@ -125,12 +125,18 @@ def bloom_prefilter_join(
     (false positives are eliminated by the join itself) — the oracle
     for any query built on this is the plain SQL join.
 
-    Build: the filter is built DISTRIBUTEDLY (per-row bit positions
-    -> explode -> bit_or per 64-bit word: one map-side-combined
-    aggregation over the small side), then the <= m_bits/64-long word
-    array is collected (128 KiB at the default m_bits=2^20 — codebook
-    -sized, the write_ivf_index convention) and applied as a LITERAL
-    array lookup: pure codegen on the scan, no broadcast-join state.
+    Build: NATIVE path first — the small side's xxhash64(key) longs
+    feed Spark's JVM `BloomFilter` (a distributed treeAggregate, one
+    job), the serialized sketch (m_bits/8 bytes — 128 KiB at the
+    default 2^20) becomes ONE binary literal probed by a single
+    `might_contain` expression inside whole-stage codegen (the same
+    BloomFilterMightContain the optimizer's InjectRuntimeFilter
+    emits; it isn't SQL-registered in Spark 4.1, so the Column is
+    assembled via ExpressionUtils). Where the classic JVM internals
+    are unavailable (e.g. Spark Connect), a PORTABLE fallback builds
+    the filter as per-row bit positions -> explode -> bit_or per
+    64-bit word and probes a literal array — same contract, bigger
+    plan constant.
 
     Sizing: false-positive rate ~ (1 - e^(-k*n/m))^k; the default
     (m=2^20 bits, k=4) holds ~1% up to n ≈ 130k distinct keys —
@@ -138,6 +144,61 @@ def bloom_prefilter_join(
     if how not in ("inner", "left_semi"):
         raise ValueError(f"bloom_prefilter_join supports inner/"
                          f"left_semi, got {how!r}")
+    cond = _native_bloom_probe(small, small_key, big_key, m_bits, k)
+    if cond is None:
+        cond = _portable_bloom_probe(small, small_key, big_key,
+                                     m_bits, k)
+    filtered = big.filter(F.col(big_key).isNotNull() & cond)
+    return filtered.join(small, filtered[big_key] == small[small_key],
+                         how)
+
+
+def _native_bloom_probe(small: DataFrame, small_key: str,
+                        big_key: str, m_bits: int, k: int):
+    """JVM-native Bloom build + probe -> a boolean Column over
+    `big_key`, or None when the classic py4j internals are absent.
+
+    Both sides work in the xxhash64(key) LONG domain so any key type
+    (string, long, date...) round-trips through the same
+    putLong/mightContainLong pair: the build inserts xxhash64(key)
+    via DataFrameStatFunctions.bloomFilter (distributed JVM
+    treeAggregate), the probe is BloomFilterMightContain(
+    lit(serialized), xxhash64(key)) — one binary literal in the plan
+    instead of the portable path's k copies of a words array.
+    expectedNumItems is derived as m*ln2/k so the JVM sizing math
+    (numHashFunctions = round(m/n * ln2)) lands on exactly `k`."""
+    import math
+
+    try:
+        from pyspark.sql.classic.column import Column as _Col
+        spark = small.sparkSession
+        jvm = spark._jvm
+        h = (small.filter(F.col(small_key).isNotNull())
+             .select(F.xxhash64(small_key).alias("__h")))
+        expected = max(1, round(m_bits * math.log(2) / max(k, 1)))
+        jbf = h._jdf.stat().bloomFilter("__h", expected, m_bits)
+        bos = jvm.java.io.ByteArrayOutputStream()
+        jbf.writeTo(bos)
+        data = bytes(bos.toByteArray())
+        eu = jvm.org.apache.spark.sql.classic.ExpressionUtils
+        expr = (jvm.org.apache.spark.sql.catalyst.expressions
+                .BloomFilterMightContain(
+                    eu.expression(F.lit(bytearray(data))._jc),
+                    eu.expression(F.xxhash64(F.col(big_key))._jc)))
+        return _Col(eu.column(expr))
+    except Exception:  # pragma: no cover - Connect / moved internals
+        return None
+
+
+def _portable_bloom_probe(small: DataFrame, small_key: str,
+                          big_key: str, m_bits: int, k: int):
+    """Pure-DataFrame Bloom build + literal-array probe (the pre-r10
+    path, kept as the Connect-safe fallback): per-row bit positions
+    -> explode -> bit_or per 64-bit word (one map-side-combined
+    aggregation), the word array collected (m_bits/64 longs) and
+    probed with k element_at lookups. Identical no-false-negative
+    contract; the literal array is embedded per-probe, so prefer the
+    native path where available."""
     words_n = (m_bits + 63) // 64
 
     def positions(col):
@@ -165,6 +226,4 @@ def bloom_prefilter_join(
             F.pmod(p, F.lit(64)).cast("int"))
         c = word.bitwiseAND(bit) != 0
         cond = c if cond is None else (cond & c)
-    filtered = big.filter(F.col(big_key).isNotNull() & cond)
-    return filtered.join(small, filtered[big_key] == small[small_key],
-                         how)
+    return cond

@@ -3448,8 +3448,8 @@ def test_bloom_prefilter_join_equivalence_and_pruning(spark):
     join (no false negatives — the correctness contract); (b) the
     pre-filter genuinely prunes (filtered big side well under the
     full scan for a selective small side); (c) left_semi form matches
-    a plain semi join; (d) plan: the bloom is a literal-array Filter
-    on the scan, not an extra join or exchange."""
+    a plain semi join; (d) plan: the native path probes ONE
+    might_contain binary literal (no extra join or exchange)."""
     from pyspark.sql import functions as F
 
     from seatunnel_spark.dataops.skew import bloom_prefilter_join
@@ -3478,7 +3478,37 @@ def test_bloom_prefilter_join_equivalence_and_pruning(spark):
     # the bloom filter alone (before the join) must cut the scan hard
     plan = pre._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # no extra shuffle introduced
+    # native JVM probe in the plan — one might_contain, zero
+    # element_at literal-array probes
+    assert "might_contain" in plan
+    assert "element_at" not in plan
     assert n_semi < total * 0.2
+
+
+def test_bloom_portable_probe_matches_native(spark):
+    """The Connect-safe portable fallback (explode/bit_or build +
+    literal-array probe) keeps the exact no-false-negative contract:
+    the set of rows it keeps is a superset of true matches and the
+    final join equals the plain join, byte for byte with the native
+    path's output."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.skew import (_portable_bloom_probe,
+                                              bloom_prefilter_join)
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    sup = (spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+           .filter(F.col("s_suppkey") % 5 == 0)
+           .select("s_suppkey", "s_name"))
+    cond = _portable_bloom_probe(sup, "s_suppkey", "l_suppkey",
+                                 1 << 16, 4)
+    kept = li.filter(F.col("l_suppkey").isNotNull() & cond)
+    joined = kept.join(sup, kept.l_suppkey == sup.s_suppkey)
+    native = bloom_prefilter_join(li, sup, "l_suppkey", "s_suppkey",
+                                  m_bits=1 << 16)
+    cols = ["l_orderkey", "l_linenumber", "s_suppkey"]
+    assert ({tuple(r) for r in joined.select(*cols).collect()}
+            == {tuple(r) for r in native.select(*cols).collect()})
 
 
 def test_link_score_pairs_hand_check(spark):
