@@ -3057,7 +3057,9 @@ def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
               "seg": (0.9, 0.2)}
     pairs = link_score_pairs(a, b, "ida", "idb",
                              ["c_nationkey", "blk2"],
-                             fields, threshold=5.0)
+                             fields, threshold=5.0,
+                             max_pairs=2_000_000,
+                             on_oversize="split", split_col="bal")
     records = (a.select(F.col("ida").alias("id"),
                         F.col("ida").alias("ord"),
                         "name", "bal", "seg")
@@ -3111,7 +3113,11 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically PERTURBED copy (name uppercased on custkey%7,
     phone nulled on custkey%5, ids shifted +1,000,000): blocked on
     nationkey, per-field log2(m/u) agreement weights summed in pure
-    codegen, threshold keeps the positive-evidence pairs. The oracle
+    codegen, threshold keeps the positive-evidence pairs. The
+    per-block a×b pair-product guard (max_pairs=2M, on_oversize=
+    'split' by bal sub-key) bounds candidate growth when block
+    occupancy rises with data volume — silent at oracle scale,
+    splitting at sf10+. The oracle
     replays the perturbation, the block join, and the literal weight
     arithmetic."""
     from seatunnel_spark.dataops.linkage import link_score_pairs
@@ -3135,7 +3141,9 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
               "seg": (0.9, 0.2)}
     return link_score_pairs(a, b, "ida", "idb",
                             ["c_nationkey", "blk2"],
-                            fields, threshold=5.0)
+                            fields, threshold=5.0,
+                            max_pairs=2_000_000,
+                            on_oversize="split", split_col="bal")
 
 
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:

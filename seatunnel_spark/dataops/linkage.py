@@ -22,11 +22,104 @@ oracle does.
 from __future__ import annotations
 
 import math
+import warnings
 
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["link_score_pairs", "link_field_weights",
            "golden_records"]
+
+
+def _guard_pair_product(
+    aa: DataFrame,
+    bb: DataFrame,
+    block_cols: list[str],
+    max_pairs: int | None,
+    on_oversize: str,
+    split_col: str | None,
+    n_splits: int,
+    split_a: str | None = None,
+    split_b: str | None = None,
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Bound the per-block a×b candidate-pair PRODUCT before the
+    block join — `max_block` alone caps each SIDE, but a block at
+    the cap still yields up to cap² pairs, and block OCCUPANCY grows
+    with data under a fixed blocking key, so candidates grow
+    quadratically while every per-side guard stays silent.
+
+    One aggregation per side over the block keys (map-side combined,
+    block-cardinality-sized output) joined to per-block products;
+    blocks over `max_pairs` are handled per `on_oversize`:
+
+      * 'raise'  — ValueError naming the offending keys and their
+        products (the loud default: an infeasible-at-scale blocking
+        key is a caller bug, the `_cap_buckets` discipline made
+        explicit);
+      * 'split'  — refine ONLY the oversize blocks with a
+        deterministic sub-key pmod(xxhash64(split_col), n_splits) on
+        BOTH sides (the oversize key set is tiny and broadcast).
+        True pairs that DISAGREE on `split_col` in an oversize block
+        are lost — the standard blocking-refinement recall trade,
+        warned with the affected block count;
+      * 'drop'   — remove oversize blocks entirely (warned), the
+        hot-bucket `_cap_buckets` semantics at pair granularity.
+
+    Returns (aa, bb, join_keys). `max_pairs=None` disables the guard
+    (and skips its aggregation entirely)."""
+    keys = list(block_cols)
+    if max_pairs is None:
+        return aa, bb, keys
+    if on_oversize not in ("raise", "split", "drop"):
+        raise ValueError(f"on_oversize must be raise|split|drop, "
+                         f"got {on_oversize!r}")
+    if on_oversize == "split" and not split_col:
+        raise ValueError("on_oversize='split' requires split_col")
+    occ = (aa.groupBy(*keys).agg(F.count(F.lit(1)).alias("__na"))
+           .join(bb.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nb")),
+                 keys)
+           .withColumn("__pairs", F.col("__na") * F.col("__nb"))
+           .filter(F.col("__pairs") > F.lit(max_pairs)))
+    over = occ.orderBy(F.col("__pairs").desc()).limit(20).collect()
+    if not over:
+        return aa, bb, keys
+    shown = [({c: r[c] for c in keys}, int(r["__pairs"]))
+             for r in over[:5]]
+    if on_oversize == "raise":
+        raise ValueError(
+            f"link_score_pairs: {len(over)}{'+' if len(over) == 20 else ''} "
+            f"block(s) exceed max_pairs={max_pairs} candidate pairs — "
+            f"worst {shown}. The blocking key is too coarse for this "
+            f"data volume: refine block_cols, pass on_oversize="
+            f"'split' with a split_col, or 'drop' to shed hot blocks.")
+    over_keys = F.broadcast(
+        occ.select(*keys).withColumn("__over", F.lit(True)))
+    if on_oversize == "drop":
+        warnings.warn(
+            f"link_score_pairs: dropping {len(over)} oversize "
+            f"block(s) (> {max_pairs} pairs), worst {shown}")
+        aa = (aa.join(over_keys, keys, "left")
+              .filter(F.col("__over").isNull()).drop("__over"))
+        bb = (bb.join(over_keys, keys, "left")
+              .filter(F.col("__over").isNull()).drop("__over"))
+        return aa, bb, keys
+    warnings.warn(
+        f"link_score_pairs: splitting {len(over)} oversize block(s) "
+        f"by pmod(xxhash64({split_col}), {n_splits}); true pairs "
+        f"disagreeing on {split_col!r} in those blocks are lost")
+
+    def _sub(side_col: str) -> Column:
+        return (F.when(F.col("__over").isNotNull(),
+                       F.pmod(F.xxhash64(F.col(side_col)),
+                              F.lit(n_splits)))
+                .otherwise(F.lit(-1)))
+
+    aa = (aa.join(over_keys, keys, "left")
+          .withColumn("__sub", _sub(split_a or split_col))
+          .drop("__over"))
+    bb = (bb.join(over_keys, keys, "left")
+          .withColumn("__sub", _sub(split_b or split_col))
+          .drop("__over"))
+    return aa, bb, keys + ["__sub"]
 
 
 def link_field_weights(fields: dict[str, tuple[float, float]]
@@ -54,6 +147,10 @@ def link_score_pairs(
     fields: dict[str, tuple[float, float]],
     threshold: float = 0.0,
     max_block: int | None = 100_000,
+    max_pairs: int | None = 25_000_000,
+    on_oversize: str = "raise",
+    split_col: str | None = None,
+    n_splits: int = 64,
     round_to: int = 4,
 ) -> DataFrame:
     """Fellegi-Sunter pair scores -> (id_a, id_b, n_agree, score):
@@ -67,14 +164,25 @@ def link_score_pairs(
     Scale: one equi-join on the block keys (both sides shuffle once
     on cheap keys); `max_block` drops blocks whose a-side or b-side
     exceeds the cap (a degenerate block key — e.g. a null-ish city —
-    would otherwise go quadratic), the _cap_buckets discipline. The
-    score itself is a pure codegen projection over the joined rows.
-    Weights are Python-computed literals (log2 of the caller's m/u),
-    so the whole comparison replays in SQL for the oracle."""
+    would otherwise go quadratic), the _cap_buckets discipline. On
+    top, `max_pairs` bounds each block's a×b candidate-pair PRODUCT
+    (block occupancy grows with data under a fixed blocking key, so
+    pair counts grow quadratically while both side caps stay
+    silent): one block-key aggregation per side, then `on_oversize`
+    = 'raise' (loud default) | 'split' (refine oversize blocks by a
+    deterministic sub-key of `split_col`, recall trade warned) |
+    'drop' (shed oversize blocks, warned) — see _guard_pair_product.
+    The score itself is a pure codegen projection over the joined
+    rows. Weights are Python-computed literals (log2 of the caller's
+    m/u), so the whole comparison replays in SQL for the oracle."""
     from seatunnel_spark.dataops.dedup import _cap_buckets
 
     weights = link_field_weights(fields)
     cols = list(fields)
+    if split_col is not None and split_col not in cols \
+            and split_col not in block_cols:
+        raise ValueError(f"split_col {split_col!r} must be one of "
+                         f"the compared fields or block_cols")
     aa = a.select(F.col(id_a).alias("id_a"),
                   *[F.col(c).alias(f"__a_{c}") for c in cols],
                   *[F.col(c) for c in block_cols])
@@ -83,7 +191,13 @@ def link_score_pairs(
                   *[F.col(c) for c in block_cols])
     aa = _cap_buckets(aa, block_cols, max_block)
     bb = _cap_buckets(bb, block_cols, max_block)
-    j = aa.join(bb, block_cols)
+    split_a = split_b = None
+    if split_col is not None and split_col in cols:
+        split_a, split_b = f"__a_{split_col}", f"__b_{split_col}"
+    aa, bb, join_keys = _guard_pair_product(
+        aa, bb, block_cols, max_pairs, on_oversize,
+        split_col, n_splits, split_a, split_b)
+    j = aa.join(bb, join_keys)
 
     def field_term(c: str) -> tuple[Column, Column]:
         av, bv = F.col(f"__a_{c}"), F.col(f"__b_{c}")

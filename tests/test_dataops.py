@@ -3551,6 +3551,70 @@ def test_link_score_pairs_hand_check(spark):
         link_field_weights({"x": (0.5, 0.5)})
 
 
+def test_link_pair_product_guard(spark):
+    """The per-block a×b PAIR-PRODUCT cap (max_pairs): `max_block`
+    bounds each side but a block at both side caps still yields
+    cap² candidates, so the guard bounds the product itself.
+    (a) cap arithmetic pinned: a 20×30=600-pair block trips
+    max_pairs=599 but not 600; (b) 'raise' names the offending block
+    key; (c) 'drop' sheds exactly the hot block's pairs; (d) 'split'
+    refines the hot block by a split_col sub-key on BOTH sides —
+    pairs agreeing on split_col survive, the small block is
+    untouched; (e) split requires split_col; bad mode refuses."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.linkage import link_score_pairs
+
+    fields = {"v": (0.9, 0.01)}
+    # hot block 'h': 20 a-rows x 30 b-rows = 600 pairs; cold 'c': 2x2
+    a = spark.range(20).select(
+        F.col("id").alias("ida"),
+        (F.col("id") % 7).cast("string").alias("v"),
+        F.lit("h").alias("blk")).union(
+        spark.range(100, 102).select(
+            F.col("id"), (F.col("id") % 7).cast("string"), F.lit("c")))
+    b = spark.range(30).select(
+        (F.col("id") + 1000).alias("idb"),
+        (F.col("id") % 7).cast("string").alias("v"),
+        F.lit("h").alias("blk")).union(
+        spark.range(1100, 1102).select(
+            F.col("id"), (F.col("id") % 7).cast("string"), F.lit("c")))
+
+    def run(**kw):
+        return link_score_pairs(a, b, "ida", "idb", ["blk"], fields,
+                                threshold=-100.0, **kw)
+
+    # (a)+(b): 600 > 599 raises and names the block; 600 <= 600 passes
+    with pytest.raises(ValueError, match="'blk': 'h'.*600"):
+        run(max_pairs=599)
+    n_all = run(max_pairs=600).count()
+    assert n_all == 600 + 4 == run(max_pairs=None).count()
+    # (c) drop sheds the hot block only
+    with pytest.warns(UserWarning, match="dropping 1 oversize"):
+        assert run(max_pairs=599, on_oversize="drop").count() == 4
+    # (d) split: every hot-block pair AGREEING on v survives (the
+    # no-lost-agreeing-pairs contract; hash collisions may keep some
+    # disagreeing pairs — the split prunes, it doesn't compare),
+    # the candidate count genuinely shrinks, cold block intact
+    with pytest.warns(UserWarning, match="splitting 1 oversize"):
+        got = run(max_pairs=599, on_oversize="split", split_col="v",
+                  n_splits=16).collect()
+    hot = {(r["id_a"], r["id_b"]) for r in got if r["id_a"] < 100}
+    want_hot = {(i, 1000 + j) for i in range(20) for j in range(30)
+                if i % 7 == j % 7}
+    assert want_hot <= hot
+    assert len(hot) < 600
+    assert len([r for r in got if r["id_a"] >= 100]) == 4
+    # (e) refusal paths
+    with pytest.raises(ValueError, match="requires split_col"):
+        run(max_pairs=1, on_oversize="split")
+    with pytest.raises(ValueError, match="raise|split|drop"):
+        run(max_pairs=1, on_oversize="shrug")
+    with pytest.raises(ValueError, match="must be one of"):
+        run(max_pairs=1, on_oversize="split", split_col="nope")
+
+
 def test_bfs_hops_layers_and_unreachable(spark):
     """Multi-source BFS: diamond + chain 1->{2,3}->4->5, seed {1}
     gives hops (1:0, 2:1, 3:1, 4:2, 5:3); node 99->1 is upstream of
