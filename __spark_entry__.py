@@ -814,7 +814,11 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs (cheap cascades first so the expensive stage sees
     the smallest corpus). URLs derive deterministically from doc_id
     (the web_url_dedup construction); the oracle replays every stage's
-    survivor set."""
+    survivor set. Each stage frame is scoped_persist-ed: the four
+    stage counts all consume the funnel, so without the persists the
+    raw scan would run 4x, URL canonicalization 3x and exact dedup 2x
+    (the cache_scope in bench/driver runs releases them)."""
+    from seatunnel_spark.dataops._cache import scoped_persist
     from seatunnel_spark.dataops.dedup import exact_dedup
     from seatunnel_spark.dataops.text import fingerprint
     from seatunnel_spark.dataops.web import canonicalize_urls
@@ -829,8 +833,10 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("url", url), "url")
     s1 = (with_url.groupBy("canon_url")
           .agg(F.min("doc_id").alias("doc_id")))
-    after_url = with_url.join(s1, ["canon_url", "doc_id"], "semi")
-    after_exact = exact_dedup(after_url, ["text"], order_col="doc_id")
+    after_url = scoped_persist(
+        with_url.join(s1, ["canon_url", "doc_id"], "semi"))
+    after_exact = scoped_persist(
+        exact_dedup(after_url, ["text"], order_col="doc_id"))
     fp = fingerprint(after_exact, "text")
     s3 = (fp.groupBy("fingerprint")
           .agg(F.min("doc_id").alias("doc_id")))

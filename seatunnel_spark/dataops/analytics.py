@@ -376,24 +376,31 @@ def _pairs_from_baskets(baskets: DataFrame,
 
 
 def _degrees(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """Per-vertex degree table (__v, __deg) of a canonical edge list,
-    shaped for LOW JOB LATENCY on small-to-medium graphs without
-    hurting the 100 TB case: one explode(array(src, dst)) projection
-    (half the stages/tasks of the unionAll form — measured 0.66 s vs
-    1.07 s on the sf0.1 co-purchase graph) and an explicit hash
-    repartition on __v sized from the cluster's core count
-    (defaultParallelism/8, floor 4 — 0.25 s measured locally; a
-    2000-core cluster still gets 250 reducers). Sized from
-    defaultParallelism, NOT df.rdd.getNumPartitions(): touching .rdd
-    under AQE forces query-stage execution to resolve partitioning —
-    a whole extra job (measured +0.9 s on q_triangles). The
-    repartition satisfies the groupBy's distribution, so Catalyst
-    plans no second exchange."""
+    """Per-vertex degree table (__v, __deg) of a canonical edge list:
+    one explode(array(src, dst)) projection (half the stages/tasks of
+    the unionAll form — measured 0.66 s vs 1.07 s on the sf0.1
+    co-purchase graph) feeding a plain groupBy, so Catalyst plans
+    partial aggregation BEFORE the exchange — the shuffle carries
+    per-partition (vertex, count) partials bounded by |V|, never the
+    raw 2|E| endpoint rows.
+
+    On SMALL clusters only (defaultParallelism <= 64 — local mode and
+    dev boxes, where per-task latency dominates) an explicit hash
+    repartition on __v shrinks the reducer count (dp/8, floor 4 —
+    0.25 s measured locally). The gate matters: the repartition is an
+    exchange placed BEFORE the partial agg, so at real scale it would
+    ship all 2|E| exploded rows raw AND cap reducers below what AQE
+    would pick — a big cluster takes the partial-agg + AQE plan
+    instead. Sized from defaultParallelism, NOT
+    df.rdd.getNumPartitions(): touching .rdd under AQE forces
+    query-stage execution to resolve partitioning — a whole extra job
+    (measured +0.9 s on q_triangles)."""
     sc = edges.sparkSession.sparkContext
-    n = max(4, sc.defaultParallelism // 8)
-    return (edges.select(F.explode(F.array(src, dst)).alias("__v"))
-            .repartition(n, "__v")
-            .groupBy("__v").agg(F.count(F.lit(1)).alias("__deg")))
+    dp = sc.defaultParallelism
+    ends = edges.select(F.explode(F.array(src, dst)).alias("__v"))
+    if dp <= 64:
+        ends = ends.repartition(max(4, dp // 8), "__v")
+    return ends.groupBy("__v").agg(F.count(F.lit(1)).alias("__deg"))
 
 
 def _capped_edges(edges: DataFrame, src: str, dst: str,
@@ -997,7 +1004,12 @@ def ab_welch_t(df: DataFrame, flag: Column, value_col: str,
     sea = F.col("__va") / F.col("__na")
     seb = F.col("__vb") / F.col("__nb")
     se2 = sea + seb
-    ok = ((F.col("__na") >= 2) & (F.col("__nb") >= 2) & (se2 > 0))
+    # both variances must be individually non-negative: the Σv²−(Σv)²/n
+    # form can go slightly negative under catastrophic cancellation
+    # (large mean, tiny variance), and one negative + one positive
+    # variance could still pass a bare se2 > 0 with a misleading t/dof
+    ok = ((F.col("__na") >= 2) & (F.col("__nb") >= 2)
+          & (F.col("__va") >= 0) & (F.col("__vb") >= 0) & (se2 > 0))
     t = F.when(ok, (F.col("__ma") - F.col("__mb")) / F.sqrt(se2))
     dof = F.when(ok, se2 * se2
                  / (sea * sea / (F.col("__na") - 1)

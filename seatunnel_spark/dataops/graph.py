@@ -673,7 +673,15 @@ def hits(
     normalization denominator, so an untruncated plan re-derives the
     whole history per reference — ~2^(2·iters) recomputes of the base
     join (measured 19.5 s for 2 iterations on the sf1 purchase graph;
-    3.9 s truncated)."""
+    3.9 s truncated).
+
+    iters < 1 refuses (auth would be undefined); a half-step whose
+    score sum is 0/NULL (possible only on degenerate inputs — e.g.
+    all-zero carried scores) yields 0.0 scores via the ANSI-division
+    guard rather than NULLs; an empty edge frame returns an empty
+    frame."""
+    if iters < 1:
+        raise ValueError(f"hits() needs iters >= 1, got {iters}")
     e = edges.select(F.col(src).alias("__src"),
                      F.col(dst).alias("__dst"))
     if dedupe:
@@ -692,8 +700,11 @@ def hits(
         s_a = F.broadcast(a_raw.agg(F.sum("__a").alias("__s")))
         auth = (nodes.join(a_raw, "node", "left").join(s_a)
                 .select("node",
-                        F.round(F.coalesce(F.col("__a"), F.lit(0.0))
-                                / F.col("__s"), round_to)
+                        F.when(F.col("__s") > 0,
+                               F.round(F.coalesce(F.col("__a"),
+                                                  F.lit(0.0))
+                                       / F.col("__s"), round_to))
+                        .otherwise(F.lit(0.0))
                         .alias("auth"))
                 .localCheckpoint())
         h_raw = (e.join(auth.withColumnRenamed("node", "__dst"),
@@ -704,8 +715,11 @@ def hits(
         s_h = F.broadcast(h_raw.agg(F.sum("__h").alias("__s")))
         hub = (nodes.join(h_raw, "node", "left").join(s_h)
                .select("node",
-                       F.round(F.coalesce(F.col("__h"), F.lit(0.0))
-                               / F.col("__s"), round_to)
+                       F.when(F.col("__s") > 0,
+                              F.round(F.coalesce(F.col("__h"),
+                                                 F.lit(0.0))
+                                      / F.col("__s"), round_to))
+                       .otherwise(F.lit(0.0))
                        .alias("hub"))
                .localCheckpoint())
     return hub.join(auth, "node")

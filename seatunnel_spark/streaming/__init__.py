@@ -372,9 +372,19 @@ def hll_register_sink(path: str, ts_col: str = "ts",
     any arrival order/partitioning folds to the sketch of the union
     (the hll_merge identity, bit-identical to one batch build —
     parity-tested). The store is sketch-sized (|days|·2^p rows), so
-    the read-merge-rewrite cycle costs nothing next to the feed; the
-    merged frame is localCheckpoint-ed (eager) before the overwrite
-    so the write never races its own input files.
+    the read-merge-rewrite cycle costs nothing next to the feed.
+
+    Durability: "is this the first batch" is decided by an EXPLICIT
+    FileSystem existence check, never by catching the read error — a
+    corrupt footer or transient FS fault must FAIL the batch (and be
+    retried by the stream) rather than silently re-initialize the
+    store and destroy the accumulated history. The merge writes to a
+    TEMP path first and swaps it in only after the write completes,
+    so a mid-write crash leaves either the old store intact or both
+    directories present — never a truncated store (and no
+    localCheckpoint: the read and write paths differ, so the plan
+    never races its own input files and carries no non-resilient
+    blocks).
 
     Use with run_stream_to_batch_sink(df, hll_register_sink(p)) — or
     directly as .writeStream.foreachBatch(...)."""
@@ -383,12 +393,23 @@ def hll_register_sink(path: str, ts_col: str = "ts",
     def merge(batch: DataFrame, batch_id: int = 0) -> None:
         spark = batch.sparkSession
         regs = stream_hll_dau(batch, ts_col, value_col, p)
-        try:
-            existing = spark.read.parquet(path)
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(
+            spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            existing = spark.read.parquet(path)  # real errors raise
             merged = hll_merge(regs, existing)
-        except Exception:  # first batch: no store yet
+        else:
             merged = regs
-        merged.localCheckpoint().write.mode("overwrite").parquet(path)
+        tmp = path.rstrip("/") + "__swap"
+        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        if fs.exists(jtmp):  # leftover from a crashed swap
+            fs.delete(jtmp, True)
+        merged.write.mode("overwrite").parquet(tmp)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+        fs.rename(jtmp, jpath)
 
     return merge
 

@@ -3443,6 +3443,25 @@ def test_hits_bipartite_hand_check(spark):
                    "s1": (0.0, 0.625), "s2": (0.0, 0.375)}
 
 
+def test_hits_degenerate_inputs(spark):
+    """hits() guards: iters < 1 refuses loudly (auth would be
+    undefined at join time with an opaque error); an empty edge
+    frame returns an empty result instead of a division-by-null row
+    (the ANSI-guard discipline)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from seatunnel_spark.dataops.graph import hits
+
+    e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError, match="iters >= 1"):
+        hits(e, iters=0)
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField("src", T.StringType()),
+                          T.StructField("dst", T.StringType())]))
+    assert hits(empty, iters=1).count() == 0
+
+
 def test_bloom_prefilter_join_equivalence_and_pruning(spark):
     """Bloom pre-filter join: (a) output identical to the plain inner
     join (no false negatives — the correctness contract); (b) the
