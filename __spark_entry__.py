@@ -859,6 +859,34 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup at arbitrary alignment (dataops/dedup.py:
+    substring_dup_spans — Lee et al. 2022 ExactSubstr): every token
+    span of >= 8 tokens duplicated anywhere in the corpus, at ANY
+    offset, as maximal (doc_id, start_tok, end_tok) spans with
+    keep-first semantics (the corpus-wide earliest copy survives
+    unmarked). Shingles shuffle as md5 digests + packed ordinals —
+    the n-token text never rides an exchange; the oracle replays the
+    shingle statistics, keep-first marking, and island merge."""
+    from seatunnel_spark.dataops.dedup import substring_dup_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return substring_dup_spans(d, n=8)
+
+
+def dedup_substring_clean(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """APPLY step of exact-substring dedup (dataops/dedup.py:
+    substring_dedup_apply): duplicated >=8-token spans excised from
+    every non-first copy, text rebuilt in the discovery's own
+    canonical tokenization -> (doc_id, clean_text, n_tokens,
+    n_kept). The oracle rebuilds the same kept-token join."""
+    from seatunnel_spark.dataops.dedup import substring_dedup_apply
+
+    d = _t(spark, sf_dir, "documents")
+    return substring_dedup_apply(d, n=8)
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters = connected components over the n-gram
     Jaccard near-dup graph (seatunnel_spark/dataops/dedup.py:
@@ -3700,6 +3728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_verify": dedup_verify,
         "dedup_jaccard_prefix": dedup_jaccard_prefix,
         "dedup_cascade": dedup_cascade,
+        "dedup_substring": dedup_substring,
+        "dedup_substring_clean": dedup_substring_clean,
         "sim_pq_index": sim_pq_index,
         "dedup_clusters": dedup_clusters,
         "dedup_apply": dedup_apply,
@@ -7791,6 +7821,70 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(lower(text), '[^a-z0-9\s]', '',
                                       'g'), '\s+', ' ', 'g'))))
             FROM a1
+        """
+    # shared prefix for the exact-substring family: n=8 shingles over
+    # the canonical tokenization, keep-first marking, island merge
+    _substr_spans = r"""
+            WITH arrs AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+')
+                       AS toks
+              FROM documents
+            ), sh2 AS (
+              SELECT doc_id, pos,
+                     array_to_string(toks[pos:pos+7], ' ') AS shingle
+              FROM arrs, UNNEST(range(1, len(toks) - 6)) AS r(pos)
+            ), stats AS (
+              SELECT shingle, count(*) AS cnt,
+                     min(doc_id * 1000000 + pos) AS first
+              FROM sh2 GROUP BY shingle
+            ), marked AS (
+              SELECT s.doc_id, s.pos
+              FROM sh2 s JOIN stats t USING (shingle)
+              WHERE t.cnt >= 2
+                AND s.doc_id * 1000000 + s.pos <> t.first
+            ), isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER w IS NULL
+                               OR pos - lag(pos) OVER w > 8
+                          THEN 1 ELSE 0 END AS brk
+              FROM marked
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), isl2 AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id
+                                    ORDER BY pos) AS island
+              FROM isl
+            ), spans AS (
+              SELECT doc_id, min(pos) AS start_tok,
+                     max(pos) + 7 AS end_tok
+              FROM isl2 GROUP BY doc_id, island
+            )
+    """
+    d["dedup_substring"] = _substr_spans + """
+            SELECT doc_id, start_tok, end_tok FROM spans
+        """
+    d["dedup_substring_clean"] = _substr_spans + """
+            , toks AS (
+              SELECT doc_id, toks[pos] AS tok, pos, len(toks) AS nt
+              FROM arrs, UNNEST(range(1, len(toks) + 1)) AS r(pos)
+            ), kept AS (
+              SELECT t.doc_id,
+                     array_to_string(list(t.tok ORDER BY t.pos), ' ')
+                       AS clean_text,
+                     count(*) AS n_kept
+              FROM toks t
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = t.doc_id
+                  AND t.pos BETWEEN s.start_tok AND s.end_tok)
+              GROUP BY t.doc_id
+            )
+            SELECT a.doc_id,
+                   coalesce(k.clean_text, '') AS clean_text,
+                   len(a.toks) AS n_tokens,
+                   coalesce(k.n_kept, 0) AS n_kept
+            FROM arrs a LEFT JOIN kept k USING (doc_id)
         """
     d["q_kanon"] = """
             SELECT l_linestatus, l_quantity, l_tax, l_discount,

@@ -162,6 +162,9 @@ BENCH_QUERIES = [
     "q_golden_records",
     "text_quality_score",
     "emb_pca",
+    # round-10 additions (append-only)
+    "dedup_substring",
+    "dedup_substring_clean",
 ]
 
 

@@ -50,6 +50,8 @@ from seatunnel_spark.dataops.dedup import (
     minhash_band_index,
     passage_dup_stats,
     passage_dedup_apply,
+    substring_dup_spans,
+    substring_dedup_apply,
 )
 from seatunnel_spark.dataops.sampling import (
     global_shuffle,
@@ -100,6 +102,7 @@ __all__ = [
     "minhash_band_index", "incremental_minhash_matches",
     "doc_chunks", "bm25_topk", "pagerank",
     "passage_dedup_apply", "temperature_sample",
+    "substring_dup_spans", "substring_dedup_apply",
     "ddsketch_build", "ddsketch_merge", "ddsketch_quantiles",
     "quantize_int8", "dequant_error", "kmeans_fit", "kmeans_assign",
     "group_sample_topk", "cms_build", "cms_estimate", "heavy_hitters",

@@ -921,6 +921,126 @@ def passage_dedup_apply(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 50,
+                        boilerplate_df: int | None = None
+                        ) -> DataFrame:
+    """Exact substring dedup at ARBITRARY alignment (Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): every duplicated token span of length >= `n`, at
+    ANY offset, in any document -> (id, start_tok, end_tok) maximal
+    spans (1-based, inclusive). The canonical training-data dedup op
+    the fixed-chunk passage family cannot express: a span shifted by
+    one token lands in different chunks and passage_dup_stats misses
+    it, while here EVERY n-token window is a probe.
+
+    Method: a duplicated span of length L >= n contains exactly
+    L-n+1 duplicated n-shingles at CONSECUTIVE positions, and
+    conversely maximal runs of duplicated shingle positions (gap
+    <= n merges overlapping/touching windows) reconstruct the
+    maximal duplicated spans — so suffix-array span discovery
+    reduces to shingle statistics + an island merge, both
+    distributed-friendly. KEEP-FIRST semantics: each shingle's
+    corpus-wide first occurrence (min packed (doc, pos) ordinal —
+    the passage_dup_stats convention) stays unmarked, so the
+    earliest copy of a span survives and every other copy (including
+    later repeats INSIDE the same document) is reported.
+    `boilerplate_df`: shingles appearing more than this many times
+    are boilerplate — ALL their occurrences are marked (no surviving
+    copy), the C4-style terms-of-service rule. None disables.
+
+    100 TB shape: shingles shuffle as (md5 digest, packed ordinal)
+    pairs — never the n-token text (n=50 shingles are ~300 bytes;
+    the digest is 32). One digest-keyed aggregation (map-side
+    combined to distinct-shingles-per-partition), one digest-keyed
+    join back (multiplicity 1 per occurrence row — never a pair
+    join; hot boilerplate digests are plain shuffle skew, which AQE
+    splits), then doc-partitioned windows for the island merge.
+    Everything linear in corpus tokens; nothing all-pairs."""
+    from pyspark.sql import Window
+
+    nn = int(n)
+    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    npos = F.size("__ws") - nn + 1
+    sh_arr = F.when(
+        npos >= 1,
+        F.transform(F.sequence(F.lit(1), npos),
+                    lambda i: F.struct(
+                        i.alias("p"),
+                        F.md5(F.concat_ws(
+                            " ", F.slice("__ws", i, nn))).alias("k")))
+    ).otherwise(F.expr(
+        "cast(array() as array<struct<p:int,k:string>>)"))
+    occ = (df.select(F.col(id_col).alias("__id"), ws.alias("__ws"))
+           .select("__id", F.explode(sh_arr).alias("__s"))
+           .select("__id", F.col("__s.p").alias("__pos"),
+                   F.col("__s.k").alias("__k")))
+    ordinal = F.col("__id") * F.lit(1_000_000) + F.col("__pos")
+    stats = (occ.select("__k", ordinal.alias("__ord"))
+             .groupBy("__k")
+             .agg(F.count(F.lit(1)).alias("__cnt"),
+                  F.min("__ord").alias("__first")))
+    dup = ((F.col("__cnt") >= 2) & (ordinal != F.col("__first")))
+    if boilerplate_df is not None:
+        dup = dup | (F.col("__cnt") > boilerplate_df)
+    marked = (occ.join(stats, "__k").filter(dup)
+              .select("__id", "__pos"))
+    w = Window.partitionBy("__id").orderBy("__pos")
+    prev = F.lag("__pos").over(w)
+    brk = F.when(prev.isNull()
+                 | (F.col("__pos") - prev > nn), 1).otherwise(0)
+    return (marked.withColumn("__brk", brk)
+            .withColumn("__isl", F.sum("__brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy(F.col("__id").alias(id_col), F.col("__isl"))
+            .agg(F.min("__pos").cast("int").alias("start_tok"),
+                 (F.max("__pos") + nn - 1).cast("int")
+                 .alias("end_tok"))
+            .drop("__isl"))
+
+
+def substring_dedup_apply(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 50,
+                          boilerplate_df: int | None = None
+                          ) -> DataFrame:
+    """The APPLY step of exact-substring dedup: excise every
+    duplicated span substring_dup_spans reports from its document
+    and rebuild the text -> (id, clean_text, n_tokens, n_kept).
+    Reassembly normalizes to the span discovery's own tokenization
+    (lowercased, single-spaced), the passage_dedup_apply convention;
+    a document with no duplicated spans passes through intact
+    (n_kept = n_tokens).
+
+    Scale: spans come back as a per-doc array (docs hold few maximal
+    spans) joined on id; the excision itself is a pure codegen
+    filter over token positions — no second corpus shuffle."""
+    spans = substring_dup_spans(df, id_col, text_col, n,
+                                boilerplate_df)
+    sp = (spans.groupBy(id_col)
+          .agg(F.collect_list(
+              F.struct(F.col("start_tok").alias("s"),
+                       F.col("end_tok").alias("e"))).alias("__sp")))
+    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    joined = (df.select(F.col(id_col), ws.alias("__ws"))
+              .join(sp, id_col, "left"))
+    spl = F.coalesce(
+        F.col("__sp"),
+        F.expr("cast(array() as array<struct<s:int,e:int>>)"))
+    indexed = F.transform(
+        "__ws", lambda t, i: F.struct(t.alias("t"),
+                                      (i + 1).alias("i")))
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            spl, lambda p: (s["i"] >= p["s"]) & (s["i"] <= p["e"])))
+    return joined.select(
+        id_col,
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+        .alias("clean_text"),
+        F.size("__ws").alias("n_tokens"),
+        F.size(kept).alias("n_kept"))
+
+
 def fuzzy_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", block_words: int = 4,
                     max_dist: int = 40, max_rel: float = 0.25,

@@ -1189,6 +1189,60 @@ def test_passage_dedup_apply_keeps_first_occurrence_only(spark):
     assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
 
 
+def test_substring_dup_spans_arbitrary_alignment(spark):
+    """Exact-substring dedup (Lee et al. 2022 ExactSubstr): (a) a
+    run duplicated at a DIFFERENT offset is found (the case fixed
+    chunking misses) with exact maximal-span bounds, keep-first
+    leaves the earliest copy unmarked; (b) repetition INSIDE one doc
+    marks every repeat after the first; (c) two duplicated runs
+    separated by more than n tokens stay separate spans; (d)
+    boilerplate_df marks ALL occurrences, including the first."""
+    from seatunnel_spark.dataops.dedup import substring_dup_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"),
+         (2, "x y a b c d e f g h z"),       # run shifted to pos 3
+         (3, "p q r p q r p q r"),           # internal repetition
+         (4, "m n o j1 j2 j3 j4 s t u"),
+         (5, "m n o k1 k2 k3 k4 s t u")],    # two runs, gap > n
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["start_tok"], r["end_tok"])
+           for r in substring_dup_spans(docs, n=3).collect()}
+    # (a) doc 2 pos 3..10 is doc 1's whole text; doc 1 survives
+    # (b) doc 3: first "p q r" kept, repeats from pos 4 marked
+    # (c) doc 5: m-n-o at 1..3 and s-t-u at 8..10, gap 4 > n=3
+    assert got == {(2, 3, 10), (3, 4, 9), (5, 1, 3), (5, 8, 10)}
+    # (d) boilerplate: "p q r" occurs 3x > 2 -> doc 3 marks from
+    # pos 1 too (spans widen to the whole doc); doc 1/2/4/5 keep
+    # their keep-first shape (no shingle there exceeds df=2)
+    got_b = {(r["doc_id"], r["start_tok"], r["end_tok"])
+             for r in substring_dup_spans(
+                 docs, n=3, boilerplate_df=2).collect()}
+    assert (3, 1, 9) in got_b and (2, 3, 10) in got_b
+    # docs shorter than n emit nothing and don't crash
+    tiny = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    assert substring_dup_spans(tiny, n=3).count() == 0
+
+
+def test_substring_dedup_apply_excises_spans(spark):
+    """APPLY step: duplicated spans are excised from the later copy,
+    the first copy and non-duplicated tokens survive, and a fully-
+    duplicated doc comes back empty with n_kept=0."""
+    from seatunnel_spark.dataops.dedup import substring_dedup_apply
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"),
+         (2, "x y a b c d e f g h z"),
+         (3, "a b c d e f g h")],             # exact dup of doc 1
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           substring_dedup_apply(docs, n=3).collect()}
+    assert out[1]["clean_text"] == "a b c d e f g h"
+    assert out[2]["clean_text"] == "x y z"
+    assert out[2]["n_tokens"] == 11 and out[2]["n_kept"] == 3
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+
+
 def test_temperature_sample_upweights_small_domain(spark):
     from seatunnel_spark.dataops.sampling import temperature_sample
 
