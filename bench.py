@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     # round-10 additions (append-only)
     "dedup_substring",
     "dedup_substring_clean",
+    "q_quality_classifier",
+    "q_quality_classifier_cm",
 ]
 
 

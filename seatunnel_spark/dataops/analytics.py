@@ -961,6 +961,88 @@ def grouped_ols(df: DataFrame, group_cols: list[str], x_expr: str,
         .alias("r2"))
 
 
+def logreg_fit(df: DataFrame, feature_cols: list[str],
+               label_col: str, iters: int = 3, lr: float = 1.0,
+               round_to: int = 6) -> DataFrame:
+    """Distributed logistic-regression fit by full-batch gradient
+    descent -> (feature, weight) rows (intercept as '__intercept'):
+    the TRAINABLE quality classifier the heuristic
+    text_quality_score composite cannot be — train on seed labels
+    (a curated domain, a language flag), score the corpus. No ML
+    runtime: each iteration is ONE map-side-combined aggregation
+    computing the d+1 gradient sums Σ (σ(w·x) − y)·x_j over the
+    persisted feature frame, the weight update happens on the
+    d+1-double model in the driver — the grouped_ols/kmeans_fit
+    closed-form-iteration discipline.
+
+    Replay contract: weights start at 0, every update is rounded to
+    `round_to` BEFORE the next pass, and σ uses the literal
+    1/(1+exp(−z)) form — so `iters` unrolled SQL CTEs (one gradient
+    aggregation + one 1-row weight update each) reproduce the run
+    bit-for-bit in any engine; a numpy twin pins the arithmetic in
+    unit tests. Rows with a NULL feature or label are excluded
+    (pairwise-complete, the grouped_ols convention).
+
+    Scale: the corpus is scanned `iters` times (scoped_persist makes
+    the scans cache-backed); only the d+1 gradient doubles ever
+    reach the driver. Callers own feature scaling — O(1)-magnitude
+    features keep fixed-step GD sane (the demo queries scale
+    theirs); labels must be 0/1."""
+    from seatunnel_spark.dataops._cache import scoped_persist
+
+    if iters < 1:
+        raise ValueError(f"logreg_fit needs iters >= 1, got {iters}")
+    d = len(feature_cols)
+    xs = [F.col(c).cast("double").alias(f"__x{j}")
+          for j, c in enumerate(feature_cols)]
+    cond = F.col(label_col).isNotNull()
+    for c in feature_cols:
+        cond = cond & F.col(c).isNotNull()
+    base = scoped_persist(
+        df.filter(cond)
+        .select(F.col(label_col).cast("double").alias("__y"), *xs))
+    w = [0.0] * (d + 1)  # [intercept, w_1 .. w_d]
+    for _ in range(iters):
+        z = F.lit(w[0])
+        for j in range(d):
+            z = z + F.lit(w[j + 1]) * F.col(f"__x{j}")
+        resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("__y")
+        aggs = [F.count(F.lit(1)).alias("__n"),
+                F.sum(resid).alias("__g0")]
+        aggs += [F.sum(resid * F.col(f"__x{j}")).alias(f"__g{j + 1}")
+                 for j in range(d)]
+        row = base.agg(*aggs).collect()[0]
+        n = row["__n"]
+        if n == 0:
+            raise ValueError("logreg_fit: no complete rows to fit")
+        w = [round(w[j] - lr * row[f"__g{j}"] / n, round_to)
+             for j in range(d + 1)]
+    spark = df.sparkSession
+    rows = [("__intercept", w[0])] + [
+        (c, w[j + 1]) for j, c in enumerate(feature_cols)]
+    return spark.createDataFrame(rows, "feature string, weight double")
+
+
+def logreg_score(df: DataFrame, weights: DataFrame | dict,
+                 feature_cols: list[str], out_col: str = "score",
+                 round_to: int = 6) -> DataFrame:
+    """Apply a logreg_fit model -> df + `out_col` =
+    round(σ(w·x), round_to), pure codegen with the model as
+    literals — scan-speed scoring at any scale (the
+    text_quality_score shape). `weights` is logreg_fit's output
+    frame (collected — it is model-sized) or a {feature: weight}
+    dict with '__intercept'."""
+    if isinstance(weights, DataFrame):
+        weights = {r["feature"]: r["weight"]
+                   for r in weights.collect()}
+    z = F.lit(float(weights.get("__intercept", 0.0)))
+    for c in feature_cols:
+        z = z + F.lit(float(weights[c])) * F.col(c).cast("double")
+    return df.withColumn(
+        out_col,
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to))
+
+
 def ab_welch_t(df: DataFrame, flag: Column, value_col: str,
                round_to: int = 6) -> DataFrame:
     """Welch's unequal-variance t-test between the rows where `flag`

@@ -3709,6 +3709,54 @@ def test_bfs_hops_layers_and_unreachable(spark):
     assert got3 == {1: 0, 2: 1, 3: 1, 4: 2}
 
 
+def test_logreg_fit_matches_numpy_twin(spark):
+    """logreg_fit's fixed-iteration rounded-update arithmetic matches
+    a numpy twin exactly (the replay discipline the SQL oracle relies
+    on); the learned weights separate linearly-separable data with
+    the right signs; logreg_score applies the model as literals;
+    degenerate inputs refuse loudly."""
+    import numpy as np
+    import pytest
+
+    from seatunnel_spark.dataops.analytics import (logreg_fit,
+                                                   logreg_score)
+
+    rng = [(i, (i % 10) / 10.0, ((i * 7) % 10) / 10.0,
+            1.0 if (i % 10) / 10.0 + ((i * 7) % 10) / 10.0 > 0.9
+            else 0.0) for i in range(60)]
+    df = spark.createDataFrame(
+        rng, "id long, f1 double, f2 double, y double")
+    iters, lr = 3, 1.0
+    got = {r["feature"]: r["weight"] for r in
+           logreg_fit(df, ["f1", "f2"], "y",
+                      iters=iters, lr=lr).collect()}
+
+    X = np.array([[r[1], r[2]] for r in rng])
+    yv = np.array([r[3] for r in rng])
+    w = np.zeros(3)
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(w[0] + X @ w[1:])))
+        g = np.concatenate([[np.sum(p - yv)], (p - yv) @ X])
+        w = np.round(w - lr * g / len(yv), 6)
+    assert abs(got["__intercept"] - w[0]) <= 1e-6
+    assert abs(got["f1"] - w[1]) <= 1e-6
+    assert abs(got["f2"] - w[2]) <= 1e-6
+    # separable data: positive class needs f1+f2 large -> both
+    # feature weights positive, intercept negative
+    got10 = {r["feature"]: r["weight"] for r in
+             logreg_fit(df, ["f1", "f2"], "y", iters=10).collect()}
+    assert got10["f1"] > 0 and got10["f2"] > 0
+    assert got10["__intercept"] < 0
+    scored = logreg_score(df, got10, ["f1", "f2"])
+    acc = scored.filter(
+        "(score >= 0.5) = (y = 1.0)").count() / 60.0
+    assert acc >= 0.8
+    with pytest.raises(ValueError, match="iters >= 1"):
+        logreg_fit(df, ["f1"], "y", iters=0)
+    with pytest.raises(ValueError, match="no complete rows"):
+        logreg_fit(df.filter("id < 0"), ["f1"], "y")
+
+
 def test_ab_welch_t_hand_check(spark):
     """Welch t against scipy-checked constants: A=[1,2,3,4], B=[2,4,6,
     8,10]: t = (2.5-6)/sqrt(var_a/4 + var_b/5) with Welch dof; flags
