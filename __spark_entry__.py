@@ -2092,6 +2092,27 @@ def stream_hll_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(_shd(e, "ts", "user_id", p=8), ["day"], p=8)
 
 
+def stream_ddsketch_daily(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """Streaming daily quantile sketch (streaming/__init__.py:
+    stream_ddsketch + dataops/sketches.py:
+    ddsketch_quantiles_grouped): per-day DDSketch bucket counts via
+    a pure ADDITIVE aggregation — addition IS the sketch merge, so a
+    readStream maintains them incrementally or a foreachBatch store
+    (ddsketch_register_sink) add-merges per-batch increments with NO
+    streaming state, bit-identically to one batch build in any
+    arrival order (tests/test_streaming.py). Identical code path on
+    the batch frame here -> daily p50/p95 of event value; the oracle
+    replays bucketing and the rank walk per day."""
+    from seatunnel_spark.dataops.sketches import (
+        ddsketch_quantiles_grouped)
+    from seatunnel_spark.streaming import stream_ddsketch as _sdd
+
+    e = _t(spark, sf_dir, "events")
+    return ddsketch_quantiles_grouped(
+        _sdd(e, "ts", "value"), ["day"], [0.5, 0.95])
+
+
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: revenue between two nations by shipping year —
     a six-table join where BOTH ends need a nation lookup. The two
@@ -3847,6 +3868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join_events": stream_interval_join_events,
         "stream_funnel": stream_funnel,
         "stream_hll_dau": stream_hll_dau,
+        "stream_ddsketch_daily": stream_ddsketch_daily,
         "mm_image_features": mm_image_features,
         "mm_image_dedup": mm_image_dedup,
         "mm_image_resize": mm_image_resize,
@@ -7744,6 +7766,40 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING) AS cum_hi
               FROM rpos
             ), t AS (SELECT day, sum(cnt) AS n FROM rpos GROUP BY 1)
+            SELECT c.day, q,
+                   kind * round(2.0 * power((1.0+0.01)/(1.0-0.01), idx)
+                                / ((1.0+0.01)/(1.0-0.01) + 1.0), 4)
+                     AS est
+            FROM (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS q) qs,
+                 t, c
+            WHERE c.day = t.day
+              AND cum_hi - cnt < floor(round(q * (n - 1), 6)) + 1
+              AND floor(round(q * (n - 1), 6)) + 1 <= cum_hi
+        """
+    d["stream_ddsketch_daily"] = """
+            WITH b AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1
+                          ELSE 0 END AS kind,
+                     CASE WHEN v = 0 THEN 0
+                          ELSE CAST(ceil(round(
+                                 ln(abs(v))
+                                 / ln((1.0+0.01)/(1.0-0.01)), 9))
+                               AS INT)
+                     END AS idx,
+                     count(*) AS cnt
+              FROM (SELECT ts, CAST(value AS DOUBLE) AS v
+                    FROM events WHERE value IS NOT NULL)
+              GROUP BY 1, 2, 3
+            ), c AS (
+              SELECT day, kind, idx, cnt,
+                     sum(cnt) OVER (PARTITION BY day
+                       ORDER BY kind,
+                                CASE WHEN kind = -1 THEN -idx
+                                     ELSE idx END
+                       ROWS UNBOUNDED PRECEDING) AS cum_hi
+              FROM b
+            ), t AS (SELECT day, sum(cnt) AS n FROM b GROUP BY 1)
             SELECT c.day, q,
                    kind * round(2.0 * power((1.0+0.01)/(1.0-0.01), idx)
                                 / ((1.0+0.01)/(1.0-0.01) + 1.0), 4)

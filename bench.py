@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "dedup_substring_clean",
     "q_quality_classifier",
     "q_quality_classifier_cm",
+    "stream_ddsketch_daily",
 ]
 
 

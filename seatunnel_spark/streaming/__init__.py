@@ -414,6 +414,67 @@ def hll_register_sink(path: str, ts_col: str = "ts",
     return merge
 
 
+def stream_ddsketch(df: DataFrame, ts_col: str = "ts",
+                    value_col: str = "value",
+                    alpha: float = 0.01) -> DataFrame:
+    """Per-day DDSketch buckets over an event frame -> (day, kind,
+    idx, cnt). Bucket counts are a pure ADDITIVE aggregation, so
+    this IDENTICAL code runs on a batch frame or a readStream
+    (complete/update mode) with bit-identical state — the
+    stream_hll_dau pattern for quantiles instead of cardinality.
+    State is bounded at |days|·n_buckets rows regardless of event
+    volume; sketches.ddsketch_quantiles_grouped turns the bucket
+    table into daily percentiles without rescanning events."""
+    from seatunnel_spark.dataops.sketches import ddsketch_build_grouped
+
+    return ddsketch_build_grouped(
+        df.select(F.to_date(F.col(ts_col)).alias("day"),
+                  F.col(value_col)),
+        ["day"], value_col, alpha)
+
+
+def ddsketch_register_sink(path: str, ts_col: str = "ts",
+                           value_col: str = "value",
+                           alpha: float = 0.01):
+    """foreachBatch writer factory maintaining a PERSISTED day-level
+    DDSketch bucket store at `path`: each micro-batch builds buckets
+    over ONLY its own rows (zero streaming state) and ADD-merges
+    them into the store — addition IS the DDSketch merge (the
+    defining mergeability property), so any arrival order or
+    partitioning folds to the sketch of the union, bit-identical to
+    one batch build (parity-tested). The store is sketch-sized;
+    durability follows hll_register_sink exactly: explicit
+    FileSystem existence check (a corrupt store FAILS the batch
+    instead of silently re-initializing), temp-path write + swap
+    (no truncated-store window, no localCheckpoint).
+
+    Use with .writeStream.foreachBatch(ddsketch_register_sink(p))."""
+
+    def merge(batch: DataFrame, batch_id: int = 0) -> None:
+        spark = batch.sparkSession
+        sk = stream_ddsketch(batch, ts_col, value_col, alpha)
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            existing = spark.read.parquet(path)  # real errors raise
+            merged = (sk.unionByName(existing)
+                      .groupBy("day", "kind", "idx")
+                      .agg(F.sum("cnt").alias("cnt")))
+        else:
+            merged = sk
+        tmp = path.rstrip("/") + "__swap"
+        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        if fs.exists(jtmp):  # leftover from a crashed swap
+            fs.delete(jtmp, True)
+        merged.write.mode("overwrite").parquet(tmp)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+        fs.rename(jtmp, jpath)
+
+    return merge
+
+
 class TokenBucketRateLimiter:
     """Batch-mode rate limiter (read_limit.rows_per_second analog,
     EnvCommonOptions.java:67-75). Spark streaming gets rate limits from

@@ -634,3 +634,61 @@ def test_stream_hll_dau_matches_batch(spark, tmp_path):
                                        "user_id"),
                          ["day"], "user_id"), ["day"]).collect()}
     assert est_store == est_batch and len(est_store) == 5
+
+
+def test_stream_ddsketch_store_matches_batch(spark, tmp_path):
+    """DDSketch bucket counts are purely ADDITIVE: (a) the SAME
+    stream_ddsketch code on a readStream (complete mode) yields
+    buckets bit-identical to the batch build; (b) the foreachBatch
+    bucket store (ddsketch_register_sink) fed one file per
+    micro-batch ADD-merges to the identical table; (c) daily
+    quantiles over the store equal the batch readout."""
+    import datetime as _dt
+
+    from seatunnel_spark.dataops.sketches import (
+        ddsketch_quantiles_grouped)
+    from seatunnel_spark.streaming import (ddsketch_register_sink,
+                                           stream_ddsketch)
+
+    t0 = _dt.datetime(2024, 6, 1)
+    rows = [(i, t0 + _dt.timedelta(days=i % 4, minutes=i),
+             float(2 ** (i % 16)) + 0.5 * i) for i in range(1000)]
+    static = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double")
+    path = str(tmp_path / "dd_events")
+    static.repartition(3).write.mode("overwrite").parquet(path)
+
+    want = {(r["day"], r["kind"], r["idx"]): r["cnt"] for r in
+            stream_ddsketch(static).collect()}
+
+    # (a) aggregation form on a stream, complete mode
+    stream = spark.readStream.schema(static.schema).parquet(path)
+    batches = _run_batches(spark, stream_ddsketch(stream), tmp_path,
+                           mode="complete")
+    got = {(r["day"], r["kind"], r["idx"]): r["cnt"]
+           for r in batches[-1]}
+    assert got == want and len(want) > 40
+
+    # (b) foreachBatch additive store, one file per micro-batch
+    store = str(tmp_path / "dd_store")
+    stream2 = (spark.readStream.schema(static.schema)
+               .option("maxFilesPerTrigger", 1).parquet(path))
+    q = (stream2.writeStream
+         .foreachBatch(lambda b, i: ddsketch_register_sink(store)(b, i))
+         .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stored = {(r["day"], r["kind"], r["idx"]): r["cnt"]
+              for r in spark.read.parquet(store).collect()}
+    assert stored == want
+
+    # (c) daily p50/p95 from the store equal the batch readout
+    qs_store = {(r["day"], r["q"]): r["est"] for r in
+                ddsketch_quantiles_grouped(
+                    spark.read.parquet(store), ["day"],
+                    [0.5, 0.95]).collect()}
+    qs_batch = {(r["day"], r["q"]): r["est"] for r in
+                ddsketch_quantiles_grouped(
+                    stream_ddsketch(static), ["day"],
+                    [0.5, 0.95]).collect()}
+    assert qs_store == qs_batch and len(qs_store) == 8
