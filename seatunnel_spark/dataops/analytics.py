@@ -404,14 +404,21 @@ def _degrees(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
 
 def _capped_edges(edges: DataFrame, src: str, dst: str,
-                  max_degree: int | None
+                  max_degree: int | None,
+                  keep_degrees: bool = True
                   ) -> tuple[DataFrame, int, DataFrame | None]:
     """persist() the edge list, drop every edge touching a SUPER-HUB
     vertex (degree > `max_degree`), and return
     (capped_edges, max_degree_bound, degree_table) — the shared
     in-code scale guard of `triangle_count` and
     `clustering_coefficient`, plus the runtime statistic
-    `_closed_wedges` picks its wedge strategy from. `degree_table` is
+    `_closed_wedges` picks its wedge strategy from.
+    `keep_degrees=False` skips persisting/returning the degree table
+    for callers that never read it back (triangle_count's mild path
+    consumes only the scalars) — the persist's materialization was
+    the last measurable slice of the guard's overhead (~0.3 s of the
+    r9 +10% residual at sf0.1); the rare degree-ordered path then
+    recomputes degrees once inside _closed_wedges. `degree_table` is
     the PERSISTED (__v, __deg) table of the returned edge frame —
     filled as a side effect of the stats collect, so consumers
     (clustering's readout, the degree-ordered wedge path) reuse it
@@ -456,10 +463,13 @@ def _capped_edges(edges: DataFrame, src: str, dst: str,
     long-lived sessions should spark.catalog.clearCache() between
     operator batches (see dedup.py's module note — same contract)."""
     edges = scoped_persist(edges)
-    deg = scoped_persist(_degrees(edges, src, dst))
+    deg = _degrees(edges, src, dst)
+    if keep_degrees:
+        deg = scoped_persist(deg)
+    ret_deg = deg if keep_degrees else None
     if max_degree is None:
         row = deg.agg(F.max("__deg").alias("mx")).collect()[0]
-        return edges, row["mx"] or 0, deg
+        return edges, row["mx"] or 0, ret_deg
     row = deg.agg(F.max("__deg").alias("mx"),
                   F.collect_list(
                       F.when(F.col("__deg") > max_degree,
@@ -467,7 +477,7 @@ def _capped_edges(edges: DataFrame, src: str, dst: str,
     maxdeg = row["mx"] or 0
     hubs = list(row["hubs"])
     if not hubs:
-        return edges, maxdeg, deg
+        return edges, maxdeg, ret_deg
     bound = min(maxdeg, max_degree)
     if len(hubs) <= 4096:
         return edges.filter(~F.col(src).isin(hubs)
@@ -520,16 +530,21 @@ def _closed_wedges(edges: DataFrame, src: str, dst: str,
     (vertex-sized) and the oriented edge list persist on the skewed
     path — they feed multiple branches and AQE reuses no exchanges
     (see dedup.py's cache-lifetime module note)."""
-    if deg is None:
-        deg = scoped_persist(_degrees(edges, src, dst))
     if maxdeg is None:
+        if deg is None:
+            deg = scoped_persist(_degrees(edges, src, dst))
         maxdeg = deg.agg(F.max("__deg").alias("mx")) \
             .collect()[0]["mx"] or 0
     if maxdeg <= orient_threshold:
+        # mild path never reads the degree table — callers may pass
+        # deg=None with a known maxdeg (triangle_count's
+        # keep_degrees=False) and skip its materialization entirely
         e1 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         e2 = edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
         e3 = edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))
         return e1.join(e2, "b").join(e3, ["a", "c"])
+    if deg is None:  # degree-ordered path: recompute once, persisted
+        deg = scoped_persist(_degrees(edges, src, dst))
     e = (edges
          .join(deg.select(F.col("__v").alias(src),
                           F.col("__deg").alias("__d1")), src)
@@ -565,7 +580,8 @@ def _closed_wedges(edges: DataFrame, src: str, dst: str,
 
 def triangle_count(edges: DataFrame, src: str = "p1",
                    dst: str = "p2",
-                   max_degree: int | None = 10_000) -> DataFrame:
+                   max_degree: int | None = 10_000,
+                   strategy: str = "auto") -> DataFrame:
     """Global triangle count over an undirected graph given as
     canonical edges (src < dst) -> one row (n_triangles). Each
     triangle a<b<c is counted exactly once by composing its three
@@ -576,8 +592,33 @@ def triangle_count(edges: DataFrame, src: str = "p1",
     distributed triangle algorithm carries; super-hub vertices above
     `max_degree` are dropped IN CODE before the join
     (`_capped_edges`) so a power-law hub cannot make the wedge join
-    quadratic in its degree."""
-    capped, maxdeg, deg = _capped_edges(edges, src, dst, max_degree)
+    quadratic in its degree.
+
+    Guard cost: the degree/hub statistic is ONE extra action
+    (explode + map-side-combined agg + a scalar collect over the
+    just-persisted edges) — a ~0.4 s CONSTANT on local[32]
+    regardless of sf (it is dominated by action latency), so its
+    relative cost vanishes as data grows; at bench scale sf0.1-sf1
+    it reads as ~10%. Callers who can ASSERT the graph shape skip
+    it: strategy='plain' with max_degree=None runs the id-ordered
+    close with zero statistic jobs (both strategies produce
+    identical counts — the choice is physical only);
+    strategy='ordered' forces the degree-ordered Schank-Wagner path
+    for known-skewed graphs. 'auto' (default) measures and decides —
+    the AQE discipline, and the only safe choice under a hub cap."""
+    if strategy not in ("auto", "plain", "ordered"):
+        raise ValueError(f"strategy must be auto|plain|ordered, "
+                         f"got {strategy!r}")
+    if strategy == "plain" and max_degree is None:
+        capped = scoped_persist(edges)
+        return (_closed_wedges(capped, src, dst, 0, deg=None)
+                .agg(F.count(F.lit(1)).alias("n_triangles")))
+    capped, maxdeg, deg = _capped_edges(edges, src, dst, max_degree,
+                                        keep_degrees=False)
+    if strategy == "plain":
+        maxdeg = 0          # force the id-ordered close
+    elif strategy == "ordered":
+        maxdeg = 1 << 30    # force the degree-ordered close
     return (_closed_wedges(capped, src, dst, maxdeg, deg=deg)
             .agg(F.count(F.lit(1)).alias("n_triangles")))
 

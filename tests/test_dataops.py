@@ -1818,6 +1818,15 @@ def test_triangle_count_exact(spark):
     # empty graph -> 0, not an empty frame
     empty = spark.createDataFrame([], "p1 long, p2 long")
     assert triangle_count(empty).collect()[0]["n_triangles"] == 0
+    # the strategy override is physical only: all three paths agree
+    # ('plain' + max_degree=None runs ZERO statistic jobs)
+    for strat, cap in (("plain", None), ("plain", 10), ("ordered", None)):
+        got = triangle_count(df, max_degree=cap,
+                             strategy=strat).collect()[0]
+        assert got["n_triangles"] == 4, (strat, cap)
+    import pytest
+    with pytest.raises(ValueError, match="auto\\|plain\\|ordered"):
+        triangle_count(df, strategy="fast")
 
 
 def test_triangle_super_hub_cap(spark):
