@@ -1224,6 +1224,42 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (dataops/similarity.py:hard_negatives):
+    for each query embedding, the top-10 most-similar corpus vectors
+    with a DIFFERENT label — the contrastive-training negatives that
+    are similar yet wrong-class. Broadcast queries × one corpus
+    scan; the label-mismatch predicate lives in the join condition,
+    so same-label candidates never reach the rank window. The
+    oracle replays the filtered cosine ranking."""
+    from seatunnel_spark.dataops.similarity import hard_negatives
+
+    e = _emb_double(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    out = hard_negatives(q, e, "vec_id", "vec_id", k=10, round_to=4)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate survivorship (dataops/dedup.py:
+    best_of_cluster): n-gram Jaccard near-dup pairs -> connected
+    components -> per cluster keep the row with the HIGHEST
+    quality_score (ties -> lowest doc_id) via one max_by aggregation
+    on a packed (score, -id) BIGINT key — no window, no per-cluster
+    sort, and the packing replays as plain arg_max in any SQL
+    engine. Returns (cluster_id, n_members, doc_id, quality_score)."""
+    from seatunnel_spark.dataops.dedup import (best_of_cluster,
+                                               ngram_jaccard_pairs)
+    from seatunnel_spark.dataops.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=3,
+                                threshold=0.2, block_cols=["lang"])
+    scored = quality_score(d).select("doc_id", "quality_score")
+    return best_of_cluster(scored, pairs, "doc_id", "quality_score",
+                           fields=["quality_score"])
+
+
 def sim_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seatunnel_spark.dataops.similarity import _dot, _norm
 
@@ -3845,6 +3881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_domain_mix": sample_domain_mix,
         "pack_docs": pack_docs,
         "sim_topk": sim_topk,
+        "sim_hard_negatives": sim_hard_negatives,
+        "dedup_keep_best": dedup_keep_best,
         "sim_pairs_exact": sim_pairs_exact,
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -4674,6 +4712,81 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
         """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE {shingle_cte},
+            shl AS (
+              SELECT doc_id, lang, list(DISTINCT sh) AS sh
+              FROM shingles GROUP BY doc_id, lang
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM shl a JOIN shl b
+                ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+            ),
+            cedges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, label) AS (
+              SELECT DISTINCT src, src FROM cedges
+              UNION
+              SELECT e.src, r.label
+              FROM cedges e JOIN reach r ON r.id = e.dst
+            ),
+            clusters AS (
+              SELECT id, MIN(label) AS cluster_id
+              FROM reach GROUP BY id
+            ),
+            qsig AS (
+              SELECT doc_id,
+                     len(ws) AS n_words,
+                     CASE WHEN len(ws) > 0
+                          THEN list_sum(list_transform(ws,
+                               w -> length(w))) * 1.0 / len(ws)
+                          ELSE 0.0 END AS mwl,
+                     CASE WHEN length(text) > 0
+                          THEN (length(text)
+                                - length(regexp_replace(text,
+                                  '[^A-Za-z0-9\\s]', '', 'g')))
+                               * 1.0 / length(text)
+                          ELSE 0.0 END AS punct,
+                     len(list_intersect(
+                       list_distinct(list_transform(ws,
+                                                    w -> lower(w))),
+                       ['the','of','and','to','in','a','is','that',
+                        'for','it','as','was','with','be','by','on',
+                        'not','he','this','are'])) AS stop_hits
+              FROM (SELECT doc_id, text,
+                           string_split_regex(trim(text), '\\s+')
+                             AS ws
+                    FROM documents)
+            ),
+            qsw AS (
+              SELECT doc_id,
+                     round(least(n_words / 50.0, 1.0) * 0.35
+                           + CASE WHEN mwl >= 3 AND mwl <= 10
+                                  THEN 0.25 ELSE 0.0 END
+                           + CASE WHEN punct <= 0.2
+                                  THEN 0.2 ELSE 0.0 END
+                           + least(stop_hits / 5.0, 1.0) * 0.2, 4)
+                       AS quality_score
+              FROM qsig
+            ),
+            keyed AS (
+              SELECT coalesce(c.cluster_id, q.doc_id) AS cluster_id,
+                     q.doc_id, q.quality_score,
+                     CAST(round(q.quality_score * 10000, 0) AS BIGINT)
+                       * 10000000000
+                       + (9999999999 - q.doc_id) AS k
+              FROM qsw q LEFT JOIN clusters c ON q.doc_id = c.id
+            )
+            SELECT cluster_id, count(*) AS n_members,
+                   arg_max(doc_id, k) AS doc_id,
+                   arg_max(quality_score, k) AS quality_score
+            FROM keyed GROUP BY cluster_id
+        """,
         "text_quality": """
             WITH w AS (
               SELECT doc_id, text,
@@ -5067,6 +5180,33 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM documents d JOIN k USING (lang)
             WHERE ('0x' || substr(md5(d.doc_id::varchar), 1, 8))::BIGINT
                     % 10000 < kb
+        """,
+        "sim_hard_negatives": """
+            WITH q AS (
+              SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+                     label AS ql
+              FROM embeddings WHERE vec_id < 5
+            ), c AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+                     label AS cl
+              FROM embeddings
+            ), s AS (
+              SELECT qid, cid,
+                     round(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(cv, cv))), 4)
+                       AS cosine
+              FROM q JOIN c ON q.ql <> c.cl
+            ), r AS (
+              SELECT qid AS query_id, cid AS match_id, cosine,
+                     CAST(row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY cosine DESC, cid ASC) AS INTEGER)
+                       AS rank
+              FROM s
+            )
+            SELECT query_id, match_id, cosine, rank
+            FROM r WHERE rank <= 10
         """,
         "sim_topk": """
             WITH q AS (

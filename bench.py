@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "q_quality_classifier",
     "q_quality_classifier_cm",
     "stream_ddsketch_daily",
+    "sim_hard_negatives",
+    "dedup_keep_best",
 ]
 
 

@@ -28,6 +28,7 @@ from seatunnel_spark.dataops.similarity import (
     write_ivf_index,
     search_ivf_index,
     topk_recall,
+    hard_negatives,
 )
 from seatunnel_spark.dataops.sketches import (
     ddsketch_build,
@@ -52,6 +53,7 @@ from seatunnel_spark.dataops.dedup import (
     passage_dedup_apply,
     substring_dup_spans,
     substring_dedup_apply,
+    best_of_cluster,
 )
 from seatunnel_spark.dataops.sampling import (
     global_shuffle,
@@ -103,6 +105,7 @@ __all__ = [
     "doc_chunks", "bm25_topk", "pagerank",
     "passage_dedup_apply", "temperature_sample",
     "substring_dup_spans", "substring_dedup_apply",
+    "best_of_cluster", "hard_negatives",
     "ddsketch_build", "ddsketch_merge", "ddsketch_quantiles",
     "quantize_int8", "dequant_error", "kmeans_fit", "kmeans_assign",
     "group_sample_topk", "cms_build", "cms_estimate", "heavy_hitters",

@@ -661,6 +661,53 @@ def duplicate_clusters(
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
+def best_of_cluster(
+    records: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    fields: list[str] | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Quality-aware survivor selection: ONE winner row per duplicate
+    cluster — the row with the highest `score_col` (ties broken by
+    LOWEST id) — instead of golden_records' per-field fusion or the
+    min-id convention of the exact/LSH dedup families. The step a
+    training pipeline runs after near-dup clustering: among N copies
+    of a page, keep the cleanest one, not the first-crawled one.
+
+    -> (cluster_id, n_members, id, <fields...>) with the winner's
+    values; unmatched records pass through as 1-member clusters.
+
+    Scale: pairs -> duplicate_clusters (tiny components, 2-3 label
+    rounds), then ONE map-side-combined max_by aggregation per field
+    over |records| rows keyed by cluster — no window, no per-cluster
+    sort (the golden_records shape). The pick key packs
+    (round(score, 4), -id) into a single BIGINT —
+    round(score·10⁴)·10¹⁰ + (10¹⁰−1−id) — so any SQL engine replays
+    the identical winner with plain arg_max (no struct-comparison
+    semantics to match across engines). Requires 0 <= ids < 10¹⁰ and
+    |score| < 10⁴ (the packed key must fit a signed 64-bit long);
+    NULL scores rank lowest (coalesced below the score range)."""
+    if fields is None:
+        fields = [c for c in records.columns if c != id_col]
+    clusters = duplicate_clusters(pairs, id_a, id_b)
+    r = (records.join(
+            clusters.withColumnRenamed("id", id_col), [id_col], "left")
+         .withColumn("__cid", F.coalesce("cluster_id",
+                                         F.col(id_col))))
+    key = (F.coalesce(F.round(F.col(score_col) * 10_000, 0),
+                      F.lit(-200_000_000.0)).cast("long")
+           * F.lit(10_000_000_000)
+           + (F.lit(9_999_999_999) - F.col(id_col)))
+    aggs = [F.count(F.lit(1)).alias("n_members"),
+            F.max_by(F.col(id_col), key).alias(id_col)]
+    aggs += [F.max_by(F.col(c), key).alias(c) for c in fields]
+    return (r.groupBy(F.col("__cid").alias("cluster_id"))
+            .agg(*aggs))
+
+
 # --------------------------------------------------------------------------
 # embedding cosine near-dup
 # --------------------------------------------------------------------------

@@ -112,6 +112,51 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_label: str = "label",
+    corpus_label: str = "label",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training:
+    for each query vector, the top-k most-similar corpus vectors
+    whose LABEL DIFFERS from the query's — the highest-value
+    negatives (similar embedding, different class) that make
+    contrastive batches informative instead of trivially-separable
+    random negatives.
+
+    Same scale shape as brute_force_topk (broadcast queries × one
+    corpus scan) with the label-mismatch predicate applied INSIDE
+    the join condition — same-label candidates never reach the
+    scoring projection or the rank window. NULL labels on either
+    side are excluded (a null label can neither agree nor disagree
+    with evidence). For corpus-scale query sets, run the same
+    predicate over an IVF/PQ shortlist instead (compose
+    search_ivf_index + an anti-label filter + a widened k to refill
+    — the shortlist must be over-fetched by the expected same-label
+    fraction)."""
+    q = F.broadcast(queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).alias("__qv"),
+        F.col(query_label).alias("__ql")))
+    c = corpus.select(F.col(corpus_id).alias("__cid"),
+                      F.col(corpus_vec).alias("__cv"),
+                      F.col(corpus_label).alias("__cl"))
+    cos = _dot(F.col("__qv"), F.col("__cv")) \
+        / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = (q.join(c, F.col("__ql") != F.col("__cl"))
+              .select("__qid", "__cid", cos.alias("cosine")))
+    return _rank_topk(scored, k)
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",

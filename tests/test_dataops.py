@@ -3718,6 +3718,50 @@ def test_bfs_hops_layers_and_unreachable(spark):
     assert got3 == {1: 0, 2: 1, 3: 1, 4: 2}
 
 
+def test_hard_negatives_label_filter(spark):
+    """Hard-negative mining: same-label candidates are excluded
+    BEFORE ranking (the winner among different-label vectors can be
+    less similar than an excluded same-label one), rank/tie rules
+    match brute_force_topk, NULL labels drop out."""
+    from seatunnel_spark.dataops.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0),   # query
+        (1, [1.0, 0.01], 0),  # nearly identical but SAME label
+        (2, [1.0, 0.2], 1),   # the true hard negative
+        (3, [0.0, 1.0], 1),   # orthogonal negative
+        (4, [1.0, 0.1], None),  # null label: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    q = df.filter("vec_id = 0")
+    got = [(r["match_id"], r["rank"]) for r in
+           hard_negatives(q, df, "vec_id", "vec_id", k=3,
+                          round_to=4).orderBy("rank").collect()]
+    assert got == [(2, 1), (3, 2)]
+
+
+def test_best_of_cluster_quality_survivor(spark):
+    """Quality-aware survivorship: per duplicate cluster the row
+    with max (score, -id) wins — higher score beats lower id, score
+    tie falls to the LOWER id; singletons pass through; NULL score
+    ranks lowest."""
+    from seatunnel_spark.dataops.dedup import best_of_cluster
+
+    recs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (7, 0.3), (9, None)],
+        "doc_id long, score double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long")
+    got = {r["cluster_id"]: (r["doc_id"], r["n_members"], r["score"])
+           for r in best_of_cluster(recs, pairs, "doc_id", "score",
+                                    fields=["score"]).collect()}
+    # cluster {1,2,3}: 2 and 3 tie on 0.9 -> lower id 2 wins
+    assert got[1] == (2, 3, 0.9)
+    # cluster {7,9}: 9 has NULL score -> 7 wins
+    assert got[7] == (7, 2, 0.3)
+
+
 def test_logreg_fit_matches_numpy_twin(spark):
     """logreg_fit's fixed-iteration rounded-update arithmetic matches
     a numpy twin exactly (the replay discipline the SQL oracle relies
