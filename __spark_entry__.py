@@ -1247,17 +1247,24 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_score (ties -> lowest doc_id) via one max_by aggregation
     on a packed (score, -id) BIGINT key — no window, no per-cluster
     sort, and the packing replays as plain arg_max in any SQL
-    engine. Returns (cluster_id, n_members, doc_id, quality_score)."""
+    engine. Clustering uses the EXACT-COLLAPSE form
+    (jaccard_dup_clusters): one representative per identical text
+    enters the pair join, members attach by direct edges — identical
+    components, and the pair-join cost stays flat when a corpus is
+    dominated by exact replicas (the sf10 regime). Returns
+    (cluster_id, n_members, doc_id, quality_score)."""
     from seatunnel_spark.dataops.dedup import (best_of_cluster,
-                                               ngram_jaccard_pairs)
+                                               jaccard_dup_clusters)
     from seatunnel_spark.dataops.text import quality_score
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=3,
-                                threshold=0.2, block_cols=["lang"])
+    clusters = jaccard_dup_clusters(d, "doc_id", "text", k=3,
+                                    threshold=0.2,
+                                    block_cols=["lang"])
     scored = quality_score(d).select("doc_id", "quality_score")
-    return best_of_cluster(scored, pairs, "doc_id", "quality_score",
-                           fields=["quality_score"])
+    return best_of_cluster(scored, None, "doc_id", "quality_score",
+                           fields=["quality_score"],
+                           clusters=clusters)
 
 
 def sim_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

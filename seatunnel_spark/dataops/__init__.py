@@ -54,6 +54,7 @@ from seatunnel_spark.dataops.dedup import (
     substring_dup_spans,
     substring_dedup_apply,
     best_of_cluster,
+    jaccard_dup_clusters,
 )
 from seatunnel_spark.dataops.sampling import (
     global_shuffle,
@@ -105,7 +106,7 @@ __all__ = [
     "doc_chunks", "bm25_topk", "pagerank",
     "passage_dedup_apply", "temperature_sample",
     "substring_dup_spans", "substring_dedup_apply",
-    "best_of_cluster", "hard_negatives",
+    "best_of_cluster", "hard_negatives", "jaccard_dup_clusters",
     "ddsketch_build", "ddsketch_merge", "ddsketch_quantiles",
     "quantize_int8", "dequant_error", "kmeans_fit", "kmeans_assign",
     "group_sample_topk", "cms_build", "cms_estimate", "heavy_hitters",

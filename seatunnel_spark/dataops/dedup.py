@@ -661,14 +661,67 @@ def duplicate_clusters(
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
+def jaccard_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    block_cols: list[str] | None = None,
+    max_df: int | None = 100_000,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """Near-duplicate clusters over word-k-gram Jaccard ->
+    (id, cluster_id) for every clustered doc, with EXACT-DUPLICATE
+    COLLAPSE before the pair join: one representative (min id) per
+    (block, md5(text)) group enters ngram_jaccard_pairs, and members
+    connect to their representative by a direct edge.
+
+    The components are IDENTICAL to running the pair join on the
+    full corpus: exact copies carry identical shingle sets, so
+    Jaccard(copy, x) == Jaccard(rep, x) for every x and
+    Jaccard(copy, rep) = 1 >= threshold — the member edge stands in,
+    transitively, for every pairwise edge the full join would have
+    added. The cost collapses from Σ df(tok)² over the REPLICATED
+    corpus to Σ df(tok)² over DISTINCT texts — the difference
+    between quadratic-in-copy-count and flat on crawl corpora where
+    exact replication dominates (measured: the uncollapsed pair
+    graph at a 100x-replicated sf10 ran ~50 min; collapsed it is
+    sf0.1-sized). With a `max_df` cap the collapsed form caps on
+    distinct-text document frequency — strictly closer to the
+    uncapped-exact answer than capping on the replicated counts.
+    `collapse_exact=False` recovers the plain
+    ngram_jaccard_pairs -> duplicate_clusters composition."""
+    if not collapse_exact:
+        return duplicate_clusters(ngram_jaccard_pairs(
+            df, id_col, text_col, k, threshold, block_cols, max_df))
+    bcols = list(block_cols or [])
+    base = df.select(F.col(id_col).alias("__id"),
+                     *[F.col(c) for c in bcols],
+                     F.md5(F.col(text_col)).alias("__dg"))
+    groups = (base.groupBy("__dg", *bcols)
+              .agg(F.min("__id").alias("__rep")))
+    reps = df.join(
+        groups.select(F.col("__rep").alias(id_col)), [id_col], "semi")
+    rep_pairs = ngram_jaccard_pairs(
+        reps, id_col, text_col, k, threshold, bcols or None, max_df
+    ).select("id_a", "id_b")
+    member_edges = (base.join(groups, ["__dg", *bcols])
+                    .filter(F.col("__id") != F.col("__rep"))
+                    .select(F.col("__id").alias("id_a"),
+                            F.col("__rep").alias("id_b")))
+    return duplicate_clusters(rep_pairs.unionByName(member_edges))
+
+
 def best_of_cluster(
     records: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None,
     id_col: str,
     score_col: str,
     fields: list[str] | None = None,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Quality-aware survivor selection: ONE winner row per duplicate
     cluster — the row with the highest `score_col` (ties broken by
@@ -689,10 +742,17 @@ def best_of_cluster(
     the identical winner with plain arg_max (no struct-comparison
     semantics to match across engines). Requires 0 <= ids < 10¹⁰ and
     |score| < 10⁴ (the packed key must fit a signed 64-bit long);
-    NULL scores rank lowest (coalesced below the score range)."""
+    NULL scores rank lowest (coalesced below the score range).
+
+    Pass either `pairs` (a near-dup pair frame — clustered here via
+    duplicate_clusters) or a precomputed `clusters` (id, cluster_id)
+    frame (e.g. jaccard_dup_clusters' exact-collapse form)."""
     if fields is None:
         fields = [c for c in records.columns if c != id_col]
-    clusters = duplicate_clusters(pairs, id_a, id_b)
+    if clusters is None:
+        if pairs is None:
+            raise ValueError("best_of_cluster needs pairs or clusters")
+        clusters = duplicate_clusters(pairs, id_a, id_b)
     r = (records.join(
             clusters.withColumnRenamed("id", id_col), [id_col], "left")
          .withColumn("__cid", F.coalesce("cluster_id",

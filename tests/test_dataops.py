@@ -3762,6 +3762,40 @@ def test_best_of_cluster_quality_survivor(spark):
     assert got[7] == (7, 2, 0.3)
 
 
+def test_jaccard_dup_clusters_collapse_equivalence(spark):
+    """Exact-duplicate collapse is a pure physical optimization: on a
+    corpus mixing exact replicas and near-duplicates (shifted text),
+    the collapsed form's components are IDENTICAL to running the
+    pair join over the full corpus — exact copies share shingle sets,
+    so the member->representative edge stands in transitively for
+    every pairwise edge the full join would add."""
+    from seatunnel_spark.dataops.dedup import jaccard_dup_clusters
+
+    near = "alpha beta gamma delta epsilon zeta eta theta"
+    near2 = "alpha beta gamma delta epsilon zeta eta iota"  # near-dup
+    other = "one two three four five six seven eight"
+    rows = ([(i, near, "en") for i in range(5)]           # 5 replicas
+            + [(10, near2, "en"), (11, other, "en")]
+            + [(20, other, "de"), (21, other, "de")])     # block split
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kw = dict(k=3, threshold=0.3, block_cols=["lang"])
+    fast = {(r["id"], r["cluster_id"]) for r in
+            jaccard_dup_clusters(df, "doc_id", "text", **kw).collect()}
+    slow = {(r["id"], r["cluster_id"]) for r in
+            jaccard_dup_clusters(df, "doc_id", "text",
+                                 collapse_exact=False, **kw).collect()}
+    assert fast == slow
+    # replicas 0-4 + near-dup 10 fuse into cluster 0; the de-block
+    # exact pair forms its own cluster; en 'other' is a singleton
+    # (absent - no pair touches it)
+    got = {}
+    for i, c in fast:
+        got.setdefault(c, set()).add(i)
+    assert got[0] == {0, 1, 2, 3, 4, 10}
+    assert got[20] == {20, 21}
+    assert 11 not in {i for i, _ in fast}
+
+
 def test_logreg_fit_matches_numpy_twin(spark):
     """logreg_fit's fixed-iteration rounded-update arithmetic matches
     a numpy twin exactly (the replay discipline the SQL oracle relies
