@@ -414,6 +414,45 @@ def hll_register_sink(path: str, ts_col: str = "ts",
     return merge
 
 
+def cms_register_sink(path: str, text_col: str = "text",
+                      depth: int = 4, width_hex: int = 3):
+    """foreachBatch writer factory maintaining a PERSISTED Count-Min
+    sketch store at `path` — the third member of the additive
+    register-sink family (HLL = MAX-merge, DDSketch/CMS =
+    ADD-merge): each micro-batch builds its own depth×16^width_hex
+    counter table (zero streaming state) and sums it into the store,
+    so any arrival order folds to the sketch of the union,
+    bit-identical to one batch build (parity-tested). Durability is
+    the hll_register_sink discipline: explicit existence check
+    (corrupt store FAILS the batch, never silently re-initializes),
+    temp-path write + swap."""
+    from seatunnel_spark.dataops.text import cms_build
+
+    def merge(batch: DataFrame, batch_id: int = 0) -> None:
+        spark = batch.sparkSession
+        sk = cms_build(batch, text_col, depth, width_hex)
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            existing = spark.read.parquet(path)  # real errors raise
+            merged = (sk.unionByName(existing)
+                      .groupBy("d", "pos")
+                      .agg(F.sum("cnt").alias("cnt")))
+        else:
+            merged = sk
+        tmp = path.rstrip("/") + "__swap"
+        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        if fs.exists(jtmp):  # leftover from a crashed swap
+            fs.delete(jtmp, True)
+        merged.write.mode("overwrite").parquet(tmp)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+        fs.rename(jtmp, jpath)
+
+    return merge
+
+
 def stream_ddsketch(df: DataFrame, ts_col: str = "ts",
                     value_col: str = "value",
                     alpha: float = 0.01) -> DataFrame:

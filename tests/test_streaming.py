@@ -692,3 +692,42 @@ def test_stream_ddsketch_store_matches_batch(spark, tmp_path):
                     stream_ddsketch(static), ["day"],
                     [0.5, 0.95]).collect()}
     assert qs_store == qs_batch and len(qs_store) == 8
+
+
+def test_cms_register_store_matches_batch(spark, tmp_path):
+    """CMS counters are purely additive: the foreachBatch store
+    (cms_register_sink) fed one file per micro-batch ADD-merges to
+    the exact batch-built sketch, and point estimates over the store
+    keep the never-underestimate guarantee."""
+    from seatunnel_spark.dataops.text import cms_build, cms_estimate
+    from seatunnel_spark.streaming import cms_register_sink
+
+    rows = [(i, " ".join(f"w{j % 17}" for j in range(i, i + 6)))
+            for i in range(400)]
+    static = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "cms_docs")
+    static.repartition(3).write.mode("overwrite").parquet(path)
+
+    want = {(r["d"], r["pos"]): r["cnt"]
+            for r in cms_build(static).collect()}
+    store = str(tmp_path / "cms_store")
+    stream = (spark.readStream.schema(static.schema)
+              .option("maxFilesPerTrigger", 1).parquet(path))
+    q = (stream.writeStream
+         .foreachBatch(lambda b, i: cms_register_sink(store)(b, i))
+         .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stored = {(r["d"], r["pos"]): r["cnt"]
+              for r in spark.read.parquet(store).collect()}
+    assert stored == want and len(want) > 10
+    probes = spark.createDataFrame([("w3",), ("w9",)], ["token"])
+    est = {r["token"]: r["est"] for r in
+           cms_estimate(spark.read.parquet(store), probes).collect()}
+    truth = {r["token"]: r["n"] for r in
+             static.selectExpr("explode(split(text, ' ')) AS t")
+             .groupBy(F.col("t").alias("token"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .filter("token in ('w3','w9')").collect()}
+    for t in ("w3", "w9"):
+        assert est[t] >= truth[t]
