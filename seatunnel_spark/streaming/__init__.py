@@ -363,6 +363,89 @@ def stream_hll_dau(df: DataFrame, ts_col: str = "ts",
         ["day"], value_col, p)
 
 
+_APPLIED_PREFIX = "_applied_b"
+
+
+def _store_applied_batch(fs, jpath) -> int:
+    """Latest batch id recorded by an `_applied_b{N}` marker file
+    inside a register-store directory, or -1 if none. Marker files
+    are '_'-prefixed, so Spark's parquet reader ignores them (the
+    Hadoop hidden-file PathFilter — same mechanism as `_SUCCESS`)."""
+    best = -1
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith(_APPLIED_PREFIX):
+            try:
+                best = max(best, int(name[len(_APPLIED_PREFIX):]))
+            except ValueError:
+                pass
+    return best
+
+
+def _commit_register_store(spark, path: str, batch_id: int,
+                           merge_with) -> bool:
+    """Shared durable-commit protocol for the register-sink family
+    (HLL / CMS / DDSketch). `merge_with(existing | None)` returns the
+    new store frame; this function owns delivery + durability:
+
+    * REPLAY IDEMPOTENCE — foreachBatch is at-least-once (a crash
+      between sink completion and checkpoint commit replays the batch
+      with its original batch_id), so every committed store carries a
+      single `_applied_b{batch_id}` marker file; a batch whose id is
+      <= the recorded id is skipped as a replay and the store is
+      untouched. Batch ids are monotone per query, so the latest
+      marker is a complete ledger.
+    * FIRST-BATCH DETECTION — an EXPLICIT FileSystem existence check,
+      never catching the read error: a corrupt footer or transient
+      FS fault must FAIL the batch (and be retried by the stream)
+      rather than silently re-initialize the store.
+    * ATOMIC-ENOUGH SWAP — the merged store is written to `__swap`
+      first; the marker is created strictly AFTER the parquet write
+      finishes, so marker presence certifies a complete swap. Only
+      then is the old store deleted and the swap renamed in.
+    * CRASH RECOVERY — on entry, a leftover swap WITH a marker and NO
+      store means the previous commit died between delete(store) and
+      rename(swap, store): the swap is the only full copy and is
+      renamed in (the replayed batch then no-ops via the ledger). A
+      swap WITHOUT its marker is a dead partial write and is removed.
+      A swap alongside an intact store is removed too — the store
+      still holds the pre-merge state and the interrupted batch
+      replays on top of it. A completed swap is therefore NEVER
+      deleted while the store is absent.
+
+    Returns True if the batch was applied, False if skipped as a
+    replay. No localCheckpoint anywhere: read and write paths differ,
+    so the plan never races its own input files."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = path.rstrip("/") + "__swap"
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+
+    if fs.exists(jtmp):
+        if (not fs.exists(jpath)
+                and _store_applied_batch(fs, jtmp) >= 0):
+            fs.rename(jtmp, jpath)  # complete the interrupted swap
+        else:
+            fs.delete(jtmp, True)
+
+    if fs.exists(jpath):
+        if int(batch_id) <= _store_applied_batch(fs, jpath):
+            return False  # at-least-once replay: already folded in
+        merged = merge_with(spark.read.parquet(path))  # errors raise
+    else:
+        merged = merge_with(None)
+
+    merged.write.mode("overwrite").parquet(tmp)
+    marker = jvm.org.apache.hadoop.fs.Path(
+        tmp.rstrip("/") + "/" + _APPLIED_PREFIX + str(int(batch_id)))
+    fs.create(marker).close()  # certifies the swap as complete
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+    fs.rename(jtmp, jpath)
+    return True
+
+
 def hll_register_sink(path: str, ts_col: str = "ts",
                       value_col: str = "user_id", p: int = 8):
     """foreachBatch writer factory maintaining a PERSISTED day-level
@@ -374,42 +457,21 @@ def hll_register_sink(path: str, ts_col: str = "ts",
     parity-tested). The store is sketch-sized (|days|·2^p rows), so
     the read-merge-rewrite cycle costs nothing next to the feed.
 
-    Durability: "is this the first batch" is decided by an EXPLICIT
-    FileSystem existence check, never by catching the read error — a
-    corrupt footer or transient FS fault must FAIL the batch (and be
-    retried by the stream) rather than silently re-initialize the
-    store and destroy the accumulated history. The merge writes to a
-    TEMP path first and swaps it in only after the write completes,
-    so a mid-write crash leaves either the old store intact or both
-    directories present — never a truncated store (and no
-    localCheckpoint: the read and write paths differ, so the plan
-    never races its own input files and carries no non-resilient
-    blocks).
+    Delivery + durability (replay ledger, marker-certified swap,
+    crash recovery) are owned by _commit_register_store; the MAX
+    merge is idempotent by construction anyway, so the ledger here
+    only saves the replayed work.
 
     Use with run_stream_to_batch_sink(df, hll_register_sink(p)) — or
     directly as .writeStream.foreachBatch(...)."""
     from seatunnel_spark.dataops.sketches import hll_merge
 
     def merge(batch: DataFrame, batch_id: int = 0) -> None:
-        spark = batch.sparkSession
         regs = stream_hll_dau(batch, ts_col, value_col, p)
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(
-            spark._jsc.hadoopConfiguration())
-        if fs.exists(jpath):
-            existing = spark.read.parquet(path)  # real errors raise
-            merged = hll_merge(regs, existing)
-        else:
-            merged = regs
-        tmp = path.rstrip("/") + "__swap"
-        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-        if fs.exists(jtmp):  # leftover from a crashed swap
-            fs.delete(jtmp, True)
-        merged.write.mode("overwrite").parquet(tmp)
-        if fs.exists(jpath):
-            fs.delete(jpath, True)
-        fs.rename(jtmp, jpath)
+        _commit_register_store(
+            batch.sparkSession, path, batch_id,
+            lambda existing: regs if existing is None
+            else hll_merge(regs, existing))
 
     return merge
 
@@ -422,33 +484,20 @@ def cms_register_sink(path: str, text_col: str = "text",
     ADD-merge): each micro-batch builds its own depth×16^width_hex
     counter table (zero streaming state) and sums it into the store,
     so any arrival order folds to the sketch of the union,
-    bit-identical to one batch build (parity-tested). Durability is
-    the hll_register_sink discipline: explicit existence check
-    (corrupt store FAILS the batch, never silently re-initializes),
-    temp-path write + swap."""
+    bit-identical to one batch build (parity-tested). Delivery +
+    durability are owned by _commit_register_store — the replay
+    ledger matters here: an ADD merge is NOT idempotent, so without
+    it a replayed micro-batch would double-count its tokens."""
     from seatunnel_spark.dataops.text import cms_build
 
     def merge(batch: DataFrame, batch_id: int = 0) -> None:
-        spark = batch.sparkSession
         sk = cms_build(batch, text_col, depth, width_hex)
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jpath):
-            existing = spark.read.parquet(path)  # real errors raise
-            merged = (sk.unionByName(existing)
-                      .groupBy("d", "pos")
-                      .agg(F.sum("cnt").alias("cnt")))
-        else:
-            merged = sk
-        tmp = path.rstrip("/") + "__swap"
-        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-        if fs.exists(jtmp):  # leftover from a crashed swap
-            fs.delete(jtmp, True)
-        merged.write.mode("overwrite").parquet(tmp)
-        if fs.exists(jpath):
-            fs.delete(jpath, True)
-        fs.rename(jtmp, jpath)
+        _commit_register_store(
+            batch.sparkSession, path, batch_id,
+            lambda existing: sk if existing is None
+            else (sk.unionByName(existing)
+                  .groupBy("d", "pos")
+                  .agg(F.sum("cnt").alias("cnt"))))
 
     return merge
 
@@ -482,34 +531,20 @@ def ddsketch_register_sink(path: str, ts_col: str = "ts",
     defining mergeability property), so any arrival order or
     partitioning folds to the sketch of the union, bit-identical to
     one batch build (parity-tested). The store is sketch-sized;
-    durability follows hll_register_sink exactly: explicit
-    FileSystem existence check (a corrupt store FAILS the batch
-    instead of silently re-initializing), temp-path write + swap
-    (no truncated-store window, no localCheckpoint).
+    delivery + durability are owned by _commit_register_store — the
+    replay ledger matters here: an ADD merge is NOT idempotent, so
+    without it a replayed micro-batch would double-count its rows.
 
     Use with .writeStream.foreachBatch(ddsketch_register_sink(p))."""
 
     def merge(batch: DataFrame, batch_id: int = 0) -> None:
-        spark = batch.sparkSession
         sk = stream_ddsketch(batch, ts_col, value_col, alpha)
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jpath):
-            existing = spark.read.parquet(path)  # real errors raise
-            merged = (sk.unionByName(existing)
-                      .groupBy("day", "kind", "idx")
-                      .agg(F.sum("cnt").alias("cnt")))
-        else:
-            merged = sk
-        tmp = path.rstrip("/") + "__swap"
-        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-        if fs.exists(jtmp):  # leftover from a crashed swap
-            fs.delete(jtmp, True)
-        merged.write.mode("overwrite").parquet(tmp)
-        if fs.exists(jpath):
-            fs.delete(jpath, True)
-        fs.rename(jtmp, jpath)
+        _commit_register_store(
+            batch.sparkSession, path, batch_id,
+            lambda existing: sk if existing is None
+            else (sk.unionByName(existing)
+                  .groupBy("day", "kind", "idx")
+                  .agg(F.sum("cnt").alias("cnt"))))
 
     return merge
 

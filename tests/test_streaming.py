@@ -731,3 +731,134 @@ def test_cms_register_store_matches_batch(spark, tmp_path):
              .filter("token in ('w3','w9')").collect()}
     for t in ("w3", "w9"):
         assert est[t] >= truth[t]
+
+
+def _fs_for(spark, path):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _dd_batch(spark, lo, hi):
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 6, 1)
+    rows = [(i, t0 + _dt.timedelta(days=i % 3, minutes=i),
+             float(2 ** (i % 10)) + 0.25 * i) for i in range(lo, hi)]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double")
+
+
+def _store_snapshot(spark, store):
+    return {tuple(r) for r in spark.read.parquet(store).collect()}
+
+
+def test_register_sink_replay_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: delivering the SAME micro-batch
+    twice with its original batch_id must leave the ADD-merge stores
+    (CMS, DDSketch) byte-unchanged — the `_applied_b{id}` ledger skips
+    the replay — while a NEW batch_id still applies. HLL covered too
+    (idempotent by MAX anyway; the ledger just skips the work)."""
+    from seatunnel_spark.dataops.text import cms_build  # noqa: F401
+    from seatunnel_spark.streaming import (cms_register_sink,
+                                           ddsketch_register_sink,
+                                           hll_register_sink)
+
+    # DDSketch (ADD merge — replay would double-count without ledger)
+    dd_store = str(tmp_path / "dd_store")
+    sink = ddsketch_register_sink(dd_store)
+    b0, b1 = _dd_batch(spark, 0, 300), _dd_batch(spark, 300, 500)
+    sink(b0, 0)
+    s0 = _store_snapshot(spark, dd_store)
+    sink(b0, 0)  # replay: must be a no-op
+    assert _store_snapshot(spark, dd_store) == s0
+    sink(b1, 1)  # fresh batch: must apply
+    s1 = _store_snapshot(spark, dd_store)
+    assert s1 != s0
+    sink(b1, 1)  # replay of the second batch: no-op again
+    assert _store_snapshot(spark, dd_store) == s1
+
+    # CMS (ADD merge)
+    cms_store = str(tmp_path / "cms_store")
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j % 7}" for j in range(i, i + 4)))
+         for i in range(120)], "doc_id long, text string")
+    csink = cms_register_sink(cms_store)
+    csink(docs, 0)
+    c0 = _store_snapshot(spark, cms_store)
+    csink(docs, 0)
+    assert _store_snapshot(spark, cms_store) == c0
+
+    # HLL (MAX merge — ledger still skips the replay)
+    hll_store = str(tmp_path / "hll_store")
+    hsink = hll_register_sink(hll_store, value_col="event_id")
+    hsink(b0, 0)
+    h0 = _store_snapshot(spark, hll_store)
+    hsink(b0, 0)
+    assert _store_snapshot(spark, hll_store) == h0
+
+
+def test_register_sink_swap_crash_recovery(spark, tmp_path):
+    """Injected crash between delete(store) and rename(swap, store):
+    the swap (marker present = write completed) is the ONLY full
+    copy; the next merge call must rename it in as the store and then
+    skip the replayed batch via the ledger — accumulated history
+    intact, no double count. Verified for both ADD-merge sinks."""
+    from seatunnel_spark.streaming import (cms_register_sink,
+                                           ddsketch_register_sink)
+
+    dd_store = str(tmp_path / "dd_store")
+    sink = ddsketch_register_sink(dd_store)
+    b0, b1 = _dd_batch(spark, 0, 300), _dd_batch(spark, 300, 500)
+    sink(b0, 0)
+    sink(b1, 1)
+    want = _store_snapshot(spark, dd_store)
+    # Simulate the crash window: batch 1's swap completed (store IS
+    # that swap, marker _applied_b1 inside) but the rename never ran —
+    # store path missing, complete __swap present.
+    jvm, fs, jpath = _fs_for(spark, dd_store)
+    jswap = jvm.org.apache.hadoop.fs.Path(dd_store + "__swap")
+    assert fs.rename(jpath, jswap)
+    assert not fs.exists(jpath) and fs.exists(jswap)
+    sink(b1, 1)  # the stream replays batch 1 after the crash
+    assert _store_snapshot(spark, dd_store) == want
+    assert not fs.exists(jswap)
+
+    cms_store = str(tmp_path / "cms_store")
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j % 7}" for j in range(i, i + 4)))
+         for i in range(120)], "doc_id long, text string")
+    csink = cms_register_sink(cms_store)
+    csink(docs, 0)
+    cwant = _store_snapshot(spark, cms_store)
+    jvm, fs, jpath = _fs_for(spark, cms_store)
+    jswap = jvm.org.apache.hadoop.fs.Path(cms_store + "__swap")
+    assert fs.rename(jpath, jswap)
+    csink(docs, 0)
+    assert _store_snapshot(spark, cms_store) == cwant
+
+
+def test_register_sink_incomplete_swap_removed(spark, tmp_path):
+    """A swap directory WITHOUT its `_applied_b` marker is a dead
+    partial write (crash mid-parquet-write): it must be discarded —
+    never renamed in — and the batch merges against the intact
+    store."""
+    from seatunnel_spark.streaming import ddsketch_register_sink
+
+    store = str(tmp_path / "dd_store")
+    sink = ddsketch_register_sink(store)
+    b0, b1 = _dd_batch(spark, 0, 300), _dd_batch(spark, 300, 500)
+    sink(b0, 0)
+    # Plant a junk swap with no marker alongside the intact store.
+    swap = tmp_path / "dd_store__swap"
+    swap.mkdir()
+    (swap / "part-junk.parquet").write_bytes(b"\x00not a footer")
+    sink(b1, 1)
+    jvm, fs, jpath = _fs_for(spark, store)
+    assert not fs.exists(jvm.org.apache.hadoop.fs.Path(str(swap)))
+    # Store equals the clean two-batch build.
+    clean = str(tmp_path / "dd_clean")
+    csink = ddsketch_register_sink(clean)
+    csink(b0, 0)
+    csink(b1, 1)
+    assert _store_snapshot(spark, store) == _store_snapshot(spark, clean)
