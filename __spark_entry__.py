@@ -3200,11 +3200,16 @@ def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (transitive fusion), then each field survives from the
     LATEST non-null (ord, id) row — the b-copy's fresher name wins,
     while the a-copy's acctbal fills the b-copy's nulled-on-%5 hole
-    (stale non-null beats fresh null, field by field). The oracle
+    (stale non-null beats fresh null, field by field). The CC runs
+    over EXACT-COLLAPSED representatives (linkage.link_dup_clusters:
+    one rep per identical block+field tuple per side enters the pair
+    join, members attach by star edges) — provably identical
+    components, and within-cluster pair edges stay flat instead of
+    quadratic when the corpus carries exact replicas. The oracle
     replays linkage, a recursive min-reachability CC, and arg_max
     survivorship."""
     from seatunnel_spark.dataops.linkage import (golden_records,
-                                                 link_score_pairs)
+                                                 link_dup_clusters)
 
     c = _t(spark, sf_dir, "customer")
     blk2 = F.substring(F.lower(F.col("c_name")), -1, 1)
@@ -3223,19 +3228,20 @@ def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("c_nationkey"), blk2.alias("blk2"))
     fields = {"name": (0.95, 0.001), "bal": (0.9, 0.0005),
               "seg": (0.9, 0.2)}
-    pairs = link_score_pairs(a, b, "ida", "idb",
-                             ["c_nationkey", "blk2"],
-                             fields, threshold=5.0,
-                             max_pairs=2_000_000,
-                             on_oversize="split", split_col="bal")
+    clusters = link_dup_clusters(a, b, "ida", "idb",
+                                 ["c_nationkey", "blk2"],
+                                 fields, threshold=5.0,
+                                 max_pairs=2_000_000,
+                                 on_oversize="split", split_col="bal")
     records = (a.select(F.col("ida").alias("id"),
                         F.col("ida").alias("ord"),
                         "name", "bal", "seg")
                .unionByName(b.select(F.col("idb").alias("id"),
                                      F.col("idb").alias("ord"),
                                      "name", "bal", "seg")))
-    return golden_records(records, pairs, "id", "ord",
-                          fields=["name", "bal", "seg"])
+    return golden_records(records, None, "id", "ord",
+                          fields=["name", "bal", "seg"],
+                          clusters=clusters)
 
 
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:

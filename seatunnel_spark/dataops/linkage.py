@@ -27,7 +27,7 @@ import warnings
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["link_score_pairs", "link_field_weights",
-           "golden_records"]
+           "link_dup_clusters", "golden_records"]
 
 
 def _guard_pair_product(
@@ -177,12 +177,16 @@ def link_score_pairs(
     m/u), so the whole comparison replays in SQL for the oracle."""
     from seatunnel_spark.dataops.dedup import _cap_buckets
 
+    from seatunnel_spark.dataops._cache import scoped_persist
+
     weights = link_field_weights(fields)
     cols = list(fields)
-    if split_col is not None and split_col not in cols \
-            and split_col not in block_cols:
-        raise ValueError(f"split_col {split_col!r} must be one of "
-                         f"the compared fields or block_cols")
+    if split_col is not None and split_col not in cols:
+        raise ValueError(
+            f"split_col {split_col!r} must be one of the compared "
+            f"fields {cols}: every row of an oversize block shares "
+            f"the block-key values, so a block-column sub-key is "
+            f"CONSTANT within the block and cannot refine it")
     aa = a.select(F.col(id_a).alias("id_a"),
                   *[F.col(c).alias(f"__a_{c}") for c in cols],
                   *[F.col(c) for c in block_cols])
@@ -191,8 +195,15 @@ def link_score_pairs(
                   *[F.col(c) for c in block_cols])
     aa = _cap_buckets(aa, block_cols, max_block)
     bb = _cap_buckets(bb, block_cols, max_block)
+    if max_pairs is not None:
+        # The guard runs an eager per-block aggregation over BOTH
+        # sides before the join re-reads them — persist the prepared
+        # sides so the guard pass fills the cache instead of doubling
+        # the side scans (released by the caller's cache_scope).
+        aa = scoped_persist(aa)
+        bb = scoped_persist(bb)
     split_a = split_b = None
-    if split_col is not None and split_col in cols:
+    if split_col is not None:
         split_a, split_b = f"__a_{split_col}", f"__b_{split_col}"
     aa, bb, join_keys = _guard_pair_product(
         aa, bb, block_cols, max_pairs, on_oversize,
@@ -220,14 +231,105 @@ def link_score_pairs(
             .filter(F.col("score") >= threshold))
 
 
+def link_dup_clusters(
+    a: DataFrame,
+    b: DataFrame,
+    id_a: str,
+    id_b: str,
+    block_cols: list[str],
+    fields: dict[str, tuple[float, float]],
+    threshold: float = 0.0,
+    max_block: int | None = 100_000,
+    max_pairs: int | None = 25_000_000,
+    on_oversize: str = "raise",
+    split_col: str | None = None,
+    n_splits: int = 64,
+    round_to: int = 4,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """Linkage connected components with EXACT-RECORD COLLAPSE ->
+    (id, cluster_id) — the jaccard_dup_clusters trick (dedup.py)
+    applied to Fellegi-Sunter linkage: one representative (min id)
+    per identical (block_cols + compared-fields) tuple on EACH side
+    enters link_score_pairs, and members attach to their
+    representative's component by a direct star edge.
+
+    The components are IDENTICAL to CC over the full pair set: the
+    score is a pure function of the two compared tuples, so every
+    edge (member, x) the full join would add exists as (rep, x) with
+    the same score — the star edge stands in, transitively, for all
+    of them. The one subtlety: an a-member and its a-rep are NEVER
+    directly paired by the two-sided join (it only pairs a x b), so
+    the star edge is added ONLY when the rep appears in a surviving
+    pair — a rep with no cross-side match stays a singleton exactly
+    as the full graph leaves it (equivalence-tested, including that
+    case). Tuples group null-safely via an md5(to_json(struct))
+    digest — the same null==null treatment groupBy would give, and
+    consistent with the score's a-null-contributes-0 rule, which is
+    also tuple-determined.
+
+    Why: under exact replication (crawl corpora, multi-feed CRM
+    dumps) within-cluster pair edges grow QUADRATICALLY in the copy
+    count while distinct tuples stay flat — the collapse turns the
+    pair join and the CC from quadratic-in-copies to
+    distinct-tuple-sized (the sf10 golden-records residual this
+    closes was 3.6x/decade). With caps/guards (`max_block`,
+    `max_pairs`) active, the collapsed form caps on DISTINCT-tuple
+    occupancy — strictly closer to the uncapped-exact answer than
+    capping on replicated counts. `collapse_exact=False` recovers
+    the plain link_score_pairs -> duplicate_clusters composition."""
+    from seatunnel_spark.dataops._cache import scoped_persist
+    from seatunnel_spark.dataops.dedup import duplicate_clusters
+
+    def _link(sa: DataFrame, sb: DataFrame) -> DataFrame:
+        return link_score_pairs(
+            sa, sb, id_a, id_b, block_cols, fields, threshold,
+            max_block, max_pairs, on_oversize, split_col, n_splits,
+            round_to)
+
+    if not collapse_exact:
+        return duplicate_clusters(_link(a, b))
+
+    cols = list(fields)
+    dg = F.md5(F.to_json(F.struct(
+        *[F.col(c) for c in [*block_cols, *cols]])))
+
+    def _collapse(df: DataFrame, idc: str):
+        base = df.select(F.col(idc).alias("__id"), dg.alias("__dg"))
+        groups = (base.groupBy("__dg")
+                  .agg(F.min("__id").alias("__rep")))
+        reps = df.join(
+            groups.select(F.col("__rep").alias(idc)), [idc], "semi")
+        members = (base.join(groups, ["__dg"])
+                   .filter(F.col("__id") != F.col("__rep"))
+                   .select("__id", "__rep"))
+        return reps, members
+
+    reps_a, mem_a = _collapse(a, id_a)
+    reps_b, mem_b = _collapse(b, id_b)
+    pairs = scoped_persist(_link(reps_a, reps_b)
+                           .select("id_a", "id_b"))
+    star_a = (mem_a.join(pairs.select(F.col("id_a").alias("__rep")),
+                         ["__rep"], "semi")
+              .select(F.col("__id").alias("id_a"),
+                      F.col("__rep").alias("id_b")))
+    star_b = (mem_b.join(pairs.select(F.col("id_b").alias("__rep")),
+                         ["__rep"], "semi")
+              .select(F.col("__id").alias("id_a"),
+                      F.col("__rep").alias("id_b")))
+    return duplicate_clusters(
+        pairs.unionByName(star_a).unionByName(star_b))
+
+
 def golden_records(
     records: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None,
     id_col: str,
     order_col: str,
     fields: list[str] | None = None,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Survivorship after linkage -> one GOLDEN record per matched
     cluster: link pairs become connected components
@@ -245,13 +347,20 @@ def golden_records(
     rows keyed by cluster — no window, no per-cluster sort. The
     (order_col, id) struct key makes every pick deterministic even
     under order ties, so SQL engines replay it (arg_max over the
-    same tuple)."""
+    same tuple).
+
+    Pass `clusters` (id, cluster_id — e.g. from link_dup_clusters'
+    exact-collapsed CC) to skip the pair-graph CC here; `pairs` may
+    then be None."""
     from seatunnel_spark.dataops.dedup import duplicate_clusters
 
     if fields is None:
         fields = [c for c in records.columns
                   if c not in (id_col, order_col)]
-    clusters = duplicate_clusters(pairs, id_a, id_b)
+    if clusters is None:
+        if pairs is None:
+            raise ValueError("golden_records needs pairs or clusters")
+        clusters = duplicate_clusters(pairs, id_a, id_b)
     r = (records.join(
             clusters.withColumnRenamed("id", id_col), [id_col], "left")
          .withColumn("__cid", F.coalesce("cluster_id", F.col(id_col))))

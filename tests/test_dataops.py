@@ -3895,3 +3895,89 @@ def test_golden_records_survivorship(spark):
     assert got == {1: (3, "c3", "p3"),
                    5: (2, "f", "p5"),
                    9: (1, "z", None)}
+
+
+def test_link_split_col_block_col_rejected(spark):
+    """A split_col drawn from block_cols is a guaranteed no-op (every
+    row of an oversize block shares the block-key value, so the
+    sub-key is constant within it) — validation must refuse it loudly
+    instead of warning that the block was 'split'."""
+    import pytest
+
+    from seatunnel_spark.dataops.linkage import link_score_pairs
+
+    a = spark.createDataFrame([(1, "x", "h")], ["ida", "v", "blk"])
+    b = spark.createDataFrame([(2, "x", "h")], ["idb", "v", "blk"])
+    with pytest.raises(ValueError, match="cannot refine"):
+        link_score_pairs(a, b, "ida", "idb", ["blk"],
+                         {"v": (0.9, 0.01)}, on_oversize="split",
+                         split_col="blk")
+
+
+def test_link_dup_clusters_matches_full(spark):
+    """Exact-collapse linkage CC == CC over the FULL pair graph on a
+    replicated corpus: each entity's a- and b-rows are copied 4x with
+    distinct ids but identical (block, field) tuples; components,
+    membership, and min-id canon labels must be identical. Includes
+    (a) a cross-side matching entity, (b) an entity whose a-rows have
+    NO surviving b-match — its replicas must stay OUT of the cluster
+    output exactly as the full graph leaves them (the
+    no-unconditional-star-edge subtlety), and (c) a null field value
+    (null tuples group together, matching null==null groupBy and the
+    score's null-contributes-0 rule)."""
+    from seatunnel_spark.dataops.dedup import duplicate_clusters
+    from seatunnel_spark.dataops.linkage import (link_dup_clusters,
+                                                 link_score_pairs)
+
+    # entity e: name n{e}; entity 7's b-side carries a name no a-row
+    # matches (isolated reps); entity 3 has a NULL bal on both sides.
+    def side(base, idc):
+        rows = []
+        for e in range(8):
+            for copy in range(4):
+                rows.append((base + e * 10 + copy,
+                             None if e == 3 else float(e),
+                             "zz" if base > 0 and e == 7 else f"n{e}",
+                             e % 2))
+        return spark.createDataFrame(
+            rows, f"{idc} long, bal double, name string, blk int")
+
+    a, b = side(0, "ida"), side(1000, "idb")
+    fields = {"name": (0.9, 0.01), "bal": (0.8, 0.05)}
+    args = (["blk"], fields)
+
+    full = duplicate_clusters(link_score_pairs(
+        a, b, "ida", "idb", *args, threshold=1.0, max_pairs=None)
+        .select("id_a", "id_b"))
+    coll = link_dup_clusters(
+        a, b, "ida", "idb", *args, threshold=1.0, max_pairs=None)
+    want = {(r["id"], r["cluster_id"]) for r in full.collect()}
+    got = {(r["id"], r["cluster_id"]) for r in coll.collect()}
+    assert got == want and len(want) > 0
+    # entity 7's rows (70..73 / 1070..1073) matched nothing: absent
+    assert not any(i % 1000 // 10 == 7 for i, _ in got)
+    # entity 3 (null bal) still clusters across sides via name
+    assert any(i // 10 == 3 and i < 100 for i, _ in got)
+
+    # collapse_exact=False recovers the plain composition
+    plain = link_dup_clusters(
+        a, b, "ida", "idb", *args, threshold=1.0, max_pairs=None,
+        collapse_exact=False)
+    assert {(r["id"], r["cluster_id"])
+            for r in plain.collect()} == want
+
+    # golden_records accepts the precomputed clusters (pairs=None)
+    from seatunnel_spark.dataops.linkage import golden_records
+
+    recs = (a.select(F.col("ida").alias("id"),
+                     F.col("ida").alias("ord"), "name", "bal")
+            .unionByName(b.select(F.col("idb").alias("id"),
+                                  F.col("idb").alias("ord"),
+                                  "name", "bal")))
+    g_pairs = golden_records(recs, link_score_pairs(
+        a, b, "ida", "idb", *args, threshold=1.0, max_pairs=None),
+        "id", "ord", fields=["name", "bal"])
+    g_clust = golden_records(recs, None, "id", "ord",
+                             fields=["name", "bal"], clusters=coll)
+    assert sorted(map(tuple, g_pairs.collect())) == \
+        sorted(map(tuple, g_clust.collect()))
