@@ -8224,13 +8224,13 @@ def oracle_sql() -> dict[str, str]:
               FROM arrs, UNNEST(range(1, len(toks) - 6)) AS r(pos)
             ), stats AS (
               SELECT shingle, count(*) AS cnt,
-                     min(doc_id * 1000000 + pos) AS first
+                     min(struct_pack(i := doc_id, p := pos)) AS first
               FROM sh2 GROUP BY shingle
             ), marked AS (
               SELECT s.doc_id, s.pos
               FROM sh2 s JOIN stats t USING (shingle)
               WHERE t.cnt >= 2
-                AND s.doc_id * 1000000 + s.pos <> t.first
+                AND struct_pack(i := s.doc_id, p := s.pos) <> t.first
             ), isl AS (
               SELECT doc_id, pos,
                      CASE WHEN lag(pos) OVER w IS NULL

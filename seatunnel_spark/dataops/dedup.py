@@ -742,7 +742,11 @@ def best_of_cluster(
     the identical winner with plain arg_max (no struct-comparison
     semantics to match across engines). Requires 0 <= ids < 10¹⁰ and
     |score| < 10⁴ (the packed key must fit a signed 64-bit long);
-    NULL scores rank lowest (coalesced below the score range).
+    NULL scores rank lowest (coalesced below the score range). The
+    domain is ENFORCED per-row in codegen (raise_error naming the
+    offending id/score) — out-of-domain inputs fail loudly instead
+    of silently crowning the wrong winner, at zero extra Spark
+    actions (no separate stats job).
 
     Pass either `pairs` (a near-dup pair frame — clustered here via
     duplicate_clusters) or a precomputed `clusters` (id, cluster_id)
@@ -757,10 +761,19 @@ def best_of_cluster(
             clusters.withColumnRenamed("id", id_col), [id_col], "left")
          .withColumn("__cid", F.coalesce("cluster_id",
                                          F.col(id_col))))
-    key = (F.coalesce(F.round(F.col(score_col) * 10_000, 0),
-                      F.lit(-200_000_000.0)).cast("long")
-           * F.lit(10_000_000_000)
-           + (F.lit(9_999_999_999) - F.col(id_col)))
+    _id = F.col(id_col).cast("long")
+    in_domain = ((_id >= 0) & (_id < F.lit(10_000_000_000))
+                 & (F.col(score_col).isNull()
+                    | (F.abs(F.col(score_col)) < F.lit(10_000))))
+    packed = (F.coalesce(F.round(F.col(score_col) * 10_000, 0),
+                         F.lit(-200_000_000.0)).cast("long")
+              * F.lit(10_000_000_000)
+              + (F.lit(9_999_999_999) - _id))
+    key = F.when(in_domain, packed).otherwise(F.raise_error(F.concat(
+        F.lit("best_of_cluster: packed-key domain violated (need "
+              "0 <= id < 1e10 and |score| < 1e4), got id="),
+        F.col(id_col).cast("string"), F.lit(" score="),
+        F.coalesce(F.col(score_col).cast("string"), F.lit("null")))))
     aggs = [F.count(F.lit(1)).alias("n_members"),
             F.max_by(F.col(id_col), key).alias(id_col)]
     aggs += [F.max_by(F.col(c), key).alias(c) for c in fields]
@@ -1048,10 +1061,12 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
     maximal duplicated spans — so suffix-array span discovery
     reduces to shingle statistics + an island merge, both
     distributed-friendly. KEEP-FIRST semantics: each shingle's
-    corpus-wide first occurrence (min packed (doc, pos) ordinal —
-    the passage_dup_stats convention) stays unmarked, so the
-    earliest copy of a span survives and every other copy (including
-    later repeats INSIDE the same document) is reported.
+    corpus-wide first occurrence — min (doc, pos) STRUCT, compared
+    lexicographically, so any comparable id type works (string ids
+    order textually) and a >1M-token document cannot bleed into the
+    next id's range the way a packed ordinal would — stays unmarked,
+    so the earliest copy of a span survives and every other copy
+    (including later repeats INSIDE the same document) is reported.
     `boilerplate_df`: shingles appearing more than this many times
     are boilerplate — ALL their occurrences are marked (no surviving
     copy), the C4-style terms-of-service rule. None disables.
@@ -1082,12 +1097,13 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
            .select("__id", F.explode(sh_arr).alias("__s"))
            .select("__id", F.col("__s.p").alias("__pos"),
                    F.col("__s.k").alias("__k")))
-    ordinal = F.col("__id") * F.lit(1_000_000) + F.col("__pos")
-    stats = (occ.select("__k", ordinal.alias("__ord"))
+    ordkey = F.struct(F.col("__id").alias("i"),
+                      F.col("__pos").alias("p"))
+    stats = (occ.select("__k", ordkey.alias("__ok"))
              .groupBy("__k")
              .agg(F.count(F.lit(1)).alias("__cnt"),
-                  F.min("__ord").alias("__first")))
-    dup = ((F.col("__cnt") >= 2) & (ordinal != F.col("__first")))
+                  F.min("__ok").alias("__first")))
+    dup = ((F.col("__cnt") >= 2) & (ordkey != F.col("__first")))
     if boilerplate_df is not None:
         dup = dup | (F.col("__cnt") > boilerplate_df)
     marked = (occ.join(stats, "__k").filter(dup)

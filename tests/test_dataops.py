@@ -1224,6 +1224,34 @@ def test_substring_dup_spans_arbitrary_alignment(spark):
     assert substring_dup_spans(tiny, n=3).count() == 0
 
 
+def test_substring_dup_spans_struct_ordinal_domain(spark):
+    """The keep-first key is a (doc, pos) STRUCT min, not a packed
+    ordinal: (a) a duplicated shingle whose first copy sits past
+    position 1,000,000 (the old packing width) still keeps exactly
+    the earliest occurrence — the later doc is marked, the long doc
+    is not; (b) string doc ids work (lexicographic keep-first)."""
+    from seatunnel_spark.dataops.dedup import substring_dup_spans
+
+    # (a) 1.2M-token doc, the shared run sits at its tail (position
+    # > 1e6, where id*1e6+pos packing would bleed into doc 2's range)
+    long_doc = " ".join(f"t{i}" for i in range(1_200_000 - 4)) \
+        + " dup1 dup2 dup3 dup4"
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, "zz dup1 dup2 dup3 dup4 yy")],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["start_tok"], r["end_tok"])
+           for r in substring_dup_spans(docs, n=4).collect()}
+    assert got == {(2, 2, 5)}
+
+    # (b) string ids: keep-first by lexicographic id order
+    sdocs = spark.createDataFrame(
+        [("beta", "a b c d e"), ("alpha", "a b c d e")],
+        "doc_id string, text string")
+    sgot = {(r["doc_id"], r["start_tok"], r["end_tok"])
+            for r in substring_dup_spans(sdocs, n=5).collect()}
+    assert sgot == {("beta", 1, 5)}
+
+
 def test_substring_dedup_apply_excises_spans(spark):
     """APPLY step: duplicated spans are excised from the later copy,
     the first copy and non-duplicated tokens survive, and a fully-
@@ -3760,6 +3788,24 @@ def test_best_of_cluster_quality_survivor(spark):
     assert got[1] == (2, 3, 0.9)
     # cluster {7,9}: 9 has NULL score -> 7 wins
     assert got[7] == (7, 2, 0.3)
+
+    # packed-key domain is enforced per-row: a negative id or a
+    # score beyond |1e4| fails LOUDLY (raise_error in codegen names
+    # the offending row) instead of silently crowning a wrong winner
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    bad_id = spark.createDataFrame(
+        [(-1, 0.5), (2, 0.6)], "doc_id long, score double")
+    with pytest.raises(Exception, match="domain violated") as ei:
+        best_of_cluster(bad_id, pairs, "doc_id", "score",
+                        fields=["score"]).collect()
+    assert isinstance(ei.value, Py4JJavaError) or "domain" in str(ei.value)
+    bad_score = spark.createDataFrame(
+        [(1, 50_000.0), (2, 0.6)], "doc_id long, score double")
+    with pytest.raises(Exception, match="domain violated"):
+        best_of_cluster(bad_score, pairs, "doc_id", "score",
+                        fields=["score"]).collect()
 
 
 def test_jaccard_dup_clusters_collapse_equivalence(spark):
