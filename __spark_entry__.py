@@ -929,8 +929,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "quality_score"))
 
 
-def _classifier_features(spark: SparkSession, sf_dir: str
-                         ) -> DataFrame:
+def _classifier_features(spark: SparkSession, sf_dir: str,
+                         raw: bool = False) -> DataFrame:
     """Shared feature frame for the trainable quality classifier:
     O(1)-scaled, SQL-replayable text statistics over the canonical
     tokenization (lowered, trimmed, \\s+-split), with SEED LABELS
@@ -939,7 +939,10 @@ def _classifier_features(spark: SparkSession, sf_dir: str
     the classifier learns a smooth scorer from cheap features; 3 GD
     iterations reach ~89% agreement with a 4-cell confusion matrix).
     Columns (y, x1..x4): token count /100, mean token length /10,
-    distinct-token ratio, stopword fraction."""
+    distinct-token ratio, stopword fraction. `raw=True` skips the
+    /100 and /10 scalings (token count and mean token length at
+    their natural magnitudes) — the input shape the standardize=True
+    fit is built for."""
     from seatunnel_spark.dataops.text import quality_score
 
     d = _t(spark, sf_dir, "documents")
@@ -953,10 +956,12 @@ def _classifier_features(spark: SparkSession, sf_dir: str
          .join(q, "doc_id"))
     nt = F.greatest(F.size("__toks"), F.lit(1)).cast("double")
     stops = ("the", "a", "of", "and", "to", "in", "is")
+    s1 = F.lit(1.0) if raw else F.lit(100.0)
+    s2 = F.lit(1.0) if raw else F.lit(10.0)
     return b.select(
         "y",
-        (F.size("__toks") / F.lit(100.0)).alias("x1"),
-        ((F.length("__txt") / nt) / F.lit(10.0)).alias("x2"),
+        (F.size("__toks") * F.lit(1.0) / s1).alias("x1"),
+        ((F.length("__txt") / nt) / s2).alias("x2"),
         (F.size(F.array_distinct("__toks")) / nt).alias("x3"),
         (F.size(F.filter("__toks",
                          lambda t: t.isin(*stops))) / nt).alias("x4"))
@@ -997,6 +1002,24 @@ def q_quality_classifier_cm(spark: SparkSession, sf_dir: str
         F.col("y").cast("long").alias("label"),
         F.when(F.col("score") >= 0.5, 1).otherwise(0).alias("pred"))
         .agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_quality_classifier_std(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Standardized trainable classifier (analytics.py:logreg_fit
+    standardize=True): the SAME fit on RAW-magnitude signals (token
+    count ~200, mean word length ~5 — no hand /100, /10 scaling):
+    one extra aggregation computes per-feature μ/σ as rounded
+    literals (population form, explicit Σ/Σ² arithmetic, σ=0→1),
+    GD runs on (x−μ)/σ, and the model rows carry (feature, weight,
+    mu, sigma) so logreg_score replays the transform on raw
+    features. The oracle unrolls the standardize pass AND the 3
+    gradient steps as CTEs — every update is literal arithmetic."""
+    from seatunnel_spark.dataops.analytics import logreg_fit
+
+    f = _classifier_features(spark, sf_dir, raw=True)
+    return logreg_fit(f, ["x1", "x2", "x3", "x4"], "y",
+                      iters=3, lr=1.0, standardize=True)
 
 
 def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3877,6 +3900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": text_quality_score,
         "q_quality_classifier": q_quality_classifier,
         "q_quality_classifier_cm": q_quality_classifier_cm,
+        "q_quality_classifier_std": q_quality_classifier_std,
         "emb_pca": emb_pca,
         "text_langid": text_langid,
         "text_tokens": text_tokens,
@@ -7229,11 +7253,16 @@ def _linkage_ctes() -> tuple[str, str, str]:
     return ctes, " + ".join(hits), " + ".join(terms)
 
 
-def _logreg_ctes(iters: int = 3, lr: float = 1.0) -> str:
+def _logreg_ctes(iters: int = 3, lr: float = 1.0,
+                 std: bool = False) -> str:
     """Shared oracle CTE chain for the quality-classifier queries:
     the feature frame + `iters` unrolled gradient/update steps of
     logreg_fit's exact arithmetic (σ in the literal 1/(1+exp(−z))
-    form, updates rounded to 6 before the next pass)."""
+    form, updates rounded to 6 before the next pass). With
+    `std=True` the feature frame carries RAW magnitudes and the
+    chain replays logreg_fit's standardize pass — population μ/σ
+    from explicit Σ/Σ² sums, both rounded to 6, σ=0→1, GD over
+    (x−μ)/σ (CTEs st/m/fz)."""
     feats = ["x1", "x2", "x3", "x4"]
     parts = [r"""wd AS (
               SELECT doc_id, text,
@@ -7276,26 +7305,46 @@ def _logreg_ctes(iters: int = 3, lr: float = 1.0) -> str:
               FROM documents d JOIN lbl USING (doc_id)
             ), f AS (
               SELECT y,
-                     len(toks) / 100.0 AS x1,
+                     len(toks) {x1_scale} AS x1,
                      (length(txt) * 1.0 / greatest(len(toks), 1))
-                       / 10.0 AS x2,
+                       {x2_scale} AS x2,
                      len(list_distinct(toks)) * 1.0
                        / greatest(len(toks), 1) AS x3,
                      len(list_filter(toks, t -> t IN
                          ('the','a','of','and','to','in','is')))
                        * 1.0 / greatest(len(toks), 1) AS x4
               FROM b
-            )"""]
+            )""".format(x1_scale="* 1.0" if std else "/ 100.0",
+                        x2_scale="* 1.0" if std else "/ 10.0")]
+    ffrm = "f"
+    if std:
+        ssums = ", ".join(
+            f"sum({x}) AS s{j + 1}, sum({x}*{x}) AS q{j + 1}"
+            for j, x in enumerate(feats))
+        parts.append(f"st AS (SELECT count(*) AS n, {ssums} FROM f)")
+        mcols = []
+        for j in range(1, len(feats) + 1):
+            raw_sg = (f"round(sqrt(greatest(q{j}/n "
+                      f"- (s{j}/n)*(s{j}/n), 0.0)), 6)")
+            mcols.append(f"round(s{j}/n, 6) AS mu{j}")
+            mcols.append(f"CASE WHEN {raw_sg} > 0 THEN {raw_sg} "
+                         f"ELSE 1.0 END AS sg{j}")
+        parts.append(f"m AS (SELECT {', '.join(mcols)} FROM st)")
+        zcols = ", ".join(
+            f"(x{j} - mu{j})/sg{j} AS x{j}"
+            for j in range(1, len(feats) + 1))
+        parts.append(f"fz AS (SELECT y, {zcols} FROM f, m)")
+        ffrm = "fz"
     for t in range(1, iters + 1):
         if t == 1:
             p = "0.5"
-            src = "f"
+            src = ffrm
         else:
             z = " + ".join([f"w.c0"]
                            + [f"w.c{j + 1}*{x}"
                               for j, x in enumerate(feats)])
             p = f"1.0/(1.0+exp(-({z})))"
-            src = f"f, w{t - 1} w"
+            src = f"{ffrm}, w{t - 1} w"
         gsums = ", ".join(
             [f"sum({p} - y) AS g0"]
             + [f"sum(({p} - y)*{x}) AS g{j + 1}"
@@ -7318,6 +7367,17 @@ def _quality_classifier_oracle_sql(iters: int = 3) -> str:
         + [f"SELECT 'x{j}', c{j} FROM w{iters}"
            for j in range(1, 5)])
     return f"WITH {_logreg_ctes(iters)}\n            {rows}"
+
+
+def _quality_classifier_std_oracle_sql(iters: int = 3) -> str:
+    rows = " UNION ALL ".join(
+        [f"SELECT '__intercept' AS feature, c0 AS weight, "
+         f"0.0 AS mu, 1.0 AS sigma FROM w{iters}"]
+        + [f"SELECT 'x{j}', c{j}, m.mu{j}, m.sg{j} "
+           f"FROM w{iters}, m"
+           for j in range(1, 5)])
+    return (f"WITH {_logreg_ctes(iters, std=True)}\n"
+            f"            {rows}")
 
 
 def _quality_classifier_cm_oracle_sql(iters: int = 3) -> str:
@@ -7820,6 +7880,7 @@ def oracle_sql() -> dict[str, str]:
     d["q_golden_records"] = _golden_records_oracle_sql()
     d["q_quality_classifier"] = _quality_classifier_oracle_sql()
     d["q_quality_classifier_cm"] = _quality_classifier_cm_oracle_sql()
+    d["q_quality_classifier_std"] = _quality_classifier_std_oracle_sql()
     d["q_ab_test"] = """
             WITH s AS (
               SELECT count(CASE WHEN user_id % 2 = 0 THEN 1 END)

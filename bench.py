@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "stream_ddsketch_daily",
     "sim_hard_negatives",
     "dedup_keep_best",
+    # round-11 additions (append-only)
+    "q_quality_classifier_std",
 ]
 
 

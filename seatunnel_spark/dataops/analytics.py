@@ -6,6 +6,8 @@ so the shuffle volume is one row per (group) not per (event)."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1004,7 +1006,8 @@ def grouped_ols(df: DataFrame, group_cols: list[str], x_expr: str,
 
 def logreg_fit(df: DataFrame, feature_cols: list[str],
                label_col: str, iters: int = 3, lr: float = 1.0,
-               round_to: int = 6) -> DataFrame:
+               round_to: int = 6, standardize: bool = False,
+               l2: float = 0.0) -> DataFrame:
     """Distributed logistic-regression fit by full-batch gradient
     descent -> (feature, weight) rows (intercept as '__intercept'):
     the TRAINABLE quality classifier the heuristic
@@ -1026,9 +1029,21 @@ def logreg_fit(df: DataFrame, feature_cols: list[str],
 
     Scale: the corpus is scanned `iters` times (scoped_persist makes
     the scans cache-backed); only the d+1 gradient doubles ever
-    reach the driver. Callers own feature scaling — O(1)-magnitude
-    features keep fixed-step GD sane (the demo queries scale
-    theirs); labels must be 0/1."""
+    reach the driver. Labels must be 0/1.
+
+    `standardize=True` makes the fit robust to RAW-magnitude signals
+    at the fixed step: one extra aggregation computes per-feature
+    μ = round(Σx/n, round_to) and σ = round(sqrt(max(Σx²/n −
+    (Σx/n)², 0)), round_to) (population form, explicit Σ/Σ²
+    arithmetic — no stddev implementation skew), a constant feature
+    (σ=0) standardizes to 0 via σ:=1, and GD runs on (x−μ)/σ with
+    μ/σ applied as LITERALS — still fully SQL-replayable. The output
+    then carries (feature, weight, mu, sigma) rows (intercept row:
+    mu=0, sigma=1) so logreg_score can apply the same transform;
+    without standardize the historic (feature, weight) schema is
+    unchanged. `l2` adds ridge shrinkage to the NON-intercept
+    gradient (w_j ← w_j − lr·(g_j/n + l2·w_j)) — literal arithmetic,
+    replayable like everything else."""
     from seatunnel_spark.dataops._cache import scoped_persist
 
     if iters < 1:
@@ -1042,6 +1057,28 @@ def logreg_fit(df: DataFrame, feature_cols: list[str],
     base = scoped_persist(
         df.filter(cond)
         .select(F.col(label_col).cast("double").alias("__y"), *xs))
+    mus = [0.0] * d
+    sigmas = [1.0] * d
+    if standardize:
+        saggs = [F.count(F.lit(1)).alias("__n")]
+        for j in range(d):
+            x = F.col(f"__x{j}")
+            saggs += [F.sum(x).alias(f"__s{j}"),
+                      F.sum(x * x).alias(f"__q{j}")]
+        srow = base.agg(*saggs).collect()[0]
+        n = srow["__n"]
+        if n == 0:
+            raise ValueError("logreg_fit: no complete rows to fit")
+        for j in range(d):
+            m = srow[f"__s{j}"] / n
+            var = max(srow[f"__q{j}"] / n - m * m, 0.0)
+            mus[j] = round(m, round_to)
+            sg = round(math.sqrt(var), round_to)
+            sigmas[j] = sg if sg > 0 else 1.0
+        base = base.select(
+            "__y",
+            *[((F.col(f"__x{j}") - F.lit(mus[j])) / F.lit(sigmas[j]))
+              .alias(f"__x{j}") for j in range(d)])
     w = [0.0] * (d + 1)  # [intercept, w_1 .. w_d]
     for _ in range(iters):
         z = F.lit(w[0])
@@ -1056,9 +1093,18 @@ def logreg_fit(df: DataFrame, feature_cols: list[str],
         n = row["__n"]
         if n == 0:
             raise ValueError("logreg_fit: no complete rows to fit")
-        w = [round(w[j] - lr * row[f"__g{j}"] / n, round_to)
+        w = [round(w[j] - lr * (row[f"__g{j}"] / n
+                                + (l2 * w[j] if j > 0 else 0.0)),
+                   round_to)
              for j in range(d + 1)]
     spark = df.sparkSession
+    if standardize:
+        rows = [("__intercept", w[0], 0.0, 1.0)] + [
+            (c, w[j + 1], mus[j], sigmas[j])
+            for j, c in enumerate(feature_cols)]
+        return spark.createDataFrame(
+            rows, "feature string, weight double, mu double, "
+                  "sigma double")
     rows = [("__intercept", w[0])] + [
         (c, w[j + 1]) for j, c in enumerate(feature_cols)]
     return spark.createDataFrame(rows, "feature string, weight double")
@@ -1072,13 +1118,26 @@ def logreg_score(df: DataFrame, weights: DataFrame | dict,
     literals — scan-speed scoring at any scale (the
     text_quality_score shape). `weights` is logreg_fit's output
     frame (collected — it is model-sized) or a {feature: weight}
-    dict with '__intercept'."""
+    dict with '__intercept'. A standardized model (mu/sigma columns
+    present, or dict values as (weight, mu, sigma) tuples) scores as
+    σ(w0 + Σ w_j·(x_j−μ_j)/σ_j) — the same literal transform the
+    fit trained on, so raw features go in unchanged."""
     if isinstance(weights, DataFrame):
-        weights = {r["feature"]: r["weight"]
-                   for r in weights.collect()}
-    z = F.lit(float(weights.get("__intercept", 0.0)))
+        has_std = "mu" in weights.columns
+        weights = {
+            r["feature"]: ((r["weight"], r["mu"], r["sigma"])
+                           if has_std else r["weight"])
+            for r in weights.collect()}
+    w0 = weights.get("__intercept", 0.0)
+    z = F.lit(float(w0[0] if isinstance(w0, tuple) else w0))
     for c in feature_cols:
-        z = z + F.lit(float(weights[c])) * F.col(c).cast("double")
+        wc = weights[c]
+        x = F.col(c).cast("double")
+        if isinstance(wc, tuple):
+            wj, mu, sg = (float(v) for v in wc)
+            z = z + F.lit(wj) * ((x - F.lit(mu)) / F.lit(sg))
+        else:
+            z = z + F.lit(float(wc)) * x
     return df.withColumn(
         out_col,
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to))

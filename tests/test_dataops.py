@@ -3890,6 +3890,71 @@ def test_logreg_fit_matches_numpy_twin(spark):
         logreg_fit(df.filter("id < 0"), ["f1"], "y")
 
 
+def test_logreg_standardize_raw_features(spark):
+    """standardize=True owns feature scaling: (a) the μ/σ arithmetic
+    matches a numpy twin exactly (rounded literals, population σ,
+    σ=0→1); (b) on RAW ×1000-magnitude features at the same fixed lr,
+    the standardized fit separates the data while the unstandardized
+    one saturates (|score−0.5| pinned at the extremes, accuracy at
+    chance); (c) logreg_score applies the (weight, mu, sigma) model
+    to raw features; (d) l2 shrinks non-intercept weights toward 0
+    and leaves the intercept update untouched."""
+    import numpy as np
+
+    from seatunnel_spark.dataops.analytics import (logreg_fit,
+                                                   logreg_score)
+
+    # raw magnitudes: f1 in [0,9000], f2 in [0,9000], plus a constant
+    rng = [(i, (i % 10) * 1000.0, ((i * 7) % 10) * 1000.0, 5.0,
+            1.0 if (i % 10) + ((i * 7) % 10) > 9 else 0.0)
+           for i in range(60)]
+    df = spark.createDataFrame(
+        rng, "id long, f1 double, f2 double, fc double, y double")
+    iters, lr = 5, 1.0
+    model = logreg_fit(df, ["f1", "f2", "fc"], "y", iters=iters,
+                       lr=lr, standardize=True)
+    got = {r["feature"]: (r["weight"], r["mu"], r["sigma"])
+           for r in model.collect()}
+
+    # (a) numpy twin of the standardized path
+    X = np.array([[r[1], r[2], r[3]] for r in rng])
+    yv = np.array([r[4] for r in rng])
+    n = len(yv)
+    mu = np.round(X.sum(axis=0) / n, 6)
+    sg = np.round(np.sqrt(np.maximum(
+        (X * X).sum(axis=0) / n - (X.sum(axis=0) / n) ** 2, 0.0)), 6)
+    sg = np.where(sg > 0, sg, 1.0)
+    Z = (X - mu) / sg
+    w = np.zeros(4)
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(w[0] + Z @ w[1:])))
+        g = np.concatenate([[np.sum(p - yv)], (p - yv) @ Z])
+        w = np.round(w - lr * g / n, 6)
+    for j, c in enumerate(["f1", "f2", "fc"]):
+        assert got[c] == (w[j + 1], mu[j], sg[j])
+    assert got["__intercept"] == (w[0], 0.0, 1.0)
+    assert got["fc"][2] == 1.0 and got["fc"][0] == 0.0  # σ=0 → inert
+
+    # (b) standardized model separates; raw fit saturates at chance
+    scored = logreg_score(df, model, ["f1", "f2", "fc"])
+    acc = scored.filter("(score >= 0.5) = (y = 1.0)").count() / 60.0
+    assert acc >= 0.8
+    raw = logreg_fit(df, ["f1", "f2"], "y", iters=iters, lr=lr)
+    raw_scored = logreg_score(df, raw, ["f1", "f2"])
+    raw_acc = raw_scored.filter(
+        "(score >= 0.5) = (y = 1.0)").count() / 60.0
+    assert raw_acc < acc  # fixed-step GD on x1000 features degrades
+
+    # (d) ridge shrinkage
+    m0 = {r["feature"]: r["weight"] for r in logreg_fit(
+        df, ["f1", "f2"], "y", iters=3, standardize=True).collect()}
+    m1 = {r["feature"]: r["weight"] for r in logreg_fit(
+        df, ["f1", "f2"], "y", iters=3, standardize=True,
+        l2=0.5).collect()}
+    assert abs(m1["f1"]) < abs(m0["f1"])
+    assert abs(m1["f2"]) < abs(m0["f2"])
+
+
 def test_ab_welch_t_hand_check(spark):
     """Welch t against scipy-checked constants: A=[1,2,3,4], B=[2,4,6,
     8,10]: t = (2.5-6)/sqrt(var_a/4 + var_b/5) with Welch dof; flags
