@@ -1263,6 +1263,28 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+def sim_hard_negatives_ivf(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """CORPUS-scale hard-negative mining (dataops/similarity.py:
+    hard_negatives_ivf): EVERY embedding is an anchor mining its own
+    top-5 different-label negatives — no broadcast query set
+    anywhere. Queries explode to their 2 nearest cells of the seeded
+    8-cell coarse codebook and meet the cell-assigned corpus in a
+    shuffled equi-join on the cell id, with the anti-label predicate
+    applied before the rank window (so no over-fetch factor is
+    needed). The oracle replays cell assignment, probe order, label
+    filter, and ranking from the literal centroids. Recall vs the
+    brute-force miner is pinned in
+    tests/test_dataops.py::test_hard_negatives_ivf_recall."""
+    from seatunnel_spark.dataops.similarity import hard_negatives_ivf
+
+    e = _emb_double(spark, sf_dir)
+    out = hard_negatives_ivf(e, e, "vec_id", "vec_id", k=5,
+                             nlist=8, nprobe=2,
+                             centroids=_ivf_codebook(), round_to=4)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware duplicate survivorship (dataops/dedup.py:
     best_of_cluster): n-gram Jaccard near-dup pairs -> connected
@@ -3919,6 +3941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_docs": pack_docs,
         "sim_topk": sim_topk,
         "sim_hard_negatives": sim_hard_negatives,
+        "sim_hard_negatives_ivf": sim_hard_negatives_ivf,
         "dedup_keep_best": dedup_keep_best,
         "sim_pairs_exact": sim_pairs_exact,
         "dedup_embedding_pairs": dedup_embedding_pairs,
@@ -5627,6 +5650,40 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY cosine DESC, match_id ASC) AS rnk FROM scored)
             WHERE rnk <= 10
+        """,
+        # corpus-scale hard negatives: the sim_ivf_topk cell/probe
+        # replay with EVERY row as a query and the anti-label
+        # predicate applied with the cell join, before ranking.
+        "sim_hard_negatives_ivf": f"""
+            WITH e AS (
+              SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+                     sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])) AS nrm
+              FROM embeddings
+            ), sc AS (
+              SELECT vec_id, label, emb, nrm, {ivf_scores} AS scores
+              FROM e
+            ), cells AS (
+              SELECT vec_id, label, emb, nrm,
+                     (list_aggregate(scores, 'max')).i AS cell
+              FROM sc
+            ), qp AS (
+              SELECT vec_id, label, emb, nrm,
+                     unnest(list_transform(
+                       list_slice(list_reverse_sort(scores), 1, 2),
+                       s -> s.i)) AS cell
+              FROM sc
+            ), scored AS (
+              SELECT qp.vec_id AS query_id, c.vec_id AS match_id,
+                     round(list_dot_product(qp.emb, c.emb)
+                           / (qp.nrm * c.nrm), 4) AS cosine
+              FROM qp JOIN cells c
+                ON qp.cell = c.cell AND qp.label <> c.label
+            )
+            SELECT query_id, match_id, cosine, CAST(rnk AS INTEGER) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, match_id ASC) AS rnk FROM scored)
+            WHERE rnk <= 5
         """,
         # SimHash replay: DuckDB recomputes the 64-bit signature from
         # md5 first-8-bytes sign sums over distinct whitespace tokens

@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     # round-11 additions (append-only)
     "q_quality_classifier_std",
+    "sim_hard_negatives_ivf",
 ]
 
 

@@ -29,6 +29,7 @@ from seatunnel_spark.dataops.similarity import (
     search_ivf_index,
     topk_recall,
     hard_negatives,
+    hard_negatives_ivf,
 )
 from seatunnel_spark.dataops.sketches import (
     ddsketch_build,
@@ -106,7 +107,8 @@ __all__ = [
     "doc_chunks", "bm25_topk", "pagerank",
     "passage_dedup_apply", "temperature_sample",
     "substring_dup_spans", "substring_dedup_apply",
-    "best_of_cluster", "hard_negatives", "jaccard_dup_clusters",
+    "best_of_cluster", "hard_negatives", "hard_negatives_ivf",
+    "jaccard_dup_clusters",
     "ddsketch_build", "ddsketch_merge", "ddsketch_quantiles",
     "quantize_int8", "dequant_error", "kmeans_fit", "kmeans_assign",
     "group_sample_topk", "cms_build", "cms_estimate", "heavy_hitters",

@@ -157,6 +157,82 @@ def hard_negatives(
     return _rank_topk(scored, k)
 
 
+def hard_negatives_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_label: str = "label",
+    corpus_label: str = "label",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    centroids: list[list[float]] | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """CORPUS-SCALE hard-negative mining: the hard_negatives
+    semantics (per query, top-k most-similar DIFFERENT-label
+    candidates) over an IVF shortlist instead of a broadcast query
+    set — the regime where the queries are themselves a training
+    corpus (every anchor mines its own negatives), far beyond
+    driver/broadcast size.
+
+    Composition: corpus rows assign to their nearest cell of the
+    coarse codebook (one pass, no corpus shuffle to the driver);
+    queries explode to their `nprobe` nearest cells and meet the
+    corpus in a plain shuffled EQUI-JOIN on the cell id — no
+    broadcast anywhere, both sides scale out, per-cell work is
+    (|q|·nprobe/nlist)·(|c|/nlist) per cell instead of |q|·|c|. The
+    anti-label predicate rides WITH the join, so same-label
+    candidates are discarded before the rank window — which is why
+    NO over-fetch factor is needed: the k survivors come from every
+    different-label candidate in the probed cells, not from a
+    pre-truncated, same-label-diluted top list (the composition the
+    hard_negatives docstring names, made into an operator). NULL
+    labels never match the inequality, so they are excluded on both
+    sides, matching hard_negatives.
+
+    Recall vs the brute-force miner is the usual IVF probed-cells
+    trade — audit with topk_recall(hard_negatives_ivf(...),
+    hard_negatives(...)) on a sampled query subset (pinned in
+    tests). Pass `centroids` for a fixed deterministic codebook
+    (engine-replayable oracles); `round_to` rounds the cosine
+    BEFORE ranking for cross-engine bit-stability. At 100 TB, pair
+    with write_ivf_index so the corpus side partition-prunes to the
+    probed cells."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, corpus_vec,
+                                        corpus_id, nlist, iters)
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(corpus_vec).alias("__cv"),
+        F.col(corpus_label).alias("__cl"),
+        _nearest_centroid(F.col(corpus_vec), centroids).alias("__cell"),
+    )
+    probe = F.transform(
+        F.slice(F.reverse(F.array_sort(
+            _centroid_scores(F.col(query_vec), centroids))), 1, nprobe),
+        lambda s: s["i"],
+    )
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).alias("__qv"),
+        F.col(query_label).alias("__ql"),
+        F.explode(probe).alias("__cell"),
+    )
+    cos = (_dot(F.col("__qv"), F.col("__cv"))
+           / (_norm(F.col("__qv")) * _norm(F.col("__cv"))))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = (q.join(c, "__cell")
+              .filter(F.col("__ql") != F.col("__cl"))
+              .select("__qid", "__cid", cos.alias("cosine")))
+    return _rank_topk(scored, k)
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",

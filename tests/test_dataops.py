@@ -3769,6 +3769,52 @@ def test_hard_negatives_label_filter(spark):
     assert got == [(2, 1), (3, 2)]
 
 
+def test_hard_negatives_ivf_recall(spark):
+    """Corpus-scale hard negatives: hard_negatives_ivf mines the
+    same semantics through an IVF cell join (no broadcast query
+    set). (a) With ALL cells probed (nprobe = nlist) the result is
+    EXACTLY the brute-force miner's — the cell join is a pure
+    partitioner; (b) with nprobe < nlist, recall vs brute force
+    stays above a floor (the documented IVF trade, measured via
+    topk_recall); (c) NULL labels drop out."""
+    import numpy as np
+
+    from seatunnel_spark.dataops.similarity import (hard_negatives,
+                                                    hard_negatives_ivf,
+                                                    topk_recall)
+
+    rng = np.random.default_rng(3)
+    dim, n, nlist = 8, 120, 4
+    cents = rng.standard_normal((nlist, dim))
+    rows = []
+    for i in range(n):
+        base = cents[i % nlist] + 0.3 * rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in base],
+                     None if i == 7 else i % 3))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    cb = [[float(x) for x in c] for c in cents]
+
+    brute = hard_negatives(df, df, "vec_id", "vec_id", k=5,
+                           round_to=4)
+    full = hard_negatives_ivf(df, df, "vec_id", "vec_id", k=5,
+                              nlist=nlist, nprobe=nlist,
+                              centroids=cb, round_to=4)
+    assert sorted(map(tuple, full.collect())) == \
+        sorted(map(tuple, brute.collect()))
+
+    approx = hard_negatives_ivf(df, df, "vec_id", "vec_id", k=5,
+                                nlist=nlist, nprobe=2,
+                                centroids=cb, round_to=4)
+    rec = topk_recall(approx, brute)
+    mean_rec = rec.agg(F.avg("recall")).collect()[0][0]
+    assert mean_rec >= 0.7
+    # null-label row 7 appears neither as query nor as candidate
+    ids = {r["query_id"] for r in approx.collect()} \
+        | {r["match_id"] for r in approx.collect()}
+    assert 7 not in ids
+
+
 def test_best_of_cluster_quality_survivor(spark):
     """Quality-aware survivorship: per duplicate cluster the row
     with max (score, -id) wins — higher score beats lower id, score
