@@ -1022,6 +1022,26 @@ def q_quality_classifier_std(spark: SparkSession, sf_dir: str
                       iters=3, lr=1.0, standardize=True)
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (dataops/sampling.py:dsir_logweights —
+    Xie et al. 2023): per raw document, log p_target/p_raw under
+    hashed unigram+bigram bag models, target = the heuristic
+    labeler's quality docs (quality_score >= 0.85) — the
+    data-selection signal that upweights documents resembling the
+    curated slice, with no trained classifier. One scan per corpus;
+    profiles are 4096-bucket broadcast joins; totals ride 1-row
+    spines. The oracle replays tokenization, md5-prefix bucketing,
+    add-alpha ln arithmetic, and the per-doc fold."""
+    from seatunnel_spark.dataops.sampling import dsir_logweights
+    from seatunnel_spark.dataops.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    target = (quality_score(d)
+              .filter(F.col("quality_score") >= 0.85)
+              .select("doc_id", "text"))
+    return dsir_logweights(d, target)
+
+
 def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of the embedding table to 2 components
     (dataops/embeddings.py:pca_fit/pca_project — covariance partials
@@ -3923,6 +3943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_classifier": q_quality_classifier,
         "q_quality_classifier_cm": q_quality_classifier_cm,
         "q_quality_classifier_std": q_quality_classifier_std,
+        "q_dsir_weights": q_dsir_weights,
         "emb_pca": emb_pca,
         "text_langid": text_langid,
         "text_tokens": text_tokens,
@@ -7437,6 +7458,82 @@ def _quality_classifier_std_oracle_sql(iters: int = 3) -> str:
             f"            {rows}")
 
 
+def _dsir_oracle_sql() -> str:
+    """Oracle for q_dsir_weights: the labeler replay (the classifier
+    oracle's wd/sig/lbl CTEs) selects the target slice, then hashed
+    unigram+bigram buckets (md5 3-hex prefix = 4096 buckets), the two
+    profiles, 1-row totals, and the per-doc add-alpha ln fold."""
+    return r"""
+            WITH wd AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(text), '\s+') AS ws,
+                     length(text) AS nc
+              FROM documents
+            ), sig AS (
+              SELECT doc_id,
+                     len(ws) AS n_words,
+                     CASE WHEN len(ws) > 0
+                          THEN list_sum(list_transform(ws,
+                               w -> length(w))) * 1.0 / len(ws)
+                          ELSE 0.0 END AS mwl,
+                     CASE WHEN nc > 0
+                          THEN (nc - length(regexp_replace(text,
+                               '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / nc
+                          ELSE 0.0 END AS punct,
+                     len(list_intersect(
+                       list_distinct(list_transform(ws,
+                                                    w -> lower(w))),
+                       ['the','of','and','to','in','a','is','that',
+                        'for','it','as','was','with','be','by','on',
+                        'not','he','this','are'])) AS stop_hits
+              FROM wd
+            ), lbl AS (
+              SELECT doc_id,
+                     CASE WHEN round(least(n_words / 50.0, 1.0) * 0.35
+                          + CASE WHEN mwl >= 3 AND mwl <= 10
+                                 THEN 0.25 ELSE 0.0 END
+                          + CASE WHEN punct <= 0.2
+                                 THEN 0.2 ELSE 0.0 END
+                          + least(stop_hits / 5.0, 1.0) * 0.2, 4)
+                            >= 0.85
+                          THEN 1 ELSE 0 END AS y
+              FROM sig
+            ), tk AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+')
+                       AS toks
+              FROM documents
+            ), rawf AS (
+              SELECT doc_id, substr(md5(f), 1, 3) AS b FROM (
+                SELECT doc_id, unnest(toks) AS f FROM tk
+                UNION ALL
+                SELECT doc_id, toks[i] || ' ' || toks[i+1] AS f
+                FROM tk, UNNEST(range(1, len(toks))) AS r(i)
+              ) WHERE f <> ''
+            ), docf AS (
+              SELECT doc_id, b, count(*) AS c
+              FROM rawf GROUP BY 1, 2
+            ), pr AS (
+              SELECT b, sum(c) AS nr FROM docf GROUP BY b
+            ), pt AS (
+              SELECT r.b, count(*) AS nt
+              FROM rawf r JOIN lbl USING (doc_id)
+              WHERE lbl.y = 1 GROUP BY r.b
+            ), tr AS (SELECT sum(nr) AS totr FROM pr),
+            tt AS (SELECT sum(nt) AS tott FROM pt)
+            SELECT d.doc_id, sum(d.c) AS n_feats,
+                   round(sum(d.c * (
+                       ln((coalesce(pt.nt, 0) + 1.0)
+                          / (tt.tott + 4096.0))
+                     - ln((pr.nr + 1.0) / (tr.totr + 4096.0)))), 6)
+                     AS log_weight
+            FROM docf d
+            LEFT JOIN pt USING (b)
+            JOIN pr USING (b), tr, tt
+            GROUP BY d.doc_id
+        """
+
+
 def _quality_classifier_cm_oracle_sql(iters: int = 3) -> str:
     z = " + ".join(["w.c0"] + [f"w.c{j}*x{j}" for j in range(1, 5)])
     return f"""WITH {_logreg_ctes(iters)},
@@ -7938,6 +8035,7 @@ def oracle_sql() -> dict[str, str]:
     d["q_quality_classifier"] = _quality_classifier_oracle_sql()
     d["q_quality_classifier_cm"] = _quality_classifier_cm_oracle_sql()
     d["q_quality_classifier_std"] = _quality_classifier_std_oracle_sql()
+    d["q_dsir_weights"] = _dsir_oracle_sql()
     d["q_ab_test"] = """
             WITH s AS (
               SELECT count(CASE WHEN user_id % 2 = 0 THEN 1 END)

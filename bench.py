@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     # round-11 additions (append-only)
     "q_quality_classifier_std",
     "sim_hard_negatives_ivf",
+    "q_dsir_weights",
 ]
 
 

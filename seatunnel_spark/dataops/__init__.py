@@ -58,6 +58,7 @@ from seatunnel_spark.dataops.dedup import (
     jaccard_dup_clusters,
 )
 from seatunnel_spark.dataops.sampling import (
+    dsir_logweights,
     global_shuffle,
     group_sample_topk,
     temperature_sample,
@@ -105,7 +106,7 @@ __all__ = [
     "html_clean", "passage_dup_stats", "global_shuffle",
     "minhash_band_index", "incremental_minhash_matches",
     "doc_chunks", "bm25_topk", "pagerank",
-    "passage_dedup_apply", "temperature_sample",
+    "passage_dedup_apply", "temperature_sample", "dsir_logweights",
     "substring_dup_spans", "substring_dedup_apply",
     "best_of_cluster", "hard_negatives", "hard_negatives_ivf",
     "jaccard_dup_clusters",

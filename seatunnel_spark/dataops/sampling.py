@@ -315,3 +315,85 @@ def mixture_apply(df: DataFrame, plan: DataFrame, domain_col: str,
                                         F.col("epoch").cast("string")))
                    < keep_buckets)
     return out.filter(keep).drop("__d", "rate", "epochs")
+
+
+def _dsir_features(df: DataFrame, id_col: str, text_col: str,
+                   width_hex: int) -> DataFrame:
+    """Hashed unigram+bigram feature stream -> (__id, __b): the DSIR
+    feature space — every token and every adjacent token pair, hashed
+    to a 16^width_hex-bucket hex-string key via the _cms_pos
+    discipline (md5 prefix strings replay bit-identically in any
+    engine; bigrams carry an internal space so they never collide
+    with a unigram's text, only via the hash — which is the point of
+    hashed features). Bigrams come from the shifted-slice arrays_zip
+    trick (bigram_logprob) — zero UDF, one tokenize pass."""
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("__id"), w.alias("__w"))
+    m = F.greatest(F.size("__w") - 1, F.lit(0))
+    uni = (base.select("__id", F.explode("__w").alias("__f"))
+           .filter(F.col("__f") != ""))
+    zipped = F.arrays_zip(F.slice("__w", 1, m).alias("a"),
+                          F.slice("__w", 2, m).alias("b"))
+    bi = (base.select("__id", F.explode(zipped).alias("p"))
+          .select("__id", F.concat_ws(
+              " ", F.col("p.a"), F.col("p.b")).alias("__f")))
+    return (uni.unionByName(bi)
+            .select("__id", F.substring(
+                F.md5(F.col("__f")), 1, width_hex).alias("__b")))
+
+
+def dsir_logweights(raw: DataFrame, target: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    width_hex: int = 3, alpha: float = 1.0,
+                    round_to: int = 6) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    DSIR) -> (id, n_feats, log_weight) for every raw document with
+    at least one feature: the log importance weight
+    log p_target(x) / p_raw(x) under hashed-n-gram bag models — the
+    data-selection signal that upweights raw documents that LOOK
+    LIKE the curated target distribution (Wikipedia, textbooks, a
+    curated domain) without any trained classifier.
+
+    Per bucket b (hashed unigram+bigram space, 16^width_hex
+    buckets): p(b) = (n_b + alpha) / (N + alpha·B), add-alpha
+    smoothed so buckets unseen in the target stay finite (an EMPTY
+    target degenerates to the uniform 1/B prior — the smoothing
+    limit, not an error); per doc,
+    log_weight = Σ_b c_doc(b)·(ln p_t(b) − ln p_r(b)). Feed the
+    output to weighted_sample_topk / a threshold filter for the
+    resampling step; keep temperatures in log space until the final
+    select (the weights span hundreds of nats).
+
+    100 TB shape: ONE scan of each corpus. The raw feature stream
+    aggregates straight to (doc, bucket) counts — map-side combined,
+    ≤ B distinct buckets per doc — and is scoped_persisted; BOTH the
+    raw profile (Σ over docs) and the per-doc fold reuse it, so the
+    raw text is tokenized exactly once. Profiles are ≤ B rows —
+    broadcast joins, never a shuffle; corpus totals ride 1-row
+    broadcast spines (no driver collect). Everything is md5-prefix
+    and ln literal arithmetic, so a SQL engine replays it
+    bit-for-bit."""
+    from seatunnel_spark.dataops._cache import scoped_persist
+
+    n_buckets = 16 ** width_hex
+    docf = scoped_persist(
+        _dsir_features(raw, id_col, text_col, width_hex)
+        .groupBy("__id", "__b")
+        .agg(F.count(F.lit(1)).alias("__c")))
+    prof_r = docf.groupBy("__b").agg(F.sum("__c").alias("__nr"))
+    prof_t = (_dsir_features(target, id_col, text_col, width_hex)
+              .groupBy("__b").agg(F.count(F.lit(1)).alias("__nt")))
+    tot_r = prof_r.agg(F.sum("__nr").alias("__tot_r"))
+    tot_t = prof_t.agg(F.sum("__nt").alias("__tot_t"))
+    a, ab = F.lit(float(alpha)), F.lit(float(alpha) * n_buckets)
+    lp = (F.log((F.coalesce(F.col("__nt"), F.lit(0)) + a)
+                / (F.coalesce(F.col("__tot_t"), F.lit(0)) + ab))
+          - F.log((F.col("__nr") + a) / (F.col("__tot_r") + ab)))
+    return (docf.join(F.broadcast(prof_t), "__b", "left")
+            .join(F.broadcast(prof_r), "__b")
+            .join(F.broadcast(tot_t))
+            .join(F.broadcast(tot_r))
+            .groupBy(F.col("__id").alias(id_col))
+            .agg(F.sum("__c").alias("n_feats"),
+                 F.round(F.sum(F.col("__c") * lp), round_to)
+                 .alias("log_weight")))

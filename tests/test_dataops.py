@@ -4138,3 +4138,68 @@ def test_link_dup_clusters_matches_full(spark):
                              fields=["name", "bal"], clusters=coll)
     assert sorted(map(tuple, g_pairs.collect())) == \
         sorted(map(tuple, g_clust.collect()))
+
+
+def test_dsir_logweights_python_twin(spark):
+    """DSIR importance weights: (a) the hashed-feature add-alpha
+    arithmetic matches a pure-Python twin exactly (md5-prefix
+    buckets, ln ratios, rounded sum — the replay discipline the SQL
+    oracle relies on); (b) a raw doc written in the target's
+    vocabulary outscores an off-target doc; (c) an empty-text doc
+    has no features and is absent; (d) an empty target degenerates
+    to the uniform prior, not an error."""
+    import hashlib
+    import math
+
+    from seatunnel_spark.dataops.sampling import dsir_logweights
+
+    target = spark.createDataFrame(
+        [(100, "the cat sat on the mat"),
+         (101, "the dog sat on the rug")],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),      # pure target language
+         (2, "zzz qqq vvv kkk www yyy"),     # off-target
+         (3, "")],                           # no features
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_feats"], r["log_weight"])
+           for r in dsir_logweights(raw, target, width_hex=3,
+                                    alpha=1.0).collect()}
+
+    def feats(text):
+        toks = [t for t in text.strip().lower().split() if t]
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [hashlib.md5(g.encode()).hexdigest()[:3] for g in grams]
+
+    B, alpha = 16 ** 3, 1.0
+    t_counts, r_counts, doc_counts = {}, {}, {}
+    for _, txt in [(100, "the cat sat on the mat"),
+                   (101, "the dog sat on the rug")]:
+        for b in feats(txt):
+            t_counts[b] = t_counts.get(b, 0) + 1
+    raws = {1: "the cat sat on the mat", 2: "zzz qqq vvv kkk www yyy",
+            3: ""}
+    for i, txt in raws.items():
+        doc_counts[i] = {}
+        for b in feats(txt):
+            r_counts[b] = r_counts.get(b, 0) + 1
+            doc_counts[i][b] = doc_counts[i].get(b, 0) + 1
+    Nt, Nr = sum(t_counts.values()), sum(r_counts.values())
+    want = {}
+    for i, cs in doc_counts.items():
+        if not cs:
+            continue
+        lw = sum(c * (math.log((t_counts.get(b, 0) + alpha)
+                               / (Nt + alpha * B))
+                      - math.log((r_counts[b] + alpha)
+                                 / (Nr + alpha * B)))
+                 for b, c in cs.items())
+        want[i] = (sum(cs.values()), round(lw, 6))
+    assert got == want
+    assert 3 not in got                       # (c)
+    assert got[1][1] > got[2][1]              # (b)
+
+    empty_t = target.filter("doc_id < 0")
+    deg = {r["doc_id"]: r["log_weight"]
+           for r in dsir_logweights(raw, empty_t).collect()}
+    assert deg[1] is not None and deg[2] is not None  # (d) finite
