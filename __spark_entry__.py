@@ -1022,6 +1022,22 @@ def q_quality_classifier_std(spark: SparkSession, sf_dir: str
                       iters=3, lr=1.0, standardize=True)
 
 
+def text_mg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-bounded Misra-Gries token summary (dataops/text.py:
+    mg_summary, capacity=64): exact counts compressed by ONE value
+    decrement — subtract the 65th-largest count from every counter,
+    keep positives — so at most 64 counters survive and each stored
+    cnt lower-bounds the true frequency by <= N/65 (the mergeable-
+    summaries compress the mg_register_sink applies per micro-batch).
+    The threshold is an order statistic of the count multiset, so the
+    oracle replays it exactly (ties at the cut are value-determined,
+    not row-determined)."""
+    from seatunnel_spark.dataops.text import mg_summary
+
+    d = _t(spark, sf_dir, "documents")
+    return mg_summary(d, capacity=64)
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (dataops/sampling.py:dsir_logweights —
     Xie et al. 2023): per raw document, log p_target/p_raw under
@@ -3944,6 +3960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_classifier_cm": q_quality_classifier_cm,
         "q_quality_classifier_std": q_quality_classifier_std,
         "q_dsir_weights": q_dsir_weights,
+        "text_mg_summary": text_mg_summary,
         "emb_pca": emb_pca,
         "text_langid": text_langid,
         "text_tokens": text_tokens,
@@ -8036,6 +8053,22 @@ def oracle_sql() -> dict[str, str]:
     d["q_quality_classifier_cm"] = _quality_classifier_cm_oracle_sql()
     d["q_quality_classifier_std"] = _quality_classifier_std_oracle_sql()
     d["q_dsir_weights"] = _dsir_oracle_sql()
+    d["text_mg_summary"] = r"""
+            WITH toks AS (
+              SELECT unnest(string_split_regex(lower(trim(text)),
+                                               '\s+')) AS token
+              FROM documents
+            ), cnts AS (
+              SELECT token, count(*) AS cnt FROM toks
+              WHERE token <> '' GROUP BY token
+            ), thr AS (
+              SELECT CASE WHEN count(*) > 64 THEN min(cnt)
+                          ELSE 0 END AS t
+              FROM (SELECT cnt FROM cnts ORDER BY cnt DESC LIMIT 65)
+            )
+            SELECT token, cnt - thr.t AS cnt
+            FROM cnts, thr WHERE cnt - thr.t > 0
+        """
     d["q_ab_test"] = """
             WITH s AS (
               SELECT count(CASE WHEN user_id % 2 = 0 THEN 1 END)

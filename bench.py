@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "q_quality_classifier_std",
     "sim_hard_negatives_ivf",
     "q_dsir_weights",
+    "text_mg_summary",
 ]
 
 

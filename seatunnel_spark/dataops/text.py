@@ -1058,3 +1058,58 @@ def vocab_growth(df: DataFrame, id_col: str = "doc_id",
                     F.sum("__toks").over(w).alias("tokens_cum"),
                     F.sum(F.coalesce("__new", F.lit(0)))
                     .over(w).alias("vocab_cum")))
+
+
+def mg_compress(counts: DataFrame, capacity: int,
+                token_col: str = "token",
+                cnt_col: str = "cnt") -> DataFrame:
+    """The Misra-Gries decrement over a (token, cnt) counter table:
+    if more than `capacity` counters exist, subtract the
+    (capacity+1)-th LARGEST count from every counter and drop the
+    non-positives — at most `capacity` rows survive (anything tied
+    at the threshold zeroes out). Pure value arithmetic: the
+    threshold is the (capacity+1)-th order statistic of the count
+    MULTISET, so ties at the cut are deterministic across engines.
+
+    This is the compress step of MERGEABLE MG summaries (Agarwal et
+    al. 2012, "Mergeable summaries"): add counters key-wise, then
+    compress — each surviving cnt is a LOWER bound on the true count
+    and the cumulative undercount across any merge tree is bounded
+    by N_total/(capacity+1). The threshold scan is
+    capacity-sized (orderBy/limit over the counter table, which the
+    caller keeps sketch-sized), never a corpus action."""
+    thr = (counts.orderBy(F.col(cnt_col).desc()).limit(capacity + 1)
+           .agg(F.when(F.count(F.lit(1)) > capacity,
+                       F.min(cnt_col)).otherwise(F.lit(0))
+                .alias("__thr")))
+    return (counts.join(F.broadcast(thr))
+            .select(token_col,
+                    (F.col(cnt_col) - F.col("__thr")).alias(cnt_col))
+            .filter(F.col(cnt_col) > 0))
+
+
+def mg_summary(df: DataFrame, text_col: str = "text",
+               capacity: int = 4096,
+               lowercase: bool = True) -> DataFrame:
+    """Capacity-bounded Misra-Gries token summary -> (token, cnt),
+    <= capacity rows: exact token counts compressed by one
+    mg_compress step. Each cnt LOWER-bounds the true frequency with
+    undercount <= N/(capacity+1), so every token with true count
+    above that bar is guaranteed present (the heavy_hitters
+    guarantee in summary form).
+
+    Scale intent: this is the MICRO-BATCH / partition summary
+    primitive — the counter table it builds groups the batch's full
+    vocabulary, which is fine for micro-batches and modest corpora;
+    for one-shot corpus-scale heavy hitters use `heavy_hitters`
+    (per-partition MG + exact recount, no vocabulary shuffle). Its
+    real consumer is streaming.mg_register_sink, where summaries
+    ADD key-wise and re-compress — the mergeable-summaries
+    discipline, same bound."""
+    toks = F.split(F.trim(F.lower(F.col(text_col)) if lowercase
+                          else F.col(text_col)), r"\s+")
+    counts = (df.select(F.explode(toks).alias("token"))
+              .filter(F.col("token") != "")
+              .groupBy("token")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    return mg_compress(counts, capacity)

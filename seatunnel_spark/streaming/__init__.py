@@ -502,6 +502,39 @@ def cms_register_sink(path: str, text_col: str = "text",
     return merge
 
 
+def mg_register_sink(path: str, text_col: str = "text",
+                     capacity: int = 4096, lowercase: bool = True):
+    """foreachBatch writer factory maintaining a PERSISTED
+    capacity-bounded Misra-Gries heavy-hitter store at `path` — the
+    fourth register-sink (HLL = MAX, CMS/DDSketch = ADD, MG =
+    ADD-then-COMPRESS): each micro-batch builds its own <= capacity
+    (token, cnt) summary (zero streaming state), counters ADD
+    key-wise into the store, and one mg_compress step re-bounds it
+    to `capacity` rows. This is exactly the mergeable-summaries
+    merge (Agarwal et al. 2012): every stored cnt lower-bounds the
+    true stream count, the cumulative undercount is <=
+    N_total/(capacity+1) across ANY merge order, and any token
+    whose true count exceeds that bar is guaranteed present —
+    streaming heavy hitters in a store that never grows past
+    `capacity` rows regardless of stream vocabulary.
+
+    Delivery + durability are owned by _commit_register_store (the
+    replay ledger matters: the ADD step is not idempotent)."""
+    from seatunnel_spark.dataops.text import mg_compress, mg_summary
+
+    def merge(batch: DataFrame, batch_id: int = 0) -> None:
+        sk = mg_summary(batch, text_col, capacity, lowercase)
+        _commit_register_store(
+            batch.sparkSession, path, batch_id,
+            lambda existing: sk if existing is None
+            else mg_compress(
+                sk.unionByName(existing)
+                .groupBy("token")
+                .agg(F.sum("cnt").alias("cnt")), capacity))
+
+    return merge
+
+
 def stream_ddsketch(df: DataFrame, ts_col: str = "ts",
                     value_col: str = "value",
                     alpha: float = 0.01) -> DataFrame:

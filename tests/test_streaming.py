@@ -862,3 +862,61 @@ def test_register_sink_incomplete_swap_removed(spark, tmp_path):
     csink(b0, 0)
     csink(b1, 1)
     assert _store_snapshot(spark, store) == _store_snapshot(spark, clean)
+
+
+def test_mg_register_sink_heavy_hitters_bound(spark, tmp_path):
+    """Misra-Gries register sink: (a) with capacity >= vocabulary the
+    store is the EXACT token counts (compress never fires); (b) with
+    a tight capacity the store stays <= capacity rows, every stored
+    cnt lower-bounds the true count, the cumulative undercount obeys
+    the mergeable-summaries bound N/(capacity+1), and the heavy
+    token is guaranteed present; (c) replaying a batch is a no-op
+    (the shared ledger)."""
+    from seatunnel_spark.streaming import mg_register_sink
+
+    # 3 micro-batches; 'hot' dominates, long tail of w{i} tokens
+    batches = []
+    for bno in range(3):
+        rows = [(bno * 100 + i,
+                 "hot hot hot w%d w%d" % (bno * 40 + i, i % 7))
+                for i in range(40)]
+        batches.append(spark.createDataFrame(
+            rows, "doc_id long, text string"))
+
+    # (a) capacity far above vocab -> exact counts
+    exact_store = str(tmp_path / "mg_exact")
+    sink = mg_register_sink(exact_store, capacity=100_000)
+    for i, b in enumerate(batches):
+        sink(b, i)
+    got = {r["token"]: r["cnt"]
+           for r in spark.read.parquet(exact_store).collect()}
+    from collections import Counter
+
+    truth = Counter()
+    for bno in range(3):
+        for i in range(40):
+            truth.update(("hot hot hot w%d w%d"
+                          % (bno * 40 + i, i % 7)).split())
+    assert got == dict(truth)
+
+    # (b) tight capacity
+    cap = 16
+    tight_store = str(tmp_path / "mg_tight")
+    tsink = mg_register_sink(tight_store, capacity=cap)
+    for i, b in enumerate(batches):
+        tsink(b, i)
+    tgot = {r["token"]: r["cnt"]
+            for r in spark.read.parquet(tight_store).collect()}
+    n_total = sum(truth.values())
+    bound = n_total / (cap + 1)
+    assert len(tgot) <= cap
+    for t, c in tgot.items():
+        assert c <= truth[t]
+        assert truth[t] - c <= bound
+    assert truth["hot"] > bound and "hot" in tgot
+
+    # (c) replay no-op via the shared ledger
+    snap = {tuple(r) for r in spark.read.parquet(tight_store).collect()}
+    tsink(batches[-1], 2)
+    assert {tuple(r)
+            for r in spark.read.parquet(tight_store).collect()} == snap
