@@ -26,6 +26,7 @@ from seatunnel_spark.dataops.similarity import (
     ivf_topk,
     train_ivf_centroids,
     write_ivf_index,
+    append_ivf_index,
     search_ivf_index,
     topk_recall,
     hard_negatives,
@@ -101,7 +102,7 @@ __all__ = [
     "embedding_near_dups", "duplicate_clusters",
     "with_cosine", "brute_force_topk", "lsh_bucketed_topk",
     "ivf_topk", "train_ivf_centroids", "topk_recall", "salted_join",
-    "write_ivf_index", "search_ivf_index",
+    "write_ivf_index", "append_ivf_index", "search_ivf_index",
     "token_count", "quality_signals", "lang_id", "fingerprint",
     "html_clean", "passage_dup_stats", "global_shuffle",
     "minhash_band_index", "incremental_minhash_matches",

@@ -358,13 +358,18 @@ def write_ivf_index(
     vec_col: str = "embedding",
     nlist: int = 16,
     iters: int = 2,
+    centroids: list[list[float]] | None = None,
 ) -> None:
     """Persist an IVF index: corpus parquet partitioned by `__cell` +
     centroids under `<path>/_centroids` (underscore-prefixed so data
     scans ignore it). At 100 TB this is the point of IVF — a search
     touches only the probed cells' files via partition pruning, so I/O
-    scales with nprobe/nlist of the corpus, not its size."""
-    centroids = train_ivf_centroids(corpus, vec_col, corpus_id, nlist, iters)
+    scales with nprobe/nlist of the corpus, not its size. Pass
+    `centroids` to skip training (fixed/seeded codebooks, or re-using
+    a prior index's quantizer)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, corpus_id,
+                                        nlist, iters)
     spark = corpus.sparkSession
     assigned = corpus.withColumn(
         "__cell", _nearest_centroid(F.col(vec_col), centroids)
@@ -374,6 +379,33 @@ def write_ivf_index(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "i INT, centroid ARRAY<DOUBLE>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def append_ivf_index(
+    new_rows: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF index maintenance: assign NEW vectors to the
+    index's EXISTING centroids (read from `<path>/_centroids`) and
+    APPEND them into the cell-partitioned parquet — the daily-delta
+    path at 100 TB: no retrain, no index rewrite, and
+    search_ivf_index sees the union immediately (appended files land
+    inside the probed `__cell=...` directories, so partition pruning
+    is untouched). The quantizer is frozen by design — identical
+    vectors land in identical cells whether they arrived at build or
+    append time, so an appended index equals a one-shot build over
+    the union under the same codebook (equivalence-tested). Centroids
+    drift as the corpus grows: retrain + rewrite (write_ivf_index)
+    when a topk_recall audit against brute force degrades."""
+    spark = new_rows.sparkSession
+    centroids = [
+        [float(x) for x in r["centroid"]]
+        for r in spark.read.parquet(f"{path}/_centroids")
+        .orderBy("i").collect()]
+    assigned = new_rows.withColumn(
+        "__cell", _nearest_centroid(F.col(vec_col), centroids))
+    assigned.write.mode("append").partitionBy("__cell").parquet(path)
 
 
 def search_ivf_index(

@@ -256,6 +256,42 @@ def test_ivf_index_persist_and_partition_pruned_search(spark, tmp_path):
     assert "PartitionFilters: [" in scan and "__cell" in scan.split("PartitionFilters:")[1]
 
 
+def test_append_ivf_index_matches_one_shot(spark, tmp_path):
+    """Incremental index maintenance: building on half the corpus and
+    appending the other half equals a one-shot build over the union
+    under the SAME codebook — identical cells, identical search
+    results — and the appended index still partition-prunes."""
+    from seatunnel_spark.dataops.similarity import (append_ivf_index,
+                                                    search_ivf_index,
+                                                    train_ivf_centroids,
+                                                    write_ivf_index)
+
+    e = _toy_embeddings(spark, n=80, dim=8, clusters=4)
+    a, b = e.filter("vec_id % 2 = 0"), e.filter("vec_id % 2 = 1")
+    cb = train_ivf_centroids(e, nlist=4, iters=2)
+
+    inc = str(tmp_path / "ivf_inc")
+    write_ivf_index(a, inc, nlist=4, centroids=cb)
+    append_ivf_index(b, inc)
+    one = str(tmp_path / "ivf_one")
+    write_ivf_index(e, one, nlist=4, centroids=cb)
+
+    q = e.filter(F.col("vec_id") < 4)
+    got = {(r["query_id"], r["rank"], r["match_id"])
+           for r in search_ivf_index(spark, inc, q, k=3,
+                                     nprobe=2).collect()}
+    want = {(r["query_id"], r["rank"], r["match_id"])
+            for r in search_ivf_index(spark, one, q, k=3,
+                                      nprobe=2).collect()}
+    assert got == want and len(want) == 12
+    # appended files landed inside the cell directories: pruning holds
+    plan = search_ivf_index(spark, inc, q, k=3, nprobe=1) \
+        ._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines()
+                if "FileScan parquet" in l and "__cell" in l)
+    assert "PartitionFilters: [" in scan
+
+
 def test_duplicate_clusters_chain_and_islands(spark):
     # Chain 1-2-3-4-5 needs several propagation rounds (diameter 4);
     # {10,11} is a separate component; 20-21-22 a triangle.
