@@ -887,6 +887,38 @@ def dedup_substring_clean(spark: SparkSession, sf_dir: str
     return substring_dedup_apply(d, n=8)
 
 
+def decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination (dataops/decontam.py:
+    contaminated_spans): treating every doc_id % 10 == 0 document as
+    the benchmark set, every maximal >=8-token span in the REST of
+    the corpus that overlaps a benchmark doc at any alignment ->
+    (doc_id, start_tok, end_tok) — the excisable form of the n-gram
+    collision rule: cut the quoted passage, keep the document. The
+    benchmark digest set broadcasts (benchmarks are MBs); the corpus
+    never shuffles for the membership test. The oracle replays
+    shingles, the semi-join, and the island merge."""
+    from seatunnel_spark.dataops.decontam import contaminated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    return contaminated_spans(train, bench, n=8)
+
+
+def decontam_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY step of span-level decontamination (dataops/decontam.py:
+    decontam_apply): benchmark-overlap spans excised from every
+    training document, text rebuilt in the canonical tokenization ->
+    (doc_id, clean_text, n_tokens, n_kept); fully-contaminated docs
+    come back empty so the caller owns the drop threshold."""
+    from seatunnel_spark.dataops.decontam import decontam_apply
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    return decontam_apply(train, bench, n=8)
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters = connected components over the n-gram
     Jaccard near-dup graph (seatunnel_spark/dataops/dedup.py:
@@ -3951,6 +3983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cascade": dedup_cascade,
         "dedup_substring": dedup_substring,
         "dedup_substring_clean": dedup_substring_clean,
+        "decontam_spans": decontam_spans,
+        "decontam_clean": decontam_clean,
         "sim_pq_index": sim_pq_index,
         "dedup_clusters": dedup_clusters,
         "dedup_apply": dedup_apply,
@@ -8498,6 +8532,69 @@ def oracle_sql() -> dict[str, str]:
               FROM isl2 GROUP BY doc_id, island
             )
     """
+
+    _dc_spans = r"""
+            WITH arrs AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+')
+                       AS toks
+              FROM documents
+            ), sh2 AS (
+              SELECT doc_id, pos,
+                     array_to_string(toks[pos:pos+7], ' ') AS shingle
+              FROM arrs, UNNEST(range(1, len(toks) - 6)) AS r(pos)
+            ), bset AS (
+              SELECT DISTINCT shingle FROM sh2 WHERE doc_id % 10 = 0
+            ), marked AS (
+              SELECT s.doc_id, s.pos
+              FROM sh2 s JOIN bset USING (shingle)
+              WHERE s.doc_id % 10 <> 0
+            ), isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER w IS NULL
+                               OR pos - lag(pos) OVER w > 8
+                          THEN 1 ELSE 0 END AS brk
+              FROM marked
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), isl2 AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id
+                                    ORDER BY pos) AS island
+              FROM isl
+            ), spans AS (
+              SELECT doc_id, min(pos) AS start_tok,
+                     max(pos) + 7 AS end_tok
+              FROM isl2 GROUP BY doc_id, island
+            )
+    """
+    d["decontam_spans"] = _dc_spans + """
+            SELECT doc_id, start_tok, end_tok FROM spans
+        """
+    d["decontam_clean"] = _dc_spans + """
+            , toks AS (
+              SELECT doc_id, toks[pos] AS tok, pos, len(toks) AS nt
+              FROM arrs, UNNEST(range(1, len(toks) + 1)) AS r(pos)
+              WHERE doc_id % 10 <> 0
+            ), kept AS (
+              SELECT t.doc_id,
+                     array_to_string(list(t.tok ORDER BY t.pos), ' ')
+                       AS clean_text,
+                     count(*) AS n_kept
+              FROM toks t
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = t.doc_id
+                  AND t.pos BETWEEN s.start_tok AND s.end_tok)
+              GROUP BY t.doc_id
+            )
+            SELECT a.doc_id,
+                   coalesce(k.clean_text, '') AS clean_text,
+                   len(a.toks) AS n_tokens,
+                   coalesce(k.n_kept, 0) AS n_kept
+            FROM arrs a LEFT JOIN kept k USING (doc_id)
+            WHERE a.doc_id % 10 <> 0
+        """
+
     d["dedup_substring"] = _substr_spans + """
             SELECT doc_id, start_tok, end_tok FROM spans
         """

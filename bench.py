@@ -175,6 +175,8 @@ BENCH_QUERIES = [
     "sim_hard_negatives_ivf",
     "q_dsir_weights",
     "text_mg_summary",
+    "decontam_spans",
+    "decontam_clean",
 ]
 
 

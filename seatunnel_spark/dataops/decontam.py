@@ -175,3 +175,52 @@ def flag_contaminated_bloom(docs: DataFrame, bench: DataFrame,
 
 __all__ = ["word_ngrams", "benchmark_ngram_set", "flag_contaminated",
            "benchmark_bloom", "flag_contaminated_bloom"]
+
+
+def contaminated_spans(docs: DataFrame, bench: DataFrame,
+                       id_col: str = "doc_id",
+                       text_col: str = "text",
+                       n: int = 13) -> DataFrame:
+    """SPAN-LEVEL decontamination -> (id, start_tok, end_tok): every
+    maximal token span in the training corpus that overlaps the
+    benchmark set at n-gram granularity, at ANY alignment — the
+    excisable form of `flag_contaminated` (Lee et al. 2022 apply the
+    same span machinery to eval contamination): instead of dropping
+    a whole document because one quoted benchmark passage appears in
+    it, locate the passage and cut exactly it.
+
+    Method: training-side shingle occurrences (dedup's
+    _shingle_occurrences — md5 digests + positions, never shingle
+    text) semi-join the benchmark's DISTINCT digest set (benchmarks
+    are MBs — the set broadcasts, so the corpus never shuffles);
+    marked positions island-merge into maximal spans (gap <= n =
+    overlapping/touching windows), exactly the substring-dedup
+    reconstruction. A span of length L is reported iff every one of
+    its n-windows appears in the benchmark — the exact n-gram
+    collision rule at span granularity."""
+    from seatunnel_spark.dataops.dedup import (_merge_islands,
+                                               _shingle_occurrences)
+
+    occ = _shingle_occurrences(docs, id_col, text_col, int(n))
+    bset = (_shingle_occurrences(bench, id_col, text_col, int(n))
+            .select("__k").distinct())
+    marked = (occ.join(F.broadcast(bset), "__k", "semi")
+              .select("__id", "__pos"))
+    return _merge_islands(marked, id_col, int(n))
+
+
+def decontam_apply(docs: DataFrame, bench: DataFrame,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   n: int = 13) -> DataFrame:
+    """APPLY step of span-level decontamination: excise every
+    benchmark-overlap span from its training document and rebuild
+    -> (id, clean_text, n_tokens, n_kept). A clean document passes
+    through intact (n_kept = n_tokens, text normalized to the
+    discovery tokenization); a fully-contaminated one comes back
+    empty rather than dropped, so the caller decides the drop
+    threshold (e.g. n_kept/n_tokens < 0.2). Same codegen excision
+    as substring_dedup_apply (_excise_spans)."""
+    from seatunnel_spark.dataops.dedup import _excise_spans
+
+    spans = contaminated_spans(docs, bench, id_col, text_col, n)
+    return _excise_spans(docs, spans, id_col, text_col)

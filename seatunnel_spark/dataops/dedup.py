@@ -1079,24 +1079,8 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
     join; hot boilerplate digests are plain shuffle skew, which AQE
     splits), then doc-partitioned windows for the island merge.
     Everything linear in corpus tokens; nothing all-pairs."""
-    from pyspark.sql import Window
-
     nn = int(n)
-    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    npos = F.size("__ws") - nn + 1
-    sh_arr = F.when(
-        npos >= 1,
-        F.transform(F.sequence(F.lit(1), npos),
-                    lambda i: F.struct(
-                        i.alias("p"),
-                        F.md5(F.concat_ws(
-                            " ", F.slice("__ws", i, nn))).alias("k")))
-    ).otherwise(F.expr(
-        "cast(array() as array<struct<p:int,k:string>>)"))
-    occ = (df.select(F.col(id_col).alias("__id"), ws.alias("__ws"))
-           .select("__id", F.explode(sh_arr).alias("__s"))
-           .select("__id", F.col("__s.p").alias("__pos"),
-                   F.col("__s.k").alias("__k")))
+    occ = _shingle_occurrences(df, id_col, text_col, nn)
     ordkey = F.struct(F.col("__id").alias("i"),
                       F.col("__pos").alias("p"))
     stats = (occ.select("__k", ordkey.alias("__ok"))
@@ -1108,6 +1092,44 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
         dup = dup | (F.col("__cnt") > boilerplate_df)
     marked = (occ.join(stats, "__k").filter(dup)
               .select("__id", "__pos"))
+    return _merge_islands(marked, id_col, nn)
+
+
+def _shingle_occurrences(df: DataFrame, id_col: str, text_col: str,
+                         nn: int) -> DataFrame:
+    """Every n-token window of every document as (__id, __pos, __k):
+    1-based token position + md5 digest of the space-joined shingle
+    over the canonical tokenization (lowered, trimmed, \\s+-split).
+    Only 32-hex digests and ints leave the scan — never shingle
+    text. Shared by substring dedup and span-level decontamination
+    so both mark positions in the identical shingle space."""
+    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    npos = F.size("__ws") - nn + 1
+    sh_arr = F.when(
+        npos >= 1,
+        F.transform(F.sequence(F.lit(1), npos),
+                    lambda i: F.struct(
+                        i.alias("p"),
+                        F.md5(F.concat_ws(
+                            " ", F.slice("__ws", i, nn))).alias("k")))
+    ).otherwise(F.expr(
+        "cast(array() as array<struct<p:int,k:string>>)"))
+    return (df.select(F.col(id_col).alias("__id"), ws.alias("__ws"))
+            .select("__id", F.explode(sh_arr).alias("__s"))
+            .select("__id", F.col("__s.p").alias("__pos"),
+                    F.col("__s.k").alias("__k")))
+
+
+def _merge_islands(marked: DataFrame, id_col: str,
+                   nn: int) -> DataFrame:
+    """Maximal-span reconstruction from marked shingle positions
+    (__id, __pos): runs whose consecutive positions gap <= nn merge
+    (overlapping/touching n-windows), each island reports
+    [min_pos, max_pos + nn - 1] -> (id, start_tok, end_tok).
+    Doc-partitioned window — each document's positions sort
+    independently, nothing global."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("__id").orderBy("__pos")
     prev = F.lag("__pos").over(w)
     brk = F.when(prev.isNull()
@@ -1122,23 +1144,14 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
             .drop("__isl"))
 
 
-def substring_dedup_apply(df: DataFrame, id_col: str = "doc_id",
-                          text_col: str = "text", n: int = 50,
-                          boilerplate_df: int | None = None
-                          ) -> DataFrame:
-    """The APPLY step of exact-substring dedup: excise every
-    duplicated span substring_dup_spans reports from its document
-    and rebuild the text -> (id, clean_text, n_tokens, n_kept).
-    Reassembly normalizes to the span discovery's own tokenization
-    (lowercased, single-spaced), the passage_dedup_apply convention;
-    a document with no duplicated spans passes through intact
-    (n_kept = n_tokens).
-
-    Scale: spans come back as a per-doc array (docs hold few maximal
-    spans) joined on id; the excision itself is a pure codegen
-    filter over token positions — no second corpus shuffle."""
-    spans = substring_dup_spans(df, id_col, text_col, n,
-                                boilerplate_df)
+def _excise_spans(df: DataFrame, spans: DataFrame, id_col: str,
+                  text_col: str) -> DataFrame:
+    """Excise (start_tok, end_tok) spans from each document and
+    rebuild -> (id, clean_text, n_tokens, n_kept). Spans collapse to
+    a per-doc array (docs hold few maximal spans) joined on id; the
+    excision is a pure codegen filter over token positions — no
+    second corpus shuffle. Reassembly normalizes to the span
+    discovery's tokenization (lowercased, single-spaced)."""
     sp = (spans.groupBy(id_col)
           .agg(F.collect_list(
               F.struct(F.col("start_tok").alias("s"),
@@ -1162,6 +1175,27 @@ def substring_dedup_apply(df: DataFrame, id_col: str = "doc_id",
         .alias("clean_text"),
         F.size("__ws").alias("n_tokens"),
         F.size(kept).alias("n_kept"))
+
+
+def substring_dedup_apply(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 50,
+                          boilerplate_df: int | None = None
+                          ) -> DataFrame:
+    """The APPLY step of exact-substring dedup: excise every
+    duplicated span substring_dup_spans reports from its document
+    and rebuild the text -> (id, clean_text, n_tokens, n_kept).
+    Reassembly normalizes to the span discovery's own tokenization
+    (lowercased, single-spaced), the passage_dedup_apply convention;
+    a document with no duplicated spans passes through intact
+    (n_kept = n_tokens).
+
+    Scale: spans come back as a per-doc array (docs hold few maximal
+    spans) joined on id; the excision itself is a pure codegen
+    filter over token positions — no second corpus shuffle
+    (_excise_spans)."""
+    spans = substring_dup_spans(df, id_col, text_col, n,
+                                boilerplate_df)
+    return _excise_spans(df, spans, id_col, text_col)
 
 
 def fuzzy_dup_pairs(df: DataFrame, id_col: str = "doc_id",

@@ -4239,3 +4239,34 @@ def test_dsir_logweights_python_twin(spark):
     deg = {r["doc_id"]: r["log_weight"]
            for r in dsir_logweights(raw, empty_t).collect()}
     assert deg[1] is not None and deg[2] is not None  # (d) finite
+
+
+def test_contaminated_spans_and_apply(spark):
+    """Span-level decontamination: (a) a quoted benchmark passage is
+    located at exact maximal bounds at a shifted offset; (b) two
+    separated quotes in one doc stay separate spans; (c) a clean doc
+    has no spans and passes through apply intact; (d) apply excises
+    exactly the contaminated tokens (a fully-quoted doc empties)."""
+    from seatunnel_spark.dataops.decontam import (contaminated_spans,
+                                                  decontam_apply)
+
+    bench = spark.createDataFrame(
+        [(100, "q1 q2 q3 q4 q5")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b q1 q2 q3 q4 q5 c d"),      # quote at pos 3..7
+         (2, "totally clean text right here"),
+         (3, "q1 q2 q3 zz q3 q4 q5"),        # two quotes, gap > n
+         (4, "q1 q2 q3 q4 q5")],             # fully quoted
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["start_tok"], r["end_tok"]) for r in
+           contaminated_spans(docs, bench, n=3).collect()}
+    assert got == {(1, 3, 7), (3, 1, 3), (3, 5, 7), (4, 1, 5)}
+
+    out = {r["doc_id"]: r for r in
+           decontam_apply(docs, bench, n=3).collect()}
+    assert out[1]["clean_text"] == "a b c d"
+    assert (out[1]["n_tokens"], out[1]["n_kept"]) == (9, 4)
+    assert out[2]["clean_text"] == "totally clean text right here"
+    assert out[2]["n_kept"] == out[2]["n_tokens"] == 5
+    assert out[3]["clean_text"] == "zz"
+    assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0
