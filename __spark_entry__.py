@@ -1070,6 +1070,21 @@ def text_mg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mg_summary(d, capacity=64)
 
 
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (dataops/text.py:ppl_buckets
+    — Wenzek et al. 2020): every document scored by its mean unigram
+    log-prob under the corpus's own LM, bucketed head/middle/tail by
+    the corpus terciles — thresholds from a DDSketch over the score
+    table (bounded additive aggregate; never an exact percentile or
+    a single-partition ntile), assignment one conditional count per
+    doc against the 2-row broadcast threshold set. The oracle
+    replays the LM, the sketch build, the rank walk, and the bucket
+    arithmetic."""
+    from seatunnel_spark.dataops.text import ppl_buckets
+
+    return ppl_buckets(_t(spark, sf_dir, "documents"), k=3)
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (dataops/sampling.py:dsir_logweights —
     Xie et al. 2023): per raw document, log p_target/p_raw under
@@ -3994,6 +4009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_classifier_cm": q_quality_classifier_cm,
         "q_quality_classifier_std": q_quality_classifier_std,
         "q_dsir_weights": q_dsir_weights,
+        "q_ppl_buckets": q_ppl_buckets,
         "text_mg_summary": text_mg_summary,
         "emb_pca": emb_pca,
         "text_langid": text_langid,
@@ -8087,6 +8103,67 @@ def oracle_sql() -> dict[str, str]:
     d["q_quality_classifier_cm"] = _quality_classifier_cm_oracle_sql()
     d["q_quality_classifier_std"] = _quality_classifier_std_oracle_sql()
     d["q_dsir_weights"] = _dsir_oracle_sql()
+    d["q_ppl_buckets"] = """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)),
+                                               '\\s+')) AS tok
+              FROM documents
+            ), counts AS (
+              SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+            ), stats AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                     count(*) AS vocab
+              FROM counts
+            ), scored AS (
+              SELECT t.doc_id,
+                     ln((c.cnt + 0.5) / (s.total + 0.5 * s.vocab)) AS lp
+              FROM toks t JOIN counts c USING (tok) CROSS JOIN stats s
+            ), lm AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     round(avg(lp), 6) AS avg_logprob
+              FROM scored GROUP BY doc_id
+            ), sk AS (
+              SELECT CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1
+                          ELSE 0 END AS kind,
+                     CASE WHEN v = 0 THEN 0
+                          ELSE CAST(ceil(round(
+                                 ln(abs(v))
+                                 / ln((1.0+0.01)/(1.0-0.01)), 9))
+                               AS INT)
+                     END AS idx,
+                     count(*) AS cnt
+              FROM (SELECT avg_logprob AS v FROM lm
+                    WHERE avg_logprob IS NOT NULL)
+              GROUP BY 1, 2
+            ), cw AS (
+              SELECT kind, idx, cnt,
+                     sum(cnt) OVER (
+                       ORDER BY kind,
+                                CASE WHEN kind = -1 THEN -idx
+                                     ELSE idx END
+                       ROWS UNBOUNDED PRECEDING) AS cum_hi
+              FROM sk
+            ), tt AS (SELECT sum(cnt) AS n FROM sk),
+            thr AS (
+              SELECT q,
+                     kind * round(2.0 * power((1.0+0.01)/(1.0-0.01),
+                                              idx)
+                                  / ((1.0+0.01)/(1.0-0.01) + 1.0), 4)
+                       AS est
+              FROM (SELECT unnest([0.3333333333333333::DOUBLE,
+                                   0.6666666666666666::DOUBLE]) AS q)
+                   qs, tt, cw
+              WHERE cum_hi - cnt < floor(round(q * (n - 1), 6)) + 1
+                AND floor(round(q * (n - 1), 6)) + 1 <= cum_hi
+            )
+            SELECT lm.doc_id, lm.n_tokens, lm.avg_logprob,
+                   CAST(2 - sum(CASE WHEN lm.avg_logprob >= thr.est
+                                     THEN 1 ELSE 0 END) AS INT)
+                     AS bucket
+            FROM lm, thr GROUP BY 1, 2, 3
+        """
+
     d["text_mg_summary"] = r"""
             WITH toks AS (
               SELECT unnest(string_split_regex(lower(trim(text)),

@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "text_mg_summary",
     "decontam_spans",
     "decontam_clean",
+    "q_ppl_buckets",
 ]
 
 

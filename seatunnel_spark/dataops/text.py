@@ -1113,3 +1113,45 @@ def mg_summary(df: DataFrame, text_col: str = "text",
               .groupBy("token")
               .agg(F.count(F.lit(1)).alias("cnt")))
     return mg_compress(counts, capacity)
+
+
+def ppl_buckets(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", k: int = 3,
+                lm_alpha: float = 0.5,
+                sketch_alpha: float = 0.01) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020) ->
+    (id, n_tokens, avg_logprob, bucket): every document scored by
+    its mean unigram log-prob under the corpus's OWN smoothed LM
+    (unigram_logprob), then labeled with its corpus quantile bucket
+    — bucket 0 = head (most fluent, highest logprob) ... k-1 = tail
+    — the standard head/middle/tail triage that feeds per-bucket
+    mixture weights or a tail drop.
+
+    Scale: the k-1 quantile thresholds come from a DDSketch over
+    the per-doc scores (ddsketch_build + ddsketch_quantiles —
+    bounded additive aggregate, alpha relative error), NEVER an
+    exact percentile (which buffers every score) or a global ntile
+    window (which funnels the corpus through one partition). The
+    thresholds are a (k-1)-row broadcast; assignment is one
+    conditional count per doc — bucket = k-1 − |{t : score >= t}|,
+    deterministic under threshold ties. The score table is
+    scoped_persisted so the sketch pass and the assignment share
+    one LM computation."""
+    from seatunnel_spark.dataops._cache import scoped_persist
+    from seatunnel_spark.dataops.sketches import (ddsketch_build,
+                                                  ddsketch_quantiles)
+
+    if k < 2:
+        raise ValueError(f"ppl_buckets needs k >= 2, got {k}")
+    scored = scoped_persist(
+        unigram_logprob(df, id_col, text_col, lm_alpha))
+    qs = [i / k for i in range(1, k)]
+    thr = ddsketch_quantiles(
+        ddsketch_build(scored, "avg_logprob", sketch_alpha),
+        qs, sketch_alpha)
+    bucket = (F.lit(k - 1) - F.sum(
+        F.when(F.col("avg_logprob") >= F.col("est"), 1)
+        .otherwise(0))).cast("int")
+    return (scored.join(F.broadcast(thr.select("est")))
+            .groupBy(id_col, "n_tokens", "avg_logprob")
+            .agg(bucket.alias("bucket")))

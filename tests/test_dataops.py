@@ -4270,3 +4270,36 @@ def test_contaminated_spans_and_apply(spark):
     assert out[2]["n_kept"] == out[2]["n_tokens"] == 5
     assert out[3]["clean_text"] == "zz"
     assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0
+
+
+def test_ppl_buckets_monotone_quantiles(spark):
+    """CCNet perplexity bucketing: doc j carries (12-j) common
+    tokens + j unique ones, so scores strictly decrease in j with
+    ~0.33-nat gaps — far beyond the DDSketch's 1% relative wobble,
+    so only the two docs sitting exactly ON a threshold rank (j=4,
+    j=8 for n=12, k=3) may fall either side. Asserts: buckets are
+    MONOTONE in the score, the head/middle/tail interiors are
+    exact, boundary docs stay within +-1 bucket, and k < 2
+    refuses."""
+    import pytest
+
+    from seatunnel_spark.dataops.text import ppl_buckets
+
+    rows = [(j, " ".join(["the"] * (12 - j)
+                         + [f"u{j}x{m}" for m in range(j)]))
+            for j in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ppl_buckets(df, k=3)
+    got = {r["doc_id"]: (r["avg_logprob"], r["bucket"])
+           for r in out.collect()}
+    assert len(got) == 12
+    ordered = sorted(got.values(), key=lambda t: -t[0])
+    buckets = [b for _, b in ordered]
+    assert buckets == sorted(buckets)          # monotone in score
+    # interiors are deterministic; thresholds sit at j=4 and j=8
+    assert all(got[j][1] == 0 for j in range(0, 4))
+    assert all(got[j][1] == 1 for j in range(5, 8))
+    assert all(got[j][1] == 2 for j in range(9, 12))
+    assert got[4][1] in (0, 1) and got[8][1] in (1, 2)
+    with pytest.raises(ValueError, match="k >= 2"):
+        ppl_buckets(df, k=1)
