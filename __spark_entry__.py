@@ -1070,6 +1070,20 @@ def text_mg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mg_summary(d, capacity=64)
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (dataops/text.py:normalize_text):
+    the pre-dedup cleanup — composed/decomposed accent spellings and
+    (under NFKC) compatibility forms otherwise defeat every
+    digest-based dedup operator. One Arrow-vectorized pandas_udf
+    batch pass (Catalyst has no normalizer expression — the
+    documented slow-path done right, never per-row py4j). Oracle:
+    DuckDB's nfc_normalize, the one form both engines implement."""
+    from seatunnel_spark.dataops.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return normalize_text(d, form="NFC")
+
+
 def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing (dataops/text.py:ppl_buckets
     — Wenzek et al. 2020): every document scored by its mean unigram
@@ -4010,6 +4024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_classifier_std": q_quality_classifier_std,
         "q_dsir_weights": q_dsir_weights,
         "q_ppl_buckets": q_ppl_buckets,
+        "text_normalize": text_normalize,
         "text_mg_summary": text_mg_summary,
         "emb_pca": emb_pca,
         "text_langid": text_langid,
@@ -8103,6 +8118,10 @@ def oracle_sql() -> dict[str, str]:
     d["q_quality_classifier_cm"] = _quality_classifier_cm_oracle_sql()
     d["q_quality_classifier_std"] = _quality_classifier_std_oracle_sql()
     d["q_dsir_weights"] = _dsir_oracle_sql()
+    d["text_normalize"] = """
+            SELECT doc_id, text, nfc_normalize(text) AS norm_text
+            FROM documents
+        """
     d["q_ppl_buckets"] = """
             WITH toks AS (
               SELECT doc_id,

@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "decontam_spans",
     "decontam_clean",
     "q_ppl_buckets",
+    "text_normalize",
 ]
 
 

@@ -7,6 +7,8 @@ in the hot path, so they run at scan speed on any corpus size.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from seatunnel_spark.dataops._cache import scoped_persist
@@ -1155,3 +1157,34 @@ def ppl_buckets(df: DataFrame, id_col: str = "doc_id",
     return (scored.join(F.broadcast(thr.select("est")))
             .groupBy(id_col, "n_tokens", "avg_logprob")
             .agg(bucket.alias("bucket")))
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str = "norm_text",
+                   form: str = "NFKC") -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the canonical
+    pre-dedup cleanup: composed vs decomposed accents, full-width
+    forms, and compatibility ligatures otherwise defeat every
+    digest-based exact-dedup and shingle operator (md5('é') differs
+    between NFC and NFD spellings of the same text).
+
+    Catalyst has no normalizer expression, so this is the documented
+    slow-path done right: ONE Arrow-vectorized pandas_udf batch pass
+    (unicodedata.normalize over pandas string arrays), never
+    per-row py4j — the LLM/Embedding transform discipline. NULLs
+    pass through. Note DuckDB replays only NFC (nfc_normalize), so
+    the strict oracle path pins form='NFC'; other forms are covered
+    by unit tests against unicodedata itself."""
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize(form, x))
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))

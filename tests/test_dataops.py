@@ -4303,3 +4303,29 @@ def test_ppl_buckets_monotone_quantiles(spark):
     assert got[4][1] in (0, 1) and got[8][1] in (1, 2)
     with pytest.raises(ValueError, match="k >= 2"):
         ppl_buckets(df, k=1)
+
+
+def test_normalize_text_unicode_forms(spark):
+    """Unicode normalization: NFC composes e+combining-accent, NFKC
+    additionally folds full-width/ligature compatibility forms, NULL
+    passes through, unknown forms refuse — and the digest-equality
+    consequence holds (NFC of composed == NFC of decomposed)."""
+    import pytest
+
+    from seatunnel_spark.dataops.text import normalize_text
+
+    rows = [(1, "café"),            # composed é
+            (2, "café"),           # decomposed e + U+0301
+            (3, "Ｈｉ ﬁn"),  # full-width Hi + fi ligature
+            (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nfc = {r["doc_id"]: r["norm_text"] for r in
+           normalize_text(df, form="NFC").collect()}
+    assert nfc[1] == nfc[2] == "café"
+    assert nfc[3] == "Ｈｉ ﬁn"  # NFC keeps compat forms
+    assert nfc[4] is None
+    nfkc = {r["doc_id"]: r["norm_text"] for r in
+            normalize_text(df, form="NFKC").collect()}
+    assert nfkc[3] == "Hi fin"
+    with pytest.raises(ValueError, match="unknown normalization"):
+        normalize_text(df, form="NFX")
