@@ -394,7 +394,10 @@ def _commit_register_store(spark, path: str, batch_id: int,
       single `_applied_b{batch_id}` marker file; a batch whose id is
       <= the recorded id is skipped as a replay and the store is
       untouched. Batch ids are monotone per query, so the latest
-      marker is a complete ledger.
+      marker is a complete ledger. Corollary: pointing a FRESH
+      checkpoint (ids restart at 0) at an existing store silently
+      skips until the old applied id is passed — delete the store
+      together with the checkpoint when resetting a stream.
     * FIRST-BATCH DETECTION — an EXPLICIT FileSystem existence check,
       never catching the read error: a corrupt footer or transient
       FS fault must FAIL the batch (and be retried by the stream)
