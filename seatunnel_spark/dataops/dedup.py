@@ -812,23 +812,21 @@ def embedding_near_dups(
     """
     import numpy as np
 
+    from seatunnel_spark.dataops.similarity import _bucket_expr, _norm
+
     v = F.col(vec_col)
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    norm = _norm(v)
     if planes > 0:
         first = df.select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"])
         rng = np.random.default_rng(seed)
         plane_mat = rng.standard_normal((planes, dim))
-        bits = []
-        for p in range(planes):
-            plane = F.array(*[F.lit(float(x)) for x in plane_mat[p]])
-            dot = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0),
-                              lambda acc, x: acc + x)
-            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-        bucket = F.concat(*bits)
+        bucket = _bucket_expr(vec_col, plane_mat)
     else:
         bucket = None
-    bucketed = df.select(
+    # _ensure_parallelism: the bucket/norm projection is the CPU-heavy
+    # per-row pass — spread it off a single-split local scan
+    bucketed = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"), v.alias("v"), norm.alias("n"),
         *( [bucket.alias("bucket")] if bucket is not None else [] ),
     )
@@ -839,9 +837,9 @@ def embedding_near_dups(
     # persist — resilient + compact for the vector payload
     bucketed = scoped_persist(bucketed)
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    dot_ab = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-                         F.lit(0.0), lambda acc, x: acc + x)
-    cos = dot_ab / (F.col("a.n") * F.col("b.n"))
+    from seatunnel_spark.dataops.similarity import _dot
+
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
     if round_to is not None:
         cos = F.round(cos, round_to)
     if bucket is not None:
@@ -903,20 +901,22 @@ def semantic_dedup(
     drops a doc it didn't compare. None disables.
     """
     from seatunnel_spark.dataops.similarity import (
-        _nearest_centroid, train_ivf_centroids)
+        _dot, _nearest_centroid, _norm, train_ivf_centroids)
 
     if centroids is None:
         centroids = train_ivf_centroids(df, vec_col, nlist=nlist, iters=iters)
     v = F.col(vec_col).cast(T.ArrayType(T.DoubleType()))
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    assigned = scoped_persist(df.select(
-        F.col(id_col).alias("id"), v.alias("v"), norm.alias("n"),
-        _nearest_centroid(v, centroids).alias("cell"),
+    # _ensure_parallelism: cell assignment + norm are the CPU-heavy
+    # per-row pass — spread them off a single-split local scan
+    assigned = scoped_persist(_ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), v.alias("v"), _norm(v).alias("n"),
+        _nearest_centroid(f"cast({vec_col} as array<double>)",
+                          centroids).alias("cell"),
     ))
     join_in = _cap_buckets(assigned, ["cell"], max_cell)
     a, b = join_in.alias("a"), join_in.alias("b")
-    cos = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x) / (F.col("a.n") * F.col("b.n"))
+    cos = _dot(F.col("a.v"), F.col("b.v")) \
+        / (F.col("a.n") * F.col("b.n"))
     if round_to is not None:
         cos = F.round(cos, round_to)
     dropped = (

@@ -68,12 +68,33 @@ def _dist2(vec: Column, centroid: list[float]) -> Column:
         F.lit(0.0), lambda a, b: a + b)
 
 
-def _assign_struct(vec: Column, centroids: list[list[float]],
+def _dist2_sql(vec: str, centroid: list[float]) -> str:
+    """The _dist2 HOF as SQL text — the parser builds the IDENTICAL
+    zip_with/aggregate tree the Column API builds (same evaluation,
+    same values); the point is ONE parse per assignment expression
+    instead of a py4j round trip per centroid literal, which
+    dominated PLAN-CONSTRUCTION time for k×dim-literal codebooks."""
+    lit = "array(" + ",".join(f"{float(v)!r}D" for v in centroid) + ")"
+    return (f"aggregate(zip_with({vec}, {lit}, "
+            f"(x, y) -> (x - y) * (x - y)), 0.0D, (a, b) -> a + b)")
+
+
+def _assign_struct(vec: Column | str, centroids: list[list[float]],
                    round_to: int | None) -> Column:
     """struct<d,i> of the nearest centroid by squared L2; ties ->
     LOWEST index (array_min on struct<d,i> compares d then i).
     `round_to` rounds distances first so the argmin can't flip on
-    last-bit arithmetic differences between engines."""
+    last-bit arithmetic differences between engines. `vec` as a SQL
+    expression STRING builds the literal-heavy score array in one
+    F.expr parse (same tree — see _dist2_sql)."""
+    if isinstance(vec, str):
+        parts = []
+        for i, c in enumerate(centroids):
+            d = _dist2_sql(vec, c)
+            if round_to is not None:
+                d = f"round({d}, {int(round_to)})"
+            parts.append(f"named_struct('d', {d}, 'i', {i})")
+        return F.expr("array_min(array(" + ",".join(parts) + "))")
     scores = []
     for i, c in enumerate(centroids):
         d = _dist2(vec, c)
@@ -83,7 +104,7 @@ def _assign_struct(vec: Column, centroids: list[list[float]],
     return F.array_min(F.array(*scores))
 
 
-def _assign_expr(vec: Column, centroids: list[list[float]],
+def _assign_expr(vec: Column | str, centroids: list[list[float]],
                  round_to: int | None) -> Column:
     return _assign_struct(vec, centroids, round_to)["i"]
 
@@ -105,9 +126,10 @@ def kmeans_fit(df: DataFrame, vec_col: str = "embedding",
             .orderBy("__id").limit(k).collect())
     centroids = [[float(v) for v in r["__v"]] for r in init]
     x = F.col(vec_col).cast("array<double>")
+    vx = f"cast({vec_col} as array<double>)"
     for _ in range(iters):
         assigned = df.select(
-            _assign_expr(x, centroids, round_to).alias("__c"),
+            _assign_expr(vx, centroids, round_to).alias("__c"),
             x.alias("__v"))
         rows = (assigned.select("__c", F.posexplode("__v").alias("__d", "__x"))
                 .groupBy("__c", "__d")
@@ -128,8 +150,8 @@ def kmeans_assign(df: DataFrame, centroids: list[list[float]],
     """Label every row with its nearest centroid — a broadcast-literal
     projection (no join, no shuffle). `dist_col` additionally emits
     the (rounded) squared L2 distance to that centroid."""
-    x = F.col(vec_col).cast("array<double>")
-    s = _assign_struct(x, centroids, round_to)
+    s = _assign_struct(f"cast({vec_col} as array<double>)",
+                       centroids, round_to)
     out = df.withColumn(out_col, s["i"])
     if dist_col is not None:
         out = out.withColumn(dist_col, s["d"])

@@ -9,6 +9,26 @@ Scale path: random-hyperplane LSH bucketing (IVF-style coarse
 quantization) — probe only matching buckets, trading recall for a
 ~buckets× scan reduction. At 100 TB the bucketed variant also
 partition-prunes if the corpus is written partitioned by bucket.
+
+Round-11 optimization (arithmetic UNCHANGED, bit-for-bit):
+
+* `_spread` — scale-adaptive scan parallelism. A local bench reads a
+  tiny single-row-group parquet as ONE scan task, serializing every
+  per-row projection (cell assignment, PQ encoding, norms) and every
+  per-pair score on one core while the rest idle; the conditional
+  round-robin repartition is a no-op at scale where the corpus
+  already arrives in many splits.
+* Norms are precomputed once per ROW on each join side instead of
+  once per PAIR — the same expression evaluated |Q|+|C| times
+  instead of |Q|·|C| times; the per-pair cosine divides by the
+  product of the two materialized columns exactly as before.
+* ADC scoring precomputes the classic per-query distance table
+  (Jégou et al. 2011): lut[s][c] = ||q_sub_s − codebook[s][c]||²,
+  materialized once per query row with the same fold expressions;
+  the per-pair score collapses from m·(dim/m) multiply-adds to m
+  array lookups. Each LUT entry carries the fold's own 0.0 seed and
+  the per-pair sum keeps the per-subspace grouping, so distances
+  are bit-identical and every oracle replays unchanged.
 """
 
 from __future__ import annotations
@@ -23,6 +43,18 @@ def _dot(a: Column, b: Column) -> Column:
 
 def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan parallelism (dedup._ensure_parallelism's
+    contract): round-robin repartition to defaultParallelism ONLY
+    when the planned input has fewer than half that many partitions.
+    A no-op at scale — a properly-split corpus scan already has
+    plenty of partitions and never pays the shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
 
 
 def with_cosine(df: DataFrame, a_col: str, b_col: str, out: str = "cosine") -> DataFrame:
@@ -48,13 +80,18 @@ def brute_force_topk(
     self-joins over the same table never collide; rank 1..k, ties broken
     by match id for determinism. `round_to` rounds the score BEFORE
     ranking — use it when results must be reproducible bit-for-bit
-    across engines/arithmetic orders (e.g. oracle checks).
-    """
+    across engines/arithmetic orders (e.g. oracle checks). Norms are
+    materialized once per row on each side — never recomputed per pair."""
     q = F.broadcast(
-        queries.select(F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv"))
+        queries.select(F.col(query_id).alias("__qid"),
+                       F.col(query_vec).alias("__qv"))
+        .withColumn("__qn", _norm(F.col("__qv")))
     )
-    c = corpus.select(F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv"))
-    cos = _dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
+    c = _spread(
+        corpus.select(F.col(corpus_id).alias("__cid"),
+                      F.col(corpus_vec).alias("__cv"))
+    ).withColumn("__cn", _norm(F.col("__cv")))
+    cos = _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     if round_to is not None:
         cos = F.round(cos, round_to)
     scored = q.join(c).select(F.col("__qid"), F.col("__cid"), cos.alias("cosine"))
@@ -80,9 +117,9 @@ def brute_force_l2_topk(
     q = F.broadcast(queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).cast("array<double>").alias("__qv")))
-    c = corpus.select(F.col(corpus_id).alias("match_id"),
-                      F.col(corpus_vec).cast("array<double>")
-                      .alias("__cv"))
+    c = _spread(corpus.select(F.col(corpus_id).alias("match_id"),
+                              F.col(corpus_vec).cast("array<double>")
+                              .alias("__cv")))
     d2 = F.aggregate(
         F.zip_with(F.col("__qv"), F.col("__cv"),
                    lambda a, b: (a - b) * (a - b)),
@@ -136,20 +173,19 @@ def hard_negatives(
     the join condition — same-label candidates never reach the
     scoring projection or the rank window. NULL labels on either
     side are excluded (a null label can neither agree nor disagree
-    with evidence). For corpus-scale query sets, run the same
-    predicate over an IVF/PQ shortlist instead (compose
-    search_ivf_index + an anti-label filter + a widened k to refill
-    — the shortlist must be over-fetched by the expected same-label
-    fraction)."""
+    with evidence). For corpus-scale query sets, use
+    hard_negatives_ivf (IVF shortlist, no broadcast anywhere)."""
     q = F.broadcast(queries.select(
         F.col(query_id).alias("__qid"),
         F.col(query_vec).alias("__qv"),
-        F.col(query_label).alias("__ql")))
-    c = corpus.select(F.col(corpus_id).alias("__cid"),
-                      F.col(corpus_vec).alias("__cv"),
-                      F.col(corpus_label).alias("__cl"))
+        F.col(query_label).alias("__ql"))
+        .withColumn("__qn", _norm(F.col("__qv"))))
+    c = _spread(corpus.select(F.col(corpus_id).alias("__cid"),
+                              F.col(corpus_vec).alias("__cv"),
+                              F.col(corpus_label).alias("__cl"))) \
+        .withColumn("__cn", _norm(F.col("__cv")))
     cos = _dot(F.col("__qv"), F.col("__cv")) \
-        / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
+        / (F.col("__qn") * F.col("__cn"))
     if round_to is not None:
         cos = F.round(cos, round_to)
     scored = (q.join(c, F.col("__ql") != F.col("__cl"))
@@ -202,29 +238,35 @@ def hard_negatives_ivf(
     (engine-replayable oracles); `round_to` rounds the cosine
     BEFORE ranking for cross-engine bit-stability. At 100 TB, pair
     with write_ivf_index so the corpus side partition-prunes to the
-    probed cells."""
+    probed cells; if the planner falls back to a sort-merge join on
+    the (few-valued) cell id, pre-salt both sides with a
+    deterministic sub-key so the per-cell work spreads (the guide's
+    skew discipline) — at broadcastable query scale the planner
+    picks BHJ and the cell key never bottlenecks."""
     if centroids is None:
         centroids = train_ivf_centroids(corpus, corpus_vec,
                                         corpus_id, nlist, iters)
-    c = corpus.select(
+    c = _spread(corpus.select(
         F.col(corpus_id).alias("__cid"),
         F.col(corpus_vec).alias("__cv"),
         F.col(corpus_label).alias("__cl"),
-        _nearest_centroid(F.col(corpus_vec), centroids).alias("__cell"),
-    )
+    )).withColumns({
+        "__cn": _norm(F.col("__cv")),
+        "__cell": _nearest_centroid("__cv", centroids),
+    })
     probe = F.transform(
         F.slice(F.reverse(F.array_sort(
-            _centroid_scores(F.col(query_vec), centroids))), 1, nprobe),
+            _centroid_scores("__qv", centroids))), 1, nprobe),
         lambda s: s["i"],
     )
-    q = queries.select(
+    q = _spread(queries.select(
         F.col(query_id).alias("__qid"),
         F.col(query_vec).alias("__qv"),
         F.col(query_label).alias("__ql"),
-        F.explode(probe).alias("__cell"),
-    )
+    )).withColumn("__qn", _norm(F.col("__qv"))) \
+      .withColumn("__cell", F.explode(probe))
     cos = (_dot(F.col("__qv"), F.col("__cv"))
-           / (_norm(F.col("__qv")) * _norm(F.col("__cv"))))
+           / (F.col("__qn") * F.col("__cn")))
     if round_to is not None:
         cos = F.round(cos, round_to)
     scored = (q.join(c, "__cell")
@@ -259,8 +301,12 @@ def train_ivf_centroids(
     centroids = [[float(x) for x in r["__v"]] for r in init]
     v = F.col(vec_col)
     for _ in range(iters):
+        # no _spread here: a repartition reorders the rows feeding the
+        # per-cluster avg, which perturbs the trained means in the
+        # last float bits (training is not on any bench/oracle path)
         assigned = corpus.select(
-            v.alias("__v"), _nearest_centroid(v, centroids).alias("__c")
+            v.alias("__v"),
+            _nearest_centroid(vec_col, centroids).alias("__c")
         )
         rows = (
             assigned.select("__c", F.posexplode("__v").alias("__d", "__x"))
@@ -275,8 +321,41 @@ def train_ivf_centroids(
     return centroids
 
 
-def _centroid_scores(vec: Column, centroids) -> Column:
-    """array<struct<s:double,i:int>> of cosine(vec, centroid_i)."""
+def _d(v: float) -> str:
+    """Exact SQL double literal — repr() round-trips binary64 and the
+    parser reads back the identical double F.lit(float(v)) carries."""
+    return f"{float(v)!r}D"
+
+
+def _arr_sql(vals) -> str:
+    return "array(" + ",".join(_d(v) for v in vals) + ")"
+
+
+def _dot_sql(vec: str, arr: str) -> str:
+    """The _dot HOF as SQL text — the parser builds the IDENTICAL
+    zip_with/aggregate tree the Column API builds, so evaluation and
+    values are unchanged; the point is ONE parse instead of a py4j
+    round trip per literal (literal-heavy plans — codebooks of
+    m·k·dim floats — cost seconds per query to CONSTRUCT through the
+    Column API, which dominated the whole ANN family's bench time)."""
+    return (f"aggregate(zip_with({vec}, {arr}, (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)")
+
+
+def _centroid_scores(vec: Column | str, centroids) -> Column:
+    """array<struct<s:double,i:int>> of cosine(vec, centroid_i).
+    `vec` as a SQL expression STRING builds the whole literal-heavy
+    score array in one F.expr parse (same tree, see _dot_sql)."""
+    if isinstance(vec, str):
+        nrm = (f"sqrt(aggregate({vec}, 0.0D, "
+               f"(acc, x) -> acc + x * x))")
+        parts = []
+        for i, c in enumerate(centroids):
+            cn = _d(sum(x * x for x in c) ** 0.5 or 1.0)
+            parts.append(
+                f"named_struct('s', {_dot_sql(vec, _arr_sql(c))} "
+                f"/ ({nrm} * {cn}), 'i', {i})")
+        return F.expr("array(" + ",".join(parts) + ")")
     n = _norm(vec)
     scores = []
     for i, c in enumerate(centroids):
@@ -289,7 +368,7 @@ def _centroid_scores(vec: Column, centroids) -> Column:
     return F.array(*scores)
 
 
-def _nearest_centroid(vec: Column, centroids) -> Column:
+def _nearest_centroid(vec: Column | str, centroids) -> Column:
     # array_max on struct<s,i> compares s first -> argmax by score.
     return F.array_max(_centroid_scores(vec, centroids))["i"]
 
@@ -326,13 +405,15 @@ def ivf_topk(
     if centroids is None:
         centroids = train_ivf_centroids(corpus, corpus_vec, corpus_id, nlist, iters)
 
-    c = corpus.select(
+    c = _spread(corpus.select(
         F.col(corpus_id).alias("__cid"),
         F.col(corpus_vec).alias("__cv"),
-        _nearest_centroid(F.col(corpus_vec), centroids).alias("__cell"),
-    )
+    )).withColumns({
+        "__cn": _norm(F.col("__cv")),
+        "__cell": _nearest_centroid("__cv", centroids),
+    })
     probe = F.transform(
-        F.slice(F.reverse(F.array_sort(_centroid_scores(F.col(query_vec), centroids))),
+        F.slice(F.reverse(F.array_sort(_centroid_scores(query_vec, centroids))),
                 1, nprobe),
         lambda s: s["i"],
     )
@@ -341,10 +422,10 @@ def ivf_topk(
             F.col(query_id).alias("__qid"),
             F.col(query_vec).alias("__qv"),
             F.explode(probe).alias("__cell"),
-        )
+        ).withColumn("__qn", _norm(F.col("__qv")))
     )
     cos = (_dot(F.col("__qv"), F.col("__cv"))
-           / (_norm(F.col("__qv")) * _norm(F.col("__cv"))))
+           / (F.col("__qn") * F.col("__cn")))
     if round_to is not None:
         cos = F.round(cos, round_to)
     scored = q.join(c, "__cell").select("__qid", "__cid", cos.alias("cosine"))
@@ -371,8 +452,8 @@ def write_ivf_index(
         centroids = train_ivf_centroids(corpus, vec_col, corpus_id,
                                         nlist, iters)
     spark = corpus.sparkSession
-    assigned = corpus.withColumn(
-        "__cell", _nearest_centroid(F.col(vec_col), centroids)
+    assigned = _spread(corpus).withColumn(
+        "__cell", _nearest_centroid(vec_col, centroids)
     )
     assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
     spark.createDataFrame(
@@ -404,7 +485,7 @@ def append_ivf_index(
         for r in spark.read.parquet(f"{path}/_centroids")
         .orderBy("i").collect()]
     assigned = new_rows.withColumn(
-        "__cell", _nearest_centroid(F.col(vec_col), centroids))
+        "__cell", _nearest_centroid(vec_col, centroids))
     assigned.write.mode("append").partitionBy("__cell").parquet(path)
 
 
@@ -429,7 +510,7 @@ def search_ivf_index(
     ]
     nprobe = min(nprobe, len(centroids))
     probe = F.transform(
-        F.slice(F.reverse(F.array_sort(_centroid_scores(F.col(query_vec), centroids))),
+        F.slice(F.reverse(F.array_sort(_centroid_scores(query_vec, centroids))),
                 1, nprobe),
         lambda s: s["i"],
     )
@@ -437,24 +518,28 @@ def search_ivf_index(
         F.col(query_id).alias("__qid"),
         F.col(query_vec).alias("__qv"),
         F.explode(probe).alias("__cell"),
-    )
+    ).withColumn("__qn", _norm(F.col("__qv")))
     cells = sorted({r["__cell"] for r in q_probed.select("__cell").distinct().collect()})
-    c = (
+    c = _spread(
         spark.read.parquet(path)
         .filter(F.col("__cell").isin(cells))
         .select(F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv"),
                 "__cell")
-    )
+    ).withColumn("__cn", _norm(F.col("__cv")))
     scored = F.broadcast(q_probed).join(c, "__cell").select(
         "__qid",
         "__cid",
         (_dot(F.col("__qv"), F.col("__cv"))
-         / (_norm(F.col("__qv")) * _norm(F.col("__cv")))).alias("cosine"),
+         / (F.col("__qn") * F.col("__cn"))).alias("cosine"),
     )
     return _rank_topk(scored, k)
 
 
-def _bucket_expr(vec: Column, plane_mat) -> Column:
+def _bucket_expr(vec: Column | str, plane_mat) -> Column:
+    if isinstance(vec, str):
+        bits = [f"CASE WHEN {_dot_sql(vec, _arr_sql(row))} >= 0 "
+                f"THEN '1' ELSE '0' END" for row in plane_mat]
+        return F.expr("concat(" + ",".join(bits) + ")")
     bits = []
     for row in plane_mat:
         plane = F.array(*[F.lit(float(x)) for x in row])
@@ -491,16 +576,18 @@ def lsh_bucketed_topk(
         queries.select(
             F.col(query_id).alias("__qid"),
             F.col(query_vec).alias("__qv"),
-            _bucket_expr(F.col(query_vec), plane_mat).alias("__bucket"),
-        )
+            _bucket_expr(query_vec, plane_mat).alias("__bucket"),
+        ).withColumn("__qn", _norm(F.col("__qv")))
     )
-    cb = corpus.select(
+    cb = _spread(corpus.select(
         F.col(corpus_id).alias("__cid"),
         F.col(corpus_vec).alias("__cv"),
-        _bucket_expr(F.col(corpus_vec), plane_mat).alias("__bucket"),
-    )
+    )).withColumns({
+        "__bucket": _bucket_expr("__cv", plane_mat),
+        "__cn": _norm(F.col("__cv")),
+    })
     cos = (_dot(F.col("__qv"), F.col("__cv"))
-           / (_norm(F.col("__qv")) * _norm(F.col("__cv"))))
+           / (F.col("__qn") * F.col("__cn")))
     if round_to is not None:
         cos = F.round(cos, round_to)
     scored = qb.join(cb, "__bucket").select("__qid", "__cid", cos.alias("cosine"))
@@ -585,34 +672,49 @@ def pq_encode(
     centroids (same tie discipline as kmeans_assign: round first,
     lowest index wins). A zero-shuffle codegen projection: this is the
     write-once step — persist (id, codes) next to the corpus and every
-    later search scans m ints per vector instead of dim floats."""
+    later search scans m ints per vector instead of dim floats. The
+    input is `_spread` first — encoding is the CPU-heavy per-row pass
+    of every PQ search, and a single-split local scan would serialize
+    it on one core (no-op at scale, see _spread)."""
     from seatunnel_spark.dataops.embeddings import _assign_expr
 
     d0 = len(codebooks[0][0])
-    x = F.col(vec_col).cast("array<double>")
+    vx = f"cast({vec_col} as array<double>)"
     codes = F.array(*[
-        _assign_expr(F.slice(x, s * d0 + 1, d0), book, round_to)
+        _assign_expr(f"slice({vx}, {s * d0 + 1}, {d0})", book, round_to)
         for s, book in enumerate(codebooks)
     ])
-    return df.withColumn(out_col, codes)
+    return _spread(df).withColumn(out_col, codes)
 
 
-def _adc_dist(qv: Column, codes: Column,
-              codebooks: list[list[list[float]]]) -> Column:
-    """Asymmetric PQ distance Σ_s ||q_sub_s − codebook[s][code_s]||²:
-    m literal-array lookups + m·(dim/m) multiply-adds, pure codegen —
-    the shared scoring core of pq_topk and ivfpq_topk."""
+def _adc_lut(qv: str,
+             codebooks: list[list[list[float]]]) -> Column:
+    """Per-query ADC distance table (Jégou et al. 2011): lut[s][c] =
+    ||q_sub_s − codebook[s][c]||² as array<array<double>>, built from
+    the SAME per-subspace fold expressions `_adc_dist` used inline
+    (0.0 seed, left-assoc, zip_with against the literal centroid) —
+    each entry is bit-identical to the subspace partial it replaces,
+    and it is evaluated once per QUERY row instead of once per pair."""
     d0 = len(codebooks[0][0])
-    total = F.lit(0.0)
-    for s, book in enumerate(codebooks):
-        sub = F.slice(qv, s * d0 + 1, d0)
-        blit = F.array(*[F.array(*[F.lit(float(v)) for v in cent])
-                         for cent in book])
-        cent = F.element_at(blit, F.element_at(codes, s + 1) + 1)
-        total = total + F.aggregate(
-            F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, v: acc + v)
-    return total
+    subs = []
+    for si, book in enumerate(codebooks):
+        blit = "array(" + ",".join(_arr_sql(cent) for cent in book) + ")"
+        subs.append(
+            f"transform({blit}, cent -> aggregate("
+            f"zip_with(slice({qv}, {si * d0 + 1}, {d0}), cent, "
+            f"(a, b) -> (a - b) * (a - b)), 0.0D, (acc, v) -> acc + v))")
+    return F.expr("array(" + ",".join(subs) + ")")
+
+
+def _adc_from_lut(lut: str, codes: str, m: int) -> Column:
+    """Σ_s lut[s][code_s] — m array lookups + left-assoc adds per
+    pair (ONE small codegen expression); grouping identical to the
+    inline per-subspace fold, whose partials the LUT entries carry
+    verbatim (each with its own 0.0 seed, summed left-to-right from
+    a 0.0 seed exactly like the inline chain)."""
+    return F.expr("(" + " + ".join(
+        ["0.0D"] + [f"get(get({lut},{s}),element_at({codes},{s + 1}))"
+                    for s in range(m)]) + ")")
 
 
 def pq_topk(
@@ -634,18 +736,20 @@ def pq_topk(
     with id tiebreak; `round_to` rounds BEFORE ranking for
     engine-reproducible results (the brute_force_topk convention).
 
-    Scale shape: queries broadcast (small by assumption); per corpus
-    row the score is m literal-array lookups + m·(dim/m)
-    multiply-adds, pure codegen, no shuffle before the top-k window.
-    The classic pairing is IVF for candidate pruning + PQ for the
+    Scale shape: queries broadcast (small by assumption) carrying
+    their m×k ADC distance table (materialized once per query row);
+    per corpus row the score is m table lookups + m adds, one small
+    codegen expression, no shuffle before the top-k window. The
+    classic pairing is IVF for candidate pruning + PQ for the
     in-cell scan; this operator is the PQ half and composes with
     ivf_topk's cell filter."""
     q = F.broadcast(queries.select(
         F.col(query_id).alias("__qid"),
-        F.col(query_vec).cast("array<double>").alias("__qv")))
-    c = corpus_codes.select(F.col(corpus_id).alias("__cid"),
-                            F.col(codes_col).alias("__codes"))
-    total = _adc_dist(F.col("__qv"), F.col("__codes"), codebooks)
+        F.col(query_vec).cast("array<double>").alias("__qv"))
+        .withColumn("__lut", _adc_lut("__qv", codebooks)))
+    c = _spread(corpus_codes.select(F.col(corpus_id).alias("__cid"),
+                                    F.col(codes_col).alias("__codes")))
+    total = _adc_from_lut("__lut", "__codes", len(codebooks))
     if round_to is not None:
         total = F.round(total, round_to)
     scored = q.join(c).select("__qid", "__cid", total.alias("adc_dist"))
@@ -685,8 +789,9 @@ def ivfpq_topk(
 
     One projection attaches cell + codes to the corpus (both
     broadcast-literal argmins, zero shuffle); queries explode to
-    nprobe (query, cell) rows and the equi-join on __cell is the only
-    data movement before the top-k window."""
+    nprobe (query, cell) rows carrying their ADC distance table and
+    the equi-join on __cell is the only data movement before the
+    top-k window."""
     if coarse_centroids is None:
         coarse_centroids = train_ivf_centroids(
             corpus, corpus_vec, corpus_id, nlist, iters)
@@ -696,18 +801,19 @@ def ivfpq_topk(
         codebooks, "__cv", "__codes"
     ).select(
         "__cid", "__codes",
-        _nearest_centroid(F.col("__cv"), coarse_centroids)
+        _nearest_centroid("__cv", coarse_centroids)
         .alias("__cell"))
     probe = F.transform(
         F.slice(F.reverse(F.array_sort(
-            _centroid_scores(F.col(query_vec), coarse_centroids))),
+            _centroid_scores(query_vec, coarse_centroids))),
             1, nprobe),
         lambda s: s["i"])
     q = F.broadcast(queries.select(
         F.col(query_id).alias("__qid"),
         F.col(query_vec).cast("array<double>").alias("__qv"),
-        F.explode(probe).alias("__cell")))
-    total = _adc_dist(F.col("__qv"), F.col("__codes"), codebooks)
+        F.explode(probe).alias("__cell"))
+        .withColumn("__lut", _adc_lut("__qv", codebooks)))
+    total = _adc_from_lut("__lut", "__codes", len(codebooks))
     if round_to is not None:
         total = F.round(total, round_to)
     scored = (q.join(c, "__cell")
@@ -721,13 +827,14 @@ def ivfpq_topk(
                     "adc_dist", "rank"))
 
 
-def _residual(vec: Column, cell: Column,
+def _residual(vec: str, cell: str,
               coarse: list[list[float]]) -> Column:
-    """vec − coarse[cell] as a zero-shuffle literal-lookup expression."""
-    clit = F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                     for c in coarse])
-    cent = F.element_at(clit, cell + 1)
-    return F.zip_with(vec, cent, lambda a, b: a - b)
+    """vec − coarse[cell] as a zero-shuffle literal-lookup expression
+    (vec/cell are SQL expression strings — the nested literal
+    codebook is parsed in ONE F.expr, see _dot_sql)."""
+    clit = "array(" + ",".join(_arr_sql(c) for c in coarse) + ")"
+    return F.expr(f"zip_with({vec}, element_at({clit}, {cell} + 1), "
+                  f"(a, b) -> a - b)")
 
 
 def pq_train_residual(
@@ -746,11 +853,14 @@ def pq_train_residual(
     it quantizes raw vectors spread across cells. Same deterministic
     Lloyd's per subspace as pq_train; one extra zero-shuffle residual
     projection in front."""
-    v = F.col(vec_col).cast("array<double>")
-    res = corpus.select(
-        F.col(id_col),
-        _residual(v, _nearest_centroid(v, coarse_centroids),
-                  coarse_centroids).alias("__res"))
+    vx = f"cast({vec_col} as array<double>)"
+    res = (corpus
+           .select(F.col(id_col), F.col(vec_col))
+           .withColumn("__cell",
+                       _nearest_centroid(vx, coarse_centroids))
+           .select(F.col(id_col),
+                   _residual(vx, "__cell",
+                             coarse_centroids).alias("__res")))
     return pq_train(res, "__res", id_col, m=m, k=k, iters=iters)
 
 
@@ -771,35 +881,43 @@ def ivfadc_topk(
     2011) -> (query_id, match_id, adc_dist, rank). Corpus rows store
     (cell, residual codes); at query time each probed (query, cell)
     pair forms the QUERY residual against that cell's centroid (a
-    literal lookup) and ADC runs residual-to-residual — distances
-    approximate ||q − x||² properly because both sides subtract the
-    SAME centroid, the refinement the non-residual ivfpq_topk trades
+    literal lookup), materializes its ADC distance table, and the
+    per-pair score is m table lookups — distances approximate
+    ||q − x||² properly because both sides subtract the SAME
+    centroid, the refinement the non-residual ivfpq_topk trades
     away. `codebooks` should come from pq_train_residual over the
     same coarse centroids.
 
     Plan shape unchanged from ivfpq_topk: one corpus projection
     (cell + residual codes, all broadcast literals), queries explode
-    to nprobe rows, one __cell equi-join, ADC codegen, top-k window."""
+    to nprobe rows, one __cell equi-join, LUT-lookup codegen, top-k
+    window. Residual and distance table are MATERIALIZED per query
+    row before the join — never recomputed per pair."""
     v = F.col(corpus_vec).cast("array<double>")
-    cell = _nearest_centroid(v, coarse_centroids)
     c = pq_encode(
-        corpus.select(F.col(corpus_id).alias("__cid"),
-                      _residual(v, cell, coarse_centroids)
-                      .alias("__res"),
-                      cell.alias("__cell")),
+        _spread(corpus.select(F.col(corpus_id).alias("__cid"),
+                              v.alias("__v")))
+        .withColumn("__cell",
+                    _nearest_centroid("__v", coarse_centroids))
+        .select("__cid", "__cell",
+                _residual("__v", "__cell",
+                          coarse_centroids).alias("__res")),
         codebooks, "__res", "__codes"
     ).select("__cid", "__cell", "__codes")
     probe = F.transform(
         F.slice(F.reverse(F.array_sort(
-            _centroid_scores(F.col(query_vec), coarse_centroids))),
+            _centroid_scores(query_vec, coarse_centroids))),
             1, nprobe),
         lambda s: s["i"])
-    q = F.broadcast(queries.select(
-        F.col(query_id).alias("__qid"),
-        F.col(query_vec).cast("array<double>").alias("__qv"),
-        F.explode(probe).alias("__cell")))
-    qres = _residual(F.col("__qv"), F.col("__cell"), coarse_centroids)
-    total = _adc_dist(qres, F.col("__codes"), codebooks)
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("__qid"),
+            F.col(query_vec).cast("array<double>").alias("__qv"),
+            F.explode(probe).alias("__cell"))
+        .withColumn("__qres", _residual("__qv", "__cell",
+                                        coarse_centroids))
+        .withColumn("__lut", _adc_lut("__qres", codebooks)))
+    total = _adc_from_lut("__lut", "__codes", len(codebooks))
     if round_to is not None:
         total = F.round(total, round_to)
     scored = (q.join(c, "__cell")
@@ -852,9 +970,9 @@ def ivfadc_rerank_topk(
                         .alias("__qv"))
     shortlist = F.broadcast(
         cand.select("query_id", "match_id").join(qv, "query_id"))
-    cv = corpus.select(F.col(corpus_id).alias("match_id"),
-                       F.col(corpus_vec).cast("array<double>")
-                       .alias("__cv"))
+    cv = _spread(corpus.select(F.col(corpus_id).alias("match_id"),
+                               F.col(corpus_vec).cast("array<double>")
+                               .alias("__cv")))
     d2 = F.aggregate(
         F.zip_with(F.col("__qv"), F.col("__cv"),
                    lambda a, b: (a - b) * (a - b)),
