@@ -975,9 +975,12 @@ def _classifier_features(spark: SparkSession, sf_dir: str,
     /100 and /10 scalings (token count and mean token length at
     their natural magnitudes) — the input shape the standardize=True
     fit is built for."""
+    from seatunnel_spark.dataops.dedup import _ensure_parallelism
     from seatunnel_spark.dataops.text import quality_score
 
-    d = _t(spark, sf_dir, "documents")
+    # spread the single-split local scan before the per-row text
+    # statistics (identical results; no-op on a many-split corpus)
+    d = _ensure_parallelism(_t(spark, sf_dir, "documents"))
     q = quality_score(d).select(
         "doc_id",
         F.when(F.col("quality_score") >= 0.85, 1.0)

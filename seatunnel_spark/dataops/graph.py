@@ -290,7 +290,7 @@ def connected_components(
     und = scoped_persist(_symmetrized(edges, src, dst, dedupe))
     labels = (und.select(F.col("__src").alias("node")).distinct()
               .withColumn("component", F.col("node"))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     for _ in range(max_iter):
         nbr_min = (
             und.join(labels.select(F.col("node").alias("__src"),
@@ -305,7 +305,7 @@ def connected_components(
                     F.least(F.col("component"),
                             F.coalesce(F.col("__nl"), F.col("component"))
                             ).alias("component"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # pointer jump: component <- component(component). Every label
         # is a node id, so the map is a |V|-row self-join.
@@ -316,7 +316,7 @@ def connected_components(
             .select(prop["node"],
                     F.coalesce(ptr["__jc"], prop["component"])
                     .alias("component"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new.join(labels.select("node",
@@ -454,11 +454,11 @@ def _kcore_peel(und: DataFrame, k: int, max_iter: int) -> DataFrame:
     """Shared delta-peel core over a symmetrized (__src, __dst) edge
     frame -> (node, degree) for the k-core; see k_core's docstring."""
     degs = (und.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
-            .localCheckpoint())
+            .localCheckpoint(eager=False))
     for _ in range(max_iter):
         dropped = (degs.filter(F.col("__deg") < k)
                    .select(F.col("__src").alias("__d"))
-                   .localCheckpoint())
+                   .localCheckpoint(eager=False))
         if dropped.count() == 0:
             break
         dec = (
@@ -474,7 +474,7 @@ def _kcore_peel(und: DataFrame, k: int, max_iter: int) -> DataFrame:
                     (F.col("__deg")
                      - F.coalesce(F.col("__dec"), F.lit(0)))
                     .alias("__deg"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     # und stays persisted — callers may compose further reads (same
     # clearCache contract for long-lived sessions as pagerank's edges).
@@ -534,9 +534,9 @@ def connected_components_on_bucketed(
     partitioning, and symmetrizing at read time would break it."""
     und = spark.table(table)
     labels = (und.select(F.col("__src").alias("node")).distinct()
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     labels = labels.withColumn("component", F.col("node")) \
-                   .localCheckpoint()
+                   .localCheckpoint(eager=False)
     for _ in range(max_iter):
         nbr_min = (
             und.join(labels.select(F.col("node").alias("__src"),
@@ -551,7 +551,7 @@ def connected_components_on_bucketed(
                     F.least(F.col("component"),
                             F.coalesce(F.col("__nl"), F.col("component"))
                             ).alias("component"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         ptr = prop.select(F.col("node").alias("__t"),
                           F.col("component").alias("__jc"))
@@ -560,7 +560,7 @@ def connected_components_on_bucketed(
             .select(prop["node"],
                     F.coalesce(ptr["__jc"], prop["component"])
                     .alias("component"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new.join(labels.select("node",
@@ -688,7 +688,7 @@ def hits(
         e = e.distinct()
     e = scoped_persist(e)
     nodes = (e.select(F.col("__src").alias("node"))
-             .union(e.select("__dst")).distinct().localCheckpoint())
+             .union(e.select("__dst")).distinct().localCheckpoint(eager=False))
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
     auth = None
     for _ in range(iters):
@@ -696,7 +696,7 @@ def hits(
                         "__src")
                  .groupBy(F.col("__dst").alias("node"))
                  .agg(F.sum("hub").alias("__a"))
-                 .localCheckpoint())
+                 .localCheckpoint(eager=False))
         s_a = F.broadcast(a_raw.agg(F.sum("__a").alias("__s")))
         auth = (nodes.join(a_raw, "node", "left").join(s_a)
                 .select("node",
@@ -706,12 +706,12 @@ def hits(
                                        / F.col("__s"), round_to))
                         .otherwise(F.lit(0.0))
                         .alias("auth"))
-                .localCheckpoint())
+                .localCheckpoint(eager=False))
         h_raw = (e.join(auth.withColumnRenamed("node", "__dst"),
                         "__dst")
                  .groupBy(F.col("__src").alias("node"))
                  .agg(F.sum("auth").alias("__h"))
-                 .localCheckpoint())
+                 .localCheckpoint(eager=False))
         s_h = F.broadcast(h_raw.agg(F.sum("__h").alias("__s")))
         hub = (nodes.join(h_raw, "node", "left").join(s_h)
                .select("node",
@@ -721,7 +721,7 @@ def hits(
                                       / F.col("__s"), round_to))
                        .otherwise(F.lit(0.0))
                        .alias("hub"))
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
     return hub.join(auth, "node")
 
 
@@ -757,19 +757,19 @@ def bfs_hops(
         e = e.distinct()
     e = scoped_persist(e)
     frontier = (sources.select(F.col(source_col).alias("node"))
-                .distinct().localCheckpoint())
-    visited = frontier.withColumn("hops", F.lit(0)).localCheckpoint()
+                .distinct().localCheckpoint(eager=False))
+    visited = frontier.withColumn("hops", F.lit(0)).localCheckpoint(eager=False)
     for h in range(1, max_hops + 1):
         nxt = (
             e.join(frontier.withColumnRenamed("node", "__src"),
                    "__src")
             .select(F.col("__dst").alias("node")).distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if nxt.count() == 0:
             break
         visited = (visited.unionByName(
-            nxt.withColumn("hops", F.lit(h))).localCheckpoint())
+            nxt.withColumn("hops", F.lit(h))).localCheckpoint(eager=False))
         frontier = nxt
     return visited

@@ -295,14 +295,23 @@ def link_dup_clusters(
         *[F.col(c) for c in [*block_cols, *cols]])))
 
     def _collapse(df: DataFrame, idc: str):
-        base = df.select(F.col(idc).alias("__id"), dg.alias("__dg"))
-        groups = (base.groupBy("__dg")
-                  .agg(F.min("__id").alias("__rep")))
-        reps = df.join(
-            groups.select(F.col("__rep").alias(idc)), [idc], "semi")
-        members = (base.join(groups, ["__dg"])
-                   .filter(F.col("__id") != F.col("__rep"))
-                   .select("__id", "__rep"))
+        # ONE digest-keyed shuffle per side: the window min is the
+        # same per-group integer min the former groupBy computed, and
+        # both the rep rows (full originals) and the member→rep edges
+        # fall out of the same pass — replacing a groupBy + semi-join
+        # + member join (3 shuffles and two extra scans of the side).
+        # scoped_persist because reps and members branch from it.
+        from pyspark.sql import Window
+
+        from seatunnel_spark.dataops._cache import scoped_persist as _sp
+
+        w = Window.partitionBy("__dg")
+        base = _sp(df.withColumn("__dg", dg)
+                   .withColumn("__rep", F.min(F.col(idc)).over(w)))
+        reps = (base.filter(F.col(idc) == F.col("__rep"))
+                .drop("__dg", "__rep"))
+        members = (base.filter(F.col(idc) != F.col("__rep"))
+                   .select(F.col(idc).alias("__id"), F.col("__rep")))
         return reps, members
 
     reps_a, mem_a = _collapse(a, id_a)
