@@ -1080,7 +1080,9 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
     splits), then doc-partitioned windows for the island merge.
     Everything linear in corpus tokens; nothing all-pairs."""
     nn = int(n)
-    occ = _shingle_occurrences(df, id_col, text_col, nn)
+    # occ feeds both the digest stats and the join back — persist so
+    # the (CPU-heavy) shingle/md5 pass runs once, not per consumer
+    occ = scoped_persist(_shingle_occurrences(df, id_col, text_col, nn))
     ordkey = F.struct(F.col("__id").alias("i"),
                       F.col("__pos").alias("p"))
     stats = (occ.select("__k", ordkey.alias("__ok"))
@@ -1114,7 +1116,8 @@ def _shingle_occurrences(df: DataFrame, id_col: str, text_col: str,
                             " ", F.slice("__ws", i, nn))).alias("k")))
     ).otherwise(F.expr(
         "cast(array() as array<struct<p:int,k:string>>)"))
-    return (df.select(F.col(id_col).alias("__id"), ws.alias("__ws"))
+    return (_ensure_parallelism(df)
+            .select(F.col(id_col).alias("__id"), ws.alias("__ws"))
             .select("__id", F.explode(sh_arr).alias("__s"))
             .select("__id", F.col("__s.p").alias("__pos"),
                     F.col("__s.k").alias("__k")))

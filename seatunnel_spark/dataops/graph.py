@@ -698,11 +698,16 @@ def hits(
                  .agg(F.sum("hub").alias("__a"))
                  .localCheckpoint(eager=False))
         s_a = F.broadcast(a_raw.agg(F.sum("__a").alias("__s")))
-        auth = (nodes.join(a_raw, "node", "left").join(s_a)
+        # SPARSE half-steps (round-11): scores ride only the nodes the
+        # neighbor sum produced; absent nodes carry exactly 0.0 and a
+        # +0.0 term never changes an IEEE sum of non-negative scores,
+        # so every aggregate below is bit-identical to the former
+        # dense (nodes-joined) form — the dense fill happens ONCE at
+        # the end instead of twice per iteration.
+        auth = (a_raw.join(s_a)
                 .select("node",
                         F.when(F.col("__s") > 0,
-                               F.round(F.coalesce(F.col("__a"),
-                                                  F.lit(0.0))
+                               F.round(F.col("__a")
                                        / F.col("__s"), round_to))
                         .otherwise(F.lit(0.0))
                         .alias("auth"))
@@ -713,16 +718,18 @@ def hits(
                  .agg(F.sum("auth").alias("__h"))
                  .localCheckpoint(eager=False))
         s_h = F.broadcast(h_raw.agg(F.sum("__h").alias("__s")))
-        hub = (nodes.join(h_raw, "node", "left").join(s_h)
+        hub = (h_raw.join(s_h)
                .select("node",
                        F.when(F.col("__s") > 0,
-                              F.round(F.coalesce(F.col("__h"),
-                                                 F.lit(0.0))
+                              F.round(F.col("__h")
                                       / F.col("__s"), round_to))
                        .otherwise(F.lit(0.0))
                        .alias("hub"))
                .localCheckpoint(eager=False))
-    return hub.join(auth, "node")
+    return (nodes.join(hub, "node", "left").join(auth, "node", "left")
+            .select("node",
+                    F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                    F.coalesce("auth", F.lit(0.0)).alias("auth")))
 
 
 def bfs_hops(
