@@ -674,15 +674,18 @@ def jaccard_dup_clusters(
     """Near-duplicate clusters over word-k-gram Jaccard ->
     (id, cluster_id) for every clustered doc, with EXACT-DUPLICATE
     COLLAPSE before the pair join: one representative (min id) per
-    (block, md5(text)) group enters ngram_jaccard_pairs, and members
-    connect to their representative by a direct edge.
+    (block, md5(text)) group enters ngram_jaccard_pairs, the CC runs
+    over representatives ONLY, and members inherit their
+    representative's cluster afterwards.
 
     The components are IDENTICAL to running the pair join on the
     full corpus: exact copies carry identical shingle sets, so
     Jaccard(copy, x) == Jaccard(rep, x) for every x and
-    Jaccard(copy, rep) = 1 >= threshold — the member edge stands in,
-    transitively, for every pairwise edge the full join would have
-    added. The cost collapses from Σ df(tok)² over the REPLICATED
+    Jaccard(copy, rep) = 1 >= threshold — inheriting the rep's
+    cluster stands in, transitively, for every pairwise edge the
+    full join would have added; and because a rep is its group's
+    MINIMUM id, no member can ever be a component's min, so the
+    rep-only CC assigns the same cluster ids the full CC would. The cost collapses from Σ df(tok)² over the REPLICATED
     corpus to Σ df(tok)² over DISTINCT texts — the difference
     between quadratic-in-copy-count and flat on crawl corpora where
     exact replication dominates (measured: the uncollapsed pair
@@ -706,11 +709,27 @@ def jaccard_dup_clusters(
     rep_pairs = ngram_jaccard_pairs(
         reps, id_col, text_col, k, threshold, bcols or None, max_df
     ).select("id_a", "id_b")
-    member_edges = (base.join(groups, ["__dg", *bcols])
-                    .filter(F.col("__id") != F.col("__rep"))
-                    .select(F.col("__id").alias("id_a"),
-                            F.col("__rep").alias("id_b")))
-    return duplicate_clusters(rep_pairs.unionByName(member_edges))
+    members = (base.join(groups, ["__dg", *bcols])
+               .filter(F.col("__id") != F.col("__rep"))
+               .select(F.col("__id").alias("id"),
+                       F.col("__rep").alias("__rep")))
+    # CC over REPRESENTATIVES only: members are degree-1 leaves whose
+    # id is strictly greater than their rep's (rep = group min), so
+    # the component min — the cluster id — is always decided by reps
+    # alone. Members inherit their rep's cluster by ONE join after
+    # the CC instead of riding every label round; under exact
+    # replication the CC input shrinks by the replication factor.
+    # Precondition (already the dedup contract): id_col values are
+    # unique row identifiers.
+    rep_cc = duplicate_clusters(rep_pairs)
+    mem_cc = (members.join(rep_cc.withColumnRenamed("id", "__rep"),
+                           ["__rep"], "left")
+              .select("id", F.coalesce("cluster_id", F.col("__rep"))
+                      .alias("cluster_id")))
+    rep_self = (members.select(F.col("__rep").alias("id")).distinct()
+                .join(rep_cc.select("id"), ["id"], "anti")
+                .withColumn("cluster_id", F.col("id")))
+    return rep_cc.unionByName(mem_cc).unionByName(rep_self)
 
 
 def best_of_cluster(

@@ -251,19 +251,21 @@ def link_dup_clusters(
     (id, cluster_id) — the jaccard_dup_clusters trick (dedup.py)
     applied to Fellegi-Sunter linkage: one representative (min id)
     per identical (block_cols + compared-fields) tuple on EACH side
-    enters link_score_pairs, and members attach to their
-    representative's component by a direct star edge.
+    enters link_score_pairs, the CC runs over representatives ONLY,
+    and members inherit their representative's cluster afterwards.
 
     The components are IDENTICAL to CC over the full pair set: the
     score is a pure function of the two compared tuples, so every
     edge (member, x) the full join would add exists as (rep, x) with
-    the same score — the star edge stands in, transitively, for all
-    of them. The one subtlety: an a-member and its a-rep are NEVER
-    directly paired by the two-sided join (it only pairs a x b), so
-    the star edge is added ONLY when the rep appears in a surviving
-    pair — a rep with no cross-side match stays a singleton exactly
-    as the full graph leaves it (equivalence-tested, including that
-    case). Tuples group null-safely via an md5(to_json(struct))
+    the same score — inheriting the rep's cluster stands in,
+    transitively, for all of them; and because a rep is its tuple
+    group's MINIMUM id, no member can ever be a component's min, so
+    the rep-only CC assigns the same cluster ids the full CC would.
+    The one subtlety: an a-member and its a-rep are NEVER directly
+    paired by the two-sided join (it only pairs a x b), so a member
+    joins the output ONLY when its rep appears in a surviving pair —
+    a rep with no cross-side match stays a singleton exactly as the
+    full graph leaves it (equivalence-tested, including that case). Tuples group null-safely via an md5(to_json(struct))
     digest — the same null==null treatment groupBy would give, and
     consistent with the score's a-null-contributes-0 rule, which is
     also tuple-determined.
@@ -318,16 +320,24 @@ def link_dup_clusters(
     reps_b, mem_b = _collapse(b, id_b)
     pairs = scoped_persist(_link(reps_a, reps_b)
                            .select("id_a", "id_b"))
-    star_a = (mem_a.join(pairs.select(F.col("id_a").alias("__rep")),
-                         ["__rep"], "semi")
-              .select(F.col("__id").alias("id_a"),
-                      F.col("__rep").alias("id_b")))
-    star_b = (mem_b.join(pairs.select(F.col("id_b").alias("__rep")),
-                         ["__rep"], "semi")
-              .select(F.col("__id").alias("id_a"),
-                      F.col("__rep").alias("id_b")))
-    return duplicate_clusters(
-        pairs.unionByName(star_a).unionByName(star_b))
+    # CC over REPRESENTATIVES only: members are degree-1 leaves whose
+    # id is strictly greater than their rep's (rep = per-tuple min on
+    # its own side), so the component min — the cluster id — is
+    # always decided by reps alone; members inherit their rep's
+    # cluster by ONE join after the CC instead of riding every label
+    # round. The inner join against the CC output IS the former
+    # rep-appears-in-a-surviving-pair semi-join: duplicate_clusters
+    # emits exactly the vertices of `pairs`, so a member whose rep
+    # matched nothing stays out, exactly as before. Precondition
+    # (row-identifier contract): ids are unique across both sides.
+    rep_cc = duplicate_clusters(pairs)
+    mem_cc_a = (mem_a.join(rep_cc.withColumnRenamed("id", "__rep"),
+                           ["__rep"])
+                .select(F.col("__id").alias("id"), "cluster_id"))
+    mem_cc_b = (mem_b.join(rep_cc.withColumnRenamed("id", "__rep"),
+                           ["__rep"])
+                .select(F.col("__id").alias("id"), "cluster_id"))
+    return rep_cc.unionByName(mem_cc_a).unionByName(mem_cc_b)
 
 
 def golden_records(
