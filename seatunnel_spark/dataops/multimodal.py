@@ -289,7 +289,20 @@ def image_phash64(df: DataFrame, content_col: str = "content",
     image_features: PIL when importable, stdlib PNG decode for PNG
     bytes, deterministic sha256 stub as the floor (exact dups still
     collide; the Spark plumbing — batching, schema, downstream
-    blocking — is identical either way)."""
+    blocking — is identical either way).
+
+    codec="stub" never touches Python: the sha256 fold is pure
+    Catalyst (sha2 -> two 32-bit conv halves -> shiftleft|or, the
+    signed-64 reinterpretation _phash_stub computes) — bit-identical
+    to the executor-side fold (tested) with zero JVM<->Python
+    boundary (the row-at-a-time decode is only ever needed for real
+    image codecs)."""
+    if codec == "stub":
+        hx = F.sha2(F.coalesce(F.col(content_col),
+                               F.lit(b"")), 256)
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+        return df.withColumn(out_col, F.shiftleft(hi, 32).bitwiseOR(lo))
     out_schema = T.StructType(df.schema.fields
                               + [T.StructField(out_col, T.LongType())])
 

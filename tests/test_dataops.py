@@ -647,6 +647,26 @@ def test_image_near_dups_real_png_and_stub(spark):
     assert got2 == brute and len(brute) >= 12  # 4 groups of 3 exact dups
 
 
+def test_image_phash64_stub_native_matches_python_fold(spark):
+    """codec='stub' computes the sha256 fold natively (sha2 + conv
+    halves + shiftleft|or — no Python boundary); it must stay
+    bit-identical to the executor-side _phash_stub fold, including
+    null content, empty bytes, and hashes with the sign bit set."""
+    from seatunnel_spark.dataops.multimodal import (_phash_stub,
+                                                    image_phash64)
+
+    rows = [(i, f"payload-{i}".encode() * (i % 5)) for i in range(64)]
+    rows += [(64, None), (65, b""), (66, b"\x00" * 16)]
+    df = spark.createDataFrame(rows, "img_id int, content binary")
+    got = {r["img_id"]: r["phash"] for r in
+           image_phash64(df, codec="stub").collect()}
+    exp = {i: _phash_stub(c if c is not None else b"")
+           for i, c in rows}
+    assert got == exp
+    # at least one case exercises the signed-64 reinterpretation
+    assert any(v < 0 for v in exp.values())
+
+
 def test_topk_recall_bounds_and_misses(spark):
     """topk_recall: exact-vs-itself is 1.0 everywhere; a query the
     approximate side missed entirely still reports (recall 0); partial
