@@ -3317,10 +3317,14 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
+    # distinct on the INTEGER key pair, then concat: the c/s-prefixed
+    # mapping is injective, so the edge set is identical while the
+    # distinct shuffles 8-byte ints instead of strings
     e = (li.join(o, li.l_orderkey == o.o_orderkey)
-         .select(F.concat(F.lit("c"), o.o_custkey).alias("src"),
-                 F.concat(F.lit("s"), li.l_suppkey).alias("dst"))
-         .distinct())
+         .select(o.o_custkey.alias("ck"), li.l_suppkey.alias("sk"))
+         .distinct()
+         .select(F.concat(F.lit("c"), F.col("ck")).alias("src"),
+                 F.concat(F.lit("s"), F.col("sk")).alias("dst")))
     return hits(e, iters=2, dedupe=False)
 
 

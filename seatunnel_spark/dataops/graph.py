@@ -273,8 +273,10 @@ def connected_components(
     path graph). Each round is two |V|-row-key shuffles plus one
     neighbor-min aggregation; the EDGE list is shuffled once up front
     (the distinct) and then only ever probed on its persisted
-    partitioning. Convergence is detected by counting changed labels
-    (one bounded action per round), so `max_iter` is a backstop, not a
+    partitioning. Convergence is a changed-label flag computed INSIDE
+    the round's projection (the pre-round label rides along as a
+    column) probed by one short-circuiting limit(1) action — no
+    extra new-vs-old join per round; `max_iter` is a backstop, not a
     tuning knob.
 
     Lineage discipline: the per-round label table is localCheckpoint-ed
@@ -299,12 +301,16 @@ def connected_components(
             .groupBy(F.col("__dst").alias("node"))
             .agg(F.min("__l").alias("__nl"))
         )
+        # the pre-round component rides along as __old so convergence
+        # is a column compare on the round's own output — no extra
+        # new-vs-labels join per round (duplicate_clusters pattern)
         prop = (
             labels.join(nbr_min, "node", "left")
             .select("node",
                     F.least(F.col("component"),
                             F.coalesce(F.col("__nl"), F.col("component"))
-                            ).alias("component"))
+                            ).alias("component"),
+                    F.col("component").alias("__old"))
             .localCheckpoint(eager=False)
         )
         # pointer jump: component <- component(component). Every label
@@ -315,17 +321,13 @@ def connected_components(
             prop.join(ptr, prop["component"] == ptr["__t"], "left")
             .select(prop["node"],
                     F.coalesce(ptr["__jc"], prop["component"])
-                    .alias("component"))
+                    .alias("component"),
+                    (F.coalesce(ptr["__jc"], prop["component"])
+                     != prop["__old"]).alias("__chg"))
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new.join(labels.select("node",
-                                   F.col("component").alias("__old")),
-                     "node")
-            .filter(F.col("component") != F.col("__old"))
-            .count()
-        )
-        labels = new
+        changed = new.filter("__chg").limit(1).count()
+        labels = new.drop("__chg")
         if changed == 0:
             break
     und.unpersist()
@@ -545,12 +547,15 @@ def connected_components_on_bucketed(
             .groupBy(F.col("__dst").alias("node"))
             .agg(F.min("__l").alias("__nl"))
         )
+        # convergence folded into the round's output (see
+        # connected_components): __old rides along, no extra join
         prop = (
             labels.join(nbr_min, "node", "left")
             .select("node",
                     F.least(F.col("component"),
                             F.coalesce(F.col("__nl"), F.col("component"))
-                            ).alias("component"))
+                            ).alias("component"),
+                    F.col("component").alias("__old"))
             .localCheckpoint(eager=False)
         )
         ptr = prop.select(F.col("node").alias("__t"),
@@ -559,17 +564,13 @@ def connected_components_on_bucketed(
             prop.join(ptr, prop["component"] == ptr["__t"], "left")
             .select(prop["node"],
                     F.coalesce(ptr["__jc"], prop["component"])
-                    .alias("component"))
+                    .alias("component"),
+                    (F.coalesce(ptr["__jc"], prop["component"])
+                     != prop["__old"]).alias("__chg"))
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new.join(labels.select("node",
-                                   F.col("component").alias("__old")),
-                     "node")
-            .filter(F.col("component") != F.col("__old"))
-            .count()
-        )
-        labels = new
+        changed = new.filter("__chg").limit(1).count()
+        labels = new.drop("__chg")
         if changed == 0:
             break
     return labels
