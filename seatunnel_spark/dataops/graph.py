@@ -751,14 +751,18 @@ def bfs_hops(
     Frontier iteration: each round expands ONLY the nodes discovered
     last round (one edge⋈frontier join — the frontier is small after
     the first hops, so AQE broadcasts it; the delta discipline of
-    k_core's peel), anti-joins out already-visited nodes, and
-    localCheckpoint-s the new frontier + the visited set (the
-    |V|-row SMALL side; the edge list is shuffled once at the initial
-    distinct and then only probed). Convergence = empty frontier, one
-    bounded count per round; `max_hops` bounds the worst case. BFS
-    layers are schedule-independent, so the converged (node, hops)
-    labeling is unique and the oracle replays it as a recursive
-    min-hops CTE."""
+    k_core's peel) and anti-joins out already-visited nodes. Only
+    the per-round FRONTIER is localCheckpoint-ed; the visited set is
+    the plain union of those already-persisted layers — same rows to
+    scan in the anti-join, but the cumulative |visited| rows are no
+    longer RE-persisted every round (the union plan stays linear in
+    rounds, each leaf an RDD scan). Convergence = empty frontier,
+    one bounded count per round; `max_hops` bounds the worst case.
+    BFS layers are schedule-independent, so the converged
+    (node, hops) labeling is unique and the oracle replays it as a
+    recursive min-hops CTE."""
+    from functools import reduce
+
     e = edges.select(F.col(src).alias("__src"),
                      F.col(dst).alias("__dst"))
     if dedupe:
@@ -766,18 +770,19 @@ def bfs_hops(
     e = scoped_persist(e)
     frontier = (sources.select(F.col(source_col).alias("node"))
                 .distinct().localCheckpoint(eager=False))
-    visited = frontier.withColumn("hops", F.lit(0)).localCheckpoint(eager=False)
+    layers = [frontier.withColumn("hops", F.lit(0))]
+    seen = frontier
     for h in range(1, max_hops + 1):
         nxt = (
             e.join(frontier.withColumnRenamed("node", "__src"),
                    "__src")
             .select(F.col("__dst").alias("node")).distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(seen.select("node"), "node", "left_anti")
             .localCheckpoint(eager=False)
         )
         if nxt.count() == 0:
             break
-        visited = (visited.unionByName(
-            nxt.withColumn("hops", F.lit(h))).localCheckpoint(eager=False))
+        layers.append(nxt.withColumn("hops", F.lit(h)))
+        seen = seen.union(nxt)
         frontier = nxt
-    return visited
+    return reduce(DataFrame.unionByName, layers)
