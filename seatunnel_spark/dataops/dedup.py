@@ -1320,10 +1320,13 @@ def verify_pairs(
     Both scores come from one array_intersect per pair (jaccard =
     |∩| / |∪|, containment = |∩| / min(|A|,|B|)); two broadcast-or-
     shuffle joins attach the per-doc shingle sets to the pair list."""
-    sh = df.select(
+    # the shingle projection feeds BOTH pair sides — persist so the
+    # tokenize/k-gram/distinct pass runs once, not once per side
+    # (the _jaccard_prefix_stages / dedup_substring lesson)
+    sh = scoped_persist(df.select(
         F.col(id_col).alias("__vid"),
         F.array_distinct(_word_shingles(F.col(text_col), k))
-        .alias("__sh"))
+        .alias("__sh")))
     a = sh.select(F.col("__vid").alias(id_a), F.col("__sh").alias("__sa"))
     b = sh.select(F.col("__vid").alias(id_b), F.col("__sh").alias("__sb"))
     inter = F.size(F.array_intersect("__sa", "__sb"))
@@ -1351,11 +1354,18 @@ def _jaccard_prefix_stages(
     filters are opt-out only so tests can measure each one's
     candidate reduction in isolation; production callers get all of
     them through jaccard_prefix_pairs' defaults."""
-    shingled = _ensure_parallelism(df).select(
+    # The tokenize+shingle projection feeds FOUR subtrees (the df
+    # stats, the rarity ranking, and both verify sides in
+    # jaccard_prefix_pairs) — unpersisted, Catalyst duplicates it
+    # into each consumer and the CPU-heavy split/k-gram/distinct
+    # pass runs 4x per execution (the dedup_substring lesson).
+    # Columnar persist, same corpus-sized-cache discipline as
+    # ngram_jaccard_pairs' inverted index.
+    shingled = scoped_persist(_ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in (block_cols or [])],
         F.array_distinct(_word_shingles(F.col(text_col), k)).alias("sh"),
-    )
+    ))
     occ = shingled.select(
         "id", *(block_cols or []), F.explode("sh").alias("tok"))
     dfreq = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
