@@ -629,7 +629,7 @@ def duplicate_clusters(
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -646,7 +646,7 @@ def duplicate_clusters(
                 (F.coalesce("nbr_label", labels.label) < labels.label)
                 .alias("__chg"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
         changed = new_labels.filter("__chg").limit(1).count()
         labels = new_labels.drop("__chg")

@@ -292,7 +292,7 @@ def connected_components(
     und = scoped_persist(_symmetrized(edges, src, dst, dedupe))
     labels = (und.select(F.col("__src").alias("node")).distinct()
               .withColumn("component", F.col("node"))
-              .localCheckpoint(eager=False))
+              .localCheckpoint())
     for _ in range(max_iter):
         nbr_min = (
             und.join(labels.select(F.col("node").alias("__src"),
@@ -311,7 +311,7 @@ def connected_components(
                             F.coalesce(F.col("__nl"), F.col("component"))
                             ).alias("component"),
                     F.col("component").alias("__old"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
         # pointer jump: component <- component(component). Every label
         # is a node id, so the map is a |V|-row self-join.
@@ -324,7 +324,7 @@ def connected_components(
                     .alias("component"),
                     (F.coalesce(ptr["__jc"], prop["component"])
                      != prop["__old"]).alias("__chg"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
         changed = new.filter("__chg").limit(1).count()
         labels = new.drop("__chg")
@@ -456,11 +456,11 @@ def _kcore_peel(und: DataFrame, k: int, max_iter: int) -> DataFrame:
     """Shared delta-peel core over a symmetrized (__src, __dst) edge
     frame -> (node, degree) for the k-core; see k_core's docstring."""
     degs = (und.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
-            .localCheckpoint(eager=False))
+            .localCheckpoint())
     for _ in range(max_iter):
         dropped = (degs.filter(F.col("__deg") < k)
                    .select(F.col("__src").alias("__d"))
-                   .localCheckpoint(eager=False))
+                   .localCheckpoint())
         if dropped.count() == 0:
             break
         dec = (
@@ -476,7 +476,7 @@ def _kcore_peel(und: DataFrame, k: int, max_iter: int) -> DataFrame:
                     (F.col("__deg")
                      - F.coalesce(F.col("__dec"), F.lit(0)))
                     .alias("__deg"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
     # und stays persisted — callers may compose further reads (same
     # clearCache contract for long-lived sessions as pagerank's edges).
@@ -536,9 +536,9 @@ def connected_components_on_bucketed(
     partitioning, and symmetrizing at read time would break it."""
     und = spark.table(table)
     labels = (und.select(F.col("__src").alias("node")).distinct()
-              .localCheckpoint(eager=False))
+              .localCheckpoint())
     labels = labels.withColumn("component", F.col("node")) \
-                   .localCheckpoint(eager=False)
+                   .localCheckpoint()
     for _ in range(max_iter):
         nbr_min = (
             und.join(labels.select(F.col("node").alias("__src"),
@@ -556,7 +556,7 @@ def connected_components_on_bucketed(
                             F.coalesce(F.col("__nl"), F.col("component"))
                             ).alias("component"),
                     F.col("component").alias("__old"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
         ptr = prop.select(F.col("node").alias("__t"),
                           F.col("component").alias("__jc"))
@@ -567,7 +567,7 @@ def connected_components_on_bucketed(
                     .alias("component"),
                     (F.coalesce(ptr["__jc"], prop["component"])
                      != prop["__old"]).alias("__chg"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
         changed = new.filter("__chg").limit(1).count()
         labels = new.drop("__chg")
@@ -689,7 +689,7 @@ def hits(
         e = e.distinct()
     e = scoped_persist(e)
     nodes = (e.select(F.col("__src").alias("node"))
-             .union(e.select("__dst")).distinct().localCheckpoint(eager=False))
+             .union(e.select("__dst")).distinct().localCheckpoint())
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
     auth = None
     for _ in range(iters):
@@ -697,7 +697,7 @@ def hits(
                         "__src")
                  .groupBy(F.col("__dst").alias("node"))
                  .agg(F.sum("hub").alias("__a"))
-                 .localCheckpoint(eager=False))
+                 .localCheckpoint())
         s_a = F.broadcast(a_raw.agg(F.sum("__a").alias("__s")))
         # SPARSE half-steps (round-11): scores ride only the nodes the
         # neighbor sum produced; absent nodes carry exactly 0.0 and a
@@ -712,12 +712,12 @@ def hits(
                                        / F.col("__s"), round_to))
                         .otherwise(F.lit(0.0))
                         .alias("auth"))
-                .localCheckpoint(eager=False))
+                .localCheckpoint())
         h_raw = (e.join(auth.withColumnRenamed("node", "__dst"),
                         "__dst")
                  .groupBy(F.col("__src").alias("node"))
                  .agg(F.sum("auth").alias("__h"))
-                 .localCheckpoint(eager=False))
+                 .localCheckpoint())
         s_h = F.broadcast(h_raw.agg(F.sum("__h").alias("__s")))
         hub = (h_raw.join(s_h)
                .select("node",
@@ -726,7 +726,7 @@ def hits(
                                       / F.col("__s"), round_to))
                        .otherwise(F.lit(0.0))
                        .alias("hub"))
-               .localCheckpoint(eager=False))
+               .localCheckpoint())
     return (nodes.join(hub, "node", "left").join(auth, "node", "left")
             .select("node",
                     F.coalesce("hub", F.lit(0.0)).alias("hub"),
@@ -769,7 +769,7 @@ def bfs_hops(
         e = e.distinct()
     e = scoped_persist(e)
     frontier = (sources.select(F.col(source_col).alias("node"))
-                .distinct().localCheckpoint(eager=False))
+                .distinct().localCheckpoint())
     layers = [frontier.withColumn("hops", F.lit(0))]
     seen = frontier
     for h in range(1, max_hops + 1):
@@ -778,7 +778,7 @@ def bfs_hops(
                    "__src")
             .select(F.col("__dst").alias("node")).distinct()
             .join(seen.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
         if nxt.count() == 0:
             break

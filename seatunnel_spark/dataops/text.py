@@ -844,7 +844,7 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
                 F.lit(_BPE_L + a + b + _BPE_R))
         cur = cur.select("word", "freq", col.alias("__e"))
         if i + materialize_every < len(pairs):
-            cur = cur.localCheckpoint(eager=False)
+            cur = cur.localCheckpoint()
     tokens = F.transform(
         F.filter(F.split(F.col("__e"), _BPE_R),
                  lambda x: x != F.lit("")),
