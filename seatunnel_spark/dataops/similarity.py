@@ -45,6 +45,293 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+# ---------------------------------------------------------------------------
+# Arrow-side pair scoring (round 12, guide §4.2): the per-pair cosine
+# was an INTERPRETED Catalyst HOF fold (~6-10 µs/pair — measured round
+# 11; full expression unrolling was tried twice and is ~3x SLOWER, see
+# OPTIMIZATION_r11.md). The kernels below batch whole pair blocks
+# through numpy while reproducing the folds' EXACT IEEE arithmetic:
+# every score is accumulated left-associatively in element order from
+# a 0.0 seed — acc += q[d]*c[d] (resp. (a-b)*(a-b)) for d = 0..dim-1 —
+# one elementwise multiply and one add per term, so each result is
+# bit-identical to the Catalyst fold it replaces (pinned by
+# tests/test_dataops.py::test_gemm_kernels_bit_identical_to_folds).
+# Deliberately NOT a BLAS dot (np.dot/np.matmul reorders the summation
+# and its results, while numerically close, would not be provably
+# byte-equal to the declared queries' oracle values).
+# ---------------------------------------------------------------------------
+
+_GEMM_BLOCK = 4_000_000  # max score-matrix cells per query block (~32 MB)
+
+
+def _gemm_pairs(Q, C, l2: bool = False):
+    """(nq, dim) x (nc, dim) -> (nq, nc) pairwise dot products (or
+    squared-L2 with l2=True), accumulated in the folds' exact order."""
+    import numpy as np
+
+    S = np.zeros((Q.shape[0], C.shape[0]))
+    tmp = np.empty_like(S)
+    for d in range(Q.shape[1]):
+        if l2:
+            np.subtract(Q[:, d, None], C[None, :, d], out=tmp)
+            np.multiply(tmp, tmp, out=tmp)
+        else:
+            np.multiply(Q[:, d, None], C[None, :, d], out=tmp)
+        S += tmp
+    return S
+
+
+def _row_sqnorms(M):
+    """Per-row Σ x*x in the _norm fold's exact accumulation order."""
+    import numpy as np
+
+    s = np.zeros(M.shape[0])
+    for d in range(M.shape[1]):
+        s += M[:, d] * M[:, d]
+    return s
+
+
+def _keep_topk(S, k: int, margin: float, descending: bool,
+               invalid=None):
+    """Boolean mask of the candidates that can still reach the final
+    top-k window: everything within `margin` of the row's k-th best
+    score. With margin = 2·10^-round_to, a dropped candidate trails
+    ≥ k same-group candidates by more than 10^-round_to + rounding
+    slack, so its F.round-ed score is STRICTLY worse than k others'
+    and it can never enter the global top-k — the emitted rows are a
+    provable superset of the window's winners (margin 0.0 when no
+    rounding: ties at the k-th value are all kept). NaN scores are
+    always kept (superset; the JVM window orders them). `invalid`
+    marks pairs the join predicate would have excluded."""
+    import numpy as np
+
+    nq, nc = S.shape
+    nan = np.isnan(S)
+    X = S if descending else -S
+    if nan.any():
+        X = np.where(nan, np.inf if descending else -np.inf, X)
+    if invalid is not None:
+        X = np.where(invalid, -np.inf, X)
+    if nc <= k:
+        keep = np.ones((nq, nc), dtype=bool)
+    else:
+        kth = np.partition(X, nc - k, axis=1)[:, nc - k]
+        keep = X >= (kth - margin)[:, None]
+        if nan.any():
+            keep |= nan
+    if invalid is not None:
+        keep &= ~invalid
+    return keep
+
+
+def _map_gemm_topk(qrows, qid_type, corpus: DataFrame, k: int,
+                   round_to: int | None, l2: bool = False,
+                   anti_label: bool = False,
+                   key_col: str | None = None,
+                   out_score: str = "cosine") -> DataFrame:
+    """Broadcast-queries pair scoring as ONE MapInPandas stage over
+    the corpus scan (guide §4.2), replacing the per-pair fold on a
+    broadcast join: `qrows` is the COLLECTED query side (small by the
+    operators' broadcast contract — the former F.broadcast collected
+    the same rows to the driver), shipped in the task closure and
+    built into a matrix once per task (guide §4.5); each Arrow batch
+    of corpus rows is scored against it with the bit-identical GEMM
+    kernels and only the per-(query, batch) top-k contenders are
+    emitted (_keep_topk superset — the final rank window reproduces
+    the former results exactly). With `key_col` (IVF cell / LSH
+    bucket), scoring touches only the (query, corpus-row) pairs whose
+    keys match, exactly like the former equi-join. The corpus is
+    never shuffled and only the projected columns cross the Python
+    boundary."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    import numpy as np
+
+    if anti_label:
+        # NULL query labels can never mismatch — excluded, like the
+        # JVM inequality predicate
+        qrows = [r for r in qrows if r[2] is not None]
+    qids = [r[0] for r in qrows]
+    Qm = np.array([[float(x) for x in r[1]] for r in qrows],
+                  dtype=np.float64) if qrows else np.zeros((0, 0))
+    qlab = [r[2] for r in qrows] if anti_label else None
+    qkey_idx: dict | None = None
+    if key_col is not None:
+        qkey_idx = {}
+        kpos = 3 if anti_label else 2
+        for i, r in enumerate(qrows):
+            qkey_idx.setdefault(r[kpos], []).append(i)
+    margin = 0.0 if round_to is None else 2.0 * (10.0 ** -round_to)
+    out_schema = StructType([
+        StructField("__qid", qid_type),
+        StructField("__cid", corpus.schema["__cid"].dataType),
+        StructField(out_score, DoubleType()),
+    ])
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        if Qm.shape[0] == 0:
+            return
+        qn = None if l2 else np.sqrt(_row_sqnorms(Qm))
+        qid_arr = np.array(qids)
+        qlab_arr = np.array(qlab) if anti_label else None
+
+        def _block(sub, qsel):
+            C = np.array(sub["__cv"].to_list(), dtype=np.float64)
+            cid = sub["__cid"].to_numpy()
+            invalid = None
+            if anti_label:
+                cl = sub["__cl"]
+                ok = ~cl.isna().to_numpy()
+                if not ok.all():
+                    C, cid = C[ok], cid[ok]
+                    cl = cl[ok]
+                if len(cid) == 0:
+                    return None
+                invalid = (qlab_arr[qsel, None]
+                           == cl.to_numpy()[None, :])
+            Qb, qnb = Qm[qsel], (None if l2 else qn[qsel])
+            S = _gemm_pairs(Qb, C, l2=l2)
+            if not l2:
+                cn = np.sqrt(_row_sqnorms(C))
+                S /= qnb[:, None] * cn[None, :]
+            km = _keep_topk(S, k, margin, descending=not l2,
+                            invalid=invalid)
+            qi, ci = np.nonzero(km)
+            return pd.DataFrame({"__qid": qid_arr[qsel][qi],
+                                 "__cid": cid[ci],
+                                 out_score: S[qi, ci]})
+
+        all_q = np.arange(Qm.shape[0])
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if qkey_idx is None:
+                out = _block(pdf, all_q)
+                if out is not None and len(out):
+                    yield out
+            else:
+                for kv, sub in pdf.groupby(key_col, sort=False):
+                    qsel = qkey_idx.get(kv)
+                    if not qsel:
+                        continue
+                    out = _block(sub, np.array(qsel))
+                    if out is not None and len(out):
+                        yield out
+
+    cols = ["__cid", "__cv"]
+    if anti_label:
+        cols.append("__cl")
+    if key_col is not None:
+        cols.append(key_col)
+    scored = corpus.select(*cols).mapInPandas(_score, out_schema)
+    if round_to is not None:
+        scored = scored.withColumn(out_score,
+                                   F.round(out_score, round_to))
+    return scored
+
+
+def _vec_is_double(df: DataFrame, col: str) -> bool:
+    """The GEMM path only replaces folds over array<double> — the
+    only shape the kernels' bit-equality argument covers (a float
+    column would fold in float32 upstream of the double accumulate)."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    try:
+        t = df.schema[col].dataType
+    except Exception:
+        return False
+    return isinstance(t, ArrayType) and isinstance(t.elementType,
+                                                   DoubleType)
+
+
+def _cogroup_cosine_topk(q: DataFrame, c: DataFrame, k: int,
+                         round_to: int | None, anti_label: bool,
+                         ngroups: int) -> DataFrame:
+    """Per-cell pair scoring as ONE FlatMapCoGroupsInPandas stage
+    (guide §4.2) replacing the per-pair fold on the __cell equi-join:
+    each cell's query block meets its corpus block as two Arrow
+    batches, scores come from the bit-identical GEMM kernels, and
+    only the per-(query, cell) top-k contenders (see _keep_topk) flow
+    back — |Q|·nprobe·~k rows instead of |Q|·nprobe·|cell| into the
+    rank window. Corpus rows are salted into ceil(parallelism/ngroups)
+    sub-groups (queries replicate to every salt — deterministic
+    xxhash64 salt, guide §2.5) so few-celled local runs still use
+    every core; at scale nlist is large and the salt collapses to 1.
+    Expects columns (__qid, __qv [, __ql]) / (__cid, __cv [, __cl])
+    plus __cell on both sides; emits (__qid, __cid, cosine) with
+    cosine = dot/(||q||·||c||) rounded to round_to, exactly the rows
+    the former join would feed the window for those pairs."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = q.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+    nsalt = max(1, min(16, dp // max(1, ngroups)))
+    keys = ["__cell"]
+    if nsalt > 1:
+        c = c.withColumn(
+            "__gs", F.pmod(F.xxhash64("__cid"), F.lit(nsalt)).cast("int"))
+        q = q.withColumn(
+            "__gs", F.explode(F.array(*[F.lit(i) for i in range(nsalt)])))
+        keys.append("__gs")
+    margin = 0.0 if round_to is None else 2.0 * (10.0 ** -round_to)
+    out_schema = StructType([
+        StructField("__qid", q.schema["__qid"].dataType),
+        StructField("__cid", c.schema["__cid"].dataType),
+        StructField("cosine", DoubleType()),
+    ])
+
+    def _score(left, right):
+        import numpy as np
+        import pandas as pd
+
+        def _empty():
+            return pd.DataFrame({
+                "__qid": left["__qid"].iloc[:0],
+                "__cid": right["__cid"].iloc[:0],
+                "cosine": np.empty(0)})
+
+        if anti_label:
+            # NULL labels can neither agree nor disagree — excluded on
+            # both sides, exactly like the JVM inequality predicate
+            left = left[~left["__ql"].isna()]
+            right = right[~right["__cl"].isna()]
+        if len(left) == 0 or len(right) == 0:
+            return _empty()
+        if anti_label:
+            codes = pd.factorize(pd.concat(
+                [left["__ql"], right["__cl"]], ignore_index=True))[0]
+            qlab, clab = codes[:len(left)], codes[len(left):]
+        Q = np.array(left["__qv"].to_list(), dtype=np.float64)
+        C = np.array(right["__cv"].to_list(), dtype=np.float64)
+        qn = np.sqrt(_row_sqnorms(Q))
+        cn = np.sqrt(_row_sqnorms(C))
+        qid = left["__qid"].to_numpy()
+        cid = right["__cid"].to_numpy()
+        outs = []
+        step = max(1, _GEMM_BLOCK // max(C.shape[0], 1))
+        for i in range(0, Q.shape[0], step):
+            S = _gemm_pairs(Q[i:i + step], C)
+            S /= qn[i:i + step, None] * cn[None, :]
+            invalid = (qlab[i:i + step, None] == clab[None, :]
+                       ) if anti_label else None
+            keep = _keep_topk(S, k, margin, descending=True,
+                              invalid=invalid)
+            qi, ci = np.nonzero(keep)
+            outs.append(pd.DataFrame({"__qid": qid[i:i + step][qi],
+                                      "__cid": cid[ci],
+                                      "cosine": S[qi, ci]}))
+        return pd.concat(outs) if outs else _empty()
+
+    scored = (q.groupBy(*keys).cogroup(c.groupBy(*keys))
+              .applyInPandas(_score, out_schema))
+    if round_to is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_to))
+    return scored
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Scale-adaptive scan parallelism (dedup._ensure_parallelism's
     contract): round-robin repartition to defaultParallelism ONLY
@@ -82,15 +369,28 @@ def brute_force_topk(
     ranking — use it when results must be reproducible bit-for-bit
     across engines/arithmetic orders (e.g. oracle checks). Norms are
     materialized once per row on each side — never recomputed per pair."""
+    c = _spread(
+        corpus.select(F.col(corpus_id).alias("__cid"),
+                      F.col(corpus_vec).alias("__cv"))
+    )
+    if _vec_is_double(queries, query_vec) and _vec_is_double(
+            corpus, corpus_vec):
+        # Arrow-side GEMM scoring (guide §4.2): the query side was
+        # already driver-collected by the former F.broadcast; scores
+        # are bit-identical and the final window sees a provable
+        # superset of its winners — results unchanged.
+        qprep = queries.select(F.col(query_id).alias("__qid"),
+                               F.col(query_vec).alias("__qv"))
+        qrows = [(r["__qid"], r["__qv"]) for r in qprep.collect()]
+        scored = _map_gemm_topk(qrows, qprep.schema["__qid"].dataType,
+                                c, k, round_to)
+        return _rank_topk(scored, k)
     q = F.broadcast(
         queries.select(F.col(query_id).alias("__qid"),
                        F.col(query_vec).alias("__qv"))
         .withColumn("__qn", _norm(F.col("__qv")))
     )
-    c = _spread(
-        corpus.select(F.col(corpus_id).alias("__cid"),
-                      F.col(corpus_vec).alias("__cv"))
-    ).withColumn("__cn", _norm(F.col("__cv")))
+    c = c.withColumn("__cn", _norm(F.col("__cv")))
     cos = _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     if round_to is not None:
         cos = F.round(cos, round_to)
@@ -114,20 +414,19 @@ def brute_force_l2_topk(
     audited against L2 ground truth, not cosine (they rank
     differently on unnormalized vectors). Same broadcast-queries /
     one-corpus-scan shape as brute_force_topk."""
-    q = F.broadcast(queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(query_vec).cast("array<double>").alias("__qv")))
-    c = _spread(corpus.select(F.col(corpus_id).alias("match_id"),
+    # both sides cast to array<double> -> the GEMM path's bit-equality
+    # argument always holds here (squared-L2 fold, ascending)
+    qprep = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).cast("array<double>").alias("__qv"))
+    qrows = [(r["__qid"], r["__qv"]) for r in qprep.collect()]
+    c = _spread(corpus.select(F.col(corpus_id).alias("__cid"),
                               F.col(corpus_vec).cast("array<double>")
                               .alias("__cv")))
-    d2 = F.aggregate(
-        F.zip_with(F.col("__qv"), F.col("__cv"),
-                   lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
-    if round_to is not None:
-        d2 = F.round(d2, round_to)
-    scored = q.join(c).select("query_id", "match_id",
-                              d2.alias("dist"))
+    scored = _map_gemm_topk(qrows, qprep.schema["__qid"].dataType,
+                            c, k, round_to, l2=True, out_score="dist")
+    scored = scored.select(F.col("__qid").alias("query_id"),
+                           F.col("__cid").alias("match_id"), "dist")
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("match_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -175,15 +474,28 @@ def hard_negatives(
     side are excluded (a null label can neither agree nor disagree
     with evidence). For corpus-scale query sets, use
     hard_negatives_ivf (IVF shortlist, no broadcast anywhere)."""
+    c = _spread(corpus.select(F.col(corpus_id).alias("__cid"),
+                              F.col(corpus_vec).alias("__cv"),
+                              F.col(corpus_label).alias("__cl")))
+    if _vec_is_double(queries, query_vec) and _vec_is_double(
+            corpus, corpus_vec):
+        # Arrow-side GEMM with the label-mismatch mask applied inside
+        # the scoring batch (same exclusion as the join predicate —
+        # see _map_gemm_topk); results unchanged.
+        qprep = queries.select(F.col(query_id).alias("__qid"),
+                               F.col(query_vec).alias("__qv"),
+                               F.col(query_label).alias("__ql"))
+        qrows = [(r["__qid"], r["__qv"], r["__ql"])
+                 for r in qprep.collect()]
+        scored = _map_gemm_topk(qrows, qprep.schema["__qid"].dataType,
+                                c, k, round_to, anti_label=True)
+        return _rank_topk(scored, k)
     q = F.broadcast(queries.select(
         F.col(query_id).alias("__qid"),
         F.col(query_vec).alias("__qv"),
         F.col(query_label).alias("__ql"))
         .withColumn("__qn", _norm(F.col("__qv"))))
-    c = _spread(corpus.select(F.col(corpus_id).alias("__cid"),
-                              F.col(corpus_vec).alias("__cv"),
-                              F.col(corpus_label).alias("__cl"))) \
-        .withColumn("__cn", _norm(F.col("__cv")))
+    c = c.withColumn("__cn", _norm(F.col("__cv")))
     cos = _dot(F.col("__qv"), F.col("__cv")) \
         / (F.col("__qn") * F.col("__cn"))
     if round_to is not None:
@@ -246,14 +558,13 @@ def hard_negatives_ivf(
     if centroids is None:
         centroids = train_ivf_centroids(corpus, corpus_vec,
                                         corpus_id, nlist, iters)
+    gemm = (_vec_is_double(corpus, corpus_vec)
+            and _vec_is_double(queries, query_vec))
     c = _spread(corpus.select(
         F.col(corpus_id).alias("__cid"),
         F.col(corpus_vec).alias("__cv"),
         F.col(corpus_label).alias("__cl"),
-    )).withColumns({
-        "__cn": _norm(F.col("__cv")),
-        "__cell": _nearest_centroid("__cv", centroids),
-    })
+    )).withColumn("__cell", _nearest_centroid("__cv", centroids))
     probe = F.transform(
         F.slice(F.reverse(F.array_sort(
             _centroid_scores("__qv", centroids))), 1, nprobe),
@@ -263,8 +574,18 @@ def hard_negatives_ivf(
         F.col(query_id).alias("__qid"),
         F.col(query_vec).alias("__qv"),
         F.col(query_label).alias("__ql"),
-    )).withColumn("__qn", _norm(F.col("__qv"))) \
-      .withColumn("__cell", F.explode(probe))
+    )).withColumn("__cell", F.explode(probe))
+    if gemm:
+        # Arrow-side GEMM scoring with in-cell top-k pre-reduction
+        # (guide §4.2): bit-identical scores, identical final top-k —
+        # see _cogroup_cosine_topk. Replaces the interpreted per-pair
+        # fold that dominated this operator at sf1+ (round-11 audit).
+        scored = _cogroup_cosine_topk(q, c, k, round_to,
+                                      anti_label=True,
+                                      ngroups=len(centroids))
+        return _rank_topk(scored, k)
+    c = c.withColumn("__cn", _norm(F.col("__cv")))
+    q = q.withColumn("__qn", _norm(F.col("__qv")))
     cos = (_dot(F.col("__qv"), F.col("__cv"))
            / (F.col("__qn") * F.col("__cn")))
     if round_to is not None:
@@ -408,22 +729,28 @@ def ivf_topk(
     c = _spread(corpus.select(
         F.col(corpus_id).alias("__cid"),
         F.col(corpus_vec).alias("__cv"),
-    )).withColumns({
-        "__cn": _norm(F.col("__cv")),
-        "__cell": _nearest_centroid("__cv", centroids),
-    })
+    )).withColumn("__cell", _nearest_centroid("__cv", centroids))
     probe = F.transform(
         F.slice(F.reverse(F.array_sort(_centroid_scores(query_vec, centroids))),
                 1, nprobe),
         lambda s: s["i"],
     )
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id).alias("__qid"),
-            F.col(query_vec).alias("__qv"),
-            F.explode(probe).alias("__cell"),
-        ).withColumn("__qn", _norm(F.col("__qv")))
+    qprep = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).alias("__qv"),
+        F.explode(probe).alias("__cell"),
     )
+    if _vec_is_double(queries, query_vec) and _vec_is_double(
+            corpus, corpus_vec):
+        # Arrow-side GEMM; only (query, corpus) pairs in the same
+        # probed cell are scored (key mask == the former equi-join)
+        qrows = [(r["__qid"], r["__qv"], r["__cell"])
+                 for r in qprep.collect()]
+        scored = _map_gemm_topk(qrows, qprep.schema["__qid"].dataType,
+                                c, k, round_to, key_col="__cell")
+        return _rank_topk(scored, k)
+    q = F.broadcast(qprep.withColumn("__qn", _norm(F.col("__qv"))))
+    c = c.withColumn("__cn", _norm(F.col("__cv")))
     cos = (_dot(F.col("__qv"), F.col("__cv"))
            / (F.col("__qn") * F.col("__cn")))
     if round_to is not None:
@@ -518,11 +845,28 @@ def search_ivf_index(
         F.col(query_id).alias("__qid"),
         F.col(query_vec).alias("__qv"),
         F.explode(probe).alias("__cell"),
-    ).withColumn("__qn", _norm(F.col("__qv")))
+    )
+    corp = spark.read.parquet(path)
+    if _vec_is_double(queries, query_vec) and _vec_is_double(
+            corp, corpus_vec):
+        # ONE query collect yields both the static cell filter (the
+        # partition-pruning contract above) and the GEMM closure —
+        # the former separate distinct+collect job is gone
+        qrows = [(r["__qid"], r["__qv"], r["__cell"])
+                 for r in q_probed.collect()]
+        cells = sorted({r[2] for r in qrows})
+        c = _spread(
+            corp.filter(F.col("__cell").isin(cells))
+            .select(F.col(corpus_id).alias("__cid"),
+                    F.col(corpus_vec).alias("__cv"), "__cell"))
+        scored = _map_gemm_topk(
+            qrows, q_probed.schema["__qid"].dataType, c, k,
+            round_to=None, key_col="__cell")
+        return _rank_topk(scored, k)
+    q_probed = q_probed.withColumn("__qn", _norm(F.col("__qv")))
     cells = sorted({r["__cell"] for r in q_probed.select("__cell").distinct().collect()})
     c = _spread(
-        spark.read.parquet(path)
-        .filter(F.col("__cell").isin(cells))
+        corp.filter(F.col("__cell").isin(cells))
         .select(F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv"),
                 "__cell")
     ).withColumn("__cn", _norm(F.col("__cv")))
@@ -572,20 +916,26 @@ def lsh_bucketed_topk(
     dim = int(corpus.select(F.size(corpus_vec).alias("d")).first()["d"])
     plane_mat = np.random.default_rng(seed).standard_normal((planes, dim))
 
-    qb = F.broadcast(
-        queries.select(
-            F.col(query_id).alias("__qid"),
-            F.col(query_vec).alias("__qv"),
-            _bucket_expr(query_vec, plane_mat).alias("__bucket"),
-        ).withColumn("__qn", _norm(F.col("__qv")))
+    qprep = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).alias("__qv"),
+        _bucket_expr(query_vec, plane_mat).alias("__bucket"),
     )
     cb = _spread(corpus.select(
         F.col(corpus_id).alias("__cid"),
         F.col(corpus_vec).alias("__cv"),
-    )).withColumns({
-        "__bucket": _bucket_expr("__cv", plane_mat),
-        "__cn": _norm(F.col("__cv")),
-    })
+    )).withColumn("__bucket", _bucket_expr("__cv", plane_mat))
+    if _vec_is_double(queries, query_vec) and _vec_is_double(
+            corpus, corpus_vec):
+        # Arrow-side GEMM; the bucket key mask reproduces the former
+        # equi-join's pair set exactly
+        qrows = [(r["__qid"], r["__qv"], r["__bucket"])
+                 for r in qprep.collect()]
+        scored = _map_gemm_topk(qrows, qprep.schema["__qid"].dataType,
+                                cb, k, round_to, key_col="__bucket")
+        return _rank_topk(scored, k)
+    qb = F.broadcast(qprep.withColumn("__qn", _norm(F.col("__qv"))))
+    cb = cb.withColumn("__cn", _norm(F.col("__cv")))
     cos = (_dot(F.col("__qv"), F.col("__cv"))
            / (F.col("__qn") * F.col("__cn")))
     if round_to is not None:

@@ -4349,3 +4349,80 @@ def test_normalize_text_unicode_forms(spark):
     assert nfkc[3] == "Hi fin"
     with pytest.raises(ValueError, match="unknown normalization"):
         normalize_text(df, form="NFX")
+
+
+def test_gemm_kernels_bit_identical_to_folds(spark):
+    """The round-12 Arrow-side pair scoring (similarity._gemm_pairs /
+    _row_sqnorms) must be BIT-identical to the Catalyst HOF folds it
+    replaces — the kernels accumulate left-associatively in element
+    order from a 0.0 seed, one IEEE multiply + one add per term,
+    exactly like aggregate(zip_with(...)). Checked via float.hex on
+    every pair (dot, squared-L2) and every row norm."""
+    import numpy as np
+
+    from seatunnel_spark.dataops.similarity import (_dot, _gemm_pairs,
+                                                    _norm,
+                                                    _row_sqnorms)
+
+    rng = np.random.default_rng(42)
+    dim, nq, nc = 17, 6, 9
+    Q = rng.standard_normal((nq, dim)) * 37.5
+    C = rng.standard_normal((nc, dim)) * 0.03
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in Q[i]]) for i in range(nq)],
+        "qid int, qv array<double>")
+    cdf = spark.createDataFrame(
+        [(j, [float(x) for x in C[j]]) for j in range(nc)],
+        "cid int, cv array<double>")
+    l2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    jvm = {(r["qid"], r["cid"]): (r["dot"], r["l2"])
+           for r in qdf.crossJoin(cdf).select(
+               "qid", "cid",
+               _dot(F.col("qv"), F.col("cv")).alias("dot"),
+               l2.alias("l2")).collect()}
+    dots = _gemm_pairs(Q, C)
+    dist = _gemm_pairs(Q, C, l2=True)
+    for i in range(nq):
+        for j in range(nc):
+            assert float(dots[i, j]).hex() == jvm[(i, j)][0].hex()
+            assert float(dist[i, j]).hex() == jvm[(i, j)][1].hex()
+    jvm_norms = {r["qid"]: r["n"] for r in qdf.select(
+        "qid", _norm(F.col("qv")).alias("n")).collect()}
+    norms = np.sqrt(_row_sqnorms(Q))
+    for i in range(nq):
+        assert float(norms[i]).hex() == jvm_norms[i].hex()
+
+
+def test_keep_topk_mask_is_superset_of_window_winners():
+    """_keep_topk must never drop a candidate the final rank window
+    (rounded score desc/asc, id asc) would select — property-checked
+    against a brute-force ranking over random scores with heavy
+    near-ties at the rounding boundary."""
+    import numpy as np
+
+    from seatunnel_spark.dataops.similarity import _keep_topk
+
+    rng = np.random.default_rng(7)
+    k, round_to = 5, 4
+    margin = 2.0 * 10.0 ** -round_to
+    for trial in range(20):
+        nq, nc = 4, 40
+        # cluster scores tightly so rounding collapses many to ties
+        S = np.round(rng.standard_normal((nq, nc)), 4) \
+            + rng.choice([0.0, 1e-5, -1e-5, 4.9e-5], size=(nq, nc))
+        invalid = rng.random((nq, nc)) < 0.3
+        for descending in (True, False):
+            keep = _keep_topk(S, k, margin, descending,
+                              invalid=invalid.copy())
+            assert not (keep & invalid).any()
+            for qi in range(nq):
+                cand = [(round(S[qi, ci], round_to), ci)
+                        for ci in range(nc) if not invalid[qi, ci]]
+                cand.sort(key=lambda t: (-t[0] if descending else t[0],
+                                         t[1]))
+                winners = {ci for _, ci in cand[:k]}
+                kept = {ci for ci in range(nc) if keep[qi, ci]}
+                assert winners <= kept, (trial, qi, descending)

@@ -53,11 +53,14 @@ def test_q1_partial_aggregation(plans):
     assert "partial_sum" in p
 
 
-def test_sim_topk_broadcasts_queries_not_corpus(plans):
+def test_sim_topk_scores_corpus_in_one_arrow_stage(plans):
+    """Round 12: the per-pair cosine fold moved into ONE vectorized
+    MapInPandas stage over the corpus scan (queries ride the task
+    closure — the former broadcast, collected once). No join of the
+    corpus, no row-at-a-time Python, no cartesian blowup."""
     p = plans("sim_topk")
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
-    # corpus side must stay a streamed scan (no exchange of the corpus
-    # before the join)
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
 
 
