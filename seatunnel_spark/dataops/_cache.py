@@ -70,3 +70,29 @@ def cache_scope():
                 df.unpersist()
             except Exception:
                 pass  # session already stopped / frame already freed
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan parallelism, the ONE shared implementation
+    (ADVICE r11: dedup._ensure_parallelism and similarity._spread were
+    verbatim copies that could drift): round-robin repartition to
+    defaultParallelism ONLY when the planned input has fewer than half
+    that many partitions. A no-op at scale — a properly-split corpus
+    scan already has plenty of partitions and never pays the shuffle.
+
+    Note the partition probe goes through df.rdd (a driver-side
+    plan-to-RDD conversion; unsupported under Spark Connect) — the
+    price of asking the PLANNED partition count before execution."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
+def qcol(name: str) -> str:
+    """Backtick-quote a CALLER-SUPPLIED column name for interpolation
+    into F.expr SQL (ADVICE r11): hyphens, spaces or reserved words
+    would otherwise parse as expressions ('a-b' becomes subtraction).
+    Internal composed expressions (slices, casts, __-prefixed
+    aliases) are never passed through this."""
+    return "`" + name.replace("`", "``") + "`"

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
+from seatunnel_spark.dataops._cache import qcol as _qcol
 from seatunnel_spark.dataops._cache import scoped_persist
 
 def _cap_buckets(df: DataFrame, keys: list[str],
@@ -74,14 +75,11 @@ def _cap_buckets(df: DataFrame, keys: list[str],
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread CPU-heavy per-row work across cores when the scan produced
-    too few partitions (small files read as 1 split). At real scale the
-    file splits already give parallelism and this is a no-op — the
-    repartition only fires when partitions < half the cluster's cores,
-    so it never adds a shuffle to a properly-split 100 TB scan."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
-        return df.repartition(target)
-    return df
+    too few partitions (small files read as 1 split); delegates to the
+    one shared implementation (see _cache.ensure_parallelism)."""
+    from seatunnel_spark.dataops._cache import ensure_parallelism
+
+    return ensure_parallelism(df)
 
 
 # --------------------------------------------------------------------------
@@ -840,7 +838,7 @@ def embedding_near_dups(
         dim = int(first["d"])
         rng = np.random.default_rng(seed)
         plane_mat = rng.standard_normal((planes, dim))
-        bucket = _bucket_expr(vec_col, plane_mat)
+        bucket = _bucket_expr(_qcol(vec_col), plane_mat)
     else:
         bucket = None
     # _ensure_parallelism: the bucket/norm projection is the CPU-heavy
@@ -929,7 +927,7 @@ def semantic_dedup(
     # per-row pass — spread them off a single-split local scan
     assigned = scoped_persist(_ensure_parallelism(df).select(
         F.col(id_col).alias("id"), v.alias("v"), _norm(v).alias("n"),
-        _nearest_centroid(f"cast({vec_col} as array<double>)",
+        _nearest_centroid(f"cast({_qcol(vec_col)} as array<double>)",
                           centroids).alias("cell"),
     ))
     join_in = _cap_buckets(assigned, ["cell"], max_cell)

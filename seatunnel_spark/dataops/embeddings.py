@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from seatunnel_spark.dataops._cache import qcol as _qcol
+
 
 def quantize_int8(df: DataFrame, vec_col: str = "embedding",
                   q_col: str = "q", scale_col: str = "scale") -> DataFrame:
@@ -74,7 +76,9 @@ def _dist2_sql(vec: str, centroid: list[float]) -> str:
     same values); the point is ONE parse per assignment expression
     instead of a py4j round trip per centroid literal, which
     dominated PLAN-CONSTRUCTION time for k×dim-literal codebooks."""
-    lit = "array(" + ",".join(f"{float(v)!r}D" for v in centroid) + ")"
+    from seatunnel_spark.dataops.similarity import _d
+
+    lit = "array(" + ",".join(_d(v) for v in centroid) + ")"
     return (f"aggregate(zip_with({vec}, {lit}, "
             f"(x, y) -> (x - y) * (x - y)), 0.0D, (a, b) -> a + b)")
 
@@ -126,7 +130,7 @@ def kmeans_fit(df: DataFrame, vec_col: str = "embedding",
             .orderBy("__id").limit(k).collect())
     centroids = [[float(v) for v in r["__v"]] for r in init]
     x = F.col(vec_col).cast("array<double>")
-    vx = f"cast({vec_col} as array<double>)"
+    vx = f"cast({_qcol(vec_col)} as array<double>)"
     for _ in range(iters):
         assigned = df.select(
             _assign_expr(vx, centroids, round_to).alias("__c"),
@@ -150,7 +154,7 @@ def kmeans_assign(df: DataFrame, centroids: list[list[float]],
     """Label every row with its nearest centroid — a broadcast-literal
     projection (no join, no shuffle). `dist_col` additionally emits
     the (rounded) squared L2 distance to that centroid."""
-    s = _assign_struct(f"cast({vec_col} as array<double>)",
+    s = _assign_struct(f"cast({_qcol(vec_col)} as array<double>)",
                        centroids, round_to)
     out = df.withColumn(out_col, s["i"])
     if dist_col is not None:

@@ -74,6 +74,14 @@ def _guard_pair_product(
                          f"got {on_oversize!r}")
     if on_oversize == "split" and not split_col:
         raise ValueError("on_oversize='split' requires split_col")
+    if split_col is not None and split_col in block_cols:
+        # constant within every block -> pmod(xxhash64(const)) is one
+        # sub-key -> the refinement silently does nothing (ADVICE r11)
+        raise ValueError(
+            f"split_col {split_col!r} is one of block_cols {block_cols}"
+            f" — it is constant within each block, so splitting on it "
+            f"cannot refine an oversize block; pick a column outside "
+            f"the blocking key")
     occ = (aa.groupBy(*keys).agg(F.count(F.lit(1)).alias("__na"))
            .join(bb.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nb")),
                  keys)
@@ -297,6 +305,23 @@ def link_dup_clusters(
         *[F.col(c) for c in [*block_cols, *cols]])))
 
     def _collapse(df: DataFrame, idc: str):
+        # Duplicate probe first (round 12): ONE narrow aggregation of
+        # the digest column decides whether any tuple is replicated at
+        # all. On clean sides (every digest unique — the common
+        # deduped-CRM shape, and the driver's sf0.1 data) the whole
+        # window+persist collapse pass is skipped: reps ARE the rows
+        # (each singleton group's min id is its own id) and there are
+        # no members, so the output is provably identical with zero
+        # extra scans. Replicated sides pay the probe (~ one digest
+        # projection + a map-side-combined count) and then run the
+        # collapse exactly as before — the sf10 replication regime the
+        # collapse exists for.
+        base = df.withColumn("__dg", dg)
+        clean = (base.groupBy("__dg")
+                 .agg(F.count(F.lit(1)).alias("__n"))
+                 .filter("__n > 1").isEmpty())
+        if clean:
+            return df, None
         # ONE digest-keyed shuffle per side: the window min is the
         # same per-group integer min the former groupBy computed, and
         # both the rep rows (full originals) and the member→rep edges
@@ -308,8 +333,7 @@ def link_dup_clusters(
         from seatunnel_spark.dataops._cache import scoped_persist as _sp
 
         w = Window.partitionBy("__dg")
-        base = _sp(df.withColumn("__dg", dg)
-                   .withColumn("__rep", F.min(F.col(idc)).over(w)))
+        base = _sp(base.withColumn("__rep", F.min(F.col(idc)).over(w)))
         reps = (base.filter(F.col(idc) == F.col("__rep"))
                 .drop("__dg", "__rep"))
         members = (base.filter(F.col(idc) != F.col("__rep"))
@@ -331,13 +355,19 @@ def link_dup_clusters(
     # matched nothing stays out, exactly as before. Precondition
     # (row-identifier contract): ids are unique across both sides.
     rep_cc = duplicate_clusters(pairs)
-    mem_cc_a = (mem_a.join(rep_cc.withColumnRenamed("id", "__rep"),
-                           ["__rep"])
-                .select(F.col("__id").alias("id"), "cluster_id"))
-    mem_cc_b = (mem_b.join(rep_cc.withColumnRenamed("id", "__rep"),
-                           ["__rep"])
-                .select(F.col("__id").alias("id"), "cluster_id"))
-    return rep_cc.unionByName(mem_cc_a).unionByName(mem_cc_b)
+    out = rep_cc
+    # clean sides have no members — skip their inherit join outright
+    if mem_a is not None:
+        out = out.unionByName(
+            mem_a.join(rep_cc.withColumnRenamed("id", "__rep"),
+                       ["__rep"])
+            .select(F.col("__id").alias("id"), "cluster_id"))
+    if mem_b is not None:
+        out = out.unionByName(
+            mem_b.join(rep_cc.withColumnRenamed("id", "__rep"),
+                       ["__rep"])
+            .select(F.col("__id").alias("id"), "cluster_id"))
+    return out
 
 
 def golden_records(

@@ -35,6 +35,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from seatunnel_spark.dataops._cache import ensure_parallelism as _ensure
+from seatunnel_spark.dataops._cache import qcol as _qcol
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
@@ -333,15 +336,11 @@ def _cogroup_cosine_topk(q: DataFrame, c: DataFrame, k: int,
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Scale-adaptive scan parallelism (dedup._ensure_parallelism's
-    contract): round-robin repartition to defaultParallelism ONLY
-    when the planned input has fewer than half that many partitions.
-    A no-op at scale — a properly-split corpus scan already has
-    plenty of partitions and never pays the shuffle."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
-        return df.repartition(target)
-    return df
+    """Scale-adaptive scan parallelism: round-robin repartition to
+    defaultParallelism ONLY when the planned input has fewer than
+    half that many partitions (no-op at scale); delegates to the one
+    shared implementation (see _cache.ensure_parallelism)."""
+    return _ensure(df)
 
 
 def with_cosine(df: DataFrame, a_col: str, b_col: str, out: str = "cosine") -> DataFrame:
@@ -627,7 +626,7 @@ def train_ivf_centroids(
         # last float bits (training is not on any bench/oracle path)
         assigned = corpus.select(
             v.alias("__v"),
-            _nearest_centroid(vec_col, centroids).alias("__c")
+            _nearest_centroid(_qcol(vec_col), centroids).alias("__c")
         )
         rows = (
             assigned.select("__c", F.posexplode("__v").alias("__d", "__x"))
@@ -644,8 +643,19 @@ def train_ivf_centroids(
 
 def _d(v: float) -> str:
     """Exact SQL double literal — repr() round-trips binary64 and the
-    parser reads back the identical double F.lit(float(v)) carries."""
-    return f"{float(v)!r}D"
+    parser reads back the identical double F.lit(float(v)) carries.
+    Non-finite values render as the double() conversions ('nanD' /
+    'infD' would fail to parse — ADVICE r11); they can only reach
+    here from degenerate trained codebooks, and they round-trip to
+    the same doubles F.lit would carry."""
+    v = float(v)
+    if v != v:
+        return "double('NaN')"
+    if v == float("inf"):
+        return "double('Infinity')"
+    if v == float("-inf"):
+        return "double('-Infinity')"
+    return f"{v!r}D"
 
 
 def _arr_sql(vals) -> str:
@@ -731,7 +741,7 @@ def ivf_topk(
         F.col(corpus_vec).alias("__cv"),
     )).withColumn("__cell", _nearest_centroid("__cv", centroids))
     probe = F.transform(
-        F.slice(F.reverse(F.array_sort(_centroid_scores(query_vec, centroids))),
+        F.slice(F.reverse(F.array_sort(_centroid_scores(_qcol(query_vec), centroids))),
                 1, nprobe),
         lambda s: s["i"],
     )
@@ -780,7 +790,7 @@ def write_ivf_index(
                                         nlist, iters)
     spark = corpus.sparkSession
     assigned = _spread(corpus).withColumn(
-        "__cell", _nearest_centroid(vec_col, centroids)
+        "__cell", _nearest_centroid(_qcol(vec_col), centroids)
     )
     assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
     spark.createDataFrame(
@@ -812,7 +822,7 @@ def append_ivf_index(
         for r in spark.read.parquet(f"{path}/_centroids")
         .orderBy("i").collect()]
     assigned = new_rows.withColumn(
-        "__cell", _nearest_centroid(vec_col, centroids))
+        "__cell", _nearest_centroid(_qcol(vec_col), centroids))
     assigned.write.mode("append").partitionBy("__cell").parquet(path)
 
 
@@ -837,7 +847,7 @@ def search_ivf_index(
     ]
     nprobe = min(nprobe, len(centroids))
     probe = F.transform(
-        F.slice(F.reverse(F.array_sort(_centroid_scores(query_vec, centroids))),
+        F.slice(F.reverse(F.array_sort(_centroid_scores(_qcol(query_vec), centroids))),
                 1, nprobe),
         lambda s: s["i"],
     )
@@ -919,7 +929,7 @@ def lsh_bucketed_topk(
     qprep = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(query_vec).alias("__qv"),
-        _bucket_expr(query_vec, plane_mat).alias("__bucket"),
+        _bucket_expr(_qcol(query_vec), plane_mat).alias("__bucket"),
     )
     cb = _spread(corpus.select(
         F.col(corpus_id).alias("__cid"),
@@ -1029,7 +1039,7 @@ def pq_encode(
     from seatunnel_spark.dataops.embeddings import _assign_expr
 
     d0 = len(codebooks[0][0])
-    vx = f"cast({vec_col} as array<double>)"
+    vx = f"cast({_qcol(vec_col)} as array<double>)"
     codes = F.array(*[
         _assign_expr(f"slice({vx}, {s * d0 + 1}, {d0})", book, round_to)
         for s, book in enumerate(codebooks)
@@ -1155,7 +1165,7 @@ def ivfpq_topk(
         .alias("__cell"))
     probe = F.transform(
         F.slice(F.reverse(F.array_sort(
-            _centroid_scores(query_vec, coarse_centroids))),
+            _centroid_scores(_qcol(query_vec), coarse_centroids))),
             1, nprobe),
         lambda s: s["i"])
     q = F.broadcast(queries.select(
@@ -1203,7 +1213,7 @@ def pq_train_residual(
     it quantizes raw vectors spread across cells. Same deterministic
     Lloyd's per subspace as pq_train; one extra zero-shuffle residual
     projection in front."""
-    vx = f"cast({vec_col} as array<double>)"
+    vx = f"cast({_qcol(vec_col)} as array<double>)"
     res = (corpus
            .select(F.col(id_col), F.col(vec_col))
            .withColumn("__cell",
@@ -1256,7 +1266,7 @@ def ivfadc_topk(
     ).select("__cid", "__cell", "__codes")
     probe = F.transform(
         F.slice(F.reverse(F.array_sort(
-            _centroid_scores(query_vec, coarse_centroids))),
+            _centroid_scores(_qcol(query_vec), coarse_centroids))),
             1, nprobe),
         lambda s: s["i"])
     q = F.broadcast(

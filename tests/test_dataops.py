@@ -3779,6 +3779,12 @@ def test_link_pair_product_guard(spark):
         run(max_pairs=1, on_oversize="shrug")
     with pytest.raises(ValueError, match="must be one of"):
         run(max_pairs=1, on_oversize="split", split_col="nope")
+    # (f) split_col inside block_cols is constant per block — the
+    # refinement could never refine; refused loudly (link_score_pairs
+    # validates against its field list; _guard_pair_product carries
+    # its own equivalent guard for direct callers)
+    with pytest.raises(ValueError, match="cannot refine"):
+        run(max_pairs=1, on_oversize="split", split_col="blk")
 
 
 def test_bfs_hops_layers_and_unreachable(spark):
@@ -4426,3 +4432,36 @@ def test_keep_topk_mask_is_superset_of_window_winners():
                 winners = {ci for _, ci in cand[:k]}
                 kept = {ci for ci in range(nc) if keep[qi, ci]}
                 assert winners <= kept, (trial, qi, descending)
+
+
+def test_sql_literal_helpers_nonfinite_and_quoting(spark):
+    """ADVICE r11 closes: _d() renders non-finite doubles as parseable
+    double() conversions (was 'nanD' -> parse error), and
+    caller-supplied column names interpolated into F.expr SQL are
+    backtick-quoted so 'a-b' stays a column, not a subtraction."""
+    import math
+
+    from seatunnel_spark.dataops._cache import qcol
+    from seatunnel_spark.dataops.similarity import _arr_sql, _d
+
+    assert _d(float("nan")) == "double('NaN')"
+    assert _d(float("inf")) == "double('Infinity')"
+    assert _d(float("-inf")) == "double('-Infinity')"
+    assert _d(1.5) == "1.5D"
+    row = spark.sql(
+        f"SELECT {_arr_sql([1.0, float('nan'), float('inf')])} AS a"
+    ).first()
+    assert row["a"][0] == 1.0 and math.isnan(row["a"][1]) \
+        and math.isinf(row["a"][2])
+    assert qcol("a-b") == "`a-b`"
+    assert qcol("weird`name") == "`weird``name`"
+    # end to end: a hyphenated embedding column through a SQL-string
+    # path (kmeans_assign builds its argmin via F.expr)
+    from seatunnel_spark.dataops.embeddings import kmeans_assign
+
+    df = spark.createDataFrame([(1, [0.0, 0.0]), (2, [1.0, 1.0])],
+                               "id int, `emb-col` array<double>")
+    out = kmeans_assign(df, [[0.0, 0.0], [1.0, 1.0]],
+                        vec_col="emb-col")
+    got = {r["id"]: r["cluster"] for r in out.collect()}
+    assert got == {1: 0, 2: 1}
