@@ -305,39 +305,36 @@ def link_dup_clusters(
         *[F.col(c) for c in [*block_cols, *cols]])))
 
     def _collapse(df: DataFrame, idc: str):
-        # Duplicate probe first (round 12): ONE narrow aggregation of
-        # the digest column decides whether any tuple is replicated at
-        # all. On clean sides (every digest unique — the common
-        # deduped-CRM shape, and the driver's sf0.1 data) the whole
-        # window+persist collapse pass is skipped: reps ARE the rows
-        # (each singleton group's min id is its own id) and there are
-        # no members, so the output is provably identical with zero
-        # extra scans. Replicated sides pay the probe (~ one digest
-        # projection + a map-side-combined count) and then run the
-        # collapse exactly as before — the sf10 replication regime the
-        # collapse exists for.
-        base = df.withColumn("__dg", dg)
-        clean = (base.groupBy("__dg")
-                 .agg(F.count(F.lit(1)).alias("__n"))
-                 .filter("__n > 1").isEmpty())
-        if clean:
-            return df, None
-        # ONE digest-keyed shuffle per side: the window min is the
-        # same per-group integer min the former groupBy computed, and
-        # both the rep rows (full originals) and the member→rep edges
-        # fall out of the same pass — replacing a groupBy + semi-join
-        # + member join (3 shuffles and two extra scans of the side).
-        # scoped_persist because reps and members branch from it.
+        # NARROW rep map + duplicate probe in one pass (round 12): the
+        # window min runs over just (id, digest) — the md5 projection
+        # is computed ONCE and only two columns shuffle, not the full
+        # rows the former window moved. On clean sides (every digest
+        # unique — the common deduped-CRM shape, and the driver's
+        # sf0.1 data) the member set is empty and the whole collapse
+        # is skipped: reps ARE the rows (each singleton group's min id
+        # is its own id), zero further work, provably identical
+        # output. Replicated sides (the sf10 regime the collapse
+        # exists for) split reps from members by one id-keyed
+        # semi-join against the rep-id set — which AQE broadcasts
+        # when it fits (reps = distinct tuples, the SMALL side under
+        # heavy replication), so full rows often never shuffle at all;
+        # worst case they shuffle once by id, the same bytes the
+        # former digest-keyed window moved.
         from pyspark.sql import Window
 
         from seatunnel_spark.dataops._cache import scoped_persist as _sp
 
         w = Window.partitionBy("__dg")
-        base = _sp(base.withColumn("__rep", F.min(F.col(idc)).over(w)))
-        reps = (base.filter(F.col(idc) == F.col("__rep"))
-                .drop("__dg", "__rep"))
-        members = (base.filter(F.col(idc) != F.col("__rep"))
-                   .select(F.col(idc).alias("__id"), F.col("__rep")))
+        rep_map = _sp(df.select(F.col(idc).alias("__id"),
+                                dg.alias("__dg"))
+                      .withColumn("__rep", F.min("__id").over(w)))
+        members = (rep_map.filter(F.col("__id") != F.col("__rep"))
+                   .select("__id", "__rep"))
+        if members.isEmpty():
+            return df, None
+        rep_ids = (rep_map.filter(F.col("__id") == F.col("__rep"))
+                   .select(F.col("__id").alias(idc)))
+        reps = df.join(rep_ids, [idc], "left_semi")
         return reps, members
 
     reps_a, mem_a = _collapse(a, id_a)
