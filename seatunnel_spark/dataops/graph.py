@@ -19,10 +19,53 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from seatunnel_spark.dataops._cache import scoped_persist
+
+
+# Iterative-state broadcast bound (rows). The per-round joins pair the
+# persisted EDGE frame with a |frontier|/|V|-row state table that is a
+# localCheckpoint RDD scan — a leaf with UNKNOWN statistics, so the
+# planner either broadcasts the EDGES (their InMemoryRelation has
+# stats and sf-sized graphs sit under the session's 64 MB threshold —
+# rebuilding a ~600k-row hash relation EVERY round, the measured bulk
+# of the round floor at sf0.1) or falls back to a sort-merge join
+# that would shuffle the edges every round at scale. The loops below
+# know each state table's EXACT row count for free (the observed
+# convergence metrics), so they hint the state side broadcast
+# whenever it is measured ≤ this bound — scale-adaptive by
+# construction: a 100 TB frontier exceeds it and the hint turns off.
+# 1M rows of (id[, int]) ≈ a few tens of MB hashed, inside the same
+# 64 MB broadcast discipline session.py sets. Only used on loops
+# whose aggregates are order-insensitive (min/count/anti-join —
+# BFS/CC/k-core); hits/pagerank sum doubles, where a build-side flip
+# could perturb partial-sum order, and keep their planner strategy.
+_BCAST_ROWS = 1_000_000
+
+
+def _bcast_if_small(df: DataFrame, nrows: int) -> DataFrame:
+    """Broadcast-hint `df` when its MEASURED row count is within
+    _BCAST_ROWS (see above); otherwise return it unhinted."""
+    return F.broadcast(df) if 0 <= nrows <= _BCAST_ROWS else df
+
+
+def _checkpoint_observed(df: DataFrame, metric) -> tuple[DataFrame, int]:
+    """localCheckpoint `df` and return (checkpointed frame, metric),
+    with `metric` (an aggregate Column) computed BY THE CHECKPOINT JOB
+    itself via DataFrame.observe — the round-12 form of the iterative
+    loops' convergence probe (guide §1.5/§5). The former shape paid a
+    separate count() job per round on top of each checkpoint job; at
+    sf0.1 every extra job costs a 0.1-0.3 s scheduler/stage floor
+    (quantified round 11, OPTIMIZATION_r11.md §9) and the loops run
+    5-11 rounds, so the probe jobs were a real fraction of every
+    graph query. Observed metrics are accumulator-backed and exact —
+    identical to the count they replace. Returns 0 when the observed
+    aggregate is NULL (empty frame)."""
+    obs = Observation()
+    out = df.observe(obs, metric.alias("__m")).localCheckpoint()
+    return out, int(obs.get["__m"] or 0)
 
 __all__ = ["pagerank", "write_bucketed_edges", "pagerank_on_bucketed",
            "triangles_on_bucketed", "degree_distribution",
@@ -288,15 +331,34 @@ def connected_components(
     an evicted block just fails fast rather than silently thrashing; on
     a real cluster swap in df.checkpoint() to reliable storage for the
     same truncation with durability.
+
+    Round shape (round 12): ONE checkpoint job per round. The
+    propagated table is persist-ed, not checkpointed — both sides of
+    the pointer-jump self-join read the cache inside the round's
+    single checkpoint job (block-level locking computes each cached
+    partition once), its lineage is bounded by the previous round's
+    checkpointed labels, and the cache is released as soon as the
+    round materializes. The convergence probe is an observed metric
+    on the same job (see _checkpoint_observed). The former shape paid
+    3 jobs per round (prop checkpoint, new checkpoint, changed-probe
+    count) for the identical arithmetic.
     """
     und = scoped_persist(_symmetrized(edges, src, dst, dedupe))
-    labels = (und.select(F.col("__src").alias("node")).distinct()
-              .withColumn("component", F.col("node"))
-              .localCheckpoint())
+    labels, nv = _checkpoint_observed(
+        und.select(F.col("__src").alias("node")).distinct()
+        .withColumn("component", F.col("node")),
+        F.count(F.lit(1)))
     for _ in range(max_iter):
+        # |labels| = |V| is KNOWN (observed at init) — hint the
+        # |V|-row sides broadcast while small so the planner never
+        # rebuilds an edge-side hash relation per round nor
+        # sort-merge-shuffles against the stats-less RDD-scan label
+        # table (see _BCAST_ROWS). min/compare semantics — join
+        # strategy cannot change any value.
         nbr_min = (
-            und.join(labels.select(F.col("node").alias("__src"),
-                                   F.col("component").alias("__l")),
+            und.join(_bcast_if_small(
+                labels.select(F.col("node").alias("__src"),
+                              F.col("component").alias("__l")), nv),
                      "__src")
             .groupBy(F.col("__dst").alias("node"))
             .agg(F.min("__l").alias("__nl"))
@@ -305,28 +367,30 @@ def connected_components(
         # is a column compare on the round's own output — no extra
         # new-vs-labels join per round (duplicate_clusters pattern)
         prop = (
-            labels.join(nbr_min, "node", "left")
+            labels.join(_bcast_if_small(nbr_min, nv), "node", "left")
             .select("node",
                     F.least(F.col("component"),
                             F.coalesce(F.col("__nl"), F.col("component"))
                             ).alias("component"),
                     F.col("component").alias("__old"))
-            .localCheckpoint()
+            .persist()
         )
         # pointer jump: component <- component(component). Every label
         # is a node id, so the map is a |V|-row self-join.
         ptr = prop.select(F.col("node").alias("__t"),
                           F.col("component").alias("__jc"))
         new = (
-            prop.join(ptr, prop["component"] == ptr["__t"], "left")
+            prop.join(_bcast_if_small(ptr, nv),
+                      prop["component"] == ptr["__t"], "left")
             .select(prop["node"],
                     F.coalesce(ptr["__jc"], prop["component"])
                     .alias("component"),
                     (F.coalesce(ptr["__jc"], prop["component"])
                      != prop["__old"]).alias("__chg"))
-            .localCheckpoint()
         )
-        changed = new.filter("__chg").limit(1).count()
+        new, changed = _checkpoint_observed(
+            new, F.sum(F.col("__chg").cast("long")))
+        prop.unpersist()
         labels = new.drop("__chg")
         if changed == 0:
             break
@@ -454,30 +518,45 @@ def k_core(
 
 def _kcore_peel(und: DataFrame, k: int, max_iter: int) -> DataFrame:
     """Shared delta-peel core over a symmetrized (__src, __dst) edge
-    frame -> (node, degree) for the k-core; see k_core's docstring."""
-    degs = (und.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
-            .localCheckpoint())
+    frame -> (node, degree) for the k-core; see k_core's docstring.
+
+    Round shape (round 12): ONE checkpoint job per round. The dropped
+    frontier is a FILTER over the checkpointed degree table (a cheap
+    scan of local blocks — no separate checkpoint job), and the
+    round's drop count is an observed metric on the NEXT degree
+    checkpoint (each round observes how many vertices the FOLLOWING
+    round will peel, so the convergence probe costs no job at all —
+    see _checkpoint_observed). The former shape paid 3 jobs per round
+    (dropped checkpoint, dropped count, degs checkpoint) for the
+    identical peel arithmetic."""
+    degs, ndrop = _checkpoint_observed(
+        und.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg")),
+        F.sum((F.col("__deg") < k).cast("long")))
     for _ in range(max_iter):
-        dropped = (degs.filter(F.col("__deg") < k)
-                   .select(F.col("__src").alias("__d"))
-                   .localCheckpoint())
-        if dropped.count() == 0:
+        if ndrop == 0:
             break
+        # the frontier's row count is KNOWN (observed last round) —
+        # hint it broadcast while small so neither the edges nor the
+        # degree table pay a per-round hash-relation rebuild or
+        # sort-merge shuffle against a stats-less RDD-scan frontier
+        # (see _BCAST_ROWS)
+        dropped = _bcast_if_small(
+            degs.filter(F.col("__deg") < k)
+            .select(F.col("__src").alias("__d")), ndrop)
         dec = (
             und.join(dropped, und["__src"] == dropped["__d"])
             .groupBy(F.col("__dst").alias("__src"))
             .agg(F.count(F.lit(1)).alias("__dec"))
         )
-        degs = (
+        degs, ndrop = _checkpoint_observed(
             degs.join(dropped, degs["__src"] == dropped["__d"],
                       "left_anti")
             .join(dec, "__src", "left")
             .select("__src",
                     (F.col("__deg")
                      - F.coalesce(F.col("__dec"), F.lit(0)))
-                    .alias("__deg"))
-            .localCheckpoint()
-        )
+                    .alias("__deg")),
+            F.sum((F.col("__deg") < k).cast("long")))
     # und stays persisted — callers may compose further reads (same
     # clearCache contract for long-lived sessions as pagerank's edges).
     return degs.select(F.col("__src").alias("node"),
@@ -535,14 +614,22 @@ def connected_components_on_bucketed(
     write_bucketed_edges) — bucketed storage fixes one physical
     partitioning, and symmetrizing at read time would break it."""
     und = spark.table(table)
-    labels = (und.select(F.col("__src").alias("node")).distinct()
-              .localCheckpoint())
-    labels = labels.withColumn("component", F.col("node")) \
-                   .localCheckpoint()
+    # one initial checkpoint, not two (the withColumn is free to fold
+    # into the distinct's job); round shape = connected_components:
+    # ONE observed checkpoint job per round, prop persisted
+    # intra-round, |V|-row sides broadcast-hinted off the measured
+    # count while small (see _BCAST_ROWS). NOTE the neighbor-min join
+    # keeps the bucketed scan exchange-free either way — the hint
+    # only spares the per-round sort of the stats-less label side.
+    labels, nv = _checkpoint_observed(
+        und.select(F.col("__src").alias("node")).distinct()
+        .withColumn("component", F.col("node")),
+        F.count(F.lit(1)))
     for _ in range(max_iter):
         nbr_min = (
-            und.join(labels.select(F.col("node").alias("__src"),
-                                   F.col("component").alias("__l")),
+            und.join(_bcast_if_small(
+                labels.select(F.col("node").alias("__src"),
+                              F.col("component").alias("__l")), nv),
                      "__src")
             .groupBy(F.col("__dst").alias("node"))
             .agg(F.min("__l").alias("__nl"))
@@ -550,26 +637,28 @@ def connected_components_on_bucketed(
         # convergence folded into the round's output (see
         # connected_components): __old rides along, no extra join
         prop = (
-            labels.join(nbr_min, "node", "left")
+            labels.join(_bcast_if_small(nbr_min, nv), "node", "left")
             .select("node",
                     F.least(F.col("component"),
                             F.coalesce(F.col("__nl"), F.col("component"))
                             ).alias("component"),
                     F.col("component").alias("__old"))
-            .localCheckpoint()
+            .persist()
         )
         ptr = prop.select(F.col("node").alias("__t"),
                           F.col("component").alias("__jc"))
         new = (
-            prop.join(ptr, prop["component"] == ptr["__t"], "left")
+            prop.join(_bcast_if_small(ptr, nv),
+                      prop["component"] == ptr["__t"], "left")
             .select(prop["node"],
                     F.coalesce(ptr["__jc"], prop["component"])
                     .alias("component"),
                     (F.coalesce(ptr["__jc"], prop["component"])
                      != prop["__old"]).alias("__chg"))
-            .localCheckpoint()
         )
-        changed = new.filter("__chg").limit(1).count()
+        new, changed = _checkpoint_observed(
+            new, F.sum(F.col("__chg").cast("long")))
+        prop.unpersist()
         labels = new.drop("__chg")
         if changed == 0:
             break
@@ -693,11 +782,20 @@ def hits(
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
     auth = None
     for _ in range(iters):
+        # the raw neighbor sums feed BOTH the normalization
+        # denominator (the broadcast 1-row agg) and the normalized
+        # projection — persist, don't checkpoint (round 12): the
+        # broadcast subquery populates the cache and the projection
+        # reads it inside the SAME half-step checkpoint job, so each
+        # half-step is ONE job instead of two. Lineage stays bounded:
+        # the half-step OUTPUT is still checkpointed every time, and
+        # a_raw/h_raw's own lineage reaches only the persisted edges
+        # and the previous (checkpointed) half-step.
         a_raw = (e.join(hub.withColumnRenamed("node", "__src"),
                         "__src")
                  .groupBy(F.col("__dst").alias("node"))
                  .agg(F.sum("hub").alias("__a"))
-                 .localCheckpoint())
+                 .persist())
         s_a = F.broadcast(a_raw.agg(F.sum("__a").alias("__s")))
         # SPARSE half-steps (round-11): scores ride only the nodes the
         # neighbor sum produced; absent nodes carry exactly 0.0 and a
@@ -713,11 +811,12 @@ def hits(
                         .otherwise(F.lit(0.0))
                         .alias("auth"))
                 .localCheckpoint())
+        a_raw.unpersist()
         h_raw = (e.join(auth.withColumnRenamed("node", "__dst"),
                         "__dst")
                  .groupBy(F.col("__src").alias("node"))
                  .agg(F.sum("auth").alias("__h"))
-                 .localCheckpoint())
+                 .persist())
         s_h = F.broadcast(h_raw.agg(F.sum("__h").alias("__s")))
         hub = (h_raw.join(s_h)
                .select("node",
@@ -727,6 +826,7 @@ def hits(
                        .otherwise(F.lit(0.0))
                        .alias("hub"))
                .localCheckpoint())
+        h_raw.unpersist()
     return (nodes.join(hub, "node", "left").join(auth, "node", "left")
             .select("node",
                     F.coalesce("hub", F.lit(0.0)).alias("hub"),
@@ -769,20 +869,42 @@ def bfs_hops(
     if dedupe:
         e = e.distinct()
     e = scoped_persist(e)
-    frontier = (sources.select(F.col(source_col).alias("node"))
-                .distinct().localCheckpoint())
-    visited = frontier.withColumn("hops", F.lit(0)).localCheckpoint()
+    # Round shape (round 12): ONE checkpoint job per hop. The new
+    # layer is computed INSIDE the round's visited checkpoint (its
+    # row count observed by the same job — see _checkpoint_observed),
+    # and the next frontier is a FILTER of that checkpointed visited
+    # set (a scan of local blocks, no dedicated frontier checkpoint).
+    # The former shape paid 3 jobs per hop (nxt checkpoint, nxt
+    # count, visited checkpoint) for the identical layers. The
+    # visited set stays ONE consolidated checkpoint — the layered
+    # alternative (anti-join against a union of per-round caches) was
+    # measured +30% at sf10 in round 11 and stays rejected.
+    visited, n_visited = _checkpoint_observed(
+        sources.select(F.col(source_col).alias("node"))
+        .distinct().withColumn("hops", F.lit(0)),
+        F.count(F.lit(1)))
+    n_frontier = n_visited
+    frontier = visited.select("node")
     for h in range(1, max_hops + 1):
+        # frontier and visited sizes are KNOWN (observed) — hint the
+        # state side broadcast while it is small so the planner never
+        # rebuilds an edge-side hash relation per round nor falls
+        # back to sorting/shuffling the edges (see _BCAST_ROWS)
         nxt = (
-            e.join(frontier.withColumnRenamed("node", "__src"),
-                   "__src")
+            e.join(_bcast_if_small(
+                frontier.withColumnRenamed("node", "__src"),
+                n_frontier), "__src")
             .select(F.col("__dst").alias("node")).distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint()
+            .join(_bcast_if_small(visited.select("node"), n_visited),
+                  "node", "left_anti")
+            .withColumn("hops", F.lit(h))
         )
-        if nxt.count() == 0:
+        visited, grew = _checkpoint_observed(
+            visited.unionByName(nxt),
+            F.sum((F.col("hops") == h).cast("long")))
+        if grew == 0:
             break
-        visited = (visited.unionByName(
-            nxt.withColumn("hops", F.lit(h))).localCheckpoint())
-        frontier = nxt
+        n_visited += grew
+        n_frontier = grew
+        frontier = visited.filter(F.col("hops") == h).select("node")
     return visited

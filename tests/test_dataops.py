@@ -2770,6 +2770,53 @@ def test_connected_components_log_convergence_on_path(spark):
     assert len(got) == 32 and set(got.values()) == {0}
 
 
+def test_checkpoint_observed_metric_and_truncation(spark):
+    """_checkpoint_observed (round 12): the convergence probe of every
+    iterative graph loop rides the round's own checkpoint job as an
+    observed metric — the returned count must equal the separate
+    count() it replaced, the returned frame must be lineage-truncated
+    (an RDD scan), and an empty frame must observe 0, not None."""
+    from pyspark.sql import functions as F
+
+    from seatunnel_spark.dataops.graph import _checkpoint_observed
+
+    df = spark.range(100).withColumn("chg", F.col("id") % 10 == 0)
+    out, n = _checkpoint_observed(df, F.sum(F.col("chg").cast("long")))
+    assert n == 10 == out.filter("chg").count()
+    assert out.count() == 100 and out.columns == ["id", "chg"]
+    # truncated lineage: the checkpointed frame plans as an RDD scan
+    assert "ExistingRDD" in out._jdf.queryExecution() \
+        .executedPlan().toString()
+    empty, n0 = _checkpoint_observed(
+        df.filter("id < 0"), F.sum(F.col("chg").cast("long")))
+    assert n0 == 0 and empty.count() == 0
+
+
+def test_bcast_if_small_hints_only_measured_small_sides(spark):
+    """_bcast_if_small (round 12): the iterative loops know each
+    state table's exact row count from the observed metrics and hint
+    it broadcast only within _BCAST_ROWS — a measured-size condition,
+    not a local[32] constant. Over the bound the frame must pass
+    through unhinted (at scale the planner keeps its own strategy)."""
+    from seatunnel_spark.dataops.graph import (_BCAST_ROWS,
+                                               _bcast_if_small)
+
+    small = spark.range(10)
+    big_claim = _bcast_if_small(small, _BCAST_ROWS + 1)
+    hinted = _bcast_if_small(small, 10)
+    # the hint lives in the analyzed logical plan
+    assert "ResolvedHint" in hinted._jdf.queryExecution() \
+        .analyzed().toString()
+    assert "ResolvedHint" not in big_claim._jdf.queryExecution() \
+        .analyzed().toString()
+    # hinted frontier joins plan as BroadcastHashJoin even with the
+    # auto-broadcast estimate unavailable (RDD-scan side)
+    ck = spark.range(1000).localCheckpoint()
+    j = ck.join(_bcast_if_small(spark.range(5), 5), "id")
+    assert "BroadcastHashJoin" in j._jdf.queryExecution() \
+        .executedPlan().toString()
+
+
 def test_label_propagation_two_rounds_hand_check(spark):
     """Synchronous LPA, 2 rounds, deterministic tie-break (most
     frequent neighbor label, ties to the smallest) — hand-computed on
